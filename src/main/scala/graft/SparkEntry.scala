@@ -1,13 +1,192 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Series
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry exercises the graft library (Series / GFrame / ops.*) and has
+  * a DuckDB-equivalent oracle in [[oracleSql]] unless marked rows-only.
+  *
+  * Determinism discipline (both sides):
+  *  - per-row arithmetic is exact IEEE → no rounding;
+  *  - floating aggregates are rounded (sum→2dp on money, 6dp on ratios) so
+  *    accumulation-order ulp noise can't flip the hash;
+  *  - every result is ORDER BY'd on a unique key;
+  *  - bigint sums in DuckDB are CAST(… AS BIGINT) (DuckDB widens to HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Unique lineitem row key: l_orderkey*10 + l_linenumber (linenumber ≤ 7). */
+  private def liIdx = col("l_orderkey") * 10 + col("l_linenumber")
+  private val liIdxSql = "l_orderkey*10 + l_linenumber"
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue = Series(l_extendedprice) * (1 - Series(l_discount)), summed —
+    * the README flagship expression shape (ref: README.md:8-19) on real data. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val price = Series.fromExpr(li, col("l_extendedprice"), "px", liIdx)
+    val disc = Series.fromExpr(li, col("l_discount"), "disc", liIdx)
+    val revenue = price * ((disc * -1.0) + 1.0) // px * (1 - disc), Series ops
+    revenue.df.agg(round(sum(revenue.df(revenue.name)), 2).as("revenue"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    seriesQueries ++ frameQueries ++ dedupQueries ++ simQueries ++
+      textQueries ++ eventQueries ++ multimodalQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → rows-only check. */
+  def oracleSql: Map[String, String] =
+    seriesOracles ++ frameOracles ++ dedupOracles ++ simOracles ++
+      textOracles ++ eventOracles ++ multimodalOracles
+
+  // ===================================================== Series parity (§2.1)
+
+  private def quantity(s: SparkSession, dir: String): Series =
+    Series.fromExpr(Tables.lineitem(s, dir), col("l_quantity"), "qty", liIdx, "idx")
+  private def price(s: SparkSession, dir: String): Series =
+    Series.fromExpr(Tables.lineitem(s, dir), col("l_extendedprice"), "px", liIdx, "idx")
+
+  private def ordered(ser: Series): DataFrame = ser.df.orderBy(ser.index.asc)
+
+  val seriesQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 #1-3: construction from a keyed column (scale path).
+    "s01_construct" -> ((s, d) => ordered(quantity(s, d))),
+    // §2.1 #9: sum() — native HashAggregate.
+    "s02_sum_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val px = Series.fromExpr(li, col("l_extendedprice"), "px", liIdx, "idx")
+      val disc = Series.fromExpr(li, col("l_discount"), "d", liIdx, "idx")
+      val rev = px * ((disc * -1.0) + 1.0)
+      rev.df.agg(round(sum(rev.df(rev.name)), 2).as("revenue"))
+    }),
+    // §2.1 #10-14: mean/std/min/max + count in one pass (describe-equivalent).
+    "s03_describe" -> ((s, d) => {
+      val q = quantity(s, d)
+      val v = col("qty")
+      q.df.agg(
+        count(v).as("cnt"),
+        round(avg(v), 6).as("mean"),
+        round(stddev_samp(v), 6).as("std"),
+        min(v).as("min"),
+        max(v).as("max"))
+    }),
+    // §2.1 #16: astype over the full lattice (int shown; reference had int only).
+    "s04_astype" -> ((s, d) => ordered(quantity(s, d).astype("int").rename("qty_int"))),
+    // §2.1 #18: Series ⊕ scalar — native Column expr, no UDF, type-preserving.
+    "s05_add_scalar" -> ((s, d) => ordered((quantity(s, d) + 2L).rename("qty2"))),
+    "s06_div_scalar" -> ((s, d) => ordered((price(s, d) / 7.0).rename("px7"))),
+    // §2.1 #19: floorDiv with floor (not trunc) semantics.
+    "s07_floordiv" -> ((s, d) => ordered(quantity(s, d).floorDiv(3.0).rename("q3"))),
+    // §2.1 #17 (same-base fast path): Series ⊕ Series over one frame composes
+    // expressions — one scan, zero joins.
+    "s08_mul_series" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val px = Series.fromExpr(li, col("l_extendedprice"), "v", liIdx, "idx")
+      val tax = Series.fromExpr(li, col("l_tax"), "v", liIdx, "idx")
+      ordered((px * tax).rename("pxtax"))
+    }),
+    // §2.1 #17 (cross-frame): true pandas index alignment — full-outer join
+    // on the index, nulls where labels don't align (the reference instead
+    // mixes columns positionally, ref: series.py:206-214).
+    "s08b_align_series" -> ((s, d) => {
+      val cbal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
+        .rename("bal").renameIndex("idx")
+      val sbal = Series.fromColumn(Tables.supplier(s, d), "s_acctbal", "s_suppkey")
+        .rename("bal").renameIndex("idx")
+      ordered(cbal + sbal)
+    }),
+    // §2.1 #23: label-range slice (the reference's NotImplementedError hole).
+    "s09_slice" -> ((s, d) => ordered(quantity(s, d).slice(100L, 500L))),
+    // boolean mask s[s > 40].
+    "s10_mask" -> ((s, d) => {
+      val q = quantity(s, d)
+      ordered(q.mask(q > 40.0))
+    }),
+    // §2.1 #5: dict-map via broadcast lookup join (reference raised
+    // NotImplementedError for dict correspondence, ref: series.py:125-130).
+    "s11_map_dict" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val nationName = Series
+        .fromExpr(cust, col("c_nationkey"), "nation", col("c_custkey"), "idx")
+        .mapJoin(Tables.nation(s, d), "n_nationkey", "n_name")
+      ordered(nationName)
+    }),
+    // §2.1 #6-7: rename series + index, visible in physical schema.
+    "s12_rename" -> ((s, d) =>
+      ordered(quantity(s, d).rename("quantity").renameIndex("rowkey"))),
+    // §2.1 #15: head(n) — deterministic: ordered by index.
+    "s13_head" -> ((s, d) => ordered(quantity(s, d).head(10))),
+    // §2.1 #4: apply — arbitrary Scala closure via typed Dataset.map.
+    // Function chosen to be SQL-expressible so the oracle can verify the path.
+    "s14_apply" -> ((s, d) => {
+      import s.implicits._
+      val s2 = quantity(s, d).applyF[Double, Double](v => v * 2.0 + 1.0)
+      ordered(s2.rename("q21"))
+    }),
+    // §2.1 #8/22: shape/len — count as a 1-row frame.
+    "s15_len" -> ((s, d) => {
+      val q = quantity(s, d)
+      q.df.agg(count(lit(1)).as("n"))
+    })
+  )
+
+  val seriesOracles: Map[String, String] = Map(
+    "s01_construct" ->
+      s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem ORDER BY idx",
+    "s02_sum_revenue" ->
+      "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem",
+    "s03_describe" ->
+      ("SELECT count(l_quantity) AS cnt, round(avg(l_quantity), 6) AS mean, " +
+        "round(stddev_samp(l_quantity), 6) AS std, min(l_quantity) AS min, " +
+        "max(l_quantity) AS max FROM lineitem"),
+    "s04_astype" ->
+      s"SELECT $liIdxSql AS idx, CAST(l_quantity AS INTEGER) AS qty_int FROM lineitem ORDER BY idx",
+    "s05_add_scalar" ->
+      s"SELECT $liIdxSql AS idx, l_quantity + 2 AS qty2 FROM lineitem ORDER BY idx",
+    "s06_div_scalar" ->
+      s"SELECT $liIdxSql AS idx, l_extendedprice / 7.0 AS px7 FROM lineitem ORDER BY idx",
+    "s07_floordiv" ->
+      s"SELECT $liIdxSql AS idx, floor(l_quantity / 3.0) AS q3 FROM lineitem ORDER BY idx",
+    "s08_mul_series" ->
+      s"SELECT $liIdxSql AS idx, l_extendedprice * l_tax AS pxtax FROM lineitem ORDER BY idx",
+    "s08b_align_series" ->
+      ("SELECT coalesce(c_custkey, s_suppkey) AS idx, c_acctbal + s_acctbal AS bal " +
+        "FROM customer FULL JOIN supplier ON c_custkey = s_suppkey ORDER BY idx"),
+    "s09_slice" ->
+      (s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem " +
+        s"WHERE $liIdxSql BETWEEN 100 AND 500 ORDER BY idx"),
+    "s10_mask" ->
+      s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem WHERE l_quantity > 40 ORDER BY idx",
+    "s11_map_dict" ->
+      ("SELECT c_custkey AS idx, n_name AS nation FROM customer " +
+        "LEFT JOIN nation ON c_nationkey = n_nationkey ORDER BY idx"),
+    "s12_rename" ->
+      s"SELECT $liIdxSql AS rowkey, l_quantity AS quantity FROM lineitem ORDER BY rowkey",
+    "s13_head" ->
+      s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem ORDER BY idx LIMIT 10",
+    "s14_apply" ->
+      s"SELECT $liIdxSql AS idx, l_quantity * 2.0 + 1.0 AS q21 FROM lineitem ORDER BY idx",
+    "s15_len" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem"
+  )
+
+  // ============================================ placeholders (filled by round)
+  def frameQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def frameOracles: Map[String, String] = Map()
+  def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def dedupOracles: Map[String, String] = Map()
+  def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def simOracles: Map[String, String] = Map()
+  def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def textOracles: Map[String, String] = Map()
+  def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def eventOracles: Map[String, String] = Map()
+  def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def multimodalOracles: Map[String, String] = Map()
 }

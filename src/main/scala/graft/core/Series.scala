@@ -1,0 +1,317 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A 1-D labeled array over Spark: logically a pair of columns
+  * `(index, value)` over a shared base DataFrame.
+  *
+  * Spark-native re-expression of the reference's `Series`
+  * (ref: pontem/series/series.py:18-76, which subclasses the PySpark
+  * DataFrame via a Py4J hack and physically materializes a two-column frame
+  * per operation). Here a Series is `(base, indexExpr, valueExpr)` —
+  * operators compose lazy Catalyst `Column` expressions and nothing
+  * materializes until an action. Two Series over the SAME base frame combine
+  * by pure expression composition (zero joins, one scan, whole-stage
+  * codegen); Series over different frames align via an index equi-join
+  * (pandas semantics — the reference instead mixes columns positionally,
+  * ref: series.py:206-214, and re-ingests through RDDs per op,
+  * ref: series.py:226 → data_prep.py:67,81).
+  *
+  * Scale notes: colinear arithmetic is a single projected scan; alignment
+  * joins shuffle on the index or broadcast the small side (AQE decides);
+  * aggregations are partial+final HashAggregate; no driver collection except
+  * explicit scalar results.
+  */
+final class Series private[graft] (
+    private[graft] val base: DataFrame,
+    val name: String,
+    val indexName: String,
+    private[graft] val indexExpr: Column,
+    private[graft] val valueExpr: Column) extends Serializable {
+
+  import Series._
+
+  /** Materialize as the canonical two-column DataFrame [indexName, name].
+    * lazy val so repeated access shares one resolved plan (fresh selects
+    * would carry distinct attribute ids and break cross-references). */
+  lazy val df: DataFrame = base.select(indexExpr.as(indexName), valueExpr.as(name))
+  /** Escape hatch (the reference leaks the whole DataFrame surface through
+    * inheritance, ref: series.py:18; we expose it explicitly). */
+  def toDF: DataFrame = df
+
+  /** Index metadata handle (ref: pontem/indexes/range_index.py:7-31). */
+  def indexHandle: RangeIndex = new RangeIndex(this)
+
+  /** The value expression (resolvable against [[base]]). */
+  def values: Column = valueExpr
+  /** The index expression (resolvable against [[base]]). */
+  def index: Column = indexExpr
+
+  private def withValue(v: Column, n: String = name): Series =
+    new Series(base, n, indexName, indexExpr, v)
+
+  // ---------------------------------------------------------------- metadata
+
+  /** Rename the value column (ref: series.py:136-143). */
+  def rename(newName: String): Series = withValue(valueExpr, newName)
+
+  /** Rename the index column (ref: range_index.py:19-25). */
+  def renameIndex(newName: String): Series =
+    new Series(base, name, newName, indexExpr, valueExpr)
+
+  /** Number of elements (ref: series.py:254-255). */
+  def length: Long = base.count()
+  /** (length,) (ref: series.py:145-147). */
+  def shape: Tuple1[Long] = Tuple1(length)
+
+  override def toString: String =
+    s"graft.Series[name: $name, index: $indexName]" // lazy — the reference
+    // eagerly count()s on every repr (ref: series.py:248-252); we don't.
+
+  // ------------------------------------------------------------ aggregations
+
+  private def aggScalar(c: Column): Any = base.agg(c).head().get(0)
+
+  /** ref: series.py:149-150 — native HashAggregate, not an RDD scan. */
+  def sum(): Any = aggScalar(F.sum(valueExpr))
+  def mean(): Any = aggScalar(avg(valueExpr))
+  /** Sample stddev (ddof=1) — matches pandas and actual PySpark behavior
+    * (the reference's docstring claims population, ref: series.py:159-165). */
+  def std(): Any = aggScalar(stddev_samp(valueExpr))
+  def stdPop(): Any = aggScalar(stddev_pop(valueExpr))
+  /** ref: series.py:167-169 degrades to rdd.max(); ours is agg(max) so
+    * partial agg + parquet footer stats apply. */
+  def max(): Any = aggScalar(F.max(valueExpr))
+  def min(): Any = aggScalar(F.min(valueExpr))
+
+  /** count/mean/stddev/min/max (ref: series.py:152-153). */
+  def describe(): DataFrame = df.describe(name)
+
+  /** All scalar aggregations in one pass (single scan). */
+  def summary1: DataFrame = base.agg(
+    count(valueExpr).as("count"),
+    F.sum(valueExpr).as("sum"),
+    avg(valueExpr).as("mean"),
+    stddev_samp(valueExpr).as("std"),
+    F.min(valueExpr).as("min"),
+    F.max(valueExpr).as("max"))
+
+  // ----------------------------------------------------------------- slicing
+
+  /** First n elements in index order, as a Series (the reference's head only
+    * show()s, ref: series.py:175-177; pandas returns a Series). */
+  def head(n: Int = 5): Series = Series.fromKeyed(
+    df.orderBy(col(indexName).asc).limit(n), name, indexName)
+
+  def show(n: Int = 5): Unit = head(n).df.show(n)
+
+  /** Label lookup (the reference stubs this with NotImplementedError,
+    * ref: series.py:257-262). */
+  def apply(label: Any): Series =
+    new Series(base.filter(indexExpr === lit(label)), name, indexName,
+      indexExpr, valueExpr)
+
+  /** Label-range slice (inclusive both ends, pandas .loc semantics). */
+  def slice(from: Any, to: Any): Series =
+    new Series(base.filter(indexExpr.between(lit(from), lit(to))), name,
+      indexName, indexExpr, valueExpr)
+
+  /** Boolean mask by predicate over the values: s.where(_ > 5). Pushed to
+    * the scan by Catalyst. */
+  def where(pred: Column => Column): Series =
+    new Series(base.filter(pred(valueExpr)), name, indexName, indexExpr,
+      valueExpr)
+
+  /** Boolean mask by an aligned boolean Series: s(mask). Same-base masks
+    * filter in place (no join); cross-frame masks join on index. */
+  def mask(m: Series): Series =
+    if (m.base eq base)
+      new Series(base.filter(m.valueExpr), name, indexName, indexExpr, valueExpr)
+    else {
+      val md = m.df.select(col(m.indexName).as(IdxCol), col(m.name).as(MaskCol))
+      val joined = df.join(md, df(indexName) === md(IdxCol))
+        .filter(col(MaskCol)).select(df(indexName), df(name))
+      Series.fromKeyed(joined, name, indexName)
+    }
+
+  // ------------------------------------------------------------------ dtypes
+
+  /** Cast across the full type lattice (the reference supports only int,
+    * ref: series.py:179-188, `# TODO: implement other dtypes`). */
+  def astype(dt: DataType): Series = withValue(valueExpr.cast(dt))
+  def astype(dt: String): Series = astype(parseDataType(dt))
+
+  /** Spark DataType of the value column. */
+  def dtype: DataType = df.schema(name).dataType
+
+  // -------------------------------------------------------------- arithmetic
+
+  /** Apply a native Column expression over the values, keeping the index —
+    * the codegen'd alternative to closure `apply`. */
+  def transform(f: Column => Column, newName: String = null): Series =
+    withValue(f(valueExpr), Option(newName).getOrElse(name))
+
+  private def scalarOp(f: (Column, Column) => Column, n: Any): Series =
+    transform(v => f(v, lit(n)))
+
+  // Scalar ops: pure Catalyst expressions, type-preserving (the reference
+  // wraps a Python UDF returning FloatType, ref: series.py:217-224).
+  def +(n: Double): Series = scalarOp(_ + _, n)
+  def -(n: Double): Series = scalarOp(_ - _, n)
+  def *(n: Double): Series = scalarOp(_ * _, n)
+  def /(n: Double): Series = scalarOp(try_divide, n)
+  def +(n: Long): Series = scalarOp(_ + _, n)
+  def -(n: Long): Series = scalarOp(_ - _, n)
+  def *(n: Long): Series = scalarOp(_ * _, n)
+  def /(n: Long): Series = scalarOp(try_divide, n)
+  /** Floor division with floor-toward(-∞) semantics (pandas); the reference
+    * truncates via cast-to-int (ref: series.py:203-209, zero-divisor TODO at
+    * :204). Zero divisor yields null via try_divide (ANSI-safe; DuckDB's /
+    * also yields null on zero). */
+  def floorDiv(n: Double): Series = transform(v => floor(try_divide(v, lit(n))))
+
+  /** Aligned binary op with another Series. Same-base operands compose
+    * expressions directly (one scan, no shuffle — the 100 TB fast path);
+    * cross-frame operands equi-join on index (outer, like pandas alignment —
+    * mismatched labels produce nulls). Result name follows pandas' collision
+    * rule: equal names survive, else "None" (ref: series.py:201). */
+  def zipOp(other: Series, f: (Column, Column) => Column,
+            joinType: String = "full_outer"): Series = {
+    val outName = if (name == other.name) name else "None"
+    if (other.base eq base)
+      withValue(f(valueExpr, other.valueExpr), outName)
+    else {
+      val l = df.select(col(indexName).as(IdxCol), col(name).as(LeftCol))
+      val r = other.df.select(col(other.indexName).as(IdxCol),
+        col(other.name).as(RightCol))
+      val joined = l.join(r, Seq(IdxCol), joinType)
+        .select(col(IdxCol).as(indexName),
+          f(col(LeftCol), col(RightCol)).as(outName))
+      Series.fromKeyed(joined, outName, indexName)
+    }
+  }
+
+  def +(o: Series): Series = zipOp(o, _ + _)
+  def -(o: Series): Series = zipOp(o, _ - _)
+  def *(o: Series): Series = zipOp(o, _ * _)
+  def /(o: Series): Series = zipOp(o, try_divide)
+  def floorDiv(o: Series): Series = zipOp(o, (a, b) => floor(try_divide(a, b)))
+
+  // Comparison ops → boolean Series (for masks).
+  def >(n: Double): Series = scalarOp(_ > _, n)
+  def <(n: Double): Series = scalarOp(_ < _, n)
+  def >=(n: Double): Series = scalarOp(_ >= _, n)
+  def <=(n: Double): Series = scalarOp(_ <= _, n)
+  def ===(n: Any): Series = transform(_ === lit(n))
+
+  // --------------------------------------------------------------- apply/map
+
+  /** Elementwise arbitrary Scala function (ref: series.py:78-100 pickles a
+    * Python closure through rdd.map). Typed Dataset.map with Encoders —
+    * still an optimization barrier, so prefer [[transform]] when the function
+    * is expressible as a Column. Index is carried through. */
+  def applyF[I, O](f: I => O)(
+      implicit ie: Encoder[(Long, I)], oe: Encoder[(Long, O)]): Series = {
+    val ds = base.select(indexExpr.cast(LongType), valueExpr).as[(Long, I)]
+    val mapped = ds.map { case (i, v) => (i, f(v)) }.toDF(indexName, name)
+    Series.fromKeyed(mapped, name, indexName)
+  }
+
+  /** Dict-style map via a literal lookup map (broadcast as part of the plan).
+    * Implements the reference's NotImplementedError hole
+    * (ref: series.py:125-130). Missing keys → null (pandas NaN). */
+  def mapValues(lookup: Map[String, String]): Series =
+    transform(v => element_at(typedlit(lookup), v.cast(StringType)))
+
+  /** Dict-map via broadcast join against a lookup DataFrame — the scale path
+    * when the mapping itself is a table. */
+  def mapJoin(lookup: DataFrame, keyCol: String, valCol: String): Series = {
+    val joined = df.join(broadcast(lookup), df(name) === lookup(keyCol), "left")
+      .select(df(indexName), lookup(valCol).as(name))
+    Series.fromKeyed(joined, name, indexName)
+  }
+}
+
+object Series {
+  private[core] val IdxCol = "__graft_idx"
+  private[core] val LeftCol = "__graft_l"
+  private[core] val RightCol = "__graft_r"
+  private[core] val MaskCol = "__graft_mask"
+  private[core] val F = org.apache.spark.sql.functions
+
+  val DefaultIndexName = "index"
+  val DefaultName = "None" // the reference's string-'None' default, series.py:52
+
+  /** Wrap an already-materialized two-column frame. */
+  private[graft] def fromKeyed(df: DataFrame, name: String,
+      indexName: String): Series =
+    new Series(df, name, indexName, col(indexName), col(name))
+
+  /** Construct from a local sequence with a 0-based ordinal RangeIndex
+    * (ref: data_prep.py:46-64 parallelize+zipWithIndex; ours zips locally
+    * before createDataset — no extra Spark job). */
+  def fromSeq[T](spark: SparkSession, data: Seq[T],
+      name: String = DefaultName, indexName: String = DefaultIndexName)(
+      implicit pe: Encoder[(Long, T)]): Series = {
+    val ds = spark.createDataset(data.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    fromKeyed(ds.toDF(indexName, name), name, indexName)
+  }
+
+  /** Construct with an explicit index (ref: data_prep.py:46-55 zip path). */
+  def fromPairs[I, T](spark: SparkSession, data: Seq[(I, T)],
+      name: String = DefaultName, indexName: String = DefaultIndexName)(
+      implicit pe: Encoder[(I, T)]): Series = {
+    val ds = spark.createDataset(data)
+    fromKeyed(ds.toDF(indexName, name), name, indexName)
+  }
+
+  /** Series from an existing DataFrame column keyed by an index column —
+    * the scale-path constructor (the index is data, not row position; row
+    * order carries no meaning at 100 TB). */
+  def fromColumn(df: DataFrame, valueCol: String, indexCol: String): Series =
+    new Series(df, valueCol, indexCol, col(indexCol), col(valueCol))
+
+  /** Series from arbitrary index/value expressions over a frame. */
+  def fromExpr(df: DataFrame, value: Column, name: String,
+      indexCol: Column, indexName: String = DefaultIndexName): Series =
+    new Series(df, name, indexName, indexCol, value)
+
+  /** Series from a DataFrame column with a generated ordinal index.
+    * zipWithIndex semantics (exact, deterministic for a fixed partitioning;
+    * costs one extra job — ref: data_prep.py:57,81 uses the same primitive).
+    * Prefer [[fromColumn]] with a real key at scale. */
+  def withOrdinalIndex(df: DataFrame, valueCol: String,
+      indexName: String = DefaultIndexName): Series = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(indexName, LongType, nullable = false),
+      df.schema(valueCol)))
+    val rdd = df.select(valueCol).rdd.zipWithIndex().map {
+      case (row, i) => org.apache.spark.sql.Row(i, row.get(0))
+    }
+    fromKeyed(spark.createDataFrame(rdd, schema), valueCol, indexName)
+  }
+
+  private[core] def parseDataType(s: String): DataType = s.toLowerCase match {
+    case "int" | "integer" => IntegerType
+    case "long" | "bigint" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" | "str" => StringType
+    case "bool" | "boolean" => BooleanType
+    case "date" => DateType
+    case "timestamp" => TimestampType
+    case other => DataType.fromDDL(other)
+  }
+}
+
+/** Virtual range-index handle: the index is physically a column; this is
+  * metadata + rename (ref: pontem/indexes/range_index.py:7-31, where repr
+  * derives start/stop from min/max — i.e., also virtual). */
+final class RangeIndex(private val s: Series) {
+  def name: String = s.indexName
+  def withName(n: String): Series = s.renameIndex(n)
+  override def toString: String = s"RangeIndex(name=${s.indexName})"
+}

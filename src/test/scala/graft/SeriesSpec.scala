@@ -1,0 +1,148 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Series
+
+/** Differential tests mirroring the reference suite's patterns
+  * (ref: pontem/tests/test_series.py): hand-computed oracles over
+  * range(10, 1000), the op×operand matrix, construction matrix, and
+  * rename-schema-propagation — plus the semantics we deliberately fixed
+  * (floor division, alignment, zero divisors, negative values). */
+class SeriesSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  // ref: tests/test_series.py:15 — DATA = list(range(10, 1e3))
+  private val data: Seq[Long] = (10L until 1000L)
+  private lazy val s = Series.fromSeq(spark, data, name = "some_name")
+
+  private def valuesOf(ser: Series): Seq[Any] =
+    ser.df.orderBy(col(ser.indexName)).collect().map(_.get(1)).toSeq
+
+  test("shape and length match pandas semantics (test_series.py:27-31)") {
+    assert(s.length == data.length.toLong)
+    assert(s.shape == Tuple1(data.length.toLong))
+  }
+
+  test("aggregations match hand-computed oracle (test_series.py:96-114)") {
+    assert(s.sum() == data.sum)
+    assert(s.min() == 10L)
+    assert(s.max() == 999L)
+    assert(s.mean() == data.sum.toDouble / data.length)
+    // sample stddev, ddof=1 (pandas default)
+    val m = data.sum.toDouble / data.length
+    val expStd = math.sqrt(data.map(v => (v - m) * (v - m)).sum / (data.length - 1))
+    assert(math.abs(s.std().asInstanceOf[Double] - expStd) < 1e-9)
+  }
+
+  test("construction matrix: fromSeq / fromPairs / fromColumn (test_series.py:117-139)") {
+    assert(Series.fromSeq(spark, Seq(1L, 2L, 3L)).length == 3)
+    assert(Series.fromSeq(spark, Seq(1.5, 2.5)).length == 2)
+    assert(Series.fromSeq(spark, Seq("a", "b")).length == 2)
+    val p = Series.fromPairs(spark, Seq((2L, "x"), (4L, "y"), (6L, "z")))
+    assert(valuesOf(p) == Seq("x", "y", "z"))
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    assert(valuesOf(Series.fromColumn(df, "v", "k")) == Seq(10.0, 20.0))
+  }
+
+  test("default name is the string 'None' (series.py:52)") {
+    assert(Series.fromSeq(spark, Seq(1L)).name == "None")
+  }
+
+  test("rename propagates to physical schema (test_series.py:34-52)") {
+    val r = s.rename("new_name")
+    assert(r.name == "new_name")
+    assert(r.df.schema.names.contains("new_name"))
+    assert(!r.df.schema.names.contains("some_name"))
+  }
+
+  test("index rename propagates (test_series.py:55-72)") {
+    val r = s.renameIndex("new_index")
+    assert(r.indexHandle.name == "new_index")
+    assert(r.df.schema.names.toSeq == Seq("new_index", "some_name"))
+  }
+
+  test("scalar op matrix (test_series.py:75-94) — type preserved, no float coercion") {
+    assert(valuesOf(s + 2L).asInstanceOf[Seq[Long]] == data.map(_ + 2))
+    assert(valuesOf(s - 2L).asInstanceOf[Seq[Long]] == data.map(_ - 2))
+    assert(valuesOf(s * 2L).asInstanceOf[Seq[Long]] == data.map(_ * 2))
+    // truediv promotes to double (pandas semantics)
+    assert(valuesOf(s / 2L).asInstanceOf[Seq[Double]] == data.map(_ / 2.0))
+  }
+
+  test("self op matrix — same-base composes without a join") {
+    val sum2 = s + s
+    assert(valuesOf(sum2).asInstanceOf[Seq[Long]] == data.map(_ * 2))
+    // physical plan must not contain a join
+    assert(!sum2.df.queryExecution.executedPlan.toString.toLowerCase.contains("join"))
+  }
+
+  test("floorDiv floors toward -inf (pandas), not trunc (ref TODO series.py:204)") {
+    val neg = Series.fromSeq(spark, Seq(-7.0, -1.0, 1.0, 7.0))
+    assert(valuesOf(neg.floorDiv(2.0)) == Seq(-4L, -1L, 0L, 3L))
+  }
+
+  test("division by zero yields null, not an error (ref bug test_series.py:14)") {
+    val z = Series.fromSeq(spark, Seq(1.0, 2.0))
+    assert(valuesOf(z.floorDiv(0.0)) == Seq(null, null))
+  }
+
+  test("cross-frame alignment joins on index with outer nulls (pandas), not positional") {
+    val a = Series.fromPairs(spark, Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)), name = "v")
+    val b = Series.fromPairs(spark, Seq((2L, 1.0), (3L, 2.0), (4L, 3.0)), name = "v")
+    val out = (a + b).df.orderBy(col("index")).collect()
+      .map(r => (r.get(0), r.get(1))).toSeq
+    assert(out == Seq((1L, null), (2L, 21.0), (3L, 32.0), (4L, null)))
+  }
+
+  test("name collision rule: mismatched names -> 'None' (series.py:201)") {
+    val a = Series.fromPairs(spark, Seq((1L, 1.0)), name = "a")
+    val b = Series.fromPairs(spark, Seq((1L, 2.0)), name = "b")
+    assert((a + b).name == "None")
+    assert((a.rename("x") + b.rename("x")).name == "x")
+  }
+
+  test("label lookup / slice / mask (series.py:257-262 NotImplementedError hole)") {
+    assert(valuesOf(s(11L)) == Seq(21L)) // label 11 -> data(11) = 21
+    assert(valuesOf(s.slice(0L, 4L)).size == 5)
+    assert(valuesOf(s.mask(s > 997.0)).asInstanceOf[Seq[Long]] == Seq(998L, 999L))
+    assert(valuesOf(s.where(_ > 997)).asInstanceOf[Seq[Long]] == Seq(998L, 999L))
+  }
+
+  test("astype across the lattice (ref int-only, series.py:179-188)") {
+    val d = Series.fromSeq(spark, Seq(1.7, 2.2))
+    assert(d.astype("int").dtype == IntegerType)
+    assert(valuesOf(d.astype("int")) == Seq(1, 2))
+    assert(d.astype("string").dtype == StringType)
+    assert(d.astype("long").dtype == LongType)
+    assert(Series.fromSeq(spark, Seq(1L)).astype("double").dtype == DoubleType)
+  }
+
+  test("applyF runs arbitrary closures with index carried (series.py:78-100)") {
+    val out = s.applyF[Long, Long](v => v * v)
+    assert(valuesOf(out).asInstanceOf[Seq[Long]] == data.map(v => v * v))
+  }
+
+  test("mapValues dict lookup; missing keys -> null (series.py:125-130 hole)") {
+    val v = Series.fromSeq(spark, Seq("a", "b", "c"))
+    val mapped = v.mapValues(Map("a" -> "A", "b" -> "B"))
+    assert(valuesOf(mapped) == Seq("A", "B", null))
+  }
+
+  test("head returns a Series of the first n by index (series.py:175-177 divergence)") {
+    val h = s.head(3)
+    assert(valuesOf(h).asInstanceOf[Seq[Long]] == Seq(10L, 11L, 12L))
+  }
+
+  test("ordinal index assignment via zipWithIndex (data_prep.py:57,81)") {
+    val df = Seq("x", "y", "z").toDF("v")
+    val ser = Series.withOrdinalIndex(df, "v")
+    assert(valuesOf(ser) == Seq("x", "y", "z"))
+  }
+
+  test("repr is lazy — no count (series.py:248-252 divergence)") {
+    assert(s.toString == "graft.Series[name: some_name, index: index]")
+  }
+}
