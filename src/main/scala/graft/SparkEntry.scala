@@ -151,8 +151,10 @@ object SparkEntry {
       s"SELECT $liIdxSql AS idx, l_quantity + 2 AS qty2 FROM lineitem ORDER BY idx",
     "s06_div_scalar" ->
       s"SELECT $liIdxSql AS idx, l_extendedprice / 7.0 AS px7 FROM lineitem ORDER BY idx",
+    // CAST to BIGINT: DuckDB floor() returns DOUBLE, Spark floor() returns
+    // BIGINT — without the cast the driver's dtype-strict hash compare fails.
     "s07_floordiv" ->
-      s"SELECT $liIdxSql AS idx, floor(l_quantity / 3.0) AS q3 FROM lineitem ORDER BY idx",
+      s"SELECT $liIdxSql AS idx, CAST(floor(l_quantity / 3.0) AS BIGINT) AS q3 FROM lineitem ORDER BY idx",
     "s08_mul_series" ->
       s"SELECT $liIdxSql AS idx, l_extendedprice * l_tax AS pxtax FROM lineitem ORDER BY idx",
     "s08b_align_series" ->

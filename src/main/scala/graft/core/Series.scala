@@ -168,15 +168,23 @@ final class Series private[graft] (
   def /(n: Long): Series = scalarOp(try_divide, n)
   /** Floor division with floor-toward(-∞) semantics (pandas); the reference
     * truncates via cast-to-int (ref: series.py:203-209, zero-divisor TODO at
-    * :204). Zero divisor yields null via try_divide (ANSI-safe; DuckDB's /
-    * also yields null on zero). */
+    * :204). Zero divisor yields null via try_divide. NOTE: DuckDB double
+    * division by zero yields ±inf/nan (NOT null) — any zero-divisor oracle
+    * must wrap the divisor in nullif(divisor, 0) to mirror try_divide. */
   def floorDiv(n: Double): Series = transform(v => floor(try_divide(v, lit(n))))
 
   /** Aligned binary op with another Series. Same-base operands compose
     * expressions directly (one scan, no shuffle — the 100 TB fast path);
     * cross-frame operands equi-join on index (outer, like pandas alignment —
     * mismatched labels produce nulls). Result name follows pandas' collision
-    * rule: equal names survive, else "None" (ref: series.py:201). */
+    * rule: equal names survive, else "None" (ref: series.py:201).
+    *
+    * NOTE: the same-base fast path is detected by REFERENCE equality
+    * (`other.base eq base`) — two Series must share the same DataFrame
+    * instance to compose without a join. Series built from two separate
+    * `Tables.lineitem()` calls over the same parquet are logically colinear
+    * but take the join path; callers wanting the fast path must share the
+    * instance (`val li = Tables.lineitem(...)` once). */
   def zipOp(other: Series, f: (Column, Column) => Column,
             joinType: String = "full_outer"): Series = {
     val outName = if (name == other.name) name else "None"
@@ -213,8 +221,16 @@ final class Series private[graft] (
     * still an optimization barrier, so prefer [[transform]] when the function
     * is expressible as a Column. Index is carried through. */
   def applyF[I, O](f: I => O)(
-      implicit ie: Encoder[(Long, I)], oe: Encoder[(Long, O)]): Series = {
-    val ds = base.select(indexExpr.cast(LongType), valueExpr).as[(Long, I)]
+      implicit ie: Encoder[(Long, I)], oe: Encoder[(Long, O)]): Series =
+    applyIx[Long, I, O](f)
+
+  /** [[applyF]] with an explicit index type — use for non-numeric (e.g.
+    * string) indexes; the 2-param applyF fixes Ix = Long and would fail at
+    * runtime casting a string index. */
+  def applyIx[Ix, I, O](f: I => O)(
+      implicit ie: Encoder[(Ix, I)], oe: Encoder[(Ix, O)]): Series = {
+    val ixType = ie.schema.fields(0).dataType
+    val ds = base.select(indexExpr.cast(ixType), valueExpr).as[(Ix, I)]
     val mapped = ds.map { case (i, v) => (i, f(v)) }.toDF(indexName, name)
     Series.fromKeyed(mapped, name, indexName)
   }

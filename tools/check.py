@@ -42,6 +42,13 @@ def main():
             if len(g) != len(e):
                 print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
                 fail += 1; continue
+            # dtype-kind strictness: the driver hashes typed values, so an
+            # int64 col vs float64 col mismatches even when 3 == 3.0 here.
+            kinds_bad = [(c, g[c].dtype, e[c].dtype) for c in g.columns
+                         if g[c].dtype.kind != e[c].dtype.kind]
+            if kinds_bad:
+                print(f"FAIL {name}: dtype kinds {kinds_bad}")
+                fail += 1; continue
             bad = None
             for c in g.columns:
                 gv, ev = g[c].tolist(), e[c].tolist()
