@@ -179,8 +179,9 @@ object SparkEntry {
   )
 
   // ============================================ placeholders (filled by round)
-  def frameQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def frameOracles: Map[String, String] = Map()
+  def frameQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.FrameQueries.queries
+  def frameOracles: Map[String, String] = graft.queries.FrameQueries.oracles
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
   def dedupOracles: Map[String, String] = Map()
   def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map()

@@ -1,0 +1,182 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, RelationalGroupedDataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A 2-D labeled frame over Spark: an indexed collection of named columns.
+  *
+  * The reference declared this layer but never built it —
+  * `pontem/dataframe/__init__.py` is an empty file, and the README's
+  * aspiration is column assignment arithmetic (`df['new'] = df['col'] * 2`,
+  * ref: README.md:16-19). This is that layer, Spark-first: a thin immutable
+  * wrapper over `org.apache.spark.sql.DataFrame` plus an index column, where
+  * column access returns a [[Series]] sharing the SAME base frame so Series
+  * arithmetic between columns of one GFrame composes into a single projected
+  * scan (no joins, whole-stage codegen), and assignment is `withColumn`.
+  *
+  * Everything relational delegates to Catalyst: filters push down to the
+  * scan, joins go broadcast/sort-merge under AQE, groupBy is partial+final
+  * HashAggregate. Nothing here collects to the driver.
+  */
+final class GFrame private[graft] (val df: DataFrame, val indexName: String)
+    extends Serializable {
+
+  /** Column access as a Series over the same base — `gf("col") * gf("d")`
+    * composes expressions on one scan (the 100 TB fast path). */
+  def apply(colName: String): Series =
+    Series.fromExpr(df, df(colName), colName, df(indexName), indexName)
+
+  /** Arbitrary-expression Series over this frame's base. */
+  def expr(c: Column, name: String): Series =
+    Series.fromExpr(df, c, name, df(indexName), indexName)
+
+  def columns: Seq[String] = df.schema.names.toSeq
+
+  // ------------------------------------------------------------- assignment
+
+  /** `df['new'] = series` (the README flagship, ref: README.md:16-19).
+    * Same-base Series assign as a pure projection; cross-frame Series join
+    * on the index (left join — this frame's labels win, pandas alignment). */
+  def assign(name: String, s: Series): GFrame =
+    if (s.base eq df) withColumn(name, s.values)
+    else {
+      val rhs = s.df.select(col(s.indexName).as("__graft_aidx"),
+        col(s.name).as(name))
+      new GFrame(df.join(rhs, df(indexName) === col("__graft_aidx"), "left")
+        .drop("__graft_aidx"), indexName)
+    }
+
+  def withColumn(name: String, c: Column): GFrame =
+    new GFrame(df.withColumn(name, c), indexName)
+
+  // ------------------------------------------------------------- relational
+
+  /** Column projection; the index column is always retained. */
+  def select(cols: String*): GFrame = {
+    val keep = (indexName +: cols.filterNot(_ == indexName)).map(df(_))
+    new GFrame(df.select(keep: _*), indexName)
+  }
+
+  def drop(cols: String*): GFrame =
+    new GFrame(df.drop(cols.filterNot(_ == indexName): _*), indexName)
+
+  def filter(c: Column): GFrame = new GFrame(df.filter(c), indexName)
+  def where(c: Column): GFrame = filter(c)
+
+  def rename(mapping: (String, String)*): GFrame = {
+    val renamed = mapping.foldLeft(df) { case (d, (from, to)) =>
+      d.withColumnRenamed(from, to)
+    }
+    val newIdx = mapping.toMap.getOrElse(indexName, indexName)
+    new GFrame(renamed, newIdx)
+  }
+
+  /** Re-key the frame on a different column. */
+  def setIndex(col: String): GFrame = new GFrame(df, col)
+
+  def sortValues(cols: Column*): GFrame = new GFrame(df.orderBy(cols: _*), indexName)
+  def head(n: Int): GFrame =
+    new GFrame(df.orderBy(df(indexName).asc).limit(n), indexName)
+  def limit(n: Int): GFrame = new GFrame(df.limit(n), indexName)
+
+  def distinct(): GFrame = new GFrame(df.distinct(), indexName)
+  def dropDuplicates(cols: String*): GFrame =
+    new GFrame(df.dropDuplicates(cols), indexName)
+
+  // set ops (positional schemas must match)
+  def union(o: GFrame): GFrame = new GFrame(df.union(o.df), indexName)
+  def intersect(o: GFrame): GFrame = new GFrame(df.intersect(o.df), indexName)
+  def except(o: GFrame): GFrame = new GFrame(df.except(o.df), indexName)
+
+  // -------------------------------------------------------------------- agg
+
+  /** groupBy with GFrame-returning agg. Partial+final HashAggregate — the
+    * shuffle moves only the grouped partials, never raw rows. */
+  def groupBy(cols: Column*): GGroupBy = new GGroupBy(df.groupBy(cols: _*), this)
+  def groupBy(col0: String, rest: String*): GGroupBy =
+    new GGroupBy(df.groupBy(col0, rest: _*), this)
+  def rollup(cols: Column*): GGroupBy = new GGroupBy(df.rollup(cols: _*), this)
+  def cube(cols: Column*): GGroupBy = new GGroupBy(df.cube(cols: _*), this)
+
+  def agg(first: Column, rest: Column*): DataFrame = df.agg(first, rest: _*)
+
+  // ------------------------------------------------------------------ joins
+
+  /** Equi-join on named keys. `broadcastRight` forces a broadcast-hash join
+    * (use for dimension tables; at 100 TB the fact side never shuffles). */
+  def join(other: GFrame, joinExpr: Column, joinType: String = "inner",
+           broadcastRight: Boolean = false): GFrame = {
+    val rhs = if (broadcastRight) broadcast(other.df) else other.df
+    new GFrame(df.join(rhs, joinExpr, joinType), indexName)
+  }
+
+  def semiJoin(other: GFrame, joinExpr: Column): GFrame =
+    new GFrame(df.join(other.df, joinExpr, "left_semi"), indexName)
+  def antiJoin(other: GFrame, joinExpr: Column): GFrame =
+    new GFrame(df.join(other.df, joinExpr, "left_anti"), indexName)
+
+  // ---------------------------------------------------------------- windows
+
+  /** Dense ordinal rank within each partition (1-based). Shuffles once on
+    * the partition keys; sort is per-partition, never global. */
+  def withRank(name: String, partitionBy: Seq[Column], orderBy: Seq[Column]): GFrame =
+    withColumn(name, row_number().over(
+      Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
+
+  /** Running aggregate (rows unbounded-preceding..current) per partition. */
+  def withRunning(name: String, aggExpr: Column, partitionBy: Seq[Column],
+                  orderBy: Seq[Column]): GFrame =
+    withColumn(name, aggExpr.over(
+      Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
+  /** Lag/lead over an ordered partition. */
+  def withLag(name: String, c: Column, offset: Int, partitionBy: Seq[Column],
+              orderBy: Seq[Column]): GFrame =
+    withColumn(name, lag(c, offset).over(
+      Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
+
+  // ------------------------------------------------------------------ pivot
+
+  /** Pivot `pivotCol` over explicit values (explicit → single pass, no
+    * values-discovery job) aggregating `aggExpr`. */
+  def pivot(groupCol: String, pivotCol: String, values: Seq[Any],
+            aggExpr: Column): GFrame =
+    new GFrame(df.groupBy(groupCol).pivot(pivotCol, values).agg(aggExpr),
+      groupCol)
+
+  def count(): Long = df.count()
+  def show(n: Int = 20): Unit = df.show(n)
+  def toDF: DataFrame = df
+}
+
+/** Grouped frame: agg returns a GFrame keyed by the first group column. */
+final class GGroupBy private[graft] (g: RelationalGroupedDataset, parent: GFrame) {
+  def agg(first: Column, rest: Column*): GFrame = {
+    val out = g.agg(first, rest: _*)
+    new GFrame(out, out.schema.names.head)
+  }
+  def count(): GFrame = {
+    val out = g.count()
+    new GFrame(out, out.schema.names.head)
+  }
+}
+
+object GFrame {
+  /** Wrap a DataFrame, keying it on `indexCol`. The index is data (a real
+    * key column), never row position — row order carries no meaning on a
+    * distributed frame. */
+  def fromDF(df: DataFrame, indexCol: String): GFrame = new GFrame(df, indexCol)
+
+  /** Build from named Series; first Series provides the index, the rest
+    * align by index equi-join (outer — pandas DataFrame-from-dict). */
+  def fromSeries(first: Series, rest: Series*): GFrame = {
+    val head = first.df.select(col(first.indexName), col(first.name))
+    val joined = rest.foldLeft(head) { (acc, s) =>
+      acc.join(s.df.select(col(s.indexName).as(first.indexName), col(s.name)),
+        Seq(first.indexName), "full_outer")
+    }
+    new GFrame(joined, first.indexName)
+  }
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.core.GFrame
+
+/** Driver-contract queries for the GFrame (DataFrame) layer — the layer the
+  * reference declared but never built (pontem/dataframe/__init__.py is empty;
+  * README.md:16-19 sketches column-assignment arithmetic).
+  *
+  * Scale notes per query are inline; the common rules:
+  *  - fact-side scans project only needed columns (Catalyst prunes to the
+  *    parquet ReadSchema) and filters push down;
+  *  - dimension joins broadcast (no fact shuffle);
+  *  - aggregations are partial+final HashAggregate;
+  *  - floating aggregates rounded (2dp money / 6dp ratios) so accumulation
+  *    order can't flip the driver's hash compare; per-row arithmetic exact.
+  */
+object FrameQueries {
+
+  private def liIdx = col("l_orderkey") * 10 + col("l_linenumber")
+  private val liIdxSql = "l_orderkey*10 + l_linenumber"
+
+  private def li(s: SparkSession, d: String): GFrame =
+    GFrame.fromDF(Tables.lineitem(s, d).withColumn("idx", liIdx), "idx")
+  private def ord(s: SparkSession, d: String): GFrame =
+    GFrame.fromDF(Tables.orders(s, d), "o_orderkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // README flagship shape df['new'] = df['a'] * expr — same-base Series
+    // assignment collapses to one projected scan, zero joins.
+    "f01_assign_revenue" -> ((s, d) => {
+      val gf = li(s, d)
+      val rev = gf("l_extendedprice") * ((gf("l_discount") * -1.0) + 1.0)
+      gf.assign("revenue", rev).select("revenue")
+        .sortValues(col("idx")).toDF.select("idx", "revenue")
+    }),
+
+    // Filter + projection — predicate and column pruning reach the scan.
+    "f02_filter_project" -> ((s, d) => {
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp")
+          && col("l_quantity") < 10)
+        .select("l_quantity", "l_extendedprice")
+        .sortValues(col("idx")).toDF
+    }),
+
+    // TPC-H Q1 shape: groupBy two low-cardinality keys, 4 aggregates in one
+    // partial+final HashAggregate pass.
+    "f03_q1_agg" -> ((s, d) => {
+      li(s, d).groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_px"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .sortValues(col("l_returnflag"), col("l_linestatus")).toDF
+    }),
+
+    // Fact⨝dim equi-join then agg; customer is the small side → broadcast,
+    // so the orders fact never shuffles for the join.
+    "f04_join_agg" -> ((s, d) => {
+      val o = ord(s, d)
+      val c = GFrame.fromDF(Tables.customer(s, d), "c_custkey")
+      o.join(c, o.df("o_custkey") === c.df("c_custkey"), broadcastRight = true)
+        .groupBy("c_mktsegment")
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .sortValues(col("c_mktsegment")).toDF
+    }),
+
+    // Star join through two broadcast dims (supplier → nation): revenue per
+    // nation. At 100 TB the lineitem side streams; dims replicate.
+    "f05_broadcast_dims" -> ((s, d) => {
+      val gf = li(s, d)
+      val sup = GFrame.fromDF(Tables.supplier(s, d), "s_suppkey")
+      val nat = GFrame.fromDF(Tables.nation(s, d), "n_nationkey")
+      gf.withColumn("revenue",
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .join(sup, col("l_suppkey") === sup.df("s_suppkey"), broadcastRight = true)
+        .join(nat, col("s_nationkey") === nat.df("n_nationkey"), broadcastRight = true)
+        .groupBy("n_name")
+        .agg(round(sum(col("revenue")), 2).as("revenue"))
+        .sortValues(col("n_name")).toDF
+    }),
+
+    // Top-k: Catalyst TakeOrderedAndProject — per-partition heaps, no global
+    // sort. Unique tiebreak (orderkey) keeps it deterministic.
+    "f06_topk_orders" -> ((s, d) =>
+      ord(s, d).sortValues(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10).toDF.select("o_orderkey", "o_totalprice")),
+
+    // Window rank: one shuffle on the partition key, per-partition sort.
+    "f07_window_rank" -> ((s, d) =>
+      ord(s, d)
+        .withRank("rk", Seq(col("o_custkey")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .filter(col("rk") <= 3)
+        .sortValues(col("o_custkey"), col("rk")).toDF
+        .select("o_custkey", "o_orderkey", "rk")),
+
+    // Running aggregate per customer (rows unbounded-preceding..current):
+    // sequential in-frame accumulation → deterministic.
+    "f08_running_sum" -> ((s, d) =>
+      ord(s, d)
+        .withRunning("run_total", sum(col("o_totalprice")),
+          Seq(col("o_custkey")), Seq(col("o_orderdate"), col("o_orderkey")))
+        .withColumn("run_total", round(col("run_total"), 2))
+        .sortValues(col("o_orderkey")).toDF
+        .select("o_orderkey", "run_total")),
+
+    // Distinct pair enumeration — partial distinct before the shuffle.
+    "f09_distinct" -> ((s, d) =>
+      li(s, d).toDF.select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Set op: customers with no orders (EXCEPT → left-anti under the hood).
+    "f10_except" -> ((s, d) => {
+      val c = GFrame.fromDF(
+        Tables.customer(s, d).select(col("c_custkey")), "c_custkey")
+      val o = GFrame.fromDF(
+        Tables.orders(s, d).select(col("o_custkey").as("c_custkey")), "c_custkey")
+      c.except(o).sortValues(col("c_custkey")).toDF
+    }),
+
+    // Semi join: customers WITH orders, grouped — exercises left_semi (probe
+    // side streams; no row duplication, unlike inner join + distinct).
+    "f11_semi_join" -> ((s, d) => {
+      val c = GFrame.fromDF(Tables.customer(s, d), "c_custkey")
+      val o = ord(s, d)
+      c.semiJoin(o, c.df("c_custkey") === o.df("o_custkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .sortValues(col("c_mktsegment")).toDF
+    }),
+
+    // Rollup: hierarchical subtotals in one pass (Expand + HashAggregate).
+    // Null grouping keys coalesced to 'ALL' on both sides for a stable sort.
+    "f12_rollup" -> ((s, d) =>
+      li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .toDF
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")),
+
+    // Pivot with explicit values — single groupBy pass, no discovery job.
+    "f13_pivot" -> ((s, d) =>
+      li(s, d).toDF.groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy("l_linestatus"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f01_assign_revenue" ->
+      s"""SELECT $liIdxSql AS idx, l_extendedprice * (1 - l_discount) AS revenue
+          FROM lineitem ORDER BY idx""",
+    "f02_filter_project" ->
+      s"""SELECT $liIdxSql AS idx, l_quantity, l_extendedprice FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_quantity < 10
+          ORDER BY idx""",
+    "f03_q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_px,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "f04_join_agg" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
+           count(*) AS cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+    "f05_broadcast_dims" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "f06_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "f07_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+           SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+           FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+    "f08_running_sum" ->
+      """SELECT o_orderkey, round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total
+         FROM orders ORDER BY o_orderkey""",
+    "f09_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY 1, 2""",
+    "f10_except" ->
+      """SELECT c_custkey FROM customer
+         EXCEPT SELECT o_custkey FROM orders ORDER BY 1""",
+    "f11_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)
+         GROUP BY 1 ORDER BY 1""",
+    "f12_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+    "f13_pivot" ->
+      """SELECT l_linestatus,
+           round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS A,
+           round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS N,
+           round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS R
+         FROM lineitem GROUP BY 1 ORDER BY 1"""
+  )
+}

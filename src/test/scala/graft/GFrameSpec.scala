@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{GFrame, Series}
+
+/** The DataFrame layer the reference never built (pontem/dataframe is an
+  * empty package; README.md:16-19 sketches `df['new'] = df['col'] * 2`). */
+class GFrameSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private lazy val gf = GFrame.fromDF(
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "a"), (4L, 40.0, "b"))
+      .toDF("id", "v", "g"), "id")
+
+  private def rows(g: GFrame): Seq[Seq[Any]] =
+    g.toDF.orderBy(col(g.indexName)).collect().map(_.toSeq.toSeq).toSeq
+
+  test("column access returns a same-base Series; arithmetic composes join-free") {
+    val doubled = gf("v") * 2.0
+    val out = gf.assign("v2", doubled)
+    assert(rows(out).map(_.last) == Seq(20.0, 40.0, 60.0, 80.0))
+    assert(!out.toDF.queryExecution.executedPlan.toString.toLowerCase.contains("join"))
+  }
+
+  test("cross-frame assign aligns on index via join") {
+    val other = Series.fromPairs(spark, Seq((1L, 100.0), (3L, 300.0)), name = "x")
+    val out = gf.assign("x", other)
+    assert(rows(out).map(_.last) == Seq(100.0, null, 300.0, null))
+  }
+
+  test("select retains the index; filter/where") {
+    assert(gf.select("v").columns == Seq("id", "v"))
+    assert(gf.filter(col("v") > 25.0).count() == 2)
+  }
+
+  test("groupBy agg returns keyed GFrame") {
+    val agg = gf.groupBy("g").agg(sum(col("v")).as("s"))
+    assert(agg.indexName == "g")
+    assert(agg.toDF.orderBy("g").collect().map(_.getDouble(1)).toSeq == Seq(40.0, 60.0))
+  }
+
+  test("join + semiJoin + antiJoin") {
+    val dim = GFrame.fromDF(Seq(("a", "alpha")).toDF("k", "label"), "k")
+    val j = gf.join(dim, gf.df("g") === dim.df("k"), broadcastRight = true)
+    assert(j.count() == 2)
+    assert(gf.semiJoin(dim, gf.df("g") === dim.df("k")).count() == 2)
+    assert(gf.antiJoin(dim, gf.df("g") === dim.df("k")).count() == 2)
+  }
+
+  test("set ops") {
+    val a = GFrame.fromDF(Seq(1L, 2L, 3L).toDF("id"), "id")
+    val b = GFrame.fromDF(Seq(2L, 3L, 4L).toDF("id"), "id")
+    assert(a.except(b).toDF.as[Long].collect().toSet == Set(1L))
+    assert(a.intersect(b).toDF.as[Long].collect().toSet == Set(2L, 3L))
+    assert(a.union(b).count() == 6)
+  }
+
+  test("window helpers: rank / running / lag") {
+    val ranked = gf.withRank("rk", Seq(col("g")), Seq(col("v").desc))
+    val top = ranked.filter(col("rk") === 1).toDF
+      .select("g", "v").orderBy("g").collect().map(_.getDouble(1)).toSeq
+    assert(top == Seq(30.0, 40.0))
+    val run = gf.withRunning("rs", sum(col("v")), Seq(col("g")), Seq(col("id")))
+    assert(run.toDF.orderBy("id").collect().map(_.getDouble(3)).toSeq
+      == Seq(10.0, 20.0, 40.0, 60.0))
+    val lagd = gf.withLag("prev", col("v"), 1, Seq(col("g")), Seq(col("id")))
+    assert(lagd.toDF.orderBy("id").collect().map(_.get(3)).toSeq
+      == Seq(null, null, 10.0, 20.0))
+  }
+
+  test("pivot with explicit values") {
+    val p = gf.pivot("g", "id", Seq(1, 2, 3, 4), first(col("v")))
+    val row = p.toDF.orderBy("g").collect()
+    assert(row(0).toSeq == Seq("a", 10.0, null, 30.0, null))
+  }
+
+  test("rollup produces subtotals") {
+    val r = gf.rollup(col("g")).agg(sum(col("v")).as("s"))
+    assert(r.count() == 3) // a, b, grand total
+  }
+
+  test("fromSeries builds an aligned frame") {
+    val a = Series.fromPairs(spark, Seq((1L, 1.0), (2L, 2.0)), name = "a")
+    val b = Series.fromPairs(spark, Seq((2L, 20.0), (3L, 30.0)), name = "b")
+    val f = GFrame.fromSeries(a, b)
+    assert(f.count() == 3)
+    assert(f.columns == Seq("index", "a", "b"))
+  }
+
+  test("rename remaps the index name too") {
+    val r = gf.rename("id" -> "key", "v" -> "value")
+    assert(r.indexName == "key")
+    assert(r.columns.contains("value"))
+  }
+}
