@@ -186,8 +186,9 @@ object SparkEntry {
   def dedupOracles: Map[String, String] = Map()
   def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
   def simOracles: Map[String, String] = Map()
-  def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def textOracles: Map[String, String] = Map()
+  def textQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.TextQueries.queries
+  def textOracles: Map[String, String] = graft.queries.TextQueries.oracles
   def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
   def eventOracles: Map[String, String] = Map()
   def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map()

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID heuristic,
+  * tf-idf, and document fingerprinting.
+  *
+  * Everything here is a native Catalyst `Column` expression (split /
+  * regexp_extract_all / higher-order array functions / md5) — codegen'd,
+  * pushdown-friendly, zero UDFs. At 100 TB these run as a single projected
+  * scan per document batch; the only shuffles are the explicit term-level
+  * aggregations in the query layer.
+  */
+object TextOps {
+
+  /** Whitespace tokens of the lowercased text, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " +"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: word pieces OR single non-word non-space symbols.
+    * Explicit character classes (not \\w) so Java and RE2-family regex
+    * engines agree. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text),
+      lit("[a-z0-9_]+|[^a-z0-9_\\s]"), lit(0)))
+
+  /** Distinct whitespace tokens (the doc's term set). */
+  def termSet(text: Column): Column = array_distinct(tokens(text))
+
+  private val Stopwords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Fraction of tokens that are stopwords (0 for empty docs). */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val stops = filter(ts, t => t.isin(Stopwords: _*))
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(ts).cast("double"))
+  }
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(
+        aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double")
+          / size(ts).cast("double"))
+  }
+
+  /** Punctuation character count (explicit class, engine-portable). */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
+
+  /** Composite quality score in [0,1]: length prior × (1 − stopword excess).
+    * Heuristic, deterministic, fully expression-based. */
+  def qualityScore(text: Column): Column = {
+    val lenPrior = least(length(text).cast("double") / lit(500.0), lit(1.0))
+    val stopPenalty = greatest(lit(0.0), lit(1.0) - stopwordRatio(text) * 2.0)
+    round(lenPrior * stopPenalty, 6)
+  }
+
+  /** Language-ID by marker-stopword counts — the classic cheap n-gram/
+    * stopword heuristic. Deterministic tie-break: en ≥ es ≥ de ≥ fr order. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    def score(markers: Seq[String]): Column =
+      size(filter(ts, t => t.isin(markers: _*)))
+    val en = score(Seq("the", "and", "of", "is"))
+    val es = score(Seq("el", "la", "los", "de", "que"))
+    val de = score(Seq("der", "die", "und", "das", "ist"))
+    val fr = score(Seq("le", "les", "et", "est", "une"))
+    when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Content fingerprint: md5 of whitespace-normalized lowercased text.
+    * Engine-portable (DuckDB md5 produces the same hex). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), " +", " "))
+
+  /** Word n-gram shingles (n consecutive tokens joined by a space),
+    * distinct. The unit of near-dup detection in [[DedupOps]]. */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    // NB: sequence(0, k) with k < 0 counts DOWN in Spark — guard short docs.
+    val grams = transform(sequence(lit(0), size(ts) - n),
+      i => array_join(slice(ts, i + 1, lit(n)), " "))
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(grams))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.TextOps._
+
+/** Text-analysis queries over the `documents` fixture table, each with a
+  * DuckDB oracle. Per-document metrics are single-scan projections; term
+  * statistics explode tokens and aggregate (shuffle on term — the natural
+  * partitioning for a 100 TB corpus where per-term state must meet anyway).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting two ways: whitespace + BPE-ish regex pieces.
+    "t01_token_stats" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_ws"),
+        regexTokenCount(col("text")).as("n_re"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length, stopword ratio, mean token length, composite.
+    "t02_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(meanTokenLength(col("text")), 6).as("mean_tok_len"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // Global document frequency: top-20 terms by #docs containing them.
+    // explode(distinct terms) → groupBy term: partial counts combine
+    // map-side; the shuffle carries one row per (term, partition).
+    "t03_term_docfreq" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(termSet(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(20)),
+
+    // tf-idf: top-3 terms per document. Two aggregations (per-doc tf, global
+    // df) + a window top-k. Both factors derive from exact integer counts so
+    // the doubles agree bit-for-bit across engines.
+    "t04_tfidf" -> ((s, d) => {
+      val dd = docs(s, d)
+      val n = dd.count() // corpus size: scalar, computed once
+      val toks = dd.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("ntok", sum(col("tf")).over(Window.partitionBy("doc_id")))
+      val df_ = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(df_, "term")
+        .withColumn("tfidf",
+          (col("tf").cast("double") / col("ntok").cast("double"))
+            * log(lit(n.toDouble) / col("df").cast("double")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("tfidf").desc, col("term").asc)))
+        .filter(col("rk") <= 3)
+      scored.select(col("doc_id"), col("rk"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Language-ID heuristic over marker stopwords.
+    "t05_langid" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
+    // Content fingerprint (md5 of normalized text) — the exact-dedup key.
+    "t06_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"))
+  )
+
+  // DuckDB equivalents. Tokenization mirrored as
+  // list_filter(string_split(lower(text), ' '), t -> t <> '').
+  private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_stats" ->
+      s"""SELECT doc_id,
+           CAST(len($Toks) AS INTEGER) AS n_ws,
+           CAST(len(regexp_extract_all(lower(text),
+             '[a-z0-9_]+|[^a-z0-9_\\s]')) AS INTEGER) AS n_re
+         FROM documents ORDER BY doc_id""",
+    "t02_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS ts FROM documents)
+         SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(ts) AS INTEGER) AS n_tokens,
+           round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+             len(list_filter(ts, x -> x IN ('the','a','an','of','and','to',
+               'in','is','on','for','with'))) * 1.0 / len(ts) END, 6)
+             AS stop_ratio,
+           round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+             list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts)
+             END, 6) AS mean_tok_len,
+           round(least(length(text) / 500.0, 1.0) * greatest(0.0,
+             1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               len(list_filter(ts, x -> x IN ('the','a','an','of','and','to',
+                 'in','is','on','for','with'))) * 1.0 / len(ts) END) * 2.0),
+             6) AS quality
+         FROM t ORDER BY doc_id""",
+    "t03_term_docfreq" ->
+      s"""SELECT term, count(*) AS df FROM (
+           SELECT DISTINCT doc_id, unnest($Toks) AS term FROM documents)
+         GROUP BY term ORDER BY df DESC, term ASC LIMIT 20""",
+    "t04_tfidf" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($Toks) AS term FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf,
+             sum(count(*)) OVER (PARTITION BY doc_id) AS ntok
+           FROM toks GROUP BY doc_id, term),
+         df AS (
+           SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+         n AS (SELECT count(*) AS n FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             (tf.tf * 1.0 / tf.ntok) * ln(n.n * 1.0 / df.df) AS tfidf
+           FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rk,
+           term, round(tfidf, 6) AS tfidf
+         FROM scored QUALIFY rk <= 3 ORDER BY doc_id, rk""",
+    "t05_langid" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS en,
+           len(list_filter(ts, x -> x IN ('el','la','los','de','que'))) AS es,
+           len(list_filter(ts, x -> x IN ('der','die','und','das','ist'))) AS de,
+           len(list_filter(ts, x -> x IN ('le','les','et','est','une'))) AS fr
+         FROM t)
+         SELECT doc_id, CASE
+           WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+           WHEN es >= de AND es >= fr THEN 'es'
+           WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+         FROM sc ORDER BY doc_id""",
+    "t06_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+           AS fp FROM documents ORDER BY doc_id"""
+  )
+}
