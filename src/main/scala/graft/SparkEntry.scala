@@ -182,8 +182,9 @@ object SparkEntry {
   def frameQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.FrameQueries.queries
   def frameOracles: Map[String, String] = graft.queries.FrameQueries.oracles
-  def dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def dedupOracles: Map[String, String] = Map()
+  def dedupQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.DedupQueries.queries
+  def dedupOracles: Map[String, String] = graft.queries.DedupQueries.oracles
   def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
   def simOracles: Map[String, String] = Map()
   def textQueries: Map[String, (SparkSession, String) => DataFrame] =

@@ -7,6 +7,20 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects unless nanos are read as raw longs
+    * (spark.sql.legacy.parquet.nanosAsLong — set in every session builder
+    * here). Convert ns → µs timestamps on load; DuckDB also truncates
+    * parquet nanos to its µs timestamps, so both engines see identical
+    * values. */
+  private def fixNanos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")
@@ -14,7 +28,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = fixNanos(apply(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -1,0 +1,198 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large-scale training-data pipelines: exact (hash
+  * groupBy), n-gram Jaccard near-dup (inverted shingle index), MinHash+LSH
+  * banding, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the point — these must survive 100 TB):
+  *  - NOTHING is ever pairwise over the whole corpus. Candidate pairs come
+  *    from equi-joins on shingles / LSH bands / simhash bands, so the only
+  *    shuffles are keyed by those buckets and skew is bounded by
+  *    [[maxShingleDocFreq]]-style stop-shingle capping.
+  *  - Exact dedup is one hash aggregation (partial+final) on a fingerprint;
+  *    survivors are min(id) per group — no window, no sort.
+  *  - MinHash signatures are computed per-row from the shingle array with
+  *    pure expressions (xxhash64 + affine rehash), so signature generation
+  *    is a projected scan.
+  */
+object DedupOps {
+
+  /** Survivor (min id) + group size per exact-content group, keyed by the
+    * normalized-text md5 fingerprint. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp")
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dups"))
+
+  /** Exact dedup on arbitrary key columns: survivor id + duplicate count. */
+  def exactDedupBy(df: DataFrame, idCol: String, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dups"))
+
+  /** All pairs with word-`n`-gram Jaccard ≥ `threshold`, found via an
+    * inverted shingle index: explode distinct shingles, self-equi-join on
+    * the shingle (id1 < id2), count shared shingles per pair, then
+    * |A∩B| / (|A|+|B|−|A∩B|). Since threshold > 0 implies ≥1 shared
+    * shingle, this is EXACT — identical to all-pairs — without the O(n²)
+    * cross join.
+    *
+    * `maxShingleDocFreq`: drop shingles appearing in more than K docs
+    * before pairing (stop-shingle cap). At 100 TB this bounds the posting
+    * lists and therefore join skew; it is a recall-preserving approximation
+    * for near-dup use (ubiquitous shingles carry no signal). None = exact.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   threshold: Double,
+                   maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), n)).as("sh"))
+    val posted = maxShingleDocFreq match {
+      case Some(k) =>
+        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= k).select("sh")
+        sh.join(broadcast(dfreq), "sh")
+      case None => sh
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val inter = posted.as("a")
+      .join(posted.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id1").withColumnRenamed("nsh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("id", "id2").withColumnRenamed("nsh", "n2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** Large prime < 2^31 for affine MinHash rehashing (kept small enough
+    * that a*h+b stays in Long range). */
+  private val P = 2147483647L
+
+  /** Positive base hash of a shingle, in [0, P). */
+  private def baseHash(sh: Column): Column = pmod(xxhash64(sh), lit(P))
+
+  /** MinHash signature: array of `k` minima of affine rehashes of the
+    * shingle set. Pure per-row expression — no shuffle, no UDF. */
+  def minHashSignature(shingleArr: Column, k: Int): Column = {
+    val hs = transform(shingleArr, s => baseHash(s))
+    val mins = (0 until k).map { i =>
+      val a = 2L * i + 1 // odd multipliers
+      val b = 982451653L * (i + 1) % P
+      array_min(transform(hs, h => pmod(h * a + b, lit(P))))
+    }
+    array(mins: _*)
+  }
+
+  /** LSH candidate pairs: split the `k`-wide signature into `bands` bands,
+    * hash each band, equi-join on (band index, band hash). Pairs sharing ≥1
+    * band emerge; each pair appears once (id1 < id2, distinct). The join is
+    * keyed by band hash → shuffle partitions by bucket, never all-pairs. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+                    n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      minHashSignature(TextOps.shingles(col(textCol), n), k).as("sig"))
+      .filter(size(col("sig")) > 0 && !array_contains(
+        transform(col("sig"), x => x.isNull), lit(true)))
+    val banded = sig.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_",
+          transform(slice(col("sig"), b * r + 1, lit(r)), x => x.cast("string")))))))
+      .toDF("id", "band", "bandhash")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.bandhash") === col("b.bandhash")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup: candidates from banding, then EXACT Jaccard
+    * verification on the candidate set only (the standard
+    * filter-then-verify shape: banding prunes, verification keeps
+    * precision at 1). */
+  def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, k: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.5): DataFrame = {
+    val cand = lshCandidates(df, idCol, textCol, n, k, bands)
+    val sh = df.select(col(idCol).as("id"),
+      TextOps.shingles(col(textCol), n).as("shs"))
+    cand
+      .join(sh.select(col("id").as("id1"), col("shs").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("shs").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double")
+        / (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token
+    * hashes and take the sign. Pure expression (64 array-folds per row). */
+  def simHash(text: Column): Column = {
+    val hs = transform(TextOps.tokens(text), t => xxhash64(t))
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1))
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16),
+    * via 4×16-bit band blocking: any pair within Hamming ≤ 3 differs in at
+    * most 3 bands, so by pigeonhole it shares ≥1 exact band — blocking is
+    * lossless for maxHamming ≤ 3. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val banded = sigs.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "sh", "band", "bandval")
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band")
+          && col("a.bandval") === col("b.bandval")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .distinct()
+    pairs
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  /** Cosine similarity of two float-array embedding columns, computed in
+    * double with a sequential fold (bit-identical to DuckDB's in-order
+    * accumulation, which the oracle relies on). */
+  def cosine(a: Column, b: Column): Column = {
+    def fold(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val na = sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
+    val nb = sqrt(fold(transform(b, x => x.cast("double") * x.cast("double"))))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-dup: all pairs with cosine ≥ threshold. Brute-force
+    * pair enumeration (id1 < id2) — correctness baseline; the scale path is
+    * [[SimilarityOps.annLsh]] (hyperplane-bucketed candidates). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("e"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("sim", cosine(col("a.e"), col("b.e")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("sim"))
+  }
+}

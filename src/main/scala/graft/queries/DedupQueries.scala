@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.DedupOps
+
+/** Dedup queries over `documents` / `events` / `embeddings`.
+  *
+  * d01/d02/d03/d06 have exact DuckDB oracles. d04 (MinHash+LSH) verifies
+  * candidates with exact Jaccard, so its OUTPUT equals d03's all-pairs
+  * answer whenever banding recall is 1 — we still give it the same oracle
+  * (recall verified empirically on the fixtures; at 8 bands × 4 rows the
+  * miss probability for a Jaccard-0.9 pair is ~2e-4). d05 (SimHash) depends
+  * on xxhash64 and has no DuckDB equivalent → rows-only.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact content dedup by md5 fingerprint: survivor + group size.
+    // (The fixture docs are all distinct — every group has dups=1, which
+    // also proves no false merges.)
+    "d01_exact_dedup" -> ((s, d) =>
+      DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("survivor_id")),
+
+    // Exact dedup on a composite key with real reduction: first event per
+    // (user, event_type) + duplicate count.
+    "d02_dedup_by_key" -> ((s, d) =>
+      DedupOps.exactDedupBy(Tables.events(s, d), "event_id",
+          Seq("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // n-gram Jaccard near-dup, EXACT via inverted shingle index (no O(n²)).
+    "d03_jaccard_pairs" -> ((s, d) =>
+      DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2")),
+
+    // MinHash(32) + LSH(8 bands × 4) candidates, exact-Jaccard verified.
+    "d04_minhash_lsh" -> ((s, d) =>
+      DedupOps.minhashNearDup(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 32, bands = 8, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2")),
+
+    // SimHash(64-bit) near-dup via lossless 4×16-bit band blocking,
+    // Hamming ≤ 3. xxhash64-dependent → rows-only check.
+    "d05_simhash" -> ((s, d) =>
+      DedupOps.simhashNearDup(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 3)
+        .orderBy("id1", "id2")),
+
+    // Embedding-cosine near-dup pairs (brute-force baseline; the fixtures
+    // contain exactly one pair ≥ 0.5).
+    "d06_embedding_neardup" -> ((s, d) =>
+      DedupOps.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.5)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("id1", "id2"))
+  )
+
+  private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+  /** DuckDB distinct 3-word shingles per doc (1-indexed lists). */
+  private val ShingleCte =
+    s"""toks AS (SELECT doc_id, $Toks AS ws FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+            ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS sh
+          FROM toks, LATERAL unnest(range(1, len(ws)-1)) AS u(i))"""
+
+  private val JaccardSql =
+    s"""WITH $ShingleCte,
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id1, id2,
+          round(i * 1.0 / (s1.nsh + s2.nsh - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5
+        ORDER BY id1, id2"""
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+           min(doc_id) AS survivor_id, count(*) AS dups
+         FROM documents GROUP BY 1 ORDER BY survivor_id""",
+    "d02_dedup_by_key" ->
+      """SELECT user_id, event_type, min(event_id) AS survivor_id,
+           count(*) AS dups
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "d03_jaccard_pairs" -> JaccardSql,
+    "d04_minhash_lsh" -> JaccardSql
+    // d05_simhash, d06 → d06 oracled below; d05 rows-only.
+    ,
+    "d06_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+           round(list_cosine_similarity(a.e, b.e), 6) AS sim
+         FROM v a JOIN v b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.e, b.e) >= 0.5
+         ORDER BY id1, id2"""
+  )
+}
