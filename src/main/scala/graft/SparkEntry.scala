@@ -185,8 +185,9 @@ object SparkEntry {
   def dedupQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.DedupQueries.queries
   def dedupOracles: Map[String, String] = graft.queries.DedupQueries.oracles
-  def simQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def simOracles: Map[String, String] = Map()
+  def simQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.SimilarityQueries.queries
+  def simOracles: Map[String, String] = graft.queries.SimilarityQueries.oracles
   def textQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.TextQueries.queries
   def textOracles: Map[String, String] = graft.queries.TextQueries.oracles

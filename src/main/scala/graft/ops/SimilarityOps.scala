@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[knnBruteForce]] — exact top-k: broadcast the (small) query set
+  *    against the corpus, one pass, per-query heap via WindowGroupLimit.
+  *    The corpus is never shuffled and never pairwise with itself; cost is
+  *    |corpus| × |queries| dot products, embarrassingly parallel. This is
+  *    the correctness baseline and is the right plan whenever the query set
+  *    fits in a broadcast (the common "probe a trained index" shape).
+  *  - [[annLsh]] — random-hyperplane LSH: bucket corpus and queries by a
+  *    sign-bit signature, equi-join on bucket, exact cosine re-rank within
+  *    candidates. At 100 TB the bucket join replaces the full scan per
+  *    query; recall < 1 (tunable via planes/probes).
+  *
+  * All vector math is native expressions (zip_with/aggregate folds in
+  * double) — no UDFs, codegen'd, and bit-compatible with the DuckDB oracle.
+  */
+object SimilarityOps {
+
+  /** Exact cosine top-k of `queries` against `corpus` (self-matches
+    * excluded when ids collide). Output: qid, rk (1..k), nid, sim. */
+  def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("ce"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+    c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("sim", DedupOps.cosine(col("ce"), col("qe")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: `planes` × `dim` weights in
+    * [-1, 1], from a fixed-seed PRNG (no runtime entropy — resumable and
+    * reproducible across runs/executors). */
+  private[graft] def hyperplanes(planes: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(20260812L)
+    Array.fill(planes, dim)(rnd.nextDouble() * 2 - 1)
+  }
+
+  /** Per-table sign-bit buckets: `tables` buckets, each packing `bits`
+    * hyperplane signs. Returns array<long> of length `tables` (bucket
+    * values are table-local; pair with the table index when joining).
+    * Pure expression: one fold per plane, one scan per row. */
+  private[graft] def lshBuckets(vec: Column, tables: Int, bits: Int,
+                                dim: Int): Column = {
+    val hp = hyperplanes(tables * bits, dim)
+    def signBit(p: Int, weight: Long): Column = {
+      val w = array(hp(p).map(lit): _*)
+      val dot = aggregate(zip_with(vec, w, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(weight)).otherwise(lit(0L))
+    }
+    array((0 until tables).map { t =>
+      (0 until bits).map(b => signBit(t * bits + b, 1L << b)).reduce(_ + _)
+    }: _*)
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH (the classic L×b scheme):
+    * each vector lands in one bucket per table; a pair is a candidate if
+    * it collides in ANY table (OR across tables — recall 1−(1−p^b)^L for
+    * per-plane agreement p). Candidates get exact cosine re-rank.
+    *
+    * Scale shape: the corpus explodes ×L into (table, bucket) postings and
+    * equi-joins the (broadcast) query postings — shuffle keyed by bucket,
+    * never all-pairs. `bits` trades candidate volume against recall;
+    * `tables` buys recall linearly in postings. On uniform-random corpora
+    * (no similarity structure, like the synthetic fixtures) no sublinear
+    * method retains recall — see OpsSpec's planted-cluster recall test for
+    * the regime LSH is for. Approximate → rows-only in the driver
+    * contract. */
+  def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, tables: Int = 8, bits: Int = 4,
+             dim: Int = 64): DataFrame = {
+    def postings(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_e"),
+          posexplode(lshBuckets(col(vecCol), tables, bits, dim)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
+    val c = postings(corpus, "nid")
+    val q = postings(queries, "qid")
+    c.join(broadcast(q), Seq("table", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select("qid", "qid_e", "nid", "nid_e").distinct()
+      .withColumn("sim", DedupOps.cosine(col("nid_e"), col("qid_e")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+}

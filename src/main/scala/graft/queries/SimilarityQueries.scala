@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.SimilarityOps
+
+/** Similarity-search queries over the `embeddings` fixture (64-dim float
+  * vectors). v01 is exact and DuckDB-oracled; v02 is approximate (LSH) and
+  * rows-only — its recall against v01 is asserted in SimilaritySpec. */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact cosine top-5 for the 10 probe vectors (vec_id < 10): broadcast
+    // probes × corpus scan, WindowGroupLimit per-query heap.
+    "v01_knn_bruteforce" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.knnBruteForce(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rk")
+    }),
+
+    // Multi-table hyperplane-LSH ANN (8 tables × 4 bits): bucket equi-join
+    // replaces the full probe×corpus product. Approximate → rows-only.
+    "v02_ann_lsh" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.annLsh(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, tables = 8, bits = 4)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rk")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "v01_knn_bruteforce" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         q AS (SELECT * FROM v WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             list_cosine_similarity(c.e, q.e) AS sim
+           FROM v c JOIN q ON c.vec_id <> q.vec_id)
+         SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
+           nid, round(sim, 6) AS sim
+         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk"""
+  )
+}

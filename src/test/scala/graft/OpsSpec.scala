@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+
+/** Behavioral specs for the pipeline ops (dedup / similarity / text) on
+  * hand-computed micro-corpora, plus an LSH-vs-exact recall check on the
+  * real fixtures. */
+class OpsSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"), // near-dup of 1
+    (3L, "completely different text about spark engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical content, survivor = min id") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+      .orderBy("survivor_id").collect()
+    assert(out.length == 3)
+    val g = out.map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(g.contains((1L, 2L))) // docs 1+4 merged under survivor 1
+  }
+
+  test("jaccardPairs finds near-dups and exact dups, no false positives") {
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("jaccard value matches hand computation") {
+    // doc1: 7 shingles, doc2: 7 shingles, 6 shared -> 6/8
+    val j = DedupOps.jaccardPairs(docs.filter(col("doc_id") < 3), "doc_id",
+        "text", n = 3, threshold = 0.1)
+      .collect().head.getDouble(2)
+    assert(math.abs(j - 6.0 / 8.0) < 1e-12)
+  }
+
+  test("minhashNearDup reproduces the exact-jaccard answer on the micro corpus") {
+    val exact = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    val lsh = DedupOps.minhashNearDup(docs, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("id1", "id2").collect().map(_.toSeq).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: identical docs collide, hamming pairs found") {
+    val out = DedupOps.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(out.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+  }
+
+  test("stop-shingle cap drops ubiquitous shingles but keeps rare signal") {
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, maxShingleDocFreq = Some(10))
+      .collect()
+    assert(pairs.nonEmpty)
+  }
+
+  test("cosine matches hand computation, in double") {
+    val df = Seq((1L, Array(1.0f, 0.0f), Array(1.0f, 1.0f)))
+      .toDF("id", "a", "b")
+    val sim = df.select(DedupOps.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(sim - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("knnBruteForce ranks by cosine with id tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val out = SimilarityOps.knnBruteForce(vecs,
+        vecs.filter(col("vec_id") === 0), "vec_id", "embedding", k = 2)
+      .orderBy("rk").collect().map(_.getLong(2)).toSeq
+    assert(out == Seq(3L, 1L)) // closest first
+  }
+
+  test("annLsh finds planted near neighbors (the high-sim regime LSH is for)") {
+    // 20 clusters of 10 vectors each: center + small noise -> intra-cluster
+    // cosine ~0.98. Deterministic seed. LSH must recover same-cluster
+    // neighbors as top-k.
+    val rnd = new scala.util.Random(7L)
+    val dim = 16
+    val vecs = (0 until 20).flatMap { cl =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 10).map { i =>
+        val v = center.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)
+        ((cl * 10 + i).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 10 === 0) // one probe per cluster
+    val exact = SimilarityOps.knnBruteForce(vecs, q, "vec_id", "embedding", 5,
+      ).select("qid", "nid").collect().map(_.toSeq).toSet
+    val ann = SimilarityOps.annLsh(vecs, q, "vec_id", "embedding", 5,
+        tables = 8, bits = 4, dim = dim)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall below 0.95")
+  }
+
+  test("annLsh on uniform fixtures returns <= k rows per query (rows-only op)") {
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 3)
+    val ann = SimilarityOps.annLsh(e, q, "vec_id", "embedding", 5)
+      .groupBy("qid").count().collect()
+    assert(ann.forall(_.getLong(1) <= 5))
+  }
+
+  test("langId picks marker language deterministically") {
+    val d = Seq((1L, "der hund und die katze ist das"),
+      (2L, "the cat and the dog is here")).toDF("id", "text")
+    val out = d.select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("de", "en"))
+  }
+
+  test("shingles guard short docs (sequence counts down on negatives)") {
+    val d = Seq((1L, "one two")).toDF("id", "text")
+    assert(d.select(TextOps.shingles(col("text"), 3)).head().getSeq[String](0).isEmpty)
+  }
+}
