@@ -191,8 +191,11 @@ object SparkEntry {
   def textQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.TextQueries.queries
   def textOracles: Map[String, String] = graft.queries.TextQueries.oracles
-  def eventQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def eventOracles: Map[String, String] = Map()
-  def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def multimodalOracles: Map[String, String] = Map()
+  def eventQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.EventQueries.queries
+  def eventOracles: Map[String, String] = graft.queries.EventQueries.oracles
+  def multimodalQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.MultimodalQueries.queries
+  def multimodalOracles: Map[String, String] =
+    graft.queries.MultimodalQueries.oracles
 }

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata,
+  * with decode/feature-extraction run as typed partition-wise functions.
+  *
+  * Real image/audio/video codecs are not available in this environment, so
+  * the DECODE STEP IS A STUB — [[FakeDecoder]] derives deterministic
+  * pseudo-features from the bytes. Everything around it is the real
+  * production shape: a `struct(content BINARY, mime STRING, meta MAP)`
+  * payload column, partition-batched decoding through `mapPartitions`
+  * (one decoder instance per partition, the pattern a JNI/FFmpeg/libvips
+  * binding needs), and explode-based frame sampling. Swap [[FakeDecoder]]
+  * for a real codec and nothing else changes.
+  */
+object MultimodalOps {
+
+  /** Typed decoded-media record (the decoder's batch output shape). */
+  final case class MediaFeatures(doc_id: Long, nbytes: Int, width: Int,
+                                 height: Int, frames: Int)
+
+  /** Decoder contract: bytes → features. One instance per partition. */
+  trait Decoder extends Serializable {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** Deterministic stand-in for a real codec (???-equivalent, but runnable
+    * and testable): features are pure functions of the byte length. */
+  object FakeDecoder extends Decoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
+      val n = bytes.length
+      MediaFeatures(id, n, 1 + n % 640, 1 + (n * 7) % 480, 1 + n % 30)
+    }
+  }
+
+  /** Pack a text column as a multimodal payload:
+    * struct(content BINARY, mime STRING, meta MAP<STRING,STRING>). */
+  def packPayload(df: DataFrame, idCol: String, textCol: String,
+                  mime: String, metaCols: Seq[String]): DataFrame =
+    df.select(col(idCol),
+      struct(
+        encode(col(textCol), "UTF-8").as("content"),
+        lit(mime).as("mime"),
+        map(metaCols.flatMap(m => Seq(lit(m), col(m).cast("string"))): _*)
+          .as("meta")).as("payload"))
+
+  /** Decode payloads partition-wise: one [[Decoder]] per partition (the
+    * shape that amortizes per-process codec init), typed rows out. The
+    * decode itself is an optimization barrier by nature (opaque bytes);
+    * keep it LAST in the pipeline, after all pruning/filtering. */
+  def decodeFeatures(packed: DataFrame, idCol: String,
+                     decoder: Decoder): Dataset[MediaFeatures] = {
+    implicit val enc: Encoder[MediaFeatures] = Encoders.product[MediaFeatures]
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    packed.select(col(idCol).cast("long"), col("payload.content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val d = decoder // per-partition instance
+        it.map { case (id, bytes) => d.decode(id, bytes) }
+      }
+  }
+
+  /** Frame sampling plumbing: every `step`-th frame index per document,
+    * exploded to (doc_id, frame_no) rows — the fan-out a video pipeline
+    * feeds to per-frame feature extraction. */
+  def sampleFrames(features: DataFrame, step: Int): DataFrame =
+    features.select(col("doc_id"),
+      explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_no"))
+}

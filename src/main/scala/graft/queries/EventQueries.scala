@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.EventOps
+
+/** Event-time queries over the `events` fixture (10k–100k rows, 30 days),
+  * each with a DuckDB oracle. */
+object EventQueries {
+
+  private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour windows per event type: count + value sum. Epoch-
+    // aligned buckets == date_trunc('hour') for hour-divisible durations.
+    "e01_tumbling_hour" -> ((s, d) =>
+      EventOps.tumbling(ev(s, d), "ts", "1 hour",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total")))
+        .select("ws", "event_type", "n", "total")
+        .orderBy("ws", "event_type")),
+
+    // Gap-based sessionization (30-min inactivity) per user.
+    "e02_sessions" -> ((s, d) =>
+      EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
+        .orderBy("user_id", "session_id")),
+
+    // Per-user running total + 5-event moving average, by event time.
+    "e03_running_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("cum", round(sum(col("value")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        .withColumn("mavg", round(avg(col("value")).over(
+          w.rowsBetween(-4, Window.currentRow)), 6))
+        .select("event_id", "user_id", "cum", "mavg")
+        .orderBy("event_id")
+    }),
+
+    // Hourly share of each event type: agg then window-over-agg (two-level:
+    // bucket counts, then normalize within the hour).
+    "e04_hourly_share" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      hourly
+        .withColumn("share", round(col("n").cast("double")
+          / sum(col("n")).over(Window.partitionBy("hr")).cast("double"), 6))
+        .orderBy("hr", "event_type")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e01_tumbling_hour" ->
+      """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+           round(sum(value), 2) AS total
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e02_sessions" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+           FROM x),
+         numbered AS (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM marked)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+         FROM numbered GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e03_running_window" ->
+      """SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg
+         FROM events ORDER BY event_id""",
+    "e04_hourly_share" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT hr, event_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY hr), 6) AS share
+         FROM hourly ORDER BY hr, event_type"""
+  )
+}

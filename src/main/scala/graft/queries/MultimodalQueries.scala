@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.MultimodalOps
+
+/** Multimodal-plumbing queries: documents' text packed as binary payloads
+  * with typed metadata, decoded partition-wise by the deterministic stub
+  * decoder. The stub's features are pure functions of byte length, so all
+  * three queries have exact DuckDB oracles even though m02/m03 execute
+  * through typed mapPartitions. */
+object MultimodalQueries {
+
+  private def packed(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.packPayload(Tables.documents(s, d), "doc_id", "text",
+      "text/plain", Seq("lang", "source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Payload construction: binary content + mime + metadata map; verify
+    // byte length, content hash, and metadata round-trip.
+    "m01_pack_payload" -> ((s, d) =>
+      packed(s, d).select(
+        col("doc_id"),
+        col("payload.mime").as("mime"),
+        length(col("payload.content")).as("nbytes"),
+        md5(col("payload.content")).as("fp"),
+        col("payload.meta")("lang").as("lang"))
+        .orderBy("doc_id")),
+
+    // Partition-wise decode through the stub codec (typed mapPartitions).
+    "m02_decode_features" -> ((s, d) =>
+      MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
+          MultimodalOps.FakeDecoder)
+        .toDF.orderBy("doc_id")),
+
+    // Frame-sampling fan-out: every 5th frame index per doc.
+    "m03_frame_sample" -> ((s, d) =>
+      MultimodalOps.sampleFrames(
+          MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
+            MultimodalOps.FakeDecoder).toDF,
+          step = 5)
+        .orderBy("doc_id", "frame_no"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "m01_pack_payload" ->
+      """SELECT doc_id, 'text/plain' AS mime,
+           CAST(octet_length(encode(text)) AS INTEGER) AS nbytes,
+           md5(text) AS fp, lang
+         FROM documents ORDER BY doc_id""",
+    "m02_decode_features" ->
+      """SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS nbytes,
+           CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+           CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS frames
+         FROM documents ORDER BY doc_id""",
+    "m03_frame_sample" ->
+      """SELECT doc_id, CAST(u.f AS INTEGER) AS frame_no
+         FROM (SELECT doc_id,
+                 1 + octet_length(encode(text)) % 30 AS frames
+               FROM documents) t,
+         LATERAL unnest(range(0, t.frames, 5)) AS u(f)
+         ORDER BY doc_id, frame_no"""
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+
+/** MemoryStream-driven specs for the streaming twins of the event ops. */
+class StreamingSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermarked tumbling window aggregates by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF.toDF("ts", "event_type", "value")
+      .withColumn("user_id", lit(1L))
+    val agg = StreamOps.windowedAgg(events, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    try {
+      input.addData((ts(5), "click", 1.0), (ts(15), "click", 2.0),
+        (ts(25), "buy", 10.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n, total FROM win_agg ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("buy", 1L, 10.0), ("click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer closes sessions after the gap (event-time timeout)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF.toDF("ts", "user_id")
+      .withColumn("event_type", lit("e")).withColumn("value", lit(0.0))
+    val sess = StreamOps.sessionizeStream(events, gapSeconds = 600,
+      watermarkDelay = "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then silence.
+      input.addData((ts(0), 1L), (ts(5), 1L))
+      q.processAllAvailable()
+      // advance the watermark far past the gap so the session times out.
+      input.addData((ts(59), 2L))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 12:00:00"), 2L))
+      q.processAllAvailable()
+      val closed = spark.sql(
+        "SELECT user_id, n_events, closed FROM sessions WHERE user_id = 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(closed.toSeq == Seq((1L, 2L, true)))
+    } finally q.stop()
+  }
+
+  test("batch and streaming tumbling aggs agree on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val data = Seq((ts(5), "a", 1.0), (ts(15), "a", 2.0), (ts(45), "b", 3.0))
+    // streaming
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.windowedAgg(
+      input.toDF.toDF("ts", "event_type", "value"), "10 minutes", "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("par_agg")
+      .outputMode("complete").start()
+    try {
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT ws, event_type, n FROM par_agg")
+        .collect().map(_.toSeq).toSet
+      // batch twin
+      val batch = graft.ops.EventOps.tumbling(
+          data.toDF("ts", "event_type", "value"), "ts", "30 minutes",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), sum(col("value")).as("total")))
+        .select("ws", "event_type", "n").collect().map(_.toSeq).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
