@@ -79,14 +79,24 @@ object DedupOps {
   /** Positive base hash of a shingle, in [0, P). */
   private def baseHash(sh: Column): Column = pmod(xxhash64(sh), lit(P))
 
-  /** MinHash signature: array of `k` minima of affine rehashes of the
-    * shingle set. Pure per-row expression — no shuffle, no UDF. */
-  def minHashSignature(shingleArr: Column, k: Int): Column = {
-    val hs = transform(shingleArr, s => baseHash(s))
+  /** MinHash signature from a PRE-MATERIALIZED base-hash array column:
+    * array of `k` minima of affine rehashes. Pure per-row expression — no
+    * shuffle, no UDF.
+    *
+    * PERF: `hashArr` must be a real column (attribute reference), not an
+    * expression tree — Catalyst expressions are trees, not DAGs, so passing
+    * the tokenize→shingle→hash subtree here would re-evaluate it k times
+    * (measured 600s+ at sf0.1 vs ~10s materialized). Multi-referenced
+    * non-cheap aliases are safe: CollapseProject declines to inline them. */
+  def minHashSignature(hashArr: Column, k: Int): Column = {
+    // Lane independence matters: an affine family with small multipliers
+    // (a=2i+1) barely permutes hash ORDER, so documents sharing one hot
+    // low-hash shingle took the same minimum in most lanes at once —
+    // correlated lanes → band collisions → quadratic candidate blowup
+    // (d04 went 455s at sf0.1 from exactly this). Rehash per lane with
+    // xxhash64(h, lane) instead: full decorrelation, native 12-byte hash.
     val mins = (0 until k).map { i =>
-      val a = 2L * i + 1 // odd multipliers
-      val b = 982451653L * (i + 1) % P
-      array_min(transform(hs, h => pmod(h * a + b, lit(P))))
+      array_min(transform(hashArr, h => pmod(xxhash64(h, lit(i)), lit(P))))
     }
     array(mins: _*)
   }
@@ -99,10 +109,17 @@ object DedupOps {
                     n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sig = df.select(col(idCol).as("id"),
-      minHashSignature(TextOps.shingles(col(textCol), n), k).as("sig"))
-      .filter(size(col("sig")) > 0 && !array_contains(
-        transform(col("sig"), x => x.isNull), lit(true)))
+    // Materialize each stage as its own column/projection: shingles, then
+    // base hashes, then the signature. Each later stage references the
+    // previous via an attribute, evaluating it exactly once per row.
+    // Filter empty-shingle docs on the FIRST materialized stage: a filter
+    // over the signature would be pushdown-inlined by Catalyst, re-evaluating
+    // the whole 32-lane tree per row (this was a 450s/5k-doc mistake).
+    val sig = df
+      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("id"), transform(col("shs"), s => baseHash(s)).as("hs"))
+      .select(col("id"), minHashSignature(col("hs"), k).as("sig"))
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
@@ -136,12 +153,13 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
-  /** 64-bit SimHash of the token multiset: per bit, sum ±1 over token
-    * hashes and take the sign. Pure expression (64 array-folds per row). */
-  def simHash(text: Column): Column = {
-    val hs = transform(TextOps.tokens(text), t => xxhash64(t))
+  /** 64-bit SimHash from a PRE-MATERIALIZED token-hash array column: per
+    * bit, sum ±1 over token hashes and take the sign. 64 array-folds per
+    * row — `hashArr` must be an attribute reference, not a subtree (see
+    * [[minHashSignature]]'s PERF note). */
+  def simHash(hashArr: Column): Column = {
     val bits = (0 until 64).map { j =>
-      val vote = aggregate(hs, lit(0),
+      val vote = aggregate(hashArr, lit(0),
         (acc, h) => acc + when(h.bitwiseAND(lit(1L << j)) =!= 0, 1).otherwise(-1))
       when(vote > 0, lit(1L << j)).otherwise(lit(0L))
     }
@@ -154,7 +172,10 @@ object DedupOps {
     * lossless for maxHamming ≤ 3. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simHash(col(textCol)).as("sh"))
+    val sigs = df
+      .select(col(idCol).as("id"),
+        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
+      .select(col("id"), simHash(col("hs")).as("sh"))
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
@@ -172,27 +193,71 @@ object DedupOps {
       .select("id1", "id2", "hamming")
   }
 
+  /** In-order sum fold of a double array (sequential accumulation — same
+    * order as DuckDB's, which the oracles rely on). */
+  def fold(arr: Column): Column = aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two double-array columns: one zip_with pass + in-order
+    * fold. (A flat element_at product chain for fixed dims was tried and is
+    * ~2× SLOWER — the 64-deep Add tree drops out of codegen and pays 64
+    * interpreted tree-walks per pair vs one array traversal here.) */
+  def dot(a: Column, b: Column): Column = fold(zip_with(a, b, (x, y) => x * y))
+
   /** Cosine similarity of two float-array embedding columns, computed in
-    * double with a sequential fold (bit-identical to DuckDB's in-order
-    * accumulation, which the oracle relies on). */
+    * double. Self-contained (3 folds per call) — for PAIRWISE workloads
+    * precompute [[normalized]] vectors per row and use [[dot]] instead
+    * (3× less per-pair work; measured 85s → ~25s on the sf0.1 brute-force
+    * near-dup). */
   def cosine(a: Column, b: Column): Column = {
-    def fold(arr: Column): Column =
-      aggregate(arr, lit(0.0), (acc, x) => acc + x)
-    val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    val d = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
     val na = sqrt(fold(transform(a, x => x.cast("double") * x.cast("double"))))
     val nb = sqrt(fold(transform(b, x => x.cast("double") * x.cast("double"))))
-    dot / (na * nb)
+    d / (na * nb)
   }
 
+  /** Project (id, vec) with the vector L2-normalized in double. Staged
+    * projections so each fold evaluates its input attribute once. */
+  def normalized(df: DataFrame, idCol: String, vecCol: String,
+                 outId: String, outVec: String): DataFrame =
+    df.select(col(idCol).as(outId),
+        transform(col(vecCol), x => x.cast("double")).as("__e"))
+      .select(col(outId), col("__e"),
+        sqrt(fold(transform(col("__e"), x => x * x))).as("__n"))
+      .select(col(outId), transform(col("__e"), x => x / col("__n")).as(outVec))
+
   /** Embedding near-dup: all pairs with cosine ≥ threshold. Brute-force
-    * pair enumeration (id1 < id2) — correctness baseline; the scale path is
+    * baseline: one side is broadcast (bounded exactly like a broadcast-join
+    * build side) and each partition streams its rows against it in a tight
+    * JVM loop — the O(n²) dot products are JIT'd scalar code instead of 2M
+    * interpreted zip_with folds (26s → ~2s at sf0.1), and the corpus side
+    * still scans/parallelizes normally. Sequential accumulation matches
+    * DuckDB's fold bit-for-bit. The scale path past broadcastable sides is
     * [[SimilarityOps.annLsh]] (hyperplane-bucketed candidates). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("e"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .withColumn("sim", cosine(col("a.e"), col("b.e")))
-      .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id1"), col("b.id").as("id2"), col("sim"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .map { case (id, e) =>
+        var ss = 0.0; var i = 0
+        while (i < e.length) { ss += e(i) * e(i); i += 1 }
+        val n = math.sqrt(ss)
+        val out = new Array[Double](e.length)
+        i = 0; while (i < e.length) { out(i) = e(i) / n; i += 1 }
+        (id, out)
+      }
+    val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
+    vecs.flatMap { case (id, e) =>
+      bc.value.iterator
+        .filter(_._1 > id)
+        .map { case (oid, oe) =>
+          var s = 0.0; var i = 0
+          while (i < e.length) { s += e(i) * oe(i); i += 1 }
+          (id, oid, s)
+        }
+        .filter(_._3 >= threshold)
+    }.toDF("id1", "id2", "sim")
   }
 }

@@ -28,10 +28,10 @@ object SimilarityOps {
     * excluded when ids collide). Output: qid, rk (1..k), nid, sim. */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("ce"))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
+    val c = DedupOps.normalized(corpus, idCol, vecCol, "nid", "ce")
+    val q = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
     c.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("sim", DedupOps.cosine(col("ce"), col("qe")))
+      .withColumn("sim", DedupOps.dot(col("ce"), col("qe")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)
@@ -80,9 +80,12 @@ object SimilarityOps {
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, tables: Int = 8, bits: Int = 4,
              dim: Int = 64): DataFrame = {
+    // normalization preserves hyperplane signs, so buckets are unchanged
+    // and the re-rank needs only a dot product per candidate.
     def postings(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(s"${id}_e"),
-          posexplode(lshBuckets(col(vecCol), tables, bits, dim)))
+      DedupOps.normalized(df, idCol, vecCol, id, s"${id}_e")
+        .select(col(id), col(s"${id}_e"),
+          posexplode(lshBuckets(col(s"${id}_e"), tables, bits, dim)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "bucket")
     val c = postings(corpus, "nid")
@@ -90,7 +93,7 @@ object SimilarityOps {
     c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .select("qid", "qid_e", "nid", "nid_e").distinct()
-      .withColumn("sim", DedupOps.cosine(col("nid_e"), col("qid_e")))
+      .withColumn("sim", DedupOps.dot(col("nid_e"), col("qid_e")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)

@@ -87,12 +87,24 @@ object TextOps {
 
   /** Word n-gram shingles (n consecutive tokens joined by a space),
     * distinct. The unit of near-dup detection in [[DedupOps]]. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    // NB: sequence(0, k) with k < 0 counts DOWN in Spark — guard short docs.
-    val grams = transform(sequence(lit(0), size(ts) - n),
-      i => array_join(slice(ts, i + 1, lit(n)), " "))
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(grams))
+  def shingles(text: Column, n: Int): Column = shinglesOfTokens(tokens(text), n)
+
+  /** Word n-grams of a token array via shifted zip_with joins.
+    *
+    * PERF: the obvious `transform(indices, i => array_join(slice(ts, i+1,
+    * n)))` re-evaluates the token subtree PER ELEMENT (lambda-captured
+    * subtrees are trees, not DAGs) — ~|tokens| tokenizations per row,
+    * measured 2ms/row. Shifted zip_with evaluates the token array a
+    * constant ~n times: zip the array with its 1..n-1 shifts, concatenating
+    * elements; unequal lengths pad with null and concat propagates null, so
+    * trailing partial grams drop in one filter (also covers docs shorter
+    * than n tokens). */
+  def shinglesOfTokens(ts: Column, n: Int): Column = {
+    require(n >= 2, "shingle size must be >= 2")
+    val joined = (2 to n).foldLeft(ts) { (acc, i) =>
+      zip_with(acc, slice(ts, lit(i), greatest(size(ts) - i + 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b)) // concat propagates null (concat_ws would skip it)
+    }
+    array_distinct(filter(joined, g => g.isNotNull))
   }
 }
