@@ -133,6 +133,30 @@ object SparkEntry {
     "s15_len" -> ((s, d) => {
       val q = quantity(s, d)
       q.df.agg(count(lit(1)).as("n"))
+    }),
+    // pandas-surface extras (beyond the reference, toward full parity
+    // with what a pandas user expects of a Series).
+    "s16_value_counts" -> ((s, d) => quantity(s, d).valueCounts()),
+    "s17_fillna_clip" -> ((s, d) => {
+      val cbal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
+        .rename("bal").renameIndex("idx")
+      val sbal = Series.fromColumn(Tables.supplier(s, d), "s_acctbal", "s_suppkey")
+        .rename("bal").renameIndex("idx")
+      ordered((cbal + sbal).fillna(0.0).clip(0.0, 5000.0))
+    }),
+    "s18_cumsum" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
+        .rename("bal").renameIndex("idx")
+      ordered(bal.cumsum().transform(round(_, 2)))
+    }),
+    "s19_nlargest" -> ((s, d) => ordered(price(s, d).nlargest(10))),
+    "s20_between_mask" -> ((s, d) => {
+      val q = quantity(s, d)
+      ordered(q.mask(q.between(10.0, 20.0)))
+    }),
+    "s21_nunique" -> ((s, d) => {
+      val q = quantity(s, d)
+      q.unique().agg(count(lit(1)).as("n_distinct"))
     })
   )
 
@@ -175,7 +199,25 @@ object SparkEntry {
     "s14_apply" ->
       s"SELECT $liIdxSql AS idx, l_quantity * 2.0 + 1.0 AS q21 FROM lineitem ORDER BY idx",
     "s15_len" ->
-      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem"
+      "SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+    "s16_value_counts" ->
+      "SELECT l_quantity AS qty, count(*) AS count FROM lineitem GROUP BY 1 ORDER BY 2 DESC, 1",
+    "s17_fillna_clip" ->
+      ("SELECT coalesce(c_custkey, s_suppkey) AS idx, " +
+        "least(greatest(coalesce(c_acctbal + s_acctbal, 0), 0), 5000) AS bal " +
+        "FROM customer FULL JOIN supplier ON c_custkey = s_suppkey ORDER BY idx"),
+    "s18_cumsum" ->
+      ("SELECT c_custkey AS idx, round(sum(c_acctbal) OVER (ORDER BY c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS bal " +
+        "FROM customer ORDER BY idx"),
+    "s19_nlargest" ->
+      (s"SELECT $liIdxSql AS idx, l_extendedprice AS px FROM lineitem " +
+        "ORDER BY px DESC, idx LIMIT 10"),
+    "s20_between_mask" ->
+      (s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem " +
+        "WHERE l_quantity BETWEEN 10 AND 20 ORDER BY idx"),
+    "s21_nunique" ->
+      "SELECT CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct FROM lineitem"
   )
 
   // ============================================ placeholders (filled by round)

@@ -214,6 +214,65 @@ final class Series private[graft] (
   def <=(n: Double): Series = scalarOp(_ <= _, n)
   def ===(n: Any): Series = transform(_ === lit(n))
 
+  // ------------------------------------------------- pandas-surface extras
+
+  /** Distinct values with occurrence counts, descending (pandas
+    * value_counts). One partial+final HashAggregate; output is
+    * (value, count) keyed by the value. */
+  def valueCounts(): DataFrame =
+    base.groupBy(valueExpr.as(name)).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(name).asc)
+
+  /** Distinct values (pandas unique), as a 1-column frame. */
+  def unique(): DataFrame = base.select(valueExpr.as(name)).distinct()
+
+  /** Count of distinct values (pandas nunique). */
+  def nunique(): Long = unique().count()
+
+  /** Replace nulls with a constant (pandas fillna). */
+  def fillna(v: Any): Series = withValue(coalesce(valueExpr, lit(v)))
+
+  /** Drop rows whose value is null (pandas dropna). */
+  def dropna(): Series =
+    new Series(base.filter(valueExpr.isNotNull), name, indexName, indexExpr,
+      valueExpr)
+
+  /** Clip values into [lo, hi] (pandas clip). */
+  def clip(lo: Double, hi: Double): Series =
+    withValue(least(greatest(valueExpr, lit(lo)), lit(hi)))
+
+  /** Absolute value. */
+  def abs(): Series = withValue(F.abs(valueExpr))
+
+  /** Membership test → boolean Series (pandas isin). */
+  def isin(vals: Any*): Series = withValue(valueExpr.isin(vals: _*))
+
+  /** Inclusive range test → boolean Series (pandas between). */
+  def between(lo: Any, hi: Any): Series =
+    withValue(valueExpr.between(lit(lo), lit(hi)))
+
+  /** Cumulative sum in index order (pandas cumsum). One shuffle-free
+    * window when the data is already partitioned; a global ordered window
+    * otherwise — use keyed grouping upstream at scale. */
+  def cumsum(): Series = withValue(F.sum(valueExpr).over(
+    org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+
+  /** Top-n rows by value (pandas nlargest): TakeOrderedAndProject —
+    * per-partition heaps, no global sort. */
+  def nlargest(n: Int): Series = Series.fromKeyed(
+    df.orderBy(col(name).desc, col(indexName).asc).limit(n), name, indexName)
+
+  /** Bottom-n rows by value (pandas nsmallest). */
+  def nsmallest(n: Int): Series = Series.fromKeyed(
+    df.orderBy(col(name).asc, col(indexName).asc).limit(n), name, indexName)
+
+  /** Sort by value (pandas sort_values). */
+  def sortValues(ascending: Boolean = true): Series = Series.fromKeyed(
+    df.orderBy(if (ascending) col(name).asc else col(name).desc), name,
+    indexName)
+
   // --------------------------------------------------------------- apply/map
 
   /** Elementwise arbitrary Scala function (ref: series.py:78-100 pickles a

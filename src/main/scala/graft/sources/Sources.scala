@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** File sources and sinks (the reference has neither — construction is
+  * in-memory only, ref: pontem/series/data_prep.py:50-62, and the only
+  * "sink" is show(), ref: series.py:177).
+  *
+  * Thin, deliberate wrappers over `spark.read` / `df.write`:
+  *  - reads take an explicit schema where inference would scan twice
+  *    (CSV/JSON inference is a full extra pass at 100 TB);
+  *  - writes default to snappy parquet, the only format whose scans give
+  *    the engine column pruning + predicate pushdown + footer stats;
+  *  - partitioned/bucketed writes lay data out so later reads prune
+  *    partitions and later joins co-locate without a shuffle.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with an explicit schema (no inference pass). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  /** JSON-lines with an explicit schema (no inference pass). */
+  def jsonLines(spark: SparkSession, path: String,
+                schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String,
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** Hive-style partitioned parquet: later reads on the partition column
+    * prune entire directories (PartitionFilters, no file IO at all). */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** Bucketed managed table: co-locates join/aggregation keys at write
+    * time, so reads joining on the bucket key skip the shuffle entirely.
+    * (Requires a metastore table — saveAsTable, not a bare path.) */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .format("parquet").saveAsTable(table)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Sources
+
+/** Round-trip and layout specs for the file sources/sinks. */
+class SourcesSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_src").toString
+
+  private lazy val df =
+    Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "g", "v")
+
+  test("parquet round trip preserves schema and data") {
+    val p = s"${tmp()}/t.parquet"
+    Sources.writeParquet(df, p)
+    val back = Sources.parquet(spark, p)
+    // parquet reads come back nullable — compare names/types only
+    assert(back.schema.map(f => (f.name, f.dataType))
+      == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("csv round trip with explicit schema (no inference pass)") {
+    val p = s"${tmp()}/t.csv"
+    Sources.writeCsv(df, p)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val back = Sources.csv(spark, p, schema)
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq
+      == df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("json-lines round trip with explicit schema") {
+    val p = s"${tmp()}/t.json"
+    Sources.writeJsonLines(df, p)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val back = Sources.jsonLines(spark, p, schema)
+    assert(back.count() == 3)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val p = s"${tmp()}/part"
+    Sources.writePartitioned(df, p, Seq("g"))
+    // directory layout is hive-style
+    assert(new java.io.File(p).listFiles().exists(_.getName.startsWith("g=")))
+    val pruned = Sources.parquet(spark, p).filter(col("g") === "a")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(g"), plan)
+  }
+}
