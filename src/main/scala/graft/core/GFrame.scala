@@ -146,6 +146,24 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(df.groupBy(groupCol).pivot(pivotCol, values).agg(aggExpr),
       groupCol)
 
+  // ------------------------------------------------------------ null handling
+
+  /** Replace nulls in the named columns with a constant (pandas fillna). */
+  def fillna(value: Any, cols: Seq[String] = Nil): GFrame = {
+    val targets = if (cols.isEmpty) columns.filterNot(_ == indexName) else cols
+    new GFrame(targets.foldLeft(df)((d, c) =>
+      d.withColumn(c, coalesce(d(c), lit(value)))), indexName)
+  }
+
+  /** Drop rows with nulls in any (or the named) columns (pandas dropna). */
+  def dropna(cols: Seq[String] = Nil): GFrame = {
+    val d = if (cols.isEmpty) df.na.drop() else df.na.drop(cols)
+    new GFrame(d, indexName)
+  }
+
+  /** count/mean/stddev/min/max per numeric column (pandas describe). */
+  def describe(cols: String*): DataFrame = df.describe(cols: _*)
+
   def count(): Long = df.count()
   def show(n: Int = 20): Unit = df.show(n)
   def toDF: DataFrame = df

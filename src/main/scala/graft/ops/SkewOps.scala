@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed.
+  *
+  * AQE's skew-join handling (on by default in Spark 4) splits oversized
+  * shuffle partitions at runtime and is the first line of defense. Salting
+  * is the explicit fallback for the cases AQE can't fix — e.g. one key
+  * carrying 30% of a 100 TB fact table, where even a split partition pins
+  * a single reducer per key-fragment pair on the build side.
+  */
+object SkewOps {
+
+  /** Salted equi-join: the skewed (big) side spreads each key over
+    * `saltBuckets` sub-keys via a deterministic per-row salt; the small
+    * side replicates each row into all buckets (explode of a literal
+    * range — ×saltBuckets rows, so keep the small side small). Result is
+    * row-identical to `big.join(small, key)` but the shuffle partitions by
+    * (key, salt), bounding any reducer to 1/saltBuckets of a hot key.
+    *
+    * `saltSource` must be a (near-)unique column on the big side — the
+    * salt is `xxhash64(saltSource) % saltBuckets`, deterministic so runs
+    * are reproducible (no rand()). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltSource: String, saltBuckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(col(saltSource)), lit(saltBuckets.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets - 1L))))
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Key-frequency profile: the top-n heaviest keys with counts and their
+    * share — run this before deciding on salting (one cheap agg). */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
+    val total = df.count()
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .withColumn("share", round(col("cnt") / lit(total.toDouble), 6))
+      .orderBy(col("cnt").desc)
+      .limit(topN)
+  }
+}

@@ -152,6 +152,18 @@ object FrameQueries {
         .pivot("l_returnflag", Seq("A", "N", "R"))
         .agg(round(sum(col("l_quantity")), 2))
         .orderBy("l_linestatus"))
+    ,
+    // Salted join (skew mitigation): row-identical to the plain join —
+    // the oracle IS the plain join — but shuffles on (key, salt) so a hot
+    // key spreads over 8 reducers.
+    "f14_salted_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      graft.ops.SkewOps.saltedJoin(o, c, "c_custkey", "o_orderkey", 8)
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -215,6 +227,10 @@ object FrameQueries {
            round(sum(l_quantity) FILTER (l_returnflag = 'A'), 2) AS A,
            round(sum(l_quantity) FILTER (l_returnflag = 'N'), 2) AS N,
            round(sum(l_quantity) FILTER (l_returnflag = 'R'), 2) AS R
-         FROM lineitem GROUP BY 1 ORDER BY 1"""
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "f14_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1"""
   )
 }
