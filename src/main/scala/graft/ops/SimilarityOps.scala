@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   *    candidates. At 100 TB the bucket join replaces the full scan per
   *    query; recall < 1 (tunable via planes/probes).
   *
-  * All vector math is native expressions (zip_with/aggregate folds in
-  * double) — no UDFs, codegen'd, and bit-compatible with the DuckDB oracle.
+  * All vector math is native expressions — the per-pair dot product is the
+  * custom codegen'd [[graft.functions.DotProduct]] (higher-order folds are
+  * interpreted; see its Scaladoc), bit-compatible with the DuckDB oracle.
+  * Requires sessions built with GraftExtensions (all graft mains are).
   */
 object SimilarityOps {
 
@@ -31,7 +33,7 @@ object SimilarityOps {
     val c = DedupOps.normalized(corpus, idCol, vecCol, "nid", "ce")
     val q = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
     c.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("sim", DedupOps.dot(col("ce"), col("qe")))
+      .withColumn("sim", graft.functions.DotProduct.dotNative(col("ce"), col("qe")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)
@@ -93,7 +95,7 @@ object SimilarityOps {
     c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("nid") =!= col("qid"))
       .select("qid", "qid_e", "nid", "nid_e").distinct()
-      .withColumn("sim", DedupOps.dot(col("nid_e"), col("qid_e")))
+      .withColumn("sim", graft.functions.DotProduct.dotNative(col("nid_e"), col("qid_e")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)
