@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.core.Series
+
+/** Property tests for the arithmetic laws (SURVEY §5 plan): floordiv =
+  * floor(truediv), scalar-op linearity, rename idempotence, aggregation
+  * invariance under value-preserving ops. Small generated vectors — the
+  * laws are per-element, scale-independent. */
+class PropertySpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  /** Minimal deterministic property harness (the scalatest-scalacheck
+    * bridge isn't on the offline classpath): sample `n` cases from the
+    * generator with a fixed seed and run the assertion block on each. */
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B], n: Int = 20)(
+      f: (A, B) => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to n).foreach { _ =>
+      val a = ga.pureApply(Gen.Parameters.default, seed)
+      val b = gb.pureApply(Gen.Parameters.default, seed.next)
+      seed = seed.next.next
+      f(a, b)
+    }
+  }
+  private def forAll[A](ga: Gen[A], n: Int)(f: A => Unit): Unit =
+    forAll(ga, Gen.const(()), n)((a, _) => f(a))
+
+  private val vecGen: Gen[List[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0))
+
+  private def values(s: Series): Seq[Any] =
+    s.df.orderBy(s.df(s.indexName)).collect().map(_.get(1)).toSeq
+
+  test("floorDiv(k) == floor(truediv k) for nonzero k") {
+    forAll(vecGen, Gen.choose(1.0, 50.0)) { (xs: List[Double], k: Double) =>
+      val s = Series.fromSeq(spark, xs)
+      val lhs = values(s.floorDiv(k)).map(_.asInstanceOf[Long])
+      val rhs = xs.map(x => math.floor(x / k).toLong)
+      assert(lhs == rhs)
+    }
+  }
+
+  test("(s + a) - a round-trips within 1 ulp-ish tolerance") {
+    forAll(vecGen, Gen.choose(-100.0, 100.0)) { (xs: List[Double], a: Double) =>
+      val s = Series.fromSeq(spark, xs)
+      val back = values((s + a) - a).map(_.asInstanceOf[Double])
+      assert(back.zip(xs).forall { case (b, x) => math.abs(b - x) <= 1e-9 * (math.abs(x) + 1) })
+    }
+  }
+
+  test("rename is idempotent and last-write-wins") {
+    forAll(Gen.identifier.suchThat(_.nonEmpty), 20) { (n: String) =>
+      val s = Series.fromSeq(spark, Seq(1L, 2L)).rename(n).rename(n)
+      assert(s.name == n && s.df.schema.names.contains(n))
+    }
+  }
+
+  test("sum is invariant under index rename; mask(all-true) preserves sum") {
+    forAll(vecGen, 20) { (xs: List[Double]) =>
+      val s = Series.fromSeq(spark, xs)
+      assert(s.renameIndex("other").sum() == s.sum())
+      assert(s.where(_.isNotNull).sum() == s.sum())
+    }
+  }
+
+  test("scalar multiply scales the sum linearly") {
+    forAll(vecGen, Gen.choose(-10.0, 10.0)) { (xs: List[Double], k: Double) =>
+      val s = Series.fromSeq(spark, xs)
+      val scaled = (s * k).sum().asInstanceOf[Double]
+      val direct = xs.map(_ * k).sum
+      assert(math.abs(scaled - direct) <= 1e-6 * (math.abs(direct) + 1))
+    }
+  }
+}
