@@ -137,6 +137,21 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     withColumn(name, lag(c, offset).over(
       Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
 
+  /** Unpivot/melt (pandas melt): wide metric columns → (variable, value)
+    * rows. Native Expand node — one pass, no join/union of scans. */
+  def melt(valueCols: Seq[String], varName: String = "variable",
+           valueName: String = "value"): GFrame = {
+    val ids = columns.filterNot(valueCols.contains).map(df(_))
+    new GFrame(df.unpivot(ids.toArray, valueCols.map(df(_)).toArray,
+      varName, valueName), indexName)
+  }
+
+  /** Pre-partition on join/agg keys so downstream stages reuse the
+    * partitioning instead of re-shuffling (pair with Sources.writeBucketed
+    * for the on-disk equivalent). */
+  def repartitionBy(cols: Column*): GFrame =
+    new GFrame(df.repartition(cols: _*), indexName)
+
   // ------------------------------------------------------------------ pivot
 
   /** Pivot `pivotCol` over explicit values (explicit → single pass, no

@@ -163,7 +163,16 @@ object FrameQueries {
       graft.ops.SkewOps.saltedJoin(o, c, "c_custkey", "o_orderkey", 8)
         .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")
-    })
+    }),
+
+    // Unpivot/melt: wide metrics → long rows via a single Expand pass.
+    "f15_melt" -> ((s, d) =>
+      GFrame.fromDF(Tables.lineitem(s, d)
+          .withColumn("idx", liIdx)
+          .select("idx", "l_quantity", "l_extendedprice", "l_tax"), "idx")
+        .melt(Seq("l_quantity", "l_extendedprice", "l_tax"),
+          "metric", "value")
+        .sortValues(col("idx"), col("metric")).toDF)
   )
 
   val oracles: Map[String, String] = Map(
@@ -231,6 +240,13 @@ object FrameQueries {
     "f14_salted_join" ->
       """SELECT c_mktsegment, count(*) AS cnt
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "f15_melt" ->
+      s"""SELECT $liIdxSql AS idx, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT $liIdxSql, 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT $liIdxSql, 'l_tax', l_tax FROM lineitem
+         ORDER BY idx, metric"""
   )
 }
