@@ -63,7 +63,11 @@ object SparkEntry {
       val px = Series.fromExpr(li, col("l_extendedprice"), "px", liIdx, "idx")
       val disc = Series.fromExpr(li, col("l_discount"), "d", liIdx, "idx")
       val rev = px * ((disc * -1.0) + 1.0)
-      rev.df.agg(round(sum(rev.df(rev.name)), 2).as("revenue"))
+      // decimal accumulation: parallel double sums carry ~1e-5 order noise
+      // at 1e9 magnitude, enough to flip a 2dp rounding boundary vs the
+      // oracle's sequential sum; decimal is exact and order-free.
+      rev.df.agg(round(sum(rev.df(rev.name).cast("decimal(30,8)")), 2)
+        .cast("double").as("revenue"))
     }),
     // §2.1 #10-14: mean/std/min/max + count in one pass (describe-equivalent).
     "s03_describe" -> ((s, d) => {
@@ -164,7 +168,8 @@ object SparkEntry {
     "s01_construct" ->
       s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem ORDER BY idx",
     "s02_sum_revenue" ->
-      "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM lineitem",
+      ("SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) " +
+        "AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue FROM lineitem"),
     "s03_describe" ->
       ("SELECT count(l_quantity) AS cnt, round(avg(l_quantity), 6) AS mean, " +
         "round(stddev_samp(l_quantity), 6) AS std, min(l_quantity) AS min, " +

@@ -52,7 +52,8 @@ object FrameQueries {
       li(s, d).groupBy("l_returnflag", "l_linestatus")
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_px"),
+          round(sum(col("l_extendedprice").cast("decimal(30,8)")), 2)
+            .cast("double").as("sum_px"), // decimal: order-free exact sum
           round(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .sortValues(col("l_returnflag"), col("l_linestatus")).toDF
@@ -65,7 +66,8 @@ object FrameQueries {
       val c = GFrame.fromDF(Tables.customer(s, d), "c_custkey")
       o.join(c, o.df("o_custkey") === c.df("c_custkey"), broadcastRight = true)
         .groupBy("c_mktsegment")
-        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+        .agg(round(sum(col("o_totalprice").cast("decimal(30,8)")), 2)
+          .cast("double").as("sum_price"),
           count(lit(1)).as("cnt"))
         .sortValues(col("c_mktsegment")).toDF
     }),
@@ -81,7 +83,8 @@ object FrameQueries {
         .join(sup, col("l_suppkey") === sup.df("s_suppkey"), broadcastRight = true)
         .join(nat, col("s_nationkey") === nat.df("n_nationkey"), broadcastRight = true)
         .groupBy("n_name")
-        .agg(round(sum(col("revenue")), 2).as("revenue"))
+        .agg(round(sum(col("revenue").cast("decimal(30,8)")), 2)
+          .cast("double").as("revenue"))
         .sortValues(col("n_name")).toDF
     }),
 
@@ -186,17 +189,19 @@ object FrameQueries {
     "f03_q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_px,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_px,
            round(avg(l_discount), 6) AS avg_disc,
            count(*) AS cnt
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
     "f04_join_agg" ->
-      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS sum_price,
+      """SELECT c_mktsegment,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_price,
            count(*) AS cnt
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
     "f05_broadcast_dims" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      """SELECT n_name,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN supplier ON l_suppkey = s_suppkey
          JOIN nation ON s_nationkey = n_nationkey
