@@ -47,8 +47,12 @@ object DedupOps {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double,
                    maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    // The posting list feeds three consumers (self-join both sides + per-doc
+    // sizes); persist it so tokenize+shingle runs once. MEMORY_AND_DISK:
+    // spills instead of recomputing at scale; LRU-evicted when cold.
     val sh = df
       .select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), n)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posted = maxShingleDocFreq match {
       case Some(k) =>
         val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))

@@ -52,7 +52,9 @@ object TextQueries {
     "t04_tfidf" -> ((s, d) => {
       val dd = docs(s, d)
       val n = dd.count() // corpus size: scalar, computed once
+      // two consumers (tf and df branches) — persist to tokenize once
       val toks = dd.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("ntok", sum(col("tf")).over(Window.partitionBy("doc_id")))
       val df_ = toks.select("doc_id", "term").distinct()
