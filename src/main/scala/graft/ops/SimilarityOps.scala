@@ -66,6 +66,79 @@ object SimilarityOps {
     }: _*)
   }
 
+  /** Deterministic Lloyd k-means over an embedding column: seeds are the
+    * first k vectors by id (deterministic, no sampling), `iters` rounds of
+    * assign (broadcast centroids, codegen'd graft_dot on normalized
+    * vectors = cosine assignment) + recompute (groupBy avg). Each round is
+    * one scan + one k-sized aggregation; centroids live on the driver
+    * between rounds (k × dim doubles — the standard bounded state). */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int, dim: Int): Array[Array[Double]] = {
+    val v = DedupOps.normalized(df, idCol, vecCol, "id", "e")
+    var centroids = v.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    (1 to iters).foreach { _ =>
+      val assigned = assignToCentroids(v, centroids)
+      val sums = assigned.groupBy("cluster")
+        .agg(array((0 until dim).map(i =>
+          avg(col("e")(i))): _*).as("centroid"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
+        .map { c => // re-normalize so assignment stays cosine
+          val n = math.sqrt(c.map(x => x * x).sum)
+          if (n == 0) c else c.map(_ / n)
+        }.toArray
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: greatest-of-k struct comparison over
+    * codegen'd dots — one pass, no shuffle. Adds `cluster`. */
+  private def assignToCentroids(vNorm: DataFrame,
+                                centroids: Array[Array[Double]]): DataFrame = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.DotProduct.dotNative(col("e"),
+          array(c.map(lit): _*)).as("sim"),
+        lit(i).as("cluster"))
+    }
+    vNorm.withColumn("cluster", greatest(scored: _*)("cluster"))
+  }
+
+  /** ANN top-k via IVF (inverted file): corpus rows are bucketed by their
+    * nearest k-means centroid once; each query probes only its `nprobe`
+    * closest centroids' buckets. The candidate join is an equi-join on the
+    * cluster id — the query side (small) carries nprobe rows each, the
+    * corpus side streams its bucket assignment. Approximate (recall grows
+    * with nprobe) → rows-only in the driver contract. */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nClusters: Int, nProbe: Int,
+                dim: Int = 64, kmeansIters: Int = 3): DataFrame = {
+    val centroids = kmeans(corpus, idCol, vecCol, nClusters, kmeansIters, dim)
+    val c = assignToCentroids(
+        DedupOps.normalized(corpus, idCol, vecCol, "id", "e"), centroids)
+      .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
+    // query side: top-nprobe centroids per query via posexplode + rank
+    val q0 = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
+    val probed = q0.select(col("qid"), col("qe"),
+        posexplode(array(centroids.map(cen =>
+          graft.functions.DotProduct.dotNative(col("qe"),
+            array(cen.map(lit): _*))): _*)))
+      .toDF("qid", "qe", "cluster", "csim")
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster").asc)))
+      .filter(col("crk") <= nProbe)
+      .select("qid", "qe", "cluster")
+    c.join(broadcast(probed), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", graft.functions.DotProduct.dotNative(col("ce"), col("qe")))
+      .select(col("qid"), col("nid"), col("sim")).distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
   /** ANN top-k via multi-table hyperplane LSH (the classic L×b scheme):
     * each vector lands in one bucket per table; a pair is a candidate if
     * it collides in ANY table (OR across tables — recall 1−(1−p^b)^L for

@@ -32,6 +32,16 @@ object SimilarityQueries {
           "vec_id", "embedding", k = 5, tables = 8, bits = 4)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rk")
+    }),
+
+    // IVF ANN: deterministic k-means buckets, nprobe-closest probed per
+    // query. Approximate → rows-only.
+    "v03_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.ivfSearch(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rk")
     })
   )
 

@@ -105,6 +105,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.95, s"LSH recall $recall below 0.95")
   }
 
+  test("ivfSearch finds planted near neighbors with few probes") {
+    val rnd = new scala.util.Random(11L)
+    val dim = 16
+    val vecs = (0 until 10).flatMap { cl =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 20).map { i =>
+        val v = center.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+        ((cl * 20 + i).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 20 === 0)
+    val exact = SimilarityOps.knnBruteForce(vecs, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val ivf = SimilarityOps.ivfSearch(vecs, q, "vec_id", "embedding", 5,
+        nClusters = 8, nProbe = 3, dim = dim)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9")
+  }
+
   test("annLsh on uniform fixtures returns <= k rows per query (rows-only op)") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val q = e.filter(col("vec_id") < 3)
