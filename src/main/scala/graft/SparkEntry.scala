@@ -160,7 +160,9 @@ object SparkEntry {
     }),
     "s21_nunique" -> ((s, d) => {
       val q = quantity(s, d)
-      q.unique().agg(count(lit(1)).as("n_distinct"))
+      // count_distinct skips nulls — same semantics as Series.nunique and
+      // the oracle's count(DISTINCT ...).
+      q.df.agg(count_distinct(col("qty")).as("n_distinct"))
     })
   )
 

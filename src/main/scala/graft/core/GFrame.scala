@@ -41,9 +41,13 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
   def assign(name: String, s: Series): GFrame =
     if (s.base eq df) withColumn(name, s.values)
     else {
+      // overwrite semantics (pandas df['x'] = s): drop any existing column
+      // of the same name before joining, or the result carries an ambiguous
+      // duplicate.
+      val lhs = df.drop(name)
       val rhs = s.df.select(col(s.indexName).as("__graft_aidx"),
         col(s.name).as(name))
-      new GFrame(df.join(rhs, df(indexName) === col("__graft_aidx"), "left")
+      new GFrame(lhs.join(rhs, lhs(indexName) === col("__graft_aidx"), "left")
         .drop("__graft_aidx"), indexName)
     }
 

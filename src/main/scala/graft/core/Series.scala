@@ -226,8 +226,11 @@ final class Series private[graft] (
   /** Distinct values (pandas unique), as a 1-column frame. */
   def unique(): DataFrame = base.select(valueExpr.as(name)).distinct()
 
-  /** Count of distinct values (pandas nunique). */
-  def nunique(): Long = unique().count()
+  /** Count of distinct non-null values (pandas nunique, dropna=true —
+    * and SQL count(DISTINCT) semantics; unique() by contrast keeps null,
+    * like pandas unique()). */
+  def nunique(): Long =
+    base.filter(valueExpr.isNotNull).select(valueExpr).distinct().count()
 
   /** Replace nulls with a constant (pandas fillna). */
   def fillna(v: Any): Series = withValue(coalesce(valueExpr, lit(v)))

@@ -41,8 +41,11 @@ object DedupOps {
     *
     * `maxShingleDocFreq`: drop shingles appearing in more than K docs
     * before pairing (stop-shingle cap). At 100 TB this bounds the posting
-    * lists and therefore join skew; it is a recall-preserving approximation
-    * for near-dup use (ubiquitous shingles carry no signal). None = exact.
+    * lists and therefore join skew. With the cap on, BOTH intersections and
+    * set sizes use the capped shingle universe — i.e. the result is exact
+    * Jaccard over non-ubiquitous shingles (mixing capped intersections with
+    * uncapped sizes would bias scores downward). None = exact over all
+    * shingles.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double,
@@ -55,12 +58,18 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posted = maxShingleDocFreq match {
       case Some(k) =>
-        val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= k).select("sh")
-        sh.join(broadcast(dfreq), "sh")
+        // anti-join against the HOT set (df > k): that set is bounded by
+        // |postings|/k, so it broadcasts safely at any corpus size — the
+        // kept set is nearly all shingles and must never be broadcast.
+        val hot = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > k).select("sh")
+        sh.join(broadcast(hot), Seq("sh"), "left_anti")
       case None => sh
     }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    // sizes from the SAME (possibly capped) posting list as the
+    // intersections — mixing capped inter with uncapped sizes biases
+    // Jaccard downward and silently drops true near-dups.
+    val sizes = posted.groupBy("id").agg(count(lit(1)).as("nsh"))
     val inter = posted.as("a")
       .join(posted.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -176,6 +185,9 @@ object DedupOps {
     * lossless for maxHamming ≤ 3. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
+    // pigeonhole over 4 bands only guarantees a shared band for <= 3
+    // differing bits; beyond that the blocking silently loses pairs.
+    require(maxHamming <= 3, "4-band blocking is lossless only for maxHamming <= 3")
     val sigs = df
       .select(col(idCol).as("id"),
         transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
@@ -234,8 +246,11 @@ object DedupOps {
     * build side) and each partition streams its rows against it in a tight
     * JVM loop — the O(n²) dot products are JIT'd scalar code instead of 2M
     * interpreted zip_with folds (26s → ~2s at sf0.1), and the corpus side
-    * still scans/parallelizes normally. Sequential accumulation matches
-    * DuckDB's fold bit-for-bit. The scale path past broadcastable sides is
+    * still scans/parallelizes normally. Accumulation is sequential like
+    * DuckDB's, but normalize-then-dot differs from DuckDB's dot-then-divide
+    * by ~1 ulp — harmless under 6dp-rounded oracles unless a value sits
+    * within ~1e-15 of the threshold/rounding boundary (check fixtures when
+    * picking thresholds). The scale path past broadcastable sides is
     * [[SimilarityOps.annLsh]] (hyperplane-bucketed candidates). */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double): DataFrame = {

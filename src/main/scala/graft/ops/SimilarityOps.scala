@@ -57,8 +57,9 @@ object SimilarityOps {
     val hp = hyperplanes(tables * bits, dim)
     def signBit(p: Int, weight: Long): Column = {
       val w = array(hp(p).map(lit): _*)
-      val dot = aggregate(zip_with(vec, w, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+      // codegen'd dot — 32 interpreted folds per row was the exact cost
+      // DotProduct exists to remove.
+      val dot = graft.functions.DotProduct.dotNative(vec, w)
       when(dot >= 0, lit(weight)).otherwise(lit(0L))
     }
     array((0 until tables).map { t =>
@@ -129,10 +130,12 @@ object SimilarityOps {
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster").asc)))
       .filter(col("crk") <= nProbe)
       .select("qid", "qe", "cluster")
+    // no distinct: each corpus row has exactly one cluster and probed
+    // clusters are unique per query, so (qid, nid) pairs can't repeat.
     c.join(broadcast(probed), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("sim", graft.functions.DotProduct.dotNative(col("ce"), col("qe")))
-      .select(col("qid"), col("nid"), col("sim")).distinct()
+      .select(col("qid"), col("nid"), col("sim"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)

@@ -26,6 +26,11 @@ object SkewOps {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltSource: String, saltBuckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    // right/full outer would surface the small side's unmatched REPLICAS
+    // as spurious null-padded rows (one per empty salt bucket).
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti")
+      .contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left-ish joins, not $joinType")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(saltSource)), lit(saltBuckets.toLong)))
     val replicated = small.withColumn("__salt",

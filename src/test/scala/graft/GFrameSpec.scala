@@ -30,6 +30,16 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(rows(out).map(_.last) == Seq(100.0, null, 300.0, null))
   }
 
+  test("cross-frame assign OVERWRITES an existing column (pandas semantics)") {
+    val other = Series.fromPairs(spark, Seq((1L, -1.0), (2L, -2.0)), name = "v")
+    val out = gf.assign("v", other) // "v" already exists on gf
+    assert(out.columns.count(_ == "v") == 1)
+    // NB the re-assigned column moves to the end (drop + join append)
+    assert(rows(out).map(_.last) == Seq(-1.0, -2.0, null, null))
+    // and the column stays addressable (no ambiguous reference)
+    assert(out.filter(col("v") === -1.0).count() == 1)
+  }
+
   test("select retains the index; filter/where") {
     assert(gf.select("v").columns == Seq("id", "v"))
     assert(gf.filter(col("v") > 25.0).count() == 2)

@@ -63,6 +63,15 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(pairs.nonEmpty)
   }
 
+  test("capped jaccard uses the capped universe for BOTH inter and sizes") {
+    // cap=2 drops the 6 shingles shared by docs 1,2,4 (df=3). Survivors:
+    // docs 1,4 keep only "the lazy dog" -> inter=1, sizes 1,1 -> jaccard 1.
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, maxShingleDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(pairs == Seq((1L, 4L, 1.0)))
+  }
+
   test("cosine matches hand computation, in double") {
     val df = Seq((1L, Array(1.0f, 0.0f), Array(1.0f, 1.0f)))
       .toDF("id", "a", "b")
