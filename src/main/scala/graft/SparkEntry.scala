@@ -163,6 +163,28 @@ object SparkEntry {
       // count_distinct skips nulls — same semantics as Series.nunique and
       // the oracle's count(DISTINCT ...).
       q.df.agg(count_distinct(col("qty")).as("n_distinct"))
+    }),
+    // shift/diff over the customer balance series (1500 rows — the global
+    // ordered window is fine; keyed partitioning is the scale path).
+    "s22_shift_diff" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
+        .rename("bal").renameIndex("idx")
+      val shifted = bal.shift(1).rename("prev")
+      val delta = bal.diff(1).transform(round(_, 2), "delta")
+      shifted.df.join(delta.df, "idx")
+        .select("idx", "prev", "delta").orderBy("idx")
+    }),
+    // average-method rank (pandas rank()) over supplier balances.
+    "s23_rank" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.supplier(s, d), "s_acctbal", "s_suppkey")
+        .rename("bal").renameIndex("idx")
+      ordered(bal.rank().rename("rk"))
+    }),
+    // trailing-5 rolling mean, null until the window fills.
+    "s24_rolling_mean" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
+        .rename("bal").renameIndex("idx")
+      ordered(bal.rollingMean(5).transform(round(_, 6), "roll5"))
     })
   )
 
@@ -224,7 +246,21 @@ object SparkEntry {
       (s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem " +
         "WHERE l_quantity BETWEEN 10 AND 20 ORDER BY idx"),
     "s21_nunique" ->
-      "SELECT CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct FROM lineitem"
+      "SELECT CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct FROM lineitem",
+    "s22_shift_diff" ->
+      ("SELECT c_custkey AS idx, lag(c_acctbal) OVER (ORDER BY c_custkey) AS prev, " +
+        "round(c_acctbal - lag(c_acctbal) OVER (ORDER BY c_custkey), 2) AS delta " +
+        "FROM customer ORDER BY idx"),
+    "s23_rank" ->
+      ("SELECT s_suppkey AS idx, " +
+        "CAST(rank() OVER (ORDER BY s_acctbal) AS DOUBLE) + " +
+        "(count(*) OVER (PARTITION BY s_acctbal) - 1) / 2.0 AS rk " +
+        "FROM supplier ORDER BY idx"),
+    "s24_rolling_mean" ->
+      ("SELECT c_custkey AS idx, round(CASE WHEN count(c_acctbal) OVER w = 5 " +
+        "THEN avg(c_acctbal) OVER w END, 6) AS roll5 FROM customer " +
+        "WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY idx")
   )
 
   // ============================================ placeholders (filled by round)

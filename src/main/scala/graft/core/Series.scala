@@ -271,6 +271,43 @@ final class Series private[graft] (
   def nsmallest(n: Int): Series = Series.fromKeyed(
     df.orderBy(col(name).asc, col(indexName).asc).limit(n), name, indexName)
 
+  private def ixWindow =
+    org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
+
+  /** Value shifted by `n` positions in index order (pandas shift) —
+    * null-padded. Global ordered window: single-partition; partition by a
+    * key upstream at scale (see cumsum note). */
+  def shift(n: Int = 1): Series = withValue(lag(valueExpr, n).over(ixWindow))
+
+  /** First discrete difference v - v.shift(n) (pandas diff). */
+  def diff(n: Int = 1): Series =
+    withValue(valueExpr - lag(valueExpr, n).over(ixWindow))
+
+  /** Fractional change from the previous value (pandas pct_change). */
+  def pctChange(): Series = {
+    val prev = lag(valueExpr, 1).over(ixWindow)
+    withValue((valueExpr - prev) / prev)
+  }
+
+  /** Rank of each value, average method like pandas rank(): ties share the
+    * mean of their positions. */
+  def rank(): Series = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(valueExpr)
+    // avg of row_numbers within a tie group == rank + (count-1)/2
+    withValue(F.rank().over(w).cast("double")
+      + (F.count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)) - 1)
+        .cast("double") / 2.0)
+  }
+
+  /** Rolling mean over the trailing `n` values in index order (pandas
+    * rolling(n).mean() with min_periods=n → null until the window fills). */
+  def rollingMean(n: Int): Series = {
+    val w = ixWindow.rowsBetween(-(n - 1), 0)
+    withValue(when(F.count(valueExpr).over(w) === n,
+      avg(valueExpr).over(w)))
+  }
+
   /** Sort by value (pandas sort_values). */
   def sortValues(ascending: Boolean = true): Series = Series.fromKeyed(
     df.orderBy(if (ascending) col(name).asc else col(name).desc), name,

@@ -30,6 +30,14 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("total"))
 
+  /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
+    * watermark horizon (state is bounded by the watermark — the streaming
+    * twin of [[graft.ops.DedupOps.exactDedupBy]]). */
+  def dedupStream(events: DataFrame, watermarkDelay: String,
+                  keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** One event in, session updates out. */
   final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                  session_end: Timestamp, n_events: Long,

@@ -145,4 +145,29 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
   test("repr is lazy — no count (series.py:248-252 divergence)") {
     assert(s.toString == "graft.Series[name: some_name, index: index]")
   }
+
+  test("shift/diff/pctChange null-pad the head (pandas)") {
+    val v = Series.fromSeq(spark, Seq(10.0, 20.0, 25.0))
+    assert(valuesOf(v.shift(1)) == Seq(null, 10.0, 20.0))
+    assert(valuesOf(v.diff(1)) == Seq(null, 10.0, 5.0))
+    assert(valuesOf(v.pctChange()) == Seq(null, 1.0, 0.25))
+  }
+
+  test("rank uses the average method for ties (pandas rank())") {
+    val v = Series.fromSeq(spark, Seq(30.0, 10.0, 10.0, 20.0))
+    // sorted: 10,10,20,30 -> positions 1,2,3,4; ties 10 share (1+2)/2=1.5
+    assert(valuesOf(v.rank()) == Seq(4.0, 1.5, 1.5, 3.0))
+  }
+
+  test("rollingMean is null until the window fills (min_periods=n)") {
+    val v = Series.fromSeq(spark, Seq(1.0, 2.0, 3.0, 4.0))
+    assert(valuesOf(v.rollingMean(3)) == Seq(null, null, 2.0, 3.0))
+  }
+
+  test("nunique drops nulls; unique keeps them (pandas split semantics)") {
+    val v = Series.fromPairs(spark,
+      Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a")))
+    assert(v.nunique() == 1L)
+    assert(v.unique().count() == 2L)
+  }
 }

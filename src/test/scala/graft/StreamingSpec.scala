@@ -59,6 +59,23 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeats within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val events = input.toDF.toDF("ts", "user_id", "event_type")
+    val deduped = StreamOps.dedupStream(events, "10 minutes",
+      Seq("user_id", "event_type"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "click"), (ts(1), 1L, "click"),
+        (ts(2), 2L, "click"), (ts(3), 1L, "buy"))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0)
+      assert(n == 3) // the duplicate (1, click) at ts(1) dropped
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq((ts(5), "a", 1.0), (ts(15), "a", 2.0), (ts(45), "b", 3.0))
