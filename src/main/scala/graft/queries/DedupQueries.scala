@@ -58,7 +58,25 @@ object DedupQueries {
       DedupOps.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
           "embedding", threshold = 0.5)
         .withColumn("sim", round(col("sim"), 6))
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    // End-to-end training-data pipeline capstone: quality-filter the corpus,
+    // drop the higher-id doc of every near-dup pair, emit survivors with
+    // token counts + fingerprints. Composes TextOps + DedupOps; the dedup
+    // drop-set join is left_anti on doc_id (keyed, no collection).
+    "d07_pipeline" -> ((s, d) => {
+      import graft.ops.TextOps
+      val docs = Tables.documents(s, d)
+      val losers = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .select(col("id2").as("doc_id")).distinct()
+      docs
+        .filter(TextOps.qualityScore(col("text")) >= 0.35)
+        .join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    })
   )
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -105,6 +123,29 @@ object DedupQueries {
            round(list_cosine_similarity(a.e, b.e), 6) AS sim
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.e, b.e) >= 0.5
-         ORDER BY id1, id2"""
+         ORDER BY id1, id2""",
+    "d07_pipeline" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         losers AS (
+           SELECT DISTINCT b.doc_id
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN sizes s1 ON a.doc_id = s1.doc_id
+           JOIN sizes s2 ON b.doc_id = s2.doc_id
+           GROUP BY a.doc_id, b.doc_id, s1.nsh, s2.nsh
+           HAVING count(*) * 1.0 / (s1.nsh + s2.nsh - count(*)) >= 0.5),
+         q AS (SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           FROM documents)
+         SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+           md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
+         FROM q
+         WHERE round(least(length(text) / 500.0, 1.0) * greatest(0.0,
+             1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               len(list_filter(ts, x -> x IN ('the','a','an','of','and','to',
+                 'in','is','on','for','with'))) * 1.0 / len(ts) END) * 2.0),
+             6) >= 0.35
+           AND doc_id NOT IN (SELECT doc_id FROM losers)
+         ORDER BY doc_id"""
   )
 }
