@@ -168,6 +168,32 @@ object FrameQueries {
         .orderBy("c_mktsegment")
     }),
 
+    // TPC-H Q3 analog: 3-way join with selective filters on both dims,
+    // revenue per order, top 10. Dims broadcast; lineitem streams.
+    "f16_q3_shipping" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val liDf = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      GFrame.fromDF(liDf, "l_orderkey")
+        .join(GFrame.fromDF(o, "o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), broadcastRight = true)
+        .join(GFrame.fromDF(cust, "c_custkey"),
+          col("o_custkey") === col("c_custkey"), broadcastRight = true)
+        .groupBy("l_orderkey", "o_orderdate")
+        // per-row product in double (exact IEEE both engines), then decimal
+        // ACCUMULATION — decimal×decimal precision/scale rules differ
+        // across engines, so never multiply in decimal.
+        .agg(round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(30,8)")), 2)
+          .cast("double").as("revenue"))
+        .sortValues(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10).toDF
+    }),
+
     // Unpivot/melt: wide metrics → long rows via a single Expand pass.
     "f15_melt" -> ((s, d) =>
       GFrame.fromDF(Tables.lineitem(s, d)
@@ -246,6 +272,18 @@ object FrameQueries {
       """SELECT c_mktsegment, count(*) AS cnt
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY 1 ORDER BY 1""",
+    "f16_q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate,
+           CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY 1, 2
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "f15_melt" ->
       s"""SELECT $liIdxSql AS idx, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
          UNION ALL
