@@ -185,6 +185,15 @@ object SparkEntry {
       val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
         .rename("bal").renameIndex("idx")
       ordered(bal.rollingMean(5).transform(round(_, 6), "roll5"))
+    }),
+    // exact interpolated quartiles (percentile, not the approx sketch —
+    // sketches aren't cross-engine comparable).
+    "s25_quantiles" -> ((s, d) => {
+      val q = quantity(s, d)
+      q.df.agg(
+        round(percentile(col("qty"), lit(0.25)), 6).as("q25"),
+        round(percentile(col("qty"), lit(0.5)), 6).as("median"),
+        round(percentile(col("qty"), lit(0.75)), 6).as("q75"))
     })
   )
 
@@ -260,7 +269,11 @@ object SparkEntry {
       ("SELECT c_custkey AS idx, round(CASE WHEN count(c_acctbal) OVER w = 5 " +
         "THEN avg(c_acctbal) OVER w END, 6) AS roll5 FROM customer " +
         "WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) " +
-        "ORDER BY idx")
+        "ORDER BY idx"),
+    "s25_quantiles" ->
+      ("SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25, " +
+        "round(quantile_cont(l_quantity, 0.5), 6) AS median, " +
+        "round(quantile_cont(l_quantity, 0.75), 6) AS q75 FROM lineitem")
   )
 
   // ============================================ placeholders (filled by round)

@@ -89,6 +89,13 @@ final class Series private[graft] (
   /** count/mean/stddev/min/max (ref: series.py:152-153). */
   def describe(): DataFrame = df.describe(name)
 
+  /** Exact interpolated quantile (pandas quantile / SQL percentile_cont).
+    * Exact — uses the sort-based percentile aggregate, not the sketch
+    * (percentile_approx), so results match other engines bit-for-bit. */
+  def quantile(p: Double): Any =
+    aggScalar(percentile(valueExpr, lit(p)))
+  def median(): Any = quantile(0.5)
+
   /** All scalar aggregations in one pass (single scan). */
   def summary1: DataFrame = base.agg(
     count(valueExpr).as("count"),

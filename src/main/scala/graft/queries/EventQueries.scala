@@ -39,6 +39,18 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // JSON scalar functions: parse the props JSON column, extract k, and
+    // aggregate — get_json_object is codegen'd, no UDF.
+    "e05_json_extract" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n"),
+          round(avg(col("k")), 6).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // Hourly share of each event type: agg then window-over-agg (two-level:
     // bucket counts, then normalize within the hour).
     "e04_hourly_share" -> ((s, d) => {
@@ -84,6 +96,12 @@ object EventQueries {
            round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mavg
          FROM events ORDER BY event_id""",
+    "e05_json_extract" ->
+      """SELECT event_type,
+           count(CAST(props->>'$.k' AS BIGINT)) AS n,
+           round(avg(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+           max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
     "e04_hourly_share" ->
       """WITH hourly AS (
            SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS n
