@@ -164,15 +164,19 @@ object SparkEntry {
       // the oracle's count(DISTINCT ...).
       q.df.agg(count_distinct(col("qty")).as("n_distinct"))
     }),
-    // shift/diff over the customer balance series (1500 rows — the global
-    // ordered window is fine; keyed partitioning is the scale path).
+    // shift/diff/pct_change over the customer balance series — all three
+    // window expressions in ONE projection over one scan (the same-base
+    // design point; a join of per-Series frames would scan + sort twice).
     "s22_shift_diff" -> ((s, d) => {
-      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
-        .rename("bal").renameIndex("idx")
-      val shifted = bal.shift(1).rename("prev")
-      val delta = bal.diff(1).transform(round(_, 2), "delta")
-      shifted.df.join(delta.df, "idx")
-        .select("idx", "prev", "delta").orderBy("idx")
+      val cust = Tables.customer(s, d)
+      val bal = Series.fromColumn(cust, "c_acctbal", "c_custkey")
+      // select the lazy window expressions against the SHARED base frame
+      cust.select(
+        col("c_custkey").as("idx"),
+        bal.shift(1).values.as("prev"),
+        round(bal.diff(1).values, 2).as("delta"),
+        round(bal.pctChange().values, 6).as("pct"))
+        .orderBy("idx")
     }),
     // average-method rank (pandas rank()) over supplier balances.
     "s23_rank" -> ((s, d) => {
@@ -258,7 +262,10 @@ object SparkEntry {
       "SELECT CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct FROM lineitem",
     "s22_shift_diff" ->
       ("SELECT c_custkey AS idx, lag(c_acctbal) OVER (ORDER BY c_custkey) AS prev, " +
-        "round(c_acctbal - lag(c_acctbal) OVER (ORDER BY c_custkey), 2) AS delta " +
+        "round(c_acctbal - lag(c_acctbal) OVER (ORDER BY c_custkey), 2) AS delta, " +
+        // nullif mirrors try_divide (DuckDB double/0 -> inf, not null)
+        "round((c_acctbal - lag(c_acctbal) OVER (ORDER BY c_custkey)) " +
+        "/ nullif(lag(c_acctbal) OVER (ORDER BY c_custkey), 0), 6) AS pct " +
         "FROM customer ORDER BY idx"),
     "s23_rank" ->
       ("SELECT s_suppkey AS idx, " +

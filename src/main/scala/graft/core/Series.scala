@@ -290,26 +290,32 @@ final class Series private[graft] (
   def diff(n: Int = 1): Series =
     withValue(valueExpr - lag(valueExpr, n).over(ixWindow))
 
-  /** Fractional change from the previous value (pandas pct_change). */
+  /** Fractional change from the previous value (pandas pct_change).
+    * try_divide: a zero previous value yields null, not a DIVIDE_BY_ZERO
+    * abort under Spark 4's default ANSI mode. */
   def pctChange(): Series = {
     val prev = lag(valueExpr, 1).over(ixWindow)
-    withValue((valueExpr - prev) / prev)
+    withValue(try_divide(valueExpr - prev, prev))
   }
 
   /** Rank of each value, average method like pandas rank(): ties share the
-    * mean of their positions. */
+    * mean of their positions; null values rank as null (nulls sort LAST in
+    * the window so they never shift real ranks). */
   def rank(): Series = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(valueExpr)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(valueExpr.asc_nulls_last)
     // avg of row_numbers within a tie group == rank + (count-1)/2
-    withValue(F.rank().over(w).cast("double")
-      + (F.count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)) - 1)
-        .cast("double") / 2.0)
+    withValue(when(valueExpr.isNotNull,
+      F.rank().over(w).cast("double")
+        + (F.count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)) - 1)
+          .cast("double") / 2.0))
   }
 
   /** Rolling mean over the trailing `n` values in index order (pandas
     * rolling(n).mean() with min_periods=n → null until the window fills). */
   def rollingMean(n: Int): Series = {
+    require(n >= 1, "rolling window size must be >= 1")
     val w = ixWindow.rowsBetween(-(n - 1), 0)
     withValue(when(F.count(valueExpr).over(w) === n,
       avg(valueExpr).over(w)))

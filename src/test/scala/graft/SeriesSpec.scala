@@ -159,6 +159,25 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(valuesOf(v.rank()) == Seq(4.0, 1.5, 1.5, 3.0))
   }
 
+  test("rank leaves nulls null and does not shift real ranks (pandas)") {
+    val v = Series.fromPairs(spark,
+      Seq((1L, java.lang.Double.valueOf(2.0)), (2L, null.asInstanceOf[java.lang.Double]),
+        (3L, java.lang.Double.valueOf(1.0))))
+    assert(valuesOf(v.rank()) == Seq(2.0, null, 1.0))
+  }
+
+  test("pctChange yields null on a zero previous value (ANSI-safe)") {
+    val v = Series.fromSeq(spark, Seq(0.0, 5.0, 10.0))
+    assert(valuesOf(v.pctChange()) == Seq(null, null, 1.0))
+  }
+
+  test("quantile/median use exact interpolation (pandas linear)") {
+    val v = Series.fromSeq(spark, Seq(1.0, 2.0, 3.0, 4.0))
+    assert(v.median() == 2.5)
+    assert(v.quantile(0.25) == 1.75)
+    assert(s.median() == 504.5) // range(10, 1000)
+  }
+
   test("rollingMean is null until the window fills (min_periods=n)") {
     val v = Series.fromSeq(spark, Seq(1.0, 2.0, 3.0, 4.0))
     assert(valuesOf(v.rollingMean(3)) == Seq(null, null, 2.0, 3.0))
