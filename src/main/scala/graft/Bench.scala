@@ -12,6 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up pass: run every query once (JIT compilation, codegen caches,
+    // parquet footer reads, shuffle-service spin-up) and measure the second
+    // run — without it, per-query numbers move ±3× between rounds purely on
+    // map-iteration order (whichever query ran first paid the JVM warm-up).
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

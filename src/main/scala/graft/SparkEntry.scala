@@ -198,6 +198,41 @@ object SparkEntry {
         round(percentile(col("qty"), lit(0.25)), 6).as("q25"),
         round(percentile(col("qty"), lit(0.5)), 6).as("median"),
         round(percentile(col("qty"), lit(0.75)), 6).as("q75"))
+    }),
+    // PARTITIONED window ops — the 100 TB-safe siblings of s18/s22/s23/s24:
+    // per-nation cumulative/lagged/rolling/ranked customer balances, all
+    // windows partitionBy(c_nationkey) → ONE shuffle on the key, per-group
+    // sort, no single-task global window. All four expressions share the
+    // base frame, so they compose into a single Window stage over one scan.
+    "s26_keyed_windows" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val bal = Series.fromColumn(cust, "c_acctbal", "c_custkey")
+      val nat = col("c_nationkey")
+      cust.select(
+        col("c_custkey").as("idx"),
+        nat.as("nat"),
+        round(bal.cumsumBy(nat).values, 2).as("cum"),
+        bal.shiftBy(nat).values.as("prev"),
+        round(bal.rollingMeanBy(nat, 3).values, 6).as("roll3"),
+        bal.rankBy(nat).values.as("rk"))
+        .orderBy("idx")
+    }),
+    // Series-vs-Series comparison mask (pandas s1[s1 > s2]): same-base
+    // comparison composes into one scanned predicate — no join, pushed to
+    // the parquet scan.
+    "s27_cmp_mask" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val px = Series.fromExpr(li, col("l_extendedprice"), "px", liIdx, "idx")
+      val qty = Series.fromExpr(li, col("l_quantity"), "q", liIdx, "idx")
+      ordered(px.mask(px > (qty * 1000.0)))
+    }),
+    // Dict-map with na_action (pandas map(dict, na_action='ignore')) via a
+    // literal broadcast map; missing keys → null (flag 'R' is unmapped).
+    "s28_map_na" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val flag = Series.fromExpr(li, col("l_returnflag"), "fl", liIdx, "idx")
+      ordered(flag.mapValues(Map("A" -> "accepted", "N" -> "none"),
+        naAction = Some("ignore")))
     })
   )
 
@@ -280,7 +315,24 @@ object SparkEntry {
     "s25_quantiles" ->
       ("SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25, " +
         "round(quantile_cont(l_quantity, 0.5), 6) AS median, " +
-        "round(quantile_cont(l_quantity, 0.75), 6) AS q75 FROM lineitem")
+        "round(quantile_cont(l_quantity, 0.75), 6) AS q75 FROM lineitem"),
+    "s26_keyed_windows" ->
+      ("SELECT c_custkey AS idx, c_nationkey AS nat, " +
+        "round(sum(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum, " +
+        "lag(c_acctbal) OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS prev, " +
+        "round(CASE WHEN count(c_acctbal) OVER w3 = 3 THEN avg(c_acctbal) OVER w3 END, 6) AS roll3, " +
+        "CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS DOUBLE) + " +
+        "(count(*) OVER (PARTITION BY c_nationkey, c_acctbal) - 1) / 2.0 AS rk " +
+        "FROM customer " +
+        "WINDOW w3 AS (PARTITION BY c_nationkey ORDER BY c_custkey " +
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) ORDER BY idx"),
+    "s27_cmp_mask" ->
+      (s"SELECT $liIdxSql AS idx, l_extendedprice AS px FROM lineitem " +
+        "WHERE l_extendedprice > l_quantity * 1000.0 ORDER BY idx"),
+    "s28_map_na" ->
+      (s"SELECT $liIdxSql AS idx, CASE l_returnflag WHEN 'A' THEN 'accepted' " +
+        "WHEN 'N' THEN 'none' END AS fl FROM lineitem ORDER BY idx")
   )
 
   // ============================================ placeholders (filled by round)

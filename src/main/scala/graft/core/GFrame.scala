@@ -115,6 +115,15 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(df.join(rhs, joinExpr, joinType), indexName)
   }
 
+  /** Equi-join pinned to a shuffle SortMergeJoin (`"merge"` strategy hint) —
+    * the large⨝large bread-and-butter plan at 100 TB: both sides shuffle on
+    * the join key and stream a merge; nothing is broadcast or collected.
+    * Use when BOTH sides are fact-sized (a broadcast would OOM executors). */
+  def joinSortMerge(other: GFrame, joinExpr: Column,
+                    joinType: String = "inner"): GFrame =
+    new GFrame(df.hint("merge").join(other.df.hint("merge"), joinExpr,
+      joinType), indexName)
+
   def semiJoin(other: GFrame, joinExpr: Column): GFrame =
     new GFrame(df.join(other.df, joinExpr, "left_semi"), indexName)
   def antiJoin(other: GFrame, joinExpr: Column): GFrame =

@@ -221,6 +221,15 @@ final class Series private[graft] (
   def <=(n: Double): Series = scalarOp(_ <= _, n)
   def ===(n: Any): Series = transform(_ === lit(n))
 
+  // Series-vs-Series comparisons → boolean Series (pandas s1 > s2):
+  // same-base pairs compose on one scan; cross-frame pairs align by index
+  // (nulls where labels don't match, like pandas).
+  def >(o: Series): Series = zipOp(o, _ > _)
+  def <(o: Series): Series = zipOp(o, _ < _)
+  def >=(o: Series): Series = zipOp(o, _ >= _)
+  def <=(o: Series): Series = zipOp(o, _ <= _)
+  def ===(o: Series): Series = zipOp(o, _ === _)
+
   // ------------------------------------------------- pandas-surface extras
 
   /** Distinct values with occurrence counts, descending (pandas
@@ -261,9 +270,9 @@ final class Series private[graft] (
   def between(lo: Any, hi: Any): Series =
     withValue(valueExpr.between(lit(lo), lit(hi)))
 
-  /** Cumulative sum in index order (pandas cumsum). One shuffle-free
-    * window when the data is already partitioned; a global ordered window
-    * otherwise — use keyed grouping upstream at scale. */
+  /** Cumulative sum in index order (pandas cumsum). Global ordered window —
+    * single-task at scale; use [[cumsumBy]] with a grouping key for the
+    * distributed variant. */
   def cumsum(): Series = withValue(F.sum(valueExpr).over(
     org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -282,8 +291,8 @@ final class Series private[graft] (
     org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
 
   /** Value shifted by `n` positions in index order (pandas shift) —
-    * null-padded. Global ordered window: single-partition; partition by a
-    * key upstream at scale (see cumsum note). */
+    * null-padded. Global ordered window: single-partition; use [[shiftBy]]
+    * (and the other *By variants below) at scale. */
   def shift(n: Int = 1): Series = withValue(lag(valueExpr, n).over(ixWindow))
 
   /** First discrete difference v - v.shift(n) (pandas diff). */
@@ -321,6 +330,58 @@ final class Series private[graft] (
       avg(valueExpr).over(w)))
   }
 
+  // --------------------------------------- partitioned (keyed) window ops
+  //
+  // The 100 TB-safe siblings of the global-order ops above: `by` is any
+  // expression over the base frame (a grouping key); every window shuffles
+  // ONCE on the key and sorts per partition — no single-task global sort.
+  // pandas equivalent: s.groupby(key).cumsum() / shift / diff / rank / ...
+
+  private def keyedWindow(by: Column) =
+    org.apache.spark.sql.expressions.Window.partitionBy(by).orderBy(indexExpr)
+
+  /** Cumulative sum within each `by` group, index-ordered (pandas
+    * groupby(by).cumsum()). */
+  def cumsumBy(by: Column): Series = withValue(F.sum(valueExpr).over(
+    keyedWindow(by)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+
+  /** Shift within each `by` group (pandas groupby(by).shift(n)). */
+  def shiftBy(by: Column, n: Int = 1): Series =
+    withValue(lag(valueExpr, n).over(keyedWindow(by)))
+
+  /** Discrete difference within each `by` group. */
+  def diffBy(by: Column, n: Int = 1): Series =
+    withValue(valueExpr - lag(valueExpr, n).over(keyedWindow(by)))
+
+  /** Fractional change within each `by` group (try_divide: zero previous →
+    * null, not an ANSI abort). */
+  def pctChangeBy(by: Column): Series = {
+    val prev = lag(valueExpr, 1).over(keyedWindow(by))
+    withValue(try_divide(valueExpr - prev, prev))
+  }
+
+  /** Average-method rank of values within each `by` group (pandas
+    * groupby(by).rank()); nulls rank null. */
+  def rankBy(by: Column): Series = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(by)
+      .orderBy(valueExpr.asc_nulls_last)
+    withValue(when(valueExpr.isNotNull,
+      F.rank().over(w).cast("double")
+        + (F.count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(by, valueExpr))
+          - 1).cast("double") / 2.0))
+  }
+
+  /** Trailing-`n` rolling mean within each `by` group (min_periods = n). */
+  def rollingMeanBy(by: Column, n: Int): Series = {
+    require(n >= 1, "rolling window size must be >= 1")
+    val w = keyedWindow(by).rowsBetween(-(n - 1), 0)
+    withValue(when(F.count(valueExpr).over(w) === n,
+      avg(valueExpr).over(w)))
+  }
+
   /** Sort by value (pandas sort_values). */
   def sortValues(ascending: Boolean = true): Series = Series.fromKeyed(
     df.orderBy(if (ascending) col(name).asc else col(name).desc), name,
@@ -349,9 +410,18 @@ final class Series private[graft] (
 
   /** Dict-style map via a literal lookup map (broadcast as part of the plan).
     * Implements the reference's NotImplementedError hole
-    * (ref: series.py:125-130). Missing keys → null (pandas NaN). */
-  def mapValues(lookup: Map[String, String]): Series =
+    * (ref: series.py:125-130). Missing keys → null (pandas NaN).
+    *
+    * `naAction`: pandas' map(arg, na_action=) kwarg — the reference parses
+    * it then raises (ref: series.py:103-130). None and "ignore" coincide for
+    * dict maps (a null key never matches a map entry either way), but the
+    * parameter is validated like pandas does so bad values fail loudly. */
+  def mapValues(lookup: Map[String, String],
+                naAction: Option[String] = None): Series = {
+    require(naAction.forall(_ == "ignore"),
+      s"na_action must be None or 'ignore', got ${naAction.get}")
     transform(v => element_at(typedlit(lookup), v.cast(StringType)))
+  }
 
   /** Dict-map via broadcast join against a lookup DataFrame — the scale path
     * when the mapping itself is a table. */

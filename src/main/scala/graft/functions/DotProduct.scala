@@ -18,10 +18,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * whole-stage codegen — no boxing, no lambda dispatch, no intermediate
   * array.
   *
-  * Null semantics: null if either array is null; null ELEMENTS contribute
-  * 0 (embeddings never carry null elements). Accumulation is sequential
-  * left-to-right — bit-identical to the interpreted fold and to DuckDB's
-  * list_cosine_similarity on the same normalized inputs.
+  * Null semantics: null if either array is null; null if the arrays differ
+  * in length (matching [[graft.ops.DedupOps.dot]]'s zip_with-padding fold,
+  * where the padded null poisons the sum — a dimension bug upstream
+  * surfaces as null in BOTH paths instead of being silently truncated);
+  * null ELEMENTS contribute 0 (embeddings never carry null elements).
+  * Accumulation is sequential left-to-right — bit-identical to the
+  * interpreted fold and to DuckDB's list_cosine_similarity on the same
+  * normalized inputs.
   *
   * Registered as SQL function `graft_dot` by [[GraftExtensions]].
   */
@@ -43,17 +47,23 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def prettyName: String = "graft_dot"
 
+  /** Length mismatch → null, so nullable even over non-null children. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0.0
-    var i = 0
-    while (i < n) {
-      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -62,14 +72,18 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |      $s += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

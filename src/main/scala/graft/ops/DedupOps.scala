@@ -114,23 +114,34 @@ object DedupOps {
     array(mins: _*)
   }
 
+  /** (id, shs) projection: distinct word-n-gram shingle array per doc,
+    * empty-shingle docs dropped. Filtered on the FIRST materialized stage:
+    * a filter over the signature would be pushdown-inlined by Catalyst,
+    * re-evaluating the whole 32-lane tree per row (a 450s/5k-doc mistake). */
+  private def shingleProj(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("shs"))
+      .filter(size(col("shs")) > 0)
+
   /** LSH candidate pairs: split the `k`-wide signature into `bands` bands,
     * hash each band, equi-join on (band index, band hash). Pairs sharing ≥1
     * band emerge; each pair appears once (id1 < id2, distinct). The join is
     * keyed by band hash → shuffle partitions by bucket, never all-pairs. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-                    n: Int, k: Int, bands: Int): DataFrame = {
+                    n: Int, k: Int, bands: Int): DataFrame =
+    lshCandidatesFrom(shingleProj(df, idCol, textCol, n), k, bands)
+
+  /** [[lshCandidates]] from a pre-staged (id, shs) projection — callers that
+    * also need the shingles downstream (verification) persist the projection
+    * and pass it here so tokenize+shingle runs once per row, not twice. */
+  private[graft] def lshCandidatesFrom(sh: DataFrame, k: Int,
+                                       bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     // Materialize each stage as its own column/projection: shingles, then
     // base hashes, then the signature. Each later stage references the
     // previous via an attribute, evaluating it exactly once per row.
-    // Filter empty-shingle docs on the FIRST materialized stage: a filter
-    // over the signature would be pushdown-inlined by Catalyst, re-evaluating
-    // the whole 32-lane tree per row (this was a 450s/5k-doc mistake).
-    val sig = df
-      .select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("shs"))
-      .filter(size(col("shs")) > 0)
+    val sig = sh
       .select(col("id"), transform(col("shs"), s => baseHash(s)).as("hs"))
       .select(col("id"), minHashSignature(col("hs"), k).as("sig"))
     val banded = sig.select(col("id"),
@@ -143,19 +154,24 @@ object DedupOps {
           && col("a.bandhash") === col("b.bandhash")
           && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      // near-dup pairs agree in SEVERAL bands (that's the point of banding),
+      // so without this dedup each would be verified once per colliding
+      // band; the shuffle is narrow (two ids), far cheaper than the extra
+      // array_intersect calls it prevents.
       .distinct()
   }
 
   /** MinHash+LSH near-dup: candidates from banding, then EXACT Jaccard
     * verification on the candidate set only (the standard
     * filter-then-verify shape: banding prunes, verification keeps
-    * precision at 1). */
+    * precision at 1). The shingle projection is persisted and shared by
+    * signature generation AND verification — one tokenize+shingle pass. */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, k: Int = 32, bands: Int = 8,
                      threshold: Double = 0.5): DataFrame = {
-    val cand = lshCandidates(df, idCol, textCol, n, k, bands)
-    val sh = df.select(col(idCol).as("id"),
-      TextOps.shingles(col(textCol), n).as("shs"))
+    val sh = shingleProj(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = lshCandidatesFrom(sh, k, bands)
     cand
       .join(sh.select(col("id").as("id1"), col("shs").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("shs").as("sh2")), "id2")
@@ -241,42 +257,49 @@ object DedupOps {
         sqrt(fold(transform(col("__e"), x => x * x))).as("__n"))
       .select(col(outId), transform(col("__e"), x => x / col("__n")).as(outVec))
 
-  /** Embedding near-dup: all pairs with cosine ≥ threshold. Brute-force
-    * baseline: one side is broadcast (bounded exactly like a broadcast-join
-    * build side) and each partition streams its rows against it in a tight
-    * JVM loop — the O(n²) dot products are JIT'd scalar code instead of 2M
-    * interpreted zip_with folds (26s → ~2s at sf0.1), and the corpus side
-    * still scans/parallelizes normally. Accumulation is sequential like
-    * DuckDB's, but normalize-then-dot differs from DuckDB's dot-then-divide
-    * by ~1 ulp — harmless under 6dp-rounded oracles unless a value sits
-    * within ~1e-15 of the threshold/rounding boundary (check fixtures when
-    * picking thresholds). The scale path past broadcastable sides is
-    * [[SimilarityOps.annLsh]] (hyperplane-bucketed candidates). */
+  /** Embedding near-dup: pairs with cosine ≥ threshold, via hyperplane-LSH
+    * band candidates + exact re-rank (NO driver state, NO corpus broadcast —
+    * the previous brute-force collected the corpus to the driver, which OOMs
+    * at scale). Each vector lands in one sign-bit bucket per table
+    * ([[SimilarityOps.lshBuckets]], deterministic hyperplanes); candidate
+    * pairs come from a self-equi-join keyed by (table, bucket) — shuffle
+    * partitions by bucket, never all-pairs — then get an exact codegen'd
+    * dot-product re-rank, so precision is 1.
+    *
+    * Recall: a pair at cosine t collides per table with prob p^bits where
+    * p = 1 − arccos(t)/π; overall 1 − (1 − p^bits)^tables. At the defaults
+    * (32 tables × 4 bits) a threshold-0.5 pair (p = 2/3) is missed with
+    * prob ≈ 9e-4; hyperplanes are fixed-seed so results are reproducible.
+    * At larger corpus sizes raise `bits` (bounds bucket occupancy and
+    * candidate volume) and `tables` (buys recall back linearly in postings).
+    *
+    * Precision note: normalize-then-dot differs from DuckDB's
+    * dot-then-divide by ~1 ulp — harmless under 6dp-rounded oracles unless
+    * a value sits within ~1e-15 of the threshold/rounding boundary. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val vecs = df
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .map { case (id, e) =>
-        var ss = 0.0; var i = 0
-        while (i < e.length) { ss += e(i) * e(i); i += 1 }
-        val n = math.sqrt(ss)
-        val out = new Array[Double](e.length)
-        i = 0; while (i < e.length) { out(i) = e(i) / n; i += 1 }
-        (id, out)
-      }
-    val bc = spark.sparkContext.broadcast(vecs.collect().sortBy(_._1))
-    vecs.flatMap { case (id, e) =>
-      bc.value.iterator
-        .filter(_._1 > id)
-        .map { case (oid, oe) =>
-          var s = 0.0; var i = 0
-          while (i < e.length) { s += e(i) * oe(i); i += 1 }
-          (id, oid, s)
-        }
-        .filter(_._3 >= threshold)
-    }.toDF("id1", "id2", "sim")
+                       threshold: Double, tables: Int = 32, bits: Int = 4,
+                       dim: Int = 64): DataFrame = {
+    // one normalized projection feeds the posting join (both sides) and the
+    // re-rank (both sides): persist so the scan+normalize runs once.
+    val v = normalized(df, idCol, vecCol, "id", "e")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posts = v.select(col("id"),
+        posexplode(SimilarityOps.lshBuckets(col("e"), tables, bits, dim)))
+      .toDF("id", "table", "bucket")
+    // distinct BEFORE fetching vectors: dedup shuffles (id1, id2) pairs
+    // only, not 2×dim doubles per candidate.
+    val cand = posts.as("a").join(posts.as("b"),
+        col("a.table") === col("b.table")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id1"), col("e").as("e1")), "id1")
+      .join(v.select(col("id").as("id2"), col("e").as("e2")), "id2")
+      .withColumn("sim",
+        graft.functions.DotProduct.dotNative(col("e1"), col("e2")))
+      .filter(col("sim") >= threshold)
+      .select(col("id1"), col("id2"), col("sim"))
   }
 }

@@ -194,6 +194,31 @@ object FrameQueries {
         .limit(10).toDF
     }),
 
+    // TPC-H Q18 analog: large⨝large SortMergeJoin — orders⨝lineitem with a
+    // groupBy-HAVING semi filter on the probe side. NEITHER side broadcasts
+    // (merge hints pin SMJ): lineitem aggregates partial+final to per-order
+    // quantity sums, the HAVING survivors semi-join orders, and the
+    // surviving orders re-join lineitem — every shuffle keyed by orderkey,
+    // so at 100 TB the plan is three keyed exchanges and zero driver state.
+    "f17_q18_smj" -> ((s, d) => {
+      val liDf = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+      val big = GFrame.fromDF(
+        liDf.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 200), "l_orderkey")
+      val o = GFrame.fromDF(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_orderkey")
+      o.joinSortMerge(big, col("o_orderkey") === big.df("l_orderkey"),
+          "left_semi")
+        .joinSortMerge(GFrame.fromDF(liDf, "l_orderkey"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .sortValues(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100).toDF
+    }),
+
     // Unpivot/melt: wide metrics → long rows via a single Expand pass.
     "f15_melt" -> ((s, d) =>
       GFrame.fromDF(Tables.lineitem(s, d)
@@ -284,6 +309,15 @@ object FrameQueries {
            AND l_shipdate > TIMESTAMP '1998-01-01'
          GROUP BY 1, 2
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "f17_q18_smj" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           round(sum(l_quantity), 2) AS sum_qty
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY 1 HAVING sum(l_quantity) > 200)
+         GROUP BY 1, 2, 3
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
     "f15_melt" ->
       s"""SELECT $liIdxSql AS idx, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
          UNION ALL

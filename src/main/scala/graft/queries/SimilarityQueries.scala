@@ -24,12 +24,15 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
-    // Multi-table hyperplane-LSH ANN (8 tables × 4 bits): bucket equi-join
-    // replaces the full probe×corpus product. Approximate → rows-only.
+    // Multi-table hyperplane-LSH ANN (24 tables × 4 bits): bucket equi-join
+    // replaces the full probe×corpus product. 24 tables holds recall ≥ 0.8
+    // even on the uniform-random fixtures (sims ~0.3 → per-table collision
+    // ~0.13, miss (0.87)^24 ≈ 0.03) — asserted each round in OpsSpec.
+    // Approximate → rows-only.
     "v02_ann_lsh" -> ((s, d) => {
       val e = emb(s, d)
       SimilarityOps.annLsh(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, tables = 8, bits = 4)
+          "vec_id", "embedding", k = 5, tables = 24, bits = 4)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rk")
     }),

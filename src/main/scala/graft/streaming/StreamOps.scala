@@ -43,16 +43,30 @@ object StreamOps {
                                  session_end: Timestamp, n_events: Long,
                                  closed: Boolean)
 
-  /** Per-user session accumulator held in the state store. (Public:
-    * encoder codegen resolves accessors reflectively and chokes on
-    * object-nested private case classes.) */
-  final case class SessionState(start: Long, last: Long, n: Long)
+  /** Per-user session accumulator held in the state store; times are
+    * MICROSECONDS since epoch — the batch twin ([[graft.ops.EventOps]])
+    * compares gaps in µs, and the events fixture carries sub-millisecond
+    * timestamps, so ms-precision state would disagree with it on
+    * near-boundary gaps. (Public: encoder codegen resolves accessors
+    * reflectively and chokes on object-nested private case classes.) */
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  private def toMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Stateful gap sessionization via flatMapGroupsWithState: a session
     * closes when no event arrives within `gapSeconds` of the last one
     * (event-time timeout — fires when the watermark passes last+gap).
     * Emits a closed-session record on timeout; in-progress sessions stay
-    * in the state store. */
+    * in the state store. Gap arithmetic is µs-precision, matching
+    * [[graft.ops.EventOps.sessionize]] exactly (asserted row-for-row on the
+    * events fixture in StreamingSpec). */
   def sessionizeStream(events: DataFrame, gapSeconds: Long,
                        watermarkDelay: String): Dataset[SessionUpdate] = {
     implicit val updEnc = Encoders.product[SessionUpdate]
@@ -69,30 +83,47 @@ object StreamOps {
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (user: Long, rows: Iterator[(Long, Timestamp)],
        state: GroupState[SessionState]) =>
-        val gapMs = gapSeconds * 1000L
+        val gapUs = gapSeconds * 1000000L
         if (state.hasTimedOut) {
           val s = state.get
           state.remove()
-          Iterator(SessionUpdate(user, new Timestamp(s.start),
-            new Timestamp(s.last), s.n, closed = true))
+          Iterator(SessionUpdate(user, fromMicros(s.startUs),
+            fromMicros(s.lastUs), s.n, closed = true))
         } else {
-          val sorted = rows.map(_._2.getTime).toSeq.sorted
+          val sorted = rows.map(r => toMicros(r._2)).toSeq.sorted
           var out = List.empty[SessionUpdate]
           var cur = state.getOption
           sorted.foreach { t =>
             cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-              case Some(s) => // gap exceeded within the batch: close + restart
-                out ::= SessionUpdate(user, new Timestamp(s.start),
-                  new Timestamp(s.last), s.n, closed = true)
+              // within gap of the session INTERVAL (either side): merge,
+              // extending start downward for out-of-order events older than
+              // the stored start.
+              case Some(s) if t >= s.startUs - gapUs && t <= s.lastUs + gapUs =>
+                cur = Some(SessionState(math.min(s.startUs, t),
+                  math.max(s.lastUs, t), s.n + 1))
+              case Some(s) if t > s.lastUs + gapUs =>
+                // gap exceeded within the batch: close + restart
+                out ::= SessionUpdate(user, fromMicros(s.startUs),
+                  fromMicros(s.lastUs), s.n, closed = true)
                 cur = Some(SessionState(t, t, 1))
+              case Some(s) => // late event > gap BEFORE the session: it can
+                // never grow (this batch is sorted ascending; future batches
+                // are bounded below by the watermark) — emit it closed.
+                out ::= SessionUpdate(user, fromMicros(t), fromMicros(t),
+                  1, closed = true)
               case None => cur = Some(SessionState(t, t, 1))
             }
           }
           cur.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.last + gapMs)
+            // flatMapGroupsWithState does not drop late rows, so a late
+            // event with last + gap at/below the current watermark would
+            // make setTimeoutTimestamp throw (must be > watermark) and kill
+            // the query — clamp to watermark + 1 ms (fires on the next
+            // advance, which is right: the gap horizon has already passed).
+            state.setTimeoutTimestamp(
+              math.max(s.lastUs / 1000L + gapSeconds * 1000L,
+                state.getCurrentWatermarkMs() + 1))
           }
           out.reverseIterator
         }

@@ -33,6 +33,16 @@ class DotProductSpec extends AnyFunSuite with SparkFixture {
     assert(r.isNullAt(1))
   }
 
+  test("length mismatch yields null in BOTH the native and fold paths") {
+    // zip_with pads the shorter array with nulls, which poisons the fold to
+    // null; the native expression must agree so a malformed embedding
+    // surfaces identically everywhere instead of being silently truncated.
+    val d = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    val r = d.select(dotNative(col("a"), col("b")).as("native"),
+      DedupOps.dot(col("a"), col("b")).as("folded")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("participates in whole-stage codegen (no CodegenFallback)") {
     // local relations constant-fold away — use a range source so a real
     // codegen stage materializes.

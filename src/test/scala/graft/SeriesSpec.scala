@@ -189,4 +189,75 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(v.nunique() == 1L)
     assert(v.unique().count() == 2L)
   }
+
+  // ---- partitioned (keyed) window variants: groupby(key).cumsum() & co ----
+
+  private lazy val keyedDf = Seq(
+    // (idx, key, value) — two groups interleaved by index
+    (1L, "a", 10.0), (2L, "b", 100.0), (3L, "a", 20.0),
+    (4L, "b", 200.0), (5L, "a", 30.0)).toDF("idx", "k", "v")
+  private lazy val keyedSeries = Series.fromColumn(keyedDf, "v", "idx")
+
+  test("cumsumBy accumulates within each group in index order") {
+    assert(valuesOf(keyedSeries.cumsumBy(col("k")))
+      == Seq(10.0, 100.0, 30.0, 300.0, 60.0))
+  }
+
+  test("shiftBy / diffBy lag within the group, null at group heads") {
+    assert(valuesOf(keyedSeries.shiftBy(col("k")))
+      == Seq(null, null, 10.0, 100.0, 20.0))
+    assert(valuesOf(keyedSeries.diffBy(col("k")))
+      == Seq(null, null, 10.0, 100.0, 10.0))
+  }
+
+  test("pctChangeBy divides within the group; rankBy ranks within the group") {
+    assert(valuesOf(keyedSeries.pctChangeBy(col("k")))
+      == Seq(null, null, 1.0, 1.0, 0.5))
+    assert(valuesOf(keyedSeries.rankBy(col("k")))
+      == Seq(1.0, 1.0, 2.0, 2.0, 3.0))
+  }
+
+  test("rollingMeanBy fills per group (min_periods=n within the group)") {
+    assert(valuesOf(keyedSeries.rollingMeanBy(col("k"), 2))
+      == Seq(null, null, 15.0, 150.0, 25.0))
+  }
+
+  test("keyed windows partition, not globally order (plan has partitionBy)") {
+    val plan = keyedSeries.cumsumBy(col("k")).df
+      .queryExecution.optimizedPlan.toString
+    // Window node must carry the partition spec — a global window would
+    // execute on a single task at scale.
+    assert(plan.contains("windowspecdefinition(k"), plan)
+  }
+
+  // -------------------- Series-vs-Series comparison masks --------------------
+
+  test("same-base Series comparison masks filter without a join") {
+    val df = Seq((1L, 5.0, 3.0), (2L, 1.0, 4.0), (3L, 7.0, 7.0))
+      .toDF("idx", "x", "y")
+    val x = Series.fromColumn(df, "x", "idx")
+    val y = Series.fromColumn(df, "y", "idx")
+    assert(valuesOf(x.mask(x > y)) == Seq(5.0))
+    assert(valuesOf(x.mask(x <= y)) == Seq(1.0, 7.0))
+    assert(valuesOf(x.mask(x === y)) == Seq(7.0))
+    // no join in the plan: same-base comparisons compose into one scan
+    val plan = x.mask(x > y).df.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("cross-frame Series comparison aligns by index (pandas alignment)") {
+    val a = Series.fromPairs(spark, Seq((1L, 5.0), (2L, 1.0)))
+    val b = Series.fromPairs(spark, Seq((1L, 3.0), (3L, 9.0)))
+    // full-outer alignment: idx 2 and 3 compare against null -> null mask
+    val cmp = a > b
+    assert(valuesOf(cmp) == Seq(true, null, null))
+  }
+
+  test("mapValues validates na_action like pandas") {
+    val v = Series.fromSeq(spark, Seq("a", "b"))
+    v.mapValues(Map("a" -> "x"), naAction = Some("ignore")) // fine
+    intercept[IllegalArgumentException] {
+      v.mapValues(Map("a" -> "x"), naAction = Some("bogus"))
+    }
+  }
 }
