@@ -142,6 +142,30 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ann.forall(_.getLong(1) <= 5))
   }
 
+  test("v02/v03 gate configs hold recall >= 0.8 vs exact v01 on the fixture") {
+    // the driver can only rows-check the approximate queries, so THIS is the
+    // recall evidence for the gate: run the exact same parameters as
+    // SimilarityQueries v02 (24 tables x 4 bits) and v03 (16 clusters,
+    // nprobe 4) on the sf0.001 embeddings fixture against the exact top-5,
+    // and log the measured numbers each round.
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = SimilarityOps.knnBruteForce(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val lsh = SimilarityOps.annLsh(e, q, "vec_id", "embedding", 5,
+        tables = 24, bits = 4)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val ivf = SimilarityOps.ivfSearch(e, q, "vec_id", "embedding", 5,
+        nClusters = 16, nProbe = 4)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val lshRecall = (exact & lsh).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"v02 LSH fixture recall: $lshRecall%.3f (24 tables x 4 bits)")
+    info(f"v03 IVF fixture recall: $ivfRecall%.3f (16 clusters, nprobe 4)")
+    assert(lshRecall >= 0.8, s"v02 LSH recall $lshRecall below 0.8")
+    assert(ivfRecall >= 0.8, s"v03 IVF recall $ivfRecall below 0.8")
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq((1L, "der hund und die katze ist das"),
       (2L, "the cat and the dog is here")).toDF("id", "text")

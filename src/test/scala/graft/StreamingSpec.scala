@@ -76,6 +76,85 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  // ---- batch/stream equivalence on the REAL events fixture (sf0.001) ----
+  //
+  // The driver's e01/e02 gates verify the batch ops against DuckDB; these
+  // two tests close the loop by replaying the same fixture through
+  // MemoryStream and asserting the streaming twins return row-identical
+  // answers — not just matching shapes.
+
+  private val fixtureDir = "/root/testdata/sf0.001"
+  private def haveFixture = new java.io.File(s"$fixtureDir/events.parquet").exists
+
+  test("streaming windowedAgg == batch e01 tumbling agg on the events fixture") {
+    assume(haveFixture)
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, fixtureDir)
+      .select("ts", "event_type", "value")
+    val rows = ev.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamOps.windowedAgg(
+      input.toDF.toDF("ts", "event_type", "value"), "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("fixture_agg")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // round(2dp) on both sides: streaming and batch sum doubles in
+      // different orders (same tolerance the DuckDB oracle compare uses).
+      val streamed = spark.sql(
+        "SELECT ws, event_type, n, round(total, 2) FROM fixture_agg")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.ops.EventOps.tumbling(ev, "ts", "1 hour",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total")))
+        .select("ws", "event_type", "n", "total").collect().map(_.toSeq).toSet
+      assert(streamed.size == batch.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming sessionizer == batch e02 sessions on the events fixture") {
+    assume(haveFixture)
+    implicit val sqlCtx = spark.sqlContext
+    val ev = Tables.events(spark, fixtureDir)
+    val rows = ev.select("ts", "user_id").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF.toDF("ts", "user_id")
+      .withColumn("event_type", lit("e")).withColumn("value", lit(0.0))
+    val sess = StreamOps.sessionizeStream(events, gapSeconds = 1800L,
+      watermarkDelay = "0 seconds")
+    val q = sess.writeStream.format("memory").queryName("fixture_sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      // two sentinel advances on a user id absent from the fixture: the
+      // first moves the watermark past every fixture session's gap horizon,
+      // the second triggers the event-time timeouts that flush them closed.
+      input.addData((Timestamp.valueOf("2024-06-01 00:00:00"), -1L))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-12-01 00:00:00"), -1L))
+      q.processAllAvailable()
+
+      val streamed = spark.sql(
+        """SELECT user_id, session_start, session_end, n_events
+           FROM fixture_sessions WHERE closed AND user_id >= 0""")
+        .collect().map(_.toSeq).toSet
+      // batch twin — exactly the e02 query's operator (gap 1800s, µs math)
+      val batch = graft.ops.EventOps
+        .sessions(ev, "user_id", "ts", "event_id", 1800L)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect().map(_.toSeq).toSet
+      assert(streamed.size == batch.size)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq((ts(5), "a", 1.0), (ts(15), "a", 2.0), (ts(45), "b", 3.0))
