@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Registry for Datasets persisted inside operator builders.
+  *
+  * Several operators persist an intermediate projection that feeds two
+  * plan branches (shingle postings in [[graft.ops.DedupOps]], token
+  * explode in tf-idf). The result is lazy, so the builder cannot
+  * unpersist before returning — the cache must outlive the builder and
+  * be released by whoever materializes the result. Without a hook, each
+  * invocation in a long-lived session leaks a cache entry and relies on
+  * LRU eviction.
+  *
+  * Builders register via [[track]]; callers release everything between
+  * logical units of work via [[clear]] (the driver-contract mains do so
+  * after each query). Unpersist is non-blocking — executors drop blocks
+  * asynchronously, so `clear` costs microseconds on the driver.
+  */
+object Caches {
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Register a persisted Dataset for later release; returns it unchanged. */
+  def track[T <: Dataset[_]](ds: T): T = synchronized { tracked += ds; ds }
+
+  /** Number of currently-tracked cache entries (for specs/monitoring). */
+  def size: Int = synchronized(tracked.size)
+
+  /** Unpersist (non-blocking) and forget every tracked Dataset. */
+  def clear(): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking = false))
+    tracked.clear()
+  }
+}

@@ -53,9 +53,9 @@ object DedupOps {
     // The posting list feeds three consumers (self-join both sides + per-doc
     // sizes); persist it so tokenize+shingle runs once. MEMORY_AND_DISK:
     // spills instead of recomputing at scale; LRU-evicted when cold.
-    val sh = df
+    val sh = graft.Caches.track(df
       .select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), n)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val posted = maxShingleDocFreq match {
       case Some(k) =>
         // anti-join against the HOT set (df > k): that set is bounded by
@@ -169,8 +169,8 @@ object DedupOps {
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, k: Int = 32, bands: Int = 8,
                      threshold: Double = 0.5): DataFrame = {
-    val sh = shingleProj(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.Caches.track(shingleProj(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = lshCandidatesFrom(sh, k, bands)
     cand
       .join(sh.select(col("id").as("id1"), col("shs").as("sh1")), "id1")
@@ -281,8 +281,8 @@ object DedupOps {
                        dim: Int = 64): DataFrame = {
     // one normalized projection feeds the posting join (both sides) and the
     // re-rank (both sides): persist so the scan+normalize runs once.
-    val v = normalized(df, idCol, vecCol, "id", "e")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = graft.Caches.track(normalized(df, idCol, vecCol, "id", "e")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val posts = v.select(col("id"),
         posexplode(SimilarityOps.lshBuckets(col("e"), tables, bits, dim)))
       .toDF("id", "table", "bucket")

@@ -52,11 +52,12 @@ object TextQueries {
     "t04_tfidf" -> ((s, d) => {
       val dd = docs(s, d)
       val n = dd.count() // corpus size: scalar, computed once
-      // two consumers (tf and df branches) — persist to tokenize once.
-      // Deliberately not unpersisted: the result is lazy, so the cache must
-      // outlive this builder; session LRU reclaims it under pressure.
-      val toks = dd.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // two consumers (tf and df branches) — persist to tokenize once. The
+      // result is lazy, so the cache must outlive this builder; it is
+      // released by graft.Caches.clear() (the mains call it per query).
+      val toks = graft.Caches.track(
+        dd.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .withColumn("ntok", sum(col("tf")).over(Window.partitionBy("doc_id")))
       val df_ = toks.select("doc_id", "term").distinct()

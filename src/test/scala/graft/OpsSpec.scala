@@ -166,6 +166,20 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ivfRecall >= 0.8, s"v03 IVF recall $ivfRecall below 0.8")
   }
 
+  test("Caches.clear releases the projections operators persist") {
+    Caches.clear() // drop anything earlier tests left behind
+    val before = Caches.size
+    assert(before == 0)
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5)
+    pairs.count() // materialize -> the shingle posting cache fills
+    assert(Caches.size == 1)
+    Caches.clear()
+    assert(Caches.size == 0)
+    // the session-level cache manager no longer holds the projection
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq((1L, "der hund und die katze ist das"),
       (2L, "the cat and the dog is here")).toDF("id", "text")
