@@ -233,6 +233,15 @@ object SparkEntry {
       val flag = Series.fromExpr(li, col("l_returnflag"), "fl", liIdx, "idx")
       ordered(flag.mapValues(Map("A" -> "accepted", "N" -> "none"),
         naAction = Some("ignore")))
+    }),
+    // Distributed two-pass prefix-sum cumsum: SAME oracle as s18's global
+    // window, but the plan buckets by index range and runs per-bucket
+    // windows — no single-task global sort (the scale path for the global
+    // ordered-window family).
+    "s29_cumsum_dist" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
+        .rename("bal").renameIndex("idx")
+      ordered(bal.cumsumDistributed(buckets = 32).transform(round(_, 2)))
     })
   )
 
@@ -332,7 +341,11 @@ object SparkEntry {
         "WHERE l_extendedprice > l_quantity * 1000.0 ORDER BY idx"),
     "s28_map_na" ->
       (s"SELECT $liIdxSql AS idx, CASE l_returnflag WHEN 'A' THEN 'accepted' " +
-        "WHEN 'N' THEN 'none' END AS fl FROM lineitem ORDER BY idx")
+        "WHEN 'N' THEN 'none' END AS fl FROM lineitem ORDER BY idx"),
+    "s29_cumsum_dist" ->
+      ("SELECT c_custkey AS idx, round(sum(c_acctbal) OVER (ORDER BY c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS bal " +
+        "FROM customer ORDER BY idx")
   )
 
   // ============================================ placeholders (filled by round)

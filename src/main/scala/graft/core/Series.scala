@@ -278,6 +278,78 @@ final class Series private[graft] (
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)))
 
+  /** Distributed global cumulative sum — the scale-safe variant of
+    * [[cumsum]] for a NUMERIC, non-null index, via the classic two-pass
+    * prefix sum:
+    *
+    *   1. one min/max agg job derives the index range (parquet footer
+    *      stats make this near-free on a plain scan);
+    *   2. rows are bucketed by equal-width index ranges — buckets are
+    *      range-ordered by construction, so every row in bucket b sorts
+    *      before every row in bucket b+1;
+    *   3. ONE shuffle keyed by bucket runs the within-bucket prefix sum
+    *      (each bucket is an independent window task — no single-task
+    *      global sort);
+    *   4. per-bucket totals (exactly `buckets` values — bounded driver
+    *      state, like IVF centroids) collect to the driver, accumulate
+    *      sequentially into exclusive offsets, and rejoin as a literal
+    *      broadcast map: row value = bucket offset + within-bucket prefix.
+    *
+    * Result dtype follows Spark's sum typing (integral → long, fractional
+    * → double; decimal inputs promote to double here, unlike [[cumsum]] —
+    * offsets travel as a literal map). Association differs from the strictly
+    * sequential window sum, so parallel-summed doubles can differ in the
+    * last ulps — round money results (the DuckDB-oracle tolerance, same as
+    * s18). Equal-width bucketing assumes a roughly uniform index; for a
+    * skewed index derive boundaries from approx quantiles upstream. */
+  def cumsumDistributed(buckets: Int = 32): Series = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val bounds = base.agg(F.min(indexExpr).cast("double"),
+      F.max(indexExpr).cast("double")).head()
+    if (bounds.isNullAt(0)) return cumsum() // empty: nothing to distribute
+    val lo = bounds.getDouble(0)
+    val span = bounds.getDouble(1) - lo
+    // resolve against the projected two-column frame (indexExpr belongs to
+    // base; df renames it to indexName)
+    val bkt =
+      if (span <= 0.0) lit(0L)
+      else least(floor((col(indexName).cast("double") - lit(lo)) / lit(span / buckets)),
+        lit(buckets - 1.0)).cast("long")
+
+    val keyed = df.withColumn(BktCol, bkt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(BktCol)).orderBy(col(indexName))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val pre = keyed.withColumn(PreCol, F.sum(col(name)).over(w))
+
+    // exactly `buckets` rows to the driver; offsets accumulate sequentially
+    val integral = df.schema(name).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val totals = keyed.groupBy(col(BktCol))
+      .agg(F.sum(col(name)).cast(if (integral) "long" else "double").as("__t"))
+      .orderBy(col(BktCol)).collect().filterNot(_.isNullAt(0))
+    val offsetExpr =
+      if (integral) {
+        var acc = 0L
+        val m = totals.map { r =>
+          val o = acc; if (!r.isNullAt(1)) acc += r.getLong(1); r.getLong(0) -> o
+        }.toMap
+        coalesce(element_at(typedlit(m), col(BktCol)), lit(0L))
+      } else {
+        var acc = 0.0
+        val m = totals.map { r =>
+          val o = acc; if (!r.isNullAt(1)) acc += r.getDouble(1); r.getLong(0) -> o
+        }.toMap
+        coalesce(element_at(typedlit(m), col(BktCol)), lit(0.0))
+      }
+    Series.fromKeyed(
+      pre.select(col(indexName), (col(PreCol) + offsetExpr).as(name)),
+      name, indexName)
+  }
+
   /** Top-n rows by value (pandas nlargest): TakeOrderedAndProject —
     * per-partition heaps, no global sort. */
   def nlargest(n: Int): Series = Series.fromKeyed(
@@ -434,6 +506,8 @@ final class Series private[graft] (
 
 object Series {
   private[core] val IdxCol = "__graft_idx"
+  private[core] val BktCol = "__graft_bkt"
+  private[core] val PreCol = "__graft_pre"
   private[core] val LeftCol = "__graft_l"
   private[core] val RightCol = "__graft_r"
   private[core] val MaskCol = "__graft_mask"
@@ -507,9 +581,30 @@ object Series {
 
 /** Virtual range-index handle: the index is physically a column; this is
   * metadata + rename (ref: pontem/indexes/range_index.py:7-31, where repr
-  * derives start/stop from min/max — i.e., also virtual). */
+  * derives start/stop from min/max — i.e., also virtual).
+  *
+  * start/stop/step are derived from the data like the reference's repr
+  * (`range_index.py:28`): start = min(index), stop = max(index) + 1
+  * (pandas-style exclusive stop), step fixed at 1. One distributed
+  * min/max agg per call — parquet footer stats make it near-free on a
+  * plain scan; `bounds` fetches both in a single job. toString stays
+  * lazy (the reference's repr triggers two actions — deliberately not
+  * copied; see SURVEY §4 "eager actions in hot paths"). */
 final class RangeIndex(private val s: Series) {
   def name: String = s.indexName
   def withName(n: String): Series = s.renameIndex(n)
+
+  /** (start, stop) in one agg job; (0, 0) for an empty Series. */
+  def bounds: (Long, Long) = {
+    val r = s.base.agg(
+      Series.F.min(s.indexExpr).cast("long"),
+      Series.F.max(s.indexExpr).cast("long")).head()
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1) + 1L)
+  }
+  def start: Long = bounds._1
+  /** Exclusive, pandas-style: max(index) + 1. */
+  def stop: Long = bounds._2
+  def step: Long = 1L
+
   override def toString: String = s"RangeIndex(name=${s.indexName})"
 }

@@ -253,6 +253,40 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(valuesOf(cmp) == Seq(true, null, null))
   }
 
+  test("cumsumDistributed matches cumsum (two-pass prefix sum, no global window)") {
+    val vals = (1 to 100).map(_.toDouble * 1.5)
+    val s = Series.fromSeq(spark, vals, name = "v")
+    val expect = vals.scanLeft(0.0)(_ + _).tail
+    // more buckets than rows, exactly one bucket, and a mid value
+    for (b <- Seq(1, 7, 256)) {
+      val got = s.cumsumDistributed(buckets = b).df.orderBy("index")
+        .collect().map(_.getDouble(1)).toSeq
+      assert(got.zip(expect).forall { case (g, e) => math.abs(g - e) < 1e-9 },
+        s"buckets=$b")
+    }
+    // integral values stay integral (Spark sum typing)
+    val i = Series.fromSeq(spark, Seq(1L, 2L, 3L), name = "n")
+    assert(i.cumsumDistributed(4).df.orderBy("index")
+      .collect().map(_.getLong(1)).toSeq == Seq(1L, 3L, 6L))
+    // plan has NO global-order window: every window carries the bucket key
+    val plan = s.cumsumDistributed(8).df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(__graft_bkt"), plan)
+  }
+
+  test("RangeIndex derives start/stop/step from the index data (virtual)") {
+    // ref: range_index.py:28 — repr computes start/stop from min/max
+    val s = Series.fromSeq(spark, Seq(10.0, 20.0, 30.0))
+    val ix = s.indexHandle
+    assert(ix.start == 0L)
+    assert(ix.stop == 3L) // exclusive, pandas-style
+    assert(ix.step == 1L)
+    // explicit (non-ordinal) index: bounds follow the data
+    val p = Series.fromPairs(spark, Seq((5L, "a"), (9L, "b")))
+    assert(p.indexHandle.bounds == (5L, 10L))
+    // toString stays lazy — no action triggered
+    assert(ix.toString == "RangeIndex(name=index)")
+  }
+
   test("mapValues validates na_action like pandas") {
     val v = Series.fromSeq(spark, Seq("a", "b"))
     v.mapValues(Map("a" -> "x"), naAction = Some("ignore")) // fine
