@@ -46,4 +46,50 @@ object EventOps {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("ws", col("window.start"))
       .drop("window")
+
+  /** Backward as-of join: for each left row, attach the value columns of
+    * the latest right row with the same key and `right.ts <= left.ts`
+    * (inclusive, DuckDB/pandas `merge_asof` semantics); ties within the
+    * right side resolve to the greatest `(ts, tie)`. Left rows with no
+    * prior right row get nulls (left-outer).
+    *
+    * Spark has no ASOF JOIN operator; a naive theta-join
+    * (`l.key = r.key AND r.ts <= l.ts` + max) explodes to all pairs per
+    * key. This is the scalable union trick instead: tag both sides, union
+    * them, and run ONE window partitioned by key ordered by
+    * `(ts, side, tie)` where `last(value, ignoreNulls)` carries the most
+    * recent right value forward onto each left row — right rows sort
+    * before left rows at equal ts, which is what makes the match
+    * inclusive. One shuffle on the key, per-key sequential scan, no
+    * range explosion; skew follows the key distribution exactly like any
+    * keyed window.
+    *
+    * `rightVals` columns are attached as `prefix + name`. Left and right
+    * may be the same or different frames; only `keyCol`/`tsCol`/`tieCol`
+    * must exist in both. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, tieCol: String, rightVals: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val lRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val lNorm = left.select(
+      Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), lit(1).as("__side"),
+        struct(left.columns.map(col): _*).as("__lrow")) ++
+        rightVals.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
+    val rNorm = right.select(
+      Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"),
+        col(tieCol).as("__tie"), lit(0).as("__side"),
+        lit(null).cast(lRowType).as("__lrow")) ++
+        rightVals.map(c => col(c).as(prefix + c)): _*)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lNorm.unionByName(rNorm).select(
+      Seq(col("__side"), col("__lrow")) ++
+        rightVals.map(c => last(col(prefix + c), ignoreNulls = true)
+          .over(w).as(prefix + c)): _*)
+    filled.filter(col("__side") === 1)
+      .select(col("__lrow.*") +: rightVals.map(c => col(prefix + c)): _*)
+  }
 }

@@ -61,6 +61,22 @@ object EventQueries {
         .withColumn("share", round(col("n").cast("double")
           / sum(col("n")).over(Window.partitionBy("hr")).cast("double"), 6))
         .orderBy("hr", "event_type")
+    }),
+
+    // As-of join: each purchase picks up the value of that user's most
+    // recent click at-or-before it (null if none). Union+window — one
+    // shuffle on user_id, no range theta-join.
+    "e06_asof" -> ((s, d) => {
+      val e = ev(s, d)
+      EventOps.asofJoin(
+          e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value"),
+          e.filter(col("event_type") === "click"),
+          "user_id", "ts", "event_id", Seq("value"), "click_")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("pv"),
+          round(col("click_value"), 2).as("cv"))
+        .orderBy("event_id")
     })
   )
 
@@ -108,6 +124,21 @@ object EventQueries {
            FROM events GROUP BY 1, 2)
          SELECT hr, event_type, n,
            round(n * 1.0 / sum(n) OVER (PARTITION BY hr), 6) AS share
-         FROM hourly ORDER BY hr, event_type"""
+         FROM hourly ORDER BY hr, event_type""",
+    "e06_asof" ->
+      """WITH u AS (
+           SELECT user_id, ts, 1 AS side, event_id, value AS pv,
+             NULL::DOUBLE AS rv
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 0, event_id, NULL, value
+           FROM events WHERE event_type = 'click'),
+         f AS (
+           SELECT *, last_value(rv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+           FROM u)
+         SELECT event_id, user_id, round(pv, 2) AS pv, round(cv, 2) AS cv
+         FROM f WHERE side = 1 ORDER BY event_id"""
   )
 }

@@ -166,6 +166,41 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ivfRecall >= 0.8, s"v03 IVF recall $ivfRecall below 0.8")
   }
 
+  test("asofJoin attaches the latest right value at-or-before each left row") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    // left: (event_id, user_id, ts); right: (event_id, user_id, ts, value)
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(20)), (102L, 1L, ts(5)),
+      (103L, 2L, ts(30))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts(10), 10.0),  // equal ts as left 100 -> inclusive match
+      (2L, 1L, ts(10), 20.0),  // same ts, larger tie -> wins the tie
+      (3L, 1L, ts(15), 30.0),  // latest before left 101
+      (4L, 2L, ts(40), 99.0)   // after left 103 -> no match for user 2
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = graft.ops.EventOps.asofJoin(left, right, "user_id", "ts",
+        "event_id", Seq("value"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) null else r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (100L, 20.0), // inclusive + max-tie at equal ts
+      (101L, 30.0), // strictly-before right wins over later rights
+      (102L, null), // no right at-or-before
+      (103L, null)  // user 2's only right is after
+    ))
+  }
+
+  test("asofJoin plan is one keyed window — no range join, no broadcast") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val l = Seq((1L, 1L, ts(1))).toDF("event_id", "user_id", "ts")
+    val r = Seq((2L, 1L, ts(0), 5.0)).toDF("event_id", "user_id", "ts", "value")
+    val plan = graft.ops.EventOps.asofJoin(l, r, "user_id", "ts", "event_id",
+      Seq("value")).queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("join"), plan)
+    assert(plan.contains("windowspecdefinition(__key"), plan)
+  }
+
   test("Caches.clear releases the projections operators persist") {
     Caches.clear() // drop anything earlier tests left behind
     val before = Caches.size
