@@ -47,6 +47,41 @@ object EventOps {
       .withColumn("ws", col("window.start"))
       .drop("window")
 
+  /** Scalable point-in-interval (range) join: pair each point row with
+    * every interval row of the same key whose `[lo, hi]` (inclusive)
+    * contains the point's timestamp.
+    *
+    * Spark plans a raw `BETWEEN` theta-join as BroadcastNestedLoopJoin —
+    * quadratic per key and a broadcast of a whole side. This is the
+    * standard bucketing rewrite instead: points land in ONE
+    * `bucketSeconds`-wide epoch bucket; intervals explode into the bucket
+    * range they span (`sequence(floor(lo), floor(hi))` — bounded by
+    * interval length / bucket width); the join is a plain equi-join on
+    * (key, bucket) with the exact BETWEEN as a post-filter. Each
+    * (point, interval) pair meets in exactly one bucket — the point's —
+    * so no distinct pass is needed. Shuffles are keyed by (key, bucket):
+    * co-partitioned, never all-pairs; pick `bucketSeconds` near the
+    * typical interval length so most intervals explode to O(1) rows.
+    *
+    * Interval columns are attached prefixed; both inputs need `keyCol`. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, keyCol: String,
+                   tsCol: String, loCol: String, hiCol: String,
+                   bucketSeconds: Long, prefix: String = "iv_"): DataFrame = {
+    require(bucketSeconds >= 1, "bucketSeconds must be >= 1")
+    val us = bucketSeconds * 1000000L
+    val p = points.withColumn("__bkt", floor(unix_micros(col(tsCol)) / us))
+    val iv = intervals.select(
+      col(keyCol).as("__ivkey") +:
+        intervals.columns.filterNot(_ == keyCol)
+          .map(c => col(c).as(prefix + c)): _*)
+      .withColumn("__bkt", explode(sequence(
+        floor(unix_micros(col(prefix + loCol)) / us),
+        floor(unix_micros(col(prefix + hiCol)) / us))))
+    p.join(iv, p(keyCol) === iv("__ivkey") && p("__bkt") === iv("__bkt"))
+      .filter(col(tsCol).between(col(prefix + loCol), col(prefix + hiCol)))
+      .drop("__bkt", "__ivkey")
+  }
+
   /** Backward as-of join: for each left row, attach the value columns of
     * the latest right row with the same key and `right.ts <= left.ts`
     * (inclusive, DuckDB/pandas `merge_asof` semantics); ties within the

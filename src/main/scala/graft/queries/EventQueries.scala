@@ -77,6 +77,21 @@ object EventQueries {
           round(col("value"), 2).as("pv"),
           round(col("click_value"), 2).as("cv"))
         .orderBy("event_id")
+    }),
+
+    // Point-in-interval range join: events ⨝ per-user session intervals
+    // (30-min gap, from e02) via the bucketed equi-join rewrite — count of
+    // contained events per session must reproduce the session's n_events.
+    "e07_interval_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val sess = EventOps.sessions(e, "user_id", "ts", "event_id", 1800L)
+      EventOps.intervalJoin(e.select("user_id", "ts"), sess,
+          "user_id", "ts", "session_start", "session_end",
+          bucketSeconds = 3600L)
+        .groupBy(col("user_id"), col("iv_session_id").as("session_id"))
+        .agg(count(lit(1)).as("n_in"),
+          first(col("iv_n_events")).as("n_events"))
+        .orderBy("user_id", "session_id")
     })
   )
 
@@ -139,6 +154,32 @@ object EventQueries {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
            FROM u)
          SELECT event_id, user_id, round(pv, 2) AS pv, round(cv, 2) AS cv
-         FROM f WHERE side = 1 ORDER BY event_id"""
+         FROM f WHERE side = 1 ORDER BY event_id""",
+    "e07_interval_join" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         marked AS (
+           SELECT user_id, ts,
+             CASE WHEN prev IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new, event_id
+           FROM x),
+         numbered AS (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+           FROM marked),
+         sess AS (
+           SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end
+           FROM numbered GROUP BY 1, 2)
+         SELECT e.user_id, s.session_id, count(*) AS n_in,
+           min(s.n_events) AS n_events
+         FROM events e JOIN sess s ON e.user_id = s.user_id
+           AND e.ts BETWEEN s.session_start AND s.session_end
+         GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -201,6 +201,40 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("windowspecdefinition(__key"), plan)
   }
 
+  test("intervalJoin pairs points with containing intervals, per key") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val pts = Seq((1L, 1L, ts(5)), (2L, 1L, ts(30)), (3L, 2L, ts(5)))
+      .toDF("pid", "user_id", "ts")
+    val ivs = Seq(
+      (10L, 1L, ts(0), ts(10)),   // contains pid 1 (user 1) but not pid 3 (user 2)
+      (11L, 1L, ts(25), ts(59)),  // contains pid 2; spans two 30-min buckets
+      (12L, 2L, ts(4), ts(6))     // contains pid 3
+    ).toDF("iid", "user_id", "lo", "hi")
+    val out = graft.ops.EventOps.intervalJoin(pts, ivs, "user_id", "ts",
+        "lo", "hi", bucketSeconds = 1800L)
+      .select("pid", "iv_iid").orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L)))
+    // boundary inclusivity: a point exactly at hi matches
+    val edge = graft.ops.EventOps.intervalJoin(
+        Seq((9L, 1L, ts(10))).toDF("pid", "user_id", "ts"), ivs,
+        "user_id", "ts", "lo", "hi", 1800L)
+      .select("iv_iid").collect().map(_.getLong(0))
+    assert(edge.toSeq == Seq(10L))
+  }
+
+  test("intervalJoin plan is an equi-join on (key, bucket) — no nested loop") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val pts = Seq((1L, 1L, ts(5))).toDF("pid", "user_id", "ts")
+    val ivs = Seq((10L, 1L, ts(0), ts(10))).toDF("iid", "user_id", "lo", "hi")
+    val plan = graft.ops.EventOps.intervalJoin(pts, ivs, "user_id", "ts",
+      "lo", "hi", 1800L).queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("Caches.clear releases the projections operators persist") {
     Caches.clear() // drop anything earlier tests left behind
     val before = Caches.size

@@ -75,4 +75,14 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(scaled - direct) <= 1e-6 * (math.abs(direct) + 1))
     }
   }
+
+  test("cumsumDistributed == cumsum for arbitrary data and bucket counts") {
+    forAll(vecGen, Gen.choose(1, 64), n = 15) { (xs: List[Double], b: Int) =>
+      val s = Series.fromSeq(spark, xs)
+      val seq = values(s.cumsum()).map(_.asInstanceOf[Double])
+      val dist = values(s.cumsumDistributed(b)).map(_.asInstanceOf[Double])
+      assert(seq.zip(dist).forall { case (a, d) =>
+        math.abs(a - d) <= 1e-9 * (math.abs(a) + 1) }, s"buckets=$b")
+    }
+  }
 }
