@@ -75,7 +75,19 @@ object SimilarityOps {
     * between rounds (k × dim doubles — the standard bounded state). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
              iters: Int, dim: Int): Array[Array[Double]] = {
-    val v = DedupOps.normalized(df, idCol, vecCol, "id", "e")
+    // every iteration ends in an action, so an unpersisted projection
+    // would re-scan + re-normalize the corpus iters+1 times.
+    val v = graft.Caches.track(
+      DedupOps.normalized(df, idCol, vecCol, "id", "e")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    kmeansFrom(v, k, iters, dim)
+  }
+
+  /** [[kmeans]] over an already-normalized, already-persisted (id, e)
+    * projection — callers that reuse the projection downstream (IVF
+    * assignment) pass it here so the corpus is scanned once. */
+  private[graft] def kmeansFrom(v: DataFrame, k: Int,
+                                iters: Int, dim: Int): Array[Array[Double]] = {
     var centroids = v.orderBy("id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     (1 to iters).foreach { _ =>
@@ -115,9 +127,13 @@ object SimilarityOps {
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nClusters: Int, nProbe: Int,
                 dim: Int = 64, kmeansIters: Int = 3): DataFrame = {
-    val centroids = kmeans(corpus, idCol, vecCol, nClusters, kmeansIters, dim)
-    val c = assignToCentroids(
-        DedupOps.normalized(corpus, idCol, vecCol, "id", "e"), centroids)
+    // one persisted normalized projection feeds k-means (iters+1 actions)
+    // AND the final bucket assignment — one corpus scan total.
+    val v = graft.Caches.track(
+      DedupOps.normalized(corpus, idCol, vecCol, "id", "e")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim)
+    val c = assignToCentroids(v, centroids)
       .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
     // query side: top-nprobe centroids per query via posexplode + rank
     val q0 = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
