@@ -234,6 +234,15 @@ object SparkEntry {
       ordered(flag.mapValues(Map("A" -> "accepted", "N" -> "none"),
         naAction = Some("ignore")))
     }),
+    // idxmax/idxmin (pandas arg-extrema; ties -> smallest label): two
+    // TakeOrderedAndProject jobs, per-partition heaps, driver gets one
+    // label each.
+    "s30_idx_extrema" -> ((s, d) => {
+      import s.implicits._
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
+      Seq((bal.idxmax().asInstanceOf[Long], bal.idxmin().asInstanceOf[Long]))
+        .toDF("idx_max", "idx_min")
+    }),
     // Distributed two-pass prefix-sum cumsum: SAME oracle as s18's global
     // window, but the plan buckets by index range and runs per-bucket
     // windows — no single-task global sort (the scale path for the global
@@ -345,7 +354,12 @@ object SparkEntry {
     "s29_cumsum_dist" ->
       ("SELECT c_custkey AS idx, round(sum(c_acctbal) OVER (ORDER BY c_custkey " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS bal " +
-        "FROM customer ORDER BY idx")
+        "FROM customer ORDER BY idx"),
+    "s30_idx_extrema" ->
+      ("SELECT min(CASE WHEN c_acctbal = (SELECT max(c_acctbal) FROM customer) " +
+        "THEN c_custkey END) AS idx_max, " +
+        "min(CASE WHEN c_acctbal = (SELECT min(c_acctbal) FROM customer) " +
+        "THEN c_custkey END) AS idx_min FROM customer")
   )
 
   // ============================================ placeholders (filled by round)

@@ -350,6 +350,18 @@ final class Series private[graft] (
       name, indexName)
   }
 
+  /** Index label of the maximum value (pandas idxmax; ties → smallest
+    * label, pandas' first-occurrence rule; nulls skipped). One
+    * TakeOrderedAndProject job — per-partition heaps, no global sort. */
+  def idxmax(): Any = df.filter(col(name).isNotNull)
+    .orderBy(col(name).desc, col(indexName).asc)
+    .select(indexName).head().get(0)
+
+  /** Index label of the minimum value (pandas idxmin). */
+  def idxmin(): Any = df.filter(col(name).isNotNull)
+    .orderBy(col(name).asc, col(indexName).asc)
+    .select(indexName).head().get(0)
+
   /** Top-n rows by value (pandas nlargest): TakeOrderedAndProject —
     * per-partition heaps, no global sort. */
   def nlargest(n: Int): Series = Series.fromKeyed(

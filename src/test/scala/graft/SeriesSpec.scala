@@ -273,6 +273,19 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("windowspecdefinition(__graft_bkt"), plan)
   }
 
+  test("idxmax/idxmin pick the smallest label on ties and skip nulls") {
+    val df = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0))
+      .toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    assert(s.idxmax() == 2L) // tie 9.0 at idx 2,3 -> first label
+    assert(s.idxmin() == 4L)
+    val withNull = Series.fromColumn(
+      Seq((1L, Some(3.0)), (2L, None), (3L, Some(7.0)))
+        .toDF("idx", "v"), "v", "idx")
+    assert(withNull.idxmax() == 3L)
+    assert(withNull.idxmin() == 1L) // null at idx 2 skipped
+  }
+
   test("RangeIndex derives start/stop/step from the index data (virtual)") {
     // ref: range_index.py:28 — repr computes start/stop from min/max
     val s = Series.fromSeq(spark, Seq(10.0, 20.0, 30.0))
