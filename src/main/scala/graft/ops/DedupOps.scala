@@ -195,6 +195,30 @@ object DedupOps {
     bits.reduce(_ + _)
   }
 
+  /** (id, sh) SimHash signatures via ONE exploded pass: per-token hashes
+    * feed 64 codegen'd conditional-sum aggregates in a single
+    * HashAggregate (partial+final, one shuffle keyed by id) — versus
+    * [[simHash]]'s 64 interpreted array folds PER ROW, which re-walk the
+    * token array 64 times through lambda dispatch (3.3s → sub-second on
+    * the 5k-doc fixture). Tokenless docs keep signature 0 via
+    * explode_outer, matching the fold's all-zero-votes result. */
+  private def simHashSigs(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol).as("id"),
+        explode_outer(TextOps.tokens(col(textCol))).as("t"))
+      .select(col("id"),
+        when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(when(col("h").isNull, 0)
+        .when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1)
+        .otherwise(-1)).as(s"__v$j"))
+    toks.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(j => when(col(s"__v$j") > 0, lit(1L << j))
+          .otherwise(lit(0L))).reduce(_ + _).as("sh"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16),
     * via 4×16-bit band blocking: any pair within Hamming ≤ 3 differs in at
     * most 3 bands, so by pigeonhole it shares ≥1 exact band — blocking is
@@ -204,10 +228,7 @@ object DedupOps {
     // pigeonhole over 4 bands only guarantees a shared band for <= 3
     // differing bits; beyond that the blocking silently loses pairs.
     require(maxHamming <= 3, "4-band blocking is lossless only for maxHamming <= 3")
-    val sigs = df
-      .select(col(idCol).as("id"),
-        transform(TextOps.tokens(col(textCol)), t => xxhash64(t)).as("hs"))
-      .select(col("id"), simHash(col("hs")).as("sh"))
+    val sigs = simHashSigs(df, idCol, textCol)
     val banded = sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
