@@ -131,6 +131,23 @@ object DedupOps {
                     n: Int, k: Int, bands: Int): DataFrame =
     lshCandidatesFrom(shingleProj(df, idCol, textCol, n), k, bands)
 
+  /** (id, sig) MinHash signatures from a (id, shs) projection via ONE
+    * exploded pass: per-shingle base hashes feed `k` codegen'd min
+    * aggregates in a single HashAggregate (partial+final, one shuffle
+    * keyed by id) — versus [[minHashSignature]]'s k interpreted
+    * transform+array_min lanes per row, which re-walk the shingle array k
+    * times through lambda dispatch. Same lane decorrelation
+    * (`xxhash64(h, lane)`), bit-identical signatures. */
+  private def minHashSigsFrom(sh: DataFrame, k: Int): DataFrame = {
+    val ex = sh.select(col("id"), explode(col("shs")).as("s"))
+      .select(col("id"), baseHash(col("s")).as("h"))
+    val mins = (0 until k).map(i =>
+      min(pmod(xxhash64(col("h"), lit(i)), lit(P))).as(s"__m$i"))
+    ex.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
   /** [[lshCandidates]] from a pre-staged (id, shs) projection — callers that
     * also need the shingles downstream (verification) persist the projection
     * and pass it here so tokenize+shingle runs once per row, not twice. */
@@ -138,12 +155,7 @@ object DedupOps {
                                        bands: Int): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    // Materialize each stage as its own column/projection: shingles, then
-    // base hashes, then the signature. Each later stage references the
-    // previous via an attribute, evaluating it exactly once per row.
-    val sig = sh
-      .select(col("id"), transform(col("shs"), s => baseHash(s)).as("hs"))
-      .select(col("id"), minHashSignature(col("hs"), k).as("sig"))
+    val sig = minHashSigsFrom(sh, k)
     val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws("_",
