@@ -285,10 +285,32 @@ object DedupOps {
   def normalized(df: DataFrame, idCol: String, vecCol: String,
                  outId: String, outVec: String): DataFrame =
     df.select(col(idCol).as(outId),
-        transform(col(vecCol), x => x.cast("double")).as("__e"))
+        // native array Cast (codegen'd), not a per-element transform
+        col(vecCol).cast("array<double>").as("__e"))
       .select(col(outId), col("__e"),
-        sqrt(fold(transform(col("__e"), x => x * x))).as("__n"))
+        // codegen'd self-dot for the sum of squares — sequential
+        // accumulation, bit-identical to fold(transform(x*x)) but one
+        // compiled pass instead of two interpreted lambda walks (the
+        // interpreted HOFs were the slowest stage of every vector op).
+        sqrt(graft.functions.DotProduct.dotNative(col("__e"), col("__e")))
+          .as("__n"))
       .select(col(outId), transform(col("__e"), x => x / col("__n")).as(outVec))
+
+  /** (id, vec, norm) projection — the zero-HOF alternative to
+    * [[normalized]] for dot-product workloads: native array cast +
+    * codegen'd self-dot, NO per-element interpreted pass at all.
+    * Downstream cosine is `dot(a, b) / (na * nb)` — dot-then-divide,
+    * exactly DuckDB's list_cosine_similarity formula (the
+    * normalize-then-dot path differs from it by ~1 ulp). Hyperplane
+    * bucketing works on the raw vector unchanged: positive scaling
+    * preserves every sign bit. */
+  def withNorm(df: DataFrame, idCol: String, vecCol: String, outId: String,
+               outVec: String, outNorm: String): DataFrame =
+    df.select(col(idCol).as(outId),
+        col(vecCol).cast("array<double>").as(outVec))
+      .select(col(outId), col(outVec),
+        sqrt(graft.functions.DotProduct.dotNative(col(outVec), col(outVec)))
+          .as(outNorm))
 
   /** Embedding near-dup: pairs with cosine ≥ threshold, via hyperplane-LSH
     * band candidates + exact re-rank (NO driver state, NO corpus broadcast —
@@ -306,15 +328,17 @@ object DedupOps {
     * At larger corpus sizes raise `bits` (bounds bucket occupancy and
     * candidate volume) and `tables` (buys recall back linearly in postings).
     *
-    * Precision note: normalize-then-dot differs from DuckDB's
-    * dot-then-divide by ~1 ulp — harmless under 6dp-rounded oracles unless
-    * a value sits within ~1e-15 of the threshold/rounding boundary. */
+    * Precision note: cosine is computed dot-then-divide over the raw
+    * vectors — the same association as DuckDB's list_cosine_similarity,
+    * so the oracle compare is not exposed to ulp-level drift. */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, tables: Int = 32, bits: Int = 4,
                        dim: Int = 64): DataFrame = {
-    // one normalized projection feeds the posting join (both sides) and the
-    // re-rank (both sides): persist so the scan+normalize runs once.
-    val v = graft.Caches.track(normalized(df, idCol, vecCol, "id", "e")
+    // one raw+norm projection feeds the posting join (both sides) and the
+    // re-rank (both sides): persist so the scan runs once. Buckets come
+    // from the raw vector (scaling preserves hyperplane signs); cosine is
+    // dot/(n1*n2) — dot-then-divide, DuckDB's exact formula.
+    val v = graft.Caches.track(withNorm(df, idCol, vecCol, "id", "e", "n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val posts = v.select(col("id"),
         posexplode(SimilarityOps.lshBuckets(col("e"), tables, bits, dim)))
@@ -328,10 +352,11 @@ object DedupOps {
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand
-      .join(v.select(col("id").as("id1"), col("e").as("e1")), "id1")
-      .join(v.select(col("id").as("id2"), col("e").as("e2")), "id2")
+      .join(v.select(col("id").as("id1"), col("e").as("e1"), col("n").as("n1")), "id1")
+      .join(v.select(col("id").as("id2"), col("e").as("e2"), col("n").as("n2")), "id2")
       .withColumn("sim",
-        graft.functions.DotProduct.dotNative(col("e1"), col("e2")))
+        graft.functions.DotProduct.dotNative(col("e1"), col("e2"))
+          / (col("n1") * col("n2")))
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }

@@ -30,10 +30,14 @@ object SimilarityOps {
     * excluded when ids collide). Output: qid, rk (1..k), nid, sim. */
   def knnBruteForce(corpus: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int): DataFrame = {
-    val c = DedupOps.normalized(corpus, idCol, vecCol, "nid", "ce")
-    val q = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
+    // raw vectors + norms (zero interpreted per-element work); cosine =
+    // dot/(cn*qn) — dot-then-divide, DuckDB's exact formula.
+    val c = DedupOps.withNorm(corpus, idCol, vecCol, "nid", "ce", "cn")
+    val q = DedupOps.withNorm(queries, idCol, vecCol, "qid", "qe", "qn")
     c.join(broadcast(q), col("nid") =!= col("qid"))
-      .withColumn("sim", graft.functions.DotProduct.dotNative(col("ce"), col("qe")))
+      .withColumn("sim",
+        graft.functions.DotProduct.dotNative(col("ce"), col("qe"))
+          / (col("cn") * col("qn")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)
@@ -174,11 +178,12 @@ object SimilarityOps {
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, tables: Int = 8, bits: Int = 4,
              dim: Int = 64): DataFrame = {
-    // normalization preserves hyperplane signs, so buckets are unchanged
-    // and the re-rank needs only a dot product per candidate.
+    // raw vectors + norms: positive scaling preserves hyperplane signs,
+    // so buckets come straight from the raw vector and the re-rank is
+    // dot/(n1*n2) — no per-element normalization pass anywhere.
     def postings(df: DataFrame, id: String): DataFrame =
-      DedupOps.normalized(df, idCol, vecCol, id, s"${id}_e")
-        .select(col(id), col(s"${id}_e"),
+      DedupOps.withNorm(df, idCol, vecCol, id, s"${id}_e", s"${id}_n")
+        .select(col(id), col(s"${id}_e"), col(s"${id}_n"),
           posexplode(lshBuckets(col(s"${id}_e"), tables, bits, dim)))
         .withColumnRenamed("pos", "table")
         .withColumnRenamed("col", "bucket")
@@ -186,8 +191,10 @@ object SimilarityOps {
     val q = postings(queries, "qid")
     c.join(broadcast(q), Seq("table", "bucket"))
       .filter(col("nid") =!= col("qid"))
-      .select("qid", "qid_e", "nid", "nid_e").distinct()
-      .withColumn("sim", graft.functions.DotProduct.dotNative(col("nid_e"), col("qid_e")))
+      .select("qid", "qid_e", "qid_n", "nid", "nid_e", "nid_n").distinct()
+      .withColumn("sim",
+        graft.functions.DotProduct.dotNative(col("nid_e"), col("qid_e"))
+          / (col("nid_n") * col("qid_n")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)
