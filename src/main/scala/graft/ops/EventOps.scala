@@ -47,6 +47,23 @@ object EventOps {
       .withColumn("ws", col("window.start"))
       .drop("window")
 
+  /** Trailing time-range window aggregates per key: for each event, the
+    * given aggregates over that key's events in `[ts - window, ts]`
+    * (inclusive — a RANGE frame over event time, not a row count; the
+    * velocity-feature shape: "events/value in the trailing hour").
+    *
+    * The frame orders by `unix_micros` because Spark range frames need a
+    * numeric order column; bounds are exact µs. One shuffle on the key,
+    * per-key ordered scan — same scale shape as any keyed window. */
+  def trailingRange(df: DataFrame, keyCol: String, tsCol: String,
+                    windowSeconds: Long,
+                    aggs: Seq[(Column, String)]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSeconds * 1000000L, 0L)
+    aggs.foldLeft(df) { case (acc, (a, n)) => acc.withColumn(n, a.over(w)) }
+  }
+
   /** Scalable point-in-interval (range) join: pair each point row with
     * every interval row of the same key whose `[lo, hi]` (inclusive)
     * contains the point's timestamp.

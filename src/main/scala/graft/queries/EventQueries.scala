@@ -79,6 +79,17 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Trailing 1-hour RANGE-frame window per user: event count + value sum
+    // in [ts - 1h, ts] at every event (velocity features). Frame is a time
+    // range, not a row count — none of the other window gates exercise
+    // RANGE frames.
+    "e08_trailing_hour" -> ((s, d) =>
+      EventOps.trailingRange(ev(s, d), "user_id", "ts", 3600L,
+          Seq(count(lit(1)) -> "n_1h", sum(col("value")) -> "sv"))
+        .select(col("event_id"), col("user_id"), col("n_1h"),
+          round(col("sv"), 2).as("v_1h"))
+        .orderBy("event_id")),
+
     // Point-in-interval range join: events ⨝ per-user session intervals
     // (30-min gap, from e02) via the bucketed equi-join rewrite — count of
     // contained events per session must reproduce the session's n_events.
@@ -155,6 +166,14 @@ object EventQueries {
            FROM u)
          SELECT event_id, user_id, round(pv, 2) AS pv, round(cv, 2) AS cv
          FROM f WHERE side = 1 ORDER BY event_id""",
+    "e08_trailing_hour" ->
+      """SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 2) AS v_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
     "e07_interval_join" ->
       """WITH x AS (
            SELECT user_id, event_id, ts,
