@@ -234,6 +234,15 @@ object SparkEntry {
       ordered(flag.mapValues(Map("A" -> "accepted", "N" -> "none"),
         naAction = Some("ignore")))
     }),
+    // pandas pd.concat(axis=0): stack two Series; plain union, no shuffle.
+    "s31_concat" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val lo = Series.fromColumn(cust.filter(col("c_nationkey") < 5),
+        "c_acctbal", "c_custkey").rename("bal").renameIndex("idx")
+      val hi = Series.fromColumn(cust.filter(col("c_nationkey") >= 20),
+        "c_acctbal", "c_custkey").rename("bal").renameIndex("idx")
+      ordered(lo.concat(hi))
+    }),
     // idxmax/idxmin (pandas arg-extrema; ties -> smallest label): two
     // TakeOrderedAndProject jobs, per-partition heaps, driver gets one
     // label each.
@@ -359,7 +368,12 @@ object SparkEntry {
       ("SELECT min(CASE WHEN c_acctbal = (SELECT max(c_acctbal) FROM customer) " +
         "THEN c_custkey END) AS idx_max, " +
         "min(CASE WHEN c_acctbal = (SELECT min(c_acctbal) FROM customer) " +
-        "THEN c_custkey END) AS idx_min FROM customer")
+        "THEN c_custkey END) AS idx_min FROM customer"),
+    "s31_concat" ->
+      ("SELECT c_custkey AS idx, c_acctbal AS bal FROM customer " +
+        "WHERE c_nationkey < 5 " +
+        "UNION ALL SELECT c_custkey, c_acctbal FROM customer " +
+        "WHERE c_nationkey >= 20 ORDER BY idx")
   )
 
   // ============================================ placeholders (filled by round)

@@ -350,6 +350,12 @@ final class Series private[graft] (
       name, indexName)
   }
 
+  /** Stack another Series under this one (pandas pd.concat axis=0):
+    * keeps both index columns as-is — duplicate labels allowed, exactly
+    * like pandas. Plain union: no shuffle, no dedup. */
+  def concat(other: Series): Series =
+    Series.fromKeyed(df.union(other.df.toDF(indexName, name)), name, indexName)
+
   /** Index label of the maximum value (pandas idxmax; ties → smallest
     * label, pandas' first-occurrence rule; nulls skipped). One
     * TakeOrderedAndProject job — per-partition heaps, no global sort. */

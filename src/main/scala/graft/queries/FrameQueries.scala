@@ -219,6 +219,18 @@ object FrameQueries {
         .limit(100).toDF
     }),
 
+    // Per-group exact quantiles: sort-based percentile aggregate within
+    // groupBy (partial+final; exact, matches quantile_cont bit-for-bit —
+    // the grouped sibling of s25's global quantiles).
+    "f18_group_quantiles" -> ((s, d) =>
+      GFrame.fromDF(Tables.lineitem(s, d), "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 6).as("med_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.95)), 6).as("p95_price"),
+          count(lit(1)).as("n"))
+        .sortValues(col("l_returnflag").asc).toDF),
+
     // Unpivot/melt: wide metrics → long rows via a single Expand pass.
     "f15_melt" -> ((s, d) =>
       GFrame.fromDF(Tables.lineitem(s, d)
@@ -318,6 +330,12 @@ object FrameQueries {
            GROUP BY 1 HAVING sum(l_quantity) > 200)
          GROUP BY 1, 2, 3
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "f18_group_quantiles" ->
+      """SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+           count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "f15_melt" ->
       s"""SELECT $liIdxSql AS idx, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
          UNION ALL
