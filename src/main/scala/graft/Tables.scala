@@ -21,6 +21,15 @@ object Tables {
     else df
   }
 
+  /** Register every fixture table as a temp view so queries can run
+    * through the `spark.sql` surface (events gets its nanos fix). */
+  def registerAll(s: SparkSession, d: String): Unit = {
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings")
+      .foreach(t => apply(s, d, t).createOrReplaceTempView(t))
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = apply(s, d, "customer")

@@ -219,6 +219,23 @@ object FrameQueries {
         .limit(100).toDF
     }),
 
+    // TPC-H Q5 analog through the spark.sql surface: 6-table star join,
+    // region filter, revenue per nation. Same SQL text runs on DuckDB —
+    // the declarative plan lets Catalyst broadcast the three dims and
+    // shuffle the two facts on their join keys (AQE decides).
+    "f19_q5_sql" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name ORDER BY revenue DESC, n_name""")
+    }),
+
     // Per-group exact quantiles: sort-based percentile aggregate within
     // groupBy (partial+final; exact, matches quantile_cont bit-for-bit —
     // the grouped sibling of s25's global quantiles).
@@ -330,6 +347,15 @@ object FrameQueries {
            GROUP BY 1 HAVING sum(l_quantity) > 200)
          GROUP BY 1, 2, 3
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "f19_q5_sql" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "f18_group_quantiles" ->
       """SELECT l_returnflag,
            round(quantile_cont(l_quantity, 0.5), 6) AS med_qty,
