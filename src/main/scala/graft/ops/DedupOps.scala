@@ -340,9 +340,16 @@ object DedupOps {
     // dot/(n1*n2) — dot-then-divide, DuckDB's exact formula.
     val v = graft.Caches.track(withNorm(df, idCol, vecCol, "id", "e", "n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val posts = v.select(col("id"),
-        posexplode(SimilarityOps.lshBuckets(col("e"), tables, bits, dim)))
+    // buckets staged as a materialized column (codegen'd Project, not
+    // interpreted inside Generate), and the postings persisted — the
+    // self-join below would otherwise evaluate the tables×bits hyperplane
+    // dots TWICE per corpus row.
+    val posts = graft.Caches.track(v
+      .select(col("id"),
+        SimilarityOps.lshBuckets(col("e"), tables, bits, dim).as("__bkts"))
+      .select(col("id"), posexplode(col("__bkts")))
       .toDF("id", "table", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // distinct BEFORE fetching vectors: dedup shuffles (id1, id2) pairs
     // only, not 2×dim doubles per candidate.
     val cand = posts.as("a").join(posts.as("b"),
