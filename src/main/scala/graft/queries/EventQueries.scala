@@ -79,6 +79,40 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // STREAMING under the hash gate: replay the whole events fixture
+    // through the stateful flatMapGroupsWithState sessionizer
+    // (MemoryStream → memory sink), flush every session closed via two
+    // watermark-advancing sentinels on a user id outside the fixture, and
+    // return the closed sessions — the oracle is the same batch-session
+    // SQL as e02. The collect here is the REPLAY HARNESS feeding the
+    // source, not part of the operator: in production the source is
+    // spark.readStream and the sessionizer's state stays partitioned in
+    // the state store (see StreamOps scaladoc).
+    "e09_stream_sessions" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d).select("ts", "user_id").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val name = s"graft_e09_${System.nanoTime()}"
+      val q = graft.streaming.StreamOps
+        .sessionizeStream(input.toDF.toDF("ts", "user_id"), 1800L, "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(rows: _*)
+        q.processAllAvailable()
+        input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
+        q.processAllAvailable()
+        input.addData((java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
+        q.processAllAvailable()
+      } finally q.stop() // memory sink retains the batches after stop
+      s.table(name).filter(col("closed") && col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    }),
+
     // Trailing 1-hour RANGE-frame window per user: event count + value sum
     // in [ts - 1h, ts] at every event (velocity features). Frame is a time
     // range, not a row count — none of the other window gates exercise
@@ -174,6 +208,26 @@ object EventQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "e09_stream_sessions" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         marked AS (
+           SELECT user_id, ts,
+             CASE WHEN prev IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new, event_id
+           FROM x),
+         numbered AS (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM marked)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+         FROM numbered GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
     "e07_interval_join" ->
       """WITH x AS (
            SELECT user_id, event_id, ts,
