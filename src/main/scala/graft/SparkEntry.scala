@@ -234,6 +234,19 @@ object SparkEntry {
       ordered(flag.mapValues(Map("A" -> "accepted", "N" -> "none"),
         naAction = Some("ignore")))
     }),
+    // cummax/cummin family: global (parity) + keyed (scale) variants in
+    // one frame — the keyed windows share the nation-key shuffle.
+    "s32_cummax" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val bal = Series.fromColumn(cust, "c_acctbal", "c_custkey")
+      val nat = col("c_nationkey")
+      cust.select(
+        col("c_custkey").as("idx"),
+        bal.cummax().values.as("cmax"),
+        bal.cummaxBy(nat).values.as("cmax_nat"),
+        bal.cumminBy(nat).values.as("cmin_nat"))
+        .orderBy("idx")
+    }),
     // pandas pd.concat(axis=0): stack two Series; plain union, no shuffle.
     "s31_concat" -> ((s, d) => {
       val cust = Tables.customer(s, d)
@@ -373,7 +386,16 @@ object SparkEntry {
       ("SELECT c_custkey AS idx, c_acctbal AS bal FROM customer " +
         "WHERE c_nationkey < 5 " +
         "UNION ALL SELECT c_custkey, c_acctbal FROM customer " +
-        "WHERE c_nationkey >= 20 ORDER BY idx")
+        "WHERE c_nationkey >= 20 ORDER BY idx"),
+    "s32_cummax" ->
+      ("SELECT c_custkey AS idx, " +
+        "max(c_acctbal) OVER (ORDER BY c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cmax, " +
+        "max(c_acctbal) OVER w AS cmax_nat, " +
+        "min(c_acctbal) OVER w AS cmin_nat " +
+        "FROM customer " +
+        "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY idx")
   )
 
   // ============================================ placeholders (filled by round)

@@ -380,6 +380,20 @@ final class Series private[graft] (
   private def ixWindow =
     org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
 
+  /** Cumulative max in index order (pandas cummax). Global ordered
+    * window — see [[cumsum]]'s scale note; [[cummaxBy]] is the keyed
+    * variant. */
+  def cummax(): Series = withValue(F.max(valueExpr).over(
+    org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+
+  /** Cumulative min in index order (pandas cummin). */
+  def cummin(): Series = withValue(F.min(valueExpr).over(
+    org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+
   /** Value shifted by `n` positions in index order (pandas shift) —
     * null-padded. Global ordered window: single-partition; use [[shiftBy]]
     * (and the other *By variants below) at scale. */
@@ -433,6 +447,18 @@ final class Series private[graft] (
   /** Cumulative sum within each `by` group, index-ordered (pandas
     * groupby(by).cumsum()). */
   def cumsumBy(by: Column): Series = withValue(F.sum(valueExpr).over(
+    keyedWindow(by)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+
+  /** Cumulative max within each `by` group (pandas groupby(by).cummax()). */
+  def cummaxBy(by: Column): Series = withValue(F.max(valueExpr).over(
+    keyedWindow(by)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+
+  /** Cumulative min within each `by` group (pandas groupby(by).cummin()). */
+  def cumminBy(by: Column): Series = withValue(F.min(valueExpr).over(
     keyedWindow(by)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)))

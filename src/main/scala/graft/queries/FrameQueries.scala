@@ -219,6 +219,25 @@ object FrameQueries {
         .limit(100).toDF
     }),
 
+    // SINK under the hash gate: write lineitem partitioned by returnflag,
+    // read it back, and aggregate one partition — the read-back scan must
+    // prune to the l_returnflag=A directory (partition pruning on the
+    // written layout), and the values must round-trip parquet bit-exactly.
+    "f20_write_roundtrip" -> ((s, d) => {
+      val out = "/tmp/graft_f20_roundtrip"
+      graft.sources.Sources.writePartitioned(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus", "l_quantity"),
+        out, Seq("l_returnflag"))
+      s.read.parquet(out)
+        .filter(col("l_returnflag") === "A")
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("l_linestatus")
+    }),
+
     // TPC-H Q5 analog through the spark.sql surface: 6-table star join,
     // region filter, revenue per nation. Same SQL text runs on DuckDB —
     // the declarative plan lets Catalyst broadcast the three dims and
@@ -347,6 +366,10 @@ object FrameQueries {
            GROUP BY 1 HAVING sum(l_quantity) > 200)
          GROUP BY 1, 2, 3
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "f20_write_roundtrip" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem WHERE l_returnflag = 'A'
+         GROUP BY 1 ORDER BY 1""",
     "f19_q5_sql" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM customer JOIN orders ON c_custkey = o_custkey
