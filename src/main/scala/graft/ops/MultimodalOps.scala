@@ -63,6 +63,23 @@ object MultimodalOps {
       }
   }
 
+  /** Resize plumbing: aspect-preserving fit of each media item into a
+    * `maxW`×`maxH` box, never upscaling — the geometry every image
+    * pipeline computes before the resample. Pure native expressions over
+    * the decoded feature frame (the pixel resample itself belongs in the
+    * partition-wise [[Decoder]], next to the codec). Adds
+    * `scale` (6dp), `out_w`, `out_h` (floored, min 1). */
+  def resizeToFit(features: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(lit(maxW).cast("double") / col("width"),
+      lit(maxH).cast("double") / col("height"), lit(1.0))
+    features
+      .withColumn("scale", round(scale, 6))
+      .withColumn("out_w",
+        greatest(floor(col("width") * scale), lit(1)).cast("int"))
+      .withColumn("out_h",
+        greatest(floor(col("height") * scale), lit(1)).cast("int"))
+  }
+
   /** Frame sampling plumbing: every `step`-th frame index per document,
     * exploded to (doc_id, frame_no) rows — the fan-out a video pipeline
     * feeds to per-frame feature extraction. */

@@ -40,7 +40,16 @@ object MultimodalQueries {
           MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
             MultimodalOps.FakeDecoder).toDF,
           step = 5)
-        .orderBy("doc_id", "frame_no"))
+        .orderBy("doc_id", "frame_no")),
+
+    // Aspect-preserving resize-to-fit geometry (256x256 box, no upscale).
+    "m04_resize" -> ((s, d) =>
+      MultimodalOps.resizeToFit(
+          MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
+            MultimodalOps.FakeDecoder).toDF,
+          maxW = 256, maxH = 256)
+        .select("doc_id", "width", "height", "scale", "out_w", "out_h")
+        .orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -62,6 +71,18 @@ object MultimodalQueries {
                  1 + octet_length(encode(text)) % 30 AS frames
                FROM documents) t,
          LATERAL unnest(range(0, t.frames, 5)) AS u(f)
-         ORDER BY doc_id, frame_no"""
+         ORDER BY doc_id, frame_no""",
+    "m04_resize" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+             CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height
+           FROM documents),
+         s AS (
+           SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS sc FROM f)
+         SELECT doc_id, width, height, round(sc, 6) AS scale,
+           CAST(greatest(floor(width * sc), 1) AS INTEGER) AS out_w,
+           CAST(greatest(floor(height * sc), 1) AS INTEGER) AS out_h
+         FROM s ORDER BY doc_id"""
   )
 }
