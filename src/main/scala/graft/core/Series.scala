@@ -316,7 +316,10 @@ final class Series private[graft] (
       else least(floor((col(indexName).cast("double") - lit(lo)) / lit(span / buckets)),
         lit(buckets - 1.0)).cast("long")
 
-    val keyed = df.withColumn(BktCol, bkt)
+    // two consumers (totals collect below + the returned windowed plan):
+    // persist so the source scans once, not twice.
+    val keyed = graft.Caches.track(df.withColumn(BktCol, bkt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(BktCol)).orderBy(col(indexName))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

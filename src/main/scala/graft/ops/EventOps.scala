@@ -109,9 +109,11 @@ object EventOps {
     * (`l.key = r.key AND r.ts <= l.ts` + max) explodes to all pairs per
     * key. This is the scalable union trick instead: tag both sides, union
     * them, and run ONE window partitioned by key ordered by
-    * `(ts, side, tie)` where `last(value, ignoreNulls)` carries the most
-    * recent right value forward onto each left row — right rows sort
-    * before left rows at equal ts, which is what makes the match
+    * `(ts, side, tie)` where `last(struct-of-values, ignoreNulls)` carries
+    * the most recent right ROW's values forward onto each left row (the
+    * struct marker is non-null for every right row, so a matched right row
+    * whose value is null yields null, not an older value) — right rows
+    * sort before left rows at equal ts, which is what makes the match
     * inclusive. One shuffle on the key, per-key sequential scan, no
     * range explosion; skew follows the key distribution exactly like any
     * keyed window.
@@ -123,25 +125,32 @@ object EventOps {
                tsCol: String, tieCol: String, rightVals: Seq[String],
                prefix: String = "asof_"): DataFrame = {
     val lRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    // The right values travel inside ONE struct that is non-null for every
+    // right row (even when the values themselves are null) and null for
+    // left rows: last(ignoreNulls) then skips left rows but NOT a matched
+    // right row whose value is null — "no prior right row" stays
+    // distinguishable from "matched a null value", and all rightVals come
+    // from the SAME right row.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)))
     val lNorm = left.select(
-      Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"),
-        col(tieCol).as("__tie"), lit(1).as("__side"),
-        struct(left.columns.map(col): _*).as("__lrow")) ++
-        rightVals.map(c =>
-          lit(null).cast(right.schema(c).dataType).as(prefix + c)): _*)
+      col(keyCol).as("__key"), col(tsCol).as("__ts"),
+      col(tieCol).as("__tie"), lit(1).as("__side"),
+      struct(left.columns.map(col): _*).as("__lrow"),
+      lit(null).cast(rStructType).as("__rvals"))
     val rNorm = right.select(
-      Seq(col(keyCol).as("__key"), col(tsCol).as("__ts"),
-        col(tieCol).as("__tie"), lit(0).as("__side"),
-        lit(null).cast(lRowType).as("__lrow")) ++
-        rightVals.map(c => col(c).as(prefix + c)): _*)
+      col(keyCol).as("__key"), col(tsCol).as("__ts"),
+      col(tieCol).as("__tie"), lit(0).as("__side"),
+      lit(null).cast(lRowType).as("__lrow"),
+      struct(rightVals.map(col): _*).as("__rvals"))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lNorm.unionByName(rNorm).select(
-      Seq(col("__side"), col("__lrow")) ++
-        rightVals.map(c => last(col(prefix + c), ignoreNulls = true)
-          .over(w).as(prefix + c)): _*)
+      col("__side"), col("__lrow"),
+      last(col("__rvals"), ignoreNulls = true).over(w).as("__rvals"))
     filled.filter(col("__side") === 1)
-      .select(col("__lrow.*") +: rightVals.map(c => col(prefix + c)): _*)
+      .select(col("__lrow.*") +:
+        rightVals.map(c => col(s"__rvals.$c").as(prefix + c)): _*)
   }
 }

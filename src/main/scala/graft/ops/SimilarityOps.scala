@@ -58,13 +58,17 @@ object SimilarityOps {
     * Pure expression: one fold per plane, one scan per row. */
   private[graft] def lshBuckets(vec: Column, tables: Int, bits: Int,
                                 dim: Int): Column = {
-    val hp = hyperplanes(tables * bits, dim)
+    val hp = hyperplanes(planes = tables * bits, dim = dim)
     def signBit(p: Int, weight: Long): Column = {
       val w = array(hp(p).map(lit): _*)
       // codegen'd dot — 32 interpreted folds per row was the exact cost
-      // DotProduct exists to remove.
+      // DotProduct exists to remove. A null dot (vector length != dim)
+      // must propagate to a NULL bucket — inner joins then drop the row —
+      // rather than silently collapsing every malformed vector into
+      // bucket 0 of every table (which would degenerate the candidate
+      // join to an all-pairs product).
       val dot = graft.functions.DotProduct.dotNative(vec, w)
-      when(dot >= 0, lit(weight)).otherwise(lit(0L))
+      when(dot >= 0, lit(weight)).when(dot < 0, lit(0L))
     }
     array((0 until tables).map { t =>
       (0 until bits).map(b => signBit(t * bits + b, 1L << b)).reduce(_ + _)
@@ -180,21 +184,34 @@ object SimilarityOps {
              dim: Int = 64): DataFrame = {
     // raw vectors + norms: positive scaling preserves hyperplane signs,
     // so buckets come straight from the raw vector and the re-rank is
-    // dot/(n1*n2) — no per-element normalization pass anywhere.
-    def postings(df: DataFrame, id: String): DataFrame =
-      DedupOps.withNorm(df, idCol, vecCol, id, s"${id}_e", s"${id}_n")
-        .select(col(id), col(s"${id}_e"), col(s"${id}_n"),
-          posexplode(lshBuckets(col(s"${id}_e"), tables, bits, dim)))
-        .withColumnRenamed("pos", "table")
-        .withColumnRenamed("col", "bucket")
-    val c = postings(corpus, "nid")
-    val q = postings(queries, "qid")
-    c.join(broadcast(q), Seq("table", "bucket"))
+    // dot/(n1*n2) — no per-element normalization pass anywhere. The
+    // corpus projection persists: it feeds the postings AND the
+    // post-distinct vector fetch.
+    val c = graft.Caches.track(
+      DedupOps.withNorm(corpus, idCol, vecCol, "nid", "nid_e", "nid_n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val q = DedupOps.withNorm(queries, idCol, vecCol, "qid", "qe", "qn")
+    // buckets staged as a materialized column (codegen'd Project, not
+    // interpreted inside Generate)
+    def postings(v: DataFrame, id: String): DataFrame = v
+      .select(col(id), lshBuckets(col(if (id == "nid") "nid_e" else "qe"),
+        tables, bits, dim).as("__bkts"))
+      .select(col(id), posexplode(col("__bkts")))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+    // distinct over ids ONLY (a colliding pair appears once per shared
+    // table): dedup shuffles 16-byte id pairs, not 2×dim-double vectors;
+    // vectors rejoin after.
+    val cand = postings(c, "nid")
+      .join(broadcast(postings(q, "qid")), Seq("table", "bucket"))
       .filter(col("nid") =!= col("qid"))
-      .select("qid", "qid_e", "qid_n", "nid", "nid_e", "nid_n").distinct()
+      .select("qid", "nid").distinct()
+    cand
+      .join(c, "nid")
+      .join(broadcast(q), "qid")
       .withColumn("sim",
-        graft.functions.DotProduct.dotNative(col("nid_e"), col("qid_e"))
-          / (col("nid_n") * col("qid_n")))
+        graft.functions.DotProduct.dotNative(col("nid_e"), col("qe"))
+          / (col("nid_n") * col("qn")))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
       .filter(col("rk") <= k)

@@ -188,17 +188,17 @@ object EventQueries {
     "e06_asof" ->
       """WITH u AS (
            SELECT user_id, ts, 1 AS side, event_id, value AS pv,
-             NULL::DOUBLE AS rv
+             CAST(NULL AS STRUCT(v DOUBLE)) AS rs
            FROM events WHERE event_type = 'purchase'
            UNION ALL
-           SELECT user_id, ts, 0, event_id, NULL, value
+           SELECT user_id, ts, 0, event_id, NULL, {'v': value}
            FROM events WHERE event_type = 'click'),
          f AS (
-           SELECT *, last_value(rv IGNORE NULLS) OVER (
+           SELECT *, last_value(rs IGNORE NULLS) OVER (
              PARTITION BY user_id ORDER BY ts, side, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lrs
            FROM u)
-         SELECT event_id, user_id, round(pv, 2) AS pv, round(cv, 2) AS cv
+         SELECT event_id, user_id, round(pv, 2) AS pv, round(lrs.v, 2) AS cv
          FROM f WHERE side = 1 ORDER BY event_id""",
     "e08_trailing_hour" ->
       """SELECT event_id, user_id,

@@ -43,13 +43,20 @@ object StreamOps {
                                  session_end: Timestamp, n_events: Long,
                                  closed: Boolean)
 
-  /** Per-user session accumulator held in the state store; times are
-    * MICROSECONDS since epoch — the batch twin ([[graft.ops.EventOps]])
-    * compares gaps in µs, and the events fixture carries sub-millisecond
-    * timestamps, so ms-precision state would disagree with it on
-    * near-boundary gaps. (Public: encoder codegen resolves accessors
-    * reflectively and chokes on object-nested private case classes.) */
+  /** One pending session; times are MICROSECONDS since epoch — the batch
+    * twin ([[graft.ops.EventOps]]) compares gaps in µs, and the events
+    * fixture carries sub-millisecond timestamps, so ms-precision state
+    * would disagree with it on near-boundary gaps. (Public: encoder
+    * codegen resolves accessors reflectively and chokes on object-nested
+    * private case classes.) */
   final case class SessionState(startUs: Long, lastUs: Long, n: Long)
+
+  /** Per-user state: ALL sessions not yet provably final. A session is
+    * only emitted once the watermark has passed its gap horizon — an
+    * admitted-late event (above watermark, below earlier data) may still
+    * extend or bridge anything younger than that, so start-order evidence
+    * within a batch is NOT finality evidence. */
+  final case class PendingSessions(sessions: Seq[SessionState])
 
   private def toMicros(t: Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
@@ -70,7 +77,7 @@ object StreamOps {
   def sessionizeStream(events: DataFrame, gapSeconds: Long,
                        watermarkDelay: String): Dataset[SessionUpdate] = {
     implicit val updEnc = Encoders.product[SessionUpdate]
-    implicit val stEnc = Encoders.product[SessionState]
+    implicit val stEnc = Encoders.product[PendingSessions]
     implicit val rowEnc = Encoders.product[(Long, Timestamp)]
     implicit val keyEnc = Encoders.scalaLong
 
@@ -82,51 +89,45 @@ object StreamOps {
     typed.groupByKey(_._1).flatMapGroupsWithState(
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       (user: Long, rows: Iterator[(Long, Timestamp)],
-       state: GroupState[SessionState]) =>
+       state: GroupState[PendingSessions]) =>
         val gapUs = gapSeconds * 1000000L
-        if (state.hasTimedOut) {
-          val s = state.get
-          state.remove()
-          Iterator(SessionUpdate(user, fromMicros(s.startUs),
-            fromMicros(s.lastUs), s.n, closed = true))
-        } else {
-          val sorted = rows.map(r => toMicros(r._2)).toSeq.sorted
-          var out = List.empty[SessionUpdate]
-          var cur = state.getOption
-          sorted.foreach { t =>
-            cur match {
-              // within gap of the session INTERVAL (either side): merge,
-              // extending start downward for out-of-order events older than
-              // the stored start.
-              case Some(s) if t >= s.startUs - gapUs && t <= s.lastUs + gapUs =>
-                cur = Some(SessionState(math.min(s.startUs, t),
-                  math.max(s.lastUs, t), s.n + 1))
-              case Some(s) if t > s.lastUs + gapUs =>
-                // gap exceeded within the batch: close + restart
-                out ::= SessionUpdate(user, fromMicros(s.startUs),
-                  fromMicros(s.lastUs), s.n, closed = true)
-                cur = Some(SessionState(t, t, 1))
-              case Some(s) => // late event > gap BEFORE the session: it can
-                // never grow (this batch is sorted ascending; future batches
-                // are bounded below by the watermark) — emit it closed.
-                out ::= SessionUpdate(user, fromMicros(t), fromMicros(t),
-                  1, closed = true)
-              case None => cur = Some(SessionState(t, t, 1))
-            }
+        // Uniform interval merge, identical to the batch gap rule: every
+        // pending session is just one more interval among the batch's
+        // events, everything sorts by start time, and adjacent items
+        // within the gap merge. This handles in-order events, events
+        // older than a stored start, and runs of admitted-late events
+        // that are within the gap of each other.
+        val items = rows.map { r =>
+          val t = toMicros(r._2); SessionState(t, t, 1)
+        }.toSeq ++ state.getOption.map(_.sessions).getOrElse(Seq.empty)
+        var merged = List.empty[SessionState]
+        items.sortBy(s => (s.startUs, s.lastUs)).foreach { s =>
+          merged match {
+            case c :: rest if s.startUs <= c.lastUs + gapUs =>
+              merged = SessionState(c.startUs,
+                math.max(c.lastUs, s.lastUs), c.n + s.n) :: rest
+            case _ => merged = s :: merged
           }
-          cur.foreach { s =>
-            state.update(s)
-            // flatMapGroupsWithState does not drop late rows, so a late
-            // event with last + gap at/below the current watermark would
-            // make setTimeoutTimestamp throw (must be > watermark) and kill
-            // the query — clamp to watermark + 1 ms (fires on the next
-            // advance, which is right: the gap horizon has already passed).
-            state.setTimeoutTimestamp(
-              math.max(s.lastUs / 1000L + gapSeconds * 1000L,
-                state.getCurrentWatermarkMs() + 1))
-          }
-          out.reverseIterator
         }
+        // A session is FINAL only when the watermark has passed its gap
+        // horizon — an admitted-late event in a future batch may still
+        // extend or bridge anything younger. (Start-order evidence within
+        // one batch is not enough: the lateness window is open until the
+        // watermark closes it.)
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (fin, pending) = merged.reverse
+          .partition(s => s.lastUs + gapUs <= wmUs)
+        if (pending.nonEmpty) {
+          state.update(PendingSessions(pending))
+          // Timeout at the OLDEST pending gap horizon, µs rounded UP so it
+          // never fires early; clamped above the current watermark or
+          // setTimeoutTimestamp throws and kills the query.
+          val horizonMs = (pending.map(_.lastUs).min + gapUs + 999L) / 1000L
+          state.setTimeoutTimestamp(
+            math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+        } else state.remove()
+        fin.iterator.map(s => SessionUpdate(user, fromMicros(s.startUs),
+          fromMicros(s.lastUs), s.n, closed = true))
     }
   }
 }

@@ -134,8 +134,13 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9, s"IVF recall $recall below 0.9")
   }
 
+  private val fixtureDir = "/root/testdata/sf0.001"
+  private def haveFixture =
+    new java.io.File(s"$fixtureDir/embeddings.parquet").exists
+
   test("annLsh on uniform fixtures returns <= k rows per query (rows-only op)") {
-    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
     val q = e.filter(col("vec_id") < 3)
     val ann = SimilarityOps.annLsh(e, q, "vec_id", "embedding", 5)
       .groupBy("qid").count().collect()
@@ -148,7 +153,8 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     // SimilarityQueries v02 (24 tables x 4 bits) and v03 (16 clusters,
     // nprobe 4) on the sf0.001 embeddings fixture against the exact top-5,
     // and log the measured numbers each round.
-    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
     val q = e.filter(col("vec_id") < 10)
     val exact = SimilarityOps.knnBruteForce(e, q, "vec_id", "embedding", 5)
       .select("qid", "nid").collect().map(_.toSeq).toSet
@@ -188,6 +194,21 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (102L, null), // no right at-or-before
       (103L, null)  // user 2's only right is after
     ))
+  }
+
+  test("asofJoin attaches a matched right row's null value as null") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val left = Seq((100L, 1L, ts(30))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts(10), Some(5.0)),
+      (2L, 1L, ts(20), Option.empty[Double]) // matched row, null value
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = graft.ops.EventOps.asofJoin(left, right, "user_id", "ts",
+      "event_id", Seq("value")).head()
+    // the MATCH is the ts(20) row; its null must not be skipped in favor
+    // of the older 5.0 (pandas merge_asof attaches the matched row as-is)
+    assert(r.isNullAt(r.fieldIndex("asof_value")))
   }
 
   test("asofJoin plan is one keyed window — no range join, no broadcast") {

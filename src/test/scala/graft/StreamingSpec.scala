@@ -76,6 +76,37 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("late events within the gap of each other merge into one session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val events = input.toDF.toDF("ts", "user_id")
+      .withColumn("event_type", lit("e")).withColumn("value", lit(0.0))
+    // 2h delay: the out-of-order events below stay ABOVE the watermark —
+    // rows below it are dropped by the stateful operator before reaching
+    // the merge logic, so this is exactly the admitted-lateness window.
+    val sess = StreamOps.sessionizeStream(events, gapSeconds = 600,
+      watermarkDelay = "2 hours")
+    val q = sess.writeStream.format("memory").queryName("late_merge")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(50), 1L)) // establish a session
+      q.processAllAvailable()
+      // two admitted-late events, > gap before the stored session but
+      // within the gap of each other — batch sessionize merges them into
+      // ONE session, and so must the stream (not two singletons)
+      input.addData((ts(0), 1L), (ts(5), 1L))
+      q.processAllAvailable()
+      // advance the watermark past every gap horizon to flush
+      input.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 2L))
+      q.processAllAvailable()
+      val late = spark.sql(
+        """SELECT session_start, session_end, n_events FROM late_merge
+           WHERE closed AND user_id = 1 ORDER BY session_start""").collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+      assert(late.toSeq == Seq((ts(0), ts(5), 2L), (ts(50), ts(50), 1L)))
+    } finally q.stop()
+  }
+
   // ---- batch/stream equivalence on the REAL events fixture (sf0.001) ----
   //
   // The driver's e01/e02 gates verify the batch ops against DuckDB; these
