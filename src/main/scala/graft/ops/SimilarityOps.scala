@@ -54,26 +54,19 @@ object SimilarityOps {
 
   /** Per-table sign-bit buckets: `tables` buckets, each packing `bits`
     * hyperplane signs. Returns array<long> of length `tables` (bucket
-    * values are table-local; pair with the table index when joining).
-    * Pure expression: one fold per plane, one scan per row. */
+    * values are table-local; pair with the table index when joining), or
+    * NULL when the vector length ≠ dim — inner joins then drop the row
+    * rather than colliding every malformed vector in bucket 0 of every
+    * table (which would degenerate the candidate join to all-pairs).
+    *
+    * One codegen'd [[graft.functions.LshBuckets]] node: the plane matrix
+    * is a single flattened literal, not tables×bits per-plane literal
+    * arrays — the composed-dots spelling made a ~10k-node tree whose
+    * re-analysis cost ~4s PER ACTION at any data size. */
   private[graft] def lshBuckets(vec: Column, tables: Int, bits: Int,
-                                dim: Int): Column = {
-    val hp = hyperplanes(planes = tables * bits, dim = dim)
-    def signBit(p: Int, weight: Long): Column = {
-      val w = array(hp(p).map(lit): _*)
-      // codegen'd dot — 32 interpreted folds per row was the exact cost
-      // DotProduct exists to remove. A null dot (vector length != dim)
-      // must propagate to a NULL bucket — inner joins then drop the row —
-      // rather than silently collapsing every malformed vector into
-      // bucket 0 of every table (which would degenerate the candidate
-      // join to an all-pairs product).
-      val dot = graft.functions.DotProduct.dotNative(vec, w)
-      when(dot >= 0, lit(weight)).when(dot < 0, lit(0L))
-    }
-    array((0 until tables).map { t =>
-      (0 until bits).map(b => signBit(t * bits + b, 1L << b)).reduce(_ + _)
-    }: _*)
-  }
+                                dim: Int): Column =
+    graft.functions.LshBuckets.bucketsNative(vec,
+      hyperplanes(planes = tables * bits, dim = dim).flatten, bits, dim)
 
   /** Deterministic Lloyd k-means over an embedding column: seeds are the
     * first k vectors by id (deterministic, no sampling), `iters` rounds of
