@@ -37,13 +37,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     seriesQueries ++ frameQueries ++ dedupQueries ++ simQueries ++
-      textQueries ++ eventQueries ++ multimodalQueries
+      textQueries ++ eventQueries ++ multimodalQueries ++ pipelineQueries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     seriesOracles ++ frameOracles ++ dedupOracles ++ simOracles ++
-      textOracles ++ eventOracles ++ multimodalOracles
+      textOracles ++ eventOracles ++ multimodalOracles ++ pipelineOracles
 
   // ===================================================== Series parity (§2.1)
 
@@ -418,4 +418,8 @@ object SparkEntry {
     graft.queries.MultimodalQueries.queries
   def multimodalOracles: Map[String, String] =
     graft.queries.MultimodalQueries.oracles
+  def pipelineQueries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.PipelineQueries.queries
+  def pipelineOracles: Map[String, String] =
+    graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph primitives for dedup pipelines.
+  *
+  * The one consumer shape that matters at 100 TB: near-dup PAIR generation
+  * (Jaccard / MinHash / SimHash / embedding-LSH — see [[DedupOps]]) emits
+  * edges, but a dedup decision needs CLUSTERS — "keep one doc per connected
+  * component", not "drop the higher id of every pair" (pair-wise dropping
+  * over-deletes chains: a~b, b~c drops b and c even though c may only
+  * resemble b). Connected components is the standard bridge.
+  */
+object GraphOps {
+
+  /** Connected components over an undirected edge list: returns
+    * `(id, comp)` for every vertex incident to an edge, where `comp` is
+    * the minimum vertex id in the component (a stable canonical
+    * representative).
+    *
+    * Algorithm: min-label propagation with pointer jumping.
+    * Each iteration
+    *   1. pulls every neighbor's current label and keeps the min
+    *      (one shuffle join keyed by vertex — hash-to-min);
+    *   2. shortcuts label chains by joining labels against themselves
+    *      (`comp := labels(comp)` — pointer jumping, halving chain depth),
+    * so convergence is O(log diameter) iterations rather than
+    * O(diameter); near-dup graphs are dense clusters with tiny diameter,
+    * where this converges in 2–3 rounds. Every step is an equi-join or
+    * keyed aggregation — no driver-side graph state, no all-pairs.
+    * Iterations persist their label frame (via [[graft.Caches]]) and the
+    * loop's only driver values are the per-iteration convergence counts.
+    *
+    * Throws if `maxIter` rounds don't reach a fixed point (a silent
+    * partial merge would be a WRONG answer, not a slow one).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = graft.Caches.track(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+    // Lineage MUST be cut every iteration (localCheckpoint, eager):
+    // persist alone keeps the logical plan, and each round references the
+    // previous labels three times (neighbor pull, pointer jump,
+    // convergence diff) — an un-truncated plan grows ~3^iter and the
+    // driver dies re-analyzing it long before the data is a problem. On a
+    // production cluster with external storage, reliable checkpoint()
+    // every few rounds is the fault-tolerant variant of the same cut.
+    var labels = graft.Caches.track(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint())
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // hash-to-min: min label over self + neighbors
+      val neigh = sym
+        .join(labels.select(col("id").as("b"), col("comp").as("bc")), "b")
+        .groupBy("a").agg(min("bc").as("nc"))
+        .select(col("a").as("id"), col("nc"))
+      val pulled = labels.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      // pointer jumping: comp := min(comp, labels(comp)) — shortcut chains
+      val next = graft.Caches.track(pulled.as("l")
+        .join(labels.select(col("id").as("comp"), col("comp").as("cc")).as("r"),
+          Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .localCheckpoint())
+      val changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
+  /** Canonical-survivor selection over near-dup pairs: cluster the pairs,
+    * keep the minimum id of each component. Returns
+    * `(id, comp, csize, keep)` for every clustered vertex — the standard
+    * post-pair dedup decision (pair-wise "drop id2" over-deletes chains).
+    */
+  def dupClusters(pairs: DataFrame, id1: String, id2: String): DataFrame = {
+    val comps = connectedComponents(pairs, id1, id2)
+    comps.withColumn("csize",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("comp")))
+      .withColumn("keep", col("id") === col("comp"))
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Dataset-assembly operators for training pipelines: deterministic
+  * splits and token-budget shard packing.
+  *
+  * Both are pure shuffle-light column logic — a split is one md5 per row
+  * (no shuffle at all), packing is the two-pass distributed prefix sum —
+  * so they compose onto the end of any cleaning pipeline without adding
+  * a scan.
+  */
+object PipelineOps {
+
+  /** Deterministic train/val/test assignment by content-free id hashing:
+    * the first 4 hex chars of `md5(id)` partition [0, 16^4) and cumulative
+    * fraction thresholds map lexicographic ranges to split names. Properties
+    * that matter in production:
+    *  - deterministic and engine-portable (md5 of the decimal id string —
+    *    no engine-specific hash), so the assignment survives re-runs,
+    *    backfills, and engine migrations;
+    *  - per-row, no shuffle, no sampling pass;
+    *  - stable under corpus growth (a doc's split never depends on other
+    *    rows).
+    * Threshold granularity is 1/65536 — fractions are rounded to that grid.
+    * `salt` reshuffles assignment without touching ids (e.g. per-epoch
+    * held-out rotation). */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)],
+                salt: String = ""): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val h = substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 4)
+    val cums = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    // lexicographic compare of fixed-width lowercase hex == numeric compare
+    val thresholds = cums.map(f => f"${math.min((f * 65536).toLong, 65535L)}%04x")
+    val assigned = splits.map(_._1).zip(thresholds)
+      .foldLeft(lit(null).cast("string")) { case (acc, (nm, th)) =>
+        coalesce(acc, when(h < lit(th), lit(nm)))
+      }
+    // last bucket takes the h == ffff edge row
+    df.withColumn("split", coalesce(assigned, lit(splits.last._1)))
+  }
+
+  /** Token-budget shard packing (the "concatenate and chunk every `budget`
+    * tokens" layout LLM pre-training uses): rows ordered by `idCol` get a
+    * shard number `floor(start_offset / budget)` where `start_offset` is
+    * the exclusive prefix sum of `tokenCol`. A doc that straddles a
+    * boundary belongs to the shard it starts in.
+    *
+    * Scale shape: the prefix sum is the two-pass distributed form (equal
+    * -width id-range buckets → per-bucket window + bounded bucket-total
+    * offsets rejoined as a literal map) — same machinery as
+    * `Series.cumsumDistributed`, no single-task global window. */
+  def packShards(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val bounds = df.agg(min(col(idCol)).cast("double"),
+      max(col(idCol)).cast("double")).head()
+    if (bounds.isNullAt(0)) return df.withColumn("shard", lit(0L))
+    val lo = bounds.getDouble(0)
+    val span = bounds.getDouble(1) - lo
+    val bkt =
+      if (span <= 0.0) lit(0L)
+      else least(floor((col(idCol).cast("double") - lit(lo)) / lit(span / buckets)),
+        lit(buckets - 1.0)).cast("long")
+    val keyed = graft.Caches.track(df.withColumn("__bkt", bkt)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // bounded driver state: exactly `buckets` totals, accumulated in order
+    val totals = keyed.groupBy(col("__bkt"))
+      .agg(sum(col(tokenCol)).cast("long").as("__t"))
+      .orderBy(col("__bkt")).collect().filterNot(_.isNullAt(0))
+    var acc = 0L
+    val offsets = totals.map { r =>
+      val o = acc; if (!r.isNullAt(1)) acc += r.getLong(1); r.getLong(0) -> o
+    }.toMap
+    keyed
+      .withColumn("__start",
+        coalesce(element_at(typedlit(offsets), col("__bkt")), lit(0L)) +
+          coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .withColumn("shard", floor(col("__start") / lit(budget)).cast("long"))
+      .drop("__bkt", "__start")
+  }
+}

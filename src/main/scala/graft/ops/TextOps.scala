@@ -101,10 +101,28 @@ object TextOps {
     * than n tokens). */
   def shinglesOfTokens(ts: Column, n: Int): Column = {
     require(n >= 2, "shingle size must be >= 2")
+    array_distinct(ngramsOfTokens(ts, n))
+  }
+
+  /** Word n-grams of a token array WITH multiplicity, in document order —
+    * the repetition-signal unit ([[shinglesOfTokens]] is the distinct
+    * variant). Same shifted zip_with construction (see PERF note there). */
+  def ngramsOfTokens(ts: Column, n: Int): Column = {
+    require(n >= 2, "n-gram size must be >= 2")
     val joined = (2 to n).foldLeft(ts) { (acc, i) =>
       zip_with(acc, slice(ts, lit(i), greatest(size(ts) - i + 1, lit(0))),
         (a, b) => concat(a, lit(" "), b)) // concat propagates null (concat_ws would skip it)
     }
-    array_distinct(filter(joined, g => g.isNotNull))
+    filter(joined, g => g.isNotNull)
+  }
+
+  /** Duplicate n-gram fraction: 1 − distinct/total n-grams (0 when the doc
+    * has no n-grams). The Gopher-style within-document repetition signal —
+    * high values mean boilerplate/looping text. Pure per-row expression. */
+  def dupNgramFraction(text: Column, n: Int): Column = {
+    val gs = ngramsOfTokens(tokens(text), n)
+    when(size(gs) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(gs)).cast("double") / size(gs).cast("double"))
   }
 }

@@ -64,6 +64,18 @@ object DedupQueries {
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("id1", "id2")),
 
+    // Near-dup CLUSTERS: connected components over the d03 pair graph
+    // (min-label propagation + pointer jumping — O(log diameter) keyed
+    // joins, no driver graph state), canonical survivor = min doc_id per
+    // component. The decision pair-wise dropping gets wrong: a~b, b~c
+    // must keep ONE of {a,b,c}, not drop both b and c.
+    "d08_dup_clusters" -> ((s, d) => {
+      import graft.ops.GraphOps
+      val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
+    }),
+
     // End-to-end training-data pipeline capstone: quality-filter the corpus,
     // drop the higher-id doc of every near-dup pair, emit survivors with
     // token counts + fingerprints. Composes TextOps + DedupOps; the dedup
@@ -117,7 +129,32 @@ object DedupQueries {
            count(*) AS dups
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "d03_jaccard_pairs" -> JaccardSql,
-    "d04_minhash_lsh" -> JaccardSql
+    "d04_minhash_lsh" -> JaccardSql,
+    // Transitive closure via recursive CTE = the oracle for the iterative
+    // min-label propagation (both compute min reachable id per vertex).
+    "d08_dup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a AS id, a AS comp FROM edges
+           UNION
+           SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         SELECT id, comp, count(*) OVER (PARTITION BY comp) AS csize,
+           id = comp AS keep
+         FROM comps ORDER BY id"""
     // d05_simhash, d06 → d06 oracled below; d05 rows-only.
     ,
     "d06_embedding_neardup" ->

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.{PipelineOps, TextOps}
+
+/** Dataset-assembly queries: deterministic splits and token-budget shard
+  * packing over the `documents` fixture, each with a DuckDB oracle (both
+  * ops are engine-portable by construction — md5 prefix ranges and prefix
+  * sums).
+  */
+object PipelineQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Deterministic 80/10/10 split by md5(doc_id) hex prefix: per-row, no
+    // shuffle, stable under corpus growth and engine migration.
+    "p01_hash_split" -> ((s, d) =>
+      PipelineOps.hashSplit(Tables.documents(s, d), "doc_id",
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select("doc_id", "split")
+        .orderBy("doc_id")),
+
+    // Token-budget shard packing: shard = floor(exclusive-prefix-sum /
+    // 2000) in doc_id order, prefix sum computed by the two-pass
+    // distributed form (no single-task global window).
+    "p02_pack_shards" -> ((s, d) =>
+      PipelineOps.packShards(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              TextOps.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 2000L)
+        .select("doc_id", "n_tokens", "shard")
+        .orderBy("doc_id"))
+  )
+
+  private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  val oracles: Map[String, String] = Map(
+    // thresholds: 0.8*65536 = 52428 = 0xcccc, 0.9*65536 = 58982 = 0xe666;
+    // fixed-width lowercase hex compares lexicographically = numerically.
+    "p01_hash_split" ->
+      """SELECT doc_id, CASE
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+           WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+           ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "p02_pack_shards" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($Toks) AS INTEGER) AS n_tokens
+                     FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM t)
+         SELECT doc_id, n_tokens,
+           CAST(floor(st / 2000.0) AS BIGINT) AS shard
+         FROM c ORDER BY doc_id"""
+  )
+}

@@ -83,7 +83,31 @@ object TextQueries {
     // Content fingerprint (md5 of normalized text) — the exact-dedup key.
     "t06_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Within-document repetition signals (the Gopher-style quality gates):
+    // top2_frac = share of bigram occurrences taken by the most common
+    // bigram (per-doc mode → explode + two keyed aggregations, shuffles
+    // bounded by doc_id); dup3_frac = 1 − distinct/total trigrams (pure
+    // per-row expression, no shuffle).
+    "t07_repetition" -> ((s, d) => {
+      val dd = docs(s, d)
+      // bigram array staged in a Project BEFORE the explode (Generate
+      // evaluates its generator input interpreted)
+      val counts = dd
+        .select(col("doc_id"), ngramsOfTokens(tokens(col("text")), 2).as("gs"))
+        .select(col("doc_id"), explode(col("gs")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("mc"), sum("c").as("tot"))
+      dd.select(col("doc_id"),
+          dupNgramFraction(col("text"), 3).as("d3"))
+        .join(counts, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce(col("mc").cast("double") / col("tot").cast("double"),
+            lit(0.0)), 6).as("top2_frac"),
+          round(col("d3"), 6).as("dup3_frac"))
+        .orderBy("doc_id")
+    })
   )
 
   // DuckDB equivalents. Tokenization mirrored as
@@ -153,6 +177,24 @@ object TextQueries {
          FROM sc ORDER BY doc_id""",
     "t06_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
-           AS fp FROM documents ORDER BY doc_id"""
+           AS fp FROM documents ORDER BY doc_id""",
+    "t07_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS ws FROM documents),
+         bg AS (SELECT doc_id, ws[u.i] || ' ' || ws[u.i+1] AS g
+                FROM toks, LATERAL unnest(range(1, len(ws))) AS u(i)),
+         bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         top AS (SELECT doc_id, max(c) AS mc, sum(c) AS tot FROM bgc GROUP BY 1),
+         tg AS (SELECT doc_id,
+                  ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS g
+                FROM toks, LATERAL unnest(range(1, len(ws)-1)) AS u(i)),
+         tgs AS (SELECT doc_id, count(*) AS n, count(DISTINCT g) AS nd
+                 FROM tg GROUP BY 1)
+         SELECT d.doc_id,
+           round(coalesce(t.mc * 1.0 / t.tot, 0.0), 6) AS top2_frac,
+           round(coalesce(1.0 - g.nd * 1.0 / g.n, 0.0), 6) AS dup3_frac
+         FROM documents d
+         LEFT JOIN top t USING (doc_id)
+         LEFT JOIN tgs g USING (doc_id)
+         ORDER BY doc_id"""
   )
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{GraphOps, PipelineOps}
+
+/** Specs for connected components / dup clustering and the pipeline
+  * assembly ops (hash split, shard packing). */
+class GraphOpsSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  test("connectedComponents labels a chain, a triangle and a pair") {
+    // components: {1..4} chain, {10,11,12} triangle, {20,21} pair
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)).toDF("a", "b")
+    val got = GraphOps.connectedComponents(edges, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    Caches.clear()
+    assert(got.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("pointer jumping converges on a long chain (O(log d) not O(d))") {
+    // a 40-node path: pure hash-to-min needs 39 rounds; with pointer
+    // jumping maxIter = 10 suffices (2^10 >> 40) — this would throw on
+    // non-convergence.
+    val edges = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val comps = GraphOps.connectedComponents(edges, "a", "b", maxIter = 10)
+      .select("comp").distinct().collect().map(_.getLong(0))
+    Caches.clear()
+    assert(comps.toSeq == Seq(1L))
+  }
+
+  test("dupClusters keeps exactly the min id per component") {
+    val pairs = Seq((5L, 6L), (6L, 7L), (30L, 31L)).toDF("id1", "id2")
+    val got = GraphOps.dupClusters(pairs, "id1", "id2")
+      .orderBy("id")
+      .select("id", "comp", "csize", "keep")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    Caches.clear()
+    assert(got.toSeq == Seq(
+      (5L, 5L, 3L, true), (6L, 5L, 3L, false), (7L, 5L, 3L, false),
+      (30L, 30L, 2L, true), (31L, 30L, 2L, false)))
+  }
+
+  test("hashSplit is deterministic, exhaustive, and roughly proportional") {
+    val df = spark.range(2000).toDF("id")
+    val s1 = PipelineOps.hashSplit(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 1400 && counts("train") < 1800,
+      s"train fraction off: $counts")
+    // re-running yields the identical assignment (no runtime entropy)
+    val s2 = PipelineOps.hashSplit(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(s1.except(s2).count() == 0 && s2.except(s1).count() == 0)
+    // a different salt moves some rows
+    val s3 = PipelineOps.hashSplit(df, "id",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt = "epoch2")
+    assert(s3.except(s1).count() > 0)
+  }
+
+  test("packShards chunks by exclusive prefix sum in id order") {
+    val df = Seq((1L, 600), (2L, 600), (3L, 600), (4L, 600), (5L, 600))
+      .toDF("id", "tok")
+    // starts: 0, 600, 1200, 1800, 2400 → shards 0,0,1,1,2 at budget 1000
+    val got = PipelineOps.packShards(df, "id", "tok", budget = 1000L,
+        buckets = 2)
+      .orderBy("id").select("shard").collect().map(_.getLong(0))
+    Caches.clear()
+    assert(got.toSeq == Seq(0L, 0L, 1L, 1L, 2L))
+  }
+
+  test("packShards matches a single-partition window on real ids") {
+    val df = spark.range(1, 101).toDF("id")
+      .withColumn("tok", (col("id") * 37 % 90 + 10).cast("int"))
+    val dist = PipelineOps.packShards(df, "id", "tok", budget = 500L,
+        buckets = 8)
+      .select("id", "shard")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      .rowsBetween(Long.MinValue, -1)
+    val global = df.withColumn("shard",
+        floor(coalesce(sum(col("tok")).over(w), lit(0L)) / lit(500L)).cast("long"))
+      .select("id", "shard")
+    assert(dist.except(global).count() == 0 && global.except(dist).count() == 0)
+    Caches.clear()
+  }
+}
