@@ -44,6 +44,53 @@ object PipelineOps {
     df.withColumn("split", coalesce(assigned, lit(splits.last._1)))
   }
 
+  /** First 4 hex chars of md5(salt || id): a uniform, deterministic,
+    * engine-portable draw in [0, 16^4) that compares lexicographically ==
+    * numerically (fixed-width lowercase hex). Distinct decisions on the
+    * same ids (split vs mixture vs sampling) MUST use distinct salts, or
+    * they correlate — e.g. the mixture would preferentially drop one
+    * split's rows. */
+  private def hex4(id: Column, salt: String): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, 4)
+
+  private def hexThreshold(rate: Double): String =
+    f"${math.min((rate * 65536).toLong, 65535L)}%04x"
+
+  /** Deterministic stratified sample: the `k` rows of each stratum with
+    * the smallest md5 draw (ties broken by id). One shuffle keyed by the
+    * stratum; rank is a per-stratum window, so a single giant stratum
+    * means a single sort task — for that regime pre-filter with
+    * [[mixtureSample]] at a few × k/|stratum| to cut each stratum to
+    * roughly k before ranking. */
+  def stratifiedTopK(df: DataFrame, idCol: String, strataCol: String,
+                     k: Int, salt: String = "strat"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hex4(col(idCol), salt), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
+
+  /** Per-stratum Bernoulli sampling at deterministic, engine-portable
+    * rates — the domain-mixture reweighting step of corpus assembly
+    * ("keep 100% of wiki, 25% of crawl"). Pure per-row predicate: no
+    * shuffle, no sampling pass, stable under corpus growth; re-running
+    * with the same salt reproduces the exact row set. Rates ≥ 1 keep the
+    * whole stratum (including the 'ffff' edge draw); strata missing from
+    * `rates` fall back to `defaultRate`. */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    rates: Map[String, Double], defaultRate: Double,
+                    salt: String = "mix"): DataFrame = {
+    val h = hex4(col(idCol), salt)
+    def keep(r: Double): Column =
+      if (r >= 1.0) lit(true) else h < lit(hexThreshold(r))
+    val pred = rates.foldLeft(keep(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, keep(r)).otherwise(acc)
+    }
+    df.filter(pred)
+  }
+
   /** Token-budget shard packing (the "concatenate and chunk every `budget`
     * tokens" layout LLM pre-training uses): rows ordered by `idCol` get a
     * shard number `floor(start_offset / budget)` where `start_offset` is

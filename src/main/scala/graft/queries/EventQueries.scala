@@ -113,6 +113,36 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // STREAMING dedup under the hash gate: the events fixture replayed
+    // through dropDuplicatesWithinWatermark keyed by (user_id,
+    // event_type). Only the KEY columns are projected — which physical
+    // row survives is arrival-order-dependent (append-mode dedup emits
+    // the first arrival), but the key set is exact — so the oracle is a
+    // plain DISTINCT. Survivor-identity behavior is covered in
+    // StreamingSpec; this gate proves the watermarked state op emits
+    // exactly one row per key over a full fixture replay.
+    "e10_stream_dedup" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select("ts", "user_id", "event_type").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, String)]
+      val name = s"graft_e10_${System.nanoTime()}"
+      val q = graft.streaming.StreamOps
+        .dedupStream(input.toDF.toDF("ts", "user_id", "event_type"),
+          "10 minutes", Seq("user_id", "event_type"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop() // memory sink retains the batches after stop
+      s.table(name).select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    }),
+
     // Trailing 1-hour RANGE-frame window per user: event count + value sum
     // in [ts - 1h, ts] at every event (velocity features). Frame is a time
     // range, not a row count — none of the other window gates exercise
@@ -228,6 +258,9 @@ object EventQueries {
            count(*) AS n_events
          FROM numbered GROUP BY user_id, session_id
          ORDER BY user_id, session_start""",
+    "e10_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
     "e07_interval_join" ->
       """WITH x AS (
            SELECT user_id, event_id, ts,

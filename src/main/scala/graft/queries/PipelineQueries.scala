@@ -31,6 +31,22 @@ object PipelineQueries {
               TextOps.tokenCount(col("text")).as("n_tokens")),
           "doc_id", "n_tokens", budget = 2000L)
         .select("doc_id", "n_tokens", "shard")
+        .orderBy("doc_id")),
+
+    // Deterministic stratified sample: 5 docs per source by md5 draw.
+    "p03_stratified_sample" -> ((s, d) =>
+      PipelineOps.stratifiedTopK(Tables.documents(s, d), "doc_id",
+          "source", k = 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // Domain-mixture reweighting: per-source keep rates (100%/75%/50%/25%,
+    // 10% default), decided per-row by a salted md5 draw.
+    "p04_source_mixture" -> ((s, d) =>
+      PipelineOps.mixtureSample(Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
+          defaultRate = 0.1)
+        .select("doc_id", "source")
         .orderBy("doc_id"))
   )
 
@@ -54,6 +70,26 @@ object PipelineQueries {
            FROM t)
          SELECT doc_id, n_tokens,
            CAST(floor(st / 2000.0) AS BIGINT) AS shard
-         FROM c ORDER BY doc_id"""
+         FROM c ORDER BY doc_id""",
+    "p03_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+         QUALIFY row_number() OVER (PARTITION BY source
+           ORDER BY substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 4),
+             doc_id) <= 5
+         ORDER BY doc_id""",
+    // thresholds: 0.75*65536 = 49152 = 0xc000, 0.5 = 0x8000, 0.25 = 0x4000,
+    // 0.1 → 6553 = 0x1999; rate 1.0 keeps everything including 'ffff'.
+    "p04_source_mixture" ->
+      """WITH h AS (SELECT doc_id, source,
+             substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+           FROM documents)
+         SELECT doc_id, source FROM h
+         WHERE CASE source
+           WHEN 'src0' THEN TRUE
+           WHEN 'src1' THEN hx < 'c000'
+           WHEN 'src2' THEN hx < '8000'
+           WHEN 'src3' THEN hx < '4000'
+           ELSE hx < '1999' END
+         ORDER BY doc_id"""
   )
 }

@@ -76,6 +76,31 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == Seq(0L, 0L, 1L, 1L, 2L))
   }
 
+  test("stratifiedTopK takes exactly k per stratum, deterministically") {
+    val df = spark.range(300).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 3).cast("string")))
+    val got = PipelineOps.stratifiedTopK(df, "id", "src", k = 7)
+    val counts = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 7L, "s1" -> 7L, "s2" -> 7L))
+    val again = PipelineOps.stratifiedTopK(df, "id", "src", k = 7)
+    assert(got.except(again).count() == 0 && again.except(got).count() == 0)
+  }
+
+  test("mixtureSample keeps whole strata at rate 1 and none at rate 0") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 2).cast("string")))
+    val kept = PipelineOps.mixtureSample(df, "id", "src",
+      Map("s0" -> 1.0, "s1" -> 0.0), defaultRate = 0.5)
+    val counts = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 500L)) // s1 fully dropped
+    // default rate applies to unlisted strata, roughly proportionally
+    val def50 = PipelineOps.mixtureSample(df, "id", "src",
+      Map.empty, defaultRate = 0.5).count()
+    assert(def50 > 400 && def50 < 600, s"default-rate keep count $def50")
+  }
+
   test("packShards matches a single-partition window on real ids") {
     val df = spark.range(1, 101).toDF("id")
       .withColumn("tok", (col("id") * 37 % 90 + 10).cast("int"))
