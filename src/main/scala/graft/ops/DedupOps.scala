@@ -32,6 +32,38 @@ object DedupOps {
     df.groupBy(keys.map(col): _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("dups"))
 
+  /** Benchmark decontamination: training docs sharing ≥ `minShared`
+    * distinct word-`n`-grams with a benchmark doc, with the containment
+    * ratio shared/|benchmark n-grams| (the standard "is this eval question
+    * in the training set" test).
+    *
+    * Scale shape — the asymmetry is the whole design: the corpus is 100 TB
+    * but a benchmark suite is thousands of docs, so the benchmark's
+    * exploded n-gram postings BROADCAST and the corpus side is a single
+    * projected scan + map-side join + partial aggregation. The corpus is
+    * never shuffled by n-gram; the only exchange carries (train_id,
+    * bench_id) partial counts. */
+  def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         minShared: Int = 1): DataFrame = {
+    def postings(df: DataFrame, out: String): DataFrame = df
+      .select(col(idCol).as(out), TextOps.shingles(col(textCol), n).as("__shs"))
+      .select(col(out), explode(col("__shs")).as("sh"))
+    val b = graft.Caches.track(postings(benchmark, "bench_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val bsizes = b.groupBy("bench_id").agg(count(lit(1)).as("bn"))
+    postings(corpus, "train_id")
+      .join(broadcast(b), "sh")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(bsizes), "bench_id")
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("bn").cast("double"))
+      .select(col("train_id"), col("bench_id"), col("n_shared"),
+        col("containment"))
+  }
+
   /** All pairs with word-`n`-gram Jaccard ≥ `threshold`, found via an
     * inverted shingle index: explode distinct shingles, self-equi-join on
     * the shingle (id1 < id2), count shared shingles per pair, then

@@ -63,17 +63,18 @@ object GraphOps {
         .groupBy("a").agg(min("bc").as("nc"))
         .select(col("a").as("id"), col("nc"))
       val pulled = labels.join(neigh, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-      // pointer jumping: comp := min(comp, labels(comp)) — shortcut chains
+      // pointer jumping: comp := min(comp, labels(comp)) — shortcut chains.
+      // The previous label rides along as __old so convergence is a
+      // filter-count on the checkpointed frame, not another join.
       val next = graft.Caches.track(pulled.as("l")
         .join(labels.select(col("id").as("comp"), col("comp").as("cc")).as("r"),
           Seq("comp"), "left")
-        .select(col("id"),
+        .select(col("id"), col("l.__old"),
           least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
         .localCheckpoint())
-      val changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
+      val changed = next.filter(col("comp") =!= col("__old")).count()
       labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0
@@ -81,7 +82,7 @@ object GraphOps {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter iterations")
-    labels
+    labels.select("id", "comp")
   }
 
   /** Canonical-survivor selection over near-dup pairs: cluster the pairs,

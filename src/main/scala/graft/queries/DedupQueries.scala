@@ -76,6 +76,18 @@ object DedupQueries {
       GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
     }),
 
+    // Benchmark decontamination: trigram containment of a "benchmark"
+    // slice (doc_id < 25) against the rest of the corpus. The benchmark
+    // postings broadcast; the corpus side is one scan + map-side join.
+    "d09_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.ngramContamination(
+          docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+          "doc_id", "text", n = 3)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("train_id", "bench_id")
+    }),
+
     // End-to-end training-data pipeline capstone: quality-filter the corpus,
     // drop the higher-id doc of every near-dup pair, emit survivors with
     // token counts + fingerprints. Composes TextOps + DedupOps; the dedup
@@ -165,6 +177,17 @@ object DedupQueries {
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.e, b.e) >= 0.5
          ORDER BY id1, id2""",
+    "d09_contamination" ->
+      s"""WITH $ShingleCte,
+         b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25),
+         c AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id >= 25),
+         bs AS (SELECT bench_id, count(*) AS bn FROM b GROUP BY 1),
+         j AS (SELECT train_id, bench_id, count(*) AS n_shared
+               FROM c JOIN b USING (sh) GROUP BY 1, 2)
+         SELECT train_id, bench_id, n_shared,
+           round(n_shared * 1.0 / bn, 6) AS containment
+         FROM j JOIN bs USING (bench_id)
+         ORDER BY train_id, bench_id""",
     "d07_pipeline" ->
       s"""WITH $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

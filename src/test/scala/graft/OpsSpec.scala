@@ -18,6 +18,30 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("ngramContamination reports shared-trigram containment vs a benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1 contains both benchmark trigrams; doc 3 shares none
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (3L, "completely different text entirely")).toDF("doc_id", "text")
+    val got = DedupOps.ngramContamination(train, bench, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    Caches.clear()
+    // benchmark has trigrams {a b g, b g d} (2); doc 1 shares both → 1.0
+    assert(got.toSeq == Seq((1L, 100L, 2L, 1.0)))
+  }
+
+  test("ngramContamination broadcasts the benchmark side, not the corpus") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val plan = DedupOps.ngramContamination(train, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    Caches.clear()
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("exactDedup groups identical content, survivor = min id") {
     val out = DedupOps.exactDedup(docs, "doc_id", "text")
       .orderBy("survivor_id").collect()
