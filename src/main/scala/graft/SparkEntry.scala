@@ -265,6 +265,36 @@ object SparkEntry {
       Seq((bal.idxmax().asInstanceOf[Long], bal.idxmin().asInstanceOf[Long]))
         .toDF("idx_max", "idx_min")
     }),
+    // pandas .str accessor surface: vectorized string methods, all pure
+    // Column expressions composing against one shared base scan.
+    "s33_str_ops" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val nm = Series.fromColumn(cust, "c_name", "c_custkey")
+      cust.select(
+        col("c_custkey").as("idx"),
+        nm.str.upper.values.as("up"),
+        nm.str.len.values.as("n"),
+        nm.str.contains("11").values.as("has11"),
+        nm.str.replace("Customer#", "C").values.as("cname"),
+        nm.str.slice(0, 8).values.as("head8"),
+        nm.str.startswith("Customer").values.as("isc"))
+        .orderBy("idx")
+    }),
+    // pandas .dt accessor surface: calendar parts (dayofweek in the pandas
+    // Monday=0 convention) over the events timestamps.
+    "s34_dt_parts" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val ts = Series.fromColumn(e, "ts", "event_id")
+      e.select(
+        col("event_id").as("idx"),
+        ts.dt.year.values.as("y"),
+        ts.dt.month.values.as("mo"),
+        ts.dt.day.values.as("dd"),
+        ts.dt.hour.values.as("hh"),
+        ts.dt.dayofweek.values.as("dow"),
+        ts.dt.date.values.as("dte"))
+        .orderBy("idx")
+    }),
     // Distributed two-pass prefix-sum cumsum: SAME oracle as s18's global
     // window, but the plan buckets by index range and runs per-bucket
     // windows — no single-task global sort (the scale path for the global
@@ -387,6 +417,23 @@ object SparkEntry {
         "WHERE c_nationkey < 5 " +
         "UNION ALL SELECT c_custkey, c_acctbal FROM customer " +
         "WHERE c_nationkey >= 20 ORDER BY idx"),
+    "s33_str_ops" ->
+      ("SELECT c_custkey AS idx, upper(c_name) AS up, " +
+        "CAST(length(c_name) AS INTEGER) AS n, " +
+        "contains(c_name, '11') AS has11, " +
+        "replace(c_name, 'Customer#', 'C') AS cname, " +
+        "substr(c_name, 1, 8) AS head8, " +
+        "starts_with(c_name, 'Customer') AS isc " +
+        "FROM customer ORDER BY idx"),
+    // dayofweek: DuckDB Sunday=0 → pandas Monday=0 via (d+6)%7; the Spark
+    // side maps its Sunday=1 via (d+5)%7 — both land on the pandas
+    // convention.
+    "s34_dt_parts" ->
+      ("SELECT event_id AS idx, CAST(year(ts) AS INTEGER) AS y, " +
+        "CAST(month(ts) AS INTEGER) AS mo, CAST(day(ts) AS INTEGER) AS dd, " +
+        "CAST(hour(ts) AS INTEGER) AS hh, " +
+        "CAST((dayofweek(ts) + 6) % 7 AS INTEGER) AS dow, " +
+        "CAST(ts AS DATE) AS dte FROM events ORDER BY idx"),
     "s32_cummax" ->
       ("SELECT c_custkey AS idx, " +
         "max(c_acctbal) OVER (ORDER BY c_custkey " +

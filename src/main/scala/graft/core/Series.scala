@@ -549,6 +549,55 @@ final class Series private[graft] (
       .select(df(indexName), lookup(valCol).as(name))
     Series.fromKeyed(joined, name, indexName)
   }
+
+  // ------------------------------------------------------------- accessors
+
+  /** pandas `.str` accessor: vectorized string methods as pure `Column`
+    * expressions (no UDFs — each method is a projected-scan transform). */
+  def str: StrAccessor = new StrAccessor(this)
+
+  /** pandas `.dt` accessor: datetime parts as native expressions. */
+  def dt: DtAccessor = new DtAccessor(this)
+}
+
+/** pandas Series.str — every method composes onto the owning Series'
+  * value expression, so chained calls stay one projected scan. */
+final class StrAccessor private[core] (s: Series) {
+  import Series.F
+  private def t(f: Column => Column): Series = s.transform(f)
+  def upper: Series = t(F.upper(_))
+  def lower: Series = t(F.lower(_))
+  /** Character count (pandas str.len). */
+  def len: Series = t(F.length(_))
+  def strip: Series = t(F.trim(_))
+  def contains(sub: String): Series = t(_.contains(sub))
+  def startswith(prefix: String): Series = t(_.startsWith(prefix))
+  def endswith(suffix: String): Series = t(_.endsWith(suffix))
+  /** LITERAL replacement (pandas ≥ 2 str.replace default, regex=False). */
+  def replace(search: String, repl: String): Series =
+    t(v => F.replace(v, lit(search), lit(repl)))
+  /** Python slice semantics: 0-based start, exclusive stop. */
+  def slice(start: Int, stop: Int): Series = {
+    require(start >= 0 && stop >= start, "slice needs 0 <= start <= stop")
+    t(F.substring(_, start + 1, stop - start))
+  }
+  def zfill(width: Int): Series = t(F.lpad(_, width, "0"))
+}
+
+/** pandas Series.dt — calendar parts in the session time zone; dayofweek
+  * uses the pandas convention (Monday = 0). */
+final class DtAccessor private[core] (s: Series) {
+  import Series.F
+  private def t(f: Column => Column): Series = s.transform(f)
+  def year: Series = t(F.year(_))
+  def month: Series = t(F.month(_))
+  def day: Series = t(F.dayofmonth(_))
+  def hour: Series = t(F.hour(_))
+  def minute: Series = t(F.minute(_))
+  def second: Series = t(F.second(_))
+  /** Monday = 0 (pandas); Spark's dayofweek is Sunday = 1. */
+  def dayofweek: Series = t(v => (F.dayofweek(v) + 5) % 7)
+  def date: Series = t(_.cast(DateType))
 }
 
 object Series {

@@ -12,6 +12,16 @@ object EventQueries {
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
+  /** Run `body` with spark.sql.shuffle.partitions temporarily set to `n`
+    * (a streaming query locks its state-partition count from this conf at
+    * start). Restores the previous value afterwards. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour windows per event type: count + value sum. Epoch-
     // aligned buckets == date_trunc('hour') for hour-divisible durations.
@@ -79,6 +89,14 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // The streaming replay gates run with 8 state partitions instead of
+    // the session's 32: a stateful query creates (and commits, per batch)
+    // one state store PER shuffle partition, a fixed cost the fixture-size
+    // replay doesn't amortize. Production sizes this to key cardinality /
+    // executor count — the operator itself is partition-count agnostic
+    // (state is hash-partitioned by key either way). Conf is restored
+    // after the replay; batch queries are unaffected.
+
     // STREAMING under the hash gate: replay the whole events fixture
     // through the stateful flatMapGroupsWithState sessionizer
     // (MemoryStream → memory sink), flush every session closed via two
@@ -96,18 +114,20 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
       val name = s"graft_e09_${System.nanoTime()}"
-      val q = graft.streaming.StreamOps
-        .sessionizeStream(input.toDF.toDF("ts", "user_id"), 1800L, "0 seconds")
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        input.addData(rows: _*)
-        q.processAllAvailable()
-        input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
-        q.processAllAvailable()
-        input.addData((java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
-        q.processAllAvailable()
-      } finally q.stop() // memory sink retains the batches after stop
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .sessionizeStream(input.toDF.toDF("ts", "user_id"), 1800L, "0 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          q.processAllAvailable()
+          input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
+          q.processAllAvailable()
+          input.addData((java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
+          q.processAllAvailable()
+        } finally q.stop() // memory sink retains the batches after stop
+      }
       s.table(name).filter(col("closed") && col("user_id") >= 0)
         .select("user_id", "session_start", "session_end", "n_events")
         .orderBy("user_id", "session_start")
@@ -130,15 +150,17 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
       val name = s"graft_e10_${System.nanoTime()}"
-      val q = graft.streaming.StreamOps
-        .dedupStream(input.toDF.toDF("ts", "user_id", "event_type"),
-          "10 minutes", Seq("user_id", "event_type"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode("append").start()
-      try {
-        input.addData(rows: _*)
-        q.processAllAvailable()
-      } finally q.stop() // memory sink retains the batches after stop
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .dedupStream(input.toDF.toDF("ts", "user_id", "event_type"),
+            "10 minutes", Seq("user_id", "event_type"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          q.processAllAvailable()
+        } finally q.stop() // memory sink retains the batches after stop
+      }
       s.table(name).select("user_id", "event_type")
         .orderBy("user_id", "event_type")
     }),
