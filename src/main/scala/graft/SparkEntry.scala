@@ -265,6 +265,17 @@ object SparkEntry {
       Seq((bal.idxmax().asInstanceOf[Long], bal.idxmin().asInstanceOf[Long]))
         .toDF("idx_max", "idx_min")
     }),
+    // pandas cut/qcut binning: fixed-width + quantile buckets, boundaries
+    // as bounded driver state, assignment a pure per-row expression.
+    "s35_binning" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val bal = Series.fromColumn(cust, "c_acctbal", "c_custkey")
+      cust.select(
+        col("c_custkey").as("idx"),
+        bal.cut(8).values.as("bin8"),
+        bal.qcut(4).values.as("q4"))
+        .orderBy("idx")
+    }),
     // pandas .str accessor surface: vectorized string methods, all pure
     // Column expressions composing against one shared base scan.
     "s33_str_ops" -> ((s, d) => {
@@ -417,6 +428,17 @@ object SparkEntry {
         "WHERE c_nationkey < 5 " +
         "UNION ALL SELECT c_custkey, c_acctbal FROM customer " +
         "WHERE c_nationkey >= 20 ORDER BY idx"),
+    "s35_binning" ->
+      ("WITH b AS (SELECT CAST(min(c_acctbal) AS DOUBLE) AS lo, " +
+        "CAST(max(c_acctbal) AS DOUBLE) AS hi FROM customer), " +
+        "qs AS (SELECT quantile_cont(c_acctbal, [0.25, 0.5, 0.75]) AS cs " +
+        "FROM customer) " +
+        "SELECT c_custkey AS idx, " +
+        "CAST(least(floor((c_acctbal - lo) / ((hi - lo) / 8)), 7) AS INTEGER) AS bin8, " +
+        "CAST((CASE WHEN c_acctbal > cs[1] THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN c_acctbal > cs[2] THEN 1 ELSE 0 END) + " +
+        "(CASE WHEN c_acctbal > cs[3] THEN 1 ELSE 0 END) AS INTEGER) AS q4 " +
+        "FROM customer, b, qs ORDER BY idx"),
     "s33_str_ops" ->
       ("SELECT c_custkey AS idx, upper(c_name) AS up, " +
         "CAST(length(c_name) AS INTEGER) AS n, " +

@@ -270,6 +270,46 @@ final class Series private[graft] (
   def between(lo: Any, hi: Any): Series =
     withValue(valueExpr.between(lit(lo), lit(hi)))
 
+  /** Fixed-width binning (pandas cut with an int bin count): bucket =
+    * floor((v − min) / width), top edge clamped into the last bin (pandas
+    * includes the max in the rightmost interval). Null values → null
+    * bucket. Two bounded driver scalars (min/max — near-free off parquet
+    * footer stats), then a pure per-row expression; no shuffle. */
+  def cut(bins: Int): Series = {
+    require(bins >= 1, "bins must be >= 1")
+    val r = base.agg(F.min(valueExpr).cast("double"),
+      F.max(valueExpr).cast("double")).head()
+    if (r.isNullAt(0)) return withValue(lit(null).cast("int"))
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = (hi - lo) / bins
+    // least() skips nulls (returns the smallest NON-null arg), so guard
+    // null inputs explicitly or they'd land in the last bin.
+    val bucket =
+      if (width <= 0.0) when(valueExpr.isNotNull, lit(0))
+      else when(valueExpr.isNotNull,
+        least(floor((valueExpr.cast("double") - lit(lo)) / lit(width)),
+          lit(bins - 1.0)).cast("int"))
+    withValue(bucket)
+  }
+
+  /** Quantile binning (pandas qcut): bucket = #{interior quantile
+    * boundaries strictly below v} over exact interpolated quantiles, so
+    * bucket i is (q_i, q_{i+1}] except the first, which is closed on the
+    * left — pandas' convention. The q−1 boundaries are bounded driver
+    * state (like IVF centroids / prefix-sum offsets); assignment is a
+    * per-row expression chain, no shuffle. */
+  def qcut(q: Int): Series = {
+    require(q >= 1, "q must be >= 1")
+    val row = base.agg(percentile(valueExpr,
+      typedlit((1 until q).map(_.toDouble / q))).as("qs")).head()
+    if (row.isNullAt(0)) return withValue(lit(null).cast("int"))
+    val cuts = row.getSeq[Double](0)
+    val bucket = cuts.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(valueExpr.cast("double") > lit(b), 1).otherwise(0)
+    }
+    withValue(when(valueExpr.isNotNull, bucket))
+  }
+
   /** Cumulative sum in index order (pandas cumsum). Global ordered window —
     * single-task at scale; use [[cumsumBy]] with a grouping key for the
     * distributed variant. */

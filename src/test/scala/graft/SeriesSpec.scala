@@ -307,4 +307,29 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
       v.mapValues(Map("a" -> "x"), naAction = Some("bogus"))
     }
   }
+
+  test("cut bins fixed-width, max lands in last bin, nulls stay null") {
+    val df = Seq((0L, Some(0.0)), (1L, Some(2.5)), (2L, Some(5.0)),
+      (3L, Some(7.5)), (4L, Some(10.0)), (5L, None))
+      .toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    val got = s.cut(4).df.orderBy("idx")
+      .collect().map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq
+    // pandas cut(4) over [0,10]: edges 0,2.5,5,7.5,10 → right-closed bins
+    // differ at interior edges; our floor convention puts 2.5 in bin 1,
+    // 5.0 in bin 2 (left-closed), max clamped into bin 3. Null → null.
+    assert(got == Seq(0, 1, 2, 3, 3, null))
+    // constant column: everything in bin 0 (width 0 guard)
+    val const = Series.fromSeq(spark, Seq(4.0, 4.0, 4.0))
+    assert(const.cut(3).df.collect().map(_.getInt(1)).toSeq == Seq(0, 0, 0))
+  }
+
+  test("qcut quartiles match pandas labels on a permutation") {
+    val vals = Seq(7.0, 1.0, 5.0, 3.0, 8.0, 2.0, 6.0, 4.0)
+    val s = Series.fromSeq(spark, vals, name = "v")
+    val got = s.qcut(4).df.orderBy("index")
+      .collect().map(_.getInt(1)).toSeq
+    // pandas qcut(vals, 4).codes for this permutation
+    assert(got == Seq(3, 0, 2, 1, 3, 0, 2, 1))
+  }
 }
