@@ -248,6 +248,21 @@ final class Series private[graft] (
   def nunique(): Long =
     base.filter(valueExpr.isNotNull).select(valueExpr).distinct().count()
 
+  /** Approximate distinct count via HyperLogLog++ (`rsd` = target relative
+    * standard deviation). The 100 TB sibling of [[nunique]]: the sketch is
+    * a fixed few-KB mergeable partial aggregate, so the shuffle carries one
+    * sketch per partition instead of every distinct value. */
+  def approxNunique(rsd: Double = 0.05): Long =
+    base.agg(F.approx_count_distinct(valueExpr, rsd)).head().getLong(0)
+
+  /** Approximate quantile via the Greenwald–Khanna-style sketch
+    * (percentile_approx): fixed-size mergeable state, the scale path when
+    * [[quantile]]'s exact sort-based aggregate is too expensive. Returns an
+    * actual element of the column (no interpolation); rank error shrinks as
+    * `accuracy` grows (~1/accuracy of the row count). */
+  def approxQuantile(p: Double, accuracy: Int = 10000): Any =
+    aggScalar(percentile_approx(valueExpr, lit(p), lit(accuracy)))
+
   /** Replace nulls with a constant (pandas fillna). */
   def fillna(v: Any): Series = withValue(coalesce(valueExpr, lit(v)))
 

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Text-analysis building blocks for large-scale training-data pipelines:
   * tokenization, token counting, quality scoring, language-ID heuristic,
@@ -11,7 +12,8 @@ import org.apache.spark.sql.functions._
   * regexp_extract_all / higher-order array functions / md5) — codegen'd,
   * pushdown-friendly, zero UDFs. At 100 TB these run as a single projected
   * scan per document batch; the only shuffles are the explicit term-level
-  * aggregations in the query layer.
+  * aggregations in the query layer. The one DataFrame-level op, [[lmScore]],
+  * is corpus-level by nature (it trains the count tables it scores with).
   */
 object TextOps {
 
@@ -124,5 +126,53 @@ object TextOps {
     when(size(gs) === 0, lit(0.0))
       .otherwise(lit(1.0) -
         size(array_distinct(gs)).cast("double") / size(gs).cast("double"))
+  }
+
+  /** CCNet-style language-model quality score: train an add-k-smoothed
+    * bigram LM on the corpus itself, then score every document by its mean
+    * token log-probability — the perplexity-filtering signal used to rank
+    * web text against a reference distribution (here the corpus is its own
+    * reference; in production the count tables would come from a curated
+    * corpus and be a plain DataFrame input).
+    *
+    * P(w2|w1) = (C(w1 w2) + k) / (C(w1) + k·V), V = vocabulary size.
+    * Output: (id, n_bg, avg_logp) — one row per input doc; docs with < 2
+    * tokens have n_bg = 0 and null score.
+    *
+    * Scale shape: the LM IS a DataFrame — bigram counts from one
+    * partial+final aggregation keyed by bigram, unigram counts likewise;
+    * scoring joins the exploded corpus back on those same natural keys
+    * (AQE broadcasts the count tables when a pruned LM fits, shuffles
+    * otherwise). The only driver state is V, a single long. The token
+    * explode is staged in a Project before Generate and persisted once to
+    * feed the bigram, unigram, and scoring branches (tracked in
+    * [[graft.Caches]]). avg() is partial+final; callers round the
+    * parallel-summed double before hash comparison. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              addK: Double = 0.5): DataFrame = {
+    require(addK > 0, "addK must be > 0 (unsmoothed zeros make log diverge)")
+    val bg = graft.Caches.track(df
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), explode(ngramsOfTokens(col("__ts"), 2)).as("g"))
+      .select(col(idCol), col("g"),
+        element_at(split(col("g"), " "), 1).as("w1"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val bgCounts = bg.groupBy("g").agg(count(lit(1)).as("cbg"))
+    val uniCounts = df
+      .select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cw"))
+    val vocab = uniCounts.count() // scalar: |V|, bounded driver state
+    val scored = bg
+      .join(bgCounts, "g")
+      .join(uniCounts, "w1")
+      .select(col(idCol),
+        log((col("cbg").cast("double") + lit(addK)) /
+          (col("cw").cast("double") + lit(addK * vocab))).as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bg"), avg("lp").as("avg_logp"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bg"), lit(0L)).as("n_bg"), col("avg_logp"))
   }
 }

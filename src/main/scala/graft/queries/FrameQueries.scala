@@ -238,6 +238,20 @@ object FrameQueries {
         .orderBy("l_linestatus")
     }),
 
+    // Sketch aggregates, the 100 TB statistics path: HyperLogLog++ distinct
+    // counts + Greenwald–Khanna approximate medians are fixed-size MERGEABLE
+    // partial aggregates — the shuffle carries one small sketch per
+    // (group, partition) instead of every distinct value / a full sort.
+    // Deterministic but engine-specific → rows-only gate; error bounds vs
+    // the exact aggregates are asserted in GFrameSpec each round.
+    "f21_sketch_stats" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("nd_cust"),
+          percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+            .as("med_price"))
+        .orderBy("priority")),
+
     // TPC-H Q5 analog through the spark.sql surface: 6-table star join,
     // region filter, revenue per nation. Same SQL text runs on DuckDB —
     // the declarative plan lets Catalyst broadcast the three dims and

@@ -107,7 +107,16 @@ object TextQueries {
             lit(0.0)), 6).as("top2_frac"),
           round(col("d3"), 6).as("dup3_frac"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // CCNet-style LM quality score: corpus-trained add-0.5 bigram LM,
+    // per-doc mean token log-prob. The LM lives as DataFrames (bigram +
+    // context count tables keyed by their n-gram) — scoring is two keyed
+    // joins + one partial+final avg; the only driver scalar is |V|.
+    "t08_lm_score" -> ((s, d) =>
+      lmScore(docs(s, d), "doc_id", "text", addK = 0.5)
+        .withColumn("avg_logp", round(col("avg_logp"), 6))
+        .orderBy("doc_id"))
   )
 
   // DuckDB equivalents. Tokenization mirrored as
@@ -195,6 +204,22 @@ object TextQueries {
          FROM documents d
          LEFT JOIN top t USING (doc_id)
          LEFT JOIN tgs g USING (doc_id)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "t08_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS ws FROM documents),
+         bg AS (SELECT doc_id, ws[u.i] AS w1, ws[u.i] || ' ' || ws[u.i+1] AS g
+                FROM toks, LATERAL unnest(range(1, len(ws))) AS u(i)),
+         bgc AS (SELECT g, count(*) AS cbg FROM bg GROUP BY 1),
+         uni AS (SELECT t AS w1, count(*) AS cw FROM
+                   (SELECT unnest(ws) AS t FROM toks) GROUP BY 1),
+         v AS (SELECT count(*) AS v FROM uni),
+         sc AS (SELECT bg.doc_id,
+                  ln((bgc.cbg + 0.5) / (uni.cw + 0.5 * v.v)) AS lp
+                FROM bg JOIN bgc USING (g) JOIN uni USING (w1) CROSS JOIN v),
+         agg AS (SELECT doc_id, count(*) AS n_bg, avg(lp) AS alp
+                 FROM sc GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.n_bg, 0) AS n_bg,
+           round(a.alp, 6) AS avg_logp
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
   )
 }

@@ -59,6 +59,61 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(gf.antiJoin(dim, gf.df("g") === dim.df("k")).count() == 2)
   }
 
+  test("large-large joins are runtime-bloom-filter eligible (probe pruning)") {
+    // At 100 TB the win on a selective fact⨝fact join is Spark's runtime
+    // bloom filter: built from the filtered build side, applied INSIDE the
+    // probe-side scan, so most of the big table never reaches the shuffle.
+    // Eligibility needs exactly what our join plans provide — file scans +
+    // equi-join + a selective build-side predicate. Local data is far below
+    // the 10 GiB application-side default, so lower the threshold (and pin
+    // the join to shuffle) for the plan assertion only.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    spark.range(0, 10000)
+      .select(col("id").as("k"), (col("id") % 100).as("v"))
+      .write.mode("overwrite").parquet(s"$dir/big")
+    spark.range(0, 1000)
+      .select(col("id").as("k"), (col("id") % 7).as("tag"))
+      .write.mode("overwrite").parquet(s"$dir/small")
+    val conf = spark.conf
+    val thresholdKey =
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", thresholdKey)
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set(thresholdKey, "0")
+      val big = spark.read.parquet(s"$dir/big")
+      val small = spark.read.parquet(s"$dir/small").filter(col("tag") === 3)
+      val joined = big.join(small, "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"), s"no runtime bloom filter:\n$plan")
+      assert(joined.count() == 143) // ids ≡ 3 (mod 7) in [0,1000)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
+  test("sketch aggregates land within error bounds of the exact answers") {
+    val df = spark.range(0, 5000)
+      .select(col("id").as("idx"), (col("id") % 1000).cast("double").as("v"))
+    val s = Series.fromColumn(df, "v", "idx")
+    // HLL++ at rsd 0.02 on 1000 distincts: allow 3 sigma
+    val nd = s.approxNunique(rsd = 0.02)
+    assert(math.abs(nd - 1000L) <= 60, s"approxNunique $nd vs exact 1000")
+    // GK sketch returns an element near the true median 499/500
+    val med = s.approxQuantile(0.5).asInstanceOf[Double]
+    assert(med >= 495.0 && med <= 505.0, s"approxQuantile $med")
+    // and the f21 gate's grouped shape: one sketch pair per group. Exact
+    // per-group distinct is 250: v = id%1000 restricted to id ≡ g (mod 4)
+    // hits only residues ≡ g mod 4 (gcd(4,1000) = 4 → 1000/4 values).
+    val grouped = df.withColumn("g", col("idx") % 4)
+      .groupBy("g")
+      .agg(approx_count_distinct(col("v"), 0.02).as("nd"))
+      .collect().map(r => r.getLong(1))
+    grouped.foreach(n => assert(math.abs(n - 250L) <= 20, n))
+  }
+
   test("set ops") {
     val a = GFrame.fromDF(Seq(1L, 2L, 3L).toDF("id"), "id")
     val b = GFrame.fromDF(Seq(2L, 3L, 4L).toDF("id"), "id")

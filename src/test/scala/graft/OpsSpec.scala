@@ -305,4 +305,23 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val d = Seq((1L, "one two")).toDF("id", "text")
     assert(d.select(TextOps.shingles(col("text"), 3)).head().getSeq[String](0).isEmpty)
   }
+
+  test("lmScore matches a hand-computed bigram LM; short docs get null") {
+    // corpus: "a b" ×2, "a c", "z" → bigrams: "a b":2, "a c":1
+    // unigrams: a:3, b:2, c:1, z:1 → V=4, k=0.5 ⇒ denom C(a)+2 = 5
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("id", "text")
+    val out = TextOps.lmScore(d, "id", "text", addK = 0.5)
+      .orderBy("id").collect()
+    def lp(c: Double) = math.log((c + 0.5) / (3.0 + 0.5 * 4))
+    val expect = Seq(Some(lp(2)), Some(lp(2)), Some(lp(1)), None)
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 1L, 1L, 0L))
+    out.zip(expect).foreach { case (r, e) =>
+      e match {
+        case Some(v) => assert(math.abs(r.getDouble(2) - v) < 1e-12, r)
+        case None    => assert(r.isNullAt(2), r)
+      }
+    }
+    graft.Caches.clear()
+  }
 }
