@@ -133,6 +133,50 @@ object DedupOps {
     * the tokenize→shingle→hash subtree here would re-evaluate it k times
     * (measured 600s+ at sf0.1 vs ~10s materialized). Multi-referenced
     * non-cheap aliases are safe: CollapseProject declines to inline them. */
+  /** Blocked fuzzy record linkage: pairs of rows whose `nameCol` values are
+    * within Levenshtein distance `maxDist`, found WITHOUT an all-pairs
+    * cross join. Blocking key = last whitespace token (for "adjective
+    * noun"-shaped names the head noun; swap in any domain key) — candidates
+    * come from an equi-join on that key, so the shuffle is keyed and
+    * bounded by block size, never O(n²). Two exact pre-filters cut the
+    * candidate set before the O(len²) levenshtein runs: edit distance is
+    * ≥ the length difference, and identical strings are the trivial match.
+    *
+    * Recall caveat (documented, not hidden): an edit inside the LAST token
+    * changes the blocking key, so such pairs are missed — the standard
+    * multi-pass fix is a union over two blocking keys (e.g. first + last
+    * token), which composes from this same builder. */
+  def fuzzyNameMatch(df: DataFrame, idCol: String, nameCol: String,
+                     maxDist: Int): DataFrame =
+    fuzzyCore(df, df, idCol, nameCol, maxDist,
+      (a, b) => a < b) // each unordered pair once
+
+  /** Two-corpus variant (entity resolution: probe records vs a reference
+    * corpus). Same blocked plan; emits every cross pair with distinct ids.
+    * When the probe side is small (the usual case — new records against a
+    * 100 TB reference), AQE broadcasts it and the reference is one scan. */
+  def fuzzyNameJoin(left: DataFrame, right: DataFrame, idCol: String,
+                    nameCol: String, maxDist: Int): DataFrame =
+    fuzzyCore(left, right, idCol, nameCol, maxDist, (a, b) => a =!= b)
+
+  private def fuzzyCore(left: DataFrame, right: DataFrame, idCol: String,
+                        nameCol: String, maxDist: Int,
+                        pairPred: (Column, Column) => Column): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    def side(df: DataFrame) =
+      df.select(col(idCol).as("id"), col(nameCol).as("nm"),
+        element_at(split(col(nameCol), " +"), -1).as("__blk"),
+        length(col(nameCol)).as("__len"))
+    side(left).as("a").join(side(right).as("b"),
+        col("a.__blk") === col("b.__blk")
+          && pairPred(col("a.id"), col("b.id"))
+          && abs(col("a.__len") - col("b.__len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.nm").as("name1"), col("b.nm").as("name2"), col("dist"))
+  }
+
   def minHashSignature(hashArr: Column, k: Int): Column = {
     // Lane independence matters: an affine family with small multipliers
     // (a=2i+1) barely permutes hash ORDER, so documents sharing one hot

@@ -128,6 +128,21 @@ object TextOps {
         size(array_distinct(gs)).cast("double") / size(gs).cast("double"))
   }
 
+  /** PII redaction for training corpora: emails, then IPv4s, then
+    * phone-shaped digit runs, each replaced with a typed placeholder
+    * (order matters — the phone pattern would otherwise eat IPs). Pure
+    * codegen'd regexp_replace chain over one scan; explicit character
+    * classes only, so the Java and RE2-family (DuckDB) engines agree
+    * byte-for-byte — cross-engine equality is what the t09 gate hashes. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "([0-9]{1,3}\\.){3}[0-9]{1,3}", "<IP>")
+    regexp_replace(ip,
+      "\\+?[0-9][0-9()\\[\\] .-]{7,}[0-9]", "<PHONE>")
+  }
+
   /** CCNet-style language-model quality score: train an add-k-smoothed
     * bigram LM on the corpus itself, then score every document by its mean
     * token log-probability — the perplexity-filtering signal used to rank

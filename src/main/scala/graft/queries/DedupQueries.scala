@@ -88,6 +88,20 @@ object DedupQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // Blocked fuzzy record linkage: a 100-part probe slice resolved against
+    // the full part corpus — equi-join on the last-token blocking key
+    // (never O(n²)), length-band prefilter, exact levenshtein ≤ 2
+    // verification (classic Levenshtein, so Spark and DuckDB agree on every
+    // distance). Probe-vs-corpus is the production shape; the full
+    // self-match is the same plan (fuzzyNameMatch, OpsSpec-verified) but
+    // this fixture's 8-noun name vocabulary makes its output quadratic.
+    "d10_fuzzy_names" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      DedupOps.fuzzyNameJoin(part.filter(col("p_partkey") < 100), part,
+          "p_partkey", "p_name", maxDist = 2)
+        .orderBy("id1", "id2")
+    }),
+
     // End-to-end training-data pipeline capstone: quality-filter the corpus,
     // drop the higher-id doc of every near-dup pair, emit survivors with
     // token counts + fingerprints. Composes TextOps + DedupOps; the dedup
@@ -188,6 +202,16 @@ object DedupQueries {
            round(n_shared * 1.0 / bn, 6) AS containment
          FROM j JOIN bs USING (bench_id)
          ORDER BY train_id, bench_id""",
+    "d10_fuzzy_names" ->
+      """WITH s AS (SELECT p_partkey AS id, p_name AS nm,
+           list_extract(string_split_regex(p_name, ' +'), -1) AS blk,
+           length(p_name) AS len FROM part)
+         SELECT a.id AS id1, b.id AS id2, a.nm AS name1, b.nm AS name2,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+         FROM s a JOIN s b ON a.blk = b.blk AND a.id <> b.id
+           AND abs(a.len - b.len) <= 2
+         WHERE a.id < 100 AND levenshtein(a.nm, b.nm) <= 2
+         ORDER BY id1, id2""",
     "d07_pipeline" ->
       s"""WITH $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

@@ -109,6 +109,21 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // PII redaction: the fixture corpus carries no PII, so the gate splices
+    // deterministic synthetic contact lines into every doc (same expression
+    // on the DuckDB side) — the hash compare then verifies the Java and RE2
+    // regex engines redact byte-identically, which is the portability claim.
+    "t09_pii_redact" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          redactPii(concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.org or +1 (555) 010-"),
+            col("doc_id").cast("string"),
+            lit(" from 10.0.0."), col("doc_id").cast("string")))
+            .as("redacted"))
+        .orderBy("doc_id")),
+
     // CCNet-style LM quality score: corpus-trained add-0.5 bigram LM,
     // per-doc mean token log-prob. The LM lives as DataFrames (bigram +
     // context count tables keyed by their n-gram) — scoring is two keyed
@@ -205,6 +220,20 @@ object TextQueries {
          LEFT JOIN top t USING (doc_id)
          LEFT JOIN tgs g USING (doc_id)
          ORDER BY doc_id""",
+    "t09_pii_redact" ->
+      """SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 text || ' contact user' || doc_id ||
+                   '@mail.example.org or +1 (555) 010-' || doc_id ||
+                   ' from 10.0.0.' || doc_id,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+',
+                 '<EMAIL>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+             '\+?[0-9][0-9()\[\] .-]{7,}[0-9]', '<PHONE>', 'g')
+           AS redacted
+         FROM documents ORDER BY doc_id""",
     "t08_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, $Toks AS ws FROM documents),
          bg AS (SELECT doc_id, ws[u.i] AS w1, ws[u.i] || ' ' || ws[u.i+1] AS g

@@ -306,6 +306,45 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(d.select(TextOps.shingles(col("text"), 3)).head().getSeq[String](0).isEmpty)
   }
 
+  test("fuzzyNameMatch links within-distance pairs via blocking, no misses in-block") {
+    val d = Seq((1L, "red widget"), (2L, "red widgot"), (3L, "blue widget"),
+      (4L, "red bolt"), (5L, "red widgets")).toDF("id", "name")
+    val out = DedupOps.fuzzyNameMatch(d, "id", "name", maxDist = 2)
+      .orderBy("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    // blocks by last token: widget={1,3}, widgot={2}, bolt={4}, widgets={5}.
+    // The only in-block pair (1,3) is distance 3 > 2, and the distance-1/2
+    // neighbors 2 and 5 sit in other blocks — the documented recall caveat
+    // for edits inside the blocking token. Nothing qualifies.
+    assert(out == Seq())
+    // equal-last-token near-pair IS found
+    val d2 = Seq((1L, "red widget"), (2L, "rad widget"), (3L, "green widget"))
+      .toDF("id", "name")
+    val out2 = DedupOps.fuzzyNameMatch(d2, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSeq
+    assert(out2 == Seq((1L, 2L, 1)))
+    // two-corpus join emits cross pairs with distinct ids
+    val probe = Seq((10L, "red widget")).toDF("id", "name")
+    val out3 = DedupOps.fuzzyNameJoin(probe, d2, "id", "name", 2)
+      .orderBy("id2").collect().map(r => (r.getLong(1), r.getInt(4))).toSeq
+    assert(out3 == Seq((1L, 0), (2L, 1)))
+  }
+
+  test("redactPii scrubs emails, IPv4s, and phone runs with typed tags") {
+    val d = Seq(
+      (1L, "mail a.b+c@ex-ample.co.uk now"),
+      (2L, "call +1 (555) 010-7788 twice"),
+      (3L, "host 192.168.0.1 up"),
+      (4L, "clean text stays")).toDF("id", "text")
+    val out = d.select(TextOps.redactPii(col("text"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(out == Seq(
+      "mail <EMAIL> now",
+      "call <PHONE> twice",
+      "host <IP> up",
+      "clean text stays"))
+  }
+
   test("lmScore matches a hand-computed bigram LM; short docs get null") {
     // corpus: "a b" ×2, "a c", "z" → bigrams: "a b":2, "a c":1
     // unigrams: a:3, b:2, c:1, z:1 → V=4, k=0.5 ⇒ denom C(a)+2 = 5
