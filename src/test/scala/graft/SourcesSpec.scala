@@ -57,4 +57,32 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(g"), plan)
   }
+
+  test("bucketed tables join WITHOUT a shuffle (co-located scan)") {
+    // The 100 TB co-location story: both fact tables bucketed on the join
+    // key at write time → the join consumes the buckets' hash partitioning
+    // directly, so the read-side plan has a SortMergeJoin with ZERO
+    // Exchange — the shuffle was paid once at write, not per query.
+    import spark.implicits._
+    val facts = (1L to 200L).map(i => (i, i * 2.0)).toDF("k", "v")
+    val other = (1L to 200L).map(i => (i, s"r$i")).toDF("k", "s")
+    Sources.writeBucketed(facts, "graft_bkt_a", "k", 8)
+    Sources.writeBucketed(other, "graft_bkt_b", "k", 8)
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(plan.contains("SelectedBucketsCount"), plan)
+      assert(j.count() == 200)
+    } finally {
+      saved.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+      spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    }
+  }
 }

@@ -15,6 +15,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("file-source stream ingests newly landed parquet incrementally") {
+    // The production ingestion path: a landing directory of parquet files,
+    // discovered incrementally by the file stream source — same transform
+    // (windowedAgg) as the MemoryStream specs, so the op is source-agnostic.
+    val src = java.nio.file.Files.createTempDirectory("graft_fstream").toString
+    def land(rows: (Timestamp, String, Double)*): Unit =
+      rows.toDF("ts", "event_type", "value").coalesce(1)
+        .write.mode("append").parquet(src)
+    land((ts(5), "click", 1.0), (ts(15), "click", 2.0))
+    val stream = spark.readStream
+      .schema("ts timestamp, event_type string, value double")
+      .parquet(src)
+    val agg = StreamOps.windowedAgg(stream, "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("file_win")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      def counts() = spark.sql(
+        "SELECT event_type, n, total FROM file_win ORDER BY event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(counts() == Seq(("click", 2L, 3.0)))
+      land((ts(25), "buy", 10.0)) // a new file lands mid-stream
+      q.processAllAvailable()
+      assert(counts() == Seq(("buy", 1L, 10.0), ("click", 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregates by event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
