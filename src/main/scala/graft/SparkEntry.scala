@@ -276,6 +276,15 @@ object SparkEntry {
         bal.qcut(4).values.as("q4"))
         .orderBy("idx")
     }),
+    // pandas Series.explode: array values fan out one row per element,
+    // repeating the index label; explode_outer keeps pandas' NaN row for
+    // empty/null arrays. Per-partition Generate — no shuffle.
+    "s36_explode" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+      val toks = Series.fromExpr(dd, graft.ops.TextOps.tokens(col("text")),
+        "tok", col("doc_id"), "idx")
+      toks.explode().df.orderBy("idx", "tok")
+    }),
     // pandas .str accessor surface: vectorized string methods, all pure
     // Column expressions composing against one shared base scan.
     "s33_str_ops" -> ((s, d) => {
@@ -439,6 +448,12 @@ object SparkEntry {
         "(CASE WHEN c_acctbal > cs[2] THEN 1 ELSE 0 END) + " +
         "(CASE WHEN c_acctbal > cs[3] THEN 1 ELSE 0 END) AS INTEGER) AS q4 " +
         "FROM customer, b, qs ORDER BY idx"),
+    "s36_explode" ->
+      ("SELECT t.doc_id AS idx, u.tok FROM " +
+        "(SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '') AS ts FROM documents) t " +
+        "LEFT JOIN LATERAL (SELECT unnest(t.ts) AS tok) u ON true " +
+        "ORDER BY idx, tok"),
     "s33_str_ops" ->
       ("SELECT c_custkey AS idx, upper(c_name) AS up, " +
         "CAST(length(c_name) AS INTEGER) AS n, " +

@@ -105,6 +105,40 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
 
   def agg(first: Column, rest: Column*): DataFrame = df.agg(first, rest: _*)
 
+  /** pandas `df.describe()` over the named numeric columns: count / mean /
+    * std / min / quartiles / max, one row per statistic, one column per
+    * input column. Every statistic for every column comes from ONE
+    * partial+final aggregate pass (the quartiles use the exact sort-based
+    * percentile, matching pandas' interpolation); `stack` then pivots the
+    * single aggregate row into the stat×column layout without a shuffle or
+    * any driver-side state. */
+  def describe(cols: String*): GFrame = {
+    require(cols.nonEmpty, "describe needs at least one column")
+    val Fn = org.apache.spark.sql.functions // members count/expr shadow the imports
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      Seq(Fn.count(v).cast("double").as(s"count__$c"),
+        avg(v).as(s"mean__$c"),
+        stddev_samp(v).as(s"std__$c"),
+        min(v).as(s"min__$c"),
+        percentile(v, lit(0.25)).as(s"p25__$c"),
+        percentile(v, lit(0.5)).as(s"p50__$c"),
+        percentile(v, lit(0.75)).as(s"p75__$c"),
+        max(v).as(s"max__$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stats = Seq("count" -> "count", "mean" -> "mean", "std" -> "std",
+      "min" -> "min", "25%" -> "p25", "50%" -> "p50", "75%" -> "p75",
+      "max" -> "max")
+    val stackArgs = stats.map { case (label, pre) =>
+      (Seq(s"'$label'") ++ cols.map(c => s"`${pre}__$c`")).mkString(", ")
+    }.mkString(", ")
+    val outCols = cols.map(c => s"`$c`").mkString(", ")
+    val stacked = one.select(Fn.expr(
+      s"stack(${stats.size}, $stackArgs) AS (stat, $outCols)"))
+    new GFrame(stacked, "stat")
+  }
+
   // ------------------------------------------------------------------ joins
 
   /** Equi-join on named keys. `broadcastRight` forces a broadcast-hash join
@@ -188,9 +222,6 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     val d = if (cols.isEmpty) df.na.drop() else df.na.drop(cols)
     new GFrame(d, indexName)
   }
-
-  /** count/mean/stddev/min/max per numeric column (pandas describe). */
-  def describe(cols: String*): DataFrame = df.describe(cols: _*)
 
   def count(): Long = df.count()
   def show(n: Int = 20): Unit = df.show(n)

@@ -285,6 +285,17 @@ final class Series private[graft] (
   def between(lo: Any, hi: Any): Series =
     withValue(valueExpr.between(lit(lo), lit(hi)))
 
+  /** Explode an array-valued Series into one row per element, repeating
+    * the index label (pandas Series.explode, which keeps the original
+    * index). Empty and null arrays produce one null-valued row — pandas
+    * emits NaN there, and `explode_outer` is the exact Spark twin. Row
+    * count grows but nothing shuffles: Generate is per-partition fan-out. */
+  def explode(): Series = {
+    val out = base.select(indexExpr.as(indexName),
+      explode_outer(valueExpr).as(name))
+    new Series(out, name, indexName, col(indexName), col(name))
+  }
+
   /** Fixed-width binning (pandas cut with an int bin count): bucket =
     * floor((v − min) / width), top edge clamped into the last bin (pandas
     * includes the max in the rightmost interval). Null values → null

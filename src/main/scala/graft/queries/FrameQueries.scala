@@ -238,6 +238,20 @@ object FrameQueries {
         .orderBy("l_linestatus")
     }),
 
+    // pandas df.describe(): every stat for every column from ONE
+    // partial+final aggregate pass, stack-pivoted to stat×column rows.
+    // Quartiles are the exact sort-based percentile (= quantile_cont).
+    "f22_describe" -> ((s, d) => {
+      val desc = graft.core.GFrame
+        .fromDF(Tables.customer(s, d), "c_custkey")
+        .describe("c_custkey", "c_nationkey", "c_acctbal").df
+      desc.select(col("stat"),
+          round(col("c_custkey"), 6).as("c_custkey"),
+          round(col("c_nationkey"), 6).as("c_nationkey"),
+          round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("stat")
+    }),
+
     // Sketch aggregates, the 100 TB statistics path: HyperLogLog++ distinct
     // counts + Greenwald–Khanna approximate medians are fixed-size MERGEABLE
     // partial aggregates — the shuffle carries one small sketch per
@@ -384,6 +398,28 @@ object FrameQueries {
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem WHERE l_returnflag = 'A'
          GROUP BY 1 ORDER BY 1""",
+    "f22_describe" ->
+      """WITH c AS (SELECT CAST(c_custkey AS DOUBLE) AS a,
+             CAST(c_nationkey AS DOUBLE) AS b, c_acctbal AS v FROM customer)
+         SELECT 'count' AS stat, CAST(count(a) AS DOUBLE) AS c_custkey,
+           CAST(count(b) AS DOUBLE) AS c_nationkey,
+           CAST(count(v) AS DOUBLE) AS c_acctbal FROM c
+         UNION ALL SELECT 'mean', round(avg(a), 6), round(avg(b), 6),
+           round(avg(v), 6) FROM c
+         UNION ALL SELECT 'std', round(stddev_samp(a), 6),
+           round(stddev_samp(b), 6), round(stddev_samp(v), 6) FROM c
+         UNION ALL SELECT 'min', min(a), min(b), round(min(v), 6) FROM c
+         UNION ALL SELECT '25%', round(quantile_cont(a, 0.25), 6),
+           round(quantile_cont(b, 0.25), 6), round(quantile_cont(v, 0.25), 6)
+           FROM c
+         UNION ALL SELECT '50%', round(quantile_cont(a, 0.5), 6),
+           round(quantile_cont(b, 0.5), 6), round(quantile_cont(v, 0.5), 6)
+           FROM c
+         UNION ALL SELECT '75%', round(quantile_cont(a, 0.75), 6),
+           round(quantile_cont(b, 0.75), 6), round(quantile_cont(v, 0.75), 6)
+           FROM c
+         UNION ALL SELECT 'max', max(a), max(b), round(max(v), 6) FROM c
+         ORDER BY stat""",
     "f19_q5_sql" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM customer JOIN orders ON c_custkey = o_custkey

@@ -94,6 +94,20 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("describe yields pandas stat rows from one aggregate pass") {
+    val d = GFrame.fromDF(
+      Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v"), "id")
+    val out = d.describe("v").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("count") == 4.0 && out("mean") == 2.5)
+    assert(math.abs(out("std") - 1.2909944487358056) < 1e-12)
+    assert(out("min") == 1.0 && out("max") == 4.0)
+    assert(out("25%") == 1.75 && out("50%") == 2.5 && out("75%") == 3.25)
+    // single aggregate: exactly one (partial+final) HashAggregate pair
+    val plan = d.describe("v").df.queryExecution.executedPlan.toString
+    assert(plan.split("HashAggregate").length - 1 <= 2, plan)
+  }
+
   test("sketch aggregates land within error bounds of the exact answers") {
     val df = spark.range(0, 5000)
       .select(col("id").as("idx"), (col("id") % 1000).cast("double").as("v"))

@@ -324,6 +324,16 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(const.cut(3).df.collect().map(_.getInt(1)).toSeq == Seq(0, 0, 0))
   }
 
+  test("explode fans out array values, keeps the index, nulls empties") {
+    val df = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]),
+      (3L, Seq("c"))).toDF("idx", "arr")
+    val s = Series.fromColumn(df, "arr", "idx")
+    val got = s.explode().df.orderBy("idx", "arr")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    // pandas: empty list explodes to one NaN row under the same label
+    assert(got.toSeq == Seq((1L, "a"), (1L, "b"), (2L, null), (3L, "c")))
+  }
+
   test("qcut quartiles match pandas labels on a permutation") {
     val vals = Seq(7.0, 1.0, 5.0, 3.0, 8.0, 2.0, 6.0, 4.0)
     val s = Series.fromSeq(spark, vals, name = "v")

@@ -47,6 +47,9 @@ class SkewSpec extends AnyFunSuite with SparkFixture {
     assert(gf.fillna(0.0).toDF.orderBy("id").collect().map(_.getDouble(1)).toSeq
       == Seq(1.0, 0.0, 3.0))
     assert(gf.dropna().count() == 2)
-    assert(gf.describe("v").count() == 5)
+    // pandas-style describe: 8 stat rows; aggregates skip the null
+    val d = gf.describe("v").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(d.size == 8 && d("count") == 2.0 && d("mean") == 2.0)
   }
 }
