@@ -276,6 +276,19 @@ object SparkEntry {
         bal.qcut(4).values.as("q4"))
         .orderBy("idx")
     }),
+    // pandas corr/cov/mode: same-base pairs aggregate on one scan (no
+    // join); mode is a partial+final value count + ordered take. The three
+    // results are bounded driver scalars re-emitted as a 1-row frame.
+    "s37_corr_mode" -> ((s, d) => {
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val q = Series.fromColumn(li, "l_quantity", "l_orderkey")
+      val p = Series.fromColumn(li, "l_extendedprice", "l_orderkey")
+      Seq((q.corr(p), q.cov(p), q.mode().asInstanceOf[Double]))
+        .toDF("corr_qp", "cov_qp", "mode_q")
+        .select(round(col("corr_qp"), 6).as("corr_qp"),
+          round(col("cov_qp"), 2).as("cov_qp"), col("mode_q"))
+    }),
     // pandas Series.explode: array values fan out one row per element,
     // repeating the index label; explode_outer keeps pandas' NaN row for
     // empty/null arrays. Per-partition Generate — no shuffle.
@@ -448,6 +461,12 @@ object SparkEntry {
         "(CASE WHEN c_acctbal > cs[2] THEN 1 ELSE 0 END) + " +
         "(CASE WHEN c_acctbal > cs[3] THEN 1 ELSE 0 END) AS INTEGER) AS q4 " +
         "FROM customer, b, qs ORDER BY idx"),
+    "s37_corr_mode" ->
+      ("SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
+        "round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp, " +
+        "(SELECT l_quantity FROM lineitem WHERE l_quantity IS NOT NULL " +
+        "GROUP BY 1 ORDER BY count(*) DESC, l_quantity ASC LIMIT 1) " +
+        "AS mode_q FROM lineitem"),
     "s36_explode" ->
       ("SELECT t.doc_id AS idx, u.tok FROM " +
         "(SELECT doc_id, list_filter(string_split(lower(text), ' '), " +

@@ -248,6 +248,36 @@ final class Series private[graft] (
   def nunique(): Long =
     base.filter(valueExpr.isNotNull).select(valueExpr).distinct().count()
 
+  /** Pearson correlation with another Series (pandas Series.corr):
+    * same-base → one aggregate over the shared scan; cross-frame → inner
+    * index-join alignment first (pandas pairs values by label). NaN when
+    * fewer than two aligned pairs, like pandas. */
+  def corr(other: Series): Double = pairAgg(other, F.corr(_, _))
+
+  /** Sample covariance (pandas Series.cov); alignment as in [[corr]]. */
+  def cov(other: Series): Double = pairAgg(other, covar_samp(_, _))
+
+  private def pairAgg(other: Series,
+                      f: (Column, Column) => Column): Double = {
+    val row =
+      if (other.base eq base) base.agg(f(valueExpr, other.valueExpr)).head()
+      else {
+        val l = df.select(col(indexName).as(IdxCol), col(name).as(LeftCol))
+        val r = other.df.select(col(other.indexName).as(IdxCol),
+          col(other.name).as(RightCol))
+        l.join(r, Seq(IdxCol)).agg(f(col(LeftCol), col(RightCol))).head()
+      }
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
+  /** Smallest most-frequent value (pandas `mode()[0]` — pandas returns all
+    * tied modes; this surfaces the deterministic first). Partial+final
+    * count per value, then a single ordered take. */
+  def mode(): Any = base.filter(valueExpr.isNotNull)
+    .groupBy(valueExpr.as("__v")).agg(F.count(lit(1)).as("__c"))
+    .orderBy(col("__c").desc, col("__v").asc)
+    .select("__v").head().get(0)
+
   /** Approximate distinct count via HyperLogLog++ (`rsd` = target relative
     * standard deviation). The 100 TB sibling of [[nunique]]: the sketch is
     * a fixed few-KB mergeable partial aggregate, so the shuffle carries one

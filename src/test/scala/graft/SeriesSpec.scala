@@ -324,6 +324,27 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(const.cut(3).df.collect().map(_.getInt(1)).toSeq == Seq(0, 0, 0))
   }
 
+  test("corr/cov/mode: same-base exact, cross-frame aligns by label") {
+    val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0),
+      (4L, 4.0, 7.0)).toDF("idx", "x", "y")
+    val x = Series.fromColumn(df, "x", "idx")
+    val y = Series.fromColumn(df, "y", "idx")
+    assert(math.abs(x.corr(y) - 0.9897782665572893) < 1e-12)
+    assert(math.abs(x.cov(y) - 2.8333333333333335) < 1e-12)
+    // cross-frame: shuffled labels — alignment must pair by label, not
+    // position; aligned pairs are identical → corr 1
+    val other = Seq((4L, 4.0), (2L, 2.0), (1L, 1.0), (3L, 3.0))
+      .toDF("k", "v")
+    val z = Series.fromColumn(other, "v", "k")
+    assert(math.abs(x.corr(z) - 1.0) < 1e-12)
+    // single pair → NaN like pandas
+    val one = Series.fromColumn(Seq((1L, 5.0)).toDF("k", "v"), "v", "k")
+    assert(x.corr(one).isNaN)
+    // mode: smallest most-frequent
+    val m = Series.fromSeq(spark, Seq(3.0, 1.0, 3.0, 1.0, 2.0))
+    assert(m.mode() == 1.0)
+  }
+
   test("explode fans out array values, keeps the index, nulls empties") {
     val df = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]),
       (3L, Seq("c"))).toDF("idx", "arr")
