@@ -165,6 +165,39 @@ object EventQueries {
         .orderBy("user_id", "event_type")
     }),
 
+    // STREAM-STREAM interval join under the hash gate: clicks and
+    // purchases replayed as two watermarked streams; the time bound rides
+    // the join condition so state evicts past the watermark, and inner
+    // matches emit as both sides arrive. Oracle = the batch BETWEEN join.
+    "e11_stream_join" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d).select("ts", "user_id", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSeq
+      val clicks = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val buys = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val name = s"graft_e11_${System.nanoTime()}"
+      withStatePartitions(s, 8) {
+        val joined = graft.streaming.StreamOps.intervalJoinStream(
+          clicks.toDF.toDF("ts", "user_id"), buys.toDF.toDF("ts", "user_id"),
+          "user_id", "30 minutes", "15 minutes")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          clicks.addData(rows.collect { case (t, u, "click") => (t, u) }: _*)
+          buys.addData(rows.collect { case (t, u, "purchase") => (t, u) }: _*)
+          q.processAllAvailable()
+        } finally q.stop() // memory sink retains the batches after stop
+      }
+      s.table(name)
+        .select(col("l_user_id").as("user_id"), col("l_ts").as("click_ts"),
+          col("r_ts").as("buy_ts"))
+        .orderBy("user_id", "click_ts", "buy_ts")
+    }),
+
     // Trailing 1-hour RANGE-frame window per user: event count + value sum
     // in [ts - 1h, ts] at every event (velocity features). Frame is a time
     // range, not a row count — none of the other window gates exercise
@@ -260,6 +293,12 @@ object EventQueries {
          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "e11_stream_join" ->
+      """SELECT a.user_id, a.ts AS click_ts, b.ts AS buy_ts
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND a.event_type = 'click' AND b.event_type = 'purchase'
+           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
+         ORDER BY 1, 2, 3""",
     "e09_stream_sessions" ->
       """WITH x AS (
            SELECT user_id, event_id, ts,

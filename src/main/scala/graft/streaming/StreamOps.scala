@@ -38,6 +38,28 @@ object StreamOps {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: pair each left event with right events
+    * for the same key whose timestamp lies in [left.ts, left.ts + within].
+    * Both sides are watermarked and the time bound rides the join
+    * condition, so the state store evicts rows once the watermark clears
+    * their join window — bounded state, the requirement for an unbounded
+    * 100 TB/day run. Inputs need (ts TIMESTAMP, `key`, ...); columns are
+    * taken from each side by prefix-renaming to avoid ambiguity. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
+                         watermarkDelay: String, within: String): DataFrame = {
+    val l = left.columns.foldLeft(left) { (d, c) =>
+      d.withColumnRenamed(c, s"l_$c") }
+      .withWatermark("l_ts", watermarkDelay)
+    val r = right.columns.foldLeft(right) { (d, c) =>
+      d.withColumnRenamed(c, s"r_$c") }
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key")
+        && col("r_ts") >= col("l_ts")
+        && col("r_ts") <= col("l_ts") + org.apache.spark.sql.functions
+          .expr(s"INTERVAL $within"))
+  }
+
   /** One event in, session updates out. */
   final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                  session_end: Timestamp, n_events: Long,

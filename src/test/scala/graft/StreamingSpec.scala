@@ -42,6 +42,30 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val joined = StreamOps.intervalJoinStream(
+      clicks.toDF.toDF("ts", "user_id"), buys.toDF.toDF("ts", "user_id"),
+      "user_id", "10 minutes", "15 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(0), 1L), (ts(0), 2L), (ts(30), 1L))
+      buys.addData((ts(10), 1L), (ts(20), 2L), (ts(40), 1L), (ts(10), 3L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT l_user_id, l_ts, r_ts FROM ss_join ORDER BY l_user_id, l_ts")
+        .collect().map(r => (r.getLong(0),
+          r.getTimestamp(1).getTime / 60000 % 60,
+          r.getTimestamp(2).getTime / 60000 % 60)).toSeq
+      // u1@:00 pairs buy@:10 (Δ10 ≤ 15) but not @:40; u1@:30 pairs @:40;
+      // u2@:00 pairs nothing (Δ20 > 15); u3 has no click side
+      assert(rows == Seq((1L, 0L, 10L), (1L, 30L, 40L)))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregates by event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
