@@ -86,4 +86,29 @@ object MultimodalOps {
   def sampleFrames(features: DataFrame, step: Int): DataFrame =
     features.select(col("doc_id"),
       explode(sequence(lit(0), col("frames") - 1, lit(step))).as("frame_no"))
+
+  /** Segment each payload's binary content into fixed-size chunks — the
+    * audio/video windowing shape (constant-duration segments feeding a
+    * per-chunk decoder). Pure expressions: the chunk array is staged in a
+    * Project BEFORE posexplode (Generate evaluates its generator input
+    * interpreted), then fans out to (id, chunk_idx, offset, nbytes, chunk)
+    * rows — per-partition, no shuffle, no driver state. The final chunk is
+    * short (`len mod chunkBytes`), like a trailing audio frame; empty
+    * content yields one empty chunk row. */
+  def chunkPayload(packed: DataFrame, idCol: String,
+                   chunkBytes: Int): DataFrame = {
+    require(chunkBytes >= 1, "chunkBytes must be >= 1")
+    val content = col("payload.content")
+    val n = ceil(length(content).cast("double") / chunkBytes).cast("int")
+    val chunks = transform(
+      sequence(lit(0), greatest(n, lit(1)) - 1),
+      i => content.substr(i * chunkBytes + 1, lit(chunkBytes)))
+    packed
+      .select(col(idCol), chunks.as("__chunks"))
+      .select(col(idCol), posexplode(col("__chunks")))
+      .toDF(idCol, "chunk_idx", "chunk")
+      .select(col(idCol), col("chunk_idx"),
+        (col("chunk_idx") * chunkBytes).as("offset"),
+        length(col("chunk")).cast("int").as("nbytes"), col("chunk"))
+  }
 }

@@ -42,6 +42,15 @@ object MultimodalQueries {
           step = 5)
         .orderBy("doc_id", "frame_no")),
 
+    // Fixed-size binary chunking: 64-byte segments with offsets — the
+    // audio/video windowing shape; md5 per chunk so the oracle hashes
+    // bytes, not a big blob column.
+    "m05_chunk_payload" -> ((s, d) =>
+      MultimodalOps.chunkPayload(packed(s, d), "doc_id", chunkBytes = 64)
+        .select(col("doc_id"), col("chunk_idx"), col("offset"),
+          col("nbytes"), md5(col("chunk")).as("fp"))
+        .orderBy("doc_id", "chunk_idx")),
+
     // Aspect-preserving resize-to-fit geometry (256x256 box, no upscale).
     "m04_resize" -> ((s, d) =>
       MultimodalOps.resizeToFit(
@@ -72,6 +81,20 @@ object MultimodalQueries {
                FROM documents) t,
          LATERAL unnest(range(0, t.frames, 5)) AS u(f)
          ORDER BY doc_id, frame_no""",
+    "m05_chunk_payload" ->
+      // DuckDB has no BLOB substring; the fixture text is pure ASCII
+      // (octet_length(encode(text)) == length(text), both SFs), so VARCHAR
+      // chunks are byte-identical to the Spark side's binary chunks.
+      """WITH n AS (SELECT doc_id, text AS b,
+             greatest(CAST(ceil(length(text) / 64.0) AS BIGINT), 1) AS m
+           FROM documents)
+         SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+           CAST(u.i * 64 AS INTEGER) AS offset,
+           CAST(length(substring(b, CAST(u.i * 64 + 1 AS INTEGER), 64))
+             AS INTEGER) AS nbytes,
+           md5(substring(b, CAST(u.i * 64 + 1 AS INTEGER), 64)) AS fp
+         FROM n, LATERAL unnest(range(0, m)) AS u(i)
+         ORDER BY doc_id, chunk_idx""",
     "m04_resize" ->
       """WITH f AS (
            SELECT doc_id,

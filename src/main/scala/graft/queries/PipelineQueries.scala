@@ -47,7 +47,19 @@ object PipelineQueries {
           Map("src0" -> 1.0, "src1" -> 0.75, "src2" -> 0.5, "src3" -> 0.25),
           defaultRate = 0.1)
         .select("doc_id", "source")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Corpus report card: the per-source rollup a dataset release ships
+    // with — doc counts, token volume, mean quality, language spread. ONE
+    // partial+final aggregate keyed by source; the per-doc metrics are
+    // pure expressions inside the partial side, so no second scan.
+    "p05_corpus_report" -> ((s, d) =>
+      Tables.documents(s, d).groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+          round(avg(TextOps.qualityScore(col("text"))), 6).as("mean_quality"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source"))
   )
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -90,6 +102,21 @@ object PipelineQueries {
            WHEN 'src2' THEN hx < '8000'
            WHEN 'src3' THEN hx < '4000'
            ELSE hx < '1999' END
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // quality formula mirrors t02's oracle (incl. its per-doc 6dp round)
+    "p05_corpus_report" ->
+      s"""WITH t AS (SELECT source, lang, text, $Toks AS ts FROM documents),
+         q AS (SELECT source, lang, len(ts) AS ntok,
+             round(least(length(text) / 500.0, 1.0) * greatest(0.0,
+               1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                 len(list_filter(ts, x -> x IN ('the','a','an','of','and',
+                   'to','in','is','on','for','with'))) * 1.0 / len(ts) END)
+                 * 2.0), 6) AS qual
+           FROM t)
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           round(avg(qual), 6) AS mean_quality,
+           count(DISTINCT lang) AS n_langs
+         FROM q GROUP BY source ORDER BY source"""
   )
 }

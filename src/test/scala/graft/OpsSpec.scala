@@ -294,6 +294,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("chunkPayload segments binary content; short tail; empty → one row") {
+    import graft.ops.MultimodalOps
+    val packed = MultimodalOps.packPayload(
+      Seq((1L, "abcdef"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", "text/plain", Seq.empty)
+    val out = MultimodalOps.chunkPayload(packed, "doc_id", chunkBytes = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3), new String(r.getAs[Array[Byte]](4), "UTF-8"))).toSeq
+    assert(out == Seq((1L, 0, 0, 4, "abcd"), (1L, 1, 4, 2, "ef"),
+      (2L, 0, 0, 0, "")))
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq((1L, "der hund und die katze ist das"),
       (2L, "the cat and the dog is here")).toDF("id", "text")
