@@ -276,6 +276,19 @@ object SparkEntry {
         bal.qcut(4).values.as("q4"))
         .orderBy("idx")
     }),
+    // pandas groupby-ffill/bfill: last/first-ignore-nulls over keyed
+    // ordered frames — one shuffle on the key, no single-task window.
+    // "view" events carry the observation; other rows fill from it.
+    "s38_ffill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev,
+        when(col("event_type") === "view", col("value")), "v",
+        col("event_id"), "idx")
+      ev.select(col("event_id").as("idx"), col("user_id"),
+          v.ffillBy(col("user_id")).values.as("ff"),
+          v.bfillBy(col("user_id")).values.as("bf"))
+        .orderBy("idx")
+    }),
     // pandas corr/cov/mode: same-base pairs aggregate on one scan (no
     // join); mode is a partial+final value count + ordered take. The three
     // results are bounded driver scalars re-emitted as a 1-row frame.
@@ -461,6 +474,15 @@ object SparkEntry {
         "(CASE WHEN c_acctbal > cs[2] THEN 1 ELSE 0 END) + " +
         "(CASE WHEN c_acctbal > cs[3] THEN 1 ELSE 0 END) AS INTEGER) AS q4 " +
         "FROM customer, b, qs ORDER BY idx"),
+    "s38_ffill" ->
+      ("SELECT event_id AS idx, user_id, " +
+        "last_value(CASE WHEN event_type = 'view' THEN value END " +
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff, " +
+        "first_value(CASE WHEN event_type = 'view' THEN value END " +
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf " +
+        "FROM events ORDER BY idx"),
     "s37_corr_mode" ->
       ("SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qp, " +
         "round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp, " +

@@ -543,6 +543,29 @@ final class Series private[graft] (
   private def keyedWindow(by: Column) =
     org.apache.spark.sql.expressions.Window.partitionBy(by).orderBy(indexExpr)
 
+  /** Forward-fill nulls in index order (pandas ffill). Global ordered
+    * window — single-task at scale; prefer [[ffillBy]] with a key. */
+  def ffill(): Series =
+    withValue(last(valueExpr, ignoreNulls = true)
+      .over(ixWindow.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+
+  /** Backward-fill nulls in index order (pandas bfill). Global ordered
+    * window — single-task at scale; prefer [[bfillBy]] with a key. */
+  def bfill(): Series =
+    withValue(first(valueExpr, ignoreNulls = true)
+      .over(ixWindow.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+
+  /** Forward-fill within each `by` group (pandas groupby(by).ffill()):
+    * one shuffle on the key, per-group ordered frames — the scale shape. */
+  def ffillBy(by: Column): Series =
+    withValue(last(valueExpr, ignoreNulls = true)
+      .over(keyedWindow(by).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+
+  /** Backward-fill within each `by` group (pandas groupby(by).bfill()). */
+  def bfillBy(by: Column): Series =
+    withValue(first(valueExpr, ignoreNulls = true)
+      .over(keyedWindow(by).rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+
   /** Cumulative sum within each `by` group, index-ordered (pandas
     * groupby(by).cumsum()). */
   def cumsumBy(by: Column): Series = withValue(F.sum(valueExpr).over(

@@ -76,6 +76,36 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("operator results are invariant to shuffle-partition count") {
+    // The determinism claim a 100 TB deployment rests on: the answer must
+    // not depend on parallelism. Run representative shuffle-heavy ops at
+    // 2 and 17 shuffle partitions and require identical sorted output
+    // (integer/string outputs — exact equality, no float tolerance).
+    import org.apache.spark.sql.functions._
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, s"tok${i % 7} tok${(i * 3) % 5} tok${i % 7} tok${(i + 1) % 11} end")
+    }.toDF("doc_id", "text")
+    def run(): (Seq[String], Seq[String]) = {
+      val pairs = graft.ops.DedupOps
+        .jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.3)
+        .orderBy("id1", "id2").collect()
+        .map(r => s"${r.getLong(0)}:${r.getLong(1)}").toSeq
+      val lm = graft.ops.TextOps.lmScore(docs, "doc_id", "text")
+        .orderBy("doc_id").collect()
+        .map(r => f"${r.getLong(0)}:${r.getLong(1)}%d").toSeq
+      graft.Caches.clear()
+      (pairs, lm)
+    }
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      val lo = run()
+      spark.conf.set("spark.sql.shuffle.partitions", "17")
+      val hi = run()
+      assert(lo == hi)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("cumsumDistributed == cumsum for arbitrary data and bucket counts") {
     forAll(vecGen, Gen.choose(1, 64), n = 15) { (xs: List[Double], b: Int) =>
       val s = Series.fromSeq(spark, xs)

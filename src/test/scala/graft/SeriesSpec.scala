@@ -324,6 +324,23 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(const.cut(3).df.collect().map(_.getInt(1)).toSeq == Seq(0, 0, 0))
   }
 
+  test("ffill/bfill fill from last/next observation; keyed variants per group") {
+    val df = Seq((1L, "a", Some(1.0)), (2L, "a", None), (3L, "a", Some(3.0)),
+      (4L, "b", None), (5L, "b", Some(5.0)), (6L, "b", None))
+      .toDF("idx", "g", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    def vals(x: Series) = x.df.orderBy("idx").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    assert(vals(s.ffill()) == Seq(1.0, 1.0, 3.0, 3.0, 5.0, 5.0))
+    assert(vals(s.bfill()) == Seq(1.0, 3.0, 3.0, 5.0, 5.0, null))
+    // keyed: fills never cross the group boundary
+    assert(vals(s.ffillBy(col("g"))) == Seq(1.0, 1.0, 3.0, null, 5.0, 5.0))
+    assert(vals(s.bfillBy(col("g"))) == Seq(1.0, 3.0, 3.0, 5.0, 5.0, null))
+    // keyed plan shuffles on the key, not a single global sort
+    val plan = s.ffillBy(col("g")).df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(g"), plan)
+  }
+
   test("corr/cov/mode: same-base exact, cross-frame aligns by label") {
     val df = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0),
       (4L, 4.0, 7.0)).toDF("idx", "x", "y")
