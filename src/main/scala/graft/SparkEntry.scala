@@ -276,6 +276,18 @@ object SparkEntry {
         bal.qcut(4).values.as("q4"))
         .orderBy("idx")
     }),
+    // pandas rolling(n) family beyond mean: keyed trailing frames with
+    // min_periods = n null semantics — one shuffle on the key.
+    "s39_rolling" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromColumn(ev, "value", "event_id")
+      val u = col("user_id")
+      ev.select(col("event_id").as("idx"), col("user_id"),
+          round(v.rollingSumBy(u, 5).values, 2).as("rs"),
+          v.rollingMinBy(u, 5).values.as("rmin"),
+          v.rollingMaxBy(u, 5).values.as("rmax"))
+        .orderBy("idx")
+    }),
     // pandas groupby-ffill/bfill: last/first-ignore-nulls over keyed
     // ordered frames — one shuffle on the key, no single-task window.
     // "view" events carry the observation; other rows fill from it.
@@ -474,6 +486,17 @@ object SparkEntry {
         "(CASE WHEN c_acctbal > cs[2] THEN 1 ELSE 0 END) + " +
         "(CASE WHEN c_acctbal > cs[3] THEN 1 ELSE 0 END) AS INTEGER) AS q4 " +
         "FROM customer, b, qs ORDER BY idx"),
+    "s39_rolling" ->
+      ("WITH r AS (SELECT event_id AS idx, user_id, value, " +
+        "count(value) OVER w AS c, sum(value) OVER w AS sv, " +
+        "min(value) OVER w AS mn, max(value) OVER w AS mx " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) " +
+        "SELECT idx, user_id, " +
+        "CASE WHEN c = 5 THEN round(sv, 2) END AS rs, " +
+        "CASE WHEN c = 5 THEN mn END AS rmin, " +
+        "CASE WHEN c = 5 THEN mx END AS rmax " +
+        "FROM r ORDER BY idx"),
     "s38_ffill" ->
       ("SELECT event_id AS idx, user_id, " +
         "last_value(CASE WHEN event_type = 'view' THEN value END " +

@@ -526,11 +526,22 @@ final class Series private[graft] (
 
   /** Rolling mean over the trailing `n` values in index order (pandas
     * rolling(n).mean() with min_periods=n → null until the window fills). */
-  def rollingMean(n: Int): Series = {
+  def rollingMean(n: Int): Series = rollingOver(ixWindow, n, avg(valueExpr))
+  def rollingSum(n: Int): Series = rollingOver(ixWindow, n, F.sum(valueExpr))
+  def rollingMin(n: Int): Series = rollingOver(ixWindow, n, F.min(valueExpr))
+  def rollingMax(n: Int): Series = rollingOver(ixWindow, n, F.max(valueExpr))
+  def rollingStd(n: Int): Series =
+    rollingOver(ixWindow, n, stddev_samp(valueExpr))
+
+  /** Trailing-`n` rolling aggregate with pandas min_periods = n semantics:
+    * null until the frame holds n non-null observations (pandas counts
+    * non-NaN toward min_periods). Shared by the mean/sum/min/max/std
+    * family and their keyed `*By` variants. */
+  private def rollingOver(w0: org.apache.spark.sql.expressions.WindowSpec,
+                          n: Int, aggExpr: Column): Series = {
     require(n >= 1, "rolling window size must be >= 1")
-    val w = ixWindow.rowsBetween(-(n - 1), 0)
-    withValue(when(F.count(valueExpr).over(w) === n,
-      avg(valueExpr).over(w)))
+    val w = w0.rowsBetween(-(n - 1), 0)
+    withValue(when(F.count(valueExpr).over(w) === n, aggExpr.over(w)))
   }
 
   // --------------------------------------- partitioned (keyed) window ops
@@ -613,12 +624,16 @@ final class Series private[graft] (
   }
 
   /** Trailing-`n` rolling mean within each `by` group (min_periods = n). */
-  def rollingMeanBy(by: Column, n: Int): Series = {
-    require(n >= 1, "rolling window size must be >= 1")
-    val w = keyedWindow(by).rowsBetween(-(n - 1), 0)
-    withValue(when(F.count(valueExpr).over(w) === n,
-      avg(valueExpr).over(w)))
-  }
+  def rollingMeanBy(by: Column, n: Int): Series =
+    rollingOver(keyedWindow(by), n, avg(valueExpr))
+  def rollingSumBy(by: Column, n: Int): Series =
+    rollingOver(keyedWindow(by), n, F.sum(valueExpr))
+  def rollingMinBy(by: Column, n: Int): Series =
+    rollingOver(keyedWindow(by), n, F.min(valueExpr))
+  def rollingMaxBy(by: Column, n: Int): Series =
+    rollingOver(keyedWindow(by), n, F.max(valueExpr))
+  def rollingStdBy(by: Column, n: Int): Series =
+    rollingOver(keyedWindow(by), n, stddev_samp(valueExpr))
 
   /** Sort by value (pandas sort_values). */
   def sortValues(ascending: Boolean = true): Series = Series.fromKeyed(

@@ -58,12 +58,21 @@ object TextOps {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
 
+  /** Engine-portable 6-dp rounding for NON-NEGATIVE doubles:
+    * floor(x·1e6 + 0.5)/1e6. `round()` implementations disagree on
+    * half-way doubles (Spark rounds the shortest decimal rendering via
+    * BigDecimal, DuckDB rounds the binary value — observed 1-ulp output
+    * divergence on the sf0.1 fixture), while floor of the identical
+    * product double is bit-deterministic across engines. Half-up toward
+    * +∞, so only use for values known ≥ 0. */
+  def round6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
   /** Composite quality score in [0,1]: length prior × (1 − stopword excess).
     * Heuristic, deterministic, fully expression-based. */
   def qualityScore(text: Column): Column = {
     val lenPrior = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val stopPenalty = greatest(lit(0.0), lit(1.0) - stopwordRatio(text) * 2.0)
-    round(lenPrior * stopPenalty, 6)
+    round6(lenPrior * stopPenalty)
   }
 
   /** Language-ID by marker-stopword counts — the classic cheap n-gram/

@@ -228,11 +228,11 @@ object DedupQueries {
          SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
            md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp
          FROM q
-         WHERE round(least(length(text) / 500.0, 1.0) * greatest(0.0,
+         WHERE floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
              1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
                len(list_filter(ts, x -> x IN ('the','a','an','of','and','to',
-                 'in','is','on','for','with'))) * 1.0 / len(ts) END) * 2.0),
-             6) >= 0.35
+                 'in','is','on','for','with'))) * 1.0 / len(ts) END) * 2.0)
+             * 1e6 + 0.5) / 1e6 >= 0.35
            AND doc_id NOT IN (SELECT doc_id FROM losers)
          ORDER BY doc_id"""
   )

@@ -57,7 +57,8 @@ object PipelineQueries {
       Tables.documents(s, d).groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
-          round(avg(TextOps.qualityScore(col("text"))), 6).as("mean_quality"),
+          TextOps.round6(avg(TextOps.qualityScore(col("text"))))
+            .as("mean_quality"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy("source"))
   )
@@ -107,15 +108,15 @@ object PipelineQueries {
     "p05_corpus_report" ->
       s"""WITH t AS (SELECT source, lang, text, $Toks AS ts FROM documents),
          q AS (SELECT source, lang, len(ts) AS ntok,
-             round(least(length(text) / 500.0, 1.0) * greatest(0.0,
+             floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
                1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
                  len(list_filter(ts, x -> x IN ('the','a','an','of','and',
                    'to','in','is','on','for','with'))) * 1.0 / len(ts) END)
-                 * 2.0), 6) AS qual
+                 * 2.0) * 1e6 + 0.5) / 1e6 AS qual
            FROM t)
          SELECT source, count(*) AS n_docs,
            CAST(sum(ntok) AS BIGINT) AS n_tokens,
-           round(avg(qual), 6) AS mean_quality,
+           floor(avg(qual) * 1e6 + 0.5) / 1e6 AS mean_quality,
            count(DISTINCT lang) AS n_langs
          FROM q GROUP BY source ORDER BY source"""
   )

@@ -31,8 +31,8 @@ object TextQueries {
         col("doc_id"),
         length(col("text")).as("n_chars"),
         tokenCount(col("text")).as("n_tokens"),
-        round(stopwordRatio(col("text")), 6).as("stop_ratio"),
-        round(meanTokenLength(col("text")), 6).as("mean_tok_len"),
+        round6(stopwordRatio(col("text"))).as("stop_ratio"),
+        round6(meanTokenLength(col("text"))).as("mean_tok_len"),
         qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
@@ -150,18 +150,18 @@ object TextQueries {
          SELECT doc_id,
            CAST(length(text) AS INTEGER) AS n_chars,
            CAST(len(ts) AS INTEGER) AS n_tokens,
-           round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+           floor((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
              len(list_filter(ts, x -> x IN ('the','a','an','of','and','to',
-               'in','is','on','for','with'))) * 1.0 / len(ts) END, 6)
-             AS stop_ratio,
-           round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               'in','is','on','for','with'))) * 1.0 / len(ts) END) * 1e6
+             + 0.5) / 1e6 AS stop_ratio,
+           floor((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
              list_sum(list_transform(ts, x -> length(x))) * 1.0 / len(ts)
-             END, 6) AS mean_tok_len,
-           round(least(length(text) / 500.0, 1.0) * greatest(0.0,
+             END) * 1e6 + 0.5) / 1e6 AS mean_tok_len,
+           floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
              1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
                len(list_filter(ts, x -> x IN ('the','a','an','of','and','to',
-                 'in','is','on','for','with'))) * 1.0 / len(ts) END) * 2.0),
-             6) AS quality
+                 'in','is','on','for','with'))) * 1.0 / len(ts) END) * 2.0)
+             * 1e6 + 0.5) / 1e6 AS quality
          FROM t ORDER BY doc_id""",
     "t03_term_docfreq" ->
       s"""SELECT term, count(*) AS df FROM (

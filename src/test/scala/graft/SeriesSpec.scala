@@ -324,6 +324,21 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(const.cut(3).df.collect().map(_.getInt(1)).toSeq == Seq(0, 0, 0))
   }
 
+  test("rolling sum/min/max/std honor min_periods like pandas (nulls gate)") {
+    val df = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None),
+      (4L, Some(4.0)), (5L, Some(5.0))).toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    def vals(x: Series) = x.df.orderBy("idx").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    // window of 2: frame with the null has only 1 observation → null
+    assert(vals(s.rollingSum(2)) == Seq(null, 3.0, null, null, 9.0))
+    assert(vals(s.rollingMax(2)) == Seq(null, 2.0, null, null, 5.0))
+    assert(vals(s.rollingMin(2)) == Seq(null, 1.0, null, null, 4.0))
+    val st = vals(s.rollingStd(2))
+    assert(st(1) != null &&
+      math.abs(st(1).asInstanceOf[Double] - math.sqrt(0.5)) < 1e-12)
+  }
+
   test("ffill/bfill fill from last/next observation; keyed variants per group") {
     val df = Seq((1L, "a", Some(1.0)), (2L, "a", None), (3L, "a", Some(3.0)),
       (4L, "b", None), (5L, "b", Some(5.0)), (6L, "b", None))
