@@ -1,23 +1,9 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // explode() already skips empty/null arrays; the inferred pre-Generate
-      // filter only re-inlines the (heavy) generator expression through the
-      // staged projection — ~3 evaluations of every tokenize/shingle tree
-      // per row (see PLANS.md, d09 audit).
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus, "graft-bench")
     // Warm-up pass: run every query once (JIT compilation, codegen caches,
     // parquet footer reads, shuffle-service spin-up) and measure the second
     // run — without it, per-query numbers move ±3× between rounds purely on
