@@ -276,6 +276,23 @@ object SparkEntry {
         bal.qcut(4).values.as("q4"))
         .orderBy("idx")
     }),
+    // pandas iloc positional slice: ordinal row_number window (global —
+    // positional semantics are a total order by nature; the documented
+    // distributed paths are label slice/head).
+    "s40_iloc" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey")
+      bal.iloc(100, 110).df.orderBy("c_custkey")
+    }),
+    // pandas value_counts(normalize=True): per-value share; denominator is
+    // a window total over the aggregated (tiny) frame, not a second scan.
+    "s41_value_share" -> ((s, d) => {
+      val seg = Series.fromColumn(Tables.customer(s, d), "c_mktsegment",
+        "c_custkey")
+      val vc = seg.valueCounts(normalize = true)
+      vc.select(col("c_mktsegment"), round(col("share"), 6).as("share"))
+        .orderBy(col("share").desc, col("c_mktsegment"))
+    }),
     // pandas rolling(n) family beyond mean: keyed trailing frames with
     // min_periods = n null semantics — one shuffle on the key.
     "s39_rolling" -> ((s, d) => {
@@ -486,6 +503,15 @@ object SparkEntry {
         "(CASE WHEN c_acctbal > cs[2] THEN 1 ELSE 0 END) + " +
         "(CASE WHEN c_acctbal > cs[3] THEN 1 ELSE 0 END) AS INTEGER) AS q4 " +
         "FROM customer, b, qs ORDER BY idx"),
+    "s40_iloc" ->
+      ("SELECT c_custkey, c_acctbal FROM (" +
+        "SELECT c_custkey, c_acctbal, " +
+        "row_number() OVER (ORDER BY c_custkey) - 1 AS pos FROM customer) " +
+        "WHERE pos >= 100 AND pos < 110 ORDER BY c_custkey"),
+    "s41_value_share" ->
+      ("SELECT c_mktsegment, " +
+        "round(count(*) * 1.0 / (SELECT count(*) FROM customer), 6) " +
+        "AS share FROM customer GROUP BY 1 ORDER BY share DESC, 1"),
     "s39_rolling" ->
       ("WITH r AS (SELECT event_id AS idx, user_id, value, " +
         "count(value) OVER w AS c, sum(value) OVER w AS sv, " +

@@ -235,9 +235,21 @@ final class Series private[graft] (
   /** Distinct values with occurrence counts, descending (pandas
     * value_counts). One partial+final HashAggregate; output is
     * (value, count) keyed by the value. */
-  def valueCounts(): DataFrame =
-    base.groupBy(valueExpr.as(name)).agg(count(lit(1)).as("count"))
-      .orderBy(col("count").desc, col(name).asc)
+  /** Value histogram (pandas value_counts). `normalize = true` returns the
+    * share of rows per value instead of the count — the denominator is a
+    * window total over the (already tiny) aggregated frame, not a second
+    * scan. */
+  def valueCounts(normalize: Boolean = false): DataFrame = {
+    val counts = base.groupBy(valueExpr.as(name))
+      .agg(count(lit(1)).as("count"))
+    val out =
+      if (!normalize) counts
+      else counts.select(col(name),
+        (col("count").cast("double") /
+          F.sum("count").over(org.apache.spark.sql.expressions.Window
+            .partitionBy())).as("share"))
+    out.orderBy(col(out.columns(1)).desc, col(name).asc)
+  }
 
   /** Distinct values (pandas unique), as a 1-column frame. */
   def unique(): DataFrame = base.select(valueExpr.as(name)).distinct()
@@ -314,6 +326,21 @@ final class Series private[graft] (
   /** Inclusive range test → boolean Series (pandas between). */
   def between(lo: Any, hi: Any): Series =
     withValue(valueExpr.between(lit(lo), lit(hi)))
+
+  /** Positional half-open slice [from, until) in index order (pandas
+    * iloc[a:b]). Ordinal position is a global ordered row_number —
+    * single-task at scale, inherent to positional semantics (pandas
+    * positions ARE a total order); label-based [[slice]]/[[head]] are the
+    * distributed paths. */
+  def iloc(from: Long, until: Long): Series = {
+    require(from >= 0 && until >= from, "invalid positional range")
+    val out = base
+      .select(indexExpr.as(indexName), valueExpr.as(name),
+        (row_number().over(ixWindow) - 1).as("__pos"))
+      .filter(col("__pos") >= from && col("__pos") < until)
+      .drop("__pos")
+    Series.fromKeyed(out, name, indexName)
+  }
 
   /** Explode an array-valued Series into one row per element, repeating
     * the index label (pandas Series.explode, which keeps the original

@@ -324,6 +324,19 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(const.cut(3).df.collect().map(_.getInt(1)).toSeq == Seq(0, 0, 0))
   }
 
+  test("iloc slices by position; valueCounts(normalize) gives shares") {
+    val s = Series.fromColumn(
+      Seq((10L, "a"), (20L, "b"), (30L, "a"), (40L, "a")).toDF("idx", "v"),
+      "v", "idx")
+    assert(s.iloc(1, 3).df.orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((20L, "b"), (30L, "a")))
+    assert(s.iloc(3, 99).df.count() == 1) // until past the end clips
+    val shares = s.valueCounts(normalize = true).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(shares == Seq(("a", 0.75), ("b", 0.25)))
+  }
+
   test("rolling sum/min/max/std honor min_periods like pandas (nulls gate)") {
     val df = Seq((1L, Some(1.0)), (2L, Some(2.0)), (3L, None),
       (4L, Some(4.0)), (5L, Some(5.0))).toDF("idx", "v")
