@@ -34,6 +34,12 @@ object Sessions {
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // ContextCleaner frees dropped localCheckpoint/shuffle blocks only
+      // after a driver GC notices the RDD is unreachable; the 30min default
+      // lets blocks from hundreds of queries pile up in the block manager
+      // (measured: d08's iteration checkpoints drifted 5.5s → 13.5s over a
+      // long session). 15s keeps a long-lived session's block manager flat.
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
