@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan lint over the ENTIRE gated query suite: builds every
+  * `SparkEntry.queries` plan against the sf0.001 fixtures and rejects the
+  * two operators that never survive 100 TB — `CartesianProduct` and
+  * `BroadcastNestedLoopJoin`. Any new query that accidentally compiles to
+  * an all-pairs plan (a non-equi join condition is the usual cause) fails
+  * here, not in production. Global single-partition exchanges are NOT
+  * linted: the pandas-parity global window ops carry them by documented
+  * design, with keyed/distributed variants alongside.
+  */
+class PlanLintSpec extends AnyFunSuite with SparkFixture {
+
+  /** v01 is exact brute-force kNN BY DESIGN: every probe scores every
+    * corpus vector, shaped as a bounded broadcast (the probe set) against
+    * one streamed corpus scan — the correct exhaustive baseline, with
+    * v02/v03 (LSH/IVF bucketed equi-joins) as the scale paths. It is the
+    * only query allowed an all-pairs operator. */
+  private val exempt = Set("v01_knn_bruteforce")
+
+  test("no gated query plan contains a cartesian or nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => exempt(q._1)).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct")
+              || plan.contains("BroadcastNestedLoopJoin")) Some(name)
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name (failed to plan: ${e.getMessage})")
+        } finally Caches.clear()
+    }
+    assert(bad.isEmpty, s"all-pairs plans or failures: ${bad.mkString(", ")}")
+  }
+}
