@@ -184,6 +184,15 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     withColumn(name, lag(c, offset).over(
       Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)))
 
+  /** pandas groupby(...).transform(agg): the whole-group aggregate
+    * broadcast back onto every member row (demeaning, z-scoring, share-of-
+    * group features). An UNORDERED whole-partition window frame — one
+    * shuffle on the keys, no per-partition sort at all (cheaper than the
+    * ordered helpers above), and no self-join back to the rows. */
+  def withGroupAgg(name: String, aggExpr: Column,
+                   partitionBy: Seq[Column]): GFrame =
+    withColumn(name, aggExpr.over(Window.partitionBy(partitionBy: _*)))
+
   /** Unpivot/melt (pandas melt): wide metric columns → (variable, value)
     * rows. Native Expand node — one pass, no join/union of scans. */
   def melt(valueCols: Seq[String], varName: String = "variable",

@@ -238,6 +238,23 @@ object FrameQueries {
         .orderBy("l_linestatus")
     }),
 
+    // pandas groupby().transform(): per-nation mean/std broadcast back
+    // onto every customer row → demeaned + z-scored balance (the standard
+    // ML feature-prep shape). Whole-partition unordered frames — one
+    // shuffle on the key, NO sort, no self-join.
+    "f23_group_transform" -> ((s, d) => {
+      val gf = graft.core.GFrame.fromDF(Tables.customer(s, d), "c_custkey")
+      gf.withGroupAgg("nmean", avg(col("c_acctbal")), Seq(col("c_nationkey")))
+        .withGroupAgg("nstd", stddev_samp(col("c_acctbal")),
+          Seq(col("c_nationkey")))
+        .df
+        .select(col("c_custkey"), col("c_nationkey"),
+          round(col("c_acctbal") - col("nmean"), 6).as("demeaned"),
+          round(try_divide(col("c_acctbal") - col("nmean"), col("nstd")), 6)
+            .as("zscore"))
+        .orderBy("c_custkey")
+    }),
+
     // pandas df.describe(): every stat for every column from ONE
     // partial+final aggregate pass, stack-pivoted to stat×column rows.
     // Quartiles are the exact sort-based percentile (= quantile_cont).
@@ -398,6 +415,15 @@ object FrameQueries {
       """SELECT l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem WHERE l_returnflag = 'A'
          GROUP BY 1 ORDER BY 1""",
+    "f23_group_transform" ->
+      """WITH w AS (SELECT c_custkey, c_nationkey, c_acctbal,
+           avg(c_acctbal) OVER (PARTITION BY c_nationkey) AS nmean,
+           stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey) AS nstd
+         FROM customer)
+         SELECT c_custkey, c_nationkey,
+           round(c_acctbal - nmean, 6) AS demeaned,
+           round((c_acctbal - nmean) / nullif(nstd, 0), 6) AS zscore
+         FROM w ORDER BY c_custkey""",
     "f22_describe" ->
       """WITH c AS (SELECT CAST(c_custkey AS DOUBLE) AS a,
              CAST(c_nationkey AS DOUBLE) AS b, c_acctbal AS v FROM customer)

@@ -94,6 +94,17 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("withGroupAgg broadcasts the group aggregate onto member rows") {
+    val out = gf.withGroupAgg("gsum", sum(col("v")), Seq(col("g")))
+      .toDF.orderBy("id").collect().map(_.getDouble(3)).toSeq
+    assert(out == Seq(40.0, 60.0, 40.0, 60.0)) // a: 10+30, b: 20+40
+    // unordered whole-partition frame: the window spec carries NO ordering
+    val plan = gf.withGroupAgg("m", avg(col("v")), Seq(col("g")))
+      .toDF.queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(g"), plan)
+    assert(!plan.contains("windowspecdefinition(g#, v"), plan)
+  }
+
   test("describe yields pandas stat rows from one aggregate pass") {
     val d = GFrame.fromDF(
       Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0)).toDF("id", "v"), "id")
