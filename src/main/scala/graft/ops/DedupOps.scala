@@ -317,10 +317,14 @@ object DedupOps {
     // differing bits; beyond that the blocking silently loses pairs.
     require(maxHamming <= 3, "4-band blocking is lossless only for maxHamming <= 3")
     val sigs = simHashSigs(df, idCol, textCol)
-    val banded = sigs.select(col("id"), col("sh"),
+    // persist: the self-join consumes the banded signatures twice, and
+    // ReuseExchange only saves the map side — the 64-vote final aggregate
+    // and band explode would still run per join side (Caches-tracked).
+    val banded = graft.Caches.track(sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("id", "sh", "band", "bandval")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band")
           && col("a.bandval") === col("b.bandval")
