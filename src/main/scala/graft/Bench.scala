@@ -5,18 +5,26 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus, "graft-bench")
     // Warm-up pass: run every query once (JIT compilation, codegen caches,
-    // parquet footer reads, shuffle-service spin-up) and measure the second
-    // run — without it, per-query numbers move ±3× between rounds purely on
-    // map-iteration order (whichever query ran first paid the JVM warm-up).
+    // parquet footer reads, shuffle-service spin-up) — without it, per-query
+    // numbers move ±3× between rounds purely on map-iteration order
+    // (whichever query ran first paid the JVM warm-up).
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       finally Caches.clear() // each invocation persists fresh projections
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Median of 3 timed passes per query: a single sample still eats
+    // GC/compaction pauses (the 15 s periodic GC makes a pause landing
+    // inside a 1 s query a 5× outlier — two phantom regressions in round 3).
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       finally Caches.clear()
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val samples = Array.fill(3)(timeOnce(fn)).sorted
+      name -> samples(1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -165,17 +165,18 @@ object SparkEntry {
       q.df.agg(count_distinct(col("qty")).as("n_distinct"))
     }),
     // shift/diff/pct_change over the customer balance series — all three
-    // window expressions in ONE projection over one scan (the same-base
-    // design point; a join of per-Series frames would scan + sort twice).
+    // window expressions on ONE bucketed builder: one scan, one shuffle on
+    // __bkt, no global-order window (carry=1 replays each bucket's global
+    // predecessor row; see GlobalWindows).
     "s22_shift_diff" -> ((s, d) => {
-      val cust = Tables.customer(s, d)
-      val bal = Series.fromColumn(cust, "c_acctbal", "c_custkey")
-      // select the lazy window expressions against the SHARED base frame
-      cust.select(
-        col("c_custkey").as("idx"),
-        bal.shift(1).values.as("prev"),
-        round(bal.diff(1).values, 2).as("delta"),
-        round(bal.pctChange().values, 6).as("pct"))
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey")
+      val gw = bal.globalWindows(carry = 1)
+      gw.result(
+        "prev" -> gw.shift(1),
+        "delta" -> round(gw.diff(1), 2),
+        "pct" -> round(gw.pctChange(), 6))
+        .withColumnRenamed("c_custkey", "idx")
         .orderBy("idx")
     }),
     // average-method rank (pandas rank()) over supplier balances.
@@ -234,17 +235,23 @@ object SparkEntry {
       ordered(flag.mapValues(Map("A" -> "accepted", "N" -> "none"),
         naAction = Some("ignore")))
     }),
-    // cummax/cummin family: global (parity) + keyed (scale) variants in
-    // one frame — the keyed windows share the nation-key shuffle.
+    // cummax/cummin family: global (bucketed two-pass — within-bucket
+    // prefix max + exclusive bucket-max offsets) + keyed (scale) variants
+    // over one builder frame; the keyed windows ride the nation key.
     "s32_cummax" -> ((s, d) => {
       val cust = Tables.customer(s, d)
       val bal = Series.fromColumn(cust, "c_acctbal", "c_custkey")
-      val nat = col("c_nationkey")
-      cust.select(
-        col("c_custkey").as("idx"),
-        bal.cummax().values.as("cmax"),
-        bal.cummaxBy(nat).values.as("cmax_nat"),
-        bal.cumminBy(nat).values.as("cmin_nat"))
+      val gw = bal.globalWindows(extra = Seq("nat" -> col("c_nationkey")))
+      val kw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nat")).orderBy(col("c_custkey"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      gw.result(
+        "cmax" -> gw.cummax(),
+        "cmax_nat" -> max(gw.value).over(kw),
+        "cmin_nat" -> min(gw.value).over(kw))
+        .withColumnRenamed("c_custkey", "idx")
         .orderBy("idx")
     }),
     // pandas pd.concat(axis=0): stack two Series; plain union, no shuffle.
@@ -290,7 +297,8 @@ object SparkEntry {
       val seg = Series.fromColumn(Tables.customer(s, d), "c_mktsegment",
         "c_custkey")
       val vc = seg.valueCounts(normalize = true)
-      vc.select(col("c_mktsegment"), round(col("share"), 6).as("share"))
+      vc.select(col("c_mktsegment"),
+          graft.ops.TextOps.round6(col("share")).as("share"))
         .orderBy(col("share").desc, col("c_mktsegment"))
     }),
     // pandas rolling(n) family beyond mean: keyed trailing frames with
@@ -510,7 +518,8 @@ object SparkEntry {
         "WHERE pos >= 100 AND pos < 110 ORDER BY c_custkey"),
     "s41_value_share" ->
       ("SELECT c_mktsegment, " +
-        "round(count(*) * 1.0 / (SELECT count(*) FROM customer), 6) " +
+        "floor(count(*) * 1.0 / (SELECT count(*) FROM customer) " +
+        "* 1e6 + 0.5) / 1e6 " +
         "AS share FROM customer GROUP BY 1 ORDER BY share DESC, 1"),
     "s39_rolling" ->
       ("WITH r AS (SELECT event_id AS idx, user_id, value, " +

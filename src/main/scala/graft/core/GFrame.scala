@@ -112,7 +112,24 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     * percentile, matching pandas' interpolation); `stack` then pivots the
     * single aggregate row into the stat×column layout without a shuffle or
     * any driver-side state. */
-  def describe(cols: String*): GFrame = {
+  def describe(cols: String*): GFrame =
+    describeImpl(cols, (v, p) => percentile(v, lit(p)))
+
+  /** [[describe]] with SKETCHED quartiles — percentile_approx, the
+    * Greenwald–Khanna-style mergeable sketch — in the identical
+    * stat×column layout. This is the 100 TB default: the exact sort-based
+    * percentile aggregate buffers the column's values per group, while the
+    * sketch is a fixed-size mergeable partial whose shuffle cost is
+    * O(accuracy) regardless of row count. Rank error shrinks as ~1/accuracy
+    * of the row count, and the quartiles are actual column elements (no
+    * interpolation) — which is why this variant is rows-only in the driver
+    * contract, with GFrameSpec asserting it against the exact [[describe]]
+    * within rank-error bounds instead. */
+  def describeApprox(accuracy: Int, cols: String*): GFrame =
+    describeImpl(cols, (v, p) => percentile_approx(v, lit(p), lit(accuracy)))
+
+  private def describeImpl(cols: Seq[String],
+      quartile: (Column, Double) => Column): GFrame = {
     require(cols.nonEmpty, "describe needs at least one column")
     val Fn = org.apache.spark.sql.functions // members count/expr shadow the imports
     val aggs = cols.flatMap { c =>
@@ -121,9 +138,9 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
         avg(v).as(s"mean__$c"),
         stddev_samp(v).as(s"std__$c"),
         min(v).as(s"min__$c"),
-        percentile(v, lit(0.25)).as(s"p25__$c"),
-        percentile(v, lit(0.5)).as(s"p50__$c"),
-        percentile(v, lit(0.75)).as(s"p75__$c"),
+        quartile(v, 0.25).as(s"p25__$c"),
+        quartile(v, 0.5).as(s"p50__$c"),
+        quartile(v, 0.75).as(s"p75__$c"),
         max(v).as(s"max__$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)

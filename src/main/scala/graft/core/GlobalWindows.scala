@@ -1,0 +1,334 @@
+package graft.core
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed global-order window engine: the shared range-bucket two-pass
+  * machinery behind the pandas-parity global window family (cumsum / cummax /
+  * cummin / shift / diff / pctChange / rolling* / positional slicing /
+  * ffill / bfill).
+  *
+  * The problem: `Window.orderBy(index)` with no partition spec executes the
+  * whole frame on ONE task — correct, but a scale-killer. The fix, shared by
+  * every op here (generalized from the original cumsum-only two-pass):
+  *
+  *   1. one min/max agg job derives the index range (parquet footer stats
+  *      make this near-free on a plain scan);
+  *   2. rows are bucketed by equal-width index ranges — buckets are
+  *      range-ordered by construction (floor((idx−lo)/width) is monotone in
+  *      idx), so every row in bucket b sorts before every row in bucket b+1
+  *      and all windows become `Window.partitionBy(__bkt).orderBy(idx)`:
+  *      ONE shuffle keyed by bucket, each bucket an independent task;
+  *   3. cross-bucket context is bounded carry-over:
+  *      - prefix aggregates (cumsum/cummax/cummin/position/ffill/bfill):
+  *        per-bucket partial aggregates — exactly `buckets` rows of driver
+  *        state (like IVF centroids) — accumulate sequentially into
+  *        EXCLUSIVE offsets and rejoin as a broadcast of `buckets` rows;
+  *      - offset windows (shift/diff/pctChange/rolling n): the global last
+  *        `carry` rows before each bucket's range start are replayed into
+  *        that bucket as flagged carry rows (≤ carry × buckets rows,
+  *        collected once), so `lag`/trailing frames see their true global
+  *        predecessors; carry rows are dropped after the window.
+  *
+  * Multiple window expressions over one builder share the bucketed frame,
+  * the persisted scan, and a single Window stage — the same one-scan
+  * composition the lazy single-task ops had (see s22/s32 gates).
+  *
+  * Numeric-index assumption: equal-width bucketing needs a numeric index;
+  * null index labels ride in bucket 0 where ascending nulls-first ordering
+  * puts them exactly where the global window had them. A skewed index
+  * degrades bucket balance, not correctness (derive boundaries from approx
+  * quantiles upstream if needed). Association of parallel-summed doubles
+  * differs from the sequential window in the last ulps — round money
+  * results (the DuckDB-oracle tolerance, same as s18/s29).
+  */
+final class GlobalWindows private[graft] (
+    s: Series, buckets: Int, carry: Int, extra: Seq[(String, Column)]) {
+
+  require(buckets >= 1, "buckets must be >= 1")
+  require(carry >= 0, "carry must be >= 0")
+
+  import GlobalWindows._
+
+  private val F = org.apache.spark.sql.functions
+  private val idxName = s.indexName
+  private val valName = s.name
+
+  /** Two-column (+ passthrough extras) projection over the Series base. */
+  private val d: DataFrame = s.base.select(
+    s.index.as(idxName) +: s.values.as(valName) +:
+      extra.map { case (n, c) => c.as(n) }: _*)
+
+  // ---- pass 1: index range (near-free off parquet footer stats)
+  private val bounds = d.agg(
+    F.min(col(idxName)).cast("double"),
+    F.max(col(idxName)).cast("double")).head()
+  private val degenerate = bounds.isNullAt(0) ||
+    !(bounds.getDouble(1) > bounds.getDouble(0))
+
+  private val bktExpr: Column =
+    if (degenerate) lit(0L)
+    else {
+      val lo = bounds.getDouble(0)
+      val width = (bounds.getDouble(1) - lo) / buckets
+      when(col(idxName).isNull, lit(0L)).otherwise(
+        least(floor((col(idxName).cast("double") - lit(lo)) / lit(width)),
+          lit(buckets - 1.0)).cast("long"))
+    }
+
+  /** Real rows, bucketed; persisted — consumed by the stats/carry jobs AND
+    * the returned windowed plan (tracked in [[graft.Caches]]). */
+  private val keyed: DataFrame = graft.Caches.track(
+    d.withColumn(Bkt, bktExpr).persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** keyed ∪ carry rows. Carry construction: per-bucket last `carry` rows
+    * (a bounded row_number top-k per bucket) collect to the driver; a
+    * single forward walk over buckets maintains the ring of the global
+    * last-`carry` rows and replays the ring state at each bucket boundary
+    * as that bucket's carries. */
+  private val frame: DataFrame = {
+    val tagged = keyed.withColumn(CarryCol, lit(false))
+    if (carry == 0) tagged
+    else {
+      val wdesc = Window.partitionBy(col(Bkt))
+        .orderBy(col(idxName).desc_nulls_last)
+      val tails = keyed
+        .withColumn("__gw_rn", row_number().over(wdesc))
+        .filter(col("__gw_rn") <= carry).drop("__gw_rn")
+        .collect() // ≤ carry × buckets rows — bounded driver state
+      val bktPos = keyed.schema.fieldIndex(Bkt)
+      val idxPos = keyed.schema.fieldIndex(idxName)
+      val byBucket = tails.groupBy(_.getLong(bktPos))
+      val ring = mutable.ArrayDeque.empty[Row] // oldest..newest, ≤ carry
+      val out = mutable.Buffer.empty[Row]
+      byBucket.keys.toSeq.sorted.foreach { b =>
+        ring.foreach { r =>
+          out += Row.fromSeq(r.toSeq.updated(bktPos, b) :+ true)
+        }
+        byBucket(b).sortBy(_.get(idxPos))(AnyOrd).foreach { r =>
+          ring.append(r)
+          if (ring.size > carry) ring.removeHead()
+        }
+      }
+      val schema = StructType(keyed.schema.fields :+
+        StructField(CarryCol, BooleanType, nullable = false))
+      tagged.unionByName(
+        d.sparkSession.createDataFrame(out.asJava, schema))
+    }
+  }
+
+  private val w = Window.partitionBy(col(Bkt)).orderBy(col(idxName).asc)
+  private val cumw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+  def idx: Column = col(idxName)
+  def value: Column = col(valName)
+  /** Carry rows nulled out — prefix aggregates must not double-count them. */
+  private def realValue: Column = when(!col(CarryCol), col(valName))
+
+  // ---------------------------------------------------- cross-bucket offsets
+
+  private var needOffsets = false
+  private def off(c: String): Column = { needOffsets = true; col(c) }
+
+  private lazy val valueDt = d.schema(valName).dataType
+  private lazy val numericValue = valueDt.isInstanceOf[NumericType]
+
+  /** Per-bucket EXCLUSIVE running aggregates as a `buckets`-row frame,
+    * broadcast-joined back on __bkt. One stats job serves every
+    * offset-needing op on this builder; dtype-generic (the driver scan
+    * compares via Comparable and sums in the aggregate's own type). */
+  private lazy val offsetsDF: DataFrame = {
+    val aggs = mutable.Buffer[Column](
+      F.count(lit(1)).as("__gw_cnt"),
+      F.max(col(valName)).as("__gw_mx"),
+      F.min(col(valName)).as("__gw_mn"),
+      // last/first NON-NULL value by index order (ffill/bfill carry state);
+      // rows with a null ordering expr are skipped by max_by/min_by
+      F.max_by(col(valName), when(col(valName).isNotNull, col(idxName)))
+        .as("__gw_lastnn"),
+      F.min_by(col(valName), when(col(valName).isNotNull, col(idxName)))
+        .as("__gw_firstnn"))
+    if (numericValue) aggs += F.sum(col(valName)).as("__gw_sm")
+    val statsDf = keyed.groupBy(col(Bkt))
+      .agg(aggs.head, aggs.tail.toSeq: _*)
+    val sumDt =
+      if (numericValue) statsDf.schema("__gw_sm").dataType else valueDt
+    val stats = statsDf.collect().sortBy(_.getLong(0))
+
+    val n = stats.length
+    val iCnt = statsDf.schema.fieldIndex("__gw_cnt")
+    val iMx = statsDf.schema.fieldIndex("__gw_mx")
+    val iMn = statsDf.schema.fieldIndex("__gw_mn")
+    val iFf = statsDf.schema.fieldIndex("__gw_lastnn")
+    val iBf = statsDf.schema.fieldIndex("__gw_firstnn")
+    val iSm = if (numericValue) statsDf.schema.fieldIndex("__gw_sm") else -1
+
+    // backward pass first: first non-null value of any FOLLOWING bucket
+    val bfOff = new Array[Any](n)
+    var bf: Any = null
+    for (i <- stats.indices.reverse) {
+      bfOff(i) = bf
+      val fn = stats(i).get(iBf)
+      if (fn != null) bf = fn
+    }
+    // forward pass: exclusive count / max / min / sum / last-non-null
+    var cnt = 0L
+    var mx: Any = null
+    var mn: Any = null
+    var ff: Any = null
+    var sm: Any = null
+    val rows = stats.zipWithIndex.map { case (r, i) =>
+      val out = Row(r.getLong(0), cnt, mx, mn, sm, ff, bfOff(i))
+      cnt += r.getLong(iCnt)
+      mx = pickBy(mx, r.get(iMx), gtr = true)
+      mn = pickBy(mn, r.get(iMn), gtr = false)
+      if (r.get(iFf) != null) ff = r.get(iFf)
+      if (numericValue) sm = addAny(sm, r.get(iSm), sumDt)
+      out
+    }
+    val schema = StructType(Seq(
+      StructField(Bkt, LongType, nullable = false),
+      StructField(CntOff, LongType, nullable = false),
+      StructField(MaxOff, valueDt, nullable = true),
+      StructField(MinOff, valueDt, nullable = true),
+      StructField(SumOff, sumDt, nullable = true),
+      StructField(FfOff, valueDt, nullable = true),
+      StructField(BfOff, valueDt, nullable = true)))
+    d.sparkSession.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
+  // -------------------------------------------------------------- operators
+
+  /** Global cumulative sum: within-bucket prefix + exclusive sum offset. */
+  def cumsum(): Column = {
+    val c = F.sum(realValue).over(cumw)
+    val o = off(SumOff)
+    when(o.isNull, c).when(c.isNull, o).otherwise(c + o)
+  }
+
+  /** Global cumulative max (greatest skips the null first-bucket offset). */
+  def cummax(): Column = greatest(F.max(realValue).over(cumw), off(MaxOff))
+
+  /** Global cumulative min. */
+  def cummin(): Column = least(F.min(realValue).over(cumw), off(MinOff))
+
+  /** Global lag(n) — needs `n <= carry` so every bucket holds its true
+    * global predecessors as carry rows. */
+  def shift(n: Int = 1): Column = {
+    require(n >= 0 && n <= carry,
+      s"shift($n) needs a builder with carry >= $n (have $carry)")
+    lag(col(valName), n).over(w)
+  }
+
+  /** Global discrete difference v − v.shift(n). */
+  def diff(n: Int = 1): Column = col(valName) - shift(n)
+
+  /** Global fractional change; try_divide → null on a zero previous value
+    * (not an ANSI abort). */
+  def pctChange(): Column = {
+    val prev = shift(1)
+    try_divide(col(valName) - prev, prev)
+  }
+
+  private def rolling(n: Int)(f: Column => Column): Column = {
+    require(n >= 1, "rolling window size must be >= 1")
+    require(n - 1 <= carry,
+      s"rolling($n) needs a builder with carry >= ${n - 1} (have $carry)")
+    val rw = w.rowsBetween(-(n - 1), 0)
+    when(F.count(col(valName)).over(rw) === n, f(col(valName)).over(rw))
+  }
+
+  /** Trailing-n rolling aggregates, pandas min_periods = n (null until the
+    * frame holds n non-null observations — carry rows count, they ARE the
+    * true global predecessors). */
+  def rollingMean(n: Int): Column = rolling(n)(avg)
+  def rollingSum(n: Int): Column = rolling(n)(F.sum(_))
+  def rollingMin(n: Int): Column = rolling(n)(F.min(_))
+  def rollingMax(n: Int): Column = rolling(n)(F.max(_))
+  def rollingStd(n: Int): Column = rolling(n)(stddev_samp)
+
+  /** 1-based global ordinal position: within-bucket real-row count +
+    * exclusive bucket count offset. */
+  def position(): Column =
+    F.sum(when(!col(CarryCol), lit(1L))).over(cumw) + off(CntOff)
+
+  /** Global forward-fill: within-bucket last non-null, else the last
+    * non-null of any preceding bucket. */
+  def ffill(): Column = coalesce(
+    F.last(realValue, ignoreNulls = true).over(cumw), off(FfOff))
+
+  /** Global backward-fill (offsets run bucket-reversed). */
+  def bfill(): Column = coalesce(
+    F.first(realValue, ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
+    off(BfOff))
+
+  // ---------------------------------------------------------------- results
+
+  /** Materialize named expressions alongside the index: join the bucket
+    * offsets (broadcast, `buckets` rows) if any op needs them, compute the
+    * windows, then drop carry rows. The carry filter cannot push below the
+    * Window (it is not a partition key), so windows see the carries and the
+    * output does not. */
+  def result(cols: (String, Column)*): DataFrame = {
+    val f0 =
+      if (needOffsets) frame.join(broadcast(offsetsDF), Seq(Bkt), "left")
+      else frame
+    f0.select(col(idxName) +: col(CarryCol) +:
+        cols.map { case (n, c) => c.as(n) }: _*)
+      .filter(!col(CarryCol))
+      .drop(CarryCol)
+  }
+
+  /** Single-expression convenience → Series. */
+  private[graft] def series(expr: Column, n: String = valName): Series =
+    Series.fromKeyed(result(n -> expr), n, idxName)
+}
+
+private[graft] object GlobalWindows {
+  val Bkt = "__bkt"
+  val CarryCol = "__gw_carry"
+  val CntOff = "__gw_cnt_off"
+  val MaxOff = "__gw_max_off"
+  val MinOff = "__gw_min_off"
+  val SumOff = "__gw_sum_off"
+  val FfOff = "__gw_ff_off"
+  val BfOff = "__gw_bf_off"
+
+  /** Null-first comparable ordering over Spark external atomic values. */
+  val AnyOrd: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int =
+      if (a == null && b == null) 0
+      else if (a == null) -1
+      else if (b == null) 1
+      else a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  private def pickBy(acc: Any, v: Any, gtr: Boolean): Any =
+    if (v == null) acc
+    else if (acc == null) v
+    else {
+      val c = AnyOrd.compare(v, acc)
+      if ((gtr && c > 0) || (!gtr && c < 0)) v else acc
+    }
+
+  /** Accumulate in the Spark sum-aggregate's own result type. */
+  private def addAny(acc: Any, v: Any, dt: DataType): Any =
+    if (v == null) acc
+    else if (acc == null) v
+    else dt match {
+      case LongType => acc.asInstanceOf[Long] + v.asInstanceOf[Long]
+      case DoubleType => acc.asInstanceOf[Double] + v.asInstanceOf[Double]
+      case _: DecimalType =>
+        acc.asInstanceOf[java.math.BigDecimal]
+          .add(v.asInstanceOf[java.math.BigDecimal])
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sum type $other")
+    }
+}

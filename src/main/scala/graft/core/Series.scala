@@ -288,7 +288,10 @@ final class Series private[graft] (
   def mode(): Any = base.filter(valueExpr.isNotNull)
     .groupBy(valueExpr.as("__v")).agg(F.count(lit(1)).as("__c"))
     .orderBy(col("__c").desc, col("__v").asc)
-    .select("__v").head().get(0)
+    .select("__v").head(1).headOption
+    .map(_.get(0))
+    .getOrElse(throw new IllegalArgumentException(
+      s"mode() on empty or all-null Series '$name'"))
 
   /** Approximate distinct count via HyperLogLog++ (`rsd` = target relative
     * standard deviation). The 100 TB sibling of [[nunique]]: the sketch is
@@ -328,18 +331,26 @@ final class Series private[graft] (
     withValue(valueExpr.between(lit(lo), lit(hi)))
 
   /** Positional half-open slice [from, until) in index order (pandas
-    * iloc[a:b]). Ordinal position is a global ordered row_number —
-    * single-task at scale, inherent to positional semantics (pandas
-    * positions ARE a total order); label-based [[slice]]/[[head]] are the
-    * distributed paths. */
+    * iloc[a:b]). Ordinal position = exclusive bucket-count offset +
+    * within-bucket row_number over the range-bucketed index (see
+    * [[GlobalWindows]]) — no single-task global sort. Non-numeric indexes
+    * fall back to the global ordered row_number. */
   def iloc(from: Long, until: Long): Series = {
     require(from >= 0 && until >= from, "invalid positional range")
-    val out = base
-      .select(indexExpr.as(indexName), valueExpr.as(name),
-        (row_number().over(ixWindow) - 1).as("__pos"))
-      .filter(col("__pos") >= from && col("__pos") < until)
-      .drop("__pos")
-    Series.fromKeyed(out, name, indexName)
+    if (numericIdx) {
+      val g = globalWindows()
+      val out = g.result(name -> g.value, "__pos" -> (g.position() - 1L))
+        .filter(col("__pos") >= from && col("__pos") < until)
+        .drop("__pos")
+      Series.fromKeyed(out, name, indexName)
+    } else {
+      val out = base
+        .select(indexExpr.as(indexName), valueExpr.as(name),
+          (row_number().over(ixWindow) - 1).as("__pos"))
+        .filter(col("__pos") >= from && col("__pos") < until)
+        .drop("__pos")
+      Series.fromKeyed(out, name, indexName)
+    }
   }
 
   /** Explode an array-valued Series into one row per element, repeating
@@ -393,87 +404,42 @@ final class Series private[graft] (
     withValue(when(valueExpr.isNotNull, bucket))
   }
 
-  /** Cumulative sum in index order (pandas cumsum). Global ordered window —
-    * single-task at scale; use [[cumsumBy]] with a grouping key for the
-    * distributed variant. */
-  def cumsum(): Series = withValue(F.sum(valueExpr).over(
+  /** Is the index numeric — the precondition for the range-bucketed
+    * distributed global-window path ([[GlobalWindows]]). */
+  private def numericIdx: Boolean = df.schema(indexName).dataType match {
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Shared range-bucket two-pass window builder over this Series — compose
+    * several global-order window expressions on one bucketed scan (see
+    * [[GlobalWindows]]). `carry` = max lag / rolling-width−1 needed;
+    * `extra` = passthrough columns (resolved against the base frame). */
+  def globalWindows(buckets: Int = 32, carry: Int = 0,
+      extra: Seq[(String, Column)] = Nil): GlobalWindows =
+    new GlobalWindows(this, buckets, carry, extra)
+
+  /** Cumulative sum in index order (pandas cumsum). Numeric indexes run the
+    * distributed two-pass bucket plan ([[GlobalWindows]]); non-numeric fall
+    * back to the single-task global window. [[cumsumBy]] is the keyed
+    * sibling. */
+  def cumsum(): Series =
+    if (numericIdx) { val g = globalWindows(); g.series(g.cumsum(), name) }
+    else cumsumGlobalWindow
+
+  /** Single-task global-window cumsum — the non-numeric-index fallback. */
+  private def cumsumGlobalWindow: Series = withValue(F.sum(valueExpr).over(
     org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)))
 
-  /** Distributed global cumulative sum — the scale-safe variant of
-    * [[cumsum]] for a NUMERIC, non-null index, via the classic two-pass
-    * prefix sum:
-    *
-    *   1. one min/max agg job derives the index range (parquet footer
-    *      stats make this near-free on a plain scan);
-    *   2. rows are bucketed by equal-width index ranges — buckets are
-    *      range-ordered by construction, so every row in bucket b sorts
-    *      before every row in bucket b+1;
-    *   3. ONE shuffle keyed by bucket runs the within-bucket prefix sum
-    *      (each bucket is an independent window task — no single-task
-    *      global sort);
-    *   4. per-bucket totals (exactly `buckets` values — bounded driver
-    *      state, like IVF centroids) collect to the driver, accumulate
-    *      sequentially into exclusive offsets, and rejoin as a literal
-    *      broadcast map: row value = bucket offset + within-bucket prefix.
-    *
-    * Result dtype follows Spark's sum typing (integral → long, fractional
-    * → double; decimal inputs promote to double here, unlike [[cumsum]] —
-    * offsets travel as a literal map). Association differs from the strictly
-    * sequential window sum, so parallel-summed doubles can differ in the
-    * last ulps — round money results (the DuckDB-oracle tolerance, same as
-    * s18). Equal-width bucketing assumes a roughly uniform index; for a
-    * skewed index derive boundaries from approx quantiles upstream. */
+  /** Distributed global cumulative sum via the shared range-bucket two-pass
+    * machinery — kept as an explicit entry point (s29 gate); [[cumsum]] now
+    * routes through the same plan for numeric indexes. See
+    * [[GlobalWindows]] for the plan shape and float-association caveat. */
   def cumsumDistributed(buckets: Int = 32): Series = {
-    require(buckets >= 1, "buckets must be >= 1")
-    val bounds = base.agg(F.min(indexExpr).cast("double"),
-      F.max(indexExpr).cast("double")).head()
-    if (bounds.isNullAt(0)) return cumsum() // empty: nothing to distribute
-    val lo = bounds.getDouble(0)
-    val span = bounds.getDouble(1) - lo
-    // resolve against the projected two-column frame (indexExpr belongs to
-    // base; df renames it to indexName)
-    val bkt =
-      if (span <= 0.0) lit(0L)
-      else least(floor((col(indexName).cast("double") - lit(lo)) / lit(span / buckets)),
-        lit(buckets - 1.0)).cast("long")
-
-    // two consumers (totals collect below + the returned windowed plan):
-    // persist so the source scans once, not twice.
-    val keyed = graft.Caches.track(df.withColumn(BktCol, bkt)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(BktCol)).orderBy(col(indexName))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val pre = keyed.withColumn(PreCol, F.sum(col(name)).over(w))
-
-    // exactly `buckets` rows to the driver; offsets accumulate sequentially
-    val integral = df.schema(name).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    val totals = keyed.groupBy(col(BktCol))
-      .agg(F.sum(col(name)).cast(if (integral) "long" else "double").as("__t"))
-      .orderBy(col(BktCol)).collect().filterNot(_.isNullAt(0))
-    val offsetExpr =
-      if (integral) {
-        var acc = 0L
-        val m = totals.map { r =>
-          val o = acc; if (!r.isNullAt(1)) acc += r.getLong(1); r.getLong(0) -> o
-        }.toMap
-        coalesce(element_at(typedlit(m), col(BktCol)), lit(0L))
-      } else {
-        var acc = 0.0
-        val m = totals.map { r =>
-          val o = acc; if (!r.isNullAt(1)) acc += r.getDouble(1); r.getLong(0) -> o
-        }.toMap
-        coalesce(element_at(typedlit(m), col(BktCol)), lit(0.0))
-      }
-    Series.fromKeyed(
-      pre.select(col(indexName), (col(PreCol) + offsetExpr).as(name)),
-      name, indexName)
+    val g = globalWindows(buckets)
+    g.series(g.cumsum(), name)
   }
 
   /** Stack another Series under this one (pandas pd.concat axis=0):
@@ -487,12 +453,18 @@ final class Series private[graft] (
     * TakeOrderedAndProject job — per-partition heaps, no global sort. */
   def idxmax(): Any = df.filter(col(name).isNotNull)
     .orderBy(col(name).desc, col(indexName).asc)
-    .select(indexName).head().get(0)
+    .select(indexName).head(1).headOption
+    .map(_.get(0))
+    .getOrElse(throw new IllegalArgumentException(
+      s"idxmax() on empty or all-null Series '$name'"))
 
   /** Index label of the minimum value (pandas idxmin). */
   def idxmin(): Any = df.filter(col(name).isNotNull)
     .orderBy(col(name).asc, col(indexName).asc)
-    .select(indexName).head().get(0)
+    .select(indexName).head(1).headOption
+    .map(_.get(0))
+    .getOrElse(throw new IllegalArgumentException(
+      s"idxmin() on empty or all-null Series '$name'"))
 
   /** Top-n rows by value (pandas nlargest): TakeOrderedAndProject —
     * per-partition heaps, no global sort. */
@@ -506,59 +478,146 @@ final class Series private[graft] (
   private def ixWindow =
     org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
 
-  /** Cumulative max in index order (pandas cummax). Global ordered
-    * window — see [[cumsum]]'s scale note; [[cummaxBy]] is the keyed
-    * variant. */
-  def cummax(): Series = withValue(F.max(valueExpr).over(
-    org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
+  /** Cumulative max in index order (pandas cummax). Numeric indexes run the
+    * bucketed two-pass plan ([[GlobalWindows]]: within-bucket prefix max +
+    * exclusive bucket-max offsets); [[cummaxBy]] is the keyed variant. */
+  def cummax(): Series =
+    if (numericIdx) { val g = globalWindows(); g.series(g.cummax(), name) }
+    else withValue(F.max(valueExpr).over(
+      org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
 
   /** Cumulative min in index order (pandas cummin). */
-  def cummin(): Series = withValue(F.min(valueExpr).over(
-    org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)))
+  def cummin(): Series =
+    if (numericIdx) { val g = globalWindows(); g.series(g.cummin(), name) }
+    else withValue(F.min(valueExpr).over(
+      org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
 
   /** Value shifted by `n` positions in index order (pandas shift) —
-    * null-padded. Global ordered window: single-partition; use [[shiftBy]]
-    * (and the other *By variants below) at scale. */
-  def shift(n: Int = 1): Series = withValue(lag(valueExpr, n).over(ixWindow))
+    * null-padded. Numeric indexes run the bucketed plan with the global
+    * last-n rows per bucket boundary as bounded carry rows
+    * ([[GlobalWindows]]); negative n (lead) and non-numeric indexes fall
+    * back to the single-task global window. [[shiftBy]] is the keyed
+    * sibling. */
+  def shift(n: Int = 1): Series =
+    if (n >= 0 && numericIdx) {
+      val g = globalWindows(carry = n)
+      g.series(g.shift(n), name)
+    } else withValue(lag(valueExpr, n).over(ixWindow))
 
   /** First discrete difference v - v.shift(n) (pandas diff). */
   def diff(n: Int = 1): Series =
-    withValue(valueExpr - lag(valueExpr, n).over(ixWindow))
+    if (n >= 0 && numericIdx) {
+      val g = globalWindows(carry = n)
+      g.series(g.diff(n), name)
+    } else withValue(valueExpr - lag(valueExpr, n).over(ixWindow))
 
   /** Fractional change from the previous value (pandas pct_change).
     * try_divide: a zero previous value yields null, not a DIVIDE_BY_ZERO
     * abort under Spark 4's default ANSI mode. */
-  def pctChange(): Series = {
-    val prev = lag(valueExpr, 1).over(ixWindow)
-    withValue(try_divide(valueExpr - prev, prev))
-  }
+  def pctChange(): Series =
+    if (numericIdx) {
+      val g = globalWindows(carry = 1)
+      g.series(g.pctChange(), name)
+    } else {
+      val prev = lag(valueExpr, 1).over(ixWindow)
+      withValue(try_divide(valueExpr - prev, prev))
+    }
 
   /** Rank of each value, average method like pandas rank(): ties share the
-    * mean of their positions; null values rank as null (nulls sort LAST in
-    * the window so they never shift real ranks). */
-  def rank(): Series = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(valueExpr.asc_nulls_last)
-    // avg of row_numbers within a tie group == rank + (count-1)/2
-    withValue(when(valueExpr.isNotNull,
-      F.rank().over(w).cast("double")
-        + (F.count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)) - 1)
-          .cast("double") / 2.0))
+    * mean of their positions; null values rank as null.
+    *
+    * Numeric values rank distributed: the value column range-buckets
+    * exactly like [[GlobalWindows]] buckets the index (identical values
+    * always land in one bucket, so ties never split), rank = within-bucket
+    * rank + exclusive non-null count of lower buckets (a `buckets`-entry
+    * literal map — bounded driver state) + the average-method tie shift
+    * from an unordered partitionBy(value) count. No global-order window
+    * node anywhere in the plan. Non-numeric values fall back to the
+    * single-task global window (nulls sort LAST there so they never shift
+    * real ranks). */
+  def rank(buckets: Int = 32): Series = {
+    val numericVal = df.schema(name).dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    if (!numericVal) {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(valueExpr.asc_nulls_last)
+      // avg of row_numbers within a tie group == rank + (count-1)/2
+      return withValue(when(valueExpr.isNotNull,
+        F.rank().over(w).cast("double")
+          + (F.count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)) - 1)
+            .cast("double") / 2.0))
+    }
+    val bounds = base.agg(F.min(valueExpr).cast("double"),
+      F.max(valueExpr).cast("double")).head()
+    // resolve against the projected two-column frame (valueExpr belongs to
+    // base; the projection below renames it to `name`)
+    val v = col(name)
+    val vbkt =
+      if (bounds.isNullAt(0) || !(bounds.getDouble(1) > bounds.getDouble(0)))
+        when(v.isNotNull, lit(0L))
+      else {
+        val lo = bounds.getDouble(0)
+        val width = (bounds.getDouble(1) - lo) / buckets
+        when(v.isNotNull,
+          least(floor((v.cast("double") - lit(lo)) / lit(width)),
+            lit(buckets - 1.0)).cast("long"))
+      }
+    // two consumers (count stats + the ranked plan): persist one scan
+    val keyed = graft.Caches.track(
+      base.select(indexExpr.as(indexName), valueExpr.as(name))
+        .withColumn(BktCol, vbkt)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val counts = keyed.filter(col(BktCol).isNotNull)
+      .groupBy(col(BktCol)).agg(F.count(lit(1)).as("__c"))
+      .collect().sortBy(_.getLong(0))
+    var acc = 0L
+    val offs = counts.map { r =>
+      val o = acc; acc += r.getLong(1); r.getLong(0) -> o
+    }.toMap
+    val offExpr =
+      if (offs.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offs), col(BktCol)), lit(0L))
+    val rkWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(BktCol)).orderBy(col(name).asc)
+    val tieWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(name))
+    val rk = when(col(name).isNotNull,
+      (F.rank().over(rkWin) + offExpr).cast("double")
+        + (F.count(lit(1)).over(tieWin) - 1).cast("double") / 2.0)
+    Series.fromKeyed(
+      keyed.select(col(indexName), rk.as(name)), name, indexName)
   }
 
   /** Rolling mean over the trailing `n` values in index order (pandas
-    * rolling(n).mean() with min_periods=n → null until the window fills). */
-  def rollingMean(n: Int): Series = rollingOver(ixWindow, n, avg(valueExpr))
-  def rollingSum(n: Int): Series = rollingOver(ixWindow, n, F.sum(valueExpr))
-  def rollingMin(n: Int): Series = rollingOver(ixWindow, n, F.min(valueExpr))
-  def rollingMax(n: Int): Series = rollingOver(ixWindow, n, F.max(valueExpr))
-  def rollingStd(n: Int): Series =
-    rollingOver(ixWindow, n, stddev_samp(valueExpr))
+    * rolling(n).mean() with min_periods=n → null until the window fills).
+    * Numeric indexes run the bucketed carry plan ([[GlobalWindows]]);
+    * non-numeric fall back to the single-task global window. */
+  def rollingMean(n: Int): Series = rollingGlobal(n, _.rollingMean(n),
+    rollingOver(ixWindow, n, avg(valueExpr)))
+  def rollingSum(n: Int): Series = rollingGlobal(n, _.rollingSum(n),
+    rollingOver(ixWindow, n, F.sum(valueExpr)))
+  def rollingMin(n: Int): Series = rollingGlobal(n, _.rollingMin(n),
+    rollingOver(ixWindow, n, F.min(valueExpr)))
+  def rollingMax(n: Int): Series = rollingGlobal(n, _.rollingMax(n),
+    rollingOver(ixWindow, n, F.max(valueExpr)))
+  def rollingStd(n: Int): Series = rollingGlobal(n, _.rollingStd(n),
+    rollingOver(ixWindow, n, stddev_samp(valueExpr)))
+
+  private def rollingGlobal(n: Int, distributed: GlobalWindows => Column,
+      fallback: => Series): Series = {
+    require(n >= 1, "rolling window size must be >= 1")
+    if (numericIdx) {
+      val g = globalWindows(carry = n - 1)
+      g.series(distributed(g), name)
+    } else fallback
+  }
 
   /** Trailing-`n` rolling aggregate with pandas min_periods = n semantics:
     * null until the frame holds n non-null observations (pandas counts
@@ -581,16 +640,19 @@ final class Series private[graft] (
   private def keyedWindow(by: Column) =
     org.apache.spark.sql.expressions.Window.partitionBy(by).orderBy(indexExpr)
 
-  /** Forward-fill nulls in index order (pandas ffill). Global ordered
-    * window — single-task at scale; prefer [[ffillBy]] with a key. */
+  /** Forward-fill nulls in index order (pandas ffill). Numeric indexes run
+    * the bucketed plan (within-bucket last non-null + exclusive last-non-
+    * null bucket offsets, [[GlobalWindows]]); [[ffillBy]] is the keyed
+    * sibling. */
   def ffill(): Series =
-    withValue(last(valueExpr, ignoreNulls = true)
+    if (numericIdx) { val g = globalWindows(); g.series(g.ffill(), name) }
+    else withValue(last(valueExpr, ignoreNulls = true)
       .over(ixWindow.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
 
-  /** Backward-fill nulls in index order (pandas bfill). Global ordered
-    * window — single-task at scale; prefer [[bfillBy]] with a key. */
+  /** Backward-fill nulls in index order (pandas bfill). */
   def bfill(): Series =
-    withValue(first(valueExpr, ignoreNulls = true)
+    if (numericIdx) { val g = globalWindows(); g.series(g.bfill(), name) }
+    else withValue(first(valueExpr, ignoreNulls = true)
       .over(ixWindow.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
 
   /** Forward-fill within each `by` group (pandas groupby(by).ffill()):

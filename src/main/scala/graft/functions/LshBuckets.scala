@@ -60,7 +60,19 @@ case class LshBuckets(vec: Expression, planes: Expression,
     else if (!planes.foldable || !bits.foldable || !dim.foldable)
       TypeCheckResult.TypeCheckFailure(
         "planes, bits and dim must be foldable (plan-time constants)")
-    else TypeCheckResult.TypeCheckSuccess
+    else {
+      // All three are foldable, so the plane-matrix shape is checkable at
+      // analysis time; a truncating tables = len / (bits*dim) would
+      // silently emit fewer-table signatures for a malformed matrix.
+      val nPlanes = planes.eval(null).asInstanceOf[ArrayData].numElements()
+      val perTable = bits.eval(null).asInstanceOf[Int] *
+        dim.eval(null).asInstanceOf[Int]
+      if (perTable <= 0 || nPlanes % perTable != 0)
+        TypeCheckResult.TypeCheckFailure(
+          s"planes length $nPlanes is not a positive multiple of " +
+            s"bits*dim = $perTable")
+      else TypeCheckResult.TypeCheckSuccess
+    }
   }
 
   @transient private lazy val weights: Array[Double] =

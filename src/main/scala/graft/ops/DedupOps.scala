@@ -143,9 +143,9 @@ object DedupOps {
     * ≥ the length difference, and identical strings are the trivial match.
     *
     * Recall caveat (documented, not hidden): an edit inside the LAST token
-    * changes the blocking key, so such pairs are missed — the standard
-    * multi-pass fix is a union over two blocking keys (e.g. first + last
-    * token), which composes from this same builder. */
+    * changes the blocking key, so such pairs are missed —
+    * [[fuzzyNameMatchMulti]] is the multi-pass fix (union over first +
+    * last token blocks). */
   def fuzzyNameMatch(df: DataFrame, idCol: String, nameCol: String,
                      maxDist: Int): DataFrame =
     fuzzyCore(df, df, idCol, nameCol, maxDist,
@@ -158,6 +158,40 @@ object DedupOps {
   def fuzzyNameJoin(left: DataFrame, right: DataFrame, idCol: String,
                     nameCol: String, maxDist: Int): DataFrame =
     fuzzyCore(left, right, idCol, nameCol, maxDist, (a, b) => a =!= b)
+
+  /** Multi-block fuzzy linkage: candidates come from a UNION of blocking
+    * keys — the FIRST and LAST whitespace token — closing
+    * [[fuzzyNameMatch]]'s documented missed-pair class (an edit inside the
+    * single blocking token changes the block and hides the pair; with two
+    * independent blocks, a ≤ maxDist edit can only fall inside ONE of
+    * them, so the other still collides — full recall for single-token
+    * edits, and misses only pairs edited in BOTH tokens at once).
+    *
+    * Scale shape: each row posts ≤ 2 (block, row) postings (explode is
+    * per-partition fan-out, no shuffle), the candidate join stays a keyed
+    * equi-join on the block, and duplicate candidates (pairs colliding in
+    * both blocks) are dropped BEFORE the O(len²) levenshtein runs —
+    * distinct shuffles short (id, name) tuples, never scores a pair
+    * twice. */
+  def fuzzyNameMatchMulti(df: DataFrame, idCol: String, nameCol: String,
+                          maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    def side(d: DataFrame) =
+      d.select(col(idCol).as("id"), col(nameCol).as("nm"),
+          length(col(nameCol)).as("__len"),
+          explode(array_distinct(array(
+            element_at(split(col(nameCol), " +"), 1),
+            element_at(split(col(nameCol), " +"), -1)))).as("__blk"))
+    side(df).as("a").join(side(df).as("b"),
+        col("a.__blk") === col("b.__blk")
+          && (col("a.id") < col("b.id"))
+          && abs(col("a.__len") - col("b.__len")) <= maxDist)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.nm").as("name1"), col("b.nm").as("name2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .filter(col("dist") <= maxDist)
+  }
 
   private def fuzzyCore(left: DataFrame, right: DataFrame, idCol: String,
                         nameCol: String, maxDist: Int,

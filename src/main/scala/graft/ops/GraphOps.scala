@@ -45,14 +45,21 @@ object GraphOps {
 
     // Lineage MUST be cut every iteration (localCheckpoint, eager):
     // persist alone keeps the logical plan, and each round references the
-    // previous labels three times (neighbor pull, pointer jump,
-    // convergence diff) — an un-truncated plan grows ~3^iter and the
+    // previous labels several times (neighbor pull, pointer jumps,
+    // convergence diff) — an un-truncated plan grows geometrically and the
     // driver dies re-analyzing it long before the data is a problem. On a
     // production cluster with external storage, reliable checkpoint()
     // every few rounds is the fault-tolerant variant of the same cut.
+    //
+    // Init fuses round 1's hash-to-min: comp₀ = min(self, neighbors) falls
+    // out of ONE keyed aggregation over sym (the symmetrized edges already
+    // carry every incident vertex as `a`), replacing the distinct() pass
+    // AND the first join round — one whole iteration of joins + checkpoint
+    // + convergence check gone.
     var labels = graft.Caches.track(
-      sym.select(col("a").as("id")).distinct()
-        .withColumn("comp", col("id"))
+      sym.groupBy("a")
+        .agg(least(col("a"), min(col("b"))).as("comp"))
+        .select(col("a").as("id"), col("comp"))
         .localCheckpoint())
     var converged = false
     var iter = 0
@@ -65,19 +72,29 @@ object GraphOps {
       val pulled = labels.join(neigh, Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
-      // pointer jumping: comp := min(comp, labels(comp)) — shortcut chains.
-      // The previous label rides along as __old so convergence is a
-      // filter-count on the checkpointed frame, not another join.
-      val next = graft.Caches.track(pulled.as("l")
-        .join(labels.select(col("id").as("comp"), col("comp").as("cc")).as("r"),
+      // pointer jumping ×2: comp := min(comp, labels(comp)), twice against
+      // the round's label map — quarters chain depth per round instead of
+      // halving it, one extra stage inside the SAME job (labels only ever
+      // decrease within the component, so any composition of neighbor-min
+      // and parent-jump stays correct). The previous label rides along as
+      // __old so convergence is a short-circuiting scan of the
+      // checkpointed frame, not another join.
+      val jump1 = pulled
+        .join(labels.select(col("id").as("comp"), col("comp").as("cc")),
           Seq("comp"), "left")
-        .select(col("id"), col("l.__old"),
+        .select(col("id"), col("__old"),
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+      val next = graft.Caches.track(jump1
+        .join(labels.select(col("id").as("comp"), col("comp").as("cc")),
+          Seq("comp"), "left")
+        .select(col("id"), col("__old"),
           least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
         .localCheckpoint())
-      val changed = next.filter(col("comp") =!= col("__old")).count()
+      // take(1) over cached blocks — early rounds hit a changed row in the
+      // first partitions; the converged round scans only cached data.
+      converged = next.filter(col("comp") =!= col("__old")).isEmpty
       labels.unpersist(blocking = false)
       labels = next
-      converged = changed == 0
       iter += 1
     }
     require(converged,

@@ -119,6 +119,34 @@ object SimilarityOps {
     vNorm.withColumn("cluster", greatest(scored: _*)("cluster"))
   }
 
+  /** Top-nprobe centroids per query via posexplode + rank over the
+    * (bounded, literal) centroid array: (qid, qe, cluster). */
+  private def probeClusters(q0: DataFrame, centroids: Array[Array[Double]],
+                            nProbe: Int): DataFrame =
+    q0.select(col("qid"), col("qe"),
+        posexplode(array(centroids.map(cen =>
+          graft.functions.DotProduct.dotNative(col("qe"),
+            array(cen.map(lit): _*))): _*)))
+      .toDF("qid", "qe", "cluster", "csim")
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster").asc)))
+      .filter(col("crk") <= nProbe)
+      .select("qid", "qe", "cluster")
+
+  /** Cluster equi-join + exact dot re-rank + per-query top-k heap.
+    * No distinct needed: each corpus row has exactly one cluster and
+    * probed clusters are unique per query, so (qid, nid) can't repeat. */
+  private def ivfRerank(postings: DataFrame, probed: DataFrame,
+                        k: Int): DataFrame =
+    postings.join(broadcast(probed), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("sim", graft.functions.DotProduct.dotNative(col("ce"), col("qe")))
+      .select(col("qid"), col("nid"), col("sim"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+
   /** ANN top-k via IVF (inverted file): corpus rows are bucketed by their
     * nearest k-means centroid once; each query probes only its `nprobe`
     * closest centroids' buckets. The candidate join is an equi-join on the
@@ -136,27 +164,49 @@ object SimilarityOps {
     val centroids = kmeansFrom(v, nClusters, kmeansIters, dim)
     val c = assignToCentroids(v, centroids)
       .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
-    // query side: top-nprobe centroids per query via posexplode + rank
     val q0 = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
-    val probed = q0.select(col("qid"), col("qe"),
-        posexplode(array(centroids.map(cen =>
-          graft.functions.DotProduct.dotNative(col("qe"),
-            array(cen.map(lit): _*))): _*)))
-      .toDF("qid", "qe", "cluster", "csim")
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster").asc)))
-      .filter(col("crk") <= nProbe)
-      .select("qid", "qe", "cluster")
-    // no distinct: each corpus row has exactly one cluster and probed
-    // clusters are unique per query, so (qid, nid) pairs can't repeat.
-    c.join(broadcast(probed), Seq("cluster"))
-      .filter(col("nid") =!= col("qid"))
-      .withColumn("sim", graft.functions.DotProduct.dotNative(col("ce"), col("qe")))
-      .select(col("qid"), col("nid"), col("sim"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+    ivfRerank(c, probeClusters(q0, centroids, nProbe), k)
+  }
+
+  /** Build an IVF index ONCE as parquet artifacts under `outDir`:
+    * `centroids` (cluster → unit vector, nClusters rows) and `postings`
+    * (nid, normalized vector), PARTITIONED BY cluster — the
+    * build-once/probe-many deployment shape at 100 TB. Probing reads only
+    * the probed clusters' partitions: the cluster id is a partition
+    * column, so the broadcast probe join prunes the postings scan
+    * (dynamic partition pruning) instead of re-scanning or re-clustering
+    * the corpus per query batch. */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
+               nClusters: Int, outDir: String, dim: Int = 64,
+               kmeansIters: Int = 3): Unit = {
+    val spark = corpus.sparkSession
+    val v = graft.Caches.track(
+      DedupOps.normalized(corpus, idCol, vecCol, "id", "e")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    assignToCentroids(v, centroids)
+      .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/postings")
+  }
+
+  /** Probe a prebuilt [[ivfBuild]] index: reload centroids (bounded
+    * k × dim driver state, exactly like the in-process path), rank the
+    * query's nprobe nearest clusters, and equi-join the partitioned
+    * postings — only the probed partitions are read. */
+  def ivfProbe(indexDir: String, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val q0 = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
+    ivfRerank(postings, probeClusters(q0, centroids, nProbe), k)
   }
 
   /** ANN top-k via multi-table hyperplane LSH (the classic L×b scheme):

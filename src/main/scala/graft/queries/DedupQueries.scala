@@ -102,6 +102,16 @@ object DedupQueries {
         .orderBy("id1", "id2")
     }),
 
+    // Multi-block fuzzy self-linkage: first+last-token block union closes
+    // d10's documented missed-pair class (edits inside the blocking
+    // token); candidates dedup BEFORE levenshtein. Planted-perturbation
+    // recall is asserted in OpsSpec alongside this exact-match gate.
+    "d11_fuzzy_multi" -> ((s, d) => {
+      val part = Tables.part(s, d).filter(col("p_partkey") < 5000)
+      DedupOps.fuzzyNameMatchMulti(part, "p_partkey", "p_name", maxDist = 2)
+        .orderBy("id1", "id2")
+    }),
+
     // End-to-end training-data pipeline capstone: quality-filter the corpus,
     // drop the higher-id doc of every near-dup pair, emit survivors with
     // token counts + fingerprints. Composes TextOps + DedupOps; the dedup
@@ -211,6 +221,21 @@ object DedupQueries {
          FROM s a JOIN s b ON a.blk = b.blk AND a.id <> b.id
            AND abs(a.len - b.len) <= 2
          WHERE a.id < 100 AND levenshtein(a.nm, b.nm) <= 2
+         ORDER BY id1, id2""",
+    "d11_fuzzy_multi" ->
+      """WITH s AS (SELECT p_partkey AS id, p_name AS nm,
+           length(p_name) AS len,
+           string_split_regex(p_name, ' +') AS toks
+           FROM part WHERE p_partkey < 5000),
+         p AS (SELECT id, nm, len,
+           unnest(list_distinct([list_extract(toks, 1),
+                                 list_extract(toks, -1)])) AS blk FROM s)
+         SELECT DISTINCT a.id AS id1, b.id AS id2,
+           a.nm AS name1, b.nm AS name2,
+           CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+         FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+           AND abs(a.len - b.len) <= 2
+         WHERE levenshtein(a.nm, b.nm) <= 2
          ORDER BY id1, id2""",
     "d07_pipeline" ->
       s"""WITH $ShingleCte,

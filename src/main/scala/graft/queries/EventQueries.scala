@@ -133,6 +133,41 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // NATIVE session_window under the same hash gate as e09: identical
+    // replay harness, but the sessionizer is the first-class
+    // session_window streaming aggregation (engine-managed merging
+    // session state) instead of hand-rolled flatMapGroupsWithState.
+    // session_end = window.end − gap (native end is last event + gap);
+    // the oracle is e02/e09's batch-session SQL — both sessionizers must
+    // agree with the batch gap rule row for row.
+    "e12_session_window" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d).select("ts", "user_id").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val name = s"graft_e12_${System.nanoTime()}"
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .sessionizeNativeStream(input.toDF.toDF("ts", "user_id"), 1800L,
+            "0 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          q.processAllAvailable()
+          input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
+          q.processAllAvailable()
+          input.addData((java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
+          q.processAllAvailable()
+        } finally q.stop() // memory sink retains the batches after stop
+      }
+      s.table(name).filter(col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .orderBy("user_id", "session_start")
+    }),
+
     // STREAMING dedup under the hash gate: the events fixture replayed
     // through dropDuplicatesWithinWatermark keyed by (user_id,
     // event_type). Only the KEY columns are projected — which physical
@@ -300,6 +335,26 @@ object EventQueries {
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
          ORDER BY 1, 2, 3""",
     "e09_stream_sessions" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+         marked AS (
+           SELECT user_id, ts,
+             CASE WHEN prev IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new, event_id
+           FROM x),
+         numbered AS (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM marked)
+         SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events
+         FROM numbered GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
+    "e12_session_window" ->
       """WITH x AS (
            SELECT user_id, event_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -269,6 +269,22 @@ object FrameQueries {
         .orderBy("stat")
     }),
 
+    // describe with SKETCHED quartiles (percentile_approx): the 100 TB
+    // default — fixed-size mergeable sketch state instead of the exact
+    // percentile's per-group value buffer. Sketch quartiles are actual
+    // column elements (no interpolation, not cross-engine comparable) →
+    // rows-only; GFrameSpec bounds them against the exact describe.
+    "f24_describe_approx" -> ((s, d) => {
+      val desc = graft.core.GFrame
+        .fromDF(Tables.customer(s, d), "c_custkey")
+        .describeApprox(10000, "c_custkey", "c_nationkey", "c_acctbal").df
+      desc.select(col("stat"),
+          round(col("c_custkey"), 6).as("c_custkey"),
+          round(col("c_nationkey"), 6).as("c_nationkey"),
+          round(col("c_acctbal"), 6).as("c_acctbal"))
+        .orderBy("stat")
+    }),
+
     // Sketch aggregates, the 100 TB statistics path: HyperLogLog++ distinct
     // counts + Greenwald–Khanna approximate medians are fixed-size MERGEABLE
     // partial aggregates — the shuffle carries one small sketch per

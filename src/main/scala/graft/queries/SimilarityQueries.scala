@@ -45,6 +45,23 @@ object SimilarityQueries {
           "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rk")
+    }),
+
+    // IVF build-once/probe-many: the index (centroids + cluster-partitioned
+    // postings) round-trips through parquet artifacts, then a probe query
+    // runs against the RELOADED index — the actual 100 TB deployment shape
+    // (f20's build→write→read→probe pattern for ANN). Same parameters as
+    // v03; OpsSpec asserts the probe matches the in-process v03 results
+    // exactly and holds recall ≥ 0.8 vs exact. Approximate → rows-only.
+    "v04_ivf_persist" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = "/tmp/graft_v04_ivf_index"
+      SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+        outDir = idx)
+      SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 4)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rk")
     })
   )
 

@@ -103,9 +103,9 @@ object TextQueries {
           dupNgramFraction(col("text"), 3).as("d3"))
         .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          round(coalesce(col("mc").cast("double") / col("tot").cast("double"),
-            lit(0.0)), 6).as("top2_frac"),
-          round(col("d3"), 6).as("dup3_frac"))
+          round6(coalesce(col("mc").cast("double") / col("tot").cast("double"),
+            lit(0.0))).as("top2_frac"),
+          round6(col("d3")).as("dup3_frac"))
         .orderBy("doc_id")
     }),
 
@@ -214,8 +214,10 @@ object TextQueries {
          tgs AS (SELECT doc_id, count(*) AS n, count(DISTINCT g) AS nd
                  FROM tg GROUP BY 1)
          SELECT d.doc_id,
-           round(coalesce(t.mc * 1.0 / t.tot, 0.0), 6) AS top2_frac,
-           round(coalesce(1.0 - g.nd * 1.0 / g.n, 0.0), 6) AS dup3_frac
+           floor(coalesce(t.mc * 1.0 / t.tot, 0.0) * 1e6 + 0.5) / 1e6
+             AS top2_frac,
+           floor(coalesce(1.0 - g.nd * 1.0 / g.n, 0.0) * 1e6 + 0.5) / 1e6
+             AS dup3_frac
          FROM documents d
          LEFT JOIN top t USING (doc_id)
          LEFT JOIN tgs g USING (doc_id)

@@ -60,6 +60,32 @@ object StreamOps {
           .expr(s"INTERVAL $within"))
   }
 
+  /** Gap sessionization via the NATIVE `session_window` aggregation — the
+    * same session semantics as [[sessionizeStream]] (events merge when the
+    * next is within the gap of the last, non-strict) expressed as a
+    * first-class streaming aggregation instead of hand-rolled
+    * flatMapGroupsWithState state. At scale the native operator gets
+    * state-store treatment the manual path cannot: merging-session
+    * iterators, partition-local session merge BEFORE the shuffle, and
+    * state-format evolution handled by the engine. The native window end
+    * is `last event + gap`, so session_end = window.end − gap recovers the
+    * last event time exactly (µs interval arithmetic), aligning output
+    * with the batch sessionizer. Append mode emits a session only after
+    * the watermark passes its horizon — the same finality rule the manual
+    * path implements by hand. */
+  def sessionizeNativeStream(events: DataFrame, gapSeconds: Long,
+                             watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSeconds seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        expr(s"session_window.end - INTERVAL $gapSeconds SECONDS")
+          .as("session_end"),
+        col("n_events"))
+
   /** One event in, session updates out. */
   final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                  session_end: Timestamp, n_events: Long,
@@ -136,9 +162,13 @@ object StreamOps {
         // extend or bridge anything younger. (Start-order evidence within
         // one batch is not enough: the lateness window is open until the
         // watermark closes it.)
+        // Strictly `<`: Spark drops only rows strictly older than the
+        // watermark, so an event admitted at exactly the watermark with
+        // ts == lastUs + gapUs would still merge — a horizon-equal session
+        // must stay pending one more batch.
         val wmUs = state.getCurrentWatermarkMs() * 1000L
         val (fin, pending) = merged.reverse
-          .partition(s => s.lastUs + gapUs <= wmUs)
+          .partition(s => s.lastUs + gapUs < wmUs)
         if (pending.nonEmpty) {
           state.update(PendingSessions(pending))
           // Timeout at the OLDEST pending gap horizon, µs rounded UP so it

@@ -119,6 +119,28 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(plan.split("HashAggregate").length - 1 <= 2, plan)
   }
 
+  test("describeApprox quartiles land within rank-error bounds of exact (f24)") {
+    val df = spark.range(0, 5000)
+      .select(col("id").as("idx"), col("id").cast("double").as("v"))
+    val g = GFrame.fromDF(df, "idx")
+    val approx = g.describeApprox(10000, "v").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exact = g.describe("v").df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // non-quartile stats are the SAME aggregates — must match exactly
+    Seq("count", "mean", "std", "min", "max").foreach { s =>
+      assert(approx(s) == exact(s), s"$s: ${approx(s)} vs ${exact(s)}")
+    }
+    // sketch quartiles: rank error <= n/accuracy = 5000/10000 => the
+    // returned element sits within 1 rank of the true quantile position
+    // (values here ARE ranks, so compare directly with slack 1.0 + the
+    // interpolation gap <= 1.0)
+    Seq("25%", "50%", "75%").foreach { s =>
+      assert(math.abs(approx(s) - exact(s)) <= 2.0,
+        s"$s: ${approx(s)} vs ${exact(s)}")
+    }
+  }
+
   test("sketch aggregates land within error bounds of the exact answers") {
     val df = spark.range(0, 5000)
       .select(col("id").as("idx"), (col("id") % 1000).cast("double").as("v"))

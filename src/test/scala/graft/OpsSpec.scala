@@ -196,6 +196,30 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ivfRecall >= 0.8, s"v03 IVF recall $ivfRecall below 0.8")
   }
 
+  test("ivfBuild/ivfProbe round-trip the index through parquet (v04 gate)") {
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
+    val q = e.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+      outDir = idx)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val probe = key(SimilarityOps.ivfProbe(idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 4))
+    // deterministic k-means → the reloaded index must reproduce the
+    // in-process v03 results EXACTLY (build/probe adds no approximation)
+    val inproc = key(SimilarityOps.ivfSearch(e, q, "vec_id", "embedding",
+      k = 5, nClusters = 16, nProbe = 4))
+    assert(probe == inproc, "persisted-index probe diverged from in-process IVF")
+    val exact = SimilarityOps.knnBruteForce(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val got = probe.map(t => Seq[Any](t._1, t._3)).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"v04 persisted-IVF recall $recall below 0.8")
+  }
+
   test("asofJoin attaches the latest right value at-or-before each left row") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
@@ -341,6 +365,32 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val out3 = DedupOps.fuzzyNameJoin(probe, d2, "id", "name", 2)
       .orderBy("id2").collect().map(r => (r.getLong(1), r.getInt(4))).toSeq
     assert(out3 == Seq((1L, 0), (2L, 1)))
+  }
+
+  test("fuzzyNameMatchMulti recovers planted edits in EITHER token (d11)") {
+    // planted perturbation set: one pair edited in the LAST token (the
+    // class single-block fuzzyNameMatch documents as missed), one edited
+    // in the FIRST token, decoys unrelated.
+    val d = Seq(
+      (1L, "amber rose"), (2L, "amber rosx"),   // last-token edit, dist 1
+      (3L, "copper jade"), (4L, "coppex jade"), // first-token edit, dist 1
+      (5L, "ivory pearl"), (6L, "slate onyx")   // decoys
+    ).toDF("id", "name")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = pairs(DedupOps.fuzzyNameMatchMulti(d, "id", "name", 2))
+    // full recall on the planted set: BOTH single-token-edit pairs found
+    assert(multi == Set((1L, 2L), (3L, 4L)))
+    // the single-block variant misses exactly the last-token-edit pair
+    val single = pairs(DedupOps.fuzzyNameMatch(d, "id", "name", 2))
+    assert(single == Set((3L, 4L)))
+    // double-collision pairs (same first AND last token) score ONCE:
+    // distinct runs before levenshtein, so the pair appears a single time
+    val dup = Seq((7L, "teal fern moss"), (8L, "teal farn moss"))
+      .toDF("id", "name")
+    val rows = DedupOps.fuzzyNameMatchMulti(dup, "id", "name", 2).collect()
+    assert(rows.length == 1 && rows.head.getInt(4) == 1)
   }
 
   test("redactPii scrubs emails, IPv4s, and phone runs with typed tags") {

@@ -36,4 +36,26 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     }
     assert(bad.isEmpty, s"all-pairs plans or failures: ${bad.mkString(", ")}")
   }
+
+  /** The global-order Series window family routes through the range-bucket
+    * two-pass machinery (GlobalWindows): every window in these gates must
+    * carry a partition spec (the bucket or a real key). A
+    * `windowspecdefinition` whose FIRST argument is an ordering expression
+    * (` ASC`/` DESC` before any comma) is a single-task global window — the
+    * scale-killer this lint rejects. */
+  test("distributed global-window gates carry no global-order window") {
+    val dir = "/root/testdata/sf0.001"
+    val globalOrder = """windowspecdefinition\([^,()]*( ASC| DESC)""".r
+    val targets = Seq("s18_cumsum", "s22_shift_diff", "s23_rank",
+      "s24_rolling_mean", "s29_cumsum_dist", "s32_cummax", "s40_iloc")
+    val bad = targets.flatMap { name =>
+      try {
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        if (globalOrder.findFirstIn(plan).isDefined) Some(name) else None
+      } finally Caches.clear()
+    }
+    assert(bad.isEmpty,
+      s"single-task global windows remain: ${bad.mkString(", ")}")
+  }
 }

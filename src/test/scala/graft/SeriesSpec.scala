@@ -270,7 +270,7 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(1)).toSeq == Seq(1L, 3L, 6L))
     // plan has NO global-order window: every window carries the bucket key
     val plan = s.cumsumDistributed(8).df.queryExecution.optimizedPlan.toString
-    assert(plan.contains("windowspecdefinition(__graft_bkt"), plan)
+    assert(plan.contains("windowspecdefinition(__bkt"), plan)
   }
 
   test("idxmax/idxmin pick the smallest label on ties and skip nulls") {
