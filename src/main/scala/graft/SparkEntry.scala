@@ -386,6 +386,37 @@ object SparkEntry {
       val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal", "c_custkey")
         .rename("bal").renameIndex("idx")
       ordered(bal.cumsumDistributed(buckets = 32).transform(round(_, 2)))
+    }),
+    // pandas s[s2.isin(...)]: membership mask from a sibling Series on the
+    // SAME base frame — composes into one scanned IN predicate (pushed to
+    // the parquet scan), no join.
+    "s42_isin_mask" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val q = Series.fromExpr(li, col("l_quantity"), "qty", liIdx, "idx")
+      val flag = Series.fromExpr(li, col("l_returnflag"), "fl", liIdx, "idx")
+      ordered(q.mask(flag.isin("A", "R")))
+    }),
+    // pandas Series.unique(): distinct values — partial+final hash
+    // aggregate, output bounded by the value domain.
+    "s43_unique" -> ((s, d) =>
+      quantity(s, d).unique().orderBy("qty")),
+    // pandas Series.dropna(): null labels drop in place — a scanned
+    // IS NOT NULL filter, no shuffle (nulls injected via the same
+    // event_type conditional as s38's ffill fixture).
+    "s44_dropna" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev,
+        when(col("event_type") === "view", col("value")), "v",
+        col("event_id"), "idx")
+      ordered(v.dropna())
+    }),
+    // pandas s.abs().nsmallest(n): elementwise abs composes with the
+    // ordered take — TakeOrderedAndProject per-partition heaps, ties
+    // broken by index label (pandas keep='first' determinism).
+    "s45_abs_nsmallest" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey").rename("bal").renameIndex("idx")
+      ordered(bal.abs().nsmallest(15))
     })
   )
 
@@ -570,6 +601,17 @@ object SparkEntry {
         "CAST(hour(ts) AS INTEGER) AS hh, " +
         "CAST((dayofweek(ts) + 6) % 7 AS INTEGER) AS dow, " +
         "CAST(ts AS DATE) AS dte FROM events ORDER BY idx"),
+    "s42_isin_mask" ->
+      (s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'R') ORDER BY idx"),
+    "s43_unique" ->
+      "SELECT DISTINCT l_quantity AS qty FROM lineitem ORDER BY qty",
+    "s44_dropna" ->
+      ("SELECT event_id AS idx, value AS v FROM events " +
+        "WHERE event_type = 'view' ORDER BY idx"),
+    "s45_abs_nsmallest" ->
+      ("SELECT idx, bal FROM (SELECT c_custkey AS idx, abs(c_acctbal) AS bal " +
+        "FROM customer ORDER BY bal, idx LIMIT 15) ORDER BY idx"),
     "s32_cummax" ->
       ("SELECT c_custkey AS idx, " +
         "max(c_acctbal) OVER (ORDER BY c_custkey " +

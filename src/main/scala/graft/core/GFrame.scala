@@ -166,6 +166,11 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(df.join(rhs, joinExpr, joinType), indexName)
   }
 
+  /** Equi-join on shared column names (pandas merge(on=...)): the output
+    * carries one unambiguous copy of each key column. */
+  def join(other: GFrame, usingCols: Seq[String], joinType: String): GFrame =
+    new GFrame(df.join(other.df, usingCols, joinType), indexName)
+
   /** Equi-join pinned to a shuffle SortMergeJoin (`"merge"` strategy hint) —
     * the large⨝large bread-and-butter plan at 100 TB: both sides shuffle on
     * the join key and stream a merge; nothing is broadcast or collected.
@@ -233,6 +238,14 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
             aggExpr: Column): GFrame =
     new GFrame(df.groupBy(groupCol).pivot(pivotCol, values).agg(aggExpr),
       groupCol)
+
+  /** pandas `pd.crosstab(df[r], df[c])`: frequency table of rowCol ×
+    * colCol — a pivot-count over explicit column values (single
+    * partial+final pass, no values-discovery job); empty cells are 0,
+    * matching pandas (pivot's count yields null there). */
+  def crosstab(rowCol: String, colCol: String, values: Seq[Any]): GFrame =
+    new GFrame(df.groupBy(rowCol).pivot(colCol, values)
+      .agg(org.apache.spark.sql.functions.count(lit(1))).na.fill(0L), rowCol)
 
   // ------------------------------------------------------------ null handling
 

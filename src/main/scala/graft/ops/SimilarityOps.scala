@@ -260,4 +260,35 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
+
+  /** Per-group centroid + per-vector cosine to its own group centroid —
+    * the embedding-space cluster-coherence / outlier score (low sim =
+    * candidate mislabel or noise doc).
+    *
+    * Scale shape: the vector column explodes to (label, pos, v) component
+    * rows — a per-partition Generate, no shuffle — and the centroid is ONE
+    * partial+final avg keyed (label, pos), bounded by |labels| × dim rows.
+    * That bounded frame broadcasts back onto the component rows, and the
+    * cosine terms (dot, |v|², |c|²) reduce in a second partial+final agg
+    * keyed by the vector id. No vector is ever pairwise with another; the
+    * only full-data shuffle is the id-keyed reduction, whose partial
+    * aggregation collapses each vector to one row per partition first. */
+  def groupCentroidSim(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String): DataFrame = {
+    val ex = df
+      .select(col(idCol), col(labelCol),
+        col(vecCol).cast("array<double>").as("__e"))
+      .select(col(idCol), col(labelCol),
+        posexplode(col("__e")).as(Seq("pos", "v")))
+    val cent = ex.groupBy(col(labelCol), col("pos"))
+      .agg(avg(col("v")).as("c"))
+    ex.join(broadcast(cent), Seq(labelCol, "pos"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(
+        sum(col("v") * col("c")).as("__dot"),
+        sum(col("v") * col("v")).as("__nv"),
+        sum(col("c") * col("c")).as("__nc"))
+      .select(col(idCol), col(labelCol),
+        (col("__dot") / sqrt(col("__nv") * col("__nc"))).as("sim"))
+  }
 }

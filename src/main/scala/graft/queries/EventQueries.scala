@@ -257,10 +257,41 @@ object EventQueries {
         .agg(count(lit(1)).as("n_in"),
           first(col("iv_n_events")).as("n_events"))
         .orderBy("user_id", "session_id")
+    }),
+
+    // STREAM-STATIC enrichment under the hash gate: the events fixture
+    // replayed as a stream, each micro-batch broadcast-joined to the
+    // STATIC customer dimension (market segment on user_id = c_custkey).
+    // Stateless — no watermark, no join state — so one replay pass emits
+    // exactly the batch join; the oracle is that batch join.
+    "e13_stream_static" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d).select("event_id", "user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val dim = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val name = s"graft_e13_${System.nanoTime()}"
+      val q = graft.streaming.StreamOps
+        .enrichStream(input.toDF.toDF("event_id", "user_id"), dim,
+          "user_id", "c_custkey")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop() // memory sink retains the batches after stop
+      s.table(name).select("event_id", "user_id", "c_mktsegment")
+        .orderBy("event_id")
     })
   )
 
   val oracles: Map[String, String] = Map(
+    "e13_stream_static" ->
+      """SELECT event_id, user_id, c_mktsegment
+         FROM events JOIN customer ON user_id = c_custkey
+         ORDER BY event_id""",
     "e01_tumbling_hour" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
            round(sum(value), 2) AS total

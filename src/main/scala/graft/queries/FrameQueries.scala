@@ -335,10 +335,82 @@ object FrameQueries {
           .select("idx", "l_quantity", "l_extendedprice", "l_tax"), "idx")
         .melt(Seq("l_quantity", "l_extendedprice", "l_tax"),
           "metric", "value")
-        .sortValues(col("idx"), col("metric")).toDF)
+        .sortValues(col("idx"), col("metric")).toDF),
+
+    // pandas pd.crosstab: nation × market-segment frequency table — one
+    // partial+final pivot-count pass over explicit values (no discovery
+    // job), empty cells 0.
+    "f25_crosstab" -> ((s, d) =>
+      GFrame.fromDF(Tables.customer(s, d), "c_custkey")
+        .crosstab("c_nationkey", "c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .sortValues(col("c_nationkey")).toDF),
+
+    // Frame-level NA handling (pandas fillna/dropna + merge(on=...)): the
+    // filled frame aggregates every event (nulls → -1 sentinel), the
+    // dropped frame counts only real observations; a keyed left merge
+    // re-aligns the two per-user aggregates. Two partial+final aggs +
+    // one keyed join — no window, no driver state.
+    "f26_na_handling" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+        when(col("event_type") === "view", col("value")).as("v"))
+      val gf = GFrame.fromDF(ev, "event_id")
+      val filled = gf.fillna(-1.0, Seq("v")).groupBy("user_id")
+        .agg(round(sum(col("v")), 2).as("filled_sum"),
+          count(lit(1)).as("n_all"))
+      val viewed = gf.dropna(Seq("v")).groupBy("user_id")
+        .agg(count(lit(1)).as("n_view"))
+      filled.join(viewed, Seq("user_id"), "left").toDF
+        .select(col("user_id"), col("filled_sum"), col("n_all"),
+          coalesce(col("n_view"), lit(0L)).as("n_view"))
+        .orderBy("user_id")
+    }),
+
+    // Bucket-pruned co-located join — the 100 TB layout flagship: both
+    // facts are WRITTEN bucketed+sorted on the join key (8 buckets), so
+    // the read-back SortMergeJoin consumes the on-disk clustering and
+    // the per-order aggregate reuses the same distribution — ZERO shuffle
+    // exchanges below the final presentation sort (asserted in
+    // GFrameSpec's plan lint). This is f20's sink gate upgraded from
+    // partition pruning to join co-location.
+    "f27_bucketed_join" -> ((s, d) => {
+      graft.sources.Sources.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+        "graft_f27_orders", "o_orderkey", buckets = 8)
+      graft.sources.Sources.writeBucketed(
+        Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+        "graft_f27_lineitem", "l_orderkey", buckets = 8)
+      val o = GFrame.fromDF(s.table("graft_f27_orders"), "o_orderkey")
+      val li = GFrame.fromDF(s.table("graft_f27_lineitem"), "l_orderkey")
+      o.joinSortMerge(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("n"))
+        .sortValues(col("o_orderkey")).toDF
+    })
   )
 
   val oracles: Map[String, String] = Map(
+    "f25_crosstab" ->
+      """SELECT c_nationkey,
+           count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS AUTOMOBILE,
+           count(*) FILTER (c_mktsegment = 'BUILDING') AS BUILDING,
+           count(*) FILTER (c_mktsegment = 'FURNITURE') AS FURNITURE,
+           count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS HOUSEHOLD,
+           count(*) FILTER (c_mktsegment = 'MACHINERY') AS MACHINERY
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "f26_na_handling" ->
+      """SELECT user_id,
+           round(sum(coalesce(CASE WHEN event_type = 'view' THEN value END,
+             -1.0)), 2) AS filled_sum,
+           count(*) AS n_all,
+           count(CASE WHEN event_type = 'view' THEN value END) AS n_view
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "f27_bucketed_join" ->
+      """SELECT o_orderkey, round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "f01_assign_revenue" ->
       s"""SELECT $liIdxSql AS idx, l_extendedprice * (1 - l_discount) AS revenue
           FROM lineitem ORDER BY idx""",

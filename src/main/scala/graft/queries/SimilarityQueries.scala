@@ -62,7 +62,18 @@ object SimilarityQueries {
           "vec_id", "embedding", k = 5, nProbe = 4)
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rk")
-    })
+    }),
+
+    // Per-label centroid + cosine-to-own-centroid coherence score (the
+    // embedding outlier detector): centroids are ONE bounded partial+final
+    // avg over exploded components, broadcast back; exact and
+    // DuckDB-oracled (deterministic per-vector sequential sums).
+    "v05_group_centroid" -> ((s, d) =>
+      SimilarityOps.groupCentroidSim(emb(s, d), "vec_id", "embedding",
+          "label")
+        .select(col("vec_id"), col("label"),
+          graft.ops.TextOps.round6(col("sim")).as("sim"))
+        .orderBy("vec_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -78,6 +89,22 @@ object SimilarityQueries {
            CAST(row_number() OVER (PARTITION BY qid
              ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
            nid, round(sim, 6) AS sim
-         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk"""
+         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""",
+    // floor(x*1e6+0.5)/1e6 mirrors TextOps.round6 bit-for-bit (round()
+    // disagrees between engines on half-way doubles; see CLAUDE.md).
+    "v05_group_centroid" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         ex AS (SELECT vec_id, label, g.i - 1 AS pos, e[g.i] AS v
+                FROM v, generate_series(1, 64) AS g(i)),
+         cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+         agg AS (SELECT ex.vec_id, ex.label, sum(ex.v * cent.c) AS dot,
+                   sum(ex.v * ex.v) AS nv, sum(cent.c * cent.c) AS nc
+                 FROM ex JOIN cent
+                   ON ex.label = cent.label AND ex.pos = cent.pos
+                 GROUP BY 1, 2)
+         SELECT vec_id, label,
+           floor(dot / sqrt(nv * nc) * 1e6 + 0.5) / 1e6 AS sim
+         FROM agg ORDER BY vec_id"""
   )
 }

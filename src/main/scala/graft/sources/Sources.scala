@@ -55,8 +55,17 @@ object Sources {
     * time, so reads joining on the bucket key skip the shuffle entirely.
     * (Requires a metastore table — saveAsTable, not a bare path.) */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // A fresh (in-memory) catalog can face a surviving location from a
+    // prior session; Overwrite only replaces tables the catalog knows.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCol).sortBy(bucketCol)
       .format("parquet").saveAsTable(table)
+  }
 }

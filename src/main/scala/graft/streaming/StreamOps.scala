@@ -60,6 +60,18 @@ object StreamOps {
           .expr(s"INTERVAL $within"))
   }
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * a STATIC dimension frame (the classic "attach the user/product/dim
+    * attributes on the way in" shape). The static side is planned per
+    * micro-batch — Catalyst broadcasts it when small, so the stream never
+    * shuffles and carries no join state at all (stateless, unlike
+    * stream-stream joins: nothing to watermark, nothing to evict). At
+    * 100 TB/day the stream side stays a pure map-side pipeline. */
+  def enrichStream(stream: DataFrame, dim: DataFrame, streamKey: String,
+                   dimKey: String): DataFrame =
+    stream.join(broadcast(dim), col(streamKey) === col(dimKey), "inner")
+      .drop(dimKey)
+
   /** Gap sessionization via the NATIVE `session_window` aggregation — the
     * same session semantics as [[sessionizeStream]] (events merge when the
     * next is within the gap of the last, non-strict) expressed as a

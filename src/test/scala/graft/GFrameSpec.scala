@@ -206,4 +206,20 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(r.indexName == "key")
     assert(r.columns.contains("value"))
   }
+
+  test("crosstab counts cells and zero-fills empty ones") {
+    val ct = gf.crosstab("g", "id", Seq(1, 2, 99))
+    val byG = ct.toDF.orderBy("g").collect()
+    assert(byG(0).toSeq == Seq("a", 1L, 0L, 0L)) // g=a: id 1 once, no 2/99
+    assert(byG(1).toSeq == Seq("b", 0L, 1L, 0L))
+  }
+
+  test("join on shared column names keeps one key copy") {
+    val left = GFrame.fromDF(Seq((1L, "x"), (2L, "y")).toDF("id", "l"), "id")
+    val right = GFrame.fromDF(Seq((1L, 9.0)).toDF("id", "r"), "id")
+    val j = left.join(right, Seq("id"), "left")
+    assert(j.columns == Seq("id", "l", "r"))
+    assert(j.toDF.orderBy("id").collect().map(_.toSeq.toSeq).toSeq
+      == Seq(Seq(1L, "x", 9.0), Seq(2L, "y", null)))
+  }
 }

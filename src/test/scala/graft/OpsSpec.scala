@@ -426,4 +426,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     }
     graft.Caches.clear()
   }
+
+  test("groupCentroidSim scores cosine to the own-label centroid") {
+    // label 1: [1,0] and [0,1] → centroid [.5,.5], sim = .5/√.5 = √.5;
+    // label 2: a single vector is its own centroid → sim exactly 1.
+    val d = Seq(
+      (1L, 1, Seq(1.0f, 0.0f)),
+      (2L, 1, Seq(0.0f, 1.0f)),
+      (3L, 2, Seq(3.0f, 4.0f))).toDF("id", "label", "emb")
+    val out = graft.ops.SimilarityOps
+      .groupCentroidSim(d, "id", "emb", "label")
+      .orderBy("id").collect().map(_.getDouble(2))
+    assert(math.abs(out(0) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(out(1) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(out(2) - 1.0) < 1e-12)
+  }
 }

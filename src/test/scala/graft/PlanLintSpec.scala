@@ -58,4 +58,19 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     assert(bad.isEmpty,
       s"single-task global windows remain: ${bad.mkString(", ")}")
   }
+
+  /** f27 is the co-location flagship: both sides are written bucketed on
+    * the join key, so the SortMergeJoin AND the per-key aggregate must
+    * consume the on-disk clustering — no hash exchange anywhere in the
+    * plan. The only allowed Exchange is the final presentation sort's
+    * range partitioning. */
+  test("f27 bucketed join plan contains no hash shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    try {
+      val plan = SparkEntry.queries("f27_bucketed_join")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join shuffled:\n$plan")
+    } finally Caches.clear()
+  }
 }

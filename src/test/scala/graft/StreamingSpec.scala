@@ -260,4 +260,23 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("stream-static enrichment joins the dim without state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.enrichStream(input.toDF.toDF("event_id", "user_id"),
+        dim, "user_id", "k")
+      .writeStream.format("memory").queryName("ss_enrich")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, 1L), (11L, 2L), (12L, 3L)) // 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, user_id, tier FROM ss_enrich ORDER BY event_id")
+        .collect().map(_.toSeq.toSeq).toSeq
+      assert(rows == Seq(Seq(10L, 1L, "gold"), Seq(11L, 2L, "silver")))
+    } finally q.stop()
+  }
 }
