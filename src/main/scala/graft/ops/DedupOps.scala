@@ -324,39 +324,52 @@ object DedupOps {
     * token array 64 times through lambda dispatch (3.3s → sub-second on
     * the 5k-doc fixture). Tokenless docs keep signature 0 via
     * explode_outer, matching the fold's all-zero-votes result. */
-  private def simHashSigs(df: DataFrame, idCol: String,
-                          textCol: String): DataFrame = {
+  /** Engine-portable 60-bit per-token hash: the leading 15 hex chars of
+    * md5, parsed base-16 (< 2^60, so the signed long never overflows).
+    * Slower than xxhash64 — the library default — but bit-identical to
+    * DuckDB's `CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)`,
+    * which puts the FULL simhash pipeline under the cross-engine oracle
+    * (d05). */
+  def portableHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  private def simHashSigs(df: DataFrame, idCol: String, textCol: String,
+                          bits: Int, hash: Column => Column): DataFrame = {
     val toks = df
       .select(col(idCol).as("id"),
         explode_outer(TextOps.tokens(col(textCol))).as("t"))
       .select(col("id"),
-        when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
-    val votes = (0 until 64).map(j =>
+        when(col("t").isNotNull, hash(col("t"))).as("h"))
+    val votes = (0 until bits).map(j =>
       sum(when(col("h").isNull, 0)
         .when(col("h").bitwiseAND(lit(1L << j)) =!= 0, 1)
         .otherwise(-1)).as(s"__v$j"))
     toks.groupBy("id").agg(votes.head, votes.tail: _*)
       .select(col("id"),
-        (0 until 64).map(j => when(col(s"__v$j") > 0, lit(1L << j))
+        (0 until bits).map(j => when(col(s"__v$j") > 0, lit(1L << j))
           .otherwise(lit(0L))).reduce(_ + _).as("sh"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16),
-    * via 4×16-bit band blocking: any pair within Hamming ≤ 3 differs in at
-    * most 3 bands, so by pigeonhole it shares ≥1 exact band — blocking is
-    * lossless for maxHamming ≤ 3. */
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming, via
+    * 4-band blocking (bits/4 bits per band): any pair within Hamming ≤ 3
+    * differs in at most 3 bands, so by pigeonhole it shares ≥1 exact
+    * band — blocking is lossless for maxHamming ≤ 3, any band width. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, bits: Int = 64,
+                     hash: Column => Column = xxhash64(_)): DataFrame = {
     // pigeonhole over 4 bands only guarantees a shared band for <= 3
     // differing bits; beyond that the blocking silently loses pairs.
     require(maxHamming <= 3, "4-band blocking is lossless only for maxHamming <= 3")
-    val sigs = simHashSigs(df, idCol, textCol)
+    require(bits % 4 == 0 && bits <= 64, "bits must be a multiple of 4, <= 64")
+    val bandBits = bits / 4
+    val bandMask = (1L << bandBits) - 1
+    val sigs = simHashSigs(df, idCol, textCol, bits, hash)
     // persist: the self-join consumes the banded signatures twice, and
-    // ReuseExchange only saves the map side — the 64-vote final aggregate
+    // ReuseExchange only saves the map side — the bit-vote final aggregate
     // and band explode would still run per join side (Caches-tracked).
     val banded = graft.Caches.track(sigs.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("sh"), b * bandBits).bitwiseAND(lit(bandMask))): _*)))
       .toDF("id", "sh", "band", "bandval")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val pairs = banded.as("a").join(banded.as("b"),

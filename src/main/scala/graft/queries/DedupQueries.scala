@@ -45,11 +45,15 @@ object DedupQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id1", "id2")),
 
-    // SimHash(64-bit) near-dup via lossless 4×16-bit band blocking,
-    // Hamming ≤ 3. xxhash64-dependent → rows-only check.
+    // SimHash near-dup via lossless 4-band blocking, Hamming ≤ 3. The gate
+    // runs the 60-bit engine-portable md5 hash (portableHash60) so the
+    // ENTIRE pipeline — tokenize → per-token hash → bit votes → signature
+    // → band self-join → hamming filter — is DuckDB-oracled; production
+    // keeps the faster xxhash64 default (same code path, hash
+    // parameterized; OpsSpec covers it).
     "d05_simhash" -> ((s, d) =>
       DedupOps.simhashNearDup(Tables.documents(s, d), "doc_id", "text",
-          maxHamming = 3)
+          maxHamming = 3, bits = 60, hash = DedupOps.portableHash60)
         .orderBy("id1", "id2")),
 
     // Embedding-cosine near-dup pairs via hyperplane-LSH band candidates +
@@ -190,9 +194,39 @@ object DedupQueries {
          comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
          SELECT id, comp, count(*) OVER (PARTITION BY comp) AS csize,
            id = comp AS keep
-         FROM comps ORDER BY id"""
-    // d05_simhash, d06 → d06 oracled below; d05 rows-only.
-    ,
+         FROM comps ORDER BY id""",
+    // d05: the full simhash pipeline under the portable 60-bit md5 hash —
+    // tokenization mirrors TextOps.tokens (s36's proven twin), the hex
+    // parse mirrors portableHash60, votes/signature/banding/hamming are
+    // the literal algorithm.
+    "d05_simhash" ->
+      """WITH toks AS (
+           SELECT d.doc_id AS id, u.tok AS t FROM
+             (SELECT doc_id,
+                list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+              FROM documents) d
+             LEFT JOIN LATERAL (SELECT unnest(d.ts) AS tok) u ON true),
+         h AS (SELECT id, CASE WHEN t IS NOT NULL THEN
+                 CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) END AS h
+               FROM toks),
+         votes AS (
+           SELECT id, g.j,
+             sum(CASE WHEN h IS NULL THEN 0
+                      WHEN (h >> g.j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+           FROM h, generate_series(0, 59) AS g(j) GROUP BY 1, 2),
+         sig AS (SELECT id,
+                   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j)
+                            ELSE 0 END) AS BIGINT) AS sh
+                 FROM votes GROUP BY 1),
+         banded AS (
+           SELECT id, sh, g.b AS band, (sh >> (g.b * 15)) & 32767 AS bandval
+           FROM sig, generate_series(0, 3) AS g(b)),
+         pairs AS (
+           SELECT DISTINCT a.id AS id1, b.id AS id2, a.sh AS sh1, b.sh AS sh2
+           FROM banded a JOIN banded b
+             ON a.band = b.band AND a.bandval = b.bandval AND a.id < b.id)
+         SELECT id1, id2, CAST(bit_count(xor(sh1, sh2)) AS INTEGER) AS hamming
+         FROM pairs WHERE bit_count(xor(sh1, sh2)) <= 3 ORDER BY id1, id2""",
     "d06_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings)

@@ -78,6 +78,15 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val out = DedupOps.simhashNearDup(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(out.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+    // the 60-bit engine-portable config (d05's gate) agrees on the
+    // identical-doc pair and stays within the signed-long range
+    val p = DedupOps.simhashNearDup(docs, "doc_id", "text", maxHamming = 3,
+        bits = 60, hash = DedupOps.portableHash60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(p.exists { case (a, b, h) => a == 1L && b == 4L && h == 0 })
+    val hs = docs.select(DedupOps.portableHash60(col("text"))).collect()
+      .map(_.getLong(0))
+    assert(hs.forall(h => h >= 0 && h < (1L << 60)))
   }
 
   test("stop-shingle cap drops ubiquitous shingles but keeps rare signal") {
