@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Spread a narrow (id, text) projection across the session's shuffle
+    * width when the scan's split parallelism is below it: compacted/small
+    * files give the heavy per-row Generate stages (tokenize / shingle /
+    * hash explodes) only as many tasks as input SPLITS — observed locally
+    * as a whole corpus shingled on one task. No-op at real scale (a
+    * 100 TB parquet input splits far wider than any session width), so the
+    * extra keyed exchange only fires where it is cheap; keying by id also
+    * lets the id-keyed aggregations downstream reuse the partitioning. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < width) df.repartition(width, col(key))
+    else df
+  }
+
   /** Survivor (min id) + group size per exact-content group, keyed by the
     * normalized-text md5 fingerprint. */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -52,7 +66,8 @@ object DedupOps {
     val b = graft.Caches.track(postings(benchmark, "bench_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bsizes = b.groupBy("bench_id").agg(count(lit(1)).as("bn"))
-    postings(corpus, "train_id")
+    postings(spread(corpus.select(col(idCol), col(textCol)), idCol),
+        "train_id")
       .join(broadcast(b), "sh")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
@@ -85,8 +100,9 @@ object DedupOps {
     // The posting list feeds three consumers (self-join both sides + per-doc
     // sizes); persist it so tokenize+shingle runs once. MEMORY_AND_DISK:
     // spills instead of recomputing at scale; LRU-evicted when cold.
-    val sh = graft.Caches.track(df
-      .select(col(idCol).as("id"), explode(TextOps.shingles(col(textCol), n)).as("sh"))
+    val sh = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"), explode(TextOps.shingles(col("__txt"), n)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val posted = maxShingleDocFreq match {
       case Some(k) =>
@@ -169,10 +185,12 @@ object DedupOps {
     *
     * Scale shape: each row posts ≤ 2 (block, row) postings (explode is
     * per-partition fan-out, no shuffle), the candidate join stays a keyed
-    * equi-join on the block, and duplicate candidates (pairs colliding in
-    * both blocks) are dropped BEFORE the O(len²) levenshtein runs —
-    * distinct shuffles short (id, name) tuples, never scores a pair
-    * twice. */
+    * equi-join on the block, and the BANDED threshold levenshtein
+    * (O(len·maxDist) per pair, not O(len²)) runs map-side straight off the
+    * join — pairs colliding in both blocks score twice, which measures
+    * ~6% extra compute on dense blocks versus a pre-score distinct that
+    * shuffles EVERY candidate (id, id, name, name) row; dedup happens
+    * after the ≤ maxDist filter, on the (small) match set. */
   def fuzzyNameMatchMulti(df: DataFrame, idCol: String, nameCol: String,
                           maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
@@ -182,15 +200,23 @@ object DedupOps {
           explode(array_distinct(array(
             element_at(split(col(nameCol), " +"), 1),
             element_at(split(col(nameCol), " +"), -1)))).as("__blk"))
-    side(df).as("a").join(side(df).as("b"),
+    // The build side broadcasts, so scoring parallelism = the streamed
+    // side's partition count — which for a small/compact input is its file
+    // SPLIT count (observed: one split → every candidate pair scored on
+    // one task). An id-keyed repartition of the narrow postings (pinned
+    // width, so AQE can't coalesce it back) spreads the per-pair work;
+    // with the build side broadcast, any streamed-side partitioning is
+    // join-correct.
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    side(df).repartition(width, col("id")).as("a").join(side(df).as("b"),
         col("a.__blk") === col("b.__blk")
           && (col("a.id") < col("b.id"))
           && abs(col("a.__len") - col("b.__len")) <= maxDist)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.nm").as("name1"), col("b.nm").as("name2"))
+        col("a.nm").as("name1"), col("b.nm").as("name2"),
+        levenshtein(col("a.nm"), col("b.nm"), maxDist).as("dist"))
+      .filter(col("dist") >= 0) // banded form returns -1 past the threshold
       .distinct()
-      .withColumn("dist", levenshtein(col("name1"), col("name2")))
-      .filter(col("dist") <= maxDist)
   }
 
   private def fuzzyCore(left: DataFrame, right: DataFrame, idCol: String,
@@ -205,8 +231,9 @@ object DedupOps {
         col("a.__blk") === col("b.__blk")
           && pairPred(col("a.id"), col("b.id"))
           && abs(col("a.__len") - col("b.__len")) <= maxDist)
-      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm")))
-      .filter(col("dist") <= maxDist)
+      // banded threshold levenshtein: O(len·maxDist) per pair, -1 beyond
+      .withColumn("dist", levenshtein(col("a.nm"), col("b.nm"), maxDist))
+      .filter(col("dist") >= 0)
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         col("a.nm").as("name1"), col("b.nm").as("name2"), col("dist"))
   }
@@ -230,7 +257,8 @@ object DedupOps {
     * re-evaluating the whole 32-lane tree per row (a 450s/5k-doc mistake). */
   private def shingleProj(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame =
-    df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), n).as("shs"))
+    spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"), TextOps.shingles(col("__txt"), n).as("shs"))
       .filter(size(col("shs")) > 0)
 
   /** LSH candidate pairs: split the `k`-wide signature into `bands` bands,
@@ -335,9 +363,10 @@ object DedupOps {
 
   private def simHashSigs(df: DataFrame, idCol: String, textCol: String,
                           bits: Int, hash: Column => Column): DataFrame = {
-    val toks = df
-      .select(col(idCol).as("id"),
-        explode_outer(TextOps.tokens(col(textCol))).as("t"))
+    val toks = spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"),
+        explode_outer(TextOps.tokens(col("__txt"))).as("t"))
       .select(col("id"),
         when(col("t").isNotNull, hash(col("t"))).as("h"))
     val votes = (0 until bits).map(j =>
@@ -465,7 +494,9 @@ object DedupOps {
     // re-rank (both sides): persist so the scan runs once. Buckets come
     // from the raw vector (scaling preserves hyperplane signs); cosine is
     // dot/(n1*n2) — dot-then-divide, DuckDB's exact formula.
-    val v = graft.Caches.track(withNorm(df, idCol, vecCol, "id", "e", "n")
+    val v = graft.Caches.track(
+      withNorm(spread(df.select(col(idCol), col(vecCol)), idCol),
+          idCol, vecCol, "id", "e", "n")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // buckets staged as a materialized column (codegen'd Project, not
     // interpreted inside Generate), and the postings persisted — the
