@@ -200,6 +200,21 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
       Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
 
+  /** Relative-position window family (pandas rank(pct=True) /
+    * qcut-by-rank): percent_rank, cume_dist, and ntile(n) share ONE
+    * keyed window — one shuffle, per-partition sort, all three in a
+    * single Window node. */
+  def withPctWindows(partitionBy: Seq[Column], orderBy: Seq[Column],
+                     ntiles: Int,
+                     names: (String, String, String) =
+                       ("pct_rank", "cume_dist", "tile")): GFrame = {
+    val w = Window.partitionBy(partitionBy: _*).orderBy(orderBy: _*)
+    new GFrame(df
+      .withColumn(names._1, percent_rank().over(w))
+      .withColumn(names._2, cume_dist().over(w))
+      .withColumn(names._3, ntile(ntiles).over(w)), indexName)
+  }
+
   /** Lag/lead over an ordered partition. */
   def withLag(name: String, c: Column, offset: Int, partitionBy: Seq[Column],
               orderBy: Seq[Column]): GFrame =

@@ -99,22 +99,27 @@ object EventOps {
       .drop("__bkt", "__ivkey")
   }
 
-  /** Backward as-of join: for each left row, attach the value columns of
-    * the latest right row with the same key and `right.ts <= left.ts`
-    * (inclusive, DuckDB/pandas `merge_asof` semantics); ties within the
-    * right side resolve to the greatest `(ts, tie)`. Left rows with no
-    * prior right row get nulls (left-outer).
+  /** As-of join, pandas `merge_asof` semantics with all three directions:
+    * for each left row, attach the value columns of the matching right row
+    * with the same key —
+    *  - `backward` (default): latest right with `r.ts <= l.ts`;
+    *  - `forward`: earliest right with `r.ts >= l.ts`;
+    *  - `nearest`: whichever of the two is closer in time (equal
+    *    distance → backward, pandas' rule).
+    * All inclusive; ties within the right side resolve by `(ts, tie)`.
+    * Left rows with no match get nulls (left-outer).
     *
     * Spark has no ASOF JOIN operator; a naive theta-join
     * (`l.key = r.key AND r.ts <= l.ts` + max) explodes to all pairs per
     * key. This is the scalable union trick instead: tag both sides, union
-    * them, and run ONE window partitioned by key ordered by
-    * `(ts, side, tie)` where `last(struct-of-values, ignoreNulls)` carries
-    * the most recent right ROW's values forward onto each left row (the
-    * struct marker is non-null for every right row, so a matched right row
-    * whose value is null yields null, not an older value) — right rows
-    * sort before left rows at equal ts, which is what makes the match
-    * inclusive. One shuffle on the key, per-key sequential scan, no
+    * them, and run window(s) partitioned by key where
+    * `last/first(struct-of-values, ignoreNulls)` carries the matching
+    * right ROW's values onto each left row (the struct marker is non-null
+    * for every right row, so a matched right row whose value is null
+    * yields null, not an older value). Side ordering makes the match
+    * inclusive: backward orders right BEFORE left at equal ts; forward
+    * orders left before right. One shuffle on the key either way
+    * (`nearest` runs both frames over the same exchange, two sorts), no
     * range explosion; skew follows the key distribution exactly like any
     * keyed window.
     *
@@ -123,16 +128,23 @@ object EventOps {
     * must exist in both. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, tieCol: String, rightVals: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val lRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
     // The right values travel inside ONE struct that is non-null for every
     // right row (even when the values themselves are null) and null for
-    // left rows: last(ignoreNulls) then skips left rows but NOT a matched
-    // right row whose value is null — "no prior right row" stays
-    // distinguishable from "matched a null value", and all rightVals come
-    // from the SAME right row.
+    // left rows: last/first(ignoreNulls) then skips left rows but NOT a
+    // matched right row whose value is null — "no matching right row"
+    // stays distinguishable from "matched a null value", and all rightVals
+    // come from the SAME right row. The struct also carries the right
+    // row's epoch-µs (`__rus`, exact long arithmetic) so `nearest` can
+    // compare distances.
     val rStructType = org.apache.spark.sql.types.StructType(
-      rightVals.map(c => right.schema(c)))
+      rightVals.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rus",
+          org.apache.spark.sql.types.LongType))
     val lNorm = left.select(
       col(keyCol).as("__key"), col(tsCol).as("__ts"),
       col(tieCol).as("__tie"), lit(1).as("__side"),
@@ -142,13 +154,27 @@ object EventOps {
       col(keyCol).as("__key"), col(tsCol).as("__ts"),
       col(tieCol).as("__tie"), lit(0).as("__side"),
       lit(null).cast(lRowType).as("__lrow"),
-      struct(rightVals.map(col): _*).as("__rvals"))
-    val w = Window.partitionBy(col("__key"))
+      struct(rightVals.map(col) :+
+        unix_micros(col(tsCol)).as("__rus"): _*).as("__rvals"))
+    val bwdW = Window.partitionBy(col("__key"))
       .orderBy(col("__ts"), col("__side"), col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdW = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts"), col("__side").desc, col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rv = direction match {
+      case "backward" => last(col("__rvals"), ignoreNulls = true).over(bwdW)
+      case "forward" => first(col("__rvals"), ignoreNulls = true).over(fwdW)
+      case "nearest" =>
+        val b = last(col("__rvals"), ignoreNulls = true).over(bwdW)
+        val f = first(col("__rvals"), ignoreNulls = true).over(fwdW)
+        val us = unix_micros(col("__ts"))
+        when(b.isNull, f).when(f.isNull, b)
+          .otherwise(when(us - b.getField("__rus")
+            <= f.getField("__rus") - us, b).otherwise(f))
+    }
     val filled = lNorm.unionByName(rNorm).select(
-      col("__side"), col("__lrow"),
-      last(col("__rvals"), ignoreNulls = true).over(w).as("__rvals"))
+      col("__side"), col("__lrow"), rv.as("__rvals"))
     filled.filter(col("__side") === 1)
       .select(col("__lrow.*") +:
         rightVals.map(c => col(s"__rvals.$c").as(prefix + c)): _*)

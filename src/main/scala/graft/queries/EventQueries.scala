@@ -89,6 +89,40 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Forward as-of (pandas merge_asof direction='forward'): each purchase
+    // picks up that user's NEXT click at-or-after it. Same union+window
+    // plan as e06 with the frame reversed.
+    "e14_asof_forward" -> ((s, d) => {
+      val e = ev(s, d)
+      EventOps.asofJoin(
+          e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value"),
+          e.filter(col("event_type") === "click"),
+          "user_id", "ts", "event_id", Seq("value"), "click_",
+          direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("pv"),
+          round(col("click_value"), 2).as("cv"))
+        .orderBy("event_id")
+    }),
+
+    // Nearest as-of (pandas merge_asof direction='nearest', equal distance
+    // → backward): both frames ride ONE exchange on user_id; distances
+    // compare in exact epoch-µs longs.
+    "e15_asof_nearest" -> ((s, d) => {
+      val e = ev(s, d)
+      EventOps.asofJoin(
+          e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value"),
+          e.filter(col("event_type") === "click"),
+          "user_id", "ts", "event_id", Seq("value"), "click_",
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("pv"),
+          round(col("click_value"), 2).as("cv"))
+        .orderBy("event_id")
+    }),
+
     // The streaming replay gates run with 8 state partitions instead of
     // the session's 32: a stateful query creates (and commits, per batch)
     // one state store PER shuffle partition, a fixed cost the fixture-size
@@ -259,6 +293,39 @@ object EventQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // STREAMING FILE SINK under the hash gate: the events fixture streams
+    // through a watermarked pass-through into an append-mode PARQUET sink
+    // (checkpointed — the exactly-once production sink, vs the memory sink
+    // every other streaming gate uses), then the written files are read
+    // back. Values must round-trip the sink bit-exactly; the _spark_
+    // _metadata transaction log is what makes a partial write invisible.
+    "e16_stream_file_sink" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select("event_id", "user_id", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val out = "/tmp/graft_e16_sink"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val q = input.toDF.toDF("event_id", "user_id", "value")
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append").start()
+      try {
+        input.addData(rows: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.read.parquet(s"$out/data")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("v"))
+        .orderBy("event_id")
+    }),
+
     // STREAM-STATIC enrichment under the hash gate: the events fixture
     // replayed as a stream, each micro-batch broadcast-joined to the
     // STATIC customer dimension (market segment on user_id = c_custkey).
@@ -292,6 +359,9 @@ object EventQueries {
       """SELECT event_id, user_id, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey
          ORDER BY event_id""",
+    "e16_stream_file_sink" ->
+      """SELECT event_id, user_id, round(value, 2) AS v
+         FROM events ORDER BY event_id""",
     "e01_tumbling_hour" ->
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
            round(sum(value), 2) AS total
@@ -351,6 +421,50 @@ object EventQueries {
            FROM u)
          SELECT event_id, user_id, round(pv, 2) AS pv, round(lrs.v, 2) AS cv
          FROM f WHERE side = 1 ORDER BY event_id""",
+    // e14/e15 mirror e06's tagged union; forward flips the frame (side
+    // DESC puts left before right at equal ts → inclusive), nearest
+    // carries epoch-µs in the struct and ties to backward.
+    "e14_asof_forward" ->
+      """WITH u AS (
+           SELECT user_id, ts, 1 AS side, event_id, value AS pv,
+             CAST(NULL AS STRUCT(v DOUBLE)) AS rs
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 0, event_id, NULL, {'v': value}
+           FROM events WHERE event_type = 'click'),
+         f AS (
+           SELECT *, first_value(rs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, side DESC, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS frs
+           FROM u)
+         SELECT event_id, user_id, round(pv, 2) AS pv, round(frs.v, 2) AS cv
+         FROM f WHERE side = 1 ORDER BY event_id""",
+    "e15_asof_nearest" ->
+      """WITH u AS (
+           SELECT user_id, ts, 1 AS side, event_id, value AS pv,
+             CAST(NULL AS STRUCT(v DOUBLE, us BIGINT)) AS rs
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 0, event_id, NULL,
+             {'v': value, 'us': epoch_us(ts)}
+           FROM events WHERE event_type = 'click'),
+         f AS (
+           SELECT *,
+             last_value(rs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS brs,
+             first_value(rs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side DESC, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS frs
+           FROM u),
+         pick AS (
+           SELECT event_id, user_id, pv,
+             CASE WHEN brs IS NULL THEN frs WHEN frs IS NULL THEN brs
+               WHEN epoch_us(ts) - brs.us <= frs.us - epoch_us(ts) THEN brs
+               ELSE frs END AS rs
+           FROM f WHERE side = 1)
+         SELECT event_id, user_id, round(pv, 2) AS pv, round(rs.v, 2) AS cv
+         FROM pick ORDER BY event_id""",
     "e08_trailing_hour" ->
       """SELECT event_id, user_id,
            count(*) OVER w AS n_1h,

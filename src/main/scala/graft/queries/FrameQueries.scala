@@ -366,6 +366,35 @@ object FrameQueries {
         .orderBy("user_id")
     }),
 
+    // Per-group EXACT distinct counts — the exact sibling of f21's HLL
+    // sketches (the 100 TB default is f21; this is the small-group /
+    // audit path). count_distinct shuffles the distinct (group, value)
+    // pairs — partial dedup map-side first.
+    "f28_group_nunique" -> ((s, d) =>
+      GFrame.fromDF(Tables.orders(s, d), "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count_distinct(col("o_custkey")).as("nd_cust"),
+          count_distinct(col("o_orderstatus")).as("nd_status"),
+          count(lit(1)).as("n"))
+        .sortValues(col("o_orderpriority")).toDF),
+
+    // Relative-position windows (pandas rank(pct=True) + qcut-by-rank):
+    // percent_rank / cume_dist / ntile(4) of order totals within each
+    // priority class — all three from ONE keyed window (one shuffle,
+    // per-partition sort; ordering tie-broken on the key for determinism).
+    "f29_window_pct" -> ((s, d) =>
+      GFrame.fromDF(Tables.orders(s, d)
+          .filter(col("o_orderkey") <= 20000)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          "o_orderkey")
+        .withPctWindows(Seq(col("o_orderpriority")),
+          Seq(col("o_totalprice"), col("o_orderkey")), ntiles = 4)
+        .toDF
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("pct_rank"), 6).as("pct_rank"),
+          round(col("cume_dist"), 6).as("cume_dist"), col("tile"))
+        .orderBy("o_orderkey")),
+
     // Bucket-pruned co-located join — the 100 TB layout flagship: both
     // facts are WRITTEN bucketed+sorted on the join key (8 buckets), so
     // the read-back SortMergeJoin consumes the on-disk clustering and
@@ -411,6 +440,21 @@ object FrameQueries {
            count(*) AS n
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1 ORDER BY 1""",
+    "f28_group_nunique" ->
+      """SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS nd_cust,
+           count(DISTINCT o_orderstatus) AS nd_status,
+           count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "f29_window_pct" ->
+      """SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_dist,
+           CAST(ntile(4) OVER w AS INTEGER) AS tile
+         FROM orders WHERE o_orderkey <= 20000
+         WINDOW w AS (PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
     "f01_assign_revenue" ->
       s"""SELECT $liIdxSql AS idx, l_extendedprice * (1 - l_discount) AS revenue
           FROM lineitem ORDER BY idx""",

@@ -207,6 +207,17 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(r.columns.contains("value"))
   }
 
+  test("withPctWindows: three relative-position stats from one Window node") {
+    val p = gf.withPctWindows(Seq(col("g")), Seq(col("v")), ntiles = 2)
+    val byId = p.toDF.orderBy("id").collect()
+    // g=a holds v=10,30: pct_rank 0/1, cume_dist .5/1, tiles 1/2
+    assert(byId(0).toSeq.drop(3) == Seq(0.0, 0.5, 1))
+    assert(byId(2).toSeq.drop(3) == Seq(1.0, 1.0, 2))
+    val plan = p.toDF.queryExecution.executedPlan.toString
+    assert(plan.split("\\bWindow\\b").length - 1 == 1,
+      s"expected one Window node:\n$plan")
+  }
+
   test("crosstab counts cells and zero-fills empty ones") {
     val ct = gf.crosstab("g", "id", Seq(1, 2, 99))
     val byG = ct.toDF.orderBy("g").collect()

@@ -253,6 +253,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     ))
   }
 
+  test("asofJoin forward/nearest directions (pandas merge_asof)") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(21)), (102L, 1L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts(10), 10.0), // equal ts -> inclusive both directions
+      (2L, 1L, ts(20), 20.0),
+      (3L, 1L, ts(22), 30.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    def run(dir: String) = graft.ops.EventOps.asofJoin(left, right,
+        "user_id", "ts", "event_id", Seq("value"), direction = dir)
+      .orderBy("event_id").collect()
+      .map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq
+    // forward: earliest right at-or-after; none after ts(50)
+    assert(run("forward") == Seq(10.0, 30.0, null))
+    // nearest: 101 is 1s from ts(20) and 1s from ts(22) -> tie -> backward
+    assert(run("nearest") == Seq(10.0, 20.0, 30.0))
+  }
+
   test("asofJoin attaches a matched right row's null value as null") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
