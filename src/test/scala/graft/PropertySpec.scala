@@ -115,4 +115,35 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
         math.abs(a - d) <= 1e-9 * (math.abs(a) + 1) }, s"buckets=$b")
     }
   }
+
+  test("GlobalWindows family == sequential reference for arbitrary buckets/carry") {
+    forAll(vecGen, Gen.choose(1, 40), n = 10) { (xs: List[Double], b: Int) =>
+      val s = Series.fromSeq(spark, xs)
+      val gw = s.globalWindows(buckets = b, carry = 2)
+      val out = gw.result(
+          "sh" -> gw.shift(2), "cmx" -> gw.cummax(),
+          "r3" -> gw.rollingMean(3), "pos" -> gw.position(),
+          "ff" -> gw.ffill())
+        .orderBy("index").collect()
+      val n = xs.length
+      val shRef = (0 until n).map(i => if (i >= 2) Some(xs(i - 2)) else None)
+      val cmxRef = xs.scanLeft(Double.NegativeInfinity)(math.max).tail
+      val r3Ref = (0 until n).map(i =>
+        if (i >= 2) Some((xs(i) + xs(i - 1) + xs(i - 2)) / 3.0) else None)
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert((if (r.isNullAt(1)) None else Some(r.getDouble(1))) == shRef(i),
+          s"shift@$i buckets=$b")
+        assert(r.getDouble(2) == cmxRef(i), s"cummax@$i buckets=$b")
+        val got = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        (got, r3Ref(i)) match {
+          case (Some(g), Some(e)) =>
+            assert(math.abs(g - e) <= 1e-9 * (math.abs(e) + 1),
+              s"rolling@$i buckets=$b")
+          case (g, e) => assert(g == e, s"rolling-null@$i buckets=$b")
+        }
+        assert(r.getLong(4) == i + 1, s"position@$i buckets=$b")
+        assert(r.getDouble(5) == xs(i), s"ffill@$i buckets=$b") // no nulls
+      }
+    }
+  }
 }
