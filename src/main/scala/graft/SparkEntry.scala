@@ -417,7 +417,19 @@ object SparkEntry {
       val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
         "c_custkey").rename("bal").renameIndex("idx")
       ordered(bal.abs().nsmallest(15))
-    })
+    }),
+    // pandas sample(frac, random_state): salted md5-prefix Bernoulli draw
+    // on the label — per-row predicate pushed to the scan, no shuffle, no
+    // sampling pass, byte-reproducible in DuckDB.
+    "s46_sample" -> ((s, d) =>
+      ordered(quantity(s, d).sample(0.25, "s46"))),
+    // pandas duplicated(keep='first'): the flag = one UNORDERED keyed
+    // window (min label per value partition), single shuffle on the
+    // value, no sort. (dropDuplicates shares the plan — SeriesSpec
+    // covers it on unique labels; this fixture's lineitem key has
+    // duplicate labels, where tied minima are each "first".)
+    "s47_duplicated" -> ((s, d) =>
+      ordered(quantity(s, d).duplicated().rename("dup")))
   )
 
   val seriesOracles: Map[String, String] = Map(
@@ -612,6 +624,14 @@ object SparkEntry {
     "s45_abs_nsmallest" ->
       ("SELECT idx, bal FROM (SELECT c_custkey AS idx, abs(c_acctbal) AS bal " +
         "FROM customer ORDER BY bal, idx LIMIT 15) ORDER BY idx"),
+    "s46_sample" ->
+      (s"SELECT $liIdxSql AS idx, l_quantity AS qty FROM lineitem " +
+        s"WHERE substr(md5('s46' || CAST($liIdxSql AS VARCHAR)), 1, 4) " +
+        "< '4000' ORDER BY idx"),
+    "s47_duplicated" ->
+      (s"SELECT idx, dup FROM (SELECT $liIdxSql AS idx, " +
+        s"$liIdxSql > min($liIdxSql) OVER (PARTITION BY l_quantity) AS dup " +
+        "FROM lineitem) ORDER BY idx"),
     "s32_cummax" ->
       ("SELECT c_custkey AS idx, " +
         "max(c_acctbal) OVER (ORDER BY c_custkey " +

@@ -171,6 +171,21 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
   def join(other: GFrame, usingCols: Seq[String], joinType: String): GFrame =
     new GFrame(df.join(other.df, usingCols, joinType), indexName)
 
+  /** pandas `merge(how='outer', indicator=True)`: full-outer equi-join on
+    * shared column names plus a provenance column
+    * (both / left_only / right_only) from per-side presence markers —
+    * same single keyed exchange as the plain join. */
+  def mergeIndicator(other: GFrame, usingCols: Seq[String],
+                     indicatorName: String = "_merge"): GFrame = {
+    val l = df.withColumn("__ml", lit(true))
+    val r = other.df.withColumn("__mr", lit(true))
+    new GFrame(l.join(r, usingCols, "full_outer")
+      .withColumn(indicatorName,
+        when(col("__ml").isNotNull && col("__mr").isNotNull, "both")
+          .when(col("__ml").isNotNull, "left_only").otherwise("right_only"))
+      .drop("__ml", "__mr"), indexName)
+  }
+
   /** Equi-join pinned to a shuffle SortMergeJoin (`"merge"` strategy hint) —
     * the large⨝large bread-and-butter plan at 100 TB: both sides shuffle on
     * the join key and stream a merge; nothing is broadcast or collected.

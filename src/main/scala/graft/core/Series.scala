@@ -326,6 +326,43 @@ final class Series private[graft] (
   /** Membership test → boolean Series (pandas isin). */
   def isin(vals: Any*): Series = withValue(valueExpr.isin(vals: _*))
 
+  /** Deterministic Bernoulli sample (pandas `sample(frac, random_state)`
+    * re-expressed scale-first): keep rows whose salted md5 hex-prefix draw
+    * on the index label falls below `frac` — a pure per-row predicate, no
+    * shuffle, no sampling pass, reproducible, and stable under data growth
+    * (a row's fate never depends on other rows; same rule as
+    * [[graft.ops.PipelineOps.mixtureSample]]). Granularity 1/65536. */
+  def sample(frac: Double, salt: String = "s"): Series = {
+    require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
+    if (frac >= 1.0) this
+    else {
+      val h = F.substring(
+        F.md5(F.concat(lit(salt), indexExpr.cast("string"))), 1, 4)
+      val th = f"${math.min((frac * 65536).toLong, 65535L)}%04x"
+      new Series(base.filter(h < lit(th)), name, indexName, indexExpr,
+        valueExpr)
+    }
+  }
+
+  /** pandas `Series.duplicated(keep='first')`: true for every row whose
+    * value already appeared at a smaller index label. One UNORDERED keyed
+    * window (min label per value partition) — a single shuffle on the
+    * value, no sort, no self-join. */
+  def duplicated(): Series = withValue(indexExpr >
+    F.min(indexExpr).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)))
+
+  /** pandas `Series.drop_duplicates(keep='first')`: the first-labeled row
+    * of every value survives. Same single-shuffle plan as [[duplicated]]
+    * (the window flag must materialize in a subframe before filtering). */
+  def dropDuplicates(): Series = {
+    val flagged = df.withColumn("__dup", col(indexName) >
+      F.min(col(indexName)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(name))))
+    Series.fromKeyed(flagged.filter(!col("__dup")).drop("__dup"), name,
+      indexName)
+  }
+
   /** Inclusive range test → boolean Series (pandas between). */
   def between(lo: Any, hi: Any): Series =
     withValue(valueExpr.between(lit(lo), lit(hi)))

@@ -366,6 +366,19 @@ object FrameQueries {
         .orderBy("user_id")
     }),
 
+    // pandas merge(how='outer', indicator=True): customers full-outer
+    // per-customer order counts, _merge records provenance (customers
+    // with no orders -> left_only). One keyed exchange.
+    "f30_merge_indicator" -> ((s, d) => {
+      val l = GFrame.fromDF(Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+        "custkey")
+      val r = GFrame.fromDF(Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders")), "custkey")
+      l.mergeIndicator(r, Seq("custkey")).toDF.orderBy("custkey")
+    }),
+
     // Per-group EXACT distinct counts — the exact sibling of f21's HLL
     // sketches (the 100 TB default is f21; this is the small-group /
     // audit path). count_distinct shuffles the distinct (group, value)
@@ -440,6 +453,17 @@ object FrameQueries {
            count(*) AS n
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1 ORDER BY 1""",
+    "f30_merge_indicator" ->
+      """WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders
+                    FROM orders GROUP BY 1)
+         SELECT coalesce(c.c_custkey, o.custkey) AS custkey, c_mktsegment,
+           n_orders,
+           CASE WHEN c.c_custkey IS NOT NULL AND o.custkey IS NOT NULL
+             THEN 'both'
+             WHEN c.c_custkey IS NOT NULL THEN 'left_only'
+             ELSE 'right_only' END AS _merge
+         FROM customer c FULL JOIN o ON c.c_custkey = o.custkey
+         ORDER BY custkey""",
     "f28_group_nunique" ->
       """SELECT o_orderpriority,
            count(DISTINCT o_custkey) AS nd_cust,

@@ -408,4 +408,27 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     // pandas qcut(vals, 4).codes for this permutation
     assert(got == Seq(3, 0, 2, 1, 3, 0, 2, 1))
   }
+
+  test("duplicated flags later labels; dropDuplicates keeps the first") {
+    val s = Series.fromPairs(spark,
+      Seq((1L, 10.0), (2L, 20.0), (3L, 10.0), (4L, 20.0), (5L, 30.0)),
+      name = "v")
+    val dup = s.duplicated().df.orderBy("index")
+      .collect().map(_.getBoolean(1)).toSeq
+    assert(dup == Seq(false, false, true, true, false))
+    val kept = s.dropDuplicates().df.orderBy("index")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(kept == Seq((1L, 10.0), (2L, 20.0), (5L, 30.0)))
+  }
+
+  test("sample is a deterministic, salt-dependent subset near frac") {
+    val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
+    def ids(salt: String) = s.sample(0.3, salt).df
+      .collect().map(_.getLong(0)).toSet
+    val a = ids("a")
+    assert(a == ids("a"))               // reproducible
+    assert(a != ids("b"))               // salt rotates the draw
+    assert(math.abs(a.size / 2000.0 - 0.3) < 0.05) // near the target rate
+    assert(s.sample(1.0).df.count() == 2000)
+  }
 }
