@@ -28,7 +28,7 @@ object DedupOps {
     * 100 TB parquet input splits far wider than any session width), so the
     * extra keyed exchange only fires where it is cheap; keying by id also
     * lets the id-keyed aggregations downstream reuse the partitioning. */
-  private def spread(df: DataFrame, key: String): DataFrame = {
+  private[graft] def spread(df: DataFrame, key: String): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < width) df.repartition(width, col(key))
     else df

@@ -13,8 +13,11 @@ import graft.ops.TextOps._
   */
 object TextQueries {
 
+  // spread: the heavy per-row text expressions and token/shingle explodes
+  // otherwise run at the scan's file-split parallelism (one task on the
+  // compacted fixtures; no-op at real scale — see DedupOps.spread).
   private def docs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    graft.ops.DedupOps.spread(Tables.documents(s, d), "doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting two ways: whitespace + BPE-ish regex pieces.
