@@ -429,7 +429,21 @@ object SparkEntry {
     // covers it on unique labels; this fixture's lineitem key has
     // duplicate labels, where tied minima are each "first".)
     "s47_duplicated" -> ((s, d) =>
-      ordered(quantity(s, d).duplicated().rename("dup")))
+      ordered(quantity(s, d).duplicated().rename("dup"))),
+    // pandas groupby().interpolate(): per-user linear interpolation of the
+    // view-only observations over the event stream — interior gaps take
+    // the index-weighted line between neighbors, leading gaps stay null,
+    // trailing gaps carry forward. One shuffle on the key.
+    "s48_interpolate" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev,
+        when(col("event_type") === "view", col("value")), "v",
+        col("event_id"), "idx")
+      ev.select(col("event_id").as("idx"), col("user_id"),
+          graft.ops.TextOps.round6(v.interpolateBy(col("user_id")).values)
+            .as("vi"))
+        .orderBy("idx")
+    })
   )
 
   val seriesOracles: Map[String, String] = Map(
@@ -632,6 +646,31 @@ object SparkEntry {
       (s"SELECT idx, dup FROM (SELECT $liIdxSql AS idx, " +
         s"$liIdxSql > min($liIdxSql) OVER (PARTITION BY l_quantity) AS dup " +
         "FROM lineitem) ORDER BY idx"),
+    "s48_interpolate" ->
+      ("""WITH e AS (
+           SELECT event_id AS idx, user_id,
+             CASE WHEN event_type = 'view' THEN value END AS v
+           FROM events),
+         w AS (
+           SELECT idx, user_id, v,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wb AS pi,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS)
+               OVER wf AS ni
+           FROM e
+           WINDOW wb AS (PARTITION BY user_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY idx
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT idx, user_id,
+           floor((CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN NULL
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (idx - pi) * 1.0 / (ni - pi) END)
+             * 1e6 + 0.5) / 1e6 AS vi
+         FROM w ORDER BY idx"""),
     "s32_cummax" ->
       ("SELECT c_custkey AS idx, " +
         "max(c_acctbal) OVER (ORDER BY c_custkey " +

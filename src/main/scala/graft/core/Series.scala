@@ -703,6 +703,32 @@ final class Series private[graft] (
     withValue(first(valueExpr, ignoreNulls = true)
       .over(keyedWindow(by).rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
 
+  /** Linear interpolation within each `by` group, index-ordered (pandas
+    * groupby(by).apply(lambda g: g.interpolate())): interior nulls take
+    * `prev + (next − prev) · (idx − prev_idx)/(next_idx − prev_idx)`,
+    * leading nulls stay null, trailing nulls carry the last observation —
+    * pandas' default limit_direction='forward' behavior. Four
+    * last/first-ignore-nulls expressions over the SAME keyed frame pair:
+    * one shuffle on the key, two per-group window passes, no join. */
+  def interpolateBy(by: Column): Series = {
+    val W = org.apache.spark.sql.expressions.Window
+    val back = keyedWindow(by).rowsBetween(W.unboundedPreceding, 0)
+    val fwd = keyedWindow(by).rowsBetween(0, W.unboundedFollowing)
+    val pv = last(valueExpr, ignoreNulls = true).over(back)
+    val pi = last(when(valueExpr.isNotNull, indexExpr), ignoreNulls = true)
+      .over(back)
+    val nv = first(valueExpr, ignoreNulls = true).over(fwd)
+    val ni = first(when(valueExpr.isNotNull, indexExpr), ignoreNulls = true)
+      .over(fwd)
+    withValue(
+      when(valueExpr.isNotNull, valueExpr)
+        .when(pv.isNull, lit(null)) // leading gap: nothing to anchor on
+        .when(nv.isNull, pv) // trailing gap: carry the last observation
+        .otherwise(pv + (nv - pv)
+          * (indexExpr - pi).cast("double")
+          / (ni - pi).cast("double")))
+  }
+
   /** Cumulative sum within each `by` group, index-ordered (pandas
     * groupby(by).cumsum()). */
   def cumsumBy(by: Column): Series = withValue(F.sum(valueExpr).over(

@@ -421,6 +421,18 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(kept == Seq((1L, 10.0), (2L, 20.0), (5L, 30.0)))
   }
 
+  test("interpolateBy: linear interior, null leading, carried trailing") {
+    // pandas: [nan, 1, nan, nan, 4, nan].interpolate() == [nan,1,2,3,4,4]
+    val df = Seq[(Long, Long, Option[Double])](
+      (0L, 1L, None), (1L, 1L, Some(1.0)), (2L, 1L, None),
+      (3L, 1L, None), (4L, 1L, Some(4.0)), (5L, 1L, None))
+      .toDF("idx", "g", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    val got = s.interpolateBy(df("g")).df.orderBy("idx").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    assert(got == Seq(null, 1.0, 2.0, 3.0, 4.0, 4.0))
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
