@@ -137,7 +137,7 @@ object DedupQueries {
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
   /** DuckDB distinct 3-word shingles per doc (1-indexed lists). */
-  private val ShingleCte =
+  private[queries] val ShingleCte =
     s"""toks AS (SELECT doc_id, $Toks AS ws FROM documents),
         sh AS (
           SELECT DISTINCT doc_id,

@@ -60,7 +60,34 @@ object PipelineQueries {
           TextOps.round6(avg(TextOps.qualityScore(col("text"))))
             .as("mean_quality"),
           countDistinct(col("lang")).as("n_langs"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // CORPUS-BUILD CAPSTONE — the full training-data assembly line in one
+    // lazy plan: quality gate → near-dup survivor (jaccard losers
+    // left_anti) → deterministic 80/10/10 split (train kept) → 2000-token
+    // shard packing (two-pass distributed prefix sum) → per-shard report.
+    // Every stage is individually gated (t02 / d03+d07 / p01 / p02); this
+    // gate proves they COMPOSE — one pipeline, keyed joins and bounded
+    // driver state only, nothing materialized between stages.
+    "p06_corpus_build" -> ((s, d) => {
+      import graft.ops.DedupOps
+      val docs = Tables.documents(s, d)
+      val losers = DedupOps.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .select(col("id2").as("doc_id")).distinct()
+      val survivors = docs
+        .filter(TextOps.qualityScore(col("text")) >= 0.35)
+        .join(losers, Seq("doc_id"), "left_anti")
+      val train = PipelineOps.hashSplit(survivors, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+      PipelineOps.packShards(
+          train.select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+          "doc_id", "n_tokens", budget = 2000L)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("shard")
+    })
   )
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -118,6 +145,36 @@ object PipelineQueries {
            CAST(sum(ntok) AS BIGINT) AS n_tokens,
            floor(avg(qual) * 1e6 + 0.5) / 1e6 AS mean_quality,
            count(DISTINCT lang) AS n_langs
-         FROM q GROUP BY source ORDER BY source"""
+         FROM q GROUP BY source ORDER BY source""",
+    // composes the d07 survivor CTEs + p01's split threshold (0.8 ->
+    // 0xcccc) + p02's ordered prefix sum, then groups per shard.
+    "p06_corpus_build" ->
+      s"""WITH ${DedupQueries.ShingleCte},
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         losers AS (
+           SELECT DISTINCT b.doc_id
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN sizes s1 ON a.doc_id = s1.doc_id
+           JOIN sizes s2 ON b.doc_id = s2.doc_id
+           GROUP BY a.doc_id, b.doc_id, s1.nsh, s2.nsh
+           HAVING count(*) * 1.0 / (s1.nsh + s2.nsh - count(*)) >= 0.5),
+         q AS (SELECT doc_id, text, $Toks AS ts FROM documents),
+         surv AS (
+           SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_tokens
+           FROM q
+           WHERE floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
+               1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                 len(list_filter(ts, x -> x IN ('the','a','an','of','and',
+                   'to','in','is','on','for','with'))) * 1.0 / len(ts) END)
+                 * 2.0) * 1e6 + 0.5) / 1e6 >= 0.35
+             AND doc_id NOT IN (SELECT doc_id FROM losers)
+             AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'),
+         c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM surv)
+         SELECT CAST(floor(st / 2000.0) AS BIGINT) AS shard,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM c GROUP BY 1 ORDER BY 1"""
   )
 }
