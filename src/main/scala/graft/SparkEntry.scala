@@ -430,6 +430,16 @@ object SparkEntry {
     // duplicate labels, where tied minima are each "first".)
     "s47_duplicated" -> ((s, d) =>
       ordered(quantity(s, d).duplicated().rename("dup"))),
+    // pandas Series.autocorr(lag): corr of the series with its bucketed
+    // distributed shift — lag pairs align via GlobalWindows carry rows,
+    // corr drops the unmatched head exactly like pandas.
+    "s49_autocorr" -> ((s, d) => {
+      import s.implicits._
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey")
+      Seq(bal.autocorr(1)).toDF("ac1")
+        .select(graft.ops.TextOps.round6(col("ac1")).as("ac1"))
+    }),
     // pandas groupby().interpolate(): per-user linear interpolation of the
     // view-only observations over the event stream — interior gaps take
     // the index-weighted line between neighbors, leading gaps stay null,
@@ -646,6 +656,11 @@ object SparkEntry {
       (s"SELECT idx, dup FROM (SELECT $liIdxSql AS idx, " +
         s"$liIdxSql > min($liIdxSql) OVER (PARTITION BY l_quantity) AS dup " +
         "FROM lineitem) ORDER BY idx"),
+    "s49_autocorr" ->
+      ("""SELECT floor(corr(bal, prev) * 1e6 + 0.5) / 1e6 AS ac1 FROM (
+           SELECT c_acctbal AS bal,
+             lag(c_acctbal) OVER (ORDER BY c_custkey) AS prev
+           FROM customer)"""),
     "s48_interpolate" ->
       ("""WITH e AS (
            SELECT event_id AS idx, user_id,

@@ -269,6 +269,20 @@ final class Series private[graft] (
   /** Sample covariance (pandas Series.cov); alignment as in [[corr]]. */
   def cov(other: Series): Double = pairAgg(other, covar_samp(_, _))
 
+  /** Lag-`n` autocorrelation (pandas Series.autocorr): Pearson corr of the
+    * series with itself shifted by `n` labels in index order. The shift
+    * rides the range-bucket two-pass machinery ([[GlobalWindows]] with
+    * carry = n) — no single-task global window; `corr` skips the n
+    * unmatched leading pairs exactly like pandas. NaN when fewer than two
+    * pairs remain. */
+  def autocorr(n: Int = 1): Double = {
+    require(n >= 1, "autocorr lag must be >= 1")
+    val gw = globalWindows(carry = n)
+    val row = gw.result("v" -> gw.value, "p" -> gw.shift(n))
+      .agg(F.corr(col("v"), col("p"))).head()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
   private def pairAgg(other: Series,
                       f: (Column, Column) => Column): Double = {
     val row =
