@@ -90,7 +90,7 @@ object EventOps {
     val iv = intervals.select(
       col(keyCol).as("__ivkey") +:
         intervals.columns.filterNot(_ == keyCol)
-          .map(c => col(c).as(prefix + c)): _*)
+          .map(c => col(c).as(prefix + c)).toIndexedSeq: _*)
       .withColumn("__bkt", explode(sequence(
         floor(unix_micros(col(prefix + loCol)) / us),
         floor(unix_micros(col(prefix + hiCol)) / us))))
@@ -148,7 +148,7 @@ object EventOps {
     val lNorm = left.select(
       col(keyCol).as("__key"), col(tsCol).as("__ts"),
       col(tieCol).as("__tie"), lit(1).as("__side"),
-      struct(left.columns.map(col): _*).as("__lrow"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__lrow"),
       lit(null).cast(rStructType).as("__rvals"))
     val rNorm = right.select(
       col(keyCol).as("__key"), col(tsCol).as("__ts"),

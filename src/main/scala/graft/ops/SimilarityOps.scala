@@ -113,10 +113,10 @@ object SimilarityOps {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(
         graft.functions.DotProduct.dotNative(col("e"),
-          array(c.map(lit): _*)).as("sim"),
+          array(c.map(lit).toIndexedSeq: _*)).as("sim"),
         lit(i).as("cluster"))
     }
-    vNorm.withColumn("cluster", greatest(scored: _*)("cluster"))
+    vNorm.withColumn("cluster", greatest(scored.toIndexedSeq: _*)("cluster"))
   }
 
   /** Top-nprobe centroids per query via posexplode + rank over the
@@ -126,7 +126,7 @@ object SimilarityOps {
     q0.select(col("qid"), col("qe"),
         posexplode(array(centroids.map(cen =>
           graft.functions.DotProduct.dotNative(col("qe"),
-            array(cen.map(lit): _*))): _*)))
+            array(cen.map(lit).toIndexedSeq: _*))).toIndexedSeq: _*)))
       .toDF("qid", "qe", "cluster", "csim")
       .withColumn("crk", row_number().over(
         Window.partitionBy("qid").orderBy(col("csim").desc, col("cluster").asc)))

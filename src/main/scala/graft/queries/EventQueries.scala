@@ -150,7 +150,7 @@ object EventQueries {
       val name = s"graft_e09_${System.nanoTime()}"
       withStatePartitions(s, 8) {
         val q = graft.streaming.StreamOps
-          .sessionizeStream(input.toDF.toDF("ts", "user_id"), 1800L, "0 seconds")
+          .sessionizeStream(input.toDF().toDF("ts", "user_id"), 1800L, "0 seconds")
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
@@ -184,7 +184,7 @@ object EventQueries {
       val name = s"graft_e12_${System.nanoTime()}"
       withStatePartitions(s, 8) {
         val q = graft.streaming.StreamOps
-          .sessionizeNativeStream(input.toDF.toDF("ts", "user_id"), 1800L,
+          .sessionizeNativeStream(input.toDF().toDF("ts", "user_id"), 1800L,
             "0 seconds")
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
@@ -221,7 +221,7 @@ object EventQueries {
       val name = s"graft_e10_${System.nanoTime()}"
       withStatePartitions(s, 8) {
         val q = graft.streaming.StreamOps
-          .dedupStream(input.toDF.toDF("ts", "user_id", "event_type"),
+          .dedupStream(input.toDF().toDF("ts", "user_id", "event_type"),
             "10 minutes", Seq("user_id", "event_type"))
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
@@ -251,7 +251,7 @@ object EventQueries {
       val name = s"graft_e11_${System.nanoTime()}"
       withStatePartitions(s, 8) {
         val joined = graft.streaming.StreamOps.intervalJoinStream(
-          clicks.toDF.toDF("ts", "user_id"), buys.toDF.toDF("ts", "user_id"),
+          clicks.toDF().toDF("ts", "user_id"), buys.toDF().toDF("ts", "user_id"),
           "user_id", "30 minutes", "15 minutes")
         val q = joined.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
@@ -311,7 +311,7 @@ object EventQueries {
       if (fs.exists(p)) fs.delete(p, true)
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, Double)]
-      val q = input.toDF.toDF("event_id", "user_id", "value")
+      val q = input.toDF().toDF("event_id", "user_id", "value")
         .writeStream.format("parquet")
         .option("path", s"$out/data")
         .option("checkpointLocation", s"$out/chk")
@@ -341,7 +341,7 @@ object EventQueries {
         .MemoryStream[(Long, Long)]
       val name = s"graft_e13_${System.nanoTime()}"
       val q = graft.streaming.StreamOps
-        .enrichStream(input.toDF.toDF("event_id", "user_id"), dim,
+        .enrichStream(input.toDF().toDF("event_id", "user_id"), dim,
           "user_id", "c_custkey")
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()

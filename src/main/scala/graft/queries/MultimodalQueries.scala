@@ -32,13 +32,13 @@ object MultimodalQueries {
     "m02_decode_features" -> ((s, d) =>
       MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
           MultimodalOps.FakeDecoder)
-        .toDF.orderBy("doc_id")),
+        .toDF().orderBy("doc_id")),
 
     // Frame-sampling fan-out: every 5th frame index per doc.
     "m03_frame_sample" -> ((s, d) =>
       MultimodalOps.sampleFrames(
           MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
-            MultimodalOps.FakeDecoder).toDF,
+            MultimodalOps.FakeDecoder).toDF(),
           step = 5)
         .orderBy("doc_id", "frame_no")),
 
@@ -55,7 +55,7 @@ object MultimodalQueries {
     "m04_resize" -> ((s, d) =>
       MultimodalOps.resizeToFit(
           MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
-            MultimodalOps.FakeDecoder).toDF,
+            MultimodalOps.FakeDecoder).toDF(),
           maxW = 256, maxH = 256)
         .select("doc_id", "width", "height", "scale", "out_w", "out_h")
         .orderBy("doc_id"))
