@@ -225,6 +225,14 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(byG(1).toSeq == Seq("b", 0L, 1L, 0L))
   }
 
+  test("mergeIndicator labels both/left_only/right_only") {
+    val l = GFrame.fromDF(Seq((1L, "a"), (2L, "b")).toDF("k", "lv"), "k")
+    val r = GFrame.fromDF(Seq((2L, 9.0), (3L, 8.0)).toDF("k", "rv"), "k")
+    val m = l.mergeIndicator(r, Seq("k")).toDF.orderBy("k").collect()
+    assert(m.map(_.getString(3)).toSeq
+      == Seq("left_only", "both", "right_only"))
+  }
+
   test("join on shared column names keeps one key copy") {
     val left = GFrame.fromDF(Seq((1L, "x"), (2L, "y")).toDF("id", "l"), "id")
     val right = GFrame.fromDF(Seq((1L, 9.0)).toDF("id", "r"), "id")
