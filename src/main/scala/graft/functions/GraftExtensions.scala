@@ -10,21 +10,47 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * (or .withExtensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Register a 1-arg Column-composed operator under `name`: the SQL
+    * function IS the Column API function (one definition, two front
+    * doors — see [[org.apache.spark.sql.graftbridge.ColumnBridge]]). */
+  private def unary(ext: SparkSessionExtensions, name: String)(
+      f: Column => Column): Unit =
+    ext.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo("graft.ops.TextOps", name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name takes exactly 1 argument")
+        ColumnBridge.expression(f(ColumnBridge.column(children.head)))
+      }))
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 2, "graft_dot takes exactly 2 arguments")
         DotProduct(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      (children: Seq[Expression]) => {
         require(children.length == 4,
           "graft_lsh_buckets takes (vec, planes, bits, dim)")
         LshBuckets(children(0), children(1), children(2), children(3))
       }))
+    // text-analysis surface for spark.sql users — same expressions the
+    // Column API composes (TextOps), so results are bit-identical
+    unary(ext, "graft_tokens")(graft.ops.TextOps.tokens)
+    unary(ext, "graft_token_count")(graft.ops.TextOps.tokenCount)
+    unary(ext, "graft_quality")(graft.ops.TextOps.qualityScore)
+    unary(ext, "graft_fingerprint")(graft.ops.TextOps.fingerprint)
+    unary(ext, "graft_lang_id")(graft.ops.TextOps.langId)
+    unary(ext, "graft_redact_pii")(graft.ops.TextOps.redactPii)
   }
 }

@@ -366,6 +366,21 @@ object FrameQueries {
         .orderBy("user_id")
     }),
 
+    // SQL surface for the text-analysis operators: GraftExtensions
+    // registers the SAME Column-composed TextOps expressions in the
+    // function registry (one definition, two front doors — see
+    // ColumnBridge), so `spark.sql` users get bit-identical token
+    // counts / quality / fingerprints / language-ID.
+    "f31_sql_text_fns" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""
+        SELECT doc_id, graft_token_count(text) AS n_tokens,
+          graft_quality(text) AS quality,
+          graft_fingerprint(text) AS fp,
+          graft_lang_id(text) AS pred_lang
+        FROM documents ORDER BY doc_id""")
+    }),
+
     // pandas merge(how='outer', indicator=True): customers full-outer
     // per-customer order counts, _merge records provenance (customers
     // with no orders -> left_only). One keyed exchange.
@@ -453,6 +468,29 @@ object FrameQueries {
            count(*) AS n
          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          GROUP BY 1 ORDER BY 1""",
+    // formulas mirror t02 (quality) / t05 (lang-ID) / t06 (fingerprint)
+    "f31_sql_text_fns" ->
+      """WITH t AS (SELECT doc_id, text,
+             list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+           FROM documents),
+         sc AS (SELECT doc_id,
+             len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS en,
+             len(list_filter(ts, x -> x IN ('el','la','los','de','que'))) AS es,
+             len(list_filter(ts, x -> x IN ('der','die','und','das','ist'))) AS de,
+             len(list_filter(ts, x -> x IN ('le','les','et','est','une'))) AS fr
+           FROM t)
+         SELECT t.doc_id, CAST(len(ts) AS INTEGER) AS n_tokens,
+           floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
+             1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               len(list_filter(ts, x -> x IN ('the','a','an','of','and','to',
+                 'in','is','on','for','with'))) * 1.0 / len(ts) END) * 2.0)
+             * 1e6 + 0.5) / 1e6 AS quality,
+           md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
+           CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+             WHEN es >= de AND es >= fr THEN 'es'
+             WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+         FROM t JOIN sc ON t.doc_id = sc.doc_id
+         ORDER BY t.doc_id""",
     "f30_merge_indicator" ->
       """WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders
                     FROM orders GROUP BY 1)

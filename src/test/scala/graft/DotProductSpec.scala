@@ -62,6 +62,21 @@ class DotProductSpec extends AnyFunSuite with SparkFixture {
     assert(r == Seq(32.0, 0.0))
   }
 
+  test("SQL-registered text fns are bit-identical to the Column API") {
+    Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_quality(text) AS q, graft_fingerprint(text)
+         AS fp, graft_lang_id(text) AS lg FROM documents""")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val viaCol = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        graft.ops.TextOps.qualityScore(col("text")).as("q"),
+        graft.ops.TextOps.fingerprint(col("text")).as("fp"),
+        graft.ops.TextOps.langId(col("text")).as("lg"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaSql == viaCol)
+  }
+
   test("agrees with the exact kNN path on real embeddings") {
     val e = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(50)
     val n = DedupOps.normalized(e, "vec_id", "embedding", "id", "v")
