@@ -40,8 +40,11 @@ object Sessions {
       // (measured: d08's iteration checkpoints drifted 5.5s → 13.5s over a
       // long session). 15s keeps a long-lived session's block manager flat.
       .config("spark.cleaner.periodicGC.interval", "15s")
-      // bucketed saveAsTable targets (f27) land under /tmp, not the repo cwd
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // bucketed saveAsTable targets (f27) land under /tmp, not the repo
+      // cwd; the dir is unique per JVM so concurrent processes (verify +
+      // bench both exercising f27) can't drop each other's tables mid-read
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

@@ -440,18 +440,33 @@ object SparkEntry {
       Seq(bal.autocorr(1)).toDF("ac1")
         .select(graft.ops.TextOps.round6(col("ac1")).as("ac1"))
     }),
-    // pandas groupby().interpolate(): per-user linear interpolation of the
-    // view-only observations over the event stream — interior gaps take
-    // the index-weighted line between neighbors, leading gaps stay null,
-    // trailing gaps carry forward. One shuffle on the key.
+    // pandas groupby().interpolate(method='index'): per-user interpolation
+    // of the view-only observations over the event stream, weighting gaps
+    // by index-label distance (event_id is the time-like coordinate here) —
+    // interior gaps take the index-weighted line between neighbors, leading
+    // gaps stay null, trailing gaps carry forward. One shuffle on the key.
     "s48_interpolate" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val v = Series.fromExpr(ev,
         when(col("event_type") === "view", col("value")), "v",
         col("event_id"), "idx")
       ev.select(col("event_id").as("idx"), col("user_id"),
-          graft.ops.TextOps.round6(v.interpolateBy(col("user_id")).values)
-            .as("vi"))
+          graft.ops.TextOps.round6(
+            v.interpolateBy(col("user_id"), "index").values).as("vi"))
+        .orderBy("idx")
+    }),
+    // pandas groupby().interpolate() DEFAULT (method='linear'): rows are
+    // equally spaced — gap fractions are POSITIONAL (per-group row number),
+    // ignoring the index labels; differs from s48 exactly where other
+    // users' event_ids interleave. The position is staged in a projection
+    // (a window can't nest in a window), then the same four-window body.
+    "s54_interpolate_linear" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev,
+        when(col("event_type") === "view", col("value")), "v",
+        col("event_id"), "idx")
+      v.interpolateBy(col("user_id"), "linear").df
+        .select(col("idx"), graft.ops.TextOps.round6(col("v")).as("vl"))
         .orderBy("idx")
     })
   )
@@ -685,6 +700,36 @@ object SparkEntry {
              WHEN nv IS NULL THEN pv
              ELSE pv + (nv - pv) * (idx - pi) * 1.0 / (ni - pi) END)
              * 1e6 + 0.5) / 1e6 AS vi
+         FROM w ORDER BY idx"""),
+    "s54_interpolate_linear" ->
+      ("""WITH e AS (
+           SELECT event_id AS idx, user_id,
+             CASE WHEN event_type = 'view' THEN value END AS v
+           FROM events),
+         p AS (
+           SELECT idx, user_id, v,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY idx)
+               AS DOUBLE) AS pos
+           FROM e),
+         w AS (
+           SELECT idx, v, pos,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER wb AS pc,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER wf AS nc
+           FROM p
+           WINDOW wb AS (PARTITION BY user_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY idx
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT idx,
+           floor((CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN NULL
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (pos - pc) / (nc - pc) END)
+             * 1e6 + 0.5) / 1e6 AS vl
          FROM w ORDER BY idx"""),
     "s32_cummax" ->
       ("SELECT c_custkey AS idx, " +

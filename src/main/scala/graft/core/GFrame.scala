@@ -177,6 +177,12 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     * same single keyed exchange as the plain join. */
   def mergeIndicator(other: GFrame, usingCols: Seq[String],
                      indicatorName: String = "_merge"): GFrame = {
+    // pandas raises on a pre-existing indicator column; the presence markers
+    // are internal and must not silently shadow user columns either
+    Seq("__ml", "__mr", indicatorName).foreach { n =>
+      require(!df.columns.contains(n) && !other.df.columns.contains(n),
+        s"mergeIndicator: column '$n' already exists in an input frame")
+    }
     val l = df.withColumn("__ml", lit(true))
     val r = other.df.withColumn("__mr", lit(true))
     new GFrame(l.join(r, usingCols, "full_outer")
@@ -272,10 +278,14 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
   /** pandas `pd.crosstab(df[r], df[c])`: frequency table of rowCol ×
     * colCol — a pivot-count over explicit column values (single
     * partial+final pass, no values-discovery job); empty cells are 0,
-    * matching pandas (pivot's count yields null there). */
+    * matching pandas (pivot's count yields null there). Null row keys are
+    * dropped (pandas drops NaN keys by default) and the zero-fill is scoped
+    * to the pivoted value columns so a numeric rowCol is never rewritten. */
   def crosstab(rowCol: String, colCol: String, values: Seq[Any]): GFrame =
-    new GFrame(df.groupBy(rowCol).pivot(colCol, values)
-      .agg(org.apache.spark.sql.functions.count(lit(1))).na.fill(0L), rowCol)
+    new GFrame(df.filter(col(rowCol).isNotNull)
+      .groupBy(rowCol).pivot(colCol, values)
+      .agg(org.apache.spark.sql.functions.count(lit(1)))
+      .na.fill(0L, values.map(_.toString)), rowCol)
 
   // ------------------------------------------------------------ null handling
 

@@ -717,30 +717,63 @@ final class Series private[graft] (
     withValue(first(valueExpr, ignoreNulls = true)
       .over(keyedWindow(by).rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
 
-  /** Linear interpolation within each `by` group, index-ordered (pandas
-    * groupby(by).apply(lambda g: g.interpolate())): interior nulls take
-    * `prev + (next − prev) · (idx − prev_idx)/(next_idx − prev_idx)`,
-    * leading nulls stay null, trailing nulls carry the last observation —
-    * pandas' default limit_direction='forward' behavior. Four
-    * last/first-ignore-nulls expressions over the SAME keyed frame pair:
-    * one shuffle on the key, two per-group window passes, no join. */
-  def interpolateBy(by: Column): Series = {
+  /** Interpolation within each `by` group, index-ordered (pandas
+    * groupby(by).apply(lambda g: g.interpolate(method=))): interior nulls
+    * take the line between their non-null neighbors, leading nulls stay
+    * null, trailing nulls carry the last observation — pandas' default
+    * limit_direction='forward' behavior. Two methods, matching pandas:
+    *  - `"linear"` (pandas default): rows are treated as EQUALLY spaced —
+    *    the gap fraction is positional, `(pos − prev_pos)/(next_pos −
+    *    prev_pos)` over the group's row positions, ignoring index values;
+    *  - `"index"` (pandas method='index'/'values'): the fraction weights by
+    *    index-label distance, `(idx − prev_idx)/(next_idx − prev_idx)` —
+    *    the right choice when the index is a meaningful coordinate (time).
+    * The two differ exactly when a group's index labels are non-consecutive
+    * (e.g. other users' event_ids interleave). Four last/first-ignore-nulls
+    * expressions over the SAME keyed frame pair: one shuffle on the key,
+    * two per-group window passes, no join. */
+  def interpolateBy(by: Column, method: String = "linear"): Series =
+    method match {
+      case "index" =>
+        // pure expression composition over the existing base: the index IS
+        // the coordinate, so no staging is needed and the result column
+        // stays resolvable against the caller's frame
+        withValue(interpolateExpr(keyedWindow(by), valueExpr,
+          indexExpr.cast("double")))
+      case "linear" =>
+        // the positional coordinate is itself a window (row_number), and a
+        // window cannot nest inside another window expression — stage the
+        // group key + position in a projection, then interpolate over it
+        val W = org.apache.spark.sql.expressions.Window
+        val byN = "__ip_by"
+        val posN = "__ip_pos"
+        val staged = base
+          .select(indexExpr.as(indexName), valueExpr.as(name), by.as(byN))
+          .withColumn(posN, row_number().over(
+            W.partitionBy(col(byN)).orderBy(col(indexName))).cast("double"))
+        val kw = W.partitionBy(col(byN)).orderBy(col(indexName))
+        new Series(staged, name, indexName, col(indexName),
+          interpolateExpr(kw, col(name), col(posN)))
+      case other => throw new IllegalArgumentException(
+        s"interpolateBy method must be 'linear' or 'index', got '$other'")
+    }
+
+  /** The shared four-window interpolation body: previous/next non-null
+    * value and coordinate over one keyed frame pair. */
+  private def interpolateExpr(
+      kw: org.apache.spark.sql.expressions.WindowSpec,
+      v: Column, coord: Column): Column = {
     val W = org.apache.spark.sql.expressions.Window
-    val back = keyedWindow(by).rowsBetween(W.unboundedPreceding, 0)
-    val fwd = keyedWindow(by).rowsBetween(0, W.unboundedFollowing)
-    val pv = last(valueExpr, ignoreNulls = true).over(back)
-    val pi = last(when(valueExpr.isNotNull, indexExpr), ignoreNulls = true)
-      .over(back)
-    val nv = first(valueExpr, ignoreNulls = true).over(fwd)
-    val ni = first(when(valueExpr.isNotNull, indexExpr), ignoreNulls = true)
-      .over(fwd)
-    withValue(
-      when(valueExpr.isNotNull, valueExpr)
-        .when(pv.isNull, lit(null)) // leading gap: nothing to anchor on
-        .when(nv.isNull, pv) // trailing gap: carry the last observation
-        .otherwise(pv + (nv - pv)
-          * (indexExpr - pi).cast("double")
-          / (ni - pi).cast("double")))
+    val back = kw.rowsBetween(W.unboundedPreceding, 0)
+    val fwd = kw.rowsBetween(0, W.unboundedFollowing)
+    val pv = last(v, ignoreNulls = true).over(back)
+    val pc = last(when(v.isNotNull, coord), ignoreNulls = true).over(back)
+    val nv = first(v, ignoreNulls = true).over(fwd)
+    val nc = first(when(v.isNotNull, coord), ignoreNulls = true).over(fwd)
+    when(v.isNotNull, v)
+      .when(pv.isNull, lit(null)) // leading gap: nothing to anchor on
+      .when(nv.isNull, pv) // trailing gap: carry the last observation
+      .otherwise(pv + (nv - pv) * (coord - pc) / (nc - pc))
   }
 
   /** Cumulative sum within each `by` group, index-ordered (pandas

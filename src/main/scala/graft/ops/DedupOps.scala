@@ -21,17 +21,18 @@ import org.apache.spark.sql.functions._
 object DedupOps {
 
   /** Spread a narrow (id, text) projection across the session's shuffle
-    * width when the scan's split parallelism is below it: compacted/small
-    * files give the heavy per-row Generate stages (tokenize / shingle /
-    * hash explodes) only as many tasks as input SPLITS — observed locally
-    * as a whole corpus shingled on one task. No-op at real scale (a
-    * 100 TB parquet input splits far wider than any session width), so the
-    * extra keyed exchange only fires where it is cheap; keying by id also
+    * width: compacted/small files give the heavy per-row Generate stages
+    * (tokenize / shingle / hash explodes) only as many tasks as input
+    * SPLITS — observed locally as a whole corpus shingled on one task.
+    * Unconditional keyed repartition (no `.rdd` partition-count probe —
+    * materializing the RDD finalizes physical planning and, on a
+    * post-shuffle frame, eagerly executes the upstream stages under AQE);
+    * when the scan already splits wider than the session width the
+    * exchange is a cheap rebalance and AQE coalesces it, and keying by id
     * lets the id-keyed aggregations downstream reuse the partitioning. */
   private[graft] def spread(df: DataFrame, key: String): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < width) df.repartition(width, col(key))
-    else df
+    df.repartition(width, col(key))
   }
 
   /** Survivor (min id) + group size per exact-content group, keyed by the

@@ -56,6 +56,10 @@ object Sources {
     * (Requires a metastore table — saveAsTable, not a bare path.) */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     buckets: Int): Unit = {
+    // the stale-location delete below resolves <warehouse>/<table>; a
+    // db-qualified name would compute the wrong path
+    require(!table.contains("."),
+      s"writeBucketed needs an unqualified table name, got '$table'")
     val spark = df.sparkSession
     // A fresh (in-memory) catalog can face a surviving location from a
     // prior session; Overwrite only replaces tables the catalog knows.
