@@ -468,6 +468,43 @@ object SparkEntry {
       v.interpolateBy(col("user_id"), "linear").df
         .select(col("idx"), graft.ops.TextOps.round6(col("v")).as("vl"))
         .orderBy("idx")
+    }),
+    // pandas cumprod, distributed in the log domain: exp(Σ log|x|) with
+    // sign-parity and zero prefix counts riding the SAME bucketed scan as
+    // cumsum (three cumsumExtra offsets, one stats job). The factor keeps
+    // |x| within 1±1e-5 of 1 and flips sign every 7th key so both the
+    // magnitude fold and the parity offset are exercised without the
+    // product leaving round6 range.
+    "s51_cumprod" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val x = Series.fromExpr(cust,
+        (lit(1.0) + col("c_acctbal") / lit(1e9))
+          * when(col("c_custkey") % 7 === 0, lit(-1.0)).otherwise(lit(1.0)),
+        "cp", col("c_custkey"), "idx")
+      x.cumprod().df
+        .select(col("idx"), graft.ops.TextOps.round6(col("cp")).as("cp"))
+        .orderBy("idx")
+    }),
+    // STRING-indexed global windows: the index coordinate is the first 8
+    // bytes after the corpus common prefix ("Customer#"), so cumsum /
+    // position / cummax all run the distributed bucket plan — no
+    // single-task window (PlanLintSpec asserts this for every gate).
+    "s52_string_index" -> ((s, d) => {
+      val bal = Series.fromExpr(Tables.customer(s, d), col("c_acctbal"),
+        "bal", col("c_name"), "idx")
+      val g = bal.globalWindows()
+      g.result("bal" -> round(g.cumsum(), 2), "pos" -> g.position(),
+          "cmax" -> g.cummax())
+        .orderBy("idx")
+    }),
+    // pandas rank(method=): all five tie methods over ONE bucketed scan —
+    // floor(acctbal/100) manufactures dense ties so average/min/max/dense
+    // genuinely differ; c_custkey is unique so 'first' is deterministic.
+    "s53_rank_methods" -> ((s, d) => {
+      val v = Series.fromExpr(Tables.customer(s, d),
+        floor(col("c_acctbal") / 100), "v", col("c_custkey"), "idx")
+      v.rankAll(Seq("average", "min", "max", "first", "dense"))
+        .orderBy("idx")
     })
   )
 
@@ -731,6 +768,43 @@ object SparkEntry {
              ELSE pv + (nv - pv) * (pos - pc) / (nc - pc) END)
              * 1e6 + 0.5) / 1e6 AS vl
          FROM w ORDER BY idx"""),
+    "s51_cumprod" ->
+      ("""WITH v AS (
+           SELECT c_custkey AS idx,
+             (1.0 + c_acctbal / 1e9)
+               * (CASE WHEN c_custkey % 7 = 0 THEN -1.0 ELSE 1.0 END) AS x
+           FROM customer)
+         SELECT idx,
+           floor(((CASE WHEN sum(CASE WHEN x < 0 THEN 1 ELSE 0 END) OVER w
+                     % 2 = 1 THEN -1.0 ELSE 1.0 END)
+             * exp(sum(ln(abs(x))) OVER w)) * 1e6 + 0.5) / 1e6 AS cp
+         FROM v
+         WINDOW w AS (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s52_string_index" ->
+      ("""SELECT c_name AS idx,
+           round(sum(c_acctbal) OVER w, 2) AS bal,
+           CAST(row_number() OVER (ORDER BY c_name) AS BIGINT) AS pos,
+           max(c_acctbal) OVER w AS cmax
+         FROM customer
+         WINDOW w AS (ORDER BY c_name
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s53_rank_methods" ->
+      ("""WITH v AS (
+           SELECT c_custkey AS idx, floor(c_acctbal / 100) AS v
+           FROM customer)
+         SELECT idx,
+           CAST(rank() OVER o AS DOUBLE)
+             + (count(*) OVER t - 1) / 2.0 AS rank_average,
+           CAST(rank() OVER o AS DOUBLE) AS rank_min,
+           CAST(rank() OVER o + count(*) OVER t - 1 AS DOUBLE) AS rank_max,
+           CAST(row_number() OVER (ORDER BY v, idx) AS DOUBLE) AS rank_first,
+           CAST(dense_rank() OVER o AS DOUBLE) AS rank_dense
+         FROM v
+         WINDOW o AS (ORDER BY v), t AS (PARTITION BY v)
+         ORDER BY idx"""),
     "s32_cummax" ->
       ("SELECT c_custkey AS idx, " +
         "max(c_acctbal) OVER (ORDER BY c_custkey " +

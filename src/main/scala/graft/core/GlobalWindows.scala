@@ -40,13 +40,19 @@ import org.apache.spark.storage.StorageLevel
   * the persisted scan, and a single Window stage — the same one-scan
   * composition the lazy single-task ops had (see s22/s32 gates).
   *
-  * Numeric-index assumption: equal-width bucketing needs a numeric index;
-  * null index labels ride in bucket 0 where ascending nulls-first ordering
-  * puts them exactly where the global window had them. A skewed index
-  * degrades bucket balance, not correctness (derive boundaries from approx
-  * quantiles upstream if needed). Association of parallel-summed doubles
-  * differs from the sequential window in the last ulps — round money
-  * results (the DuckDB-oracle tolerance, same as s18/s29).
+  * Orderable-index bucketing: equal-width bucketing needs a MONOTONE
+  * NUMERIC COORDINATE of the index, not a numeric index. Numeric indexes
+  * use their own value; date/timestamp use epoch days/seconds; strings map
+  * through the first 8 bytes AFTER the corpus-wide common prefix read as a
+  * big-endian unsigned integer (byte-wise monotone, so bucket order agrees
+  * with UTF8_BINARY string order; the common prefix comes free from the
+  * same min/max agg that numeric bounds use — "Customer#000..." fixtures
+  * would otherwise collapse into one bucket). Null index labels ride in
+  * bucket 0 where ascending nulls-first ordering puts them exactly where
+  * the global window had them. A skewed index degrades bucket balance, not
+  * correctness. Association of parallel-summed doubles differs from the
+  * sequential window in the last ulps — round money results (the
+  * DuckDB-oracle tolerance, same as s18/s29).
   */
 final class GlobalWindows private[graft] (
     s: Series, buckets: Int, carry: Int, extra: Seq[(String, Column)]) {
@@ -65,21 +71,78 @@ final class GlobalWindows private[graft] (
     s.index.as(idxName) +: s.values.as(valName) +:
       extra.map { case (n, c) => c.as(n) }: _*)
 
-  // ---- pass 1: index range (near-free off parquet footer stats)
+  // ---- pass 1: index range (near-free off parquet footer stats — min/max
+  // of the RAW column so footer pruning applies; coordinate conversion
+  // happens driver-side / per-row below)
   private val bounds = d.agg(
-    F.min(col(idxName)).cast("double"),
-    F.max(col(idxName)).cast("double")).head()
-  private val degenerate = bounds.isNullAt(0) ||
-    !(bounds.getDouble(1) > bounds.getDouble(0))
+    F.min(col(idxName)), F.max(col(idxName))).head()
+
+  /** (per-row monotone double coordinate, lo, hi) for the index dtype. */
+  private val (coordExpr, coordLo, coordHi): (Column, Double, Double) =
+    d.schema(idxName).dataType match {
+      case _: NumericType =>
+        val lo = if (bounds.isNullAt(0)) Double.NaN
+          else numAsDouble(bounds.get(0))
+        val hi = if (bounds.isNullAt(1)) Double.NaN
+          else numAsDouble(bounds.get(1))
+        (col(idxName).cast("double"), lo, hi)
+      case DateType =>
+        def days(a: Any): Double = a match {
+          case dt: java.sql.Date => dt.toLocalDate.toEpochDay.toDouble
+          case ld: java.time.LocalDate => ld.toEpochDay.toDouble
+        }
+        val lo = if (bounds.isNullAt(0)) Double.NaN else days(bounds.get(0))
+        val hi = if (bounds.isNullAt(1)) Double.NaN else days(bounds.get(1))
+        (unix_date(col(idxName)).cast("double"), lo, hi)
+      case TimestampType | TimestampNTZType =>
+        def secs(a: Any): Double = a match {
+          case ts: java.sql.Timestamp =>
+            ts.getTime / 1000.0 // ms precision is plenty for BUCKETING
+          case i: java.time.Instant => i.toEpochMilli / 1000.0
+          case l: java.time.LocalDateTime =>
+            l.toEpochSecond(java.time.ZoneOffset.UTC).toDouble
+        }
+        val lo = if (bounds.isNullAt(0)) Double.NaN else secs(bounds.get(0))
+        val hi = if (bounds.isNullAt(1)) Double.NaN else secs(bounds.get(1))
+        // cast timestamp→double = epoch seconds; sub-second drift vs the
+        // driver-side ms conversion is absorbed by the [0, buckets-1] clamp
+        (col(idxName).cast("double"), lo, hi)
+      case StringType =>
+        if (bounds.isNullAt(0)) (lit(0.0), Double.NaN, Double.NaN)
+        else {
+          val mn = bounds.getString(0).getBytes("UTF-8")
+          val mx = bounds.getString(1).getBytes("UTF-8")
+          // common byte prefix of min&max == common prefix of ALL values
+          // under byte-wise (UTF8_BINARY) ordering
+          var p = 0
+          while (p < mn.length && p < mx.length && mn(p) == mx(p)) p += 1
+          def coordOf(b: Array[Byte]): Double = {
+            val sub = java.util.Arrays.copyOfRange(b, math.min(p, b.length),
+              math.min(p + 8, b.length))
+            // big-endian unsigned, right-padded with 0x00 to 8 bytes;
+            // BigInt→double is correctly rounded, matching Spark's
+            // string→double cast of conv()'s exact decimal rendering
+            BigInt(1, sub ++ Array.fill(8 - sub.length)(0.toByte)).toDouble
+          }
+          // first 8 bytes after the common prefix, big-endian unsigned —
+          // byte-wise monotone, so range buckets agree with string order
+          (conv(rpad(hex(substring(col(idxName).cast("binary"),
+            p + 1, 8)), 16, "0"), 16, 10).cast("double"),
+            coordOf(mn), coordOf(mx))
+        }
+      case _ => (lit(0.0), Double.NaN, Double.NaN) // unsupported → 1 bucket
+    }
+
+  private val degenerate =
+    coordLo.isNaN || coordHi.isNaN || !(coordHi > coordLo)
 
   private val bktExpr: Column =
     if (degenerate) lit(0L)
     else {
-      val lo = bounds.getDouble(0)
-      val width = (bounds.getDouble(1) - lo) / buckets
+      val width = (coordHi - coordLo) / buckets
       when(col(idxName).isNull, lit(0L)).otherwise(
-        least(floor((col(idxName).cast("double") - lit(lo)) / lit(width)),
-          lit(buckets - 1.0)).cast("long"))
+        greatest(least(floor((coordExpr - lit(coordLo)) / lit(width)),
+          lit(buckets - 1.0)), lit(0.0)).cast("long"))
     }
 
   /** Real rows, bucketed; persisted — consumed by the stats/carry jobs AND
@@ -135,6 +198,10 @@ final class GlobalWindows private[graft] (
 
   private var needOffsets = false
   private def off(c: String): Column = { needOffsets = true; col(c) }
+  /** Extra columns whose exclusive per-bucket running SUM must also ride in
+    * [[offsetsDF]] (registered by [[cumsumExtra]] before result() forces
+    * the lazy offsets job). */
+  private val sumExtras = mutable.LinkedHashSet.empty[String]
 
   private lazy val valueDt = d.schema(valName).dataType
   private lazy val numericValue = valueDt.isInstanceOf[NumericType]
@@ -155,10 +222,13 @@ final class GlobalWindows private[graft] (
       F.min_by(col(valName), when(col(valName).isNotNull, col(idxName)))
         .as("__gw_firstnn"))
     if (numericValue) aggs += F.sum(col(valName)).as("__gw_sm")
+    val exNames = sumExtras.toSeq
+    exNames.foreach { e => aggs += F.sum(col(e)).as(s"__gw_xs_$e") }
     val statsDf = keyed.groupBy(col(Bkt))
       .agg(aggs.head, aggs.tail.toSeq: _*)
     val sumDt =
       if (numericValue) statsDf.schema("__gw_sm").dataType else valueDt
+    val exDts = exNames.map(e => statsDf.schema(s"__gw_xs_$e").dataType)
     val stats = statsDf.collect().sortBy(_.getLong(0))
 
     val n = stats.length
@@ -168,6 +238,7 @@ final class GlobalWindows private[graft] (
     val iFf = statsDf.schema.fieldIndex("__gw_lastnn")
     val iBf = statsDf.schema.fieldIndex("__gw_firstnn")
     val iSm = if (numericValue) statsDf.schema.fieldIndex("__gw_sm") else -1
+    val iEx = exNames.map(e => statsDf.schema.fieldIndex(s"__gw_xs_$e"))
 
     // backward pass first: first non-null value of any FOLLOWING bucket
     val bfOff = new Array[Any](n)
@@ -183,13 +254,17 @@ final class GlobalWindows private[graft] (
     var mn: Any = null
     var ff: Any = null
     var sm: Any = null
+    val exSm = Array.fill[Any](exNames.length)(null)
     val rows = stats.zipWithIndex.map { case (r, i) =>
-      val out = Row(r.getLong(0), cnt, mx, mn, sm, ff, bfOff(i))
+      val out = Row.fromSeq(Seq(r.getLong(0), cnt, mx, mn, sm, ff,
+        bfOff(i)) ++ exSm.toSeq)
       cnt += r.getLong(iCnt)
       mx = pickBy(mx, r.get(iMx), gtr = true)
       mn = pickBy(mn, r.get(iMn), gtr = false)
       if (r.get(iFf) != null) ff = r.get(iFf)
       if (numericValue) sm = addAny(sm, r.get(iSm), sumDt)
+      for (j <- exNames.indices)
+        exSm(j) = addAny(exSm(j), r.get(iEx(j)), exDts(j))
       out
     }
     val schema = StructType(Seq(
@@ -199,7 +274,9 @@ final class GlobalWindows private[graft] (
       StructField(MinOff, valueDt, nullable = true),
       StructField(SumOff, sumDt, nullable = true),
       StructField(FfOff, valueDt, nullable = true),
-      StructField(BfOff, valueDt, nullable = true)))
+      StructField(BfOff, valueDt, nullable = true)) ++
+      exNames.zip(exDts).map { case (e, dt) =>
+        StructField(exOff(e), dt, nullable = true) })
     d.sparkSession.createDataFrame(rows.toSeq.asJava, schema)
   }
 
@@ -209,6 +286,19 @@ final class GlobalWindows private[graft] (
   def cumsum(): Column = {
     val c = F.sum(realValue).over(cumw)
     val o = off(SumOff)
+    when(o.isNull, c).when(c.isNull, o).otherwise(c + o)
+  }
+
+  /** Global cumulative sum of a passthrough `extra` column (same plan shape
+    * as [[cumsum]]; several extras share the one stats job + broadcast).
+    * Register-before-result: must be called before [[result]] forces the
+    * lazy offsets job. */
+  def cumsumExtra(n: String): Column = {
+    require(extra.exists(_._1 == n),
+      s"cumsumExtra('$n') is not a declared extra column")
+    sumExtras += n
+    val c = F.sum(when(!col(CarryCol), col(n))).over(cumw)
+    val o = off(exOff(n))
     when(o.isNull, c).when(c.isNull, o).otherwise(c + o)
   }
 
@@ -300,6 +390,11 @@ private[graft] object GlobalWindows {
   val SumOff = "__gw_sum_off"
   val FfOff = "__gw_ff_off"
   val BfOff = "__gw_bf_off"
+  def exOff(n: String): String = s"__gw_xsum_${n}_off"
+
+  /** External numeric value → double (driver-side bounds conversion). */
+  private def numAsDouble(a: Any): Double =
+    a.asInstanceOf[java.lang.Number].doubleValue()
 
   /** Null-first comparable ordering over Spark external atomic values. */
   val AnyOrd: Ordering[Any] = new Ordering[Any] {

@@ -388,7 +388,7 @@ final class Series private[graft] (
     * fall back to the global ordered row_number. */
   def iloc(from: Long, until: Long): Series = {
     require(from >= 0 && until >= from, "invalid positional range")
-    if (numericIdx) {
+    if (orderableIdx) {
       val g = globalWindows()
       val out = g.result(name -> g.value, "__pos" -> (g.position() - 1L))
         .filter(col("__pos") >= from && col("__pos") < until)
@@ -455,10 +455,14 @@ final class Series private[graft] (
     withValue(when(valueExpr.isNotNull, bucket))
   }
 
-  /** Is the index numeric — the precondition for the range-bucketed
-    * distributed global-window path ([[GlobalWindows]]). */
-  private def numericIdx: Boolean = df.schema(indexName).dataType match {
-    case _: NumericType => true
+  /** Does the index dtype have a monotone numeric bucketing coordinate —
+    * the precondition for the range-bucketed distributed global-window
+    * path ([[GlobalWindows]]): numeric (own value), date/timestamp (epoch
+    * days/seconds), string (first-8-bytes-after-common-prefix big-endian).
+    * Anything else falls back to the single-task global window. */
+  private def orderableIdx: Boolean = df.schema(indexName).dataType match {
+    case _: NumericType | StringType | DateType | TimestampType |
+         TimestampNTZType => true
     case _ => false
   }
 
@@ -475,7 +479,7 @@ final class Series private[graft] (
     * back to the single-task global window. [[cumsumBy]] is the keyed
     * sibling. */
   def cumsum(): Series =
-    if (numericIdx) { val g = globalWindows(); g.series(g.cumsum(), name) }
+    if (orderableIdx) { val g = globalWindows(); g.series(g.cumsum(), name) }
     else cumsumGlobalWindow
 
   /** Single-task global-window cumsum — the non-numeric-index fallback. */
@@ -533,7 +537,7 @@ final class Series private[graft] (
     * bucketed two-pass plan ([[GlobalWindows]]: within-bucket prefix max +
     * exclusive bucket-max offsets); [[cummaxBy]] is the keyed variant. */
   def cummax(): Series =
-    if (numericIdx) { val g = globalWindows(); g.series(g.cummax(), name) }
+    if (orderableIdx) { val g = globalWindows(); g.series(g.cummax(), name) }
     else withValue(F.max(valueExpr).over(
       org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -541,11 +545,42 @@ final class Series private[graft] (
 
   /** Cumulative min in index order (pandas cummin). */
   def cummin(): Series =
-    if (numericIdx) { val g = globalWindows(); g.series(g.cummin(), name) }
+    if (orderableIdx) { val g = globalWindows(); g.series(g.cummin(), name) }
     else withValue(F.min(valueExpr).over(
       org.apache.spark.sql.expressions.Window.orderBy(indexExpr)
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)))
+
+  /** Cumulative product in index order (pandas cumprod), distributed in
+    * the LOG DOMAIN: a product has no partial+final Spark aggregate, but
+    * `exp(Σ log|x|)` rides the same bucketed prefix-sum machinery as
+    * cumsum, with two more prefix sums carrying what the log loses —
+    * sign parity (count of negative factors, odd → −1) and the zero
+    * short-circuit (any preceding zero → 0). All three prefixes share ONE
+    * bucketed scan, one stats job, and one Window stage
+    * ([[GlobalWindows.cumsumExtra]]).
+    *
+    * Output is always double; exp∘Σ∘log loses the last ~2 ulps vs an
+    * exact sequential product (the same float-association tolerance as
+    * the parallel cumsum — round results you compare across engines).
+    * Null values yield null at their own row and are skipped by later
+    * products, exactly like pandas. */
+  def cumprod(): Series = {
+    val neg = "__cp_neg"; val zer = "__cp_zero"; val lg = "__cp_log"
+    val g = globalWindows(extra = Seq(
+      neg -> when(valueExpr.isNotNull, when(valueExpr < 0, 1L).otherwise(0L)),
+      zer -> when(valueExpr.isNotNull, when(valueExpr === 0, 1L).otherwise(0L)),
+      lg -> when(valueExpr =!= 0, log(F.abs(valueExpr.cast("double"))))))
+    val negs = g.cumsumExtra(neg)
+    val zeros = g.cumsumExtra(zer)
+    val logs = g.cumsumExtra(lg)
+    val out = when(g.value.isNull, lit(null).cast("double"))
+      .when(coalesce(zeros, lit(0L)) > 0L, lit(0.0))
+      .otherwise(
+        when(coalesce(negs, lit(0L)) % 2 === 1L, lit(-1.0)).otherwise(lit(1.0))
+          * exp(logs))
+    g.series(out, name)
+  }
 
   /** Value shifted by `n` positions in index order (pandas shift) —
     * null-padded. Numeric indexes run the bucketed plan with the global
@@ -554,14 +589,14 @@ final class Series private[graft] (
     * back to the single-task global window. [[shiftBy]] is the keyed
     * sibling. */
   def shift(n: Int = 1): Series =
-    if (n >= 0 && numericIdx) {
+    if (n >= 0 && orderableIdx) {
       val g = globalWindows(carry = n)
       g.series(g.shift(n), name)
     } else withValue(lag(valueExpr, n).over(ixWindow))
 
   /** First discrete difference v - v.shift(n) (pandas diff). */
   def diff(n: Int = 1): Series =
-    if (n >= 0 && numericIdx) {
+    if (n >= 0 && orderableIdx) {
       val g = globalWindows(carry = n)
       g.series(g.diff(n), name)
     } else withValue(valueExpr - lag(valueExpr, n).over(ixWindow))
@@ -570,7 +605,7 @@ final class Series private[graft] (
     * try_divide: a zero previous value yields null, not a DIVIDE_BY_ZERO
     * abort under Spark 4's default ANSI mode. */
   def pctChange(): Series =
-    if (numericIdx) {
+    if (orderableIdx) {
       val g = globalWindows(carry = 1)
       g.series(g.pctChange(), name)
     } else {
@@ -578,32 +613,58 @@ final class Series private[graft] (
       withValue(try_divide(valueExpr - prev, prev))
     }
 
-  /** Rank of each value, average method like pandas rank(): ties share the
-    * mean of their positions; null values rank as null.
+  /** Rank of each value (pandas rank(method=)): ties resolve by `method` —
+    * 'average' (pandas default: ties share the mean of their positions),
+    * 'min', 'max', 'first' (order of appearance = index order; needs
+    * unique index labels to be deterministic), 'dense' (no gaps after
+    * ties). Null values rank as null and never shift real ranks. Output
+    * is double (pandas rank is float64).
     *
     * Numeric values rank distributed: the value column range-buckets
     * exactly like [[GlobalWindows]] buckets the index (identical values
     * always land in one bucket, so ties never split), rank = within-bucket
     * rank + exclusive non-null count of lower buckets (a `buckets`-entry
-    * literal map — bounded driver state) + the average-method tie shift
-    * from an unordered partitionBy(value) count. No global-order window
-    * node anywhere in the plan. Non-numeric values fall back to the
-    * single-task global window (nulls sort LAST there so they never shift
-    * real ranks). */
-  def rank(buckets: Int = 32): Series = {
+    * literal map — bounded driver state; dense uses the exclusive DISTINCT
+    * count) + the per-method tie shift from an unordered partitionBy(value)
+    * count. No global-order window node anywhere in the plan. Non-numeric
+    * values fall back to the single-task global window (nulls sort LAST
+    * there so they never shift real ranks). */
+  def rank(buckets: Int = 32): Series = rank("average", buckets)
+
+  def rank(method: String, buckets: Int): Series = {
+    val d = rankAll(Seq(method), buckets)
+    Series.fromKeyed(
+      d.select(col(indexName), col(s"rank_$method").as(name)),
+      name, indexName)
+  }
+  def rank(method: String): Series = rank(method, 32)
+
+  /** All requested rank methods over ONE bucketed scan / one stats job —
+    * columns `rank_<method>` beside the index. */
+  def rankAll(methods: Seq[String], buckets: Int = 32): DataFrame = {
+    val known = Set("average", "min", "max", "first", "dense")
+    methods.foreach(m => require(known(m), s"unknown rank method '$m'"))
+    val W = org.apache.spark.sql.expressions.Window
     val numericVal = df.schema(name).dataType match {
       case _: NumericType => true
       case _ => false
     }
     if (!numericVal) {
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(valueExpr.asc_nulls_last)
-      // avg of row_numbers within a tie group == rank + (count-1)/2
-      return withValue(when(valueExpr.isNotNull,
-        F.rank().over(w).cast("double")
-          + (F.count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)) - 1)
-            .cast("double") / 2.0))
+      // single-task fallback for non-numeric values (documented seam)
+      val w = W.orderBy(valueExpr.asc_nulls_last)
+      val wf = W.orderBy(valueExpr.asc_nulls_last, indexExpr.asc)
+      val tieCnt = F.count(lit(1)).over(W.partitionBy(valueExpr))
+      def expr(m: String): Column = when(valueExpr.isNotNull, m match {
+        case "min" => F.rank().over(w).cast("double")
+        case "max" =>
+          (F.rank().over(w) + tieCnt - 1).cast("double")
+        case "average" => F.rank().over(w).cast("double") +
+          (tieCnt - 1).cast("double") / 2.0
+        case "first" => row_number().over(wf).cast("double")
+        case "dense" => dense_rank().over(w).cast("double")
+      })
+      return base.select(indexExpr.as(indexName) +:
+        methods.map(m => expr(m).as(s"rank_$m")): _*)
     }
     val bounds = base.agg(F.min(valueExpr).cast("double"),
       F.max(valueExpr).cast("double")).head()
@@ -626,24 +687,37 @@ final class Series private[graft] (
         .withColumn(BktCol, vbkt)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val counts = keyed.filter(col(BktCol).isNotNull)
-      .groupBy(col(BktCol)).agg(F.count(lit(1)).as("__c"))
+      .groupBy(col(BktCol)).agg(F.count(lit(1)).as("__c"),
+        F.count_distinct(col(name)).as("__d"))
       .collect().sortBy(_.getLong(0))
     var acc = 0L
+    var dacc = 0L
     val offs = counts.map { r =>
       val o = acc; acc += r.getLong(1); r.getLong(0) -> o
     }.toMap
-    val offExpr =
-      if (offs.isEmpty) lit(0L)
-      else coalesce(element_at(typedlit(offs), col(BktCol)), lit(0L))
-    val rkWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(BktCol)).orderBy(col(name).asc)
-    val tieWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(name))
-    val rk = when(col(name).isNotNull,
-      (F.rank().over(rkWin) + offExpr).cast("double")
-        + (F.count(lit(1)).over(tieWin) - 1).cast("double") / 2.0)
-    Series.fromKeyed(
-      keyed.select(col(indexName), rk.as(name)), name, indexName)
+    val doffs = counts.map { r =>
+      val o = dacc; dacc += r.getLong(2); r.getLong(0) -> o
+    }.toMap
+    def offExpr(m: Map[Long, Long]): Column =
+      if (m.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(m), col(BktCol)), lit(0L))
+    val cntOff = offExpr(offs)
+    val dstOff = offExpr(doffs)
+    val rkWin = W.partitionBy(col(BktCol)).orderBy(col(name).asc)
+    val firstWin =
+      W.partitionBy(col(BktCol)).orderBy(col(name).asc, col(indexName).asc)
+    val tieCnt = F.count(lit(1)).over(W.partitionBy(col(name)))
+    val minRk = F.rank().over(rkWin) + cntOff
+    def expr(m: String): Column = when(v.isNotNull, m match {
+      case "min" => minRk.cast("double")
+      case "max" => (minRk + tieCnt - 1).cast("double")
+      case "average" =>
+        minRk.cast("double") + (tieCnt - 1).cast("double") / 2.0
+      case "first" => (row_number().over(firstWin) + cntOff).cast("double")
+      case "dense" => (dense_rank().over(rkWin) + dstOff).cast("double")
+    })
+    keyed.select(col(indexName) +:
+      methods.map(m => expr(m).as(s"rank_$m")): _*)
   }
 
   /** Rolling mean over the trailing `n` values in index order (pandas
@@ -664,7 +738,7 @@ final class Series private[graft] (
   private def rollingGlobal(n: Int, distributed: GlobalWindows => Column,
       fallback: => Series): Series = {
     require(n >= 1, "rolling window size must be >= 1")
-    if (numericIdx) {
+    if (orderableIdx) {
       val g = globalWindows(carry = n - 1)
       g.series(distributed(g), name)
     } else fallback
@@ -696,13 +770,13 @@ final class Series private[graft] (
     * null bucket offsets, [[GlobalWindows]]); [[ffillBy]] is the keyed
     * sibling. */
   def ffill(): Series =
-    if (numericIdx) { val g = globalWindows(); g.series(g.ffill(), name) }
+    if (orderableIdx) { val g = globalWindows(); g.series(g.ffill(), name) }
     else withValue(last(valueExpr, ignoreNulls = true)
       .over(ixWindow.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
 
   /** Backward-fill nulls in index order (pandas bfill). */
   def bfill(): Series =
-    if (numericIdx) { val g = globalWindows(); g.series(g.bfill(), name) }
+    if (orderableIdx) { val g = globalWindows(); g.series(g.bfill(), name) }
     else withValue(first(valueExpr, ignoreNulls = true)
       .over(ixWindow.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
 

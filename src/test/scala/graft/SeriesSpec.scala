@@ -433,6 +433,81 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(null, 1.0, 2.0, 3.0, 4.0, 4.0))
   }
 
+  test("interpolateBy method='linear' is positional; 'index' weights by labels") {
+    // one group, labels 0,1,10: the interior null at label 1 sits at
+    // positional midpoint (linear -> 5.5) but only 1/10 along the label
+    // gap (index -> 1.9) — pandas' two methods, exactly
+    val df = Seq[(Long, Long, Option[Double])](
+      (0L, 1L, Some(1.0)), (1L, 1L, None), (10L, 1L, Some(10.0)))
+      .toDF("idx", "g", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    def got(method: String) = s.interpolateBy(df("g"), method).df
+      .orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    assert(got("linear") == Seq(1.0, 5.5, 10.0))
+    assert(got("index") == Seq(1.0, 1.9, 10.0))
+  }
+
+  test("cumprod: sign parity, zero short-circuit, null passthrough (pandas)") {
+    // pandas [2,-3,nan,4,0,5,-1].cumprod() == [2,-6,nan,-24,0,0,0]
+    val v = Series.fromPairs(spark,
+      Seq((0L, java.lang.Double.valueOf(2.0)), (1L, java.lang.Double.valueOf(-3.0)),
+        (2L, null.asInstanceOf[java.lang.Double]), (3L, java.lang.Double.valueOf(4.0)),
+        (4L, java.lang.Double.valueOf(0.0)), (5L, java.lang.Double.valueOf(5.0)),
+        (6L, java.lang.Double.valueOf(-1.0))))
+    val got = v.cumprod().df.orderBy("index").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    val exp = Seq(2.0, -6.0, null, -24.0, 0.0, 0.0, 0.0)
+    got.zip(exp).foreach {
+      case (null, e) => assert(e == null)
+      case (g: Double, e: Double) => assert(math.abs(g - e) < 1e-9)
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("cumprod distributes exactly across bucket boundaries") {
+    // 100 rows over many buckets: log-domain fold + parity offsets must
+    // reproduce the sequential product to float tolerance
+    val data = (1 to 100).map(i => (if (i % 3 == 0) -1.0 else 1.0) * (1.0 + i / 1e4))
+    val s = Series.fromSeq(spark, data, name = "v")
+    val got = s.cumprod().df.orderBy("index").collect().map(_.getDouble(1))
+    var p = 1.0
+    val exp = data.map { x => p *= x; p }
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
+  test("string-indexed global windows run bucketed and match sequential") {
+    // shared prefix stresses the common-prefix-stripping coordinate; the
+    // plan must contain no single-task global window (also enforced
+    // suite-wide by PlanLintSpec for the s52 gate)
+    val rows = (1 to 500).map(i => (f"user#$i%04d", i.toDouble))
+    val df = rows.toDF("k", "v")
+    val s = Series.fromColumn(df, "v", "k")
+    val cs = s.cumsum().df.orderBy("k").collect().map(_.getDouble(1)).toSeq
+    val exp = rows.sortBy(_._1).map(_._2).scanLeft(0.0)(_ + _).tail
+    cs.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6) }
+    val plan = s.cumsum().df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(__bkt"))
+    // carry rows must cross string-bucket boundaries too
+    val sh = s.shift(1).df.orderBy("k").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    val expSh = null +: rows.sortBy(_._1).map(_._2).init.map(v => v: Any)
+    assert(sh == expSh)
+  }
+
+  test("rank methods match pandas tie semantics") {
+    // values [3,1,3,2,1,3]: min [4,1,4,3,1,4] max [6,2,6,3,2,6]
+    // average [5,1.5,5,3,1.5,5] dense [3,1,3,2,1,3] first [4,1,5,3,2,6]
+    val v = Series.fromPairs(spark,
+      Seq((0L, 3.0), (1L, 1.0), (2L, 3.0), (3L, 2.0), (4L, 1.0), (5L, 3.0)))
+    def got(m: String) = valuesOf(v.rank(m))
+    assert(got("min") == Seq(4.0, 1.0, 4.0, 3.0, 1.0, 4.0))
+    assert(got("max") == Seq(6.0, 2.0, 6.0, 3.0, 2.0, 6.0))
+    assert(got("average") == Seq(5.0, 1.5, 5.0, 3.0, 1.5, 5.0))
+    assert(got("dense") == Seq(3.0, 1.0, 3.0, 2.0, 1.0, 3.0))
+    assert(got("first") == Seq(4.0, 1.0, 5.0, 3.0, 2.0, 6.0))
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
