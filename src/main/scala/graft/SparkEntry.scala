@@ -497,6 +497,23 @@ object SparkEntry {
           "cmax" -> g.cummax())
         .orderBy("idx")
     }),
+    // pandas ewm(alpha=0.1, adjust=True).mean()/.var(): the recurrence is
+    // distributed as per-bucket decayed partials + a driver-folded carry
+    // (every factor <= 1 — stable at any depth). Centering/scaling acctbal
+    // keeps the mean^2 cancellation in the var formula far inside round6
+    // tolerance; the oracle replays the exact sequential recurrence as a
+    // DuckDB recursive CTE.
+    "s50_ewm" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val x = Series.fromExpr(sup,
+        (col("s_acctbal") - lit(4500.0)) / lit(1000.0), "x",
+        col("s_suppkey"), "idx")
+      x.ewm(0.1).stats
+        .select(col("idx"),
+          graft.ops.TextOps.round6(col("ewm_mean")).as("em"),
+          graft.ops.TextOps.round6(col("ewm_var")).as("ev"))
+        .orderBy("idx")
+    }),
     // pandas rank(method=): all five tie methods over ONE bucketed scan —
     // floor(acctbal/100) manufactures dense ties so average/min/max/dense
     // genuinely differ; c_custkey is unique so 'first' is deterministic.
@@ -791,6 +808,32 @@ object SparkEntry {
          WINDOW w AS (ORDER BY c_name
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
+    "s50_ewm" ->
+      ("""WITH RECURSIVE s AS (
+           SELECT s_suppkey AS idx, (s_acctbal - 4500.0) / 1000.0 AS x,
+             row_number() OVER (ORDER BY s_suppkey) AS rn
+           FROM supplier),
+         r AS (
+           SELECT idx, rn, x,
+             -- CAST the seeds: a DECIMAL(2,1) literal would pin the whole
+             -- recursion to one decimal digit of scale
+             x AS num, CAST(1.0 AS DOUBLE) AS den,
+             x * x AS num2, CAST(1.0 AS DOUBLE) AS den2
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.idx, s.rn, s.x,
+             s.x + 0.9 * r.num,
+             1.0 + 0.9 * r.den,
+             s.x * s.x + 0.9 * r.num2,
+             1.0 + 0.81 * r.den2
+           FROM r JOIN s ON s.rn = r.rn + 1)
+         SELECT idx,
+           floor((num / den) * 1e6 + 0.5) / 1e6 AS em,
+           CASE WHEN rn > 1 THEN
+             floor(((num2 / den - (num / den) * (num / den))
+               * den * den / (den * den - den2)) * 1e6 + 0.5) / 1e6
+           END AS ev
+         FROM r ORDER BY idx"""),
     "s53_rank_methods" ->
       ("""WITH v AS (
            SELECT c_custkey AS idx, floor(c_acctbal / 100) AS v

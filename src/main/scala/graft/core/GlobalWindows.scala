@@ -79,71 +79,14 @@ final class GlobalWindows private[graft] (
 
   /** (per-row monotone double coordinate, lo, hi) for the index dtype. */
   private val (coordExpr, coordLo, coordHi): (Column, Double, Double) =
-    d.schema(idxName).dataType match {
-      case _: NumericType =>
-        val lo = if (bounds.isNullAt(0)) Double.NaN
-          else numAsDouble(bounds.get(0))
-        val hi = if (bounds.isNullAt(1)) Double.NaN
-          else numAsDouble(bounds.get(1))
-        (col(idxName).cast("double"), lo, hi)
-      case DateType =>
-        def days(a: Any): Double = a match {
-          case dt: java.sql.Date => dt.toLocalDate.toEpochDay.toDouble
-          case ld: java.time.LocalDate => ld.toEpochDay.toDouble
-        }
-        val lo = if (bounds.isNullAt(0)) Double.NaN else days(bounds.get(0))
-        val hi = if (bounds.isNullAt(1)) Double.NaN else days(bounds.get(1))
-        (unix_date(col(idxName)).cast("double"), lo, hi)
-      case TimestampType | TimestampNTZType =>
-        def secs(a: Any): Double = a match {
-          case ts: java.sql.Timestamp =>
-            ts.getTime / 1000.0 // ms precision is plenty for BUCKETING
-          case i: java.time.Instant => i.toEpochMilli / 1000.0
-          case l: java.time.LocalDateTime =>
-            l.toEpochSecond(java.time.ZoneOffset.UTC).toDouble
-        }
-        val lo = if (bounds.isNullAt(0)) Double.NaN else secs(bounds.get(0))
-        val hi = if (bounds.isNullAt(1)) Double.NaN else secs(bounds.get(1))
-        // cast timestamp→double = epoch seconds; sub-second drift vs the
-        // driver-side ms conversion is absorbed by the [0, buckets-1] clamp
-        (col(idxName).cast("double"), lo, hi)
-      case StringType =>
-        if (bounds.isNullAt(0)) (lit(0.0), Double.NaN, Double.NaN)
-        else {
-          val mn = bounds.getString(0).getBytes("UTF-8")
-          val mx = bounds.getString(1).getBytes("UTF-8")
-          // common byte prefix of min&max == common prefix of ALL values
-          // under byte-wise (UTF8_BINARY) ordering
-          var p = 0
-          while (p < mn.length && p < mx.length && mn(p) == mx(p)) p += 1
-          def coordOf(b: Array[Byte]): Double = {
-            val sub = java.util.Arrays.copyOfRange(b, math.min(p, b.length),
-              math.min(p + 8, b.length))
-            // big-endian unsigned, right-padded with 0x00 to 8 bytes;
-            // BigInt→double is correctly rounded, matching Spark's
-            // string→double cast of conv()'s exact decimal rendering
-            BigInt(1, sub ++ Array.fill(8 - sub.length)(0.toByte)).toDouble
-          }
-          // first 8 bytes after the common prefix, big-endian unsigned —
-          // byte-wise monotone, so range buckets agree with string order
-          (conv(rpad(hex(substring(col(idxName).cast("binary"),
-            p + 1, 8)), 16, "0"), 16, 10).cast("double"),
-            coordOf(mn), coordOf(mx))
-        }
-      case _ => (lit(0.0), Double.NaN, Double.NaN) // unsupported → 1 bucket
-    }
+    indexCoord(d.schema(idxName).dataType, col(idxName), bounds)
 
   private val degenerate =
     coordLo.isNaN || coordHi.isNaN || !(coordHi > coordLo)
 
   private val bktExpr: Column =
     if (degenerate) lit(0L)
-    else {
-      val width = (coordHi - coordLo) / buckets
-      when(col(idxName).isNull, lit(0L)).otherwise(
-        greatest(least(floor((coordExpr - lit(coordLo)) / lit(width)),
-          lit(buckets - 1.0)), lit(0.0)).cast("long"))
-    }
+    else bucketExpr(col(idxName), coordExpr, coordLo, coordHi, buckets)
 
   /** Real rows, bucketed; persisted — consumed by the stats/carry jobs AND
     * the returned windowed plan (tracked in [[graft.Caches]]). */
@@ -395,6 +338,75 @@ private[graft] object GlobalWindows {
   /** External numeric value → double (driver-side bounds conversion). */
   private def numAsDouble(a: Any): Double =
     a.asInstanceOf[java.lang.Number].doubleValue()
+
+  /** (per-row monotone double coordinate, lo, hi) of an orderable index
+    * dtype, from the raw min/max `bounds` row — shared by the window
+    * builder and the recurrence engine ([[Ewm]]). NaN lo/hi signals a
+    * degenerate (single-bucket) range. */
+  private[graft] def indexCoord(dt: DataType, idxCol: Column,
+      bounds: Row): (Column, Double, Double) = dt match {
+    case _: NumericType =>
+      val lo = if (bounds.isNullAt(0)) Double.NaN
+        else numAsDouble(bounds.get(0))
+      val hi = if (bounds.isNullAt(1)) Double.NaN
+        else numAsDouble(bounds.get(1))
+      (idxCol.cast("double"), lo, hi)
+    case DateType =>
+      def days(a: Any): Double = a match {
+        case dt: java.sql.Date => dt.toLocalDate.toEpochDay.toDouble
+        case ld: java.time.LocalDate => ld.toEpochDay.toDouble
+      }
+      val lo = if (bounds.isNullAt(0)) Double.NaN else days(bounds.get(0))
+      val hi = if (bounds.isNullAt(1)) Double.NaN else days(bounds.get(1))
+      (unix_date(idxCol).cast("double"), lo, hi)
+    case TimestampType | TimestampNTZType =>
+      def secs(a: Any): Double = a match {
+        case ts: java.sql.Timestamp =>
+          ts.getTime / 1000.0 // ms precision is plenty for BUCKETING
+        case i: java.time.Instant => i.toEpochMilli / 1000.0
+        case l: java.time.LocalDateTime =>
+          l.toEpochSecond(java.time.ZoneOffset.UTC).toDouble
+      }
+      val lo = if (bounds.isNullAt(0)) Double.NaN else secs(bounds.get(0))
+      val hi = if (bounds.isNullAt(1)) Double.NaN else secs(bounds.get(1))
+      // cast timestamp→double = epoch seconds; sub-second drift vs the
+      // driver-side ms conversion is absorbed by the [0, buckets-1] clamp
+      (idxCol.cast("double"), lo, hi)
+    case StringType =>
+      if (bounds.isNullAt(0)) (lit(0.0), Double.NaN, Double.NaN)
+      else {
+        val mn = bounds.getString(0).getBytes("UTF-8")
+        val mx = bounds.getString(1).getBytes("UTF-8")
+        // common byte prefix of min&max == common prefix of ALL values
+        // under byte-wise (UTF8_BINARY) ordering
+        var p = 0
+        while (p < mn.length && p < mx.length && mn(p) == mx(p)) p += 1
+        def coordOf(b: Array[Byte]): Double = {
+          val sub = java.util.Arrays.copyOfRange(b, math.min(p, b.length),
+            math.min(p + 8, b.length))
+          // big-endian unsigned, right-padded with 0x00 to 8 bytes;
+          // BigInt→double is correctly rounded, matching Spark's
+          // string→double cast of conv()'s exact decimal rendering
+          BigInt(1, sub ++ Array.fill(8 - sub.length)(0.toByte)).toDouble
+        }
+        // first 8 bytes after the common prefix, big-endian unsigned —
+        // byte-wise monotone, so range buckets agree with string order
+        (conv(rpad(hex(substring(idxCol.cast("binary"),
+          p + 1, 8)), 16, "0"), 16, 10).cast("double"),
+          coordOf(mn), coordOf(mx))
+      }
+    case _ => (lit(0.0), Double.NaN, Double.NaN) // unsupported → 1 bucket
+  }
+
+  /** Equal-width range-bucket id over a monotone coordinate, clamped to
+    * [0, buckets-1]; null index labels ride in bucket 0. */
+  private[graft] def bucketExpr(idxCol: Column, coord: Column, lo: Double,
+      hi: Double, buckets: Int): Column = {
+    val width = (hi - lo) / buckets
+    when(idxCol.isNull, lit(0L)).otherwise(
+      greatest(least(floor((coord - lit(lo)) / lit(width)),
+        lit(buckets - 1.0)), lit(0.0)).cast("long"))
+  }
 
   /** Null-first comparable ordering over Spark external atomic values. */
   val AnyOrd: Ordering[Any] = new Ordering[Any] {

@@ -720,6 +720,12 @@ final class Series private[graft] (
       methods.map(m => expr(m).as(s"rank_$m")): _*)
   }
 
+  /** pandas ewm(alpha=, adjust=True): exponentially weighted mean / var /
+    * std in global index order, distributed through range buckets + a
+    * sequential per-bucket scan (see [[Ewm]] for the factorization and
+    * why a recurrence can't be a window aggregate). */
+  def ewm(alpha: Double, buckets: Int = 32): Ewm = new Ewm(this, alpha, buckets)
+
   /** Rolling mean over the trailing `n` values in index order (pandas
     * rolling(n).mean() with min_periods=n → null until the window fills).
     * Numeric indexes run the bucketed carry plan ([[GlobalWindows]]);

@@ -508,6 +508,48 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got("first") == Seq(4.0, 1.0, 5.0, 3.0, 2.0, 6.0))
   }
 
+  test("ewm mean/var match the sequential pandas recurrence, nulls included") {
+    // 200 rows across many buckets, a null every 13th: the bucketed
+    // carry fold must reproduce the exact sequential recurrence
+    // (adjust=True, ignore_na=False: decay counts every row)
+    val alpha = 0.2; val w = 1 - alpha
+    val data: Seq[Option[Double]] = (0 until 200).map(i =>
+      if (i % 13 == 5) None else Some(math.sin(i) * 10 + i / 7.0))
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v")
+    val got = Series.fromColumn(df, "v", "idx").ewm(alpha).stats
+      .orderBy("idx").collect()
+      .map(r => (if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    var num = 0.0; var den = 0.0; var num2 = 0.0; var den2 = 0.0
+    val exp = data.map { v =>
+      num *= w; den *= w; num2 *= w; den2 *= w * w
+      v.foreach { x => num += x; den += 1; num2 += x * x; den2 += 1 }
+      val m = if (den > 0) num / den else Double.NaN
+      val dd = den * den - den2
+      val vr = if (den > 0 && dd > 0) (num2 / den - m * m) * den * den / dd
+        else Double.NaN
+      (m, vr)
+    }
+    got.zip(exp).foreach { case ((gm, gv), (em, ev)) =>
+      assert(math.abs(gm.asInstanceOf[Double] - em) < 1e-9)
+      if (ev.isNaN) assert(gv == null)
+      else assert(math.abs(gv.asInstanceOf[Double] - ev) < 1e-9)
+    }
+  }
+
+  test("ewm: leading nulls stay null until the first observation") {
+    val df = Seq[(Long, Option[Double])](
+      (0L, None), (1L, None), (2L, Some(3.0)), (3L, None), (4L, Some(5.0)))
+      .toDF("idx", "v")
+    val got = Series.fromColumn(df, "v", "idx").ewm(0.5).mean().df
+      .orderBy("idx").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    // at idx 3 the running mean carries (num and den scale equally);
+    // idx 4: (5 + 0.25*3)/(1 + 0.25) = 4.6
+    assert(got == Seq(null, null, 3.0, 3.0, 4.6))
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
