@@ -123,13 +123,22 @@ object EventOps {
     * range explosion; skew follows the key distribution exactly like any
     * keyed window.
     *
+    * `toleranceUs` (pandas `tolerance=`): a match farther than this many
+    * microseconds from the left timestamp is discarded (nulls, as if no
+    * right row existed). Applied AFTER the window pick, which is
+    * equivalent to pandas' pre-filter: for backward/forward there is only
+    * one candidate, and for nearest the chosen side is by construction
+    * the closer one — if it is beyond tolerance, so is the other.
+    *
     * `rightVals` columns are attached as `prefix + name`. Left and right
     * may be the same or different frames; only `keyCol`/`tsCol`/`tieCol`
     * must exist in both. */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, tieCol: String, rightVals: Seq[String],
                prefix: String = "asof_",
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               toleranceUs: Option[Long] = None): DataFrame = {
+    toleranceUs.foreach(t => require(t >= 0, "tolerance must be >= 0"))
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
     val lRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
@@ -175,7 +184,12 @@ object EventOps {
     }
     val filled = lNorm.unionByName(rNorm).select(
       col("__side"), col("__lrow"), rv.as("__rvals"))
-    filled.filter(col("__side") === 1)
+    val bounded = toleranceUs.fold(filled) { t =>
+      filled.withColumn("__rvals",
+        when(abs(unix_micros(col(s"__lrow.$tsCol"))
+          - col("__rvals.__rus")) <= t, col("__rvals")))
+    }
+    bounded.filter(col("__side") === 1)
       .select(col("__lrow.*") +:
         rightVals.map(c => col(s"__rvals.$c").as(prefix + c)): _*)
   }

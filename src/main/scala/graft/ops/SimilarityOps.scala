@@ -261,6 +261,32 @@ object SimilarityOps {
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
+  /** Semantic dedup capstone (the SemDeDup shape: drop all but one of
+    * every group of embedding-near-duplicate documents): candidate pairs
+    * above the cosine threshold → connected components → canonical
+    * min-id survivor per component. Returns dupClusters' full decision
+    * frame `(id, comp, csize, keep)` so callers can either anti-join the
+    * drops or audit cluster sizes.
+    *
+    * Pair generation is the hyperplane-LSH + exact-re-rank plan
+    * ([[graft.ops.DedupOps.embeddingNearDup]]): like SemDeDup's
+    * within-k-means-cell comparison it never goes all-pairs — candidates
+    * come from sign-bucket equi-joins with known recall (≥ 1−9e-4 per
+    * threshold-0.5 pair at the defaults) and exact precision, and unlike
+    * the cell restriction it is oracle-able against a brute-force +
+    * transitive-closure DuckDB query because no k-means state enters the
+    * semantics. For the cell-restricted variant compose [[ivfSearch]]'s
+    * assignment with a within-cluster pair join instead. Survivor
+    * selection is min-label propagation + pointer jumping
+    * ([[graft.ops.GraphOps.dupClusters]]) — O(log diameter) keyed joins,
+    * no driver graph state. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, tables: Int = 32, bits: Int = 4,
+               dim: Int = 64): DataFrame =
+    graft.ops.GraphOps.dupClusters(
+      DedupOps.embeddingNearDup(df, idCol, vecCol, threshold, tables, bits,
+        dim), "id1", "id2")
+
   /** Per-group centroid + per-vector cosine to its own group centroid —
     * the embedding-space cluster-coherence / outlier score (low sim =
     * candidate mislabel or noise doc).

@@ -80,6 +80,17 @@ object DedupQueries {
       GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
     }),
 
+    // Semantic dedup capstone (SemDeDup shape): embedding near-dup pairs
+    // (LSH candidates + exact cosine re-rank, d06's proven plan) →
+    // connected components → min-id survivor. Oracle = brute-force cosine
+    // pairs + recursive-CTE transitive closure (d06's + d08's oracles
+    // composed) — possible precisely because no k-means state enters the
+    // pair semantics.
+    "d12_semdedup" -> ((s, d) =>
+      graft.ops.SimilarityOps.semDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", threshold = 0.5)
+        .orderBy("id")),
+
     // Benchmark decontamination: trigram containment of a "benchmark"
     // slice (doc_id < 25) against the rest of the corpus. The benchmark
     // postings broadcast; the corpus side is one scan + map-side join.
@@ -235,6 +246,25 @@ object DedupQueries {
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.e, b.e) >= 0.5
          ORDER BY id1, id2""",
+    // d12 = d06's brute-force pair oracle feeding d08's recursive closure
+    "d12_semdedup" ->
+      """WITH RECURSIVE v AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id1, b.vec_id AS id2
+           FROM v a JOIN v b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.e, b.e) >= 0.5),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a AS id, a AS comp FROM edges
+           UNION
+           SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         SELECT id, comp, count(*) OVER (PARTITION BY comp) AS csize,
+           id = comp AS keep
+         FROM comps ORDER BY id""",
     "d09_contamination" ->
       s"""WITH $ShingleCte,
          b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25),

@@ -123,6 +123,25 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // pandas merge_asof(tolerance=): nearest click within 24h — matches
+    // farther than the bound null out AFTER the window pick (equivalent
+    // to pandas' pre-filter: the chosen side is the closer one, so if it
+    // is beyond tolerance both are). ~40% of fixture matches fall outside
+    // the bound, so both outcomes are exercised.
+    "e17_asof_tolerance" -> ((s, d) => {
+      val e = ev(s, d)
+      EventOps.asofJoin(
+          e.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts", "value"),
+          e.filter(col("event_type") === "click"),
+          "user_id", "ts", "event_id", Seq("value"), "click_",
+          direction = "nearest", toleranceUs = Some(86400000000L))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("pv"),
+          round(col("click_value"), 2).as("cv"))
+        .orderBy("event_id")
+    }),
+
     // The streaming replay gates run with 8 state partitions instead of
     // the session's 32: a stateful query creates (and commits, per batch)
     // one state store PER shuffle partition, a fixed cost the fixture-size
@@ -464,6 +483,35 @@ object EventQueries {
                ELSE frs END AS rs
            FROM f WHERE side = 1)
          SELECT event_id, user_id, round(pv, 2) AS pv, round(rs.v, 2) AS cv
+         FROM pick ORDER BY event_id""",
+    // e17 = e15's plan plus the 24h tolerance bound on the picked match
+    "e17_asof_tolerance" ->
+      """WITH u AS (
+           SELECT user_id, ts, 1 AS side, event_id, value AS pv,
+             CAST(NULL AS STRUCT(v DOUBLE, us BIGINT)) AS rs
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, ts, 0, event_id, NULL,
+             {'v': value, 'us': epoch_us(ts)}
+           FROM events WHERE event_type = 'click'),
+         f AS (
+           SELECT *,
+             last_value(rs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS brs,
+             first_value(rs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side DESC, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS frs
+           FROM u),
+         pick AS (
+           SELECT event_id, user_id, ts, pv,
+             CASE WHEN brs IS NULL THEN frs WHEN frs IS NULL THEN brs
+               WHEN epoch_us(ts) - brs.us <= frs.us - epoch_us(ts) THEN brs
+               ELSE frs END AS rs
+           FROM f WHERE side = 1)
+         SELECT event_id, user_id, round(pv, 2) AS pv,
+           round(CASE WHEN abs(epoch_us(ts) - rs.us) <= 86400000000
+             THEN rs.v END, 2) AS cv
          FROM pick ORDER BY event_id""",
     "e08_trailing_hour" ->
       """SELECT event_id, user_id,

@@ -273,6 +273,42 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(run("nearest") == Seq(10.0, 20.0, 30.0))
   }
 
+  test("asofJoin tolerance nulls matches beyond the bound (pandas tolerance=)") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
+    val left = Seq((100L, 1L, ts(10)), (101L, 1L, ts(30)), (102L, 1L, ts(50)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts(8), 10.0),   // 2s before 100 — within a 5s bound
+      (2L, 1L, ts(20), 20.0),  // 10s before 101 — beyond it
+      (3L, 1L, ts(52), 30.0)   // 2s after 102 — nearest within bound
+    ).toDF("event_id", "user_id", "ts", "value")
+    def run(dir: String) = graft.ops.EventOps.asofJoin(left, right,
+        "user_id", "ts", "event_id", Seq("value"), direction = dir,
+        toleranceUs = Some(5000000L))
+      .orderBy("event_id").collect()
+      .map(r => if (r.isNullAt(3)) null else r.getDouble(3)).toSeq
+    assert(run("backward") == Seq(10.0, null, null))
+    assert(run("nearest") == Seq(10.0, null, 30.0))
+  }
+
+  test("semDedup keeps one survivor per embedding-near-dup component") {
+    // a~b and b~c chain (all near-identical), d isolated: one component
+    // {1,2,3}, survivor 1; d never appears (no pair)
+    val dim = 64
+    def vec(eps: Double): Seq[Float] =
+      (0 until dim).map(i => (if (i == 0) 1.0 + eps else eps * (i % 3)).toFloat)
+    val far = (0 until dim).map(i => (if (i % 2 == 0) 1.0f else -1.0f))
+    val df = Seq((1L, vec(0.0)), (2L, vec(0.01)), (3L, vec(0.02)),
+      (4L, far.toSeq)).toDF("vec_id", "embedding")
+    val out = graft.ops.SimilarityOps.semDedup(df, "vec_id", "embedding",
+        threshold = 0.9, dim = dim)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.toSeq == Seq((1L, 1L, 3L, true), (2L, 1L, 3L, false),
+      (3L, 1L, 3L, false)))
+  }
+
   test("asofJoin attaches a matched right row's null value as null") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
