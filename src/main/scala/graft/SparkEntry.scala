@@ -514,6 +514,34 @@ object SparkEntry {
           graft.ops.TextOps.round6(col("ewm_var")).as("ev"))
         .orderBy("idx")
     }),
+    // pandas groupby().ewm(alpha=0.2): per-user recurrences are
+    // independent, so the keyed form needs no carry fold at all — one
+    // hash exchange on user_id + a streaming per-group scan. Oracle =
+    // per-group recursive CTE (max group depth 86 at sf0.01).
+    "s55_ewm_by" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = Series.fromExpr(e, col("value"), "v", col("event_id"), "idx")
+      v.ewmStatsBy(col("user_id"), 0.2)
+        .select(col("idx"), col("key").as("user_id"),
+          graft.ops.TextOps.round6(col("ewm_mean")).as("em"),
+          graft.ops.TextOps.round6(col("ewm_var")).as("ev"))
+        .orderBy("idx")
+    }),
+    // pandas groupby().cumprod(): keyed log-domain product — three plain
+    // keyed-window prefix sums (log|x|, sign parity, zeros), one shuffle.
+    // The ±(1 + value/1e6) factor keeps magnitudes in round6 range while
+    // exercising the parity path every 5th event.
+    "s56_cumprod_by" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val x = Series.fromExpr(e,
+        (lit(1.0) + col("value") / lit(1e6))
+          * when(col("event_id") % 5 === 0, lit(-1.0)).otherwise(lit(1.0)),
+        "cp", col("event_id"), "idx")
+      e.select(col("event_id").as("idx"), col("user_id"),
+          graft.ops.TextOps.round6(x.cumprodBy(col("user_id")).values)
+            .as("cp"))
+        .orderBy("idx")
+    }),
     // pandas rank(method=): all five tie methods over ONE bucketed scan —
     // floor(acctbal/100) manufactures dense ties so average/min/max/dense
     // genuinely differ; c_custkey is unique so 'first' is deterministic.
@@ -806,6 +834,45 @@ object SparkEntry {
            max(c_acctbal) OVER w AS cmax
          FROM customer
          WINDOW w AS (ORDER BY c_name
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s55_ewm_by" ->
+      ("""WITH RECURSIVE s AS (
+           SELECT event_id AS idx, user_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+           FROM events),
+         r AS (
+           SELECT idx, user_id, rn, x,
+             x AS num, CAST(1.0 AS DOUBLE) AS den,
+             x * x AS num2, CAST(1.0 AS DOUBLE) AS den2
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.idx, s.user_id, s.rn, s.x,
+             s.x + 0.8 * r.num,
+             1.0 + 0.8 * r.den,
+             s.x * s.x + 0.8 * r.num2,
+             1.0 + 0.64 * r.den2
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT idx, user_id,
+           floor((num / den) * 1e6 + 0.5) / 1e6 AS em,
+           CASE WHEN rn > 1 THEN
+             floor(((num2 / den - (num / den) * (num / den))
+               * den * den / (den * den - den2)) * 1e6 + 0.5) / 1e6
+           END AS ev
+         FROM r ORDER BY idx"""),
+    "s56_cumprod_by" ->
+      ("""WITH x AS (
+           SELECT event_id AS idx, user_id,
+             (1.0 + value / 1e6)
+               * (CASE WHEN event_id % 5 = 0 THEN -1.0 ELSE 1.0 END) AS v
+           FROM events)
+         SELECT idx, user_id,
+           floor(((CASE WHEN sum(CASE WHEN v < 0 THEN 1 ELSE 0 END) OVER w
+                     % 2 = 1 THEN -1.0 ELSE 1.0 END)
+             * exp(sum(ln(abs(v))) OVER w)) * 1e6 + 0.5) / 1e6 AS cp
+         FROM x
+         WINDOW w AS (PARTITION BY user_id ORDER BY idx
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
     "s50_ewm" ->

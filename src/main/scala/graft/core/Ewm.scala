@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
@@ -154,6 +154,56 @@ final class Ewm private[graft] (s: Series, alpha: Double, buckets: Int) {
 }
 
 private[graft] object Ewm {
+  /** Keyed ewm (pandas groupby(by).ewm(alpha).mean()/.var(bias=False)):
+    * each group is an independent recurrence, so no bucket fold or carry
+    * is needed at all — ONE hash exchange on the key, a per-partition
+    * (key, idx) external sort, and a streaming scan that resets state at
+    * every key change (several keys share a partition; each key's rows
+    * are contiguous after the sort). Output: (idx, key, ewm_mean,
+    * ewm_var). Same pandas weight semantics as the global [[Ewm]]. */
+  def statsBy(s: Series, by: Column, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    val w = 1.0 - alpha
+    val idxName = s.indexName
+    val d = s.base.select(s.index.as(idxName),
+      s.values.cast("double").as("__ew_x"), by.as("key"))
+    val width = d.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = d.repartition(width, org.apache.spark.sql.functions.col("key"))
+      .sortWithinPartitions(
+        org.apache.spark.sql.functions.col("key"),
+        org.apache.spark.sql.functions.col(idxName).asc_nulls_first)
+    val outSchema = StructType(Seq(
+      StructField(idxName, d.schema(idxName).dataType, nullable = true),
+      StructField("key", d.schema("key").dataType, nullable = true),
+      StructField(MeanCol, DoubleType, nullable = true),
+      StructField(VarCol, DoubleType, nullable = true)))
+    val wL = w
+    val w2L = w * w
+    sorted.mapPartitions { it =>
+      var started = false
+      var cur: Any = null
+      var pn, pd, pn2, pd2 = 0.0
+      it.map { r =>
+        // input layout: (idx, x, key)
+        val k = r.get(2)
+        if (!started || k != cur) {
+          started = true; cur = k; pn = 0; pd = 0; pn2 = 0; pd2 = 0
+        }
+        pn *= wL; pd *= wL; pn2 *= wL; pd2 *= w2L
+        if (!r.isNullAt(1)) {
+          val x = r.getDouble(1)
+          pn += x; pd += 1.0; pn2 += x * x; pd2 += 1.0
+        }
+        val m: Any = if (pd > 0) pn / pd else null
+        val dd = pd * pd - pd2
+        val v: Any =
+          if (pd > 0 && dd > 0) (pn2 / pd - (pn / pd) * (pn / pd)) * pd * pd / dd
+          else null
+        Row(r.get(0), k, m, v)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   val BktCol = "__ew_bkt"
   val PosCol = "__ew_pos"
   val NumCol = "__ew_num"

@@ -236,19 +236,27 @@ final class Series private[graft] (
     * value_counts). One partial+final HashAggregate; output is
     * (value, count) keyed by the value. */
   /** Value histogram (pandas value_counts). `normalize = true` returns the
-    * share of rows per value instead of the count — the denominator is a
-    * window total over the (already tiny) aggregated frame, not a second
-    * scan. */
+    * share of rows per value instead of the count — the denominator is ONE
+    * driver scalar aggregated from the persisted counts frame (the same
+    * bounded-driver-state pattern as cut/qcut boundaries), NOT an
+    * everything-into-one-task empty-partition window: the counts frame is
+    * bounded by value cardinality, which for a high-cardinality column is
+    * not tiny. */
   def valueCounts(normalize: Boolean = false): DataFrame = {
-    val counts = base.groupBy(valueExpr.as(name))
-      .agg(count(lit(1)).as("count"))
-    val out =
-      if (!normalize) counts
-      else counts.select(col(name),
-        (col("count").cast("double") /
-          F.sum("count").over(org.apache.spark.sql.expressions.Window
-            .partitionBy())).as("share"))
-    out.orderBy(col(out.columns(1)).desc, col(name).asc)
+    if (!normalize) {
+      val counts = base.groupBy(valueExpr.as(name))
+        .agg(count(lit(1)).as("count"))
+      return counts.orderBy(col("count").desc, col(name).asc)
+    }
+    // two consumers (total + share projection): persist one aggregation
+    val counts = graft.Caches.track(
+      base.groupBy(valueExpr.as(name)).agg(count(lit(1)).as("count"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val totalRow = counts.agg(F.sum("count")).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    counts.select(col(name),
+        (col("count").cast("double") / lit(total.toDouble)).as("share"))
+      .orderBy(col("share").desc, col(name).asc)
   }
 
   /** Distinct values (pandas unique), as a 1-column frame. */
@@ -725,6 +733,38 @@ final class Series private[graft] (
     * sequential per-bucket scan (see [[Ewm]] for the factorization and
     * why a recurrence can't be a window aggregate). */
   def ewm(alpha: Double, buckets: Int = 32): Ewm = new Ewm(this, alpha, buckets)
+
+  /** pandas groupby(by).ewm(alpha): (idx, key, ewm_mean, ewm_var) — one
+    * keyed exchange + per-group streaming recurrence ([[Ewm.statsBy]]). */
+  def ewmStatsBy(by: Column, alpha: Double): DataFrame =
+    Ewm.statsBy(this, by, alpha)
+
+  /** Keyed ewm mean as a Series. */
+  def ewmMeanBy(by: Column, alpha: Double): Series = Series.fromKeyed(
+    ewmStatsBy(by, alpha).select(col(indexName), col("ewm_mean").as(name)),
+    name, indexName)
+
+  /** Cumulative product within each `by` group (pandas
+    * groupby(by).cumprod()) — the keyed sibling of [[cumprod]]: the same
+    * log-domain decomposition (exp Σ log|x|, sign parity, zero
+    * short-circuit) but all three prefixes are plain keyed-window sums,
+    * one shuffle on the key, no bucket machinery needed. Output double. */
+  def cumprodBy(by: Column): Series = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cw = keyedWindow(by).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val negs = F.sum(when(valueExpr.isNotNull,
+      when(valueExpr < 0, 1L).otherwise(0L))).over(cw)
+    val zeros = F.sum(when(valueExpr.isNotNull,
+      when(valueExpr === 0, 1L).otherwise(0L))).over(cw)
+    val logs = F.sum(when(valueExpr =!= 0,
+      log(F.abs(valueExpr.cast("double"))))).over(cw)
+    withValue(
+      when(valueExpr.isNull, lit(null).cast("double"))
+        .when(coalesce(zeros, lit(0L)) > 0L, lit(0.0))
+        .otherwise(
+          when(coalesce(negs, lit(0L)) % 2 === 1L, lit(-1.0))
+            .otherwise(lit(1.0)) * exp(logs)))
+  }
 
   /** Rolling mean over the trailing `n` values in index order (pandas
     * rolling(n).mean() with min_periods=n → null until the window fills).

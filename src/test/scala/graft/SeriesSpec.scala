@@ -550,6 +550,33 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(null, null, 3.0, 3.0, 4.6))
   }
 
+  test("ewmStatsBy runs each group's recurrence independently") {
+    // two interleaved groups; each must match its own sequential fold
+    val alpha = 0.3; val w = 1 - alpha
+    val rows = (0 until 60).map(i => (i.toLong, i % 2L, math.cos(i) * 5 + i))
+    val df = rows.toDF("idx", "g", "v")
+    val got = Series.fromColumn(df, "v", "idx").ewmStatsBy(df("g"), alpha)
+      .orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    Seq(0L, 1L).foreach { g =>
+      var num = 0.0; var den = 0.0
+      rows.filter(_._2 == g).foreach { case (i, _, x) =>
+        num = x + w * num; den = 1 + w * den
+        assert(math.abs(got(i) - num / den) < 1e-9, s"idx $i group $g")
+      }
+    }
+  }
+
+  test("cumprodBy multiplies within each group, zero pins the tail") {
+    // group 1: [2, -3, 4] -> [2, -6, -24]; group 2: [5, 0, 7] -> [5, 0, 0]
+    val df = Seq((0L, 1L, 2.0), (1L, 2L, 5.0), (2L, 1L, -3.0),
+      (3L, 2L, 0.0), (4L, 1L, 4.0), (5L, 2L, 7.0)).toDF("idx", "g", "v")
+    val got = Series.fromColumn(df, "v", "idx").cumprodBy(df("g")).df
+      .orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    val exp = Seq(2.0, 5.0, -6.0, 0.0, -24.0, 0.0)
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
