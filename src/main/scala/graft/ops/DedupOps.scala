@@ -453,6 +453,37 @@ object DedupOps {
           .as("__n"))
       .select(col(outId), transform(col("__e"), x => x / col("__n")).as(outVec))
 
+  /** Corpus-level exact LINE dedup (the RefinedWeb/C4-style pass that
+    * strips boilerplate lines — headers, cookie banners, nav text —
+    * appearing across many documents): split each doc on newlines, drop
+    * every line whose exact value occurs in more than `maxDocFreq`
+    * DISTINCT documents, reassemble the survivors in original order
+    * (docs whose lines all drop come back as empty text, still one row
+    * per input doc).
+    *
+    * Scale shape: the line table is a per-partition Generate off a spread
+    * projection; doc-frequency is one partial+final distinct + one count,
+    * both keyed by the line; the decision joins back by line and the
+    * reassembly is one groupBy(doc) with an in-group sort of (pos, line)
+    * structs — collect_list here is per-DOC state (bounded by doc length,
+    * the same bound the input row already carries), never corpus state.
+    * Repeats WITHIN one doc count once toward doc-frequency and are kept
+    * (cross-doc boilerplate is the target, intra-doc repetition is t07's
+    * signal). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocFreq: Long = 1): DataFrame = {
+    val lines = spread(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freq = lines.select(col(idCol), col("line")).distinct()
+      .groupBy("line").agg(count(lit(1)).as("df"))
+    lines.join(freq, Seq("line"), "left")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(
+        when(col("df") <= maxDocFreq, struct(col("pos"), col("line"))))),
+        x => x.getField("line")), "\n").as("text"))
+  }
+
   /** (id, vec, norm) projection — the zero-HOF alternative to
     * [[normalized]] for dot-product workloads: native array cast +
     * codegen'd self-dot, NO per-element interpreted pass at all.

@@ -80,6 +80,25 @@ object DedupQueries {
       GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
     }),
 
+    // Corpus-level line dedup (RefinedWeb/C4 boilerplate pass): the
+    // fixture text carries no newlines, so the gate first synthesizes
+    // "lines" as fixed 8-token chunks (identical spelling in the oracle —
+    // 153 chunk values repeat across docs at sf0.01, df up to 6), then
+    // drops every line seen in more than one distinct doc and reassembles
+    // in order.
+    "d13_line_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      val chunked = docs.select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), floor((size(toks) - 1) / lit(8)).cast("int")),
+          j => array_join(slice(toks, j * 8 + 1, lit(8)), " ")), "\n")
+          .as("text2"))
+      graft.ops.DedupOps.lineDedup(chunked, "doc_id", "text2",
+          maxDocFreq = 1)
+        .orderBy("doc_id")
+    }),
+
     // Semantic dedup capstone (SemDeDup shape): embedding near-dup pairs
     // (LSH candidates + exact cosine re-rank, d06's proven plan) →
     // connected components → min-id survivor. Oracle = brute-force cosine
@@ -246,6 +265,22 @@ object DedupQueries {
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.e, b.e) >= 0.5
          ORDER BY id1, id2""",
+    // d13: same chunking spelled in list ops; '' for fully-deduped docs
+    // (Spark's array_join over an empty survivor array)
+    "d13_line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         c AS (
+           SELECT doc_id, i,
+             list_aggregate(ws[i:i+7], 'string_agg', ' ') AS line
+           FROM t, LATERAL (SELECT unnest(range(1, len(ws)+1, 8)) AS i) x),
+         f AS (SELECT line, count(DISTINCT doc_id) AS df FROM c GROUP BY 1),
+         k AS (SELECT c.doc_id, c.i, c.line, f.df
+               FROM c JOIN f USING (line))
+         SELECT doc_id,
+           coalesce(string_agg(CASE WHEN df <= 1 THEN line END, chr(10)
+             ORDER BY i), '') AS text
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
     // d12 = d06's brute-force pair oracle feeding d08's recursive closure
     "d12_semdedup" ->
       """WITH RECURSIVE v AS (

@@ -292,6 +292,20 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(run("nearest") == Seq(10.0, null, 30.0))
   }
 
+  test("lineDedup strips cross-doc boilerplate lines, keeps intra-doc repeats") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique one\nrepeat\nrepeat"),
+      (2L, "COOKIE BANNER\nunique two"),
+      (3L, "COOKIE BANNER")) // all lines boilerplate -> empty text survives
+      .toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.lineDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq(
+      (1L, "unique one\nrepeat\nrepeat"), // intra-doc repeat kept (df=1)
+      (2L, "unique two"),
+      (3L, "")))
+  }
+
   test("semDedup keeps one survivor per embedding-near-dup component") {
     // a~b and b~c chain (all near-identical), d isolated: one component
     // {1,2,3}, survivor 1; d never appears (no pair)
