@@ -514,6 +514,30 @@ object SparkEntry {
           graft.ops.TextOps.round6(col("ewm_var")).as("ev"))
         .orderBy("idx")
     }),
+    // pandas expanding().mean()/.std(): three prefix sums (n, Σx, Σx²)
+    // on one bucketed scan close the formulas per row; identical
+    // sum-of-squares spelling in the oracle, 2dp money rounding for the
+    // cross-engine prefix-association tolerance.
+    "s58_expanding" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey").rename("bal").renameIndex("idx")
+      bal.expandingStats()
+        .select(col("idx"), round(col("emean"), 2).as("emean"),
+          round(col("estd"), 2).as("estd"))
+        .orderBy("idx")
+    }),
+    // pandas rolling(n).median()/.quantile(q): the sort-based exact
+    // percentile evaluated over the same carry-complete trailing frame
+    // as the other rolling aggregates (n−1 carry rows per bucket
+    // boundary) — still no single-task window. DuckDB's quantile_cont
+    // uses the same linear interpolation.
+    "s57_rolling_quantile" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey").rename("bal").renameIndex("idx")
+      val g = bal.globalWindows(carry = 6)
+      g.result("rmed" -> g.rollingMedian(7), "rq25" -> g.rollingQuantile(7, 0.25))
+        .orderBy("idx")
+    }),
     // pandas groupby().ewm(alpha=0.2): per-user recurrences are
     // independent, so the keyed form needs no carry fold at all — one
     // hash exchange on user_id + a streaming per-group scan. Oracle =
@@ -835,6 +859,31 @@ object SparkEntry {
          FROM customer
          WINDOW w AS (ORDER BY c_name
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s58_expanding" ->
+      ("""SELECT c_custkey AS idx,
+           round(sum(c_acctbal) OVER w / count(c_acctbal) OVER w, 2)
+             AS emean,
+           CASE WHEN count(c_acctbal) OVER w >= 2 THEN
+             round(sqrt(greatest(
+               (sum(c_acctbal * c_acctbal) OVER w
+                 - (sum(c_acctbal) OVER w) * (sum(c_acctbal) OVER w)
+                   / count(c_acctbal) OVER w)
+               / (count(c_acctbal) OVER w - 1), 0)), 2)
+           END AS estd
+         FROM customer
+         WINDOW w AS (ORDER BY c_custkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s57_rolling_quantile" ->
+      ("""SELECT c_custkey AS idx,
+           CASE WHEN count(c_acctbal) OVER w = 7
+             THEN quantile_cont(c_acctbal, 0.5) OVER w END AS rmed,
+           CASE WHEN count(c_acctbal) OVER w = 7
+             THEN quantile_cont(c_acctbal, 0.25) OVER w END AS rq25
+         FROM customer
+         WINDOW w AS (ORDER BY c_custkey
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
     "s55_ewm_by" ->
       ("""WITH RECURSIVE s AS (

@@ -285,6 +285,12 @@ final class GlobalWindows private[graft] (
   def rollingMin(n: Int): Column = rolling(n)(F.min(_))
   def rollingMax(n: Int): Column = rolling(n)(F.max(_))
   def rollingStd(n: Int): Column = rolling(n)(stddev_samp)
+  /** Exact trailing-n quantile (pandas rolling(n).quantile(q),
+    * interpolation='linear' — SQL percentile_cont): the sort-based
+    * percentile aggregate evaluated over the carry-complete frame. */
+  def rollingQuantile(n: Int, q: Double): Column =
+    rolling(n)(c => percentile(c, lit(q)))
+  def rollingMedian(n: Int): Column = rollingQuantile(n, 0.5)
 
   /** 1-based global ordinal position: within-bucket real-row count +
     * exclusive bucket count offset. */

@@ -734,6 +734,29 @@ final class Series private[graft] (
     * why a recurrence can't be a window aggregate). */
   def ewm(alpha: Double, buckets: Int = 32): Ewm = new Ewm(this, alpha, buckets)
 
+  /** pandas expanding().mean()/.std() — (idx, emean, estd): cumulative
+    * observation count, sum, and sum-of-squares are three prefix sums on
+    * ONE bucketed scan ([[GlobalWindows.cumsumExtra]]); mean = Σx/n and
+    * std = √((Σx² − (Σx)²/n)/(n−1)) close them per row. The sum-of-squares
+    * spelling (not Welford) is deliberate: it is reproducible across
+    * engines under the same prefix order, which is what the oracle
+    * compares; the (clamped-at-0) cancellation costs ~1 ulp of Σx² —
+    * round results you compare across engines, as with cumsum. Null
+    * values join pandas semantics: they don't advance n, Σx, or Σx². */
+  def expandingStats(): DataFrame = {
+    val ind = "__ex_n"; val x2 = "__ex_x2"
+    val xd = valueExpr.cast("double")
+    val g = globalWindows(extra = Seq(
+      ind -> when(valueExpr.isNotNull, 1L),
+      x2 -> (xd * xd)))
+    val n = g.cumsumExtra(ind)
+    val s1 = g.cumsum().cast("double")
+    val s2 = g.cumsumExtra(x2)
+    val mean = when(n >= 1L, s1 / n)
+    val varE = greatest((s2 - s1 * s1 / n) / (n - 1L), lit(0.0))
+    g.result("emean" -> mean, "estd" -> when(n >= 2L, sqrt(varE)))
+  }
+
   /** pandas groupby(by).ewm(alpha): (idx, key, ewm_mean, ewm_var) — one
     * keyed exchange + per-group streaming recurrence ([[Ewm.statsBy]]). */
   def ewmStatsBy(by: Column, alpha: Double): DataFrame =
@@ -780,6 +803,18 @@ final class Series private[graft] (
     rollingOver(ixWindow, n, F.max(valueExpr)))
   def rollingStd(n: Int): Series = rollingGlobal(n, _.rollingStd(n),
     rollingOver(ixWindow, n, stddev_samp(valueExpr)))
+  /** pandas rolling(n).quantile(q) / .median() — exact linear
+    * interpolation (percentile_cont), same carry-complete trailing frame
+    * as the other rolling aggregates. */
+  def rollingQuantile(n: Int, q: Double): Series =
+    rollingGlobal(n, _.rollingQuantile(n, q),
+      rollingOver(ixWindow, n, percentile(valueExpr, lit(q))))
+  def rollingMedian(n: Int): Series = rollingQuantile(n, 0.5)
+  /** Keyed sibling (pandas groupby(k).rolling(n).quantile(q)). */
+  def rollingQuantileBy(by: Column, n: Int, q: Double): Series =
+    rollingOver(keyedWindow(by), n, percentile(valueExpr, lit(q)))
+  def rollingMedianBy(by: Column, n: Int): Series =
+    rollingQuantileBy(by, n, 0.5)
 
   private def rollingGlobal(n: Int, distributed: GlobalWindows => Column,
       fallback: => Series): Series = {

@@ -577,6 +577,32 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-9) }
   }
 
+  test("rollingMedian/quantile interpolate like pandas, null until filled") {
+    val v = Series.fromSeq(spark, Seq(5.0, 1.0, 4.0, 2.0, 3.0))
+    val med = valuesOf(v.rollingMedian(3))
+    assert(med == Seq(null, null, 4.0, 2.0, 3.0))
+    // rolling(2).quantile(0.5) = midpoint of each adjacent pair
+    val q = valuesOf(v.rollingQuantile(2, 0.5))
+    assert(q == Seq(null, 3.0, 2.5, 3.0, 2.5))
+  }
+
+  test("expandingStats match sequential mean/std, nulls skipped") {
+    val data: Seq[Option[Double]] =
+      Seq(Some(2.0), None, Some(4.0), Some(6.0), Some(8.0))
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v")
+    val got = Series.fromColumn(df, "v", "idx").expandingStats()
+      .orderBy("idx").collect()
+      .map(r => (if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    def near(a: Any, b: Double) = math.abs(a.asInstanceOf[Double] - b) < 1e-9
+    assert(near(got(0)._1, 2.0) && got(0)._2 == null)
+    assert(near(got(1)._1, 2.0) && got(1)._2 == null) // null row: unchanged
+    assert(near(got(2)._1, 3.0) && near(got(2)._2, math.sqrt(2.0)))
+    assert(near(got(3)._1, 4.0) && near(got(3)._2, 2.0))
+    assert(near(got(4)._1, 5.0) && near(got(4)._2, math.sqrt(20.0 / 3)))
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
