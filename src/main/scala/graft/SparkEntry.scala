@@ -516,14 +516,15 @@ object SparkEntry {
     }),
     // pandas expanding().mean()/.std(): three prefix sums (n, Σx, Σx²)
     // on one bucketed scan close the formulas per row; identical
-    // sum-of-squares spelling in the oracle, 2dp money rounding for the
-    // cross-engine prefix-association tolerance.
+    // sum-of-squares spelling in the oracle. The 9dp shift keeps means
+    // of 2dp money values off the rounding halfway grid (see s59).
     "s58_expanding" -> ((s, d) => {
-      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
-        "c_custkey").rename("bal").renameIndex("idx")
+      val bal = Series.fromExpr(Tables.customer(s, d),
+        col("c_acctbal") + lit(0.123456789), "bal", col("c_custkey"), "idx")
       bal.expandingStats()
-        .select(col("idx"), round(col("emean"), 2).as("emean"),
-          round(col("estd"), 2).as("estd"))
+        .select(col("idx"),
+          graft.ops.TextOps.round2(col("emean")).as("emean"),
+          graft.ops.TextOps.round2(col("estd")).as("estd"))
         .orderBy("idx")
     }),
     // pandas rolling(n).median()/.quantile(q): the sort-based exact
@@ -536,6 +537,23 @@ object SparkEntry {
         "c_custkey").rename("bal").renameIndex("idx")
       val g = bal.globalWindows(carry = 6)
       g.result("rmed" -> g.rollingMedian(7), "rq25" -> g.rollingQuantile(7, 0.25))
+        .orderBy("idx")
+    }),
+    // pandas groupby().expanding().mean()/.std(): per-user cumulative
+    // n/Σx/Σx² as plain keyed-window sums — one shuffle on user_id.
+    // The 9dp additive constant moves every mean OFF the decimal halfway
+    // grid: means of 2dp money values land EXACTLY on x.xx5 (e.g.
+    // (37.71+37.72)/2), where the 1-ulp association drift between
+    // Spark's linear and DuckDB's segment-tree window sums flips any
+    // fixed-grid rounding; the shift makes boundary hits measure-zero.
+    "s59_expanding_by" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = Series.fromExpr(e, col("value") + lit(0.123456789), "v",
+        col("event_id"), "idx")
+      v.expandingStatsBy(col("user_id"))
+        .select(col("idx"), col("key").as("user_id"),
+          graft.ops.TextOps.round2(col("emean")).as("emean"),
+          graft.ops.TextOps.round2(col("estd")).as("estd"))
         .orderBy("idx")
     }),
     // pandas groupby().ewm(alpha=0.2): per-user recurrences are
@@ -860,19 +878,39 @@ object SparkEntry {
          WINDOW w AS (ORDER BY c_name
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
-    "s58_expanding" ->
-      ("""SELECT c_custkey AS idx,
-           round(sum(c_acctbal) OVER w / count(c_acctbal) OVER w, 2)
-             AS emean,
-           CASE WHEN count(c_acctbal) OVER w >= 2 THEN
-             round(sqrt(greatest(
-               (sum(c_acctbal * c_acctbal) OVER w
-                 - (sum(c_acctbal) OVER w) * (sum(c_acctbal) OVER w)
-                   / count(c_acctbal) OVER w)
-               / (count(c_acctbal) OVER w - 1), 0)), 2)
+    "s59_expanding_by" ->
+      ("""WITH e AS (
+           SELECT event_id AS idx, user_id,
+             value + 0.123456789 AS x
+           FROM events)
+         SELECT idx, user_id,
+           floor((sum(x) OVER w / count(x) OVER w) * 1e2 + 0.5)
+             / 1e2 AS emean,
+           CASE WHEN count(x) OVER w >= 2 THEN
+             floor(sqrt(greatest(
+               (sum(x * x) OVER w
+                 - (sum(x) OVER w) * (sum(x) OVER w) / count(x) OVER w)
+               / (count(x) OVER w - 1), 0)) * 1e2 + 0.5) / 1e2
            END AS estd
-         FROM customer
-         WINDOW w AS (ORDER BY c_custkey
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s58_expanding" ->
+      ("""WITH c AS (
+           SELECT c_custkey AS idx, c_acctbal + 0.123456789 AS x
+           FROM customer)
+         SELECT idx,
+           floor((sum(x) OVER w / count(x) OVER w) * 1e2 + 0.5) / 1e2
+             AS emean,
+           CASE WHEN count(x) OVER w >= 2 THEN
+             floor(sqrt(greatest(
+               (sum(x * x) OVER w
+                 - (sum(x) OVER w) * (sum(x) OVER w) / count(x) OVER w)
+               / (count(x) OVER w - 1), 0)) * 1e2 + 0.5) / 1e2
+           END AS estd
+         FROM c
+         WINDOW w AS (ORDER BY idx
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
     "s57_rolling_quantile" ->

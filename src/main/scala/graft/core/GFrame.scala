@@ -287,6 +287,21 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
       .agg(org.apache.spark.sql.functions.count(lit(1)))
       .na.fill(0L, values.map(_.toString)), rowCol)
 
+  /** pandas get_dummies over EXPLICIT categories (one-hot encode): one
+    * indicator column per value — a pure projection, no shuffle, no
+    * values-discovery job (the 100 TB rule: category sets are declared,
+    * not discovered). Null category → all-zero row (pandas
+    * dummy_na=False); values absent from the list are likewise all-zero.
+    * Column names are `<prefix>_<value>`, pandas' default spelling. */
+  def getDummies(colName: String, values: Seq[String],
+                 prefix: String = null): GFrame = {
+    val p = Option(prefix).getOrElse(colName)
+    new GFrame(df.select(df.columns.map(col).toIndexedSeq ++
+      values.map(v =>
+        when(col(colName) === lit(v), 1).otherwise(0).as(s"${p}_$v")): _*),
+      indexName)
+  }
+
   // ------------------------------------------------------------ null handling
 
   /** Replace nulls in the named columns with a constant (pandas fillna). */

@@ -757,6 +757,23 @@ final class Series private[graft] (
     g.result("emean" -> mean, "estd" -> when(n >= 2L, sqrt(varE)))
   }
 
+  /** pandas groupby(by).expanding().mean()/.std(): the keyed sibling —
+    * per-group cumulative n/Σx/Σx² are plain keyed-window sums, one
+    * shuffle on the key, no bucket machinery. Output
+    * (idx, key, emean, estd). */
+  def expandingStatsBy(by: Column): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val cw = keyedWindow(by).rowsBetween(W.unboundedPreceding, W.currentRow)
+    val xd = valueExpr.cast("double")
+    val n = F.count(valueExpr).over(cw)
+    val s1 = F.sum(xd).over(cw)
+    val s2 = F.sum(xd * xd).over(cw)
+    val mean = when(n >= 1L, s1 / n)
+    val varE = greatest((s2 - s1 * s1 / n) / (n - 1L), lit(0.0))
+    base.select(indexExpr.as(indexName), by.as("key"),
+      mean.as("emean"), when(n >= 2L, sqrt(varE)).as("estd"))
+  }
+
   /** pandas groupby(by).ewm(alpha): (idx, key, ewm_mean, ewm_var) — one
     * keyed exchange + per-group streaming recurrence ([[Ewm.statsBy]]). */
   def ewmStatsBy(by: Column, alpha: Double): DataFrame =

@@ -67,6 +67,12 @@ object TextOps {
     * +∞, so only use for values known ≥ 0. */
   def round6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** 2dp sibling of [[round6]] — for cross-engine compares where the two
+    * engines' aggregation ASSOCIATION differs (e.g. DuckDB's windowed
+    * sums run over a segment tree, Spark's run linearly — last-ulp drift
+    * that a 1e-6 grid can straddle; observed: s59 at sf0.01). */
+  def round2(c: Column): Column = floor(c * lit(1e2) + lit(0.5)) / lit(1e2)
+
   /** Composite quality score in [0,1]: length prior × (1 − stopword excess).
     * Heuristic, deterministic, fully expression-based. */
   def qualityScore(text: Column): Column = {

@@ -381,6 +381,19 @@ object FrameQueries {
         FROM documents ORDER BY doc_id""")
     }),
 
+    // pandas get_dummies (one-hot over the five TPC-H market segments):
+    // a pure projection — per-value indicator columns, no shuffle, no
+    // category-discovery job.
+    "f32_get_dummies" -> ((s, d) => {
+      GFrame.fromDF(Tables.customer(s, d)
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment")),
+          "custkey")
+        .getDummies("c_mktsegment",
+          Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"), prefix = "mkt")
+        .toDF.drop("c_mktsegment").orderBy("custkey")
+    }),
+
     // pandas merge(how='outer', indicator=True): customers full-outer
     // per-customer order counts, _merge records provenance (customers
     // with no orders -> left_only). One keyed exchange.
@@ -491,6 +504,19 @@ object FrameQueries {
              WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
          FROM t JOIN sc ON t.doc_id = sc.doc_id
          ORDER BY t.doc_id""",
+    "f32_get_dummies" ->
+      """SELECT c_custkey AS custkey,
+           CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END
+             AS mkt_AUTOMOBILE,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+             AS mkt_BUILDING,
+           CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END
+             AS mkt_FURNITURE,
+           CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END
+             AS mkt_HOUSEHOLD,
+           CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END
+             AS mkt_MACHINERY
+         FROM customer ORDER BY custkey""",
     "f30_merge_indicator" ->
       """WITH o AS (SELECT o_custkey AS custkey, count(*) AS n_orders
                     FROM orders GROUP BY 1)
