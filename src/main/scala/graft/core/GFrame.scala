@@ -287,6 +287,28 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
       .agg(org.apache.spark.sql.functions.count(lit(1)))
       .na.fill(0L, values.map(_.toString)), rowCol)
 
+  /** pandas df.corr(): pairwise Pearson correlation of the named numeric
+    * columns, stacked as (c1, c2, corr) rows for the upper triangle
+    * (incl. the 1.0 diagonal — the full square matrix is this frame
+    * union its swap). ALL k(k+1)/2 co-moment aggregates run in ONE
+    * partial+final pass over one scan — no per-pair jobs, no driver
+    * matrix state beyond the single result row being stacked. */
+  def corrMatrix(cols: Seq[String]): GFrame = {
+    require(cols.nonEmpty, "corrMatrix needs at least one column")
+    val pairs = for {
+      i <- cols.indices
+      j <- i until cols.length
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      org.apache.spark.sql.functions.corr(col(a), col(b)).as(s"${a}__$b")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(", ")
+    new GFrame(row.selectExpr(
+      s"stack(${pairs.length}, $stacked) AS (c1, c2, corr)"), "c1")
+  }
+
   /** pandas get_dummies over EXPLICIT categories (one-hot encode): one
     * indicator column per value — a pure projection, no shuffle, no
     * values-discovery job (the 100 TB rule: category sets are declared,

@@ -381,6 +381,17 @@ object FrameQueries {
         FROM documents ORDER BY doc_id""")
     }),
 
+    // pandas df.corr(): the full pairwise Pearson triangle in ONE
+    // partial+final aggregate pass (six co-moment aggregates, one scan).
+    "f33_corr_matrix" -> ((s, d) => {
+      GFrame.fromDF(Tables.lineitem(s, d), "l_orderkey")
+        .corrMatrix(Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .toDF
+        .select(col("c1"), col("c2"),
+          graft.ops.TextOps.round6(col("corr")).as("corr"))
+        .orderBy("c1", "c2")
+    }),
+
     // pandas get_dummies (one-hot over the five TPC-H market segments):
     // a pure projection — per-value indicator columns, no shuffle, no
     // category-discovery job.
@@ -504,6 +515,22 @@ object FrameQueries {
              WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
          FROM t JOIN sc ON t.doc_id = sc.doc_id
          ORDER BY t.doc_id""",
+    "f33_corr_matrix" ->
+      """WITH p AS (
+           SELECT 'l_quantity' AS c1, 'l_quantity' AS c2,
+             corr(l_quantity, l_quantity) AS corr FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_extendedprice',
+             corr(l_quantity, l_extendedprice) FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_discount',
+             corr(l_quantity, l_discount) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_extendedprice',
+             corr(l_extendedprice, l_extendedprice) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_discount',
+             corr(l_extendedprice, l_discount) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_discount',
+             corr(l_discount, l_discount) FROM lineitem)
+         SELECT c1, c2, floor(corr * 1e6 + 0.5) / 1e6 AS corr
+         FROM p ORDER BY c1, c2""",
     "f32_get_dummies" ->
       """SELECT c_custkey AS custkey,
            CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END

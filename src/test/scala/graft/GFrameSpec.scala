@@ -233,6 +233,38 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
       == Seq("left_only", "both", "right_only"))
   }
 
+  test("crosstab drops null row keys (pandas drops NaN keys)") {
+    val df = Seq((Some(1L), "x"), (None, "x"), (Some(1L), "y"))
+      .toDF("rk", "c")
+    val ct = GFrame.fromDF(df, "rk").crosstab("rk", "c", Seq("x", "y"))
+    val rows = ct.toDF.collect()
+    assert(rows.length == 1) // the null key never becomes a fabricated 0
+    assert(rows(0).toSeq == Seq(1L, 1L, 1L))
+  }
+
+  test("mergeIndicator rejects indicator/marker column collisions") {
+    val l = GFrame.fromDF(Seq((1L, "a")).toDF("k", "_merge"), "k")
+    val r = GFrame.fromDF(Seq((1L, 9.0)).toDF("k", "rv"), "k")
+    intercept[IllegalArgumentException] { l.mergeIndicator(r, Seq("k")) }
+  }
+
+  test("getDummies one-hot encodes explicit categories; null row all-zero") {
+    val df = Seq((1L, Some("a")), (2L, Some("b")), (3L, None))
+      .toDF("id", "cat")
+    val d = GFrame.fromDF(df, "id").getDummies("cat", Seq("a", "b"), "c")
+      .toDF.orderBy("id").collect()
+    assert(d.map(r => (r.getInt(2), r.getInt(3))).toSeq
+      == Seq((1, 0), (0, 1), (0, 0)))
+  }
+
+  test("corrMatrix stacks the upper triangle from one aggregate pass") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("x", "y")
+    val m = GFrame.fromDF(df.withColumn("id", lit(1)), "id")
+      .corrMatrix(Seq("x", "y")).toDF.orderBy("c1", "c2").collect()
+    assert(m.length == 3)
+    m.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-12))
+  }
+
   test("join on shared column names keeps one key copy") {
     val left = GFrame.fromDF(Seq((1L, "x"), (2L, "y")).toDF("id", "l"), "id")
     val right = GFrame.fromDF(Seq((1L, 9.0)).toDF("id", "r"), "id")
