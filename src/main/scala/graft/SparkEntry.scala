@@ -539,6 +539,30 @@ object SparkEntry {
       g.result("rmed" -> g.rollingMedian(7), "rq25" -> g.rollingQuantile(7, 0.25))
         .orderBy("idx")
     }),
+    // TIMESTAMP-indexed global windows: the bucket coordinate is the
+    // epoch-seconds cast, so cumsum + carry shift distribute exactly like
+    // the numeric path (ts is unique in the fixture — a prefix sum over
+    // duplicate index labels would be order-ambiguous in ANY engine).
+    "s60_ts_index" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
+      val g = v.globalWindows(carry = 1)
+      g.result("cs" -> graft.ops.TextOps.round6(g.cumsum()),
+          "prev" -> g.shift(1))
+        .orderBy("idx")
+    }),
+    // DATE-indexed global windows (epoch-days coordinate): daily order
+    // totals first (unique date index), then the distributed cumsum.
+    "s61_date_index" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("d"))
+        .agg(sum(col("o_totalprice")).as("total"))
+      val v = Series.fromColumn(daily, "total", "d")
+      v.cumsum().df
+        .select(col("d").as("idx"),
+          graft.ops.TextOps.round2(col("total")).as("cum"))
+        .orderBy("idx")
+    }),
     // pandas groupby().expanding().mean()/.std(): per-user cumulative
     // n/Σx/Σx² as plain keyed-window sums — one shuffle on user_id.
     // The 9dp additive constant moves every mean OFF the decimal halfway
@@ -878,6 +902,24 @@ object SparkEntry {
          WINDOW w AS (ORDER BY c_name
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
+    "s60_ts_index" ->
+      ("""SELECT ts AS idx,
+           floor(sum(value) OVER w * 1e6 + 0.5) / 1e6 AS cs,
+           lag(value) OVER (ORDER BY ts) AS prev
+         FROM events
+         WINDOW w AS (ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s61_date_index" ->
+      ("""WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS idx,
+             sum(o_totalprice) AS total
+           FROM orders GROUP BY 1)
+         SELECT idx,
+           floor(sum(total) OVER (ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 1e2 + 0.5) / 1e2 AS cum
+         FROM daily ORDER BY idx"""),
     "s59_expanding_by" ->
       ("""WITH e AS (
            SELECT event_id AS idx, user_id,
