@@ -539,6 +539,30 @@ object SparkEntry {
       g.result("rmed" -> g.rollingMedian(7), "rq25" -> g.rollingQuantile(7, 0.25))
         .orderBy("idx")
     }),
+    // pandas groupby().rank(method=): all five keyed tie methods — one
+    // shuffle on user_id, per-group sorts; 'first' tie-breaks on the
+    // unique event_id so both engines agree.
+    "s62_rank_by" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = Series.fromExpr(e, col("value"), "v", col("event_id"), "idx")
+      val u = col("user_id")
+      e.select(col("event_id").as("idx"), col("user_id"),
+          v.rankBy(u).values.as("r_avg"),
+          v.rankBy(u, "min").values.as("r_min"),
+          v.rankBy(u, "max").values.as("r_max"),
+          v.rankBy(u, "first").values.as("r_first"),
+          v.rankBy(u, "dense").values.as("r_dense"))
+        .orderBy("idx")
+    }),
+    // pandas resample('1h').sum(): time-bucket downsampling — one
+    // partial+final aggregation keyed by the hour bucket.
+    "s63_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
+      v.resample("HOUR", org.apache.spark.sql.functions.sum(_)).df
+        .select(col("idx"), graft.ops.TextOps.round2(col("v")).as("total"))
+        .orderBy("idx")
+    }),
     // TIMESTAMP-indexed global windows: the bucket coordinate is the
     // epoch-seconds cast, so cumsum + carry shift distribute exactly like
     // the numeric path (ts is unique in the fixture — a prefix sum over
@@ -902,6 +926,23 @@ object SparkEntry {
          WINDOW w AS (ORDER BY c_name
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
+    "s62_rank_by" ->
+      ("""SELECT event_id AS idx, user_id,
+           CAST(rank() OVER o AS DOUBLE)
+             + (count(*) OVER t - 1) / 2.0 AS r_avg,
+           CAST(rank() OVER o AS DOUBLE) AS r_min,
+           CAST(rank() OVER o + count(*) OVER t - 1 AS DOUBLE) AS r_max,
+           CAST(row_number() OVER (PARTITION BY user_id
+             ORDER BY value, event_id) AS DOUBLE) AS r_first,
+           CAST(dense_rank() OVER o AS DOUBLE) AS r_dense
+         FROM events
+         WINDOW o AS (PARTITION BY user_id ORDER BY value),
+           t AS (PARTITION BY user_id, value)
+         ORDER BY idx"""),
+    "s63_resample" ->
+      ("""SELECT date_trunc('hour', ts) AS idx,
+           floor(sum(value) * 1e2 + 0.5) / 1e2 AS total
+         FROM events GROUP BY 1 ORDER BY idx"""),
     "s60_ts_index" ->
       ("""SELECT ts AS idx,
            floor(sum(value) OVER w * 1e6 + 0.5) / 1e6 AS cs,

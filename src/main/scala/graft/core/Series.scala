@@ -982,17 +982,37 @@ final class Series private[graft] (
     withValue(try_divide(valueExpr - prev, prev))
   }
 
-  /** Average-method rank of values within each `by` group (pandas
-    * groupby(by).rank()); nulls rank null. */
-  def rankBy(by: Column): Series = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(by)
-      .orderBy(valueExpr.asc_nulls_last)
-    withValue(when(valueExpr.isNotNull,
-      F.rank().over(w).cast("double")
-        + (F.count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(by, valueExpr))
-          - 1).cast("double") / 2.0))
+  /** Rank of values within each `by` group (pandas groupby(by).rank
+    * (method=)) — all five pandas tie methods, nulls rank null, one
+    * shuffle on the key, per-group sorts only. */
+  def rankBy(by: Column, method: String = "average"): Series = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(by).orderBy(valueExpr.asc_nulls_last)
+    val wf = W.partitionBy(by).orderBy(valueExpr.asc_nulls_last,
+      indexExpr.asc)
+    val tieCnt = F.count(lit(1)).over(W.partitionBy(by, valueExpr))
+    withValue(when(valueExpr.isNotNull, method match {
+      case "average" => F.rank().over(w).cast("double") +
+        (tieCnt - 1).cast("double") / 2.0
+      case "min" => F.rank().over(w).cast("double")
+      case "max" => (F.rank().over(w) + tieCnt - 1).cast("double")
+      case "first" => row_number().over(wf).cast("double")
+      case "dense" => dense_rank().over(w).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"unknown rank method '$other'")
+    }))
   }
+
+  /** pandas resample(freq).agg(...) — time-bucket downsampling of a
+    * timestamp-indexed Series: the index truncates to its bucket start
+    * (`unit` = Spark date_trunc format: "HOUR", "DAY", "WEEK", "MONTH",
+    * ...), values aggregate per bucket. ONE partial+final aggregation
+    * keyed by the bucket — the canonical time-series downsample shape. */
+  def resample(unit: String, agg: Column => Column): Series =
+    Series.fromKeyed(
+      base.groupBy(date_trunc(unit, indexExpr).as(indexName))
+        .agg(agg(valueExpr).as(name)),
+      name, indexName)
 
   /** Trailing-`n` rolling mean within each `by` group (min_periods = n). */
   def rollingMeanBy(by: Column, n: Int): Series =
@@ -1087,6 +1107,12 @@ final class StrAccessor private[core] (s: Series) {
     t(F.substring(_, start + 1, stop - start))
   }
   def zfill(width: Int): Series = t(F.lpad(_, width, "0"))
+  /** pandas str.extract(pat) with ONE capture group: the group's match,
+    * null when the pattern doesn't match (regexp_extract returns '' there
+    * — nulled to match pandas NaN). */
+  def extract(pattern: String): Series =
+    t(v => when(v.rlike(pattern),
+      F.regexp_extract(v, pattern, 1)))
 }
 
 /** pandas Series.dt — calendar parts in the session time zone; dayofweek

@@ -603,6 +603,35 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(near(got(4)._1, 5.0) && near(got(4)._2, math.sqrt(20.0 / 3)))
   }
 
+  test("str.extract captures group 1, null on no match (pandas NaN)") {
+    val v = Series.fromSeq(spark, Seq("id=42", "id=7x", "nope"))
+    assert(valuesOf(v.str.extract("id=(\\d+)")) == Seq("42", "7", null))
+  }
+
+  test("rankBy methods rank within groups with pandas tie semantics") {
+    // group 1 values [3,1,3]: min [2,1,2] max [3,1,3] dense [2,1,2]
+    val v = Series.fromPairs(spark,
+      Seq((0L, 3.0), (1L, 1.0), (2L, 3.0), (3L, 5.0)))
+    val g = when(col("index") < 3, 1L).otherwise(2L)
+    assert(valuesOf(v.rankBy(g, "min")) == Seq(2.0, 1.0, 2.0, 1.0))
+    assert(valuesOf(v.rankBy(g, "max")) == Seq(3.0, 1.0, 3.0, 1.0))
+    assert(valuesOf(v.rankBy(g, "dense")) == Seq(2.0, 1.0, 2.0, 1.0))
+    assert(valuesOf(v.rankBy(g, "first")) == Seq(2.0, 1.0, 3.0, 1.0))
+    assert(valuesOf(v.rankBy(g)) == Seq(2.5, 1.0, 2.5, 1.0))
+  }
+
+  test("resample truncates the index to bucket starts and aggregates") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val df = Seq((ts(1, 10), 1.0), (ts(1, 50), 2.0), (ts(3, 5), 4.0))
+      .toDF("t", "v")
+    val r = Series.fromColumn(df, "v", "t")
+      .resample("HOUR", org.apache.spark.sql.functions.sum(_))
+    val got = r.df.orderBy("t").collect()
+      .map(x => (x.getTimestamp(0), x.getDouble(1))).toSeq
+    assert(got == Seq((ts(1, 0), 3.0), (ts(3, 0), 4.0)))
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
