@@ -539,6 +539,15 @@ object SparkEntry {
       g.result("rmed" -> g.rollingMedian(7), "rq25" -> g.rollingQuantile(7, 0.25))
         .orderBy("idx")
     }),
+    // pandas groupby().nlargest(k): per-user top-3 event values — the
+    // rank predicate sits on the staged row_number so WindowGroupLimit
+    // heaps per partition BEFORE the shuffle (plan-audited).
+    "s64_topk_by" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = Series.fromExpr(e, col("value"), "v", col("event_id"), "idx")
+      val top = v.nlargestBy(col("user_id"), 3)
+      top.df.orderBy("idx")
+    }),
     // pandas groupby().rank(method=): all five keyed tie methods — one
     // shuffle on user_id, per-group sorts; 'first' tie-breaks on the
     // unique event_id so both engines agree.
@@ -926,6 +935,13 @@ object SparkEntry {
          WINDOW w AS (ORDER BY c_name
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
+    "s64_topk_by" ->
+      ("""SELECT idx, v FROM (
+           SELECT event_id AS idx, value AS v,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY value DESC, event_id) AS rn
+           FROM events)
+         WHERE rn <= 3 ORDER BY idx"""),
     "s62_rank_by" ->
       ("""SELECT event_id AS idx, user_id,
            CAST(rank() OVER o AS DOUBLE)

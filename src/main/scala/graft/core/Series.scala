@@ -1026,6 +1026,37 @@ final class Series private[graft] (
   def rollingStdBy(by: Column, n: Int): Series =
     rollingOver(keyedWindow(by), n, stddev_samp(valueExpr))
 
+  /** Top-k values within each `by` group (pandas groupby(by).nlargest(k)),
+    * ties broken by index label. The rank predicate sits directly on the
+    * staged row_number, so Spark's WindowGroupLimit rewrite turns the
+    * full per-group sort into a per-partition top-k heap BEFORE the
+    * shuffle — the per-group sibling of nlargest's
+    * TakeOrderedAndProject. */
+  def nlargestBy(by: Column, k: Int): Series = {
+    require(k >= 1, "k must be >= 1")
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(by)
+        .orderBy(valueExpr.desc_nulls_last, indexExpr.asc))
+    Series.fromKeyed(
+      base.select(indexExpr.as(indexName), valueExpr.as(name), rn.as("__rn"))
+        .filter(col("__rn") <= k)
+        .select(col(indexName), col(name)),
+      name, indexName)
+  }
+
+  /** Bottom-k values within each `by` group (pandas groupby(by).nsmallest). */
+  def nsmallestBy(by: Column, k: Int): Series = {
+    require(k >= 1, "k must be >= 1")
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(by)
+        .orderBy(valueExpr.asc_nulls_last, indexExpr.asc))
+    Series.fromKeyed(
+      base.select(indexExpr.as(indexName), valueExpr.as(name), rn.as("__rn"))
+        .filter(col("__rn") <= k)
+        .select(col(indexName), col(name)),
+      name, indexName)
+  }
+
   /** Sort by value (pandas sort_values). */
   def sortValues(ascending: Boolean = true): Series = Series.fromKeyed(
     df.orderBy(if (ascending) col(name).asc else col(name).desc), name,

@@ -632,6 +632,20 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq((ts(1, 0), 3.0), (ts(3, 0), 4.0)))
   }
 
+  test("nlargestBy takes per-group top-k through a WindowGroupLimit heap") {
+    val df = Seq((0L, 1L, 5.0), (1L, 1L, 9.0), (2L, 1L, 7.0), (3L, 1L, 1.0),
+      (4L, 2L, 3.0), (5L, 2L, 8.0)).toDF("idx", "g", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    val top = s.nlargestBy(df("g"), 2)
+    val got = top.df.orderBy("idx").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 9.0), (2L, 7.0), (4L, 3.0), (5L, 8.0)))
+    assert(valuesOf(s.nsmallestBy(df("g"), 1)) == Seq(1.0, 3.0))
+    // the rank predicate must trigger the per-partition top-k rewrite
+    val plan = top.df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
