@@ -514,6 +514,23 @@ object SparkEntry {
           graft.ops.TextOps.round6(col("ewm_var")).as("ev"))
         .orderBy("idx")
     }),
+    // pandas ewm(span=9, adjust=False): the recurrence EMA spelling —
+    // span=9 → α=0.2 exactly, adjust=False reweights only the FIRST
+    // observation (numF = α·num + (1−α)·first), so the gate exercises the
+    // first-observation carry fold on the same bucketed plan as s50. The
+    // oracle is the direct pandas recurrence y=(1−α)y+αx as a recursive
+    // CTE (supplier has no null balances, so Σw≡1 and var=(s2−m²)/(1−q)).
+    "s66_ewm_adjust" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val x = Series.fromExpr(sup,
+        (col("s_acctbal") - lit(4500.0)) / lit(1000.0), "x",
+        col("s_suppkey"), "idx")
+      x.ewmSpan(9.0, adjust = false).stats
+        .select(col("idx"),
+          graft.ops.TextOps.round6(col("ewm_mean")).as("em"),
+          graft.ops.TextOps.round6(col("ewm_var")).as("ev"))
+        .orderBy("idx")
+    }),
     // pandas expanding().mean()/.std(): three prefix sums (n, Σx, Σx²)
     // on one bucketed scan close the formulas per row; identical
     // sum-of-squares spelling in the oracle. The 9dp shift keeps means
@@ -547,6 +564,21 @@ object SparkEntry {
       val v = Series.fromExpr(e, col("value"), "v", col("event_id"), "idx")
       val top = v.nlargestBy(col("user_id"), 3)
       top.df.orderBy("idx")
+    }),
+    // negative shift (lead) distributed: next / next-next value and the
+    // backward difference, all three on ONE bucketed builder — forward
+    // carry rows (global first-2 of each following bucket) replayed
+    // backward, no single-task global window (see GlobalWindows fcarry).
+    "s65_shift_lead" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey")
+      val gw = bal.globalWindows(fcarry = 2)
+      gw.result(
+        "nxt" -> gw.lead(1),
+        "nxt2" -> gw.lead(2),
+        "bdelta" -> round(gw.diffLead(1), 2))
+        .withColumnRenamed("c_custkey", "idx")
+        .orderBy("idx")
     }),
     // pandas groupby().rank(method=): all five keyed tie methods — one
     // shuffle on user_id, per-group sorts; 'first' tie-breaks on the
@@ -942,6 +974,12 @@ object SparkEntry {
                ORDER BY value DESC, event_id) AS rn
            FROM events)
          WHERE rn <= 3 ORDER BY idx"""),
+    "s65_shift_lead" ->
+      ("SELECT c_custkey AS idx, " +
+        "lead(c_acctbal) OVER (ORDER BY c_custkey) AS nxt, " +
+        "lead(c_acctbal, 2) OVER (ORDER BY c_custkey) AS nxt2, " +
+        "round(c_acctbal - lead(c_acctbal) OVER (ORDER BY c_custkey), 2) " +
+        "AS bdelta FROM customer ORDER BY idx"),
     "s62_rank_by" ->
       ("""SELECT event_id AS idx, user_id,
            CAST(rank() OVER o AS DOUBLE)
@@ -1085,6 +1123,30 @@ object SparkEntry {
            CASE WHEN rn > 1 THEN
              floor(((num2 / den - (num / den) * (num / den))
                * den * den / (den * den - den2)) * 1e6 + 0.5) / 1e6
+           END AS ev
+         FROM r ORDER BY idx"""),
+    "s66_ewm_adjust" ->
+      ("""WITH RECURSIVE s AS (
+           SELECT s_suppkey AS idx, (s_acctbal - 4500.0) / 1000.0 AS x,
+             row_number() OVER (ORDER BY s_suppkey) AS rn
+           FROM supplier),
+         r AS (
+           -- adjust=False, no nulls: Σw ≡ 1, so m/s2/q are the direct
+           -- recurrences; spell α² and (1−α)² as products so both engines
+           -- compute the identical doubles (0.04 literal ≠ 0.2*0.2)
+           SELECT idx, rn, x,
+             x AS m, x * x AS s2, CAST(1.0 AS DOUBLE) AS q
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.idx, s.rn, s.x,
+             0.8 * r.m + 0.2 * s.x,
+             0.8 * r.s2 + 0.2 * s.x * s.x,
+             (0.8 * 0.8) * r.q + (0.2 * 0.2)
+           FROM r JOIN s ON s.rn = r.rn + 1)
+         SELECT idx,
+           floor(m * 1e6 + 0.5) / 1e6 AS em,
+           CASE WHEN rn > 1 THEN
+             floor(((s2 - m * m) / (1 - q)) * 1e6 + 0.5) / 1e6
            END AS ev
          FROM r ORDER BY idx"""),
     "s53_rank_methods" ->

@@ -34,7 +34,10 @@ import org.apache.spark.storage.StorageLevel
   *        `carry` rows before each bucket's range start are replayed into
   *        that bucket as flagged carry rows (≤ carry × buckets rows,
   *        collected once), so `lag`/trailing frames see their true global
-  *        predecessors; carry rows are dropped after the window.
+  *        predecessors; symmetrically, the global FIRST `fcarry` rows
+  *        after each bucket's range end are replayed backward so `lead`
+  *        (negative shift) sees its true global successors; carry rows are
+  *        dropped after the window.
   *
   * Multiple window expressions over one builder share the bucketed frame,
   * the persisted scan, and a single Window stage — the same one-scan
@@ -55,10 +58,12 @@ import org.apache.spark.storage.StorageLevel
   * DuckDB-oracle tolerance, same as s18/s29).
   */
 final class GlobalWindows private[graft] (
-    s: Series, buckets: Int, carry: Int, extra: Seq[(String, Column)]) {
+    s: Series, buckets: Int, carry: Int, extra: Seq[(String, Column)],
+    fcarry: Int = 0) {
 
   require(buckets >= 1, "buckets must be >= 1")
   require(carry >= 0, "carry must be >= 0")
+  require(fcarry >= 0, "fcarry must be >= 0")
 
   import GlobalWindows._
 
@@ -97,34 +102,57 @@ final class GlobalWindows private[graft] (
     * (a bounded row_number top-k per bucket) collect to the driver; a
     * single forward walk over buckets maintains the ring of the global
     * last-`carry` rows and replays the ring state at each bucket boundary
-    * as that bucket's carries. */
+    * as that bucket's carries. Forward carries (`fcarry` — lead support)
+    * are the mirror image: per-bucket FIRST `fcarry` rows, one BACKWARD
+    * walk maintaining the ring of the global next-`fcarry` rows. */
   private val frame: DataFrame = {
     val tagged = keyed.withColumn(CarryCol, lit(false))
-    if (carry == 0) tagged
+    if (carry == 0 && fcarry == 0) tagged
     else {
-      val wdesc = Window.partitionBy(col(Bkt))
-        .orderBy(col(idxName).desc_nulls_last)
-      val tails = keyed
-        .withColumn("__gw_rn", row_number().over(wdesc))
-        .filter(col("__gw_rn") <= carry).drop("__gw_rn")
-        .collect() // ≤ carry × buckets rows — bounded driver state
       val bktPos = keyed.schema.fieldIndex(Bkt)
       val idxPos = keyed.schema.fieldIndex(idxName)
-      val byBucket = tails.groupBy(_.getLong(bktPos))
-      val ring = mutable.ArrayDeque.empty[Row] // oldest..newest, ≤ carry
       val out = mutable.Buffer.empty[Row]
-      byBucket.keys.toSeq.sorted.foreach { b =>
-        ring.foreach { r =>
-          out += Row.fromSeq(r.toSeq.updated(bktPos, b) :+ true)
+      if (carry > 0) {
+        val wdesc = Window.partitionBy(col(Bkt))
+          .orderBy(col(idxName).desc_nulls_last)
+        val tails = keyed
+          .withColumn("__gw_rn", row_number().over(wdesc))
+          .filter(col("__gw_rn") <= carry).drop("__gw_rn")
+          .collect() // ≤ carry × buckets rows — bounded driver state
+        val byBucket = tails.groupBy(_.getLong(bktPos))
+        val ring = mutable.ArrayDeque.empty[Row] // oldest..newest, ≤ carry
+        byBucket.keys.toSeq.sorted.foreach { b =>
+          ring.foreach { r =>
+            out += Row.fromSeq(r.toSeq.updated(bktPos, b) :+ true)
+          }
+          byBucket(b).sortBy(_.get(idxPos))(AnyOrd).foreach { r =>
+            ring.append(r)
+            if (ring.size > carry) ring.removeHead()
+          }
         }
-        byBucket(b).sortBy(_.get(idxPos))(AnyOrd).foreach { r =>
-          ring.append(r)
-          if (ring.size > carry) ring.removeHead()
+      }
+      if (fcarry > 0) {
+        val wasc = Window.partitionBy(col(Bkt))
+          .orderBy(col(idxName).asc_nulls_first)
+        val heads = keyed
+          .withColumn("__gw_rn", row_number().over(wasc))
+          .filter(col("__gw_rn") <= fcarry).drop("__gw_rn")
+          .collect() // ≤ fcarry × buckets rows — bounded driver state
+        val byBucket = heads.groupBy(_.getLong(bktPos))
+        // nearest..farthest global successors, ≤ fcarry
+        var ring = List.empty[Row]
+        byBucket.keys.toSeq.sorted.reverse.foreach { b =>
+          ring.foreach { r =>
+            out += Row.fromSeq(r.toSeq.updated(bktPos, b) :+ true)
+          }
+          ring = (byBucket(b).sortBy(_.get(idxPos))(AnyOrd).toList ++ ring)
+            .take(fcarry)
         }
       }
       val schema = StructType(keyed.schema.fields :+
         StructField(CarryCol, BooleanType, nullable = false))
-      tagged.unionByName(
+      if (out.isEmpty) tagged
+      else tagged.unionByName(
         d.sparkSession.createDataFrame(out.asJava, schema))
     }
   }
@@ -261,6 +289,17 @@ final class GlobalWindows private[graft] (
 
   /** Global discrete difference v − v.shift(n). */
   def diff(n: Int = 1): Column = col(valName) - shift(n)
+
+  /** Global lead(n) (pandas shift(-n)) — needs `n <= fcarry` so every
+    * bucket holds its true global successors as forward carry rows. */
+  def lead(n: Int = 1): Column = {
+    require(n >= 1 && n <= fcarry,
+      s"lead($n) needs a builder with fcarry >= $n (have $fcarry)")
+    F.lead(col(valName), n).over(w)
+  }
+
+  /** Global backward difference v − v.shift(-n) (pandas diff(-n)). */
+  def diffLead(n: Int = 1): Column = col(valName) - lead(n)
 
   /** Global fractional change; try_divide → null on a zero previous value
     * (not an ANSI abort). */

@@ -477,10 +477,11 @@ final class Series private[graft] (
   /** Shared range-bucket two-pass window builder over this Series — compose
     * several global-order window expressions on one bucketed scan (see
     * [[GlobalWindows]]). `carry` = max lag / rolling-width−1 needed;
-    * `extra` = passthrough columns (resolved against the base frame). */
+    * `fcarry` = max lead (negative shift) needed; `extra` = passthrough
+    * columns (resolved against the base frame). */
   def globalWindows(buckets: Int = 32, carry: Int = 0,
-      extra: Seq[(String, Column)] = Nil): GlobalWindows =
-    new GlobalWindows(this, buckets, carry, extra)
+      extra: Seq[(String, Column)] = Nil, fcarry: Int = 0): GlobalWindows =
+    new GlobalWindows(this, buckets, carry, extra, fcarry)
 
   /** Cumulative sum in index order (pandas cumsum). Numeric indexes run the
     * distributed two-pass bucket plan ([[GlobalWindows]]); non-numeric fall
@@ -512,22 +513,20 @@ final class Series private[graft] (
     Series.fromKeyed(df.union(other.df.toDF(indexName, name)), name, indexName)
 
   /** Index label of the maximum value (pandas idxmax; ties → smallest
-    * label, pandas' first-occurrence rule; nulls skipped). One
-    * TakeOrderedAndProject job — per-partition heaps, no global sort. */
+    * label, pandas' first-occurrence rule; nulls skipped; empty or
+    * all-null Series → null, pandas' NaN). One TakeOrderedAndProject
+    * job — per-partition heaps, no global sort. */
   def idxmax(): Any = df.filter(col(name).isNotNull)
     .orderBy(col(name).desc, col(indexName).asc)
     .select(indexName).head(1).headOption
-    .map(_.get(0))
-    .getOrElse(throw new IllegalArgumentException(
-      s"idxmax() on empty or all-null Series '$name'"))
+    .map(_.get(0)).orNull
 
-  /** Index label of the minimum value (pandas idxmin). */
+  /** Index label of the minimum value (pandas idxmin; empty or all-null
+    * Series → null, pandas' NaN). */
   def idxmin(): Any = df.filter(col(name).isNotNull)
     .orderBy(col(name).asc, col(indexName).asc)
     .select(indexName).head(1).headOption
-    .map(_.get(0))
-    .getOrElse(throw new IllegalArgumentException(
-      s"idxmin() on empty or all-null Series '$name'"))
+    .map(_.get(0)).orNull
 
   /** Top-n rows by value (pandas nlargest): TakeOrderedAndProject —
     * per-partition heaps, no global sort. */
@@ -591,23 +590,31 @@ final class Series private[graft] (
   }
 
   /** Value shifted by `n` positions in index order (pandas shift) —
-    * null-padded. Numeric indexes run the bucketed plan with the global
-    * last-n rows per bucket boundary as bounded carry rows
-    * ([[GlobalWindows]]); negative n (lead) and non-numeric indexes fall
-    * back to the single-task global window. [[shiftBy]] is the keyed
-    * sibling. */
+    * null-padded. Orderable indexes run the bucketed plan with the global
+    * last-n (or, for negative n, FIRST-n-of-following) rows per bucket
+    * boundary as bounded carry rows ([[GlobalWindows]]); non-orderable
+    * indexes fall back to the single-task global window. [[shiftBy]] is
+    * the keyed sibling. */
   def shift(n: Int = 1): Series =
-    if (n >= 0 && orderableIdx) {
+    if (!orderableIdx) withValue(lag(valueExpr, n).over(ixWindow))
+    else if (n >= 0) {
       val g = globalWindows(carry = n)
       g.series(g.shift(n), name)
-    } else withValue(lag(valueExpr, n).over(ixWindow))
+    } else {
+      val g = globalWindows(fcarry = -n)
+      g.series(g.lead(-n), name)
+    }
 
   /** First discrete difference v - v.shift(n) (pandas diff). */
   def diff(n: Int = 1): Series =
-    if (n >= 0 && orderableIdx) {
+    if (!orderableIdx) withValue(valueExpr - lag(valueExpr, n).over(ixWindow))
+    else if (n >= 0) {
       val g = globalWindows(carry = n)
       g.series(g.diff(n), name)
-    } else withValue(valueExpr - lag(valueExpr, n).over(ixWindow))
+    } else {
+      val g = globalWindows(fcarry = -n)
+      g.series(g.diffLead(-n), name)
+    }
 
   /** Fractional change from the previous value (pandas pct_change).
     * try_divide: a zero previous value yields null, not a DIVIDE_BY_ZERO
@@ -728,11 +735,29 @@ final class Series private[graft] (
       methods.map(m => expr(m).as(s"rank_$m")): _*)
   }
 
-  /** pandas ewm(alpha=, adjust=True): exponentially weighted mean / var /
-    * std in global index order, distributed through range buckets + a
-    * sequential per-bucket scan (see [[Ewm]] for the factorization and
-    * why a recurrence can't be a window aggregate). */
-  def ewm(alpha: Double, buckets: Int = 32): Ewm = new Ewm(this, alpha, buckets)
+  /** pandas ewm(alpha=, adjust=, ignore_na=): exponentially weighted
+    * mean / var / std in global index order, distributed through range
+    * buckets + a sequential per-bucket scan (see [[Ewm]] for the
+    * factorization and why a recurrence can't be a window aggregate). */
+  def ewm(alpha: Double, buckets: Int = 32, adjust: Boolean = true,
+      ignoreNa: Boolean = false): Ewm =
+    new Ewm(this, alpha, buckets, adjust, ignoreNa)
+
+  /** pandas ewm(span=): α = 2/(span+1) — span=20 is the canonical EMA
+    * spelling. */
+  def ewmSpan(span: Double, buckets: Int = 32, adjust: Boolean = true,
+      ignoreNa: Boolean = false): Ewm =
+    ewm(Ewm.alphaOfSpan(span), buckets, adjust, ignoreNa)
+
+  /** pandas ewm(halflife=): α = 1 − exp(−ln2/halflife). */
+  def ewmHalflife(halflife: Double, buckets: Int = 32,
+      adjust: Boolean = true, ignoreNa: Boolean = false): Ewm =
+    ewm(Ewm.alphaOfHalflife(halflife), buckets, adjust, ignoreNa)
+
+  /** pandas ewm(com=): α = 1/(1+com). */
+  def ewmCom(com: Double, buckets: Int = 32, adjust: Boolean = true,
+      ignoreNa: Boolean = false): Ewm =
+    ewm(Ewm.alphaOfCom(com), buckets, adjust, ignoreNa)
 
   /** pandas expanding().mean()/.std() — (idx, emean, estd): cumulative
     * observation count, sum, and sum-of-squares are three prefix sums on
@@ -774,10 +799,12 @@ final class Series private[graft] (
       mean.as("emean"), when(n >= 2L, sqrt(varE)).as("estd"))
   }
 
-  /** pandas groupby(by).ewm(alpha): (idx, key, ewm_mean, ewm_var) — one
-    * keyed exchange + per-group streaming recurrence ([[Ewm.statsBy]]). */
-  def ewmStatsBy(by: Column, alpha: Double): DataFrame =
-    Ewm.statsBy(this, by, alpha)
+  /** pandas groupby(by).ewm(alpha, adjust=, ignore_na=): (idx, key,
+    * ewm_mean, ewm_var) — one keyed exchange + per-group streaming
+    * recurrence ([[Ewm.statsBy]]). */
+  def ewmStatsBy(by: Column, alpha: Double, adjust: Boolean = true,
+      ignoreNa: Boolean = false): DataFrame =
+    Ewm.statsBy(this, by, alpha, adjust, ignoreNa)
 
   /** Keyed ewm mean as a Series. */
   def ewmMeanBy(by: Column, alpha: Double): Series = Series.fromKeyed(

@@ -1,8 +1,12 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Event-time operators over a timestamped event table: tumbling-window
   * aggregation and gap-based sessionization — the batch twins of the
@@ -183,6 +187,125 @@ object EventOps {
             <= f.getField("__rus") - us, b).otherwise(f))
     }
     val filled = lNorm.unionByName(rNorm).select(
+      col("__side"), col("__lrow"), rv.as("__rvals"))
+    val bounded = toleranceUs.fold(filled) { t =>
+      filled.withColumn("__rvals",
+        when(abs(unix_micros(col(s"__lrow.$tsCol"))
+          - col("__rvals.__rus")) <= t, col("__rvals")))
+    }
+    bounded.filter(col("__side") === 1)
+      .select(col("__lrow.*") +:
+        rightVals.map(c => col(s"__rvals.$c").as(prefix + c)): _*)
+  }
+
+  /** Global (un-keyed) as-of join — pandas' DEFAULT `merge_asof` (no
+    * `by=`): same semantics and union-tag trick as [[asofJoin]], but with
+    * no key to partition on. `Window.partitionBy()` would run the whole
+    * union on ONE task, so instead the tagged union is range-bucketed by
+    * the [[graft.core.GlobalWindows]] time coordinate (one min/max job off
+    * scan stats, one shuffle keyed by bucket) and the cross-bucket context
+    * is bounded carry rows: for each bucket, the single globally-latest
+    * RIGHT row before its range (backward/nearest) and/or the single
+    * globally-earliest RIGHT row after it (forward/nearest) — at most
+    * 2·buckets replayed rows, collected from per-bucket max_by/min_by
+    * aggregates. Equal timestamps always land in the same bucket (the
+    * bucket id is a function of the timestamp), so carries never reorder
+    * against real rows; carry rows are right-side rows, dropped with the
+    * rest of the right side by the final left filter.
+    *
+    * `toleranceUs` as in [[asofJoin]]. Skew note: a time-skewed union
+    * degrades bucket balance, not correctness. */
+  def asofJoinGlobal(left: DataFrame, right: DataFrame,
+      tsCol: String, tieCol: String, rightVals: Seq[String],
+      prefix: String = "asof_", direction: String = "backward",
+      toleranceUs: Option[Long] = None, buckets: Int = 32): DataFrame = {
+    toleranceUs.foreach(t => require(t >= 0, "tolerance must be >= 0"))
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
+    require(buckets >= 1, "buckets must be >= 1")
+    val lRowType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => right.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__rus",
+          org.apache.spark.sql.types.LongType))
+    val lNorm = left.select(
+      col(tsCol).as("__ts"), col(tieCol).as("__tie"), lit(1).as("__side"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__lrow"),
+      lit(null).cast(rStructType).as("__rvals"))
+    val rNorm = right.select(
+      col(tsCol).as("__ts"), col(tieCol).as("__tie"), lit(0).as("__side"),
+      lit(null).cast(lRowType).as("__lrow"),
+      struct(rightVals.map(col) :+
+        unix_micros(col(tsCol)).as("__rus"): _*).as("__rvals"))
+    val un = lNorm.unionByName(rNorm)
+    val tsDt = un.schema("__ts").dataType
+    val bounds = un.agg(min(col("__ts")), max(col("__ts"))).head()
+    val (coord, lo, hi) =
+      graft.core.GlobalWindows.indexCoord(tsDt, col("__ts"), bounds)
+    val bkt =
+      if (lo.isNaN || hi.isNaN || !(hi > lo)) lit(0L)
+      else graft.core.GlobalWindows.bucketExpr(col("__ts"), coord, lo, hi,
+        buckets)
+    val keyed = graft.Caches.track(un.withColumn("__bkt", bkt)
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val bktPos = keyed.schema.fieldIndex("__bkt")
+    val rowStruct = struct(keyed.columns.map(col).toIndexedSeq: _*)
+    val ord = struct(col("__ts"), col("__tie"))
+    val rightOnly = keyed.filter(col("__side") === 0)
+    val carries = mutable.Buffer.empty[Row]
+    def withBkt(r: Row, b: Long): Row = Row.fromSeq(r.toSeq.updated(bktPos, b))
+    if (direction != "forward") {
+      // per-bucket latest right row; ascending walk replays the global
+      // predecessor into every later bucket
+      val lasts = rightOnly.groupBy(col("__bkt"))
+        .agg(max_by(rowStruct, ord).as("__r"))
+        .collect().sortBy(_.getLong(0)) // ≤ buckets rows of driver state
+      var prev: Row = null
+      var i = 0
+      for (b <- 0L until buckets.toLong) {
+        while (i < lasts.length && lasts(i).getLong(0) < b) {
+          prev = lasts(i).getStruct(1); i += 1
+        }
+        if (prev != null) carries += withBkt(prev, b)
+      }
+    }
+    if (direction != "backward") {
+      // per-bucket earliest right row; descending walk replays the global
+      // successor into every earlier bucket
+      val firsts = rightOnly.groupBy(col("__bkt"))
+        .agg(min_by(rowStruct, ord).as("__r"))
+        .collect().sortBy(_.getLong(0))
+      var nxt: Row = null
+      var i = firsts.length - 1
+      for (b <- (buckets.toLong - 1) to 0L by -1) {
+        while (i >= 0 && firsts(i).getLong(0) > b) {
+          nxt = firsts(i).getStruct(1); i -= 1
+        }
+        if (nxt != null) carries += withBkt(nxt, b)
+      }
+    }
+    val frame =
+      if (carries.isEmpty) keyed
+      else keyed.unionByName(keyed.sparkSession.createDataFrame(
+        carries.asJava, keyed.schema))
+    val bwdW = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwdW = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__ts"), col("__side").desc, col("__tie"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rv = direction match {
+      case "backward" => last(col("__rvals"), ignoreNulls = true).over(bwdW)
+      case "forward" => first(col("__rvals"), ignoreNulls = true).over(fwdW)
+      case "nearest" =>
+        val b = last(col("__rvals"), ignoreNulls = true).over(bwdW)
+        val f = first(col("__rvals"), ignoreNulls = true).over(fwdW)
+        val us = unix_micros(col("__ts"))
+        when(b.isNull, f).when(f.isNull, b)
+          .otherwise(when(us - b.getField("__rus")
+            <= f.getField("__rus") - us, b).otherwise(f))
+    }
+    val filled = frame.select(
       col("__side"), col("__lrow"), rv.as("__rvals"))
     val bounded = toleranceUs.fold(filled) { t =>
       filled.withColumn("__rvals",

@@ -142,6 +142,29 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Global (un-keyed) merge_asof — pandas' DEFAULT (no by=): each
+    // purchase picks up the latest / next / nearest click ACROSS ALL
+    // USERS. With no key to partition on, the tagged union is
+    // range-bucketed by event time with at most 2·buckets extremal right
+    // rows replayed as carries (EventOps.asofJoinGlobal) — no
+    // single-task global window. All three directions in one gate,
+    // joined on the unique purchase event_id.
+    "e18_asof_global" -> ((s, d) => {
+      val e = ev(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = e.filter(col("event_type") === "click")
+      def one(dir: String, n: String) =
+        EventOps.asofJoinGlobal(p, c, "ts", "event_id", Seq("value"),
+          "g_", direction = dir)
+          .select(col("event_id"), round(col("g_value"), 2).as(n))
+      p.select(col("event_id"), round(col("value"), 2).as("pv"))
+        .join(one("backward", "bv"), Seq("event_id"))
+        .join(one("forward", "fv"), Seq("event_id"))
+        .join(one("nearest", "nv"), Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
     // The streaming replay gates run with 8 state partitions instead of
     // the session's 32: a stateful query creates (and commits, per batch)
     // one state store PER shuffle partition, a fixed cost the fixture-size
@@ -512,6 +535,35 @@ object EventQueries {
          SELECT event_id, user_id, round(pv, 2) AS pv,
            round(CASE WHEN abs(epoch_us(ts) - rs.us) <= 86400000000
              THEN rs.v END, 2) AS cv
+         FROM pick ORDER BY event_id""",
+    // e18 = e15's tagged union with NO partition key (global windows are
+    // fine in single-node DuckDB; the engine side buckets + carries)
+    "e18_asof_global" ->
+      """WITH u AS (
+           SELECT ts, 1 AS side, event_id, value AS pv,
+             CAST(NULL AS STRUCT(v DOUBLE, us BIGINT)) AS rs
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT ts, 0, event_id, NULL,
+             {'v': value, 'us': epoch_us(ts)}
+           FROM events WHERE event_type = 'click'),
+         f AS (
+           SELECT *,
+             last_value(rs IGNORE NULLS) OVER (
+               ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS brs,
+             first_value(rs IGNORE NULLS) OVER (
+               ORDER BY ts, side DESC, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS frs
+           FROM u),
+         pick AS (
+           SELECT event_id, pv, brs, frs,
+             CASE WHEN brs IS NULL THEN frs WHEN frs IS NULL THEN brs
+               WHEN epoch_us(ts) - brs.us <= frs.us - epoch_us(ts) THEN brs
+               ELSE frs END AS nrs
+           FROM f WHERE side = 1)
+         SELECT event_id, round(pv, 2) AS pv, round(brs.v, 2) AS bv,
+           round(frs.v, 2) AS fv, round(nrs.v, 2) AS nv
          FROM pick ORDER BY event_id""",
     "e08_trailing_hour" ->
       """SELECT event_id, user_id,

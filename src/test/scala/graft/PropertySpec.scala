@@ -146,4 +146,22 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("GlobalWindows lead == sequential reference for arbitrary buckets") {
+    forAll(vecGen, Gen.choose(1, 40), n = 10) { (xs: List[Double], b: Int) =>
+      val s = Series.fromSeq(spark, xs)
+      val gw = s.globalWindows(buckets = b, fcarry = 2)
+      val out = gw.result("l1" -> gw.lead(1), "l2" -> gw.lead(2))
+        .orderBy("index").collect()
+      val n = xs.length
+      out.zipWithIndex.foreach { case (r, i) =>
+        val l1Ref = if (i + 1 < n) Some(xs(i + 1)) else None
+        val l2Ref = if (i + 2 < n) Some(xs(i + 2)) else None
+        assert((if (r.isNullAt(1)) None else Some(r.getDouble(1))) == l1Ref,
+          s"lead1@$i buckets=$b")
+        assert((if (r.isNullAt(2)) None else Some(r.getDouble(2))) == l2Ref,
+          s"lead2@$i buckets=$b")
+      }
+    }
+  }
 }

@@ -153,6 +153,13 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(valuesOf(v.pctChange()) == Seq(null, 1.0, 0.25))
   }
 
+  test("negative shift/diff (lead) null-pad the tail via forward carry") {
+    val v = Series.fromSeq(spark, Seq(10.0, 20.0, 25.0, 40.0))
+    assert(valuesOf(v.shift(-1)) == Seq(20.0, 25.0, 40.0, null))
+    assert(valuesOf(v.shift(-2)) == Seq(25.0, 40.0, null, null))
+    assert(valuesOf(v.diff(-1)) == Seq(-10.0, -5.0, -15.0, null))
+  }
+
   test("rank uses the average method for ties (pandas rank())") {
     val v = Series.fromSeq(spark, Seq(30.0, 10.0, 10.0, 20.0))
     // sorted: 10,10,20,30 -> positions 1,2,3,4; ties 10 share (1+2)/2=1.5
@@ -284,6 +291,14 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
         .toDF("idx", "v"), "v", "idx")
     assert(withNull.idxmax() == 3L)
     assert(withNull.idxmin() == 1L) // null at idx 2 skipped
+  }
+
+  test("idxmax/idxmin return null on an empty or all-null Series (pandas NaN)") {
+    val allNull = Series.fromPairs(spark, Seq(
+      (1L, null.asInstanceOf[java.lang.Double]),
+      (2L, null.asInstanceOf[java.lang.Double])))
+    assert(allNull.idxmax() == null)
+    assert(allNull.idxmin() == null)
   }
 
   test("RangeIndex derives start/stop/step from the index data (virtual)") {
@@ -563,6 +578,109 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
       rows.filter(_._2 == g).foreach { case (i, _, x) =>
         num = x + w * num; den = 1 + w * den
         assert(math.abs(got(i) - num / den) < 1e-9, s"idx $i group $g")
+      }
+    }
+  }
+
+  // sequential pandas ewm reference: general (adjust, ignore_na) weights —
+  // first observation enters at weight 1 always; later ones at α when
+  // adjust=False; decay skips null rows when ignore_na=True
+  private def ewmRef(data: Seq[Option[Double]], alpha: Double,
+      adjust: Boolean, ignoreNa: Boolean): Seq[(Double, Double)] = {
+    val w = 1 - alpha
+    var num = 0.0; var den = 0.0; var num2 = 0.0; var den2 = 0.0
+    var seen = false
+    data.map { v =>
+      if (!ignoreNa || v.isDefined) {
+        num *= w; den *= w; num2 *= w; den2 *= w * w
+      }
+      v.foreach { x =>
+        val ew = if (adjust || !seen) 1.0 else alpha
+        num += ew * x; den += ew; num2 += ew * x * x; den2 += ew * ew
+        seen = true
+      }
+      val m = if (den > 0) num / den else Double.NaN
+      val dd = den * den - den2
+      val vr = if (den > 0 && dd > 0) (num2 / den - m * m) * den * den / dd
+        else Double.NaN
+      (m, vr)
+    }
+  }
+
+  test("ewm adjust=False / ignore_na=True variants match the pandas recurrence") {
+    val alpha = 0.2
+    val data: Seq[Option[Double]] = (0 until 200).map(i =>
+      if (i % 13 == 5) None else Some(math.sin(i) * 10 + i / 7.0))
+    val df = data.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    for ((adj, ina) <- Seq((false, false), (true, true), (false, true))) {
+      val got = s.ewm(alpha, adjust = adj, ignoreNa = ina).stats
+        .orderBy("idx").collect()
+        .map(r => (if (r.isNullAt(1)) null else r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getDouble(2)))
+      got.zip(ewmRef(data, alpha, adj, ina)).zipWithIndex.foreach {
+        case (((gm, gv), (em, ev)), i) =>
+          assert(math.abs(gm.asInstanceOf[Double] - em) < 1e-9,
+            s"mean@$i adjust=$adj ignoreNa=$ina")
+          if (ev.isNaN) assert(gv == null, s"var-null@$i")
+          else assert(math.abs(gv.asInstanceOf[Double] - ev) < 1e-9,
+            s"var@$i adjust=$adj ignoreNa=$ina")
+      }
+    }
+  }
+
+  test("ewm adjust=False hand case: pandas doc example weights") {
+    // [1, None, 2] α=0.5: adjust=False ignore_na=False →
+    // ((1-α)² · 1 + α · 2)/((1-α)² + α) = (0.25 + 1)/0.75... = 5/3? no:
+    // (0.25·1 + 0.5·2)/(0.25 + 0.5) = 1.25/0.75 = 5/3; ignore_na=True →
+    // ((1-α)·1 + α·2)/1 = 1.5
+    val df = Seq[(Long, Option[Double])](
+      (0L, Some(1.0)), (1L, None), (2L, Some(2.0))).toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    def meanAt2(adj: Boolean, ina: Boolean): Double =
+      s.ewm(0.5, adjust = adj, ignoreNa = ina).mean().df
+        .orderBy("idx").collect().last.getDouble(1)
+    assert(math.abs(meanAt2(adj = false, ina = false) - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(meanAt2(adj = false, ina = true) - 1.5) < 1e-12)
+    assert(math.abs(meanAt2(adj = true, ina = true) - 5.0 / 3.0) < 1e-12)
+  }
+
+  test("ewm span/com/halflife map to pandas alphas") {
+    val s = Series.fromSeq(spark, Seq(1.0, 2.0, 3.0))
+    // span=9 → α=0.2; com=4 → α=0.2; halflife → α=1−exp(−ln2/h)
+    val bySpan = s.ewmSpan(9.0).mean().df.orderBy("index").collect()
+      .map(_.getDouble(1)).toSeq
+    val byCom = s.ewmCom(4.0).mean().df.orderBy("index").collect()
+      .map(_.getDouble(1)).toSeq
+    val byAlpha = s.ewm(0.2).mean().df.orderBy("index").collect()
+      .map(_.getDouble(1)).toSeq
+    assert(bySpan == byAlpha && byCom == byAlpha)
+    val hl = s.ewmHalflife(1.0).mean().df.orderBy("index").collect()
+      .map(_.getDouble(1)).toSeq
+    val byHalf = s.ewm(0.5).mean().df.orderBy("index").collect()
+      .map(_.getDouble(1)).toSeq
+    hl.zip(byHalf).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("ewmStatsBy adjust=False runs the keyed recurrence per group") {
+    val alpha = 0.3
+    val rows = (0 until 60).map(i =>
+      (i.toLong, i % 2L,
+        if (i % 11 == 7) None else Some(math.cos(i) * 5 + i)))
+    val df = rows.map { case (i, g, v) => (i, g, v) }.toDF("idx", "g", "v")
+    val got = Series.fromColumn(df, "v", "idx")
+      .ewmStatsBy(df("g"), alpha, adjust = false)
+      .orderBy("idx").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getDouble(2)))
+      .toMap
+    Seq(0L, 1L).foreach { g =>
+      val series = rows.filter(_._2 == g)
+      val ref = ewmRef(series.map(_._3), alpha, adjust = false,
+        ignoreNa = false)
+      series.zip(ref).foreach { case ((i, _, _), (em, _)) =>
+        assert(math.abs(got(i).asInstanceOf[Double] - em) < 1e-9,
+          s"idx $i group $g")
       }
     }
   }
