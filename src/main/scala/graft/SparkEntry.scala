@@ -469,6 +469,35 @@ object SparkEntry {
         .select(col("idx"), graft.ops.TextOps.round6(col("v")).as("vl"))
         .orderBy("idx")
     }),
+    // pandas groupby().interpolate(limit=2, limit_direction='both'):
+    // interior gaps interpolate only within 2 rows of either anchor;
+    // leading gaps BACK-fill (direction='both') within 2 rows of the next
+    // observation; trailing gaps carry within 2 rows of the last. The
+    // limit distances count in staged row positions — same four-window
+    // body as s54 plus the two anchor-position windows.
+    "s67_interpolate_limit" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev,
+        when(col("event_type") === "view", col("value")), "v",
+        col("event_id"), "idx")
+      v.interpolateBy(col("user_id"), "linear", limit = Some(2),
+          limitDirection = "both").df
+        .select(col("idx"), graft.ops.TextOps.round6(col("v")).as("vb"))
+        .orderBy("idx")
+    }),
+    // pandas groupby().expanding().median()/.quantile(.25): exact
+    // percentile over the cumulative per-group frame (no incremental form
+    // exists for an exact order statistic — the percentile re-evaluates
+    // per row). Unrounded: both engines interpolate the same two doubles
+    // identically (the s57 precedent).
+    "s68_expanding_quantile" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val v = Series.fromExpr(e, col("value"), "v", col("event_id"), "idx")
+      e.select(col("event_id").as("idx"), col("user_id"),
+          v.expandingMedianBy(col("user_id")).values.as("emed"),
+          v.expandingQuantileBy(col("user_id"), 0.25).values.as("eq25"))
+        .orderBy("idx")
+    }),
     // pandas cumprod, distributed in the log domain: exp(Σ log|x|) with
     // sign-parity and zero prefix counts riding the SAME bucketed scan as
     // cumsum (three cumsumExtra offsets, one stats job). The factor keeps
@@ -602,6 +631,20 @@ object SparkEntry {
       val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
       v.resample("HOUR", org.apache.spark.sql.functions.sum(_)).df
         .select(col("idx"), graft.ops.TextOps.round2(col("v")).as("total"))
+        .orderBy("idx")
+    }),
+    // pandas resample('h').ffill() — UPSAMPLING: hourly grid over the
+    // sparse purchase stream; every grid point takes the last purchase
+    // value at-or-before it (reindex-ffill). Grid rows generate
+    // distributed (spark.range over the bounded hour count) and the fill
+    // rides the un-keyed as-of machinery — bucketed by time, one carry
+    // row per bucket, no single-task window.
+    "s69_resample_ffill" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev.filter(col("event_type") === "purchase"),
+        col("value"), "v", col("ts"), "idx")
+      v.resampleFfill("HOUR", 3600L).df
+        .select(col("idx"), graft.ops.TextOps.round2(col("v")).as("v"))
         .orderBy("idx")
     }),
     // TIMESTAMP-indexed global windows: the bucket coordinate is the
@@ -944,6 +987,49 @@ object SparkEntry {
              ELSE pv + (nv - pv) * (pos - pc) / (nc - pc) END)
              * 1e6 + 0.5) / 1e6 AS vl
          FROM w ORDER BY idx"""),
+    // s67 = s54's windows + the limit gate: coalesce(d<=2, FALSE) mirrors
+    // Spark's null-comparison-is-no-fill semantics on edge runs
+    "s67_interpolate_limit" ->
+      ("""WITH e AS (
+           SELECT event_id AS idx, user_id,
+             CASE WHEN event_type = 'view' THEN value END AS v
+           FROM events),
+         p AS (
+           SELECT idx, user_id, v,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY idx)
+               AS DOUBLE) AS pos
+           FROM e),
+         w AS (
+           SELECT idx, v, pos,
+             last_value(v IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER wb AS pc,
+             first_value(v IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER wf AS nc
+           FROM p
+           WINDOW wb AS (PARTITION BY user_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY user_id ORDER BY idx
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT idx,
+           floor((CASE WHEN v IS NOT NULL THEN v
+             WHEN NOT (coalesce(pos - pc <= 2, FALSE)
+                    OR coalesce(nc - pos <= 2, FALSE)) THEN NULL
+             WHEN pv IS NULL AND nv IS NULL THEN NULL
+             WHEN pv IS NULL THEN nv
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (pos - pc) / (nc - pc) END)
+             * 1e6 + 0.5) / 1e6 AS vb
+         FROM w ORDER BY idx"""),
+    "s68_expanding_quantile" ->
+      ("""SELECT event_id AS idx, user_id,
+           quantile_cont(value, 0.5) OVER w AS emed,
+           quantile_cont(value, 0.25) OVER w AS eq25
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
     "s51_cumprod" ->
       ("""WITH v AS (
            SELECT c_custkey AS idx,
@@ -997,6 +1083,23 @@ object SparkEntry {
       ("""SELECT date_trunc('hour', ts) AS idx,
            floor(sum(value) * 1e2 + 0.5) / 1e2 AS total
          FROM events GROUP BY 1 ORDER BY idx"""),
+    // s69: hourly generate_series + per-grid-point latest purchase at or
+    // before it; ties at equal ts resolve to the max value (the engine's
+    // deterministic (ts, value) pick)
+    "s69_resample_ffill" ->
+      ("""WITH p AS (
+           SELECT ts, value FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+               FROM p),
+         g AS (SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR))
+                 AS idx FROM b),
+         f AS (
+           SELECT g.idx,
+             (SELECT p.value FROM p WHERE p.ts <= g.idx
+              ORDER BY p.ts DESC, p.value DESC LIMIT 1) AS v
+           FROM g)
+         SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
+         FROM f ORDER BY idx"""),
     "s60_ts_index" ->
       ("""SELECT ts AS idx,
            floor(sum(value) OVER w * 1e6 + 0.5) / 1e6 AS cs,

@@ -275,6 +275,55 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(df.groupBy(groupCol).pivot(pivotCol, values).agg(aggExpr),
       groupCol)
 
+  /** pandas pivot_table(index=, columns=, values=, aggfunc=[...],
+    * margins=): multi-aggregate pivot over EXPLICIT pivot values with
+    * optional margins. Cell columns follow Spark's `<value>_<alias>`
+    * spelling (single agg: just `<value>`); margins add an `All_<alias>`
+    * column (each aggregate across ALL pivot values per group) and an
+    * `'All'` row (each aggregate per pivot value across ALL groups, plus
+    * the grand total) — every margin recomputes from the RAW rows, never
+    * from the aggregated cells (a mean of means is wrong; same rule as
+    * pandas). Plan shape: three partial+final aggregations over the same
+    * scan, a keyed join of the per-group margins (group-cardinality
+    * sized), and the single All row assembled from two 1-row results —
+    * bounded driver state, no constant-key join (which Spark folds into
+    * a BroadcastNestedLoopJoin). The group key is cast to string so the
+    * 'All' label can ride it. */
+  def pivotTable(groupCol: String, pivotCol: String, values: Seq[Any],
+                 aggs: Seq[Column], margins: Boolean = false): GFrame = {
+    require(aggs.nonEmpty, "pivotTable needs at least one aggregate")
+    val g = col(groupCol).cast("string").as(groupCol)
+    val cells = df.groupBy(g).pivot(pivotCol, values)
+      .agg(aggs.head, aggs.tail: _*)
+    val out =
+      if (!margins) cells
+      else {
+        val colAll0 = df.groupBy(g).agg(aggs.head, aggs.tail: _*)
+        val aliasNames = colAll0.columns.drop(1).toSeq
+        val colAll = colAll0.select(col(groupCol) +:
+          aliasNames.map(a => col(a).as(s"All_$a")): _*)
+        val rowCells = df.groupBy(lit("All").as(groupCol))
+          .pivot(pivotCol, values).agg(aggs.head, aggs.tail: _*)
+        val rowAll = df.groupBy(lit("All").as(groupCol))
+          .agg(aggs.head, aggs.tail: _*)
+        // single All row: two 1-row aggregates assembled driver-side
+        // (joining them on the constant key would fold into a BNLJ)
+        val rc = rowCells.head()
+        val ra = rowAll.head()
+        val allSchema = org.apache.spark.sql.types.StructType(
+          rowCells.schema.fields ++
+            rowAll.schema.fields.drop(1).zip(aliasNames).map {
+              case (f, a) => f.copy(name = s"All_$a")
+            })
+        val allDf = df.sparkSession.createDataFrame(
+          java.util.Collections.singletonList(
+            org.apache.spark.sql.Row.fromSeq(rc.toSeq ++ ra.toSeq.drop(1))),
+          allSchema)
+        cells.join(colAll, Seq(groupCol)).unionByName(allDf)
+      }
+    new GFrame(out, groupCol)
+  }
+
   /** pandas `pd.crosstab(df[r], df[c])`: frequency table of rowCol ×
     * colCol — a pivot-count over explicit column values (single
     * partial+final pass, no values-discovery job); empty cells are 0,

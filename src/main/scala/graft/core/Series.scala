@@ -799,6 +799,40 @@ final class Series private[graft] (
       mean.as("emean"), when(n >= 2L, sqrt(varE)).as("estd"))
   }
 
+  /** pandas groupby(by).expanding().quantile(q): EXACT percentile over
+    * the cumulative per-group frame — one shuffle on the key, per-group
+    * ordered scan; the sort-based percentile re-evaluates per row (an
+    * exact expanding order statistic has no incremental form — unlike
+    * mean/std it needs the whole prefix multiset, which is also why the
+    * GLOBAL [[expandingQuantile]] cannot ride the bucketed carry plan:
+    * a bounded carry cannot represent an unbounded prefix of values). */
+  def expandingQuantileBy(by: Column, q: Double): Series = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    val W = org.apache.spark.sql.expressions.Window
+    val cw = keyedWindow(by).rowsBetween(W.unboundedPreceding, W.currentRow)
+    withValue(percentile(valueExpr, lit(q)).over(cw))
+  }
+
+  /** pandas groupby(by).expanding().median(). */
+  def expandingMedianBy(by: Column): Series = expandingQuantileBy(by, 0.5)
+
+  /** pandas expanding().quantile(q), global index order. DELIBERATE
+    * single-task window: the exact expanding order statistic needs the
+    * full prefix multiset per row, so no bounded bucket-carry
+    * distribution exists (contrast [[expandingStats]], whose three
+    * prefix sums do factorize). Prefer [[expandingQuantileBy]] at scale,
+    * or a windowed approximation. */
+  def expandingQuantile(q: Double): Series = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    val W = org.apache.spark.sql.expressions.Window
+    withValue(percentile(valueExpr, lit(q)).over(
+      ixWindow.rowsBetween(W.unboundedPreceding, W.currentRow)))
+  }
+
+  /** pandas expanding().median(), global index order (see
+    * [[expandingQuantile]] for the single-task caveat). */
+  def expandingMedian(): Series = expandingQuantile(0.5)
+
   /** pandas groupby(by).ewm(alpha, adjust=, ignore_na=): (idx, key,
     * ewm_mean, ewm_var) — one keyed exchange + per-group streaming
     * recurrence ([[Ewm.statsBy]]). */
@@ -931,18 +965,25 @@ final class Series private[graft] (
     * (e.g. other users' event_ids interleave). Four last/first-ignore-nulls
     * expressions over the SAME keyed frame pair: one shuffle on the key,
     * two per-group window passes, no join. */
-  def interpolateBy(by: Column, method: String = "linear"): Series =
+  def interpolateBy(by: Column, method: String = "linear",
+      limit: Option[Int] = None,
+      limitDirection: String = "forward"): Series = {
+    require(Set("forward", "backward", "both")(limitDirection),
+      s"limit_direction must be forward|backward|both, got '$limitDirection'")
+    limit.foreach(l => require(l >= 1, s"limit must be >= 1, got $l"))
+    val plain = limit.isEmpty && limitDirection == "forward"
     method match {
-      case "index" =>
+      case "index" if plain =>
         // pure expression composition over the existing base: the index IS
         // the coordinate, so no staging is needed and the result column
         // stays resolvable against the caller's frame
         withValue(interpolateExpr(keyedWindow(by), valueExpr,
-          indexExpr.cast("double")))
-      case "linear" =>
-        // the positional coordinate is itself a window (row_number), and a
-        // window cannot nest inside another window expression — stage the
-        // group key + position in a projection, then interpolate over it
+          indexExpr.cast("double"), None, None, "forward"))
+      case "linear" | "index" =>
+        // the positional coordinate (and the row position the limit
+        // counts in) is itself a window (row_number), and a window cannot
+        // nest inside another window expression — stage the group key +
+        // position in a projection, then interpolate over it
         val W = org.apache.spark.sql.expressions.Window
         val byN = "__ip_by"
         val posN = "__ip_pos"
@@ -951,17 +992,30 @@ final class Series private[graft] (
           .withColumn(posN, row_number().over(
             W.partitionBy(col(byN)).orderBy(col(indexName))).cast("double"))
         val kw = W.partitionBy(col(byN)).orderBy(col(indexName))
+        val coord =
+          if (method == "linear") col(posN) else col(indexName).cast("double")
         new Series(staged, name, indexName, col(indexName),
-          interpolateExpr(kw, col(name), col(posN)))
+          interpolateExpr(kw, col(name), coord, Some(col(posN)), limit,
+            limitDirection))
       case other => throw new IllegalArgumentException(
         s"interpolateBy method must be 'linear' or 'index', got '$other'")
     }
+  }
 
   /** The shared four-window interpolation body: previous/next non-null
-    * value and coordinate over one keyed frame pair. */
+    * value and coordinate over one keyed frame pair. pandas limit
+    * semantics: `limit` caps how many CONSECUTIVE nulls of a run are
+    * filled, counted in rows from the run's anchor on the fill side
+    * (`pos` supplies the row coordinate; only needed when a limit is
+    * set); `direction` decides which edge runs extrapolate — forward
+    * carries the last observation into a trailing gap (leading gaps stay
+    * null), backward back-fills leading gaps (trailing stay null), both
+    * does both. Interior gaps always take the interpolated line — the
+    * direction only gates edges and where the limit counts from. */
   private def interpolateExpr(
       kw: org.apache.spark.sql.expressions.WindowSpec,
-      v: Column, coord: Column): Column = {
+      v: Column, coord: Column, pos: Option[Column],
+      limit: Option[Int], direction: String): Column = {
     val W = org.apache.spark.sql.expressions.Window
     val back = kw.rowsBetween(W.unboundedPreceding, 0)
     val fwd = kw.rowsBetween(0, W.unboundedFollowing)
@@ -969,10 +1023,34 @@ final class Series private[graft] (
     val pc = last(when(v.isNotNull, coord), ignoreNulls = true).over(back)
     val nv = first(v, ignoreNulls = true).over(fwd)
     val nc = first(when(v.isNotNull, coord), ignoreNulls = true).over(fwd)
-    when(v.isNotNull, v)
-      .when(pv.isNull, lit(null)) // leading gap: nothing to anchor on
-      .when(nv.isNull, pv) // trailing gap: carry the last observation
-      .otherwise(pv + (nv - pv) * (coord - pc) / (nc - pc))
+    val interior = pv + (nv - pv) * (coord - pc) / (nc - pc)
+    val fillVal =
+      if (direction == "forward")
+        when(pv.isNull, lit(null)).when(nv.isNull, pv).otherwise(interior)
+      else if (direction == "backward")
+        when(nv.isNull, lit(null)).when(pv.isNull, nv).otherwise(interior)
+      else
+        when(pv.isNull && nv.isNull, lit(null))
+          .when(pv.isNull, nv).when(nv.isNull, pv).otherwise(interior)
+    val allowed = limit match {
+      case None => lit(true)
+      case Some(l) =>
+        val p = pos.getOrElse(throw new IllegalStateException(
+          "limit requires a staged row position"))
+        val pPos = last(when(v.isNotNull, p), ignoreNulls = true).over(back)
+        val nPos = first(when(v.isNotNull, p), ignoreNulls = true).over(fwd)
+        // distances in rows to the run's anchors; an absent anchor (edge
+        // run) leaves its distance null — null comparisons are false, so
+        // the other side of an OR still applies for 'both'
+        val dprev = p - pPos
+        val dnext = nPos - p
+        direction match {
+          case "forward" => dprev <= l
+          case "backward" => dnext <= l
+          case _ => dprev <= l || dnext <= l
+        }
+    }
+    when(v.isNotNull, v).otherwise(when(allowed, fillVal))
   }
 
   /** Cumulative sum within each `by` group, index-ordered (pandas
@@ -1035,6 +1113,54 @@ final class Series private[graft] (
     * (`unit` = Spark date_trunc format: "HOUR", "DAY", "WEEK", "MONTH",
     * ...), values aggregate per bucket. ONE partial+final aggregation
     * keyed by the bucket — the canonical time-series downsample shape. */
+  /** pandas resample(freq).ffill() — UPSAMPLING to a regular grid: the
+    * output index is every `stepSeconds`-spaced instant from the
+    * `unit`-truncated min to the max of the original index, and each grid
+    * point takes the last ORIGINAL observation at-or-before it (pandas
+    * Resampler.ffill ≡ reindex(grid, method='ffill')). The grid generates
+    * DISTRIBUTED — `spark.range` over the bounded count derived from one
+    * min/max agg (two driver scalars) — and the fill is the un-keyed
+    * as-of machinery ([[graft.ops.EventOps.asofJoinGlobal]]):
+    * range-bucketed by time with one extremal carry row per bucket, no
+    * single-task window anywhere. Duplicate source timestamps resolve to
+    * the max (ts, value) pair, deterministically. */
+  def resampleFfill(unit: String, stepSeconds: Long,
+      buckets: Int = 32): Series = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    val spark = df.sparkSession
+    val idxDt = df.schema(indexName).dataType
+    val b = base.select(date_trunc(unit, F.min(indexExpr)).as("lo"),
+      F.max(indexExpr).as("hi")).head()
+    require(!b.isNullAt(0),
+      s"resampleFfill on an empty or all-null index Series '$name'")
+    def us(a: Any): Long = a match {
+      case t: java.sql.Timestamp =>
+        Math.multiplyExact(t.getTime / 1000, 1000000L) +
+          t.getNanos.toLong / 1000
+      case i: java.time.Instant =>
+        Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000
+      case l: java.time.LocalDateTime =>
+        Math.multiplyExact(l.toEpochSecond(java.time.ZoneOffset.UTC),
+          1000000L) + l.getNano / 1000
+      case other => throw new IllegalArgumentException(
+        s"resampleFfill needs a timestamp index, got $other")
+    }
+    val stepUs = Math.multiplyExact(stepSeconds, 1000000L)
+    val loUs = us(b.get(0))
+    val n = (us(b.get(1)) - loUs) / stepUs + 1
+    val grid = spark.range(n).select(
+      timestamp_micros(lit(loUs) + col("id") * stepUs).cast(idxDt)
+        .as(indexName), lit(0.0).as("__rs_tie"))
+    val obs = base.select(indexExpr.as(indexName), valueExpr.as(name),
+      valueExpr.cast("double").as("__rs_tie"))
+    val filled = graft.ops.EventOps.asofJoinGlobal(
+      grid, obs, indexName, "__rs_tie", Seq(name), prefix = "__rs_",
+      direction = "backward", buckets = buckets)
+    Series.fromKeyed(
+      filled.select(col(indexName), col(s"__rs_$name").as(name)),
+      name, indexName)
+  }
+
   def resample(unit: String, agg: Column => Column): Series =
     Series.fromKeyed(
       base.groupBy(date_trunc(unit, indexExpr).as(indexName))

@@ -52,6 +52,34 @@ object SimilarityOps {
     Array.fill(planes, dim)(rnd.nextDouble() * 2 - 1)
   }
 
+  /** ENGINE-PORTABLE pseudo-random hyperplanes (the d05 trick): weight
+    * (p, j) = md5("hp:p:j") first-15-hex as a 60-bit int, divided by 2^59,
+    * minus 1 → [-1, 1). Every step is spellable identically in DuckDB
+    * (`CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT) / 2^59 - 1`) with
+    * bit-identical doubles (the long→double cast rounds the same way in
+    * both engines, and 2^59 is an exact power of two), so an LSH pipeline
+    * seeded with these planes can be hash-compared end-to-end. Same
+    * statistical quality as the PRNG planes — md5 is as uniform as any
+    * seedable generator here. */
+  private[graft] def hyperplanesPortable(planes: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      var j = 0
+      while (j < dim) {
+        md.reset()
+        val digest = md.digest(s"hp:$p:$j".getBytes("UTF-8"))
+        val hex = digest.map("%02x".format(_)).mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16) // < 2^60, never negative
+        out(p * dim + j) = h / 576460752303423488.0 - 1.0 // / 2^59
+        j += 1
+      }
+      p += 1
+    }
+    out
+  }
+
   /** Per-table sign-bit buckets: `tables` buckets, each packing `bits`
     * hyperplane signs. Returns array<long> of length `tables` (bucket
     * values are table-local; pair with the table index when joining), or
@@ -64,9 +92,11 @@ object SimilarityOps {
     * arrays — the composed-dots spelling made a ~10k-node tree whose
     * re-analysis cost ~4s PER ACTION at any data size. */
   private[graft] def lshBuckets(vec: Column, tables: Int, bits: Int,
-                                dim: Int): Column =
+                                dim: Int,
+                                planesFlat: Option[Array[Double]] = None): Column =
     graft.functions.LshBuckets.bucketsNative(vec,
-      hyperplanes(planes = tables * bits, dim = dim).flatten, bits, dim)
+      planesFlat.getOrElse(
+        hyperplanes(planes = tables * bits, dim = dim).flatten), bits, dim)
 
   /** Deterministic Lloyd k-means over an embedding column: seeds are the
     * first k vectors by id (deterministic, no sampling), `iters` rounds of
@@ -224,7 +254,8 @@ object SimilarityOps {
     * contract. */
   def annLsh(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, tables: Int = 8, bits: Int = 4,
-             dim: Int = 64): DataFrame = {
+             dim: Int = 64,
+             planesFlat: Option[Array[Double]] = None): DataFrame = {
     // raw vectors + norms: positive scaling preserves hyperplane signs,
     // so buckets come straight from the raw vector and the re-rank is
     // dot/(n1*n2) — no per-element normalization pass anywhere. The
@@ -238,7 +269,7 @@ object SimilarityOps {
     // interpreted inside Generate)
     def postings(v: DataFrame, id: String): DataFrame = v
       .select(col(id), lshBuckets(col(if (id == "nid") "nid_e" else "qe"),
-        tables, bits, dim).as("__bkts"))
+        tables, bits, dim, planesFlat).as("__bkts"))
       .select(col(id), posexplode(col("__bkts")))
       .withColumnRenamed("pos", "table")
       .withColumnRenamed("col", "bucket")

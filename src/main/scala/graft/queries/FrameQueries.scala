@@ -392,6 +392,18 @@ object FrameQueries {
         .orderBy("c1", "c2")
     }),
 
+    // pandas pivot_table(aggfunc=['sum','mean'], margins=True): multi-agg
+    // pivot + All row/column, every margin recomputed from raw rows (a
+    // mean of means is wrong). Integer quantities make the parallel sums
+    // exact, so floor-round6 sees identical doubles in both engines.
+    "f34_pivot_table" -> ((s, d) =>
+      li(s, d).pivotTable("l_linestatus", "l_returnflag",
+          Seq("A", "N", "R"),
+          Seq(graft.ops.TextOps.round6(sum(col("l_quantity"))).as("sq"),
+            graft.ops.TextOps.round6(avg(col("l_quantity"))).as("aq")),
+          margins = true)
+        .toDF.orderBy("l_linestatus")),
+
     // pandas get_dummies (one-hot over the five TPC-H market segments):
     // a pure projection — per-value indicator columns, no shuffle, no
     // category-discovery job.
@@ -515,6 +527,44 @@ object FrameQueries {
              WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
          FROM t JOIN sc ON t.doc_id = sc.doc_id
          ORDER BY t.doc_id""",
+    // f34: FILTER-agg spelling of the same cells; empty cells are NULL in
+    // both engines (sum/avg FILTER over no rows, Spark pivot over no rows)
+    "f34_pivot_table" ->
+      """WITH c AS (
+           SELECT CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+             floor(sum(l_quantity) FILTER (l_returnflag = 'A') * 1e6 + 0.5)
+               / 1e6 AS A_sq,
+             floor(avg(l_quantity) FILTER (l_returnflag = 'A') * 1e6 + 0.5)
+               / 1e6 AS A_aq,
+             floor(sum(l_quantity) FILTER (l_returnflag = 'N') * 1e6 + 0.5)
+               / 1e6 AS N_sq,
+             floor(avg(l_quantity) FILTER (l_returnflag = 'N') * 1e6 + 0.5)
+               / 1e6 AS N_aq,
+             floor(sum(l_quantity) FILTER (l_returnflag = 'R') * 1e6 + 0.5)
+               / 1e6 AS R_sq,
+             floor(avg(l_quantity) FILTER (l_returnflag = 'R') * 1e6 + 0.5)
+               / 1e6 AS R_aq,
+             floor(sum(l_quantity) * 1e6 + 0.5) / 1e6 AS All_sq,
+             floor(avg(l_quantity) * 1e6 + 0.5) / 1e6 AS All_aq
+           FROM lineitem GROUP BY 1
+           UNION ALL
+           SELECT 'All',
+             floor(sum(l_quantity) FILTER (l_returnflag = 'A') * 1e6 + 0.5)
+               / 1e6,
+             floor(avg(l_quantity) FILTER (l_returnflag = 'A') * 1e6 + 0.5)
+               / 1e6,
+             floor(sum(l_quantity) FILTER (l_returnflag = 'N') * 1e6 + 0.5)
+               / 1e6,
+             floor(avg(l_quantity) FILTER (l_returnflag = 'N') * 1e6 + 0.5)
+               / 1e6,
+             floor(sum(l_quantity) FILTER (l_returnflag = 'R') * 1e6 + 0.5)
+               / 1e6,
+             floor(avg(l_quantity) FILTER (l_returnflag = 'R') * 1e6 + 0.5)
+               / 1e6,
+             floor(sum(l_quantity) * 1e6 + 0.5) / 1e6,
+             floor(avg(l_quantity) * 1e6 + 0.5) / 1e6
+           FROM lineitem)
+         SELECT * FROM c ORDER BY l_linestatus""",
     "f33_corr_matrix" ->
       """WITH p AS (
            SELECT 'l_quantity' AS c1, 'l_quantity' AS c2,

@@ -28,11 +28,17 @@ object SimilarityQueries {
     // replaces the full probe×corpus product. 24 tables holds recall ≥ 0.8
     // even on the uniform-random fixtures (sims ~0.3 → per-table collision
     // ~0.13, miss (0.87)^24 ≈ 0.03) — asserted each round in OpsSpec.
-    // Approximate → rows-only.
+    // The gate seeds the planes with the ENGINE-PORTABLE md5 generator
+    // (the d05 trick), so the full approximate pipeline — planes → sign
+    // buckets → collision candidates → exact re-rank — hash-matches a
+    // DuckDB oracle that recomputes the identical planes from md5.
+    // (Library default stays the PRNG planes; portability only matters
+    // when an external engine must replay the run.)
     "v02_ann_lsh" -> ((s, d) => {
       val e = emb(s, d)
       SimilarityOps.annLsh(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, tables = 24, bits = 4)
+          "vec_id", "embedding", k = 5, tables = 24, bits = 4,
+          planesFlat = Some(SimilarityOps.hyperplanesPortable(96, 64)))
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rk")
     }),
@@ -85,6 +91,40 @@ object SimilarityQueries {
            SELECT q.vec_id AS qid, c.vec_id AS nid,
              list_cosine_similarity(c.e, q.e) AS sim
            FROM v c JOIN q ON c.vec_id <> q.vec_id)
+         SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
+           nid, round(sim, 6) AS sim
+         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""",
+    // v02: the FULL LSH pipeline replayed in SQL — md5-seeded hyperplane
+    // weights (bit-identical doubles: 15-hex md5 / 2^59 − 1), sequential
+    // list_dot_product sign bits packed per 4-plane table, any-table
+    // collision candidates, exact cosine re-rank. Plane p = t*4+b.
+    "v02_ann_lsh" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         pw AS (
+           SELECT p.p, j.j,
+             CAST(concat('0x',
+                 substr(md5('hp:' || p.p || ':' || j.j), 1, 15)) AS BIGINT)
+               / 576460752303423488.0 - 1.0 AS w
+           FROM generate_series(0, 95) p(p), generate_series(0, 63) j(j)),
+         pl AS (SELECT p, list(w ORDER BY j) AS wl FROM pw GROUP BY p),
+         sig AS (
+           SELECT v.vec_id, CAST(pl.p // 4 AS INTEGER) AS tbl,
+             sum(CASE WHEN list_dot_product(v.e, pl.wl) >= 0
+                 THEN (1::BIGINT << (pl.p % 4)) ELSE 0 END) AS bucket
+           FROM v, pl GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           FROM sig c JOIN sig q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         scored AS (
+           SELECT cand.qid, cand.nid,
+             list_cosine_similarity(cv.e, qv.e) AS sim
+           FROM cand
+             JOIN v cv ON cv.vec_id = cand.nid
+             JOIN v qv ON qv.vec_id = cand.qid)
          SELECT qid,
            CAST(row_number() OVER (PARTITION BY qid
              ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,

@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-collect lint: every `collect()` / `head()` call site in MAIN
+  * source must be on the allow-list below, each with a documented bound.
+  * Every legitimate driver materialization in this engine is bounded BY
+  * CONSTRUCTION (min/max bounds rows, `buckets`-row carry folds, k×dim
+  * centroids, q−1 quantile cuts, 1-row aggregates) or is the streaming
+  * gates' MemoryStream replay harness (the test feed — the production
+  * side is readStream). A new collect site fails this suite until it is
+  * added here WITH its bound — so an unbounded driver collect can't land
+  * silently. Keyed by (file, exact trimmed line), so moving or editing a
+  * site also forces re-review. */
+class CollectLintSpec extends AnyFunSuite {
+
+  /** file basename -> allowed trimmed call-site lines -> why bounded. */
+  private val allowed: Map[String, Map[String, String]] = Map(
+    "Ewm.scala" -> Map(
+      ".collect().sortBy(_.getLong(0))" ->
+        "per-bucket closing partials: `buckets` rows",
+      "val bounds = d.agg(min(col(idxName)), max(col(idxName))).head()" ->
+        "1-row min/max bounds"),
+    "GFrame.scala" -> Map(
+      "val ra = rowAll.head()" -> "pivotTable All row: 1-row aggregate",
+      "val rc = rowCells.head()" -> "pivotTable All row: 1-row aggregate"),
+    "GlobalWindows.scala" -> Map(
+      ".collect() // ≤ carry × buckets rows — bounded driver state" ->
+        "lag carry rows: carry × buckets",
+      ".collect() // ≤ fcarry × buckets rows — bounded driver state" ->
+        "lead carry rows: fcarry × buckets",
+      "F.min(col(idxName)), F.max(col(idxName))).head()" ->
+        "1-row min/max bounds",
+      "val stats = statsDf.collect().sortBy(_.getLong(0))" ->
+        "per-bucket offset stats: `buckets` rows"),
+    "Series.scala" -> Map(
+      ".agg(F.corr(col(\"v\"), col(\"p\"))).head()" ->
+        "autocorr: 1-row aggregate",
+      ".collect().sortBy(_.getLong(0))" ->
+        "rankAll value-bucket offsets: `buckets` rows",
+      ".select(\"__v\").head(1).headOption" -> "getitem by label: 1 row",
+      ".select(indexName).head(1).headOption" -> "idxmax/idxmin: 1 row",
+      "F.max(indexExpr).as(\"hi\")).head()" ->
+        "resampleFfill grid bounds: 1-row min/max",
+      "F.max(valueExpr).cast(\"double\")).head()" ->
+        "cut/binning bounds: 1-row min/max",
+      "Series.F.max(s.indexExpr).cast(\"long\")).head()" ->
+        "RangeIndex bounds: 1-row min/max",
+      "base.agg(F.approx_count_distinct(valueExpr, rsd)).head().getLong(0)" ->
+        "sketch nunique: 1-row aggregate",
+      "if (other.base eq base) base.agg(f(valueExpr, other.valueExpr)).head()" ->
+        "corr/cov scalar: 1-row aggregate",
+      "l.join(r, Seq(IdxCol)).agg(f(col(LeftCol), col(RightCol))).head()" ->
+        "corr/cov scalar (aligned): 1-row aggregate",
+      "private def aggScalar(c: Column): Any = base.agg(c).head().get(0)" ->
+        "scalar reductions (sum/mean/...): 1-row aggregate",
+      "typedlit((1 until q).map(_.toDouble / q))).as(\"qs\")).head()" ->
+        "qcut cuts: q−1 quantiles, 1 row",
+      "val totalRow = counts.agg(F.sum(\"count\")).head()" ->
+        "value_counts(normalize) denominator: 1 row"),
+    "EventOps.scala" -> Map(
+      ".collect().sortBy(_.getLong(0))" ->
+        "asofJoinGlobal backward carries: ≤ buckets rows",
+      ".collect().sortBy(_.getLong(0)) // ≤ buckets rows of driver state" ->
+        "asofJoinGlobal forward carries: ≤ buckets rows",
+      "val bounds = un.agg(min(col(\"__ts\")), max(col(\"__ts\"))).head()" ->
+        "1-row min/max bounds"),
+    "PipelineOps.scala" -> Map(
+      ".orderBy(col(\"__bkt\")).collect().filterNot(_.isNullAt(0))" ->
+        "shard prefix sums: `shards` rows",
+      "max(col(idCol)).cast(\"double\")).head()" -> "1-row min/max bounds"),
+    "SimilarityOps.scala" -> Map(
+      ".collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap" ->
+        "IVF centroids: k × dim",
+      ".orderBy(\"cluster\").collect()" -> "IVF centroids reload: k × dim",
+      "var centroids = v.orderBy(\"id\").limit(k).collect()" ->
+        "k-means seeds: k × dim"),
+    // the streaming gates' MemoryStream replay harness — the TEST feed
+    // (production side is readStream); bounded by the fixture only
+    "EventQueries.scala" -> Map(
+      ".collect()" -> "MemoryStream replay feed (gate harness)",
+      ".select(\"event_id\", \"user_id\", \"value\").collect()" ->
+        "MemoryStream replay feed (gate harness)",
+      ".select(\"ts\", \"user_id\", \"event_type\").collect()" ->
+        "MemoryStream replay feed (gate harness)",
+      "val rows = Tables.events(s, d).select(\"event_id\", \"user_id\").collect()" ->
+        "MemoryStream replay feed (gate harness)",
+      "val rows = Tables.events(s, d).select(\"ts\", \"user_id\").collect()" ->
+        "MemoryStream replay feed (gate harness)"))
+
+  test("every driver collect/head call site in main is allow-listed with a bound") {
+    val root = Paths.get("src/main/scala/graft")
+    assert(Files.isDirectory(root), s"expected source root at $root")
+    val files = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala")).toSeq
+    val callSite = """\.collect\(\)|\.head\(\)|\.head\(1\)""".r
+    val violations = for {
+      f <- files
+      (line, i) <- Files.readAllLines(f).asScala.zipWithIndex
+      trimmed = line.trim
+      if callSite.findFirstIn(trimmed).isDefined
+      if !trimmed.startsWith("//") && !trimmed.startsWith("*")
+      if !allowed.getOrElse(f.getFileName.toString, Map.empty)
+        .contains(trimmed)
+    } yield s"${f.getFileName}:${i + 1}: $trimmed"
+    assert(violations.isEmpty,
+      "un-allow-listed driver collect/head sites (add to CollectLintSpec " +
+        "WITH a documented bound, or make the operator distributed):\n  " +
+        violations.mkString("\n  "))
+  }
+
+  test("the allow-list itself stays in sync (no stale entries)") {
+    val root = Paths.get("src/main/scala/graft")
+    val sources = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala"))
+      .map(p => p.getFileName.toString ->
+        Files.readAllLines(p).asScala.map(_.trim).toSet)
+      .toMap
+    val stale = for {
+      (file, entries) <- allowed.toSeq
+      line <- entries.keys
+      if !sources.getOrElse(file, Set.empty).contains(line)
+    } yield s"$file: $line"
+    assert(stale.isEmpty,
+      s"stale allow-list entries (site moved or removed — update " +
+        s"CollectLintSpec):\n  ${stale.mkString("\n  ")}")
+  }
+}
