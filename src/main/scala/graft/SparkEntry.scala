@@ -633,6 +633,20 @@ object SparkEntry {
         .select(col("idx"), graft.ops.TextOps.round2(col("v")).as("total"))
         .orderBy("idx")
     }),
+    // cumsum over a POWER-LAW index (idx = 1e9/(c_custkey+1): most rows
+    // land in the lowest few % of the range) with quantile-BALANCED
+    // buckets — equal-width bucketing would collapse ~all rows into one
+    // straggler task; the approx-quantile boundaries spread them evenly.
+    // Bucketing is semantics-invariant, so the oracle is the plain
+    // window cumsum. (+1: the fixture's custkey starts at 0, and ANSI
+    // division by zero aborts even for doubles.)
+    "s70_balanced_cumsum" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val bal = Series.fromExpr(cust, col("c_acctbal"), "bal",
+        floor(lit(1000000000.0) / (col("c_custkey") + 1)), "idx")
+      val g = bal.globalWindows(balanced = true)
+      g.result("cum" -> round(g.cumsum(), 2)).orderBy("idx")
+    }),
     // pandas resample('h').ffill() — UPSAMPLING: hourly grid over the
     // sparse purchase stream; every grid point takes the last purchase
     // value at-or-before it (reindex-ffill). Grid rows generate
@@ -1083,6 +1097,11 @@ object SparkEntry {
       ("""SELECT date_trunc('hour', ts) AS idx,
            floor(sum(value) * 1e2 + 0.5) / 1e2 AS total
          FROM events GROUP BY 1 ORDER BY idx"""),
+    "s70_balanced_cumsum" ->
+      ("""SELECT CAST(floor(1e9 / (c_custkey + 1)) AS BIGINT) AS idx,
+           round(sum(c_acctbal) OVER (ORDER BY floor(1e9 / (c_custkey + 1))
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+         FROM customer ORDER BY idx"""),
     // s69: hourly generate_series + per-grid-point latest purchase at or
     // before it; ties at equal ts resolve to the max value (the engine's
     // deterministic (ts, value) pick)

@@ -59,7 +59,7 @@ import org.apache.spark.storage.StorageLevel
   */
 final class GlobalWindows private[graft] (
     s: Series, buckets: Int, carry: Int, extra: Seq[(String, Column)],
-    fcarry: Int = 0) {
+    fcarry: Int = 0, balanced: Boolean = false) {
 
   require(buckets >= 1, "buckets must be >= 1")
   require(carry >= 0, "carry must be >= 0")
@@ -91,7 +91,32 @@ final class GlobalWindows private[graft] (
 
   private val bktExpr: Column =
     if (degenerate) lit(0L)
-    else bucketExpr(col(idxName), coordExpr, coordLo, coordHi, buckets)
+    else if (balanced) {
+      // BALANCED bucketing for skewed indexes: equal-width buckets are
+      // balance-only-under-uniformity (a power-law index collapses ~all
+      // rows into one bucket = one straggler task). Opt-in alternative:
+      // bucket boundaries are the coordinate's approximate quantiles —
+      // `buckets − 1` bounded driver doubles from ONE percentile_approx
+      // agg — and the bucket id is the count of boundaries strictly below
+      // the coordinate (a codegen'd when-fold, monotone in the
+      // coordinate, so range order and every carry/offset invariant hold
+      // unchanged). Sketch error skews bucket SIZES a little, never
+      // correctness. Duplicate cuts (a heavy single value) just leave
+      // some bucket ids empty.
+      val qs = (1 until buckets).map(_.toDouble / buckets)
+      val cuts =
+        if (qs.isEmpty) Seq.empty[Double]
+        else {
+          val row = d.select(percentile_approx(coordExpr.cast("double"),
+            typedlit(qs), lit(10000)).as("c")).head()
+          if (row.isNullAt(0)) Seq.empty[Double]
+          else row.getSeq[Double](0).distinct.sorted
+        }
+      when(col(idxName).isNull, lit(0L)).otherwise(
+        cuts.foldLeft(lit(0L)) { (acc, c) =>
+          acc + when(coordExpr > lit(c), 1L).otherwise(0L)
+        })
+    } else bucketExpr(col(idxName), coordExpr, coordLo, coordHi, buckets)
 
   /** Real rows, bucketed; persisted — consumed by the stats/carry jobs AND
     * the returned windowed plan (tracked in [[graft.Caches]]). */

@@ -478,10 +478,14 @@ final class Series private[graft] (
     * several global-order window expressions on one bucketed scan (see
     * [[GlobalWindows]]). `carry` = max lag / rolling-width−1 needed;
     * `fcarry` = max lead (negative shift) needed; `extra` = passthrough
-    * columns (resolved against the base frame). */
+    * columns (resolved against the base frame); `balanced` swaps the
+    * equal-width bucket boundaries for approximate-quantile ones — the
+    * opt-in for HEAVILY SKEWED indexes, where equal-width would collapse
+    * most rows into one straggler bucket. */
   def globalWindows(buckets: Int = 32, carry: Int = 0,
-      extra: Seq[(String, Column)] = Nil, fcarry: Int = 0): GlobalWindows =
-    new GlobalWindows(this, buckets, carry, extra, fcarry)
+      extra: Seq[(String, Column)] = Nil, fcarry: Int = 0,
+      balanced: Boolean = false): GlobalWindows =
+    new GlobalWindows(this, buckets, carry, extra, fcarry, balanced)
 
   /** Cumulative sum in index order (pandas cumsum). Numeric indexes run the
     * distributed two-pass bucket plan ([[GlobalWindows]]); non-numeric fall

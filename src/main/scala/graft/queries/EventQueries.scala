@@ -209,6 +209,48 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // STREAMING per-user EMA under the hash gate: the full events fixture
+    // replays through ewmStream (flatMapGroupsWithState: out-of-order
+    // events buffer in state; each watermark advance finalizes the
+    // strictly-older prefix in (ts, event_id) order and folds it through
+    // the recurrence). alpha=0.25 makes w=0.75 DYADIC — every fold step
+    // is bit-identical in both engines, so the full replay hash-matches
+    // the per-user recursive-CTE oracle with no tolerance games. The
+    // collect is the replay harness, not the operator (production side
+    // is readStream).
+    "e19_stream_ewm" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select("user_id", "event_id", "ts", "value").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getDouble(3))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+      val name = s"graft_e19_${System.nanoTime()}"
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .ewmStream(input.toDF()
+            .toDF("user_id", "event_id", "ts", "value"), 0.25, "0 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          q.processAllAvailable()
+          input.addData((-1L, -1L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
+          q.processAllAvailable()
+          input.addData((-1L, -2L,
+            java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 0.0))
+          q.processAllAvailable()
+        } finally q.stop() // memory sink retains the batches after stop
+      }
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("event_id").as("idx"), col("user_id"),
+          graft.ops.TextOps.round6(col("ema")).as("em"))
+        .orderBy("idx")
+    }),
+
     // NATIVE session_window under the same hash gate as e09: identical
     // replay harness, but the sessionizer is the first-class
     // session_window streaming aggregation (engine-managed merging
@@ -536,6 +578,25 @@ object EventQueries {
            round(CASE WHEN abs(epoch_us(ts) - rs.us) <= 86400000000
              THEN rs.v END, 2) AS cv
          FROM pick ORDER BY event_id""",
+    // e19: the batch EMA recurrence per user, ordered by EVENT TIME (the
+    // stream's finalization order) — w = 0.75 dyadic, both engines fold
+    // bit-identical doubles
+    "e19_stream_ewm" ->
+      """WITH RECURSIVE s AS (
+           SELECT event_id AS idx, user_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+           FROM events),
+         r AS (
+           SELECT idx, user_id, rn, x,
+             x AS num, CAST(1.0 AS DOUBLE) AS den
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.idx, s.user_id, s.rn, s.x,
+             s.x + 0.75 * r.num, 1.0 + 0.75 * r.den
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT idx, user_id, floor((num / den) * 1e6 + 0.5) / 1e6 AS em
+         FROM r ORDER BY idx""",
     // e18 = e15's tagged union with NO partition key (global windows are
     // fine in single-node DuckDB; the engine side buckets + carries)
     "e18_asof_global" ->

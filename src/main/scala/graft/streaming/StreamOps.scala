@@ -98,6 +98,86 @@ object StreamOps {
           .as("session_end"),
         col("n_events"))
 
+  /** One finalized event in event-time order out: the per-key running
+    * exponentially-weighted mean AT that event. */
+  final case class EmaUpdate(user_id: Long, event_id: Long, ts: Timestamp,
+                             ema: Option[Double])
+
+  /** A buffered event not yet provably final (the watermark has not
+    * passed it — an admitted-late sibling could still sort before it). */
+  final case class PendingEvent(tsUs: Long, eventId: Long,
+                                value: Option[Double])
+
+  /** Per-key EMA state: the pending buffer + the recurrence accumulators
+    * over everything already finalized. The accumulators are O(1) forever
+    * (three scalars per key — the inherent footprint of an infinite-
+    * horizon EMA); the BUFFER is bounded by the watermark delay. */
+  final case class EmaState(buffer: Seq[PendingEvent], pn: Double,
+                            pd: Double, seen: Boolean)
+
+  /** Streaming per-key exponentially-weighted mean — the streaming twin
+    * of [[graft.core.Series.ewmStatsBy]] (pandas groupby().ewm().mean()
+    * as a live feature): one EMA row out per event, in EVENT-TIME order,
+    * emitted only once the watermark proves no earlier event can still
+    * arrive. An EMA is order-sensitive, so out-of-order arrivals cannot
+    * be folded on sight: events buffer in state, and each batch (or
+    * event-time timeout) finalizes the buffered prefix strictly older
+    * than the watermark — sorted by (ts, event_id), folded through the
+    * recurrence, emitted. Same weight semantics as the batch twin
+    * (adjust=, ignore_na=False: decay counts every event), asserted
+    * row-identical on the full fixture replay by the e19 gate. */
+  def ewmStream(events: DataFrame, alpha: Double, watermarkDelay: String,
+                adjust: Boolean = true): Dataset[EmaUpdate] = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    val w = 1.0 - alpha
+    implicit val updEnc = Encoders.product[EmaUpdate]
+    implicit val stEnc = Encoders.product[EmaState]
+    implicit val rowEnc = Encoders.product[(Long, Long, Timestamp, Option[Double])]
+    implicit val keyEnc = Encoders.scalaLong
+
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("value").cast("double"))
+      .as[(Long, Long, Timestamp, Option[Double])]
+
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long, rows: Iterator[(Long, Long, Timestamp, Option[Double])],
+       state: GroupState[EmaState]) =>
+        val st0 = state.getOption.getOrElse(
+          EmaState(Seq.empty, 0.0, 0.0, seen = false))
+        val buf = st0.buffer ++ rows.map(r =>
+          PendingEvent(toMicros(r._3), r._2, r._4))
+        // Spark drops only rows STRICTLY older than the watermark, so an
+        // event at exactly the watermark may still arrive — only the
+        // strictly-older buffered prefix is final.
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (fin, pending) = buf.sortBy(e => (e.tsUs, e.eventId))
+          .partition(_.tsUs < wmUs)
+        var pn = st0.pn; var pd = st0.pd; var seen = st0.seen
+        val out = fin.map { e =>
+          pn *= w; pd *= w // ignore_na=False: every event decays
+          e.value.foreach { x =>
+            val ew = if (adjust || !seen) 1.0 else alpha
+            pn += ew * x; pd += ew
+            seen = true
+          }
+          EmaUpdate(user, e.eventId, fromMicros(e.tsUs),
+            if (pd > 0) Some(pn / pd) else None)
+        }
+        state.update(EmaState(pending, pn, pd, seen))
+        if (pending.nonEmpty) {
+          // wake when the watermark passes the oldest pending event (ms
+          // rounded up, clamped above the current watermark)
+          val horizonMs = (pending.map(_.tsUs).min + 999L) / 1000L
+          state.setTimeoutTimestamp(
+            math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.iterator
+    }
+  }
+
   /** One event in, session updates out. */
   final case class SessionUpdate(user_id: Long, session_start: Timestamp,
                                  session_end: Timestamp, n_events: Long,

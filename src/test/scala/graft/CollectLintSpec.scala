@@ -35,7 +35,9 @@ class CollectLintSpec extends AnyFunSuite {
       "F.min(col(idxName)), F.max(col(idxName))).head()" ->
         "1-row min/max bounds",
       "val stats = statsDf.collect().sortBy(_.getLong(0))" ->
-        "per-bucket offset stats: `buckets` rows"),
+        "per-bucket offset stats: `buckets` rows",
+      "typedlit(qs), lit(10000)).as(\"c\")).head()" ->
+        "balanced bucket boundaries: buckets−1 quantile cuts, 1 row"),
     "Series.scala" -> Map(
       ".agg(F.corr(col(\"v\"), col(\"p\"))).head()" ->
         "autocorr: 1-row aggregate",
@@ -83,6 +85,8 @@ class CollectLintSpec extends AnyFunSuite {
     "EventQueries.scala" -> Map(
       ".collect()" -> "MemoryStream replay feed (gate harness)",
       ".select(\"event_id\", \"user_id\", \"value\").collect()" ->
+        "MemoryStream replay feed (gate harness)",
+      ".select(\"user_id\", \"event_id\", \"ts\", \"value\").collect()" ->
         "MemoryStream replay feed (gate harness)",
       ".select(\"ts\", \"user_id\", \"event_type\").collect()" ->
         "MemoryStream replay feed (gate harness)",

@@ -147,6 +147,23 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("balanced (quantile-bucket) windows == sequential for arbitrary data") {
+    forAll(vecGen, Gen.choose(1, 64), n = 10) { (xs: List[Double], b: Int) =>
+      val s = Series.fromSeq(spark, xs)
+      val g = s.globalWindows(buckets = b, carry = 1, balanced = true)
+      val out = g.result("c" -> g.cumsum(), "sh" -> g.shift(1))
+        .orderBy("index").collect()
+      val cumRef = xs.scanLeft(0.0)(_ + _).tail
+      out.zipWithIndex.foreach { case (r, i) =>
+        assert(math.abs(r.getDouble(1) - cumRef(i))
+          <= 1e-9 * (math.abs(cumRef(i)) + 1), s"cumsum@$i buckets=$b")
+        val shRef = if (i >= 1) Some(xs(i - 1)) else None
+        assert((if (r.isNullAt(2)) None else Some(r.getDouble(2))) == shRef,
+          s"shift@$i buckets=$b")
+      }
+    }
+  }
+
   test("GlobalWindows lead == sequential reference for arbitrary buckets") {
     forAll(vecGen, Gen.choose(1, 40), n = 10) { (xs: List[Double], b: Int) =>
       val s = Series.fromSeq(spark, xs)
