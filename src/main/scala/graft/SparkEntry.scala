@@ -647,6 +647,40 @@ object SparkEntry {
       val g = bal.globalWindows(balanced = true)
       g.result("cum" -> round(g.cumsum(), 2)).orderBy("idx")
     }),
+    // pandas rolling(5, center=True).mean(): the label mid-window — the
+    // frame reaches 2 rows BACK and 2 rows FORWARD, so the bucketed plan
+    // needs both carry directions (lag carries + the new lead carries).
+    // The 9dp shift keeps means of 2dp money off the rounding halfway
+    // grid (s58 lesson).
+    "s71_rolling_center" -> ((s, d) => {
+      val bal = Series.fromExpr(Tables.customer(s, d),
+        col("c_acctbal") + lit(0.123456789), "bal", col("c_custkey"), "idx")
+      ordered(bal.rollingMeanCentered(5)
+        .transform(graft.ops.TextOps.round6(_), "c5"))
+    }),
+    // pandas combine_first: base values patched from a second Series where
+    // null or absent — full-outer index alignment + coalesce, one keyed
+    // join. Negative balances are nulled on the left so both patch paths
+    // (null-fill and absent-label union) are exercised.
+    "s72_combine_first" -> ((s, d) => {
+      val left = Series.fromExpr(Tables.customer(s, d),
+        when(col("c_acctbal") >= 0, col("c_acctbal")), "bal",
+        col("c_custkey"), "idx")
+      val right = Series.fromColumn(Tables.supplier(s, d), "s_acctbal",
+        "s_suppkey").rename("bal").renameIndex("idx")
+      ordered(left.combineFirst(right))
+    }),
+    // pandas groupby().resample('1h').sum(): per-type hourly downsampling —
+    // ONE partial+final aggregation keyed by (type, hour bucket).
+    "s73_resample_by" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
+      v.resampleBy(col("event_type"), "HOUR",
+          org.apache.spark.sql.functions.sum(_))
+        .select(col("idx"), col("key"),
+          graft.ops.TextOps.round2(col("v")).as("total"))
+        .orderBy("idx", "key")
+    }),
     // pandas resample('h').ffill() — UPSAMPLING: hourly grid over the
     // sparse purchase stream; every grid point takes the last purchase
     // value at-or-before it (reindex-ffill). Grid rows generate
@@ -1102,6 +1136,27 @@ object SparkEntry {
            round(sum(c_acctbal) OVER (ORDER BY floor(1e9 / (c_custkey + 1))
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
          FROM customer ORDER BY idx"""),
+    "s71_rolling_center" ->
+      ("""SELECT c_custkey AS idx,
+           floor((CASE WHEN count(b) OVER w = 5 THEN avg(b) OVER w END)
+             * 1e6 + 0.5) / 1e6 AS c5
+         FROM (SELECT c_custkey, c_acctbal + 0.123456789 AS b
+               FROM customer)
+         WINDOW w AS (ORDER BY c_custkey
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+         ORDER BY idx"""),
+    "s72_combine_first" ->
+      ("""SELECT idx,
+           COALESCE(CASE WHEN c_acctbal >= 0 THEN c_acctbal END,
+             s_acctbal) AS bal
+         FROM (SELECT c_custkey AS idx, c_acctbal FROM customer) c
+         FULL JOIN (SELECT s_suppkey AS idx, s_acctbal FROM supplier) s
+           USING (idx)
+         ORDER BY idx"""),
+    "s73_resample_by" ->
+      ("""SELECT date_trunc('hour', ts) AS idx, event_type AS key,
+           floor(sum(value) * 1e2 + 0.5) / 1e2 AS total
+         FROM events GROUP BY 1, 2 ORDER BY idx, key"""),
     // s69: hourly generate_series + per-grid-point latest purchase at or
     // before it; ties at equal ts resolve to the max value (the engine's
     // deterministic (ts, value) pick)

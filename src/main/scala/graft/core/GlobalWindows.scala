@@ -356,6 +356,30 @@ final class GlobalWindows private[graft] (
     rolling(n)(c => percentile(c, lit(q)))
   def rollingMedian(n: Int): Column = rollingQuantile(n, 0.5)
 
+  private def rollingCenteredF(n: Int)(f: Column => Column): Column = {
+    require(n >= 1, "rolling window size must be >= 1")
+    val lo = n / 2
+    val hi = (n - 1) / 2
+    require(lo <= carry,
+      s"rollingCentered($n) needs a builder with carry >= $lo (have $carry)")
+    require(hi <= fcarry,
+      s"rollingCentered($n) needs a builder with fcarry >= $hi (have $fcarry)")
+    val rw = w.rowsBetween(-lo, hi)
+    when(F.count(col(valName)).over(rw) === n, f(col(valName)).over(rw))
+  }
+
+  /** CENTERED rolling aggregates (pandas rolling(n, center=True): the
+    * label sits mid-window — frame [−⌊n/2⌋, +⌊(n−1)/2⌋]); needs
+    * carry ≥ ⌊n/2⌋ AND fcarry ≥ ⌊(n−1)/2⌋ so both edges of every bucket
+    * see their true global neighbors (the lag carries feed the trailing
+    * half, the new lead carries the leading half). pandas
+    * min_periods = n: null until the full frame is present. */
+  def rollingMeanCentered(n: Int): Column = rollingCenteredF(n)(avg)
+  def rollingSumCentered(n: Int): Column = rollingCenteredF(n)(F.sum(_))
+  def rollingMinCentered(n: Int): Column = rollingCenteredF(n)(F.min(_))
+  def rollingMaxCentered(n: Int): Column = rollingCenteredF(n)(F.max(_))
+  def rollingStdCentered(n: Int): Column = rollingCenteredF(n)(stddev_samp)
+
   /** 1-based global ordinal position: within-bucket real-row count +
     * exclusive bucket count offset. */
   def position(): Column =

@@ -214,6 +214,13 @@ final class Series private[graft] (
   def /(o: Series): Series = zipOp(o, try_divide)
   def floorDiv(o: Series): Series = zipOp(o, (a, b) => floor(try_divide(a, b)))
 
+  /** pandas combine_first: this Series' values patched with `other`'s
+    * where this one is null or the label is absent — the union of both
+    * indexes (full-outer index alignment), `coalesce` per label. The
+    * classic "overlay the correction file on the base table" op; one
+    * keyed join, same alignment machinery as the arithmetic operators. */
+  def combineFirst(other: Series): Series = zipOp(other, coalesce(_, _))
+
   // Comparison ops → boolean Series (for masks).
   def >(n: Double): Series = scalarOp(_ > _, n)
   def <(n: Double): Series = scalarOp(_ < _, n)
@@ -907,6 +914,30 @@ final class Series private[graft] (
     } else fallback
   }
 
+  /** pandas rolling(n, center=True).mean() — the label mid-window: frame
+    * [−⌊n/2⌋, +⌊(n−1)/2⌋]. Orderable indexes ride the bucketed plan with
+    * BOTH carry directions (lag rows feed the trailing half, the forward
+    * carries the leading half); others fall back to the single-task
+    * window. */
+  def rollingMeanCentered(n: Int): Series =
+    rollingCenteredGlobal(n, _.rollingMeanCentered(n), avg(valueExpr))
+  def rollingSumCentered(n: Int): Series =
+    rollingCenteredGlobal(n, _.rollingSumCentered(n), F.sum(valueExpr))
+  def rollingStdCentered(n: Int): Series =
+    rollingCenteredGlobal(n, _.rollingStdCentered(n), stddev_samp(valueExpr))
+
+  private def rollingCenteredGlobal(n: Int,
+      distributed: GlobalWindows => Column, aggExpr: Column): Series = {
+    require(n >= 1, "rolling window size must be >= 1")
+    if (orderableIdx) {
+      val g = globalWindows(carry = n / 2, fcarry = (n - 1) / 2)
+      g.series(distributed(g), name)
+    } else {
+      val w = ixWindow.rowsBetween(-(n / 2), (n - 1) / 2)
+      withValue(when(F.count(valueExpr).over(w) === n, aggExpr.over(w)))
+    }
+  }
+
   /** Trailing-`n` rolling aggregate with pandas min_periods = n semantics:
     * null until the frame holds n non-null observations (pandas counts
     * non-NaN toward min_periods). Shared by the mean/sum/min/max/std
@@ -1164,6 +1195,14 @@ final class Series private[graft] (
       filled.select(col(indexName), col(s"__rs_$name").as(name)),
       name, indexName)
   }
+
+  /** pandas groupby(by).resample(freq).agg(...) — per-key time-bucket
+    * downsampling: ONE partial+final aggregation keyed by (key, bucket).
+    * Output (idx = bucket start, key, value). */
+  def resampleBy(by: Column, unit: String, agg: Column => Column): DataFrame =
+    base.groupBy(by.as("key"), date_trunc(unit, indexExpr).as(indexName))
+      .agg(agg(valueExpr).as(name))
+      .select(col(indexName), col("key"), col(name))
 
   def resample(unit: String, agg: Column => Column): Series =
     Series.fromKeyed(

@@ -685,6 +685,25 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("rollingMeanCentered centers the frame (pandas center=True)") {
+    val v = Series.fromSeq(spark, Seq(1.0, 2.0, 3.0, 4.0, 5.0))
+    // n=3: frame [-1, +1]; edges lack a neighbor -> null (min_periods=n)
+    assert(valuesOf(v.rollingMeanCentered(3)) ==
+      Seq(null, 2.0, 3.0, 4.0, null))
+  }
+
+  test("combineFirst patches nulls and unions absent labels (pandas)") {
+    val a = Series.fromPairs(spark, Seq(
+      (1L, java.lang.Double.valueOf(10.0)),
+      (2L, null.asInstanceOf[java.lang.Double])))
+    val b = Series.fromPairs(spark, Seq(
+      (2L, java.lang.Double.valueOf(20.0)),
+      (3L, java.lang.Double.valueOf(30.0))))
+    val got = a.combineFirst(b).df.orderBy("index").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+  }
+
   test("cumprodBy multiplies within each group, zero pins the tail") {
     // group 1: [2, -3, 4] -> [2, -6, -24]; group 2: [5, 0, 7] -> [5, 0, 0]
     val df = Seq((0L, 1L, 2.0), (1L, 2L, 5.0), (2L, 1L, -3.0),
