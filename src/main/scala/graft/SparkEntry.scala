@@ -647,6 +647,24 @@ object SparkEntry {
       val g = bal.globalWindows(balanced = true)
       g.result("cum" -> round(g.cumsum(), 2)).orderBy("idx")
     }),
+    // pandas between_time('09:00', '17:00'): time-of-day selection over
+    // the timestamp index — a pure per-row µs-of-day predicate
+    // (session-tz independent, sub-second exact), pushdown-friendly.
+    "s75_between_time" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
+      v.betweenTime("09:00", "17:00").df
+        .select(col("idx"), round(col("v"), 2).as("v"))
+        .orderBy("idx")
+    }),
+    // pandas rank(pct=True): the distributed value-bucketed rank scaled
+    // by one bounded non-null-count scalar — identical doubles in both
+    // engines (rank halves / integer count), so no rounding needed.
+    "s74_rank_pct" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.supplier(s, d), "s_acctbal",
+        "s_suppkey").rename("bal").renameIndex("idx")
+      ordered(bal.rankPct().rename("rk"))
+    }),
     // pandas rolling(5, center=True).mean(): the label mid-window — the
     // frame reaches 2 rows BACK and 2 rows FORWARD, so the bucketed plan
     // needs both carry directions (lag carries + the new lead carries).
@@ -1136,6 +1154,17 @@ object SparkEntry {
            round(sum(c_acctbal) OVER (ORDER BY floor(1e9 / (c_custkey + 1))
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
          FROM customer ORDER BY idx"""),
+    "s75_between_time" ->
+      ("""SELECT ts AS idx, round(value, 2) AS v FROM events
+         WHERE epoch_us(ts) % 86400000000
+           BETWEEN 32400000000 AND 61200000000
+         ORDER BY idx"""),
+    "s74_rank_pct" ->
+      ("""SELECT s_suppkey AS idx,
+           (CAST(rank() OVER (ORDER BY s_acctbal) AS DOUBLE) +
+            (count(*) OVER (PARTITION BY s_acctbal) - 1) / 2.0)
+           / count(s_acctbal) OVER () AS rk
+         FROM supplier ORDER BY idx"""),
     "s71_rolling_center" ->
       ("""SELECT c_custkey AS idx,
            floor((CASE WHEN count(b) OVER w = 5 THEN avg(b) OVER w END)

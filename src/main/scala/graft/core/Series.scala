@@ -340,6 +340,34 @@ final class Series private[graft] (
   /** Replace nulls with a constant (pandas fillna). */
   def fillna(v: Any): Series = withValue(coalesce(valueExpr, lit(v)))
 
+  /** pandas between_time(start, end): rows whose timestamp-index
+    * TIME-OF-DAY lies in [start, end] (both inclusive, pandas defaults;
+    * `start > end` selects the overnight wrap). Times are "HH:mm" or
+    * "HH:mm:ss". Compared in µs-of-day off `unix_micros` — session-tz
+    * independent, and sub-second timestamps compare like pandas Time
+    * objects (17:00:00.000001 is OUTSIDE an end of 17:00). A pure per-row
+    * predicate — pushdown-friendly, no shuffle. */
+  def betweenTime(start: String, end: String): Series = {
+    def us(t: String): Long = {
+      val p = t.split(":").map(_.toInt)
+      require(p.length == 2 || p.length == 3,
+        s"time must be HH:mm or HH:mm:ss, got '$t'")
+      require(p(0) >= 0 && p(0) < 24 && p(1) >= 0 && p(1) < 60,
+        s"bad time '$t'")
+      (p(0) * 3600L + p(1) * 60L + (if (p.length == 3) p(2) else 0)) *
+        1000000L
+    }
+    val s0 = us(start); val e0 = us(end)
+    val tod = unix_micros(indexExpr) % 86400000000L
+    val pred =
+      if (s0 <= e0) tod >= s0 && tod <= e0
+      else tod >= s0 || tod <= e0 // overnight wrap
+    new Series(base.filter(pred), name, indexName, indexExpr, valueExpr)
+  }
+
+  /** pandas at_time(t): rows at exactly that time of day. */
+  def atTime(t: String): Series = betweenTime(t, t)
+
   /** Drop rows whose value is null (pandas dropna). */
   def dropna(): Series =
     new Series(base.filter(valueExpr.isNotNull), name, indexName, indexExpr,
@@ -664,6 +692,16 @@ final class Series private[graft] (
       name, indexName)
   }
   def rank(method: String): Series = rank(method, 32)
+
+  /** pandas rank(pct=True): the rank scaled by the non-null count — the
+    * same distributed rankAll plan plus ONE bounded count scalar. */
+  def rankPct(method: String = "average", buckets: Int = 32): Series = {
+    val n = aggScalar(F.count(valueExpr)).asInstanceOf[Long]
+    val r = rank(method, buckets)
+    Series.fromKeyed(
+      r.df.select(col(indexName), (col(name) / n.toDouble).as(name)),
+      name, indexName)
+  }
 
   /** All requested rank methods over ONE bucketed scan / one stats job —
     * columns `rank_<method>` beside the index. */

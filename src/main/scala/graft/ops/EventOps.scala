@@ -134,6 +134,13 @@ object EventOps {
     * one candidate, and for nearest the chosen side is by construction
     * the closer one — if it is beyond tolerance, so is the other.
     *
+    * `allowExactMatches=false` (pandas allow_exact_matches): the match
+    * inequality turns STRICT (`r.ts < l.ts` / `r.ts > l.ts`) — purely a
+    * side-ordering flip: inclusive backward sorts right BEFORE left at
+    * equal ts so the preceding frame sees it; strict sorts right after,
+    * pushing equal-ts right rows out of the frame (and symmetrically for
+    * forward). No extra pass, same one-shuffle plan.
+    *
     * `rightVals` columns are attached as `prefix + name`. Left and right
     * may be the same or different frames; only `keyCol`/`tsCol`/`tieCol`
     * must exist in both. */
@@ -141,7 +148,8 @@ object EventOps {
                tsCol: String, tieCol: String, rightVals: Seq[String],
                prefix: String = "asof_",
                direction: String = "backward",
-               toleranceUs: Option[Long] = None): DataFrame = {
+               toleranceUs: Option[Long] = None,
+               allowExactMatches: Boolean = true): DataFrame = {
     toleranceUs.foreach(t => require(t >= 0, "tolerance must be >= 0"))
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
@@ -169,11 +177,18 @@ object EventOps {
       lit(null).cast(lRowType).as("__lrow"),
       struct(rightVals.map(col) :+
         unix_micros(col(tsCol)).as("__rus"): _*).as("__rvals"))
+    // side ordering encodes the match inequality: inclusive backward puts
+    // right (0) before left (1) at equal ts so the preceding frame holds
+    // it; strict flips it out of the frame (mirror-image for forward)
     val bwdW = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .orderBy(col("__ts"),
+        if (allowExactMatches) col("__side") else col("__side").desc,
+        col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwdW = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts"), col("__side").desc, col("__tie"))
+      .orderBy(col("__ts"),
+        if (allowExactMatches) col("__side").desc else col("__side"),
+        col("__tie"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val rv = direction match {
       case "backward" => last(col("__rvals"), ignoreNulls = true).over(bwdW)
@@ -218,7 +233,8 @@ object EventOps {
   def asofJoinGlobal(left: DataFrame, right: DataFrame,
       tsCol: String, tieCol: String, rightVals: Seq[String],
       prefix: String = "asof_", direction: String = "backward",
-      toleranceUs: Option[Long] = None, buckets: Int = 32): DataFrame = {
+      toleranceUs: Option[Long] = None, buckets: Int = 32,
+      allowExactMatches: Boolean = true): DataFrame = {
     toleranceUs.foreach(t => require(t >= 0, "tolerance must be >= 0"))
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
@@ -288,11 +304,16 @@ object EventOps {
       if (carries.isEmpty) keyed
       else keyed.unionByName(keyed.sparkSession.createDataFrame(
         carries.asJava, keyed.schema))
+    // same side-order encoding of the match inequality as [[asofJoin]]
     val bwdW = Window.partitionBy(col("__bkt"))
-      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .orderBy(col("__ts"),
+        if (allowExactMatches) col("__side") else col("__side").desc,
+        col("__tie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwdW = Window.partitionBy(col("__bkt"))
-      .orderBy(col("__ts"), col("__side").desc, col("__tie"))
+      .orderBy(col("__ts"),
+        if (allowExactMatches) col("__side").desc else col("__side"),
+        col("__tie"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val rv = direction match {
       case "backward" => last(col("__rvals"), ignoreNulls = true).over(bwdW)

@@ -209,6 +209,26 @@ object EventQueries {
         .orderBy("user_id", "session_start")
     }),
 
+    // pandas merge_asof(allow_exact_matches=False) — the strict
+    // inequality, gated on the canonical use: a SELF as-of (previous /
+    // next purchase per user). Inclusive would match each row to itself;
+    // strict excludes the equal-timestamp copy purely by the side-order
+    // flip, so every row exercises the strictness path.
+    "e20_asof_strict" -> ((s, d) => {
+      val e = ev(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      def one(dir: String, n: String) =
+        EventOps.asofJoin(p, p, "user_id", "ts", "event_id", Seq("value"),
+          "pp_", direction = dir, allowExactMatches = false)
+          .select(col("event_id"), round(col("pp_value"), 2).as(n))
+      p.select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("pv"))
+        .join(one("backward", "prev_v"), Seq("event_id"))
+        .join(one("forward", "next_v"), Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
     // STREAMING per-user EMA under the hash gate: the full events fixture
     // replays through ewmStream (flatMapGroupsWithState: out-of-order
     // events buffer in state; each watermark advance finalizes the
@@ -578,6 +598,23 @@ object EventQueries {
            round(CASE WHEN abs(epoch_us(ts) - rs.us) <= 86400000000
              THEN rs.v END, 2) AS cv
          FROM pick ORDER BY event_id""",
+    // e20: strict-inequality self as-of; the subquery tie order (ts DESC,
+    // event_id DESC / ts ASC, event_id ASC) mirrors the engine's
+    // (ts, tie) extremal pick
+    "e20_asof_strict" ->
+      """WITH p AS (
+           SELECT event_id, user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT p.event_id, p.user_id, round(p.value, 2) AS pv,
+           round((SELECT p2.value FROM p p2
+                  WHERE p2.user_id = p.user_id AND p2.ts < p.ts
+                  ORDER BY p2.ts DESC, p2.event_id DESC LIMIT 1), 2)
+             AS prev_v,
+           round((SELECT p2.value FROM p p2
+                  WHERE p2.user_id = p.user_id AND p2.ts > p.ts
+                  ORDER BY p2.ts ASC, p2.event_id ASC LIMIT 1), 2)
+             AS next_v
+         FROM p ORDER BY p.event_id""",
     // e19: the batch EMA recurrence per user, ordered by EVENT TIME (the
     // stream's finalization order) — w = 0.75 dyadic, both engines fold
     // bit-identical doubles

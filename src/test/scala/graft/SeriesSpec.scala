@@ -704,6 +704,44 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
   }
 
+  test("betweenTime wraps overnight and atTime matches exactly (pandas)") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 08:30:00"), 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), 2.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 23:30:00"), 3.0),
+      (java.sql.Timestamp.valueOf("2026-01-02 01:00:00"), 4.0))
+      .toDF("ts", "v")
+    val s = Series.fromColumn(df, "v", "ts")
+    assert(s.betweenTime("09:00", "13:00").df.collect().map(_.getDouble(1))
+      .toSeq == Seq(2.0))
+    // overnight wrap: 22:00 -> 02:00 keeps the two night rows
+    assert(s.betweenTime("22:00", "02:00").df.orderBy("ts").collect()
+      .map(_.getDouble(1)).toSeq == Seq(3.0, 4.0))
+    assert(s.atTime("12:00").df.collect().map(_.getDouble(1)).toSeq
+      == Seq(2.0))
+  }
+
+  test("rankPct scales ranks by the non-null count (pandas pct=True)") {
+    val v = Series.fromSeq(spark, Seq(30.0, 10.0, 20.0, 40.0))
+    assert(valuesOf(v.rankPct()) == Seq(0.75, 0.25, 0.5, 1.0))
+  }
+
+  test("asofJoin allowExactMatches=false excludes equal timestamps") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+      100L)).toDF("k", "ts", "id")
+    val right = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 200L, 9.0),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 09:00:00"), 201L, 7.0))
+      .toDF("k", "ts", "id", "x")
+    import graft.ops.EventOps
+    val strict = EventOps.asofJoin(left, right, "k", "ts", "id", Seq("x"),
+      allowExactMatches = false).select("asof_x").head()
+    assert(strict.getDouble(0) == 7.0) // equal-ts 9.0 excluded
+    val incl = EventOps.asofJoin(left, right, "k", "ts", "id", Seq("x"))
+      .select("asof_x").head()
+    assert(incl.getDouble(0) == 9.0)
+  }
+
   test("cumprodBy multiplies within each group, zero pins the tail") {
     // group 1: [2, -3, 4] -> [2, -6, -24]; group 2: [5, 0, 7] -> [5, 0, 0]
     val df = Seq((0L, 1L, 2.0), (1L, 2L, 5.0), (2L, 1L, -3.0),
