@@ -657,6 +657,40 @@ object SparkEntry {
         .select(col("idx"), round(col("v"), 2).as("v"))
         .orderBy("idx")
     }),
+    // pandas rolling('1h').mean()/count() on the timestamp index — the
+    // trailing window is a TIME SPAN, not a row count, so the bucketed
+    // plan's carries are generated BY EXPRESSION (each row explodes into
+    // the following buckets its hour can reach) instead of a driver
+    // collect: a range frame's reach is data-dependent and no bounded row
+    // carry serves it (RangeWindows). min_periods=1, closed='right'.
+    "s76_rolling_time" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
+      val r = v.rangeWindows(span = 3600L * 1000000L)
+      r.result(
+          "mean_1h" -> graft.ops.TextOps.round6(r.mean()),
+          "n_1h" -> r.count())
+        .orderBy("idx")
+    }),
+    // pandas rolling(20).corr(other)/.cov(other): pairwise trailing
+    // window stats over two columns of one scan — the other Series rides
+    // the bucketed plan as a passthrough extra; null until 20 complete
+    // pairs. corr is a ratio (round6); cov of price×epoch-day magnitude
+    // (~5e7) carries ~1e-6 of cross-engine association drift, so it
+    // snaps to the nearest 100 — a grid ~1e8× the drift.
+    "s77_rolling_corr" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val price = Series.fromExpr(ord, col("o_totalprice"), "price",
+        col("o_orderkey"), "idx")
+      val day = Series.fromExpr(ord, unix_date(col("o_orderdate")
+        .cast("date")).cast("double"), "day", col("o_orderkey"), "idx")
+      val c = price.rollingCorr(day, 20).rename("c")
+      val v = price.rollingCov(day, 20).rename("cv")
+      c.df.join(v.df, "idx")
+        .select(col("idx"), graft.ops.TextOps.round6(col("c")).as("c"),
+          (floor(col("cv") / 100 + 0.5) * 100).cast("double").as("cv"))
+        .orderBy("idx")
+    }),
     // pandas rank(pct=True): the distributed value-bucketed rank scaled
     // by one bounded non-null-count scalar — identical doubles in both
     // engines (rank halves / integer count), so no rounding needed.
@@ -1158,6 +1192,27 @@ object SparkEntry {
       ("""SELECT ts AS idx, round(value, 2) AS v FROM events
          WHERE epoch_us(ts) % 86400000000
            BETWEEN 32400000000 AND 61200000000
+         ORDER BY idx"""),
+    "s76_rolling_time" ->
+      ("""SELECT ts AS idx,
+           floor(avg(value) OVER w * 1e6 + 0.5) / 1e6 AS mean_1h,
+           count(value) OVER w AS n_1h
+         FROM events
+         WINDOW w AS (ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s77_rolling_corr" ->
+      ("""WITH b AS (SELECT o_orderkey AS idx, o_totalprice AS x,
+             CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS DOUBLE) AS y
+           FROM orders)
+         SELECT idx,
+           CASE WHEN count(*) OVER w = 20
+             THEN floor(corr(x, y) OVER w * 1e6 + 0.5) / 1e6 END AS c,
+           CASE WHEN count(*) OVER w = 20
+             THEN floor(covar_samp(x, y) OVER w / 100 + 0.5) * 100 END AS cv
+         FROM b
+         WINDOW w AS (ORDER BY idx ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
     "s74_rank_pct" ->
       ("""SELECT s_suppkey AS idx,

@@ -356,6 +356,23 @@ final class GlobalWindows private[graft] (
     rolling(n)(c => percentile(c, lit(q)))
   def rollingMedian(n: Int): Column = rollingQuantile(n, 0.5)
 
+  /** Trailing-`n` PAIRWISE aggregate (rolling corr/cov) over the value and
+    * a declared `extra` column: null until the frame holds `n` complete
+    * pairs (both sides non-null — pandas drops incomplete pairs
+    * pairwise). Carry rows participate as the true global predecessors,
+    * exactly like the single-column rolling family. */
+  def rollingPair(n: Int, other: String, f: Series.PairAgg): Column = {
+    require(extra.exists(_._1 == other),
+      s"rollingPair('$other') is not a declared extra column")
+    require(n >= 1, "rolling window size must be >= 1")
+    require(n - 1 <= carry,
+      s"rollingPair($n) needs a builder with carry >= ${n - 1} (have $carry)")
+    val rw = w.rowsBetween(-(n - 1), 0)
+    val pairs = F.count(
+      when(col(valName).isNotNull && col(other).isNotNull, 1)).over(rw)
+    when(pairs === n, f(col(valName), col(other), _.over(rw)))
+  }
+
   private def rollingCenteredF(n: Int)(f: Column => Column): Column = {
     require(n >= 1, "rolling window size must be >= 1")
     val lo = n / 2

@@ -976,6 +976,100 @@ final class Series private[graft] (
     }
   }
 
+  /** Range-window builder (pandas rolling('1h') on a datetime index):
+    * trailing aggregates over a COORDINATE SPAN in global index order —
+    * span in index units (µs for a timestamp index, days for a date
+    * index, the value itself for an integral index), pandas
+    * closed='right' / min_periods=1. Runs the replication-carry bucket
+    * plan ([[RangeWindows]]): carries are generated by expression
+    * (explode into the following buckets the span can reach), so unlike
+    * [[GlobalWindows]] there is NO driver-collected carry state —
+    * the reach of a range frame is data-dependent, which no bounded row
+    * carry can serve. */
+  def rangeWindows(span: Long, buckets: Int = 32): RangeWindows =
+    new RangeWindows(this, span, buckets)
+
+  private def rangeRolling(span: Long, buckets: Int)
+      (f: RangeWindows => Column): Series = {
+    val r = rangeWindows(span, buckets)
+    r.series(f(r), name)
+  }
+
+  /** pandas rolling(offset).mean() — see [[rangeWindows]]. */
+  def rollingRangeMean(span: Long, buckets: Int = 32): Series =
+    rangeRolling(span, buckets)(_.mean())
+  def rollingRangeSum(span: Long, buckets: Int = 32): Series =
+    rangeRolling(span, buckets)(_.sum())
+  def rollingRangeMin(span: Long, buckets: Int = 32): Series =
+    rangeRolling(span, buckets)(_.min())
+  def rollingRangeMax(span: Long, buckets: Int = 32): Series =
+    rangeRolling(span, buckets)(_.max())
+  def rollingRangeStd(span: Long, buckets: Int = 32): Series =
+    rangeRolling(span, buckets)(_.std())
+  def rollingRangeCount(span: Long, buckets: Int = 32): Series =
+    rangeRolling(span, buckets)(_.count())
+
+  /** pandas s.rolling(n).corr(other) — trailing-`n` Pearson correlation
+    * of two Series. Same-base pairs compose on one scan; cross-frame
+    * pairs align by index first (full-outer, pandas label alignment).
+    * Null until the frame holds `n` complete pairs (both sides non-null —
+    * pandas drops incomplete pairs pairwise). Orderable indexes ride the
+    * bucketed carry plan ([[GlobalWindows]] with the other Series as a
+    * passthrough extra); others fall back to the single-task window. */
+  def rollingCorr(other: Series, n: Int): Series =
+    rollingPairGlobal(other, n, Series.safeCorr, "corr")
+
+  /** pandas s.rolling(n).cov(other) — trailing-`n` sample covariance;
+    * same alignment/completeness rules as [[rollingCorr]]. */
+  def rollingCov(other: Series, n: Int): Series =
+    rollingPairGlobal(other, n, Series.sampCov, "cov")
+
+  private def rollingPairGlobal(other: Series, n: Int,
+      f: Series.PairAgg, outName: String): Series = {
+    require(n >= 1, "rolling window size must be >= 1")
+    def overBase(base: Series, x: Column, y: Column): Series =
+      if (base.orderableIdx) {
+        val g = base.globalWindows(carry = n - 1,
+          extra = Seq(PairCol -> y))
+        g.series(g.rollingPair(n, PairCol, f), outName)
+      } else {
+        val w = base.ixWindow.rowsBetween(-(n - 1), 0)
+        val pairs = F.count(when(x.isNotNull && y.isNotNull, 1)).over(w)
+        base.withValue(when(pairs === n, f(x, y, _.over(w))), outName)
+      }
+    if (other.base eq base) overBase(this, valueExpr, other.valueExpr)
+    else {
+      val l = df.select(col(indexName).as(IdxCol), col(name).as(LeftCol))
+      val r = other.df.select(col(other.indexName).as(IdxCol),
+        col(other.name).as(RightCol))
+      val joined = l.join(r, Seq(IdxCol), "full_outer")
+        .select(col(IdxCol).as(indexName), col(LeftCol), col(RightCol))
+      val aligned = new Series(joined, LeftCol, indexName,
+        col(indexName), col(LeftCol))
+      overBase(aligned, col(LeftCol), col(RightCol))
+    }
+  }
+
+  /** Keyed sibling (pandas groupby(k).rolling(n).corr/cov): both Series
+    * must share a base frame (the common case — two columns of one
+    * table); one shuffle on the key. */
+  def rollingCorrBy(by: Column, other: Series, n: Int): Series =
+    rollingPairBy(by, other, n, Series.safeCorr, "corr")
+  def rollingCovBy(by: Column, other: Series, n: Int): Series =
+    rollingPairBy(by, other, n, Series.sampCov, "cov")
+
+  private def rollingPairBy(by: Column, other: Series, n: Int,
+      f: Series.PairAgg, outName: String): Series = {
+    require(other.base eq base,
+      "keyed rolling corr/cov needs both Series on one base frame")
+    require(n >= 1, "rolling window size must be >= 1")
+    val w = keyedWindow(by).rowsBetween(-(n - 1), 0)
+    val pairs = F.count(
+      when(valueExpr.isNotNull && other.valueExpr.isNotNull, 1)).over(w)
+    withValue(when(pairs === n, f(valueExpr, other.valueExpr, _.over(w))),
+      outName)
+  }
+
   /** Trailing-`n` rolling aggregate with pandas min_periods = n semantics:
     * null until the frame holds n non-null observations (pandas counts
     * non-NaN toward min_periods). Shared by the mean/sum/min/max/std
@@ -1402,6 +1496,27 @@ object Series {
   private[core] val PreCol = "__graft_pre"
   private[core] val LeftCol = "__graft_l"
   private[core] val RightCol = "__graft_r"
+  private[core] val PairCol = "__graft_pair"
+
+  /** Pairwise window aggregate: (x, y, over) → windowed expression, where
+    * `over` applies the frame to ONE aggregate (a compound like corr's
+    * ratio must window each constituent aggregate separately — `.over` on
+    * the compound is not an aggregate and fails analysis). */
+  private[core] type PairAgg = (Column, Column, Column => Column) => Column
+
+  /** ANSI-safe Pearson correlation for WINDOW frames: Spark's native
+    * `corr` divides by the frame's variance product inside the aggregate,
+    * which ABORTS under Spark 4's default ANSI mode whenever a frame is
+    * degenerate (single row, or zero variance) — and a window evaluates
+    * every partial frame even when a `when` gate discards the result.
+    * covar_samp / stddev_samp return null on those frames instead, and
+    * try_divide nulls the zero-variance case (DuckDB's corr() NULL
+    * behavior, so oracles line up). Same quantity mathematically. */
+  private[core] val safeCorr: PairAgg = (x, y, ov) =>
+    try_divide(ov(covar_samp(x, y)), ov(stddev_samp(x)) * ov(stddev_samp(y)))
+
+  /** Sample covariance over the frame. */
+  private[core] val sampCov: PairAgg = (x, y, ov) => ov(covar_samp(x, y))
   private[core] val MaskCol = "__graft_mask"
   private[core] val F = org.apache.spark.sql.functions
 

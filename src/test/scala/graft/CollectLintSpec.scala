@@ -63,6 +63,9 @@ class CollectLintSpec extends AnyFunSuite {
         "qcut cuts: q−1 quantiles, 1 row",
       "val totalRow = counts.agg(F.sum(\"count\")).head()" ->
         "value_counts(normalize) denominator: 1 row"),
+    "RangeWindows.scala" -> Map(
+      "private val bounds = d.agg(F.min(col(idxName)), F.max(col(idxName))).head()" ->
+        "1-row min/max bounds"),
     "EventOps.scala" -> Map(
       ".collect().sortBy(_.getLong(0))" ->
         "asofJoinGlobal backward carries: ≤ buckets rows",
