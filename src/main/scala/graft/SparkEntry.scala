@@ -684,11 +684,50 @@ object SparkEntry {
         col("o_orderkey"), "idx")
       val day = Series.fromExpr(ord, unix_date(col("o_orderdate")
         .cast("date")).cast("double"), "day", col("o_orderkey"), "idx")
-      val c = price.rollingCorr(day, 20).rename("c")
-      val v = price.rollingCov(day, 20).rename("cv")
-      c.df.join(v.df, "idx")
-        .select(col("idx"), graft.ops.TextOps.round6(col("c")).as("c"),
-          (floor(col("cv") / 100 + 0.5) * 100).cast("double").as("cv"))
+      price.rollingPairStats(day, 20)
+        .select(col("idx"), graft.ops.TextOps.round6(col("corr")).as("c"),
+          (floor(col("cov") / 100 + 0.5) * 100).cast("double").as("cv"))
+        .orderBy("idx")
+    }),
+    // pandas expanding().corr(other)/.cov(other): cumulative pairwise
+    // stats from SIX prefix sums (n, Σx, Σy, Σxy, Σx², Σy²) sharing one
+    // bucketed scan and one stats job — no single-task window. corr is a
+    // ratio (round6); the expanding cov of price×epoch-day magnitude
+    // snaps to the nearest 100 (association drift ~1e-4 absolute at this
+    // magnitude — a grid ~1e6× the drift).
+    "s78_expanding_corr" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val price = Series.fromExpr(ord, col("o_totalprice"), "price",
+        col("o_orderkey"), "idx")
+      val day = Series.fromExpr(ord, unix_date(col("o_orderdate")
+        .cast("date")).cast("double"), "day", col("o_orderkey"), "idx")
+      price.expandingPairStats(day)
+        .select(col("idx"), graft.ops.TextOps.round6(col("corr")).as("c"),
+          (floor(col("cov") / 100 + 0.5) * 100).cast("double").as("cv"))
+        .orderBy("idx")
+    }),
+    // pandas groupby(user).rolling('1h').mean() — the keyed sibling of
+    // s76: a plain keyed RANGE window on the µs coordinate, one shuffle
+    // on the key, no bucket machinery. Output keyed by ts (duplicates
+    // across users fine — the compare sorts whole rows).
+    "s79_rolling_time_by" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
+      v.rollingRangeMeanBy(col("user_id"), 3600L * 1000000L).rename("m")
+        .df.select(col("idx"), graft.ops.TextOps.round6(col("m")).as("m"))
+        .orderBy("idx")
+    }),
+    // pandas rolling(30).skew()/.kurt(): SAMPLE (bias-corrected) G1/G2 —
+    // the pandas and DuckDB convention — converted from Spark's
+    // population windowed moments by the frame count; scale-free ratios
+    // (round6) over the bucketed carry plan.
+    "s80_rolling_skew" -> ((s, d) => {
+      val ord = Tables.orders(s, d)
+      val price = Series.fromExpr(ord, col("o_totalprice"), "price",
+        col("o_orderkey"), "idx")
+      price.rollingMomentStats(30)
+        .select(col("idx"), graft.ops.TextOps.round6(col("skew")).as("sk"),
+          graft.ops.TextOps.round6(col("kurt")).as("kt"))
         .orderBy("idx")
     }),
     // pandas rank(pct=True): the distributed value-bucketed rank scaled
@@ -1213,6 +1252,39 @@ object SparkEntry {
              THEN floor(covar_samp(x, y) OVER w / 100 + 0.5) * 100 END AS cv
          FROM b
          WINDOW w AS (ORDER BY idx ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s78_expanding_corr" ->
+      ("""WITH b AS (SELECT o_orderkey AS idx, o_totalprice AS x,
+             CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS DOUBLE) AS y
+           FROM orders)
+         SELECT idx,
+           CASE WHEN count(*) OVER w >= 2
+             THEN floor(corr(x, y) OVER w * 1e6 + 0.5) / 1e6 END AS c,
+           CASE WHEN count(*) OVER w >= 2
+             THEN floor(covar_samp(x, y) OVER w / 100 + 0.5) * 100 END AS cv
+         FROM b
+         WINDOW w AS (ORDER BY idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s79_rolling_time_by" ->
+      ("""SELECT ts AS idx,
+           floor(avg(value) OVER w * 1e6 + 0.5) / 1e6 AS m
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+         ORDER BY idx"""),
+    "s80_rolling_skew" ->
+      ("""SELECT o_orderkey AS idx,
+           CASE WHEN count(*) OVER w = 30
+             THEN floor(skewness(o_totalprice) OVER w * 1e6 + 0.5) / 1e6
+             END AS sk,
+           CASE WHEN count(*) OVER w = 30
+             THEN floor(kurtosis(o_totalprice) OVER w * 1e6 + 0.5) / 1e6
+             END AS kt
+         FROM orders
+         WINDOW w AS (ORDER BY o_orderkey
+           ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
     "s74_rank_pct" ->
       ("""SELECT s_suppkey AS idx,

@@ -356,6 +356,23 @@ final class GlobalWindows private[graft] (
     rolling(n)(c => percentile(c, lit(q)))
   def rollingMedian(n: Int): Column = rollingQuantile(n, 0.5)
 
+  /** pandas rolling(n).skew() — SAMPLE skewness (bias-corrected G1, the
+    * pandas/DuckDB convention) converted from Spark's population
+    * skewness over the carry-complete frame: G1 = g1·√(n(n−1))/(n−2). */
+  def rollingSkew(n: Int): Column = {
+    require(n >= 3, "rolling skew needs a window of >= 3")
+    rolling(n)(c => F.skewness(c.cast("double"))) *
+      lit(Series.skewFactor(n))
+  }
+
+  /** pandas rolling(n).kurt() — sample EXCESS kurtosis (G2) from Spark's
+    * population excess kurtosis: G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)). */
+  def rollingKurt(n: Int): Column = {
+    require(n >= 4, "rolling kurt needs a window of >= 4")
+    (rolling(n)(c => F.kurtosis(c.cast("double"))) * lit(n + 1.0) +
+      lit(6.0)) * lit(Series.kurtFactor(n))
+  }
+
   /** Trailing-`n` PAIRWISE aggregate (rolling corr/cov) over the value and
     * a declared `extra` column: null until the frame holds `n` complete
     * pairs (both sides non-null — pandas drops incomplete pairs

@@ -130,7 +130,7 @@ private[graft] object RangeWindows {
   val CarryCol = "__rw_carry"
 
   /** Integer coordinate column for a range-orderable index dtype. */
-  private def coordOf(dt: DataType, idxCol: Column): Column = dt match {
+  private[graft] def coordOf(dt: DataType, idxCol: Column): Column = dt match {
     case ByteType | ShortType | IntegerType | LongType => idxCol.cast("long")
     case DateType => unix_date(idxCol).cast("long")
     case TimestampType | TimestampNTZType => unix_micros(idxCol)

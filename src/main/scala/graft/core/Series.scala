@@ -943,6 +943,91 @@ final class Series private[graft] (
   def rollingMedianBy(by: Column, n: Int): Series =
     rollingQuantileBy(by, n, 0.5)
 
+  /** pandas rolling(n).skew() — SAMPLE skewness (bias-corrected G1, the
+    * pandas/DuckDB convention), converted from Spark's population
+    * skewness by the frame count; null until the frame fills (n ≥ 3). */
+  def rollingSkew(n: Int): Series = {
+    require(n >= 3, "rolling skew needs a window of >= 3")
+    rollingGlobal(n, _.rollingSkew(n), {
+      val w = ixWindow.rowsBetween(-(n - 1), 0)
+      withValue(when(F.count(valueExpr).over(w) === n,
+        skewness(valueExpr.cast("double")).over(w) *
+          lit(Series.skewFactor(n))))
+    })
+  }
+
+  /** pandas rolling(n).kurt() — sample EXCESS kurtosis (G2); n ≥ 4. */
+  def rollingKurt(n: Int): Series = {
+    require(n >= 4, "rolling kurt needs a window of >= 4")
+    rollingGlobal(n, _.rollingKurt(n), {
+      val w = ixWindow.rowsBetween(-(n - 1), 0)
+      withValue(when(F.count(valueExpr).over(w) === n,
+        (kurtosis(valueExpr.cast("double")).over(w) * lit(n + 1.0) +
+          lit(6.0)) * lit(Series.kurtFactor(n))))
+    })
+  }
+
+  /** BOTH rolling sample moments — `(index, skew, kurt)` — one scan. */
+  def rollingMomentStats(n: Int): DataFrame = {
+    require(n >= 4, "rolling moment stats need a window of >= 4")
+    if (orderableIdx) {
+      val g = globalWindows(carry = n - 1)
+      g.result("skew" -> g.rollingSkew(n), "kurt" -> g.rollingKurt(n))
+    } else {
+      val w = ixWindow.rowsBetween(-(n - 1), 0)
+      val full = F.count(valueExpr).over(w) === n
+      base.select(indexExpr.as(indexName),
+        when(full, skewness(valueExpr.cast("double")).over(w) *
+          lit(Series.skewFactor(n))).as("skew"),
+        when(full, (kurtosis(valueExpr.cast("double")).over(w) *
+          lit(n + 1.0) + lit(6.0)) * lit(Series.kurtFactor(n))).as("kurt"))
+    }
+  }
+
+  /** Keyed siblings (pandas groupby(k).rolling(n).skew()/.kurt()). */
+  def rollingSkewBy(by: Column, n: Int): Series = {
+    require(n >= 3, "rolling skew needs a window of >= 3")
+    val w = keyedWindow(by).rowsBetween(-(n - 1), 0)
+    withValue(when(F.count(valueExpr).over(w) === n,
+      skewness(valueExpr.cast("double")).over(w) *
+        lit(Series.skewFactor(n))))
+  }
+  def rollingKurtBy(by: Column, n: Int): Series = {
+    require(n >= 4, "rolling kurt needs a window of >= 4")
+    val w = keyedWindow(by).rowsBetween(-(n - 1), 0)
+    withValue(when(F.count(valueExpr).over(w) === n,
+      (kurtosis(valueExpr.cast("double")).over(w) * lit(n + 1.0) +
+        lit(6.0)) * lit(Series.kurtFactor(n))))
+  }
+
+  /** pandas groupby(k).rolling('1h').mean()/… — the keyed sibling of
+    * [[rangeWindows]]: the key already partitions the frame, so this is a
+    * plain keyed RANGE window over the index coordinate (µs for
+    * timestamps, days for dates, the value itself for integral indexes) —
+    * one shuffle on the key, no bucketing machinery needed. pandas
+    * closed='right' / min_periods=1; null index labels yield null. */
+  def rollingRangeMeanBy(by: Column, span: Long): Series =
+    rollingRangeBy(by, span)(avg)
+  def rollingRangeSumBy(by: Column, span: Long): Series =
+    rollingRangeBy(by, span)(F.sum(_))
+  def rollingRangeMinBy(by: Column, span: Long): Series =
+    rollingRangeBy(by, span)(F.min(_))
+  def rollingRangeMaxBy(by: Column, span: Long): Series =
+    rollingRangeBy(by, span)(F.max(_))
+  def rollingRangeCountBy(by: Column, span: Long): Series =
+    rollingRangeBy(by, span)(F.count(_))
+
+  private def rollingRangeBy(by: Column, span: Long)
+      (f: Column => Column): Series = {
+    require(span >= 1, s"span must be >= 1 coordinate unit, got $span")
+    val coord = RangeWindows.coordOf(df.schema(indexName).dataType,
+      indexExpr)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(by)
+      .orderBy(coord.asc).rangeBetween(-(span - 1L), 0L)
+    withValue(when(indexExpr.isNull, lit(null))
+      .otherwise(f(valueExpr).over(w)))
+  }
+
   private def rollingGlobal(n: Int, distributed: GlobalWindows => Column,
       fallback: => Series): Series = {
     require(n >= 1, "rolling window size must be >= 1")
@@ -1024,20 +1109,12 @@ final class Series private[graft] (
   def rollingCov(other: Series, n: Int): Series =
     rollingPairGlobal(other, n, Series.sampCov, "cov")
 
-  private def rollingPairGlobal(other: Series, n: Int,
-      f: Series.PairAgg, outName: String): Series = {
-    require(n >= 1, "rolling window size must be >= 1")
-    def overBase(base: Series, x: Column, y: Column): Series =
-      if (base.orderableIdx) {
-        val g = base.globalWindows(carry = n - 1,
-          extra = Seq(PairCol -> y))
-        g.series(g.rollingPair(n, PairCol, f), outName)
-      } else {
-        val w = base.ixWindow.rowsBetween(-(n - 1), 0)
-        val pairs = F.count(when(x.isNotNull && y.isNotNull, 1)).over(w)
-        base.withValue(when(pairs === n, f(x, y, _.over(w))), outName)
-      }
-    if (other.base eq base) overBase(this, valueExpr, other.valueExpr)
+  /** Align `other` with this Series for a pairwise op, then apply `f` to
+    * (aligned base, x, y): same-base pairs compose on one scan; cross-
+    * frame pairs full-outer index-join first (pandas label alignment). */
+  private def withPair[T](other: Series)(
+      f: (Series, Column, Column) => T): T =
+    if (other.base eq base) f(this, valueExpr, other.valueExpr)
     else {
       val l = df.select(col(indexName).as(IdxCol), col(name).as(LeftCol))
       val r = other.df.select(col(other.indexName).as(IdxCol),
@@ -1046,8 +1123,130 @@ final class Series private[graft] (
         .select(col(IdxCol).as(indexName), col(LeftCol), col(RightCol))
       val aligned = new Series(joined, LeftCol, indexName,
         col(indexName), col(LeftCol))
-      overBase(aligned, col(LeftCol), col(RightCol))
+      f(aligned, col(LeftCol), col(RightCol))
     }
+
+  private def rollingPairGlobal(other: Series, n: Int,
+      f: Series.PairAgg, outName: String): Series = {
+    require(n >= 1, "rolling window size must be >= 1")
+    withPair(other) { (b, x, y) =>
+      if (b.orderableIdx) {
+        val g = b.globalWindows(carry = n - 1,
+          extra = Seq(PairCol -> y))
+        g.series(g.rollingPair(n, PairCol, f), outName)
+      } else {
+        val w = b.ixWindow.rowsBetween(-(n - 1), 0)
+        val pairs = F.count(when(x.isNotNull && y.isNotNull, 1)).over(w)
+        b.withValue(when(pairs === n, f(x, y, _.over(w))), outName)
+      }
+    }
+  }
+
+  /** BOTH rolling pairwise stats — `(index, corr, cov)` — over ONE
+    * carry-complete scan and Window pass. */
+  def rollingPairStats(other: Series, n: Int): DataFrame = {
+    require(n >= 1, "rolling window size must be >= 1")
+    withPair(other) { (b, x, y) =>
+      if (b.orderableIdx) {
+        val g = b.globalWindows(carry = n - 1, extra = Seq(PairCol -> y))
+        g.result("corr" -> g.rollingPair(n, PairCol, Series.safeCorr),
+          "cov" -> g.rollingPair(n, PairCol, Series.sampCov))
+      } else {
+        val w = b.ixWindow.rowsBetween(-(n - 1), 0)
+        val pairs = F.count(when(x.isNotNull && y.isNotNull, 1)).over(w)
+        b.base.select(b.indexExpr.as(b.indexName),
+          when(pairs === n, Series.safeCorr(x, y, _.over(w))).as("corr"),
+          when(pairs === n, Series.sampCov(x, y, _.over(w))).as("cov"))
+      }
+    }
+  }
+
+  /** pandas s.expanding().corr(other): cumulative pairwise Pearson
+    * correlation assembled from SIX global prefix sums (pair count, Σx,
+    * Σy, Σxy, Σx², Σy² — a row contributes only when BOTH sides are
+    * non-null, pandas' pairwise dropping) sharing ONE bucketed scan and
+    * one stats job ([[GlobalWindows]] passthrough extras); null until 2
+    * complete pairs; zero-variance prefixes null via try_divide (DuckDB
+    * corr NULL, pandas NaN). Cross-frame inputs index-align first;
+    * non-orderable indexes fall back to the single-task window. */
+  def expandingCorr(other: Series): Series =
+    expandingPair(other, isCorr = true, "corr")
+
+  /** pandas s.expanding().cov(other) — cumulative sample covariance;
+    * same alignment and completeness rules as [[expandingCorr]]. */
+  def expandingCov(other: Series): Series =
+    expandingPair(other, isCorr = false, "cov")
+
+  private def expandingPair(other: Series, isCorr: Boolean,
+      outName: String): Series = withPair(other) { (b, x0, y0) =>
+    b.expandingPairOver(x0, y0, Seq(outName -> isCorr)) match {
+      case Left(g -> exprs) => g.series(exprs.head._2, outName)
+      case Right(df) => Series.fromKeyed(df, outName, b.indexName)
+    }
+  }
+
+  /** BOTH expanding pairwise stats — `(index, corr, cov)` — from the six
+    * shared prefix sums on ONE bucketed scan (the two results reuse the
+    * identical cumulative sums, so this costs exactly one corr). */
+  def expandingPairStats(other: Series): DataFrame =
+    withPair(other) { (b, x0, y0) =>
+      b.expandingPairOver(x0, y0,
+        Seq("corr" -> true, "cov" -> false)) match {
+        case Left(g -> exprs) => g.result(exprs: _*)
+        case Right(df) => df
+      }
+    }
+
+  /** Build the requested expanding pairwise stats over this base: Left =
+    * the bucketed plan (orderable index), Right = single-task fallback. */
+  private def expandingPairOver(x0: Column, y0: Column,
+      outs: Seq[(String, Boolean)])
+      : Either[(GlobalWindows, Seq[(String, Column)]), DataFrame] = {
+    val x = x0.cast("double"); val y = y0.cast("double")
+    val both = x.isNotNull && y.isNotNull
+    if (orderableIdx) {
+      val ex = Seq(
+        "__ep_n" -> when(both, 1L).otherwise(0L),
+        "__ep_sx" -> when(both, x).otherwise(0.0),
+        "__ep_sy" -> when(both, y).otherwise(0.0),
+        "__ep_sxy" -> when(both, x * y).otherwise(0.0),
+        "__ep_sx2" -> when(both, x * x).otherwise(0.0),
+        "__ep_sy2" -> when(both, y * y).otherwise(0.0))
+      val g = globalWindows(extra = ex)
+      val c = ex.map { case (n, _) => g.cumsumExtra(n) }
+      Left(g -> outs.map { case (n, isCorr) =>
+        n -> Series.pairFromSums(isCorr, c(0), c(1), c(2), c(3), c(4),
+          c(5)) })
+    } else {
+      val w = ixWindow.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      def ps(c: Column): Column = F.sum(when(both, c)).over(w)
+      val cols = outs.map { case (n, isCorr) =>
+        Series.pairFromSums(isCorr, F.count(when(both, 1)).over(w),
+          ps(x), ps(y), ps(x * y), ps(x * x), ps(y * y)).as(n) }
+      Right(base.select(indexExpr.as(indexName) +: cols: _*))
+    }
+  }
+
+  /** Keyed siblings (pandas groupby(k).expanding().corr/cov): same-base
+    * only (two columns of one table), one shuffle on the key. */
+  def expandingCorrBy(by: Column, other: Series): Series =
+    expandingPairBy(by, other, isCorr = true, "corr")
+  def expandingCovBy(by: Column, other: Series): Series =
+    expandingPairBy(by, other, isCorr = false, "cov")
+
+  private def expandingPairBy(by: Column, other: Series, isCorr: Boolean,
+      outName: String): Series = {
+    require(other.base eq base,
+      "keyed expanding corr/cov needs both Series on one base frame")
+    val x = valueExpr.cast("double"); val y = other.valueExpr.cast("double")
+    val both = x.isNotNull && y.isNotNull
+    val w = keyedWindow(by).rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    def ps(c: Column): Column = F.sum(when(both, c)).over(w)
+    withValue(Series.pairFromSums(isCorr,
+      F.count(when(both, 1)).over(w), ps(x), ps(y), ps(x * y),
+      ps(x * x), ps(y * y)), outName)
   }
 
   /** Keyed sibling (pandas groupby(k).rolling(n).corr/cov): both Series
@@ -1517,6 +1716,27 @@ object Series {
 
   /** Sample covariance over the frame. */
   private[core] val sampCov: PairAgg = (x, y, ov) => ov(covar_samp(x, y))
+
+  /** Assemble expanding corr/cov from the six pairwise prefix sums;
+    * null until 2 complete pairs, zero-variance → null (try_divide). */
+  private[core] def pairFromSums(isCorr: Boolean, n0: Column, sx: Column,
+      sy: Column, sxy: Column, sx2: Column, sy2: Column): Column = {
+    val n = n0.cast("double")
+    val cxy = sxy - sx * sy / n
+    val e =
+      if (isCorr) try_divide(cxy,
+        sqrt(greatest(sx2 - sx * sx / n, lit(0.0))) *
+          sqrt(greatest(sy2 - sy * sy / n, lit(0.0))))
+      else cxy / (n - 1)
+    when(n0 >= 2L, e)
+  }
+
+  /** Population→sample (bias-corrected) moment conversion factors:
+    * G1 = g1·√(n(n−1))/(n−2); G2 = ((n+1)·g2 + 6)·(n−1)/((n−2)(n−3)). */
+  private[core] def skewFactor(n: Int): Double =
+    math.sqrt(n.toDouble * (n - 1)) / (n - 2)
+  private[core] def kurtFactor(n: Int): Double =
+    (n - 1.0) / ((n - 2.0) * (n - 3.0))
   private[core] val MaskCol = "__graft_mask"
   private[core] val F = org.apache.spark.sql.functions
 

@@ -133,4 +133,32 @@ object PipelineOps {
       .withColumn("shard", floor(col("__start") / lit(budget)).cast("long"))
       .drop("__bkt", "__start")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row gets the key `−ln(u)/w` with `u` a salted
+    * md5 uniform in (0, 1] — the `n` smallest keys are a weighted sample
+    * without replacement (inclusion odds ∝ weight, exact ES). Properties
+    * that matter at corpus scale:
+    *  - one pass, NO shuffle of the corpus: `orderBy(key).limit(n)` plans
+    *    as TakeOrderedAndProject — per-partition top-n heaps, the driver
+    *    merges ≤ n·partitions candidate rows;
+    *  - no RNG state: `u` is the 60-bit md5 integer of (salt, id) scaled
+    *    to (0, 1] — deterministic, engine-portable (the d05 hash trick),
+    *    re-runs and backfills pick the identical sample;
+    *  - weights need not be normalized; non-positive weights are
+    *    excluded (pandas sample(weights=) drops zero-weight rows). */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     n: Int, salt: String = ""): DataFrame = {
+    require(n >= 1, "sample size must be >= 1")
+    val h = conv(substring(
+      md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("double")
+    val u = (h + lit(1.0)) / lit(math.pow(2.0, 60))
+    val key = -log(u) / weight.cast("double")
+    df.where(weight.cast("double") > 0.0)
+      .withColumn("__ws_key", key)
+      .orderBy(col("__ws_key").asc)
+      .limit(n)
+      .drop("__ws_key")
+  }
 }

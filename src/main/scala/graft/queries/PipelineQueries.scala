@@ -87,7 +87,18 @@ object PipelineQueries {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("shard")
-    })
+    }),
+
+    // Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    // Spirakis A-ES): 500 docs with inclusion odds ∝ text length, key =
+    // −ln(md5-uniform)/w — engine-portable arithmetic (the d05 hash
+    // trick), planned as TakeOrderedAndProject (per-partition top-n
+    // heaps, no corpus shuffle).
+    "p07_weighted_sample" -> ((s, d) =>
+      PipelineOps.weightedSample(Tables.documents(s, d), "doc_id",
+          length(col("text")) + lit(1), n = 500, salt = "ws")
+        .select("doc_id", "source")
+        .orderBy("doc_id"))
   )
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -175,6 +186,19 @@ object PipelineQueries {
            FROM surv)
          SELECT CAST(floor(st / 2000.0) AS BIGINT) AS shard,
            count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         FROM c GROUP BY 1 ORDER BY 1"""
+         FROM c GROUP BY 1 ORDER BY 1""",
+    // A-ES key in the same spelling Spark executes: u = (h60 + 1) / 2^60
+    // from the 60-bit md5 integer (identical double at both ends — both
+    // engines round the exact integer to nearest), key = -ln(u)/w.
+    "p07_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, source,
+             -ln((CAST(CAST(concat('0x', substr(md5('ws' ||
+                   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                 + 1.0) / 1152921504606846976.0)
+               / (length(text) + 1) AS key
+           FROM documents)
+         SELECT doc_id, source FROM (
+           SELECT doc_id, source FROM k ORDER BY key LIMIT 500)
+         ORDER BY doc_id"""
   )
 }

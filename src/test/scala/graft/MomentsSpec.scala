@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.Series
+import graft.ops.PipelineOps
+
+/** Expanding corr/cov, rolling skew/kurt (sample-moment conversions),
+  * keyed range windows, and deterministic weighted sampling —
+  * differential tests against brute-force single-machine oracles. */
+class MomentsSpec extends AnyFunSuite with SparkFixture {
+
+  import spark.implicits._
+
+  private val xs = (1 to 40).map(i => i.toDouble + (i % 7))
+  private val ys = (1 to 40).map(i => (i * i).toDouble % 13)
+
+  private def bruteCorr(wx: Seq[Double], wy: Seq[Double]): Double = {
+    val n = wx.size
+    val mx = wx.sum / n; val my = wy.sum / n
+    val cov = wx.zip(wy).map { case (a, b) => (a - mx) * (b - my) }.sum
+    cov / math.sqrt(wx.map(a => (a - mx) * (a - mx)).sum *
+      wy.map(b => (b - my) * (b - my)).sum)
+  }
+
+  test("expandingCorr/expandingCov same-base match brute force") {
+    val df = (1 to 40).map(i => (i.toLong, xs(i - 1), ys(i - 1)))
+      .toDF("idx", "x", "y")
+    val sx = Series.fromColumn(df, "x", "idx")
+    val sy = Series.fromColumn(df, "y", "idx")
+    val gc = sx.expandingCorr(sy).df.orderBy("idx").collect()
+    val gv = sx.expandingCov(sy).df.orderBy("idx").collect()
+    assert(gc.head.isNullAt(1) && gv.head.isNullAt(1)) // n=1 → null
+    (2 to 40).foreach { i =>
+      val wx = xs.take(i); val wy = ys.take(i)
+      assert(math.abs(gc(i - 1).getDouble(1) - bruteCorr(wx, wy)) < 1e-9,
+        s"corr at $i")
+      val mx = wx.sum / i; val my = wy.sum / i
+      val cov = wx.zip(wy).map { case (a, b) => (a - mx) * (b - my) }.sum /
+        (i - 1)
+      assert(math.abs(gv(i - 1).getDouble(1) - cov) < 1e-9, s"cov at $i")
+    }
+  }
+
+  test("expandingCorr aligns cross-frame Series by label; pairwise drops") {
+    val a = Series.fromColumn(
+      (1L to 20L).map(i => (i, i.toDouble)).toDF("k", "a"), "a", "k")
+    // b is missing labels 3 and 7 → those rows never form a pair
+    val b = Series.fromColumn(
+      (1L to 20L).filterNot(i => i == 3 || i == 7)
+        .map(i => (i, 2 * i + 1.0)).toDF("k", "b"), "b", "k")
+    val got = a.expandingCorr(b).df.orderBy("k").collect()
+    // perfectly linear → corr = 1 once ≥ 2 pairs exist
+    got.drop(1).filterNot(_.isNullAt(1))
+      .foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    assert(got.head.isNullAt(1))
+    // rows 3 and 7 still appear (left labels) with the prefix value
+    assert(got.length == 20)
+  }
+
+  test("expandingCorrBy partitions by the key") {
+    val df = (1L to 30L).map { i =>
+      (i, i % 3, i.toDouble, if (i % 3 == 0) -i.toDouble else i.toDouble)
+    }.toDF("idx", "g", "x", "y")
+    val sx = Series.fromColumn(df, "x", "idx")
+    val sy = Series.fromColumn(df, "y", "idx")
+    val got = sx.expandingCorrBy(col("g"), sy).df.orderBy("idx").collect()
+    got.filter(!_.isNullAt(1)).foreach { r =>
+      val exp = if (r.getLong(0) % 3 == 0) -1.0 else 1.0
+      assert(math.abs(r.getDouble(1) - exp) < 1e-9, s"at ${r.getLong(0)}")
+    }
+  }
+
+  private def bruteSkew(w: Seq[Double]): Double = {
+    val n = w.size; val m = w.sum / n
+    val m2 = w.map(x => math.pow(x - m, 2)).sum / n
+    val m3 = w.map(x => math.pow(x - m, 3)).sum / n
+    (m3 / math.pow(m2, 1.5)) * math.sqrt(n.toDouble * (n - 1)) / (n - 2)
+  }
+
+  private def bruteKurt(w: Seq[Double]): Double = {
+    val n = w.size; val m = w.sum / n
+    val m2 = w.map(x => math.pow(x - m, 2)).sum / n
+    val m4 = w.map(x => math.pow(x - m, 4)).sum / n
+    val g2 = m4 / (m2 * m2) - 3
+    ((n + 1) * g2 + 6) * (n - 1.0) / ((n - 2.0) * (n - 3.0))
+  }
+
+  test("rollingSkew/rollingKurt match the pandas sample formulas") {
+    val df = (1 to 40).map(i => (i.toLong, xs(i - 1))).toDF("idx", "x")
+    val s = Series.fromColumn(df, "x", "idx")
+    val n = 7
+    val sk = s.rollingSkew(n).df.orderBy("idx").collect()
+    val kt = s.rollingKurt(n).df.orderBy("idx").collect()
+    (1 to 40).foreach { i =>
+      if (i < n) {
+        assert(sk(i - 1).isNullAt(1)); assert(kt(i - 1).isNullAt(1))
+      } else {
+        val w = xs.slice(i - n, i)
+        assert(math.abs(sk(i - 1).getDouble(1) - bruteSkew(w)) < 1e-9,
+          s"skew at $i")
+        assert(math.abs(kt(i - 1).getDouble(1) - bruteKurt(w)) < 1e-9,
+          s"kurt at $i")
+      }
+    }
+  }
+
+  test("rollingSkewBy/rollingKurtBy partition by the key") {
+    val df = (1 to 40).map(i => (i.toLong, i % 2, xs(i - 1)))
+      .toDF("idx", "g", "x")
+    val s = Series.fromColumn(df, "x", "idx")
+    val got = s.rollingSkewBy(col("g"), 5).df.orderBy("idx").collect()
+    val byParity = (0 to 1).map(p =>
+      p -> (1 to 40).filter(_ % 2 == p).map(i => xs(i - 1))).toMap
+    (1 to 40).foreach { i =>
+      val grp = byParity(i % 2)
+      val rank = (1 to 40).filter(_ % 2 == i % 2).indexOf(i)
+      if (rank < 4) assert(got(i - 1).isNullAt(1), s"at $i")
+      else {
+        val w = grp.slice(rank - 4, rank + 1)
+        assert(math.abs(got(i - 1).getDouble(1) - bruteSkew(w)) < 1e-9,
+          s"at $i")
+      }
+    }
+  }
+
+  test("rollingRangeMeanBy: per-key time-span frames, brute force") {
+    val rows = Seq(
+      (1L, "a", 0L, 1.0), (2L, "a", 5L, 2.0), (3L, "a", 14L, 4.0),
+      (4L, "b", 1L, 8.0), (5L, "b", 9L, 16.0), (6L, "b", 30L, 32.0))
+    val df = rows.toDF("id", "g", "t", "v")
+    val s = Series.fromExpr(df, col("v"), "v", col("t"), "t")
+    val got = s.rollingRangeMeanBy(col("g"), span = 10L).df
+      .orderBy("t", "v").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val exp = rows.map { case (_, g, t, _) =>
+      val in = rows.filter { case (_, g2, t2, _) =>
+        g2 == g && t2 > t - 10L && t2 <= t }
+      (t, in.map(_._4).sum / in.size)
+    }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == exp)
+  }
+
+  test("weightedSample: deterministic, right-sized, weight-responsive") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = PipelineOps.weightedSample(df, "id", col("w"), 100, "t")
+      .select("id").as[Long].collect().toSet
+    val s2 = PipelineOps.weightedSample(df, "id", col("w"), 100, "t")
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2) // deterministic
+    assert(s1.size == 100)
+    // the 10 heavy rows carry 1000× odds: expect (essentially) all present
+    assert((1L to 10L).count(s1.contains) >= 9)
+    // a different salt draws a different sample
+    val s3 = PipelineOps.weightedSample(df, "id", col("w"), 100, "u")
+      .select("id").as[Long].collect().toSet
+    assert(s1 != s3)
+    // zero/negative weights are excluded
+    val z = PipelineOps.weightedSample(
+      (1L to 20L).map(i => (i, if (i % 2 == 0) 0.0 else 1.0)).toDF("id", "w"),
+      "id", col("w"), 20, "t").select("id").as[Long].collect().toSet
+    assert(z == (1L to 20L).filter(_ % 2 == 1).toSet)
+  }
+
+  test("weightedSample plans as TakeOrderedAndProject (no corpus shuffle)") {
+    val df = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "w")
+    val plan = PipelineOps.weightedSample(df, "id", col("w"), 10, "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+}
