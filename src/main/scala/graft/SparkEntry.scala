@@ -730,6 +730,27 @@ object SparkEntry {
           graft.ops.TextOps.round6(col("kurt")).as("kt"))
         .orderBy("idx")
     }),
+    // pandas ewm(alpha=0.1).cov(other, bias=False)/.corr(other): the s50
+    // decayed-partial bucket plan extended to SEVEN pairwise co-moments
+    // (Σw, Σw², Σwx, Σwy, Σwxy, Σwx², Σwy²) — one pass, driver-folded
+    // carries. Centering/scaling both inputs keeps the co-moment
+    // cancellation inside round6; the oracle replays the sequential
+    // recurrence as a DuckDB recursive CTE with the identical closing
+    // algebra.
+    "s81_ewm_cov" -> ((s, d) => {
+      val sup = Tables.supplier(s, d)
+      val x = Series.fromExpr(sup,
+        (col("s_acctbal") - lit(4500.0)) / lit(1000.0), "x",
+        col("s_suppkey"), "idx")
+      val y = Series.fromExpr(sup,
+        (col("s_nationkey") - lit(12.0)) / lit(10.0), "y",
+        col("s_suppkey"), "idx")
+      x.ewmPairStats(y, 0.1)
+        .select(col("idx"),
+          graft.ops.TextOps.round6(col("ewm_cov")).as("ec"),
+          graft.ops.TextOps.round6(col("ewm_corr")).as("er"))
+        .orderBy("idx")
+    }),
     // pandas rank(pct=True): the distributed value-bucketed rank scaled
     // by one bounded non-null-count scalar — identical doubles in both
     // engines (rank halves / integer count), so no rounding needed.
@@ -1286,6 +1307,33 @@ object SparkEntry {
          WINDOW w AS (ORDER BY o_orderkey
            ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
          ORDER BY idx"""),
+    "s81_ewm_cov" ->
+      ("""WITH RECURSIVE s AS (
+           SELECT s_suppkey AS idx,
+             (s_acctbal - 4500.0) / 1000.0 AS x,
+             (s_nationkey - 12.0) / 10.0 AS y,
+             row_number() OVER (ORDER BY s_suppkey) AS rn
+           FROM supplier),
+         r AS (
+           SELECT idx, rn, x, y,
+             CAST(1.0 AS DOUBLE) AS sw, CAST(1.0 AS DOUBLE) AS sw2,
+             x AS sx, y AS sy, x * y AS sxy, x * x AS sx2, y * y AS sy2
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.idx, s.rn, s.x, s.y,
+             1.0 + 0.9 * r.sw, 1.0 + 0.81 * r.sw2,
+             s.x + 0.9 * r.sx, s.y + 0.9 * r.sy,
+             s.x * s.y + 0.9 * r.sxy,
+             s.x * s.x + 0.9 * r.sx2, s.y * s.y + 0.9 * r.sy2
+           FROM r JOIN s ON s.rn = r.rn + 1)
+         SELECT idx,
+           CASE WHEN sw * sw - sw2 > 0 THEN
+             floor((sxy * sw - sx * sy) / (sw * sw - sw2) * 1e6 + 0.5)
+               / 1e6 END AS ec,
+           CASE WHEN sw * sw - sw2 > 0 THEN
+             floor((sxy * sw - sx * sy) / sqrt((sx2 * sw - sx * sx)
+               * (sy2 * sw - sy * sy)) * 1e6 + 0.5) / 1e6 END AS er
+         FROM r ORDER BY idx"""),
     "s74_rank_pct" ->
       ("""SELECT s_suppkey AS idx,
            (CAST(rank() OVER (ORDER BY s_acctbal) AS DOUBLE) +

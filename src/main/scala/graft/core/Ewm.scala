@@ -224,6 +224,135 @@ final class Ewm private[graft] (s: Series, alpha: Double, buckets: Int,
     valName, idxName)
 }
 
+/** Distributed exponentially-weighted PAIRWISE moving aggregates
+  * (pandas `ewm(alpha=...).cov(other, bias=False)` / `.corr(other)`),
+  * global index order — the bucketed partial + driver-folded carry plan
+  * of [[Ewm]] extended from four decayed partials to seven (Σw, Σw²,
+  * Σwx, Σwy, Σwxy, Σwx², Σwy²), which is all a decayed co-moment needs:
+  *
+  *   cov  = (Σwxy·Σw − Σwx·Σwy) / ((Σw)² − Σw²)        (bias=False)
+  *   corr = (Σwxy·Σw − Σwx·Σwy) /
+  *          √((Σwx²·Σw − Σwx²̄)·(Σwy²·Σw − Σwy²̄))      (debias cancels)
+  *
+  * A row contributes only when BOTH sides are non-null (pandas' pairwise
+  * dropping); `ignore_na=False` (default) decays on every row,
+  * `ignore_na=True` only at complete pairs. adjust=True weights
+  * (pandas' default; the ewm cov/corr literature rarely uses
+  * adjust=False, and the first-observation decomposition would add four
+  * more partials — documented non-goal). Null until the debias
+  * denominator is positive (≥ 2 distinct-weight pairs), zero-variance
+  * prefixes null via the guarded corr denominator.
+  */
+final class EwmPair private[graft] (s: Series, y0: Column, alpha: Double,
+    buckets: Int, ignoreNa: Boolean = false) {
+  require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+  require(buckets >= 1, "buckets must be >= 1")
+
+  private val w = 1.0 - alpha
+  private val idxName = s.indexName
+
+  import Ewm._
+
+  /** One-pass (idx, ewm_cov, ewm_corr) frame. */
+  lazy val stats: DataFrame = {
+    val d = s.base.select(s.index.as(idxName),
+      s.values.cast("double").as("__ew_x"), y0.cast("double").as("__ew_y"))
+    val idxDt = d.schema(idxName).dataType
+    val bounds = d.agg(min(col(idxName)), max(col(idxName))).head()
+    val (coord, lo, hi) = GlobalWindows.indexCoord(idxDt, col(idxName), bounds)
+    val bkt =
+      if (lo.isNaN || hi.isNaN || !(hi > lo)) lit(0L)
+      else GlobalWindows.bucketExpr(col(idxName), coord, lo, hi, buckets)
+    val keyed = d.withColumn(BktCol, bkt)
+    val width = d.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = keyed.repartition(width, col(BktCol))
+      .sortWithinPartitions(col(BktCol).asc, col(idxName).asc_nulls_first)
+
+    // (idx, bkt, pos, dec, sw, sw2, sx, sy, sxy, sx2, sy2)
+    val outSchema = StructType(Seq(
+      StructField(idxName, idxDt, nullable = true),
+      StructField(BktCol, LongType, nullable = false),
+      StructField(PosCol, LongType, nullable = false),
+      StructField(DecCol, LongType, nullable = false)) ++
+      PairPartials.map(StructField(_, DoubleType, nullable = false)))
+    val wLoc = w
+    val w2Loc = w * w
+    val inaLoc = ignoreNa
+    val parts = graft.Caches.track(sorted.mapPartitions { it =>
+      var cur = Long.MinValue
+      var pos = -1L
+      var dec = 0L
+      var sw, sw2, sx, sy, sxy, sx2, sy2 = 0.0
+      it.map { r =>
+        // input layout: (idx, x, y, bkt)
+        val b = r.getLong(3)
+        if (b != cur) {
+          cur = b; pos = -1L; dec = 0L
+          sw = 0; sw2 = 0; sx = 0; sy = 0; sxy = 0; sx2 = 0; sy2 = 0
+        }
+        pos += 1
+        val valid = !r.isNullAt(1) && !r.isNullAt(2)
+        if (!inaLoc || valid) {
+          dec += 1
+          sw *= wLoc; sw2 *= w2Loc
+          sx *= wLoc; sy *= wLoc; sxy *= wLoc; sx2 *= wLoc; sy2 *= wLoc
+        }
+        if (valid) {
+          val x = r.getDouble(1); val y = r.getDouble(2)
+          sw += 1.0; sw2 += 1.0
+          sx += x; sy += y; sxy += x * y; sx2 += x * x; sy2 += y * y
+        }
+        Row(r.get(0), b, pos, dec, sw, sw2, sx, sy, sxy, sx2, sy2)
+      }
+    }(Encoders.row(outSchema)).persist(StorageLevel.MEMORY_AND_DISK))
+
+    // per-bucket closing partials → exclusive carries (`buckets` rows of
+    // driver state; Σw² folds by (w²)^dec, the rest by w^dec)
+    val lastRows = parts.groupBy(col(BktCol))
+      .agg(max_by(struct(col(DecCol) +: PairPartials.map(col): _*),
+        col(PosCol)).as("__last"))
+      .collect().sortBy(_.getLong(0))
+    val c = Array.fill(7)(0.0)
+    val carryRows = lastRows.map { r =>
+      val out = Row.fromSeq(r.getLong(0) +: c.toSeq)
+      val lastS = r.getStruct(1)
+      val dk = math.pow(w, lastS.getLong(0).toDouble)
+      val dk2 = dk * dk
+      for (j <- 0 until 7)
+        c(j) = lastS.getDouble(j + 1) + (if (j == 1) dk2 else dk) * c(j)
+      out
+    }
+    val carrySchema = StructType(
+      StructField(BktCol, LongType, nullable = false) +:
+        PairPartials.map(p => StructField(s"__c$p", DoubleType,
+          nullable = false)))
+    val carries = d.sparkSession.createDataFrame(
+      java.util.Arrays.asList(carryRows: _*), carrySchema)
+
+    val dk = pow(lit(w), col(DecCol))
+    val dk2 = pow(lit(w * w), col(DecCol))
+    def tot(p: String): Column =
+      col(p) + col(s"__c$p") * (if (p == "__ew_sw2") dk2 else dk)
+    val tw = tot("__ew_sw"); val tw2 = tot("__ew_sw2")
+    val tx = tot("__ew_sx"); val ty = tot("__ew_sy")
+    val txy = tot("__ew_sxy")
+    val tx2 = tot("__ew_sx2"); val ty2 = tot("__ew_sy2")
+    val num = txy * tw - tx * ty
+    val covDen = tw * tw - tw2
+    val corrDen = sqrt(greatest(tx2 * tw - tx * tx, lit(0.0)) *
+      greatest(ty2 * tw - ty * ty, lit(0.0)))
+    parts.join(broadcast(carries), Seq(BktCol), "left")
+      .select(col(idxName),
+        when(covDen > 0.0, num / covDen).as(CovCol),
+        when(covDen > 0.0, try_divide(num, corrDen)).as(CorrCol))
+  }
+
+  def cov(): Series = Series.fromKeyed(
+    stats.select(col(idxName), col(CovCol).as(s.name)), s.name, idxName)
+  def corr(): Series = Series.fromKeyed(
+    stats.select(col(idxName), col(CorrCol).as(s.name)), s.name, idxName)
+}
+
 private[graft] object Ewm {
   /** pandas ewm(span=): α = 2/(span+1) — span=20 is the canonical EMA. */
   def alphaOfSpan(span: Double): Double = {
@@ -306,6 +435,12 @@ private[graft] object Ewm {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Pairwise decayed partial column names, in fold order. */
+  val PairPartials = Seq("__ew_sw", "__ew_sw2", "__ew_sx", "__ew_sy",
+    "__ew_sxy", "__ew_sx2", "__ew_sy2")
+  val CovCol = "ewm_cov"
+  val CorrCol = "ewm_corr"
 
   val BktCol = "__ew_bkt"
   val PosCol = "__ew_pos"

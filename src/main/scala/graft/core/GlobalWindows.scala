@@ -328,8 +328,8 @@ final class GlobalWindows private[graft] (
 
   /** Global fractional change; try_divide → null on a zero previous value
     * (not an ANSI abort). */
-  def pctChange(): Column = {
-    val prev = shift(1)
+  def pctChange(periods: Int = 1): Column = {
+    val prev = shift(periods)
     try_divide(col(valName) - prev, prev)
   }
 

@@ -658,14 +658,16 @@ final class Series private[graft] (
   /** Fractional change from the previous value (pandas pct_change).
     * try_divide: a zero previous value yields null, not a DIVIDE_BY_ZERO
     * abort under Spark 4's default ANSI mode. */
-  def pctChange(): Series =
+  def pctChange(periods: Int = 1): Series = {
+    require(periods >= 1, "pct_change periods must be >= 1")
     if (orderableIdx) {
-      val g = globalWindows(carry = 1)
-      g.series(g.pctChange(), name)
+      val g = globalWindows(carry = periods)
+      g.series(g.pctChange(periods), name)
     } else {
-      val prev = lag(valueExpr, 1).over(ixWindow)
+      val prev = lag(valueExpr, periods).over(ixWindow)
       withValue(try_divide(valueExpr - prev, prev))
     }
+  }
 
   /** Rank of each value (pandas rank(method=)): ties resolve by `method` —
     * 'average' (pandas default: ties share the mean of their positions),
@@ -807,6 +809,31 @@ final class Series private[graft] (
   def ewmCom(com: Double, buckets: Int = 32, adjust: Boolean = true,
       ignoreNa: Boolean = false): Ewm =
     ewm(Ewm.alphaOfCom(com), buckets, adjust, ignoreNa)
+
+  /** pandas s.ewm(alpha).cov(other, bias=False) / .corr(other) —
+    * `(index, ewm_cov, ewm_corr)` from ONE pass of the bucketed decayed-
+    * partial plan extended to seven pairwise co-moments (see
+    * [[EwmPair]]). Same-base pairs compose on one scan; cross-frame
+    * pairs index-align first. adjust=True weights (pandas default). */
+  def ewmPairStats(other: Series, alpha: Double, buckets: Int = 32,
+      ignoreNa: Boolean = false): DataFrame =
+    withPair(other) { (b, _, y) =>
+      new EwmPair(b, y, alpha, buckets, ignoreNa).stats
+    }
+
+  /** pandas s.ewm(alpha).cov(other) as a Series. */
+  def ewmCov(other: Series, alpha: Double, buckets: Int = 32,
+      ignoreNa: Boolean = false): Series =
+    withPair(other) { (b, _, y) =>
+      new EwmPair(b, y, alpha, buckets, ignoreNa).cov()
+    }
+
+  /** pandas s.ewm(alpha).corr(other) as a Series. */
+  def ewmCorr(other: Series, alpha: Double, buckets: Int = 32,
+      ignoreNa: Boolean = false): Series =
+    withPair(other) { (b, _, y) =>
+      new EwmPair(b, y, alpha, buckets, ignoreNa).corr()
+    }
 
   /** pandas expanding().mean()/.std() — (idx, emean, estd): cumulative
     * observation count, sum, and sum-of-squares are three prefix sums on
@@ -1448,8 +1475,9 @@ final class Series private[graft] (
 
   /** Fractional change within each `by` group (try_divide: zero previous →
     * null, not an ANSI abort). */
-  def pctChangeBy(by: Column): Series = {
-    val prev = lag(valueExpr, 1).over(keyedWindow(by))
+  def pctChangeBy(by: Column, periods: Int = 1): Series = {
+    require(periods >= 1, "pct_change periods must be >= 1")
+    val prev = lag(valueExpr, periods).over(keyedWindow(by))
     withValue(try_divide(valueExpr - prev, prev))
   }
 

@@ -114,4 +114,25 @@ object GraphOps {
           .partitionBy("comp")))
       .withColumn("keep", col("id") === col("comp"))
   }
+
+  /** Cluster survivor by a caller-supplied PRIORITY instead of min-id:
+    * the corpus-dedup rule "keep the highest-QUALITY duplicate of each
+    * near-dup cluster". One keyed join pulls the per-vertex priority onto
+    * the components, then a `max_by` window over the comp key (which the
+    * components already shuffle on) marks the max-(priority, smallest
+    * numeric id on ties) vertex. Returns `(id, comp, csize, prio, keep)`
+    * for every clustered vertex; `id` must be numeric (the deterministic
+    * tie-break negates it). */
+  def dupClustersBy(pairs: DataFrame, id1: String, id2: String,
+      priority: DataFrame, idCol: String, prioCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, id1, id2)
+    val joined = comps.join(
+      priority.select(col(idCol).as("id"), col(prioCol).as("prio")),
+      Seq("id"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("comp")
+    val best = max_by(col("id"), struct(col("prio"), -col("id"))).over(w)
+    joined
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("keep", col("id") === best)
+  }
 }

@@ -80,6 +80,22 @@ object DedupQueries {
       GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
     }),
 
+    // Survivor-by-QUALITY over the same clusters as d08: per near-dup
+    // cluster keep the highest-quality member (ties → smallest doc_id),
+    // not the smallest id — the decision rule corpus dedup actually
+    // wants. One extra keyed join + a max_by window on the comp key the
+    // components already shuffle on.
+    "d14_quality_survivor" -> ((s, d) => {
+      import graft.ops.{GraphOps, TextOps}
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      val prio = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("q"))
+      GraphOps.dupClustersBy(pairs, "id1", "id2", prio, "doc_id", "q")
+        .orderBy("id")
+    }),
+
     // Corpus-level line dedup (RefinedWeb/C4 boilerplate pass): the
     // fixture text carries no newlines, so the gate first synthesizes
     // "lines" as fixed 8-token chunks (identical spelling in the oracle —
@@ -225,6 +241,43 @@ object DedupQueries {
          SELECT id, comp, count(*) OVER (PARTITION BY comp) AS csize,
            id = comp AS keep
          FROM comps ORDER BY id""",
+    // d14: d08's components + the t02 quality formula; survivor =
+    // row_number 1 by (quality DESC, id ASC) — prio is 6dp-exact in both
+    // engines so the DESC ordering (incl. ties) is bit-deterministic.
+    "d14_quality_survivor" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a AS id, a AS comp FROM edges
+           UNION
+           SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         q AS (SELECT doc_id, $Toks AS ts, text FROM documents),
+         pr AS (SELECT doc_id,
+             floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
+               1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                 len(list_filter(ts, x -> x IN ('the','a','an','of','and',
+                   'to','in','is','on','for','with'))) * 1.0 / len(ts) END)
+                 * 2.0) * 1e6 + 0.5) / 1e6 AS prio
+           FROM q)
+         SELECT id, comp, count(*) OVER (PARTITION BY comp) AS csize,
+           p.prio AS prio,
+           row_number() OVER (PARTITION BY comp
+             ORDER BY p.prio DESC, id ASC) = 1 AS keep
+         FROM comps JOIN pr p ON comps.id = p.doc_id
+         ORDER BY id""",
     // d05: the full simhash pipeline under the portable 60-bit md5 hash —
     // tokenization mirrors TextOps.tokens (s36's proven twin), the hex
     // parse mirrors portableHash60, votes/signature/banding/hamming are

@@ -163,6 +163,69 @@ class MomentsSpec extends AnyFunSuite with SparkFixture {
     assert(z == (1L to 20L).filter(_ % 2 == 1).toSet)
   }
 
+  /** Sequential pandas recurrence oracle — validated cell-by-cell against
+    * real pandas ewm().cov(bias=False)/.corr() for both ignore_na modes. */
+  private def bruteEwmPair(xs: Seq[Option[Double]], ys: Seq[Option[Double]],
+      alpha: Double, ina: Boolean): Seq[(Option[Double], Option[Double])] = {
+    val w = 1 - alpha
+    var sw, sw2, sx, sy, sxy, sx2, sy2 = 0.0
+    xs.indices.map { i =>
+      val valid = xs(i).isDefined && ys(i).isDefined
+      if (!ina || valid) {
+        sw *= w; sw2 *= w * w
+        sx *= w; sy *= w; sxy *= w; sx2 *= w; sy2 *= w
+      }
+      if (valid) {
+        val x = xs(i).get; val y = ys(i).get
+        sw += 1; sw2 += 1
+        sx += x; sy += y; sxy += x * y; sx2 += x * x; sy2 += y * y
+      }
+      val num = sxy * sw - sx * sy
+      val covDen = sw * sw - sw2
+      val d2 = (sx2 * sw - sx * sx) * (sy2 * sw - sy * sy)
+      (if (covDen > 0) Some(num / covDen) else None,
+        if (covDen > 0 && d2 > 0) Some(num / math.sqrt(d2)) else None)
+    }
+  }
+
+  for (ina <- Seq(false, true)) {
+    test(s"ewmPairStats matches the pandas recurrence (ignore_na=$ina)") {
+      val xs = (1 to 50).map(i =>
+        if (i % 11 == 0) None else Some(i.toDouble + (i % 7)))
+      val ys = (1 to 50).map(i =>
+        if (i % 13 == 0) None else Some((i * i).toDouble % 17))
+      val df = (1 to 50).map(i => (i.toLong, xs(i - 1), ys(i - 1)))
+        .toDF("idx", "x", "y")
+      val sx = Series.fromColumn(df, "x", "idx")
+      val sy = Series.fromColumn(df, "y", "idx")
+      // buckets=8 on 50 rows forces the cross-bucket carry folds
+      val got = sx.ewmPairStats(sy, 0.3, buckets = 8, ignoreNa = ina)
+        .orderBy("idx").collect()
+      val exp = bruteEwmPair(xs, ys, 0.3, ina)
+      (1 to 50).foreach { i =>
+        val (ec, er) = exp(i - 1)
+        val r = got(i - 1)
+        assert(r.isNullAt(1) == ec.isEmpty, s"cov null at $i")
+        assert(r.isNullAt(2) == er.isEmpty, s"corr null at $i")
+        ec.foreach(v => assert(math.abs(r.getDouble(1) - v) < 1e-9,
+          s"cov at $i"))
+        er.foreach(v => assert(math.abs(r.getDouble(2) - v) < 1e-9,
+          s"corr at $i"))
+      }
+    }
+  }
+
+  test("ewmCov/ewmCorr align cross-frame Series by label") {
+    val a = Series.fromColumn(
+      (1L to 25L).map(i => (i, i.toDouble)).toDF("k", "a"), "a", "k")
+    val b = Series.fromColumn(
+      (1L to 25L).map(i => (i, 3 * i + 2.0)).toDF("k", "b"), "b", "k")
+    val got = a.ewmCorr(b, 0.2).df.orderBy("k").collect()
+    // perfectly linear → corr = 1 wherever defined
+    got.drop(1).foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    assert(got.head.isNullAt(1))
+  }
+
   test("weightedSample plans as TakeOrderedAndProject (no corpus shuffle)") {
     val df = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "w")
     val plan = PipelineOps.weightedSample(df, "id", col("w"), 10, "t")
