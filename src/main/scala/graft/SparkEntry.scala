@@ -751,6 +751,23 @@ object SparkEntry {
           graft.ops.TextOps.round6(col("ewm_corr")).as("er"))
         .orderBy("idx")
     }),
+    // pandas groupby(user).ewm(alpha=0.2).cov(other)/.corr(other): the
+    // keyed sibling — independent per-key recurrences, one shuffle, a
+    // streaming per-partition scan with the seven pairwise partials. Both
+    // engines run the IDENTICAL sequential per-key recurrence, so round6
+    // is belt-and-braces only. y = time-of-day, scaled.
+    "s82_ewm_cov_by" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val x = Series.fromExpr(e, col("value"), "x", col("event_id"), "idx")
+      val y = Series.fromExpr(e,
+        (unix_micros(col("ts")) % lit(86400000000L)).cast("double")
+          / lit(1e10), "y", col("event_id"), "idx")
+      x.ewmPairStatsBy(col("user_id"), y, 0.2)
+        .select(col("idx"), col("key").as("user_id"),
+          graft.ops.TextOps.round6(col("ewm_cov")).as("ec"),
+          graft.ops.TextOps.round6(col("ewm_corr")).as("er"))
+        .orderBy("idx")
+    }),
     // pandas rank(pct=True): the distributed value-bucketed rank scaled
     // by one bounded non-null-count scalar — identical doubles in both
     // engines (rank halves / integer count), so no rounding needed.
@@ -1331,6 +1348,34 @@ object SparkEntry {
              floor((sxy * sw - sx * sy) / (sw * sw - sw2) * 1e6 + 0.5)
                / 1e6 END AS ec,
            CASE WHEN sw * sw - sw2 > 0 THEN
+             floor((sxy * sw - sx * sy) / sqrt((sx2 * sw - sx * sx)
+               * (sy2 * sw - sy * sy)) * 1e6 + 0.5) / 1e6 END AS er
+         FROM r ORDER BY idx"""),
+    "s82_ewm_cov_by" ->
+      ("""WITH RECURSIVE s AS (
+           SELECT event_id AS idx, user_id, CAST(value AS DOUBLE) AS x,
+             (epoch_us(ts) % 86400000000) / 1e10 AS y,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+           FROM events),
+         r AS (
+           SELECT idx, user_id, rn, x, y,
+             CAST(1.0 AS DOUBLE) AS sw, CAST(1.0 AS DOUBLE) AS sw2,
+             x AS sx, y AS sy, x * y AS sxy, x * x AS sx2, y * y AS sy2
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.idx, s.user_id, s.rn, s.x, s.y,
+             1.0 + 0.8 * r.sw, 1.0 + 0.64 * r.sw2,
+             s.x + 0.8 * r.sx, s.y + 0.8 * r.sy,
+             s.x * s.y + 0.8 * r.sxy,
+             s.x * s.x + 0.8 * r.sx2, s.y * s.y + 0.8 * r.sy2
+           FROM r JOIN s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         SELECT idx, user_id,
+           CASE WHEN sw * sw - sw2 > 0 THEN
+             floor((sxy * sw - sx * sy) / (sw * sw - sw2) * 1e6 + 0.5)
+               / 1e6 END AS ec,
+           CASE WHEN sw * sw - sw2 > 0
+               AND (sx2 * sw - sx * sx) * (sy2 * sw - sy * sy) > 0 THEN
              floor((sxy * sw - sx * sy) / sqrt((sx2 * sw - sx * sx)
                * (sy2 * sw - sy * sy)) * 1e6 + 0.5) / 1e6 END AS er
          FROM r ORDER BY idx"""),

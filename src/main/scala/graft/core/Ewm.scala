@@ -442,6 +442,64 @@ private[graft] object Ewm {
   val CovCol = "ewm_cov"
   val CorrCol = "ewm_corr"
 
+  /** Keyed ewm cov/corr (pandas groupby(by).ewm(alpha).cov(other,
+    * bias=False)/.corr(other)): independent per-key recurrences — ONE
+    * hash exchange on the key, per-partition (key, idx) external sort,
+    * streaming scan carrying the seven pairwise decayed partials (reset
+    * at each key change). adjust=True weights, pairwise dropping, same
+    * closing algebra as [[EwmPair]]. Output: (idx, key, ewm_cov,
+    * ewm_corr). */
+  def pairStatsBy(s: Series, y0: Column, by: Column, alpha: Double,
+      ignoreNa: Boolean = false): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0, 1), got $alpha")
+    val w = 1.0 - alpha
+    val idxName = s.indexName
+    val d = s.base.select(s.index.as(idxName),
+      s.values.cast("double").as("__ew_x"), y0.cast("double").as("__ew_y"),
+      by.as("key"))
+    val width = d.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = d.repartition(width, col("key"))
+      .sortWithinPartitions(col("key"), col(idxName).asc_nulls_first)
+    val outSchema = StructType(Seq(
+      StructField(idxName, d.schema(idxName).dataType, nullable = true),
+      StructField("key", d.schema("key").dataType, nullable = true),
+      StructField(CovCol, DoubleType, nullable = true),
+      StructField(CorrCol, DoubleType, nullable = true)))
+    val wL = w
+    val w2L = w * w
+    val inaL = ignoreNa
+    sorted.mapPartitions { it =>
+      var started = false
+      var cur: Any = null
+      var sw, sw2, sx, sy, sxy, sx2, sy2 = 0.0
+      it.map { r =>
+        // input layout: (idx, x, y, key)
+        val k = r.get(3)
+        if (!started || k != cur) {
+          started = true; cur = k
+          sw = 0; sw2 = 0; sx = 0; sy = 0; sxy = 0; sx2 = 0; sy2 = 0
+        }
+        val valid = !r.isNullAt(1) && !r.isNullAt(2)
+        if (!inaL || valid) {
+          sw *= wL; sw2 *= w2L
+          sx *= wL; sy *= wL; sxy *= wL; sx2 *= wL; sy2 *= wL
+        }
+        if (valid) {
+          val x = r.getDouble(1); val y = r.getDouble(2)
+          sw += 1.0; sw2 += 1.0
+          sx += x; sy += y; sxy += x * y; sx2 += x * x; sy2 += y * y
+        }
+        val num = sxy * sw - sx * sy
+        val covDen = sw * sw - sw2
+        val d2 = (sx2 * sw - sx * sx) * (sy2 * sw - sy * sy)
+        val cov: Any = if (covDen > 0) num / covDen else null
+        val corr: Any =
+          if (covDen > 0 && d2 > 0) num / math.sqrt(d2) else null
+        Row(r.get(0), k, cov, corr)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   val BktCol = "__ew_bkt"
   val PosCol = "__ew_pos"
   val DecCol = "__ew_dec"

@@ -342,6 +342,33 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     * union its swap). ALL k(k+1)/2 co-moment aggregates run in ONE
     * partial+final pass over one scan — no per-pair jobs, no driver
     * matrix state beyond the single result row being stacked. */
+  /** Per-group ordinary least squares y ~ a + b·x (pandas groupby()
+    * .apply(linregress), closed form): ONE partial+final aggregation
+    * computes (n, Σx, Σy, Σxy, Σx², Σy²) per group — map-side combine
+    * does most of the work, no iteration, no second scan — and the
+    * slope / intercept / r² close from the sums. Rows with a null on
+    * either side drop out pairwise; degenerate groups (n < 2 or zero x
+    * variance) yield null via try_divide. */
+  def linFitBy(keys: Seq[String], xCol: Column, yCol: Column): GFrame = {
+    require(keys.nonEmpty, "linFitBy needs at least one grouping key")
+    val x = xCol.cast("double"); val y = yCol.cast("double")
+    val both = x.isNotNull && y.isNotNull
+    def s(c: Column) = sum(when(both, c))
+    val agg = df.groupBy(keys.map(col): _*).agg(
+      org.apache.spark.sql.functions.count(when(both, 1)).as("n"),
+      s(x).as("__sx"), s(y).as("__sy"), s(x * y).as("__sxy"),
+      s(x * x).as("__sx2"), s(y * y).as("__sy2"))
+    val n = col("n").cast("double")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val dx = n * col("__sx2") - col("__sx") * col("__sx")
+    val dy = n * col("__sy2") - col("__sy") * col("__sy")
+    val slope = try_divide(num, dx)
+    new GFrame(agg.select(
+      keys.map(col) ++ Seq(col("n"), slope.as("slope"),
+        ((col("__sy") - slope * col("__sx")) / n).as("intercept"),
+        try_divide(num * num, dx * dy).as("r2")): _*), keys.head)
+  }
+
   def corrMatrix(cols: Seq[String]): GFrame = {
     require(cols.nonEmpty, "corrMatrix needs at least one column")
     val pairs = for {

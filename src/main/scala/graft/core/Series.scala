@@ -835,6 +835,17 @@ final class Series private[graft] (
       new EwmPair(b, y, alpha, buckets, ignoreNa).corr()
     }
 
+  /** Keyed sibling (pandas groupby(k).ewm(alpha).cov(other)/.corr):
+    * same-base only (two columns of one table); independent per-key
+    * recurrences, one shuffle on the key — no bucket fold needed.
+    * Output: (index, key, ewm_cov, ewm_corr). */
+  def ewmPairStatsBy(by: Column, other: Series, alpha: Double,
+      ignoreNa: Boolean = false): DataFrame = {
+    require(other.base eq base,
+      "keyed ewm cov/corr needs both Series on one base frame")
+    Ewm.pairStatsBy(this, other.valueExpr, by, alpha, ignoreNa)
+  }
+
   /** pandas expanding().mean()/.std() — (idx, emean, estd): cumulative
     * observation count, sum, and sum-of-squares are three prefix sums on
     * ONE bucketed scan ([[GlobalWindows.cumsumExtra]]); mean = Σx/n and

@@ -396,6 +396,25 @@ object FrameQueries {
     // pivot + All row/column, every margin recomputed from raw rows (a
     // mean of means is wrong). Integer quantities make the parallel sums
     // exact, so floor-round6 sees identical doubles in both engines.
+    // Per-group OLS (pandas groupby().apply(linregress) closed-form):
+    // totalprice ~ orderdate-day per order priority — one partial+final
+    // aggregation of six sums, the regression closes from the sums.
+    // Scaled/centered inputs keep the co-moment cancellation far inside
+    // round6; the oracle spells the IDENTICAL sum algebra (not DuckDB's
+    // regr_*, whose internal Welford updates would drift differently).
+    "f35_group_linfit" -> ((s, d) =>
+      GFrame.fromDF(Tables.orders(s, d), "o_orderkey")
+        .linFitBy(Seq("o_orderpriority"),
+          (unix_date(col("o_orderdate").cast("date")).cast("double")
+            - lit(10000.0)) / lit(1000.0),
+          col("o_totalprice") / lit(100000.0))
+        .toDF
+        .select(col("o_orderpriority"), col("n"),
+          graft.ops.TextOps.round6(col("slope")).as("slope"),
+          graft.ops.TextOps.round6(col("intercept")).as("intercept"),
+          graft.ops.TextOps.round6(col("r2")).as("r2"))
+        .orderBy("o_orderpriority")),
+
     "f34_pivot_table" -> ((s, d) =>
       li(s, d).pivotTable("l_linestatus", "l_returnflag",
           Seq("A", "N", "R"),
@@ -529,6 +548,29 @@ object FrameQueries {
          ORDER BY t.doc_id""",
     // f34: FILTER-agg spelling of the same cells; empty cells are NULL in
     // both engines (sum/avg FILTER over no rows, Spark pivot over no rows)
+    // f35: identical six-sum closed-form algebra as the Spark side —
+    // regr_slope & co would use different incremental updates.
+    "f35_group_linfit" ->
+      """WITH b AS (SELECT o_orderpriority,
+             (CAST(datediff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS DOUBLE) - 10000.0)
+               / 1000.0 AS x,
+             o_totalprice / 100000.0 AS y
+           FROM orders),
+         a AS (SELECT o_orderpriority, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sx2, sum(y * y) AS sy2
+           FROM b GROUP BY 1)
+         SELECT o_orderpriority, n,
+           floor((n * sxy - sx * sy) / (n * sx2 - sx * sx) * 1e6 + 0.5)
+             / 1e6 AS slope,
+           floor(((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx)
+             / n) * 1e6 + 0.5) / 1e6 AS intercept,
+           floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) * 1e6 + 0.5)
+             / 1e6 AS r2
+         FROM a ORDER BY o_orderpriority""",
+
     "f34_pivot_table" ->
       """WITH c AS (
            SELECT CAST(l_linestatus AS VARCHAR) AS l_linestatus,

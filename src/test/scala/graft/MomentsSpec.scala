@@ -226,6 +226,56 @@ class MomentsSpec extends AnyFunSuite with SparkFixture {
     assert(got.head.isNullAt(1))
   }
 
+  test("ewmPairStatsBy runs the recurrence independently per key") {
+    val df = (1 to 40).map(i =>
+      (i.toLong, i % 3, xs(i - 1), ys(i - 1))).toDF("idx", "g", "x", "y")
+    val sx = Series.fromColumn(df, "x", "idx")
+    val sy = Series.fromColumn(df, "y", "idx")
+    val got = sx.ewmPairStatsBy(col("g"), sy, 0.3)
+      .orderBy("idx").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getDouble(2)))).toMap
+    (0 to 2).foreach { g =>
+      val ids = (1 to 40).filter(_ % 3 == g)
+      val exp = bruteEwmPair(ids.map(i => Some(xs(i - 1))),
+        ids.map(i => Some(ys(i - 1))), 0.3, ina = false)
+      ids.zipWithIndex.foreach { case (i, k) =>
+        val (ec, _) = exp(k)
+        assert(got(i.toLong).isDefined == ec.isDefined, s"at $i")
+        ec.foreach(v => assert(math.abs(got(i.toLong).get - v) < 1e-9,
+          s"cov at $i"))
+      }
+    }
+  }
+
+  test("linFitBy recovers per-group OLS; degenerate groups null") {
+    // g=0: y = 2x + 3 exactly; g=1: y = -x + 5 plus deterministic noise;
+    // g=2: a single point (degenerate → null slope/r2)
+    val rows =
+      (1 to 10).map(i => (0, i.toDouble, 2 * i + 3.0)) ++
+        (1 to 10).map(i => (1, i.toDouble, -i + 5.0 + (i % 3) * 0.1)) ++
+        Seq((2, 1.0, 1.0))
+    val df = rows.toDF("g", "x", "y")
+    val got = graft.core.GFrame.fromDF(df, "g")
+      .linFitBy(Seq("g"), col("x"), col("y")).toDF
+      .orderBy("g").collect()
+    assert(math.abs(got(0).getDouble(2) - 2.0) < 1e-9)
+    assert(math.abs(got(0).getDouble(3) - 3.0) < 1e-9)
+    assert(math.abs(got(0).getDouble(4) - 1.0) < 1e-9)
+    // brute force for g=1
+    val (xs1, ys1) = ((1 to 10).map(_.toDouble),
+      (1 to 10).map(i => -i + 5.0 + (i % 3) * 0.1))
+    val n = 10.0
+    val num = n * xs1.zip(ys1).map { case (a, b) => a * b }.sum -
+      xs1.sum * ys1.sum
+    val dx = n * xs1.map(a => a * a).sum - xs1.sum * xs1.sum
+    val dy = n * ys1.map(b => b * b).sum - ys1.sum * ys1.sum
+    assert(math.abs(got(1).getDouble(2) - num / dx) < 1e-9)
+    assert(math.abs(got(1).getDouble(4) - num * num / (dx * dy)) < 1e-9)
+    assert(got(2).isNullAt(2) && got(2).isNullAt(4)) // single point
+    assert(got(2).getLong(1) == 1L)
+  }
+
   test("weightedSample plans as TakeOrderedAndProject (no corpus shuffle)") {
     val df = (1L to 1000L).map(i => (i, i.toDouble)).toDF("id", "w")
     val plan = PipelineOps.weightedSample(df, "id", col("w"), 10, "t")
