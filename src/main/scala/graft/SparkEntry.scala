@@ -751,6 +751,20 @@ object SparkEntry {
           graft.ops.TextOps.round6(col("ewm_corr")).as("er"))
         .orderBy("idx")
     }),
+    // pandas reindex(new_labels, method='ffill'): conform the customer
+    // balance series to a label set that mostly MISSES exact labels
+    // (10·custkey+3), so every output exercises the as-of carry path.
+    // Labels stay distributed end-to-end (never collected); values are
+    // exact copies — no rounding needed.
+    "s83_reindex" -> ((s, d) => {
+      val labels = Tables.orders(s, d)
+        .select((col("o_custkey") * 10 + 3).as("lbl")).distinct()
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey")
+      val r = bal.reindex(labels, Some("ffill"))
+      r.df.select(col(r.indexName).as("idx"), col("c_acctbal").as("bal"))
+        .orderBy("idx")
+    }),
     // pandas groupby(user).ewm(alpha=0.2).cov(other)/.corr(other): the
     // keyed sibling — independent per-key recurrences, one shuffle, a
     // streaming per-partition scan with the seven pairwise partials. Both
@@ -822,6 +836,40 @@ object SparkEntry {
         col("value"), "v", col("ts"), "idx")
       v.resampleFfill("HOUR", 3600L).df
         .select(col("idx"), graft.ops.TextOps.round2(col("v")).as("v"))
+        .orderBy("idx")
+    }),
+    // pandas groupby(k).cumcount() + groupby(k).ngroup(): arrival ordinal
+    // within each group (one keyed window) and the group's ordinal among
+    // all groups sorted by key (dense rank of the KEY through the
+    // value-bucketed distributed rank machinery — no global-order window,
+    // no driver group list).
+    "s84_cumcount_ngroup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("event_id"), "idx")
+      val key = col("user_id") % 100
+      val cc = v.cumcountBy(key)
+      val ng = v.ngroupBy(key)
+      cc.df.select(col("idx"), col(cc.name).as("cc"))
+        .join(ng.df.select(col("idx"), col(ng.name).as("ng")), Seq("idx"))
+        .orderBy("idx")
+    }),
+    // pandas value_counts(bins=10): fixed-width histogram with zero-filled
+    // empty bins (min/max are two bounded driver scalars; the counts
+    // frame is bins-bounded and broadcast into the zero-fill join).
+    "s85_value_counts_bins" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey")
+      bal.valueCountsBins(10).orderBy("bin")
+    }),
+    // pandas duplicated(keep='first'/'last'/False): all three flags from
+    // ONE unordered value-partition Window node (single shuffle). Key =
+    // o_custkey (repeat buyers), index = o_orderkey.
+    "s86_duplicated_keep" -> ((s, d) => {
+      val ck = Series.fromColumn(Tables.orders(s, d), "o_custkey",
+        "o_orderkey")
+      ck.duplicatedFlags()
+        .select(col(ck.indexName).as("idx"), col("dup_first"),
+          col("dup_last"), col("dup_all"))
         .orderBy("idx")
     }),
     // TIMESTAMP-indexed global windows: the bucket coordinate is the
@@ -1351,6 +1399,14 @@ object SparkEntry {
              floor((sxy * sw - sx * sy) / sqrt((sx2 * sw - sx * sx)
                * (sy2 * sw - sy * sy)) * 1e6 + 0.5) / 1e6 END AS er
          FROM r ORDER BY idx"""),
+    "s83_reindex" ->
+      ("""WITH l AS (SELECT DISTINCT o_custkey * 10 + 3 AS idx
+             FROM orders),
+           c AS (SELECT c_custkey AS k, c_acctbal AS v FROM customer)
+         SELECT l.idx,
+           (SELECT v FROM c WHERE c.k <= l.idx
+            ORDER BY c.k DESC LIMIT 1) AS bal
+         FROM l ORDER BY idx"""),
     "s82_ewm_cov_by" ->
       ("""WITH RECURSIVE s AS (
            SELECT event_id AS idx, user_id, CAST(value AS DOUBLE) AS x,
@@ -1423,6 +1479,32 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s84_cumcount_ngroup" ->
+      ("""SELECT event_id AS idx,
+           CAST(row_number() OVER (PARTITION BY user_id % 100
+             ORDER BY event_id) - 1 AS BIGINT) AS cc,
+           CAST(dense_rank() OVER (ORDER BY user_id % 100) - 1
+             AS BIGINT) AS ng
+         FROM events ORDER BY idx"""),
+    "s85_value_counts_bins" ->
+      ("""WITH b AS (SELECT CAST(min(c_acctbal) AS DOUBLE) AS lo,
+                 CAST(max(c_acctbal) AS DOUBLE) AS hi FROM customer),
+         x AS (SELECT CAST(least(floor((c_acctbal - b.lo)
+                 / ((b.hi - b.lo) / 10)), 9) AS INTEGER) AS bin
+               FROM customer, b WHERE c_acctbal IS NOT NULL),
+         c AS (SELECT bin, count(*) AS cnt FROM x GROUP BY 1)
+         SELECT CAST(g.i AS INTEGER) AS bin,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS "count"
+         FROM range(0, 10) g(i) LEFT JOIN c ON c.bin = g.i
+         ORDER BY bin"""),
+    "s86_duplicated_keep" ->
+      ("""SELECT o_orderkey AS idx,
+           o_orderkey > min(o_orderkey) OVER w AS dup_first,
+           o_orderkey < max(o_orderkey) OVER w AS dup_last,
+           count(*) OVER w > 1 AS dup_all
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey)
+         ORDER BY idx"""),
     "s60_ts_index" ->
       ("""SELECT ts AS idx,
            floor(sum(value) OVER w * 1e6 + 0.5) / 1e6 AS cs,

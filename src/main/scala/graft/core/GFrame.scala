@@ -251,6 +251,21 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
                    partitionBy: Seq[Column]): GFrame =
     withColumn(name, aggExpr.over(Window.partitionBy(partitionBy: _*)))
 
+  /** pandas groupby(keys).head(n): the first n rows of each group under
+    * `order` (ties must be broken by a unique column in `order` for
+    * determinism). The filter sits DIRECTLY on the staged row_number, so
+    * Spark's WindowGroupLimit rewrite runs per-partition top-n heaps
+    * BEFORE the shuffle — the frame sibling of Series.nlargestBy.
+    * groupby().tail(n) is this with the order reversed. */
+  def groupHead(keys: Seq[Column], order: Seq[Column], n: Int): GFrame = {
+    require(n >= 1, "n must be >= 1")
+    val rn = row_number().over(
+      Window.partitionBy(keys: _*).orderBy(order: _*))
+    new GFrame(
+      df.withColumn("__rn", rn).filter(col("__rn") <= n).drop("__rn"),
+      indexName)
+  }
+
   /** Unpivot/melt (pandas melt): wide metric columns → (variable, value)
     * rows. Native Expand node — one pass, no join/union of scans. */
   def melt(valueCols: Seq[String], varName: String = "variable",

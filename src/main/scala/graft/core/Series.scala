@@ -266,6 +266,37 @@ final class Series private[graft] (
       .orderBy(col("share").desc, col(name).asc)
   }
 
+  /** pandas value_counts(bins=n): fixed-width histogram of a numeric
+    * Series — [[cut]]'s bucket assignment + one partial+final count,
+    * zero-filled over a `spark.range(bins)` grid (bins is a bounded user
+    * parameter) so empty bins appear with count 0 like pandas' interval
+    * categories. Two bounded driver scalars (min/max), one shuffle; the
+    * bin→count join is a broadcast of the bins-row grid. Output
+    * (bin, count) sorted count-descending like pandas. */
+  def valueCountsBins(bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val r = base.agg(F.min(valueExpr).cast("double"),
+      F.max(valueExpr).cast("double")).head()
+    val grid = df.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    if (r.isNullAt(0))
+      return grid.select(col("bin"), lit(0L).as("count")).orderBy("bin")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val width = (hi - lo) / bins
+    val bucket =
+      if (width <= 0.0) when(valueExpr.isNotNull, lit(0))
+      else when(valueExpr.isNotNull,
+        least(floor((valueExpr.cast("double") - lit(lo)) / lit(width)),
+          lit(bins - 1.0)).cast("int"))
+    val counts = base.groupBy(bucket.as("bin"))
+      .agg(count(lit(1)).as("count")).filter(col("bin").isNotNull)
+    // the aggregated counts frame is bounded by bins rows → broadcast it
+    // as the build side of the zero-fill left join
+    grid.join(broadcast(counts), Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("count"), lit(0L)).as("count"))
+      .orderBy(col("count").desc, col("bin").asc)
+  }
+
   /** Distinct values (pandas unique), as a 1-column frame. */
   def unique(): DataFrame = base.select(valueExpr.as(name)).distinct()
 
@@ -409,6 +440,33 @@ final class Series private[graft] (
     F.min(indexExpr).over(
       org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)))
 
+  /** pandas `Series.duplicated(keep=)` — all three pandas spellings:
+    * 'first' flags rows whose value appeared at a smaller label, 'last'
+    * at a larger label, "false" (pandas keep=False) flags EVERY row of a
+    * value that occurs more than once. Each is ONE unordered keyed window
+    * over the value partition — a single shuffle, no sort, no self-join. */
+  def duplicated(keep: String): Series = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)
+    keep match {
+      case "first" => duplicated()
+      case "last"  => withValue(indexExpr < F.max(indexExpr).over(w))
+      case "false" => withValue(F.count(lit(1)).over(w) > 1)
+      case other => throw new IllegalArgumentException(
+        s"keep must be first|last|false, got $other")
+    }
+  }
+
+  /** All three [[duplicated]] flags beside the index from ONE Window node
+    * (the min/max/count frames share the value partition, so Spark plans
+    * a single exchange + a single window operator). */
+  def duplicatedFlags(): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(valueExpr)
+    base.select(indexExpr.as(indexName), valueExpr.as(name),
+      (indexExpr > F.min(indexExpr).over(w)).as("dup_first"),
+      (indexExpr < F.max(indexExpr).over(w)).as("dup_last"),
+      (F.count(lit(1)).over(w) > 1).as("dup_all"))
+  }
+
   /** pandas `Series.drop_duplicates(keep='first')`: the first-labeled row
     * of every value survives. Same single-shuffle plan as [[duplicated]]
     * (the window flag must materialize in a subframe before filtering). */
@@ -416,6 +474,24 @@ final class Series private[graft] (
     val flagged = df.withColumn("__dup", col(indexName) >
       F.min(col(indexName)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col(name))))
+    Series.fromKeyed(flagged.filter(!col("__dup")).drop("__dup"), name,
+      indexName)
+  }
+
+  /** pandas `Series.drop_duplicates(keep=)`: survivors under any of the
+    * three [[duplicated]] keep policies (keep="false" drops every row of
+    * any repeated value, like pandas keep=False). Same single-shuffle
+    * window-flag plan as the keep='first' overload — no self-join. */
+  def dropDuplicates(keep: String): Series = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(name))
+    val flag = keep match {
+      case "first" => col(indexName) > F.min(col(indexName)).over(w)
+      case "last"  => col(indexName) < F.max(col(indexName)).over(w)
+      case "false" => F.count(lit(1)).over(w) > 1
+      case other => throw new IllegalArgumentException(
+        s"keep must be first|last|false, got $other")
+    }
+    val flagged = df.withColumn("__dup", flag)
     Series.fromKeyed(flagged.filter(!col("__dup")).drop("__dup"), name,
       indexName)
   }
@@ -1054,6 +1130,8 @@ final class Series private[graft] (
     rollingRangeBy(by, span)(F.max(_))
   def rollingRangeCountBy(by: Column, span: Long): Series =
     rollingRangeBy(by, span)(F.count(_))
+  def rollingRangeStdBy(by: Column, span: Long): Series =
+    rollingRangeBy(by, span)(stddev_samp)
 
   private def rollingRangeBy(by: Column, span: Long)
       (f: Column => Column): Series = {
@@ -1513,6 +1591,29 @@ final class Series private[graft] (
     }))
   }
 
+  /** pandas groupby(by).cumcount(): 0-based arrival position of each row
+    * within its group, in index order. One keyed window (a single shuffle
+    * on the group key), no global sort. */
+  def cumcountBy(by: Column): Series = withValue(
+    (row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(by).orderBy(indexExpr.asc)) - 1).cast("long"))
+
+  /** pandas groupby(by).ngroup() (sort=True, the default): each row gets
+    * its group's ordinal among all groups sorted by key. Implemented as
+    * the dense rank of the KEY VALUE through the value-bucketed
+    * distributed rank machinery ([[rankAll]]) — no global-order window
+    * node, no driver-side group list (group cardinality can be huge at
+    * corpus scale). */
+  def ngroupBy(by: Column, buckets: Int = 32): Series = {
+    val keyed = base.select(indexExpr.as(indexName), by.as("__gkey"))
+    val r = Series.fromColumn(keyed, "__gkey", indexName)
+      .rank("dense", buckets)
+    Series.fromKeyed(
+      r.df.select(col(indexName),
+        (col("__gkey") - 1.0).cast("long").as(name)),
+      name, indexName)
+  }
+
   /** pandas resample(freq).agg(...) — time-bucket downsampling of a
     * timestamp-indexed Series: the index truncates to its bucket start
     * (`unit` = Spark date_trunc format: "HOUR", "DAY", "WEEK", "MONTH",
@@ -1529,6 +1630,44 @@ final class Series private[graft] (
     * range-bucketed by time with one extremal carry row per bucket, no
     * single-task window anywhere. Duplicate source timestamps resolve to
     * the max (ts, value) pair, deterministically. */
+  /** pandas reindex(labels, method=None/'ffill'/'bfill'): conform the
+    * Series to a caller-supplied NEW label set (the first column of
+    * `labels`, cast to the index dtype). method=None takes exact-label
+    * matches only (plain left equi-join — absent labels null, pandas).
+    * 'ffill' ('bfill') takes the last (next) observation at-or-before
+    * (at-or-after) each new label — the un-keyed as-of machinery
+    * ([[graft.ops.EventOps.asofJoinGlobal]]): labels stay DISTRIBUTED
+    * (never driver-collected), one range-bucketed exchange of the tagged
+    * union with ≤ 2·buckets extremal carry rows, no single-task window.
+    * Works for any numeric/date/timestamp index coordinate. Duplicate
+    * source labels resolve deterministically to the max (label, value)
+    * pair ('ffill'; min for 'bfill') — pandas raises on duplicate source
+    * labels, we pick a canonical one instead. */
+  def reindex(labels: DataFrame, method: Option[String] = None,
+      buckets: Int = 32): Series = {
+    val idxDt = df.schema(indexName).dataType
+    val lcol = labels.columns.head
+    val grid = labels.select(col(lcol).cast(idxDt).as(indexName))
+    method match {
+      case None =>
+        Series.fromKeyed(grid.join(df, Seq(indexName), "left"),
+          name, indexName)
+      case Some(dir) if dir == "ffill" || dir == "bfill" =>
+        val g = grid.withColumn("__rs_tie", lit(0.0))
+        val obs = base.select(indexExpr.as(indexName), valueExpr.as(name),
+          valueExpr.cast("double").as("__rs_tie"))
+        val filled = graft.ops.EventOps.asofJoinGlobal(
+          g, obs, indexName, "__rs_tie", Seq(name), prefix = "__rs_",
+          direction = if (dir == "ffill") "backward" else "forward",
+          buckets = buckets)
+        Series.fromKeyed(
+          filled.select(col(indexName), col(s"__rs_$name").as(name)),
+          name, indexName)
+      case Some(other) => throw new IllegalArgumentException(
+        s"reindex method must be ffill|bfill, got $other")
+    }
+  }
+
   def resampleFfill(unit: String, stepSeconds: Long,
       buckets: Int = 32): Series = {
     require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")

@@ -484,6 +484,45 @@ object DedupOps {
         x => x.getField("line")), "\n").as("text"))
   }
 
+  /** Cross-document duplicate-span signal (the "Deduplicating Training
+    * Data Makes Language Models Better" diagnostic, scaled down to word
+    * n-grams): per document, the fraction of its n-gram POSITIONS whose
+    * n-gram also appears in at least one OTHER document. 0 for docs
+    * shorter than n tokens; intra-doc repeats only count as duplicated
+    * when some other doc shares the gram (within-doc repetition is t07's
+    * separate signal).
+    *
+    * Scale shape: ONE tokenize+n-gram pass (the gram array is staged in a
+    * Project before the Generate); per-(doc, gram) occurrence counts are
+    * a map-side-combinable partial+final aggregate, persisted once and
+    * consumed three times (doc-frequency, duplicated-position sum, total
+    * positions — so the corpus text is never re-scanned); doc-frequency
+    * is a count over that already-distinct pair frame keyed by the gram.
+    * No all-pairs join anywhere; gram skew is absorbed by the partial
+    * aggregate exactly like [[lineDedup]]'s line counts. */
+  def dupSpanFraction(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val staged = spread(df.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), TextOps.ngramsOfTokens(col("__ws"), n).as("__gs"))
+    val occ = graft.Caches.track(
+      staged.select(col(idCol), explode(col("__gs")).as("gram"))
+        .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("occ"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val docFreq = occ.groupBy("gram").agg(count(lit(1)).as("df"))
+    val dup = occ.join(docFreq.filter(col("df") >= 2), Seq("gram"))
+      .groupBy(col(idCol)).agg(sum("occ").as("dp"))
+    val totals = occ.groupBy(col(idCol)).agg(sum("occ").as("tp"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("tp").isNull || col("tp") === 0, lit(0.0))
+          .otherwise(TextOps.round6(
+            coalesce(col("dp"), lit(0L)).cast("double")
+              / col("tp").cast("double"))).as("dup_frac"))
+  }
+
   /** (id, vec, norm) projection — the zero-HOF alternative to
     * [[normalized]] for dot-product workloads: native array cast +
     * codegen'd self-dot, NO per-element interpreted pass at all.

@@ -176,7 +176,8 @@ object EventOps {
       col(tieCol).as("__tie"), lit(0).as("__side"),
       lit(null).cast(lRowType).as("__lrow"),
       struct(rightVals.map(col) :+
-        unix_micros(col(tsCol)).as("__rus"): _*).as("__rvals"))
+        graft.core.RangeWindows.coordOf(right.schema(tsCol).dataType,
+          col(tsCol)).as("__rus"): _*).as("__rvals"))
     // side ordering encodes the match inequality: inclusive backward puts
     // right (0) before left (1) at equal ts so the preceding frame holds
     // it; strict flips it out of the frame (mirror-image for forward)
@@ -196,7 +197,8 @@ object EventOps {
       case "nearest" =>
         val b = last(col("__rvals"), ignoreNulls = true).over(bwdW)
         val f = first(col("__rvals"), ignoreNulls = true).over(fwdW)
-        val us = unix_micros(col("__ts"))
+        val us = graft.core.RangeWindows.coordOf(
+          left.schema(tsCol).dataType, col("__ts"))
         when(b.isNull, f).when(f.isNull, b)
           .otherwise(when(us - b.getField("__rus")
             <= f.getField("__rus") - us, b).otherwise(f))
@@ -205,7 +207,8 @@ object EventOps {
       col("__side"), col("__lrow"), rv.as("__rvals"))
     val bounded = toleranceUs.fold(filled) { t =>
       filled.withColumn("__rvals",
-        when(abs(unix_micros(col(s"__lrow.$tsCol"))
+        when(abs(graft.core.RangeWindows.coordOf(
+          left.schema(tsCol).dataType, col(s"__lrow.$tsCol"))
           - col("__rvals.__rus")) <= t, col("__rvals")))
     }
     bounded.filter(col("__side") === 1)
@@ -252,7 +255,8 @@ object EventOps {
       col(tsCol).as("__ts"), col(tieCol).as("__tie"), lit(0).as("__side"),
       lit(null).cast(lRowType).as("__lrow"),
       struct(rightVals.map(col) :+
-        unix_micros(col(tsCol)).as("__rus"): _*).as("__rvals"))
+        graft.core.RangeWindows.coordOf(right.schema(tsCol).dataType,
+          col(tsCol)).as("__rus"): _*).as("__rvals"))
     val un = lNorm.unionByName(rNorm)
     val tsDt = un.schema("__ts").dataType
     val bounds = un.agg(min(col("__ts")), max(col("__ts"))).head()
@@ -321,7 +325,7 @@ object EventOps {
       case "nearest" =>
         val b = last(col("__rvals"), ignoreNulls = true).over(bwdW)
         val f = first(col("__rvals"), ignoreNulls = true).over(fwdW)
-        val us = unix_micros(col("__ts"))
+        val us = graft.core.RangeWindows.coordOf(tsDt, col("__ts"))
         when(b.isNull, f).when(f.isNull, b)
           .otherwise(when(us - b.getField("__rus")
             <= f.getField("__rus") - us, b).otherwise(f))
@@ -330,7 +334,8 @@ object EventOps {
       col("__side"), col("__lrow"), rv.as("__rvals"))
     val bounded = toleranceUs.fold(filled) { t =>
       filled.withColumn("__rvals",
-        when(abs(unix_micros(col(s"__lrow.$tsCol"))
+        when(abs(graft.core.RangeWindows.coordOf(
+          left.schema(tsCol).dataType, col(s"__lrow.$tsCol"))
           - col("__rvals.__rus")) <= t, col("__rvals")))
     }
     bounded.filter(col("__side") === 1)

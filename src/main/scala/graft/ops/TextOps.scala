@@ -143,6 +143,41 @@ object TextOps {
         size(array_distinct(gs)).cast("double") / size(gs).cast("double"))
   }
 
+  /** RAG-style sliding-window token chunker: split each document into
+    * chunks of `size` tokens with `overlap` tokens shared between
+    * consecutive chunks (stride = size − overlap). The last chunk may be
+    * shorter; a chunk fully contained in its predecessor is never emitted
+    * (chunk count = 1 + ⌈(n − size)/stride⌉ for n > size, else 1 — the
+    * LangChain/llama-index splitter convention). Output one row per chunk:
+    * (id, chunk_id, chunk, n_tokens).
+    *
+    * Scale shape: the token array is STAGED in a Project before the
+    * Generate (Generate evaluates its generator input interpreted — see
+    * CLAUDE.md), the chunk-id sequence is derived from the staged array's
+    * size (cheap on the materialized array), and the slice/join runs
+    * per-partition — zero shuffles, row count grows by ~n/stride. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize >= 1, "chunk size must be >= 1")
+    require(overlap >= 0 && overlap < chunkSize,
+      "overlap must be in [0, chunkSize)")
+    val stride = chunkSize - overlap
+    val staged = docs.select(col(idCol), tokens(col(textCol)).as("__ws"))
+    val n = size(col("__ws"))
+    val nchunks = when(n <= chunkSize, lit(1L)).otherwise(
+      ceil((n - lit(chunkSize)).cast("double") / lit(stride.toDouble))
+        .cast("long") + 1L)
+    val start = (col("__chunk_id") * stride + 1).cast("int")
+    staged
+      .select(col(idCol), col("__ws"),
+        explode(sequence(lit(0L), nchunks - 1L)).as("__chunk_id"))
+      .select(col(idCol), col("__chunk_id").as("chunk_id"),
+        array_join(slice(col("__ws"), start, lit(chunkSize)), " ")
+          .as("chunk"),
+        least(lit(chunkSize.toLong), size(col("__ws")).cast("long")
+          - col("__chunk_id") * stride).as("n_tokens"))
+  }
+
   /** PII redaction for training corpora: emails, then IPv4s, then
     * phone-shaped digit runs, each replaced with a typed placeholder
     * (order matters — the phone pattern would otherwise eat IPs). Pure

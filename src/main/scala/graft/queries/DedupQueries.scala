@@ -102,6 +102,15 @@ object DedupQueries {
     // 153 chunk values repeat across docs at sf0.01, df up to 6), then
     // drops every line seen in more than one distinct doc and reassembles
     // in order.
+    // Cross-doc duplicate-span diagnostic (Lee et al. style, word
+    // 3-grams): per doc, the fraction of n-gram positions whose gram
+    // appears in ≥1 other document. One tokenize pass; the per-(doc,gram)
+    // occurrence frame persists once and serves doc-frequency, the
+    // duplicated-position sum, AND the total-position sum.
+    "d15_dup_spans" -> ((s, d) =>
+      graft.ops.DedupOps.dupSpanFraction(Tables.documents(s, d),
+        "doc_id", "text", 3).orderBy("doc_id")),
+
     "d13_line_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val toks = split(col("text"), " ")
@@ -318,6 +327,27 @@ object DedupQueries {
          FROM v a JOIN v b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.e, b.e) >= 0.5
          ORDER BY id1, id2""",
+    // d15: same 3-gram spelling as ShingleCte but WITH multiplicity
+    "d15_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $Toks AS ws FROM documents),
+         g AS (
+           SELECT doc_id,
+             ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS gram
+           FROM toks, LATERAL unnest(range(1, len(ws)-1)) AS u(i)),
+         occ AS (SELECT doc_id, gram, count(*) AS occ FROM g GROUP BY 1, 2),
+         f AS (SELECT gram, count(*) AS df FROM occ GROUP BY 1),
+         dup AS (SELECT o.doc_id, sum(o.occ) AS dp
+                 FROM occ o JOIN f USING (gram)
+                 WHERE f.df >= 2 GROUP BY 1),
+         tot AS (SELECT doc_id, sum(occ) AS tp FROM occ GROUP BY 1)
+         SELECT d.doc_id,
+           CASE WHEN tp IS NULL OR tp = 0 THEN 0.0
+             ELSE floor(coalesce(dp, 0) * 1.0 / tp * 1e6 + 0.5) / 1e6
+           END AS dup_frac
+         FROM documents d LEFT JOIN tot USING (doc_id)
+           LEFT JOIN dup USING (doc_id)
+         ORDER BY d.doc_id""",
+
     // d13: same chunking spelled in list ops; '' for fully-deduped docs
     // (Spark's array_join over an empty survivor array)
     "d13_line_dedup" ->

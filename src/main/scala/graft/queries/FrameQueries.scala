@@ -423,6 +423,19 @@ object FrameQueries {
           margins = true)
         .toDF.orderBy("l_linestatus")),
 
+    // pandas groupby(custkey).head(2): each customer's first two orders
+    // by (orderdate, orderkey). The rank predicate sits directly on the
+    // staged row_number → WindowGroupLimit per-partition top-n heaps
+    // BEFORE the shuffle (plan-asserted in GFrameSpec).
+    "f36_group_head" -> ((s, d) =>
+      GFrame.fromDF(Tables.orders(s, d), "o_orderkey")
+        .groupHead(Seq(col("o_custkey")),
+          Seq(col("o_orderdate").asc, col("o_orderkey").asc), 2)
+        .toDF
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"))
+        .orderBy("o_orderkey")),
+
     // pandas get_dummies (one-hot over the five TPC-H market segments):
     // a pure projection — per-value indicator columns, no shuffle, no
     // category-discovery job.
@@ -570,6 +583,13 @@ object FrameQueries {
              / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) * 1e6 + 0.5)
              / 1e6 AS r2
          FROM a ORDER BY o_orderpriority""",
+
+    "f36_group_head" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+         FROM orders
+         QUALIFY row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) <= 2
+         ORDER BY o_orderkey""",
 
     "f34_pivot_table" ->
       """WITH c AS (

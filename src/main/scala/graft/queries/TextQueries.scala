@@ -39,6 +39,14 @@ object TextQueries {
         qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
 
+    // RAG-style sliding-window token chunking: 32-token chunks with an
+    // 8-token overlap (stride 24). The token array stages in a Project
+    // before the Generate; chunk ids explode from a sequence derived off
+    // the staged array — zero shuffles, per-partition fan-out only.
+    "t10_chunk_tokens" -> ((s, d) =>
+      graft.ops.TextOps.chunkTokens(docs(s, d), "doc_id", "text", 32, 8)
+        .orderBy("doc_id", "chunk_id")),
+
     // Global document frequency: top-20 terms by #docs containing them.
     // explode(distinct terms) → groupBy term: partial counts combine
     // map-side; the shuffle carries one row per (term, partition).
@@ -166,6 +174,17 @@ object TextQueries {
                  'in','is','on','for','with'))) * 1.0 / len(ts) END) * 2.0)
              * 1e6 + 0.5) / 1e6 AS quality
          FROM t ORDER BY doc_id""",
+    "t10_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ws FROM documents),
+         c AS (SELECT doc_id, ws, len(ws) AS n FROM t),
+         s AS (SELECT doc_id, ws, n, u.i AS chunk_id,
+             CAST(u.i * 24 + 1 AS INTEGER) AS st
+           FROM c, LATERAL unnest(range(0, CASE WHEN n <= 32 THEN 1
+             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS u(i))
+         SELECT doc_id, chunk_id,
+           array_to_string(ws[st:st + 31], ' ') AS chunk,
+           least(32, n - chunk_id * 24) AS n_tokens
+         FROM s ORDER BY doc_id, chunk_id""",
     "t03_term_docfreq" ->
       s"""SELECT term, count(*) AS df FROM (
            SELECT DISTINCT doc_id, unnest($Toks) AS term FROM documents)

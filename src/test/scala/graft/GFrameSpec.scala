@@ -24,6 +24,17 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(!out.toDF.queryExecution.executedPlan.toString.toLowerCase.contains("join"))
   }
 
+  test("groupHead keeps the first n per group through WindowGroupLimit") {
+    val df = Seq((1L, "a", 3.0), (2L, "a", 1.0), (3L, "a", 2.0),
+      (4L, "b", 9.0), (5L, "b", 8.0)).toDF("id", "g", "v")
+    val out = GFrame.fromDF(df, "id")
+      .groupHead(Seq(col("g")), Seq(col("v").asc, col("id").asc), 2)
+    val got = out.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L, 5L, 4L).sorted)
+    val plan = out.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("cross-frame assign aligns on index via join") {
     val other = Series.fromPairs(spark, Seq((1L, 100.0), (3L, 300.0)), name = "x")
     val out = gf.assign("x", other)

@@ -141,6 +141,22 @@ class MomentsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq == exp)
   }
 
+  test("reindex: exact / ffill / bfill onto a distributed label set") {
+    val obs = Seq((10L, 1.0), (20L, 2.0), (30L, 3.0)).toDF("k", "v")
+    val s = Series.fromColumn(obs, "v", "k")
+    val labels = Seq(5L, 10L, 25L, 40L).toDF("lbl")
+    def out(m: Option[String]): Map[Long, Option[Double]] =
+      s.reindex(labels, m).df.collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+          else Some(r.getDouble(1)))).toMap
+    assert(out(None) == Map(5L -> None, 10L -> Some(1.0), 25L -> None,
+      40L -> None))
+    assert(out(Some("ffill")) == Map(5L -> None, 10L -> Some(1.0),
+      25L -> Some(2.0), 40L -> Some(3.0)))
+    assert(out(Some("bfill")) == Map(5L -> Some(1.0), 10L -> Some(1.0),
+      25L -> Some(3.0), 40L -> None))
+  }
+
   test("weightedSample: deterministic, right-sized, weight-responsive") {
     val df = (1L to 1000L).map(i => (i, if (i <= 10) 1000.0 else 1.0))
       .toDF("id", "w")

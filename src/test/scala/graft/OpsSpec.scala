@@ -410,6 +410,34 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (2L, 0, 0, 0, "")))
   }
 
+  test("chunkTokens: overlap windows, short tail, no contained chunk") {
+    // 10 tokens, size 4, overlap 2 (stride 2) → starts 1,3,5,7 (4 chunks;
+    // a 5th at 9 would be contained in 7..10)
+    val d = Seq((1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.chunkTokens(d, "doc_id", "text", 4, 2)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L), (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t5 t6 t7 t8", 4L), (1L, 3L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "a b", 2L), (3L, 0L, "", 0L)))
+  }
+
+  test("dupSpanFraction scores cross-doc 3-gram overlap per position") {
+    // doc1: 4 grams, 2 of them ("b c d", "c d e") shared with doc2 → 0.5;
+    // doc2: both its grams shared → 1.0; doc3: disjoint → 0.0; doc4 too
+    // short for any gram → 0.0
+    val d = Seq((1L, "a b c d e f"), (2L, "b c d e"),
+      (3L, "x y z w"), (4L, "q r")).toDF("doc_id", "text")
+    val out = graft.ops.DedupOps.dupSpanFraction(d, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    Caches.clear()
+    assert(out == Seq((1L, 0.5), (2L, 1.0), (3L, 0.0), (4L, 0.0)))
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq((1L, "der hund und die katze ist das"),
       (2L, "the cat and the dog is here")).toDF("id", "text")

@@ -821,6 +821,46 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("cumcountBy / ngroupBy: arrival ordinal and sorted-group ordinal") {
+    val df = Seq((0L, 20L, 1.0), (1L, 10L, 2.0), (2L, 20L, 3.0),
+      (3L, 10L, 4.0), (4L, 30L, 5.0)).toDF("idx", "g", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    val cc = s.cumcountBy(df("g")).df.orderBy("idx").collect()
+      .map(_.getLong(1)).toSeq
+    assert(cc == Seq(0L, 0L, 1L, 1L, 0L))
+    val ng = s.ngroupBy(df("g")).df.orderBy("idx").collect()
+      .map(_.getLong(1)).toSeq
+    assert(ng == Seq(1L, 0L, 1L, 0L, 2L)) // groups sorted by key: 10,20,30
+  }
+
+  test("duplicated(keep=) and dropDuplicates(keep=) — all three policies") {
+    val df = Seq((0L, "a"), (1L, "b"), (2L, "a"), (3L, "a")).toDF("i", "v")
+    val s = Series.fromColumn(df, "v", "i")
+    def flags(keep: String) = s.duplicated(keep).df.orderBy("i").collect()
+      .map(_.getBoolean(1)).toSeq
+    assert(flags("first") == Seq(false, false, true, true))
+    assert(flags("last") == Seq(true, false, true, false))
+    assert(flags("false") == Seq(true, false, true, true))
+    def surv(keep: String) = s.dropDuplicates(keep).df.collect()
+      .map(_.getLong(0)).toSet
+    assert(surv("first") == Set(0L, 1L))
+    assert(surv("last") == Set(1L, 3L))
+    assert(surv("false") == Set(1L))
+    // all three flags from one Window node (shared value partition)
+    val plan = s.duplicatedFlags().queryExecution.executedPlan.toString
+    assert(plan.split("Window \\[").length == 2, plan)
+  }
+
+  test("valueCountsBins: fixed-width histogram with zero-filled bins") {
+    val df = Seq(0.0, 0.5, 1.0, 9.0, 10.0).toDF("v")
+      .withColumn("i", monotonically_increasing_id())
+    val s = Series.fromColumn(df, "v", "i")
+    val got = s.valueCountsBins(5).orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // width 2: [0,2)->3, [2,4)->0, [4,6)->0, [6,8)->0, [8,10]->2
+    assert(got == Seq((0, 3L), (1, 0L), (2, 0L), (3, 0L), (4, 2L)))
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
