@@ -872,6 +872,57 @@ object SparkEntry {
           col("dup_last"), col("dup_all"))
         .orderBy("idx")
     }),
+    // pandas groupby(k).idxmax()/.idxmin(): per-group label of the
+    // extremum, first-occurrence ties — the rank predicate rides
+    // WindowGroupLimit per-partition top-1 heaps before the shuffle.
+    "s87_group_idxmax" -> ((s, d) => {
+      val v = Series.fromExpr(Tables.events(s, d), col("value"), "v",
+        col("event_id"), "idx")
+      val key = col("user_id") % 100
+      v.idxmaxBy(key, "key").withColumnRenamed("idx", "idx_max")
+        .join(v.idxminBy(key, "key").withColumnRenamed("idx", "idx_min"),
+          Seq("key"))
+        .orderBy("key")
+    }),
+    // pandas Series.update(other) + where(cond, other)/mask(cond, other):
+    // update is a left index-align join (labels preserved, other's
+    // non-null values win); where/mask are pure projections.
+    "s88_update_where" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val bal = Series.fromColumn(cust, "c_acctbal", "c_custkey")
+      val patch = Series.fromExpr(
+        cust.filter(col("c_mktsegment") === "BUILDING"),
+        col("c_acctbal") * 2, "p", col("c_custkey"), "c_custkey")
+      val upd = bal.update(patch)
+      val wv = bal.whereValue(_ > 0)
+      val mv = bal.maskValue(_ < 0, 0.0)
+      upd.df.select(col("c_custkey").as("idx"), col(upd.name).as("upd"))
+        .join(cust.select(col("c_custkey").as("idx"),
+          wv.values.as("wv"), mv.values.as("mv")), Seq("idx"))
+        .orderBy("idx")
+    }),
+    // pandas cut(bins=[edges], labels=): explicit right-closed intervals,
+    // out-of-range → null; a pure per-row when-chain, no driver scan.
+    "s89_cut_labels" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey")
+      val b = bal.cut(Seq(-1000.0, 0.0, 2500.0, 5000.0, 10000.0),
+        Seq("debt", "low", "mid", "high"))
+      b.df.select(col("c_custkey").as("idx"), col(b.name).as("bin"))
+        .orderBy("idx")
+    }),
+    // pandas dt.floor/ceil/round('h'): exact epoch-µs integer arithmetic
+    // (round = ties-to-even like pandas) — three projections on one scan.
+    "s91_dt_round" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val t = Series.fromExpr(ev, col("ts"), "t", col("event_id"), "idx")
+      val fl = t.dt.floor(3600L)
+      val ce = t.dt.ceil(3600L)
+      val rd = t.dt.round(3600L)
+      ev.select(col("event_id").as("idx"),
+          fl.values.as("fl"), ce.values.as("ce"), rd.values.as("rd"))
+        .orderBy("idx")
+    }),
     // TIMESTAMP-indexed global windows: the bucket coordinate is the
     // epoch-seconds cast, so cumsum + carry shift distribute exactly like
     // the numeric path (ts is unique in the fixture — a prefix sum over
@@ -1479,6 +1530,47 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s87_group_idxmax" ->
+      ("""WITH r AS (
+           SELECT user_id % 100 AS key, event_id,
+             row_number() OVER (PARTITION BY user_id % 100
+               ORDER BY value DESC, event_id) AS rmax,
+             row_number() OVER (PARTITION BY user_id % 100
+               ORDER BY value ASC, event_id) AS rmin
+           FROM events WHERE value IS NOT NULL)
+         SELECT key,
+           CAST(max(CASE WHEN rmax = 1 THEN event_id END) AS BIGINT)
+             AS idx_max,
+           CAST(max(CASE WHEN rmin = 1 THEN event_id END) AS BIGINT)
+             AS idx_min
+         FROM r GROUP BY key ORDER BY key"""),
+    "s88_update_where" ->
+      ("""SELECT c_custkey AS idx,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2
+                ELSE c_acctbal END AS upd,
+           CASE WHEN c_acctbal > 0 THEN c_acctbal END AS wv,
+           CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS mv
+         FROM customer ORDER BY idx"""),
+    "s89_cut_labels" ->
+      ("""SELECT c_custkey AS idx,
+           CASE WHEN c_acctbal > -1000 AND c_acctbal <= 0 THEN 'debt'
+                WHEN c_acctbal > 0 AND c_acctbal <= 2500 THEN 'low'
+                WHEN c_acctbal > 2500 AND c_acctbal <= 5000 THEN 'mid'
+                WHEN c_acctbal > 5000 AND c_acctbal <= 10000 THEN 'high'
+           END AS bin
+         FROM customer ORDER BY idx"""),
+    "s91_dt_round" ->
+      ("""WITH x AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+         y AS (SELECT event_id, us, us - us % 3600000000 AS f,
+                 us % 3600000000 AS r FROM x)
+         SELECT event_id AS idx,
+           make_timestamp(f) AS fl,
+           make_timestamp(f + CASE WHEN r > 0 THEN 3600000000
+             ELSE 0 END) AS ce,
+           make_timestamp(CASE WHEN r > 1800000000
+               OR (r = 1800000000 AND (f // 3600000000) % 2 = 1)
+             THEN f + 3600000000 ELSE f END) AS rd
+         FROM y ORDER BY idx"""),
     "s84_cumcount_ngroup" ->
       ("""SELECT event_id AS idx,
            CAST(row_number() OVER (PARTITION BY user_id % 100

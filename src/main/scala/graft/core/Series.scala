@@ -221,6 +221,35 @@ final class Series private[graft] (
     * keyed join, same alignment machinery as the arithmetic operators. */
   def combineFirst(other: Series): Series = zipOp(other, coalesce(_, _))
 
+  /** pandas Series.update(other): overwrite with `other`'s non-null
+    * values where labels align; THIS Series' label set is preserved
+    * (update never adds labels — the label-union sibling is
+    * [[combineFirst]]). Same-base pairs compose on one scan; cross-frame
+    * pairs are one left index-align join. */
+  def update(other: Series): Series = {
+    if (other.base eq base)
+      return withValue(coalesce(other.valueExpr, valueExpr))
+    val rhs = other.df.select(col(other.indexName).as("__u_idx"),
+      col(other.name).as("__u_val"))
+    val j = df.join(rhs, col(indexName) === col("__u_idx"), "left")
+    Series.fromKeyed(
+      j.select(col(indexName),
+        coalesce(col("__u_val"), col(name)).as(name)),
+      name, indexName)
+  }
+
+  /** pandas Series.where(cond, other): keep the value where the
+    * per-value predicate holds, else `other` (default null — pandas NaN).
+    * Pure projection — the row set is unchanged (the row-FILTERING
+    * spelling is [[where]]). */
+  def whereValue(pred: Column => Column, other: Any = null): Series =
+    withValue(when(pred(valueExpr), valueExpr).otherwise(lit(other)))
+
+  /** pandas Series.mask(cond, other): inverse of [[whereValue]] —
+    * replace where the predicate HOLDS. */
+  def maskValue(pred: Column => Column, other: Any = null): Series =
+    withValue(when(pred(valueExpr), lit(other)).otherwise(valueExpr))
+
   // Comparison ops → boolean Series (for masks).
   def >(n: Double): Series = scalarOp(_ > _, n)
   def <(n: Double): Series = scalarOp(_ < _, n)
@@ -539,6 +568,28 @@ final class Series private[graft] (
     * includes the max in the rightmost interval). Null values → null
     * bucket. Two bounded driver scalars (min/max — near-free off parquet
     * footer stats), then a pure per-row expression; no shuffle. */
+  /** pandas cut(bins=[e0, e1, …], labels=): explicit monotone bin edges,
+    * right-closed intervals (e0, e1] … (pandas right=True); values at or
+    * below e0, above the last edge, or null → null (pandas NaN). With
+    * `labels` empty the bin ORDINAL is returned. Edges are caller
+    * literals (bounded, never data-derived), so assignment is a pure
+    * per-row when-chain — no driver scan, no shuffle. */
+  def cut(edges: Seq[Double], labels: Seq[String]): Series = {
+    require(edges.size >= 2, "need at least two edges")
+    require(edges == edges.sorted && edges.distinct == edges,
+      "edges must be strictly increasing")
+    require(labels.isEmpty || labels.size == edges.size - 1,
+      "labels must match bin count")
+    val v = valueExpr.cast("double")
+    val out = (0 until edges.size - 1).foldRight(
+      lit(null).cast(if (labels.nonEmpty) "string" else "int"): Column) {
+      case (i, acc) =>
+        when(v > edges(i) && v <= edges(i + 1),
+          if (labels.nonEmpty) lit(labels(i)) else lit(i)).otherwise(acc)
+    }
+    withValue(out)
+  }
+
   def cut(bins: Int): Series = {
     require(bins >= 1, "bins must be >= 1")
     val r = base.agg(F.min(valueExpr).cast("double"),
@@ -642,6 +693,31 @@ final class Series private[graft] (
     .orderBy(col(name).asc, col(indexName).asc)
     .select(indexName).head(1).headOption
     .map(_.get(0)).orNull
+
+  /** pandas groupby(by).idxmax(): per group, the index label of the
+    * maximum value (ties → smallest label, pandas' first occurrence).
+    * The rank predicate sits directly on the staged row_number →
+    * WindowGroupLimit per-partition top-1 heaps before the shuffle (the
+    * grouped sibling of [[idxmax]]'s TakeOrderedAndProject). All-null
+    * groups drop (pandas raises there; dropping is the distributed
+    * convention used by [[idxmax]] too). */
+  def idxmaxBy(by: Column, keyName: String = "key"): DataFrame =
+    argExtremeBy(by, keyName, valueExpr.desc_nulls_last)
+
+  /** pandas groupby(by).idxmin(): per-group label of the minimum. */
+  def idxminBy(by: Column, keyName: String = "key"): DataFrame =
+    argExtremeBy(by, keyName, valueExpr.asc_nulls_last)
+
+  private def argExtremeBy(by: Column, keyName: String,
+      order: Column): DataFrame = {
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(by)
+        .orderBy(order, indexExpr.asc))
+    base.select(by.as(keyName), indexExpr.as(indexName),
+        valueExpr.as(name), rn.as("__rn"))
+      .filter(col("__rn") === 1 && col(name).isNotNull)
+      .select(col(keyName), col(indexName))
+  }
 
   /** Top-n rows by value (pandas nlargest): TakeOrderedAndProject —
     * per-partition heaps, no global sort. */
@@ -1865,6 +1941,40 @@ final class DtAccessor private[core] (s: Series) {
   /** Monday = 0 (pandas); Spark's dayofweek is Sunday = 1. */
   def dayofweek: Series = t(v => (F.dayofweek(v) + 5) % 7)
   def date: Series = t(_.cast(DateType))
+
+  /** pandas dt.floor(freq): truncate to the frequency boundary. Exact
+    * epoch-µs integer arithmetic (`us − us mod step`) — engine-portable,
+    * no timezone dependence for the sub-day frequencies this supports. */
+  def floor(stepSeconds: Long): Series = usArith(stepSeconds) {
+    (us, r, _) => us - r
+  }
+
+  /** pandas dt.ceil(freq): round UP to the next boundary (already-aligned
+    * instants stay put). */
+  def ceil(stepSeconds: Long): Series = usArith(stepSeconds) {
+    (us, r, step) => us - r + F.when(r > 0, step).otherwise(F.lit(0L))
+  }
+
+  /** pandas dt.round(freq): round to the NEAREST boundary, ties to the
+    * EVEN multiple (pandas/numpy banker's rounding at exact half-steps). */
+  def round(stepSeconds: Long): Series = usArith(stepSeconds) {
+    (us, r, step) =>
+      val f = us - r
+      val half = step / 2
+      val qOdd = F.pmod((f / step).cast("long"), F.lit(2L)) === 1L
+      F.when(r > half || (r === half && qOdd), f + step).otherwise(f)
+  }
+
+  private def usArith(stepSeconds: Long)
+      (body: (Column, Column, Column) => Column): Series = {
+    require(stepSeconds >= 1 && 86400L % stepSeconds == 0,
+      "step must divide a day (sub-day frequencies only)")
+    val step = F.lit(stepSeconds * 1000000L)
+    s.transform { v =>
+      val us = F.unix_micros(v)
+      F.timestamp_micros(body(us, F.pmod(us, step), step))
+    }
+  }
 }
 
 object Series {

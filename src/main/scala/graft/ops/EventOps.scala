@@ -51,6 +51,19 @@ object EventOps {
       .withColumn("ws", col("window.start"))
       .drop("window")
 
+  /** Hopping (sliding) event-time windows: every `slide`, a window of
+    * `duration` opens; each event lands in duration/slide overlapping
+    * windows (Spark's native `window(ts, duration, slide)` Expand — the
+    * replication happens per-partition BEFORE the aggregation shuffle, so
+    * the map-side partial agg absorbs the fan-out; the streaming twin is
+    * the same expression under a watermark). */
+  def hopping(df: DataFrame, tsCol: String, duration: String, slide: String,
+              groupCols: Seq[Column], aggs: Seq[Column]): DataFrame =
+    df.groupBy(window(col(tsCol), duration, slide) +: groupCols: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ws", col("window.start"))
+      .drop("window")
+
   /** Trailing time-range window aggregates per key: for each event, the
     * given aggregates over that key's events in `[ts - window, ts]`
     * (inclusive — a RANGE frame over event time, not a row count; the

@@ -32,6 +32,17 @@ object EventQueries {
         .select("ws", "event_type", "n", "total")
         .orderBy("ws", "event_type")),
 
+    // Hopping (sliding) event-time windows: 1-hour windows every 15 min —
+    // each event replicates into 4 windows via the native window() Expand
+    // BEFORE the aggregation shuffle (map-side partials absorb the
+    // fan-out).
+    "e21_hopping" -> ((s, d) =>
+      EventOps.hopping(ev(s, d), "ts", "1 hour", "15 minutes",
+          Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total")))
+        .select("ws", "event_type", "n", "total")
+        .orderBy("ws", "event_type")),
+
     // Gap-based sessionization (30-min inactivity) per user.
     "e02_sessions" -> ((s, d) =>
       EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
@@ -470,6 +481,16 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
            round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e21_hopping" ->
+      """WITH x AS (SELECT epoch_us(ts) AS us, event_type, value
+             FROM events),
+         k AS (SELECT us, event_type, value, u.i AS i
+               FROM x, LATERAL unnest(range(0, 4)) AS u(i)),
+         w AS (SELECT make_timestamp((us - us % 900000000)
+                 - i * 900000000) AS ws, event_type, value FROM k)
+         SELECT ws, event_type, count(*) AS n,
+           round(sum(value), 2) AS total
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "e02_sessions" ->
       """WITH x AS (
            SELECT user_id, event_id, ts,

@@ -438,6 +438,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq((1L, 0.5), (2L, 1.0), (3L, 0.0), (4L, 0.0)))
   }
 
+  test("hopping windows: each event lands in duration/slide windows") {
+    import java.sql.Timestamp
+    val df = Seq((Timestamp.valueOf("2024-01-01 10:07:00"), 1.0))
+      .toDF("ts", "value")
+    val out = graft.ops.EventOps.hopping(df, "ts", "1 hour", "15 minutes",
+        Seq.empty, Seq(count(lit(1)).as("n")))
+      .select("ws", "n").orderBy("ws").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSeq
+    assert(out == Seq( // four overlapping hour windows cover 10:07
+      ("2024-01-01 09:15:00.0", 1L), ("2024-01-01 09:30:00.0", 1L),
+      ("2024-01-01 09:45:00.0", 1L), ("2024-01-01 10:00:00.0", 1L)))
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq((1L, "der hund und die katze ist das"),
       (2L, "the cat and the dog is here")).toDF("id", "text")

@@ -861,6 +861,73 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq((0, 3L), (1, 0L), (2, 0L), (3, 0L), (4, 2L)))
   }
 
+  test("idxmaxBy/idxminBy: per-group arg-extrema, first-label ties") {
+    val df = Seq((0L, 1L, 5.0), (1L, 1L, 9.0), (2L, 1L, 9.0), (3L, 2L, 3.0),
+      (4L, 2L, 3.0)).toDF("idx", "g", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    val mx = s.idxmaxBy(df("g")).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mx == Seq((1L, 1L), (2L, 3L))) // ties -> smallest label
+    val mn = s.idxminBy(df("g")).orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mn == Seq((1L, 0L), (2L, 3L)))
+  }
+
+  test("update keeps own labels; where/mask replace by predicate") {
+    val a = Series.fromPairs(spark, Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)),
+      name = "v")
+    val b = Series.fromPairs(spark, Seq((2L, 20.0), (9L, 90.0)), name = "u")
+    val got = a.update(b).df.orderBy(a.indexName).collect()
+      .map(_.getDouble(1)).toSeq
+    assert(got == Seq(1.0, 20.0, 3.0)) // label 9 NOT added
+    assert(valuesOf(a.whereValue(_ > 1.5)) == Seq(null, 2.0, 3.0))
+    assert(valuesOf(a.maskValue(_ > 1.5, 0.0)) == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("cut with explicit edges: right-closed bins, out-of-range null") {
+    val s = Series.fromSeq(spark, Seq(0.0, 0.5, 1.0, 2.5, 99.0), name = "v")
+    val bins = s.cut(Seq(0.0, 1.0, 3.0), Seq("lo", "hi")).df
+      .orderBy(s.indexName).collect()
+      .map(r => if (r.isNullAt(1)) null else r.getString(1)).toSeq
+    assert(bins == Seq(null, "lo", "lo", "hi", null)) // 0.0 excluded (e0, e1]
+    val ord = s.cut(Seq(0.0, 1.0, 3.0), Nil).df.orderBy(s.indexName)
+      .collect().map(r => if (r.isNullAt(1)) null else r.getInt(1)).toSeq
+    assert(ord == Seq(null, 0, 0, 1, null))
+  }
+
+  test("dt.floor/ceil/round: µs arithmetic, round ties to even") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq((1L, ts("2024-01-01 10:10:00")),
+      (2L, ts("2024-01-01 10:50:00")),
+      (3L, ts("2024-01-01 10:30:00")),   // half of an EVEN hour-slot
+      (4L, ts("2024-01-01 11:30:00")),   // half of an ODD hour-slot
+      (5L, ts("2024-01-01 11:00:00"))).toDF("i", "t")
+    val s = Series.fromColumn(df, "t", "i")
+    def col1(x: Series) = x.df.orderBy("i").collect()
+      .map(_.getTimestamp(1).toString).toSeq
+    assert(col1(s.dt.floor(3600L)) == Seq("2024-01-01 10:00:00.0",
+      "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0",
+      "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0"))
+    assert(col1(s.dt.ceil(3600L)) == Seq("2024-01-01 11:00:00.0",
+      "2024-01-01 11:00:00.0", "2024-01-01 11:00:00.0",
+      "2024-01-01 12:00:00.0", "2024-01-01 11:00:00.0"))
+    // round: nearest hour, exact half-ties go to the EVEN hour slot
+    // (pandas/numpy convention). Expected values computed independently
+    // from the epoch instant so the test is timezone-robust.
+    def expectRound(t: Timestamp): String = {
+      val ms = t.getTime
+      val r = Math.floorMod(ms, 3600000L)
+      val f = ms - r
+      val up = r > 1800000L || (r == 1800000L && (f / 3600000L) % 2 == 1)
+      new Timestamp(if (up) f + 3600000L else f).toString
+    }
+    val exp = Seq(ts("2024-01-01 10:10:00"), ts("2024-01-01 10:50:00"),
+      ts("2024-01-01 10:30:00"), ts("2024-01-01 11:30:00"),
+      ts("2024-01-01 11:00:00")).map(expectRound)
+    assert(col1(s.dt.round(3600L)) == exp)
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
