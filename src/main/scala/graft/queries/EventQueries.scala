@@ -282,6 +282,50 @@ object EventQueries {
         .orderBy("idx")
     }),
 
+    // STREAMING AS-OF JOIN under the hash gate: purchases are the
+    // reference stream (side 0), every other event is a probe (side 1);
+    // the full fixture replays out of its natural order through
+    // asofStream (both sides buffer per user under the watermark; each
+    // advance finalizes the strictly-older prefix in (ts, side, id)
+    // order, so a right row at an equal ts wins — inclusive backward,
+    // the batch twin's side ordering). Values pass through exactly — no
+    // rounding. The collect is the replay harness, not the operator.
+    "e22_stream_asof" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          when(col("event_type") === "purchase", 0).otherwise(1).as("side"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getDouble(3), r.getInt(4))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp, Double, Int)]
+      val name = s"graft_e22_${System.nanoTime()}"
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .asofStream(input.toDF()
+            .toDF("user_id", "event_id", "ts", "value", "side"),
+            "0 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          q.processAllAvailable()
+          input.addData((-1L, -1L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0, 0))
+          q.processAllAvailable()
+          input.addData((-1L, -2L,
+            java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 0.0, 0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("event_id").as("idx"), col("user_id"),
+          col("matched").as("mv"))
+        .orderBy("idx")
+    }),
+
     // NATIVE session_window under the same hash gate as e09: identical
     // replay harness, but the sessionizer is the first-class
     // session_window streaming aggregation (engine-managed merging
@@ -481,6 +525,15 @@ object EventQueries {
       """SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
            round(sum(value), 2) AS total
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e22_stream_asof" ->
+      """WITH l AS (SELECT user_id, event_id, ts FROM events
+           WHERE event_type <> 'purchase'),
+         r AS (SELECT user_id, ts, value FROM events
+           WHERE event_type = 'purchase')
+         SELECT l.event_id AS idx, l.user_id,
+           (SELECT r.value FROM r WHERE r.user_id = l.user_id
+              AND r.ts <= l.ts ORDER BY r.ts DESC LIMIT 1) AS mv
+         FROM l ORDER BY idx""",
     "e21_hopping" ->
       """WITH x AS (SELECT epoch_us(ts) AS us, event_type, value
              FROM events),

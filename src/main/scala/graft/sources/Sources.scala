@@ -33,9 +33,30 @@ object Sources {
                 schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC — the other columnar format with pruning + pushdown + stripe
+    * stats (for interop with ORC-resident warehouses). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw text: one row per line (column `value`) — the ingest shape for
+    * unstructured corpora before any parsing. `wholetext = true` reads
+    * each FILE as one row instead (document-per-file layouts). */
+  def text(spark: SparkSession, path: String,
+           wholetext: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholetext.toString).text(path)
+
   def writeParquet(df: DataFrame, path: String,
                    mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** Single-string-column text sink (sharded like any Spark write). */
+  def writeText(df: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).text(path)
 
   /** Hive-style partitioned parquet: later reads on the partition column
     * prune entire directories (PartitionFilters, no file IO at all). */

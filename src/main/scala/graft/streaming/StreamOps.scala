@@ -115,6 +115,78 @@ object StreamOps {
   final case class EmaState(buffer: Seq[PendingEvent], pn: Double,
                             pd: Double, seen: Boolean)
 
+  /** One finalized LEFT event out, with the latest right-side value
+    * at-or-before it (null if no right event preceded it yet). */
+  final case class AsofUpdate(user_id: Long, event_id: Long, ts: Timestamp,
+                              matched: Option[Double])
+
+  /** A buffered tagged event (side 0 = right/reference stream, side 1 =
+    * left/probe stream) not yet provably final. */
+  final case class PendingTagged(tsUs: Long, side: Int, eventId: Long,
+                                 value: Option[Double])
+
+  /** Per-key as-of state: the pending buffer (bounded by the watermark
+    * delay) + the latest FINALIZED right observation — O(1) scalars per
+    * key forever, the inherent footprint of a backward as-of. */
+  final case class AsofState(buffer: Seq[PendingTagged], lastRightUs: Long,
+                             lastRight: Option[Double])
+
+  /** Streaming AS-OF join — the streaming twin of
+    * [[graft.ops.EventOps.asofJoin]] (pandas merge_asof backward,
+    * allow_exact_matches=True) over two live streams: each left event
+    * emits once, in event-time order, carrying the most recent right
+    * value at-or-before its timestamp. An as-of is order-sensitive, so
+    * neither side can be joined on sight: both streams union into one
+    * tagged flow, buffer per key in state, and each watermark advance
+    * finalizes the strictly-older prefix sorted by (ts, side, id) — a
+    * right event at exactly a left event's ts sorts FIRST, giving the
+    * inclusive backward match, exactly like the batch twin's side
+    * ordering. State per key = pending buffer (watermark-bounded) + ONE
+    * (ts, value) scalar pair; nothing grows with stream length.
+    *
+    * `tagged` needs columns (user_id, event_id, ts, value, side). */
+  def asofStream(tagged: DataFrame,
+                 watermarkDelay: String): Dataset[AsofUpdate] = {
+    implicit val updEnc = Encoders.product[AsofUpdate]
+    implicit val stEnc = Encoders.product[AsofState]
+    implicit val rowEnc =
+      Encoders.product[(Long, Long, Timestamp, Option[Double], Int)]
+    implicit val keyEnc = Encoders.scalaLong
+
+    val typed = tagged
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("value").cast("double"), col("side").cast("int"))
+      .as[(Long, Long, Timestamp, Option[Double], Int)]
+
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long,
+       rows: Iterator[(Long, Long, Timestamp, Option[Double], Int)],
+       state: GroupState[AsofState]) =>
+        val st0 = state.getOption.getOrElse(
+          AsofState(Seq.empty, Long.MinValue, None))
+        val buf = st0.buffer ++ rows.map(r =>
+          PendingTagged(toMicros(r._3), r._5, r._2, r._4))
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (fin, pending) = buf.sortBy(e => (e.tsUs, e.side, e.eventId))
+          .partition(_.tsUs < wmUs)
+        var lastUs = st0.lastRightUs
+        var last = st0.lastRight
+        val out = fin.flatMap { e =>
+          if (e.side == 0) { lastUs = e.tsUs; last = e.value; None }
+          else Some(AsofUpdate(user, e.eventId, fromMicros(e.tsUs), last))
+        }
+        state.update(AsofState(pending, lastUs, last))
+        if (pending.nonEmpty) {
+          val horizonMs = (pending.map(_.tsUs).min + 999L) / 1000L
+          state.setTimeoutTimestamp(
+            math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.iterator
+    }
+  }
+
   /** Streaming per-key exponentially-weighted mean — the streaming twin
     * of [[graft.core.Series.ewmStatsBy]] (pandas groupby().ewm().mean()
     * as a live feature): one EMA row out per event, in EVENT-TIME order,

@@ -28,6 +28,26 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
   }
 
+  test("orc round trip preserves schema and data") {
+    val p = s"${tmp()}/t.orc"
+    Sources.writeOrc(df, p)
+    val back = Sources.orc(spark, p)
+    assert(back.schema.map(f => (f.name, f.dataType))
+      == df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("text round trip: line-per-row, and wholetext file-per-row") {
+    val p = s"${tmp()}/t.txt"
+    Sources.writeText(Seq("l1", "l2", "l3").toDF("value"), p)
+    val lines = Sources.text(spark, p).collect().map(_.getString(0)).toSet
+    assert(lines == Set("l1", "l2", "l3"))
+    val whole = Sources.text(spark, p, wholetext = true)
+      .collect().map(_.getString(0))
+    // one row per FILE; every line is inside some file
+    assert(whole.flatMap(_.split("\n")).toSet == Set("l1", "l2", "l3"))
+  }
+
   test("csv round trip with explicit schema (no inference pass)") {
     val p = s"${tmp()}/t.csv"
     Sources.writeCsv(df, p)

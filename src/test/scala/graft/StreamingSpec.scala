@@ -66,6 +66,34 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("asofStream joins out-of-order probes to the latest earlier reference") {
+    implicit val sqlCtx = spark.sqlContext
+    // side 0 = reference, side 1 = probe; delivered OUT of event-time
+    // order across two batches — the state buffer must reorder before
+    // finalizing.
+    val in = MemoryStream[(Long, Long, Timestamp, Double, Int)]
+    val out = StreamOps.asofStream(
+      in.toDF.toDF("user_id", "event_id", "ts", "value", "side"), "1 hour")
+    val q = out.writeStream.format("memory").queryName("asof_s")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, 102L, ts(15), 0.0, 1), (1L, 11L, ts(0), 1.0, 0))
+      q.processAllAvailable()
+      in.addData((1L, 101L, ts(5), 0.0, 1), (1L, 12L, ts(10), 2.0, 0))
+      q.processAllAvailable()
+      in.addData((-1L, -9L, Timestamp.valueOf("2030-01-01 00:00:00"),
+        0.0, 0)) // advance the watermark past everything
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, matched FROM asof_s WHERE user_id >= 0 " +
+        "ORDER BY event_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // probe@:05 sees ref@:00 (1.0); probe@:15 sees ref@:10 (2.0) even
+      // though the probe ARRIVED before that reference
+      assert(rows == Seq((101L, 1.0), (102L, 2.0)))
+    } finally q.stop()
+  }
+
   test("watermarked tumbling window aggregates by event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
