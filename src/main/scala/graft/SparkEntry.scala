@@ -872,6 +872,23 @@ object SparkEntry {
           col("dup_last"), col("dup_all"))
         .orderBy("idx")
     }),
+    // pandas pct_change(-2): fractional change vs the value two positions
+    // AHEAD — rides the forward-carry (lead) bucket plan, no single-task
+    // window; per-row division is exact IEEE so no rounding is needed.
+    "s93_pct_change_neg" -> ((s, d) => {
+      val v = Series.fromExpr(Tables.events(s, d), col("value"), "v",
+        col("event_id"), "idx")
+      val p = v.pctChange(-2)
+      p.df.select(col("idx"), col(p.name).as("pc")).orderBy("idx")
+    }),
+    // pandas resample('h').ohlc(): the candlestick query — open/high/
+    // low/close per hour from ONE partial+final aggregation (min_by/
+    // max_by are mergeable, so the map side carries 4 scalars per hour).
+    "s92_ohlc" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
+      v.ohlcBy(date_trunc("HOUR", col("ts")), "hr").orderBy("hr")
+    }),
     // pandas groupby(k).idxmax()/.idxmin(): per-group label of the
     // extremum, first-occurrence ties — the rank predicate rides
     // WindowGroupLimit per-partition top-1 heaps before the shuffle.
@@ -1530,6 +1547,17 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s93_pct_change_neg" ->
+      ("""SELECT event_id AS idx,
+           (value - lead(value, 2) OVER win)
+             / nullif(lead(value, 2) OVER win, 0) AS pc
+         FROM events WINDOW win AS (ORDER BY event_id)
+         ORDER BY idx"""),
+    "s92_ohlc" ->
+      ("""SELECT date_trunc('hour', ts) AS hr,
+           arg_min(value, ts) AS "open", max(value) AS high,
+           min(value) AS low, arg_max(value, ts) AS "close"
+         FROM events GROUP BY 1 ORDER BY hr"""),
     "s87_group_idxmax" ->
       ("""WITH r AS (
            SELECT user_id % 100 AS key, event_id,

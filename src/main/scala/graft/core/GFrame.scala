@@ -266,6 +266,27 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
       indexName)
   }
 
+  /** pandas df.drop_duplicates(subset=, keep='first'): one survivor per
+    * subset-key group — the row with the smallest index label (pandas'
+    * first occurrence; 'last' = largest). ONE unordered keyed window (min/
+    * max label per subset partition), a single shuffle, no sort, no
+    * self-join — the frame sibling of Series.dropDuplicates. (Spark's
+    * native dropDuplicates picks an ARBITRARY row; this one is
+    * deterministic.) */
+  def dropDuplicatesBy(subset: Seq[Column],
+                       keep: String = "first"): GFrame = {
+    val w = Window.partitionBy(subset: _*)
+    val flag = keep match {
+      case "first" => col(indexName) > min(col(indexName)).over(w)
+      case "last"  => col(indexName) < max(col(indexName)).over(w)
+      case other => throw new IllegalArgumentException(
+        s"keep must be first|last, got $other")
+    }
+    new GFrame(
+      df.withColumn("__dup", flag).filter(!col("__dup")).drop("__dup"),
+      indexName)
+  }
+
   /** Unpivot/melt (pandas melt): wide metric columns → (variable, value)
     * rows. Native Expand node — one pass, no join/union of scans. */
   def melt(valueCols: Seq[String], varName: String = "variable",

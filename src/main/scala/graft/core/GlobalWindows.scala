@@ -333,6 +333,13 @@ final class GlobalWindows private[graft] (
     try_divide(col(valName) - prev, prev)
   }
 
+  /** Global fractional change against the FOLLOWING value (pandas
+    * pct_change(-n): v / v.shift(-n) − 1) — the lead-carry sibling. */
+  def pctChangeLead(n: Int = 1): Column = {
+    val nxt = lead(n)
+    try_divide(col(valName) - nxt, nxt)
+  }
+
   private def rolling(n: Int)(f: Column => Column): Column = {
     require(n >= 1, "rolling window size must be >= 1")
     require(n - 1 <= carry,

@@ -811,13 +811,16 @@ final class Series private[graft] (
     * try_divide: a zero previous value yields null, not a DIVIDE_BY_ZERO
     * abort under Spark 4's default ANSI mode. */
   def pctChange(periods: Int = 1): Series = {
-    require(periods >= 1, "pct_change periods must be >= 1")
-    if (orderableIdx) {
-      val g = globalWindows(carry = periods)
-      g.series(g.pctChange(periods), name)
-    } else {
+    require(periods != 0, "pct_change periods must be non-zero")
+    if (!orderableIdx) {
       val prev = lag(valueExpr, periods).over(ixWindow)
       withValue(try_divide(valueExpr - prev, prev))
+    } else if (periods >= 1) {
+      val g = globalWindows(carry = periods)
+      g.series(g.pctChange(periods), name)
+    } else { // pandas pct_change(-n): change vs the FOLLOWING value
+      val g = globalWindows(fcarry = -periods)
+      g.series(g.pctChangeLead(-periods), name)
     }
   }
 
@@ -1666,6 +1669,21 @@ final class Series private[graft] (
         s"unknown rank method '$other'")
     }))
   }
+
+  /** pandas groupby(by).ohlc() / resample(freq).ohlc(): open/high/low/
+    * close per group — open is the value at the group's smallest label,
+    * close at its largest (`min_by`/`max_by`), high/low are plain
+    * extrema. ONE partial+final aggregation (all four are mergeable
+    * DeclarativeAggregates — the map side keeps 4 scalars per group), so
+    * the candlestick query costs a single keyed exchange at any scale.
+    * Label ties resolve by Spark's min_by/max_by first-wins; use a
+    * unique label (timestamps) for determinism like pandas. */
+  def ohlcBy(by: Column, keyName: String = "key"): DataFrame =
+    base.groupBy(by.as(keyName)).agg(
+      min_by(valueExpr, indexExpr).as("open"),
+      F.max(valueExpr).as("high"),
+      F.min(valueExpr).as("low"),
+      max_by(valueExpr, indexExpr).as("close"))
 
   /** pandas groupby(by).cumcount(): 0-based arrival position of each row
     * within its group, in index order. One keyed window (a single shuffle

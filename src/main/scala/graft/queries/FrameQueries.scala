@@ -423,6 +423,17 @@ object FrameQueries {
           margins = true)
         .toDF.orderBy("l_linestatus")),
 
+    // pandas df.drop_duplicates(subset=['cust', 'priority']): one
+    // DETERMINISTIC survivor (smallest orderkey) per subset key — one
+    // unordered keyed window flag, single shuffle, no sort (Spark's
+    // native dropDuplicates picks an arbitrary row).
+    "f37_drop_dup_subset" -> ((s, d) =>
+      GFrame.fromDF(Tables.orders(s, d), "o_orderkey")
+        .dropDuplicatesBy(Seq(col("o_custkey"), col("o_orderpriority")))
+        .toDF
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey")),
+
     // pandas groupby(custkey).head(2): each customer's first two orders
     // by (orderdate, orderkey). The rank predicate sits directly on the
     // staged row_number → WindowGroupLimit per-partition top-n heaps
@@ -583,6 +594,13 @@ object FrameQueries {
              / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) * 1e6 + 0.5)
              / 1e6 AS r2
          FROM a ORDER BY o_orderpriority""",
+
+    "f37_drop_dup_subset" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority
+         FROM orders
+         QUALIFY o_orderkey = min(o_orderkey) OVER (
+           PARTITION BY o_custkey, o_orderpriority)
+         ORDER BY o_orderkey""",
 
     "f36_group_head" ->
       """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice

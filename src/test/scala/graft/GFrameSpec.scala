@@ -35,6 +35,16 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("dropDuplicatesBy keeps a deterministic survivor per subset key") {
+    val df = Seq((3L, "a", 1), (1L, "a", 1), (2L, "b", 1), (5L, "a", 2))
+      .toDF("id", "k1", "k2")
+    def ids(keep: String) = GFrame.fromDF(df, "id")
+      .dropDuplicatesBy(Seq(col("k1"), col("k2")), keep)
+      .toDF.collect().map(_.getLong(0)).toSet
+    assert(ids("first") == Set(1L, 2L, 5L))
+    assert(ids("last") == Set(3L, 2L, 5L))
+  }
+
   test("cross-frame assign aligns on index via join") {
     val other = Series.fromPairs(spark, Seq((1L, 100.0), (3L, 300.0)), name = "x")
     val out = gf.assign("x", other)

@@ -928,6 +928,23 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(col1(s.dt.round(3600L)) == exp)
   }
 
+  test("ohlcBy: open/high/low/close from one aggregation") {
+    val df = Seq((1L, "g1", 5.0), (2L, "g1", 9.0), (3L, "g1", 2.0),
+      (4L, "g1", 7.0), (5L, "g2", 1.0)).toDF("i", "g", "v")
+    val got = Series.fromColumn(df, "v", "i").ohlcBy(df("g"), "g")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("g1", 5.0, 9.0, 2.0, 7.0),
+      ("g2", 1.0, 1.0, 1.0, 1.0)))
+  }
+
+  test("pctChange with negative periods compares against the FUTURE value") {
+    val s = Series.fromSeq(spark, Seq(2.0, 4.0, 8.0), name = "v")
+    val got = valuesOf(s.pctChange(-1))
+    assert(got == Seq(-0.5, -0.5, null)) // 2/4-1, 4/8-1, no successor
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
