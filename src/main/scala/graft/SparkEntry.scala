@@ -872,6 +872,18 @@ object SparkEntry {
           col("dup_last"), col("dup_all"))
         .orderBy("idx")
     }),
+    // pandas Series.searchsorted(probes, side): insertion positions of a
+    // DISTRIBUTED probe set among the sorted lineitem prices — distinct-
+    // value counts → bucketed distributed cumsum → a strict ('left') /
+    // inclusive ('right') global as-of lookup; probes never collect.
+    "s94_searchsorted" -> ((s, d) => {
+      val px = price(s, d)
+      val probes = Tables.orders(s, d).select(col("o_totalprice")).distinct()
+      px.searchsorted(probes, "left").withColumnRenamed("pos", "pos_l")
+        .join(px.searchsorted(probes, "right")
+          .withColumnRenamed("pos", "pos_r"), Seq("o_totalprice"))
+        .orderBy("o_totalprice")
+    }),
     // pandas pct_change(-2): fractional change vs the value two positions
     // AHEAD — rides the forward-carry (lead) bucket plan, no single-task
     // window; per-row division is exact IEEE so no rounding is needed.
@@ -1547,6 +1559,19 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s94_searchsorted" ->
+      ("""WITH d AS (SELECT l_extendedprice AS v, 1 AS w FROM lineitem),
+         p AS (SELECT DISTINCT o_totalprice AS v FROM orders),
+         u AS (SELECT v, w FROM d UNION ALL SELECT v, 0 AS w FROM p),
+         s AS (SELECT v, w,
+             sum(w) OVER (ORDER BY v, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+             sum(w) OVER (ORDER BY v, w DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr
+           FROM u)
+         SELECT v AS o_totalprice, CAST(cl AS BIGINT) AS pos_l,
+           CAST(cr AS BIGINT) AS pos_r
+         FROM s WHERE w = 0 ORDER BY o_totalprice"""),
     "s93_pct_change_neg" ->
       ("""SELECT event_id AS idx,
            (value - lead(value, 2) OVER win)

@@ -1670,6 +1670,58 @@ final class Series private[graft] (
     }))
   }
 
+  /** pandas Series.searchsorted(probes, side): for each probe value, the
+    * insertion position that keeps the VALUES sorted — side='left' is
+    * the count of values strictly below the probe, 'right' also counts
+    * ties. Fully distributed, probes never driver-collected: per-
+    * distinct-value counts (one partial+final aggregate) → the bucketed
+    * distributed cumsum over the value coordinate → a global as-of
+    * lookup of each probe against the cumulative counts ('left' = strict
+    * backward match via allow_exact_matches=false, 'right' = inclusive).
+    * Null data values are ignored (pandas sorts them out of range);
+    * probes must be non-null. Output: (probe-column, pos). */
+  def searchsorted(probes: DataFrame, side: String = "left",
+      buckets: Int = 32): DataFrame = {
+    require(side == "left" || side == "right", "side must be left|right")
+    val pCol = probes.columns.head
+    val W = org.apache.spark.sql.expressions.Window
+    val data = base.filter(valueExpr.isNotNull)
+      .select(lit(null).cast(probes.schema(pCol).dataType).as("__p"),
+        valueExpr.cast("double").as("__v"), lit(1L).as("__w"))
+    val pr = probes.select(col(pCol).as("__p"),
+      col(pCol).cast("double").as("__v"), lit(0L).as("__w"))
+    val bounds = data.agg(F.min(col("__v")), F.max(col("__v"))).head()
+    if (bounds.isNullAt(0)) // no data → every probe inserts at 0
+      return probes.select(col(pCol), lit(0L).as("pos"))
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val bkt =
+      if (!(hi > lo)) lit(0)
+      else least(greatest(
+        floor((col("__v") - lit(lo)) / lit((hi - lo) / buckets)),
+        lit(0.0)), lit(buckets - 1.0)).cast("int")
+    val bu = data.unionByName(pr).select(col("__p"), col("__v"),
+      col("__w"), bkt.as("__b"))
+    // per-bucket data counts → exclusive prefix offsets: `buckets` rows
+    // of driver state, the same bounded fold as rankAll
+    val cnts = bu.filter(col("__w") === 1)
+      .groupBy("__b").agg(F.sum(col("__w")).as("__c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until buckets)
+      .scanLeft(0L)((acc, b) => acc + cnts.getOrElse(b, 0L))
+    val offCol = (0 until buckets).foldLeft(lit(0L): Column)(
+      (acc, b) => when(col("__b") === b, lit(offsets(b))).otherwise(acc))
+    // side='left': probes sort BEFORE equal data values (w asc) so the
+    // inclusive running sum of w counts strictly-smaller data only;
+    // 'right' flips the tie order so equal data counts too
+    val tie = if (side == "left") col("__w").asc else col("__w").desc
+    val w = W.partitionBy(col("__b")).orderBy(col("__v").asc, tie)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    bu.select(col("__p"), col("__w"),
+        (F.sum(col("__w")).over(w) + offCol).as("pos"))
+      .filter(col("__w") === 0)
+      .select(col("__p").as(pCol), col("pos"))
+  }
+
   /** pandas groupby(by).ohlc() / resample(freq).ohlc(): open/high/low/
     * close per group — open is the value at the group's smallest label,
     * close at its largest (`min_by`/`max_by`), high/low are plain

@@ -23,9 +23,19 @@ object StreamOps {
     * watermark bounding late data and state size. */
   def windowedAgg(events: DataFrame, watermarkDelay: String,
                   windowDuration: String): DataFrame =
+    windowedAgg(events, watermarkDelay, windowDuration, windowDuration)
+
+  /** Tumbling (slide = duration) or HOPPING (slide < duration) watermarked
+    * window aggregate — the streaming twin of
+    * [[graft.ops.EventOps.hopping]]: the same window() Expand replicates
+    * each event into its duration/slide windows before the stateful
+    * aggregation, and a window's state evicts once the watermark passes
+    * its end. */
+  def windowedAgg(events: DataFrame, watermarkDelay: String,
+                  windowDuration: String, slide: String): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .groupBy(window(col("ts"), windowDuration, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"),
         col("total"))

@@ -62,7 +62,11 @@ class CollectLintSpec extends AnyFunSuite {
       "typedlit((1 until q).map(_.toDouble / q))).as(\"qs\")).head()" ->
         "qcut cuts: q−1 quantiles, 1 row",
       "val totalRow = counts.agg(F.sum(\"count\")).head()" ->
-        "value_counts(normalize) denominator: 1 row"),
+        "value_counts(normalize) denominator: 1 row",
+      ".collect().map(r => r.getInt(0) -> r.getLong(1)).toMap" ->
+        "searchsorted bucket offsets: `buckets` rows",
+      "val bounds = data.agg(F.min(col(\"__v\")), F.max(col(\"__v\"))).head()" ->
+        "searchsorted bounds: 1-row min/max"),
     "RangeWindows.scala" -> Map(
       "private val bounds = d.agg(F.min(col(idxName)), F.max(col(idxName))).head()" ->
         "1-row min/max bounds"),

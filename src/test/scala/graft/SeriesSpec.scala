@@ -928,6 +928,15 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(col1(s.dt.round(3600L)) == exp)
   }
 
+  test("searchsorted: left/right insertion positions, distributed probes") {
+    val s = Series.fromSeq(spark, Seq(1.0, 3.0, 3.0, 5.0), name = "v")
+    val probes = Seq(0.0, 1.0, 3.0, 4.0, 9.0).toDF("p")
+    def pos(side: String) = s.searchsorted(probes, side).orderBy("p")
+      .collect().map(_.getLong(1)).toSeq
+    assert(pos("left") == Seq(0L, 0L, 1L, 3L, 4L))
+    assert(pos("right") == Seq(0L, 1L, 3L, 3L, 4L))
+  }
+
   test("ohlcBy: open/high/low/close from one aggregation") {
     val df = Seq((1L, "g1", 5.0), (2L, "g1", 9.0), (3L, "g1", 2.0),
       (4L, "g1", 7.0), (5L, "g2", 1.0)).toDF("i", "g", "v")

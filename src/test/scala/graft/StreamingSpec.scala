@@ -265,6 +265,33 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streaming hopping agg == batch hopping on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((ts(7), "click", 1.0), (ts(22), "click", 2.0),
+      (ts(40), "buy", 5.0))
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.windowedAgg(
+        in.toDF.toDF("ts", "event_type", "value"),
+        "0 seconds", "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("hop_s")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT ws, event_type, n, total FROM hop_s ORDER BY ws, event_type")
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.ops.EventOps.hopping(
+          rows.toDF("ts", "event_type", "value"), "ts", "30 minutes",
+          "10 minutes", Seq(col("event_type")),
+          Seq(count(lit(1)).as("n"), sum(col("value")).as("total")))
+        .select("ws", "event_type", "n", "total")
+        .orderBy("ws", "event_type").collect().map(_.toSeq).toSeq
+      // 3 events x 3 windows each, the two clicks sharing one window -> 8
+      assert(stream == batch && stream.size == 8)
+    } finally q.stop()
+  }
+
   test("batch and streaming tumbling aggs agree on the same data") {
     implicit val sqlCtx = spark.sqlContext
     val data = Seq((ts(5), "a", 1.0), (ts(15), "a", 2.0), (ts(45), "b", 3.0))
