@@ -884,6 +884,53 @@ object SparkEntry {
           .withColumnRenamed("pos", "pos_r"), Seq("o_totalprice"))
         .orderBy("o_totalprice")
     }),
+    // pandas Series.is_monotonic_increasing/_decreasing + any()/all():
+    // driver-facing scalar probes — monotonicity closes over one bucketed
+    // diff pass (no single-task window) + a 1-row aggregate; the gate
+    // re-lifts the four scalars into a 1-row frame.
+    "s97_monotonic_any" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val key = Series.fromColumn(o, "o_orderkey", "o_orderkey")
+      val tp = Series.fromExpr(o, col("o_totalprice"), "v",
+        col("o_orderkey"), "idx")
+      s.range(1).select(
+        lit(key.isMonotonicIncreasing).as("mi_key"),
+        lit(key.isMonotonicDecreasing).as("md_key"),
+        lit(tp.isMonotonicIncreasing).as("mi_tp"),
+        lit(tp.any(_ > 400000.0)).as("any_big"),
+        lit(tp.all(_ > 0.0)).as("all_pos"))
+    }),
+    // pandas .str extras (split/get/count/pad/repeat): pure Column
+    // expressions composing on one scan — get() is try_element_at so an
+    // out-of-range index nulls instead of raising under ANSI.
+    "s95_str_extras" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      val nm = Series.fromColumn(part, "p_name", "p_partkey")
+      val toks = nm.str.split(" ")
+      part.select(
+        col("p_partkey").as("idx"),
+        toks.str.get(0).values.as("first_tok"),
+        toks.str.get(-1).values.as("last_tok"),
+        nm.str.count("[aeiou]").values.as("vowels"),
+        nm.str.pad(30, "right", ".").values.as("pad30"),
+        nm.str.repeat(2).values.as("rep2"))
+        .orderBy("idx")
+    }),
+    // pandas .dt extras (quarter/dayofyear/weekofyear/days_in_month/
+    // is_month_start/is_month_end): calendar projections on one scan.
+    "s96_dt_extras" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val ts = Series.fromColumn(e, "ts", "event_id")
+      e.select(
+        col("event_id").as("idx"),
+        ts.dt.quarter.values.as("q"),
+        ts.dt.dayofyear.values.as("doy"),
+        ts.dt.weekofyear.values.as("wk"),
+        ts.dt.daysinmonth.values.as("dim"),
+        ts.dt.isMonthStart.values.as("ms"),
+        ts.dt.isMonthEnd.values.as("me"))
+        .orderBy("idx")
+    }),
     // pandas pct_change(-2): fractional change vs the value two positions
     // AHEAD — rides the forward-carry (lead) bucket plan, no single-task
     // window; per-row division is exact IEEE so no rounding is needed.
@@ -1559,6 +1606,35 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s97_monotonic_any" ->
+      ("""WITH d AS (SELECT o_totalprice AS v,
+             o_totalprice - lag(o_totalprice) OVER w AS dv,
+             o_orderkey - lag(o_orderkey) OVER w AS dk
+           FROM orders WINDOW w AS (ORDER BY o_orderkey))
+         SELECT bool_and(dk IS NULL OR dk >= 0) AS mi_key,
+           bool_and(dk IS NULL OR dk <= 0) AS md_key,
+           bool_and(dv IS NULL OR dv >= 0) AS mi_tp,
+           bool_or(v > 400000) AS any_big,
+           bool_and(v > 0) AS all_pos
+         FROM d"""),
+    "s95_str_extras" ->
+      ("""SELECT p_partkey AS idx,
+           list_extract(string_split_regex(p_name, ' '), 1) AS first_tok,
+           list_extract(string_split_regex(p_name, ' '), -1) AS last_tok,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER)
+             AS vowels,
+           rpad(p_name, 30, '.') AS pad30,
+           repeat(p_name, 2) AS rep2
+         FROM part ORDER BY idx"""),
+    "s96_dt_extras" ->
+      ("""SELECT event_id AS idx,
+           CAST(quarter(ts) AS INTEGER) AS q,
+           CAST(dayofyear(ts) AS INTEGER) AS doy,
+           CAST(weekofyear(ts) AS INTEGER) AS wk,
+           CAST(day(last_day(ts)) AS INTEGER) AS dim,
+           day(ts) = 1 AS ms,
+           CAST(ts AS DATE) = last_day(ts) AS me
+         FROM events ORDER BY idx"""),
     "s94_searchsorted" ->
       ("""WITH d AS (SELECT l_extendedprice AS v, 1 AS w FROM lineitem),
          p AS (SELECT DISTINCT o_totalprice AS v FROM orders),

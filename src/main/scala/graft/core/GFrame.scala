@@ -251,6 +251,19 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
                    partitionBy: Seq[Column]): GFrame =
     withColumn(name, aggExpr.over(Window.partitionBy(partitionBy: _*)))
 
+  /** pandas groupby(keys).filter(pred): keep every MEMBER ROW of the
+    * groups whose aggregate satisfies the predicate — SQL HAVING that
+    * returns rows, not groups. The aggregate lands on member rows through
+    * the same unordered whole-partition window as [[withGroupAgg]] (one
+    * shuffle on the keys, no sort, no agg-then-self-join), the predicate
+    * filters, the helper column drops. */
+  def groupFilter(keys: Seq[Column], aggExpr: Column,
+                  pred: Column => Column): GFrame = {
+    val g = df.withColumn("__ga",
+      aggExpr.over(Window.partitionBy(keys: _*)))
+    new GFrame(g.filter(pred(col("__ga"))).drop("__ga"), indexName)
+  }
+
   /** pandas groupby(keys).head(n): the first n rows of each group under
     * `order` (ties must be broken by a unique column in `order` for
     * determinism). The filter sits DIRECTLY on the staged row_number, so

@@ -807,6 +807,37 @@ final class Series private[graft] (
       g.series(g.diffLead(-n), name)
     }
 
+  /** pandas Series.is_monotonic_increasing: non-strict (equal neighbors
+    * allowed), any null value → false (pandas NaN behavior). One bucketed
+    * diff pass (no single-task window) closed by one scalar aggregate. */
+  def isMonotonicIncreasing: Boolean = monotonic(_ >= 0)
+
+  /** pandas Series.is_monotonic_decreasing. */
+  def isMonotonicDecreasing: Boolean = monotonic(_ <= 0)
+
+  private def monotonic(ok: Column => Column): Boolean = {
+    val counts = base.agg(F.count(lit(1)), F.count(valueExpr)).head()
+    val n = counts.getLong(0)
+    if (counts.getLong(1) < n) return false // any null value → false (NaN)
+    if (n <= 1) return true
+    // null-free values: the only null diff is the first position
+    val d = diff(1)
+    d.base.agg(F.min(when(d.valueExpr.isNull || ok(d.valueExpr), 1L)
+      .otherwise(0L))).head().getLong(0) == 1L
+  }
+
+  /** pandas (s `op` x).any(): does ANY value satisfy the predicate. */
+  def any(pred: Column => Column): Boolean =
+    aggScalar(coalesce(bool_or(pred(valueExpr)), lit(false))) match {
+      case b: Boolean => b
+    }
+
+  /** pandas (s `op` x).all(): do ALL values satisfy it (true on empty). */
+  def all(pred: Column => Column): Boolean =
+    aggScalar(coalesce(bool_and(pred(valueExpr)), lit(true))) match {
+      case b: Boolean => b
+    }
+
   /** Fractional change from the previous value (pandas pct_change).
     * try_divide: a zero previous value yields null, not a DIVIDE_BY_ZERO
     * abort under Spark 4's default ANSI mode. */
@@ -1995,6 +2026,33 @@ final class StrAccessor private[core] (s: Series) {
   def extract(pattern: String): Series =
     t(v => when(v.rlike(pattern),
       F.regexp_extract(v, pattern, 1)))
+  /** pandas str.split(pat): regex split into an array Series (feed to
+    * [[get]] or Series.explode). */
+  def split(pattern: String): Series = t(F.split(_, pattern))
+  /** pandas str.get(i) over an ARRAY Series (e.g. from [[split]]):
+    * 0-based, negative counts from the end, null when out of range
+    * (try_element_at — never an ANSI error). */
+  def get(i: Int): Series =
+    t(v => F.try_element_at(v, F.lit(if (i >= 0) i + 1 else i)))
+  /** pandas str.count(pat): non-overlapping regex match count. */
+  def count(pattern: String): Series =
+    t(F.regexp_count(_, F.lit(pattern)))
+  /** pandas str.pad(width, side, fillchar) for side='left'/'right'
+    * (lpad/rpad semantics: longer inputs truncate to `width`, like both
+    * engines' pad builtins). */
+  def pad(width: Int, side: String = "left",
+          fillchar: String = " "): Series = side match {
+    case "left"  => t(F.lpad(_, width, fillchar))
+    case "right" => t(F.rpad(_, width, fillchar))
+    case other => throw new IllegalArgumentException(
+      s"side must be left|right, got $other")
+  }
+  /** pandas str.repeat(n). */
+  def repeat(n: Int): Series = t(F.repeat(_, n))
+  /** pandas str.title() (initcap: every word's first letter upper). */
+  def title: Series = t(F.initcap(_))
+  def lstrip: Series = t(F.ltrim(_))
+  def rstrip: Series = t(F.rtrim(_))
 }
 
 /** pandas Series.dt — calendar parts in the session time zone; dayofweek
@@ -2011,6 +2069,18 @@ final class DtAccessor private[core] (s: Series) {
   /** Monday = 0 (pandas); Spark's dayofweek is Sunday = 1. */
   def dayofweek: Series = t(v => (F.dayofweek(v) + 5) % 7)
   def date: Series = t(_.cast(DateType))
+
+  def quarter: Series = t(F.quarter(_))
+  def dayofyear: Series = t(F.dayofyear(_))
+  /** ISO week number (pandas dt.isocalendar().week). */
+  def weekofyear: Series = t(F.weekofyear(_))
+  /** pandas dt.days_in_month. */
+  def daysinmonth: Series = t(v => F.dayofmonth(F.last_day(v)))
+  def isMonthStart: Series = t(F.dayofmonth(_) === 1)
+  def isMonthEnd: Series = t(v => v.cast(DateType) === F.last_day(v))
+  def isQuarterStart: Series =
+    t(v => F.dayofmonth(v) === 1 && F.pmod(F.month(v), F.lit(3)) === 1)
+  def isYearStart: Series = t(F.dayofyear(_) === 1)
 
   /** pandas dt.floor(freq): truncate to the frequency boundary. Exact
     * epoch-µs integer arithmetic (`us − us mod step`) — engine-portable,

@@ -80,6 +80,54 @@ object DedupOps {
         col("containment"))
   }
 
+  /** Bloom-prefiltered decontamination — the shape [[ngramContamination]]
+    * takes when the benchmark SUITE is itself too large to broadcast its
+    * exploded postings (many benchmarks × many n-grams): build ONE
+    * fixed-size mergeable Bloom bitset over the benchmark's n-grams
+    * (partial+final aggregation; ~1.2 MB at 2^20 items / 1% fpp no matter
+    * the corpus size), broadcast THAT, and drop every corpus posting whose
+    * n-gram cannot be in the benchmark BEFORE any join. Survivors — the
+    * contaminated sliver — then confirm through the exact n-gram
+    * equi-join, which no longer needs the benchmark postings to fit in a
+    * broadcast because its probe side has already collapsed. Bloom filters
+    * have no false negatives and the false positives die in the exact
+    * join, so the output is bit-identical to [[ngramContamination]].
+    *
+    * The membership probe is a Scala UDF over the broadcast bitset — the
+    * one justified UDF in the codebase: Spark exposes no public native
+    * bloom-probe expression, the closure ships a broadcast handle (not
+    * the bitset), and each call is a handful of hash probes replacing a
+    * join of the full corpus posting volume. */
+  def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int,
+                         minShared: Int = 1,
+                         expectedNgrams: Long = 1L << 20,
+                         fpp: Double = 0.01): DataFrame = {
+    def postings(df: DataFrame, out: String): DataFrame = df
+      .select(col(idCol).as(out), TextOps.shingles(col(textCol), n).as("__shs"))
+      .select(col(out), explode(col("__shs")).as("sh"))
+    val b = graft.Caches.track(postings(benchmark, "bench_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // bounded driver action: the aggregated bitset, not the postings
+    val bf = b.stat.bloomFilter("sh", expectedNgrams, fpp)
+    val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((sh: String) => sh != null && bcast.value.mightContainString(sh))
+    val bsizes = b.groupBy("bench_id").agg(count(lit(1)).as("bn"))
+    postings(spread(corpus.select(col(idCol), col(textCol)), idCol),
+        "train_id")
+      .filter(mightContain(col("sh")))
+      .join(b, "sh")
+      .groupBy("train_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(broadcast(bsizes), "bench_id")
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("bn").cast("double"))
+      .select(col("train_id"), col("bench_id"), col("n_shared"),
+        col("containment"))
+  }
+
   /** All pairs with word-`n`-gram Jaccard ≥ `threshold`, found via an
     * inverted shingle index: explode distinct shingles, self-equi-join on
     * the shingle (id1 < id2), count shared shingles per pair, then

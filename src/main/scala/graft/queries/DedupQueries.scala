@@ -147,6 +147,22 @@ object DedupQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    // Bloom-prefiltered decontamination: the SAME split and the SAME exact
+    // answer as d09, but the plan is the 100 TB shape — the benchmark's
+    // n-grams compact into one broadcast Bloom bitset, clean corpus
+    // postings (the vast majority at scale) drop before any join, and the
+    // exact join only confirms the sliver. Bloom has no false negatives
+    // and the exact join kills the false positives, so d09's oracle gates
+    // this pipeline bit-for-bit.
+    "d16_bloom_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.bloomContamination(
+          docs.filter(col("doc_id") >= 25), docs.filter(col("doc_id") < 25),
+          "doc_id", "text", n = 3)
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("train_id", "bench_id")
+    }),
+
     // Blocked fuzzy record linkage: a 100-part probe slice resolved against
     // the full part corpus — equi-join on the last-token blocking key
     // (never O(n²)), length-band prefilter, exact levenshtein ≤ 2
@@ -383,6 +399,17 @@ object DedupQueries {
          SELECT id, comp, count(*) OVER (PARTITION BY comp) AS csize,
            id = comp AS keep
          FROM comps ORDER BY id""",
+    "d16_bloom_contamination" ->
+      s"""WITH $ShingleCte,
+         b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25),
+         c AS (SELECT doc_id AS train_id, sh FROM sh WHERE doc_id >= 25),
+         bs AS (SELECT bench_id, count(*) AS bn FROM b GROUP BY 1),
+         j AS (SELECT train_id, bench_id, count(*) AS n_shared
+               FROM c JOIN b USING (sh) GROUP BY 1, 2)
+         SELECT train_id, bench_id, n_shared,
+           round(n_shared * 1.0 / bn, 6) AS containment
+         FROM j JOIN bs USING (bench_id)
+         ORDER BY train_id, bench_id""",
     "d09_contamination" ->
       s"""WITH $ShingleCte,
          b AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id < 25),

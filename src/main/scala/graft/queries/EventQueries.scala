@@ -326,6 +326,46 @@ object EventQueries {
         .orderBy("idx")
     }),
 
+    // STREAMING HOPPING WINDOWS under the hash gate: the full fixture
+    // replays through windowedAgg(1 hour, slide 15 min) — the same
+    // window() Expand as batch e21 running as a watermarked streaming
+    // aggregation in append mode. Two far-future sentinel events advance
+    // the watermark past every fixture window (emission happens in the
+    // batch AFTER the watermark moves), then sentinels filter out. Must
+    // hash-match e21's 4-windows-per-event DuckDB oracle exactly. The
+    // collect is the replay harness, not the operator.
+    "e23_stream_hopping" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select("ts", "event_type", "value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val name = s"graft_e23_${System.nanoTime()}"
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .windowedAgg(input.toDF().toDF("ts", "event_type", "value"),
+            "0 seconds", "1 hour", "15 minutes")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          q.processAllAvailable()
+          input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            "__wm", 0.0))
+          q.processAllAvailable()
+          input.addData((java.sql.Timestamp.valueOf("2031-01-01 00:00:00"),
+            "__wm", 0.0))
+          q.processAllAvailable()
+        } finally q.stop() // memory sink retains the batches after stop
+      }
+      s.table(name).filter(col("event_type") =!= "__wm")
+        .select(col("ws"), col("event_type"), col("n"),
+          round(col("total"), 2).as("total"))
+        .orderBy("ws", "event_type")
+    }),
+
     // NATIVE session_window under the same hash gate as e09: identical
     // replay harness, but the sessionizer is the first-class
     // session_window streaming aggregation (engine-managed merging
@@ -534,6 +574,16 @@ object EventQueries {
            (SELECT r.value FROM r WHERE r.user_id = l.user_id
               AND r.ts <= l.ts ORDER BY r.ts DESC LIMIT 1) AS mv
          FROM l ORDER BY idx""",
+    "e23_stream_hopping" ->
+      """WITH x AS (SELECT epoch_us(ts) AS us, event_type, value
+             FROM events),
+         k AS (SELECT us, event_type, value, u.i AS i
+               FROM x, LATERAL unnest(range(0, 4)) AS u(i)),
+         w AS (SELECT make_timestamp((us - us % 900000000)
+                 - i * 900000000) AS ws, event_type, value FROM k)
+         SELECT ws, event_type, count(*) AS n,
+           round(sum(value), 2) AS total
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "e21_hopping" ->
       """WITH x AS (SELECT epoch_us(ts) AS us, event_type, value
              FROM events),

@@ -238,6 +238,27 @@ object FrameQueries {
         .orderBy("l_linestatus")
     }),
 
+    // Z-ORDER clustered sink under the hash gate: write lineitem sorted
+    // by the Morton interleave of (l_partkey, l_suppkey), read it back
+    // through a two-dimensional range predicate, and match the plain
+    // filter on the source table — values must survive the re-layout
+    // bit-exactly while the written row groups carry tight min/max on
+    // BOTH keys (the multi-column data-skipping layout at 100 TB).
+    "f39_zorder_roundtrip" -> ((s, d) => {
+      val out = "/tmp/graft_f39_zorder"
+      graft.sources.Sources.writeZOrdered(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity"),
+        out, col("l_partkey"), col("l_suppkey"))
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(100, 300)
+          && col("l_suppkey").between(10, 60))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), round(col("l_quantity"), 2).as("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     // pandas groupby().transform(): per-nation mean/std broadcast back
     // onto every customer row → demeaned + z-scored balance (the standard
     // ML feature-prep shape). Whole-partition unordered frames — one
@@ -423,6 +444,17 @@ object FrameQueries {
           margins = true)
         .toDF.orderBy("l_linestatus")),
 
+    // pandas groupby(orderkey).filter(len >= 6): every lineitem row of
+    // the orders with at least 6 lines — HAVING that keeps member rows.
+    // One unordered keyed window (no sort, no agg-then-self-join).
+    "f38_group_filter" -> ((s, d) =>
+      GFrame.fromDF(Tables.lineitem(s, d), "l_orderkey")
+        .groupFilter(Seq(col("l_orderkey")), count(lit(1)), _ >= 6)
+        .toDF
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
     // pandas df.drop_duplicates(subset=['cust', 'priority']): one
     // DETERMINISTIC survivor (smallest orderkey) per subset key — one
     // unordered keyed window flag, single shuffle, no sort (Spark's
@@ -594,6 +626,20 @@ object FrameQueries {
              / ((n * sx2 - sx * sx) * (n * sy2 - sy * sy)) * 1e6 + 0.5)
              / 1e6 AS r2
          FROM a ORDER BY o_orderpriority""",
+
+    "f38_group_filter" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+         FROM lineitem
+         QUALIFY count(*) OVER (PARTITION BY l_orderkey) >= 6
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "f39_zorder_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           round(l_quantity, 2) AS qty
+         FROM lineitem
+         WHERE l_partkey BETWEEN 100 AND 300
+           AND l_suppkey BETWEEN 10 AND 60
+         ORDER BY l_orderkey, l_linenumber""",
 
     "f37_drop_dup_subset" ->
       """SELECT o_orderkey, o_custkey, o_orderpriority

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{lit, shiftleft, shiftrightunsigned}
 import org.apache.spark.sql.types.StructType
 
 /** File sources and sinks (the reference has neither — construction is
@@ -63,6 +64,41 @@ object Sources {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
                        mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** Sort-clustered parquet: range-partition + sort within partitions on
+    * `cols`, so every row group carries TIGHT min/max stats on them —
+    * the layout that makes parquet data-skipping work at 100 TB (a later
+    * range predicate prunes whole row groups whose stats can't match,
+    * instead of scanning everything). */
+  def writeSorted(df: DataFrame, path: String, cols: Seq[Column],
+                  mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
+      .write.mode(mode).parquet(path)
+
+  /** Morton (Z-order) interleave of two non-negative integral columns
+    * into ONE clustering coordinate: bit i of `a` lands at position 2i,
+    * bit i of `b` at 2i+1. Sorting by it keeps rows close in BOTH
+    * dimensions, so min/max row-group stats stay tight for range
+    * predicates on either column — the multi-column data-skipping layout
+    * (Delta/Iceberg OPTIMIZE ZORDER shape) as a pure codegen'd
+    * expression. */
+  def zValue(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      val abit = shiftleft(shiftrightunsigned(a.cast("long"), i)
+        .bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftrightunsigned(b.cast("long"), i)
+        .bitwiseAND(lit(1L)), 2 * i + 1)
+      acc.bitwiseOR(abit).bitwiseOR(bbit)
+    }
+  }
+
+  /** Z-order clustered parquet write: [[writeSorted]] on the interleaved
+    * [[zValue]] coordinate (computed inline — never materialized as a
+    * column, so the written schema is untouched). */
+  def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeSorted(df, path, Seq(zValue(a, b)), mode)
 
   def writeCsv(df: DataFrame, path: String,
                mode: SaveMode = SaveMode.Overwrite): Unit =

@@ -66,7 +66,11 @@ class CollectLintSpec extends AnyFunSuite {
       ".collect().map(r => r.getInt(0) -> r.getLong(1)).toMap" ->
         "searchsorted bucket offsets: `buckets` rows",
       "val bounds = data.agg(F.min(col(\"__v\")), F.max(col(\"__v\"))).head()" ->
-        "searchsorted bounds: 1-row min/max"),
+        "searchsorted bounds: 1-row min/max",
+      "val counts = base.agg(F.count(lit(1)), F.count(valueExpr)).head()" ->
+        "is_monotonic null/count probe: 1 row",
+      ".otherwise(0L))).head().getLong(0) == 1L" ->
+        "is_monotonic all-ok flag: 1 row"),
     "RangeWindows.scala" -> Map(
       "private val bounds = d.agg(F.min(col(idxName)), F.max(col(idxName))).head()" ->
         "1-row min/max bounds"),

@@ -35,6 +35,17 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("groupFilter keeps member rows of groups passing the aggregate") {
+    val df = Seq((1L, "a", 3.0), (2L, "a", 1.0), (3L, "a", 2.0),
+      (4L, "b", 9.0), (5L, "b", 8.0)).toDF("id", "g", "v")
+    val out = GFrame.fromDF(df, "id")
+      .groupFilter(Seq(col("g")), count(lit(1)), _ >= 3)
+    val got = out.toDF.orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 3L)) // only group a has >= 3 rows
+    // helper column dropped, schema unchanged
+    assert(out.toDF.columns.toSeq == Seq("id", "g", "v"))
+  }
+
   test("dropDuplicatesBy keeps a deterministic survivor per subset key") {
     val df = Seq((3L, "a", 1), (1L, "a", 1), (2L, "b", 1), (5L, "a", 2))
       .toDF("id", "k1", "k2")

@@ -42,6 +42,25 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("bloomContamination == ngramContamination (no false negatives; " +
+      "false positives die in the exact join)") {
+    assume(new java.io.File(
+      "/root/testdata/sf0.001/documents.parquet").exists)
+    val full = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = full.filter(col("doc_id") < 25)
+    val train = full.filter(col("doc_id") >= 25)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("train_id", "bench_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSeq
+    val exact = key(DedupOps.ngramContamination(
+      train, bench, "doc_id", "text", 3))
+    val bloom = key(DedupOps.bloomContamination(
+      train, bench, "doc_id", "text", 3))
+    Caches.clear()
+    assert(bloom == exact)
+  }
+
   test("exactDedup groups identical content, survivor = min id") {
     val out = DedupOps.exactDedup(docs, "doc_id", "text")
       .orderBy("survivor_id").collect()

@@ -937,6 +937,47 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(pos("right") == Seq(0L, 1L, 3L, 3L, 4L))
   }
 
+  test("is_monotonic / any / all: pandas scalar semantics") {
+    def ser(vs: Seq[java.lang.Double]) =
+      Series.fromSeq(spark, vs, name = "v")
+    assert(ser(Seq(1.0, 2.0, 2.0, 5.0)).isMonotonicIncreasing)
+    assert(!ser(Seq(1.0, 2.0, 1.5)).isMonotonicIncreasing)
+    assert(ser(Seq(5.0, 3.0, 3.0, 1.0)).isMonotonicDecreasing)
+    assert(!ser(Seq(1.0, null, 3.0)).isMonotonicIncreasing) // NaN → false
+    assert(ser(Seq(7.0)).isMonotonicIncreasing) // single non-null → true
+    assert(!ser(Seq(null)).isMonotonicIncreasing) // single null → false
+    val s = ser(Seq(1.0, -2.0, 3.0))
+    assert(s.any(_ > 2.5) && !s.any(_ > 5.0))
+    assert(s.all(_ > -3.0) && !s.all(_ > 0.0))
+  }
+
+  test("str extras: split/get/count/pad/repeat/title") {
+    val s = Series.fromSeq(spark, Seq("alpha beta gamma", "solo"), name = "t")
+    val toks = s.str.split(" ")
+    assert(col1(toks.str.get(0)) == Seq("alpha", "solo"))
+    assert(col1(toks.str.get(-1)) == Seq("gamma", "solo"))
+    assert(col1(toks.str.get(5)) == Seq(null, null))
+    assert(col1(s.str.count("a")) == Seq(4, 0))
+    assert(col1(s.str.pad(6, "right", ".")) == Seq("alpha ", "solo.."))
+    assert(col1(s.str.repeat(2)) == Seq(
+      "alpha beta gammaalpha beta gamma", "solosolo"))
+    assert(col1(s.str.title) == Seq("Alpha Beta Gamma", "Solo"))
+  }
+
+  test("dt extras: quarter/dayofyear/weekofyear/daysinmonth/month edges") {
+    val s = Series.fromSeq(spark, Seq(
+      java.sql.Timestamp.valueOf("2024-02-01 12:00:00"),
+      java.sql.Timestamp.valueOf("2024-02-29 23:00:00"),
+      java.sql.Timestamp.valueOf("2023-10-01 00:00:00")), name = "ts")
+    assert(col1(s.dt.quarter) == Seq(1, 1, 4))
+    assert(col1(s.dt.dayofyear) == Seq(32, 60, 274))
+    assert(col1(s.dt.daysinmonth) == Seq(29, 29, 31))
+    assert(col1(s.dt.isMonthStart) == Seq(true, false, true))
+    assert(col1(s.dt.isMonthEnd) == Seq(false, true, false))
+    assert(col1(s.dt.isQuarterStart) == Seq(false, false, true))
+    assert(col1(s.dt.isYearStart) == Seq(false, false, false))
+  }
+
   test("ohlcBy: open/high/low/close from one aggregation") {
     val df = Seq((1L, "g1", 5.0), (2L, "g1", 9.0), (3L, "g1", 2.0),
       (4L, "g1", 7.0), (5L, "g2", 1.0)).toDF("i", "g", "v")

@@ -67,6 +67,34 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.count() == 3)
   }
 
+  test("zValue interleaves bits; z-ordered write clusters both dims") {
+    // a=3 → result bits 0,2 (=5); b=5 → result bits 1,5 (=34); 5|34=39
+    val z = Seq((3L, 5L)).toDF("a", "b")
+      .select(Sources.zValue(col("a"), col("b"))).head().getLong(0)
+    assert(z == 39L)
+    // z-order write round-trips content and schema (sort key never lands
+    // in the written schema)
+    val grid = spark.range(256).select(
+      (col("id") / 16).cast("long").as("x"),
+      pmod(col("id"), lit(16)).cast("long").as("y"),
+      col("id").as("payload"))
+    val p = s"${tmp()}/z.parquet"
+    Sources.writeZOrdered(grid.repartition(8), p, col("x"), col("y"))
+    val back = spark.read.parquet(p)
+    assert(back.columns.toSeq == Seq("x", "y", "payload"))
+    assert(back.orderBy("payload").collect().toSeq
+      == grid.orderBy("payload").collect().toSeq)
+    // locality: within every written file, the x-range × y-range box is a
+    // fraction of the 16×16 grid (a linear sort on x would leave y wide
+    // open in every file)
+    val spans = back.groupBy(input_file_name())
+      .agg((max("x") - min("x")).as("sx"), (max("y") - min("y")).as("sy"))
+      .collect()
+    assert(spans.length > 1)
+    assert(spans.forall(r => r.getLong(1) * r.getLong(2) <= 64),
+      spans.mkString(","))
+  }
+
   test("partitioned write prunes partitions on read") {
     val p = s"${tmp()}/part"
     Sources.writePartitioned(df, p, Seq("g"))
