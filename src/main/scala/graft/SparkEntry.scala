@@ -890,7 +890,10 @@ object SparkEntry {
     // re-lifts the four scalars into a 1-row frame.
     "s97_monotonic_any" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      val key = Series.fromColumn(o, "o_orderkey", "o_orderkey")
+      // value and index both o_orderkey: alias the value side so the
+      // two-column frame doesn't carry duplicate attribute names
+      val key = Series.fromExpr(o, col("o_orderkey"), "v",
+        col("o_orderkey"), "idx")
       val tp = Series.fromExpr(o, col("o_totalprice"), "v",
         col("o_orderkey"), "idx")
       s.range(1).select(

@@ -7,18 +7,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects unless nanos are read as raw longs
-    * (spark.sql.legacy.parquet.nanosAsLong — set in every session builder
-    * here). Convert ns → µs timestamps on load; DuckDB also truncates
-    * parquet nanos to its µs timestamps, so both engines see identical
-    * values. */
+  /** Normalize the events `ts` column to TIMESTAMP (local-tz), whatever
+    * physical type the driver-generated fixture carries:
+    *  - TIMESTAMP(NANOS) (rounds ≤6) reads as a raw long under
+    *    spark.sql.legacy.parquet.nanosAsLong (set in every session builder
+    *    here) → convert ns → µs timestamps; DuckDB also truncates parquet
+    *    nanos to its µs timestamps, so both engines see identical values.
+    *  - timestamp[us] without timezone (round-7 fixtures) reads as
+    *    TIMESTAMP_NTZ → cast to TIMESTAMP. Sessions run in UTC, so the
+    *    instant is unchanged and DuckDB (timezone-naive µs) agrees. */
   private def fixNanos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.LongType
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Register every fixture table as a temp view so queries can run

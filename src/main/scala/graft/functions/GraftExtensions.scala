@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_lsh_buckets takes (vec, planes, bits, dim)")
         LshBuckets(children(0), children(1), children(2), children(3))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_shingle_hashes takes (text, n)")
+        ShingleHashes(children.head, children(1))
+      }))
     // text-analysis surface for spark.sql users — same expressions the
     // Column API composes (TextOps), so results are bit-identical
     unary(ext, "graft_tokens")(graft.ops.TextOps.tokens)

@@ -61,8 +61,11 @@ object DedupOps {
   def ngramContamination(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int,
                          minShared: Int = 1): DataFrame = {
+    // hashed-gram postings (graft_shingle_hashes): the output never exposes
+    // the gram text, so the join key is an 8-byte long, not the gram string
     def postings(df: DataFrame, out: String): DataFrame = df
-      .select(col(idCol).as(out), TextOps.shingles(col(textCol), n).as("__shs"))
+      .select(col(idCol).as(out),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("__shs"))
       .select(col(out), explode(col("__shs")).as("sh"))
     val b = graft.Caches.track(postings(benchmark, "bench_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -104,15 +107,15 @@ object DedupOps {
                          expectedNgrams: Long = 1L << 20,
                          fpp: Double = 0.01): DataFrame = {
     def postings(df: DataFrame, out: String): DataFrame = df
-      .select(col(idCol).as(out), TextOps.shingles(col(textCol), n).as("__shs"))
+      .select(col(idCol).as(out),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("__shs"))
       .select(col(out), explode(col("__shs")).as("sh"))
     val b = graft.Caches.track(postings(benchmark, "bench_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // bounded driver action: the aggregated bitset, not the postings
     val bf = b.stat.bloomFilter("sh", expectedNgrams, fpp)
     val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((sh: String) => sh != null && bcast.value.mightContainString(sh))
+    val mightContain = udf((sh: Long) => bcast.value.mightContainLong(sh))
     val bsizes = b.groupBy("bench_id").agg(count(lit(1)).as("bn"))
     postings(spread(corpus.select(col(idCol), col(textCol)), idCol),
         "train_id")
@@ -151,7 +154,8 @@ object DedupOps {
     // spills instead of recomputing at scale; LRU-evicted when cold.
     val sh = graft.Caches.track(
       spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
-      .select(col("id"), explode(TextOps.shingles(col("__txt"), n)).as("sh"))
+      .select(col("id"), explode(
+        graft.functions.ShingleHashes.shingleHashes(col("__txt"), n)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val posted = maxShingleDocFreq match {
       case Some(k) =>
@@ -186,8 +190,11 @@ object DedupOps {
     * that a*h+b stays in Long range). */
   private val P = 2147483647L
 
-  /** Positive base hash of a shingle, in [0, P). */
-  private def baseHash(sh: Column): Column = pmod(xxhash64(sh), lit(P))
+  /** Positive base hash of an ALREADY-HASHED shingle (a
+    * [[graft.functions.ShingleHashes]] long, = xxhash64 of the gram
+    * string), in [0, P) — `pmod(h, P)`, bit-identical to the former
+    * string-path `pmod(xxhash64(gram), P)`. */
+  private def baseHash(h: Column): Column = pmod(h, lit(P))
 
   /** MinHash signature from a PRE-MATERIALIZED base-hash array column:
     * array of `k` minima of affine rehashes. Pure per-row expression — no
@@ -307,7 +314,8 @@ object DedupOps {
   private def shingleProj(df: DataFrame, idCol: String, textCol: String,
                           n: Int): DataFrame =
     spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
-      .select(col("id"), TextOps.shingles(col("__txt"), n).as("shs"))
+      .select(col("id"),
+        graft.functions.ShingleHashes.shingleHashes(col("__txt"), n).as("shs"))
       .filter(size(col("shs")) > 0)
 
   /** LSH candidate pairs: split the `k`-wide signature into `bands` bands,

@@ -71,9 +71,17 @@ object Sources {
     * range predicate prunes whole row groups whose stats can't match,
     * instead of scanning everything). */
   def writeSorted(df: DataFrame, path: String, cols: Seq[Column],
-                  mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.repartitionByRange(cols: _*).sortWithinPartitions(cols: _*)
-      .write.mode(mode).parquet(path)
+                  mode: SaveMode = SaveMode.Overwrite,
+                  files: Int = 0): Unit = {
+    // files > 0 pins the range-exchange width (target-file-size control,
+    // the OPTIMIZE-style knob); 0 leaves it to the session default + AQE
+    // coalescing, which at toy scale happily merges everything into one
+    // file — fine for data, useless for testing locality.
+    val ranged =
+      if (files > 0) df.repartitionByRange(files, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged.sortWithinPartitions(cols: _*).write.mode(mode).parquet(path)
+  }
 
   /** Morton (Z-order) interleave of two non-negative integral columns
     * into ONE clustering coordinate: bit i of `a` lands at position 2i,
@@ -97,8 +105,9 @@ object Sources {
     * [[zValue]] coordinate (computed inline — never materialized as a
     * column, so the written schema is untouched). */
   def writeZOrdered(df: DataFrame, path: String, a: Column, b: Column,
-                    mode: SaveMode = SaveMode.Overwrite): Unit =
-    writeSorted(df, path, Seq(zValue(a, b)), mode)
+                    mode: SaveMode = SaveMode.Overwrite,
+                    files: Int = 0): Unit =
+    writeSorted(df, path, Seq(zValue(a, b)), mode, files)
 
   def writeCsv(df: DataFrame, path: String,
                mode: SaveMode = SaveMode.Overwrite): Unit =

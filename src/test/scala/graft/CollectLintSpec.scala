@@ -101,6 +101,8 @@ class CollectLintSpec extends AnyFunSuite {
         "MemoryStream replay feed (gate harness)",
       ".select(\"ts\", \"user_id\", \"event_type\").collect()" ->
         "MemoryStream replay feed (gate harness)",
+      ".select(\"ts\", \"event_type\", \"value\").collect()" ->
+        "MemoryStream replay feed (gate harness)",
       "val rows = Tables.events(s, d).select(\"event_id\", \"user_id\").collect()" ->
         "MemoryStream replay feed (gate harness)",
       "val rows = Tables.events(s, d).select(\"ts\", \"user_id\").collect()" ->

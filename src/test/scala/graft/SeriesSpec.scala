@@ -954,14 +954,14 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
   test("str extras: split/get/count/pad/repeat/title") {
     val s = Series.fromSeq(spark, Seq("alpha beta gamma", "solo"), name = "t")
     val toks = s.str.split(" ")
-    assert(col1(toks.str.get(0)) == Seq("alpha", "solo"))
-    assert(col1(toks.str.get(-1)) == Seq("gamma", "solo"))
-    assert(col1(toks.str.get(5)) == Seq(null, null))
-    assert(col1(s.str.count("a")) == Seq(4, 0))
-    assert(col1(s.str.pad(6, "right", ".")) == Seq("alpha ", "solo.."))
-    assert(col1(s.str.repeat(2)) == Seq(
+    assert(valuesOf(toks.str.get(0)) == Seq("alpha", "solo"))
+    assert(valuesOf(toks.str.get(-1)) == Seq("gamma", "solo"))
+    assert(valuesOf(toks.str.get(5)) == Seq(null, null))
+    assert(valuesOf(s.str.count("a")) == Seq(5, 0))
+    assert(valuesOf(s.str.pad(6, "right", ".")) == Seq("alpha ", "solo.."))
+    assert(valuesOf(s.str.repeat(2)) == Seq(
       "alpha beta gammaalpha beta gamma", "solosolo"))
-    assert(col1(s.str.title) == Seq("Alpha Beta Gamma", "Solo"))
+    assert(valuesOf(s.str.title) == Seq("Alpha Beta Gamma", "Solo"))
   }
 
   test("dt extras: quarter/dayofyear/weekofyear/daysinmonth/month edges") {
@@ -969,13 +969,13 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
       java.sql.Timestamp.valueOf("2024-02-01 12:00:00"),
       java.sql.Timestamp.valueOf("2024-02-29 23:00:00"),
       java.sql.Timestamp.valueOf("2023-10-01 00:00:00")), name = "ts")
-    assert(col1(s.dt.quarter) == Seq(1, 1, 4))
-    assert(col1(s.dt.dayofyear) == Seq(32, 60, 274))
-    assert(col1(s.dt.daysinmonth) == Seq(29, 29, 31))
-    assert(col1(s.dt.isMonthStart) == Seq(true, false, true))
-    assert(col1(s.dt.isMonthEnd) == Seq(false, true, false))
-    assert(col1(s.dt.isQuarterStart) == Seq(false, false, true))
-    assert(col1(s.dt.isYearStart) == Seq(false, false, false))
+    assert(valuesOf(s.dt.quarter) == Seq(1, 1, 4))
+    assert(valuesOf(s.dt.dayofyear) == Seq(32, 60, 274))
+    assert(valuesOf(s.dt.daysinmonth) == Seq(29, 29, 31))
+    assert(valuesOf(s.dt.isMonthStart) == Seq(true, false, true))
+    assert(valuesOf(s.dt.isMonthEnd) == Seq(false, true, false))
+    assert(valuesOf(s.dt.isQuarterStart) == Seq(false, false, true))
+    assert(valuesOf(s.dt.isYearStart) == Seq(false, false, false))
   }
 
   test("ohlcBy: open/high/low/close from one aggregation") {

@@ -79,7 +79,8 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       pmod(col("id"), lit(16)).cast("long").as("y"),
       col("id").as("payload"))
     val p = s"${tmp()}/z.parquet"
-    Sources.writeZOrdered(grid.repartition(8), p, col("x"), col("y"))
+    Sources.writeZOrdered(grid.repartition(8), p, col("x"), col("y"),
+      files = 8)
     val back = spark.read.parquet(p)
     assert(back.columns.toSeq == Seq("x", "y", "payload"))
     assert(back.orderBy("payload").collect().toSeq
