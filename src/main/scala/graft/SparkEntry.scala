@@ -903,6 +903,25 @@ object SparkEntry {
         lit(tp.any(_ > 400000.0)).as("any_big"),
         lit(tp.all(_ > 0.0)).as("all_pos"))
     }),
+    // pandas rolling(4, win_type='triang').mean() — weighted trailing
+    // window as a lag chain (GlobalWindows bucketed plan, lag carries);
+    // min_periods = n via null propagation through the chain.
+    "s98_rolling_wintype" -> ((s, d) => {
+      val bal = Series.fromColumn(Tables.customer(s, d), "c_acctbal",
+        "c_custkey").rename("bal").renameIndex("idx")
+      ordered(bal.rollingWeightedMean(Series.triangWeights(4))
+        .transform(graft.ops.TextOps.round6, "wroll4"))
+    }),
+    // pandas asfreq('10min') over a per-minute resample: value AT each
+    // grid point (exact equi-join) or null — no filling; composition of
+    // one keyed aggregation + the generated grid left-join.
+    "s99_asfreq" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val v = Series.fromExpr(ev, col("value"), "v", col("ts"), "idx")
+      ordered(v.resample("minute", org.apache.spark.sql.functions.sum(_))
+        .asfreq("hour", 600L)
+        .transform(graft.ops.TextOps.round6, "v"))
+    }),
     // pandas .str extras (split/get/count/pad/repeat): pure Column
     // expressions composing on one scan — get() is try_element_at so an
     // out-of-range index nulls instead of raising under ANSI.
@@ -1609,6 +1628,26 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    // weighted rolling: both sides spell the SAME left-to-right lag chain
+    // with exact dyadic weights (triang(4) = .25/.75/.75/.25, Σ = 2) —
+    // per-row arithmetic, one association order, no parallel reduction.
+    "s98_rolling_wintype" ->
+      ("""SELECT c_custkey AS idx,
+           floor(((lag(c_acctbal, 3) OVER w * 0.25
+             + lag(c_acctbal, 2) OVER w * 0.75
+             + lag(c_acctbal, 1) OVER w * 0.75
+             + c_acctbal * 0.25) / CAST(2.0 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS wroll4
+         FROM customer WINDOW w AS (ORDER BY c_custkey) ORDER BY idx"""),
+    "s99_asfreq" ->
+      ("""WITH m AS (SELECT date_trunc('minute', ts) AS mt, sum(value) AS v
+               FROM events GROUP BY 1),
+         b AS (SELECT date_trunc('hour', min(mt)) AS lo, max(mt) AS hi
+               FROM m),
+         g AS (SELECT unnest(generate_series(b.lo, b.hi,
+                 INTERVAL 10 MINUTE)) AS idx FROM b)
+         SELECT g.idx AS idx, floor(m.v * 1e6 + 0.5) / 1e6 AS v
+         FROM g LEFT JOIN m ON m.mt = g.idx ORDER BY idx"""),
     "s97_monotonic_any" ->
       ("""WITH d AS (SELECT o_totalprice AS v,
              o_totalprice - lag(o_totalprice) OVER w AS dv,

@@ -434,6 +434,28 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
       s"stack(${pairs.length}, $stacked) AS (c1, c2, corr)"), "c1")
   }
 
+  /** pandas df.cov(): pairwise SAMPLE covariance of the named numeric
+    * columns, stacked as (c1, c2, cov) rows for the upper triangle (incl.
+    * the variance diagonal — the full square matrix is this frame union
+    * its swap). Same one-pass shape as [[corrMatrix]]: all k(k+1)/2
+    * covar_samp aggregates run in ONE partial+final pass over one scan. */
+  def covMatrix(cols: Seq[String]): GFrame = {
+    require(cols.nonEmpty, "covMatrix needs at least one column")
+    val pairs = for {
+      i <- cols.indices
+      j <- i until cols.length
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      covar_samp(col(a).cast("double"), col(b).cast("double"))
+        .as(s"${a}__$b")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) => s"'$a', '$b', `${a}__$b`" }
+      .mkString(", ")
+    new GFrame(row.selectExpr(
+      s"stack(${pairs.length}, $stacked) AS (c1, c2, cov)"), "c1")
+  }
+
   /** pandas get_dummies over EXPLICIT categories (one-hot encode): one
     * indicator column per value — a pure projection, no shuffle, no
     * values-discovery job (the 100 TB rule: category sets are declared,

@@ -363,6 +363,25 @@ final class GlobalWindows private[graft] (
     rolling(n)(c => percentile(c, lit(q)))
   def rollingMedian(n: Int): Column = rollingQuantile(n, 0.5)
 
+  /** Trailing-n WEIGHTED mean (pandas rolling(n, win_type=...).mean()):
+    * Σ wᵢ·v[t−n+1+i] / Σ wᵢ spelled as a fixed left-to-right chain of n
+    * lag terms — per-row arithmetic with one deterministic association
+    * order (no frame aggregate, no parallel reduction), so an oracle
+    * spelling the identical chain is bit-identical. A null or missing
+    * value anywhere in the frame nulls the result through `+`'s null
+    * propagation — exactly pandas' weighted-window semantics (win_type
+    * aggregations don't skip NaN; min_periods = n). */
+  def rollingWeightedMean(weights: Seq[Double]): Column = {
+    val n = weights.length
+    require(n >= 1, "rolling window size must be >= 1")
+    require(n - 1 <= carry,
+      s"rollingWeighted($n) needs a builder with carry >= ${n - 1} (have $carry)")
+    val terms = weights.zipWithIndex.map { case (wt, i) =>
+      F.lag(col(valName), n - 1 - i).over(w) * lit(wt)
+    }
+    terms.reduceLeft(_ + _) / lit(weights.sum)
+  }
+
   /** pandas rolling(n).skew() — SAMPLE skewness (bias-corrected G1, the
     * pandas/DuckDB convention) converted from Spark's population
     * skewness over the carry-complete frame: G1 = g1·√(n(n−1))/(n−2). */

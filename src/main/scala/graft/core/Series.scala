@@ -1167,6 +1167,24 @@ final class Series private[graft] (
   def rollingMedianBy(by: Column, n: Int): Series =
     rollingQuantileBy(by, n, 0.5)
 
+  /** pandas rolling(n, win_type=...).mean() — weighted trailing window:
+    * Σ wᵢ·v[t−n+1+i] / Σ wᵢ as a chain of n lag terms (deterministic
+    * association order; null/missing values in the frame null the result,
+    * pandas' weighted-window semantics). Orderable indexes ride the
+    * bucketed carry plan; others fall back to the single-task window.
+    * Weight shapes: [[Series.triangWeights]] (win_type='triang'),
+    * [[Series.gaussianWeights]] (win_type='gaussian'). */
+  def rollingWeightedMean(weights: Seq[Double]): Series = {
+    val n = weights.length
+    rollingGlobal(n, _.rollingWeightedMean(weights),
+      withValue(Series.weightedLagChain(weights, valueExpr, ixWindow)))
+  }
+
+  /** Keyed sibling (pandas groupby(k).rolling(n, win_type=...).mean()):
+    * the key partitions the frame — one shuffle, no bucket machinery. */
+  def rollingWeightedMeanBy(by: Column, weights: Seq[Double]): Series =
+    withValue(Series.weightedLagChain(weights, valueExpr, keyedWindow(by)))
+
   /** pandas rolling(n).skew() — SAMPLE skewness (bias-corrected G1, the
     * pandas/DuckDB convention), converted from Spark's population
     * skewness by the frame count; null until the frame fills (n ≥ 3). */
@@ -1854,21 +1872,9 @@ final class Series private[graft] (
       F.max(indexExpr).as("hi")).head()
     require(!b.isNullAt(0),
       s"resampleFfill on an empty or all-null index Series '$name'")
-    def us(a: Any): Long = a match {
-      case t: java.sql.Timestamp =>
-        Math.multiplyExact(t.getTime / 1000, 1000000L) +
-          t.getNanos.toLong / 1000
-      case i: java.time.Instant =>
-        Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000
-      case l: java.time.LocalDateTime =>
-        Math.multiplyExact(l.toEpochSecond(java.time.ZoneOffset.UTC),
-          1000000L) + l.getNano / 1000
-      case other => throw new IllegalArgumentException(
-        s"resampleFfill needs a timestamp index, got $other")
-    }
     val stepUs = Math.multiplyExact(stepSeconds, 1000000L)
-    val loUs = us(b.get(0))
-    val n = (us(b.get(1)) - loUs) / stepUs + 1
+    val loUs = Series.epochUs(b.get(0))
+    val n = (Series.epochUs(b.get(1)) - loUs) / stepUs + 1
     val grid = spark.range(n).select(
       timestamp_micros(lit(loUs) + col("id") * stepUs).cast(idxDt)
         .as(indexName), lit(0.0).as("__rs_tie"))
@@ -1879,6 +1885,34 @@ final class Series private[graft] (
       direction = "backward", buckets = buckets)
     Series.fromKeyed(
       filled.select(col(indexName), col(s"__rs_$name").as(name)),
+      name, indexName)
+  }
+
+  /** pandas asfreq(freq): the value AT each regular grid point — exact
+    * index match or null, NO filling (the contrast with
+    * [[resampleFfill]]). Grid = [date_trunc(unit, min), max] step
+    * `stepSeconds`; bounds are the same 1-row min/max driver probe as
+    * [[resampleFfill]]; the lookup is a plain keyed LEFT equi-join of the
+    * generated grid against the observations (Catalyst
+    * broadcasts/shuffles by size) — no global sort, no window. Duplicate
+    * index labels would duplicate grid rows (pandas raises there;
+    * pre-aggregate first, e.g. [[resample]]). */
+  def asfreq(unit: String, stepSeconds: Long): Series = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    val spark = df.sparkSession
+    val idxDt = df.schema(indexName).dataType
+    val b = base.select(date_trunc(unit, F.min(indexExpr)).as("lo"),
+      F.max(indexExpr).as("hi")).head()
+    require(!b.isNullAt(0),
+      s"asfreq on an empty or all-null index Series '$name'")
+    val stepUs = Math.multiplyExact(stepSeconds, 1000000L)
+    val loUs = Series.epochUs(b.get(0))
+    val n = (Series.epochUs(b.get(1)) - loUs) / stepUs + 1
+    val grid = spark.range(n).select(
+      timestamp_micros(lit(loUs) + col("id") * stepUs).cast(idxDt)
+        .as(indexName))
+    val obs = base.select(indexExpr.as(indexName), valueExpr.as(name))
+    Series.fromKeyed(grid.join(obs, Seq(indexName), "left"),
       name, indexName)
   }
 
@@ -2157,6 +2191,55 @@ object Series {
           sqrt(greatest(sy2 - sy * sy / n, lit(0.0))))
       else cxy / (n - 1)
     when(n0 >= 2L, e)
+  }
+
+  /** Epoch microseconds of a driver-side timestamp value (whatever JVM
+    * type the collected row carries — java.sql, Instant, or NTZ
+    * LocalDateTime read in the UTC sessions this engine always builds). */
+  private[core] def epochUs(a: Any): Long = a match {
+    case t: java.sql.Timestamp =>
+      Math.multiplyExact(t.getTime / 1000, 1000000L) +
+        t.getNanos.toLong / 1000
+    case i: java.time.Instant =>
+      Math.multiplyExact(i.getEpochSecond, 1000000L) + i.getNano / 1000
+    case l: java.time.LocalDateTime =>
+      Math.multiplyExact(l.toEpochSecond(java.time.ZoneOffset.UTC),
+        1000000L) + l.getNano / 1000
+    case other => throw new IllegalArgumentException(
+      s"needs a timestamp index, got $other")
+  }
+
+  /** scipy.signal.windows.triang(n) (pandas win_type='triang'): symmetric
+    * triangle; odd n peaks at 1, even n at (n−1)/n. Scale cancels in the
+    * weighted MEAN, but the ratios are pandas'. */
+  def triangWeights(n: Int): Seq[Double] = {
+    require(n >= 1, "window size must be >= 1")
+    if (n % 2 == 1)
+      (0 until n).map(k => 1.0 - math.abs(k - (n - 1) / 2.0) / ((n + 1) / 2.0))
+    else
+      (0 until n).map { k =>
+        val h = math.min(k, n - 1 - k); (2.0 * h + 1.0) / n
+      }
+  }
+
+  /** scipy.signal.windows.gaussian(n, std) (pandas win_type='gaussian'). */
+  def gaussianWeights(n: Int, std: Double): Seq[Double] = {
+    require(n >= 1 && std > 0.0, "need n >= 1 and std > 0")
+    (0 until n).map { k =>
+      val x = (k - (n - 1) / 2.0) / std; math.exp(-0.5 * x * x)
+    }
+  }
+
+  /** Weighted trailing-window mean as a lag chain over `w` — shared by the
+    * global bucketed plan's fallback and the keyed sibling. */
+  private[core] def weightedLagChain(weights: Seq[Double], v: Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val n = weights.length
+    require(n >= 1, "rolling window size must be >= 1")
+    val terms = weights.zipWithIndex.map { case (wt, i) =>
+      F.lag(v, n - 1 - i).over(w) * F.lit(wt)
+    }
+    terms.reduceLeft(_ + _) / F.lit(weights.sum)
   }
 
   /** Population→sample (bias-corrected) moment conversion factors:

@@ -186,6 +186,40 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** Two-corpus near-dup join — incremental dedup's core: a NEW batch of
+    * docs against the EXISTING corpus, all cross pairs with word-`n`-gram
+    * Jaccard ≥ `threshold`, via the same hashed inverted-index equi-join
+    * as [[jaccardPairs]] (graft_shingle_hashes long keys; exact, never
+    * all-pairs). Asymmetry is the scale story: the incoming batch is
+    * small next to a 100 TB corpus, so its postings side broadcasts (or
+    * AQE picks the keyed shuffle) and the corpus is ONE projected scan —
+    * re-shingling only what the batch's grams touch. Ids may repeat
+    * across corpora (a re-submitted doc): pairs emit as (new_id, old_id)
+    * without an ordering constraint. */
+  def jaccardJoin(fresh: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String, n: Int, threshold: Double): DataFrame = {
+    def post(df: DataFrame, out: String) = graft.Caches.track(
+      spread(df.select(col(idCol).as(out), col(textCol).as("__txt")), out)
+        .select(col(out), explode(
+          graft.functions.ShingleHashes.shingleHashes(col("__txt"), n))
+          .as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lp = post(fresh, "new_id")
+    val rp = post(corpus, "old_id")
+    val lsz = lp.groupBy("new_id").agg(count(lit(1)).as("n1"))
+    val rsz = rp.groupBy("old_id").agg(count(lit(1)).as("n2"))
+    lp.join(rp, "sh")
+      .groupBy("new_id", "old_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(lsz, "new_id")
+      .join(rsz, "old_id")
+      .withColumn("jaccard",
+        col("inter").cast("double")
+          / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+  }
+
   /** Large prime < 2^31 for affine MinHash rehashing (kept small enough
     * that a*h+b stays in Long range). */
   private val P = 2147483647L

@@ -134,6 +134,38 @@ object PipelineOps {
       .drop("__bkt", "__start")
   }
 
+  /** Curriculum manifest — the stage/shard layout a quality-ordered
+    * training run reads: each doc gets a STAGE from explicit
+    * quality-score band edges (declared up front, the 100 TB rule — no
+    * global quantile job over the corpus) and a deterministic md5 SHARD
+    * slot within its stage; the output is one row per (stage, shard)
+    * with doc count and token sum. Stage k means quality ∈ [edges(k−1),
+    * edges(k)) with stage 0 below the first edge — training replays
+    * stages in ascending order. Pure per-row projection + ONE
+    * partial+final aggregation; re-runs, backfills, and engine
+    * migrations reproduce the identical layout (md5 of the decimal id,
+    * no engine-specific hash). */
+  def curriculumManifest(df: DataFrame, idCol: String, scoreCol: Column,
+                         tokenCol: Column, edges: Seq[Double], shards: Int,
+                         salt: String = "curr"): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted,
+      "stage edges must be non-empty and ascending")
+    require(shards > 0, "shards must be positive")
+    // stage = how many edges the score clears (sum of indicators — the
+    // same spelling the oracle uses, no nested CASE ordering to mirror).
+    // Pass a GRID-SNAPPED score (e.g. TextOps.round6 of a quality model)
+    // if the score is engine-replicated: raw 1-ulp drift at an edge would
+    // flip the stage.
+    val stage = edges.map(e => when(scoreCol >= lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    val shard = pmod(DedupOps.portableHash60(
+      concat(lit(salt), col(idCol).cast("string"))), lit(shards.toLong))
+    df.select(stage.as("stage"), shard.as("shard"),
+        tokenCol.cast("long").as("__tok"))
+      .groupBy("stage", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): each row gets the key `−ln(u)/w` with `u` a salted
     * md5 uniform in (0, 1] — the `n` smallest keys are a weighted sample

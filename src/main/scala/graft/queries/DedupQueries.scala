@@ -38,6 +38,20 @@ object DedupQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id1", "id2")),
 
+    // Incremental dedup: a NEW batch (doc_id ≡ 0 mod 20) against the
+    // EXISTING corpus (the rest) — cross-corpus Jaccard via the hashed
+    // inverted-index equi-join; the batch side is small, the corpus is
+    // one scan.
+    "d17_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      DedupOps.jaccardJoin(fresh, corpus, "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("new_id", "old_id")
+    }),
+
     // MinHash(32) + LSH(8 bands × 4) candidates, exact-Jaccard verified.
     "d04_minhash_lsh" -> ((s, d) =>
       DedupOps.minhashNearDup(Tables.documents(s, d), "doc_id", "text",
@@ -241,6 +255,23 @@ object DedupQueries {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "d03_jaccard_pairs" -> JaccardSql,
     "d04_minhash_lsh" -> JaccardSql,
+    // cross-corpus variant of JaccardSql: batch = doc_id ≡ 0 (mod 20)
+    // probing everything else; sizes are per-doc, corpus-independent.
+    "d17_incremental_dedup" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh
+           WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+           GROUP BY 1, 2)
+         SELECT new_id, old_id,
+           round(i * 1.0 / (s1.nsh + s2.nsh - i), 6) AS jaccard
+         FROM inter
+         JOIN sizes s1 ON new_id = s1.doc_id
+         JOIN sizes s2 ON old_id = s2.doc_id
+         WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5
+         ORDER BY new_id, old_id""",
     // Transitive closure via recursive CTE = the oracle for the iterative
     // min-label propagation (both compute min reachable id per vertex).
     "d08_dup_clusters" ->

@@ -413,6 +413,18 @@ object FrameQueries {
         .orderBy("c1", "c2")
     }),
 
+    // pandas df.cov(): all pairwise sample covariances in ONE
+    // partial+final pass (small-magnitude columns so the co-moment drift
+    // between engines stays far inside the 1e-6 rounding grid).
+    "f40_cov_matrix" -> ((s, d) => {
+      GFrame.fromDF(Tables.lineitem(s, d), "l_orderkey")
+        .covMatrix(Seq("l_quantity", "l_discount", "l_tax"))
+        .toDF
+        .select(col("c1"), col("c2"),
+          graft.ops.TextOps.round6(col("cov")).as("cov"))
+        .orderBy("c1", "c2")
+    }),
+
     // pandas pivot_table(aggfunc=['sum','mean'], margins=True): multi-agg
     // pivot + All row/column, every margin recomputed from raw rows (a
     // mean of means is wrong). Integer quantities make the parallel sums
@@ -706,6 +718,22 @@ object FrameQueries {
            UNION ALL SELECT 'l_discount', 'l_discount',
              corr(l_discount, l_discount) FROM lineitem)
          SELECT c1, c2, floor(corr * 1e6 + 0.5) / 1e6 AS corr
+         FROM p ORDER BY c1, c2""",
+    "f40_cov_matrix" ->
+      """WITH p AS (
+           SELECT 'l_quantity' AS c1, 'l_quantity' AS c2,
+             covar_samp(l_quantity, l_quantity) AS cov FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_discount',
+             covar_samp(l_quantity, l_discount) FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_tax',
+             covar_samp(l_quantity, l_tax) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_discount',
+             covar_samp(l_discount, l_discount) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_tax',
+             covar_samp(l_discount, l_tax) FROM lineitem
+           UNION ALL SELECT 'l_tax', 'l_tax',
+             covar_samp(l_tax, l_tax) FROM lineitem)
+         SELECT c1, c2, floor(cov * 1e6 + 0.5) / 1e6 AS cov
          FROM p ORDER BY c1, c2""",
     "f32_get_dummies" ->
       """SELECT c_custkey AS custkey,

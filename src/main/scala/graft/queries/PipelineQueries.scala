@@ -98,7 +98,17 @@ object PipelineQueries {
       PipelineOps.weightedSample(Tables.documents(s, d), "doc_id",
           length(col("text")) + lit(1), n = 500, salt = "ws")
         .select("doc_id", "source")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Curriculum manifest: stage from declared quality-band edges over
+    // the GRID-SNAPPED (round6) score so a 1-ulp engine drift can't flip
+    // an edge compare; shard = portable md5 slot; one aggregation.
+    "p08_curriculum" -> ((s, d) =>
+      PipelineOps.curriculumManifest(Tables.documents(s, d), "doc_id",
+          TextOps.round6(TextOps.qualityScore(col("text"))),
+          TextOps.tokenCount(col("text")),
+          edges = Seq(0.3, 0.5), shards = 8)
+        .orderBy("stage", "shard"))
   )
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
@@ -199,6 +209,28 @@ object PipelineQueries {
            FROM documents)
          SELECT doc_id, source FROM (
            SELECT doc_id, source FROM k ORDER BY key LIMIT 500)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // quality spelled exactly as t02's oracle (round6 grid snap), stage =
+    // indicator sum, shard = 60-bit md5 mod 8 (h60 ≥ 0, so % == pmod).
+    "p08_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, text, $Toks AS ts FROM documents),
+         q AS (SELECT doc_id,
+             floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
+               1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                 len(list_filter(ts, x -> x IN ('the','a','an','of','and',
+                   'to','in','is','on','for','with'))) * 1.0 / len(ts) END)
+                 * 2.0) * 1e6 + 0.5) / 1e6 AS qual,
+             CAST(len(ts) AS BIGINT) AS n_tokens
+           FROM t),
+         a AS (SELECT doc_id,
+             (CASE WHEN qual >= 0.3 THEN 1 ELSE 0 END)
+               + (CASE WHEN qual >= 0.5 THEN 1 ELSE 0 END) AS stage,
+             CAST(concat('0x', substr(md5('curr' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+             n_tokens
+           FROM q)
+         SELECT stage, shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -190,6 +190,38 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(valuesOf(v.rollingMean(3)) == Seq(null, null, 2.0, 3.0))
   }
 
+  test("rollingWeightedMean: triang/gaussian ratios, nulls gate the chain") {
+    val v = Series.fromSeq(spark, Seq(1.0, 2.0, 3.0, 4.0))
+    // triang(3) = [0.5, 1, 0.5]: (0.5·1 + 1·2 + 0.5·3)/2 = 2, then 3
+    assert(Series.triangWeights(3) == Seq(0.5, 1.0, 0.5))
+    assert(Series.triangWeights(4) == Seq(0.25, 0.75, 0.75, 0.25))
+    assert(valuesOf(v.rollingWeightedMean(Series.triangWeights(3)))
+      == Seq(null, null, 2.0, 3.0))
+    // gaussian peak is centered and symmetric; mean of a LINEAR ramp under
+    // ANY symmetric weights is the window midpoint
+    assert(valuesOf(v.rollingWeightedMean(Series.gaussianWeights(3, 1.0)))
+      == Seq(null, null, 2.0, 3.0))
+    // a null inside the frame nulls the result (pandas weighted semantics)
+    val n = Series.fromSeq(spark, Seq[java.lang.Double](1.0, null, 3.0, 4.0))
+    assert(valuesOf(n.rollingWeightedMean(Series.triangWeights(3)))
+      == Seq(null, null, null, null))
+  }
+
+  test("asfreq: value at exact grid points only, no filling") {
+    import java.sql.Timestamp
+    val df = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 2.0),
+      (Timestamp.valueOf("2024-01-01 00:25:00"), 3.0)).toDF("ts", "v")
+    val got = Series.fromColumn(df, "v", "ts").asfreq("hour", 600L)
+      .df.orderBy("ts").collect()
+      .map(r => (r.getTimestamp(0).toString, r.get(1))).toSeq
+    assert(got == Seq(
+      ("2024-01-01 00:00:00.0", 1.0),
+      ("2024-01-01 00:10:00.0", 2.0),
+      ("2024-01-01 00:20:00.0", null))) // 00:25 is off-grid: NOT carried
+  }
+
   test("nunique drops nulls; unique keeps them (pandas split semantics)") {
     val v = Series.fromPairs(spark,
       Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a")))
@@ -227,6 +259,9 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
   test("rollingMeanBy fills per group (min_periods=n within the group)") {
     assert(valuesOf(keyedSeries.rollingMeanBy(col("k"), 2))
       == Seq(null, null, 15.0, 150.0, 25.0))
+    // equal weights == unweighted mean; keyed sibling fills per group
+    assert(valuesOf(keyedSeries.rollingWeightedMeanBy(col("k"),
+      Series.triangWeights(2))) == Seq(null, null, 15.0, 150.0, 25.0))
   }
 
   test("keyed windows partition, not globally order (plan has partitionBy)") {
