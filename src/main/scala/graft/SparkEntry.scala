@@ -903,6 +903,19 @@ object SparkEntry {
         lit(tp.any(_ > 400000.0)).as("any_big"),
         lit(tp.all(_ > 0.0)).as("all_pos"))
     }),
+    // pandas rank(na_option='top'/'bottom'): the null block ranks before/
+    // after every real value — distributed rankAll + one bounded count
+    // row; negative balances play the nulls.
+    "s100_rank_naopt" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val v = Series.fromExpr(cust,
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")),
+        "v", col("c_custkey"), "idx")
+      v.rankNa("top").df.select(col("idx"), col("v").as("rank_top"))
+        .join(v.rankNa("bottom").df
+          .select(col("idx"), col("v").as("rank_bottom")), Seq("idx"))
+        .orderBy("idx")
+    }),
     // pandas rolling(4, win_type='triang').mean() — weighted trailing
     // window as a lag chain (GlobalWindows bucketed plan, lag carries);
     // min_periods = n via null propagation through the chain.
@@ -1628,6 +1641,22 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s100_rank_naopt" ->
+      ("""WITH s AS (SELECT c_custkey AS idx,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS v
+           FROM customer),
+         c AS (SELECT count(*) - count(v) AS k, count(v) AS m FROM s),
+         r AS (SELECT idx, v,
+             CASE WHEN v IS NULL THEN NULL
+               ELSE rank() OVER (ORDER BY v)
+                 + (count(*) OVER (PARTITION BY v) - 1) / 2.0 END AS rk
+           FROM s)
+         SELECT idx,
+           CASE WHEN v IS NULL THEN (c.k + 1) / 2.0 ELSE rk + c.k END
+             AS rank_top,
+           CASE WHEN v IS NULL THEN c.m + (c.k + 1) / 2.0 ELSE rk END
+             AS rank_bottom
+         FROM r, c ORDER BY idx"""),
     // weighted rolling: both sides spell the SAME left-to-right lag chain
     // with exact dyadic weights (triang(4) = .25/.75/.75/.25, Σ = 2) —
     // per-row arithmetic, one association order, no parallel reduction.

@@ -881,6 +881,29 @@ final class Series private[graft] (
   }
   def rank(method: String): Series = rank(method, 32)
 
+  /** pandas rank(na_option='top'/'bottom', method='average'): nulls rank
+    * as a block BEFORE ('top') or AFTER ('bottom') every real value —
+    * the same distributed rankAll plan plus ONE bounded (total,
+    * non-null) count row; the null block's average-method rank and the
+    * non-null shift are pure per-row arithmetic on those two scalars.
+    * (na_option='keep' is [[rank]] itself: nulls stay null.) */
+  def rankNa(naOption: String, method: String = "average",
+             buckets: Int = 32): Series = {
+    require(naOption == "top" || naOption == "bottom",
+      s"na_option must be 'top' or 'bottom', got '$naOption'")
+    require(method == "average",
+      "rankNa currently supports method='average'")
+    val counts = base.agg(F.count(lit(1)), F.count(valueExpr)).head()
+    val total = counts.getLong(0); val nonNull = counts.getLong(1)
+    val nNull = total - nonNull
+    val nullBlock = (nNull + 1) / 2.0
+    rank(method, buckets).transform(v =>
+      if (naOption == "top")
+        when(v.isNull, lit(nullBlock)).otherwise(v + lit(nNull.toDouble))
+      else
+        when(v.isNull, lit(nonNull + nullBlock)).otherwise(v))
+  }
+
   /** pandas rank(pct=True): the rank scaled by the non-null count — the
     * same distributed rankAll plan plus ONE bounded count scalar. */
   def rankPct(method: String = "average", buckets: Int = 32): Series = {

@@ -80,6 +80,22 @@ object MultimodalOps {
         greatest(floor(col("height") * scale), lit(1)).cast("int"))
   }
 
+  /** ViT patch-grid manifest: the ⌈w/p⌉ × ⌈h/p⌉ patch layout a vision
+    * transformer tokenizes per image, plus the visual token count
+    * (patches + 1 CLS) — the budget planner image-token packing reads
+    * before interleaving images into a text shard. Pure integer
+    * arithmetic over the decoded feature frame; at 100 TB this is a
+    * projected scan, no shuffle. */
+  def patchGrid(features: DataFrame, patch: Int): DataFrame = {
+    require(patch >= 1, "patch size must be >= 1")
+    val px = ceil(col("width") / lit(patch.toDouble)).cast("int")
+    val py = ceil(col("height") / lit(patch.toDouble)).cast("int")
+    features.select(col("doc_id"), col("width"), col("height"),
+      px.as("patches_x"), py.as("patches_y"),
+      (px * py).as("n_patches"),
+      (px * py + lit(1)).as("vis_tokens"))
+  }
+
   /** Frame sampling plumbing: every `step`-th frame index per document,
     * exploded to (doc_id, frame_no) rows — the fan-out a video pipeline
     * feeds to per-frame feature extraction. */

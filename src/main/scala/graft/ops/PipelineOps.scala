@@ -81,14 +81,41 @@ object PipelineOps {
     * `rates` fall back to `defaultRate`. */
   def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
                     rates: Map[String, Double], defaultRate: Double,
-                    salt: String = "mix"): DataFrame = {
+                    salt: String = "mix"): DataFrame =
+    df.filter(keepExpr(idCol, strataCol, rates, defaultRate, salt))
+
+  /** The mixture-keep predicate itself ([[mixtureSample]]'s body;
+    * [[epochSchedule]] evaluates it once per epoch on one scan). */
+  private def keepExpr(idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String): Column = {
     val h = hex4(col(idCol), salt)
     def keep(r: Double): Column =
       if (r >= 1.0) lit(true) else h < lit(hexThreshold(r))
-    val pred = rates.foldLeft(keep(defaultRate)) { case (acc, (s, r)) =>
+    rates.foldLeft(keep(defaultRate)) { case (acc, (s, r)) =>
       when(col(strataCol) === s, keep(r)).otherwise(acc)
     }
-    df.filter(pred)
+  }
+
+  /** Multi-epoch replay schedule: epoch `e` keeps
+    * `mixtureSample(salt = salt+e)` — the salted-rotation trick that
+    * gives every epoch a fresh deterministic subset at the same mixture
+    * rates, with no stored state and no shuffle of the corpus. ONE scan:
+    * each row evaluates all `epochs` keep predicates (E md5s), the
+    * (epoch, keep) pairs explode, and one partial+final aggregation
+    * yields the per-(epoch, stratum) kept counts a training scheduler
+    * consumes. */
+  def epochSchedule(df: DataFrame, idCol: String, strataCol: String,
+                    rates: Map[String, Double], defaultRate: Double,
+                    epochs: Int, salt: String = "ep"): DataFrame = {
+    require(epochs >= 1, "epochs must be >= 1")
+    val inds = (0 until epochs).map(e => struct(lit(e).as("epoch"),
+      keepExpr(idCol, strataCol, rates, defaultRate, s"$salt$e").as("keep")))
+    df.select(col(strataCol).as("stratum"),
+        explode(array(inds: _*)).as("x"))
+      .filter(col("x.keep"))
+      .groupBy(col("x.epoch").as("epoch"), col("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
   }
 
   /** Token-budget shard packing (the "concatenate and chunk every `budget`

@@ -51,6 +51,15 @@ object MultimodalQueries {
           col("nbytes"), md5(col("chunk")).as("fp"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // ViT patch-grid manifest: 16px patches over decoded geometry — the
+    // image-token budget (patches + CLS) multimodal packing plans around.
+    "m06_patch_grid" -> ((s, d) =>
+      MultimodalOps.patchGrid(
+          MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
+            MultimodalOps.FakeDecoder).toDF(),
+          patch = 16)
+        .orderBy("doc_id")),
+
     // Aspect-preserving resize-to-fit geometry (256x256 box, no upscale).
     "m04_resize" -> ((s, d) =>
       MultimodalOps.resizeToFit(
@@ -95,6 +104,22 @@ object MultimodalQueries {
            md5(substring(b, CAST(u.i * 64 + 1 AS INTEGER), 64)) AS fp
          FROM n, LATERAL unnest(range(0, m)) AS u(i)
          ORDER BY doc_id, chunk_idx""",
+    "m06_patch_grid" ->
+      """WITH f AS (
+           SELECT doc_id,
+             CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+             CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INTEGER)
+               AS height
+           FROM documents),
+         g AS (
+           SELECT doc_id, width, height,
+             CAST(ceil(width / 16.0) AS INTEGER) AS patches_x,
+             CAST(ceil(height / 16.0) AS INTEGER) AS patches_y
+           FROM f)
+         SELECT doc_id, width, height, patches_x, patches_y,
+           patches_x * patches_y AS n_patches,
+           patches_x * patches_y + 1 AS vis_tokens
+         FROM g ORDER BY doc_id""",
     "m04_resize" ->
       """WITH f AS (
            SELECT doc_id,

@@ -100,6 +100,14 @@ object PipelineQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Multi-epoch replay schedule: salted-rotation mixture per epoch on
+    // ONE corpus scan (explode of per-epoch keep indicators).
+    "p09_epoch_schedule" -> ((s, d) =>
+      PipelineOps.epochSchedule(Tables.documents(s, d), "doc_id", "source",
+          Map("src0" -> 1.0, "src1" -> 0.5), defaultRate = 0.25,
+          epochs = 3)
+        .orderBy("epoch", "stratum")),
+
     // Curriculum manifest: stage from declared quality-band edges over
     // the GRID-SNAPPED (round6) score so a 1-ulp engine drift can't flip
     // an edge compare; shard = portable md5 slot; one aggregation.
@@ -210,6 +218,20 @@ object PipelineQueries {
          SELECT doc_id, source FROM (
            SELECT doc_id, source FROM k ORDER BY key LIMIT 500)
          ORDER BY doc_id""",
+    // per-epoch salts ep0/ep1/ep2; 0.5 → 0x8000, 0.25 → 0x4000.
+    "p09_epoch_schedule" ->
+      """WITH e AS (SELECT unnest(range(0, 3)) AS epoch),
+         k AS (SELECT d.doc_id, d.source, e.epoch,
+             substr(md5('ep' || CAST(e.epoch AS VARCHAR)
+               || CAST(d.doc_id AS VARCHAR)), 1, 4) AS hx
+           FROM documents d, e)
+         SELECT CAST(epoch AS INTEGER) AS epoch, source AS stratum,
+           count(*) AS n_docs
+         FROM k
+         WHERE CASE source WHEN 'src0' THEN TRUE
+           WHEN 'src1' THEN hx < '8000'
+           ELSE hx < '4000' END
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // quality spelled exactly as t02's oracle (round6 grid snap), stage =
     // indicator sum, shard = 60-bit md5 mod 8 (h60 ≥ 0, so % == pmod).
     "p08_curriculum" ->

@@ -24,6 +24,31 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // The same kNN through the pure SQL surface: graft_dot (the codegen'd
+    // expression GraftExtensions registers) composed in spark.sql — the
+    // "switch to this library without leaving SQL" story; same plan shape
+    // (broadcast probes, per-qid top-k window) and the v01 oracle.
+    "v06_knn_sql" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""
+        WITH n AS (
+          SELECT vec_id, e, sqrt(graft_dot(e, e)) AS nrm
+          FROM (SELECT vec_id, CAST(embedding AS array<double>) AS e
+                FROM embeddings)),
+        q AS (SELECT * FROM n WHERE vec_id < 10),
+        scored AS (
+          SELECT /*+ BROADCAST(q) */ q.vec_id AS qid, c.vec_id AS nid,
+            graft_dot(c.e, q.e) / (c.nrm * q.nrm) AS sim
+          FROM n c JOIN q ON c.vec_id <> q.vec_id),
+        ranked AS (
+          SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY sim DESC, nid ASC) AS INT) AS rk,
+            nid, round(sim, 6) AS sim
+          FROM scored)
+        SELECT qid, rk, nid, sim FROM ranked WHERE rk <= 5
+        ORDER BY qid, rk""")
+    }),
+
     // Multi-table hyperplane-LSH ANN (24 tables × 4 bits): bucket equi-join
     // replaces the full probe×corpus product. 24 tables holds recall ≥ 0.8
     // even on the uniform-random fixtures (sims ~0.3 → per-table collision
@@ -82,20 +107,23 @@ object SimilarityQueries {
         .orderBy("vec_id"))
   )
 
+  private val KnnSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                  FROM embeddings),
+       q AS (SELECT * FROM v WHERE vec_id < 10),
+       scored AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+           list_cosine_similarity(c.e, q.e) AS sim
+         FROM v c JOIN q ON c.vec_id <> q.vec_id)
+       SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid
+           ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
+         nid, round(sim, 6) AS sim
+       FROM scored QUALIFY rk <= 5 ORDER BY qid, rk"""
+
   val oracles: Map[String, String] = Map(
-    "v01_knn_bruteforce" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-                    FROM embeddings),
-         q AS (SELECT * FROM v WHERE vec_id < 10),
-         scored AS (
-           SELECT q.vec_id AS qid, c.vec_id AS nid,
-             list_cosine_similarity(c.e, q.e) AS sim
-           FROM v c JOIN q ON c.vec_id <> q.vec_id)
-         SELECT qid,
-           CAST(row_number() OVER (PARTITION BY qid
-             ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
-           nid, round(sim, 6) AS sim
-         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""",
+    "v06_knn_sql" -> KnnSql,
+    "v01_knn_bruteforce" -> KnnSql,
     // v02: the FULL LSH pipeline replayed in SQL — md5-seeded hyperplane
     // weights (bit-identical doubles: 15-hex md5 / 2^59 − 1), sequential
     // list_dot_product sign bits packed per 4-plane table, any-table

