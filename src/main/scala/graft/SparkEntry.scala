@@ -903,6 +903,15 @@ object SparkEntry {
         lit(tp.any(_ > 400000.0)).as("any_big"),
         lit(tp.all(_ > 0.0)).as("all_pos"))
     }),
+    // Winsorization: clip at the exact [p05, p95] percentile bounds (one
+    // 1-row percentile aggregate, grid-snapped so both engines clip
+    // against the identical double), then a pure projection.
+    "s101_winsorize" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val px = Series.fromExpr(li, col("l_extendedprice"), "w",
+        col("l_orderkey") * 10 + col("l_linenumber"), "idx")
+      ordered(px.winsorize(0.05, 0.95))
+    }),
     // pandas rank(na_option='top'/'bottom'): the null block ranks before/
     // after every real value — distributed rankAll + one bounded count
     // row; negative balances play the nulls.
@@ -1641,6 +1650,16 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s101_winsorize" ->
+      ("""WITH b AS (SELECT
+             floor(quantile_cont(l_extendedprice, 0.05) * 1e6 + 0.5) / 1e6
+               AS lo,
+             floor(quantile_cont(l_extendedprice, 0.95) * 1e6 + 0.5) / 1e6
+               AS hi
+           FROM lineitem)
+         SELECT l_orderkey * 10 + l_linenumber AS idx,
+           least(greatest(l_extendedprice, b.lo), b.hi) AS w
+         FROM lineitem, b ORDER BY idx"""),
     "s100_rank_naopt" ->
       ("""WITH s AS (SELECT c_custkey AS idx,
              CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS v

@@ -192,6 +192,37 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
       .drop("__ml", "__mr"), indexName)
   }
 
+  /** pandas merge(on=, how=, suffixes=, validate=): equi-join with
+    * pandas collision suffixing and cardinality validation.
+    * validate='1:1'/'1:m'/'m:1'/'m:m' asserts the claimed side's key
+    * uniqueness via one bounded max-group-count aggregate per checked
+    * side (an opt-in assertion scan, exactly pandas' contract).
+    * Overlapping non-key columns take the suffixes; the join itself is
+    * whatever Catalyst picks for the sizes (broadcast or SMJ). */
+  def merge(other: GFrame, on: Seq[String], how: String = "inner",
+            suffixes: (String, String) = ("_x", "_y"),
+            validate: Option[String] = None): GFrame = {
+    require(on.nonEmpty, "merge needs at least one key column")
+    validate.foreach { v =>
+      require(Set("1:1", "1:m", "m:1", "m:m")(v),
+        s"validate must be 1:1|1:m|m:1|m:m, got '$v'")
+      def maxDup(d: DataFrame): Long =
+        d.groupBy(on.map(col): _*)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("__c"))
+          .agg(max(col("__c"))).head().getLong(0)
+      if (v.startsWith("1")) require(maxDup(df) <= 1L,
+        s"merge validate='$v': left keys are not unique")
+      if (v.endsWith("1")) require(maxDup(other.df) <= 1L,
+        s"merge validate='$v': right keys are not unique")
+    }
+    val overlap = (df.columns.toSet & other.df.columns.toSet) -- on.toSet
+    val l = overlap.foldLeft(df)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._1))
+    val r = overlap.foldLeft(other.df)((d, c) =>
+      d.withColumnRenamed(c, c + suffixes._2))
+    new GFrame(l.join(r, on, how), indexName)
+  }
+
   /** Equi-join pinned to a shuffle SortMergeJoin (`"merge"` strategy hint) —
     * the large⨝large bread-and-butter plan at 100 TB: both sides shuffle on
     * the join key and stream a merge; nothing is broadcast or collected.

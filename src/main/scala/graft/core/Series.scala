@@ -613,16 +613,49 @@ final class Series private[graft] (
     * left — pandas' convention. The q−1 boundaries are bounded driver
     * state (like IVF centroids / prefix-sum offsets); assignment is a
     * per-row expression chain, no shuffle. */
-  def qcut(q: Int): Series = {
+  def qcut(q: Int): Series = qcut(q, "raise")
+
+  /** pandas qcut(duplicates=): 'raise' (default) errors when quantile
+    * edges collide (heavy mass on one value — pandas' exact behavior);
+    * 'drop' dedups the edges, yielding contiguous but fewer bins. */
+  def qcut(q: Int, duplicates: String): Series = {
     require(q >= 1, "q must be >= 1")
+    require(Set("raise", "drop")(duplicates),
+      s"duplicates must be 'raise' or 'drop', got '$duplicates'")
     val row = base.agg(percentile(valueExpr,
       typedlit((1 until q).map(_.toDouble / q))).as("qs")).head()
     if (row.isNullAt(0)) return withValue(lit(null).cast("int"))
-    val cuts = row.getSeq[Double](0)
+    val raw = row.getSeq[Double](0)
+    val cuts =
+      if (duplicates == "drop") raw.distinct
+      else {
+        require(raw.distinct.size == raw.size,
+          s"Bin edges must be unique: $raw (pass duplicates='drop')")
+        raw
+      }
     val bucket = cuts.foldLeft(lit(0)) { (acc, b) =>
       acc + when(valueExpr.cast("double") > lit(b), 1).otherwise(0)
     }
     withValue(when(valueExpr.isNotNull, bucket))
+  }
+
+  /** Winsorize: clip at the [qLo, qHi] exact-percentile bounds — the
+    * outlier guard quality pipelines apply before scaling. ONE bounded
+    * 1-row percentile aggregate yields both bounds; they are grid-snapped
+    * (floor(x·1e6 + 0.5)/1e6, the engine-portable round6) so an
+    * engine-replicated clip compares against the identical double, and
+    * the clip itself is a per-row least/greatest projection. */
+  def winsorize(qLo: Double, qHi: Double): Series = {
+    require(0.0 <= qLo && qLo < qHi && qHi <= 1.0,
+      s"need 0 <= qLo < qHi <= 1, got ($qLo, $qHi)")
+    val row = base.agg(percentile(valueExpr,
+      typedlit(Seq(qLo, qHi))).as("qs")).head()
+    if (row.isNullAt(0)) return this
+    val qs = row.getSeq[Double](0)
+    def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    withValue(when(valueExpr.isNotNull,
+      least(greatest(valueExpr.cast("double"), lit(snap(qs.head))),
+        lit(snap(qs(1))))))
   }
 
   /** Does the index dtype have a monotone numeric bucketing coordinate —

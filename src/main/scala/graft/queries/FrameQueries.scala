@@ -413,6 +413,21 @@ object FrameQueries {
         .orderBy("c1", "c2")
     }),
 
+    // pandas merge(on=, how='left', suffixes=, validate='m:1'): collision
+    // suffixing + cardinality assertion (one bounded max-count aggregate
+    // on the claimed-unique side).
+    "f41_merge_validate" -> ((s, d) => {
+      val cust = GFrame.fromDF(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey").as("nk"),
+          col("c_name").as("name")), "c_custkey")
+      val nat = GFrame.fromDF(Tables.nation(s, d)
+        .select(col("n_nationkey").as("nk"), col("n_name").as("name")),
+        "nk")
+      cust.merge(nat, on = Seq("nk"), how = "left",
+          validate = Some("m:1")).toDF
+        .orderBy("c_custkey")
+    }),
+
     // pandas df.cov(): all pairwise sample covariances in ONE
     // partial+final pass (small-magnitude columns so the co-moment drift
     // between engines stays far inside the 1e-6 rounding grid).
@@ -719,6 +734,12 @@ object FrameQueries {
              corr(l_discount, l_discount) FROM lineitem)
          SELECT c1, c2, floor(corr * 1e6 + 0.5) / 1e6 AS corr
          FROM p ORDER BY c1, c2""",
+    "f41_merge_validate" ->
+      """SELECT c.c_custkey, c.c_nationkey AS nk, c.c_name AS name_x,
+           n.n_name AS name_y
+         FROM customer c LEFT JOIN nation n
+           ON c.c_nationkey = n.n_nationkey
+         ORDER BY c.c_custkey""",
     "f40_cov_matrix" ->
       """WITH p AS (
            SELECT 'l_quantity' AS c1, 'l_quantity' AS c2,

@@ -26,7 +26,9 @@ class CollectLintSpec extends AnyFunSuite {
         "1-row min/max bounds"),
     "GFrame.scala" -> Map(
       "val ra = rowAll.head()" -> "pivotTable All row: 1-row aggregate",
-      "val rc = rowCells.head()" -> "pivotTable All row: 1-row aggregate"),
+      "val rc = rowCells.head()" -> "pivotTable All row: 1-row aggregate",
+      ".agg(max(col(\"__c\"))).head().getLong(0)" ->
+        "merge validate max-dup probe: 1-row aggregate"),
     "GlobalWindows.scala" -> Map(
       ".collect() // ≤ carry × buckets rows — bounded driver state" ->
         "lag carry rows: carry × buckets",
@@ -61,6 +63,8 @@ class CollectLintSpec extends AnyFunSuite {
         "scalar reductions (sum/mean/...): 1-row aggregate",
       "typedlit((1 until q).map(_.toDouble / q))).as(\"qs\")).head()" ->
         "qcut cuts: q−1 quantiles, 1 row",
+      "typedlit(Seq(qLo, qHi))).as(\"qs\")).head()" ->
+        "winsorize bounds: 2 quantiles, 1 row",
       "val totalRow = counts.agg(F.sum(\"count\")).head()" ->
         "value_counts(normalize) denominator: 1 row",
       ".collect().map(r => r.getInt(0) -> r.getLong(1)).toMap" ->

@@ -265,6 +265,20 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
       == Seq("left_only", "both", "right_only"))
   }
 
+  test("merge applies suffixes to overlaps and enforces validate") {
+    val l = GFrame.fromDF(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (2L, "c", 30.0))
+        .toDF("k", "nm", "v"), "k")
+    val r = GFrame.fromDF(Seq((1L, "x"), (2L, "y")).toDF("k", "nm"), "k")
+    val m = l.merge(r, Seq("k"), validate = Some("m:1"))
+    assert(m.toDF.columns.toSeq.sorted == Seq("k", "nm_x", "nm_y", "v"))
+    assert(m.toDF.count() == 3)
+    // left side has duplicate k=2 → 1:m must reject
+    intercept[IllegalArgumentException] {
+      l.merge(r, Seq("k"), validate = Some("1:1"))
+    }
+  }
+
   test("crosstab drops null row keys (pandas drops NaN keys)") {
     val df = Seq((Some(1L), "x"), (None, "x"), (Some(1L), "y"))
       .toDF("rk", "c")

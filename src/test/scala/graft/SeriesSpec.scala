@@ -222,6 +222,23 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
       ("2024-01-01 00:20:00.0", null))) // 00:25 is off-grid: NOT carried
   }
 
+  test("qcut duplicates: raise on colliding edges, drop dedups them") {
+    // heavy mass at one value → interior quantile edges collide
+    val v = Series.fromSeq(spark,
+      Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0, 2.0), name = "v")
+    intercept[IllegalArgumentException] { v.qcut(4).df.count() }
+    val bins = valuesOf(v.qcut(4, "drop"))
+    assert(bins.take(6).forall(_ == 0) && bins.drop(6).forall(_ != 0))
+  }
+
+  test("winsorize clips at the snapped percentile bounds") {
+    val v = Series.fromSeq(spark, (1 to 100).map(_.toDouble), name = "v")
+    val w = valuesOf(v.winsorize(0.05, 0.95)).map(_.asInstanceOf[Double])
+    // p05 of 1..100 = 5.95, p95 = 95.05 (linear interpolation)
+    assert(w.min == 5.95 && w.max == 95.05)
+    assert(w(49) == 50.0) // interior values untouched
+  }
+
   test("rankNa places the null block top/bottom with average ranks") {
     val v = Series.fromSeq(spark,
       Seq[java.lang.Double](3.0, null, 1.0, 3.0), name = "v")
