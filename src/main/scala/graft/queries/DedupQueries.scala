@@ -52,6 +52,41 @@ object DedupQueries {
         .orderBy("new_id", "old_id")
     }),
 
+    // STREAMING incremental dedup under the hash gate: the d17 fresh
+    // batch replays through MemoryStream in TWO micro-batches;
+    // foreachBatch reuses the batch jaccardJoin against the static
+    // corpus and appends matches to a parquet sink (exactly-once per
+    // epoch). Must hash-match d17's cross-corpus DuckDB oracle — batch
+    // boundaries cannot change the answer because each incoming doc's
+    // pairs depend only on that doc and the static corpus.
+    "d18_stream_ingest" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val fresh = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val rows = fresh.select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val out = "/tmp/graft_d18_sink"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamOps.dedupIngest(
+        input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+        n = 3, threshold = 0.5) { matches =>
+        matches.withColumn("jaccard", round(col("jaccard"), 6))
+          .write.mode("append").parquet(s"$out/data")
+      }
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        input.addData(a: _*); q.processAllAvailable()
+        input.addData(b: _*); q.processAllAvailable()
+      } finally { q.stop(); graft.Caches.clear() }
+      s.read.parquet(s"$out/data").orderBy("new_id", "old_id")
+    }),
+
     // MinHash(32) + LSH(8 bands × 4) candidates, exact-Jaccard verified.
     "d04_minhash_lsh" -> ((s, d) =>
       DedupOps.minhashNearDup(Tables.documents(s, d), "doc_id", "text",
@@ -257,6 +292,22 @@ object DedupQueries {
     "d04_minhash_lsh" -> JaccardSql,
     // cross-corpus variant of JaccardSql: batch = doc_id ≡ 0 (mod 20)
     // probing everything else; sizes are per-doc, corpus-independent.
+    // d18 is the same answer arrived at through streaming ingestion.
+    "d18_stream_ingest" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh
+           WHERE a.doc_id % 20 = 0 AND b.doc_id % 20 <> 0
+           GROUP BY 1, 2)
+         SELECT new_id, old_id,
+           round(i * 1.0 / (s1.nsh + s2.nsh - i), 6) AS jaccard
+         FROM inter
+         JOIN sizes s1 ON new_id = s1.doc_id
+         JOIN sizes s2 ON old_id = s2.doc_id
+         WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5
+         ORDER BY new_id, old_id""",
     "d17_incremental_dedup" ->
       s"""WITH $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

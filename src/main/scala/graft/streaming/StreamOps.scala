@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming twins of the batch event operators in
   * [[graft.ops.EventOps]]: watermarked tumbling-window aggregation and
@@ -24,6 +24,26 @@ object StreamOps {
   def windowedAgg(events: DataFrame, watermarkDelay: String,
                   windowDuration: String): DataFrame =
     windowedAgg(events, watermarkDelay, windowDuration, windowDuration)
+
+  /** Streaming incremental dedup — the continuous-ingestion shape: every
+    * micro-batch of incoming docs near-dup-joins against the STATIC
+    * existing corpus through foreachBatch, reusing the batch
+    * [[graft.ops.DedupOps.jaccardJoin]] operator verbatim; matches reach
+    * the sink exactly once per epoch (foreachBatch's transactional
+    * contract with an idempotent sink). Per-batch cost tracks the BATCH's
+    * postings, not the corpus: the corpus posting projection persists on
+    * first use and Spark's cache manager re-serves it to every later
+    * micro-batch (same canonicalized plan), so the corpus is shingled
+    * once per ingestion run, not once per batch. */
+  def dedupIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
+                  textCol: String, n: Int, threshold: Double)(
+      sink: DataFrame => Unit): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        sink(graft.ops.DedupOps.jaccardJoin(batch.toDF(), corpus,
+          idCol, textCol, n, threshold))
+      }
+      .start()
 
   /** Tumbling (slide = duration) or HOPPING (slide < duration) watermarked
     * window aggregate — the streaming twin of

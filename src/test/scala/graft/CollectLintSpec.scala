@@ -97,6 +97,9 @@ class CollectLintSpec extends AnyFunSuite {
         "k-means seeds: k × dim"),
     // the streaming gates' MemoryStream replay harness — the TEST feed
     // (production side is readStream); bounded by the fixture only
+    "DedupQueries.scala" -> Map(
+      "val rows = fresh.select(\"doc_id\", \"text\").collect()" ->
+        "MemoryStream replay feed (gate harness)"),
     "EventQueries.scala" -> Map(
       ".collect()" -> "MemoryStream replay feed (gate harness)",
       ".select(\"event_id\", \"user_id\", \"value\").collect()" ->
