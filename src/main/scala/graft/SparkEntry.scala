@@ -903,6 +903,24 @@ object SparkEntry {
         lit(tp.any(_ > 400000.0)).as("any_big"),
         lit(tp.all(_ > 0.0)).as("all_pos"))
     }),
+    // pandas str.get_dummies(sep=' ') over declared categories — pure
+    // indicator projection, no discovery job, no shuffle.
+    "s102_str_dummies" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      Series.fromColumn(part, "p_type", "p_partkey")
+        .str.getDummies(" ", Seq("STANDARD", "ECONOMY", "ANODIZED",
+          "BRUSHED", "TIN"), prefix = "is_")
+        .withColumnRenamed("p_partkey", "idx")
+        .orderBy("idx")
+    }),
+    // pandas factorize(): first-appearance codes — keyed min aggregate +
+    // distributed dense rank + a value-keyed join back; nulls code -1.
+    "s103_factorize" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val seg = Series.fromColumn(cust, "c_mktsegment", "c_custkey")
+        .rename("code").renameIndex("idx")
+      ordered(seg.factorize())
+    }),
     // Winsorization: clip at the exact [p05, p95] percentile bounds (one
     // 1-row percentile aggregate, grid-snapped so both engines clip
     // against the identical double), then a pure projection.
@@ -1650,6 +1668,28 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s102_str_dummies" ->
+      ("""SELECT p_partkey AS idx,
+           CASE WHEN list_contains(string_split(p_type, ' '), 'STANDARD')
+             THEN 1 ELSE 0 END AS is_STANDARD,
+           CASE WHEN list_contains(string_split(p_type, ' '), 'ECONOMY')
+             THEN 1 ELSE 0 END AS is_ECONOMY,
+           CASE WHEN list_contains(string_split(p_type, ' '), 'ANODIZED')
+             THEN 1 ELSE 0 END AS is_ANODIZED,
+           CASE WHEN list_contains(string_split(p_type, ' '), 'BRUSHED')
+             THEN 1 ELSE 0 END AS is_BRUSHED,
+           CASE WHEN list_contains(string_split(p_type, ' '), 'TIN')
+             THEN 1 ELSE 0 END AS is_TIN
+         FROM part ORDER BY idx"""),
+    "s103_factorize" ->
+      ("""WITH f AS (SELECT c_mktsegment AS v, min(c_custkey) AS fi
+           FROM customer GROUP BY 1),
+         c AS (SELECT v,
+             CAST(dense_rank() OVER (ORDER BY fi) - 1 AS INTEGER) AS code
+           FROM f)
+         SELECT cu.c_custkey AS idx, c.code AS code
+         FROM customer cu JOIN c ON cu.c_mktsegment = c.v
+         ORDER BY idx"""),
     "s101_winsorize" ->
       ("""WITH b AS (SELECT
              floor(quantile_cont(l_extendedprice, 0.05) * 1e6 + 0.5) / 1e6

@@ -937,6 +937,24 @@ final class Series private[graft] (
         when(v.isNull, lit(nonNull + nullBlock)).otherwise(v))
   }
 
+  /** pandas factorize(): integer codes in order of FIRST APPEARANCE.
+    * Distributed shape: first-appearance index per value is one keyed
+    * min aggregate (partial+final, |distinct values| rows), the code is
+    * the distributed DENSE rank of that first index (the same
+    * value-bucketed rankAll machinery — no global-order window), and the
+    * codes join back keyed by value. Nulls code −1 (pandas). */
+  def factorize(buckets: Int = 32): Series = {
+    val firsts = base.filter(valueExpr.isNotNull)
+      .groupBy(valueExpr.as("__fv")).agg(F.min(indexExpr).as("__fi"))
+    val codes = Series.fromExpr(firsts, col("__fi"), "v", col("__fv"), "idx")
+      .rank("dense", buckets).df
+      .select(col("idx").as("__fv"), (col("v") - 1).cast("int").as("__code"))
+    val joined = base.select(indexExpr.as(indexName), valueExpr.as("__v"))
+      .join(codes, col("__v") === col("__fv"), "left")
+    Series.fromKeyed(joined.select(col(indexName),
+      coalesce(col("__code"), lit(-1)).as(name)), name, indexName)
+  }
+
   /** pandas rank(pct=True): the rank scaled by the non-null count — the
     * same distributed rankAll plan plus ONE bounded count scalar. */
   def rankPct(method: String = "average", buckets: Int = 32): Series = {
@@ -2139,6 +2157,18 @@ final class StrAccessor private[core] (s: Series) {
   }
   /** pandas str.repeat(n). */
   def repeat(n: Int): Series = t(F.repeat(_, n))
+  /** pandas str.get_dummies(sep) over DECLARED categories (the 100 TB
+    * rule — label sets are declared, not discovered): one indicator
+    * column per category, pure projection, no shuffle. Returns
+    * (index, <one int column per category named `<prefix><cat>`>). */
+  def getDummies(sep: String, categories: Seq[String],
+                 prefix: String = ""): DataFrame = {
+    require(categories.nonEmpty, "get_dummies needs declared categories")
+    val toks = F.split(s.valueExpr, java.util.regex.Pattern.quote(sep))
+    s.df.select(s.indexExpr.as(s.indexName) +:
+      categories.map(c => when(F.array_contains(toks, c), 1).otherwise(0)
+        .as(s"$prefix$c")): _*)
+  }
   /** pandas str.title() (initcap: every word's first letter upper). */
   def title: Series = t(F.initcap(_))
   def lstrip: Series = t(F.ltrim(_))

@@ -52,6 +52,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_shingle_hashes takes (text, n)")
         ShingleHashes(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[ByteEntropy].getName, "graft_entropy"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_entropy takes (text)")
+        ByteEntropy(children.head)
+      }))
     // text-analysis surface for spark.sql users — same expressions the
     // Column API composes (TextOps), so results are bit-identical
     unary(ext, "graft_tokens")(graft.ops.TextOps.tokens)

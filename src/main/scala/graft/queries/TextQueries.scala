@@ -47,6 +47,15 @@ object TextQueries {
       graft.ops.TextOps.chunkTokens(docs(s, d), "doc_id", "text", 32, 8)
         .orderBy("doc_id", "chunk_id")),
 
+    // Character-diversity quality signal: compiled byte-entropy expression
+    // (graft_entropy) — one 256-counter pass per row inside codegen, vs
+    // the per-doc explode+groupBy histogram the oracle spells.
+    "t11_entropy" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          graft.ops.TextOps.round6(
+            graft.functions.ByteEntropy.entropy(col("text"))).as("ent"))
+        .orderBy("doc_id")),
+
     // Global document frequency: top-20 terms by #docs containing them.
     // explode(distinct terms) → groupBy term: partial counts combine
     // map-side; the shuffle carries one row per (term, partition).
@@ -185,6 +194,15 @@ object TextQueries {
            array_to_string(ws[st:st + 31], ' ') AS chunk,
            least(32, n - chunk_id * 24) AS n_tokens
          FROM s ORDER BY doc_id, chunk_id""",
+    // DuckDB's native entropy() aggregate over exploded characters ==
+    // byte entropy on the all-ASCII fixtures; round6 absorbs the
+    // association-order ulp between the two summations.
+    "t11_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+             unnest(string_split_regex(text, '')) AS c
+           FROM documents)
+         SELECT doc_id, floor(entropy(c) * 1e6 + 0.5) / 1e6 AS ent
+         FROM ch GROUP BY doc_id ORDER BY doc_id""",
     "t03_term_docfreq" ->
       s"""SELECT term, count(*) AS df FROM (
            SELECT DISTINCT doc_id, unnest($Toks) AS term FROM documents)

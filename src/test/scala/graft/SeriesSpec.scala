@@ -239,6 +239,21 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(w(49) == 50.0) // interior values untouched
   }
 
+  test("factorize codes by first appearance; nulls code -1") {
+    val v = Series.fromSeq(spark,
+      Seq("b", "a", null, "b", "c", "a"), name = "code")
+    assert(valuesOf(v.factorize()) == Seq(0, 1, -1, 0, 2, 1))
+  }
+
+  test("byte entropy: uniform/empty/null edge cases match the formula") {
+    import graft.functions.ByteEntropy
+    val d = Seq(Some("aab"), Some("aaaa"), Some(""), None).toDF("t")
+    val got = d.select(ByteEntropy.entropy(col("t"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(math.abs(got(0).asInstanceOf[Double] - 0.9182958340544893) < 1e-15)
+    assert(got(1) == 0.0 && got(2) == 0.0 && got(3) == null)
+  }
+
   test("rankNa places the null block top/bottom with average ranks") {
     val v = Series.fromSeq(spark,
       Seq[java.lang.Double](3.0, null, 1.0, 3.0), name = "v")
