@@ -192,6 +192,23 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
       .drop("__ml", "__mr"), indexName)
   }
 
+  /** pandas df.nlargest(n, columns) / nsmallest: top-n rows by the named
+    * columns. pandas breaks remaining ties by position (keep='first'),
+    * which has no stable distributed meaning — callers pass explicit
+    * `tiebreak` columns instead (document the determinism you want).
+    * Plans as TakeOrderedAndProject: per-partition top-n heaps, the
+    * driver merges ≤ n·partitions candidates — no global sort at any
+    * scale. */
+  def nlargest(n: Int, cols: Seq[String],
+               tiebreak: Seq[Column] = Nil): GFrame =
+    new GFrame(df.orderBy(cols.map(col(_).desc) ++ tiebreak: _*).limit(n),
+      indexName)
+
+  def nsmallest(n: Int, cols: Seq[String],
+                tiebreak: Seq[Column] = Nil): GFrame =
+    new GFrame(df.orderBy(cols.map(col(_).asc) ++ tiebreak: _*).limit(n),
+      indexName)
+
   /** pandas merge(on=, how=, suffixes=, validate=): equi-join with
     * pandas collision suffixing and cardinality validation.
     * validate='1:1'/'1:m'/'m:1'/'m:m' asserts the claimed side's key

@@ -413,6 +413,14 @@ object FrameQueries {
         .orderBy("c1", "c2")
     }),
 
+    // pandas df.nlargest(n, columns): TakeOrderedAndProject — per-
+    // partition top-n heaps, no global sort.
+    "f42_nlargest" -> ((s, d) =>
+      GFrame.fromDF(Tables.orders(s, d), "o_orderkey")
+        .nlargest(15, Seq("o_totalprice"), Seq(col("o_orderkey").asc))
+        .toDF.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))),
+
     // pandas merge(on=, how='left', suffixes=, validate='m:1'): collision
     // suffixing + cardinality assertion (one bounded max-count aggregate
     // on the claimed-unique side).
@@ -734,6 +742,9 @@ object FrameQueries {
              corr(l_discount, l_discount) FROM lineitem)
          SELECT c1, c2, floor(corr * 1e6 + 0.5) / 1e6 AS corr
          FROM p ORDER BY c1, c2""",
+    "f42_nlargest" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
     "f41_merge_validate" ->
       """SELECT c.c_custkey, c.c_nationkey AS nk, c.c_name AS name_x,
            n.n_name AS name_y

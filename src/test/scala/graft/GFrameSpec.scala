@@ -265,6 +265,15 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
       == Seq("left_only", "both", "right_only"))
   }
 
+  test("nlargest plans as TakeOrderedAndProject (no global sort)") {
+    val g = GFrame.fromDF(
+      Seq((1L, 5.0), (2L, 9.0), (3L, 7.0), (4L, 9.0)).toDF("k", "v"), "k")
+    val top = g.nlargest(2, Seq("v"), Seq(col("k").asc))
+    assert(top.toDF.collect().map(_.getLong(0)).toSeq == Seq(2L, 4L))
+    val plan = top.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("merge applies suffixes to overlaps and enforces validate") {
     val l = GFrame.fromDF(
       Seq((1L, "a", 10.0), (2L, "b", 20.0), (2L, "c", 30.0))
