@@ -903,6 +903,17 @@ object SparkEntry {
         lit(tp.any(_ > 400000.0)).as("any_big"),
         lit(tp.all(_ > 0.0)).as("all_pos"))
     }),
+    // Feature scaling: z-score + min-max from one bounded stats row each,
+    // then pure projections (the normalize-before-training step).
+    "s104_scale" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val q = Series.fromExpr(li, col("l_quantity"), "v",
+        col("l_orderkey") * 10 + col("l_linenumber"), "idx")
+      li.select((col("l_orderkey") * 10 + col("l_linenumber")).as("idx"),
+          graft.ops.TextOps.round6(q.zscore().values).as("z"),
+          graft.ops.TextOps.round6(q.minmaxScale().values).as("mm"))
+        .orderBy("idx")
+    }),
     // pandas str.get_dummies(sep=' ') over declared categories — pure
     // indicator projection, no discovery job, no shuffle.
     "s102_str_dummies" -> ((s, d) => {
@@ -1668,6 +1679,16 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    "s104_scale" ->
+      ("""WITH st AS (SELECT avg(l_quantity) AS mu,
+             stddev_samp(l_quantity) AS sd,
+             CAST(min(l_quantity) AS DOUBLE) AS lo,
+             CAST(max(l_quantity) AS DOUBLE) AS hi
+           FROM lineitem)
+         SELECT l_orderkey * 10 + l_linenumber AS idx,
+           floor(((l_quantity - mu) / sd) * 1e6 + 0.5) / 1e6 AS z,
+           floor(((l_quantity - lo) / (hi - lo)) * 1e6 + 0.5) / 1e6 AS mm
+         FROM lineitem, st ORDER BY idx"""),
     "s102_str_dummies" ->
       ("""SELECT p_partkey AS idx,
            CASE WHEN list_contains(string_split(p_type, ' '), 'STANDARD')

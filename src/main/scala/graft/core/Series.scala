@@ -937,6 +937,27 @@ final class Series private[graft] (
         when(v.isNull, lit(nonNull + nullBlock)).otherwise(v))
   }
 
+  /** Feature scaling — z-score standardization (x−μ)/σ, the
+    * normalize-before-training step: ONE bounded 1-row (μ, σ) aggregate,
+    * then a pure projection. Degenerate σ (0 or a single row) yields
+    * null via try_divide rather than an ANSI abort. */
+  def zscore(): Series = {
+    val row = base.agg(F.avg(valueExpr), stddev_samp(valueExpr)).head()
+    if (row.isNullAt(0) || row.isNullAt(1)) return withValue(lit(null))
+    withValue(try_divide(valueExpr.cast("double") - lit(row.getDouble(0)),
+      lit(row.getDouble(1))))
+  }
+
+  /** Feature scaling — min-max to [0, 1]: (x−min)/(max−min) from one
+    * bounded 1-row bounds aggregate; constant series yield null. */
+  def minmaxScale(): Series = {
+    val row = base.agg(F.min(valueExpr).cast("double"),
+      F.max(valueExpr).cast("double")).head()
+    if (row.isNullAt(0)) return withValue(lit(null))
+    val (lo, hi) = (row.getDouble(0), row.getDouble(1))
+    withValue(try_divide(valueExpr.cast("double") - lit(lo), lit(hi - lo)))
+  }
+
   /** pandas factorize(): integer codes in order of FIRST APPEARANCE.
     * Distributed shape: first-appearance index per value is one keyed
     * min aggregate (partial+final, |distinct values| rows), the code is

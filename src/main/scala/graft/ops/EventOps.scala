@@ -64,6 +64,25 @@ object EventOps {
       .withColumn("ws", col("window.start"))
       .drop("window")
 
+  /** Trending items: the top-`k` event types per tumbling window by
+    * count — ONE partial+final aggregation keyed by (window, type), then
+    * the rank predicate sits directly on the staged row_number so
+    * WindowGroupLimit turns the per-window sort into per-partition top-k
+    * heaps before the shuffle (the s64/f36 plan — no global sort, no
+    * full per-window sort task at 100 TB). */
+  def topKPerWindow(df: DataFrame, tsCol: String, duration: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("n").desc, col("event_type").asc)
+    df.groupBy(window(col(tsCol), duration).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(W))
+      .filter(col("rk") <= k)
+      .select(col("w.start").as("ws"), col("event_type"), col("n"),
+        col("rk"))
+  }
+
   /** Trailing time-range window aggregates per key: for each event, the
     * given aggregates over that key's events in `[ts - window, ts]`
     * (inclusive — a RANGE frame over event time, not a row count; the

@@ -43,6 +43,13 @@ object EventQueries {
         .select("ws", "event_type", "n", "total")
         .orderBy("ws", "event_type")),
 
+    // Trending: top-3 event types per tumbling hour — the rank predicate
+    // sits on the staged row_number so WindowGroupLimit runs per-
+    // partition top-k heaps before the shuffle.
+    "e25_trending" -> ((s, d) =>
+      EventOps.topKPerWindow(ev(s, d), "ts", "1 hour", k = 3)
+        .orderBy("ws", "rk")),
+
     // Gap-based sessionization (30-min inactivity) per user.
     "e02_sessions" -> ((s, d) =>
       EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
@@ -594,6 +601,16 @@ object EventQueries {
          SELECT ws, event_type, count(*) AS n,
            round(sum(value), 2) AS total
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e25_trending" ->
+      """WITH a AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT ws, event_type, n,
+             CAST(row_number() OVER (PARTITION BY ws
+               ORDER BY n DESC, event_type) AS INTEGER) AS rk
+           FROM a)
+         SELECT ws, event_type, n, rk FROM r WHERE rk <= 3
+         ORDER BY ws, rk""",
     "e02_sessions" ->
       """WITH x AS (
            SELECT user_id, event_id, ts,

@@ -65,6 +65,10 @@ class CollectLintSpec extends AnyFunSuite {
         "qcut cuts: q−1 quantiles, 1 row",
       "typedlit(Seq(qLo, qHi))).as(\"qs\")).head()" ->
         "winsorize bounds: 2 quantiles, 1 row",
+      "val row = base.agg(F.avg(valueExpr), stddev_samp(valueExpr)).head()" ->
+        "zscore stats: 1-row aggregate",
+      "F.max(valueExpr).cast(\"double\")).head()" ->
+        "minmax bounds: 1-row aggregate",
       "val totalRow = counts.agg(F.sum(\"count\")).head()" ->
         "value_counts(normalize) denominator: 1 row",
       ".collect().map(r => r.getInt(0) -> r.getLong(1)).toMap" ->
