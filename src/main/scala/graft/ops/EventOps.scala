@@ -83,6 +83,25 @@ object EventOps {
         col("rk"))
   }
 
+  /** Time-weighted average per key (the TWAP shape): each observation
+    * holds until the key's next event, weight = holding time in µs —
+    * one keyed lead window + ONE partial+final aggregation. The key's
+    * last observation has no successor and carries zero weight (closed-
+    * interval TWAP). `tieCol` breaks equal-timestamp ordering so the
+    * lead is deterministic. Keys with a single event yield null via
+    * try_divide. */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+                      valCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol).asc, col(tieCol).asc)
+    val us = unix_micros(col(tsCol))
+    val dt = (lead(us, 1).over(w) - us).cast("double")
+    df.select(col(keyCol), col(valCol), dt.as("__dt"))
+      .groupBy(keyCol)
+      .agg(try_divide(sum(col(valCol) * col("__dt")), sum(col("__dt")))
+        .as("twavg"))
+  }
+
   /** Trailing time-range window aggregates per key: for each event, the
     * given aggregates over that key's events in `[ts - window, ts]`
     * (inclusive — a RANGE frame over event time, not a row count; the

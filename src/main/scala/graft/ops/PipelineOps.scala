@@ -193,6 +193,23 @@ object PipelineOps {
       .agg(count(lit(1)).as("n_docs"), sum("__tok").as("n_tokens"))
   }
 
+  /** Corpus length histogram — the datasheet's length distribution: doc
+    * count and token mass per power-of-2 token-count bucket. The bucket
+    * is an indicator SUM over declared edges (n ≥ 2^k), not floor(log2):
+    * log2 lands exactly ON integer values at powers of two, where a
+    * 1-ulp engine difference flips the bucket — integer compares cannot
+    * drift. Pure projection + ONE aggregation. */
+  def lengthHistogram(df: DataFrame, tokenCol: Column,
+                      maxPow: Int = 16): DataFrame = {
+    require(maxPow >= 1 && maxPow <= 62, "maxPow must be in [1, 62]")
+    val n = tokenCol.cast("long")
+    val bucket = (1 to maxPow).map(k =>
+      when(n >= lit(1L << k), 1).otherwise(0)).reduce(_ + _)
+    df.select(bucket.as("bucket"), n.as("__n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): each row gets the key `−ln(u)/w` with `u` a salted
     * md5 uniform in (0, 1] — the `n` smallest keys are a weighted sample

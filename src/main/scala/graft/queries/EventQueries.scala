@@ -50,6 +50,15 @@ object EventQueries {
       EventOps.topKPerWindow(ev(s, d), "ts", "1 hour", k = 3)
         .orderBy("ws", "rk")),
 
+    // Time-weighted average value per user (TWAP): keyed lead window for
+    // the holding time + one aggregation; single-event users null.
+    "e26_twap" -> ((s, d) =>
+      EventOps.timeWeightedAvg(ev(s, d), "user_id", "ts", "value",
+          tieCol = "event_id")
+        .select(col("user_id"),
+          graft.ops.TextOps.round6(col("twavg")).as("twavg"))
+        .orderBy("user_id")),
+
     // Gap-based sessionization (30-min inactivity) per user.
     "e02_sessions" -> ((s, d) =>
       EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
@@ -601,6 +610,14 @@ object EventQueries {
          SELECT ws, event_type, count(*) AS n,
            round(sum(value), 2) AS total
          FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e26_twap" ->
+      """WITH x AS (SELECT user_id, value,
+             CAST(lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - epoch_us(ts) AS DOUBLE) AS dt
+           FROM events)
+         SELECT user_id,
+           floor((sum(value * dt) / sum(dt)) * 1e6 + 0.5) / 1e6 AS twavg
+         FROM x GROUP BY user_id ORDER BY user_id""",
     "e25_trending" ->
       """WITH a AS (SELECT date_trunc('hour', ts) AS ws, event_type,
              count(*) AS n

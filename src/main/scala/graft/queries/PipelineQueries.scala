@@ -100,6 +100,13 @@ object PipelineQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Length histogram: power-of-2 token buckets via integer indicator
+    // sums (log2 would flip at exact powers under 1-ulp drift).
+    "p10_length_hist" -> ((s, d) =>
+      PipelineOps.lengthHistogram(Tables.documents(s, d),
+          TextOps.tokenCount(col("text")))
+        .orderBy("bucket")),
+
     // Multi-epoch replay schedule: salted-rotation mixture per epoch on
     // ONE corpus scan (explode of per-epoch keep indicators).
     "p09_epoch_schedule" -> ((s, d) =>
@@ -218,6 +225,15 @@ object PipelineQueries {
          SELECT doc_id, source FROM (
            SELECT doc_id, source FROM k ORDER BY key LIMIT 500)
          ORDER BY doc_id""",
+    "p10_length_hist" ->
+      s"""WITH t AS (SELECT CAST(len($Toks) AS BIGINT) AS n
+             FROM documents),
+         b AS (SELECT n,
+             ${(1 to 16).map(k => s"(CASE WHEN n >= ${1L << k} THEN 1 ELSE 0 END)")
+               .mkString(" + ")} AS bucket
+           FROM t)
+         SELECT bucket, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+         FROM b GROUP BY 1 ORDER BY 1""",
     // per-epoch salts ep0/ep1/ep2; 0.5 → 0x8000, 0.25 → 0x4000.
     "p09_epoch_schedule" ->
       """WITH e AS (SELECT unnest(range(0, 3)) AS epoch),
