@@ -26,7 +26,9 @@ object Bench {
     "e01_tumbling_hour", "e02_sessions", "e06_asof", "e09_stream_sessions",
     "e11_stream_join", "e18_asof_global",
     "s23_rank", "s24_rolling_mean", "s29_cumsum_dist", "s50_ewm",
-    "s58_expanding", "s63_resample", "m02_decode_features")
+    "s58_expanding", "s63_resample", "m02_decode_features",
+    "d17_incremental_dedup", "d18_stream_ingest", "t11_entropy",
+    "s98_rolling_wintype", "s101_winsorize", "p08_curriculum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
