@@ -98,27 +98,57 @@ object SimilarityOps {
       planesFlat.getOrElse(
         hyperplanes(planes = tables * bits, dim = dim).flatten), bits, dim)
 
+  /** Snap every component to the dyadic grid 1/`grid` (grid a power of
+    * two): floor(x·g + 0.5)/g. On grid values, every later dot product and
+    * cross-row sum in the IVF pipeline is EXACT in IEEE doubles — products
+    * are multiples of 1/g² within 53 bits, sums stay within 53 bits — so
+    * results are independent of summation order and bit-identical between
+    * Spark and any other engine spelling the same floor (the v02/d05
+    * md5-portability trick, extended from inputs to whole aggregates).
+    * Semantically a ≤ 2^-21 perturbation of each unit vector. */
+  private[graft] def quantize(c: Column, grid: Double): Column =
+    transform(c, x => floor(x * lit(grid) + lit(0.5)) / lit(grid))
+
+  private def quantizeArr(c: Array[Double], g: Double): Array[Double] =
+    c.map(x => math.floor(x * g + 0.5) / g)
+
+  /** Normalized (and, when `grid` is set, grid-quantized) projection. */
+  private[graft] def normalizedQ(df: DataFrame, idCol: String,
+                                 vecCol: String, outId: String,
+                                 outVec: String,
+                                 grid: Option[Double]): DataFrame = {
+    val n = DedupOps.normalized(df, idCol, vecCol, outId, outVec)
+    grid.fold(n)(g =>
+      n.select(col(outId), quantize(col(outVec), g).as(outVec)))
+  }
+
   /** Deterministic Lloyd k-means over an embedding column: seeds are the
     * first k vectors by id (deterministic, no sampling), `iters` rounds of
     * assign (broadcast centroids, codegen'd graft_dot on normalized
     * vectors = cosine assignment) + recompute (groupBy avg). Each round is
     * one scan + one k-sized aggregation; centroids live on the driver
-    * between rounds (k × dim doubles — the standard bounded state). */
+    * between rounds (k × dim doubles — the standard bounded state).
+    *
+    * `grid` (off by default) runs the ENGINE-PORTABLE variant: inputs and
+    * every iteration's centroids are snapped to the dyadic grid (see
+    * [[quantize]]), making all averages/dots exact and the whole recurrence
+    * replayable bit-for-bit by a DuckDB oracle (the v03/v04 gates). */
   def kmeans(df: DataFrame, idCol: String, vecCol: String, k: Int,
-             iters: Int, dim: Int): Array[Array[Double]] = {
+             iters: Int, dim: Int,
+             grid: Option[Double] = None): Array[Array[Double]] = {
     // every iteration ends in an action, so an unpersisted projection
     // would re-scan + re-normalize the corpus iters+1 times.
     val v = graft.Caches.track(
-      DedupOps.normalized(df, idCol, vecCol, "id", "e")
+      normalizedQ(df, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    kmeansFrom(v, k, iters, dim)
+    kmeansFrom(v, k, iters, dim, grid)
   }
 
   /** [[kmeans]] over an already-normalized, already-persisted (id, e)
     * projection — callers that reuse the projection downstream (IVF
     * assignment) pass it here so the corpus is scanned once. */
-  private[graft] def kmeansFrom(v: DataFrame, k: Int,
-                                iters: Int, dim: Int): Array[Array[Double]] = {
+  private[graft] def kmeansFrom(v: DataFrame, k: Int, iters: Int, dim: Int,
+                                grid: Option[Double] = None): Array[Array[Double]] = {
     var centroids = v.orderBy("id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     (1 to iters).foreach { _ =>
@@ -128,9 +158,14 @@ object SimilarityOps {
           avg(col("e")(i))): _*).as("centroid"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
       centroids = centroids.indices.map(i => sums.getOrElse(i, centroids(i)))
-        .map { c => // re-normalize so assignment stays cosine
+        .map { c0 =>
+          // portable path: quantize the (exact) mean BEFORE the norm so the
+          // sum of squares is itself exact, then re-quantize after dividing
+          // — the grid invariant the next iteration's dots rely on.
+          val c = grid.fold(c0)(quantizeArr(c0, _))
           val n = math.sqrt(c.map(x => x * x).sum)
-          if (n == 0) c else c.map(_ / n)
+          val d = if (n == 0) c else c.map(_ / n) // re-normalize: cosine
+          grid.fold(d)(quantizeArr(d, _))
         }.toArray
     }
     centroids
@@ -185,16 +220,17 @@ object SimilarityOps {
     * with nprobe) → rows-only in the driver contract. */
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nClusters: Int, nProbe: Int,
-                dim: Int = 64, kmeansIters: Int = 3): DataFrame = {
+                dim: Int = 64, kmeansIters: Int = 3,
+                grid: Option[Double] = None): DataFrame = {
     // one persisted normalized projection feeds k-means (iters+1 actions)
     // AND the final bucket assignment — one corpus scan total.
     val v = graft.Caches.track(
-      DedupOps.normalized(corpus, idCol, vecCol, "id", "e")
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim)
+    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
     val c = assignToCentroids(v, centroids)
       .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
-    val q0 = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
+    val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
     ivfRerank(c, probeClusters(q0, centroids, nProbe), k)
   }
 
@@ -208,12 +244,12 @@ object SimilarityOps {
     * the corpus per query batch. */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, outDir: String, dim: Int = 64,
-               kmeansIters: Int = 3): Unit = {
+               kmeansIters: Int = 3, grid: Option[Double] = None): Unit = {
     val spark = corpus.sparkSession
     val v = graft.Caches.track(
-      DedupOps.normalized(corpus, idCol, vecCol, "id", "e")
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim)
+    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
     import spark.implicits._
     centroids.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
       .toDF("cluster", "centroid")
@@ -229,13 +265,14 @@ object SimilarityOps {
     * query's nprobe nearest clusters, and equi-join the partitioned
     * postings — only the probed partitions are read. */
   def ivfProbe(indexDir: String, queries: DataFrame, idCol: String,
-               vecCol: String, k: Int, nProbe: Int): DataFrame = {
+               vecCol: String, k: Int, nProbe: Int,
+               grid: Option[Double] = None): DataFrame = {
     val spark = queries.sparkSession
     val centroids = spark.read.parquet(s"$indexDir/centroids")
       .orderBy("cluster").collect()
       .map(_.getSeq[Double](1).toArray)
     val postings = spark.read.parquet(s"$indexDir/postings")
-    val q0 = DedupOps.normalized(queries, idCol, vecCol, "qid", "qe")
+    val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
     ivfRerank(postings, probeClusters(q0, centroids, nProbe), k)
   }
 

@@ -6,8 +6,10 @@ import graft.Tables
 import graft.ops.SimilarityOps
 
 /** Similarity-search queries over the `embeddings` fixture (64-dim float
-  * vectors). v01 is exact and DuckDB-oracled; v02 is approximate (LSH) and
-  * rows-only — its recall against v01 is asserted in SimilaritySpec. */
+  * vectors). v01/v06 are exact; v02 (LSH) and v03/v04 (IVF) are
+  * approximate pipelines spelled portably — md5 hyperplanes (v02) and
+  * dyadic-grid quantization (v03/v04) — so even they hash-match full
+  * DuckDB replays; recall vs exact is additionally asserted in OpsSpec. */
 object SimilarityQueries {
 
   private def emb(s: SparkSession, d: String): DataFrame =
@@ -69,12 +71,20 @@ object SimilarityQueries {
     }),
 
     // IVF ANN: deterministic k-means buckets, nprobe-closest probed per
-    // query. Approximate → rows-only.
+    // query. The gate runs the ENGINE-PORTABLE grid variant (components
+    // snapped to the 2^-20 dyadic grid after normalization): on grid
+    // values every centroid average and dot product is EXACT in doubles —
+    // order-independent — so the whole fixed-iteration k-means + probe +
+    // re-rank recurrence hash-matches a DuckDB oracle that unrolls the
+    // same three iterations in SQL (the d05/v02 md5 trick, extended from
+    // portable INPUTS to portable AGGREGATES). Library default stays
+    // un-quantized.
     "v03_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
       SimilarityOps.ivfSearch(e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4)
-        .withColumn("sim", round(col("sim"), 6))
+          "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4,
+          grid = Some(Grid))
+        .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
         .orderBy("qid", "rk")
     }),
 
@@ -82,16 +92,18 @@ object SimilarityQueries {
     // postings) round-trips through parquet artifacts, then a probe query
     // runs against the RELOADED index — the actual 100 TB deployment shape
     // (f20's build→write→read→probe pattern for ANN). Same parameters as
-    // v03; OpsSpec asserts the probe matches the in-process v03 results
-    // exactly and holds recall ≥ 0.8 vs exact. Approximate → rows-only.
+    // v03 (grid-portable; doubles survive the parquet round-trip exactly),
+    // so it shares v03's DuckDB oracle; OpsSpec additionally asserts the
+    // probe matches the in-process v03 results exactly and holds recall
+    // ≥ 0.8 vs exact.
     "v04_ivf_persist" -> ((s, d) => {
       val e = emb(s, d)
       val idx = "/tmp/graft_v04_ivf_index"
       SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
-        outDir = idx)
+        outDir = idx, grid = Some(Grid))
       SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, nProbe = 4)
-        .withColumn("sim", round(col("sim"), 6))
+          "vec_id", "embedding", k = 5, nProbe = 4, grid = Some(Grid))
+        .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
         .orderBy("qid", "rk")
     }),
 
@@ -106,6 +118,82 @@ object SimilarityQueries {
           graft.ops.TextOps.round6(col("sim")).as("sim"))
         .orderBy("vec_id"))
   )
+
+  /** 2^20 — the dyadic quantization grid for the portable IVF gates. */
+  private val Grid = 1048576.0
+
+  /** DuckDB replay of the grid-portable IVF pipeline: the fixed-iteration
+    * k-means is UNROLLED (cent0 → cent1 → … → cent`iters`), each round =
+    * argmax-dot assignment (ties → larger cluster, mirroring Spark's
+    * `greatest` struct compare) + per-component quantized mean + quantized
+    * re-normalization; then final assignment → postings, per-query top-
+    * `nProbe` probe (ties → smaller cluster, mirroring probeClusters), and
+    * exact-dot re-rank. Every sum the SQL engine may reorder runs over
+    * grid values, so it is exact and order-independent — bit-identical to
+    * Spark's sequential graft_dot and avg. */
+  private def ivfOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
+                        dim: Int, g: Double): String = {
+    val gs = f"$g%.1f"
+    def iterSql(i: Int) = s"""
+      asg$i AS (
+        SELECT id, e, cluster FROM (
+          SELECT n.id, n.e, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
+          FROM nrm n, cent$i c) WHERE rn = 1),
+      avg$i AS (
+        SELECT a.cluster, g.i - 1 AS pos,
+          floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS m
+        FROM asg$i a, generate_series(1, $dim) g(i) GROUP BY 1, 2),
+      raw$i AS (
+        SELECT p.cluster, coalesce(u.c, p.c) AS c
+        FROM cent$i p LEFT JOIN (
+          SELECT cluster, list(m ORDER BY pos) AS c FROM avg$i GROUP BY 1
+        ) u USING (cluster)),
+      cent${i + 1} AS (
+        SELECT r.cluster,
+          CASE WHEN n.nn = 0 THEN r.c
+            ELSE list_transform(r.c,
+              x -> floor(x / n.nn * $gs + 0.5) / $gs) END AS c
+        FROM raw$i r JOIN (
+          SELECT cluster, sqrt(sum(x * x)) AS nn
+          FROM (SELECT cluster, unnest(c) AS x FROM raw$i) GROUP BY 1
+        ) n USING (cluster))"""
+    s"""WITH
+      v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+      nrm AS (
+        SELECT id, list_transform(e0,
+          x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+        FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn FROM v0)),
+      cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
+            AS cluster, e AS c
+        FROM (SELECT id, e FROM nrm ORDER BY id LIMIT $k)),
+      ${(0 until iters).map(iterSql).mkString(",")},
+      posting AS (
+        SELECT id AS nid, e AS ce, cluster FROM (
+          SELECT n.id, n.e, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
+          FROM nrm n, cent$iters c) WHERE rn = 1),
+      probe AS (
+        SELECT qid, qe, cluster FROM (
+          SELECT n.id AS qid, n.e AS qe, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster ASC) AS crk
+          FROM nrm n, cent$iters c WHERE n.id < 10) WHERE crk <= $nProbe),
+      scored AS (
+        SELECT p.qid, o.nid, list_dot_product(o.ce, p.qe) AS sim
+        FROM posting o JOIN probe p USING (cluster) WHERE o.nid <> p.qid)
+      SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
+        nid, floor(sim * 1e6 + 0.5) / 1e6 AS sim
+      FROM scored QUALIFY rk <= $topK ORDER BY qid, rk"""
+  }
+
+  private val IvfSql =
+    ivfOracle(k = 16, iters = 3, nProbe = 4, topK = 5, dim = 64, g = Grid)
 
   private val KnnSql =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
@@ -124,6 +212,11 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "v06_knn_sql" -> KnnSql,
     "v01_knn_bruteforce" -> KnnSql,
+    // v03/v04: the grid-portable IVF pipeline replayed end-to-end in SQL
+    // (unrolled k-means — see ivfOracle). v04 shares v03's oracle: the
+    // parquet round-trip preserves doubles exactly.
+    "v03_ann_ivf" -> IvfSql,
+    "v04_ivf_persist" -> IvfSql,
     // v02: the FULL LSH pipeline replayed in SQL — md5-seeded hyperplane
     // weights (bit-identical doubles: 15-hex md5 / 2^59 − 1), sequential
     // list_dot_product sign bits packed per 4-plane table, any-table
