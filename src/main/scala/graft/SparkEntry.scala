@@ -885,9 +885,11 @@ object SparkEntry {
         .orderBy("o_totalprice")
     }),
     // pandas Series.is_monotonic_increasing/_decreasing + any()/all():
-    // driver-facing scalar probes — monotonicity closes over one bucketed
-    // diff pass (no single-task window) + a 1-row aggregate; the gate
-    // re-lifts the four scalars into a 1-row frame.
+    // driver-facing scalar probes, FUSED — each series answers its whole
+    // probe bundle (both monotonic directions + any/all) from ONE bucketed
+    // diff pass closed by ONE 1-row aggregate (Series.monotonicStats; the
+    // five separate probes used to cost ≈ 8 serial jobs). The gate
+    // re-lifts the five scalars into a 1-row frame.
     "s97_monotonic_any" -> ((s, d) => {
       val o = Tables.orders(s, d)
       // value and index both o_orderkey: alias the value side so the
@@ -896,12 +898,15 @@ object SparkEntry {
         col("o_orderkey"), "idx")
       val tp = Series.fromExpr(o, col("o_totalprice"), "v",
         col("o_orderkey"), "idx")
+      val ks = key.monotonicStats()
+      val ts = tp.monotonicStats(anyPred = _ > 400000.0,
+        allPred = _ > 0.0)
       s.range(1).select(
-        lit(key.isMonotonicIncreasing).as("mi_key"),
-        lit(key.isMonotonicDecreasing).as("md_key"),
-        lit(tp.isMonotonicIncreasing).as("mi_tp"),
-        lit(tp.any(_ > 400000.0)).as("any_big"),
-        lit(tp.all(_ > 0.0)).as("all_pos"))
+        lit(ks.increasing).as("mi_key"),
+        lit(ks.decreasing).as("md_key"),
+        lit(ts.increasing).as("mi_tp"),
+        lit(ts.anyTrue).as("any_big"),
+        lit(ts.allTrue).as("all_pos"))
     }),
     // Feature scaling: z-score + min-max from one bounded stats row each,
     // then pure projections (the normalize-before-training step).

@@ -859,6 +859,40 @@ final class Series private[graft] (
       .otherwise(0L))).head().getLong(0) == 1L
   }
 
+  /** FUSED scalar probes — is_monotonic_increasing, is_monotonic_decreasing,
+    * any(anyPred), all(allPred) — closed from ONE shared diff pass and ONE
+    * 1-row aggregate. Issuing the four pandas probes separately costs
+    * ≈ 2 jobs each (a null-count agg + a bucketed diff agg per direction);
+    * this collapses a whole probe bundle to a single scan + aggregate with
+    * identical semantics (null value ⇒ both monotonic flags false; length
+    * ≤ 1 ⇒ both true; any() false / all() true on empty). */
+  def monotonicStats(anyPred: Column => Column = _ => lit(false),
+                     allPred: Column => Column = _ => lit(true))
+      : Series.MonotonicStats = {
+    // one frame carrying BOTH the raw value and its global diff(1)
+    val d =
+      if (!orderableIdx)
+        base.select(valueExpr.as("__v"),
+          (valueExpr - lag(valueExpr, 1).over(ixWindow)).as("__d"))
+      else {
+        val g = globalWindows(carry = 1)
+        g.result("__d" -> g.diff(1), "__v" -> col(name))
+      }
+    val r = d.agg(
+      F.count(lit(1)), F.count(col("__v")),
+      F.min(when(col("__d").isNull || col("__d") >= 0, 1L).otherwise(0L)),
+      F.min(when(col("__d").isNull || col("__d") <= 0, 1L).otherwise(0L)),
+      coalesce(bool_or(anyPred(col("__v"))), lit(false)),
+      coalesce(bool_and(allPred(col("__v"))), lit(true))).head()
+    val n = r.getLong(0)
+    val nonNull = r.getLong(1) == n // any null value → both flags false
+    Series.MonotonicStats(
+      increasing = nonNull && (n <= 1 || r.getLong(2) == 1L),
+      decreasing = nonNull && (n <= 1 || r.getLong(3) == 1L),
+      anyTrue = r.getBoolean(4),
+      allTrue = r.getBoolean(5))
+  }
+
   /** pandas (s `op` x).any(): does ANY value satisfy the predicate. */
   def any(pred: Column => Column): Boolean =
     aggScalar(coalesce(bool_or(pred(valueExpr)), lit(false))) match {
@@ -2259,6 +2293,11 @@ final class DtAccessor private[core] (s: Series) {
 }
 
 object Series {
+  /** Result bundle of [[Series.monotonicStats]] — four pandas scalar
+    * probes answered by one fused aggregate. */
+  final case class MonotonicStats(increasing: Boolean, decreasing: Boolean,
+                                  anyTrue: Boolean, allTrue: Boolean)
+
   private[core] val IdxCol = "__graft_idx"
   private[core] val BktCol = "__graft_bkt"
   private[core] val PreCol = "__graft_pre"

@@ -1026,6 +1026,27 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(s.all(_ > -3.0) && !s.all(_ > 0.0))
   }
 
+  test("monotonicStats fuses both directions + any/all into one probe") {
+    def ser(vs: Seq[java.lang.Double]) =
+      Series.fromSeq(spark, vs, name = "v")
+    val inc = ser(Seq(1.0, 2.0, 2.0, 5.0)).monotonicStats(
+      anyPred = _ > 4.0, allPred = _ > 0.0)
+    assert(inc == Series.MonotonicStats(true, false, true, true))
+    val dec = ser(Seq(5.0, 3.0, 3.0, 1.0)).monotonicStats()
+    assert(dec.decreasing && !dec.increasing)
+    assert(!dec.anyTrue && dec.allTrue) // defaults: any=false, all=true
+    // null value → both monotonic flags false (pandas NaN behavior), but
+    // any/all still evaluate over the non-null values
+    val withNull = ser(Seq(1.0, null, 3.0)).monotonicStats(
+      anyPred = _ > 2.0, allPred = _ > 2.0)
+    assert(withNull == Series.MonotonicStats(false, false, true, false))
+    // single / empty edge cases match the unfused probes
+    val single = ser(Seq(7.0)).monotonicStats()
+    assert(single.increasing && single.decreasing)
+    val flat = ser(Seq(2.0, 2.0, 2.0)).monotonicStats()
+    assert(flat.increasing && flat.decreasing)
+  }
+
   test("str extras: split/get/count/pad/repeat/title") {
     val s = Series.fromSeq(spark, Seq("alpha beta gamma", "solo"), name = "t")
     val toks = s.str.split(" ")
