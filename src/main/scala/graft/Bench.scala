@@ -28,7 +28,8 @@ object Bench {
     "s23_rank", "s24_rolling_mean", "s29_cumsum_dist", "s50_ewm",
     "s58_expanding", "s63_resample", "m02_decode_features",
     "d17_incremental_dedup", "d18_stream_ingest", "t11_entropy",
-    "s98_rolling_wintype", "s101_winsorize", "p08_curriculum")
+    "s98_rolling_wintype", "s101_winsorize", "p08_curriculum",
+    "s97_monotonic_any", "s105_expanding_qtile_approx", "v03_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,7 +66,11 @@ object Bench {
     for (_ <- 1 to 3; (name, fn) <- queries) samples(name) += timeOnce(fn)
     val med = names.map { n => n -> samples(n).sorted.apply(1) }
     val mins = names.map { n => n -> samples(n).min }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT pins the decimal separator: the final JSON line is the
+    // driver's one parse surface, and f"" interpolation would emit "0,472"
+    // under a comma-decimal default locale.
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def js(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val build = med.filter(kv => buildDominated(kv._1))

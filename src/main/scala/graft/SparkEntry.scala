@@ -908,6 +908,20 @@ object SparkEntry {
         lit(ts.anyTrue).as("any_big"),
         lit(ts.allTrue).as("all_pos"))
     }),
+    // 100 TB global expanding().quantile(): mergeable Greenwald–Khanna
+    // sketches — one ordered pass per range bucket, `buckets` compressed
+    // sketches of driver state, exclusive prefix-merges broadcast back
+    // (Series.expandingQuantileApprox). The exact variant is deliberately
+    // single-task (unbounded prefix multiset — no bounded carry exists);
+    // this is its documented scale path. Approximate → rows-only; the
+    // per-row eps·n rank bound is asserted in SeriesSpec.
+    "s105_expanding_qtile_approx" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      Series.fromExpr(o, col("o_totalprice"), "v",
+        col("o_orderkey"), "idx")
+        .expandingQuantileApprox(0.5)
+        .df.orderBy("idx")
+    }),
     // Feature scaling: z-score + min-max from one bounded stats row each,
     // then pure projections (the normalize-before-training step).
     "s104_scale" -> ((s, d) => {

@@ -618,12 +618,27 @@ final class Series private[graft] (
   /** pandas qcut(duplicates=): 'raise' (default) errors when quantile
     * edges collide (heavy mass on one value — pandas' exact behavior);
     * 'drop' dedups the edges, yielding contiguous but fewer bins. */
-  def qcut(q: Int, duplicates: String): Series = {
+  def qcut(q: Int, duplicates: String): Series =
+    qcut(q, duplicates, approx = false)
+
+  /** [[qcut]] with a scale switch: `approx = true` derives the bin edges
+    * from the percentile_approx sketch (fixed-size mergeable state — the
+    * 100 TB default) instead of the exact sort-based percentile, whose
+    * aggregation state is the DISTINCT-VALUE MULTISET: bounded on gridded
+    * domains (2dp money), unbounded on continuous doubles. Approx edges
+    * are actual column elements within `1/accuracy` rank error; the
+    * assignment expression is identical. */
+  def qcut(q: Int, duplicates: String, approx: Boolean,
+           accuracy: Int = 10000): Series = {
     require(q >= 1, "q must be >= 1")
     require(Set("raise", "drop")(duplicates),
       s"duplicates must be 'raise' or 'drop', got '$duplicates'")
-    val row = base.agg(percentile(valueExpr,
-      typedlit((1 until q).map(_.toDouble / q))).as("qs")).head()
+    val ps = typedlit((1 until q).map(_.toDouble / q))
+    val edges =
+      if (approx) percentile_approx(valueExpr, ps, lit(accuracy))
+        .cast("array<double>")
+      else percentile(valueExpr, ps)
+    val row = base.agg(edges.as("qs")).head()
     if (row.isNullAt(0)) return withValue(lit(null).cast("int"))
     val raw = row.getSeq[Double](0)
     val cuts =
@@ -644,12 +659,29 @@ final class Series private[graft] (
     * 1-row percentile aggregate yields both bounds; they are grid-snapped
     * (floor(x·1e6 + 0.5)/1e6, the engine-portable round6) so an
     * engine-replicated clip compares against the identical double, and
-    * the clip itself is a per-row least/greatest projection. */
-  def winsorize(qLo: Double, qHi: Double): Series = {
+    * the clip itself is a per-row least/greatest projection.
+    *
+    * CAUTION at scale: the exact percentile's aggregation state is the
+    * distinct-value multiset — bounded on gridded domains like 2dp money
+    * (the oracle gates), unbounded on continuous doubles. Production
+    * default for 100 TB continuous data is `approx = true`. */
+  def winsorize(qLo: Double, qHi: Double): Series =
+    winsorize(qLo, qHi, approx = false)
+
+  /** [[winsorize]] with the scale switch: `approx = true` takes both clip
+    * bounds from ONE percentile_approx sketch (fixed-size mergeable
+    * state); bounds are actual column elements within `1/accuracy` rank
+    * error of the exact quantiles (bound asserted in SeriesSpec). */
+  def winsorize(qLo: Double, qHi: Double, approx: Boolean,
+                accuracy: Int = 10000): Series = {
     require(0.0 <= qLo && qLo < qHi && qHi <= 1.0,
       s"need 0 <= qLo < qHi <= 1, got ($qLo, $qHi)")
-    val row = base.agg(percentile(valueExpr,
-      typedlit(Seq(qLo, qHi))).as("qs")).head()
+    val ps = typedlit(Seq(qLo, qHi))
+    val bounds =
+      if (approx) percentile_approx(valueExpr, ps, lit(accuracy))
+        .cast("array<double>")
+      else percentile(valueExpr, ps)
+    val row = base.agg(bounds.as("qs")).head()
     if (row.isNullAt(0)) return this
     val qs = row.getSeq[Double](0)
     def snap(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
@@ -1234,6 +1266,76 @@ final class Series private[graft] (
   /** pandas expanding().median(), global index order (see
     * [[expandingQuantile]] for the single-task caveat). */
   def expandingMedian(): Series = expandingQuantile(0.5)
+
+  /** The 100 TB sibling of [[expandingQuantile]]: APPROXIMATE global
+    * expanding quantile with fully distributed, bounded state, via
+    * mergeable Greenwald–Khanna sketches (the percentile_approx summary):
+    *
+    *   1. rows range-repartition + sort by index (`buckets` ordered
+    *      partitions — the [[GlobalWindows]] shape);
+    *   2. one pass per partition builds its value sketch — `buckets`
+    *      compressed sketches (~KBs each, ~(1/ε)·log(εN) tuples) collect
+    *      to the driver, the only driver state;
+    *   3. exclusive prefix-merges broadcast back; a second pass per
+    *      partition seeds its running sketch with the prefix and emits
+    *      `query(q)` after each ordered insert.
+    *
+    * Per-row rank error ≤ ε·n over each row's own prefix (spec-asserted).
+    * This is genuine per-partition sequential-state logic, so it uses
+    * mapPartitions deliberately — no SQL window exposes partial-sketch
+    * merge. Exact [[expandingQuantile]] stays the oracle path; it cannot
+    * distribute (an unbounded prefix multiset does not factorize into
+    * bounded carry). */
+  def expandingQuantileApprox(q: Double, relativeError: Double = 0.01,
+                              buckets: Int = 32): Series = {
+    require(q >= 0.0 && q <= 1.0, s"quantile must be in [0, 1], got $q")
+    require(relativeError > 0.0 && relativeError < 1.0,
+      s"relativeError must be in (0, 1), got $relativeError")
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    import org.apache.spark.sql.Row
+    val spark = base.sparkSession
+    def fresh() = new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, relativeError,
+      Array.empty, 0L, false)
+    // one persisted range-partitioned ordered projection feeds BOTH passes
+    // with identical partitioning (repartitionByRange re-samples per job).
+    val parted = graft.Caches.track(
+      df.select(col(indexName), col(name).cast("double").as("__v"))
+        .repartitionByRange(buckets, col(indexName).asc_nulls_first)
+        .sortWithinPartitions(col(indexName).asc_nulls_first)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nParts = parted.rdd.getNumPartitions
+    val perPart = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = fresh()
+      it.foreach(r => if (!r.isNullAt(1)) s = s.insert(r.getDouble(1)))
+      Iterator(pid -> s.compress())
+    }.collect().toMap
+    // exclusive prefix merge: partition p's seed = sketches of 0..p-1
+    val prefixes = new Array[QuantileSummaries](nParts)
+    var acc = fresh().compress()
+    (0 until nParts).foreach { p =>
+      prefixes(p) = acc
+      acc = acc.merge(perPart.getOrElse(p, fresh().compress()))
+    }
+    val bc = spark.sparkContext.broadcast(prefixes)
+    val outRdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = bc.value(pid)
+      it.map { r =>
+        if (!r.isNullAt(1)) s = s.insert(r.getDouble(1)).compress()
+        Row(r.get(0), s.query(q).map(Double.box).orNull)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField(indexName, df.schema(indexName).dataType,
+        df.schema(indexName).nullable),
+      StructField(name, DoubleType, nullable = true)))
+    Series.fromKeyed(spark.createDataFrame(outRdd, schema), name, indexName)
+  }
+
+  /** Approximate global expanding median — see
+    * [[expandingQuantileApprox]]. */
+  def expandingMedianApprox(relativeError: Double = 0.01): Series =
+    expandingQuantileApprox(0.5, relativeError)
 
   /** pandas groupby(by).ewm(alpha, adjust=, ignore_na=): (idx, key,
     * ewm_mean, ewm_var) — one keyed exchange + per-group streaming

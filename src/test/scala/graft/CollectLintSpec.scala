@@ -61,10 +61,15 @@ class CollectLintSpec extends AnyFunSuite {
         "corr/cov scalar (aligned): 1-row aggregate",
       "private def aggScalar(c: Column): Any = base.agg(c).head().get(0)" ->
         "scalar reductions (sum/mean/...): 1-row aggregate",
-      "typedlit((1 until q).map(_.toDouble / q))).as(\"qs\")).head()" ->
-        "qcut cuts: q−1 quantiles, 1 row",
-      "typedlit(Seq(qLo, qHi))).as(\"qs\")).head()" ->
-        "winsorize bounds: 2 quantiles, 1 row",
+      "val row = base.agg(edges.as(\"qs\")).head()" ->
+        "qcut cuts: q−1 quantiles (exact or sketch), 1 row",
+      "val row = base.agg(bounds.as(\"qs\")).head()" ->
+        "winsorize bounds: 2 quantiles (exact or sketch), 1 row",
+      "coalesce(bool_and(allPred(col(\"__v\"))), lit(true))).head()" ->
+        "monotonicStats fused probe: 1-row aggregate",
+      "}.collect().toMap" ->
+        ("expandingQuantileApprox per-partition sketches: `buckets` " +
+          "compressed GK summaries (~(1/eps)·log(eps·N) tuples each)"),
       "val row = base.agg(F.avg(valueExpr), stddev_samp(valueExpr)).head()" ->
         "zscore stats: 1-row aggregate",
       "F.max(valueExpr).cast(\"double\")).head()" ->

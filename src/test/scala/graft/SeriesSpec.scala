@@ -239,6 +239,32 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(w(49) == 50.0) // interior values untouched
   }
 
+  test("winsorize/qcut approx: sketch bounds within rank error of exact") {
+    // continuous-looking values where the exact percentile's state would
+    // be the full distinct multiset — the regime approx=true is for
+    val n = 2000
+    val vals = (1 to n).map(i => (i * 2654435761L % 1000003L).toDouble)
+    val v = Series.fromSeq(spark, vals, name = "v")
+    val w = valuesOf(v.winsorize(0.05, 0.95, approx = true))
+      .map(_.asInstanceOf[Double])
+    val sorted = vals.sorted
+    // f24-style bound: each approx clip bound is an actual element whose
+    // RANK is within eps*n (= n/10000, so here ±1 rank + interpolation
+    // slack) of the exact quantile rank
+    def rankOf(x: Double) = sorted.count(_ <= x)
+    assert(math.abs(rankOf(w.min) - 0.05 * n) <= 2,
+      s"lo bound rank ${rankOf(w.min)} vs ${0.05 * n}")
+    assert(math.abs(rankOf(w.max) - 0.95 * n) <= 2,
+      s"hi bound rank ${rankOf(w.max)} vs ${0.95 * n}")
+    assert(w(49) == vals(49)) // interior values untouched
+    // qcut approx: every bin holds n/q rows within the same rank slack
+    val bins = valuesOf(v.qcut(4, "raise", approx = true))
+      .map(_.asInstanceOf[Int])
+    val sizes = bins.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.keys.toSet == Set(0, 1, 2, 3))
+    assert(sizes.values.forall(s => math.abs(s - n / 4) <= 2), sizes.toMap)
+  }
+
   test("factorize codes by first appearance; nulls code -1") {
     val v = Series.fromSeq(spark,
       Seq("b", "a", null, "b", "c", "a"), name = "code")
@@ -851,6 +877,38 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(near(got(2)._1, 3.0) && near(got(2)._2, math.sqrt(2.0)))
     assert(near(got(3)._1, 4.0) && near(got(3)._2, 2.0))
     assert(near(got(4)._1, 5.0) && near(got(4)._2, math.sqrt(20.0 / 3)))
+  }
+
+  test("expandingQuantileApprox: per-row rank error within eps of exact") {
+    // deterministic pseudo-random walk across many distinct doubles, with
+    // enough rows that the 32 range buckets are all non-trivial and the
+    // cross-bucket prefix sketch merge actually engages
+    val n = 3000
+    val vals = (1 to n).map(i => (i * 48271L % 99991L).toDouble)
+    val s = Series.fromSeq(spark, vals, name = "v")
+    val eps = 0.01
+    val got = s.expandingQuantileApprox(0.5, relativeError = eps)
+      .df.orderBy("index").collect().map(_.getDouble(1))
+    assert(got.length == n)
+    // GK guarantee, per row over that row's own prefix: the returned
+    // element's rank in the prefix is within eps * prefixLen of the
+    // target rank (plus 1 for discreteness)
+    var worst = 0.0
+    (1 to n).foreach { i =>
+      val prefix = vals.take(i).sorted
+      val target = 0.5 * i
+      val lo = prefix.count(_ < got(i - 1))   // rank range of the element
+      val hi = prefix.count(_ <= got(i - 1))
+      val err = // distance from target rank to the element's rank interval
+        if (target < lo) lo - target else if (target > hi) target - hi
+        else 0.0
+      worst = math.max(worst, err / i)
+      assert(err <= eps * i + 1,
+        s"row $i: rank err $err > ${eps * i + 1} (got ${got(i - 1)})")
+    }
+    info(f"expandingQuantileApprox worst relative rank error: $worst%.4f")
+    // the sketch answers are actual prefix ELEMENTS (GK returns samples)
+    assert((1 to n).forall(i => vals.take(i).contains(got(i - 1))))
   }
 
   test("str.extract captures group 1, null on no match (pandas NaN)") {
