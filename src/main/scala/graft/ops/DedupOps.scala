@@ -96,11 +96,12 @@ object DedupOps {
     * have no false negatives and the false positives die in the exact
     * join, so the output is bit-identical to [[ngramContamination]].
     *
-    * The membership probe is a Scala UDF over the broadcast bitset — the
-    * one justified UDF in the codebase: Spark exposes no public native
-    * bloom-probe expression, the closure ships a broadcast handle (not
-    * the bitset), and each call is a handful of hash probes replacing a
-    * join of the full corpus posting volume. */
+    * The membership probe is the codegen'd
+    * [[graft.functions.BloomContains]] expression over the broadcast
+    * bitset: each call is a handful of hash probes replacing a join of
+    * the full corpus posting volume, and it stays inside the
+    * whole-stage-codegen span (the former Scala udf ended the span and
+    * boxed every hash). */
   def bloomContamination(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int,
                          minShared: Int = 1,
@@ -115,11 +116,10 @@ object DedupOps {
     // bounded driver action: the aggregated bitset, not the postings
     val bf = b.stat.bloomFilter("sh", expectedNgrams, fpp)
     val bcast = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((sh: Long) => bcast.value.mightContainLong(sh))
     val bsizes = b.groupBy("bench_id").agg(count(lit(1)).as("bn"))
     postings(spread(corpus.select(col(idCol), col(textCol)), idCol),
         "train_id")
-      .filter(mightContain(col("sh")))
+      .filter(graft.functions.BloomContains.contains(col("sh"), bcast))
       .join(b, "sh")
       .groupBy("train_id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
