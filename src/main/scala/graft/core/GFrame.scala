@@ -223,10 +223,14 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     validate.foreach { v =>
       require(Set("1:1", "1:m", "m:1", "m:m")(v),
         s"validate must be 1:1|1:m|m:1|m:m, got '$v'")
-      def maxDup(d: DataFrame): Long =
-        d.groupBy(on.map(col): _*)
+      def maxDup(d: DataFrame): Long = {
+        val r = d.groupBy(on.map(col): _*)
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("__c"))
-          .agg(max(col("__c"))).head().getLong(0)
+          .agg(max(col("__c"))).head()
+        // max over zero groups is null: an empty side is trivially unique
+        // (pandas validate passes on empty frames too).
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
       if (v.startsWith("1")) require(maxDup(df) <= 1L,
         s"merge validate='$v': left keys are not unique")
       if (v.endsWith("1")) require(maxDup(other.df) <= 1L,

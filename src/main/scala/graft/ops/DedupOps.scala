@@ -199,13 +199,30 @@ object DedupOps {
   def jaccardJoin(fresh: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String, n: Int, threshold: Double): DataFrame = {
     def post(df: DataFrame, out: String) = graft.Caches.track(
-      spread(df.select(col(idCol).as(out), col(textCol).as("__txt")), out)
-        .select(col(out), explode(
-          graft.functions.ShingleHashes.shingleHashes(col("__txt"), n))
-          .as("sh"))
+      crossPostings(df, idCol, out, textCol, n)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val lp = post(fresh, "new_id")
-    val rp = post(corpus, "old_id")
+    jaccardFromPostings(post(fresh, "new_id"), post(corpus, "old_id"),
+      threshold)
+  }
+
+  /** Hashed shingle posting list (`out`, sh LONG) for one corpus side of a
+    * cross-corpus near-dup join — the projection [[jaccardJoin]] persists
+    * per side. Exposed so long-lived callers (streaming ingestion) can
+    * build+persist the STATIC corpus postings once per run and manage the
+    * per-batch side's lifetime themselves. */
+  def crossPostings(df: DataFrame, idCol: String, out: String,
+                    textCol: String, n: Int): DataFrame =
+    spread(df.select(col(idCol).as(out), col(textCol).as("__txt")), out)
+      .select(col(out), explode(
+        graft.functions.ShingleHashes.shingleHashes(col("__txt"), n))
+        .as("sh"))
+
+  /** Cross-corpus Jaccard core over pre-built posting lists
+    * (`new_id`/`old_id`, sh): each side feeds its size aggregate plus the
+    * shared-shingle equi-join, so callers should persist sides they pass
+    * in (both feed two plan branches). */
+  def jaccardFromPostings(lp: DataFrame, rp: DataFrame,
+                          threshold: Double): DataFrame = {
     val lsz = lp.groupBy("new_id").agg(count(lit(1)).as("n1"))
     val rsz = rp.groupBy("old_id").agg(count(lit(1)).as("n2"))
     lp.join(rp, "sh")

@@ -70,16 +70,16 @@ object EventOps {
     * WindowGroupLimit turns the per-window sort into per-partition top-k
     * heaps before the shuffle (the s64/f36 plan — no global sort, no
     * full per-window sort task at 100 TB). */
-  def topKPerWindow(df: DataFrame, tsCol: String, duration: String,
-                    k: Int): DataFrame = {
+  def topKPerWindow(df: DataFrame, tsCol: String, typeCol: String,
+                    duration: String, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val W = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("w")).orderBy(col("n").desc, col("event_type").asc)
-    df.groupBy(window(col(tsCol), duration).as("w"), col("event_type"))
+      .partitionBy(col("w")).orderBy(col("n").desc, col(typeCol).asc)
+    df.groupBy(window(col(tsCol), duration).as("w"), col(typeCol))
       .agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(W))
       .filter(col("rk") <= k)
-      .select(col("w.start").as("ws"), col("event_type"), col("n"),
+      .select(col("w.start").as("ws"), col(typeCol), col("n"),
         col("rk"))
   }
 

@@ -27,12 +27,281 @@ object MultimodalOps {
   }
 
   /** Deterministic stand-in for a real codec (???-equivalent, but runnable
-    * and testable): features are pure functions of the byte length. */
+    * and testable): features are pure functions of the byte length. Still
+    * the fallback for byte streams [[ImageCodec.parse]] cannot identify,
+    * and the stand-in for formats (audio/video codecs) that genuinely
+    * need native libraries this sandbox lacks. */
   object FakeDecoder extends Decoder {
     def decode(id: Long, bytes: Array[Byte]): MediaFeatures = {
       val n = bytes.length
       MediaFeatures(id, n, 1 + n % 640, 1 + (n * 7) % 480, 1 + n % 30)
     }
+  }
+
+  /** REAL image-container codec, pure JVM, zero dependencies: writes and
+    * header-parses minimal-but-valid PNG / GIF89a / baseline-JPEG
+    * containers. The parser is the production-shaped piece — it walks the
+    * actual binary structure (PNG chunk framing with CRC32 verification
+    * of IHDR, GIF logical-screen descriptor + extension/image-descriptor
+    * blocks, JPEG marker segments to SOF) and never looks at anything but
+    * the bytes. The writer exists so fixtures can carry genuine binary
+    * containers for the parser to decode (payload rides in IDAT / comment
+    * sub-blocks / COM segments). PNG frame count is 1 (APNG acTL not
+    * emitted); GIF frames = image-descriptor count — the animation
+    * format. */
+  object ImageCodec {
+    final case class Parsed(fmt: String, width: Int, height: Int,
+                            frames: Int, payloadBytes: Int)
+
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def rdBe16(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 8) | u8(b, i + 1)
+    private def rdBe32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def rdLe16(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8)
+
+    private val pngSig =
+      Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** Valid PNG: signature, IHDR (8-bit RGB, real CRC32), one IDAT
+      * carrying `payload`, IEND. */
+    def encodePng(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+      pngSig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", payload) ++
+        pngChunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Valid GIF89a: logical-screen descriptor (LE dims), `payload` in a
+      * comment extension's ≤255-byte sub-blocks, `frames` minimal image
+      * descriptors, trailer. */
+    def encodeGif(w: Int, h: Int, frames: Int,
+                  payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(payload.length + 64)
+      out.write("GIF89a".getBytes("US-ASCII"))
+      out.write(le16(w)); out.write(le16(h))
+      out.write(0); out.write(0); out.write(0) // no GCT, bg, aspect
+      out.write(0x21); out.write(0xFE)         // comment extension
+      payload.grouped(255).foreach { g => out.write(g.length); out.write(g) }
+      out.write(0)                             // sub-block terminator
+      var i = 0
+      while (i < frames) {                     // minimal image descriptors
+        out.write(0x2C)
+        out.write(le16(0)); out.write(le16(0))
+        out.write(le16(w)); out.write(le16(h))
+        out.write(0)                           // no local color table
+        out.write(2)                           // LZW min code size
+        out.write(0)                           // empty data chain
+        i += 1
+      }
+      out.write(0x3B)                          // trailer
+      out.toByteArray
+    }
+
+    /** Valid baseline JPEG: SOI, `payload` in ≤65533-byte COM segments,
+      * SOF0 (BE height/width, 3 components), EOI. */
+    def encodeJpeg(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(payload.length + 64)
+      out.write(0xFF); out.write(0xD8)         // SOI
+      payload.grouped(65533).foreach { g =>
+        out.write(0xFF); out.write(0xFE)       // COM
+        out.write(be16(g.length + 2)); out.write(g)
+      }
+      out.write(0xFF); out.write(0xC0)         // SOF0
+      out.write(be16(17)); out.write(8)        // len, precision
+      out.write(be16(h)); out.write(be16(w)); out.write(3)
+      var c = 1
+      while (c <= 3) { out.write(c); out.write(0x11); out.write(0); c += 1 }
+      out.write(0xFF); out.write(0xD9)         // EOI
+      out.toByteArray
+    }
+
+    /** Sniff the magic and header-parse dims / frame count / carried
+      * payload bytes. None for unidentifiable or structurally broken
+      * streams (including a PNG whose IHDR CRC does not check out). */
+    def parse(bytes: Array[Byte]): Option[Parsed] =
+      try {
+        if (bytes.length >= 8 && bytes.take(8).sameElements(pngSig))
+          parsePng(bytes)
+        else if (bytes.length >= 13 && (bytes.take(6).sameElements(
+            "GIF89a".getBytes("US-ASCII")) || bytes.take(6).sameElements(
+            "GIF87a".getBytes("US-ASCII"))))
+          parseGif(bytes)
+        else if (bytes.length >= 4 && u8(bytes, 0) == 0xFF &&
+            u8(bytes, 1) == 0xD8)
+          parseJpeg(bytes)
+        else None
+      } catch { case _: IndexOutOfBoundsException => None }
+
+    private def parsePng(b: Array[Byte]): Option[Parsed] = {
+      var pos = 8
+      var w = -1; var h = -1; var idat = 0L
+      while (pos + 8 <= b.length) {
+        val len = rdBe32(b, pos)
+        if (len > Int.MaxValue - 12 || pos + 12 + len > b.length) return None
+        val typ = new String(b, pos + 4, 4, "US-ASCII")
+        typ match {
+          case "IHDR" =>
+            val crc = new java.util.zip.CRC32
+            crc.update(b, pos + 4, 4 + len.toInt)
+            if ((crc.getValue & 0xFFFFFFFFL) !=
+              rdBe32(b, pos + 8 + len.toInt)) return None
+            w = rdBe32(b, pos + 8).toInt; h = rdBe32(b, pos + 12).toInt
+          case "IDAT" => idat += len
+          case "IEND" =>
+            return if (w > 0 && h > 0)
+              Some(Parsed("png", w, h, 1, idat.toInt)) else None
+          case _ => ()
+        }
+        pos += 12 + len.toInt
+      }
+      None
+    }
+
+    private def parseGif(b: Array[Byte]): Option[Parsed] = {
+      val w = rdLe16(b, 6); val h = rdLe16(b, 8)
+      val packed = u8(b, 10)
+      var pos = 13
+      if ((packed & 0x80) != 0) pos += 3 * (1 << ((packed & 7) + 1))
+      var frames = 0; var comment = 0
+      def skipSubBlocks(count: Boolean): Unit = {
+        var n = u8(b, pos); pos += 1
+        while (n != 0) {
+          if (count) comment += n
+          pos += n; n = u8(b, pos); pos += 1
+        }
+      }
+      while (pos < b.length) {
+        u8(b, pos) match {
+          case 0x21 => // extension: label, then sub-blocks
+            val label = u8(b, pos + 1); pos += 2
+            skipSubBlocks(count = label == 0xFE)
+          case 0x2C => // image descriptor
+            frames += 1
+            val p = u8(b, pos + 9); pos += 10
+            if ((p & 0x80) != 0) pos += 3 * (1 << ((p & 7) + 1))
+            pos += 1 // LZW min code size
+            skipSubBlocks(count = false)
+          case 0x3B =>
+            return if (w > 0 && h > 0)
+              Some(Parsed("gif", w, h, math.max(frames, 1), comment))
+            else None
+          case _ => return None
+        }
+      }
+      None
+    }
+
+    private def parseJpeg(b: Array[Byte]): Option[Parsed] = {
+      var pos = 2
+      var w = -1; var h = -1; var com = 0
+      val sof = Set(0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
+      while (pos + 2 <= b.length) {
+        if (u8(b, pos) != 0xFF) return None
+        val marker = u8(b, pos + 1)
+        if (marker == 0xD9) // EOI
+          return if (w > 0 && h > 0) Some(Parsed("jpeg", w, h, 1, com))
+          else None
+        if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) pos += 2
+        else {
+          if (pos + 4 > b.length) return None
+          val len = rdBe16(b, pos + 2)
+          if (len < 2 || pos + 2 + len > b.length) return None
+          if (sof(marker)) { h = rdBe16(b, pos + 5); w = rdBe16(b, pos + 7) }
+          if (marker == 0xFE) com += len - 2
+          if (marker == 0xDA) // SOS: entropy data follows, stop walking
+            return if (w > 0 && h > 0) Some(Parsed("jpeg", w, h, 1, com))
+            else None
+          pos += 2 + len
+        }
+      }
+      None
+    }
+  }
+
+  /** Real header decode with graceful degradation: identifiable image
+    * containers get genuinely parsed geometry (width/height from the
+    * header, frames from GIF image descriptors, nbytes = payload bytes
+    * the container carries); unknown formats fall back to
+    * [[FakeDecoder]]. */
+  object HeaderDecoder extends Decoder {
+    def decode(id: Long, bytes: Array[Byte]): MediaFeatures =
+      ImageCodec.parse(bytes) match {
+        case Some(p) =>
+          MediaFeatures(id, p.payloadBytes, p.width, p.height, p.frames)
+        case None => FakeDecoder.decode(id, bytes)
+      }
+  }
+
+  /** Typed image-metadata record from a real header parse. */
+  final case class ImageMeta(doc_id: Long, fmt: String, width: Int,
+                             height: Int, frames: Int, nbytes: Int)
+
+  /** Image-encode input row: one image spec to containerize. */
+  final case class ImageSpec(doc_id: Long, fmt: String, width: Int,
+                             height: Int, frames: Int, payload: Array[Byte])
+
+  /** Encode rows into REAL image containers, partition-wise. Input needs
+    * (doc_id, fmt ∈ png|gif|jpeg, width, height, frames, payload BINARY);
+    * output is the standard multimodal payload struct whose `content` is
+    * a valid container carrying `payload` in its data segments. */
+  def encodeImages(specs: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[ImageSpec] = Encoders.product[ImageSpec]
+    implicit val outEnc: Encoder[(Long, Array[Byte], String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY, Encoders.STRING)
+    specs
+      .select(col("doc_id").cast("long"), col("fmt"),
+        col("width").cast("int"), col("height").cast("int"),
+        col("frames").cast("int"), col("payload"))
+      .as[ImageSpec]
+      .mapPartitions(_.map { sp =>
+        val bytes = sp.fmt match {
+          case "png" => ImageCodec.encodePng(sp.width, sp.height, sp.payload)
+          case "gif" =>
+            ImageCodec.encodeGif(sp.width, sp.height, sp.frames, sp.payload)
+          case _     => ImageCodec.encodeJpeg(sp.width, sp.height, sp.payload)
+        }
+        (sp.doc_id, bytes, s"image/${sp.fmt}")
+      })
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), struct(col("content"), col("mime"),
+        map(lit("codec"), col("mime")).as("meta")).as("payload"))
+  }
+
+  /** Decode payloads to typed image metadata via the real header parser;
+    * unidentifiable bytes degrade to the stub features with
+    * fmt='unknown'. */
+  def decodeImageMeta(packed: DataFrame, idCol: String): Dataset[ImageMeta] = {
+    implicit val enc: Encoder[ImageMeta] = Encoders.product[ImageMeta]
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    packed.select(col(idCol).cast("long"), col("payload.content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.parse(bytes) match {
+          case Some(p) =>
+            ImageMeta(id, p.fmt, p.width, p.height, p.frames, p.payloadBytes)
+          case None =>
+            val f = FakeDecoder.decode(id, bytes)
+            ImageMeta(id, "unknown", f.width, f.height, f.frames, f.nbytes)
+        }
+      })
   }
 
   /** Pack a text column as a multimodal payload:

@@ -67,10 +67,12 @@ object DedupQueries {
       val corpus = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
       val rows = fresh.select("doc_id", "text").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSeq
-      val out = "/tmp/graft_d18_sink"
+      // Unique per-invocation sink dir: a fixed path would let two
+      // concurrent runs on one machine clobber each other mid-query.
+      val out = java.nio.file.Files.createTempDirectory("graft_d18_sink")
+        .toString
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val q = graft.streaming.StreamOps.dedupIngest(
@@ -84,7 +86,20 @@ object DedupQueries {
         input.addData(a: _*); q.processAllAvailable()
         input.addData(b: _*); q.processAllAvailable()
       } finally { q.stop(); graft.Caches.clear() }
-      s.read.parquet(s"$out/data").orderBy("new_id", "old_id")
+      // A zero-match run writes no files (schema inference would fail):
+      // fall back to an empty frame with the sink's schema. Otherwise
+      // materialize off the temp files (localCheckpoint cuts the lineage)
+      // so the dir can be deleted before the result is consumed.
+      val res =
+        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/data")))
+          s.createDataFrame(new java.util.ArrayList[
+              org.apache.spark.sql.Row](),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "new_id BIGINT, old_id BIGINT, jaccard DOUBLE"))
+        else s.read.parquet(s"$out/data").orderBy("new_id", "old_id")
+          .localCheckpoint(true)
+      fs.delete(p, true)
+      res
     }),
 
     // MinHash(32) + LSH(8 bands × 4) candidates, exact-Jaccard verified.

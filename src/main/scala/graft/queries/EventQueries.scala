@@ -47,7 +47,7 @@ object EventQueries {
     // sits on the staged row_number so WindowGroupLimit runs per-
     // partition top-k heaps before the shuffle.
     "e25_trending" -> ((s, d) =>
-      EventOps.topKPerWindow(ev(s, d), "ts", "1 hour", k = 3)
+      EventOps.topKPerWindow(ev(s, d), "ts", "event_type", "1 hour", k = 3)
         .orderBy("ws", "rk")),
 
     // Time-weighted average value per user (TWAP): keyed lead window for

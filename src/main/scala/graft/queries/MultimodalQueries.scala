@@ -6,15 +6,38 @@ import graft.Tables
 import graft.ops.MultimodalOps
 
 /** Multimodal-plumbing queries: documents' text packed as binary payloads
-  * with typed metadata, decoded partition-wise by the deterministic stub
-  * decoder. The stub's features are pure functions of byte length, so all
-  * three queries have exact DuckDB oracles even though m02/m03 execute
-  * through typed mapPartitions. */
+  * with typed metadata, decoded partition-wise. The geometry gates
+  * (m02/m03/m04/m06/m07) round-trip REAL image containers — each doc's
+  * text is wrapped in a valid PNG / GIF89a / baseline-JPEG by
+  * [[MultimodalOps.ImageCodec]] and the decode step genuinely parses the
+  * binary headers back (chunk walk + CRC, LSD + block walk, marker walk
+  * to SOF). The dims/frames written at pack time are deterministic
+  * functions of the text byte length, so DuckDB oracles the whole
+  * round-trip: any endianness/offset slip in the parser breaks the
+  * hash. */
 object MultimodalQueries {
 
   private def packed(s: SparkSession, d: String): DataFrame =
     MultimodalOps.packPayload(Tables.documents(s, d), "doc_id", "text",
       "text/plain", Seq("lang", "source"))
+
+  /** Documents wrapped in real image containers: fmt cycles png/gif/jpeg
+    * by doc_id, dims/frames derive from the text byte length (the same
+    * functions the oracle computes), text bytes ride as the payload. */
+  private def imaged(s: SparkSession, d: String): DataFrame = {
+    val bytes = encode(col("text"), "UTF-8")
+    val n = length(bytes)
+    val fmtNo = pmod(col("doc_id"), lit(3))
+    MultimodalOps.encodeImages(Tables.documents(s, d).select(
+      col("doc_id"),
+      when(fmtNo === 0, "png").when(fmtNo === 1, "gif")
+        .otherwise("jpeg").as("fmt"),
+      (lit(1) + pmod(n, lit(640))).as("width"),
+      (lit(1) + pmod(n * 7, lit(480))).as("height"),
+      when(fmtNo === 1, lit(1) + pmod(n, lit(30))).otherwise(lit(1))
+        .as("frames"),
+      bytes.as("payload")))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Payload construction: binary content + mime + metadata map; verify
@@ -28,19 +51,28 @@ object MultimodalQueries {
         col("payload.meta")("lang").as("lang"))
         .orderBy("doc_id")),
 
-    // Partition-wise decode through the stub codec (typed mapPartitions).
+    // Partition-wise decode through the REAL header parser: dims/frames
+    // come from parsing the PNG/GIF/JPEG container bytes, nbytes is the
+    // payload the container carries (IDAT / comment blocks / COM).
     "m02_decode_features" -> ((s, d) =>
-      MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
-          MultimodalOps.FakeDecoder)
+      MultimodalOps.decodeFeatures(imaged(s, d), "doc_id",
+          MultimodalOps.HeaderDecoder)
         .toDF().orderBy("doc_id")),
 
-    // Frame-sampling fan-out: every 5th frame index per doc.
+    // Frame-sampling fan-out over genuinely parsed frame counts (GIF
+    // image descriptors; still formats = 1): every 5th frame per doc.
     "m03_frame_sample" -> ((s, d) =>
       MultimodalOps.sampleFrames(
-          MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
-            MultimodalOps.FakeDecoder).toDF(),
+          MultimodalOps.decodeFeatures(imaged(s, d), "doc_id",
+            MultimodalOps.HeaderDecoder).toDF(),
           step = 5)
         .orderBy("doc_id", "frame_no")),
+
+    // Typed image-metadata decode: format sniff + header parse, the
+    // mixed-corpus manifest a multimodal pipeline builds first.
+    "m07_image_meta" -> ((s, d) =>
+      MultimodalOps.decodeImageMeta(imaged(s, d), "doc_id")
+        .toDF().orderBy("doc_id")),
 
     // Fixed-size binary chunking: 64-byte segments with offsets — the
     // audio/video windowing shape; md5 per chunk so the oracle hashes
@@ -51,20 +83,22 @@ object MultimodalQueries {
           col("nbytes"), md5(col("chunk")).as("fp"))
         .orderBy("doc_id", "chunk_idx")),
 
-    // ViT patch-grid manifest: 16px patches over decoded geometry — the
-    // image-token budget (patches + CLS) multimodal packing plans around.
+    // ViT patch-grid manifest: 16px patches over genuinely header-parsed
+    // geometry — the image-token budget (patches + CLS) multimodal
+    // packing plans around.
     "m06_patch_grid" -> ((s, d) =>
       MultimodalOps.patchGrid(
-          MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
-            MultimodalOps.FakeDecoder).toDF(),
+          MultimodalOps.decodeFeatures(imaged(s, d), "doc_id",
+            MultimodalOps.HeaderDecoder).toDF(),
           patch = 16)
         .orderBy("doc_id")),
 
-    // Aspect-preserving resize-to-fit geometry (256x256 box, no upscale).
+    // Aspect-preserving resize-to-fit geometry (256x256 box, no upscale)
+    // over genuinely header-parsed dimensions.
     "m04_resize" -> ((s, d) =>
       MultimodalOps.resizeToFit(
-          MultimodalOps.decodeFeatures(packed(s, d), "doc_id",
-            MultimodalOps.FakeDecoder).toDF(),
+          MultimodalOps.decodeFeatures(imaged(s, d), "doc_id",
+            MultimodalOps.HeaderDecoder).toDF(),
           maxW = 256, maxH = 256)
         .select("doc_id", "width", "height", "scale", "out_w", "out_h")
         .orderBy("doc_id"))
@@ -81,15 +115,31 @@ object MultimodalQueries {
            CAST(octet_length(encode(text)) AS INTEGER) AS nbytes,
            CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
            CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
-           CAST(1 + octet_length(encode(text)) % 30 AS INTEGER) AS frames
+           CAST(CASE WHEN doc_id % 3 = 1
+                THEN 1 + octet_length(encode(text)) % 30
+                ELSE 1 END AS INTEGER) AS frames
          FROM documents ORDER BY doc_id""",
     "m03_frame_sample" ->
       """SELECT doc_id, CAST(u.f AS INTEGER) AS frame_no
          FROM (SELECT doc_id,
-                 1 + octet_length(encode(text)) % 30 AS frames
+                 CASE WHEN doc_id % 3 = 1
+                 THEN 1 + octet_length(encode(text)) % 30
+                 ELSE 1 END AS frames
                FROM documents) t,
          LATERAL unnest(range(0, t.frames, 5)) AS u(f)
          ORDER BY doc_id, frame_no""",
+    "m07_image_meta" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+             ELSE 'jpeg' END AS fmt,
+           CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST(1 + (octet_length(encode(text)) * 7) % 480 AS INTEGER)
+             AS height,
+           CAST(CASE WHEN doc_id % 3 = 1
+                THEN 1 + octet_length(encode(text)) % 30
+                ELSE 1 END AS INTEGER) AS frames,
+           CAST(octet_length(encode(text)) AS INTEGER) AS nbytes
+         FROM documents ORDER BY doc_id""",
     "m05_chunk_payload" ->
       // DuckDB has no BLOB substring; the fixture text is pure ASCII
       // (octet_length(encode(text)) == length(text), both SFs), so VARCHAR

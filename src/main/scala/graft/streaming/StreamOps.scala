@@ -28,22 +28,33 @@ object StreamOps {
   /** Streaming incremental dedup — the continuous-ingestion shape: every
     * micro-batch of incoming docs near-dup-joins against the STATIC
     * existing corpus through foreachBatch, reusing the batch
-    * [[graft.ops.DedupOps.jaccardJoin]] operator verbatim; matches reach
-    * the sink exactly once per epoch (foreachBatch's transactional
+    * [[graft.ops.DedupOps.jaccardFromPostings]] core verbatim; matches
+    * reach the sink exactly once per epoch (foreachBatch's transactional
     * contract with an idempotent sink). Per-batch cost tracks the BATCH's
-    * postings, not the corpus: the corpus posting projection persists on
-    * first use and Spark's cache manager re-serves it to every later
-    * micro-batch (same canonicalized plan), so the corpus is shingled
-    * once per ingestion run, not once per batch. */
+    * postings, not the corpus: the STATIC corpus posting projection is
+    * built+persisted ONCE per ingestion run (Caches-tracked, released by
+    * the caller's end-of-run clear), while each batch's postings persist
+    * only for the epoch — sink() materializes inside foreachBatch, so the
+    * batch side unpersists as the epoch ends and an unbounded ingestion
+    * run accumulates no per-batch cache entries. */
   def dedupIngest(stream: DataFrame, corpus: DataFrame, idCol: String,
                   textCol: String, n: Int, threshold: Double)(
-      sink: DataFrame => Unit): StreamingQuery =
+      sink: DataFrame => Unit): StreamingQuery = {
+    import graft.ops.DedupOps
+    val corpusPosts = graft.Caches.track(
+      DedupOps.crossPostings(corpus, idCol, "old_id", textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        sink(graft.ops.DedupOps.jaccardJoin(batch.toDF(), corpus,
-          idCol, textCol, n, threshold))
+        val batchPosts = DedupOps
+          .crossPostings(batch.toDF(), idCol, "new_id", textCol, n)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try sink(DedupOps.jaccardFromPostings(batchPosts, corpusPosts,
+          threshold))
+        finally batchPosts.unpersist(blocking = false)
       }
       .start()
+  }
 
   /** Tumbling (slide = duration) or HOPPING (slide < duration) watermarked
     * window aggregate — the streaming twin of

@@ -27,7 +27,7 @@ class CollectLintSpec extends AnyFunSuite {
     "GFrame.scala" -> Map(
       "val ra = rowAll.head()" -> "pivotTable All row: 1-row aggregate",
       "val rc = rowCells.head()" -> "pivotTable All row: 1-row aggregate",
-      ".agg(max(col(\"__c\"))).head().getLong(0)" ->
+      ".agg(max(col(\"__c\"))).head()" ->
         "merge validate max-dup probe: 1-row aggregate"),
     "GlobalWindows.scala" -> Map(
       ".collect() // ≤ carry × buckets rows — bounded driver state" ->

@@ -429,6 +429,59 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (2L, 0, 0, 0, "")))
   }
 
+  test("ImageCodec round-trips PNG/GIF/JPEG headers and payload sizes") {
+    import graft.ops.MultimodalOps.ImageCodec
+    val pl = Array.tabulate(700)(i => (i % 251).toByte) // spans >1 GIF block
+    val png = ImageCodec.parse(ImageCodec.encodePng(321, 123, pl))
+    assert(png.contains(ImageCodec.Parsed("png", 321, 123, 1, 700)))
+    val gif = ImageCodec.parse(ImageCodec.encodeGif(640, 480, 7, pl))
+    assert(gif.contains(ImageCodec.Parsed("gif", 640, 480, 7, 700)))
+    val big = Array.fill(70000)(1.toByte) // spans >1 JPEG COM segment
+    val jpg = ImageCodec.parse(ImageCodec.encodeJpeg(65535, 2, big))
+    assert(jpg.contains(ImageCodec.Parsed("jpeg", 65535, 2, 1, 70000)))
+    // empty payloads stay structurally valid
+    assert(ImageCodec.parse(ImageCodec.encodePng(1, 1, Array.empty))
+      .contains(ImageCodec.Parsed("png", 1, 1, 1, 0)))
+    assert(ImageCodec.parse(ImageCodec.encodeGif(1, 1, 0, Array.empty))
+      .contains(ImageCodec.Parsed("gif", 1, 1, 1, 0)))
+    assert(ImageCodec.parse(ImageCodec.encodeJpeg(1, 1, Array.empty))
+      .contains(ImageCodec.Parsed("jpeg", 1, 1, 1, 0)))
+  }
+
+  test("ImageCodec.parse rejects junk, truncation, and a corrupt PNG CRC") {
+    import graft.ops.MultimodalOps.ImageCodec
+    assert(ImageCodec.parse("plain text bytes".getBytes("UTF-8")).isEmpty)
+    assert(ImageCodec.parse(Array.empty[Byte]).isEmpty)
+    val png = ImageCodec.encodePng(10, 10, Array.fill(40)(2.toByte))
+    assert(ImageCodec.parse(png.take(20)).isEmpty) // truncated mid-IHDR
+    val bad = png.clone(); bad(16) = (bad(16) ^ 1).toByte // flip a dim bit
+    assert(ImageCodec.parse(bad).isEmpty) // IHDR CRC catches it
+    val jfif = ImageCodec.encodeJpeg(8, 8, Array.empty)
+    assert(ImageCodec.parse(jfif.dropRight(2)).isEmpty) // no EOI reached
+  }
+
+  test("encodeImages → decodeImageMeta distributed round-trip + fallback") {
+    import graft.ops.MultimodalOps
+    val specs = Seq(
+      (1L, "png", 33, 44, 1, "alpha".getBytes("UTF-8")),
+      (2L, "gif", 55, 66, 3, "beta!".getBytes("UTF-8")),
+      (3L, "jpeg", 77, 88, 1, Array.empty[Byte]))
+      .toDF("doc_id", "fmt", "width", "height", "frames", "payload")
+    val metas = MultimodalOps.decodeImageMeta(
+        MultimodalOps.encodeImages(specs), "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(metas == Seq(
+      MultimodalOps.ImageMeta(1L, "png", 33, 44, 1, 5),
+      MultimodalOps.ImageMeta(2L, "gif", 55, 66, 3, 5),
+      MultimodalOps.ImageMeta(3L, "jpeg", 77, 88, 1, 0)))
+    // unknown bytes degrade to the stub features, fmt='unknown'
+    val raw = MultimodalOps.packPayload(
+      Seq((9L, "not an image")).toDF("doc_id", "text"),
+      "doc_id", "text", "application/octet-stream", Seq.empty)
+    val m = MultimodalOps.decodeImageMeta(raw, "doc_id").head()
+    assert(m.fmt == "unknown" && m.nbytes == 12)
+  }
+
   test("chunkTokens: overlap windows, short tail, no contained chunk") {
     // 10 tokens, size 4, overlap 2 (stride 2) → starts 1,3,5,7 (4 chunks;
     // a 5th at 9 would be contained in 7..10)
