@@ -223,11 +223,16 @@ object EventQueries {
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
+          // ONE replay round: fixture + both far-future sentinels land in
+          // a single micro-batch; the engine's watermark-advance re-batch
+          // (shouldRunAnotherBatch) then fires every event-time timeout
+          // and flushes all closed sessions. Same output as a
+          // batch-per-sentinel replay (multi-batch arrival semantics are
+          // StreamingSpec's job), ~2 batch cycles cheaper.
           input.addData(rows: _*)
-          q.processAllAvailable()
-          input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
-          q.processAllAvailable()
-          input.addData((java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
+          input.addData(
+            (java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L),
+            (java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
           q.processAllAvailable()
         } finally q.stop() // memory sink retains the batches after stop
       }
@@ -282,12 +287,12 @@ object EventQueries {
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
+          // One replay round (see e09): sentinels ride the data batch,
+          // the watermark-advance re-batch flushes the fold.
           input.addData(rows: _*)
-          q.processAllAvailable()
           input.addData((-1L, -1L,
-            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0))
-          q.processAllAvailable()
-          input.addData((-1L, -2L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0),
+            (-1L, -2L,
             java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 0.0))
           q.processAllAvailable()
         } finally q.stop() // memory sink retains the batches after stop
@@ -326,12 +331,12 @@ object EventQueries {
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
+          // One replay round (see e09): sentinels ride the data batch,
+          // the watermark-advance re-batch flushes the buffered as-of.
           input.addData(rows: _*)
-          q.processAllAvailable()
           input.addData((-1L, -1L,
-            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0, 0))
-          q.processAllAvailable()
-          input.addData((-1L, -2L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 0.0, 0),
+            (-1L, -2L,
             java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), 0.0, 0))
           q.processAllAvailable()
         } finally q.stop()
@@ -366,12 +371,12 @@ object EventQueries {
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
+          // One replay round (see e09): sentinels ride the data batch,
+          // the watermark-advance re-batch emits the finalized windows.
           input.addData(rows: _*)
-          q.processAllAvailable()
           input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
-            "__wm", 0.0))
-          q.processAllAvailable()
-          input.addData((java.sql.Timestamp.valueOf("2031-01-01 00:00:00"),
+            "__wm", 0.0),
+            (java.sql.Timestamp.valueOf("2031-01-01 00:00:00"),
             "__wm", 0.0))
           q.processAllAvailable()
         } finally q.stop() // memory sink retains the batches after stop
@@ -404,11 +409,12 @@ object EventQueries {
           .writeStream.format("memory").queryName(name)
           .outputMode("append").start()
         try {
+          // One replay round (see e09): sentinels ride the data batch,
+          // the watermark-advance re-batch emits the finalized sessions.
           input.addData(rows: _*)
-          q.processAllAvailable()
-          input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L))
-          q.processAllAvailable()
-          input.addData((java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
+          input.addData(
+            (java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L),
+            (java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
           q.processAllAvailable()
         } finally q.stop() // memory sink retains the batches after stop
       }
