@@ -83,6 +83,34 @@ object EventOps {
         col("rk"))
   }
 
+  /** Ordered conversion funnel (the product-analytics staple): per key,
+    * the first time each stage is reached AT-OR-AFTER the previous
+    * stage's first reach — t₀ = min ts of stage 0, tᵢ = min ts of stage i
+    * with ts ≥ tᵢ₋₁; a stage is null (and every later stage with it) when
+    * never reached in order. ONE shuffle on the key: each stage is a
+    * conditional-min window over the same partitioning (Catalyst stacks
+    * the Window nodes on a single Exchange), then one partial+final
+    * per-key reduction collapses to a row per key. */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String, typeCol: String,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    var cur = df.select(col(keyCol), col(tsCol), col(typeCol))
+    var prev: Option[String] = None
+    stages.foreach { st =>
+      val cName = s"t_$st"
+      val cond = prev match {
+        case None    => col(typeCol) === st
+        case Some(p) => col(typeCol) === st && col(tsCol) >= col(p)
+      }
+      cur = cur.withColumn(cName, min(when(cond, col(tsCol))).over(w))
+      prev = Some(cName)
+    }
+    cur.groupBy(col(keyCol))
+      .agg(min(s"t_${stages.head}").as(s"t_${stages.head}"),
+        stages.tail.map(st => min(s"t_$st").as(s"t_$st")): _*)
+  }
+
   /** Time-weighted average per key (the TWAP shape): each observation
     * holds until the key's next event, weight = holding time in µs —
     * one keyed lead window + ONE partial+final aggregation. The key's

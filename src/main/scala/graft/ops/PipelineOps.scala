@@ -161,6 +161,55 @@ object PipelineOps {
       .drop("__bkt", "__start")
   }
 
+  /** Greedy token-budget SEQUENCE packing — the padding-free "example
+    * packing" layout (GPT-style pre-training batches): each doc stays
+    * ATOMIC, docs fill the current training sequence in order, and a new
+    * sequence opens when the next doc would overflow `budget`. The
+    * concatenate-and-chunk sibling (docs may straddle) is [[packShards]].
+    * A doc longer than the budget occupies a sequence of its own.
+    *
+    * Scale shape: greedy packing is inherently sequential, so the corpus
+    * is salted-md5-sharded into `shards` INDEPENDENT pack streams (the
+    * unit a writer task owns); each shard packs its docs in `idCol` order
+    * through an O(1)-state fold. One keyed exchange (repartition by shard
+    * + sortWithinPartitions), then a single partition-local pass — no
+    * global order, no driver state, shard count sized to writer
+    * parallelism. Output: (id, shard, seq_id, seq_pos) where seq_pos is
+    * the doc's token offset inside its sequence. */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: Column,
+                    budget: Long, shards: Int,
+                    salt: String = "pack"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(shards >= 1, "shards must be >= 1")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong)
+    implicit val outEnc: Encoder[(Long, Long, Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong)
+    val shard = pmod(graft.ops.DedupOps.portableHash60(
+      concat(lit(salt), col(idCol).cast("string"))), lit(shards.toLong))
+    df.select(shard.as("__shard"), col(idCol).cast("long").as("__id"),
+        tokenCol.cast("long").as("__tok"))
+      .as[(Long, Long, Long)]
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__id"))
+      .mapPartitions { it =>
+        // co-partitioned shards stream through in (shard, id) order; the
+        // fold resets at each shard boundary — O(1) state per task.
+        var cur = -1L; var seq = 0L; var cum = 0L
+        it.map { case (sh, id, tok) =>
+          if (sh != cur) { cur = sh; seq = 0L; cum = 0L }
+          if (cum > 0 && cum + tok > budget) { seq += 1; cum = 0L }
+          val pos = cum
+          cum += tok
+          (id, sh, seq, pos)
+        }
+      }
+      .toDF(idCol, "shard", "seq_id", "seq_pos")
+  }
+
   /** Curriculum manifest — the stage/shard layout a quality-ordered
     * training run reads: each doc gets a STAGE from explicit
     * quality-score band edges (declared up front, the 100 TB rule — no

@@ -240,4 +240,30 @@ object TextOps {
       .select(col(idCol),
         coalesce(col("n_bg"), lit(0L)).as("n_bg"), col("avg_logp"))
   }
+
+  /** BPE merge-step statistics — the distributed core of byte-pair-encoding
+    * tokenizer training: corpus-weighted counts of adjacent symbol pairs
+    * (symbols = characters at initialization), top `topK` candidates by
+    * count with a deterministic (count desc, pair asc) tiebreak.
+    *
+    * Scale shape: ONE corpus tokenize+explode feeds a partial+final word
+    * count, and the character-pair walk then runs over the DISTINCT
+    * vocabulary only (each word's pairs weighted by its corpus frequency) —
+    * the standard BPE factorization: pair work is |vocab|-bounded, never
+    * corpus-bounded, so 100 TB of text costs one word-count aggregation
+    * plus a vocabulary-sized explode. Top-k plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort). */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("w"), col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+      .select(col("w").substr(col("i"), lit(2)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(topK)
+  }
 }

@@ -59,6 +59,14 @@ object EventQueries {
           graft.ops.TextOps.round6(col("twavg")).as("twavg"))
         .orderBy("user_id")),
 
+    // Ordered conversion funnel per user: first view -> first click at or
+    // after it -> first purchase at or after that; stacked conditional-min
+    // windows on ONE user exchange.
+    "e27_funnel" -> ((s, d) =>
+      EventOps.funnel(ev(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
     // Gap-based sessionization (30-min inactivity) per user.
     "e02_sessions" -> ((s, d) =>
       EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
@@ -624,6 +632,22 @@ object EventQueries {
          SELECT user_id,
            floor((sum(value * dt) / sum(dt)) * 1e6 + 0.5) / 1e6 AS twavg
          FROM x GROUP BY user_id ORDER BY user_id""",
+    "e27_funnel" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+           FROM events),
+         w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+               AND ts >= t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+           FROM w1),
+         w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+               AND ts >= t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+           FROM w2)
+         SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+           min(t_purchase) AS t_purchase
+         FROM w3 GROUP BY user_id ORDER BY user_id""",
     "e25_trending" ->
       """WITH a AS (SELECT date_trunc('hour', ts) AS ws, event_type,
              count(*) AS n

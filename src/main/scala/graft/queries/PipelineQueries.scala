@@ -33,6 +33,15 @@ object PipelineQueries {
         .select("doc_id", "n_tokens", "shard")
         .orderBy("doc_id")),
 
+    // Greedy atomic-doc sequence packing (padding-free example packing):
+    // 8 independent md5-sharded pack streams, docs fill a 512-token
+    // sequence in doc_id order, overflow opens the next sequence. The
+    // oracle replays each shard's greedy fold as a recursive CTE.
+    "p11_pack_sequences" -> ((s, d) =>
+      PipelineOps.packSequences(Tables.documents(s, d), "doc_id",
+          TextOps.tokenCount(col("text")), budget = 512L, shards = 8)
+        .orderBy("doc_id")),
+
     // Deterministic stratified sample: 5 docs per source by md5 draw.
     "p03_stratified_sample" -> ((s, d) =>
       PipelineOps.stratifiedTopK(Tables.documents(s, d), "doc_id",
@@ -147,6 +156,33 @@ object PipelineQueries {
          SELECT doc_id, n_tokens,
            CAST(floor(st / 2000.0) AS BIGINT) AS shard
          FROM c ORDER BY doc_id""",
+    // greedy fold replayed per shard: frontier = one row per shard, seeds
+    // CAST to BIGINT (a bare 0 would seed INTEGER and drift the compare)
+    "p11_pack_sequences" ->
+      s"""WITH RECURSIVE t AS (
+           SELECT doc_id,
+             CAST(concat('0x', substr(md5('pack' ||
+               CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+             CAST(len($Toks) AS BIGINT) AS tok
+           FROM documents),
+         r AS (SELECT shard, doc_id, tok,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+           FROM t),
+         p AS (
+           SELECT shard, doc_id, tok, rn,
+               CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_pos,
+               tok AS cum
+             FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.shard, r.doc_id, r.tok, r.rn,
+               CASE WHEN p.cum > 0 AND p.cum + r.tok > 512
+                 THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.cum > 0 AND p.cum + r.tok > 512
+                 THEN CAST(0 AS BIGINT) ELSE p.cum END,
+               CASE WHEN p.cum > 0 AND p.cum + r.tok > 512
+                 THEN r.tok ELSE p.cum + r.tok END
+             FROM p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+         SELECT doc_id, shard, seq_id, seq_pos FROM p ORDER BY doc_id""",
     "p03_stratified_sample" ->
       """SELECT doc_id, source FROM documents
          QUALIFY row_number() OVER (PARTITION BY source

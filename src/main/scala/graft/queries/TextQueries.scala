@@ -151,7 +151,13 @@ object TextQueries {
     "t08_lm_score" -> ((s, d) =>
       lmScore(docs(s, d), "doc_id", "text", addK = 0.5)
         .withColumn("avg_logp", round(col("avg_logp"), 6))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // BPE tokenizer-training statistics: top-20 adjacent character pairs
+    // weighted by corpus word frequency — the first merge candidates;
+    // pair walk runs on the DISTINCT vocabulary only.
+    "t12_bpe_pairs" -> ((s, d) =>
+      bpePairStats(docs(s, d), "text", topK = 20))
   )
 
   // DuckDB equivalents. Tokenization mirrored as
@@ -291,6 +297,18 @@ object TextQueries {
                  FROM sc GROUP BY 1)
          SELECT d.doc_id, coalesce(a.n_bg, 0) AS n_bg,
            round(a.alp, 6) AS avg_logp
-         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""
+         FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+    // the compare hashes the row SET, so the (cnt desc, pair asc) LIMIT
+    // tiebreak must be deterministic in both engines
+    "t12_bpe_pairs" ->
+      s"""WITH w AS (SELECT u.t AS w FROM documents,
+             LATERAL unnest($Toks) AS u(t)),
+         f AS (SELECT w, count(*) AS freq FROM w GROUP BY w),
+         p AS (SELECT substring(f.w, CAST(r.i AS INTEGER), 2) AS pair,
+                 f.freq
+               FROM f, LATERAL unnest(range(1, length(f.w))) AS r(i)
+               WHERE length(f.w) >= 2)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
+         GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""
   )
 }

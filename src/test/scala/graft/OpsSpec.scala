@@ -429,6 +429,24 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (2L, 0, 0, 0, "")))
   }
 
+  test("packSequences: greedy atomic packing, mega-doc, zero-token docs") {
+    import graft.ops.PipelineOps
+    // one shard so the greedy order is fully deterministic in the assert
+    val d = Seq((1L, 300L), (2L, 300L), (3L, 900L), (4L, 0L), (5L, 512L),
+      (6L, 1L), (7L, 100L)).toDF("doc_id", "tok")
+    val out = PipelineOps.packSequences(d, "doc_id", col("tok"),
+        budget = 512L, shards = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    // doc1 (300) opens seq0; doc2 (300) overflows -> seq1; doc3 (900) is
+    // a mega-doc -> its own seq2; doc4 (0 tok) lands after the mega-doc
+    // -> seq3 at pos 0 with cum still 0; doc5 (512) exactly fills seq3
+    // from pos 0; doc6 (1) overflows -> seq4; doc7 (100) joins seq4 at
+    // pos 1 (the only row with a non-zero offset).
+    assert(out == Seq((1L, 0L, 0L), (2L, 1L, 0L), (3L, 2L, 0L),
+      (4L, 3L, 0L), (5L, 3L, 0L), (6L, 4L, 0L), (7L, 4L, 1L)))
+  }
+
   test("ImageCodec round-trips PNG/GIF/JPEG headers and payload sizes") {
     import graft.ops.MultimodalOps.ImageCodec
     val pl = Array.tabulate(700)(i => (i % 251).toByte) // spans >1 GIF block
