@@ -237,6 +237,29 @@ object DedupOps {
       .select(col("new_id"), col("old_id"), col("jaccard"))
   }
 
+  /** Split-document seam detection — the scraper-cut-a-doc-in-half
+    * diagnostic: pairs (left_id, right_id) where LEFT's last `k` tokens
+    * equal RIGHT's first `k` tokens exactly (the seam a re-join would
+    * close). ONE tokenize pass feeds both key projections; candidates
+    * come from an equi-join on the seam string — keyed shuffle bounded by
+    * seam frequency, never all-pairs. Docs shorter than `k` tokens carry
+    * no seam and drop out before the join. */
+  def seamPairs(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, "seam length must be >= 1")
+    val toks = graft.Caches.track(df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val heads = toks.select(col("id").as("right_id"),
+      concat_ws(" ", slice(col("__ts"), 1, k)).as("seam"))
+    val tails = toks.select(col("id").as("left_id"),
+      concat_ws(" ", slice(col("__ts"), -k, k)).as("seam"))
+    tails.join(heads, "seam")
+      .filter(col("left_id") =!= col("right_id"))
+      .select(col("left_id"), col("right_id"), col("seam"))
+  }
+
   /** Large prime < 2^31 for affine MinHash rehashing (kept small enough
     * that a*h+b stays in Long range). */
   private val P = 2147483647L

@@ -385,4 +385,34 @@ object SimilarityOps {
       .select(col(idCol), col(labelCol),
         (col("__dot") / sqrt(col("__nv") * col("__nc"))).as("sim"))
   }
+
+  /** Pairwise label-centroid cosine matrix — the "which groups sit close
+    * in embedding space" map (topic/source drift monitoring, cluster
+    * sanity checks). ONE bounded partial+final component aggregation
+    * builds the centroids (|labels| × dim rows); the pairing then runs
+    * entirely on that bounded frame (k labels → k(k+1)/2 upper-triangle
+    * pairs incl. self, keyed by component position) — corpus vectors are
+    * never pairwise joined, so the cost at 100 TB is one centroid
+    * aggregation plus label²·dim arithmetic. */
+  def centroidMatrix(df: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val ex = df
+      .select(col(labelCol).as("__lbl"),
+        col(vecCol).cast("array<double>").as("__e"))
+      .select(col("__lbl"), posexplode(col("__e")).as(Seq("pos", "v")))
+    val cent = ex.groupBy(col("__lbl"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+    val a = cent.select(col("__lbl").as("l1"), col("pos"),
+      col("c").as("c1"))
+    val b = cent.select(col("__lbl").as("l2"), col("pos"),
+      col("c").as("c2"))
+    a.join(b, Seq("pos"))
+      .filter(col("l1") <= col("l2"))
+      .groupBy("l1", "l2")
+      .agg(sum(col("c1") * col("c2")).as("__dot"),
+        sum(col("c1") * col("c1")).as("__n1"),
+        sum(col("c2") * col("c2")).as("__n2"))
+      .select(col("l1"), col("l2"),
+        (col("__dot") / sqrt(col("__n1") * col("__n2"))).as("cos"))
+  }
 }

@@ -31,6 +31,13 @@ object DedupQueries {
           Seq("user_id", "event_type"))
         .orderBy("user_id", "event_type")),
 
+    // Split-document seam detection: LEFT doc's last 3 tokens == RIGHT
+    // doc's first 3 — the scraper-cut diagnostic; equi-join on the seam
+    // string, never all-pairs.
+    "d19_seam_pairs" -> ((s, d) =>
+      DedupOps.seamPairs(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("left_id", "right_id")),
+
     // n-gram Jaccard near-dup, EXACT via inverted shingle index (no O(n²)).
     "d03_jaccard_pairs" -> ((s, d) =>
       DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -305,6 +312,15 @@ object DedupQueries {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "d03_jaccard_pairs" -> JaccardSql,
     "d04_minhash_lsh" -> JaccardSql,
+    "d19_seam_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         g AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 3),
+         h AS (SELECT doc_id AS right_id,
+                 array_to_string(ts[1:3], ' ') AS seam FROM g),
+         tl AS (SELECT doc_id AS left_id,
+                 array_to_string(ts[len(ts)-2:len(ts)], ' ') AS seam FROM g)
+         SELECT left_id, right_id, seam FROM tl JOIN h USING (seam)
+         WHERE left_id <> right_id ORDER BY left_id, right_id""",
     // cross-corpus variant of JaccardSql: batch = doc_id ≡ 0 (mod 20)
     // probing everything else; sizes are per-doc, corpus-independent.
     // d18 is the same answer arrived at through streaming ingestion.

@@ -116,7 +116,16 @@ object SimilarityQueries {
           "label")
         .select(col("vec_id"), col("label"),
           graft.ops.TextOps.round6(col("sim")).as("sim"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Pairwise label-centroid cosine matrix (upper triangle incl. self):
+    // which groups sit close in embedding space. Corpus vectors feed ONE
+    // bounded centroid aggregation; pairing runs on labels × dim only.
+    "v07_centroid_matrix" -> ((s, d) =>
+      SimilarityOps.centroidMatrix(emb(s, d), "embedding", "label")
+        .select(col("l1"), col("l2"),
+          graft.ops.TextOps.round6(col("cos")).as("cos"))
+        .orderBy("l1", "l2"))
   )
 
   /** 2^20 — the dyadic quantization grid for the portable IVF gates. */
@@ -266,6 +275,20 @@ object SimilarityQueries {
                  GROUP BY 1, 2)
          SELECT vec_id, label,
            floor(dot / sqrt(nv * nc) * 1e6 + 0.5) / 1e6 AS sim
-         FROM agg ORDER BY vec_id"""
+         FROM agg ORDER BY vec_id""",
+    "v07_centroid_matrix" ->
+      """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         ex AS (SELECT label, g.i - 1 AS pos, e[g.i] AS v
+                FROM v, generate_series(1, 64) AS g(i)),
+         cent AS (SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2),
+         p AS (SELECT a.label AS l1, b.label AS l2,
+                 sum(a.c * b.c) AS dot, sum(a.c * a.c) AS n1,
+                 sum(b.c * b.c) AS n2
+               FROM cent a JOIN cent b
+                 ON a.pos = b.pos AND a.label <= b.label
+               GROUP BY 1, 2)
+         SELECT l1, l2, floor(dot / sqrt(n1 * n2) * 1e6 + 0.5) / 1e6 AS cos
+         FROM p ORDER BY l1, l2"""
   )
 }
