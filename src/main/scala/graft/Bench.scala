@@ -29,7 +29,9 @@ object Bench {
     "s58_expanding", "s63_resample", "m02_decode_features",
     "d17_incremental_dedup", "d18_stream_ingest", "t11_entropy",
     "s98_rolling_wintype", "s101_winsorize", "p08_curriculum",
-    "s97_monotonic_any", "s105_expanding_qtile_approx", "v03_ann_ivf")
+    "s97_monotonic_any", "s105_expanding_qtile_approx", "v03_ann_ivf",
+    "p11_pack_sequences", "t12_bpe_pairs", "e27_funnel", "d19_seam_pairs",
+    "v07_centroid_matrix", "m07_image_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -164,6 +164,63 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ImageCodec parse∘encode == identity for arbitrary dims/payloads") {
+    import graft.ops.MultimodalOps.ImageCodec
+    val dimGen = Gen.choose(1, 65535)
+    val caseGen = for {
+      w <- dimGen; h <- dimGen
+      fr <- Gen.choose(0, 40)
+      n <- Gen.choose(0, 2000)
+      fmt <- Gen.oneOf("png", "gif", "jpeg")
+    } yield (fmt, w, h, fr, n)
+    forAll(caseGen, 60) { case (fmt, w, h, fr, n) =>
+      val pl = Array.tabulate(n)(i => ((i * 31 + 7) % 256).toByte)
+      val (bytes, expFrames) = fmt match {
+        case "png"  => (ImageCodec.encodePng(w, h, pl), 1)
+        case "gif"  => (ImageCodec.encodeGif(w, h, fr, pl), math.max(fr, 1))
+        case _      => (ImageCodec.encodeJpeg(w, h, pl), 1)
+      }
+      assert(ImageCodec.parse(bytes).contains(
+        ImageCodec.Parsed(fmt, w, h, expFrames, n)),
+        s"$fmt w=$w h=$h fr=$fr n=$n")
+    }
+  }
+
+  test("packSequences == sequential greedy reference; budget invariants") {
+    import graft.ops.PipelineOps
+    import org.apache.spark.sql.functions.col
+    val tokGen = Gen.nonEmptyListOf(Gen.choose(0L, 700L))
+    forAll(tokGen, Gen.choose(1, 4), n = 10) { (toks: List[Long], sh: Int) =>
+      val budget = 512L
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "tok")
+      val out = PipelineOps.packSequences(df, "doc_id", col("tok"),
+          budget, shards = sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSeq
+      assert(out.length == toks.length)
+      // reference: per shard, greedy fold in doc_id order
+      val byShard = out.groupBy(_._2)
+      byShard.foreach { case (_, rows) =>
+        var seq = 0L; var cum = 0L; var first = true
+        rows.sortBy(_._1).foreach { case (id, _, sq, pos) =>
+          val tok = toks(id.toInt)
+          if (!first && cum > 0 && cum + tok > budget) { seq += 1; cum = 0 }
+          first = false
+          assert(sq == seq && pos == cum, s"doc $id")
+          cum += tok
+        }
+      }
+      // invariant: a sequence never exceeds the budget unless it holds a
+      // single mega-doc (pos 0)
+      out.groupBy(r => (r._2, r._3)).foreach { case (_, members) =>
+        val total = members.map(r => toks(r._1.toInt)).sum
+        assert(total <= budget || members.size == 1,
+          s"overfull multi-doc sequence: $members")
+      }
+    }
+  }
+
   test("GlobalWindows lead == sequential reference for arbitrary buckets") {
     forAll(vecGen, Gen.choose(1, 40), n = 10) { (xs: List[Double], b: Int) =>
       val s = Series.fromSeq(spark, xs)
