@@ -59,6 +59,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "graft_entropy takes (text)")
         ByteEntropy(children.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_normalize takes (text, form) with a literal form")
+        val form = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_normalize form must be a string literal, got $other")
+        }
+        UnicodeNormalize(children.head, form)
+      }))
     // text-analysis surface for spark.sql users — same expressions the
     // Column API composes (TextOps), so results are bit-identical
     unary(ext, "graft_tokens")(graft.ops.TextOps.tokens)

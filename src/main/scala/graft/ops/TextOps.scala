@@ -241,6 +241,28 @@ object TextOps {
         coalesce(col("n_bg"), lit(0L)).as("n_bg"), col("avg_logp"))
   }
 
+  /** Unicode-normalize the text (NFC/NFD/NFKC/NFKD) via the codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression — canonicalize
+    * BEFORE any hashing/dedup/tokenize step (decomposed accents and
+    * ligatures otherwise split duplicate groups). */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    graft.functions.UnicodeNormalize.normalize(text, form)
+
+  /** Strip C0/C1 control characters (except \t \n \r) — explicit
+    * byte-range classes so Java and RE2-family engines agree. */
+  def stripControl(text: Column): Column =
+    regexp_replace(text,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
+  /** Sentence segmentation (punctuation-based): split on runs of
+    * sentence-final punctuation plus trailing whitespace, trim, drop
+    * empties. Engine-portable (no lookbehind — RE2 lacks it), so the
+    * whole explode is DuckDB-oracleable. Returns the sentence ARRAY;
+    * fan out with posexplode in the caller. */
+  def sentences(text: Column): Column =
+    filter(transform(split(text, "[.!?]+\\s*"), s => trim(s)),
+      s => s =!= "")
+
   /** BPE merge-step statistics — the distributed core of byte-pair-encoding
     * tokenizer training: corpus-weighted counts of adjacent symbol pairs
     * (symbols = characters at initialization), top `topK` candidates by

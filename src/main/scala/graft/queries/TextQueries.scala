@@ -157,7 +157,40 @@ object TextQueries {
     // weighted by corpus word frequency — the first merge candidates;
     // pair walk runs on the DISTINCT vocabulary only.
     "t12_bpe_pairs" -> ((s, d) =>
-      bpePairStats(docs(s, d), "text", topK = 20))
+      bpePairStats(docs(s, d), "text", topK = 20)),
+
+    // Unicode NFC canonicalization through the codegen'd graft_normalize
+    // expression. The fixture is ASCII (already normal — the fast path),
+    // so the gate SPLICES decomposed text onto every doc (e + combining
+    // acute, a + combining ring) exactly like t09 splices PII: the
+    // composed result must byte-match DuckDB's nfc_normalize.
+    "t13_normalize" -> ((s, d) => {
+      val spliced = concat(col("text"),
+        lit(" cafe\u0301 a\u030Abc")) // decomposed combining marks
+      docs(s, d).select(
+          col("doc_id"),
+          normalizeText(spliced, "NFC").as("norm"))
+        .select(col("doc_id"), length(col("norm")).as("n_chars"),
+          md5(col("norm")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // Sentence segmentation fan-out: split on sentence-final punctuation
+    // runs (engine-portable, no lookbehind), per-sentence token counts.
+    // The fixture text carries no punctuation, so the gate SPLICES a
+    // punctuated tail (., !, ?, an ellipsis run, and a trailing period
+    // that must NOT yield an empty sentence) — the t09/t13 pattern.
+    "t14_sentences" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), graft.ops.TextOps.sentences(
+            concat(col("text"),
+              lit(". first tail! second tail?? third... end.")))
+          .as("__ss"))
+        .select(col("doc_id"), posexplode(col("__ss")))
+        .toDF("doc_id", "sent_id", "sentence")
+        .select(col("doc_id"), col("sent_id"), col("sentence"),
+          tokenCount(col("sentence")).as("n_tokens"))
+        .orderBy("doc_id", "sent_id"))
   )
 
   // DuckDB equivalents. Tokenization mirrored as
@@ -309,6 +342,32 @@ object TextQueries {
                FROM f, LATERAL unnest(range(1, length(f.w))) AS r(i)
                WHERE length(f.w) >= 2)
          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
-         GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20"""
+         GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    // chr(769) = U+0301 combining acute, chr(778) = U+030A combining ring
+    // — the same decomposed splice the Spark side appends; NFC composes
+    // both, so length and md5 must byte-match
+    "t13_normalize" ->
+      """WITH n AS (SELECT doc_id,
+             nfc_normalize(text || ' cafe' || chr(769) || ' a' ||
+               chr(778) || 'bc') AS norm
+           FROM documents)
+         SELECT doc_id, CAST(length(norm) AS INTEGER) AS n_chars,
+           md5(norm) AS fp
+         FROM n ORDER BY doc_id""",
+    "t14_sentences" ->
+      s"""WITH t AS (SELECT doc_id,
+             list_filter(list_transform(
+               regexp_split_to_array(
+                 text || '. first tail! second tail?? third... end.',
+                 '[.!?]+\\s*'), x -> trim(x)),
+               x -> x <> '') AS ss
+           FROM documents),
+         e AS (SELECT doc_id, CAST(r.i AS INTEGER) AS sent_id,
+                 ss[CAST(r.i + 1 AS INTEGER)] AS sentence
+               FROM t, LATERAL unnest(range(0, len(ss))) AS r(i))
+         SELECT doc_id, sent_id, sentence,
+           CAST(len(list_filter(string_split(lower(sentence), ' '),
+             t -> t <> '')) AS INTEGER) AS n_tokens
+         FROM e ORDER BY doc_id, sent_id"""
   )
 }

@@ -500,6 +500,48 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(m.fmt == "unknown" && m.nbytes == 12)
   }
 
+  test("graft_normalize: NFC/NFKC forms, null, fast path, SQL surface") {
+    val d = Seq(
+      (1L, "café"),      // decomposed -> NFC composes
+      (2L, "\uFB01ne"),    // fi ligature -> NFKC expands, NFC keeps
+      (3L, "plain ascii"),     // already normal: fast path returns as-is
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = d.select(col("id"),
+        TextOps.normalizeText(col("t"), "NFC").as("nfc"),
+        TextOps.normalizeText(col("t"), "NFKC").as("nfkc"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "caf\u00e9" &&
+      out(0).getString(2) == "caf\u00e9")
+    assert(out(1).getString(1) == "\uFB01ne" &&
+      out(1).getString(2) == "fine")
+    assert(out(2).getString(1) == "plain ascii")
+    assert(out(3).isNullAt(1) && out(3).isNullAt(2))
+    // SQL front door, same expression
+    d.createOrReplaceTempView("norm_in")
+    val sql = spark.sql(
+      "SELECT id, graft_normalize(t, 'NFKC') AS n FROM norm_in WHERE id = 2")
+      .head().getString(1)
+    assert(sql == "fine")
+    // a typo'd form fails at plan time
+    intercept[Exception] {
+      d.select(TextOps.normalizeText(col("t"), "NFX")).collect()
+    }
+  }
+
+  test("sentences: punctuation runs, empties dropped, no-punct passthrough") {
+    val d = Seq((1L, "One. Two!  Three?? Four... end."),
+      (2L, "no punctuation here"), (3L, "")).toDF("id", "t")
+    val out = d.select(col("id"),
+        TextOps.sentences(col("t")).as("ss"))
+      .orderBy("id").collect()
+      .map(r => r.getSeq[String](1).toList).toList
+    assert(out == List(
+      List("One", "Two", "Three", "Four", "end"),
+      List("no punctuation here"),
+      Nil))
+  }
+
   test("chunkTokens: overlap windows, short tail, no contained chunk") {
     // 10 tokens, size 4, overlap 2 (stride 2) → starts 1,3,5,7 (4 chunks;
     // a 5th at 9 would be contained in 7..10)
