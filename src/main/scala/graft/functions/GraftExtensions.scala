@@ -60,6 +60,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ByteEntropy(children.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_freq_items"),
+      new ExpressionInfo(classOf[FreqItems].getName, "graft_freq_items"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_freq_items takes (col, k) with a literal k")
+        val k = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"graft_freq_items k must be an integer literal, got $other")
+        }
+        FreqItems(children.head, k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
       (children: Seq[Expression]) => {

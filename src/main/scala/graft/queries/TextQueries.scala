@@ -159,6 +159,20 @@ object TextQueries {
     "t12_bpe_pairs" -> ((s, d) =>
       bpePairStats(docs(s, d), "text", topK = 20)),
 
+    // Misra-Gries heavy hitters over `source` through the native
+    // mergeable aggregate (fixed k-counter state per partial — shuffle
+    // payload never grows with cardinality). k=64 exceeds the domain, so
+    // no counter ever evicts and the sketch is EXACT here: the gate
+    // hash-matches a plain GROUP BY; OpsSpec asserts the eviction-regime
+    // bounds on skewed synthetic data.
+    "t15_freq_items" -> ((s, d) =>
+      docs(s, d)
+        .agg(graft.functions.FreqItems.freqItems(col("source"), 64)
+          .as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("item"), col("h.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))),
+
     // Unicode NFC canonicalization through the codegen'd graft_normalize
     // expression. The fixture is ASCII (already normal — the fast path),
     // so the gate SPLICES decomposed text onto every doc (e + combining
@@ -343,6 +357,9 @@ object TextQueries {
                WHERE length(f.w) >= 2)
          SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p
          GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20""",
+    "t15_freq_items" ->
+      """SELECT source AS item, count(*) AS cnt FROM documents
+         GROUP BY source ORDER BY cnt DESC, item""",
     // chr(769) = U+0301 combining acute, chr(778) = U+030A combining ring
     // — the same decomposed splice the Spark side appends; NFC composes
     // both, so length and md5 must byte-match

@@ -500,6 +500,47 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(m.fmt == "unknown" && m.nbytes == 12)
   }
 
+  test("graft_freq_items: exact when k covers the domain, MG bounds under " +
+      "eviction, merge across partitions, SQL surface") {
+    import graft.functions.FreqItems.freqItems
+    // skewed stream: 'hot' x 400, 'warm' x 120, tail of 200 singletons
+    val data = (Seq.fill(400)("hot") ++ Seq.fill(120)("warm") ++
+      (0 until 200).map(i => s"tail$i"))
+    val df = scala.util.Random.shuffle(data).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .repartition(7) // force real partial merges
+    // exact regime: k well above the 202-value domain
+    val exact = df.agg(freqItems(col("v"), 512).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select("h.item", "h.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact("hot") == 400L && exact("warm") == 120L &&
+      exact.size == 202)
+    // eviction regime: k=8 -> counts are lower bounds, under-count ≤
+    // n/(k+1), and every item with true freq > n/(k+1) survives
+    val n = data.size
+    val sketched = df.agg(freqItems(col("v"), 8).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select("h.item", "h.cnt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketched.size <= 8)
+    val truth = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    sketched.foreach { case (item, c) =>
+      assert(c <= truth(item), s"$item over-counted")
+      assert(truth(item) - c <= n / (8 + 1) + 1, s"$item bound broken")
+    }
+    truth.filter(_._2 > n / (8 + 1)).keys.foreach { hh =>
+      assert(sketched.contains(hh), s"heavy hitter $hh evicted")
+    }
+    // SQL front door
+    df.createOrReplaceTempView("fi_in")
+    val viaSql = spark.sql(
+      "SELECT graft_freq_items(v, 512) AS hh FROM fi_in")
+      .select(explode(col("hh")).as("h")).select("h.item", "h.cnt")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == exact)
+  }
+
   test("graft_normalize: NFC/NFKC forms, null, fast path, SQL surface") {
     val d = Seq(
       (1L, "café"),      // decomposed -> NFC composes
