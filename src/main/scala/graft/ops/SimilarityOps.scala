@@ -260,6 +260,29 @@ object SimilarityOps {
       .parquet(s"$outDir/postings")
   }
 
+  /** Append a NEW batch of vectors to a prebuilt [[ivfBuild]] index
+    * WITHOUT a rebuild — the index-maintenance path for a growing corpus:
+    * reload the FROZEN centroids (bounded k × dim driver state), assign
+    * only the batch to its nearest centroid (one batch-sized scan, no
+    * shuffle), and append the new postings into the partitioned layout
+    * (append mode adds files to the touched cluster partitions only; the
+    * existing corpus is never rewritten or re-read). The quantizer stays
+    * the build-time one, so recall on appended data degrades gracefully
+    * as the corpus drifts — the standard IVF maintenance contract until
+    * the next scheduled rebuild. */
+  def ivfAppend(indexDir: String, batch: DataFrame, idCol: String,
+                vecCol: String, grid: Option[Double] = None): Unit = {
+    val spark = batch.sparkSession
+    val centroids = spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val v = normalizedQ(batch, idCol, vecCol, "id", "e", grid)
+    assignToCentroids(v, centroids)
+      .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexDir/postings")
+  }
+
   /** Probe a prebuilt [[ivfBuild]] index: reload centroids (bounded
     * k × dim driver state, exactly like the in-process path), rank the
     * query's nprobe nearest clusters, and equi-join the partitioned

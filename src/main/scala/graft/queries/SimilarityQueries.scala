@@ -107,6 +107,30 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // IVF index MAINTENANCE: build on 90% of the corpus, append the
+    // other 10% against the FROZEN centroids (no rebuild, no corpus
+    // rewrite), probe the maintained index. Fully oracled: the DuckDB
+    // replay trains k-means on the same 90% and posts ALL vectors.
+    "v08_ivf_append" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v08_ivf").toString
+      val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      SimilarityOps.ivfBuild(train, "vec_id", "embedding",
+        nClusters = 16, outDir = idx, grid = Some(Grid))
+      SimilarityOps.ivfAppend(idx, batch, "vec_id", "embedding",
+        grid = Some(Grid))
+      val res = SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 4, grid = Some(Grid))
+        .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // Per-label centroid + cosine-to-own-centroid coherence score (the
     // embedding outlier detector): centroids are ONE bounded partial+final
     // avg over exploded components, broadcast back; exact and
@@ -141,7 +165,8 @@ object SimilarityQueries {
     * grid values, so it is exact and order-independent — bit-identical to
     * Spark's sequential graft_dot and avg. */
   private def ivfOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
-                        dim: Int, g: Double): String = {
+                        dim: Int, g: Double,
+                        trainFilter: String = "TRUE"): String = {
     val gs = f"$g%.1f"
     def iterSql(i: Int) = s"""
       asg$i AS (
@@ -149,7 +174,7 @@ object SimilarityQueries {
           SELECT n.id, n.e, c.cluster,
             row_number() OVER (PARTITION BY n.id
               ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
-          FROM nrm n, cent$i c) WHERE rn = 1),
+          FROM trn n, cent$i c) WHERE rn = 1),
       avg$i AS (
         SELECT a.cluster, g.i - 1 AS pos,
           floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS m
@@ -175,10 +200,11 @@ object SimilarityQueries {
         SELECT id, list_transform(e0,
           x -> floor(x / nn * $gs + 0.5) / $gs) AS e
         FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn FROM v0)),
+      trn AS (SELECT * FROM nrm WHERE $trainFilter),
       cent0 AS (
         SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
             AS cluster, e AS c
-        FROM (SELECT id, e FROM nrm ORDER BY id LIMIT $k)),
+        FROM (SELECT id, e FROM trn ORDER BY id LIMIT $k)),
       ${(0 until iters).map(iterSql).mkString(",")},
       posting AS (
         SELECT id AS nid, e AS ce, cluster FROM (
@@ -226,6 +252,10 @@ object SimilarityQueries {
     // parquet round-trip preserves doubles exactly.
     "v03_ann_ivf" -> IvfSql,
     "v04_ivf_persist" -> IvfSql,
+    // v08: same replay, k-means trained on the 90% split only (the
+    // append gate's frozen-centroid contract); postings cover everything.
+    "v08_ivf_append" -> ivfOracle(k = 16, iters = 3, nProbe = 4, topK = 5,
+      dim = 64, g = Grid, trainFilter = "id % 10 <> 0"),
     // v02: the FULL LSH pipeline replayed in SQL — md5-seeded hyperplane
     // weights (bit-identical doubles: 15-hex md5 / 2^59 − 1), sequential
     // list_dot_product sign bits packed per 4-plane table, any-table
