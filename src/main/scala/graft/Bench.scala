@@ -6,7 +6,8 @@ object Bench {
   // Their numbers are legitimate to track but are NOT query latencies —
   // emitted under "build_queries" in the JSON so regressions aren't chased
   // as query slowdowns.
-  private val buildDominated = Set("f27_bucketed_join", "v04_ivf_persist")
+  private val buildDominated =
+    Set("f27_bucketed_join", "v04_ivf_persist", "v08_ivf_append")
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both
@@ -19,16 +20,16 @@ object Bench {
     "f18_group_quantiles", "f28_group_nunique",
     "d01_exact_dedup", "d03_jaccard_pairs", "d04_minhash_lsh", "d05_simhash",
     "d06_embedding_neardup", "d08_dup_clusters", "d09_contamination",
-    "d12_semdedup", "d13_line_dedup",
+    "d12_semdedup",
     "p01_hash_split", "p02_pack_shards", "p06_corpus_build",
     "t01_token_stats", "t04_tfidf", "t05_langid", "t08_lm_score",
     "v01_knn_bruteforce", "v02_ann_lsh", "v05_group_centroid",
     "e01_tumbling_hour", "e02_sessions", "e06_asof", "e09_stream_sessions",
     "e11_stream_join", "e18_asof_global",
-    "s23_rank", "s24_rolling_mean", "s29_cumsum_dist", "s50_ewm",
+    "s23_rank", "s24_rolling_mean", "s50_ewm",
     "s58_expanding", "s63_resample", "m02_decode_features",
-    "d17_incremental_dedup", "d18_stream_ingest", "t11_entropy",
-    "s98_rolling_wintype", "s101_winsorize", "p08_curriculum",
+    "d17_incremental_dedup", "d18_stream_ingest",
+    "s101_winsorize", "p08_curriculum",
     "s97_monotonic_any", "s105_expanding_qtile_approx", "v03_ann_ivf",
     "p11_pack_sequences", "t12_bpe_pairs", "e27_funnel", "d19_seam_pairs",
     "v07_centroid_matrix", "m07_image_meta")

@@ -1319,7 +1319,16 @@ final class Series private[graft] (
     }
     val bc = spark.sparkContext.broadcast(prefixes)
     val outRdd = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = bc.value(pid)
+      // Seed from a DEFENSIVE COPY: insert() mutates the sketch's internal
+      // head buffer in place, and in local mode bc.value returns the
+      // driver's own object — seeding directly would corrupt the prefix
+      // for re-evaluations (the orderBy alone evaluates this RDD twice)
+      // and task retries. The sampled array itself is never mutated in
+      // place (inserts build new arrays), so sharing it is safe.
+      val pre = bc.value(pid)
+      var s = new QuantileSummaries(
+        QuantileSummaries.defaultCompressThreshold, relativeError,
+        pre.sampled, pre.count, pre.compressed)
       it.map { r =>
         if (!r.isNullAt(1)) s = s.insert(r.getDouble(1)).compress()
         Row(r.get(0), s.query(q).map(Double.box).orNull)

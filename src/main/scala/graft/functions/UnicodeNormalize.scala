@@ -30,8 +30,14 @@ import org.apache.spark.unsafe.types.UTF8String
 case class UnicodeNormalize(child: Expression, form: String)
     extends UnaryExpression {
 
-  // validate eagerly: a typo'd form should fail at plan time, not per row
-  java.text.Normalizer.Form.valueOf(form.toUpperCase(java.util.Locale.ROOT))
+  // Canonical (uppercased) form, validated eagerly: a typo'd form fails
+  // at plan time, not per row. Both eval paths MUST use this — the raw
+  // `form` may be lowercase, which Form.valueOf rejects.
+  private val canonicalForm: String = {
+    val f = form.toUpperCase(java.util.Locale.ROOT)
+    java.text.Normalizer.Form.valueOf(f) // throws on typos
+    f
+  }
 
   override def dataType: DataType = StringType
 
@@ -43,14 +49,12 @@ case class UnicodeNormalize(child: Expression, form: String)
   override def prettyName: String = "graft_normalize"
 
   override def nullSafeEval(t: Any): Any =
-    UnicodeNormalize.compute(t.asInstanceOf[UTF8String], form)
+    UnicodeNormalize.compute(t.asInstanceOf[UTF8String], canonicalForm)
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode = {
-    val f = form.toUpperCase(java.util.Locale.ROOT)
+                                   ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      t => s"""graft.functions.UnicodeNormalize.compute($t, "$f")""")
-  }
+      t => s"""graft.functions.UnicodeNormalize.compute($t, "$canonicalForm")""")
 
   override protected def withNewChildInternal(
       newChild: Expression): UnicodeNormalize = copy(child = newChild)

@@ -260,6 +260,14 @@ object SimilarityOps {
       .parquet(s"$outDir/postings")
   }
 
+  /** Reload a persisted index's centroid artifact (bounded k × dim driver
+    * state) — the one decoding both [[ivfAppend]] and [[ivfProbe]] use. */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            indexDir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$indexDir/centroids")
+      .orderBy("cluster").collect()
+      .map(_.getSeq[Double](1).toArray)
+
   /** Append a NEW batch of vectors to a prebuilt [[ivfBuild]] index
     * WITHOUT a rebuild — the index-maintenance path for a growing corpus:
     * reload the FROZEN centroids (bounded k × dim driver state), assign
@@ -273,9 +281,7 @@ object SimilarityOps {
   def ivfAppend(indexDir: String, batch: DataFrame, idCol: String,
                 vecCol: String, grid: Option[Double] = None): Unit = {
     val spark = batch.sparkSession
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy("cluster").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = loadCentroids(spark, indexDir)
     val v = normalizedQ(batch, idCol, vecCol, "id", "e", grid)
     assignToCentroids(v, centroids)
       .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
@@ -291,9 +297,7 @@ object SimilarityOps {
                vecCol: String, k: Int, nProbe: Int,
                grid: Option[Double] = None): DataFrame = {
     val spark = queries.sparkSession
-    val centroids = spark.read.parquet(s"$indexDir/centroids")
-      .orderBy("cluster").collect()
-      .map(_.getSeq[Double](1).toArray)
+    val centroids = loadCentroids(spark, indexDir)
     val postings = spark.read.parquet(s"$indexDir/postings")
     val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
     ivfRerank(postings, probeClusters(q0, centroids, nProbe), k)

@@ -93,12 +93,18 @@ object DedupQueries {
         input.addData(a: _*); q.processAllAvailable()
         input.addData(b: _*); q.processAllAvailable()
       } finally { q.stop(); graft.Caches.clear() }
-      // A zero-match run writes no files (schema inference would fail):
-      // fall back to an empty frame with the sink's schema. Otherwise
-      // materialize off the temp files (localCheckpoint cuts the lineage)
-      // so the dir can be deleted before the result is consumed.
+      // A zero-match run writes no PART files (an all-empty append still
+      // creates the dir + _SUCCESS, and schema inference would fail on
+      // it): fall back to an empty frame with the sink's schema when no
+      // data file exists. Otherwise materialize off the temp files
+      // (localCheckpoint cuts the lineage) so the dir can be deleted
+      // before the result is consumed.
+      val dataPath = new org.apache.hadoop.fs.Path(s"$out/data")
+      val hasData = fs.exists(dataPath) && fs.listStatus(dataPath)
+        .exists(st => st.getPath.getName.startsWith("part-") &&
+          st.getLen > 0)
       val res =
-        if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/data")))
+        if (!hasData)
           s.createDataFrame(new java.util.ArrayList[
               org.apache.spark.sql.Row](),
             org.apache.spark.sql.types.StructType.fromDDL(

@@ -98,13 +98,20 @@ object SimilarityQueries {
     // ≥ 0.8 vs exact.
     "v04_ivf_persist" -> ((s, d) => {
       val e = emb(s, d)
-      val idx = "/tmp/graft_v04_ivf_index"
+      // unique per-invocation dir (a fixed path would let two concurrent
+      // runs overwrite each other's index mid-probe)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v04_ivf").toString
       SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
         outDir = idx, grid = Some(Grid))
-      SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
+      val res = SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nProbe = 4, grid = Some(Grid))
         .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
         .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
     }),
 
     // IVF index MAINTENANCE: build on 90% of the corpus, append the

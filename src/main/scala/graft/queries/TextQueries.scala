@@ -179,11 +179,13 @@ object TextQueries {
     // acute, a + combining ring) exactly like t09 splices PII: the
     // composed result must byte-match DuckDB's nfc_normalize.
     "t13_normalize" -> ((s, d) => {
+      // splice: decomposed combining marks (NFC must compose) + BEL and
+      // DEL control bytes (stripControl must drop)
       val spliced = concat(col("text"),
-        lit(" cafe\u0301 a\u030Abc")) // decomposed combining marks
+        lit(" cafe\u0301 a\u030Abc\u0007\u007F"))
       docs(s, d).select(
           col("doc_id"),
-          normalizeText(spliced, "NFC").as("norm"))
+          stripControl(normalizeText(spliced, "NFC")).as("norm"))
         .select(col("doc_id"), length(col("norm")).as("n_chars"),
           md5(col("norm")).as("fp"))
         .orderBy("doc_id")
@@ -365,8 +367,10 @@ object TextQueries {
     // both, so length and md5 must byte-match
     "t13_normalize" ->
       """WITH n AS (SELECT doc_id,
-             nfc_normalize(text || ' cafe' || chr(769) || ' a' ||
-               chr(778) || 'bc') AS norm
+             regexp_replace(
+               nfc_normalize(text || ' cafe' || chr(769) || ' a' ||
+                 chr(778) || 'bc' || chr(7) || chr(127)),
+               '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS norm
            FROM documents)
          SELECT doc_id, CAST(length(norm) AS INTEGER) AS n_chars,
            md5(norm) AS fp
