@@ -186,6 +186,25 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ImageCodec.parse never throws on arbitrary bytes (fuzz)") {
+    import graft.ops.MultimodalOps.ImageCodec
+    val junkGen = for {
+      n <- Gen.choose(0, 400)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (n, seed)
+    forAll(junkGen, 200) { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val b = Array.fill(n)(rnd.nextInt(256).toByte)
+      ImageCodec.parse(b) // must return cleanly (Some or None), not throw
+      // adversarial: valid magic + random tails (exercises every walker)
+      val pngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      ImageCodec.parse(pngSig ++ b)
+      ImageCodec.parse("GIF89a".getBytes("US-ASCII") ++ b)
+      ImageCodec.parse(Array(0xFF.toByte, 0xD8.toByte) ++ b)
+    }
+  }
+
   test("packSequences == sequential greedy reference; budget invariants") {
     import graft.ops.PipelineOps
     import org.apache.spark.sql.functions.col
