@@ -83,6 +83,26 @@ object EventOps {
         col("rk"))
   }
 
+  /** Cohort retention matrix — the other product-analytics staple: users
+    * grouped by their FIRST-activity week (the cohort), counted as
+    * retained in each later week they appear. Three bounded-output
+    * aggregations: per-user first bucket (partial+final min), distinct
+    * (user, bucket) activity, then the (cohort, offset) distinct-user
+    * matrix — every shuffle keyed by user or by the bounded matrix key;
+    * the matrix itself is |weeks|² rows regardless of corpus size. */
+  def retentionMatrix(df: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
+    val firstB = df.groupBy(col(keyCol))
+      .agg(min(date_trunc("week", col(tsCol))).as("cohort"))
+    val act = df.select(col(keyCol),
+      date_trunc("week", col(tsCol)).as("__b")).distinct()
+    act.join(firstB, keyCol)
+      .withColumn("week_offset",
+        (datediff(col("__b"), col("cohort")) / 7).cast("int"))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count_distinct(col(keyCol)).as("n_users"))
+  }
+
   /** Ordered conversion funnel (the product-analytics staple): per key,
     * the first time each stage is reached AT-OR-AFTER the previous
     * stage's first reach — t₀ = min ts of stage 0, tᵢ = min ts of stage i

@@ -59,6 +59,13 @@ object EventQueries {
           graft.ops.TextOps.round6(col("twavg")).as("twavg"))
         .orderBy("user_id")),
 
+    // Cohort retention matrix: users bucketed by first-activity week,
+    // distinct-user counts per (cohort, week offset) — bounded |weeks|²
+    // output regardless of corpus size.
+    "e28_retention" -> ((s, d) =>
+      EventOps.retentionMatrix(ev(s, d), "user_id", "ts")
+        .orderBy("cohort", "week_offset")),
+
     // Ordered conversion funnel per user: first view -> first click at or
     // after it -> first purchase at or after that; stacked conditional-min
     // windows on ONE user exchange.
@@ -632,6 +639,18 @@ object EventQueries {
          SELECT user_id,
            floor((sum(value * dt) / sum(dt)) * 1e6 + 0.5) / 1e6 AS twavg
          FROM x GROUP BY user_id ORDER BY user_id""",
+    "e28_retention" ->
+      """WITH f AS (SELECT user_id,
+             min(date_trunc('week', ts)) AS cohort
+           FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS b
+           FROM events)
+         SELECT f.cohort,
+           CAST(date_diff('day', f.cohort, a.b) / 7 AS INTEGER)
+             AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+         FROM a JOIN f USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "e27_funnel" ->
       """WITH w1 AS (SELECT user_id, ts, event_type,
              min(CASE WHEN event_type = 'view' THEN ts END)
