@@ -538,6 +538,29 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(d, indexName)
   }
 
+  /** pandas `DataFrame.compare`: align on the `on` key columns and emit
+    * one row per key whose compared cells differ, with `<col>_self` /
+    * `<col>_other` pairs per column — equal cells null on both sides
+    * (pandas keep_equal=False), all-equal rows dropped. One keyed
+    * equi-join + a null-safe difference predicate (negated `<=>`), so
+    * the plan is the ordinary broadcast/shuffle hash join of the key —
+    * no cell-wise shuffle, no driver state. */
+  def compare(other: GFrame, on: Seq[String], cols: Seq[String]): GFrame = {
+    require(on.nonEmpty, "compare needs at least one key column")
+    val l = df.select((on ++ cols).map(col): _*)
+    val r = other.df.select(
+      (on.map(col) ++ cols.map(c => col(c).as(s"__o_$c"))): _*)
+    val j = l.join(r, on)
+    val diffs = cols.map(c => !(col(c) <=> col(s"__o_$c")))
+    val anyDiff = diffs.reduce(_ || _)
+    val out = j.filter(anyDiff).select(
+      on.map(col) ++ cols.zip(diffs).flatMap { case (c, d) =>
+        Seq(when(d, col(c)).as(s"${c}_self"),
+          when(d, col(s"__o_$c")).as(s"${c}_other"))
+      }: _*)
+    new GFrame(out, indexName)
+  }
+
   def count(): Long = df.count()
   def show(n: Int = 20): Unit = df.show(n)
   def toDF: DataFrame = df

@@ -441,4 +441,73 @@ object EventOps {
       .select(col("__lrow.*") +:
         rightVals.map(c => col(s"__rvals.$c").as(prefix + c)): _*)
   }
+
+  /** First-order Markov transition matrix over the per-key event
+    * sequence: counts and conditional probabilities of `src → dst`
+    * event-type transitions, ordered by time (tie-broken by `tieCol` so
+    * the successor is deterministic under equal timestamps).
+    *
+    * Scale shape: ONE shuffle on the key for the lead window, then a
+    * partial+final aggregation keyed by the (src, dst) pair. The
+    * conditional probability divides by the per-src total via a window
+    * over the AGGREGATED frame — |types|² rows regardless of corpus
+    * size, so that window is bounded, never a global sort over data.
+    * The division is integer/integer in doubles (exact IEEE, same bits
+    * in any engine) — no rounding grid needed. */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val srcW = Window.partitionBy(col("src"))
+    df.select(col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        col("n").cast("double") / sum(col("n")).over(srcW).cast("double"))
+  }
+
+  /** RFM segmentation (recency / frequency / monetary) with quartile
+    * scores — the classic customer-value cut. Per key: recency = whole
+    * days between the key's last event and the corpus' latest event
+    * (integer), frequency = event count (integer), monetary = 2dp-rounded
+    * value sum (grid-snapped BEFORE scoring so a ~1-ulp cross-engine sum
+    * drift cannot move a customer across a quartile edge). Scores are
+    * 1 + (#quartile cuts ≤ metric), 4 = best — recency scores INVERTED
+    * (lower recency = better). Quartile cuts come from ONE exact
+    * percentile aggregate over the bounded per-key frame (9 doubles
+    * through the driver — the s70/qcut precedent); both engines
+    * interpolate cuts at dyadic positions over identical inputs, so the
+    * comparisons are bit-deterministic. */
+  def rfm(df: DataFrame, keyCol: String, tsCol: String,
+          valCol: String): DataFrame = {
+    val qs = array(lit(0.25), lit(0.5), lit(0.75))
+    // Corpus last-event bound: a global-max WINDOW would be a single-task
+    // global window — probe it once (1-row aggregate) and project instead.
+    val lastRow = df.agg(max(unix_micros(col(tsCol)))).head()
+    val corpusLast = lastRow.getLong(0)
+    val metrics = df.groupBy(col(keyCol)).agg(
+        max(unix_micros(col(tsCol))).as("__last_us"),
+        count(lit(1)).as("frequency"),
+        (floor(sum(col(valCol)) * 1e2 + 0.5) / 1e2).as("monetary"))
+      .withColumn("recency",
+        floor((lit(corpusLast) - col("__last_us")) / lit(86400000000L))
+          .cast("long"))
+      .drop("__last_us")
+    val cutRow = metrics.agg(
+        percentile(col("recency"), qs).as("rq"),
+        percentile(col("frequency"), qs).as("fq"),
+        percentile(col("monetary"), qs).as("mq")).head()
+    def cuts(i: Int): Seq[Double] =
+      cutRow.getSeq[Double](i)
+    def scoreAsc(c: Column, q: Seq[Double]): Column =
+      lit(1) + q.map(t => when(c >= t, 1).otherwise(0)).reduce(_ + _)
+    def scoreDesc(c: Column, q: Seq[Double]): Column =
+      lit(1) + q.map(t => when(c < t, 1).otherwise(0)).reduce(_ + _)
+    metrics
+      .withColumn("r_score", scoreDesc(col("recency"), cuts(0)))
+      .withColumn("f_score", scoreAsc(col("frequency").cast("double"), cuts(1)))
+      .withColumn("m_score", scoreAsc(col("monetary"), cuts(2)))
+  }
 }

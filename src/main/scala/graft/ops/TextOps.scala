@@ -58,6 +58,48 @@ object TextOps {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
 
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style corpus quality rules (Rae et al. 2021, the MassiveWeb
+    * repetition-free filter set): word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio (`#` and `...`), alphabetic-word
+    * fraction, and a minimum stop-word count. Takes the STAGED raw text
+    * and token-array attributes (never subtrees — lambda bodies over an
+    * alias re-evaluate the whole chain per element), emits the metrics
+    * plus per-rule booleans and the conjunction. Ratios are integer /
+    * integer divisions — exact IEEE, engine-portable — snapped to the
+    * 6dp floor grid before both output and threshold comparison so both
+    * engines compare identical doubles. Pure projections: one codegen'd
+    * scan, no shuffle. */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, toksCol: String): org.apache.spark.sql.DataFrame = {
+    val tx = col(textCol)
+    val ts = col(toksCol)
+    val n = size(ts)
+    val hashN = length(tx) - length(replace(tx, lit("#"), lit("")))
+    val ellN = (length(tx) - length(replace(tx, lit("..."), lit("")))) / 3
+    val meanLen = when(n === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double")
+        / n.cast("double"))
+    val symRatio = when(n === 0, lit(0.0)).otherwise(
+      (hashN + ellN).cast("double") / n.cast("double"))
+    val alphaFrac = when(n === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => t.rlike("[a-z]"))).cast("double")
+        / n.cast("double"))
+    val stopN = size(filter(ts, t => t.isin(GopherStops: _*)))
+    df.select(col(idCol), n.as("n_words"),
+        round6(meanLen).as("mean_wlen"), round6(symRatio).as("sym_ratio"),
+        round6(alphaFrac).as("alpha_frac"), stopN.as("stop_count"))
+      .withColumn("ok_words", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("ok_wlen", col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+      .withColumn("ok_sym", col("sym_ratio") <= 0.1)
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("ok_stops", col("stop_count") >= 2)
+      .withColumn("pass", col("ok_words") && col("ok_wlen") && col("ok_sym")
+        && col("ok_alpha") && col("ok_stops"))
+  }
+
   /** Engine-portable 6-dp rounding for NON-NEGATIVE doubles:
     * floor(x·1e6 + 0.5)/1e6. `round()` implementations disagree on
     * half-way doubles (Spark rounds the shortest decimal rendering via

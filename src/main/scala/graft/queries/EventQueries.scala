@@ -66,6 +66,24 @@ object EventQueries {
       EventOps.retentionMatrix(ev(s, d), "user_id", "ts")
         .orderBy("cohort", "week_offset")),
 
+    // First-order Markov transition matrix: src -> dst event-type counts
+    // and conditional probabilities; one keyed lead window + one bounded
+    // (|types|^2) aggregation. Integer/integer division — exact IEEE on
+    // both engines, no rounding grid.
+    "e29_transitions" -> ((s, d) =>
+      EventOps.transitionMatrix(ev(s, d), "user_id", "ts", "event_type",
+          tieCol = "event_id")
+        .orderBy("src", "dst")),
+
+    // RFM segmentation with quartile scores: per-user recency/frequency/
+    // monetary (2dp-snapped before scoring) + 1..4 scores from exact
+    // quartile cuts (bounded 1-row driver probe).
+    "e30_rfm" -> ((s, d) =>
+      EventOps.rfm(ev(s, d), "user_id", "ts", "value")
+        .select("user_id", "recency", "frequency", "monetary",
+          "r_score", "f_score", "m_score")
+        .orderBy("user_id")),
+
     // Ordered conversion funnel per user: first view -> first click at or
     // after it -> first purchase at or after that; stacked conditional-min
     // windows on ONE user exchange.
@@ -651,6 +669,41 @@ object EventQueries {
            count(DISTINCT a.user_id) AS n_users
          FROM a JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e29_transitions" ->
+      """WITH x AS (SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS dst
+           FROM events),
+         a AS (SELECT src, dst, count(*) AS n
+           FROM x WHERE dst IS NOT NULL GROUP BY 1, 2)
+         SELECT src, dst, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+             / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS prob
+         FROM a ORDER BY src, dst""",
+    "e30_rfm" ->
+      """WITH m AS (
+           SELECT user_id,
+             CAST(floor(((SELECT max(epoch_us(ts)) FROM events)
+               - max(epoch_us(ts))) / 86400000000) AS BIGINT) AS recency,
+             count(*) AS frequency,
+             floor(sum(value) * 1e2 + 0.5) / 1e2 AS monetary
+           FROM events GROUP BY user_id),
+         q AS (SELECT
+             quantile_cont(recency, [0.25, 0.5, 0.75]) AS rq,
+             quantile_cont(frequency, [0.25, 0.5, 0.75]) AS fq,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mq
+           FROM m)
+         SELECT user_id, recency, frequency, monetary,
+           1 + (CASE WHEN recency < rq[1] THEN 1 ELSE 0 END)
+             + (CASE WHEN recency < rq[2] THEN 1 ELSE 0 END)
+             + (CASE WHEN recency < rq[3] THEN 1 ELSE 0 END) AS r_score,
+           1 + (CASE WHEN frequency >= fq[1] THEN 1 ELSE 0 END)
+             + (CASE WHEN frequency >= fq[2] THEN 1 ELSE 0 END)
+             + (CASE WHEN frequency >= fq[3] THEN 1 ELSE 0 END) AS f_score,
+           1 + (CASE WHEN monetary >= mq[1] THEN 1 ELSE 0 END)
+             + (CASE WHEN monetary >= mq[2] THEN 1 ELSE 0 END)
+             + (CASE WHEN monetary >= mq[3] THEN 1 ELSE 0 END) AS m_score
+         FROM m, q ORDER BY user_id""",
     "e27_funnel" ->
       """WITH w1 AS (SELECT user_id, ts, event_type,
              min(CASE WHEN event_type = 'view' THEN ts END)

@@ -413,6 +413,26 @@ object FrameQueries {
         .orderBy("c1", "c2")
     }),
 
+    // pandas df.compare(other): keyed align + null-safe cell diff; the
+    // "other" frame is a deterministic perturbation of customer (acctbal
+    // bumped on custkey%10, mktsegment rewritten on custkey%13) derived
+    // identically on both engine sides.
+    "f43_compare" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+      val left = GFrame.fromDF(base, "c_custkey")
+      val right = GFrame.fromDF(base
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(10)) === 0,
+            col("c_acctbal") + 10.0).otherwise(col("c_acctbal")))
+        .withColumn("c_mktsegment",
+          when(pmod(col("c_custkey"), lit(13)) === 0, lit("ALTERED"))
+            .otherwise(col("c_mktsegment"))), "c_custkey")
+      left.compare(right, on = Seq("c_custkey"),
+          cols = Seq("c_acctbal", "c_mktsegment")).toDF
+        .orderBy("c_custkey")
+    }),
+
     // pandas df.nlargest(n, columns): TakeOrderedAndProject — per-
     // partition top-n heaps, no global sort.
     "f42_nlargest" -> ((s, d) =>
@@ -745,6 +765,24 @@ object FrameQueries {
     "f42_nlargest" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    "f43_compare" ->
+      """WITH r AS (SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 10.0
+                  ELSE c_acctbal END AS o_bal,
+             CASE WHEN c_custkey % 13 = 0 THEN 'ALTERED'
+                  ELSE c_mktsegment END AS o_seg
+           FROM customer),
+         j AS (SELECT c.c_custkey,
+             c.c_acctbal, r.o_bal, c.c_mktsegment, r.o_seg,
+             (c.c_acctbal IS DISTINCT FROM r.o_bal) AS d_bal,
+             (c.c_mktsegment IS DISTINCT FROM r.o_seg) AS d_seg
+           FROM customer c JOIN r USING (c_custkey))
+         SELECT c_custkey,
+           CASE WHEN d_bal THEN c_acctbal END AS c_acctbal_self,
+           CASE WHEN d_bal THEN o_bal END AS c_acctbal_other,
+           CASE WHEN d_seg THEN c_mktsegment END AS c_mktsegment_self,
+           CASE WHEN d_seg THEN o_seg END AS c_mktsegment_other
+         FROM j WHERE d_bal OR d_seg ORDER BY c_custkey""",
     "f41_merge_validate" ->
       """SELECT c.c_custkey, c.c_nationkey AS nk, c.c_name AS name_x,
            n.n_name AS name_y

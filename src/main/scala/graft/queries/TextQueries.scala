@@ -173,6 +173,21 @@ object TextQueries {
         .select(col("h.item").as("item"), col("h.cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("item"))),
 
+    // Gopher quality rules: word/mean-length bounds, symbol ratio,
+    // alphabetic fraction, stop-word floor. The fixture text carries no
+    // symbols, so every 7th doc SPLICES a symbol tail (" ... # # #") —
+    // identically on both engine sides, the t09/t13 convention — to
+    // exercise the symbol-ratio rule. Pure staged projections, one scan.
+    "t16_gopher" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" ... # # #")))
+          .otherwise(col("text")).as("tx"))
+      val staged = base.select(col("doc_id"), col("tx"),
+        tokens(col("tx")).as("ts"))
+      gopherRules(staged, "doc_id", "tx", "ts").orderBy("doc_id")
+    }),
+
     // Unicode NFC canonicalization through the codegen'd graft_normalize
     // expression. The fixture is ASCII (already normal — the fast path),
     // so the gate SPLICES decomposed text onto every doc (e + combining
@@ -362,6 +377,41 @@ object TextQueries {
     "t15_freq_items" ->
       """SELECT source AS item, count(*) AS cnt FROM documents
          GROUP BY source ORDER BY cnt DESC, item""",
+    "t16_gopher" ->
+      """WITH b AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ... # # #'
+                  ELSE text END AS tx
+           FROM documents),
+         t AS (SELECT doc_id, tx,
+             list_filter(string_split(lower(tx), ' '), t -> t <> '') AS ts
+           FROM b),
+         m AS (SELECT doc_id,
+             CAST(len(ts) AS INTEGER) AS n_words,
+             floor((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               list_sum(list_transform(ts, x -> length(x))) * 1.0
+                 / len(ts) END) * 1e6 + 0.5) / 1e6 AS mean_wlen,
+             floor((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               ((length(tx) - length(replace(tx, '#', '')))
+                 + (length(tx) - length(replace(tx, '...', ''))) / 3)
+                 * 1.0 / len(ts) END) * 1e6 + 0.5) / 1e6 AS sym_ratio,
+             floor((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+                 * 1.0 / len(ts) END) * 1e6 + 0.5) / 1e6 AS alpha_frac,
+             CAST(len(list_filter(ts, x -> x IN ('the','be','to','of',
+               'and','that','have','with'))) AS INTEGER) AS stop_count
+           FROM t)
+         SELECT doc_id, n_words, mean_wlen, sym_ratio, alpha_frac,
+           stop_count,
+           (n_words >= 50 AND n_words <= 100000) AS ok_words,
+           (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_wlen,
+           (sym_ratio <= 0.1) AS ok_sym,
+           (alpha_frac >= 0.8) AS ok_alpha,
+           (stop_count >= 2) AS ok_stops,
+           (n_words >= 50 AND n_words <= 100000
+             AND mean_wlen >= 3.0 AND mean_wlen <= 10.0
+             AND sym_ratio <= 0.1 AND alpha_frac >= 0.8
+             AND stop_count >= 2) AS pass
+         FROM m ORDER BY doc_id""",
     // chr(769) = U+0301 combining acute, chr(778) = U+030A combining ring
     // — the same decomposed splice the Spark side appends; NFC composes
     // both, so length and md5 must byte-match

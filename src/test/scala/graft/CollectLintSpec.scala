@@ -93,7 +93,11 @@ class CollectLintSpec extends AnyFunSuite {
       ".collect().sortBy(_.getLong(0)) // ≤ buckets rows of driver state" ->
         "asofJoinGlobal forward carries: ≤ buckets rows",
       "val bounds = un.agg(min(col(\"__ts\")), max(col(\"__ts\"))).head()" ->
-        "1-row min/max bounds"),
+        "1-row min/max bounds",
+      "val lastRow = df.agg(max(unix_micros(col(tsCol)))).head()" ->
+        "rfm corpus-last bound: 1-row aggregate",
+      "percentile(col(\"monetary\"), qs).as(\"mq\")).head()" ->
+        "rfm quartile cuts: 9 doubles, 1 row"),
     "PipelineOps.scala" -> Map(
       ".orderBy(col(\"__bkt\")).collect().filterNot(_.isNullAt(0))" ->
         "shard prefix sums: `shards` rows",

@@ -624,6 +624,89 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       ("2024-01-01 09:45:00.0", 1L), ("2024-01-01 10:00:00.0", 1L)))
   }
 
+  test("transitionMatrix counts per-key successors; probs sum to 1 per src") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), "a", 1L),
+      (1L, t("2024-01-01 10:01:00"), "b", 2L),
+      (1L, t("2024-01-01 10:02:00"), "a", 3L),
+      (2L, t("2024-01-01 10:00:00"), "a", 4L),
+      (2L, t("2024-01-01 10:01:00"), "a", 5L),
+      (3L, t("2024-01-01 10:00:00"), "c", 6L)) // lone event: no transition
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.ops.EventOps
+      .transitionMatrix(df, "user_id", "ts", "event_type", "event_id")
+      .orderBy("src", "dst").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(out == Seq(("a", "a", 1L, 0.5), ("a", "b", 1L, 0.5),
+      ("b", "a", 1L, 1.0)))
+  }
+
+  test("rfm: quartile scores bounded 1..4, monetary snapped, recency inverts") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // 8 users with distinct frequency so the quartile edges are exercised
+    val rows = (1L to 8L).flatMap { u =>
+      (0L until u).map(i => (u, t(f"2024-01-${u}%02d 10:00:00"), 10.005))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = graft.ops.EventOps.rfm(df, "user_id", "ts", "value")
+      .orderBy("user_id").collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Int](c); assert(v >= 1 && v <= 4, s"$c=$v")
+      }
+    }
+    // user 8: most recent (recency 0), most frequent, highest monetary
+    val u8 = out.last
+    assert(u8.getAs[Long]("recency") == 0L)
+    assert(u8.getAs[Int]("r_score") == 4 && u8.getAs[Int]("f_score") == 4
+      && u8.getAs[Int]("m_score") == 4)
+    // user 1: oldest and least valuable on every axis
+    val u1 = out.head
+    assert(u1.getAs[Int]("r_score") == 1 && u1.getAs[Int]("f_score") == 1
+      && u1.getAs[Int]("m_score") == 1)
+    // monetary is snapped to the 2dp grid (8 * 10.005 = 80.04 exactly)
+    assert(u8.getAs[Double]("monetary") == 80.04)
+  }
+
+  test("gopherRules flags short, symbol-heavy, and stopword-poor docs") {
+    val good = (Seq.fill(20)("the quick brown fox jumps with zeal") :+ "ok")
+      .mkString(" ") // >50 words, stopwords present, no symbols
+    val short = "tiny doc"
+    val symb = (Seq.fill(60)("the word") :+ Seq.fill(30)("#").mkString(" "))
+      .mkString(" ")
+    val d = Seq((1L, good), (2L, short), (3L, symb)).toDF("doc_id", "tx")
+    val staged = d.select(col("doc_id"), col("tx"),
+      TextOps.tokens(col("tx")).as("ts"))
+    val out = TextOps.gopherRules(staged, "doc_id", "tx", "ts")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Boolean]("pass"))
+    assert(!out(1).getAs[Boolean]("ok_words") && !out(1).getAs[Boolean]("pass"))
+    assert(!out(2).getAs[Boolean]("ok_sym") && !out(2).getAs[Boolean]("pass"))
+    assert(out(2).getAs[Boolean]("ok_words")) // 150 words — length is fine
+  }
+
+  test("GFrame.compare emits only differing cells, null-safe on nulls") {
+    val l = Seq((1L, Some(1.0), "a"), (2L, None, "b"), (3L, Some(3.0), "c"))
+      .toDF("k", "v", "s")
+    val r = Seq((1L, Some(1.0), "a"), (2L, None, "B"), (3L, Some(9.0), "c"))
+      .toDF("k", "v", "s")
+    val out = graft.core.GFrame.fromDF(l, "k")
+      .compare(graft.core.GFrame.fromDF(r, "k"), Seq("k"), Seq("v", "s"))
+      .toDF.orderBy("k").collect()
+    // row 1 equal everywhere -> dropped; row 2 differs on s only (null v
+    // equal via null-safe compare); row 3 differs on v only
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 2L && out(0).isNullAt(1) && out(0).isNullAt(2)
+      && out(0).getString(3) == "b" && out(0).getString(4) == "B")
+    assert(out(1).getLong(0) == 3L && out(1).getDouble(1) == 3.0
+      && out(1).getDouble(2) == 9.0 && out(1).isNullAt(3) && out(1).isNullAt(4))
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq((1L, "der hund und die katze ist das"),
       (2L, "the cat and the dog is here")).toDF("id", "text")
