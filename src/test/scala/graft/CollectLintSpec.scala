@@ -105,6 +105,8 @@ class CollectLintSpec extends AnyFunSuite {
     "SimilarityOps.scala" -> Map(
       ".collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap" ->
         "IVF centroids: k × dim",
+      ".agg(max(abs(col(\"v\")))).head() // 1-row bounded scale probe" ->
+        "scalar-quantization scale: 1-row max aggregate",
       ".orderBy(\"cluster\").collect()" -> "IVF centroids reload: k × dim",
       "var centroids = v.orderBy(\"id\").limit(k).collect()" ->
         "k-means seeds: k × dim"),

@@ -224,6 +224,39 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(ivfRecall >= 0.8, s"v03 IVF recall $ivfRecall below 0.8")
   }
 
+  test("sq quantization: codes on-grid, reconstruction within step/2, " +
+    "quantized kNN recall >= 0.8 vs exact (v09 gate)") {
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
+    val sc = SimilarityOps.sqScale(e, "embedding")
+    assert(sc > 0)
+    val q = SimilarityOps.sqQuantize(e, "vec_id", "embedding",
+      sc, "id", "qv")
+    // every code is an integral double in [-127, 127]
+    val codes = q.select(explode(col("qv"))).collect().map(_.getDouble(0))
+    assert(codes.forall(c => c >= -127 && c <= 127 && c == math.floor(c)))
+    // reconstruction error bounded by half a quantization step
+    val orig = e.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    q.filter(col("id") < 10).collect().foreach { r =>
+      val id = r.getLong(0); val qv = r.getSeq[Double](1)
+      qv.zipWithIndex.foreach { case (c, i) =>
+        val recon = c / 127.0 * sc
+        assert(math.abs(recon - orig(id)(i)) <= sc / 127.0 / 2 + 1e-12,
+          s"dim $i of vec $id off-grid")
+      }
+    }
+    val exact = SimilarityOps.knnBruteForce(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val sq = SimilarityOps.sqKnn(q, q.filter(col("id") < 10), 5)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val recall = (exact & sq).size.toDouble / exact.size
+    info(f"v09 SQ fixture recall: $recall%.3f (8-bit symmetric grid)")
+    assert(recall >= 0.8, s"v09 SQ recall $recall below 0.8")
+  }
+
   test("ivfBuild/ivfProbe round-trip the index through parquet (v04 gate)") {
     assume(haveFixture)
     val e = Tables.embeddings(spark, fixtureDir)

@@ -19,7 +19,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     * v02/v03 (LSH/IVF bucketed equi-joins) as the scale paths. It is the
     * only query allowed an all-pairs operator. */
   private val exempt = Set("v01_knn_bruteforce",
-    "v06_knn_sql") // v01's SQL-surface twin: same sanctioned brute force
+    "v06_knn_sql", // v01's SQL-surface twin: same sanctioned brute force
+    "v09_sq_knn") // quantized brute force — same sanctioned baseline shape
 
   test("no gated query plan contains a cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
