@@ -115,6 +115,52 @@ object GraphOps {
       .withColumn("keep", col("id") === col("comp"))
   }
 
+  /** PageRank over an undirected edge list (edges symmetrized, so every
+    * incident vertex has out-degree ≥ 1 — no dangling-mass term), fixed
+    * `iters` power iterations with `damping`:
+    * `r ← (1−d)/N + d·Σ_{u→v} r(u)/deg(u)`.
+    *
+    * On a dedup pair graph this scores CENTRALITY of duplication — which
+    * documents sit at the middle of big near-dup families (boilerplate
+    * hubs a survivor picker should prefer, or templates worth excising).
+    *
+    * Scale shape: per iteration ONE vertex-keyed join (ranks onto
+    * edges) + one partial+final aggregation keyed by the destination —
+    * the d08 loop shape, lineage cut per round with localCheckpoint.
+    * Driver state: the vertex count (one scalar). Determinism: each
+    * iteration's rank snaps to the 1e-9 floor grid on BOTH engine
+    * sides, so the parallel-sum association drift (~1e-17 on ~1e-2
+    * ranks) can never compound across iterations; products of the
+    * snapped ranks are then bit-identical everywhere. */
+  def pageRank(pairs: DataFrame, id1: String, id2: String,
+               damping: Double = 0.85, iters: Int = 5): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    val sym = graft.Caches.track(
+      pairs.select(col(id1).as("a"), col(id2).as("b"))
+        .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = graft.Caches.track(
+      sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val n = deg.count() // |vertices| — one driver scalar
+    require(n > 0, "pageRank needs at least one edge")
+    val base = (1 - damping) / n
+    var rank = deg.select(col("a").as("id"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to iters) {
+      val next = sym
+        .join(rank.select(col("id").as("a"), col("r")), "a")
+        .join(deg, "a")
+        .groupBy(col("b").as("id"))
+        .agg(sum(col("r") / col("deg")).as("__s"))
+        .select(col("id"),
+          (floor((lit(base) + lit(damping) * col("__s")) * 1e9 + 0.5)
+            / 1e9).as("r"))
+        .localCheckpoint() // lineage cut — the d08 rationale
+      rank = next
+    }
+    rank.select(col("id"), col("r").as("rank"))
+  }
+
   /** Cluster survivor by a caller-supplied PRIORITY instead of min-id:
     * the corpus-dedup rule "keep the highest-QUALITY duplicate of each
     * near-dup cluster". One keyed join pulls the per-vertex priority onto

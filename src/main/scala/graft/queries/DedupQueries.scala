@@ -157,6 +157,17 @@ object DedupQueries {
       GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
     }),
 
+    // PageRank over the d08 near-dup pair graph: duplication-centrality
+    // scores (boilerplate hubs rank high). Five power iterations, each
+    // ONE vertex-keyed join + one partial+final aggregation, rank
+    // snapped to the 1e-9 floor grid per iteration on both engines.
+    "d20_pagerank" -> ((s, d) => {
+      import graft.ops.GraphOps
+      val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      GraphOps.pageRank(pairs, "id1", "id2").orderBy("id")
+    }),
+
     // Survivor-by-QUALITY over the same clusters as d08: per near-dup
     // cluster keep the highest-quality member (ties → smallest doc_id),
     // not the smallest id — the decision rule corpus dedup actually
@@ -292,6 +303,35 @@ object DedupQueries {
             ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS sh
           FROM toks, LATERAL unnest(range(1, len(ws)-1)) AS u(i))"""
 
+  /** d20 oracle: d08's pair graph + `iters` unrolled PageRank rounds. */
+  private def pageRankSql(iters: Int): String = {
+    val head = s"""WITH $ShingleCte,
+       sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT id1, id2 FROM inter
+         JOIN sizes s1 ON id1 = s1.doc_id
+         JOIN sizes s2 ON id2 = s2.doc_id
+         WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+       edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         UNION ALL SELECT id2, id1 FROM pairs),
+       deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       nn AS (SELECT count(*) AS n FROM deg),
+       r0 AS (SELECT a AS id, 1.0 / (SELECT n FROM nn) AS r FROM deg)"""
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.b AS id,
+           floor(((1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * sum(p.r / deg.deg)) * 1e9 + 0.5) / 1e9 AS r
+         FROM edges e JOIN r${i - 1} p ON p.id = e.a
+         JOIN deg ON deg.a = e.a
+         GROUP BY e.b)"""
+    }.mkString(",\n")
+    s"$head,\n$its\n SELECT id, r AS rank FROM r$iters ORDER BY id"
+  }
+
   private val JaccardSql =
     s"""WITH $ShingleCte,
         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
@@ -362,6 +402,13 @@ object DedupQueries {
          ORDER BY new_id, old_id""",
     // Transitive closure via recursive CTE = the oracle for the iterative
     // min-label propagation (both compute min reachable id per vertex).
+    // d20: the SAME pair CTEs as d08, then five UNROLLED power
+    // iterations (the v03 unrolled-k-means precedent) — each iteration
+    // floor-snaps to the 1e-9 grid exactly like the Spark side, so the
+    // cross-engine sum-association drift can never compound. The
+    // (1 - 0.85) spelling is deliberate: both engines compute the same
+    // IEEE double, where a 0.15 literal would differ by 1 ulp.
+    "d20_pagerank" -> pageRankSql(iters = 5),
     "d08_dup_clusters" ->
       s"""WITH RECURSIVE $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

@@ -33,6 +33,33 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(comps.toSeq == Seq(1L))
   }
 
+  test("pageRank: path-center ranks highest, mass conserved, hand value") {
+    // path 1-2-3 (symmetrized): deg = (1, 2, 1), N = 3.
+    // r0 = 1/3 each; r1: node1 gets r(2)/2, node2 gets r(1)+r(3), ...
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val got = GraphOps.pageRank(pairs, "id1", "id2", damping = 0.85,
+        iters = 5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    Caches.clear()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val Seq(r1, r2, r3) = got.map(_._2).toSeq
+    assert(r1 == r3) // symmetric endpoints
+    assert(r2 > r1)  // the hub outranks the leaves
+    // total mass ≈ 1 (no dangling nodes; snap loses ≤ 1e-9 per entry)
+    assert(math.abs((r1 + r2 + r3) - 1.0) < 1e-6)
+    // hand iteration of the same snapped recurrence
+    var (a, b, c) = (1.0 / 3, 1.0 / 3, 1.0 / 3)
+    def snap(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val base = (1 - 0.85) / 3
+    for (_ <- 1 to 5) {
+      val (na, nb, nc) =
+        (snap(base + 0.85 * (b / 2)), snap(base + 0.85 * (a / 1 + c / 1)),
+          snap(base + 0.85 * (b / 2)))
+      a = na; b = nb; c = nc
+    }
+    assert(r1 == a && r2 == b && r3 == c)
+  }
+
   test("dupClusters keeps exactly the min id per component") {
     val pairs = Seq((5L, 6L), (6L, 7L), (30L, 31L)).toDF("id1", "id2")
     val got = GraphOps.dupClusters(pairs, "id1", "id2")
