@@ -200,6 +200,21 @@ object SparkEntry {
         round(percentile(col("qty"), lit(0.5)), 6).as("median"),
         round(percentile(col("qty"), lit(0.75)), 6).as("q75"))
     }),
+    // pandas count/mean/std/sem/skew/kurt + mad: the fused higher-moment
+    // surface — ONE aggregate pass (plus mad's 1-row mean probe). Input
+    // shifted off the 2dp halfway grid (s58 lesson); sample G1/G2
+    // conversions close from the same row, matching DuckDB's natively
+    // bias-corrected skewness/kurtosis.
+    "s106_moments" -> ((s, d) => {
+      val bal = Series.fromExpr(Tables.customer(s, d),
+        col("c_acctbal") + lit(0.123456789), "bal", col("c_custkey"), "idx")
+      val r6 = graft.ops.TextOps.round6 _
+      bal.momentStats().select(col("n"),
+        r6(col("mean")).as("mean"), r6(col("std")).as("std"),
+        r6(col("sem")).as("sem"), r6(col("skew")).as("skew"),
+        r6(col("kurt")).as("kurt"),
+        r6(lit(bal.mad().asInstanceOf[Double])).as("mad"))
+    }),
     // PARTITIONED window ops — the 100 TB-safe siblings of s18/s22/s23/s24:
     // per-nation cumulative/lagged/rolling/ranked customer balances, all
     // windows partitionBy(c_nationkey) → ONE shuffle on the key, per-group
@@ -1247,6 +1262,20 @@ object SparkEntry {
         "THEN avg(c_acctbal) OVER w END, 6) AS roll5 FROM customer " +
         "WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) " +
         "ORDER BY idx"),
+    "s106_moments" ->
+      """WITH v AS (SELECT c_acctbal + 0.123456789 AS x FROM customer),
+         m AS (SELECT count(x) AS n, avg(x) AS mean,
+             stddev_samp(x) AS std, skewness(x) AS skew,
+             kurtosis(x) AS kurt FROM v)
+         SELECT CAST(n AS BIGINT) AS n,
+           floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+           floor(std * 1e6 + 0.5) / 1e6 AS std,
+           floor(std / sqrt(n) * 1e6 + 0.5) / 1e6 AS sem,
+           floor(skew * 1e6 + 0.5) / 1e6 AS skew,
+           floor(kurt * 1e6 + 0.5) / 1e6 AS kurt,
+           floor((SELECT avg(abs(x - (SELECT mean FROM m))) FROM v)
+             * 1e6 + 0.5) / 1e6 AS mad
+         FROM m""",
     "s25_quantiles" ->
       ("SELECT round(quantile_cont(l_quantity, 0.25), 6) AS q25, " +
         "round(quantile_cont(l_quantity, 0.5), 6) AS median, " +

@@ -96,6 +96,39 @@ final class Series private[graft] (
     aggScalar(percentile(valueExpr, lit(p)))
   def median(): Any = quantile(0.5)
 
+  /** Fused higher-moment statistics — pandas count/mean/std/sem/skew/
+    * kurt in ONE partial+final aggregate (the s97 fused-probe lesson:
+    * never issue serial scalar jobs over one column). Spark's skewness/
+    * kurtosis are POPULATION g1/g2; the sample G1/G2 conversions (the
+    * rolling-moment factors, data-dependent n here) close from the same
+    * aggregate row, so the whole surface costs one scan + one exchange
+    * at any data size. Null moments (n below the defined threshold)
+    * follow pandas: skew needs n ≥ 3, kurt n ≥ 4. */
+  def momentStats(): DataFrame = {
+    val v = valueExpr.cast("double")
+    val n = col("n").cast("double")
+    base.agg(
+        count(v).as("n"), avg(v).as("mean"), stddev_samp(v).as("std"),
+        skewness(v).as("__g1"), kurtosis(v).as("__g2"))
+      .select(col("n"), col("mean"), col("std"),
+        (col("std") / F.sqrt(n)).as("sem"),
+        when(col("n") >= 3, col("__g1") * F.sqrt(n * (n - 1)) / (n - 2))
+          .as("skew"),
+        when(col("n") >= 4,
+          (col("__g2") * (n + 1) + 6) * (n - 1) / ((n - 2) * (n - 3)))
+          .as("kurt"))
+  }
+
+  /** Mean absolute deviation around the mean (the retired pandas
+    * Series.mad): two passes by nature — a 1-row mean probe, then one
+    * |x − mean| aggregate. Both passes are partial+final; the only
+    * driver value is the mean scalar. */
+  def mad(): Any = {
+    val m = aggScalar(avg(valueExpr.cast("double")))
+      .asInstanceOf[Double]
+    aggScalar(avg(F.abs(valueExpr.cast("double") - lit(m))))
+  }
+
   /** All scalar aggregations in one pass (single scan). */
   def summary1: DataFrame = base.agg(
     count(valueExpr).as("count"),

@@ -286,4 +286,65 @@ object PipelineOps {
       .limit(n)
       .drop("__ws_key")
   }
+
+  /** Token-budget mixture: down-sample each stratum so the KEPT TOKEN
+    * volume approaches `budget · share_s` (the unit training mixtures
+    * are actually specified in — p04's row-rate sibling). Shares are
+    * ABSOLUTE fractions of the budget (caller keeps Σ ≤ 1) — not
+    * renormalized weights, so no cross-stratum float summation exists
+    * anywhere and every rate derives from one literal and one exact
+    * integer total. Per-stratum keep rate = min(1, target / available
+    * tokens), applied as the same salted-md5 16-bit threshold as every
+    * other pipeline draw (deterministic, reproducible, engine-portable;
+    * rate granularity 1/65536). Two passes by design — one bounded
+    * (|strata|-row) token-total probe, then the filtered scan — the
+    * irreducible shape of any data-dependent sampling rate. Returns the
+    * per-stratum report; the raw kept rows are [[tokenBudgetKept]]. */
+  def tokenBudgetMixture(df: DataFrame, idCol: String, strataCol: String,
+                         tokenCol: Column, shares: Map[String, Double],
+                         defaultShare: Double, budget: Long,
+                         salt: String = "tokmix"): DataFrame = {
+    val kept = tokenBudgetKept(df, idCol, strataCol, tokenCol, shares,
+      defaultShare, budget, salt)
+    kept.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("__tok")).as("kept_tokens"),
+        first(col("__avail")).as("avail_tokens"),
+        first(col("__target")).as("target_tokens"))
+      .select(col(strataCol), col("avail_tokens"), col("target_tokens"),
+        col("n_kept"), col("kept_tokens"))
+  }
+
+  /** [[tokenBudgetMixture]]'s kept rows, with the per-stratum bookkeeping
+    * columns (`__tok`, `__avail`, `__target`) still attached. */
+  private[graft] def tokenBudgetKept(df: DataFrame, idCol: String,
+      strataCol: String, tokenCol: Column, shares: Map[String, Double],
+      defaultShare: Double, budget: Long, salt: String): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val totals = df.groupBy(strataCol).agg(sum(tokenCol).as("avail"))
+      .collect() // |strata| rows — bounded driver state
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val h = hex4(col(idCol), salt)
+    def shareOf(s: String) = shares.getOrElse(s, defaultShare)
+    val keep = totals.foldLeft(lit(false)) { case (acc, (s, avail)) =>
+      val target = budget * shareOf(s)
+      val rate = if (avail <= 0) 0.0 else math.min(1.0, target / avail)
+      val pred =
+        if (rate >= 1.0) lit(true)
+        else if (rate <= 0.0) lit(false)
+        else h < lit(hexThreshold(rate))
+      when(col(strataCol) === s, pred).otherwise(acc)
+    }
+    val targets = totals.keys.map { s =>
+      s -> math.floor(budget * shareOf(s)).toLong
+    }.toMap
+    df.withColumn("__tok", tokenCol)
+      .withColumn("__avail",
+        totals.foldLeft(lit(null).cast("long")) { case (acc, (s, a)) =>
+          when(col(strataCol) === s, lit(a)).otherwise(acc) })
+      .withColumn("__target",
+        targets.foldLeft(lit(null).cast("long")) { case (acc, (s, t)) =>
+          when(col(strataCol) === s, lit(t)).otherwise(acc) })
+      .filter(keep)
+  }
 }

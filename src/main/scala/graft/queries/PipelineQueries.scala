@@ -42,6 +42,18 @@ object PipelineQueries {
           TextOps.tokenCount(col("text")), budget = 512L, shards = 8)
         .orderBy("doc_id")),
 
+    // Token-budget mixture: per-source keep rates derived from TOKEN
+    // totals (rate = min(1, budget*share / avail)), applied as the p04
+    // md5 threshold; src1's share saturates (rate 1), src0 samples
+    // thinly. Shares are absolute budget fractions — no weight
+    // renormalization, so no cross-engine float summation anywhere.
+    "p12_token_mixture" -> ((s, d) =>
+      PipelineOps.tokenBudgetMixture(Tables.documents(s, d), "doc_id",
+          "source", TextOps.tokenCount(col("text")),
+          Map("src0" -> 0.01, "src1" -> 0.1), defaultShare = 0.05,
+          budget = 20000L)
+        .orderBy("source")),
+
     // Deterministic stratified sample: 5 docs per source by md5 draw.
     "p03_stratified_sample" -> ((s, d) =>
       PipelineOps.stratifiedTopK(Tables.documents(s, d), "doc_id",
@@ -138,6 +150,37 @@ object PipelineQueries {
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    // p12: every share literal is CAST AS DOUBLE — a bare decimal seeds
+    // DuckDB DECIMAL arithmetic (exact 200.00) where the Spark side
+    // computes 20000·0.01 in doubles (200.00000000000003); the rate and
+    // its 16-bit threshold must come from the IDENTICAL double.
+    "p12_token_mixture" ->
+      s"""WITH t AS (SELECT doc_id, source,
+             CAST(len($Toks) AS INTEGER) AS tok,
+             substr(md5('tokmix' || CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+           FROM documents),
+         a AS (SELECT source, CAST(sum(tok) AS BIGINT) AS avail
+           FROM t GROUP BY 1),
+         r AS (SELECT source, avail,
+             20000 * (CASE source
+               WHEN 'src0' THEN CAST(0.01 AS DOUBLE)
+               WHEN 'src1' THEN CAST(0.1 AS DOUBLE)
+               ELSE CAST(0.05 AS DOUBLE) END) AS target
+           FROM a),
+         th AS (SELECT source, avail,
+             CAST(floor(target) AS BIGINT) AS target_tokens,
+             CASE WHEN avail <= 0 THEN 0.0
+                  WHEN target / avail > 1.0 THEN 1.0
+                  ELSE target / avail END AS rate
+           FROM r),
+         k AS (SELECT t.doc_id, t.source, t.tok
+           FROM t JOIN th USING (source)
+           WHERE rate >= 1.0 OR t.hx < printf('%04x',
+             least(CAST(floor(rate * 65536) AS BIGINT), 65535)))
+         SELECT th.source, th.avail AS avail_tokens, th.target_tokens,
+           count(*) AS n_kept, CAST(sum(k.tok) AS BIGINT) AS kept_tokens
+         FROM k JOIN th USING (source)
+         GROUP BY 1, 2, 3 ORDER BY th.source""",
     // thresholds: 0.8*65536 = 52428 = 0xcccc, 0.9*65536 = 58982 = 0xe666;
     // fixed-width lowercase hex compares lexicographically = numerically.
     "p01_hash_split" ->

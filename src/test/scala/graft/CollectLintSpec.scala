@@ -101,6 +101,8 @@ class CollectLintSpec extends AnyFunSuite {
     "PipelineOps.scala" -> Map(
       ".orderBy(col(\"__bkt\")).collect().filterNot(_.isNullAt(0))" ->
         "shard prefix sums: `shards` rows",
+      ".collect() // |strata| rows — bounded driver state" ->
+        "token-budget mixture rates: |strata| rows",
       "max(col(idCol)).cast(\"double\")).head()" -> "1-row min/max bounds"),
     "SimilarityOps.scala" -> Map(
       ".collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap" ->

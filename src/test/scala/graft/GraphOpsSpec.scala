@@ -128,6 +128,32 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(def50 > 400 && def50 < 600, s"default-rate keep count $def50")
   }
 
+  test("tokenBudgetMixture: saturated stratum kept whole, thin stratum " +
+    "near target, zero share drops, deterministic") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("src", concat(lit("s"), (col("id") % 2).cast("string")))
+      .withColumn("tok", lit(10)) // s0: 5000 tokens, s1: 5000 tokens
+    def run() = PipelineOps.tokenBudgetMixture(df, "id", "src", col("tok"),
+      Map("s0" -> 0.6, "s1" -> 0.1), defaultShare = 0.0, budget = 10000L)
+    val rep = run().orderBy("src").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    // s0 target 6000 > avail 5000 -> rate 1, all 500 docs kept
+    assert(rep("s0") == ((5000L, 6000L, 500L, 5000L)))
+    // s1 target 1000 of 5000 -> rate 0.2, kept tokens ≈ 1000 (binomial)
+    val (a1, t1, n1, k1) = rep("s1")
+    assert(a1 == 5000L && t1 == 1000L && k1 == n1 * 10)
+    assert(k1 > 600 && k1 < 1400, s"s1 kept $k1 of target 1000")
+    // identical on rerun (pure md5 draw, no RNG state)
+    assert(run().orderBy("src").collect().toSeq ==
+      run().orderBy("src").collect().toSeq)
+    // zero default share: an unlisted stratum disappears
+    val rep2 = PipelineOps.tokenBudgetMixture(df, "id", "src", col("tok"),
+      Map("s0" -> 0.5), defaultShare = 0.0, budget = 10000L)
+      .collect().map(_.getString(0)).toSeq
+    assert(rep2 == Seq("s0"))
+  }
+
   test("packShards matches a single-partition window on real ids") {
     val df = spark.range(1, 101).toDF("id")
       .withColumn("tok", (col("id") * 37 % 90 + 10).cast("int"))

@@ -1149,6 +1149,29 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(-0.5, -0.5, null)) // 2/4-1, 4/8-1, no successor
   }
 
+  test("momentStats: hand values, symmetric skew 0, small-n nulls; mad") {
+    // 1..5: mean 3, std sqrt(2.5), skew 0 (symmetric), G2 kurt -1.2
+    val s = Series.fromSeq(spark, Seq(1.0, 2.0, 3.0, 4.0, 5.0), name = "v")
+    val r = s.momentStats().head()
+    assert(r.getAs[Long]("n") == 5L)
+    assert(r.getAs[Double]("mean") == 3.0)
+    assert(math.abs(r.getAs[Double]("std") - math.sqrt(2.5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("sem")
+      - math.sqrt(2.5) / math.sqrt(5)) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skew")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kurt") - (-1.2)) < 1e-9)
+    // pandas mad of 1..5 = mean(|x-3|) = 1.2
+    assert(math.abs(s.mad().asInstanceOf[Double] - 1.2) < 1e-12)
+    // below the defined-n thresholds the sample moments are null
+    val t3 = Series.fromSeq(spark, Seq(1.0, 2.0, 4.0), name = "v")
+      .momentStats().head()
+    assert(!t3.isNullAt(t3.fieldIndex("skew")))
+    assert(t3.isNullAt(t3.fieldIndex("kurt"))) // kurt needs n >= 4
+    val t2 = Series.fromSeq(spark, Seq(1.0, 2.0), name = "v")
+      .momentStats().head()
+    assert(t2.isNullAt(t2.fieldIndex("skew"))) // skew needs n >= 3
+  }
+
   test("sample is a deterministic, salt-dependent subset near frac") {
     val s = Series.fromSeq(spark, (1 to 2000).map(_.toDouble), name = "v")
     def ids(salt: String) = s.sample(0.3, salt).df
