@@ -561,6 +561,25 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, indexName)
   }
 
+  /** pandas `DataFrame.corrwith`: pairwise Pearson correlation of each
+    * named column with the SAME-named column of `other`, aligned on the
+    * `on` keys. One keyed equi-join + ONE partial+final aggregate
+    * computing every corr pair, stacked to (colname, corr) rows in the
+    * same stage — |cols| output rows, no per-column scans. */
+  def corrwith(other: GFrame, on: Seq[String], cols: Seq[String]): GFrame = {
+    require(on.nonEmpty && cols.nonEmpty, "corrwith needs keys and columns")
+    val r = other.df.select(
+      (on.map(col) ++ cols.map(c => col(c).as(s"__o_$c"))): _*)
+    val j = df.select((on ++ cols).map(col): _*).join(r, on)
+    val aggs = cols.map(c =>
+      corr(col(c).cast("double"), col(s"__o_$c").cast("double")).as(c))
+    val row = j.agg(aggs.head, aggs.tail: _*)
+    val stacked = row.select(
+      explode(map(cols.flatMap(c => Seq(lit(c), col(c))): _*))
+        .as(Seq("colname", "corr")))
+    new GFrame(stacked, "colname")
+  }
+
   def count(): Long = df.count()
   def show(n: Int = 20): Unit = df.show(n)
   def toDF: DataFrame = df

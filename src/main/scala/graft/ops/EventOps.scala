@@ -468,6 +468,34 @@ object EventOps {
         col("n").cast("double") / sum(col("n")).over(srcW).cast("double"))
   }
 
+  /** Top-k most frequent length-`len` event-type paths (sequential
+    * pattern mining's bread-and-butter "what do users do next" query):
+    * per key, consecutive type runs ordered by time (tie-broken), path =
+    * types joined with `>`; incomplete tails (fewer than `len` following
+    * events) drop. One keyed exchange for the stacked lead windows, one
+    * partial+final aggregation keyed by path, and the final top-k is
+    * orderBy+limit — TakeOrderedAndProject per-partition heaps, never a
+    * global sort. */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, tieCol: String, len: Int = 3,
+               k: Int = 20): DataFrame = {
+    require(len >= 2, "a path needs at least 2 steps")
+    require(k >= 1, "k must be >= 1")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val steps = col(typeCol) +:
+      (1 until len).map(i => lead(col(typeCol), i).over(w))
+    df.select(steps.zipWithIndex
+        .map { case (c, i) => c.as(s"__s$i") }: _*)
+      .filter((1 until len).map(i => col(s"__s$i").isNotNull)
+        .reduce(_ && _))
+      .select(concat_ws(">", (0 until len).map(i => col(s"__s$i")): _*)
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** RFM segmentation (recency / frequency / monetary) with quartile
     * scores — the classic customer-value cut. Per key: recency = whole
     * days between the key's last event and the corpus' latest event

@@ -58,6 +58,47 @@ object TextOps {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", ""))
 
+  /** BM25 relevance of every document against one bag-of-words query
+    * (Robertson/Sparck-Jones; the retrieval primitive a corpus-curation
+    * stack uses for targeted slicing). Classic Okapi form with the +1
+    * idf floor: `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`,
+    * `score = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`.
+    *
+    * Scale shape: ONE tokenize pass (staged array → explode) filtered to
+    * the query terms BEFORE any exchange, so the shuffles carry only
+    * (doc, query-term) rows: a per-(doc, term) tf aggregate, a per-term
+    * df aggregate (bounded by |query| rows, broadcast back), and one
+    * per-doc closing sum. N and avgdl are two driver scalars from one
+    * 1-row probe; avgdl = exact-integer sum / exact count — identical in
+    * any engine. The only float ops (ln, the saturation quotient) run on
+    * identical doubles; the per-doc term sum is order-sensitive at 1 ulp
+    * — callers gate output through round6. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val staged = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), col("__ts"), size(col("__ts")).as("dl"))
+    val stats = staged.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val hits = staged
+      .select(col(idCol), col("dl"), explode(col("__ts")).as("t"))
+      .filter(col("t").isin(query: _*))
+    val tf = hits.groupBy(col(idCol), col("t"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t"))
+      .agg(count(lit(1)).as("df")) // ≤ |query| rows
+    tf.join(broadcast(dfreq), "t")
+      .withColumn("__idf",
+        log((lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("__w",
+        col("__idf") * (col("tf") * (k1 + 1.0))
+          / (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl)))
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("score"))
+  }
+
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 

@@ -75,6 +75,13 @@ object EventQueries {
           tieCol = "event_id")
         .orderBy("src", "dst")),
 
+    // Top-20 3-step event-type paths: stacked leads on one user
+    // exchange, path-keyed partial+final count, TakeOrderedAndProject
+    // top-k.
+    "e31_paths" -> ((s, d) =>
+      EventOps.topPaths(ev(s, d), "user_id", "ts", "event_type",
+        tieCol = "event_id", len = 3, k = 20)),
+
     // RFM segmentation with quartile scores: per-user recency/frequency/
     // monetary (2dp-snapped before scoring) + 1..4 scores from exact
     // quartile cuts (bounded 1-row driver probe).
@@ -669,6 +676,15 @@ object EventQueries {
            count(DISTINCT a.user_id) AS n_users
          FROM a JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e31_paths" ->
+      """WITH x AS (SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (SELECT a || '>' || b || '>' || c AS path, count(*) AS n
+           FROM x WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1)
+         SELECT path, n FROM p ORDER BY n DESC, path LIMIT 20""",
     "e29_transitions" ->
       """WITH x AS (SELECT event_type AS src,
              lead(event_type) OVER (PARTITION BY user_id

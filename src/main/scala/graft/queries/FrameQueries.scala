@@ -413,6 +413,25 @@ object FrameQueries {
         .orderBy("c1", "c2")
     }),
 
+    // pandas df.corrwith(other): per-column Pearson corr against the
+    // keyed-aligned twin frame — one join + ONE aggregate for all
+    // columns; the nat pair is exactly anti-correlated (corr −1).
+    "f44_corrwith" -> ((s, d) => {
+      val base = Tables.customer(s, d)
+      val left = GFrame.fromDF(base.select(col("c_custkey"),
+        col("c_acctbal").as("bal"),
+        col("c_nationkey").cast("double").as("nat")), "c_custkey")
+      val right = GFrame.fromDF(base.select(col("c_custkey"),
+        (col("c_acctbal") * 0.5 + col("c_custkey") % 100).as("bal"),
+        (lit(25) - col("c_nationkey")).cast("double").as("nat")),
+        "c_custkey")
+      left.corrwith(right, on = Seq("c_custkey"), cols = Seq("bal", "nat"))
+        .toDF
+        .select(col("colname"),
+          graft.ops.TextOps.round6(col("corr")).as("corr"))
+        .orderBy("colname")
+    }),
+
     // pandas df.compare(other): keyed align + null-safe cell diff; the
     // "other" frame is a deterministic perturbation of customer (acctbal
     // bumped on custkey%10, mktsegment rewritten on custkey%13) derived
@@ -765,6 +784,19 @@ object FrameQueries {
     "f42_nlargest" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    "f44_corrwith" ->
+      """WITH l AS (SELECT c_custkey, c_acctbal AS bal,
+             CAST(c_nationkey AS DOUBLE) AS nat FROM customer),
+         r AS (SELECT c_custkey,
+             c_acctbal * CAST(0.5 AS DOUBLE) + c_custkey % 100 AS bal,
+             CAST(25 - c_nationkey AS DOUBLE) AS nat FROM customer),
+         j AS (SELECT l.bal AS lb, r.bal AS rb, l.nat AS ln2, r.nat AS rn
+           FROM l JOIN r USING (c_custkey))
+         SELECT 'bal' AS colname,
+           floor(corr(lb, rb) * 1e6 + 0.5) / 1e6 AS corr FROM j
+         UNION ALL SELECT 'nat',
+           floor(corr(ln2, rn) * 1e6 + 0.5) / 1e6 FROM j
+         ORDER BY colname""",
     "f43_compare" ->
       """WITH r AS (SELECT c_custkey,
              CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 10.0

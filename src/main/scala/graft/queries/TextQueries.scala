@@ -173,6 +173,15 @@ object TextQueries {
         .select(col("h.item").as("item"), col("h.cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("item"))),
 
+    // BM25 retrieval scoring of the whole corpus against one bag-of-
+    // words query: tokenize once, filter to query terms BEFORE any
+    // exchange, tf/df keyed aggregates + one per-doc closing sum.
+    "t17_bm25" -> ((s, d) =>
+      bm25(docs(s, d), "doc_id", "text",
+          Seq("broadcast", "join", "skew"))
+        .select(col("doc_id"), round6(col("score")).as("score"))
+        .orderBy("doc_id")),
+
     // Gopher quality rules: word/mean-length bounds, symbol ratio,
     // alphabetic fraction, stop-word floor. The fixture text carries no
     // symbols, so every 7th doc SPLICES a symbol tail (" ... # # #") —
@@ -377,6 +386,31 @@ object TextQueries {
     "t15_freq_items" ->
       """SELECT source AS item, count(*) AS cnt FROM documents
          GROUP BY source ORDER BY cnt DESC, item""",
+    // t17: non-exact decimal literals (1.2) are CAST AS DOUBLE — the p12
+    // lesson: bare decimals seed DuckDB DECIMAL arithmetic whose rounding
+    // differs from the Spark side's double path. (1.2 + 1) is spelled as
+    // the sum, not 2.2: double(1.2)+1 != double(2.2).
+    "t17_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         st AS (SELECT doc_id, ts, len(ts) AS dl FROM t),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+           FROM st),
+         h AS (SELECT doc_id, dl, u.t FROM st, LATERAL unnest(ts) AS u(t)
+           WHERE u.t IN ('broadcast', 'join', 'skew')),
+         tf AS (SELECT doc_id, t, dl, count(*) AS tf
+           FROM h GROUP BY 1, 2, 3),
+         df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         w AS (SELECT tf.doc_id,
+             ln((CAST((SELECT n FROM g) AS DOUBLE) - df.df + 0.5)
+                 / (df.df + 0.5) + 1)
+               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1))
+               / (tf.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+                 + CAST(0.75 AS DOUBLE) * tf.dl
+                   / (SELECT avgdl FROM g))) AS w
+           FROM tf JOIN df USING (t))
+         SELECT doc_id, floor(sum(w) * 1e6 + 0.5) / 1e6 AS score
+         FROM w GROUP BY 1 ORDER BY doc_id""",
     "t16_gopher" ->
       """WITH b AS (SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN text || ' ... # # #'

@@ -98,6 +98,9 @@ class CollectLintSpec extends AnyFunSuite {
         "rfm corpus-last bound: 1-row aggregate",
       "percentile(col(\"monetary\"), qs).as(\"mq\")).head()" ->
         "rfm quartile cuts: 9 doubles, 1 row"),
+    "TextOps.scala" -> Map(
+      "val stats = staged.agg(count(lit(1)), sum(col(\"dl\"))).head()" ->
+        "bm25 N/avgdl probe: 1-row aggregate"),
     "PipelineOps.scala" -> Map(
       ".orderBy(col(\"__bkt\")).collect().filterNot(_.isNullAt(0))" ->
         "shard prefix sums: `shards` rows",

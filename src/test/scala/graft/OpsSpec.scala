@@ -740,6 +740,60 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       && out(1).getDouble(2) == 9.0 && out(1).isNullAt(3) && out(1).isNullAt(4))
   }
 
+  test("bm25 matches the hand-computed Okapi score on a micro corpus") {
+    val d = Seq(
+      (1L, "spark join join hints"), // tf(join)=2, dl=4
+      (2L, "broadcast join"),        // tf(join)=1, dl=2
+      (3L, "scan only")              // no query terms -> absent
+    ).toDF("doc_id", "text")
+    val out = TextOps.bm25(d, "doc_id", "text", Seq("join"),
+        k1 = 1.2, b = 0.75)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(!out.contains(3L))
+    val n = 3.0; val dfq = 2.0; val avgdl = (4 + 2 + 2) / 3.0
+    val idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(math.abs(out(1L) - s(2, 4)) < 1e-12)
+    assert(math.abs(out(2L) - s(1, 2)) < 1e-12)
+    // higher tf at equal length ranks higher
+    assert(out(1L) > out(2L))
+  }
+
+  test("topPaths counts consecutive runs, drops incomplete tails") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), "a", 1L),
+      (1L, t("2024-01-01 10:01:00"), "b", 2L),
+      (1L, t("2024-01-01 10:02:00"), "c", 3L),
+      (1L, t("2024-01-01 10:03:00"), "b", 4L),
+      (2L, t("2024-01-01 10:00:00"), "a", 5L),
+      (2L, t("2024-01-01 10:01:00"), "b", 6L),
+      (2L, t("2024-01-01 10:02:00"), "c", 7L),
+      (3L, t("2024-01-01 10:00:00"), "a", 8L), // 2-event user: no trigram
+      (3L, t("2024-01-01 10:01:00"), "b", 9L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.ops.EventOps
+      .topPaths(df, "user_id", "ts", "event_type", "event_id", len = 3, k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a>b>c", 2L), ("b>c>b", 1L)))
+  }
+
+  test("corrwith: anti-correlated pair is -1, affine pair is +1") {
+    val l = (1L to 50L).map(i => (i, i.toDouble, i.toDouble))
+      .toDF("k", "x", "y")
+    val r = (1L to 50L).map(i => (i, 2.0 * i + 7, 100.0 - i))
+      .toDF("k", "x", "y")
+    val out = graft.core.GFrame.fromDF(l, "k")
+      .corrwith(graft.core.GFrame.fromDF(r, "k"), Seq("k"), Seq("x", "y"))
+      .toDF.orderBy("colname").collect()
+      .map(row => (row.getString(0), row.getDouble(1))).toMap
+    assert(math.abs(out("x") - 1.0) < 1e-12)
+    assert(math.abs(out("y") + 1.0) < 1e-12)
+  }
+
   test("langId picks marker language deterministically") {
     val d = Seq((1L, "der hund und die katze ist das"),
       (2L, "the cat and the dog is here")).toDF("id", "text")
