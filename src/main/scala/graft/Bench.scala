@@ -32,7 +32,8 @@ object Bench {
     "s101_winsorize", "p08_curriculum",
     "s97_monotonic_any", "s105_expanding_qtile_approx", "v03_ann_ivf",
     "p11_pack_sequences", "t12_bpe_pairs", "e27_funnel", "d19_seam_pairs",
-    "v07_centroid_matrix", "m07_image_meta")
+    "v07_centroid_matrix", "m07_image_meta",
+    "v09_sq_knn", "d20_pagerank", "t17_bm25", "e30_rfm", "p12_token_mixture")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

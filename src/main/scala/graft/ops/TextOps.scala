@@ -85,8 +85,14 @@ object TextOps {
     val hits = staged
       .select(col(idCol), col("dl"), explode(col("__ts")).as("t"))
       .filter(col("t").isin(query: _*))
-    val tf = hits.groupBy(col(idCol), col("t"), col("dl"))
-      .agg(count(lit(1)).as("tf"))
+    // The tf frame persists once (Caches-tracked, (doc × query-term)
+    // rows) and serves BOTH the df branch and the scoring join — without
+    // it the df branch re-runs the whole tokenize+explode scan (the d15
+    // one-pass rule).
+    val tf = graft.Caches.track(
+      hits.groupBy(col(idCol), col("t"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = tf.groupBy(col("t"))
       .agg(count(lit(1)).as("df")) // ≤ |query| rows
     tf.join(broadcast(dfreq), "t")

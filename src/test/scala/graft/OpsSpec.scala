@@ -750,6 +750,7 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
         k1 = 1.2, b = 0.75)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    Caches.clear()
     assert(!out.contains(3L))
     val n = 3.0; val dfq = 2.0; val avgdl = (4 + 2 + 2) / 3.0
     val idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1)
