@@ -200,6 +200,14 @@ object SparkEntry {
         round(percentile(col("qty"), lit(0.5)), 6).as("median"),
         round(percentile(col("qty"), lit(0.75)), 6).as("q75"))
     }),
+    // SQL NTILE(7) distributed: value-bucketed rank_first + a pure tile
+    // expression over two driver scalars — no global-order window; the
+    // oracle is DuckDB's native ntile (remainder-first semantics match).
+    "s107_ntile" -> ((s, d) => {
+      val bal = Series.fromExpr(Tables.customer(s, d), col("c_acctbal"),
+        "tile", col("c_custkey"), "idx")
+      ordered(bal.ntile(7))
+    }),
     // pandas count/mean/std/sem/skew/kurt + mad: the fused higher-moment
     // surface — ONE aggregate pass (plus mad's 1-row mean probe). Input
     // shifted off the 2dp halfway grid (s58 lesson); sample G1/G2
@@ -1262,6 +1270,11 @@ object SparkEntry {
         "THEN avg(c_acctbal) OVER w END, 6) AS roll5 FROM customer " +
         "WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) " +
         "ORDER BY idx"),
+    "s107_ntile" ->
+      """SELECT c_custkey AS idx,
+           CAST(ntile(7) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER)
+             AS tile
+         FROM customer ORDER BY idx""",
     "s106_moments" ->
       """WITH v AS (SELECT c_acctbal + 0.123456789 AS x FROM customer),
          m AS (SELECT count(x) AS n, avg(x) AS mean,

@@ -1085,6 +1085,36 @@ final class Series private[graft] (
       name, indexName)
   }
 
+  /** SQL NTILE(k) over the global (value, index) order — DISTRIBUTED:
+    * rides the value-bucketed rank_first machinery (no single-task
+    * global window anywhere), then tiles are a pure expression over the
+    * rank and two driver scalars (n, n % k). Remainder-first semantics
+    * (the SQL standard): the first n % k tiles carry one extra row.
+    * Null values keep a null tile (the pandas-qcut convention; SQL
+    * NTILE would rank them — filter first for that behavior). */
+  def ntile(k: Int, buckets: Int = 32): Series = {
+    require(k >= 1, "ntile needs k >= 1")
+    val ranked = rankAll(Seq("first"), buckets)
+    val n = aggScalar(F.count(valueExpr)).asInstanceOf[Long]
+    val quot = n / k
+    val rem = n % k
+    val r0 = col("rank_first").cast("long") - 1
+    // quot == 0 (k > n): every row is alone in its tile — spell without
+    // the second branch, whose /quot would divide by zero under ANSI.
+    val tile =
+      if (quot == 0) r0 + 1
+      else
+        when(r0 < lit(rem * (quot + 1)),
+          floor(r0 / lit((quot + 1).toDouble)).cast("long") + 1)
+          .otherwise(lit(rem)
+            + floor((r0 - lit(rem * (quot + 1))) / lit(quot.toDouble))
+              .cast("long") + 1)
+    Series.fromKeyed(
+      ranked.select(col(indexName),
+        when(col("rank_first").isNotNull, tile).cast("int").as(name)),
+      name, indexName)
+  }
+
   /** All requested rank methods over ONE bucketed scan / one stats job —
     * columns `rank_<method>` beside the index. */
   def rankAll(methods: Seq[String], buckets: Int = 32): DataFrame = {

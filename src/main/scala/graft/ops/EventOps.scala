@@ -496,6 +496,48 @@ object EventOps {
       .limit(k)
   }
 
+  /** Inter-event gap statistics per event type: count / mean / exact
+    * quartiles of the µs gaps between a user's consecutive events of
+    * that type. One (type, user)-keyed lag window, one partial+final
+    * aggregate keyed by the type.
+    *
+    * Determinism note (why quartiles, not p90): gaps are exact integer
+    * µs; at dyadic interpolation weights (.25/.5/.75) BOTH percentile
+    * formulas — a+(b−a)·g and (1−g)a+g·b — evaluate exactly and agree,
+    * so the quartiles are bit-identical across engines with no rounding
+    * grid. At g=0.9 the weight is inexact and the two spellings differ
+    * by an ulp — on 1e9-µs magnitudes that difference survives any
+    * reasonable grid. The mean is exact-integer-sum / count. */
+  def gapStats(df: DataFrame, keyCol: String, tsCol: String,
+               typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(typeCol), col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val us = unix_micros(col(tsCol))
+    df.select(col(typeCol), (us - lag(us, 1).over(w)).as("__gap"))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(typeCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        avg(col("__gap")).as("mean_us"),
+        percentile(col("__gap"), lit(0.25)).as("p25"),
+        percentile(col("__gap"), lit(0.5)).as("p50"),
+        percentile(col("__gap"), lit(0.75)).as("p75"))
+  }
+
+  /** Active vs first-seen ("new") distinct users per hour — the DAU
+    * split. Two bounded aggregations over the distinct (user, hour)
+    * activity frame: per-user first hour, then per-hour counts; output
+    * is |hours| rows regardless of corpus size. */
+  def activeUsers(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val act = df.select(col(keyCol),
+      date_trunc("hour", col(tsCol)).as("__h")).distinct()
+    val first = act.groupBy(col(keyCol)).agg(min(col("__h")).as("__fh"))
+    act.join(first, keyCol)
+      .groupBy(col("__h").as("ws"))
+      .agg(count(lit(1)).as("active"),
+        sum(when(col("__h") === col("__fh"), 1).otherwise(0))
+          .as("new_users"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary) with quartile
     * scores — the classic customer-value cut. Per key: recency = whole
     * days between the key's last event and the corpus' latest event

@@ -105,6 +105,34 @@ object TextOps {
       .agg(sum(col("__w")).as("score"))
   }
 
+  /** Lexical-diversity metrics per document: type-token ratio
+    * (distinct/total), hapax fraction (share of distinct terms occurring
+    * exactly once in the doc), and the underlying counts. Shape: one
+    * staged tokenize pass → explode → (doc, term) partial+final count
+    * (NO exchange when the input is doc-spread — the d15 clustering
+    * effect) → one per-doc closing aggregate. Linear in corpus tokens —
+    * a per-row nested-filter spelling would be O(types·len) per doc,
+    * quadratic on long documents. Ratios are exact integer/integer
+    * divisions. Low TTR flags boilerplate/repetition (the t07 family's
+    * vocabulary-level sibling). */
+  def lexicalDiversity(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String): org.apache.spark.sql.DataFrame = {
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val occ = staged
+      .select(col(idCol), size(col("__ts")).as("__n"),
+        explode(col("__ts")).as("__t"))
+      .groupBy(col(idCol), col("__n"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    occ.groupBy(col(idCol))
+      .agg(first(col("__n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("hapax_frac",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
+  }
+
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 

@@ -75,6 +75,20 @@ object EventQueries {
           tieCol = "event_id")
         .orderBy("src", "dst")),
 
+    // Inter-event gap distribution per type: count/mean/exact quartiles
+    // of µs gaps (quartiles are bit-exact across engines on integer
+    // gaps at dyadic weights — see EventOps.gapStats).
+    "e33_gap_stats" -> ((s, d) =>
+      EventOps.gapStats(ev(s, d), "user_id", "ts", "event_type",
+          tieCol = "event_id")
+        .orderBy("event_type")),
+
+    // Active vs first-seen users per hour (the DAU/new split): two
+    // bounded aggregations over the distinct (user, hour) frame.
+    "e34_active_users" -> ((s, d) =>
+      EventOps.activeUsers(ev(s, d), "user_id", "ts")
+        .orderBy("ws")),
+
     // Top-20 3-step event-type paths: stacked leads on one user
     // exchange, path-keyed partial+final count, TakeOrderedAndProject
     // top-k.
@@ -676,6 +690,25 @@ object EventQueries {
            count(DISTINCT a.user_id) AS n_users
          FROM a JOIN f USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e33_gap_stats" ->
+      """WITH x AS (SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type, user_id
+               ORDER BY ts, event_id) AS gap
+           FROM events)
+         SELECT event_type, count(*) AS n_gaps, avg(gap) AS mean_us,
+           quantile_cont(gap, 0.25) AS p25,
+           quantile_cont(gap, 0.5) AS p50,
+           quantile_cont(gap, 0.75) AS p75
+         FROM x WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    "e34_active_users" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+             date_trunc('hour', ts) AS h FROM events),
+         f AS (SELECT user_id, min(h) AS fh FROM a GROUP BY 1)
+         SELECT h AS ws, count(*) AS active,
+           CAST(sum(CASE WHEN h = fh THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users
+         FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""",
     "e31_paths" ->
       """WITH x AS (SELECT event_type AS a,
              lead(event_type, 1) OVER w AS b,

@@ -22,6 +22,22 @@ object FrameQueries {
   private def liIdx = col("l_orderkey") * 10 + col("l_linenumber")
   private val liIdxSql = "l_orderkey*10 + l_linenumber"
 
+  /** TPC-H Q10 analog — ONE text, both engines (the f19 contract). The
+    * fixture's o_orderdate spans 1995–2001, so the quarter window sits
+    * inside it; revenue ties break on the unique c_custkey. */
+  private val Q10Sql =
+    """SELECT c_custkey, c_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         n_name
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation ON c_nationkey = n_nationkey
+       WHERE o_orderdate >= DATE '1996-04-01'
+         AND o_orderdate < DATE '1996-07-01'
+         AND l_returnflag = 'R'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20"""
+
   private def li(s: SparkSession, d: String): GFrame =
     GFrame.fromDF(Tables.lineitem(s, d).withColumn("idx", liIdx), "idx")
   private def ord(s: SparkSession, d: String): GFrame =
@@ -335,6 +351,16 @@ object FrameQueries {
         JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA'
         GROUP BY n_name ORDER BY revenue DESC, n_name""")
+    }),
+
+    // TPC-H Q10 analog through the spark.sql surface: returned-item
+    // revenue per customer in a quarter — two fact joins shuffled on
+    // their keys, nation broadcast, date + returnflag filters pushed to
+    // the scans, top-20 as TakeOrderedAndProject. Same SQL text runs on
+    // DuckDB.
+    "f45_q10_sql" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(Q10Sql)
     }),
 
     // Per-group exact quantiles: sort-based percentile aggregate within
@@ -784,6 +810,7 @@ object FrameQueries {
     "f42_nlargest" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
+    "f45_q10_sql" -> Q10Sql,
     "f44_corrwith" ->
       """WITH l AS (SELECT c_custkey, c_acctbal AS bal,
              CAST(c_nationkey AS DOUBLE) AS nat FROM customer),

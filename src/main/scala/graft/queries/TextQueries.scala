@@ -182,6 +182,13 @@ object TextQueries {
         .select(col("doc_id"), round6(col("score")).as("score"))
         .orderBy("doc_id")),
 
+    // Lexical diversity: per-doc type-token ratio + hapax fraction —
+    // explode → (doc, term) count (no exchange after the doc spread) →
+    // per-doc closing agg; exact integer divisions, no rounding grid.
+    "t18_lexical" -> ((s, d) =>
+      lexicalDiversity(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Gopher quality rules: word/mean-length bounds, symbol ratio,
     // alphabetic fraction, stop-word floor. The fixture text carries no
     // symbols, so every 7th doc SPLICES a symbol tail (" ... # # #") —
@@ -386,6 +393,19 @@ object TextQueries {
     "t15_freq_items" ->
       """SELECT source AS item, count(*) AS cnt FROM documents
          GROUP BY source ORDER BY cnt DESC, item""",
+    "t18_lexical" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         o AS (SELECT doc_id, len(ts) AS n, u.t AS t
+           FROM t, LATERAL unnest(ts) AS u(t)),
+         c AS (SELECT doc_id, n, t, count(*) AS c FROM o GROUP BY 1, 2, 3)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE) AS ttr,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_frac
+         FROM c GROUP BY doc_id, n ORDER BY doc_id""",
     // t17: non-exact decimal literals (1.2) are CAST AS DOUBLE — the p12
     // lesson: bare decimals seed DuckDB DECIMAL arithmetic whose rounding
     // differs from the Spark side's double path. (1.2 + 1) is spelled as

@@ -782,6 +782,57 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq(("a>b>c", 2L), ("b>c>b", 1L)))
   }
 
+  test("lexicalDiversity: ttr/hapax hand values, repetition lowers ttr") {
+    val d = Seq(
+      (1L, "a b c d"),          // all distinct: ttr 1, hapax 1
+      (2L, "a a a b"),          // 2 types / 4 tokens; hapax b only
+      (3L, "x x x x x x")       // 1 type, 0 hapax
+    ).toDF("doc_id", "text")
+    val out = TextOps.lexicalDiversity(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(out == Seq(
+      (1L, 4, 4L, 4L, 1.0, 1.0),
+      (2L, 4, 2L, 1L, 0.5, 0.5),
+      (3L, 6, 1L, 0L, 1.0 / 6, 0.0)))
+  }
+
+  test("gapStats: per-type quartiles and exact-integer mean of µs gaps") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 10:00:00"), "a", 1L),
+      (1L, t("2024-01-01 10:00:10"), "a", 2L), // gap 10 s
+      (1L, t("2024-01-01 10:00:30"), "a", 3L), // gap 20 s
+      (2L, t("2024-01-01 10:00:00"), "a", 4L), // other user: no cross-gap
+      (1L, t("2024-01-01 10:05:00"), "b", 5L)) // lone b: no gap
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val out = graft.ops.EventOps
+      .gapStats(df, "user_id", "ts", "event_type", "event_id")
+      .collect()
+    assert(out.length == 1 && out(0).getString(0) == "a")
+    assert(out(0).getLong(1) == 2L)
+    assert(out(0).getDouble(2) == 15e6) // mean of 10 s, 20 s
+    assert(out(0).getDouble(4) == 15e6) // p50 midpoint, exact
+    assert(out(0).getDouble(3) == 12.5e6 && out(0).getDouble(5) == 17.5e6)
+  }
+
+  test("activeUsers splits per-hour actives into new vs returning") {
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 10:05:00")), (1L, t("2024-01-01 10:45:00")),
+      (2L, t("2024-01-01 10:30:00")), (1L, t("2024-01-01 11:05:00")),
+      (3L, t("2024-01-01 11:30:00"))).toDF("user_id", "ts")
+    val out = graft.ops.EventOps.activeUsers(df, "user_id", "ts")
+      .orderBy("ws").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 10:00:00.0", 2L, 2L),  // users 1,2 both first-seen
+      ("2024-01-01 11:00:00.0", 2L, 1L))) // 1 returning, 3 new
+  }
+
   test("corrwith: anti-correlated pair is -1, affine pair is +1") {
     val l = (1L to 50L).map(i => (i, i.toDouble, i.toDouble))
       .toDF("k", "x", "y")

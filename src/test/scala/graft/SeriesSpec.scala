@@ -1149,6 +1149,28 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got == Seq(-0.5, -0.5, null)) // 2/4-1, 4/8-1, no successor
   }
 
+  test("ntile: remainder-first sizes, k>n degenerate, null keeps null") {
+    // n=10, k=3 -> sizes 4,3,3 over the (value, index) order
+    val s = Series.fromSeq(spark, (1 to 10).map(i => (11 - i).toDouble),
+      name = "v")
+    val tiles = s.ntile(3).df.orderBy("index").collect()
+      .map(_.getInt(1)).toSeq
+    // values descend with index, so index order = reverse value order
+    assert(tiles == Seq(3, 3, 3, 2, 2, 2, 1, 1, 1, 1))
+    assert(tiles.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map(1 -> 4, 2 -> 3, 3 -> 3))
+    // k > n: each row alone, tiles 1..n
+    val tiny = Series.fromSeq(spark, Seq(5.0, 1.0, 3.0), name = "v")
+    assert(tiny.ntile(7).df.orderBy("v").collect().map(_.getInt(1)).toSeq
+      == Seq(1, 2, 3))
+    // null value -> null tile
+    val withNull = Series.fromSeq(spark,
+      Seq(Some(1.0), None, Some(2.0)), name = "v")
+    val nt = withNull.ntile(2).df.orderBy("index").collect()
+    assert(!nt(0).isNullAt(1) && nt(1).isNullAt(1) && !nt(2).isNullAt(1))
+    Caches.clear()
+  }
+
   test("momentStats: hand values, symmetric skew 0, small-n nulls; mad") {
     // 1..5: mean 3, std sqrt(2.5), skew 0 (symmetric), G2 kurt -1.2
     val s = Series.fromSeq(spark, Seq(1.0, 2.0, 3.0, 4.0, 5.0), name = "v")
