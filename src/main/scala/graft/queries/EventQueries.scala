@@ -441,6 +441,44 @@ object EventQueries {
         .orderBy("ws", "event_type")
     }),
 
+    // STREAMING TRENDING under the hash gate: the tumbling-hour counts
+    // run as a watermarked streaming aggregation (the e23 harness, slide
+    // = duration), and the top-3 rank is a per-batch consumer over the
+    // FINALIZED windows of the sink — the shape a live dashboard uses.
+    // Must hash-match e25's batch trending oracle.
+    "e35_stream_trending" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .select("ts", "event_type", "value").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val name = s"graft_e35_${System.nanoTime()}"
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .windowedAgg(input.toDF().toDF("ts", "event_type", "value"),
+            "0 seconds", "1 hour", "1 hour")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          input.addData((java.sql.Timestamp.valueOf("2030-01-01 00:00:00"),
+            "__wm", 0.0),
+            (java.sql.Timestamp.valueOf("2031-01-01 00:00:00"),
+            "__wm", 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      val W = Window.partitionBy(col("ws"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      s.table(name).filter(col("event_type") =!= "__wm")
+        .withColumn("rk", row_number().over(W))
+        .filter(col("rk") <= 3)
+        .select("ws", "event_type", "n", "rk")
+        .orderBy("ws", "rk")
+    }),
+
     // NATIVE session_window under the same hash gate as e09: identical
     // replay harness, but the sessionizer is the first-class
     // session_window streaming aggregation (engine-managed merging
@@ -769,6 +807,18 @@ object EventQueries {
          SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
            min(t_purchase) AS t_purchase
          FROM w3 GROUP BY user_id ORDER BY user_id""",
+    // e35 shares e25's oracle: batch boundaries cannot change finalized
+    // tumbling windows, so streaming trending == batch trending.
+    "e35_stream_trending" ->
+      """WITH a AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+             count(*) AS n
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT ws, event_type, n,
+             CAST(row_number() OVER (PARTITION BY ws
+               ORDER BY n DESC, event_type) AS INTEGER) AS rk
+           FROM a)
+         SELECT ws, event_type, n, rk FROM r WHERE rk <= 3
+         ORDER BY ws, rk""",
     "e25_trending" ->
       """WITH a AS (SELECT date_trunc('hour', ts) AS ws, event_type,
              count(*) AS n

@@ -165,6 +165,19 @@ object FrameQueries {
           col("sum_qty"), col("cnt"))
         .orderBy("flag", "status")),
 
+    // CUBE: all 2^k grouping-set combinations in one Expand pass below
+    // the partial aggregation (f12's rollup sibling — the Expand fans
+    // out map-side, the exchange carries per-set partials).
+    "f46_cube" -> ((s, d) =>
+      li(s, d).cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .toDF
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("flag", "status")),
+
     // Pivot with explicit values — single groupBy pass, no discovery job.
     "f13_pivot" -> ((s, d) =>
       li(s, d).toDF.groupBy("l_linestatus")
@@ -959,6 +972,12 @@ object FrameQueries {
            coalesce(l_linestatus, 'ALL') AS status,
            round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+    "f46_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+           coalesce(l_linestatus, 'ALL') AS status,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY 1, 2""",
     "f13_pivot" ->
       """SELECT l_linestatus,
