@@ -473,10 +473,51 @@ object SimilarityOps {
     corpus
       .select(col(idCol).as(outId),
         col(vecCol).cast("array<double>").as("__e"))
-      .select(col(outId),
-        transform(col("__e"), x =>
-          least(lit(127.0), greatest(lit(-127.0),
-            floor(x / scale * 127.0 + 0.5)))).as(outVec))
+      .select(col(outId), sqCode(col("__e"), scale).as(outVec))
+  }
+
+  /** The per-vector symmetric-quantization transform itself (the
+    * [[sqQuantize]] body — [[ivfSqSearch]] applies it to already-staged
+    * arrays that carry extra columns). */
+  private[graft] def sqCode(e: Column, scale: Double): Column =
+    transform(e, x =>
+      least(lit(127.0), greatest(lit(-127.0),
+        floor(x / scale * 127.0 + 0.5))))
+
+  /** The composed 100 TB ANN plan: IVF candidate bounding (each query
+    * meets only its nProbe probed clusters' postings) + int8 SQ re-rank
+    * (candidates score by the EXACT integer dot of their symmetric
+    * codes). This is the memory×compute play FAISS calls IVF-SQ8: the
+    * candidate join is the v03 cluster equi-join, the per-pair math is
+    * 1-byte-per-dim codes through codegen'd graft_dot, and nothing in
+    * the whole pipeline is float-drift-sensitive after the (grid-
+    * portable) k-means — so unlike classic ANN the composition stays
+    * fully DuckDB-oracleable. One corpus scan (persisted normalized
+    * projection feeds k-means, assignment, and the scale probe). */
+  def ivfSqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nClusters: Int, nProbe: Int,
+                  dim: Int = 64, kmeansIters: Int = 3,
+                  grid: Option[Double] = None): DataFrame = {
+    val v = graft.Caches.track(
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
+    val scale = sqScale(v, "e")
+    val posts = assignToCentroids(v, centroids)
+      .select(col("id").as("nid"), sqCode(col("e"), scale).as("cq"),
+        col("cluster"))
+    val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
+    val probed = probeClusters(q0, centroids, nProbe)
+      .select(col("qid"), sqCode(col("qe"), scale).as("qq"), col("cluster"))
+    posts.join(broadcast(probed), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("qdot",
+        graft.functions.DotProduct.dotNative(col("cq"), col("qq"))
+          .cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("qdot").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("qdot"))
   }
 
   /** Top-k by quantized dot product: brute-force probe×corpus over the

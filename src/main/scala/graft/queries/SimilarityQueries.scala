@@ -40,6 +40,19 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // IVF-SQ8: cluster-bounded candidates (v03's equi-join) re-ranked by
+    // the EXACT integer dot of symmetric int8 codes (v09's grid) — the
+    // composed memory×compute ANN plan, and still fully oracleable
+    // because nothing after the grid-portable k-means is float-drift-
+    // sensitive.
+    "v10_ivf_sq" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.ivfSqSearch(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4,
+          grid = Some(Grid))
+        .orderBy("qid", "rk")
+    }),
+
     // The same kNN through the pure SQL surface: graft_dot (the codegen'd
     // expression GraftExtensions registers) composed in spark.sql — the
     // "switch to this library without leaving SQL" story; same plan shape
@@ -187,7 +200,8 @@ object SimilarityQueries {
     * Spark's sequential graft_dot and avg. */
   private def ivfOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
                         dim: Int, g: Double,
-                        trainFilter: String = "TRUE"): String = {
+                        trainFilter: String = "TRUE",
+                        sq: Boolean = false): String = {
     val gs = f"$g%.1f"
     def iterSql(i: Int) = s"""
       asg$i AS (
@@ -239,13 +253,32 @@ object SimilarityQueries {
             row_number() OVER (PARTITION BY n.id
               ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster ASC) AS crk
           FROM nrm n, cent$iters c WHERE n.id < 10) WHERE crk <= $nProbe),
-      scored AS (
+      ${if (!sq)
+        s"""scored AS (
         SELECT p.qid, o.nid, list_dot_product(o.ce, p.qe) AS sim
         FROM posting o JOIN probe p USING (cluster) WHERE o.nid <> p.qid)
       SELECT qid, CAST(row_number() OVER (PARTITION BY qid
           ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
         nid, floor(sim * 1e6 + 0.5) / 1e6 AS sim
       FROM scored QUALIFY rk <= $topK ORDER BY qid, rk"""
+      else
+        s"""sc AS (SELECT max(list_max(list_transform(e, x -> abs(x))))
+            AS s FROM nrm),
+      qz AS (SELECT nid, cluster, list_transform(ce, x ->
+            least(127.0, greatest(-127.0, floor(x / s * 127.0 + 0.5))))
+            AS cq
+        FROM posting, sc),
+      pq AS (SELECT qid, cluster, list_transform(qe, x ->
+            least(127.0, greatest(-127.0, floor(x / s * 127.0 + 0.5))))
+            AS qq
+        FROM probe, sc),
+      scored AS (
+        SELECT p.qid, o.nid,
+          CAST(list_dot_product(o.cq, p.qq) AS BIGINT) AS qdot
+        FROM qz o JOIN pq p USING (cluster) WHERE o.nid <> p.qid)
+      SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY qdot DESC, nid ASC) AS INTEGER) AS rk, nid, qdot
+      FROM scored QUALIFY rk <= $topK ORDER BY qid, rk"""}"""
   }
 
   private val IvfSql =
@@ -294,6 +327,10 @@ object SimilarityQueries {
     // parquet round-trip preserves doubles exactly.
     "v03_ann_ivf" -> IvfSql,
     "v04_ivf_persist" -> IvfSql,
+    // v10: v03's unrolled pipeline with the SQ tail — quantized codes
+    // over the corpus-max scale, integer-dot re-rank.
+    "v10_ivf_sq" -> ivfOracle(k = 16, iters = 3, nProbe = 4, topK = 5,
+      dim = 64, g = Grid, sq = true),
     // v08: same replay, k-means trained on the 90% split only (the
     // append gate's frozen-centroid contract); postings cover everything.
     "v08_ivf_append" -> ivfOracle(k = 16, iters = 3, nProbe = 4, topK = 5,
