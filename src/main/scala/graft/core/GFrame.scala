@@ -561,6 +561,35 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, indexName)
   }
 
+  /** Robust per-group outlier screen (median/MAD, the quality-filter
+    * standard that survives heavy tails where mean/std saturate): per
+    * group, the exact median, the median absolute deviation, and the
+    * count of rows with `|x − med| > k·1.4826·mad` (1.4826 ≈ the
+    * normal-consistency constant). Three passes by nature (med → mad →
+    * count) — each a partial+final/percentile aggregate plus a bounded
+    * |groups|-row broadcast join back. med/mad snap to the 6dp floor
+    * grid BEFORE both output and the threshold comparison, so a 1-ulp
+    * cross-engine median-interpolation difference can never flip an
+    * outlier count. */
+  def robustOutliers(groupCol: String, valCol: String,
+                     k: Double = 3.0): GFrame = {
+    val v = col(valCol).cast("double")
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val meds = df.groupBy(col(groupCol))
+      .agg(r6(percentile(v, lit(0.5))).as("med"))
+    val withMed = df.join(broadcast(meds), groupCol)
+    val mads = withMed.groupBy(col(groupCol))
+      .agg(r6(percentile(abs(v - col("med")), lit(0.5))).as("mad"),
+        first(col("med")).as("med"))
+    val withMad = df.join(broadcast(mads), groupCol)
+    val out = withMad.groupBy(col(groupCol))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(abs(v - col("med")) > lit(k) * lit(1.4826) * col("mad"),
+          1L).otherwise(0L)).as("n_outliers"))
+    new GFrame(out, groupCol)
+  }
+
   /** pandas `DataFrame.corrwith`: pairwise Pearson correlation of each
     * named column with the SAME-named column of `other`, aligned on the
     * `on` keys. One keyed equi-join + ONE partial+final aggregate

@@ -452,6 +452,18 @@ object FrameQueries {
         .orderBy("c1", "c2")
     }),
 
+    // Robust outlier screen: per-returnflag median/MAD and the count of
+    // |x - med| > 3*1.4826*mad rows; med/mad snap to the 6dp grid
+    // BEFORE the threshold so engine median-interpolation ulps can't
+    // flip a count.
+    "f47_robust_outliers" -> ((s, d) =>
+      GFrame.fromDF(Tables.lineitem(s, d), "l_returnflag")
+        .robustOutliers("l_returnflag", "l_extendedprice", k = 3.0)
+        .toDF
+        .select(col("l_returnflag"), col("n"), col("med"), col("mad"),
+          col("n_outliers"))
+        .orderBy("l_returnflag")),
+
     // pandas df.corrwith(other): per-column Pearson corr against the
     // keyed-aligned twin frame — one join + ONE aggregate for all
     // columns; the nat pair is exactly anti-correlated (corr −1).
@@ -824,6 +836,24 @@ object FrameQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
     "f45_q10_sql" -> Q10Sql,
+    "f47_robust_outliers" ->
+      """WITH m AS (SELECT l_returnflag AS flag,
+             floor(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6
+               AS med
+           FROM lineitem GROUP BY 1),
+         a AS (SELECT l.l_returnflag AS flag, l.l_extendedprice AS v,
+             m.med
+           FROM lineitem l JOIN m ON l.l_returnflag = m.flag),
+         d AS (SELECT flag, min(med) AS med,
+             floor(quantile_cont(abs(v - med), 0.5) * 1e6 + 0.5) / 1e6
+               AS mad
+           FROM a GROUP BY 1)
+         SELECT a.flag AS l_returnflag, count(*) AS n, d.med, d.mad,
+           CAST(sum(CASE WHEN abs(a.v - d.med)
+               > 3 * CAST(1.4826 AS DOUBLE) * d.mad
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         FROM a JOIN d USING (flag)
+         GROUP BY a.flag, d.med, d.mad ORDER BY a.flag""",
     "f44_corrwith" ->
       """WITH l AS (SELECT c_custkey, c_acctbal AS bal,
              CAST(c_nationkey AS DOUBLE) AS nat FROM customer),

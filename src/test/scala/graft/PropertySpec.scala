@@ -257,4 +257,48 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("ntile: sizes differ by <= 1, tiles cover 1..min(k,n), monotone " +
+    "in (value, index) order") {
+    forAll(vecGen, Gen.choose(1, 7), 8) { (xs: List[Double], k: Int) =>
+      val s = Series.fromSeq(spark, xs, name = "v")
+      val rows = s.ntile(k).df.collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      Caches.clear()
+      val n = xs.length
+      val byTile = rows.groupBy(_._2)
+      assert(byTile.keySet == (1 to math.min(k, n)).toSet)
+      val sizes = byTile.values.map(_.size)
+      assert(sizes.max - sizes.min <= 1, s"sizes $sizes for n=$n k=$k")
+      // tiles nondecreasing along the (value, index) sort order
+      val tileOf = rows.toMap
+      val sorted = xs.zipWithIndex.sortBy { case (v, i) => (v, i) }
+      sorted.map { case (_, i) => tileOf(i.toLong) }
+        .sliding(2).foreach {
+          case Seq(a, b) => assert(a <= b)
+          case _ => ()
+        }
+    }
+  }
+
+  test("sqQuantize: codes integral in [-127,127], reconstruction within " +
+    "half a step, dot exact under the long cast") {
+    import org.apache.spark.sql.functions._
+    forAll(vecGen.suchThat(_.exists(_ != 0.0)), 10) { (xs: List[Double]) =>
+      val df = Seq((1L, xs.map(_.toFloat).toArray)).toDF("id", "e")
+      val sc = graft.ops.SimilarityOps.sqScale(df, "e")
+      val q = graft.ops.SimilarityOps.sqQuantize(df, "id", "e", sc,
+          "id", "qv")
+        .head().getSeq[Double](1)
+      q.zip(xs).foreach { case (c, x) =>
+        assert(c == math.floor(c) && c >= -127 && c <= 127)
+        // clamp only ever binds at |x| == sc (the max element itself)
+        assert(math.abs(c / 127.0 * sc - x.toFloat.toDouble)
+          <= sc / 127.0 / 2 + 1e-9)
+      }
+      // integer dot of codes is exactly representable (|dot| << 2^53)
+      val dot = q.zip(q).map { case (a, b) => a * b }.sum
+      assert(dot == math.rint(dot))
+    }
+  }
 }
