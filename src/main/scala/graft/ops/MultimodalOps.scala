@@ -396,4 +396,33 @@ object MultimodalOps {
         (col("chunk_idx") * chunkBytes).as("offset"),
         length(col("chunk")).cast("int").as("nbytes"), col("chunk"))
   }
+
+  /** Overlapping frame windows over each payload's bytes — the STFT /
+    * feature-extraction framing shape (`hop` < `frameBytes` gives the
+    * overlap a spectral pipeline needs; [[chunkPayload]] is the
+    * hop == frame special case without it). Frame i covers
+    * `[i·hop, i·hop + frameBytes)`; the last frame starts strictly
+    * before the content end, so every byte lands in ≥ 1 frame and tail
+    * frames run short. Same scale shape as chunkPayload: frames staged
+    * BEFORE posexplode, per-partition fan-out, no shuffle. */
+  def frameWindows(packed: DataFrame, idCol: String, frameBytes: Int,
+                   hopBytes: Int): DataFrame = {
+    require(frameBytes >= 1 && hopBytes >= 1,
+      "frame and hop must be >= 1")
+    require(hopBytes <= frameBytes, "hop must not exceed the frame")
+    val content = col("payload.content")
+    val len = length(content)
+    // number of frames: 1 + ceil(max(0, len - frame) / hop)
+    val n = (lit(1) + ceil(greatest(len - frameBytes, lit(0))
+      .cast("double") / hopBytes).cast("int"))
+    val frames = transform(sequence(lit(0), n - 1),
+      i => content.substr(i * hopBytes + 1, lit(frameBytes)))
+    packed
+      .select(col(idCol), frames.as("__frames"))
+      .select(col(idCol), posexplode(col("__frames")))
+      .toDF(idCol, "frame_idx", "frame")
+      .select(col(idCol), col("frame_idx"),
+        (col("frame_idx") * hopBytes).as("offset"),
+        length(col("frame")).cast("int").as("nbytes"), col("frame"))
+  }
 }

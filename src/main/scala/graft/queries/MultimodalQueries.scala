@@ -83,6 +83,16 @@ object MultimodalQueries {
           col("nbytes"), md5(col("chunk")).as("fp"))
         .orderBy("doc_id", "chunk_idx")),
 
+    // Overlapping byte frames (96-byte frame, 64-byte hop — the STFT
+    // framing shape; m05 is the no-overlap special case): staged frame
+    // array -> posexplode, per-partition fan-out only.
+    "m08_audio_frames" -> ((s, d) =>
+      MultimodalOps.frameWindows(packed(s, d), "doc_id",
+          frameBytes = 96, hopBytes = 64)
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          col("nbytes"), md5(col("frame")).as("fp"))
+        .orderBy("doc_id", "frame_idx")),
+
     // ViT patch-grid manifest: 16px patches over genuinely header-parsed
     // geometry — the image-token budget (patches + CLS) multimodal
     // packing plans around.
@@ -154,6 +164,18 @@ object MultimodalQueries {
            md5(substring(b, CAST(u.i * 64 + 1 AS INTEGER), 64)) AS fp
          FROM n, LATERAL unnest(range(0, m)) AS u(i)
          ORDER BY doc_id, chunk_idx""",
+    "m08_audio_frames" ->
+      """WITH n AS (SELECT doc_id, text AS b,
+             1 + CAST(ceil(greatest(length(text) - 96, 0) / 64.0)
+               AS BIGINT) AS m
+           FROM documents)
+         SELECT doc_id, CAST(u.i AS INTEGER) AS frame_idx,
+           CAST(u.i * 64 AS INTEGER) AS offset,
+           CAST(length(substring(b, CAST(u.i * 64 + 1 AS INTEGER), 96))
+             AS INTEGER) AS nbytes,
+           md5(substring(b, CAST(u.i * 64 + 1 AS INTEGER), 96)) AS fp
+         FROM n, LATERAL unnest(range(0, m)) AS u(i)
+         ORDER BY doc_id, frame_idx""",
     "m06_patch_grid" ->
       """WITH f AS (
            SELECT doc_id,

@@ -804,6 +804,41 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 6, 1L, 0L, 1.0 / 6, 0.0)))
   }
 
+  test("frameWindows: overlap, short tail, every byte covered") {
+    import org.apache.spark.sql.functions.{length => flen}
+    val packed = Seq((1L, "abcdefghij")) // 10 bytes
+      .toDF("doc_id", "txt")
+      .select(col("doc_id"), struct(
+        col("txt").cast("binary").as("content"),
+        lit("audio/raw").as("mime"),
+        map().cast("map<string,string>").as("meta")).as("payload"))
+    val out = graft.ops.MultimodalOps
+      .frameWindows(packed, "doc_id", frameBytes = 4, hopBytes = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3),
+        new String(r.getAs[Array[Byte]]("frame"))))
+    // frames: 1 + ceil((10-4)/2) = 4; starts 0,2,4,6; last runs to byte 10
+    assert(out.toSeq == Seq(
+      (0, 0, 4, "abcd"), (1, 2, 4, "cdef"),
+      (2, 4, 4, "efgh"), (3, 6, 4, "ghij")))
+    // hop == frame degenerates to chunking (no overlap)
+    val chunks = graft.ops.MultimodalOps
+      .frameWindows(packed, "doc_id", frameBytes = 4, hopBytes = 4)
+      .orderBy("frame_idx").collect()
+      .map(r => new String(r.getAs[Array[Byte]]("frame"))).toSeq
+    assert(chunks == Seq("abcd", "efgh", "ij"))
+  }
+
+  test("robustOutliers: planted outlier counted, tight group clean") {
+    val rows = (1 to 20).map(i => ("a", 100.0 + (i % 5))) ++ // tight
+      ((1 to 20).map(i => ("b", 100.0 + (i % 5))) :+ ("b", 10000.0))
+    val out = graft.core.GFrame.fromDF(rows.toDF("g", "v"), "g")
+      .robustOutliers("g", "v", k = 3.0)
+      .toDF.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(out == Seq(("a", 20L, 0L), ("b", 21L, 1L)))
+  }
+
   test("gapStats: per-type quartiles and exact-integer mean of µs gaps") {
     import java.sql.Timestamp
     def t(s: String) = Timestamp.valueOf(s)

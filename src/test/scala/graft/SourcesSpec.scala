@@ -107,6 +107,24 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("PartitionFilters: [isnotnull(g"), plan)
   }
 
+  test("schema evolution: mergeSchema unions batch schemas, old rows null") {
+    // the landing-zone reality: a producer adds a column mid-stream; the
+    // reader must union the footers and null-fill the old files
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "x")).toDF("id", "a").write.mode("append").parquet(dir)
+    Seq((2L, "y", 9.5)).toDF("id", "a", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("a", "id", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old file nulls
+    assert(rows(1).getDouble(rows(1).fieldIndex("score")) == 9.5)
+    // without mergeSchema the footer picked wins — documented seam, both
+    // behaviors observable
+    assert(spark.read.parquet(dir).columns.length <= 3)
+  }
+
   test("bucketed tables join WITHOUT a shuffle (co-located scan)") {
     // The 100 TB co-location story: both fact tables bucketed on the join
     // key at write time → the join consumes the buckets' hash partitioning
