@@ -590,6 +590,82 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, groupCol)
   }
 
+  /** Welch's unequal-variance two-sample t-test between EVERY pair of
+    * groups — the A/B-experiment readout (does event value differ between
+    * variants?). One partial+final aggregation collapses the data to a
+    * |groups|-row stats frame (n, mean, sample variance); the pair join
+    * then runs over that bounded frame only (|groups|² rows — never a
+    * data-sized shuffle), and t plus the Welch–Satterthwaite degrees of
+    * freedom are pure projections. Outputs round to the 6dp floor grid —
+    * t and df are quotients, so the parallel-vs-sequential summation
+    * drift (~1 ulp in mean/variance) stays far inside the grid. Groups
+    * with n < 2 have no sample variance and drop from the pairing. */
+  def welchTTest(groupCol: String, valCol: String): GFrame = {
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val v = col(valCol).cast("double")
+    val st = df.groupBy(col(groupCol).as("g"))
+      .agg(org.apache.spark.sql.functions.count(v).as("n"),
+        avg(v).as("mu"), var_samp(v).as("s2"))
+      .filter(col("n") >= 2)
+    val a = st.as("a"); val b = st.as("b")
+    val sea = col("a.s2") / col("a.n")
+    val seb = col("b.s2") / col("b.n")
+    val se2 = sea + seb
+    val t = (col("a.mu") - col("b.mu")) / sqrt(se2)
+    val dfree = (se2 * se2) /
+      (sea * sea / (col("a.n") - 1) + seb * seb / (col("b.n") - 1))
+    val out = a.join(b, col("a.g") < col("b.g"))
+      .select(col("a.g").as("g1"), col("b.g").as("g2"),
+        col("a.n").as("n1"), col("b.n").as("n2"),
+        r6(t).as("t6"), r6(dfree).as("df6"))
+    new GFrame(out, "g1")
+  }
+
+  /** Weighted quantile per group: the value at which the running weight
+    * (in `(valCol, tie)` order) first reaches `q` of the group's total
+    * weight — weighted median at q = 0.5 (pandas has no native spelling;
+    * the usual workaround is exactly this cumsum rule). ONE exchange
+    * keyed by the group carries both windows (running and total weight —
+    * same partitioning), then a min_by aggregate per group picks the
+    * crossing row. Weights sum in their native numeric type; for
+    * integral weights (counts, quantities) the crossing test is exact in
+    * doubles. `tieCols` must make the sort order total or the crossing
+    * row is nondeterministic. */
+  def weightedQuantile(groupCol: String, valCol: String, wCol: String,
+                       q: Double, tieCols: Seq[String]): GFrame = {
+    require(q > 0.0 && q <= 1.0, "q must be in (0, 1]")
+    val ord = (col(valCol) +: tieCols.map(col)).map(_.asc)
+    val wRun = Window.partitionBy(col(groupCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val cum = sum(col(wCol)).over(wRun)
+    val tot = sum(col(wCol)).over(wAll)
+    val out = df
+      .select(col(groupCol), col(valCol), cum.as("__cw"), tot.as("__tw"))
+      .filter(col("__cw") >= col("__tw") * lit(q))
+      .groupBy(col(groupCol))
+      .agg(min_by(col(valCol), col("__cw")).as(s"wq_$valCol"))
+    new GFrame(out, groupCol)
+  }
+
+  /** 2-D skyline (Pareto frontier): the points not dominated under
+    * (minimize `xCol`, maximize `yCol`). Classic sort-scan spelling made
+    * distributed: collapse ties to max-y per x (partial+final aggregate —
+    * after which x is a unique index), then a point survives iff its y
+    * strictly exceeds the EXCLUSIVE prefix max of y in ascending-x order.
+    * That prefix max is [[GlobalWindows.cummaxExclusive]] — the
+    * range-bucket plan, ONE shuffle keyed by bucket plus a bounded
+    * per-bucket offset broadcast, never a single-task global window. */
+  def skyline(xCol: String, yCol: String): GFrame = {
+    val pts = df.groupBy(col(xCol).as("x")).agg(max(col(yCol)).as("y"))
+    val ser = Series.fromExpr(pts, col("y"), "y", col("x"), "x")
+    val gw = ser.globalWindows()
+    val out = gw.result("y" -> gw.value, "__pm" -> gw.cummaxExclusive())
+      .filter(col("__pm").isNull || col("y") > col("__pm"))
+      .select(col("x"), col("y"))
+    new GFrame(out, "x")
+  }
+
   /** pandas `DataFrame.corrwith`: pairwise Pearson correlation of each
     * named column with the SAME-named column of `other`, aligned on the
     * `on` keys. One keyed equi-join + ONE partial+final aggregate

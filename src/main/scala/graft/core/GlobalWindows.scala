@@ -304,6 +304,16 @@ final class GlobalWindows private[graft] (
   /** Global cumulative min. */
   def cummin(): Column = least(F.min(realValue).over(cumw), off(MinOff))
 
+  /** EXCLUSIVE global prefix max — the running max of all STRICTLY
+    * preceding rows (null on the very first row). Same offset machinery as
+    * [[cummax]] with the in-bucket frame ending at the previous row; the
+    * null-skipping `greatest` merges the bucket-exclusive offset. Powers
+    * dominance tests (2-D skyline: a point survives iff its y exceeds the
+    * prefix max over smaller x — see [[GFrame.skyline]]). */
+  def cummaxExclusive(): Column = greatest(
+    F.max(realValue).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    off(MaxOff))
+
   /** Global lag(n) — needs `n <= carry` so every bucket holds its true
     * global predecessors as carry rows. */
   def shift(n: Int = 1): Column = {

@@ -87,6 +87,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         UnicodeNormalize(children.head, form)
       }))
+    Seq("graft_jaro" -> false, "graft_jaro_winkler" -> true).foreach {
+      case (name, wink) =>
+        ext.injectFunction((
+          new FunctionIdentifier(name),
+          new ExpressionInfo(classOf[JaroWinkler].getName, name),
+          (children: Seq[Expression]) => {
+            require(children.length == 2, s"$name takes exactly 2 arguments")
+            JaroWinkler(children.head, children(1), wink)
+          }))
+    }
     // text-analysis surface for spark.sql users — same expressions the
     // Column API composes (TextOps), so results are bit-identical
     unary(ext, "graft_tokens")(graft.ops.TextOps.tokens)

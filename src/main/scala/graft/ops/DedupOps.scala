@@ -726,4 +726,94 @@ object DedupOps {
       .filter(col("sim") >= threshold)
       .select(col("id1"), col("id2"), col("sim"))
   }
+
+  /** Jaro–Winkler blocked linkage: probe records against a reference
+    * corpus, candidates from a UNION of first+last-token blocks (the
+    * [[fuzzyNameMatchMulti]] recall argument), scored by the codegen'd
+    * [[graft.functions.JaroWinkler]] expression instead of edit distance —
+    * the measure of choice when transposed/abbreviated name parts matter
+    * more than raw edits (ref: pontem has no fuzzy matching at all; its
+    * corpus joins are exact, series.py:206-214).
+    *
+    * Sound length prefilter (cuts candidates, never results): the Winkler
+    * boost is capped at ℓ·p = 0.4, so `jw ≥ s` forces
+    * `jaro ≥ (s−0.4)/0.6`; and since matches ≤ min(n, m), jaro over
+    * lengths (n, m) is at most `(m/n + m/m₂ + 1)/3 ≤ (1 + min/max + 1)/3`.
+    * So any qualifying pair has `min/max ≥ 3·(s−0.4)/0.6 − 2` (clamped
+    * at 0) — for s = 0.92 that is 0.6, shedding the short-vs-long junk
+    * pairs before any JW runs. The threshold compares on the ROUND6 similarity so a ±1-ulp
+    * engine drift at the boundary cannot flip membership (the CLAUDE.md
+    * rounding-edge rule).
+    *
+    * Scale: ≤ 2 postings per row, keyed equi-join on the block token,
+    * JW map-side off the join — never all-pairs. */
+  def jaroLinkage(probe: DataFrame, reference: DataFrame, idCol: String,
+                  nameCol: String, minSim: Double): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0, "minSim must be in (0, 1]")
+    val jaroMin = math.max(0.0, (minSim - 0.4) / 0.6)
+    val ratioMin = math.max(0.0, 3.0 * jaroMin - 2.0)
+    def side(d: DataFrame) =
+      d.select(col(idCol).as("id"), col(nameCol).as("nm"),
+        length(col(nameCol)).as("__len"),
+        explode(array_distinct(array(
+          element_at(split(col(nameCol), " +"), 1),
+          element_at(split(col(nameCol), " +"), -1)))).as("__blk"))
+    val width = probe.sparkSession.sessionState.conf.numShufflePartitions
+    side(probe).repartition(width, col("id")).as("a")
+      .join(side(reference).as("b"),
+        col("a.__blk") === col("b.__blk")
+          && col("a.id") =!= col("b.id")
+          && least(col("a.__len"), col("b.__len")).cast("double")
+             >= greatest(col("a.__len"), col("b.__len")) * lit(ratioMin))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.nm").as("name1"), col("b.nm").as("name2"),
+        TextOps.round6(graft.functions.JaroWinkler.jaroWinkler(
+          col("a.nm"), col("b.nm"))).as("sim6"))
+      .filter(col("sim6") >= minSim)
+      .distinct()
+  }
+
+  /** Sorted-neighborhood linkage — the classic alternative to token
+    * blocking: records sort by a (domain-chosen) key and each record is
+    * compared only with its `windowSize` successors in that global order,
+    * so candidate count is exactly `windowSize · n` regardless of block
+    * skew (token blocking degrades to block² on a hot block; SNM cannot).
+    *
+    * The global order is the [[graft.core.GlobalWindows]] range-bucket
+    * plan — ONE shuffle keyed by bucket with `windowSize` forward-carry
+    * rows per boundary — NOT a single-task `Window.orderBy` (the
+    * PlanLintSpec scale rule). The sort key is `name ‖ '|' ‖ zero-padded
+    * id`: unique (deterministic neighbor sets under duplicate names) yet
+    * name-ordered, so near-identical names are adjacent. Pairs score with
+    * codegen'd Jaro–Winkler; the ROUND6 threshold rule as
+    * [[jaroLinkage]]. Output: canonical (least, greatest) id pairs with
+    * their names and similarity. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, nameCol: String,
+                         windowSize: Int, minSim: Double): DataFrame = {
+    require(windowSize >= 1, "windowSize must be >= 1")
+    val keyed = df.select(
+      concat(col(nameCol), lit("|"),
+        lpad(col(idCol).cast("string"), 12, "0")).as("__sk"),
+      struct(col(idCol).cast("long").as("id"),
+        col(nameCol).as("nm")).as("__rec"))
+    val ser = graft.core.Series.fromExpr(keyed, col("__rec"), "__rec",
+      col("__sk"), "__sk")
+    val gw = ser.globalWindows(fcarry = windowSize)
+    val nbCols = (1 to windowSize).map(k => s"__nb$k" -> gw.lead(k))
+    val base = gw.result((("__rec" -> gw.value)) +: nbCols: _*)
+    base
+      .select(col("__rec"), explode(array(
+        (1 to windowSize).map(k => col(s"__nb$k")): _*)).as("__nb"))
+      .filter(col("__nb").isNotNull)
+      .select(
+        least(col("__rec.id"), col("__nb.id")).as("id1"),
+        greatest(col("__rec.id"), col("__nb.id")).as("id2"),
+        when(col("__rec.id") <= col("__nb.id"), col("__rec.nm"))
+          .otherwise(col("__nb.nm")).as("name1"),
+        when(col("__rec.id") <= col("__nb.id"), col("__nb.nm"))
+          .otherwise(col("__rec.nm")).as("name2"),
+        TextOps.round6(graft.functions.JaroWinkler.jaroWinkler(
+          col("__rec.nm"), col("__nb.nm"))).as("sim6"))
+      .filter(col("sim6") >= minSim)
+  }
 }

@@ -181,4 +181,36 @@ object GraphOps {
       .withColumn("csize", count(lit(1)).over(w))
       .withColumn("keep", col("id") === best)
   }
+
+  /** Triangle enumeration over an undirected edge list — the density
+    * diagnostic for near-dup graphs (triangles ≈ tight dup cliques; a
+    * pair graph whose components are triangle-free is chains, which
+    * cluster-survivor dedup treats very differently from cliques).
+    *
+    * Input edges may be in either orientation; they canonicalize to
+    * (lo < hi) and dedup first. Enumeration is the standard oriented
+    * wedge join: edges (a,b) ⋈ (b,c) build wedges a<b<c through the
+    * shared middle vertex b, and a second equi-join confirms the closing
+    * (a,c) edge — every triangle emitted exactly once in (a<b<c) order.
+    * All three steps are keyed equi-joins (shuffle keys: b, then (a,c));
+    * nothing is ever all-pairs. At 100 TB the classic refinement is to
+    * orient edges low-degree→high-degree before the wedge join, bounding
+    * per-vertex wedge fan-out by arboricity instead of max degree — the
+    * near-dup graphs here are stop-shingle-capped (bounded degree by
+    * construction), so id orientation suffices and keeps the output
+    * ordering deterministic. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val wedges = e.as("ab").join(e.as("bc"),
+        col("ab.hi") === col("bc.lo"))
+      .select(col("ab.lo").as("a"), col("ab.hi").as("b"),
+        col("bc.hi").as("c"))
+    wedges.join(e.as("ac"),
+        col("a") === col("ac.lo") && col("c") === col("ac.hi"))
+      .select(col("a"), col("b"), col("c"))
+  }
 }

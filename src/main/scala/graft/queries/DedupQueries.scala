@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.ops.DedupOps
+import graft.ops.{DedupOps, GraphOps}
 
 /** Dedup queries over `documents` / `events` / `embeddings`.
   *
@@ -44,6 +44,36 @@ object DedupQueries {
           n = 3, threshold = 0.5)
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id1", "id2")),
+
+    // Jaro–Winkler blocked linkage: probe records (p_partkey < 200)
+    // against the full reference corpus; candidates from first+last-token
+    // blocks, scored by the codegen'd graft_jaro_winkler expression
+    // (DuckDB's jaro_winkler_similarity is the oracle — same de-facto
+    // standard semantics, pinned in FunctionsSpec probe constants).
+    "d21_jw_linkage" -> ((s, d) => {
+      val part = Tables.part(s, d)
+      DedupOps.jaroLinkage(part.filter(col("p_partkey") < 200), part,
+          "p_partkey", "p_name", minSim = 0.92)
+        .orderBy("id1", "id2")
+    }),
+
+    // Sorted-neighborhood linkage: records sort globally by name (via the
+    // range-bucket GlobalWindows plan — NOT a single-task window) and
+    // each compares with its 5 successors; candidate count is exactly
+    // 5·n regardless of block skew.
+    "d22_sorted_neighborhood" -> ((s, d) =>
+      DedupOps.sortedNeighborhood(Tables.part(s, d), "p_partkey", "p_name",
+          windowSize = 5, minSim = 0.88)
+        .orderBy("id1", "id2")),
+
+    // Triangle enumeration over the d03 near-dup pair graph — the
+    // clique-vs-chain density diagnostic; oriented wedge join, every
+    // step a keyed equi-join.
+    "d23_triangles" -> ((s, d) => {
+      val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      GraphOps.triangles(pairs, "id1", "id2").orderBy("a", "b", "c")
+    }),
 
     // Incremental dedup: a NEW batch (doc_id ≡ 0 mod 20) against the
     // EXISTING corpus (the rest) — cross-corpus Jaccard via the hashed
@@ -348,6 +378,51 @@ object DedupQueries {
         ORDER BY id1, id2"""
 
   val oracles: Map[String, String] = Map(
+    "d21_jw_linkage" ->
+      """WITH s AS (SELECT p_partkey AS id, p_name AS nm,
+           string_split_regex(p_name, ' +') AS toks FROM part),
+         p AS (SELECT id, nm,
+           unnest(list_distinct([list_extract(toks, 1),
+                                 list_extract(toks, -1)])) AS blk FROM s)
+         SELECT DISTINCT a.id AS id1, b.id AS id2,
+           a.nm AS name1, b.nm AS name2,
+           floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) / 1e6
+             AS sim6
+         FROM p a JOIN p b ON a.blk = b.blk AND a.id <> b.id
+         WHERE a.id < 200
+           AND floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) / 1e6
+               >= 0.92
+         ORDER BY id1, id2""",
+    "d22_sorted_neighborhood" ->
+      """WITH s AS (SELECT p_partkey AS id, p_name AS nm,
+           p_name || '|' || lpad(CAST(p_partkey AS VARCHAR), 12, '0') AS sk
+           FROM part),
+         r AS (SELECT id, nm, row_number() OVER (ORDER BY sk) AS rn FROM s)
+         SELECT least(a.id, b.id) AS id1, greatest(a.id, b.id) AS id2,
+           CASE WHEN a.id <= b.id THEN a.nm ELSE b.nm END AS name1,
+           CASE WHEN a.id <= b.id THEN b.nm ELSE a.nm END AS name2,
+           floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) / 1e6
+             AS sim6
+         FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+         WHERE floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) / 1e6
+               >= 0.88
+         ORDER BY id1, id2""",
+    "d23_triangles" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         e AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5)
+         SELECT ab.id1 AS a, ab.id2 AS b, bc.id2 AS c
+         FROM e ab JOIN e bc ON ab.id2 = bc.id1
+         JOIN e ac ON ac.id1 = ab.id1 AND ac.id2 = bc.id2
+         ORDER BY a, b, c""",
     "d01_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS fp,
            min(doc_id) AS survivor_id, count(*) AS dups

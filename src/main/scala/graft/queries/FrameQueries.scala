@@ -464,6 +464,29 @@ object FrameQueries {
           col("n_outliers"))
         .orderBy("l_returnflag")),
 
+    // Welch's unequal-variance t-test between every event_type pair —
+    // the A/B readout. One bounded stats aggregate; pairing runs on the
+    // |groups|-row frame only.
+    "f48_welch_ttest" -> ((s, d) =>
+      GFrame.fromDF(Tables.events(s, d), "event_id")
+        .welchTTest("event_type", "value")
+        .toDF.orderBy("g1", "g2")),
+
+    // 2-D Pareto frontier (min price, max size) via the distributed
+    // exclusive-prefix-max plan — never a single-task global window.
+    "f49_skyline" -> ((s, d) =>
+      GFrame.fromDF(Tables.part(s, d), "p_partkey")
+        .skyline("p_retailprice", "p_size")
+        .toDF.orderBy("x")),
+
+    // Weighted median: first price at which running l_quantity reaches
+    // half the group total — one keyed exchange carries both windows.
+    "f50_weighted_median" -> ((s, d) =>
+      GFrame.fromDF(Tables.lineitem(s, d), "l_returnflag")
+        .weightedQuantile("l_returnflag", "l_extendedprice", "l_quantity",
+          q = 0.5, tieCols = Seq("l_orderkey", "l_linenumber"))
+        .toDF.orderBy("l_returnflag")),
+
     // pandas df.corrwith(other): per-column Pearson corr against the
     // keyed-aligned twin frame — one join + ONE aggregate for all
     // columns; the nat pair is exactly anti-correlated (corr −1).
@@ -836,6 +859,34 @@ object FrameQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
     "f45_q10_sql" -> Q10Sql,
+    "f48_welch_ttest" ->
+      """WITH st AS (SELECT event_type AS g, count(value) AS n,
+             avg(value) AS mu, var_samp(value) AS s2
+           FROM events GROUP BY 1 HAVING count(value) >= 2)
+         SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+           floor(((a.mu - b.mu) / sqrt(a.s2/a.n + b.s2/b.n)) * 1e6 + 0.5)
+             / 1e6 AS t6,
+           floor(((a.s2/a.n + b.s2/b.n) * (a.s2/a.n + b.s2/b.n)
+               / ((a.s2/a.n) * (a.s2/a.n) / (a.n - 1)
+                  + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
+             / 1e6 AS df6
+         FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    "f49_skyline" ->
+      """WITH pts AS (SELECT p_retailprice AS x, max(p_size) AS y
+           FROM part GROUP BY 1)
+         SELECT x, y FROM pts a
+         WHERE NOT EXISTS (SELECT 1 FROM pts b
+           WHERE b.x < a.x AND b.y >= a.y)
+         ORDER BY x""",
+    "f50_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag AS g, l_extendedprice AS v,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+           FROM lineitem)
+         SELECT g AS l_returnflag, arg_min(v, cw) AS wq_l_extendedprice
+         FROM c WHERE cw >= tw * 0.5 GROUP BY 1 ORDER BY 1""",
     "f47_robust_outliers" ->
       """WITH m AS (SELECT l_returnflag AS flag,
              floor(quantile_cont(l_extendedprice, 0.5) * 1e6 + 0.5) / 1e6

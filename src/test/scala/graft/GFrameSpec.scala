@@ -320,6 +320,50 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     m.foreach(r => assert(math.abs(r.getDouble(2) - 1.0) < 1e-12))
   }
 
+  test("welchTTest matches hand computation; tiny groups drop") {
+    // g1: (1, 2, 3)  n=3 mu=2 s2=1;  g2: (2, 4, 6, 8)  n=4 mu=5 s2=20/3
+    // g3: singleton → no sample variance → dropped from pairing
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 2.0),
+      ("b", 4.0), ("b", 6.0), ("b", 8.0), ("c", 9.0)).toDF("g", "v")
+    val out = GFrame.fromDF(df.withColumn("id", lit(1)), "id")
+      .welchTTest("g", "v").toDF.orderBy("g1", "g2").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      == (("a", "b", 3L, 4L)))
+    val se2 = 1.0 / 3 + (20.0 / 3) / 4
+    val t = (2.0 - 5.0) / math.sqrt(se2)
+    val dfree = se2 * se2 /
+      ((1.0 / 3) * (1.0 / 3) / 2 + ((20.0 / 3) / 4) * ((20.0 / 3) / 4) / 3)
+    assert(math.abs(r.getDouble(4) - t) < 1e-6)
+    assert(math.abs(r.getDouble(5) - dfree) < 1e-6)
+  }
+
+  test("skyline keeps exactly the non-dominated points") {
+    // (1,5) frontier; (2,5) dominated (same y, worse x); (2,7) frontier;
+    // (3,6) dominated by (2,7); (4,9) frontier; duplicate x keeps max y
+    val df = Seq((1.0, 5), (2.0, 5), (2.0, 7), (3.0, 6), (4.0, 9),
+      (4.0, 2)).toDF("x", "y")
+    val out = GFrame.fromDF(df.withColumn("id", lit(1)), "id")
+      .skyline("x", "y").toDF.orderBy("x").collect()
+      .map(r => (r.getDouble(0), r.getInt(1))).toSeq
+    assert(out == Seq((1.0, 5), (2.0, 7), (4.0, 9)))
+    Caches.clear() // GlobalWindows persists its bucketed frame
+  }
+
+  test("weightedQuantile crosses at the running-weight threshold") {
+    // group a: values 1,2,3 with weights 1,1,10 → total 12, half 6 →
+    // crossing value is 3. Group b: uniform weights → plain lower median.
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 10.0),
+      ("b", 5.0, 1.0), ("b", 6.0, 1.0), ("b", 7.0, 1.0), ("b", 8.0, 1.0))
+      .toDF("g", "v", "w")
+    val out = GFrame.fromDF(df.withColumn("id", lit(1)), "id")
+      .weightedQuantile("g", "v", "w", q = 0.5, tieCols = Nil)
+      .toDF.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(out == Seq(("a", 3.0), ("b", 6.0)))
+  }
+
   test("join on shared column names keeps one key copy") {
     val left = GFrame.fromDF(Seq((1L, "x"), (2L, "y")).toDF("id", "l"), "id")
     val right = GFrame.fromDF(Seq((1L, 9.0)).toDF("id", "r"), "id")

