@@ -621,6 +621,54 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, "g1")
   }
 
+  /** Mann–Whitney U rank-sum test (two-sided z approximation with tie
+    * correction) between groups `g1` and `g2` of `groupCol` — the
+    * nonparametric sibling of [[welchTTest]] for skewed / ordinal metrics.
+    *
+    * Never ranks row-by-row: ONE partial+final aggregate collapses the
+    * data to per-distinct-value counts `(v, n₁ᵥ, n₂ᵥ)`, then the
+    * range-bucket two-pass cumsum ([[GlobalWindows]] — never a
+    * single-task global window) yields each value's "how many group-2
+    * observations lie below" prefix, and
+    * `U₁ = Σᵥ n₁ᵥ·(cum₂<ᵥ + n₂ᵥ/2)` closes in a 1-row aggregate. The
+    * shuffles are distinct-value-sized, not data-sized.
+    *
+    * Determinism: every U term is an exact 0.5-multiple of integer
+    * products (order-free parallel sum); z and the rank-biserial effect
+    * size round to the 6dp floor grid. Assumes counts and their products
+    * stay below 2⁵³ (true far past any real corpus). */
+  def mannWhitney(groupCol: String, valCol: String,
+                  g1: String, g2: String): GFrame = {
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val v = col(valCol).cast("double")
+    val counts = graft.Caches.track(df
+      .filter(col(groupCol).isin(g1, g2) && v.isNotNull)
+      .groupBy(v.as("v"))
+      .agg(sum(when(col(groupCol) === g1, 1L).otherwise(0L)).as("na"),
+        sum(when(col(groupCol) === g2, 1L).otherwise(0L)).as("nb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ser = Series.fromExpr(counts, col("nb"), "nb", col("v"), "v")
+    val gw = ser.globalWindows(extra = Seq("na" -> col("na")))
+    val r = gw.result("na" -> col("na"), "nb" -> gw.value,
+      "cb" -> gw.cumsum())
+    val t = (col("na") + col("nb")).cast("double")
+    val s = r.agg(
+      sum(col("na")).as("n1"), sum(col("nb")).as("n2"),
+      sum(col("na").cast("double") * (col("cb") - col("nb")).cast("double")
+        + lit(0.5) * col("na") * col("nb")).as("u1"),
+      sum(t * t * t - t).as("ties"))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    val mu = n1d * n2d / lit(2.0)
+    val sig2 = n1d * n2d / lit(12.0) *
+      ((nd + lit(1.0)) - col("ties") / (nd * (nd - lit(1.0))))
+    val out = s.select(col("n1"), col("n2"), col("u1"),
+      r6((col("u1") - mu) / sqrt(sig2)).as("z6"),
+      r6(lit(1.0) - lit(2.0) * col("u1") / (n1d * n2d)).as("r_rb6"))
+    new GFrame(out, "n1")
+  }
+
   /** Weighted quantile per group: the value at which the running weight
     * (in `(valCol, tie)` order) first reaches `q` of the group's total
     * weight — weighted median at q = 0.5 (pandas has no native spelling;

@@ -816,4 +816,47 @@ object DedupOps {
           col("__rec.nm"), col("__nb.nm"))).as("sim6"))
       .filter(col("sim6") >= minSim)
   }
+
+  /** KMV (k-minimum-values / bottom-k) distinct-cardinality sketch per
+    * group, with the exact count alongside: hash every set element,
+    * keep each group's k smallest DISTINCT hashes, and estimate
+    * `D ≈ (k−1)·2⁶⁰ / h₍ₖ₎` from the k-th order statistic (Bar-Yossef
+    * et al. 2002). The sketch the dedup tier wants for cheap per-shard
+    * shingle-cardinality datasheets: bottom-k sets are union-mergeable
+    * (the bottom-k of a union is the bottom-k of the merged bottom-ks),
+    * so shard sketches combine without re-reading data.
+    *
+    * Plan shape: explode → hash → (group, hash) distinct (one shuffle),
+    * then a per-group bottom-k window (WindowGroupLimit per-partition
+    * heaps) and a per-group count — both over the deduped frame, which
+    * persists once. Groups with fewer than k distinct hashes have no
+    * k-th order statistic and drop (the sketch isn't full — report the
+    * exact count instead at call sites that need them).
+    *
+    * Determinism: [[portableHash60]] hashes are engine-portable; the
+    * estimate is one double division of exact integers, so even the
+    * APPROXIMATE estimate hash-matches a DuckDB replay (the d05/v02
+    * portability discipline). */
+  def kmvDistinct(df: DataFrame, groupCol: String, setCol: Column,
+                  k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val hs = graft.Caches.track(df
+      .select(col(groupCol).as("g"), explode(setCol).as("t"))
+      .select(col("g"), portableHash60(col("t")).as("h"))
+      .dropDuplicates("g", "h")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h").asc)
+    val kth = hs.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === k)
+      .select(col("g"), col("h").as("hk"))
+    val exact = hs.groupBy("g").agg(count(lit(1)).as("n_exact"))
+    val est = (lit((k - 1).toDouble) * lit((1L << 60).toDouble)) /
+      col("hk").cast("double")
+    exact.join(kth, "g")
+      .select(col("g"), col("n_exact"),
+        TextOps.round2(est).as("kmv_est"),
+        TextOps.round6((est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double")).as("rel_err"))
+  }
 }

@@ -580,4 +580,89 @@ object EventOps {
       .withColumn("f_score", scoreAsc(col("frequency").cast("double"), cuts(1)))
       .withColumn("m_score", scoreAsc(col("monetary"), cuts(2)))
   }
+
+  /** SCD2 change-compression: collapse a per-key attribute event stream
+    * to Type-2 slowly-changing-dimension history rows — one row per
+    * VALUE RUN with `[valid_from, valid_to)` validity and an open
+    * (null-`valid_to`, `is_current`) tail. The CDC→dimension compaction
+    * every warehouse load performs; equal-timestamp ties are totalized
+    * by `tieCol` so the run boundaries are deterministic.
+    *
+    * Plan shape: ONE exchange keyed by `keyCol` carries all three window
+    * nodes (the lag change-detector, then lead/row_number over the
+    * filtered change rows — same partitioning, Catalyst reuses the
+    * sort), then everything is projection. No data-sized state anywhere:
+    * at 100 TB this is exactly one keyed shuffle. */
+  def scd2Compress(df: DataFrame, keyCol: String, tsCol: String,
+                   attrCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val changed = df
+      .select(col(keyCol), col(tsCol), col(tieCol), col(attrCol))
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__prevTie", lag(col(tieCol), 1).over(w))
+      // null attr is a legal run value: null≠null must NOT open a new run,
+      // so compare null-safely; the head row (no predecessor — tie is
+      // never null, so a null __prevTie marks it) always opens a run
+      .filter(col("__prevTie").isNull
+        .or(!(col(attrCol) <=> col("__prev"))))
+    changed
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col(keyCol), col("version"), col(attrCol),
+        col("valid_from"), col("valid_to"), col("is_current"))
+  }
+
+  /** Pearson chi-squared test of independence between two categorical
+    * columns (e.g. event type × hour-of-day): the contingency table with
+    * expected counts and per-cell contributions, plus the closing χ²
+    * statistic and degrees of freedom — the drift / association screen a
+    * corpus datasheet wants.
+    *
+    * Plan shape: ONE partial+final count aggregation collapses the data
+    * to the |A|×|B| contingency frame (persisted — every downstream
+    * consumer reads the bounded frame, never the data); marginals are
+    * |A|- and |B|-row aggregates of it, equi-joined back, and the grand
+    * total / χ² close as two 1-row driver probes projected as literals
+    * (the rfm precedent — a literal-key join would constant-fold to a
+    * nested loop, and a global window would be single-task). Nothing
+    * after the first aggregate is data-sized.
+    *
+    * Determinism: observed/expected derive from exact integer counts
+    * (`exp = (rowTot·colTot)/N` — one double division, bit-identical in
+    * any engine); per-cell contributions round to the 6dp floor grid,
+    * and χ² totals their exact µ-units as a BIGINT sum (order-free)
+    * divided once — no float accumulation anywhere. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // four consumers (cells, both marginals, the total) — persist so the
+    // data-sized count aggregation runs once (released by Caches.clear())
+    val obs = graft.Caches.track(
+      df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+        .agg(count(lit(1)).as("obs"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val rowTot = obs.groupBy("a").agg(sum(col("obs")).as("ra"))
+    val colTot = obs.groupBy("b").agg(sum(col("obs")).as("rb"))
+    // grand total + category counts: 1-row probe over the bounded frame
+    val totRow = obs.agg(sum(col("obs")).as("n"),
+      countDistinct(col("a")).as("ka"),
+      countDistinct(col("b")).as("kb")).head()
+    val n = totRow.getLong(0)
+    val dof = (totRow.getLong(1) - 1) * (totRow.getLong(2) - 1)
+    val cells = obs.join(rowTot, "a").join(colTot, "b")
+      .withColumn("exp",
+        (col("ra") * col("rb")).cast("double") / lit(n.toDouble))
+      .withColumn("contrib",
+        (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp"))
+      .withColumn("__cu",
+        floor(col("contrib") * 1e6 + 0.5).cast("long"))
+    // χ² total: 1-row probe of the cells' exact µ-unit BIGINTs
+    val chiTotal = cells.agg(sum(col("__cu"))).head().getLong(0)
+    cells.select(col("a"), col("b"), col("obs"),
+      graft.ops.TextOps.round6(col("exp")).as("exp6"),
+      (col("__cu").cast("double") / 1e6).as("contrib6"),
+      lit(chiTotal.toDouble / 1e6).as("chi2"),
+      lit(dof).as("dof"))
+  }
 }

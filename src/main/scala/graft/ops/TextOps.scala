@@ -405,4 +405,56 @@ object TextOps {
       .orderBy(col("cnt").desc, col("pair").asc)
       .limit(topK)
   }
+
+  /** Bigram PMI collocations: the corpus's most-associated adjacent word
+    * pairs, `pmi = ln(p(xy) / (p(x)·p(y)))` with `p(xy) = c(xy)/N_bigrams`
+    * and `p(x) = c(x)/N_tokens` — the classic collocation-extraction /
+    * phrase-mining statistic (Church & Hanks 1990), the signal a tokenizer
+    * or phrase-vocabulary build wants from a training corpus.
+    *
+    * Plan shape for 100 TB: the token array stages in ONE Project (and the
+    * frame persists so tokenization runs once for the bigram AND unigram
+    * branches), then two explode → partial+final count aggregations — the
+    * shuffles carry one row per (gram, partition), never per token. The
+    * corpus totals are a single 1-row driver probe; the two unigram joins
+    * are vocabulary-sized equi-joins (broadcast at small vocab, keyed
+    * otherwise). Top-k plans as TakeOrderedAndProject heaps.
+    *
+    * PMI is computed as `ln(lift)` with lift spelled in a FIXED
+    * association — `((cxy·Nt)·Nt) / ((Nb·cx)·cy)` — so an external engine
+    * replaying the integer counts lands on the bit-identical double; the
+    * 6dp floor grid then absorbs any libm ln() tail. Ordering is on the
+    * ROUNDED pmi (ulp ties would otherwise order differently across
+    * engines), tie-broken by the gram text. */
+  def pmiBigrams(df: DataFrame, textCol: String, minCount: Long,
+                 topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val ta = graft.Caches.track(
+      df.select(tokens(col(textCol)).as("__ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // corpus totals: 1-row aggregate (CollectLintSpec-documented bound)
+    val tot = ta.agg(
+      sum(size(col("__ts"))).as("nt"),
+      sum(greatest(size(col("__ts")) - 1, lit(0))).as("nb")).head()
+    val nt = tot.getLong(0).toDouble
+    val nb = tot.getLong(1).toDouble
+    val pairs = ta
+      .select(ngramsOfTokens(col("__ts"), 2).as("__gs"))
+      .select(explode(col("__gs")).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cxy"))
+      .filter(col("cxy") >= minCount)
+      .withColumn("w1", split(col("g"), " ").getItem(0))
+      .withColumn("w2", split(col("g"), " ").getItem(1))
+    val uni = ta.select(explode(col("__ts")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val lift = (col("cxy").cast("double") * lit(nt) * lit(nt)) /
+      (lit(nb) * col("cx") * col("cy"))
+    pairs
+      .join(uni.select(col("w").as("w1"), col("c").as("cx")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("cy")), "w2")
+      .select(col("g"), col("cxy"), col("cx"), col("cy"),
+        round6(log(lift)).as("pmi"))
+      .orderBy(col("pmi").desc, col("g").asc)
+      .limit(topK)
+  }
 }

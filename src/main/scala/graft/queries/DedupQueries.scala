@@ -75,6 +75,19 @@ object DedupQueries {
       GraphOps.triangles(pairs, "id1", "id2").orderBy("a", "b", "c")
     }),
 
+    // KMV bottom-k distinct sketch per source over trigram shingles:
+    // union-mergeable per-shard cardinality datasheets; the estimate is
+    // engine-portable (md5 hashes, one integer-ratio division), so even
+    // the approximation hash-matches the oracle.
+    "d24_kmv" -> ((s, d) => {
+      val docs = DedupOps.spread(Tables.documents(s, d), "doc_id")
+      DedupOps.kmvDistinct(docs, "source",
+          graft.ops.TextOps.shinglesOfTokens(
+            graft.ops.TextOps.tokens(col("text")), 3), k = 128)
+        .withColumnRenamed("g", "source")
+        .orderBy("source")
+    }),
+
     // Incremental dedup: a NEW batch (doc_id ≡ 0 mod 20) against the
     // EXISTING corpus (the rest) — cross-corpus Jaccard via the hashed
     // inverted-index equi-join; the batch side is small, the corpus is
@@ -484,6 +497,33 @@ object DedupQueries {
     // (1 - 0.85) spelling is deliberate: both engines compute the same
     // IEEE double, where a 0.15 literal would differ by 1 ulp.
     "d20_pagerank" -> pageRankSql(iters = 5),
+    // d24: DISTINCT within doc (shinglesOfTokens) then across docs by
+    // hash; estimate = ((k−1)·2⁶⁰)/h_k spelled in the Spark association.
+    "d24_kmv" ->
+      """WITH t AS (SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ts
+           FROM documents),
+         g AS (SELECT DISTINCT source,
+             ts[CAST(r.i AS INTEGER)] || ' '
+               || ts[CAST(r.i + 1 AS INTEGER)] || ' '
+               || ts[CAST(r.i + 2 AS INTEGER)] AS g
+           FROM t, LATERAL unnest(range(1, len(ts) - 1)) AS r(i)),
+         h AS (SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+           FROM g),
+         rk AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+           FROM h),
+         kth AS (SELECT source, h AS hk FROM rk WHERE rk = 128),
+         ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+           FROM h GROUP BY 1)
+         SELECT ex.source, ex.n_exact,
+           floor((CAST(127 AS DOUBLE) * 1152921504606846976 / hk) * 1e2
+             + 0.5) / 1e2 AS kmv_est,
+           floor(((CAST(127 AS DOUBLE) * 1152921504606846976 / hk
+               - ex.n_exact) / ex.n_exact) * 1e6 + 0.5) / 1e6 AS rel_err
+         FROM ex JOIN kth USING (source) ORDER BY source""",
     "d08_dup_clusters" ->
       s"""WITH RECURSIVE $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

@@ -89,6 +89,29 @@ object EventQueries {
       EventOps.activeUsers(ev(s, d), "user_id", "ts")
         .orderBy("ws")),
 
+    // SCD2 change-compression: per-user event_type runs → Type-2
+    // dimension history rows with [valid_from, valid_to) validity and
+    // the open is_current tail. ONE user-keyed exchange carries all
+    // three windows.
+    // The open tail's null valid_to is surfaced as the idiomatic SCD2
+    // end-of-time sentinel (9999-12-31) — typed null timestamps have no
+    // portable equality in the compare harness.
+    "e36_scd2" -> ((s, d) =>
+      EventOps.scd2Compress(ev(s, d), "user_id", "ts", "event_type",
+        tieCol = "event_id")
+        .withColumn("valid_to", coalesce(col("valid_to"),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+        .orderBy("user_id", "version")),
+
+    // Chi-squared independence screen: event_type × hour-of-day
+    // contingency with expected counts, per-cell contributions, and the
+    // closing χ² (exact-µ-unit BIGINT total — no float accumulation).
+    "e37_chi2" -> ((s, d) =>
+      EventOps.chiSquare(
+          ev(s, d).select(col("event_type"), hour(col("ts")).as("hr")),
+          "event_type", "hr")
+        .orderBy("a", "b")),
+
     // Top-20 3-step event-type paths: stacked leads on one user
     // exchange, path-keyed partial+final count, TakeOrderedAndProject
     // top-k.
@@ -747,6 +770,52 @@ object EventQueries {
            CAST(sum(CASE WHEN h = fh THEN 1 ELSE 0 END) AS BIGINT)
              AS new_users
          FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""",
+    "e36_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev,
+             lag(event_id) OVER w AS prev_tie
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         c AS (SELECT user_id, ts, event_id, event_type FROM o
+           WHERE prev_tie IS NULL
+             OR event_type IS DISTINCT FROM prev),
+         v AS (SELECT user_id,
+             CAST(row_number() OVER w2 AS INTEGER) AS version,
+             event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to
+           FROM c
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, version, event_type, valid_from,
+           COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           valid_to IS NULL AS is_current
+         FROM v ORDER BY user_id, version""",
+    // e37: exp = one double division of exact integer products; the χ²
+    // total sums exact 1e-6-unit BIGINTs (order-free) and divides once —
+    // the Spark side is spelled identically, so no accumulation drift.
+    "e37_chi2" ->
+      """WITH e AS (SELECT event_type AS a,
+             CAST(hour(ts) AS INTEGER) AS b FROM events),
+         obs AS (SELECT a, b, count(*) AS obs FROM e GROUP BY 1, 2),
+         ra AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ra
+           FROM obs GROUP BY 1),
+         rb AS (SELECT b, CAST(sum(obs) AS BIGINT) AS rb
+           FROM obs GROUP BY 1),
+         t AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+             count(DISTINCT a) AS ka, count(DISTINCT b) AS kb FROM obs),
+         cells AS (SELECT obs.a, obs.b, obs.obs,
+             CAST(ra.ra * rb.rb AS DOUBLE) / t.n AS exp
+           FROM obs JOIN ra USING (a) JOIN rb USING (b) CROSS JOIN t),
+         cu AS (SELECT a, b, obs, exp,
+             CAST(floor((obs - exp) * (obs - exp) / exp * 1e6 + 0.5)
+               AS BIGINT) AS cu
+           FROM cells),
+         chi AS (SELECT CAST(sum(cu) AS BIGINT) AS cu FROM cu)
+         SELECT cu.a, cu.b, cu.obs,
+           floor(cu.exp * 1e6 + 0.5) / 1e6 AS exp6,
+           CAST(cu.cu AS DOUBLE) / 1e6 AS contrib6,
+           CAST(chi.cu AS DOUBLE) / 1e6 AS chi2,
+           CAST((t.ka - 1) * (t.kb - 1) AS BIGINT) AS dof
+         FROM cu CROSS JOIN chi CROSS JOIN t ORDER BY a, b""",
     "e31_paths" ->
       """WITH x AS (SELECT event_type AS a,
              lead(event_type, 1) OVER w AS b,

@@ -472,6 +472,14 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // Mann–Whitney U rank-sum (A vs R return flags on quantity): the
+    // nonparametric sibling of f48 — per-distinct-value counts + the
+    // range-bucket distributed cumsum, never a row-level rank.
+    "f51_mannwhitney" -> ((s, d) =>
+      GFrame.fromDF(Tables.lineitem(s, d), "l_orderkey")
+        .mannWhitney("l_returnflag", "l_quantity", "A", "R")
+        .toDF.orderBy("n1")),
+
     // 2-D Pareto frontier (min price, max size) via the distributed
     // exclusive-prefix-max plan — never a single-task global window.
     "f49_skyline" -> ((s, d) =>
@@ -871,6 +879,38 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f51: U terms are exact 0.5-multiples of integer products (order-free
+    // sums); z and rank-biserial mirror the Spark association exactly.
+    "f51_mannwhitney" ->
+      """WITH x AS (SELECT l_returnflag AS grp,
+             CAST(l_quantity AS DOUBLE) AS v
+           FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+         c AS (SELECT v,
+             CAST(sum(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS na,
+             CAST(sum(CASE WHEN grp = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS nb
+           FROM x GROUP BY 1),
+         r AS (SELECT na, nb,
+             CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cb FROM c),
+         s AS (SELECT CAST(sum(na) AS BIGINT) AS n1,
+             CAST(sum(nb) AS BIGINT) AS n2,
+             sum(CAST(na AS DOUBLE) * CAST(cb - nb AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) * na * nb) AS u1,
+             sum(CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+                 * CAST(na + nb AS DOUBLE)
+               - CAST(na + nb AS DOUBLE)) AS ties
+           FROM r)
+         SELECT n1, n2, u1,
+           floor((u1 - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2)
+             / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12
+               * ((CAST(n1 + n2 AS DOUBLE) + 1)
+                  - ties / (CAST(n1 + n2 AS DOUBLE)
+                    * (CAST(n1 + n2 AS DOUBLE) - 1))))
+             * 1e6 + 0.5) / 1e6 AS z6,
+           floor((1 - 2 * u1 / (CAST(n1 AS DOUBLE) * n2)) * 1e6 + 0.5)
+             / 1e6 AS r_rb6
+         FROM s ORDER BY n1""",
     "f49_skyline" ->
       """WITH pts AS (SELECT p_retailprice AS x, max(p_size) AS y
            FROM part GROUP BY 1)

@@ -237,7 +237,14 @@ object TextQueries {
         .toDF("doc_id", "sent_id", "sentence")
         .select(col("doc_id"), col("sent_id"), col("sentence"),
           tokenCount(col("sentence")).as("n_tokens"))
-        .orderBy("doc_id", "sent_id"))
+        .orderBy("doc_id", "sent_id")),
+
+    // Bigram PMI collocations (phrase mining): one persisted tokenize
+    // pass serves the bigram AND unigram counts; vocabulary-sized joins;
+    // TakeOrderedAndProject top-k on the ROUNDED pmi.
+    "t19_pmi" -> ((s, d) =>
+      graft.ops.TextOps.pmiBigrams(docs(s, d), "text",
+        minCount = 5, topK = 30))
   )
 
   // DuckDB equivalents. Tokenization mirrored as
@@ -493,6 +500,32 @@ object TextQueries {
          SELECT doc_id, sent_id, sentence,
            CAST(len(list_filter(string_split(lower(sentence), ' '),
              t -> t <> '')) AS INTEGER) AS n_tokens
-         FROM e ORDER BY doc_id, sent_id"""
+         FROM e ORDER BY doc_id, sent_id""",
+    // t19: lift is spelled in the Spark side's exact association —
+    // ((cxy*nt)*nt) / ((nb*cx)*cy), one division — so the double is
+    // bit-identical; round6 absorbs the libm ln() tail. Ordering is on
+    // the rounded pmi (ulp ties order identically), tie-broken by gram.
+    "t19_pmi" ->
+      s"""WITH t AS (SELECT $Toks AS ts FROM documents),
+         n AS (SELECT CAST(sum(len(ts)) AS DOUBLE) AS nt,
+             CAST(sum(CASE WHEN len(ts) > 1 THEN len(ts) - 1 ELSE 0 END)
+               AS DOUBLE) AS nb
+           FROM t),
+         b AS (SELECT ts[CAST(r.i AS INTEGER)] AS w1,
+             ts[CAST(r.i + 1 AS INTEGER)] AS w2
+           FROM t, LATERAL unnest(range(1, len(ts))) AS r(i)),
+         pc AS (SELECT w1 || ' ' || w2 AS g, w1, w2, count(*) AS cxy
+           FROM b GROUP BY 1, 2, 3 HAVING count(*) >= 5),
+         u AS (SELECT u.t AS w, count(*) AS c
+           FROM t, LATERAL unnest(ts) AS u(t) GROUP BY 1),
+         sc AS (SELECT pc.g, pc.cxy, ua.c AS cx, ub.c AS cy,
+             floor(ln((CAST(pc.cxy AS DOUBLE) * n.nt * n.nt)
+               / ((n.nb * ua.c) * ub.c)) * 1e6 + 0.5) / 1e6 AS pmi
+           FROM pc
+           JOIN u ua ON pc.w1 = ua.w
+           JOIN u ub ON pc.w2 = ub.w
+           CROSS JOIN n)
+         SELECT g, cxy, cx, cy, pmi FROM sc
+         ORDER BY pmi DESC, g ASC LIMIT 30"""
   )
 }

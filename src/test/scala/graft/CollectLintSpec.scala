@@ -96,11 +96,17 @@ class CollectLintSpec extends AnyFunSuite {
         "1-row min/max bounds",
       "val lastRow = df.agg(max(unix_micros(col(tsCol)))).head()" ->
         "rfm corpus-last bound: 1-row aggregate",
+      "countDistinct(col(\"b\")).as(\"kb\")).head()" ->
+        "chi2 grand total / category counts: 1-row aggregate",
+      "val chiTotal = cells.agg(sum(col(\"__cu\"))).head().getLong(0)" ->
+        "chi2 closing statistic: 1-row aggregate over the bounded cells",
       "percentile(col(\"monetary\"), qs).as(\"mq\")).head()" ->
         "rfm quartile cuts: 9 doubles, 1 row"),
     "TextOps.scala" -> Map(
       "val stats = staged.agg(count(lit(1)), sum(col(\"dl\"))).head()" ->
-        "bm25 N/avgdl probe: 1-row aggregate"),
+        "bm25 N/avgdl probe: 1-row aggregate",
+      "sum(greatest(size(col(\"__ts\")) - 1, lit(0))).as(\"nb\")).head()" ->
+        "pmi corpus token/bigram totals: 1-row aggregate"),
     "PipelineOps.scala" -> Map(
       ".orderBy(col(\"__bkt\")).collect().filterNot(_.isNullAt(0))" ->
         "shard prefix sums: `shards` rows",
