@@ -538,4 +538,62 @@ object SimilarityOps {
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("qdot"))
   }
+
+  /** Uncentered top principal component (dominant eigenvector of the
+    * second-moment matrix G = (1/n)·Σ x xᵀ) by power iteration — the
+    * embedding-space "main axis" a corpus datasheet or whitening pass
+    * wants. Returns (component, Rayleigh eigenvalue).
+    *
+    * Scale shape: the ONLY data-sized work is one pass building G — a
+    * double posexplode fan-out (dim² products per row, purely
+    * per-partition) into a partial+final aggregate keyed by (i, j), so
+    * the shuffle and the driver state are dim²-bounded (64-dim → 4096
+    * cells) regardless of corpus size. The `iters` power steps then run
+    * on the driver over that bounded matrix — O(dim²) each, no cluster
+    * round-trips — and projection back onto the corpus is one codegen'd
+    * dot per row. 100 TB costs exactly one shuffle of ≤ dim² rows per
+    * partition.
+    *
+    * Determinism (the d20/v03 discipline, composed): with `grid` set the
+    * normalized inputs sit on the dyadic grid, so every Gram cell is an
+    * ORDER-FREE exact sum (products are multiples of 1/g² within 53
+    * bits); each power step snaps its matvec and its normalized vector
+    * to the 1e-9 floor grid, so the ≤1e-13 association drift between
+    * this driver loop and an external engine's aggregate ordering
+    * cannot compound across iterations. */
+  def pcaPower(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+               iters: Int,
+               grid: Option[Double] = None): (Array[Double], Double) = {
+    def snap9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
+    val v = graft.Caches.track(
+      normalizedQ(df, idCol, vecCol, "id", "e", grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nRows = v.count().toDouble
+    val cells = v
+      .select(col("e"), posexplode(col("e")))
+      .toDF("e", "i", "xi")
+      .select(col("i"), col("xi"), posexplode(col("e")))
+      .toDF("i", "xi", "j", "xj")
+      .groupBy("i", "j")
+      .agg(sum(col("xi") * col("xj")).as("s"))
+      .collect() // dim² rows — bounded driver state
+    val G = Array.ofDim[Double](dim, dim)
+    cells.foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / nRows)
+    def matvecSnapped(w: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += G(i)(j) * w(j); j += 1 }
+        snap9(s)
+      }
+    var w = Array.fill(dim)(1.0 / dim)
+    (1 to iters).foreach { _ =>
+      val t = matvecSnapped(w)
+      val nrm = math.sqrt(t.map(x => x * x).sum)
+      w = if (nrm == 0) t else t.map(x => snap9(x / nrm))
+    }
+    val gw = matvecSnapped(w)
+    val lambda = (0 until dim).map(i => w(i) * gw(i)).sum
+    (w, lambda)
+  }
 }

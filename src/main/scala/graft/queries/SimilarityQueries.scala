@@ -183,7 +183,29 @@ object SimilarityQueries {
       SimilarityOps.centroidMatrix(emb(s, d), "embedding", "label")
         .select(col("l1"), col("l2"),
           graft.ops.TextOps.round6(col("cos")).as("cos"))
-        .orderBy("l1", "l2"))
+        .orderBy("l1", "l2")),
+
+    // Uncentered top principal component by power iteration: ONE
+    // dim²-bounded Gram aggregation + driver-side power steps, then a
+    // codegen'd projection dot per vector. Grid-snapped inputs +
+    // 1e-9-snapped iterates make the WHOLE recurrence engine-portable
+    // (the d20/v03 discipline composed) — even the eigenvalue
+    // hash-matches the unrolled DuckDB replay.
+    "v11_pca" -> ((s, d) => {
+      val e = emb(s, d)
+      val (w, lam) = SimilarityOps.pcaPower(e, "vec_id", "embedding",
+        dim = 64, iters = 8, grid = Some(Grid))
+      val lam6 = math.floor(lam * 1e6 + 0.5) / 1e6
+      val wLit = array(w.map(lit).toIndexedSeq: _*)
+      SimilarityOps.normalizedQ(e, "vec_id", "embedding", "vec_id", "e",
+          Some(Grid))
+        .select(col("vec_id"),
+          graft.ops.TextOps.round6(
+            graft.functions.DotProduct.dotNative(col("e"), wLit))
+            .as("score6"),
+          lit(lam6).as("lam6"))
+        .orderBy("vec_id")
+    })
   )
 
   /** 2^20 — the dyadic quantization grid for the portable IVF gates. */
@@ -398,6 +420,50 @@ object SimilarityQueries {
                  ON a.pos = b.pos AND a.label <= b.label
                GROUP BY 1, 2)
          SELECT l1, l2, floor(dot / sqrt(n1 * n2) * 1e6 + 0.5) / 1e6 AS cos
-         FROM p ORDER BY l1, l2"""
+         FROM p ORDER BY l1, l2""",
+    "v11_pca" -> pcaOracle(dim = 64, iters = 8, g = Grid)
   )
+
+  /** DuckDB replay of the grid-portable power-iteration PCA: same nrm
+    * grid projection as the IVF oracle, the dim² Gram cells over grid
+    * values (order-free exact sums), then the iterations UNROLLED —
+    * each matvec and normalized vector snapped to the 1e-9 floor grid
+    * exactly like the Spark driver loop, so association drift between
+    * the two engines' summation orders cannot compound. */
+  private def pcaOracle(dim: Int, iters: Int, g: Double): String = {
+    val gs = f"$g%.1f"
+    def it(r: Int) = s"""
+         t$r AS (SELECT g.i AS i,
+             floor(sum(g.g * w.w) * 1e9 + 0.5) / 1e9 AS t
+           FROM gm g JOIN w${r - 1} w ON g.j = w.i GROUP BY 1),
+         w$r AS (SELECT i, floor(t / n.nn * 1e9 + 0.5) / 1e9 AS w
+           FROM t$r, (SELECT sqrt(sum(t * t)) AS nn FROM t$r) n),"""
+    s"""WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+         nrm AS (SELECT id,
+             list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+           FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
+                 FROM v0)),
+         cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nrm),
+         cell AS (SELECT gi.i - 1 AS i, gj.i - 1 AS j,
+             sum(e[gi.i] * e[gj.i]) AS s
+           FROM nrm, generate_series(1, $dim) gi(i),
+             generate_series(1, $dim) gj(i)
+           GROUP BY 1, 2),
+         gm AS (SELECT i, j, s / (SELECT n FROM cnt) AS g FROM cell),
+         w0 AS (SELECT gi.i - 1 AS i, CAST(1.0 AS DOUBLE) / $dim AS w
+           FROM generate_series(1, $dim) gi(i)),
+         ${(1 to iters).map(it).mkString}
+         gw AS (SELECT g.i AS i,
+             floor(sum(g.g * w.w) * 1e9 + 0.5) / 1e9 AS t
+           FROM gm g JOIN w$iters w ON g.j = w.i GROUP BY 1),
+         lam AS (SELECT floor(sum(w.w * t.t) * 1e6 + 0.5) / 1e6 AS lam6
+           FROM w$iters w JOIN gw t USING (i)),
+         wv AS (SELECT list(w ORDER BY i) AS wl FROM w$iters)
+         SELECT nrm.id AS vec_id,
+           floor(list_dot_product(nrm.e, wv.wl) * 1e6 + 0.5) / 1e6
+             AS score6,
+           lam.lam6
+         FROM nrm CROSS JOIN wv CROSS JOIN lam ORDER BY vec_id"""
+  }
 }

@@ -120,7 +120,9 @@ class CollectLintSpec extends AnyFunSuite {
         "scalar-quantization scale: 1-row max aggregate",
       ".orderBy(\"cluster\").collect()" -> "IVF centroids reload: k × dim",
       "var centroids = v.orderBy(\"id\").limit(k).collect()" ->
-        "k-means seeds: k × dim"),
+        "k-means seeds: k × dim",
+      ".collect() // dim² rows — bounded driver state" ->
+        "PCA Gram matrix: dim² cells"),
     // the streaming gates' MemoryStream replay harness — the TEST feed
     // (production side is readStream); bounded by the fixture only
     "DedupQueries.scala" -> Map(

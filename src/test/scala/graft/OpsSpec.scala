@@ -997,4 +997,35 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(out(1) - math.sqrt(0.5)) < 1e-12)
     assert(math.abs(out(2) - 1.0) < 1e-12)
   }
+
+  test("pcaPower recovers a planted dominant axis on a micro corpus") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (3L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.1f, 0.0f))
+    ).toDF("id", "v")
+    val (w, lam) = SimilarityOps.pcaPower(df, "id", "v", dim = 4,
+      iters = 20)
+    Caches.clear()
+    // three of four (normalized) vectors point ~along axis 0
+    assert(w(0) > 0.9, s"dominant component ${w.toSeq}")
+    assert(lam > 0.5 && lam <= 1.0 + 1e-9, s"eigenvalue $lam")
+  }
+
+  test("pcaPower on the fixtures: unit component, dominant eigenvalue " +
+    "(v11 gate)") {
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
+    val (w, lam) = SimilarityOps.pcaPower(e, "vec_id", "embedding",
+      dim = 64, iters = 8, grid = Some(1048576.0))
+    Caches.clear()
+    val nrm = math.sqrt(w.map(x => x * x).sum)
+    // snapped normalization stays within the 1e-9 grid of unit length
+    assert(math.abs(nrm - 1.0) < 1e-6, s"component norm $nrm")
+    // trace(G) = mean squared norm = 1 on normalized inputs, so the top
+    // eigenvalue dominates the 1/dim average (strictly, for any spread)
+    assert(lam >= 0.9 / 64, s"eigenvalue $lam below the trace/dim floor")
+    info(f"v11 fixture top eigenvalue: $lam%.6f (trace/dim = ${1.0 / 64}%.6f)")
+  }
 }
