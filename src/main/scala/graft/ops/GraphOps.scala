@@ -213,4 +213,56 @@ object GraphOps {
         col("a") === col("ac.lo") && col("c") === col("ac.hi"))
       .select(col("a"), col("b"), col("c"))
   }
+
+  /** DBSCAN over a precomputed ε-neighbor pair graph (Ester et al.
+    * 1996): `pairs` holds one row per undirected neighbor pair within
+    * the ε-ball (e.g. cosine ≥ τ from [[DedupOps.embeddingNearDup]] —
+    * the bucketed candidate generator IS the ε-range query, so the
+    * quadratic region-query step of textbook DBSCAN never happens).
+    * A point is `core` when its ε-neighborhood (itself included) holds
+    * ≥ `minPts` points; clusters are connected components over
+    * core–core edges; a non-core point with a core neighbor is a
+    * `border` of its minimum core-neighbor's cluster (deterministic
+    * where the textbook says "any"); everything else is `noise`
+    * (cluster −1). Returns one row per id in `ids`:
+    * `(id, cluster, role)`.
+    *
+    * Scale shape: degree count, core filter, border attach are each one
+    * keyed equi-join/aggregation over the pair graph (edge-sized, never
+    * all-pairs); components run the O(log d) min-label machinery of
+    * [[connectedComponents]]. Driver state: the CC loop counters only. */
+  def dbscan(pairs: DataFrame, ids: DataFrame, idCol: String,
+             minPts: Int): DataFrame = {
+    require(minPts >= 2, "minPts must be >= 2")
+    val sym = graft.Caches.track(
+      pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val core = graft.Caches.track(
+      sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") + 1 >= minPts)
+        .select(col("a").as("id"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val coreEdges = sym
+      .join(core.select(col("id").as("a")), "a")
+      .join(core.select(col("id").as("b")), "b")
+    val comps = connectedComponents(coreEdges, "a", "b")
+    // isolated cores (all their neighbors are borders) form singleton
+    // clusters rooted at themselves
+    val coreComp = core.join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val border = sym
+      .join(core.select(col("id").as("b")), "b")
+      .join(core.select(col("id").as("a")), Seq("a"), "left_anti")
+      .join(coreComp.select(col("id").as("b"), col("comp")), "b")
+      .groupBy("a").agg(min(col("comp")).as("comp"))
+      .select(col("a").as("id"), col("comp"))
+    ids.select(col(idCol).as("id"))
+      .join(coreComp.withColumn("role", lit("core"))
+        .unionByName(border.withColumn("role", lit("border"))),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), lit(-1L)).as("cluster"),
+        coalesce(col("role"), lit("noise")).as("role"))
+  }
 }

@@ -406,6 +406,54 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Zipf rank–frequency table with the fitted log-log slope: every
+    * token with `freq ≥ minCount`, its global frequency rank (1 = most
+    * frequent, ties broken by token text), and the least-squares slope
+    * of ln(freq) on ln(rank) — Zipf's law predicts ≈ −1 on natural
+    * text; large deviations flag synthetic/boilerplate corpora (a
+    * datasheet staple).
+    *
+    * Rank is NEVER a single-task global window: per-frequency counts
+    * run through the range-bucket distributed cumsum
+    * ([[graft.core.GlobalWindows]]) for the "tokens strictly more
+    * frequent" prefix, and a freq-KEYED row_number breaks ties — both
+    * shuffles are vocabulary-sized. The regression reduces per-token
+    * ln-terms snapped to exact 1e-6-unit longs (order-free integer
+    * sums; the e37 discipline), closed by one 1-row driver probe, so
+    * the slope is bit-deterministic across engines. */
+  def zipfFit(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val vocab = graft.Caches.track(
+      df.select(explode(tokens(col(textCol))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= minCount)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val fc = vocab.groupBy("freq").agg(count(lit(1)).as("cnt"))
+    val ser = graft.core.Series.fromExpr(fc, col("cnt"), "cnt",
+      -col("freq"), "nf")
+    val gw = ser.globalWindows()
+    val pre = gw.result("cnt" -> gw.value, "cum" -> gw.cumsum())
+      .select((-col("nf")).as("freq"), (col("cum") - col("cnt")).as("higher"))
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy("freq").orderBy(col("t").asc)
+    val ranked = vocab.join(pre, "freq")
+      .withColumn("rank", col("higher") + row_number().over(wTie))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("freq").cast("double"))
+    def u6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    val a = ranked.agg(count(lit(1)).as("n"), sum(u6(x)).as("sx"),
+      sum(u6(y)).as("sy"), sum(u6(x * y)).as("sxy"),
+      sum(u6(x * x)).as("sxx")).head()
+    val n = a.getLong(0).toDouble
+    val sx = a.getLong(1).toDouble / 1e6
+    val sy = a.getLong(2).toDouble / 1e6
+    val sxy = a.getLong(3).toDouble / 1e6
+    val sxx = a.getLong(4).toDouble / 1e6
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val slope6 = math.floor(slope * 1e6 + 0.5) / 1e6
+    ranked.select(col("t").as("token"), col("freq"), col("rank"),
+      lit(slope6).as("slope6"))
+  }
+
   /** Bigram PMI collocations: the corpus's most-associated adjacent word
     * pairs, `pmi = ln(p(xy) / (p(x)·p(y)))` with `p(xy) = c(xy)/N_bigrams`
     * and `p(x) = c(x)/N_tokens` — the classic collocation-extraction /

@@ -75,6 +75,17 @@ object DedupQueries {
       GraphOps.triangles(pairs, "id1", "id2").orderBy("a", "b", "c")
     }),
 
+    // DBSCAN over the embedding ε-graph (cosine ≥ 0.4 via hyperplane-LSH
+    // candidates + exact re-rank; 64 tables hold recall 1 on the
+    // fixture): cores (≥3 in-ball incl. self) → components → border
+    // attach → noise. Every step edge-sized; oracle replays brute-force.
+    "d25_dbscan" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val pairs = DedupOps.embeddingNearDup(e, "vec_id", "embedding",
+        threshold = 0.4, tables = 64)
+      GraphOps.dbscan(pairs, e, "vec_id", minPts = 3).orderBy("id")
+    }),
+
     // KMV bottom-k distinct sketch per source over trigram shingles:
     // union-mergeable per-shard cardinality datasheets; the estimate is
     // engine-portable (md5 hashes, one integer-ratio division), so even
@@ -497,6 +508,39 @@ object DedupQueries {
     // (1 - 0.85) spelling is deliberate: both engines compute the same
     // IEEE double, where a 0.15 literal would differ by 1 ulp.
     "d20_pagerank" -> pageRankSql(iters = 5),
+    // d25: the oracle's ε-graph is the brute-force exact one (the d06
+    // precedent) — the Spark side's LSH candidates + exact cosine filter
+    // must reproduce it verbatim, which doubles as a recall gate.
+    "d25_dbscan" ->
+      """WITH RECURSIVE v AS (SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         p AS (SELECT a.vec_id AS i1, b.vec_id AS i2
+           FROM v a JOIN v b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(a.e, b.e) >= 0.4),
+         sym AS (SELECT i1 AS a, i2 AS b FROM p
+           UNION ALL SELECT i2, i1 FROM p),
+         deg AS (SELECT a AS id, count(*) AS deg FROM sym GROUP BY 1),
+         core AS (SELECT id FROM deg WHERE deg + 1 >= 3),
+         ce AS (SELECT s.a, s.b FROM sym s
+           JOIN core ca ON s.a = ca.id JOIN core cb ON s.b = cb.id),
+         reach AS (SELECT a AS id, a AS comp FROM ce
+           UNION
+           SELECT e.b AS id, r.comp FROM reach r JOIN ce e ON e.a = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+         corec AS (SELECT c.id, coalesce(m.comp, c.id) AS comp
+           FROM core c LEFT JOIN comps m USING (id)),
+         border AS (SELECT s.a AS id, min(k.comp) AS comp
+           FROM sym s JOIN corec k ON s.b = k.id
+           WHERE s.a NOT IN (SELECT id FROM core)
+           GROUP BY 1)
+         SELECT e.vec_id AS id,
+           coalesce(c.comp, b.comp, -1) AS cluster,
+           CASE WHEN c.id IS NOT NULL THEN 'core'
+             WHEN b.id IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS role
+         FROM v e LEFT JOIN corec c ON e.vec_id = c.id
+           LEFT JOIN border b ON e.vec_id = b.id
+         ORDER BY id""",
     // d24: DISTINCT within doc (shinglesOfTokens) then across docs by
     // hash; estimate = ((k−1)·2⁶⁰)/h_k spelled in the Spark association.
     "d24_kmv" ->

@@ -244,7 +244,14 @@ object TextQueries {
     // TakeOrderedAndProject top-k on the ROUNDED pmi.
     "t19_pmi" -> ((s, d) =>
       graft.ops.TextOps.pmiBigrams(docs(s, d), "text",
-        minCount = 5, topK = 30))
+        minCount = 5, topK = 30)),
+
+    // Zipf rank-frequency + fitted log-log slope: distributed rank
+    // (range-bucket cumsum + freq-keyed tiebreak), exact 1e-6-unit
+    // integer regression sums, slope closed by a 1-row probe.
+    "t20_zipf" -> ((s, d) =>
+      graft.ops.TextOps.zipfFit(docs(s, d), "text", minCount = 5)
+        .orderBy("rank"))
   )
 
   // DuckDB equivalents. Tokenization mirrored as
@@ -526,6 +533,35 @@ object TextQueries {
            JOIN u ub ON pc.w2 = ub.w
            CROSS JOIN n)
          SELECT g, cxy, cx, cy, pmi FROM sc
-         ORDER BY pmi DESC, g ASC LIMIT 30"""
+         ORDER BY pmi DESC, g ASC LIMIT 30""",
+    // t20: per-term ln values snap to exact 1e-6-unit BIGINTs before
+    // summation (order-free), and the closing slope divides the same
+    // exact integers in the same association as the Spark driver probe.
+    "t20_zipf" ->
+      s"""WITH t AS (SELECT $Toks AS ts FROM documents),
+         u AS (SELECT u.t AS t FROM t, LATERAL unnest(ts) AS u(t)),
+         vocab AS (SELECT t, count(*) AS freq FROM u GROUP BY 1
+           HAVING count(*) >= 5),
+         ranked AS (SELECT t, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, t ASC) AS BIGINT)
+               AS rank
+           FROM vocab),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(floor(ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE))
+                 * ln(CAST(freq AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(sum(CAST(floor(ln(CAST(rank AS DOUBLE))
+                 * ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT)) AS BIGINT) AS sxx
+           FROM ranked)
+         SELECT r.t AS token, r.freq, r.rank,
+           floor((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
+             / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
+             * 1e6 + 0.5) / 1e6 AS slope6
+         FROM ranked r CROSS JOIN s ORDER BY rank"""
   )
 }

@@ -106,7 +106,9 @@ class CollectLintSpec extends AnyFunSuite {
       "val stats = staged.agg(count(lit(1)), sum(col(\"dl\"))).head()" ->
         "bm25 N/avgdl probe: 1-row aggregate",
       "sum(greatest(size(col(\"__ts\")) - 1, lit(0))).as(\"nb\")).head()" ->
-        "pmi corpus token/bigram totals: 1-row aggregate"),
+        "pmi corpus token/bigram totals: 1-row aggregate",
+      "sum(u6(x * x)).as(\"sxx\")).head()" ->
+        "zipf regression sums: 1-row aggregate of exact integer units"),
     "PipelineOps.scala" -> Map(
       ".orderBy(col(\"__bkt\")).collect().filterNot(_.isNullAt(0))" ->
         "shard prefix sums: `shards` rows",
