@@ -75,15 +75,18 @@ object DedupQueries {
       GraphOps.triangles(pairs, "id1", "id2").orderBy("a", "b", "c")
     }),
 
-    // DBSCAN over the embedding ε-graph (cosine ≥ 0.4 via hyperplane-LSH
-    // candidates + exact re-rank; 64 tables hold recall 1 on the
-    // fixture): cores (≥3 in-ball incl. self) → components → border
-    // attach → noise. Every step edge-sized; oracle replays brute-force.
+    // DBSCAN over the near-dup text ε-graph (Jaccard ≥ 0.5 from the
+    // EXACT inverted-index pair generator — the ε-range query with
+    // guaranteed recall at any scale, unlike an LSH candidate set):
+    // cores (≥3 in-ball incl. self) → components → deterministic border
+    // attach → noise rows kept. Separates DENSE boilerplate clusters
+    // from chance pairings — a different decision than d08's "every
+    // component is a dup cluster".
     "d25_dbscan" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val pairs = DedupOps.embeddingNearDup(e, "vec_id", "embedding",
-        threshold = 0.4, tables = 64)
-      GraphOps.dbscan(pairs, e, "vec_id", minPts = 3).orderBy("id")
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5)
+      GraphOps.dbscan(pairs, docs, "doc_id", minPts = 3).orderBy("id")
     }),
 
     // KMV bottom-k distinct sketch per source over trigram shingles:
@@ -508,15 +511,20 @@ object DedupQueries {
     // (1 - 0.85) spelling is deliberate: both engines compute the same
     // IEEE double, where a 0.15 literal would differ by 1 ulp.
     "d20_pagerank" -> pageRankSql(iters = 5),
-    // d25: the oracle's ε-graph is the brute-force exact one (the d06
-    // precedent) — the Spark side's LSH candidates + exact cosine filter
-    // must reproduce it verbatim, which doubles as a recall gate.
+    // d25: d08's exact pair-graph head + the DBSCAN tail (degrees →
+    // cores → recursive-CTE components over core–core edges → min-core
+    // border attach → noise).
     "d25_dbscan" ->
-      """WITH RECURSIVE v AS (SELECT vec_id,
-             CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         p AS (SELECT a.vec_id AS i1, b.vec_id AS i2
-           FROM v a JOIN v b ON a.vec_id < b.vec_id
-           WHERE list_cosine_similarity(a.e, b.e) >= 0.4),
+      s"""WITH RECURSIVE $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS i1, b.doc_id AS i2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         p AS (SELECT i1, i2 FROM inter
+           JOIN sizes s1 ON i1 = s1.doc_id
+           JOIN sizes s2 ON i2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
          sym AS (SELECT i1 AS a, i2 AS b FROM p
            UNION ALL SELECT i2, i1 FROM p),
          deg AS (SELECT a AS id, count(*) AS deg FROM sym GROUP BY 1),
@@ -533,13 +541,13 @@ object DedupQueries {
            FROM sym s JOIN corec k ON s.b = k.id
            WHERE s.a NOT IN (SELECT id FROM core)
            GROUP BY 1)
-         SELECT e.vec_id AS id,
+         SELECT e.doc_id AS id,
            coalesce(c.comp, b.comp, -1) AS cluster,
            CASE WHEN c.id IS NOT NULL THEN 'core'
              WHEN b.id IS NOT NULL THEN 'border'
              ELSE 'noise' END AS role
-         FROM v e LEFT JOIN corec c ON e.vec_id = c.id
-           LEFT JOIN border b ON e.vec_id = b.id
+         FROM documents e LEFT JOIN corec c ON e.doc_id = c.id
+           LEFT JOIN border b ON e.doc_id = b.id
          ORDER BY id""",
     // d24: DISTINCT within doc (shinglesOfTokens) then across docs by
     // hash; estimate = ((k−1)·2⁶⁰)/h_k spelled in the Spark association.
