@@ -44,7 +44,37 @@ object SkewOps {
     val total = df.count()
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .withColumn("share", round(col("cnt") / lit(total.toDouble), 6))
-      .orderBy(col("cnt").desc)
+      .orderBy(col("cnt").desc, col(key).asc)
+      .limit(topN)
+  }
+
+  /** Hot-key diagnostic for a prospective join/aggregation key: the
+    * top-`topN` heaviest keys with their share of the table and their
+    * skew factor (multiples of the MEAN per-key load — the number AQE's
+    * skew threshold and a salting factor are sized from). One
+    * partial+final count aggregation + a TakeOrderedAndProject heap;
+    * totals are a 1-row driver probe. Deterministic: ties order by key.
+    *
+    * Reading it: skew ≈ 1 everywhere → hash-partitioning balances;
+    * a key with skew ≥ #shuffle-partitions pins a reducer → pre-salt it
+    * ([[saltedJoin]]) or let AQE split, and broadcast if the OTHER side
+    * is small. */
+  def skewReport(df: DataFrame, key: String, topN: Int = 20): DataFrame = {
+    val counts = graft.Caches.track(
+      df.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // grand total + key count: 1-row probe over the keyed aggregate
+    val t = counts.agg(sum(col("cnt")), count(lit(1))).head()
+    val total = t.getLong(0)
+    val nkeys = t.getLong(1)
+    counts
+      .select(col("key"), col("cnt"),
+        graft.ops.TextOps.round6(
+          col("cnt").cast("double") / lit(total.toDouble)).as("share6"),
+        graft.ops.TextOps.round6(
+          col("cnt").cast("double") * lit(nkeys.toDouble)
+            / lit(total.toDouble)).as("skew6"))
+      .orderBy(col("cnt").desc, col("key").asc)
       .limit(topN)
   }
 }

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the guardrail pass a pipeline
+  * runs before promoting a batch (the Great-Expectations/dbt-test shape,
+  * spelled Spark-first). Three rule kinds:
+  *
+  *  - row rules: a named violation predicate per rule, ALL evaluated in
+  *    ONE fused scan (one partial+final aggregate, however many rules);
+  *  - uniqueness rules: `total − distinct` over the key columns;
+  *  - referential rules: orphan count via a left-anti equi-join against
+  *    the DISTINCT parent keys.
+  *
+  * Each rule closes to a single bounded driver scalar (1-row aggregates —
+  * the rfm/chi2 probe discipline), and the report itself is a local
+  * |rules|-row frame: nothing here ever materializes data on the driver.
+  * Null semantics: a violation predicate must evaluate TRUE to count (a
+  * null predicate result does not violate — spell `.isNull` explicitly
+  * when nulls should); uniqueness counts null keys like any other value
+  * is NOT guaranteed (countDistinct skips all-null tuples — declare keys
+  * non-null first with a row rule).
+  */
+object ValidateOps {
+
+  /** One report row per rule: (rule, violations, total, pass), ordered
+    * by rule name. `total` is the row count of the frame the rule ran
+    * against (the child frame for referential rules). */
+  def report(df: DataFrame,
+             rowRules: Seq[(String, Column)],
+             uniqueRules: Seq[(String, Seq[String])] = Nil,
+             fkRules: Seq[(String, DataFrame, String, DataFrame, String)] =
+               Nil): DataFrame = {
+    require(rowRules.nonEmpty || uniqueRules.nonEmpty || fkRules.nonEmpty,
+      "at least one rule")
+    val spark = df.sparkSession
+    val buf = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
+    if (rowRules.nonEmpty) {
+      val aggs = rowRules.map { case (_, p) =>
+        sum(when(p, 1L).otherwise(0L)) } :+ count(lit(1))
+      val r = df.agg(aggs.head, aggs.tail: _*).head() // 1 row: rule sums
+      val total = r.getLong(rowRules.size)
+      rowRules.zipWithIndex.foreach { case ((n, _), i) =>
+        buf += ((n, if (r.isNullAt(i)) 0L else r.getLong(i), total))
+      }
+    }
+    uniqueRules.foreach { case (n, cols) =>
+      val r = df.agg(count(lit(1)),
+        countDistinct(col(cols.head), cols.tail.map(col): _*)).head()
+      buf += ((n, r.getLong(0) - r.getLong(1), r.getLong(0)))
+    }
+    fkRules.foreach { case (n, child, childKey, parent, parentKey) =>
+      val orphans = child.select(col(childKey).as("__k"))
+        .join(parent.select(col(parentKey).as("__k")).distinct(),
+          Seq("__k"), "left_anti")
+      val bad = orphans.agg(count(lit(1))).head().getLong(0) // 1-row probe
+      val total = child.agg(count(lit(1))).head().getLong(0) // 1-row probe
+      buf += ((n, bad, total))
+    }
+    import spark.implicits._
+    buf.toSeq.toDF("rule", "violations", "total")
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("rule")
+  }
+}

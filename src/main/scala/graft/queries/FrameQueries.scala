@@ -472,6 +472,34 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // Data-quality expectations over the star schema: fused row rules
+    // (ONE scan for all predicates), key uniqueness, and two referential
+    // checks via anti-joins against distinct parent keys — each closing
+    // to a bounded 1-row probe. The discount rule intentionally FAILS
+    // (violations > 0) so the report shape carries both outcomes.
+    "f52_expectations" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.ops.ValidateOps.report(li,
+        rowRules = Seq(
+          "l_quantity_range" -> !col("l_quantity").between(1, 50),
+          "l_discount_le_5pct" -> (col("l_discount") > 0.05),
+          "l_shipdate_not_null" -> col("l_shipdate").isNull),
+        uniqueRules = Seq(
+          "li_line_unique" -> Seq("l_orderkey", "l_linenumber")),
+        fkRules = Seq(
+          ("li_order_fk", li, "l_orderkey", Tables.orders(s, d),
+            "o_orderkey"),
+          ("orders_cust_fk", Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d), "c_custkey")))
+    }),
+
+    // Hot-key diagnostic for a join key: top-20 heaviest keys with share
+    // and skew factor (multiples of the mean per-key load — what AQE
+    // thresholds and salting factors are sized from).
+    "f53_skew_report" -> ((s, d) =>
+      graft.ops.SkewOps.skewReport(Tables.lineitem(s, d), "l_suppkey",
+        topN = 20)),
+
     // Mann–Whitney U rank-sum (A vs R return flags on quantity): the
     // nonparametric sibling of f48 — per-distinct-value counts + the
     // range-bucket distributed cumsum, never a row-level rank.
@@ -879,6 +907,53 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    "f52_expectations" ->
+      """WITH r1 AS (SELECT 'l_quantity_range' AS rule,
+             CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+               THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+             CAST(count(*) AS BIGINT) AS total FROM lineitem),
+         r2 AS (SELECT 'l_discount_le_5pct',
+             CAST(sum(CASE WHEN l_discount > CAST(0.05 AS DOUBLE)
+               THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM lineitem),
+         r3 AS (SELECT 'l_shipdate_not_null',
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM lineitem),
+         u AS (SELECT 'li_line_unique',
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+               AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM lineitem),
+         fk1 AS (SELECT 'li_order_fk',
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(*) AS BIGINT)
+           FROM lineitem l LEFT JOIN
+             (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l.l_orderkey = o.o_orderkey),
+         fk2 AS (SELECT 'orders_cust_fk',
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(*) AS BIGINT)
+           FROM orders od LEFT JOIN
+             (SELECT DISTINCT c_custkey FROM customer) c
+             ON od.o_custkey = c.c_custkey)
+         SELECT rule, violations, total, violations = 0 AS pass
+         FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM u
+           UNION ALL SELECT * FROM fk1 UNION ALL SELECT * FROM fk2)
+         ORDER BY rule""",
+    "f53_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS cnt
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS nkeys FROM c)
+         SELECT key, cnt,
+           floor(CAST(cnt AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share6,
+           floor(CAST(cnt AS DOUBLE) * nkeys / total * 1e6 + 0.5) / 1e6
+             AS skew6
+         FROM c CROSS JOIN t
+         ORDER BY cnt DESC, key ASC LIMIT 20""",
     // f51: U terms are exact 0.5-multiples of integer products (order-free
     // sums); z and rank-biserial mirror the Spark association exactly.
     "f51_mannwhitney" ->

@@ -109,6 +109,18 @@ class CollectLintSpec extends AnyFunSuite {
         "pmi corpus token/bigram totals: 1-row aggregate",
       "sum(u6(x * x)).as(\"sxx\")).head()" ->
         "zipf regression sums: 1-row aggregate of exact integer units"),
+    "ValidateOps.scala" -> Map(
+      "val r = df.agg(aggs.head, aggs.tail: _*).head() // 1 row: rule sums" ->
+        "fused row rules: 1-row aggregate",
+      "countDistinct(col(cols.head), cols.tail.map(col): _*)).head()" ->
+        "uniqueness rule: 1-row aggregate",
+      "val bad = orphans.agg(count(lit(1))).head().getLong(0) // 1-row probe" ->
+        "referential rule orphan count: 1-row aggregate",
+      "val total = child.agg(count(lit(1))).head().getLong(0) // 1-row probe" ->
+        "referential rule child total: 1-row aggregate"),
+    "SkewOps.scala" -> Map(
+      "val t = counts.agg(sum(col(\"cnt\")), count(lit(1))).head()" ->
+        "skew report totals: 1-row aggregate over the keyed counts"),
     "PipelineOps.scala" -> Map(
       ".orderBy(col(\"__bkt\")).collect().filterNot(_.isNullAt(0))" ->
         "shard prefix sums: `shards` rows",
