@@ -817,6 +817,70 @@ object DedupOps {
       .filter(col("sim6") >= minSim)
   }
 
+  /** Exact Jaccard pair join by PREFIX FILTERING (the AllPairs/PPJoin
+    * family; the distributed formulation is Vernica, Carey & Li,
+    * SIGMOD'10): order every document's distinct shingle hashes by a
+    * GLOBAL total order (document frequency ascending, hash ascending —
+    * rarest first), keep only each document's first
+    * `|x| − ⌈t·|x|⌉ + 1` shingles as its PREFIX, and generate candidate
+    * pairs from prefix-posting collisions only. Complete by the prefix
+    * principle: for any pair with J ≥ t, the first common shingle in the
+    * global order lies inside BOTH prefixes (at most `|x| − ⌈t·|x|⌉`
+    * exclusive elements can precede it on each side). Candidates then
+    * verify with the exact intersection over the full shingle sets.
+    *
+    * Same answer as [[jaccardPairs]], different scale lever: the
+    * self-join runs over the RAREST ~(1−t) fraction of each document's
+    * postings instead of all of them — at t = 0.8 that is 5× fewer join
+    * rows and quadratically fewer collisions, with zero recall risk
+    * (the stop-shingle cap trades exactness for cost; this trades
+    * nothing). Verification carries each candidate's two sorted hash
+    * arrays — per-pair state bounded by document length.
+    *
+    * Plan: one posting build (persisted), one df aggregation, a keyed
+    * rank window (per-doc, never global), the prefix self-join, and one
+    * set-verify projection. */
+  def prefixFilterPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold in (0, 1]")
+    val sh = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"), explode(
+          graft.functions.ShingleHashes.shingleHashes(col("__txt"), n))
+          .as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("__rk", row_number().over(wOrd))
+      .join(sizes, "id")
+      .filter(col("__rk") <=
+        col("nsh") - ceil(lit(threshold) * col("nsh")) + 1)
+      .select(col("id"), col("sh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val sets = graft.Caches.track(
+      sh.groupBy("id")
+        .agg(sort_array(collect_list(col("sh"))).as("set"),
+          count(lit(1)).as("nsh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cand
+      .join(sets.select(col("id").as("id1"), col("set").as("s1"),
+        col("nsh").as("n1")), "id1")
+      .join(sets.select(col("id").as("id2"), col("set").as("s2"),
+        col("nsh").as("n2")), "id2")
+      .withColumn("__i", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard",
+        col("__i").cast("double")
+          / (col("n1") + col("n2") - col("__i")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
   /** KMV (k-minimum-values / bottom-k) distinct-cardinality sketch per
     * group, with the exact count alongside: hash every set element,
     * keep each group's k smallest DISTINCT hashes, and estimate

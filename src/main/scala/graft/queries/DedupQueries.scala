@@ -89,6 +89,16 @@ object DedupQueries {
       GraphOps.dbscan(pairs, docs, "doc_id", minPts = 3).orderBy("id")
     }),
 
+    // Prefix-filtering exact Jaccard join (the Vernica et al. SIGMOD'10
+    // scheme): candidates from the rarest-first PREFIX postings only,
+    // verified on the full sets — d03's exact answer (same oracle) with
+    // zero recall risk and quadratically fewer join collisions.
+    "d26_prefix_join" -> ((s, d) =>
+      DedupOps.prefixFilterPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("id1", "id2")),
+
     // KMV bottom-k distinct sketch per source over trigram shingles:
     // union-mergeable per-shard cardinality datasheets; the estimate is
     // engine-portable (md5 hashes, one integer-ratio division), so even
@@ -460,6 +470,9 @@ object DedupQueries {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     "d03_jaccard_pairs" -> JaccardSql,
     "d04_minhash_lsh" -> JaccardSql,
+    // d26 computes d03's exact answer through prefix filtering — the
+    // shared oracle IS the completeness gate for the prefix principle.
+    "d26_prefix_join" -> JaccardSql,
     "d19_seam_pairs" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
          g AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 3),

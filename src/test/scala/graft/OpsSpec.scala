@@ -998,6 +998,19 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(out(2) - 1.0) < 1e-12)
   }
 
+  test("prefixFilterPairs == jaccardPairs (exact, any threshold)") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select("id1", "id2", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1),
+            math.floor(r.getDouble(2) * 1e6 + 0.5))).toSet
+      val full = key(DedupOps.jaccardPairs(docs, "doc_id", "text", 3, t))
+      val pref = key(DedupOps.prefixFilterPairs(docs, "doc_id", "text", 3, t))
+      Caches.clear()
+      assert(pref == full, s"prefix join diverged at t=$t")
+    }
+  }
+
   test("pcaPower recovers a planted dominant axis on a micro corpus") {
     val df = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
