@@ -99,6 +99,40 @@ object DedupQueries {
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("id1", "id2")),
 
+    // STREAMING KMV: the same sketch built by merging per-micro-batch
+    // bottom-ks across two epochs — hash-matching the full-data estimate
+    // PROVES the union-mergeability d24 documents. Output is the
+    // estimate only (the stream never sees exact cardinality — that is
+    // the point of the sketch).
+    "d27_stream_kmv" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val rows = docs.select("source", "text").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String)]
+      val (q, read) = graft.streaming.StreamOps.kmvIngest(
+        input.toDF().toDF("source", "text"), "source",
+        graft.ops.TextOps.shinglesOfTokens(
+          graft.ops.TextOps.tokens(col("text")), 3), k = 128)
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        input.addData(a: _*); q.processAllAvailable()
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      val est = (lit(127.0) * lit((1L << 60).toDouble)) /
+        col("h").cast("double")
+      read()
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("g").orderBy(col("h").asc)))
+        .filter(col("__rk") === 128)
+        .select(col("g").as("source"),
+          graft.ops.TextOps.round2(est).as("kmv_est"))
+        .orderBy("source")
+    }),
+
     // KMV bottom-k distinct sketch per source over trigram shingles:
     // union-mergeable per-shard cardinality datasheets; the estimate is
     // engine-portable (md5 hashes, one integer-ratio division), so even
@@ -562,6 +596,29 @@ object DedupQueries {
          FROM documents e LEFT JOIN corec c ON e.doc_id = c.id
            LEFT JOIN border b ON e.doc_id = b.id
          ORDER BY id""",
+    // d27: the full-data estimate — equality with the two-epoch merged
+    // sketch is the mergeability proof.
+    "d27_stream_kmv" ->
+      """WITH t AS (SELECT source,
+             list_filter(string_split(lower(text), ' '), x -> x <> '')
+               AS ts
+           FROM documents),
+         g AS (SELECT DISTINCT source,
+             ts[CAST(r.i AS INTEGER)] || ' '
+               || ts[CAST(r.i + 1 AS INTEGER)] || ' '
+               || ts[CAST(r.i + 2 AS INTEGER)] AS g
+           FROM t, LATERAL unnest(range(1, len(ts) - 1)) AS r(i)),
+         h AS (SELECT DISTINCT source,
+             CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS h
+           FROM g),
+         rk AS (SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+           FROM h),
+         kth AS (SELECT source, h AS hk FROM rk WHERE rk = 128)
+         SELECT source,
+           floor((CAST(127 AS DOUBLE) * 1152921504606846976 / hk) * 1e2
+             + 0.5) / 1e2 AS kmv_est
+         FROM kth ORDER BY source""",
     // d24: DISTINCT within doc (shinglesOfTokens) then across docs by
     // hash; estimate = ((k−1)·2⁶⁰)/h_k spelled in the Spark association.
     "d24_kmv" ->

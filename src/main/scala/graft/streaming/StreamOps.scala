@@ -56,6 +56,42 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming KMV distinct sketch — continuous per-group cardinality
+    * over an unbounded ingest: each micro-batch hashes its batch's set
+    * elements ([[graft.ops.DedupOps.portableHash60]]) and MERGES into a
+    * bounded bottom-k state per group (bottom-k of a union = bottom-k of
+    * merged bottom-ks — the mergeability [[graft.ops.DedupOps
+    * .kmvDistinct]] documents, exercised here across epochs). State is
+    * ≤ |groups|·k rows, localCheckpointed each epoch so lineage never
+    * grows with the stream; on a production cluster the same frame would
+    * checkpoint to reliable storage. Returns the query plus a reader of
+    * the CURRENT sketch (group, h) state — estimate via the (k−1)·2⁶⁰/hₖ
+    * rule at any point of the run. */
+  def kmvIngest(stream: DataFrame, groupCol: String,
+                setCol: org.apache.spark.sql.Column,
+                k: Int): (StreamingQuery, () => DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("h").asc)
+    @volatile var state: DataFrame = null
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val hs = batch.toDF()
+          .select(col(groupCol).as("g"), explode(setCol).as("t"))
+          .select(col("g"), graft.ops.DedupOps.portableHash60(col("t"))
+            .as("h"))
+          .dropDuplicates("g", "h")
+        val merged = (if (state == null) hs
+          else state.unionByName(hs).dropDuplicates("g", "h"))
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k)
+          .drop("__rk")
+        state = merged.localCheckpoint(true) // bounded: |groups| × k rows
+        ()
+      }
+      .start()
+    (q, () => state)
+  }
+
   /** Tumbling (slide = duration) or HOPPING (slide < duration) watermarked
     * window aggregate — the streaming twin of
     * [[graft.ops.EventOps.hopping]]: the same window() Expand replicates

@@ -141,6 +141,8 @@ class CollectLintSpec extends AnyFunSuite {
     // (production side is readStream); bounded by the fixture only
     "DedupQueries.scala" -> Map(
       "val rows = fresh.select(\"doc_id\", \"text\").collect()" ->
+        "MemoryStream replay feed (gate harness)",
+      "val rows = docs.select(\"source\", \"text\").collect()" ->
         "MemoryStream replay feed (gate harness)"),
     "EventQueries.scala" -> Map(
       ".collect()" -> "MemoryStream replay feed (gate harness)",
