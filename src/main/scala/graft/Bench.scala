@@ -7,7 +7,8 @@ object Bench {
   // emitted under "build_queries" in the JSON so regressions aren't chased
   // as query slowdowns.
   private val buildDominated =
-    Set("f27_bucketed_join", "v04_ivf_persist", "v08_ivf_append")
+    Set("f27_bucketed_join", "v04_ivf_persist", "v08_ivf_append",
+      "v12_pq") // PQ: 8×16 codebook training + encode per invocation
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both

@@ -539,6 +539,138 @@ object SimilarityOps {
       .select(col("qid"), col("rk"), col("nid"), col("qdot"))
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector
+    * splits into `m` subspaces of `subDim` dims; each subspace trains
+    * its own EUCLIDEAN k-means (`codebook` centroids, plain means — no
+    * re-normalization, unlike the spherical [[kmeansFrom]]) over the
+    * corpus sub-vectors. Seeds are the first `codebook` vectors by id;
+    * assignment maximizes `2·x·c − ‖c‖²` (≡ min distance, ‖x‖² common),
+    * ties to the LARGER cluster (the `greatest` struct compare, mirrored
+    * by the oracle). With `grid` set, inputs and every iteration's means
+    * stay on the dyadic grid, so the whole recurrence is order-free
+    * exact (the v03 discipline). Returns m × codebook × subDim. */
+  private[graft] def pqTrain(v: DataFrame, m: Int, codebook: Int,
+                             iters: Int, subDim: Int,
+                             grid: Option[Double]): Array[Array[Array[Double]]] = {
+    // seeds: the first `codebook` vectors by id, sliced per subspace —
+    // ONE bounded collect serves all m codebooks
+    val seedRows = v.orderBy("id").limit(codebook).collect() // k × dim seeds
+      .map(_.getSeq[Double](1).toArray)
+    var books = Array.tabulate(m)(s =>
+      seedRows.map(r => r.slice(s * subDim, (s + 1) * subDim)))
+    // each Lloyd round is ONE job: all m subspace assignments ride one
+    // scan (m greatest-of-structs inside one staged explode), then ONE
+    // partial+final mean aggregation keyed by (subspace, cluster) —
+    // m·codebook driver rows per round, never a per-subspace job fleet
+    // (the first cut trained the 8 subspaces sequentially: 3×8 tiny
+    // jobs whose fixed overhead dominated the bench at 10 s)
+    (1 to iters).foreach { _ =>
+      val packed = (0 until m).map(s => struct(
+        lit(s).as("s"),
+        pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s))
+          .as("cluster"),
+        slice(col("e"), s * subDim + 1, subDim).as("sv")))
+      val sums = v
+        .select(explode(array(packed: _*)).as("x"))
+        .select(col("x.s").as("s"), col("x.cluster").as("cluster"),
+          col("x.sv").as("sv"))
+        .groupBy("s", "cluster")
+        .agg(array((0 until subDim).map(i => avg(col("sv")(i))): _*)
+          .as("c"))
+        .collect() // m × codebook rows — bounded driver state
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      books = Array.tabulate(m)(s => books(s).indices.map(j =>
+          sums.getOrElse((s, j), books(s)(j)))
+        .map(c => grid.fold(c)(quantizeArr(c, _))) // plain mean, snapped
+        .toArray)
+    }
+    books
+  }
+
+  /** Nearest PQ centroid under L2: argmax of `2·x·c − ‖c‖²` (‖x‖² is
+    * common) via the same greatest-of-structs compare as
+    * [[assignToCentroids]] (ties → larger cluster). On grid values the
+    * score is exact, so ties are deterministic and engine-portable. */
+  private def pqAssign(sub: Column,
+                       book: Array[Array[Double]]): Column = {
+    val scored = book.zipWithIndex.map { case (c, i) =>
+      val cl = array(c.map(lit).toIndexedSeq: _*)
+      val cc = c.map(x => x * x).sum
+      struct(
+        (graft.functions.DotProduct.dotNative(sub, cl) * 2.0 - cc)
+          .as("score"),
+        lit(i).as("cluster"))
+    }
+    greatest(scored.toIndexedSeq: _*)("cluster")
+  }
+
+  /** PQ-ADC approximate kNN (the FAISS `PQ` index, asymmetric distance
+    * computation): corpus vectors compress to `m` sub-codes (here
+    * m × log₂(codebook) bits ≈ 4 bytes for 64 dims — a 64× memory cut
+    * vs floats); a query scores a code WITHOUT decompressing, summing a
+    * per-query lookup table `LUT[s][j] = q_s · c_{s,j}` over the code's
+    * entries — approximate dot, exact given the codes.
+    *
+    * Plan: train (bounded driver codebooks) → one encode pass (per-row
+    * greatest-of-structs per subspace) → codes EXPLODE to (nid, s,
+    * code) and join the broadcast (|queries|·m·codebook)-row LUT on
+    * (s, code) — a keyed equi-join, never probe×corpus on raw vectors —
+    * then one partial+final sum per (qid, nid) and a per-query top-k
+    * window. With `grid` set every LUT entry and every ADC sum is exact
+    * on the dyadic grid, so the FULL pipeline (training included)
+    * hash-matches a DuckDB replay — approximation with a bit-exact
+    * oracle, like v03/v09/v10. */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, m: Int = 8, codebook: Int = 16,
+               kmeansIters: Int = 3,
+               grid: Option[Double] = None): DataFrame = {
+    val dim = corpus.select(size(col(vecCol).cast("array<double>")))
+      .head().getInt(0) // 1-row dim probe
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val v = graft.Caches.track(
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
+    // encode: one pass, m greatest-of-structs over staged sub-slices
+    val codeCols = (0 until m).map { s =>
+      val sub = slice(col("e"), s * subDim + 1, subDim)
+      val scored = books(s).zipWithIndex.map { case (c, i) =>
+        val cl = array(c.map(lit).toIndexedSeq: _*)
+        val cc = c.map(x => x * x).sum
+        struct(
+          (graft.functions.DotProduct.dotNative(sub, cl) * 2.0 - cc)
+            .as("score"),
+          lit(i).as("cluster"))
+      }
+      greatest(scored.toIndexedSeq: _*)("cluster")
+    }
+    val codes = v.select(col("id").as("nid"),
+        posexplode(array(codeCols: _*)))
+      .toDF("nid", "s", "code")
+    // per-query LUT: |queries| × m × codebook rows, broadcast
+    val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
+    val lutStructs = for {
+      s <- 0 until m
+      j <- 0 until codebook
+    } yield struct(lit(s).as("s"), lit(j).as("code"),
+      graft.functions.DotProduct.dotNative(
+        slice(col("qe"), s * subDim + 1, subDim),
+        array(books(s)(j).map(lit).toIndexedSeq: _*)).as("v"))
+    val lut = q0.select(col("qid"),
+        explode(array(lutStructs: _*)).as("x"))
+      .select(col("qid"), col("x.s").as("s"), col("x.code").as("code"),
+        col("x.v").as("v"))
+    codes.join(broadcast(lut), Seq("s", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid").agg(sum(col("v")).as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("adc"))
+  }
+
   /** Uncentered top principal component (dominant eigenvector of the
     * second-moment matrix G = (1/n)·Σ x xᵀ) by power iteration — the
     * embedding-space "main axis" a corpus datasheet or whitening pass

@@ -185,6 +185,21 @@ object SimilarityQueries {
           graft.ops.TextOps.round6(col("cos")).as("cos"))
         .orderBy("l1", "l2")),
 
+    // Product quantization with ADC scoring (the FAISS PQ index — the
+    // trio's third leg after IVF and SQ8): 8 subspaces × 16 Euclidean
+    // codebooks, codes join a broadcast per-query LUT on (subspace,
+    // code) — never probe×corpus on raw vectors. Grid-portable
+    // training makes the whole approximate pipeline hash-match the
+    // unrolled DuckDB replay; ADC sums are exact on the grid (no
+    // rounding anywhere).
+    "v12_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.pqSearch(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 8, codebook = 16,
+        kmeansIters = 3, grid = Some(Grid))
+        .orderBy("qid", "rk")
+    }),
+
     // Uncentered top principal component by power iteration: ONE
     // dim²-bounded Gram aggregation + driver-side power steps, then a
     // codegen'd projection dot per vector. Grid-snapped inputs +
@@ -421,8 +436,80 @@ object SimilarityQueries {
                GROUP BY 1, 2)
          SELECT l1, l2, floor(dot / sqrt(n1 * n2) * 1e6 + 0.5) / 1e6 AS cos
          FROM p ORDER BY l1, l2""",
-    "v11_pca" -> pcaOracle(dim = 64, iters = 8, g = Grid)
+    "v11_pca" -> pcaOracle(dim = 64, iters = 8, g = Grid),
+    "v12_pq" -> pqOracle(m = 8, codebook = 16, iters = 3, subDim = 8,
+      topK = 5, g = Grid)
   )
+
+  /** DuckDB replay of grid-portable PQ-ADC: per subspace, the Euclidean
+    * k-means is unrolled (assignment maximizes `2·x·c − ‖c‖²`, ties →
+    * larger cluster — the greatest-struct mirror; means floor-snap to
+    * the grid, NO re-normalization), then codes and the per-query LUT
+    * union across subspaces and the ADC sum joins them on (s, code).
+    * Everything after the grid projection is exact, so the approximate
+    * index hash-matches with no rounding grid at all. */
+  private def pqOracle(m: Int, codebook: Int, iters: Int, subDim: Int,
+                       topK: Int, g: Double): String = {
+    val gs = f"$g%.1f"
+    def sub(s: Int): String = {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      def it(i: Int) = s"""
+        asg${s}_$i AS (SELECT id, e, cluster FROM (
+            SELECT n.id, n.e, c.cluster,
+              row_number() OVER (PARTITION BY n.id ORDER BY
+                2 * list_dot_product(n.e, c.c)
+                  - list_dot_product(c.c, c.c) DESC,
+                c.cluster DESC) AS rn
+            FROM sub$s n, cent${s}_$i c) WHERE rn = 1),
+        avg${s}_$i AS (SELECT a.cluster, g.i - 1 AS pos,
+            floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS mn
+          FROM asg${s}_$i a, generate_series(1, $subDim) g(i)
+          GROUP BY 1, 2),
+        cent${s}_${i + 1} AS (SELECT p.cluster, coalesce(u.c, p.c) AS c
+          FROM cent${s}_$i p LEFT JOIN (
+            SELECT cluster, list(mn ORDER BY pos) AS c
+            FROM avg${s}_$i GROUP BY 1) u USING (cluster)),"""
+      s"""
+        sub$s AS (SELECT id, e[$lo:$hi] AS e FROM nrm),
+        cent${s}_0 AS (
+          SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
+              AS cluster, e AS c
+          FROM (SELECT id, e FROM sub$s ORDER BY id LIMIT $codebook)),
+        ${(0 until iters).map(it).mkString}
+        codes$s AS (SELECT id AS nid, $s AS s, cluster AS code FROM (
+            SELECT n.id, c.cluster,
+              row_number() OVER (PARTITION BY n.id ORDER BY
+                2 * list_dot_product(n.e, c.c)
+                  - list_dot_product(c.c, c.c) DESC,
+                c.cluster DESC) AS rn
+            FROM sub$s n, cent${s}_$iters c) WHERE rn = 1),
+        lut$s AS (SELECT n.id AS qid, $s AS s, c.cluster AS code,
+            list_dot_product(n.e, c.c) AS v
+          FROM sub$s n, cent${s}_$iters c WHERE n.id < 10),"""
+    }
+    s"""WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+         nrm AS (SELECT id,
+             list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+           FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
+                 FROM v0)),
+         ${(0 until m).map(sub).mkString}
+         codes AS (${(0 until m).map(s => s"SELECT * FROM codes$s")
+      .mkString(" UNION ALL ")}),
+         lut AS (${(0 until m).map(s => s"SELECT * FROM lut$s")
+      .mkString(" UNION ALL ")}),
+         sc AS (SELECT l.qid, o.nid, sum(l.v) AS adc
+           FROM codes o JOIN lut l ON o.s = l.s AND o.code = l.code
+           WHERE o.nid <> l.qid GROUP BY 1, 2),
+         ranked AS (SELECT qid,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY adc DESC, nid ASC) AS INTEGER) AS rk,
+             nid, adc
+           FROM sc)
+         SELECT qid, rk, nid, adc FROM ranked WHERE rk <= $topK
+         ORDER BY qid, rk"""
+  }
 
   /** DuckDB replay of the grid-portable power-iteration PCA: same nrm
     * grid projection as the IVF oracle, the dim² Gram cells over grid

@@ -136,7 +136,13 @@ class CollectLintSpec extends AnyFunSuite {
       "var centroids = v.orderBy(\"id\").limit(k).collect()" ->
         "k-means seeds: k × dim",
       ".collect() // dim² rows — bounded driver state" ->
-        "PCA Gram matrix: dim² cells"),
+        "PCA Gram matrix: dim² cells",
+      "val seedRows = v.orderBy(\"id\").limit(codebook).collect() // k × dim seeds" ->
+        "PQ k-means seeds: codebook × dim, one collect for all subspaces",
+      ".collect() // m × codebook rows — bounded driver state" ->
+        "PQ fused per-round centroid means: m × codebook rows",
+      ".head().getInt(0) // 1-row dim probe" ->
+        "PQ dimension probe: 1 row"),
     // the streaming gates' MemoryStream replay harness — the TEST feed
     // (production side is readStream); bounded by the fixture only
     "DedupQueries.scala" -> Map(
