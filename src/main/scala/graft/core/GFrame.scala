@@ -621,6 +621,25 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, "g1")
   }
 
+  /** Apply a CDC change batch to a snapshot (warehouse MERGE semantics):
+    * `changes` carries the snapshot's columns plus `opCol` ∈
+    * {'I','U','D'} — deletes remove their key, updates/inserts replace
+    * or add theirs (upsert: an existing key under 'I' still replaces —
+    * last-batch-wins, never a duplicate). Exactly TWO keyed operators at
+    * any scale: one left-anti equi-join (survivors = snapshot keys not
+    * in the batch) and one union with the batch's non-delete rows — the
+    * change batch is typically small, so the anti-join broadcasts.
+    * Assumes one change row per key per batch (dedupe upstream — e.g.
+    * [[GFrame.dropDuplicatesBy]] keeping the latest — or the union
+    * would carry both versions). */
+  def applyChanges(changes: DataFrame, keyCol: String,
+                   opCol: String): GFrame = {
+    val out = df
+      .join(changes.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+    new GFrame(out, keyCol)
+  }
+
   /** Mann–Whitney U rank-sum test (two-sided z approximation with tie
     * correction) between groups `g1` and `g2` of `groupCol` — the
     * nonparametric sibling of [[welchTTest]] for skewed / ordinal metrics.

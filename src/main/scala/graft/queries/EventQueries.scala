@@ -89,6 +89,38 @@ object EventQueries {
       EventOps.activeUsers(ev(s, d), "user_id", "ts")
         .orderBy("ws")),
 
+    // STREAMING data-quality monitor: per-micro-batch fused rule counts
+    // (the f52 row-rule shape through foreachBatch); row-rule counters
+    // are ADDITIVE, so the two-epoch log summed per rule hash-matches
+    // the batch report over all ingested data — the f52/d27 additivity
+    // proof for quality monitoring.
+    "e38_stream_expectations" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = ev(s, d).select("event_id", "event_type", "value")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val (q, read) = graft.streaming.StreamOps.ruleMonitor(
+        input.toDF().toDF("event_id", "event_type", "value"),
+        Seq("value_negative" -> (col("value") < 0.0),
+          "value_below_one" -> (col("value") < 1.0),
+          "type_is_error" -> (col("event_type") === "error"),
+          "value_null" -> col("value").isNull))
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        input.addData(a: _*); q.processAllAvailable()
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      read().toDF("epoch", "rule", "violations", "total")
+        .groupBy("rule")
+        .agg(sum(col("violations")).as("violations"),
+          sum(col("total")).as("total"))
+        .withColumn("pass", col("violations") === 0L)
+        .orderBy("rule")
+    }),
+
     // SCD2 change-compression: per-user event_type runs → Type-2
     // dimension history rows with [valid_from, valid_to) validity and
     // the open is_current tail. ONE user-keyed exchange carries all
@@ -641,10 +673,12 @@ object EventQueries {
       val rows = Tables.events(s, d)
         .select("event_id", "user_id", "value").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-      val out = "/tmp/graft_e16_sink"
+      // unique per-invocation sink (the d18 rule: a fixed path lets two
+      // concurrent runs on one machine clobber each other mid-query)
+      val out = java.nio.file.Files.createTempDirectory("graft_e16_sink")
+        .toString
       val p = new org.apache.hadoop.fs.Path(out)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, Double)]
       val q = input.toDF().toDF("event_id", "user_id", "value")
@@ -656,10 +690,13 @@ object EventQueries {
         input.addData(rows: _*)
         q.processAllAvailable()
       } finally q.stop()
-      s.read.parquet(s"$out/data")
+      val res = s.read.parquet(s"$out/data")
         .select(col("event_id"), col("user_id"),
           round(col("value"), 2).as("v"))
         .orderBy("event_id")
+        .localCheckpoint(true)
+      fs.delete(p, true)
+      res
     }),
 
     // STREAM-STATIC enrichment under the hash gate: the events fixture
@@ -770,6 +807,28 @@ object EventQueries {
            CAST(sum(CASE WHEN h = fh THEN 1 ELSE 0 END) AS BIGINT)
              AS new_users
          FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""",
+    "e38_stream_expectations" ->
+      """WITH r AS (
+           SELECT 'value_negative' AS rule,
+             CAST(sum(CASE WHEN value < 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations,
+             CAST(count(*) AS BIGINT) AS total FROM events
+           UNION ALL
+           SELECT 'value_below_one',
+             CAST(sum(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM events
+           UNION ALL
+           SELECT 'type_is_error',
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM events
+           UNION ALL
+           SELECT 'value_null',
+             CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(count(*) AS BIGINT) FROM events)
+         SELECT rule, violations, total, violations = 0 AS pass
+         FROM r ORDER BY rule""",
     "e36_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,
              lag(event_type) OVER w AS prev,

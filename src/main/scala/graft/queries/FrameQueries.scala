@@ -472,6 +472,26 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // CDC batch applied to a snapshot (warehouse MERGE): deletes drop,
+    // updates replace, inserts add — ONE anti-join + ONE union; the
+    // change batch is synthesized deterministically from the snapshot.
+    "f54_cdc_apply" -> ((s, d) => {
+      val snap = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"), col("c_nationkey"))
+      val changes = snap
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .withColumn("op", lit("D"))
+        .unionByName(snap.filter(pmod(col("c_custkey"), lit(10)) === 1)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .withColumn("op", lit("U")))
+        .unionByName(snap.filter(pmod(col("c_custkey"), lit(10)) === 2)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("op", lit("I")))
+      GFrame.fromDF(snap, "c_custkey")
+        .applyChanges(changes, "c_custkey", "op")
+        .toDF.orderBy("c_custkey")
+    }),
+
     // Data-quality expectations over the star schema: fused row rules
     // (ONE scan for all predicates), key uniqueness, and two referential
     // checks via anti-joins against distinct parent keys — each closing
@@ -907,6 +927,24 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    "f54_cdc_apply" ->
+      """WITH snap AS (SELECT c_custkey, c_acctbal, c_nationkey
+           FROM customer),
+         ch AS (
+           SELECT c_custkey, c_acctbal, c_nationkey, 'D' AS op
+           FROM snap WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey, c_acctbal + CAST(100.0 AS DOUBLE),
+             c_nationkey, 'U'
+           FROM snap WHERE c_custkey % 10 = 1
+           UNION ALL
+           SELECT c_custkey + 1000000, c_acctbal, c_nationkey, 'I'
+           FROM snap WHERE c_custkey % 10 = 2)
+         SELECT s.c_custkey, s.c_acctbal, s.c_nationkey FROM snap s
+         WHERE s.c_custkey NOT IN (SELECT c_custkey FROM ch)
+         UNION ALL
+         SELECT c_custkey, c_acctbal, c_nationkey FROM ch WHERE op <> 'D'
+         ORDER BY c_custkey""",
     "f52_expectations" ->
       """WITH r1 AS (SELECT 'l_quantity_range' AS rule,
              CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)

@@ -92,6 +92,38 @@ object StreamOps {
     (q, () => state)
   }
 
+  /** Streaming data-quality monitor: every micro-batch evaluates the
+    * named violation predicates in ONE fused aggregate (the
+    * [[graft.ops.ValidateOps]] row-rule shape) and appends a
+    * (epoch, rule, violations, total) row per rule to a bounded local
+    * log (|rules| × epochs — the per-batch quality signal an ingestion
+    * pipeline alerts on). Row-rule counters are ADDITIVE, so the summed
+    * log equals the batch report over all data ever ingested — gate
+    * d-style provable. Returns the query plus a reader of the log. */
+  def ruleMonitor(stream: DataFrame,
+                  rules: Seq[(String, org.apache.spark.sql.Column)])
+      : (StreamingQuery, () => Seq[(Long, String, Long, Long)]) = {
+    require(rules.nonEmpty, "at least one rule")
+    val log = new scala.collection.mutable.ArrayBuffer[
+      (Long, String, Long, Long)]
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        val aggs = rules.map { case (_, p) =>
+          sum(when(p, 1L).otherwise(0L)) } :+ count(lit(1))
+        val r = batch.toDF().agg(aggs.head, aggs.tail: _*).head() // 1 row
+        val total = r.getLong(rules.size)
+        log.synchronized {
+          rules.zipWithIndex.foreach { case ((n, _), i) =>
+            log += ((epoch, n, if (r.isNullAt(i)) 0L else r.getLong(i),
+              total))
+          }
+        }
+        ()
+      }
+      .start()
+    (q, () => log.synchronized(log.toSeq))
+  }
+
   /** Tumbling (slide = duration) or HOPPING (slide < duration) watermarked
     * window aggregate — the streaming twin of
     * [[graft.ops.EventOps.hopping]]: the same window() Expand replicates
