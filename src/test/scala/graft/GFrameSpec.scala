@@ -372,4 +372,41 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(j.toDF.orderBy("id").collect().map(_.toSeq.toSeq).toSeq
       == Seq(Seq(1L, "x", 9.0), Seq(2L, "y", null)))
   }
+
+  test("applyChanges: delete removes, update replaces, insert adds, " +
+    "I-on-existing upserts, D-on-missing is a no-op") {
+    val snap = GFrame.fromDF(
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "v"), "id")
+    val changes = Seq(
+      (1L, 0.0, "D"),    // delete existing
+      (2L, 25.0, "U"),   // update existing
+      (4L, 40.0, "I"),   // insert new
+      (3L, 35.0, "I"),   // 'I' on existing key: upsert, not duplicate
+      (9L, 0.0, "D")     // delete of a missing key: no-op
+    ).toDF("id", "v", "op")
+    val out = snap.applyChanges(changes, "id", "op")
+      .toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((2L, 25.0), (3L, 35.0), (4L, 40.0)))
+  }
+
+  test("mannWhitney matches the naive all-pairs U and pandas-style z " +
+    "on a hand corpus with ties") {
+    // A = [1, 2, 2, 5], B = [2, 3, 3]
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 2.0), ("A", 5.0),
+      ("B", 2.0), ("B", 3.0), ("B", 3.0)).toDF("g", "v")
+    val r = GFrame.fromDF(df, "g").mannWhitney("g", "v", "A", "B")
+      .toDF.head()
+    Caches.clear()
+    // naive U1 = #(a>b) + 0.5*#(a=b) over all 12 pairs:
+    // a=1: 0; a=2 (x2): each 0.5 (ties with one b=2) => 1.0;
+    // a=5: 3 => U1 = 4.0
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(math.abs(r.getDouble(2) - 4.0) < 1e-12)
+    // mu = 6, ties: t(2)=3 -> 24, t(3)=2 -> 6, t(1)=1,5 -> 0 => 30
+    // sig2 = 12/12 * (8 - 30/(7*6)) = 8 - 5/7
+    val sig2 = 8.0 - 30.0 / 42.0
+    val z = (4.0 - 6.0) / math.sqrt(sig2)
+    assert(math.abs(r.getDouble(3) - math.floor(z * 1e6 + 0.5) / 1e6)
+      < 1e-9)
+  }
 }

@@ -205,4 +205,54 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(dist.except(global).count() == 0 && global.except(dist).count() == 0)
     Caches.clear()
   }
+
+  test("dbscan: cores/borders/noise on a hand graph (minPts = 3)") {
+    // 1-2-3-4 chain plus 2-4: {1,2,3,4} with degrees 1,3,2,3;
+    // 5-6 isolated pair; 7 no edges at all.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (5L, 6L))
+      .toDF("id1", "id2")
+    val ids = (1L to 7L).toDF("id")
+    val out = GraphOps.dbscan(pairs, ids, "id", minPts = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    Caches.clear()
+    // cores: deg+1 >= 3 -> 2 (deg 3), 3 (deg 2), 4 (deg 3); component
+    // min id = 2; border: 1 (neighbor of core 2); noise: 5, 6, 7.
+    assert(out.toSeq == Seq(
+      (1L, 2L, "border"), (2L, 2L, "core"), (3L, 2L, "core"),
+      (4L, 2L, "core"), (5L, -1L, "noise"), (6L, -1L, "noise"),
+      (7L, -1L, "noise")))
+  }
+
+  test("dbscan: isolated core (all-border neighborhood) roots itself") {
+    // star: 10 connected to 11, 12 (degrees: 10 -> 2; 11, 12 -> 1).
+    // minPts = 3: only 10 is core, with NO core neighbor.
+    val pairs = Seq((10L, 11L), (10L, 12L)).toDF("id1", "id2")
+    val ids = Seq(10L, 11L, 12L).toDF("id")
+    val out = GraphOps.dbscan(pairs, ids, "id", minPts = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    Caches.clear()
+    assert(out.toSeq == Seq((10L, 10L, "core"), (11L, 10L, "border"),
+      (12L, 10L, "border")))
+  }
+
+  test("scd2Compress: runs compress, validity tiles the key's timeline") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(1), 1L, "a"), (1L, ts(2), 2L, "a"), (1L, ts(3), 3L, "b"),
+      (1L, ts(4), 4L, "b"), (1L, ts(5), 5L, "a"),
+      (2L, ts(1), 6L, "x")
+    ).toDF("k", "t", "tie", "attr")
+    val out = graft.ops.EventOps.scd2Compress(ev, "k", "t", "attr", "tie")
+      .orderBy("k", "version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1, "a", ts(1), Some(ts(3)), false),
+      (1L, 2, "b", ts(3), Some(ts(5)), false),
+      (1L, 3, "a", ts(5), None, true),
+      (2L, 1, "x", ts(1), None, true)))
+  }
 }
