@@ -253,18 +253,25 @@ object FrameQueries {
     // prune to the l_returnflag=A directory (partition pruning on the
     // written layout), and the values must round-trip parquet bit-exactly.
     "f20_write_roundtrip" -> ((s, d) => {
-      val out = "/tmp/graft_f20_roundtrip"
+      // unique per-invocation dir (the d18 rule: concurrent runs on one
+      // machine must not clobber each other's layout mid-query)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_f20_roundtrip").toString
       graft.sources.Sources.writePartitioned(
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_returnflag",
             "l_linestatus", "l_quantity"),
         out, Seq("l_returnflag"))
-      s.read.parquet(out)
+      val res = s.read.parquet(out)
         .filter(col("l_returnflag") === "A")
         .groupBy("l_linestatus")
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 2).as("qty"))
         .orderBy("l_linestatus")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
     }),
 
     // Z-ORDER clustered sink under the hash gate: write lineitem sorted
@@ -274,18 +281,23 @@ object FrameQueries {
     // bit-exactly while the written row groups carry tight min/max on
     // BOTH keys (the multi-column data-skipping layout at 100 TB).
     "f39_zorder_roundtrip" -> ((s, d) => {
-      val out = "/tmp/graft_f39_zorder"
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_f39_zorder").toString
       graft.sources.Sources.writeZOrdered(
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
             "l_quantity"),
         out, col("l_partkey"), col("l_suppkey"))
-      s.read.parquet(out)
+      val res = s.read.parquet(out)
         .filter(col("l_partkey").between(100, 300)
           && col("l_suppkey").between(10, 60))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), round(col("l_quantity"), 2).as("qty"))
         .orderBy("l_orderkey", "l_linenumber")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
     }),
 
     // pandas groupby().transform(): per-nation mean/std broadcast back
