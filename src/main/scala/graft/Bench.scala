@@ -8,7 +8,7 @@ object Bench {
   // as query slowdowns.
   private val buildDominated =
     Set("f27_bucketed_join", "v04_ivf_persist", "v08_ivf_append",
-      "v12_pq") // PQ: 8×16 codebook training + encode per invocation
+      "v12_pq", "v13_ivf_pq") // PQ family: codebook training + encode
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both

@@ -671,6 +671,62 @@ object SimilarityOps {
       .select(col("qid"), col("rk"), col("nid"), col("adc"))
   }
 
+  /** IVF-PQ — the FAISS workhorse index, composed from the two pieces
+    * this engine already carries: the coarse spherical-k-means cluster
+    * bounding of [[ivfSearch]] (each query meets only its `nProbe`
+    * probed clusters' postings) with [[pqSearch]]'s 4-byte codes +
+    * per-query LUT scoring the survivors (candidates never touch raw
+    * vectors). One corpus pass emits BOTH the coarse assignment and the
+    * PQ codes; the candidate join is the v03 cluster equi-join; the ADC
+    * explode runs AFTER candidate bounding, so it fans out nProbe-sized
+    * candidate sets, not the corpus. With `grid` set the entire double
+    * recurrence — coarse k-means, codebooks, LUT, ADC — is exact on the
+    * dyadic grid and the composed index hash-matches its DuckDB
+    * replay. */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, nClusters: Int = 16,
+                  nProbe: Int = 4, m: Int = 8, codebook: Int = 16,
+                  kmeansIters: Int = 3,
+                  grid: Option[Double] = None): DataFrame = {
+    val dim = corpus.select(size(col(vecCol).cast("array<double>")))
+      .head().getInt(0) // 1-row dim probe
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val v = graft.Caches.track(
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val coarse = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
+    val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
+    val codeCols = (0 until m).map(s =>
+      pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s)))
+    // ONE corpus pass: coarse cluster + all m codes
+    val posts = assignToCentroids(v, coarse)
+      .select(col("id").as("nid"), col("cluster"),
+        array(codeCols: _*).as("codes"))
+    val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
+    val probed = probeClusters(q0, coarse, nProbe)
+    val lutStructs = for {
+      s <- 0 until m
+      j <- 0 until codebook
+    } yield struct(lit(s).as("s"), lit(j).as("code"),
+      graft.functions.DotProduct.dotNative(
+        slice(col("qe"), s * subDim + 1, subDim),
+        array(books(s)(j).map(lit).toIndexedSeq: _*)).as("v"))
+    val lut = q0.select(col("qid"), explode(array(lutStructs: _*)).as("x"))
+      .select(col("qid"), col("x.s").as("s"), col("x.code").as("code"),
+        col("x.v").as("v"))
+    posts.join(broadcast(probed.select("qid", "cluster")), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), posexplode(col("codes")))
+      .toDF("qid", "nid", "s", "code")
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy("qid", "nid").agg(sum(col("v")).as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("adc"))
+  }
+
   /** Uncentered top principal component (dominant eigenvector of the
     * second-moment matrix G = (1/n)·Σ x xᵀ) by power iteration — the
     * embedding-space "main axis" a corpus datasheet or whitening pass

@@ -200,6 +200,19 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // IVF-PQ — the composed FAISS workhorse: v03's coarse cluster
+    // bounding (queries meet only nProbe probed clusters) + v12's
+    // 4-byte codes scored through the broadcast per-query LUT. One
+    // corpus pass emits both coarse assignment and codes; the ADC
+    // explode fans out candidates, not the corpus. Fully oracled.
+    "v13_ivf_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.ivfPqSearch(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4,
+        m = 8, codebook = 16, kmeansIters = 3, grid = Some(Grid))
+        .orderBy("qid", "rk")
+    }),
+
     // Uncentered top principal component by power iteration: ONE
     // dim²-bounded Gram aggregation + driver-side power steps, then a
     // codegen'd projection dot per vector. Grid-snapped inputs +
@@ -438,7 +451,9 @@ object SimilarityQueries {
          FROM p ORDER BY l1, l2""",
     "v11_pca" -> pcaOracle(dim = 64, iters = 8, g = Grid),
     "v12_pq" -> pqOracle(m = 8, codebook = 16, iters = 3, subDim = 8,
-      topK = 5, g = Grid)
+      topK = 5, g = Grid),
+    "v13_ivf_pq" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,
+      codebook = 16, iters = 3, subDim = 8, topK = 5, g = Grid)
   )
 
   /** DuckDB replay of grid-portable PQ-ADC: per subspace, the Euclidean
@@ -448,9 +463,10 @@ object SimilarityQueries {
     * union across subspaces and the ADC sum joins them on (s, code).
     * Everything after the grid projection is exact, so the approximate
     * index hash-matches with no rounding grid at all. */
-  private def pqOracle(m: Int, codebook: Int, iters: Int, subDim: Int,
-                       topK: Int, g: Double): String = {
-    val gs = f"$g%.1f"
+  /** The per-subspace PQ training/encode/LUT CTE block, shared by the
+    * v12 (plain PQ) and v13 (IVF-PQ) oracle builders. */
+  private def pqSubCtes(m: Int, codebook: Int, iters: Int, subDim: Int,
+                        gs: String): String = {
     def sub(s: Int): String = {
       val lo = s * subDim + 1
       val hi = (s + 1) * subDim
@@ -488,20 +504,101 @@ object SimilarityQueries {
             list_dot_product(n.e, c.c) AS v
           FROM sub$s n, cent${s}_$iters c WHERE n.id < 10),"""
     }
+    s"""${(0 until m).map(sub).mkString}
+         codes AS (${(0 until m).map(s => s"SELECT * FROM codes$s")
+      .mkString(" UNION ALL ")}),
+         lut AS (${(0 until m).map(s => s"SELECT * FROM lut$s")
+      .mkString(" UNION ALL ")}),"""
+  }
+
+  /** DuckDB replay of grid-portable PQ-ADC (see [[pqSubCtes]]). */
+  private def pqOracle(m: Int, codebook: Int, iters: Int, subDim: Int,
+                       topK: Int, g: Double): String = {
+    val gs = f"$g%.1f"
     s"""WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
              FROM embeddings),
          nrm AS (SELECT id,
              list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs) AS e
            FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
                  FROM v0)),
-         ${(0 until m).map(sub).mkString}
-         codes AS (${(0 until m).map(s => s"SELECT * FROM codes$s")
-      .mkString(" UNION ALL ")}),
-         lut AS (${(0 until m).map(s => s"SELECT * FROM lut$s")
-      .mkString(" UNION ALL ")}),
+         ${pqSubCtes(m, codebook, iters, subDim, gs)}
          sc AS (SELECT l.qid, o.nid, sum(l.v) AS adc
            FROM codes o JOIN lut l ON o.s = l.s AND o.code = l.code
            WHERE o.nid <> l.qid GROUP BY 1, 2),
+         ranked AS (SELECT qid,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY adc DESC, nid ASC) AS INTEGER) AS rk,
+             nid, adc
+           FROM sc)
+         SELECT qid, rk, nid, adc FROM ranked WHERE rk <= $topK
+         ORDER BY qid, rk"""
+  }
+
+  /** DuckDB replay of grid-portable IVF-PQ: the v03 coarse spherical
+    * k-means unrolled (ccent CTEs — mean → grid → renormalize → grid,
+    * ties → larger cluster on assignment / smaller on probe) bounds the
+    * candidates; the shared [[pqSubCtes]] block trains codebooks,
+    * encodes, and builds the LUT; ADC sums close over candidates only.
+    * Entirely exact on the grid — no rounding anywhere. */
+  private def ivfPqOracle(nClusters: Int, nProbe: Int, m: Int,
+                          codebook: Int, iters: Int, subDim: Int,
+                          topK: Int, g: Double): String = {
+    val gs = f"$g%.1f"
+    val dim = m * subDim
+    def coarseIter(i: Int) = s"""
+        casg$i AS (SELECT id, e, cluster FROM (
+            SELECT n.id, n.e, c.cluster,
+              row_number() OVER (PARTITION BY n.id
+                ORDER BY list_dot_product(n.e, c.c) DESC,
+                  c.cluster DESC) AS rn
+            FROM nrm n, ccent$i c) WHERE rn = 1),
+        cavg$i AS (SELECT a.cluster, g.i - 1 AS pos,
+            floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS mn
+          FROM casg$i a, generate_series(1, $dim) g(i) GROUP BY 1, 2),
+        craw$i AS (SELECT p.cluster, coalesce(u.c, p.c) AS c
+          FROM ccent$i p LEFT JOIN (
+            SELECT cluster, list(mn ORDER BY pos) AS c
+            FROM cavg$i GROUP BY 1) u USING (cluster)),
+        ccent${i + 1} AS (SELECT r.cluster,
+            CASE WHEN n.nn = 0 THEN r.c
+              ELSE list_transform(r.c,
+                x -> floor(x / n.nn * $gs + 0.5) / $gs) END AS c
+          FROM craw$i r JOIN (
+            SELECT cluster, sqrt(sum(x * x)) AS nn
+            FROM (SELECT cluster, unnest(c) AS x FROM craw$i)
+            GROUP BY 1) n USING (cluster)),"""
+    s"""WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+         nrm AS (SELECT id,
+             list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+           FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
+                 FROM v0)),
+         ccent0 AS (
+           SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
+               AS cluster, e AS c
+           FROM (SELECT id, e FROM nrm ORDER BY id LIMIT $nClusters)),
+         ${(0 until iters).map(coarseIter).mkString}
+         posting AS (SELECT id AS nid, cluster FROM (
+             SELECT n.id, c.cluster,
+               row_number() OVER (PARTITION BY n.id
+                 ORDER BY list_dot_product(n.e, c.c) DESC,
+                   c.cluster DESC) AS rn
+             FROM nrm n, ccent$iters c) WHERE rn = 1),
+         probe AS (SELECT qid, cluster FROM (
+             SELECT n.id AS qid, c.cluster,
+               row_number() OVER (PARTITION BY n.id
+                 ORDER BY list_dot_product(n.e, c.c) DESC,
+                   c.cluster ASC) AS crk
+             FROM nrm n, ccent$iters c WHERE n.id < 10)
+           WHERE crk <= $nProbe),
+         cand AS (SELECT p.qid, o.nid
+           FROM posting o JOIN probe p USING (cluster)
+           WHERE o.nid <> p.qid),
+         ${pqSubCtes(m, codebook, iters, subDim, gs)}
+         sc AS (SELECT c.qid, c.nid, sum(l.v) AS adc
+           FROM cand c JOIN codes o ON o.nid = c.nid
+           JOIN lut l ON l.qid = c.qid AND l.s = o.s AND l.code = o.code
+           GROUP BY 1, 2),
          ranked AS (SELECT qid,
              CAST(row_number() OVER (PARTITION BY qid
                ORDER BY adc DESC, nid ASC) AS INTEGER) AS rk,

@@ -222,6 +222,9 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     val pq = SimilarityOps.pqSearch(e, q, "vec_id", "embedding", 5,
         m = 8, codebook = 16, kmeansIters = 3)
       .select("qid", "nid").collect().map(_.toSeq).toSet
+    val ivfpq = SimilarityOps.ivfPqSearch(e, q, "vec_id", "embedding", 5,
+        nClusters = 16, nProbe = 4, m = 8, codebook = 16, kmeansIters = 3)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
     val lshRecall = (exact & lsh).size.toDouble / exact.size
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
     val sqRecall = (exact & ivfsq).size.toDouble / exact.size
@@ -232,10 +235,14 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     info(f"v12 PQ-ADC fixture recall: $pqRecall%.3f (8 x 16 codebooks; " +
       "4-byte codes - 64x compression, recall is the traded quantity " +
       "on these uniform-random vectors)")
+    val ivfpqRecall = (exact & ivfpq).size.toDouble / exact.size
+    info(f"v13 IVF-PQ fixture recall: $ivfpqRecall%.3f (16 clusters, " +
+      "nprobe 4, same codebooks as v12 - bounded by both stages)")
     assert(lshRecall >= 0.8, s"v02 LSH recall $lshRecall below 0.8")
     assert(ivfRecall >= 0.8, s"v03 IVF recall $ivfRecall below 0.8")
     assert(sqRecall >= 0.8, s"v10 IVF-SQ8 recall $sqRecall below 0.8")
     assert(pqRecall >= 0.2, s"v12 PQ recall $pqRecall below 0.2")
+    assert(ivfpqRecall >= 0.1, s"v13 IVF-PQ recall $ivfpqRecall below 0.1")
   }
 
   test("sq quantization: codes on-grid, reconstruction within step/2, " +
