@@ -89,6 +89,43 @@ object EventQueries {
       EventOps.activeUsers(ev(s, d), "user_id", "ts")
         .orderBy("ws")),
 
+    // STREAMING SCD2 under the hash gate: the full fixture replays
+    // through scd2Stream (events buffer per user under the watermark;
+    // each advance finalizes the strictly-older prefix in (ts, id)
+    // order, closing runs exactly like the batch operator); output =
+    // the batch e36 answer restricted to CLOSED versions (the open
+    // tails live in state, unemittable by an append stream).
+    "e39_stream_scd2" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = ev(s, d)
+        .select("user_id", "event_id", "ts", "event_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val name = s"graft_e39_${System.nanoTime()}"
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps
+          .scd2Stream(input.toDF()
+            .toDF("user_id", "event_id", "ts", "event_type"), "0 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          input.addData((-1L, -1L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "x"),
+            (-1L, -2L,
+            java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), "x"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(name).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("version"),
+          col("attr").as("event_type"), col("valid_from"), col("valid_to"))
+        .orderBy("user_id", "version")
+    }),
+
     // STREAMING data-quality monitor: per-micro-batch fused rule counts
     // (the f52 row-rule shape through foreachBatch); row-rule counters
     // are ADDITIVE, so the two-epoch log summed per rule hash-matches
@@ -807,6 +844,25 @@ object EventQueries {
            CAST(sum(CASE WHEN h = fh THEN 1 ELSE 0 END) AS BIGINT)
              AS new_users
          FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""",
+    // e39: e36's batch recurrence restricted to CLOSED versions.
+    "e39_stream_scd2" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER w AS prev,
+             lag(event_id) OVER w AS prev_tie
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         c AS (SELECT user_id, ts, event_id, event_type FROM o
+           WHERE prev_tie IS NULL
+             OR event_type IS DISTINCT FROM prev),
+         v AS (SELECT user_id,
+             CAST(row_number() OVER w2 AS INTEGER) AS version,
+             event_type, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to
+           FROM c
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+         SELECT user_id, version, event_type, valid_from, valid_to
+         FROM v WHERE valid_to IS NOT NULL
+         ORDER BY user_id, version""",
     "e38_stream_expectations" ->
       """WITH r AS (
            SELECT 'value_negative' AS rule,

@@ -224,6 +224,81 @@ object StreamOps {
   final case class EmaState(buffer: Seq[PendingEvent], pn: Double,
                             pd: Double, seen: Boolean)
 
+  /** One CLOSED SCD2 version out: the run's attribute and its
+    * `[valid_from, valid_to)` validity. The open tail is state, never
+    * output — it closes (and emits) when a later finalized event changes
+    * the attribute. */
+  final case class Scd2Update(user_id: Long, version: Int, attr: String,
+                              valid_from: Timestamp, valid_to: Timestamp)
+
+  /** A buffered attribute event not yet provably final. */
+  final case class PendingAttr(tsUs: Long, eventId: Long, attr: String)
+
+  /** Per-key SCD2 state: the pending buffer + the OPEN run (attribute,
+    * start, version counter) over everything already finalized — O(1)
+    * per key forever; the buffer is bounded by the watermark delay. */
+  final case class Scd2State(buffer: Seq[PendingAttr], open: Boolean,
+                             curAttr: String, curFromUs: Long,
+                             version: Int)
+
+  /** STREAMING SCD2 change-compression — the continuous twin of
+    * [[graft.ops.EventOps.scd2Compress]]: per key, finalized events (in
+    * event-time order, tie-broken by event id) extend or close the open
+    * attribute run; every CLOSE emits one Type-2 history row. Events
+    * buffer under the watermark exactly like [[ewmStream]] (an
+    * admitted-late event may still sort before anything the watermark
+    * has not passed), so out-of-order arrival cannot mis-order runs.
+    * Emitted rows equal the batch operator's CLOSED versions on the
+    * same data — the e39 gate's hash contract. Attributes are compared
+    * as non-null strings (spell a null as a sentinel upstream). */
+  def scd2Stream(events: DataFrame,
+                 watermarkDelay: String): Dataset[Scd2Update] = {
+    implicit val updEnc = Encoders.product[Scd2Update]
+    implicit val stEnc = Encoders.product[Scd2State]
+    implicit val rowEnc =
+      Encoders.product[(Long, Long, Timestamp, String)]
+    implicit val keyEnc = Encoders.scalaLong
+
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("event_type").cast("string"))
+      .as[(Long, Long, Timestamp, String)]
+
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long, rows: Iterator[(Long, Long, Timestamp, String)],
+       state: GroupState[Scd2State]) =>
+        val st0 = state.getOption.getOrElse(
+          Scd2State(Seq.empty, open = false, "", 0L, 0))
+        val buf = st0.buffer ++ rows.map(r =>
+          PendingAttr(toMicros(r._3), r._2, r._4))
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (fin, pending) = buf.sortBy(e => (e.tsUs, e.eventId))
+          .partition(_.tsUs < wmUs)
+        var open = st0.open
+        var cur = st0.curAttr
+        var from = st0.curFromUs
+        var ver = st0.version
+        val out = scala.collection.mutable.Buffer.empty[Scd2Update]
+        fin.foreach { e =>
+          if (!open) { open = true; cur = e.attr; from = e.tsUs; ver = 1 }
+          else if (e.attr != cur) {
+            out += Scd2Update(user, ver, cur, fromMicros(from),
+              fromMicros(e.tsUs))
+            cur = e.attr; from = e.tsUs; ver += 1
+          }
+        }
+        state.update(Scd2State(pending, open, cur, from, ver))
+        if (pending.nonEmpty) {
+          val horizonMs = (pending.map(_.tsUs).min + 999L) / 1000L
+          state.setTimeoutTimestamp(
+            math.max(horizonMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.iterator
+    }
+  }
+
   /** One finalized LEFT event out, with the latest right-side value
     * at-or-before it (null if no right event preceded it yet). */
   final case class AsofUpdate(user_id: Long, event_id: Long, ts: Timestamp,

@@ -155,6 +155,8 @@ class CollectLintSpec extends AnyFunSuite {
         "streaming rule monitor: 1-row fused aggregate per epoch"),
     "EventQueries.scala" -> Map(
       ".collect()" -> "MemoryStream replay feed (gate harness)",
+      ".select(\"user_id\", \"event_id\", \"ts\", \"event_type\").collect()" ->
+        "MemoryStream replay feed (gate harness)",
       ".select(\"event_id\", \"user_id\", \"value\").collect()" ->
         "MemoryStream replay feed (gate harness)",
       ".select(\"user_id\", \"event_id\", \"ts\", \"value\").collect()" ->
