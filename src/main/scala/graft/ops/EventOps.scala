@@ -615,6 +615,45 @@ object EventOps {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** Weight of Evidence / Information Value per category of a feature
+    * against a binary label — the standard supervised-binning
+    * diagnostic for feature engineering (`woe = ln((posᵢ/POS)/(negᵢ/
+    * NEG))`, `IV = Σ (posᵢ/POS − negᵢ/NEG)·woeᵢ`). Plan shape mirrors
+    * [[chiSquare]]: ONE partial+final count aggregation collapses the
+    * data to the |bins| frame; the global pos/neg totals close as a
+    * 1-row probe; IV totals exact 1e-6-unit BIGINTs over the bounded
+    * frame (order-free) and divides once.
+    *
+    * Determinism: the woe argument is one ratio of exact integers
+    * (`(posᵢ·NEG)/(negᵢ·POS)` in a fixed association), so ln() replays
+    * bit-identically; woe and the IV terms round to the 6dp floor grid.
+    * Bins where either class count is zero get null woe and contribute
+    * nothing to IV (the usual library behavior — re-bin upstream). */
+  def woeIv(df: DataFrame, binCol: String, labelCol: Column): DataFrame = {
+    val bins = graft.Caches.track(
+      df.groupBy(col(binCol).as("bin"))
+        .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos"),
+          sum(when(labelCol, 0L).otherwise(1L)).as("neg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val t = bins.agg(sum(col("pos")), sum(col("neg"))).head() // 1-row
+    val posT = t.getLong(0)
+    val negT = t.getLong(1)
+    require(posT > 0 && negT > 0, "woeIv needs both classes present")
+    val woe = log((col("pos").cast("double") * lit(negT.toDouble)) /
+      (col("neg").cast("double") * lit(posT.toDouble)))
+    val scored = bins
+      .withColumn("woe6", when(col("pos") > 0 && col("neg") > 0,
+        graft.ops.TextOps.round6(woe)))
+      .withColumn("__ivu", when(col("woe6").isNotNull,
+        floor((col("pos").cast("double") / lit(posT.toDouble)
+          - col("neg").cast("double") / lit(negT.toDouble))
+          * col("woe6") * 1e6 + 0.5).cast("long")).otherwise(0L))
+    val ivTotal = scored.agg(sum(col("__ivu"))).head().getLong(0) // 1-row
+    scored.select(col("bin"), col("pos"), col("neg"), col("woe6"),
+      (col("__ivu").cast("double") / 1e6).as("iv6"),
+      lit(ivTotal.toDouble / 1e6).as("iv_total"))
+  }
+
   /** Pearson chi-squared test of independence between two categorical
     * columns (e.g. event type × hour-of-day): the contingency table with
     * expected counts and per-cell contributions, plus the closing χ²

@@ -484,6 +484,17 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // Weight-of-Evidence / Information Value of quantity deciles vs the
+    // returned flag: one bounded bin aggregate, exact-integer ln()
+    // argument, IV as an order-free micro-unit BIGINT total (the e37
+    // discipline for the classic supervised-binning diagnostic).
+    "f55_woe_iv" -> ((s, d) =>
+      graft.ops.EventOps.woeIv(
+        Tables.lineitem(s, d)
+          .withColumn("qbin", floor(col("l_quantity") / 10).cast("long")),
+        "qbin", col("l_returnflag") === "R")
+        .orderBy("bin")),
+
     // CDC batch applied to a snapshot (warehouse MERGE): deletes drop,
     // updates replace, inserts add — ONE anti-join + ONE union; the
     // change batch is synthesized deterministically from the snapshot.
@@ -939,6 +950,33 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    "f55_woe_iv" ->
+      """WITH b AS (SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bin,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+               AS BIGINT) AS neg
+           FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(pos) AS BIGINT) AS post,
+             CAST(sum(neg) AS BIGINT) AS negt FROM b),
+         w AS (SELECT bin, pos, neg,
+             CASE WHEN pos > 0 AND neg > 0 THEN
+               floor(ln((CAST(pos AS DOUBLE) * negt)
+                 / (CAST(neg AS DOUBLE) * post)) * 1e6 + 0.5) / 1e6
+             END AS woe6,
+             post, negt
+           FROM b CROSS JOIN t),
+         u AS (SELECT bin, pos, neg, woe6,
+             CASE WHEN woe6 IS NOT NULL THEN
+               CAST(floor((CAST(pos AS DOUBLE) / post
+                 - CAST(neg AS DOUBLE) / negt) * woe6 * 1e6 + 0.5)
+                 AS BIGINT)
+             ELSE 0 END AS ivu
+           FROM w),
+         s AS (SELECT CAST(sum(ivu) AS BIGINT) AS ivt FROM u)
+         SELECT bin, pos, neg, woe6, CAST(ivu AS DOUBLE) / 1e6 AS iv6,
+           CAST(s.ivt AS DOUBLE) / 1e6 AS iv_total
+         FROM u CROSS JOIN s ORDER BY bin""",
     "f54_cdc_apply" ->
       """WITH snap AS (SELECT c_custkey, c_acctbal, c_nationkey
            FROM customer),

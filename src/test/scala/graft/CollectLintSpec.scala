@@ -100,6 +100,10 @@ class CollectLintSpec extends AnyFunSuite {
         "chi2 grand total / category counts: 1-row aggregate",
       "val chiTotal = cells.agg(sum(col(\"__cu\"))).head().getLong(0)" ->
         "chi2 closing statistic: 1-row aggregate over the bounded cells",
+      "val t = bins.agg(sum(col(\"pos\")), sum(col(\"neg\"))).head() // 1-row" ->
+        "woe/iv class totals: 1-row aggregate over the bounded bins",
+      "val ivTotal = scored.agg(sum(col(\"__ivu\"))).head().getLong(0) // 1-row" ->
+        "IV closing statistic: 1-row aggregate over the bounded bins",
       "percentile(col(\"monetary\"), qs).as(\"mq\")).head()" ->
         "rfm quartile cuts: 9 doubles, 1 row"),
     "TextOps.scala" -> Map(
