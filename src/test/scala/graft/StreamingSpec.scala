@@ -366,4 +366,39 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       assert(rows == Seq(Seq(10L, 1L, "gold"), Seq(11L, 2L, "silver")))
     } finally q.stop()
   }
+
+  test("scd2Stream: out-of-order multi-batch arrival closes the same " +
+    "runs as the batch operator") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 in EVENT time: a@0, a@5, b@10, b@15, a@20 — runs a|b|a.
+    // Arrival is shuffled ACROSS batches: the late a@5 and b@10 arrive
+    // after a@20, inside the 2h admitted-lateness window.
+    val input = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = StreamOps.scd2Stream(
+      input.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+      "2 hours")
+      .writeStream.format("memory").queryName("scd2_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, ts(0), "a"), (1L, 4L, ts(15), "b"))
+      q.processAllAvailable()
+      input.addData((1L, 5L, ts(20), "a"), (1L, 3L, ts(10), "b"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, ts(5), "a"))
+      q.processAllAvailable()
+      // flush: advance the watermark far past every buffered event
+      input.addData((2L, 9L, Timestamp.valueOf("2024-01-02 10:00:00"), "x"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT version, attr, valid_from, valid_to FROM scd2_ooo
+           WHERE user_id = 1 ORDER BY version""").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getTimestamp(2),
+          r.getTimestamp(3)))
+      // closed runs only: a [0,10), b [10,20); the trailing a run stays
+      // open in state (append mode cannot emit it)
+      assert(rows.toSeq == Seq(
+        (1, "a", ts(0), ts(10)),
+        (2, "b", ts(10), ts(20))))
+    } finally q.stop()
+  }
 }
