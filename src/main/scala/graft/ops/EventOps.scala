@@ -615,6 +615,37 @@ object EventOps {
         col("valid_from"), col("valid_to"), col("is_current"))
   }
 
+  /** Two-proportion z-test (the A/B conversion test): variant and
+    * conversion are boolean columns over any per-subject frame; ONE
+    * partial+final aggregate closes both groups' counts and the z /
+    * lift close as pure projections over the 1-row frame — no joins,
+    * no probes, no data-sized anything after the aggregate.
+    *
+    * Determinism: proportions and the pooled standard error derive from
+    * exact integer counts through a FIXED association
+    * (`(p̂(1−p̂))·(1/n₁+1/n₂)` — each factor one division), so z is
+    * bit-identical in any engine before the 6dp floor grid. */
+  def abTest(df: DataFrame, variantCol: Column,
+             convCol: Column): DataFrame = {
+    val agg = df.agg(
+      sum(when(variantCol, 1L).otherwise(0L)).as("n1"),
+      sum(when(variantCol && convCol, 1L).otherwise(0L)).as("c1"),
+      sum(when(!variantCol, 1L).otherwise(0L)).as("n2"),
+      sum(when(!variantCol && convCol, 1L).otherwise(0L)).as("c2"))
+    val p1 = col("c1").cast("double") / col("n1").cast("double")
+    val p2 = col("c2").cast("double") / col("n2").cast("double")
+    val pool = (col("c1") + col("c2")).cast("double") /
+      (col("n1") + col("n2")).cast("double")
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / col("n1").cast("double")
+        + lit(1.0) / col("n2").cast("double")))
+    agg.select(col("n1"), col("c1"), col("n2"), col("c2"),
+      graft.ops.TextOps.round6(p1).as("p1_6"),
+      graft.ops.TextOps.round6(p2).as("p2_6"),
+      graft.ops.TextOps.round6((p1 - p2) / se).as("z6"),
+      graft.ops.TextOps.round6(p1 / p2).as("lift6"))
+  }
+
   /** Weight of Evidence / Information Value per category of a feature
     * against a binary label — the standard supervised-binning
     * diagnostic for feature engineering (`woe = ln((posᵢ/POS)/(negᵢ/

@@ -89,6 +89,21 @@ object EventQueries {
       EventOps.activeUsers(ev(s, d), "user_id", "ts")
         .orderBy("ws")),
 
+    // A/B two-proportion z-test: even/odd user cohorts, conversion =
+    // at-least-one purchase above 150 (non-degenerate at every fixture
+    // scale: a rate of exactly 0 or 1 in either cohort makes the pooled
+    // standard error 0 and the z undefined); one per-user aggregate,
+    // one closing aggregate, z/lift as pure projections over exact
+    // integer counts.
+    "e40_ab_test" -> ((s, d) => {
+      val perUser = ev(s, d).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase"
+            && col("value") > 150.0, 1L)
+          .otherwise(0L)).as("conv"))
+      EventOps.abTest(perUser,
+        pmod(col("user_id"), lit(2)) === 0, col("conv") === 1L)
+    }),
+
     // STREAMING SCD2 under the hash gate: the full fixture replays
     // through scd2Stream (events buffer per user under the watermark;
     // each advance finalizes the strictly-older prefix in (ts, id)
@@ -844,6 +859,32 @@ object EventQueries {
            CAST(sum(CASE WHEN h = fh THEN 1 ELSE 0 END) AS BIGINT)
              AS new_users
          FROM a JOIN f USING (user_id) GROUP BY 1 ORDER BY 1""",
+    "e40_ab_test" ->
+      """WITH u AS (SELECT user_id, user_id % 2 = 0 AS va,
+             CAST(max(CASE WHEN event_type = 'purchase'
+                 AND value > CAST(150.0 AS DOUBLE) THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv
+           FROM events GROUP BY user_id),
+         s AS (SELECT
+             CAST(sum(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN va AND conv = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(sum(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             CAST(sum(CASE WHEN NOT va AND conv = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c2
+           FROM u)
+         SELECT n1, c1, n2, c2,
+           floor(CAST(c1 AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6 AS p1_6,
+           floor(CAST(c2 AS DOUBLE) / n2 * 1e6 + 0.5) / 1e6 AS p2_6,
+           floor((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+             / sqrt(CAST(c1 + c2 AS DOUBLE) / (n1 + n2)
+               * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+               * (CAST(1.0 AS DOUBLE) / n1 + CAST(1.0 AS DOUBLE) / n2))
+             * 1e6 + 0.5) / 1e6 AS z6,
+           floor((CAST(c1 AS DOUBLE) / n1) / (CAST(c2 AS DOUBLE) / n2)
+             * 1e6 + 0.5) / 1e6 AS lift6
+         FROM s""",
     // e39: e36's batch recurrence restricted to CLOSED versions.
     "e39_stream_scd2" ->
       """WITH o AS (SELECT user_id, ts, event_id, event_type,

@@ -42,6 +42,31 @@ object PipelineQueries {
           TextOps.tokenCount(col("text")), budget = 512L, shards = 8)
         .orderBy("doc_id")),
 
+    // Split-leakage audit: the p01 md5 split composed with d09's
+    // contamination core — how many val/test docs are ≥80% shingle-
+    // contained in SOME train doc (the leak every decontamination pass
+    // exists to stop; the fixture's planted near-dups leak across the
+    // hash split by construction, so the rates are non-trivial).
+    "p13_split_leakage" -> ((s, d) => {
+      val split = PipelineOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val train = split.filter(col("split") === "train")
+      val eval_ = split.filter(col("split") =!= "train")
+      val leaked = graft.ops.DedupOps
+        .ngramContamination(train, eval_, "doc_id", "text", n = 3)
+        .filter(col("containment") >= 0.8)
+        .select(col("bench_id")).distinct()
+        .withColumn("__leak", lit(1L))
+      eval_.select(col("doc_id").as("bench_id"), col("split"))
+        .join(leaked, Seq("bench_id"), "left")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__leak"), lit(0L))).as("n_leaked"))
+        .withColumn("leak_rate6", TextOps.round6(
+          col("n_leaked").cast("double") / col("n_docs").cast("double")))
+        .orderBy("split")
+    }),
+
     // Token-budget mixture: per-source keep rates derived from TOKEN
     // totals (rate = min(1, budget*share / avail)), applied as the p04
     // md5 threshold; src1's share saturates (rate 1), src0 samples
@@ -154,6 +179,41 @@ object PipelineQueries {
     // DuckDB DECIMAL arithmetic (exact 200.00) where the Spark side
     // computes 20000·0.01 in doubles (200.00000000000003); the rate and
     // its 16-bit threshold must come from the IDENTICAL double.
+    // p13: the p01 split CASE + d09's shingle-containment core, closed
+    // per split; the containment threshold compares the same exact
+    // integer-count division on both sides.
+    "p13_split_leakage" ->
+      s"""WITH sp AS (SELECT doc_id, text, CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+               THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+               THEN 'val'
+             ELSE 'test' END AS split
+           FROM documents),
+         toks AS (SELECT doc_id, split, $Toks AS ws FROM sp),
+         sh AS (SELECT DISTINCT doc_id, split,
+             ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS sh
+           FROM toks, LATERAL unnest(range(1, len(ws)-1)) AS u(i)),
+         b AS (SELECT doc_id AS bench_id, sh FROM sh
+           WHERE split <> 'train'),
+         c AS (SELECT doc_id AS train_id, sh FROM sh
+           WHERE split = 'train'),
+         bs AS (SELECT bench_id, count(*) AS bn FROM b GROUP BY 1),
+         j AS (SELECT c.train_id, b.bench_id, count(*) AS n_shared
+           FROM c JOIN b USING (sh) GROUP BY 1, 2),
+         lk AS (SELECT DISTINCT j.bench_id
+           FROM j JOIN bs USING (bench_id)
+           WHERE CAST(j.n_shared AS DOUBLE) / bs.bn
+             >= CAST(0.8 AS DOUBLE))
+         SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN lk.bench_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_leaked,
+           floor(CAST(sum(CASE WHEN lk.bench_id IS NOT NULL THEN 1
+               ELSE 0 END) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS leak_rate6
+         FROM sp LEFT JOIN lk ON sp.doc_id = lk.bench_id
+         WHERE sp.split <> 'train'
+         GROUP BY 1 ORDER BY 1""",
     "p12_token_mixture" ->
       s"""WITH t AS (SELECT doc_id, source,
              CAST(len($Toks) AS INTEGER) AS tok,
