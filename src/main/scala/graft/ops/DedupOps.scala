@@ -850,7 +850,14 @@ object DedupOps {
           .as("sh"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    // ONE per-doc aggregation serves both the prefix-length filter (nsh)
+    // and the verification arrays
+    val sets = graft.Caches.track(
+      sh.groupBy("id")
+        .agg(sort_array(collect_list(col("sh"))).as("set"),
+          count(lit(1)).as("nsh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = sets.select(col("id"), col("nsh"))
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("sh").asc)
     val prefix = sh.join(dfreq, "sh")
@@ -863,11 +870,6 @@ object DedupOps {
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
-    val sets = graft.Caches.track(
-      sh.groupBy("id")
-        .agg(sort_array(collect_list(col("sh"))).as("set"),
-          count(lit(1)).as("nsh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     cand
       .join(sets.select(col("id").as("id1"), col("set").as("s1"),
         col("nsh").as("n1")), "id1")

@@ -639,11 +639,16 @@ object EventOps {
     val se = sqrt(pool * (lit(1.0) - pool) *
       (lit(1.0) / col("n1").cast("double")
         + lit(1.0) / col("n2").cast("double")))
+    // degenerate designs (an empty cohort, or a saturated 0%/100% pooled
+    // rate making the SE zero) yield NULL statistics, never a silently
+    // wrong floor(NaN)=0 / floor(Inf) value
     agg.select(col("n1"), col("c1"), col("n2"), col("c2"),
-      graft.ops.TextOps.round6(p1).as("p1_6"),
-      graft.ops.TextOps.round6(p2).as("p2_6"),
-      graft.ops.TextOps.round6((p1 - p2) / se).as("z6"),
-      graft.ops.TextOps.round6(p1 / p2).as("lift6"))
+      when(col("n1") > 0, graft.ops.TextOps.round6(p1)).as("p1_6"),
+      when(col("n2") > 0, graft.ops.TextOps.round6(p2)).as("p2_6"),
+      when(col("n1") > 0 && col("n2") > 0 && se > 0.0,
+        graft.ops.TextOps.round6((p1 - p2) / se)).as("z6"),
+      when(col("n1") > 0 && col("c2") > 0,
+        graft.ops.TextOps.round6(p1 / p2)).as("lift6"))
   }
 
   /** Weight of Evidence / Information Value per category of a feature

@@ -588,6 +588,23 @@ object SimilarityOps {
     books
   }
 
+  /** The per-query ADC lookup table: one row per (query, subspace,
+    * code) with `v = q_s · c_{s,code}` — |queries| × m × codebook rows,
+    * broadcast by both PQ searchers. */
+  private def pqLut(q0: DataFrame, books: Array[Array[Array[Double]]],
+                    subDim: Int): DataFrame = {
+    val lutStructs = for {
+      s <- books.indices
+      j <- books(s).indices
+    } yield struct(lit(s).as("s"), lit(j).as("code"),
+      graft.functions.DotProduct.dotNative(
+        slice(col("qe"), s * subDim + 1, subDim),
+        array(books(s)(j).map(lit).toIndexedSeq: _*)).as("v"))
+    q0.select(col("qid"), explode(array(lutStructs: _*)).as("x"))
+      .select(col("qid"), col("x.s").as("s"), col("x.code").as("code"),
+        col("x.v").as("v"))
+  }
+
   /** Nearest PQ centroid under L2: argmax of `2·x·c − ‖c‖²` (‖x‖² is
     * common) via the same greatest-of-structs compare as
     * [[assignToCentroids]] (ties → larger cluster). On grid values the
@@ -634,34 +651,14 @@ object SimilarityOps {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
     // encode: one pass, m greatest-of-structs over staged sub-slices
-    val codeCols = (0 until m).map { s =>
-      val sub = slice(col("e"), s * subDim + 1, subDim)
-      val scored = books(s).zipWithIndex.map { case (c, i) =>
-        val cl = array(c.map(lit).toIndexedSeq: _*)
-        val cc = c.map(x => x * x).sum
-        struct(
-          (graft.functions.DotProduct.dotNative(sub, cl) * 2.0 - cc)
-            .as("score"),
-          lit(i).as("cluster"))
-      }
-      greatest(scored.toIndexedSeq: _*)("cluster")
-    }
+    val codeCols = (0 until m).map(s =>
+      pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s)))
     val codes = v.select(col("id").as("nid"),
         posexplode(array(codeCols: _*)))
       .toDF("nid", "s", "code")
     // per-query LUT: |queries| × m × codebook rows, broadcast
     val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
-    val lutStructs = for {
-      s <- 0 until m
-      j <- 0 until codebook
-    } yield struct(lit(s).as("s"), lit(j).as("code"),
-      graft.functions.DotProduct.dotNative(
-        slice(col("qe"), s * subDim + 1, subDim),
-        array(books(s)(j).map(lit).toIndexedSeq: _*)).as("v"))
-    val lut = q0.select(col("qid"),
-        explode(array(lutStructs: _*)).as("x"))
-      .select(col("qid"), col("x.s").as("s"), col("x.code").as("code"),
-        col("x.v").as("v"))
+    val lut = pqLut(q0, books, subDim)
     codes.join(broadcast(lut), Seq("s", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid").agg(sum(col("v")).as("adc"))
@@ -705,16 +702,7 @@ object SimilarityOps {
         array(codeCols: _*).as("codes"))
     val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
     val probed = probeClusters(q0, coarse, nProbe)
-    val lutStructs = for {
-      s <- 0 until m
-      j <- 0 until codebook
-    } yield struct(lit(s).as("s"), lit(j).as("code"),
-      graft.functions.DotProduct.dotNative(
-        slice(col("qe"), s * subDim + 1, subDim),
-        array(books(s)(j).map(lit).toIndexedSeq: _*)).as("v"))
-    val lut = q0.select(col("qid"), explode(array(lutStructs: _*)).as("x"))
-      .select(col("qid"), col("x.s").as("s"), col("x.code").as("code"),
-        col("x.v").as("v"))
+    val lut = pqLut(q0, books, subDim)
     posts.join(broadcast(probed.select("qid", "cluster")), Seq("cluster"))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), posexplode(col("codes")))

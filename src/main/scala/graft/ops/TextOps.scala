@@ -435,8 +435,11 @@ object TextOps {
       .select((-col("nf")).as("freq"), (col("cum") - col("cnt")).as("higher"))
     val wTie = org.apache.spark.sql.expressions.Window
       .partitionBy("freq").orderBy(col("t").asc)
-    val ranked = vocab.join(pre, "freq")
+    // ranked feeds the regression probe AND the returned frame — persist
+    // so the join + window machinery runs once per invocation
+    val ranked = graft.Caches.track(vocab.join(pre, "freq")
       .withColumn("rank", col("higher") + row_number().over(wTie))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val x = log(col("rank").cast("double"))
     val y = log(col("freq").cast("double"))
     def u6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
@@ -493,8 +496,12 @@ object TextOps {
       .filter(col("cxy") >= minCount)
       .withColumn("w1", split(col("g"), " ").getItem(0))
       .withColumn("w2", split(col("g"), " ").getItem(1))
-    val uni = ta.select(explode(col("__ts")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("c"))
+    // the unigram aggregate feeds TWO joins (cx and cy) — persist so the
+    // corpus-wide explode+count runs once (released by Caches.clear())
+    val uni = graft.Caches.track(
+      ta.select(explode(col("__ts")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val lift = (col("cxy").cast("double") * lit(nt) * lit(nt)) /
       (lit(nb) * col("cx") * col("cy"))
     pairs

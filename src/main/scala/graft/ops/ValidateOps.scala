@@ -36,15 +36,7 @@ object ValidateOps {
       "at least one rule")
     val spark = df.sparkSession
     val buf = scala.collection.mutable.Buffer.empty[(String, Long, Long)]
-    if (rowRules.nonEmpty) {
-      val aggs = rowRules.map { case (_, p) =>
-        sum(when(p, 1L).otherwise(0L)) } :+ count(lit(1))
-      val r = df.agg(aggs.head, aggs.tail: _*).head() // 1 row: rule sums
-      val total = r.getLong(rowRules.size)
-      rowRules.zipWithIndex.foreach { case ((n, _), i) =>
-        buf += ((n, if (r.isNullAt(i)) 0L else r.getLong(i), total))
-      }
-    }
+    if (rowRules.nonEmpty) buf ++= rowRuleCounts(df, rowRules)
     uniqueRules.foreach { case (n, cols) =>
       val r = df.agg(count(lit(1)),
         countDistinct(col(cols.head), cols.tail.map(col): _*)).head()
@@ -62,5 +54,23 @@ object ValidateOps {
     buf.toSeq.toDF("rule", "violations", "total")
       .withColumn("pass", col("violations") === 0L)
       .orderBy("rule")
+  }
+
+  /** The fused row-rule pass by itself — ALL predicates in ONE
+    * partial+final aggregate, (rule, violations, total) per rule; an
+    * empty frame counts zero violations (sum of an empty set is null).
+    * Shared by [[report]] and the streaming
+    * [[graft.streaming.StreamOps.ruleMonitor]] so the null-on-empty
+    * semantics live in one place. */
+  def rowRuleCounts(df: DataFrame,
+                    rules: Seq[(String, Column)]): Seq[(String, Long, Long)] = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = rules.map { case (_, p) =>
+      sum(when(p, 1L).otherwise(0L)) } :+ count(lit(1))
+    val r = df.agg(aggs.head, aggs.tail: _*).head() // 1 row: rule sums
+    val total = r.getLong(rules.size)
+    rules.zipWithIndex.map { case ((n, _), i) =>
+      (n, if (r.isNullAt(i)) 0L else r.getLong(i), total)
+    }
   }
 }

@@ -72,7 +72,16 @@ object StreamOps {
                 k: Int): (StreamingQuery, () => DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("g").orderBy(col("h").asc)
-    @volatile var state: DataFrame = null
+    // start from an EMPTY typed frame, so the reader is total — callers
+    // may read "the current sketch" before the first epoch commits
+    val empty = stream.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g",
+          stream.schema(groupCol).dataType),
+        org.apache.spark.sql.types.StructField("h",
+          org.apache.spark.sql.types.LongType))))
+    @volatile var state: DataFrame = empty
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val hs = batch.toDF()
@@ -80,8 +89,7 @@ object StreamOps {
           .select(col("g"), graft.ops.DedupOps.portableHash60(col("t"))
             .as("h"))
           .dropDuplicates("g", "h")
-        val merged = (if (state == null) hs
-          else state.unionByName(hs).dropDuplicates("g", "h"))
+        val merged = state.unionByName(hs).dropDuplicates("g", "h")
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k)
           .drop("__rk")
@@ -108,15 +116,15 @@ object StreamOps {
       (Long, String, Long, Long)]
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
-        val aggs = rules.map { case (_, p) =>
-          sum(when(p, 1L).otherwise(0L)) } :+ count(lit(1))
-        val r = batch.toDF().agg(aggs.head, aggs.tail: _*).head() // 1 row
-        val total = r.getLong(rules.size)
+        val counts = graft.ops.ValidateOps.rowRuleCounts(batch.toDF(), rules)
         log.synchronized {
-          rules.zipWithIndex.foreach { case ((n, _), i) =>
-            log += ((epoch, n, if (r.isNullAt(i)) 0L else r.getLong(i),
-              total))
-          }
+          // epoch idempotence: foreachBatch may re-execute an epoch after
+          // a failure/restart — replace that epoch's rows, never append a
+          // second set (which would break the additivity invariant)
+          val keep = log.filterNot(_._1 == epoch)
+          log.clear()
+          log ++= keep
+          counts.foreach { case (n, v, t) => log += ((epoch, n, v, t)) }
         }
         ()
       }

@@ -154,9 +154,6 @@ class CollectLintSpec extends AnyFunSuite {
         "MemoryStream replay feed (gate harness)",
       "val rows = docs.select(\"source\", \"text\").collect()" ->
         "MemoryStream replay feed (gate harness)"),
-    "StreamOps.scala" -> Map(
-      "val r = batch.toDF().agg(aggs.head, aggs.tail: _*).head() // 1 row" ->
-        "streaming rule monitor: 1-row fused aggregate per epoch"),
     "EventQueries.scala" -> Map(
       ".collect()" -> "MemoryStream replay feed (gate harness)",
       ".select(\"user_id\", \"event_id\", \"ts\", \"event_type\").collect()" ->
