@@ -621,6 +621,41 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, "g1")
   }
 
+  /** Per-group Gini coefficient of a non-negative 2dp money column —
+    * the concentration/inequality measure (how unevenly order value,
+    * corpus tokens, or traffic spread over a group's members):
+    * `G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n` over the group's sorted
+    * values. ONE exchange keyed by the group carries the rank window;
+    * one partial+final aggregate closes the sums. Tie order cannot move
+    * the answer (a tied block contributes x·Σranks however it is
+    * ordered), but `tieCol` still totalizes the sort for deterministic
+    * plans.
+    *
+    * Determinism: values snap to exact integer cents, so both Σx and
+    * the rank-weighted Σi·x are order-free integer sums and G is one
+    * fixed-association double expression — bit-identical in any engine
+    * before the 6dp floor grid. Assumes Σi·x fits a signed 64-bit
+    * (n²·max_cents < 2⁶³ — beyond ~10⁸ rows per group route the sum
+    * through DECIMAL). */
+  def giniBy(groupCol: String, valCol: String, tieCol: String): GFrame = {
+    val cents = floor(col(valCol) * 100 + 0.5).cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol).asc, col(tieCol).asc)
+    val ranked = df
+      .select(col(groupCol), col(valCol), col(tieCol), cents.as("__c"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+    val s = ranked.groupBy(col(groupCol).as("g"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        sum(col("__c")).as("sc"),
+        sum(col("__rk") * col("__c")).as("src"))
+    val nD = col("n").cast("double")
+    val out = s.select(col("g"), col("n"),
+      floor((lit(2.0) * col("src").cast("double") /
+        (nD * col("sc").cast("double")) - (nD + lit(1.0)) / nD)
+        * lit(1e6) + lit(0.5)) / lit(1e6) as "gini6")
+    new GFrame(out, "g")
+  }
+
   /** Apply a CDC change batch to a snapshot (warehouse MERGE semantics):
     * `changes` carries the snapshot's columns plus `opCol` ∈
     * {'I','U','D'} — deletes remove their key, updates/inserts replace

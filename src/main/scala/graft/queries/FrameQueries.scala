@@ -484,6 +484,14 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // Gini concentration of order value per priority class: one keyed
+    // rank window + one aggregate; exact integer-cent sums make the
+    // coefficient bit-deterministic.
+    "f56_gini" -> ((s, d) =>
+      GFrame.fromDF(Tables.orders(s, d), "o_orderkey")
+        .giniBy("o_orderpriority", "o_totalprice", "o_orderkey")
+        .toDF.orderBy("g")),
+
     // Weight-of-Evidence / Information Value of quantity deciles vs the
     // returned flag: one bounded bin aggregate, exact-integer ln()
     // argument, IV as an order-free micro-unit BIGINT total (the e37
@@ -950,6 +958,23 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    "f56_gini" ->
+      """WITH c AS (SELECT o_orderpriority AS g, o_totalprice AS v,
+             o_orderkey AS tie,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         r AS (SELECT g, cents,
+             CAST(row_number() OVER (PARTITION BY g ORDER BY v, tie)
+               AS BIGINT) AS rk
+           FROM c),
+         s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sc,
+             CAST(sum(rk * cents) AS BIGINT) AS src
+           FROM r GROUP BY 1)
+         SELECT g, n,
+           floor((2 * CAST(src AS DOUBLE) / (CAST(n AS DOUBLE) * sc)
+             - (CAST(n AS DOUBLE) + 1) / n) * 1e6 + 0.5) / 1e6 AS gini6
+         FROM s ORDER BY g""",
     "f55_woe_iv" ->
       """WITH b AS (SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bin,
              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
