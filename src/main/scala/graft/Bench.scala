@@ -8,7 +8,8 @@ object Bench {
   // as query slowdowns.
   private val buildDominated =
     Set("f27_bucketed_join", "v04_ivf_persist", "v08_ivf_append",
-      "v12_pq", "v13_ivf_pq") // PQ family: codebook training + encode
+      "v12_pq", "v13_ivf_pq", // PQ family: codebook training + encode
+      "v14_pq_persist", "v15_ivfpq_persist") // train + write artifacts
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both

@@ -649,10 +649,13 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
         sum(col("__c")).as("sc"),
         sum(col("__rk") * col("__c")).as("src"))
     val nD = col("n").cast("double")
+    // degenerate groups (all-zero value sum) have no defined
+    // concentration — null, never the silent NaN of a 0/0 division
     val out = s.select(col("g"), col("n"),
-      floor((lit(2.0) * col("src").cast("double") /
-        (nD * col("sc").cast("double")) - (nD + lit(1.0)) / nD)
-        * lit(1e6) + lit(0.5)) / lit(1e6) as "gini6")
+      when(col("sc") > 0L,
+        floor((lit(2.0) * col("src").cast("double") /
+          (nD * col("sc").cast("double")) - (nD + lit(1.0)) / nD)
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("gini6"))
     new GFrame(out, "g")
   }
 

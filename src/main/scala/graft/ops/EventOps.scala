@@ -710,6 +710,49 @@ object EventOps {
     * any engine); per-cell contributions round to the 6dp floor grid,
     * and χ² totals their exact µ-units as a BIGINT sum (order-free)
     * divided once — no float accumulation anywhere. */
+  /** Volume-anomaly screen: per-key event-time buckets whose count is a
+    * z-score outlier against that key's TRAILING `lookback` buckets
+    * (current excluded — a spike must not dilute its own baseline) — the
+    * ingestion-rate alarm a streaming corpus pipeline pages on. ONE
+    * partial+final bucket count collapses the data, then a keyed rolling
+    * window over the bounded bucket frame; nothing after the first
+    * aggregate is data-sized, and there is no global window.
+    *
+    * The baseline covers the last `lookback` OBSERVED buckets of the
+    * key (calendar gaps don't shrink it — the usual rate-monitor
+    * behavior; densify upstream if empty buckets must count as zero).
+    *
+    * Determinism: baseline mean/variance come from exact integer
+    * Σn / Σn² window sums in ONE fixed-association double expression
+    * (never Welford-style incremental variance, whose association an
+    * external engine can't replay); z floors to the 6dp grid. Buckets
+    * with under 2 baseline points or zero variance get null z (no
+    * verdict), never a 0/0. */
+  def rateAnomalies(df: DataFrame, tsCol: String, keyCol: String,
+                    duration: String, lookback: Int,
+                    zThresh: Double): DataFrame = {
+    require(lookback >= 2, "lookback must be >= 2 buckets")
+    val counts = tumbling(df, tsCol, duration, Seq(col(keyCol)),
+      Seq(count(lit(1)).as("n")))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("ws").asc)
+      .rowsBetween(-lookback, -1)
+    val base = counts
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("bs", sum(col("n")).over(w))
+      .withColumn("bq", sum(col("n") * col("n")).over(w))
+    val bnD = col("bn").cast("double")
+    val mean = col("bs").cast("double") / bnD
+    val variance = ((col("bq").cast("double")
+      - col("bs").cast("double") * col("bs").cast("double") / bnD)
+      / (bnD - lit(1.0)))
+    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    base.select(col("ws"), col(keyCol), col("n"), col("bn"),
+      when(col("bn") >= 2L && variance > 0.0,
+        graft.ops.TextOps.round6(z)).as("z6"))
+      .withColumn("is_anomaly",
+        when(col("z6").isNotNull, abs(col("z6")) >= zThresh))
+  }
+
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
     // four consumers (cells, both marginals, the total) — persist so the
     // data-sized count aggregation runs once (released by Caches.clear())

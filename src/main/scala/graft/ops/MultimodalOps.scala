@@ -235,6 +235,92 @@ object MultimodalOps {
     }
   }
 
+  /** REAL audio-container codec, pure JVM, zero dependencies — the
+    * [[ImageCodec]] approach extended to sound: writes and header-parses
+    * canonical RIFF/WAVE (PCM) containers. The parser walks the actual
+    * chunk framing — RIFF signature + WAVE form type, then the
+    * even-padded chunk chain to `fmt ` (audio format, channels, sample
+    * rate, block align, bits per sample — all little-endian) and `data`
+    * (offset + byte length) — so sample rates and durations downstream
+    * are genuinely decoded, not length-derived. The writer exists so
+    * fixtures can carry valid WAV bytes for the parser to decode (PCM
+    * payload rides in the data chunk). */
+  object AudioCodec {
+    /** Parsed WAV header: everything `fmt ` + `data` declare. */
+    final case class WavParsed(sampleRate: Int, channels: Int, bits: Int,
+                               blockAlign: Int, dataOffset: Int,
+                               dataBytes: Int)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def rdLe16(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8)
+    private def rdLe32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+
+    /** Valid PCM WAV: RIFF header, 16-byte fmt chunk, one data chunk
+      * carrying `payload` as the sample stream (odd lengths get the
+      * spec's pad byte, excluded from the declared data size). */
+    def encodeWav(sampleRate: Int, channels: Int, bits: Int,
+                  payload: Array[Byte]): Array[Byte] = {
+      val blockAlign = channels * bits / 8
+      val pad = payload.length & 1
+      val out = new java.io.ByteArrayOutputStream(payload.length + 44 + pad)
+      out.write("RIFF".getBytes("US-ASCII"))
+      out.write(le32(4 + 24 + 8 + payload.length + pad))
+      out.write("WAVE".getBytes("US-ASCII"))
+      out.write("fmt ".getBytes("US-ASCII")); out.write(le32(16))
+      out.write(le16(1))                       // PCM
+      out.write(le16(channels))
+      out.write(le32(sampleRate))
+      out.write(le32(sampleRate * blockAlign)) // byte rate
+      out.write(le16(blockAlign))
+      out.write(le16(bits))
+      out.write("data".getBytes("US-ASCII"))
+      out.write(le32(payload.length))
+      out.write(payload)
+      if (pad == 1) out.write(0)               // chunk padding to even
+      out.toByteArray
+    }
+
+    /** Sniff RIFF/WAVE and walk the chunk chain to fmt + data. None for
+      * unidentifiable or structurally broken streams (truncated chunks,
+      * missing fmt/data, non-positive rates). */
+    def parse(bytes: Array[Byte]): Option[WavParsed] =
+      try {
+        if (bytes.length < 12 ||
+          !new String(bytes, 0, 4, "US-ASCII").equals("RIFF") ||
+          !new String(bytes, 8, 4, "US-ASCII").equals("WAVE")) return None
+        var pos = 12
+        var sr = -1; var ch = -1; var bits = -1; var ba = -1
+        var dOff = -1; var dLen = -1
+        while (pos + 8 <= bytes.length) {
+          val id = new String(bytes, pos, 4, "US-ASCII")
+          val len = rdLe32(bytes, pos + 4)
+          if (len > bytes.length - pos - 8) return None
+          id match {
+            case "fmt " =>
+              if (len < 16) return None
+              ch = rdLe16(bytes, pos + 10)
+              sr = rdLe32(bytes, pos + 12).toInt
+              ba = rdLe16(bytes, pos + 20)
+              bits = rdLe16(bytes, pos + 22)
+            case "data" => dOff = pos + 8; dLen = len.toInt
+            case _      => ()
+          }
+          pos += 8 + len.toInt + (len.toInt & 1) // chunks pad to even
+        }
+        if (sr > 0 && ch > 0 && bits > 0 && ba > 0 && dOff >= 0)
+          Some(WavParsed(sr, ch, bits, ba, dOff, dLen))
+        else None
+      } catch { case _: IndexOutOfBoundsException => None }
+  }
+
   /** Real header decode with graceful degradation: identifiable image
     * containers get genuinely parsed geometry (width/height from the
     * header, frames from GIF image descriptors, nbytes = payload bytes
@@ -302,6 +388,120 @@ object MultimodalOps {
             ImageMeta(id, "unknown", f.width, f.height, f.frames, f.nbytes)
         }
       })
+  }
+
+  /** Typed audio-metadata record from a real WAV header parse. Durations
+    * are integer-derived from the DECLARED header fields (`n_samples =
+    * data_bytes / block_align`, `duration_ms = n_samples · 1000 /
+    * sample_rate` — floored long arithmetic, engine-portable). */
+  final case class AudioMeta(doc_id: Long, fmt: String, sample_rate: Int,
+                             channels: Int, bits: Int, data_bytes: Int,
+                             n_samples: Long, duration_ms: Long)
+
+  /** WAV-encode input row: one PCM stream to containerize. */
+  final case class WavSpec(doc_id: Long, sample_rate: Int, channels: Int,
+                           bits: Int, payload: Array[Byte])
+
+  /** [[audioFrames]]'s per-row framing geometry + carried data chunk. */
+  final case class WavFrameSpec(doc_id: Long, sample_rate: Int,
+                                frame_bytes: Int, hop_bytes: Int,
+                                data_offset: Int, data: Array[Byte])
+
+  /** Encode rows into REAL RIFF/WAVE containers, partition-wise (the
+    * audio sibling of [[encodeImages]]). Input needs (doc_id,
+    * sample_rate, channels, bits, payload BINARY); output is the standard
+    * payload struct whose `content` is a valid PCM WAV carrying `payload`
+    * as its data chunk. */
+  def encodeWavs(specs: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[WavSpec] = Encoders.product[WavSpec]
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    specs
+      .select(col("doc_id").cast("long"), col("sample_rate").cast("int"),
+        col("channels").cast("int"), col("bits").cast("int"),
+        col("payload"))
+      .as[WavSpec]
+      .mapPartitions(_.map { sp =>
+        (sp.doc_id, AudioCodec.encodeWav(sp.sample_rate, sp.channels,
+          sp.bits, sp.payload))
+      })
+      .toDF("doc_id", "content")
+      .select(col("doc_id"), struct(col("content"),
+        lit("audio/wav").as("mime"),
+        map(lit("codec"), lit("audio/wav")).as("meta")).as("payload"))
+  }
+
+  /** Decode payloads to typed audio metadata via the real RIFF parser;
+    * unidentifiable bytes degrade to fmt='unknown' with zeroed audio
+    * fields and the raw byte length as data_bytes. */
+  def decodeAudioMeta(packed: DataFrame, idCol: String): Dataset[AudioMeta] = {
+    implicit val enc: Encoder[AudioMeta] = Encoders.product[AudioMeta]
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    packed.select(col(idCol).cast("long"), col("payload.content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        AudioCodec.parse(bytes) match {
+          case Some(p) =>
+            val nSamples = p.dataBytes.toLong / p.blockAlign
+            AudioMeta(id, "wav", p.sampleRate, p.channels, p.bits,
+              p.dataBytes, nSamples, nSamples * 1000L / p.sampleRate)
+          case None =>
+            AudioMeta(id, "unknown", 0, 0, 0, bytes.length, 0L, 0L)
+        }
+      })
+  }
+
+  /** Time-based frame windows over each WAV's PCM data — [[frameWindows]]
+    * with the geometry GENUINELY DECODED per row: `frame_bytes` /
+    * `hop_bytes` derive from the parsed sample rate × block align (25 ms
+    * frame / 10 ms hop is the classic STFT setup), and framing covers the
+    * data CHUNK (parsed offset + length), never the container header.
+    * The header parse is one typed partition-wise pass carrying the
+    * content through; the fan-out stays native (frames staged in a
+    * Project before posexplode) — per-partition, no shuffle. Rows whose
+    * bytes aren't parseable WAV drop (unknown formats have no time
+    * base). */
+  def audioFrames(packed: DataFrame, idCol: String, frameMs: Int,
+                  hopMs: Int): DataFrame = {
+    require(frameMs >= 1 && hopMs >= 1, "frame and hop must be >= 1 ms")
+    require(hopMs <= frameMs, "hop must not exceed the frame")
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    // a case class, not a tuple: Encoders.tuple caps at 5 fields
+    implicit val specEnc: Encoder[WavFrameSpec] =
+      Encoders.product[WavFrameSpec]
+    val specs = packed
+      .select(col(idCol).cast("long"), col("payload.content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioCodec.parse(bytes).map { p =>
+          val bytesPerMs = p.sampleRate * p.blockAlign
+          WavFrameSpec(id, p.sampleRate,
+            math.max(bytesPerMs * frameMs / 1000, 1),
+            math.max(bytesPerMs * hopMs / 1000, 1),
+            p.dataOffset, bytes.slice(p.dataOffset,
+              p.dataOffset + p.dataBytes))
+        }
+      })
+      .toDF(idCol, "sample_rate", "frame_bytes", "hop_bytes",
+        "data_offset", "data")
+    val len = length(col("data"))
+    val n = (lit(1) + ceil(greatest(len - col("frame_bytes"), lit(0))
+      .cast("double") / col("hop_bytes")).cast("int"))
+    val frames = transform(sequence(lit(0), n - 1),
+      i => col("data").substr(i * col("hop_bytes") + 1, col("frame_bytes")))
+    specs
+      .select(col(idCol), col("sample_rate"), col("frame_bytes"),
+        col("hop_bytes"), frames.as("__frames"))
+      .select(col(idCol), col("sample_rate"), col("frame_bytes"),
+        col("hop_bytes"), posexplode(col("__frames")))
+      .withColumnRenamed("pos", "frame_idx")
+      .withColumnRenamed("col", "frame")
+      .select(col(idCol), col("sample_rate"), col("frame_bytes"),
+        col("frame_idx"),
+        (col("frame_idx") * col("hop_bytes")).as("offset"),
+        length(col("frame")).cast("int").as("nbytes"), col("frame"))
   }
 
   /** Pack a text column as a multimodal payload:

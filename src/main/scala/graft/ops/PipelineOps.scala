@@ -161,6 +161,30 @@ object PipelineOps {
       .drop("__bkt", "__start")
   }
 
+  /** Content-addressed shard manifest — the integrity artifact a corpus
+    * publisher ships next to its shards: per shard, the doc count, token
+    * total, id range, and an ORDER-FREE content checksum (Σ of per-doc
+    * portable 60-bit md5 hashes folded mod the Mersenne prime 2³¹−1 —
+    * commutative, so any write order / partitioning of the shard
+    * reproduces it; a consumer re-derives and diffs to catch drops,
+    * dupes, or silent corruption). Composes [[packShards]]'s distributed
+    * prefix-sum assignment with ONE partial+final aggregate keyed by
+    * shard. The mod-2³¹ fold keeps the running sum inside BIGINT for up
+    * to 2³² docs per shard (shards are budget-bounded far below that). */
+  def shardManifest(df: DataFrame, idCol: String, tokenCol: String,
+                    contentCol: String, budget: Long): DataFrame = {
+    val P = 2147483647L // Mersenne 2³¹−1
+    packShards(df, idCol, tokenCol, budget)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol).cast("long")).as("total_tokens"),
+        min(col(idCol)).as("first_id"), max(col(idCol)).as("last_id"),
+        sum(pmod(graft.ops.DedupOps.portableHash60(col(contentCol)),
+          lit(P))).as("__s"))
+      .withColumn("checksum", pmod(col("__s"), lit(P)))
+      .drop("__s")
+  }
+
   /** Greedy token-budget SEQUENCE packing — the padding-free "example
     * packing" layout (GPT-style pre-training batches): each doc stays
     * ATOMIC, docs fill the current training sequence in order, and a new

@@ -658,7 +658,14 @@ object SimilarityOps {
       .toDF("nid", "s", "code")
     // per-query LUT: |queries| × m × codebook rows, broadcast
     val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
-    val lut = pqLut(q0, books, subDim)
+    pqAdcRank(codes, pqLut(q0, books, subDim), k)
+  }
+
+  /** The shared PQ-ADC scoring tail: (nid, s, code) rows equi-join the
+    * broadcast LUT on (s, code), one partial+final sum closes each
+    * (qid, nid) ADC score, a per-query WindowGroupLimit heap keeps k. */
+  private def pqAdcRank(codes: DataFrame, lut: DataFrame,
+                        k: Int): DataFrame =
     codes.join(broadcast(lut), Seq("s", "code"))
       .filter(col("nid") =!= col("qid"))
       .groupBy("qid", "nid").agg(sum(col("v")).as("adc"))
@@ -666,6 +673,139 @@ object SimilarityOps {
         Window.partitionBy("qid").orderBy(col("adc").desc, col("nid").asc)))
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("nid"), col("adc"))
+
+  /** The shared IVF-PQ scoring tail: cluster-bounded candidates (the
+    * broadcast probe join prunes first), THEN the per-subspace code
+    * explode fans out only the survivors, LUT-joined per (qid, s, code)
+    * and summed to ADC scores with the per-query top-k heap. */
+  private def ivfPqRank(posts: DataFrame, probed: DataFrame,
+                        lut: DataFrame, k: Int): DataFrame =
+    posts.join(broadcast(probed.select("qid", "cluster")), Seq("cluster"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), posexplode(col("codes")))
+      .toDF("qid", "nid", "s", "code")
+      .join(broadcast(lut), Seq("qid", "s", "code"))
+      .groupBy("qid", "nid").agg(sum(col("v")).as("adc"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adc").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("adc"))
+
+  /** Serialize trained PQ codebooks as a parquet artifact (m × codebook
+    * rows of (s, code, centroid) — bounded, single-file). */
+  private def writeBooks(spark: org.apache.spark.sql.SparkSession,
+                         books: Array[Array[Array[Double]]],
+                         dir: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (bk, s) =>
+      bk.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+    }.toSeq.toDF("s", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Reload a codebook artifact (bounded m × codebook × subDim driver
+    * state — the PQ sibling of [[loadCentroids]]). */
+  private def loadBooks(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(dir).orderBy("s", "code").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](2).toArray))
+    val m = rows.map(_._1).max + 1
+    Array.tabulate(m)(s => rows.filter(_._1 == s).map(_._2))
+  }
+
+  /** Build a PQ index ONCE as parquet artifacts under `outDir`: `books`
+    * (the m × codebook trained centroids) and `codes` (nid → packed
+    * m-entry code array, ~4 bytes of payload per vector at the default
+    * 8×16 geometry — the 64× memory cut is what actually persists). A
+    * real deployment indexes once and probes thousands of times;
+    * [[pqProbe]] reloads the artifacts and never retrains — the
+    * amortization [[pqSearch]]'s per-call training cannot offer. */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+              outDir: String, m: Int = 8, codebook: Int = 16,
+              kmeansIters: Int = 3, grid: Option[Double] = None): Unit = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol).cast("array<double>")))
+      .head().getInt(0) // 1-row dim probe
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val v = graft.Caches.track(
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
+    writeBooks(spark, books, s"$outDir/books")
+    val codeCols = (0 until m).map(s =>
+      pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s)))
+    v.select(col("id").as("nid"), array(codeCols: _*).as("codes"))
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+  }
+
+  /** Probe a prebuilt [[pqBuild]] index: reload the codebooks (bounded
+    * driver state), build the per-query LUT, and score the persisted
+    * codes — a broadcast equi-join over 4-byte payloads; the raw corpus
+    * vectors are never read again. */
+  def pqProbe(indexDir: String, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int,
+              grid: Option[Double] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val books = loadBooks(spark, s"$indexDir/books")
+    val subDim = books(0)(0).length
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .select(col("nid"), posexplode(col("codes")))
+      .toDF("nid", "s", "code")
+    val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
+    pqAdcRank(codes, pqLut(q0, books, subDim), k)
+  }
+
+  /** Build an IVF-PQ index ONCE under `outDir`: `centroids` (coarse
+    * quantizer), `books` (PQ codebooks), and `postings` (nid, codes)
+    * PARTITIONED BY coarse cluster — [[ivfBuild]]'s deployment shape
+    * with [[pqBuild]]'s compressed payload. Probing reads only the
+    * probed clusters' partitions AND only 4-byte codes — the double
+    * reduction (cluster bounding × PQ compression) that makes this the
+    * FAISS workhorse at 100 TB. */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                 outDir: String, nClusters: Int = 16, m: Int = 8,
+                 codebook: Int = 16, kmeansIters: Int = 3,
+                 grid: Option[Double] = None): Unit = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol).cast("array<double>")))
+      .head().getInt(0) // 1-row dim probe
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val v = graft.Caches.track(
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val coarse = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
+    val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
+    import spark.implicits._
+    coarse.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
+    writeBooks(spark, books, s"$outDir/books")
+    val codeCols = (0 until m).map(s =>
+      pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s)))
+    assignToCentroids(v, coarse)
+      .select(col("id").as("nid"), col("cluster"),
+        array(codeCols: _*).as("codes"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$outDir/postings")
+  }
+
+  /** Probe a prebuilt [[ivfPqBuild]] index: reload centroids + codebooks
+    * (both bounded driver state), rank each query's nProbe nearest
+    * coarse clusters, and ADC-score only the probed partitions' codes —
+    * no retraining, no corpus re-read, partition-pruned scan. */
+  def ivfPqProbe(indexDir: String, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nProbe: Int = 4,
+                 grid: Option[Double] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val coarse = loadCentroids(spark, indexDir)
+    val books = loadBooks(spark, s"$indexDir/books")
+    val subDim = books(0)(0).length
+    val posts = spark.read.parquet(s"$indexDir/postings")
+    val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
+    ivfPqRank(posts, probeClusters(q0, coarse, nProbe),
+      pqLut(q0, books, subDim), k)
   }
 
   /** IVF-PQ — the FAISS workhorse index, composed from the two pieces
@@ -701,18 +841,8 @@ object SimilarityOps {
       .select(col("id").as("nid"), col("cluster"),
         array(codeCols: _*).as("codes"))
     val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
-    val probed = probeClusters(q0, coarse, nProbe)
-    val lut = pqLut(q0, books, subDim)
-    posts.join(broadcast(probed.select("qid", "cluster")), Seq("cluster"))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), posexplode(col("codes")))
-      .toDF("qid", "nid", "s", "code")
-      .join(broadcast(lut), Seq("qid", "s", "code"))
-      .groupBy("qid", "nid").agg(sum(col("v")).as("adc"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adc").desc, col("nid").asc)))
-      .filter(col("rk") <= k)
-      .select(col("qid"), col("rk"), col("nid"), col("adc"))
+    ivfPqRank(posts, probeClusters(q0, coarse, nProbe),
+      pqLut(q0, books, subDim), k)
   }
 
   /** Uncentered top principal component (dominant eigenvector of the

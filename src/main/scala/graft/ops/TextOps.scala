@@ -442,6 +442,15 @@ object TextOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val x = log(col("rank").cast("double"))
     val y = log(col("freq").cast("double"))
+    // Accepted ulp exposure (here and in pmiBigrams' round6(log(...))):
+    // ln() of an exact integer is irrational for rank/freq > 1, so its
+    // double never sits ON a grid boundary by construction — but the two
+    // engines' libm log() may differ by 1 ulp, flipping the floor only
+    // when the true value lies within ~1 ulp of a boundary
+    // (probability ≈ 2⁻³² per term; a single flip moves one micro-unit
+    // in an order-free BIGINT sum). Unlike the s58/s59 money-mean case
+    // the values are pseudo-uniform mod the grid, so an off-grid shift
+    // constant cannot reduce the exposure — it only relocates it.
     def u6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
     val a = ranked.agg(count(lit(1)).as("n"), sum(u6(x)).as("sx"),
       sum(u6(y)).as("sy"), sum(u6(x * y)).as("sxy"),

@@ -16,6 +16,17 @@ import graft.ops.{DedupOps, GraphOps}
   */
 object DedupQueries {
 
+  /** Clamp shuffle partitions for a streaming replay's micro-batch jobs
+    * (the e09 lesson: 32 partitions × several epochs of fixed per-task
+    * overhead dominates tiny per-batch work; 8 is plenty at gate scale —
+    * results are partition-count-independent). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact content dedup by md5 fingerprint: survivor + group size.
     // (The fixture docs are all distinct — every group has dups=1, which
@@ -116,11 +127,13 @@ object DedupQueries {
         input.toDF().toDF("source", "text"), "source",
         graft.ops.TextOps.shinglesOfTokens(
           graft.ops.TextOps.tokens(col("text")), 3), k = 128)
-      try {
-        val (a, b) = rows.splitAt(rows.length / 2)
-        input.addData(a: _*); q.processAllAvailable()
-        input.addData(b: _*); q.processAllAvailable()
-      } finally q.stop()
+      withStatePartitions(s, 8) {
+        try {
+          val (a, b) = rows.splitAt(rows.length / 2)
+          input.addData(a: _*); q.processAllAvailable()
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
       val est = (lit(127.0) * lit((1L << 60).toDouble)) /
         col("h").cast("double")
       read()
@@ -189,11 +202,13 @@ object DedupQueries {
         matches.withColumn("jaccard", round(col("jaccard"), 6))
           .write.mode("append").parquet(s"$out/data")
       }
-      try {
-        val (a, b) = rows.splitAt(rows.length / 2)
-        input.addData(a: _*); q.processAllAvailable()
-        input.addData(b: _*); q.processAllAvailable()
-      } finally { q.stop(); graft.Caches.clear() }
+      withStatePartitions(s, 8) {
+        try {
+          val (a, b) = rows.splitAt(rows.length / 2)
+          input.addData(a: _*); q.processAllAvailable()
+          input.addData(b: _*); q.processAllAvailable()
+        } finally { q.stop(); graft.Caches.clear() }
+      }
       // A zero-match run writes no PART files (an all-empty append still
       // creates the dir + _SUCCESS, and schema inference would fail on
       // it): fall back to an empty frame with the sink's schema when no

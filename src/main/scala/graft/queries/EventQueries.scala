@@ -177,15 +177,39 @@ object EventQueries {
     // dimension history rows with [valid_from, valid_to) validity and
     // the open is_current tail. ONE user-keyed exchange carries all
     // three windows.
-    // The open tail's null valid_to is surfaced as the idiomatic SCD2
-    // end-of-time sentinel (9999-12-31) — typed null timestamps have no
-    // portable equality in the compare harness.
+    // The open tail's null valid_to is surfaced as an end-of-time
+    // sentinel — typed null timestamps have no portable equality in the
+    // compare harness. 2200-01-01, not the idiomatic 9999-12-31: the
+    // latter exceeds the datetime64[ns] ceiling (2262-04-11) and the
+    // harness's typed hasher diverges per side on beyond-ns timestamps
+    // (round-8's only red gate).
     "e36_scd2" -> ((s, d) =>
       EventOps.scd2Compress(ev(s, d), "user_id", "ts", "event_type",
         tieCol = "event_id")
         .withColumn("valid_to", coalesce(col("valid_to"),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
+          lit("2200-01-01 00:00:00").cast("timestamp")))
         .orderBy("user_id", "version")),
+
+    // Volume-anomaly screen: hourly per-type counts z-scored against the
+    // trailing 24 observed buckets (current excluded) — the ingestion-
+    // rate alarm. Bounded bucket frame + keyed rolling window; exact
+    // integer Σn/Σn² baselines, never Welford.
+    "e43_rate_anomaly" -> ((s, d) =>
+      EventOps.rateAnomalies(ev(s, d), "ts", "event_type", "1 hour",
+          lookback = 24, zThresh = 3.0)
+        .orderBy("ws", "event_type")),
+
+    // Per-hour ROC-AUC of event value predicting purchase — the
+    // quality-scorer discrimination audit, via the rank-sum identity
+    // over (group, distinct score) counts: no row-level ranking, one
+    // keyed cumulative window, exact integer pair sums (½-tie weight
+    // kept integral in 2·U).
+    "e41_auc" -> ((s, d) =>
+      graft.ops.EvalOps.aucBy(
+          ev(s, d).select(hour(col("ts")).as("g"), col("event_type"),
+            col("value")),
+          "g", col("event_type") === "purchase", col("value"))
+        .orderBy("g")),
 
     // Chi-squared independence screen: event_type × hour-of-day
     // contingency with expected counts, per-cell contributions, and the
@@ -687,6 +711,51 @@ object EventQueries {
         .orderBy("user_id", "click_ts", "buy_ts")
     }),
 
+    // STREAM-STREAM LEFT OUTER interval join: e11's clicks×purchases
+    // pairing, but unmatched clicks ALSO emit (null buy) — the engine
+    // holds them until the watermark proves no match can arrive, then
+    // late-emits. Sentinels ride BOTH streams (the global watermark is
+    // the min across sources). Oracle = the batch LEFT JOIN.
+    "e42_stream_outer_join" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d).select("ts", "user_id", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSeq
+      val clicks = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val buys = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val name = s"graft_e42_${System.nanoTime()}"
+      withStatePartitions(s, 8) {
+        val joined = graft.streaming.StreamOps.intervalJoinStream(
+          clicks.toDF().toDF("ts", "user_id"),
+          buys.toDF().toDF("ts", "user_id"),
+          "user_id", "30 minutes", "15 minutes", joinType = "leftOuter")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val sent = Seq(
+            (java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L),
+            (java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
+          clicks.addData(
+            (rows.collect { case (t, u, "click") => (t, u) } ++ sent): _*)
+          buys.addData(
+            (rows.collect { case (t, u, "purchase") => (t, u) } ++ sent): _*)
+          q.processAllAvailable()
+        } finally q.stop() // memory sink retains the batches after stop
+      }
+      // null buy (the outer-ness under test) surfaces as the ns-safe
+      // sentinel — typed null timestamps have no portable equality in
+      // the compare harness (the e36 lesson)
+      s.table(name).filter(col("l_user_id") >= 0)
+        .select(col("l_user_id").as("user_id"), col("l_ts").as("click_ts"),
+          coalesce(col("r_ts"),
+            lit("2200-01-01 00:00:00").cast("timestamp")).as("buy_ts"),
+          col("r_ts").isNull.as("unmatched"))
+        .orderBy("user_id", "click_ts", "buy_ts")
+    }),
+
     // Trailing 1-hour RANGE-frame window per user: event count + value sum
     // in [ts - 1h, ts] at every event (velocity features). Frame is a time
     // range, not a row count — none of the other window gates exercise
@@ -875,15 +944,20 @@ object EventQueries {
                AS BIGINT) AS c2
            FROM u)
          SELECT n1, c1, n2, c2,
-           floor(CAST(c1 AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6 AS p1_6,
-           floor(CAST(c2 AS DOUBLE) / n2 * 1e6 + 0.5) / 1e6 AS p2_6,
-           floor((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
-             / sqrt(CAST(c1 + c2 AS DOUBLE) / (n1 + n2)
-               * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
-               * (CAST(1.0 AS DOUBLE) / n1 + CAST(1.0 AS DOUBLE) / n2))
-             * 1e6 + 0.5) / 1e6 AS z6,
-           floor((CAST(c1 AS DOUBLE) / n1) / (CAST(c2 AS DOUBLE) / n2)
-             * 1e6 + 0.5) / 1e6 AS lift6
+           CASE WHEN n1 > 0 THEN
+             floor(CAST(c1 AS DOUBLE) / n1 * 1e6 + 0.5) / 1e6 END AS p1_6,
+           CASE WHEN n2 > 0 THEN
+             floor(CAST(c2 AS DOUBLE) / n2 * 1e6 + 0.5) / 1e6 END AS p2_6,
+           CASE WHEN n1 > 0 AND n2 > 0
+               AND c1 + c2 > 0 AND c1 + c2 < n1 + n2 THEN
+             floor((CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2)
+               / sqrt(CAST(c1 + c2 AS DOUBLE) / (n1 + n2)
+                 * (1 - CAST(c1 + c2 AS DOUBLE) / (n1 + n2))
+                 * (CAST(1.0 AS DOUBLE) / n1 + CAST(1.0 AS DOUBLE) / n2))
+               * 1e6 + 0.5) / 1e6 END AS z6,
+           CASE WHEN n1 > 0 AND c2 > 0 THEN
+             floor((CAST(c1 AS DOUBLE) / n1) / (CAST(c2 AS DOUBLE) / n2)
+               * 1e6 + 0.5) / 1e6 END AS lift6
          FROM s""",
     // e39: e36's batch recurrence restricted to CLOSED versions.
     "e39_stream_scd2" ->
@@ -942,9 +1016,61 @@ object EventQueries {
            FROM c
            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
          SELECT user_id, version, event_type, valid_from,
-           COALESCE(valid_to, TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
            valid_to IS NULL AS is_current
          FROM v ORDER BY user_id, version""",
+    // e43: baseline mean/variance from exact integer window sums in the
+    // identical association (never incremental variance).
+    "e43_rate_anomaly" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT ws, event_type, n,
+             CAST(count(*) OVER wd AS BIGINT) AS bn,
+             CAST(sum(n) OVER wd AS BIGINT) AS bs,
+             CAST(sum(n * n) OVER wd AS BIGINT) AS bq
+           FROM c WINDOW wd AS (PARTITION BY event_type ORDER BY ws
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (SELECT ws, event_type, n, bn,
+             CASE WHEN bn >= 2
+                 AND (CAST(bq AS DOUBLE)
+                   - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE) / bn)
+                   / (bn - 1.0) > 0
+               THEN floor((CAST(n AS DOUBLE) - CAST(bs AS DOUBLE) / bn)
+                 / sqrt((CAST(bq AS DOUBLE)
+                   - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE) / bn)
+                   / (bn - 1.0))
+                 * 1e6 + 0.5) / 1e6
+             END AS z6
+           FROM b)
+         SELECT ws, event_type, n, bn, z6,
+           CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
+         FROM z ORDER BY ws, event_type""",
+    // e41: the rank-sum AUC replayed over the same (group, distinct
+    // score) counts; num2 is an order-free exact BIGINT, auc6 one
+    // division in the same association.
+    "e41_auc" ->
+      """WITH s AS (SELECT CAST(hour(ts) AS INTEGER) AS g, value AS score,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+               AS BIGINT) AS neg
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT g, pos, neg,
+             CAST(sum(neg) OVER (PARTITION BY g ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumneg
+           FROM s),
+         o AS (SELECT g, CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg,
+             CAST(sum(pos * (2 * (cumneg - neg) + neg)) AS BIGINT) AS num2
+           FROM c GROUP BY 1)
+         SELECT g, n_pos, n_neg,
+           CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+             floor(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg) * 1e6
+               + 0.5) / 1e6
+           END AS auc6
+         FROM o ORDER BY g""",
     // e37: exp = one double division of exact integer products; the χ²
     // total sums exact 1e-6-unit BIGINTs (order-free) and divides once —
     // the Spark side is spelled identically, so no accumulation drift.
@@ -1260,6 +1386,17 @@ object EventQueries {
          FROM events a JOIN events b ON a.user_id = b.user_id
            AND a.event_type = 'click' AND b.event_type = 'purchase'
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
+         ORDER BY 1, 2, 3""",
+    "e42_stream_outer_join" ->
+      """WITH c AS (SELECT ts, user_id FROM events
+             WHERE event_type = 'click'),
+         p AS (SELECT ts, user_id FROM events
+             WHERE event_type = 'purchase')
+         SELECT c.user_id AS user_id, c.ts AS click_ts,
+           COALESCE(p.ts, TIMESTAMP '2200-01-01 00:00:00') AS buy_ts,
+           p.ts IS NULL AS unmatched
+         FROM c LEFT JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
          ORDER BY 1, 2, 3""",
     "e09_stream_sessions" ->
       """WITH x AS (

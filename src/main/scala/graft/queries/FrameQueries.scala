@@ -484,6 +484,20 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // Population Stability Index of the order-value distribution, pre-
+    // vs post-1998 snapshots binned at 50k — the corpus/feature drift
+    // monitor (two bounded bin aggregates + a full outer join; exact-
+    // integer ln() arguments, µ-unit BIGINT total: the f55 discipline).
+    "f57_psi" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = lit("1998-01-01 00:00:00").cast("timestamp")
+      graft.ops.EvalOps.psi(
+          o.filter(col("o_orderdate") < cut),
+          o.filter(col("o_orderdate") >= cut),
+          floor(col("o_totalprice") / 50000).cast("long"))
+        .orderBy("bin")
+    }),
+
     // Gini concentration of order value per priority class: one keyed
     // rank window + one aggregate; exact integer-cent sums make the
     // coefficient bit-deterministic.
@@ -958,6 +972,39 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f57: per-bin terms floor to exact 1e-6-unit longs; the total is
+    // their order-free sum windowed across every row.
+    "f57_psi" ->
+      """WITH e AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT)
+             AS bin, count(*) AS ne
+           FROM orders
+           WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY 1),
+         a AS (SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+             count(*) AS na
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+           GROUP BY 1),
+         j AS (SELECT COALESCE(e.bin, a.bin) AS bin,
+             CAST(COALESCE(ne, 0) AS BIGINT) AS n_expected,
+             CAST(COALESCE(na, 0) AS BIGINT) AS n_actual
+           FROM e FULL OUTER JOIN a ON e.bin = a.bin),
+         t AS (SELECT CAST(sum(n_expected) AS BIGINT) AS nexp,
+             CAST(sum(n_actual) AS BIGINT) AS nact FROM j),
+         s AS (SELECT bin, n_expected, n_actual,
+             CASE WHEN n_expected > 0 AND n_actual > 0 THEN
+               floor((CAST(n_expected AS DOUBLE) / nexp
+                   - CAST(n_actual AS DOUBLE) / nact)
+                 * ln((CAST(n_expected AS DOUBLE) * nact)
+                   / (CAST(n_actual AS DOUBLE) * nexp))
+                 * 1e6 + 0.5) / 1e6
+             END AS psi6
+           FROM j, t)
+         SELECT bin, n_expected, n_actual, psi6,
+           CAST(sum(CASE WHEN psi6 IS NOT NULL THEN
+               CAST(floor(psi6 * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+             OVER () AS DOUBLE) / 1e6 AS psi_total
+         FROM s ORDER BY bin""",
     "f56_gini" ->
       """WITH c AS (SELECT o_orderpriority AS g, o_totalprice AS v,
              o_orderkey AS tie,
@@ -972,8 +1019,10 @@ object FrameQueries {
              CAST(sum(rk * cents) AS BIGINT) AS src
            FROM r GROUP BY 1)
          SELECT g, n,
-           floor((2 * CAST(src AS DOUBLE) / (CAST(n AS DOUBLE) * sc)
-             - (CAST(n AS DOUBLE) + 1) / n) * 1e6 + 0.5) / 1e6 AS gini6
+           CASE WHEN sc > 0 THEN
+             floor((2 * CAST(src AS DOUBLE) / (CAST(n AS DOUBLE) * sc)
+               - (CAST(n AS DOUBLE) + 1) / n) * 1e6 + 0.5) / 1e6
+           END AS gini6
          FROM s ORDER BY g""",
     "f55_woe_iv" ->
       """WITH b AS (SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bin,

@@ -39,7 +39,41 @@ object MultimodalQueries {
       bytes.as("payload")))
   }
 
+  /** Documents wrapped in real RIFF/WAVE containers: sample rate cycles
+    * the classic rates by doc_id, channels/bits are small deterministic
+    * functions of doc_id, text bytes ride as the PCM data chunk. */
+  private def waved(s: SparkSession, d: String): DataFrame = {
+    val id4 = pmod(col("doc_id"), lit(4))
+    MultimodalOps.encodeWavs(Tables.documents(s, d).select(
+      col("doc_id"),
+      when(id4 === 0, 8000).when(id4 === 1, 16000)
+        .when(id4 === 2, 22050).otherwise(44100).as("sample_rate"),
+      (lit(1) + pmod(col("doc_id"), lit(2))).as("channels"),
+      when(pmod(col("doc_id"), lit(3)) === 0, 8).otherwise(16).as("bits"),
+      encode(col("text"), "UTF-8").as("payload")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Typed audio-metadata decode through the REAL RIFF/WAVE parser:
+    // sample rate / channels / bits come from walking the actual chunk
+    // chain (little-endian fmt fields), durations from the declared
+    // data size — any endianness/offset slip breaks the hash.
+    "m09_wav_meta" -> ((s, d) =>
+      MultimodalOps.decodeAudioMeta(waved(s, d), "doc_id")
+        .toDF().orderBy("doc_id")),
+
+    // STFT-style frame windows whose geometry is GENUINELY DECODED per
+    // row: 25 ms frames / 10 ms hop × the parsed sample rate × block
+    // align, framing the parsed data chunk only (m08 frames raw bytes at
+    // fixed widths; this is the time-based production shape).
+    "m10_audio_frames" -> ((s, d) =>
+      MultimodalOps.audioFrames(waved(s, d), "doc_id",
+          frameMs = 25, hopMs = 10)
+        .select(col("doc_id"), col("sample_rate"), col("frame_bytes"),
+          col("frame_idx"), col("offset"), col("nbytes"),
+          md5(col("frame")).as("fp"))
+        .orderBy("doc_id", "frame_idx")),
     // Payload construction: binary content + mime + metadata map; verify
     // byte length, content hash, and metadata round-trip.
     "m01_pack_payload" -> ((s, d) =>
@@ -115,6 +149,51 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // m09/m10: the WAV headers are written from deterministic functions
+    // of doc_id + text length, so the oracle recomputes what the Spark
+    // side must PARSE back out of the binary container. All sample/
+    // duration math is integer division on both sides.
+    "m09_wav_meta" ->
+      """WITH f AS (SELECT doc_id,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sample_rate,
+             CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER)
+               AS bits,
+             CAST(octet_length(encode(text)) AS INTEGER) AS data_bytes
+           FROM documents)
+         SELECT doc_id, 'wav' AS fmt, sample_rate, channels, bits,
+           data_bytes,
+           CAST(data_bytes // (channels * bits // 8) AS BIGINT)
+             AS n_samples,
+           CAST(data_bytes // (channels * bits // 8) * 1000 // sample_rate
+             AS BIGINT) AS duration_ms
+         FROM f ORDER BY doc_id""",
+    "m10_audio_frames" ->
+      """WITH f AS (SELECT doc_id, text AS b,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER) AS sr,
+             CAST((1 + doc_id % 2)
+               * (CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END) // 8
+               AS INTEGER) AS ba
+           FROM documents),
+         g AS (SELECT doc_id, b, sr,
+             greatest(sr * ba * 25 // 1000, 1) AS fr,
+             greatest(sr * ba * 10 // 1000, 1) AS hp
+           FROM f),
+         n AS (SELECT doc_id, b, sr, fr, hp,
+             1 + CAST(ceil(greatest(length(b) - fr, 0) / (1.0 * hp))
+               AS BIGINT) AS m
+           FROM g)
+         SELECT doc_id, sr AS sample_rate, CAST(fr AS INTEGER)
+             AS frame_bytes,
+           CAST(u.i AS INTEGER) AS frame_idx,
+           CAST(u.i * hp AS INTEGER) AS offset,
+           CAST(length(substring(b, CAST(u.i * hp + 1 AS INTEGER), fr))
+             AS INTEGER) AS nbytes,
+           md5(substring(b, CAST(u.i * hp + 1 AS INTEGER), fr)) AS fp
+         FROM n, LATERAL unnest(range(0, m)) AS u(i)
+         ORDER BY doc_id, frame_idx""",
     "m01_pack_payload" ->
       """SELECT doc_id, 'text/plain' AS mime,
            CAST(octet_length(encode(text)) AS INTEGER) AS nbytes,

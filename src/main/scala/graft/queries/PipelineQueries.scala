@@ -47,6 +47,17 @@ object PipelineQueries {
     // contained in SOME train doc (the leak every decontamination pass
     // exists to stop; the fixture's planted near-dups leak across the
     // hash split by construction, so the rates are non-trivial).
+    // Content-addressed shard manifest: p02's shard assignment closed by
+    // an order-free mod-2³¹ checksum of per-doc md5 hashes — the
+    // integrity artifact a consumer diffs to catch drops/dupes/corruption
+    // without re-reading doc contents in any particular order.
+    "p14_shard_manifest" -> ((s, d) =>
+      PipelineOps.shardManifest(
+          Tables.documents(s, d).select(col("doc_id"),
+            TextOps.tokenCount(col("text")).as("n_tokens"), col("text")),
+          "doc_id", "n_tokens", "text", budget = 2000L)
+        .orderBy("shard")),
+
     "p13_split_leakage" -> ((s, d) => {
       val split = PipelineOps.hashSplit(Tables.documents(s, d), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -249,6 +260,26 @@ object PipelineQueries {
            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
            ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // p14: p02's sequential-prefix shard replay, closed per shard with
+    // the commutative mod-2³¹ hash fold (sum order is free by design).
+    "p14_shard_manifest" ->
+      s"""WITH t AS (SELECT doc_id, text,
+             CAST(len($Toks) AS INTEGER) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, text, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+           FROM t),
+         sh AS (SELECT CAST(floor(st / 2000.0) AS BIGINT) AS shard,
+             doc_id, n_tokens, text
+           FROM c)
+         SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_id, max(doc_id) AS last_id,
+           CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+               % 2147483647)
+             % 2147483647 AS BIGINT) AS checksum
+         FROM sh GROUP BY 1 ORDER BY 1""",
     "p02_pack_shards" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($Toks) AS INTEGER) AS n_tokens
                      FROM documents),

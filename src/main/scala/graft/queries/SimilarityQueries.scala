@@ -213,6 +213,48 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // PQ build-once/probe-many: codebooks + packed codes round-trip
+    // through parquet artifacts, then the probe runs against the
+    // RELOADED index — no retraining, no corpus re-read (the v04
+    // deployment shape for the compressed-payload index). Same
+    // parameters as v12, so it shares v12's oracle; OpsSpec asserts the
+    // probe matches in-process pqSearch exactly.
+    "v14_pq_persist" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v14_pq").toString
+      SimilarityOps.pqBuild(e, "vec_id", "embedding", outDir = idx,
+        m = 8, codebook = 16, kmeansIters = 3, grid = Some(Grid))
+      val res = SimilarityOps.pqProbe(idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, grid = Some(Grid))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
+    // IVF-PQ build-once/probe-many: coarse centroids + codebooks +
+    // cluster-PARTITIONED code postings as artifacts; the probe reads
+    // only the probed clusters' partitions and only 4-byte codes — the
+    // double reduction deployed. Shares v13's oracle.
+    "v15_ivfpq_persist" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v15_ivfpq").toString
+      SimilarityOps.ivfPqBuild(e, "vec_id", "embedding", outDir = idx,
+        nClusters = 16, m = 8, codebook = 16,
+        kmeansIters = 3, grid = Some(Grid))
+      val res = SimilarityOps.ivfPqProbe(idx,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          nProbe = 4, grid = Some(Grid))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // Uncentered top principal component by power iteration: ONE
     // dim²-bounded Gram aggregation + driver-side power steps, then a
     // codegen'd projection dot per vector. Grid-snapped inputs +
@@ -453,6 +495,13 @@ object SimilarityQueries {
     "v12_pq" -> pqOracle(m = 8, codebook = 16, iters = 3, subDim = 8,
       topK = 5, g = Grid),
     "v13_ivf_pq" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,
+      codebook = 16, iters = 3, subDim = 8, topK = 5, g = Grid),
+    // v14/v15 share v12/v13's oracles: identical parameters, and the
+    // grid-snapped codebooks/codes survive the parquet round-trip
+    // exactly (the v04-shares-v03 pattern).
+    "v14_pq_persist" -> pqOracle(m = 8, codebook = 16, iters = 3,
+      subDim = 8, topK = 5, g = Grid),
+    "v15_ivfpq_persist" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,
       codebook = 16, iters = 3, subDim = 8, topK = 5, g = Grid)
   )
 

@@ -28,6 +28,15 @@ object TextQueries {
         regexTokenCount(col("text")).as("n_re"))
         .orderBy("doc_id")),
 
+    // Reliability/calibration bins: does the composite quality score
+    // track the long-document label it encodes? 10 equal-width bins,
+    // positive rate + mean score per bin (exact-integer ratios and
+    // µ-unit floor sums — the reliability diagram a scorer audit plots).
+    "t21_calibration" -> ((s, d) =>
+      graft.ops.EvalOps.calibration(docs(s, d),
+          col("n_chars") > 500, qualityScore(col("text")), bins = 10)
+        .orderBy("bin")),
+
     // Quality scoring: length, stopword ratio, mean token length, composite.
     "t02_quality" -> ((s, d) =>
       docs(s, d).select(
@@ -259,6 +268,31 @@ object TextQueries {
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
   val oracles: Map[String, String] = Map(
+    // t21: the t02 quality expression rebinned; bin doubles are bit-
+    // identical on both sides (every input to the product is an exact-
+    // integer-derived division in the same association), so even the
+    // classic floor(0.7·10)=6 double artifact lands identically.
+    "t21_calibration" ->
+      s"""WITH t AS (SELECT n_chars, text, $Toks AS ts FROM documents),
+         q AS (SELECT n_chars > 500 AS lab,
+             floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
+               1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                 len(list_filter(ts, x -> x IN ('the','a','an','of','and',
+                   'to','in','is','on','for','with'))) * 1.0 / len(ts)
+                 END) * 2.0)
+               * 1e6 + 0.5) / 1e6 AS score
+           FROM t),
+         b AS (SELECT CAST(least(floor(score * 10), 9) AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+             CAST(sum(CAST(floor(score * 1e6 + 0.5) AS BIGINT))
+               AS BIGINT) AS su
+           FROM q GROUP BY 1)
+         SELECT bin, n, pos,
+           floor(CAST(pos AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS rate6,
+           floor(CAST(su AS DOUBLE) / 1e6 / n * 1e6 + 0.5) / 1e6
+             AS mean_score6
+         FROM b ORDER BY bin""",
     "t01_token_stats" ->
       s"""SELECT doc_id,
            CAST(len($Toks) AS INTEGER) AS n_ws,

@@ -163,18 +163,23 @@ object StreamOps {
     * 100 TB/day run. Inputs need (ts TIMESTAMP, `key`, ...); columns are
     * taken from each side by prefix-renaming to avoid ambiguity. */
   def intervalJoinStream(left: DataFrame, right: DataFrame, key: String,
-                         watermarkDelay: String, within: String): DataFrame = {
+                         watermarkDelay: String, within: String,
+                         joinType: String = "inner"): DataFrame = {
     val l = left.columns.foldLeft(left) { (d, c) =>
       d.withColumnRenamed(c, s"l_$c") }
       .withWatermark("l_ts", watermarkDelay)
     val r = right.columns.foldLeft(right) { (d, c) =>
       d.withColumnRenamed(c, s"r_$c") }
       .withWatermark("r_ts", watermarkDelay)
+    // leftOuter: unmatched left rows emit with null right columns once
+    // the watermark passes their join window (the engine can only then
+    // prove no match will arrive) — same bounded state, late output.
     l.join(r,
       col(s"l_$key") === col(s"r_$key")
         && col("r_ts") >= col("l_ts")
         && col("r_ts") <= col("l_ts") + org.apache.spark.sql.functions
-          .expr(s"INTERVAL $within"))
+          .expr(s"INTERVAL $within"),
+      joinType)
   }
 
   /** Stream-static enrichment join: each micro-batch of the stream joins

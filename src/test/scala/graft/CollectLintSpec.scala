@@ -87,6 +87,11 @@ class CollectLintSpec extends AnyFunSuite {
     "RangeWindows.scala" -> Map(
       "private val bounds = d.agg(F.min(col(idxName)), F.max(col(idxName))).head()" ->
         "1-row min/max bounds"),
+    "EvalOps.scala" -> Map(
+      ".head() // 1-row totals probe over the bounded bin frame" ->
+        "psi totals: 1-row aggregate over the |bins| frame",
+      "val total = scored.agg(sum(col(\"__pu\"))).head().getLong(0) // 1-row" ->
+        "psi closing total: 1-row aggregate over the |bins| frame"),
     "EventOps.scala" -> Map(
       ".collect().sortBy(_.getLong(0))" ->
         "asofJoinGlobal backward carries: ≤ buckets rows",
@@ -146,7 +151,9 @@ class CollectLintSpec extends AnyFunSuite {
       ".collect() // m × codebook rows — bounded driver state" ->
         "PQ fused per-round centroid means: m × codebook rows",
       ".head().getInt(0) // 1-row dim probe" ->
-        "PQ dimension probe: 1 row"),
+        "PQ dimension probe: 1 row",
+      "val rows = spark.read.parquet(dir).orderBy(\"s\", \"code\").collect()" ->
+        "PQ codebook artifact reload: m × codebook rows"),
     // the streaming gates' MemoryStream replay harness — the TEST feed
     // (production side is readStream); bounded by the fixture only
     "DedupQueries.scala" -> Map(

@@ -302,6 +302,36 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"v04 persisted-IVF recall $recall below 0.8")
   }
 
+  test("pqBuild/pqProbe and ivfPqBuild/ivfPqProbe reload without retraining " +
+      "(v14/v15 gates)") {
+    assume(haveFixture)
+    val g = Some(1048576.0) // the gates' 2^20 dyadic grid
+    val e = Tables.embeddings(spark, fixtureDir)
+    val q = e.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    // deterministic training → the reloaded artifacts must reproduce the
+    // in-process results EXACTLY (build/probe adds no approximation; the
+    // grid-snapped doubles survive the parquet round-trip bit-for-bit)
+    val pqIdx = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    SimilarityOps.pqBuild(e, "vec_id", "embedding", outDir = pqIdx, grid = g)
+    assert(key(SimilarityOps.pqProbe(pqIdx, q, "vec_id", "embedding",
+        k = 5, grid = g))
+      == key(SimilarityOps.pqSearch(e, q, "vec_id", "embedding", k = 5,
+        grid = g)),
+      "persisted-PQ probe diverged from in-process pqSearch")
+    val ipIdx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    SimilarityOps.ivfPqBuild(e, "vec_id", "embedding", outDir = ipIdx,
+      grid = g)
+    assert(key(SimilarityOps.ivfPqProbe(ipIdx, q, "vec_id", "embedding",
+        k = 5, nProbe = 4, grid = g))
+      == key(SimilarityOps.ivfPqSearch(e, q, "vec_id", "embedding", k = 5,
+        grid = g)),
+      "persisted-IVF-PQ probe diverged from in-process ivfPqSearch")
+  }
+
   test("asofJoin attaches the latest right value at-or-before each left row") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:$s%02d")
@@ -518,6 +548,80 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       .contains(ImageCodec.Parsed("gif", 1, 1, 1, 0)))
     assert(ImageCodec.parse(ImageCodec.encodeJpeg(1, 1, Array.empty))
       .contains(ImageCodec.Parsed("jpeg", 1, 1, 1, 0)))
+  }
+
+  test("EvalOps.aucBy matches hand-computed AUC incl. ties + degenerates") {
+    import graft.ops.EvalOps
+    // group a: perfect separation (scores 1,2 neg; 3,4 pos) → AUC 1
+    // group b: one tie across classes (pos@2 vs neg@2 → half credit):
+    //   pairs: (pos2,neg1)=1, (pos2,neg2)=.5, (pos3,neg1)=1, (pos3,neg2)=1
+    //   AUC = 3.5/4 = 0.875
+    // group c: single-class → null
+    val df = Seq(
+      ("a", false, 1.0), ("a", false, 2.0), ("a", true, 3.0),
+      ("a", true, 4.0),
+      ("b", false, 1.0), ("b", false, 2.0), ("b", true, 2.0),
+      ("b", true, 3.0),
+      ("c", true, 1.0), ("c", true, 2.0)
+    ).toDF("g", "lab", "score")
+    val out = EvalOps.aucBy(df, "g", col("lab"), col("score"))
+      .orderBy("g").collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    assert(out == Seq(("a", 1.0), ("b", 0.875), ("c", null)))
+  }
+
+  test("EvalOps.calibration folds score=1 into the last bin; psi nulls " +
+      "one-sided bins") {
+    import graft.ops.EvalOps
+    val df = Seq((true, 1.0), (false, 0.95), (true, 0.0), (false, 0.04))
+      .toDF("lab", "score")
+    val cal = EvalOps.calibration(df, col("lab"), col("score"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cal == Seq((0, 2L, 1L), (9, 2L, 1L)),
+      "score=1.0 must land in bin 9, not a phantom bin 10")
+    val exp = Seq(1, 1, 2, 2).toDF("v")
+    val act = Seq(2, 2, 3).toDF("v")
+    val p = EvalOps.psi(exp, act, col("v")).orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getDouble(3))).toSeq
+    // bin 1: actual-empty → null term; bin 3: expected-empty → null term;
+    // bin 2: (0.5-2/3)·ln((2·3)/(2·4)) — present on both sides
+    assert(p.map(t => (t._1, t._2, t._3)) ==
+      Seq((1, 2L, 0L), (2, 2L, 2L), (3, 0L, 1L)))
+    assert(p(0)._4 == null && p(2)._4 == null && p(1)._4 != null)
+    graft.Caches.clear()
+  }
+
+  test("AudioCodec round-trips WAV headers, pads odd chunks, walks extras") {
+    import graft.ops.MultimodalOps.AudioCodec
+    val pcm = Array.tabulate(1001)(i => (i % 251).toByte) // odd → pad byte
+    val wav = AudioCodec.encodeWav(44100, 2, 16, pcm)
+    assert((wav.length & 1) == 0, "odd data chunk must be padded to even")
+    val p = AudioCodec.parse(wav).get
+    assert((p.sampleRate, p.channels, p.bits, p.blockAlign, p.dataBytes)
+      == ((44100, 2, 16, 4, 1001)))
+    assert(wav.slice(p.dataOffset, p.dataOffset + p.dataBytes)
+      .sameElements(pcm), "data chunk bytes must round-trip")
+    // empty PCM stays structurally valid
+    assert(AudioCodec.parse(AudioCodec.encodeWav(8000, 1, 8, Array.empty))
+      .map(_.dataBytes).contains(0))
+    // an unknown chunk (LIST) between fmt and data is walked, not fatal
+    val base = AudioCodec.encodeWav(16000, 1, 8, "abcd".getBytes("UTF-8"))
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withList = base.take(36) ++ listChunk ++ base.drop(36)
+    // patch the RIFF size field (bytes 4..7, LE) for the inserted chunk
+    val riffLen = withList.length - 8
+    (0 to 3).foreach(i =>
+      withList(4 + i) = ((riffLen >> (8 * i)) & 0xFF).toByte)
+    val p2 = AudioCodec.parse(withList).get
+    assert((p2.sampleRate, p2.dataBytes) == ((16000, 4)))
+    // rejects junk and truncation
+    assert(AudioCodec.parse("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    assert(AudioCodec.parse(base.take(20)).isEmpty)
+    assert(AudioCodec.parse(Array.empty[Byte]).isEmpty)
   }
 
   test("ImageCodec.parse rejects junk, truncation, and a corrupt PNG CRC") {
