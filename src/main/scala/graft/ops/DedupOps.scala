@@ -186,6 +186,58 @@ object DedupOps {
       .select(col("id1"), col("id2"), col("jaccard"))
   }
 
+  /** TF-IDF weighted cosine record linkage — the "fuzzy join at scale"
+    * classic (soft-TFIDF family): pairs whose token-weight vectors are
+    * cosine-close, with rare tokens (high IDF) dominating the match —
+    * robust to word reorder and boilerplate in a way [[jaccardPairs]]'s
+    * unweighted set overlap is not. Inverted-index equi-join on the
+    * token, never all-pairs; `maxDf` drops stopword-frequency tokens
+    * (the d03 stop-shingle discipline — they'd pair everything with
+    * everything and add ~no weight).
+    *
+    * Determinism (engine-portable by construction): idf = ln(N/df) is a
+    * ratio of exact integers (the accepted ulp class documented at
+    * zipfFit's u6); per-pair dot terms w₁·w₂ and per-doc norm terms w²
+    * floor to exact 1e-6-unit longs, so BOTH reductions are order-free
+    * BIGINT sums; cos closes in one fixed-association double expression
+    * on the 6dp grid. */
+  def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, maxDf: Long): DataFrame = {
+    // term frequencies feed the df counts, the norms, AND both join
+    // sides — persist so tokenize+count runs once
+    val tf = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"), explode(TextOps.tokens(col("__txt"))).as("t"))
+        .groupBy("id", "t").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nd = df.count() // corpus size: one scalar action
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    def u6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)).cast("long")
+    // weights feed norms + both self-join sides — persist the bounded
+    // (doc, kept-token) frame
+    val w = graft.Caches.track(
+      tf.join(dfreq, Seq("t"))
+        .select(col("id"), col("t"), (col("tf").cast("double")
+          * log(lit(nd.toDouble) / col("df").cast("double"))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val norms = w.groupBy("id").agg(sum(u6(col("w") * col("w"))).as("n2"))
+    val dots = w.select(col("t"), col("id").as("id1"), col("w").as("w1"))
+      .join(w.select(col("t"), col("id").as("id2"), col("w").as("w2")),
+        Seq("t"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(sum(u6(col("w1") * col("w2"))).as("dotu"))
+    dots
+      .join(norms.select(col("id").as("id1"), col("n2").as("na")), "id1")
+      .join(norms.select(col("id").as("id2"), col("n2").as("nb")), "id2")
+      .withColumn("cos", (col("dotu").cast("double") / lit(1e6))
+        / sqrt((col("na").cast("double") / lit(1e6))
+          * (col("nb").cast("double") / lit(1e6))))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"),
+        TextOps.round6(col("cos")).as("cos6"))
+  }
+
   /** Two-corpus near-dup join — incremental dedup's core: a NEW batch of
     * docs against the EXISTING corpus, all cross pairs with word-`n`-gram
     * Jaccard ≥ `threshold`, via the same hashed inverted-index equi-join

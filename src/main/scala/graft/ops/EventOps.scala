@@ -468,6 +468,54 @@ object EventOps {
         col("n").cast("double") / sum(col("n")).over(srcW).cast("double"))
   }
 
+  /** Stationary distribution of the event-type Markov chain — the
+    * closing statistic over [[transitionMatrix]] ("where does user
+    * behavior settle"): fixed power iterations of x′ = x·P from the
+    * uniform start. The data-sized work is ONE keyed lead window + count
+    * aggregate (the e29 plan); the |types|²-bounded matrix collects to
+    * the driver (the chi2/PCA bound class) and the iterations are
+    * O(k²) driver flops — no cluster round-trips.
+    *
+    * Determinism (the v03 dyadic discipline, exact end-to-end): row
+    * probabilities FLOOR to the 2⁻²⁰ grid (floor of an exact integer
+    * ratio — portable), iterates snap to the same grid, so every
+    * product is an exact multiple of 2⁻⁴⁰ ≤ 1 (40 bits < 53) and every
+    * matvec sum is order-free exact — the whole recurrence replays
+    * bit-identically in an unrolled SQL oracle, with NO accepted-ulp
+    * exposure anywhere. Types never seen as a source get a uniform row
+    * (the dangling-node convention). */
+  def markovStationary(df: DataFrame, keyCol: String, tsCol: String,
+                       typeCol: String, tieCol: String,
+                       iters: Int = 12): DataFrame = {
+    val G = 1048576.0 // 2^20
+    def snap(v: Double): Double = math.floor(v * G + 0.5) / G
+    val tm = transitionMatrix(df, keyCol, tsCol, typeCol, tieCol)
+      .select(col("src"), col("dst"), col("n"))
+      .collect() // |types|² rows — bounded driver state
+    val counts = tm.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = counts.keysIterator
+      .flatMap(k => Iterator(k._1, k._2)).toSeq.distinct.sorted
+    val k = types.size
+    require(k > 0, "no transitions — need at least two events per key")
+    val rowTot = types.map(s =>
+      s -> types.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
+    val p = Array.tabulate(k, k) { (i, j) =>
+      val rt = rowTot(types(i))
+      if (rt == 0L) snap(1.0 / k) // dangling: uniform row
+      else math.floor(counts.getOrElse((types(i), types(j)), 0L).toDouble
+        * G / rt.toDouble) / G
+    }
+    var x = Array.fill(k)(snap(1.0 / k))
+    (1 to iters).foreach { _ =>
+      x = Array.tabulate(k)(j =>
+        snap((0 until k).map(i => x(i) * p(i)(j)).sum))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    types.zip(x).toSeq.toDF(typeCol, "pi20")
+  }
+
   /** Top-k most frequent length-`len` event-type paths (sequential
     * pattern mining's bread-and-butter "what do users do next" query):
     * per key, consecutive type runs ordered by time (tie-broken), path =
@@ -751,6 +799,40 @@ object EventOps {
         graft.ops.TextOps.round6(z)).as("z6"))
       .withColumn("is_anomaly",
         when(col("z6").isNotNull, abs(col("z6")) >= zThresh))
+  }
+
+  /** One-sided CUSUM drift detector over per-key event-time bucket
+    * counts — [[rateAnomalies]]'s sibling for SLOW drifts a per-bucket
+    * z-score never trips (each bucket looks individually normal while
+    * the small excesses accumulate). Classic reduction: with
+    * `P_t = Σ_{j≤t}(x_j − μ_key)`, the CUSUM statistic
+    * `S⁺_t = max(0, S⁺_{t-1} + x_t − μ) = P_t − min_{j≤t} P_j` — two
+    * KEYED cumulative windows over the bounded bucket frame, no
+    * sequential recurrence, no driver state.
+    *
+    * Determinism: μ floors to exact 1e-6 units (one integer-ratio
+    * division), so deviations, prefix sums, and the running min are ALL
+    * exact BIGINT µ-unit arithmetic — bit-portable with no float
+    * reduction anywhere. Alarm fires when the accumulated excess
+    * exceeds `h` counts. */
+  def cusumDrift(df: DataFrame, tsCol: String, keyCol: String,
+                 duration: String, h: Double): DataFrame = {
+    val counts = tumbling(df, tsCol, duration, Seq(col(keyCol)),
+      Seq(count(lit(1)).as("n")))
+    val wAll = Window.partitionBy(col(keyCol))
+    val wCum = Window.partitionBy(col(keyCol)).orderBy(col("ws").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mu = floor(sum(col("n")).over(wAll).cast("double")
+      / count(lit(1)).over(wAll).cast("double") * lit(1e6) + lit(0.5))
+      .cast("long")
+    val base = counts
+      .withColumn("__dev", col("n") * lit(1000000L) - mu)
+      .withColumn("__p", sum(col("__dev")).over(wCum))
+      .withColumn("__pmin", min(col("__p")).over(wCum))
+    base.select(col("ws"), col(keyCol), col("n"),
+      ((col("__p") - col("__pmin")).cast("double") / lit(1e6))
+        .as("cusum6"))
+      .withColumn("alarm", col("cusum6") >= lit(h))
   }
 
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {

@@ -321,6 +321,158 @@ object MultimodalOps {
       } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  /** REAL video-container codec, pure JVM, zero dependencies — the third
+    * modality's header walk: writes and parses minimal-but-valid ISO
+    * BMFF (MP4) files. The parser walks the actual box structure —
+    * big-endian (size, 4CC) top-level chain to `moov`, its children to
+    * `mvhd` (version 0 and 1 layouts: timescale + duration), and sums
+    * `mdat` payload bytes — so durations downstream come from genuinely
+    * decoded movie headers. 64-bit largesize boxes are handled;
+    * truncated or non-BMFF bytes parse to None. (Track/codec boxes are
+    * out of scope — the movie header carries what a corpus manifest
+    * needs; frame DECODE stays the documented native-codec stub.) */
+  object VideoCodec {
+    /** Parsed MP4 movie header + payload size. */
+    final case class Mp4Parsed(timescale: Long, durationTicks: Long,
+                               mdatBytes: Int)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def rdBe32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+        (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def rdBe64(b: Array[Byte], i: Int): Long =
+      (rdBe32(b, i) << 32) | rdBe32(b, i + 4)
+    private def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    private def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+
+    /** Valid minimal MP4: ftyp(isom), moov(mvhd v0 with the given
+      * timescale/duration), mdat carrying `payload`. */
+    def encodeMp4(timescale: Long, durationTicks: Long,
+                  payload: Array[Byte]): Array[Byte] = {
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be32(0) ++
+          "isom".getBytes("US-ASCII"))
+      val mvhd = box("mvhd",
+        Array[Byte](0, 0, 0, 0) ++        // version 0 + flags
+          be32(0) ++ be32(0) ++            // creation/modification time
+          be32(timescale) ++ be32(durationTicks) ++
+          be32(0x00010000L) ++             // rate 1.0
+          Array[Byte](1, 0, 0, 0) ++       // volume 1.0 + reserved
+          new Array[Byte](8) ++            // reserved
+          (be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+            be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+            be32(0) ++ be32(0) ++ be32(0x40000000L)) ++ // unity matrix
+          new Array[Byte](24) ++           // pre_defined
+          be32(2))                         // next_track_ID
+      ftyp ++ box("moov", mvhd) ++ box("mdat", payload)
+    }
+
+    /** Walk the box chain; None for unidentifiable/truncated streams
+      * (the first top-level box must be a well-formed known BMFF box). */
+    def parse(bytes: Array[Byte]): Option[Mp4Parsed] =
+      try {
+        if (bytes.length < 16) return None
+        // sniff: a plausible first box with a known brand-bearing type
+        val t0 = new String(bytes, 4, 4, "US-ASCII")
+        if (!Set("ftyp", "moov", "mdat", "free", "styp")(t0)) return None
+        var pos = 0L
+        var ts = -1L; var dur = -1L; var mdat = 0L
+        def walkMvhd(off: Int): Unit = {
+          val version = u8(bytes, off)
+          if (version == 1) {
+            ts = rdBe32(bytes, off + 20); dur = rdBe64(bytes, off + 24)
+          } else {
+            ts = rdBe32(bytes, off + 12); dur = rdBe32(bytes, off + 16)
+          }
+        }
+        def walkChildren(start: Long, end: Long): Unit = {
+          var p = start
+          while (p + 8 <= end) {
+            val sz0 = rdBe32(bytes, p.toInt)
+            val typ = new String(bytes, p.toInt + 4, 4, "US-ASCII")
+            val (sz, hdr) =
+              if (sz0 == 1L && p + 16 <= end)
+                (rdBe64(bytes, p.toInt + 8), 16L)
+              else (sz0, 8L)
+            if (sz < hdr || p + sz > end) return
+            if (typ == "mvhd") walkMvhd((p + hdr).toInt)
+            p += sz
+          }
+        }
+        while (pos + 8 <= bytes.length) {
+          val sz0 = rdBe32(bytes, pos.toInt)
+          val typ = new String(bytes, pos.toInt + 4, 4, "US-ASCII")
+          val (sz, hdr) =
+            if (sz0 == 1L && pos + 16 <= bytes.length)
+              (rdBe64(bytes, pos.toInt + 8), 16L)
+            else if (sz0 == 0L) (bytes.length - pos, 8L) // box-to-end
+            else (sz0, 8L)
+          if (sz < hdr || pos + sz > bytes.length) return None
+          typ match {
+            case "moov" => walkChildren(pos + hdr, pos + sz)
+            case "mdat" => mdat += sz - hdr
+            case _      => ()
+          }
+          pos += sz
+        }
+        if (ts > 0 && dur >= 0) Some(Mp4Parsed(ts, dur, mdat.toInt))
+        else None
+      } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Typed video-metadata record from a real movie-header parse;
+    * duration_ms = ticks·1000/timescale in floored long arithmetic. */
+  final case class VideoMeta(doc_id: Long, fmt: String, timescale: Long,
+                             duration_ticks: Long, duration_ms: Long,
+                             data_bytes: Int)
+
+  /** MP4-encode input row: one payload to containerize. */
+  final case class Mp4Spec(doc_id: Long, timescale: Long,
+                           duration_ticks: Long, payload: Array[Byte])
+
+  /** Encode rows into REAL MP4 containers, partition-wise (the video
+    * sibling of [[encodeImages]]/[[encodeWavs]]). */
+  def encodeMp4s(specs: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[Mp4Spec] = Encoders.product[Mp4Spec]
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    specs
+      .select(col("doc_id").cast("long"), col("timescale").cast("long"),
+        col("duration_ticks").cast("long"), col("payload"))
+      .as[Mp4Spec]
+      .mapPartitions(_.map { sp =>
+        (sp.doc_id, VideoCodec.encodeMp4(sp.timescale, sp.duration_ticks,
+          sp.payload))
+      })
+      .toDF("doc_id", "content")
+      .select(col("doc_id"), struct(col("content"),
+        lit("video/mp4").as("mime"),
+        map(lit("codec"), lit("video/mp4")).as("meta")).as("payload"))
+  }
+
+  /** Decode payloads to typed video metadata via the real box walker;
+    * unidentifiable bytes degrade to fmt='unknown' with zeroed fields
+    * and the raw byte length as data_bytes. */
+  def decodeVideoMeta(packed: DataFrame, idCol: String): Dataset[VideoMeta] = {
+    implicit val enc: Encoder[VideoMeta] = Encoders.product[VideoMeta]
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    packed.select(col(idCol).cast("long"), col("payload.content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        VideoCodec.parse(bytes) match {
+          case Some(p) =>
+            VideoMeta(id, "mp4", p.timescale, p.durationTicks,
+              p.durationTicks * 1000L / p.timescale, p.mdatBytes)
+          case None =>
+            VideoMeta(id, "unknown", 0L, 0L, 0L, bytes.length)
+        }
+      })
+  }
+
   /** Real header decode with graceful degradation: identifiable image
     * containers get genuinely parsed geometry (width/height from the
     * header, frames from GIF image descriptors, nbytes = payload bytes

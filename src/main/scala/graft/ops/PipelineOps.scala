@@ -161,6 +161,46 @@ object PipelineOps {
       .drop("__bkt", "__start")
   }
 
+  /** Additive corpus datasheet: one row per (source, lang) of PURE
+    * COUNTERS (doc count, token total, µ-unit quality sum) — every field
+    * survives a groupBy+sum, so per-shard reports roll up into the
+    * corpus report WITHOUT re-reading a single document
+    * ([[mergeReports]]; the d27 KMV mergeability story for the
+    * datasheet). One partial+final aggregate; output is
+    * |sources|×|langs|-bounded. */
+  def corpusReport(df: DataFrame): DataFrame =
+    df.groupBy(col("source"), col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .as("n_tokens"),
+      sum(floor(graft.ops.TextOps.qualityScore(col("text")) * lit(1e6)
+        + lit(0.5)).cast("long")).as("qual_u"))
+
+  /** Merge shard-level [[corpusReport]]s: union + one keyed sum — the
+    * counters are additive BY CONSTRUCTION, so the merged report equals
+    * the report over the concatenated corpora exactly (p15 proves it
+    * against the full-data oracle). */
+  def mergeReports(reports: DataFrame*): DataFrame =
+    reports.reduce(_.unionByName(_))
+      .groupBy("source", "lang")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("qual_u")).as("qual_u"))
+
+  /** Roll a (source, lang) counter report up to the per-source
+    * datasheet: totals, exact-ratio mean quality (µ-unit sum / count —
+    * deterministic where a float avg would carry association drift),
+    * and the language count (one row per (source, lang) by
+    * construction). */
+  def reportSummary(report: DataFrame): DataFrame =
+    report.groupBy("source").agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        graft.ops.TextOps.round6(
+          (sum(col("qual_u")).cast("double") / lit(1e6))
+            / sum(col("n_docs")).cast("double")).as("mean_quality"),
+        count(lit(1)).as("n_langs"))
+
   /** Content-addressed shard manifest — the integrity artifact a corpus
     * publisher ships next to its shards: per shard, the doc count, token
     * total, id range, and an ORDER-FREE content checksum (Σ of per-doc

@@ -42,6 +42,16 @@ object DedupQueries {
           Seq("user_id", "event_type"))
         .orderBy("user_id", "event_type")),
 
+    // TF-IDF weighted cosine linkage: rare tokens dominate the match —
+    // word-reorder-robust where d03's unweighted set overlap is not.
+    // Inverted-index token equi-join under a df≤50 stop cap; dot and
+    // norm terms are order-free µ-unit BIGINT sums, so the whole
+    // weighted pipeline hash-matches its DuckDB replay.
+    "d28_tfidf_cosine" -> ((s, d) =>
+      DedupOps.tfidfCosinePairs(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.3, maxDf = 50L)
+        .orderBy("id1", "id2")),
+
     // Split-document seam detection: LEFT doc's last 3 tokens == RIGHT
     // doc's first 3 — the scraper-cut diagnostic; equi-join on the seam
     // string, never all-pairs.
@@ -636,6 +646,38 @@ object DedupQueries {
          FROM kth ORDER BY source""",
     // d24: DISTINCT within doc (shinglesOfTokens) then across docs by
     // hash; estimate = ((k−1)·2⁶⁰)/h_k spelled in the Spark association.
+    // d28: identical u6 flooring on dot/norm terms; the idf ln() is the
+    // accepted exact-integer-ratio ulp class.
+    "d28_tfidf_cosine" ->
+      """WITH tk AS (SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+               x -> x <> '')) AS t
+           FROM documents),
+         tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM tk GROUP BY 1, 2),
+         dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df
+           FROM tf GROUP BY 1 HAVING count(*) <= 50),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         w AS (SELECT doc_id, tf.t,
+             CAST(tf AS DOUBLE) * ln(CAST(nd AS DOUBLE) / df) AS w
+           FROM tf JOIN dfq ON tf.t = dfq.t, nn),
+         nrm AS (SELECT doc_id,
+             CAST(sum(CAST(floor(w * w * 1e6 + 0.5) AS BIGINT))
+               AS BIGINT) AS n2
+           FROM w GROUP BY 1),
+         d AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             CAST(sum(CAST(floor(a.w * b.w * 1e6 + 0.5) AS BIGINT))
+               AS BIGINT) AS dotu
+           FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         c AS (SELECT id1, id2,
+             (CAST(dotu AS DOUBLE) / 1e6)
+               / sqrt((CAST(na.n2 AS DOUBLE) / 1e6)
+                 * (CAST(nb.n2 AS DOUBLE) / 1e6)) AS cos
+           FROM d JOIN nrm na ON d.id1 = na.doc_id
+             JOIN nrm nb ON d.id2 = nb.doc_id)
+         SELECT id1, id2, floor(cos * 1e6 + 0.5) / 1e6 AS cos6
+         FROM c WHERE cos >= 0.3 ORDER BY id1, id2""",
     "d24_kmv" ->
       """WITH t AS (SELECT source,
              list_filter(string_split(lower(text), ' '), x -> x <> '')

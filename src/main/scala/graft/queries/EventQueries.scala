@@ -199,6 +199,24 @@ object EventQueries {
           lookback = 24, zThresh = 3.0)
         .orderBy("ws", "event_type")),
 
+    // Stationary distribution of the event-type Markov chain: e29's
+    // transition matrix closed by fixed dyadic-grid power iterations
+    // (exact 2⁻⁴⁰ products, order-free sums — zero ulp exposure); the
+    // oracle unrolls the identical 12 steps.
+    "e45_markov_stationary" -> ((s, d) =>
+      EventOps.markovStationary(ev(s, d), "user_id", "ts", "event_type",
+          tieCol = "event_id", iters = 12)
+        .orderBy("event_type")),
+
+    // One-sided CUSUM drift detector: e43's sibling for SLOW rate
+    // drifts (individually-normal buckets whose small excesses
+    // accumulate). S⁺ = prefix-sum − running-min via two keyed
+    // cumulative windows; ALL arithmetic is exact BIGINT µ-units.
+    "e44_cusum" -> ((s, d) =>
+      EventOps.cusumDrift(ev(s, d), "ts", "event_type", "1 hour",
+          h = 20.0)
+        .orderBy("ws", "event_type")),
+
     // Per-hour ROC-AUC of event value predicting purchase — the
     // quality-scorer discrimination audit, via the rank-sum identity
     // over (group, distinct score) counts: no row-level ranking, one
@@ -685,7 +703,12 @@ object EventQueries {
     "e11_stream_join" -> ((s, d) => {
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
-      val rows = Tables.events(s, d).select("ts", "user_id", "event_type")
+      // filter to the two joined types BEFORE the replay collect — the
+      // harness only feeds clicks/purchases, no point hauling the rest
+      // of the fixture through the driver
+      val rows = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("ts", "user_id", "event_type")
         .collect()
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSeq
       val clicks = org.apache.spark.sql.execution.streaming.runtime
@@ -719,7 +742,9 @@ object EventQueries {
     "e42_stream_outer_join" -> ((s, d) => {
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
-      val rows = Tables.events(s, d).select("ts", "user_id", "event_type")
+      val rows = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("ts", "user_id", "event_type")
         .collect()
         .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSeq
       val clicks = org.apache.spark.sql.execution.streaming.runtime
@@ -848,7 +873,43 @@ object EventQueries {
     })
   )
 
+  /** e45's unrolled power-iteration replay (the d20 builder pattern):
+    * row probs floor to the 2⁻²⁰ grid, each step's matvec snaps back to
+    * it — every arithmetic step exact, so the chain is bit-identical. */
+  private def markovSql(iters: Int): String = {
+    val head =
+      """WITH tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM
+           (SELECT event_type AS src,
+              lead(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events) WHERE dst IS NOT NULL GROUP BY 1, 2),
+         ty AS (SELECT DISTINCT src AS t FROM tr
+           UNION SELECT DISTINCT dst FROM tr),
+         kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+         rt AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+           FROM tr GROUP BY 1),
+         p AS (SELECT a.t AS src, b.t AS dst,
+             CASE WHEN rt.tot IS NULL THEN
+               floor(1.0 / (SELECT k FROM kk) * 1048576 + 0.5) / 1048576
+             ELSE floor(CAST(COALESCE(tr.n, 0) AS DOUBLE) * 1048576
+               / rt.tot) / 1048576 END AS pr
+           FROM ty a CROSS JOIN ty b
+           LEFT JOIN tr ON tr.src = a.t AND tr.dst = b.t
+           LEFT JOIN rt ON rt.src = a.t),
+         x0 AS (SELECT t AS et,
+           CAST(floor(1.0 / (SELECT k FROM kk) * 1048576 + 0.5) / 1048576
+             AS DOUBLE) AS xv FROM ty)"""
+    val its = (1 to iters).map { i =>
+      s"""x$i AS (SELECT p.dst AS et,
+           floor(sum(x.xv * p.pr) * 1048576 + 0.5) / 1048576 AS xv
+         FROM x${i - 1} x JOIN p ON p.src = x.et GROUP BY 1)"""
+    }.mkString(",\n")
+    s"$head,\n$its\n SELECT et AS event_type, xv AS pi20 FROM x$iters " +
+      "ORDER BY event_type"
+  }
+
   val oracles: Map[String, String] = Map(
+    "e45_markov_stationary" -> markovSql(iters = 12),
     "e13_stream_static" ->
       """SELECT event_id, user_id, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey
@@ -1019,6 +1080,31 @@ object EventQueries {
            COALESCE(valid_to, TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
            valid_to IS NULL AS is_current
          FROM v ORDER BY user_id, version""",
+    // e44: P − min(P) over exact µ-unit BIGINTs; the only doubles are
+    // the µ-floored per-key mean and the final /1e6 display division.
+    "e44_cusum" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT ws, event_type, n,
+             CAST(floor(CAST(sum(n) OVER wk AS DOUBLE)
+               / count(*) OVER wk * 1e6 + 0.5) AS BIGINT) AS mu
+           FROM c WINDOW wk AS (PARTITION BY event_type)),
+         p AS (SELECT ws, event_type, n,
+             CAST(sum(CAST(n * 1000000 AS BIGINT) - mu) OVER
+               (PARTITION BY event_type ORDER BY ws
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pp
+           FROM m),
+         q AS (SELECT ws, event_type, n, pp,
+             CAST(min(pp) OVER (PARTITION BY event_type ORDER BY ws
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pmin
+           FROM p)
+         SELECT ws, event_type, n,
+           CAST(pp - pmin AS DOUBLE) / 1e6 AS cusum6,
+           CAST(pp - pmin AS DOUBLE) / 1e6 >= 20.0 AS alarm
+         FROM q ORDER BY ws, event_type""",
     // e43: baseline mean/variance from exact integer window sums in the
     // identical association (never incremental variance).
     "e43_rate_anomaly" ->

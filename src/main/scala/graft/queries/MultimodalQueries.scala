@@ -53,7 +53,29 @@ object MultimodalQueries {
       encode(col("text"), "UTF-8").as("payload")))
   }
 
+  /** Documents wrapped in real MP4 containers: timescale cycles the
+    * classic clocks by doc_id, duration ticks derive from the byte
+    * length, text bytes ride as the mdat payload. */
+  private def mp4ed(s: SparkSession, d: String): DataFrame = {
+    val id4 = pmod(col("doc_id"), lit(4))
+    val n = length(encode(col("text"), "UTF-8"))
+    MultimodalOps.encodeMp4s(Tables.documents(s, d).select(
+      col("doc_id"),
+      when(id4 === 0, 600L).when(id4 === 1, 1000L)
+        .when(id4 === 2, 90000L).otherwise(25L).as("timescale"),
+      (n.cast("long") * 3L).as("duration_ticks"),
+      encode(col("text"), "UTF-8").as("payload")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Typed video-metadata decode through the REAL ISO BMFF box walker:
+    // timescale/duration come from walking ftyp→moov→mvhd (big-endian
+    // box chain), data_bytes from summing mdat payloads — the third
+    // modality's genuine header parse.
+    "m11_mp4_meta" -> ((s, d) =>
+      MultimodalOps.decodeVideoMeta(mp4ed(s, d), "doc_id")
+        .toDF().orderBy("doc_id")),
 
     // Typed audio-metadata decode through the REAL RIFF/WAVE parser:
     // sample rate / channels / bits come from walking the actual chunk
@@ -153,6 +175,19 @@ object MultimodalQueries {
     // of doc_id + text length, so the oracle recomputes what the Spark
     // side must PARSE back out of the binary container. All sample/
     // duration math is integer division on both sides.
+    "m11_mp4_meta" ->
+      """WITH f AS (SELECT doc_id,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+               WHEN 2 THEN 90000 ELSE 25 END AS BIGINT) AS timescale,
+             CAST(octet_length(encode(text)) * 3 AS BIGINT)
+               AS duration_ticks,
+             CAST(octet_length(encode(text)) AS INTEGER) AS data_bytes
+           FROM documents)
+         SELECT doc_id, 'mp4' AS fmt, timescale, duration_ticks,
+           CAST(duration_ticks * 1000 // timescale AS BIGINT)
+             AS duration_ms,
+           data_bytes
+         FROM f ORDER BY doc_id""",
     "m09_wav_meta" ->
       """WITH f AS (SELECT doc_id,
              CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000

@@ -47,6 +47,20 @@ object PipelineQueries {
     // contained in SOME train doc (the leak every decontamination pass
     // exists to stop; the fixture's planted near-dups leak across the
     // hash split by construction, so the rates are non-trivial).
+    // MERGEABLE datasheet: two half-corpus counter reports merged with
+    // one keyed sum must equal the full-data report — additivity proven
+    // against the all-documents oracle (the d27 KMV discipline for
+    // corpus reporting; shard datasheets roll up without re-reads).
+    "p15_report_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val a = PipelineOps.corpusReport(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val b = PipelineOps.corpusReport(
+        docs.filter(pmod(col("doc_id"), lit(2)) =!= 0))
+      PipelineOps.reportSummary(PipelineOps.mergeReports(a, b))
+        .orderBy("source")
+    }),
+
     // Content-addressed shard manifest: p02's shard assignment closed by
     // an order-free mod-2³¹ checksum of per-doc md5 hashes — the
     // integrity artifact a consumer diffs to catch drops/dupes/corruption
@@ -260,6 +274,28 @@ object PipelineQueries {
            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
            ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // p15: the oracle reads ALL documents in one pass — hash-matching it
+    // from two merged half-reports is the additivity proof.
+    "p15_report_merge" ->
+      s"""WITH t AS (SELECT source, lang,
+             CAST(len($Toks) AS BIGINT) AS tok,
+             CAST(floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
+               1.0 - (CASE WHEN len($Toks) = 0 THEN 0.0 ELSE
+                 len(list_filter($Toks, x -> x IN ('the','a','an','of',
+                   'and','to','in','is','on','for','with'))) * 1.0
+                 / len($Toks) END) * 2.0)
+               * 1e6 + 0.5) AS BIGINT) AS qu
+           FROM documents),
+         g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS n_tokens,
+             CAST(sum(qu) AS BIGINT) AS qual_u
+           FROM t GROUP BY 1, 2)
+         SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           floor(CAST(sum(qual_u) AS DOUBLE) / 1e6 / sum(n_docs) * 1e6
+             + 0.5) / 1e6 AS mean_quality,
+           CAST(count(*) AS BIGINT) AS n_langs
+         FROM g GROUP BY 1 ORDER BY 1""",
     // p14: p02's sequential-prefix shard replay, closed per shard with
     // the commutative mod-2³¹ hash fold (sum order is free by design).
     "p14_shard_manifest" ->

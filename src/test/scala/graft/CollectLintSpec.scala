@@ -101,6 +101,8 @@ class CollectLintSpec extends AnyFunSuite {
         "1-row min/max bounds",
       "val lastRow = df.agg(max(unix_micros(col(tsCol)))).head()" ->
         "rfm corpus-last bound: 1-row aggregate",
+      ".collect() // |types|² rows — bounded driver state" ->
+        "markov transition matrix: |types|² cells",
       "countDistinct(col(\"b\")).as(\"kb\")).head()" ->
         "chi2 grand total / category counts: 1-row aggregate",
       "val chiTotal = cells.agg(sum(col(\"__cu\"))).head().getLong(0)" ->

@@ -624,6 +624,35 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(AudioCodec.parse(Array.empty[Byte]).isEmpty)
   }
 
+  test("VideoCodec round-trips MP4 movie headers and mdat sizes") {
+    import graft.ops.MultimodalOps.VideoCodec
+    val pl = Array.tabulate(500)(i => (i % 251).toByte)
+    val mp4 = VideoCodec.encodeMp4(90000L, 270000L, pl)
+    val p = VideoCodec.parse(mp4).get
+    assert((p.timescale, p.durationTicks, p.mdatBytes)
+      == ((90000L, 270000L, 500)))
+    // empty mdat stays structurally valid
+    assert(VideoCodec.parse(VideoCodec.encodeMp4(600L, 0L, Array.empty))
+      .contains(VideoCodec.Mp4Parsed(600L, 0L, 0)))
+    // a version-1 mvhd (64-bit duration) parses too: patch one in
+    val v1body = Array[Byte](1, 0, 0, 0) ++ new Array[Byte](16) ++
+      Array[Byte](0, 0, 0x27, 0x10) ++ // timescale 10000 at offset 20
+      Array[Byte](0, 0, 0, 1, 0, 0, 0, 0) ++ // duration 2^32 (64-bit)
+      new Array[Byte](80)
+    def box(t: String, b: Array[Byte]) =
+      Array(((b.length + 8) >> 24).toByte, ((b.length + 8) >> 16).toByte,
+        ((b.length + 8) >> 8).toByte, (b.length + 8).toByte) ++
+        t.getBytes("US-ASCII") ++ b
+    val v1 = box("ftyp", "isomAAAAisom".getBytes("US-ASCII")) ++
+      box("moov", box("mvhd", v1body))
+    assert(VideoCodec.parse(v1)
+      .contains(VideoCodec.Mp4Parsed(10000L, 1L << 32, 0)))
+    // rejects junk and truncation
+    assert(VideoCodec.parse("not an mp4 stream at all".getBytes).isEmpty)
+    assert(VideoCodec.parse(mp4.take(40)).isEmpty)
+    assert(VideoCodec.parse(Array.empty[Byte]).isEmpty)
+  }
+
   test("ImageCodec.parse rejects junk, truncation, and a corrupt PNG CRC") {
     import graft.ops.MultimodalOps.ImageCodec
     assert(ImageCodec.parse("plain text bytes".getBytes("UTF-8")).isEmpty)
