@@ -659,6 +659,34 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, "g")
   }
 
+  /** Mergeable aggregate STATE per key — incremental view maintenance's
+    * core: (count, sum, min, max) are all associative+commutative, so a
+    * delta batch's state merges into the standing state with ONE keyed
+    * sum/min/max ([[GFrame.mergeAggStates]]) and the maintained view
+    * never re-reads history (the p15 datasheet discipline for keyed
+    * aggregates). Derived stats (mean) close at read time from the
+    * counters. Exact for integral-valued doubles within 2⁵³ (sums are
+    * then order-free); route true money magnitudes through cents
+    * upstream. */
+  def aggState(valCol: String): GFrame = {
+    val v = col(valCol).cast("double")
+    new GFrame(df.groupBy(col(indexName)).agg(
+      org.apache.spark.sql.functions.count(v).as("n"), sum(v).as("s"),
+      min(v).as("mn"), max(v).as("mx")), indexName)
+  }
+
+  /** Merge two [[aggState]] frames (same key + counter columns): union +
+    * one keyed reduce. The result is bit-equal to the state computed
+    * over the concatenated inputs (f58 proves it against the full-data
+    * oracle). */
+  def mergeAggStates(other: GFrame): GFrame =
+    new GFrame(
+      df.unionByName(other.df)
+        .groupBy(col(indexName))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx")),
+      indexName)
+
   /** Apply a CDC change batch to a snapshot (warehouse MERGE semantics):
     * `changes` carries the snapshot's columns plus `opCol` ∈
     * {'I','U','D'} — deletes remove their key, updates/inserts replace

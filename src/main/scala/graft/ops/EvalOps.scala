@@ -70,9 +70,19 @@ object EvalOps {
           binCol: Column): DataFrame = {
     def binned(d: DataFrame, n: String) =
       d.groupBy(binCol.as("bin")).agg(count(lit(1)).as(n))
+    psiFromCounts(binned(expected, "n_expected"),
+      binned(actual, "n_actual"))
+  }
+
+  /** [[psi]] from PRE-AGGREGATED bin counts — the entry a streaming
+    * monitor uses: per-epoch histograms are additive, so accumulated
+    * micro-batch counts drop straight in and the result equals the
+    * batch PSI over everything ingested (e48 proves it). `expected`
+    * needs (bin, n_expected); `actual` (bin, n_actual). */
+  def psiFromCounts(expected: DataFrame, actual: DataFrame): DataFrame = {
     val joined = graft.Caches.track(
-      binned(expected, "n_expected")
-        .join(binned(actual, "n_actual"), Seq("bin"), "full_outer")
+      expected
+        .join(actual, Seq("bin"), "full_outer")
         .na.fill(0L, Seq("n_expected", "n_actual"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val t = joined.agg(sum(col("n_expected")), sum(col("n_actual")))

@@ -468,6 +468,64 @@ object EventOps {
         col("n").cast("double") / sum(col("n")).over(srcW).cast("double"))
   }
 
+  /** Time-in-state attribution: each event "owns" the interval until
+    * its key's next event, and the per-state dwell report (visit count,
+    * total and mean seconds) answers "where does user time actually
+    * go" — the engagement metric session counts miss. ONE keyed lead
+    * window + one partial+final aggregate; open tails (each key's last
+    * event) have no successor and drop.
+    *
+    * Determinism: gaps are exact integer µs, totals exact BIGINT sums;
+    * mean closes as one fixed-association division on the 6dp grid. */
+  def dwellTimes(df: DataFrame, keyCol: String, tsCol: String,
+                 typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val gap = unix_micros(lead(col(tsCol), 1).over(w)) -
+      unix_micros(col(tsCol))
+    df.select(col(typeCol).as("state"), gap.as("__g"))
+      .filter(col("__g").isNotNull)
+      .groupBy("state")
+      .agg(count(lit(1)).as("n"), sum(col("__g")).as("dwell_us"))
+      .select(col("state"), col("n"), col("dwell_us"),
+        graft.ops.TextOps.round6((col("dwell_us").cast("double") / lit(1e6))
+          / col("n").cast("double")).as("mean_s6"))
+  }
+
+  /** Two-way additive seasonality profile of event volume — the
+    * hour-of-day × day-of-week decomposition a rate monitor needs
+    * before alarming (e43/e44 flag deviations; this supplies the
+    * expected value they should deviate FROM): per (dow, hour) cell,
+    * the observed count, the additive expectation
+    * `mean_hour + mean_dow − grand_mean`, and the residual. The data
+    * collapses to ≤ 7×24 cells in ONE aggregate; marginal means join
+    * back over the bounded frame.
+    *
+    * Determinism: every mean is a ratio of exact integers in one fixed
+    * association, floored to the 6dp grid; the residual subtracts grid
+    * multiples exactly. */
+  def seasonalProfile(df: DataFrame, tsCol: String): DataFrame = {
+    val cells = graft.Caches.track(
+      df.select(dayofweek(col(tsCol)).as("dow"), hour(col(tsCol)).as("hr"))
+        .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val byHr = cells.groupBy("hr").agg(
+      r6(sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+        .as("mh"))
+    val byDow = cells.groupBy("dow").agg(
+      r6(sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+        .as("md"))
+    val g = cells.agg(sum(col("n")), count(lit(1))).head() // 1-row grand
+    val gm = math.floor(g.getLong(0).toDouble / g.getLong(1).toDouble
+      * 1e6 + 0.5) / 1e6
+    cells.join(byHr, "hr").join(byDow, "dow")
+      .select(col("dow"), col("hr"), col("n"),
+        (col("mh") + col("md") - lit(gm)).as("expected6"),
+        (col("n").cast("double") - (col("mh") + col("md") - lit(gm)))
+          .as("resid6"))
+  }
+
   /** Stationary distribution of the event-type Markov chain — the
     * closing statistic over [[transitionMatrix]] ("where does user
     * behavior settle"): fixed power iterations of x′ = x·P from the

@@ -199,6 +199,45 @@ object GraphOps {
     * near-dup graphs here are stop-shingle-capped (bounded degree by
     * construction), so id orientation suffices and keeps the output
     * ordering deterministic. */
+  /** Synchronous label propagation communities (LPA, Raghavan et al.
+    * 2007) — the cheap modularity-style partitioner next to
+    * [[connectedComponents]]'s reachability (components merge everything
+    * connected; LPA splits dense regions from their bridges): every
+    * vertex starts as its own label, then for `iters` rounds each vertex
+    * adopts its neighbors' MOST FREQUENT label, ties broken to the
+    * smallest label — fully deterministic (the classic random-order
+    * update replaced by synchronous rounds + total tie order, so the
+    * result is reproducible and ORACLE-REPLAYABLE).
+    *
+    * Scale shape: per round, ONE vertex-keyed equi-join pulls neighbor
+    * labels, one (vertex, label) count aggregate, and one keyed
+    * WindowGroupLimit picks the arg-max — lineage cut per round (the
+    * d08 discipline). Exact integer logic end-to-end: no floats
+    * anywhere. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 4): DataFrame = {
+    val sym = graft.Caches.track(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    var labels = graft.Caches.track(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint())
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy("a").orderBy(col("cnt").desc, col("nl").asc)
+    (1 to iters).foreach { _ =>
+      labels = graft.Caches.track(
+        sym.join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
+          .groupBy("a", "nl").agg(count(lit(1)).as("cnt"))
+          .withColumn("__rk", row_number().over(wArg))
+          .filter(col("__rk") === 1)
+          .select(col("a").as("id"), col("nl").as("lbl"))
+          .localCheckpoint()) // lineage cut — the d08 rationale
+    }
+    labels
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("lo"),

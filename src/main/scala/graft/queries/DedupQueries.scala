@@ -283,6 +283,18 @@ object DedupQueries {
       GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
     }),
 
+    // Label-propagation communities over the d08 pair graph: synchronous
+    // rounds + smallest-label ties make the classic random-order
+    // algorithm deterministic and oracle-replayable; exact integer logic
+    // end-to-end (no floats anywhere).
+    "d29_label_prop" -> ((s, d) => {
+      import graft.ops.GraphOps
+      val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      GraphOps.labelPropagation(pairs, "id1", "id2", iters = 4)
+        .orderBy("id")
+    }),
+
     // PageRank over the d08 near-dup pair graph: duplication-centrality
     // scores (boilerplate hubs rank high). Five power iterations, each
     // ONE vertex-keyed join + one partial+final aggregation, rank
@@ -458,6 +470,35 @@ object DedupQueries {
     s"$head,\n$its\n SELECT id, r AS rank FROM r$iters ORDER BY id"
   }
 
+  /** d29's unrolled synchronous LPA replay: per round, neighbor-label
+    * counts arg-maxed with the identical (count desc, label asc) total
+    * order — pure integer logic, bit-identical by construction. */
+  private def labelPropSql(iters: Int): String = {
+    val head = s"""WITH $ShingleCte,
+       sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT id1, id2 FROM inter
+         JOIN sizes s1 ON id1 = s1.doc_id
+         JOIN sizes s2 ON id2 = s2.doc_id
+         WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+       edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         UNION ALL SELECT id2, id1 FROM pairs),
+       l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM edges)"""
+    val its = (1 to iters).map { i =>
+      s"""l$i AS (SELECT id, lbl FROM (
+           SELECT e.a AS id, p.lbl AS lbl,
+             row_number() OVER (PARTITION BY e.a
+               ORDER BY count(*) DESC, p.lbl ASC) AS rk
+           FROM edges e JOIN l${i - 1} p ON p.id = e.b
+           GROUP BY e.a, p.lbl) WHERE rk = 1)"""
+    }.mkString(",\n")
+    s"$head,\n$its\n SELECT id, lbl FROM l$iters ORDER BY id"
+  }
+
   private val JaccardSql =
     s"""WITH $ShingleCte,
         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
@@ -583,6 +624,7 @@ object DedupQueries {
     // (1 - 0.85) spelling is deliberate: both engines compute the same
     // IEEE double, where a 0.15 literal would differ by 1 ulp.
     "d20_pagerank" -> pageRankSql(iters = 5),
+    "d29_label_prop" -> labelPropSql(iters = 4),
     // d25: d08's exact pair-graph head + the DBSCAN tail (degrees →
     // cores → recursive-CTE components over core–core edges → min-core
     // border attach → noise).

@@ -199,6 +199,49 @@ object EventQueries {
           lookback = 24, zThresh = 3.0)
         .orderBy("ws", "event_type")),
 
+    // STREAMING PSI drift monitor: purchase values replay in TWO
+    // micro-batch epochs, per-bin counts accumulate additively
+    // (histogramIngest), and the final PSI against the static click
+    // histogram must hash-match the BATCH PSI over everything ingested
+    // — the d27 mergeability discipline composed with the f57 drift op.
+    "e48_stream_psi" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val evd = Tables.events(s, d)
+      val expCounts = evd.filter(col("event_type") === "click")
+        .groupBy(floor(col("value") / 50).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_expected"))
+      val rows = evd.filter(col("event_type") === "purchase")
+        .select("value").collect().map(_.getDouble(0)).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Double]
+      val (q, read) = graft.streaming.StreamOps.histogramIngest(
+        input.toDF().toDF("value"), floor(col("value") / 50), "n_actual")
+      withStatePartitions(s, 8) {
+        try {
+          val (a, b) = rows.splitAt(rows.length / 2)
+          input.addData(a: _*); q.processAllAvailable()
+          input.addData(b: _*); q.processAllAvailable()
+        } finally q.stop()
+      }
+      graft.ops.EvalOps.psiFromCounts(expCounts, read()).orderBy("bin")
+    }),
+
+    // Time-in-state attribution: each event owns the interval to its
+    // user's next event — where user time actually goes (exact µs
+    // integer gaps; open tails drop).
+    "e46_dwell" -> ((s, d) =>
+      EventOps.dwellTimes(ev(s, d), "user_id", "ts", "event_type",
+          tieCol = "event_id")
+        .orderBy("state")),
+
+    // Hour-of-day × day-of-week additive seasonality profile: the
+    // expected volume e43/e44 should alarm AGAINST; ≤ 7×24 cells from
+    // one aggregate, marginal means joined back over the bounded frame.
+    "e47_seasonal" -> ((s, d) =>
+      EventOps.seasonalProfile(ev(s, d), "ts")
+        .orderBy("dow", "hr")),
+
     // Stationary distribution of the event-type Markov chain: e29's
     // transition matrix closed by fixed dyadic-grid power iterations
     // (exact 2⁻⁴⁰ products, order-free sums — zero ulp exposure); the
@@ -910,6 +953,62 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "e45_markov_stationary" -> markovSql(iters = 12),
+    // e48: the batch PSI over all ingested purchases vs the static
+    // click histogram (the f57 oracle shape on events).
+    "e48_stream_psi" ->
+      """WITH e AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+             count(*) AS ne
+           FROM events WHERE event_type = 'click' GROUP BY 1),
+         a AS (SELECT CAST(floor(value / 50) AS BIGINT) AS bin,
+             count(*) AS na
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         j AS (SELECT COALESCE(e.bin, a.bin) AS bin,
+             CAST(COALESCE(ne, 0) AS BIGINT) AS n_expected,
+             CAST(COALESCE(na, 0) AS BIGINT) AS n_actual
+           FROM e FULL OUTER JOIN a ON e.bin = a.bin),
+         t AS (SELECT CAST(sum(n_expected) AS BIGINT) AS nexp,
+             CAST(sum(n_actual) AS BIGINT) AS nact FROM j),
+         s AS (SELECT bin, n_expected, n_actual,
+             CASE WHEN n_expected > 0 AND n_actual > 0 THEN
+               floor((CAST(n_expected AS DOUBLE) / nexp
+                   - CAST(n_actual AS DOUBLE) / nact)
+                 * ln((CAST(n_expected AS DOUBLE) * nact)
+                   / (CAST(n_actual AS DOUBLE) * nexp))
+                 * 1e6 + 0.5) / 1e6
+             END AS psi6
+           FROM j, t)
+         SELECT bin, n_expected, n_actual, psi6,
+           CAST(sum(CASE WHEN psi6 IS NOT NULL THEN
+               CAST(floor(psi6 * 1e6 + 0.5) AS BIGINT) ELSE 0 END)
+             OVER () AS DOUBLE) / 1e6 AS psi_total
+         FROM s ORDER BY bin""",
+    "e46_dwell" ->
+      """WITH x AS (SELECT event_type AS state,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) - epoch_us(ts) AS g
+           FROM events)
+         SELECT state, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(g) AS BIGINT) AS dwell_us,
+           floor(CAST(sum(g) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5)
+             / 1e6 AS mean_s6
+         FROM x WHERE g IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    // e47: every mean is floor((sum/count)·1e6+0.5)/1e6 of exact
+    // integers; expected/resid subtract those identical doubles.
+    "e47_seasonal" ->
+      """WITH c AS (SELECT CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         mh AS (SELECT hr, floor(CAST(sum(n) AS DOUBLE) / count(*) * 1e6
+             + 0.5) / 1e6 AS mh FROM c GROUP BY 1),
+         md AS (SELECT dow, floor(CAST(sum(n) AS DOUBLE) / count(*) * 1e6
+             + 0.5) / 1e6 AS md FROM c GROUP BY 1),
+         g AS (SELECT floor(CAST(sum(n) AS DOUBLE) / count(*) * 1e6
+             + 0.5) / 1e6 AS gm FROM c)
+         SELECT dow, hr, n, mh + md - gm AS expected6,
+           CAST(n AS DOUBLE) - (mh + md - gm) AS resid6
+         FROM c JOIN mh USING (hr) JOIN md USING (dow), g
+         ORDER BY dow, hr""",
     "e13_stream_static" ->
       """SELECT event_id, user_id, c_mktsegment
          FROM events JOIN customer ON user_id = c_custkey

@@ -484,6 +484,21 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // Incremental view maintenance: per-key (count/sum/min/max) STATES
+    // built on two halves merge with one keyed reduce and must equal
+    // the full-data aggregate — the maintained-view-never-re-reads-
+    // history contract, proven against the all-rows oracle.
+    "f58_incr_agg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = GFrame.fromDF(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0), "l_returnflag")
+        .aggState("l_quantity")
+      val b = GFrame.fromDF(
+        li.filter(pmod(col("l_orderkey"), lit(2)) =!= 0), "l_returnflag")
+        .aggState("l_quantity")
+      a.mergeAggStates(b).toDF.orderBy("l_returnflag")
+    }),
+
     // Population Stability Index of the order-value distribution, pre-
     // vs post-1998 snapshots binned at 50k — the corpus/feature drift
     // monitor (two bounded bin aggregates + a full outer join; exact-
@@ -972,6 +987,13 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f58: quantities are integral doubles, so the split-side sums are
+    // order-free exact and merging is associativity itself.
+    "f58_incr_agg" ->
+      """SELECT l_returnflag, CAST(count(l_quantity) AS BIGINT) AS n,
+           CAST(sum(l_quantity) AS DOUBLE) AS s,
+           min(l_quantity) AS mn, max(l_quantity) AS mx
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     // f57: per-bin terms floor to exact 1e-6-unit longs; the total is
     // their order-free sum windowed across every row.
     "f57_psi" ->

@@ -100,6 +100,39 @@ object StreamOps {
     (q, () => state)
   }
 
+  /** Streaming histogram ingestion: every micro-batch's per-bin counts
+    * merge into a bounded |bins|-row state with one keyed sum — counts
+    * are ADDITIVE, so the accumulated histogram equals the batch
+    * histogram over all data ever ingested (the kmvIngest pattern with
+    * the trivial merge). Feed the reader into
+    * [[graft.ops.EvalOps.psiFromCounts]] for a live drift monitor
+    * against a static reference (e48). Returns the query + a total
+    * reader (empty typed frame before the first commit). */
+  def histogramIngest(stream: DataFrame,
+                      binCol: org.apache.spark.sql.Column,
+                      countName: String): (StreamingQuery, () => DataFrame) = {
+    val empty = stream.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bin",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(countName,
+          org.apache.spark.sql.types.LongType))))
+    @volatile var state: DataFrame = empty
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val b = batch.toDF()
+          .groupBy(binCol.cast("long").as("bin"))
+          .agg(count(lit(1)).as(countName))
+        state = state.unionByName(b)
+          .groupBy("bin").agg(sum(col(countName)).as(countName))
+          .localCheckpoint(true) // bounded: |bins| rows
+        ()
+      }
+      .start()
+    (q, () => state)
+  }
+
   /** Streaming data-quality monitor: every micro-batch evaluates the
     * named violation predicates in ONE fused aggregate (the
     * [[graft.ops.ValidateOps]] row-rule shape) and appends a

@@ -103,6 +103,8 @@ class CollectLintSpec extends AnyFunSuite {
         "rfm corpus-last bound: 1-row aggregate",
       ".collect() // |types|² rows — bounded driver state" ->
         "markov transition matrix: |types|² cells",
+      "val g = cells.agg(sum(col(\"n\")), count(lit(1))).head() // 1-row grand" ->
+        "seasonal grand mean: 1-row aggregate over the ≤7×24 cell frame",
       "countDistinct(col(\"b\")).as(\"kb\")).head()" ->
         "chi2 grand total / category counts: 1-row aggregate",
       "val chiTotal = cells.agg(sum(col(\"__cu\"))).head().getLong(0)" ->
@@ -165,6 +167,8 @@ class CollectLintSpec extends AnyFunSuite {
         "MemoryStream replay feed (gate harness)"),
     "EventQueries.scala" -> Map(
       ".collect()" -> "MemoryStream replay feed (gate harness)",
+      ".select(\"value\").collect().map(_.getDouble(0)).toSeq" ->
+        "MemoryStream replay feed (gate harness)",
       ".select(\"user_id\", \"event_id\", \"ts\", \"event_type\").collect()" ->
         "MemoryStream replay feed (gate harness)",
       ".select(\"event_id\", \"user_id\", \"value\").collect()" ->
