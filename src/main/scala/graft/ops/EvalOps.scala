@@ -105,6 +105,27 @@ object EvalOps {
       col("psi6"), lit(total.toDouble / 1e6).as("psi_total"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one —
+    * the acceptance metric every ANN index deploy is judged by. Both
+    * inputs are (qid, nid) frames; per query, the fraction of exact
+    * neighbors the approximate index found. One keyed semi-join + two
+    * bounded aggregates; queries the approximate side missed entirely
+    * score 0, never drop. */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    // the exact side feeds TWO consumers (hit semi-join + k counts) and
+    // is typically the expensive brute-force ground truth — persist so
+    // it computes once (Catalyst trees are trees, not DAGs)
+    val ex = graft.Caches.track(exact
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val hits = ex.join(approx, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("hits"))
+    ex.groupBy("qid").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("qid"), "left").na.fill(0L, Seq("hits"))
+      .select(col("qid"), col("hits"), col("k"),
+        TextOps.round6(col("hits").cast("double") / col("k").cast("double"))
+          .as("recall6"))
+  }
+
   /** Reliability / calibration bins for a score in [0, 1] against a
     * boolean label: `bins` equal-width buckets (score = 1 folds into the
     * last), each with its count, positive rate, and mean score — the

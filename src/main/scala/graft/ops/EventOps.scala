@@ -509,12 +509,12 @@ object EventOps {
       df.select(dayofweek(col(tsCol)).as("dow"), hour(col(tsCol)).as("hr"))
         .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    import graft.ops.TextOps.round6
     val byHr = cells.groupBy("hr").agg(
-      r6(sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+      round6(sum(col("n")).cast("double") / count(lit(1)).cast("double"))
         .as("mh"))
     val byDow = cells.groupBy("dow").agg(
-      r6(sum(col("n")).cast("double") / count(lit(1)).cast("double"))
+      round6(sum(col("n")).cast("double") / count(lit(1)).cast("double"))
         .as("md"))
     val g = cells.agg(sum(col("n")), count(lit(1))).head() // 1-row grand
     val gm = math.floor(g.getLong(0).toDouble / g.getLong(1).toDouble
@@ -886,7 +886,10 @@ object EventOps {
     val base = counts
       .withColumn("__dev", col("n") * lit(1000000L) - mu)
       .withColumn("__p", sum(col("__dev")).over(wCum))
-      .withColumn("__pmin", min(col("__p")).over(wCum))
+      // the running min must include the virtual P₀ = 0 (the empty
+      // prefix), or S⁺ is understated on all-positive prefixes and
+      // identically 0 at each key's first bucket
+      .withColumn("__pmin", least(min(col("__p")).over(wCum), lit(0L)))
     base.select(col("ws"), col(keyCol), col("n"),
       ((col("__p") - col("__pmin")).cast("double") / lit(1e6))
         .as("cusum6"))

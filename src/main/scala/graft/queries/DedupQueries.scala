@@ -133,16 +133,20 @@ object DedupQueries {
         .map(r => (r.getString(0), r.getString(1))).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, String)]
-      val (q, read) = graft.streaming.StreamOps.kmvIngest(
-        input.toDF().toDF("source", "text"), "source",
-        graft.ops.TextOps.shinglesOfTokens(
-          graft.ops.TextOps.tokens(col("text")), 3), k = 128)
-      withStatePartitions(s, 8) {
+      // the session conf must be clamped BEFORE start(): StreamExecution
+      // clones the session at start, so conf set afterwards never
+      // reaches micro-batch planning
+      val read = withStatePartitions(s, 8) {
+        val (q, read) = graft.streaming.StreamOps.kmvIngest(
+          input.toDF().toDF("source", "text"), "source",
+          graft.ops.TextOps.shinglesOfTokens(
+            graft.ops.TextOps.tokens(col("text")), 3), k = 128)
         try {
           val (a, b) = rows.splitAt(rows.length / 2)
           input.addData(a: _*); q.processAllAvailable()
           input.addData(b: _*); q.processAllAvailable()
         } finally q.stop()
+        read
       }
       val est = (lit(127.0) * lit((1L << 60).toDouble)) /
         col("h").cast("double")
@@ -206,13 +210,15 @@ object DedupQueries {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
-      val q = graft.streaming.StreamOps.dedupIngest(
-        input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
-        n = 3, threshold = 0.5) { matches =>
-        matches.withColumn("jaccard", round(col("jaccard"), 6))
-          .write.mode("append").parquet(s"$out/data")
-      }
+      // clamp BEFORE start(): StreamExecution clones the session at
+      // start, so conf set afterwards never reaches micro-batch planning
       withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamOps.dedupIngest(
+          input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+          n = 3, threshold = 0.5) { matches =>
+          matches.withColumn("jaccard", round(col("jaccard"), 6))
+            .write.mode("append").parquet(s"$out/data")
+        }
         try {
           val (a, b) = rows.splitAt(rows.length / 2)
           input.addData(a: _*); q.processAllAvailable()

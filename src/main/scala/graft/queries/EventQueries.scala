@@ -215,14 +215,17 @@ object EventQueries {
         .select("value").collect().map(_.getDouble(0)).toSeq
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[Double]
-      val (q, read) = graft.streaming.StreamOps.histogramIngest(
-        input.toDF().toDF("value"), floor(col("value") / 50), "n_actual")
-      withStatePartitions(s, 8) {
+      // clamp BEFORE start(): StreamExecution clones the session at
+      // start, so conf set afterwards never reaches micro-batch planning
+      val read = withStatePartitions(s, 8) {
+        val (q, read) = graft.streaming.StreamOps.histogramIngest(
+          input.toDF().toDF("value"), floor(col("value") / 50), "n_actual")
         try {
           val (a, b) = rows.splitAt(rows.length / 2)
           input.addData(a: _*); q.processAllAvailable()
           input.addData(b: _*); q.processAllAvailable()
         } finally q.stop()
+        read
       }
       graft.ops.EvalOps.psiFromCounts(expCounts, read()).orderBy("bin")
     }),
@@ -1196,8 +1199,8 @@ object EventQueries {
                AS BIGINT) AS pp
            FROM m),
          q AS (SELECT ws, event_type, n, pp,
-             CAST(min(pp) OVER (PARTITION BY event_type ORDER BY ws
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             CAST(least(min(pp) OVER (PARTITION BY event_type ORDER BY ws
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
                AS BIGINT) AS pmin
            FROM p)
          SELECT ws, event_type, n,

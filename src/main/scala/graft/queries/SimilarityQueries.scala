@@ -255,6 +255,20 @@ object SimilarityQueries {
       res
     }),
 
+    // ANN acceptance metric: recall@5 of the grid-IVF index against the
+    // exact brute-force answer, per query — the number every index
+    // deploy is judged by, fully oracled by composing the two replays.
+    "v16_recall_eval" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val approx = SimilarityOps.ivfSearch(e, q, "vec_id", "embedding",
+        k = 5, nClusters = 16, nProbe = 4, grid = Some(Grid))
+        .select("qid", "nid")
+      val exact = SimilarityOps.knnBruteForce(e, q, "vec_id", "embedding", 5)
+        .select("qid", "nid")
+      graft.ops.EvalOps.recallAtK(approx, exact).orderBy("qid")
+    }),
+
     // Uncentered top principal component by power iteration: ONE
     // dim²-bounded Gram aggregation + driver-side power steps, then a
     // codegen'd projection dot per vector. Grid-snapped inputs +
@@ -496,6 +510,20 @@ object SimilarityQueries {
       topK = 5, g = Grid),
     "v13_ivf_pq" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,
       codebook = 16, iters = 3, subDim = 8, topK = 5, g = Grid),
+    // v16: the IVF and brute-force replays composed as derived tables
+    // (nested WITH) and closed by the semi-join hit count.
+    "v16_recall_eval" ->
+      s"""WITH ap AS (SELECT qid, nid FROM ($IvfSql) t),
+         ex AS (SELECT qid, nid FROM ($KnnSql) t2),
+         h AS (SELECT ex.qid, CAST(count(*) AS BIGINT) AS hits
+           FROM ex JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+           GROUP BY 1),
+         kk AS (SELECT qid, CAST(count(*) AS BIGINT) AS k
+           FROM ex GROUP BY 1)
+         SELECT kk.qid, CAST(COALESCE(hits, 0) AS BIGINT) AS hits, k,
+           floor(CAST(COALESCE(hits, 0) AS DOUBLE) / k * 1e6 + 0.5)
+             / 1e6 AS recall6
+         FROM kk LEFT JOIN h ON kk.qid = h.qid ORDER BY kk.qid""",
     // v14/v15 share v12/v13's oracles: identical parameters, and the
     // grid-snapped codebooks/codes survive the parquet round-trip
     // exactly (the v04-shares-v03 pattern).

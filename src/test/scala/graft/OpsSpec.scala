@@ -550,6 +550,28 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       .contains(ImageCodec.Parsed("jpeg", 1, 1, 1, 0)))
   }
 
+  test("cusumDrift includes the virtual P0=0 in the running min " +
+      "(alarms on an all-positive prefix)") {
+    import java.sql.Timestamp
+    // one key, hourly counts [31, 10, 10] → mean 17 exact; deviations
+    // +14, −7, −7 give P = 14, 7, 0 and S⁺ = P − min(0, min P) =
+    // 14, 7, 0 — the first bucket MUST alarm at h = 10 (a running min
+    // over P alone would yield S⁺ = 0, 0, 0 and never alarm)
+    val rows = (0 until 31).map(i =>
+      (Timestamp.valueOf(f"2024-01-01 10:${i % 60}%02d:00"), "a")) ++
+      (0 until 10).map(i =>
+        (Timestamp.valueOf(f"2024-01-01 11:${i % 60}%02d:00"), "a")) ++
+      (0 until 10).map(i =>
+        (Timestamp.valueOf(f"2024-01-01 12:${i % 60}%02d:00"), "a"))
+    val df = rows.toDF("ts", "k")
+    val out = graft.ops.EventOps
+      .cusumDrift(df, "ts", "k", "1 hour", h = 10.0)
+      .orderBy("ws").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(out == Seq((31L, 14.0, true), (10L, 7.0, false),
+      (10L, 0.0, false)))
+  }
+
   test("EvalOps.aucBy matches hand-computed AUC incl. ties + degenerates") {
     import graft.ops.EvalOps
     // group a: perfect separation (scores 1,2 neg; 3,4 pos) → AUC 1

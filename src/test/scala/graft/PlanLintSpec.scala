@@ -20,6 +20,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     * only query allowed an all-pairs operator. */
   private val exempt = Set("v01_knn_bruteforce",
     "v06_knn_sql", // v01's SQL-surface twin: same sanctioned brute force
+    "v16_recall_eval", // scores IVF recall AGAINST v01's exact answer —
+                       // the ground-truth side is the sanctioned brute force
     "v09_sq_knn", // quantized brute force — same sanctioned baseline shape
     // welch pairs: the inequality join runs AFTER the partial+final
     // aggregate collapsed the data to |groups| rows — the nested-loop is
