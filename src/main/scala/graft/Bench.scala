@@ -35,7 +35,10 @@ object Bench {
     "s97_monotonic_any", "s105_expanding_qtile_approx", "v03_ann_ivf",
     "p11_pack_sequences", "t12_bpe_pairs", "e27_funnel", "d19_seam_pairs",
     "v07_centroid_matrix", "m07_image_meta",
-    "v09_sq_knn", "d20_pagerank", "t17_bm25", "e30_rfm", "p12_token_mixture")
+    "v09_sq_knn", "d20_pagerank", "t17_bm25", "e30_rfm", "p12_token_mixture",
+    // round-9 tier representatives
+    "d28_tfidf_cosine", "e41_auc", "e44_cusum", "v16_recall_eval",
+    "p14_shard_manifest", "m09_wav_meta", "d29_label_prop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -659,6 +659,46 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, "g")
   }
 
+  /** Pareto / contribution analysis of a non-negative 2dp money column
+    * over this frame's keys — the 80/20 revenue-concentration report
+    * ("which customers are the vital few"): each key's share, the
+    * cumulative share of all keys with value ≥ its own (ties
+    * totalized), and the vital-few flag (`pareto` = the strictly-above
+    * prefix has not yet reached `threshold` of the total — the minimal
+    * set covering the threshold).
+    *
+    * NEVER a single-task global window: per-distinct-cent totals run
+    * through the range-bucket distributed cumsum
+    * ([[graft.core.GlobalWindows]]) — the f51/t20 machinery — and join
+    * back keyed by the cent value. Exact integer-cent sums make every
+    * share a ratio of exact integers; the flag compares identical
+    * doubles on both engines. */
+  def pareto(valCol: String, threshold: Double = 0.8): GFrame = {
+    val cents = floor(col(valCol) * 100 + 0.5).cast("long")
+    val base = graft.Caches.track(
+      df.select(col(indexName), cents.as("__c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val byC = base.groupBy("__c").agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("cnt"))
+    val ser = Series.fromExpr(byC, col("__c") * col("cnt"), "tv",
+      -col("__c"), "nc")
+    val gw = ser.globalWindows()
+    val cum = gw.result("tv" -> gw.value, "cum" -> gw.cumsum())
+      .select((-col("nc")).as("__c"), col("tv"), col("cum"))
+    val total = base.agg(sum(col("__c"))).head().getLong(0) // 1-row probe
+    require(total > 0, "pareto needs a positive value total")
+    def r6(c: Column): Column = graft.ops.TextOps.round6(c)
+    val out = base.join(cum, "__c")
+      .select(col(indexName),
+        (col("__c").cast("double") / lit(100.0)).as("revenue"),
+        r6(col("__c").cast("double") / lit(total.toDouble)).as("share6"),
+        r6(col("cum").cast("double") / lit(total.toDouble))
+          .as("cum_share6"),
+        ((col("cum") - col("tv")).cast("double")
+          < lit(threshold) * lit(total.toDouble)).as("pareto"))
+    new GFrame(out, indexName)
+  }
+
   /** Mergeable aggregate STATE per key — incremental view maintenance's
     * core: (count, sum, min, max) are all associative+commutative, so a
     * delta batch's state merges into the standing state with ONE keyed

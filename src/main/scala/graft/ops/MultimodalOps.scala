@@ -656,6 +656,50 @@ object MultimodalOps {
         length(col("frame")).cast("int").as("nbytes"), col("frame"))
   }
 
+  /** One row of the unified mixed-corpus manifest: whichever modality
+    * the sniffer identified, with the other families' fields zeroed. */
+  final case class MediaManifest(doc_id: Long, modality: String,
+                                 fmt: String, width: Int, height: Int,
+                                 frames: Int, sample_rate: Int,
+                                 duration_ms: Long, data_bytes: Int)
+
+  /** Route a MIXED media corpus through ONE manifest decode — the first
+    * pass a real multimodal pipeline runs over a crawl: sniff each
+    * payload's magic (image containers, then RIFF/WAVE, then ISO BMFF)
+    * and emit the unified typed manifest row from whichever REAL parser
+    * claims it; unidentifiable bytes degrade to modality='unknown'.
+    * Partition-wise, no shuffle — the three header walkers compose
+    * behind one sniffer. */
+  def decodeMediaManifest(packed: DataFrame,
+                          idCol: String): Dataset[MediaManifest] = {
+    implicit val enc: Encoder[MediaManifest] = Encoders.product[MediaManifest]
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    packed.select(col(idCol).cast("long"), col("payload.content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageCodec.parse(bytes) match {
+          case Some(p) =>
+            MediaManifest(id, "image", p.fmt, p.width, p.height,
+              p.frames, 0, 0L, p.payloadBytes)
+          case None => AudioCodec.parse(bytes) match {
+            case Some(p) =>
+              val nSamples = p.dataBytes.toLong / p.blockAlign
+              MediaManifest(id, "audio", "wav", 0, 0, 0, p.sampleRate,
+                nSamples * 1000L / p.sampleRate, p.dataBytes)
+            case None => VideoCodec.parse(bytes) match {
+              case Some(p) =>
+                MediaManifest(id, "video", "mp4", 0, 0, 0, 0,
+                  p.durationTicks * 1000L / p.timescale, p.mdatBytes)
+              case None =>
+                MediaManifest(id, "unknown", "unknown", 0, 0, 0, 0, 0L,
+                  bytes.length)
+            }
+          }
+        }
+      })
+  }
+
   /** Pack a text column as a multimodal payload:
     * struct(content BINARY, mime STRING, meta MAP<STRING,STRING>). */
   def packPayload(df: DataFrame, idCol: String, textCol: String,

@@ -484,6 +484,21 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // Pareto 80/20 contribution report over customer revenue: shares +
+    // tie-totalized cumulative shares through the distributed
+    // per-distinct-cent cumsum (never a single-task global window), and
+    // the vital-few flag.
+    "f59_pareto" -> ((s, d) => {
+      val cust = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("__cc"))
+        .groupBy("o_custkey").agg(sum(col("__cc")).as("__sc"))
+        .select(col("o_custkey"),
+          (col("__sc").cast("double") / lit(100.0)).as("revenue"))
+      GFrame.fromDF(cust, "o_custkey").pareto("revenue", threshold = 0.8)
+        .toDF.orderBy("o_custkey")
+    }),
+
     // Incremental view maintenance: per-key (count/sum/min/max) STATES
     // built on two halves merge with one keyed reduce and must equal
     // the full-data aggregate — the maintained-view-never-re-reads-
@@ -987,6 +1002,29 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f59: cents recovered exactly from the /100 display double
+    // (floor(x·100+0.5) of c/100 is c); cumulative over DISTINCT cents
+    // desc, joined back — the tie-totalized rule needs no row order.
+    "f59_pareto" ->
+      """WITH cust AS (SELECT o_custkey AS k,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cust),
+         byc AS (SELECT c, CAST(c * count(*) AS BIGINT) AS tv
+           FROM cust GROUP BY 1),
+         cm AS (SELECT c, tv,
+             CAST(sum(tv) OVER (ORDER BY c DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM byc)
+         SELECT k AS o_custkey, CAST(cust.c AS DOUBLE) / 100 AS revenue,
+           floor(CAST(cust.c AS DOUBLE) / tot * 1e6 + 0.5) / 1e6
+             AS share6,
+           floor(CAST(cum AS DOUBLE) / tot * 1e6 + 0.5) / 1e6
+             AS cum_share6,
+           CAST(cum - tv AS DOUBLE) < 0.8 * tot AS pareto
+         FROM cust JOIN cm ON cust.c = cm.c, t ORDER BY o_custkey""",
     // f58: quantities are integral doubles, so the split-side sums are
     // order-free exact and merging is associativity itself.
     "f58_incr_agg" ->

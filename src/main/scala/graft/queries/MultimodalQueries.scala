@@ -24,11 +24,14 @@ object MultimodalQueries {
   /** Documents wrapped in real image containers: fmt cycles png/gif/jpeg
     * by doc_id, dims/frames derive from the text byte length (the same
     * functions the oracle computes), text bytes ride as the payload. */
-  private def imaged(s: SparkSession, d: String): DataFrame = {
+  private def imaged(s: SparkSession, d: String): DataFrame =
+    imagedFrom(Tables.documents(s, d))
+
+  private def imagedFrom(docs: DataFrame): DataFrame = {
     val bytes = encode(col("text"), "UTF-8")
     val n = length(bytes)
     val fmtNo = pmod(col("doc_id"), lit(3))
-    MultimodalOps.encodeImages(Tables.documents(s, d).select(
+    MultimodalOps.encodeImages(docs.select(
       col("doc_id"),
       when(fmtNo === 0, "png").when(fmtNo === 1, "gif")
         .otherwise("jpeg").as("fmt"),
@@ -42,9 +45,12 @@ object MultimodalQueries {
   /** Documents wrapped in real RIFF/WAVE containers: sample rate cycles
     * the classic rates by doc_id, channels/bits are small deterministic
     * functions of doc_id, text bytes ride as the PCM data chunk. */
-  private def waved(s: SparkSession, d: String): DataFrame = {
+  private def waved(s: SparkSession, d: String): DataFrame =
+    wavedFrom(Tables.documents(s, d))
+
+  private def wavedFrom(docs: DataFrame): DataFrame = {
     val id4 = pmod(col("doc_id"), lit(4))
-    MultimodalOps.encodeWavs(Tables.documents(s, d).select(
+    MultimodalOps.encodeWavs(docs.select(
       col("doc_id"),
       when(id4 === 0, 8000).when(id4 === 1, 16000)
         .when(id4 === 2, 22050).otherwise(44100).as("sample_rate"),
@@ -56,10 +62,13 @@ object MultimodalQueries {
   /** Documents wrapped in real MP4 containers: timescale cycles the
     * classic clocks by doc_id, duration ticks derive from the byte
     * length, text bytes ride as the mdat payload. */
-  private def mp4ed(s: SparkSession, d: String): DataFrame = {
+  private def mp4ed(s: SparkSession, d: String): DataFrame =
+    mp4edFrom(Tables.documents(s, d))
+
+  private def mp4edFrom(docs: DataFrame): DataFrame = {
     val id4 = pmod(col("doc_id"), lit(4))
     val n = length(encode(col("text"), "UTF-8"))
-    MultimodalOps.encodeMp4s(Tables.documents(s, d).select(
+    MultimodalOps.encodeMp4s(docs.select(
       col("doc_id"),
       when(id4 === 0, 600L).when(id4 === 1, 1000L)
         .when(id4 === 2, 90000L).otherwise(25L).as("timescale"),
@@ -68,6 +77,20 @@ object MultimodalQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // MIXED-CORPUS capstone: one corpus whose payloads are a third each
+    // real PNG / WAV / MP4, routed through ONE sniff-and-parse manifest
+    // decode — the three genuine header walkers composed behind a
+    // single dispatcher, each branch's fields hash-gated.
+    "m12_media_router" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m3 = pmod(col("doc_id"), lit(3))
+      val mixed = imagedFrom(docs.filter(m3 === 0))
+        .unionByName(wavedFrom(docs.filter(m3 === 1)))
+        .unionByName(mp4edFrom(docs.filter(m3 === 2)))
+      MultimodalOps.decodeMediaManifest(mixed, "doc_id")
+        .toDF().orderBy("doc_id")
+    }),
 
     // Typed video-metadata decode through the REAL ISO BMFF box walker:
     // timescale/duration come from walking ftyp→moov→mvhd (big-endian
@@ -175,6 +198,44 @@ object MultimodalQueries {
     // of doc_id + text length, so the oracle recomputes what the Spark
     // side must PARSE back out of the binary container. All sample/
     // duration math is integer division on both sides.
+    // m12: the three branch formulas (m07's image geometry restricted to
+    // png, m09's wav fields with bits pinned to 16 by the routing
+    // residue, m11's clocks) unioned per doc_id % 3.
+    "m12_media_router" ->
+      """WITH base AS (SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n
+           FROM documents),
+         img AS (SELECT doc_id, 'image' AS modality, 'png' AS fmt,
+             CAST(1 + n % 640 AS INTEGER) AS width,
+             CAST(1 + (n * 7) % 480 AS INTEGER) AS height,
+             CAST(1 AS INTEGER) AS frames,
+             CAST(0 AS INTEGER) AS sample_rate,
+             CAST(0 AS BIGINT) AS duration_ms, n AS data_bytes
+           FROM base WHERE doc_id % 3 = 0),
+         aud AS (SELECT doc_id, 'audio' AS modality, 'wav' AS fmt,
+             CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+             CAST(0 AS INTEGER) AS frames,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+               AS sample_rate,
+             CAST(n // ((1 + doc_id % 2) * 2) * 1000
+               // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT)
+               AS duration_ms,
+             n AS data_bytes
+           FROM base WHERE doc_id % 3 = 1),
+         vid AS (SELECT doc_id, 'video' AS modality, 'mp4' AS fmt,
+             CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+             CAST(0 AS INTEGER) AS frames,
+             CAST(0 AS INTEGER) AS sample_rate,
+             CAST(CAST(n AS BIGINT) * 3 * 1000
+               // (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                 WHEN 2 THEN 90000 ELSE 25 END) AS BIGINT)
+               AS duration_ms,
+             n AS data_bytes
+           FROM base WHERE doc_id % 3 = 2)
+         SELECT * FROM img UNION ALL SELECT * FROM aud
+         UNION ALL SELECT * FROM vid ORDER BY doc_id""",
     "m11_mp4_meta" ->
       """WITH f AS (SELECT doc_id,
              CAST(CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000

@@ -28,7 +28,9 @@ class CollectLintSpec extends AnyFunSuite {
       "val ra = rowAll.head()" -> "pivotTable All row: 1-row aggregate",
       "val rc = rowCells.head()" -> "pivotTable All row: 1-row aggregate",
       ".agg(max(col(\"__c\"))).head()" ->
-        "merge validate max-dup probe: 1-row aggregate"),
+        "merge validate max-dup probe: 1-row aggregate",
+      "val total = base.agg(sum(col(\"__c\"))).head().getLong(0) // 1-row probe" ->
+        "pareto grand total: 1-row aggregate"),
     "GlobalWindows.scala" -> Map(
       ".collect() // ≤ carry × buckets rows — bounded driver state" ->
         "lag carry rows: carry × buckets",

@@ -301,4 +301,46 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(dot == math.rint(dot))
     }
   }
+
+  test("aucBy is invariant under strictly monotone score transforms " +
+    "and complements under label flip") {
+    import org.apache.spark.sql.functions._
+    val labGen = Gen.nonEmptyListOf(Gen.zip(Gen.oneOf(true, false),
+      Gen.choose(-50, 50)))
+    forAll(labGen.suchThat(l => l.exists(_._1) && l.exists(!_._1)), 10) {
+      (rows: List[(Boolean, Int)]) =>
+        val df = rows.map { case (l, v) => ("g", l, v.toDouble) }
+          .toDF("g", "lab", "score")
+        def auc(scoreCol: org.apache.spark.sql.Column): Double =
+          graft.ops.EvalOps.aucBy(df, "g", col("lab"), scoreCol)
+            .head().getDouble(3)
+        val base = auc(col("score"))
+        // AUC is a pure rank statistic: any strictly increasing
+        // transform of the scores leaves it unchanged
+        assert(auc(col("score") * 3.0 + 100.0) == base)
+        // flipping the label complements it (ties keep the identity
+        // exact: both sides count half)
+        val flipped = graft.ops.EvalOps.aucBy(df, "g", !col("lab"),
+          col("score")).head().getDouble(3)
+        assert(math.abs(base + flipped - 1.0) < 2e-6)
+    }
+  }
+
+  test("psi is antisymmetric-invariant: swapping the snapshots preserves " +
+    "the total (the (p-q)ln(p/q) terms are symmetric)") {
+    import org.apache.spark.sql.functions._
+    val binsGen = Gen.nonEmptyListOf(Gen.choose(0, 5))
+    forAll(binsGen, binsGen, 8) { (a: List[Int], b: List[Int]) =>
+      val da = a.toDF("v"); val db = b.toDF("v")
+      val t1 = graft.ops.EvalOps.psi(da, db, col("v"))
+        .head().getDouble(4)
+      val t2 = graft.ops.EvalOps.psi(db, da, col("v"))
+        .head().getDouble(4)
+      graft.Caches.clear()
+      // per-bin terms are symmetric in the two snapshots up to the 6dp
+      // floor grid (the floor can split a term across the swap by one
+      // micro-unit per bin)
+      assert(math.abs(t1 - t2) <= 1e-6 * (a ++ b).distinct.size + 1e-12)
+    }
+  }
 }
