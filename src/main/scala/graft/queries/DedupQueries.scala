@@ -136,7 +136,7 @@ object DedupQueries {
       // the session conf must be clamped BEFORE start(): StreamExecution
       // clones the session at start, so conf set afterwards never
       // reaches micro-batch planning
-      val read = withStatePartitions(s, 8) {
+      val read = withStatePartitions(s, 4) {
         val (q, read) = graft.streaming.StreamOps.kmvIngest(
           input.toDF().toDF("source", "text"), "source",
           graft.ops.TextOps.shinglesOfTokens(
@@ -212,7 +212,7 @@ object DedupQueries {
         .MemoryStream[(Long, String)]
       // clamp BEFORE start(): StreamExecution clones the session at
       // start, so conf set afterwards never reaches micro-batch planning
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps.dedupIngest(
           input.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
           n = 3, threshold = 0.5) { matches =>

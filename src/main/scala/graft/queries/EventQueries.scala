@@ -120,7 +120,7 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, java.sql.Timestamp, String)]
       val name = s"graft_e39_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .scd2Stream(input.toDF()
             .toDF("user_id", "event_id", "ts", "event_type"), "0 seconds")
@@ -217,7 +217,7 @@ object EventQueries {
         .MemoryStream[Double]
       // clamp BEFORE start(): StreamExecution clones the session at
       // start, so conf set afterwards never reaches micro-batch planning
-      val read = withStatePartitions(s, 8) {
+      val read = withStatePartitions(s, 4) {
         val (q, read) = graft.streaming.StreamOps.histogramIngest(
           input.toDF().toDF("value"), floor(col("value") / 50), "n_actual")
         try {
@@ -466,7 +466,7 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
       val name = s"graft_e09_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .sessionizeStream(input.toDF().toDF("ts", "user_id"), 1800L, "0 seconds")
           .writeStream.format("memory").queryName(name)
@@ -529,7 +529,7 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
       val name = s"graft_e19_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .ewmStream(input.toDF()
             .toDF("user_id", "event_id", "ts", "value"), 0.25, "0 seconds")
@@ -572,7 +572,7 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, Long, java.sql.Timestamp, Double, Int)]
       val name = s"graft_e22_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .asofStream(input.toDF()
             .toDF("user_id", "event_id", "ts", "value", "side"),
@@ -613,7 +613,7 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
       val name = s"graft_e23_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .windowedAgg(input.toDF().toDF("ts", "event_type", "value"),
             "0 seconds", "1 hour", "15 minutes")
@@ -650,7 +650,7 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, String, Double)]
       val name = s"graft_e35_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .windowedAgg(input.toDF().toDF("ts", "event_type", "value"),
             "0 seconds", "1 hour", "1 hour")
@@ -689,7 +689,7 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
       val name = s"graft_e12_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .sessionizeNativeStream(input.toDF().toDF("ts", "user_id"), 1800L,
             "0 seconds")
@@ -727,7 +727,7 @@ object EventQueries {
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long, String)]
       val name = s"graft_e10_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val q = graft.streaming.StreamOps
           .dedupStream(input.toDF().toDF("ts", "user_id", "event_type"),
             "10 minutes", Seq("user_id", "event_type"))
@@ -762,7 +762,7 @@ object EventQueries {
       val buys = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
       val name = s"graft_e11_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val joined = graft.streaming.StreamOps.intervalJoinStream(
           clicks.toDF().toDF("ts", "user_id"), buys.toDF().toDF("ts", "user_id"),
           "user_id", "30 minutes", "15 minutes")
@@ -798,7 +798,7 @@ object EventQueries {
       val buys = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(java.sql.Timestamp, Long)]
       val name = s"graft_e42_${System.nanoTime()}"
-      withStatePartitions(s, 8) {
+      withStatePartitions(s, 4) {
         val joined = graft.streaming.StreamOps.intervalJoinStream(
           clicks.toDF().toDF("ts", "user_id"),
           buys.toDF().toDF("ts", "user_id"),
