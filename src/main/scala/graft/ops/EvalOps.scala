@@ -150,4 +150,207 @@ object EvalOps {
         TextOps.round6((col("__su").cast("double") / 1e6)
           / col("n").cast("double")).as("mean_score6"))
   }
+
+  /** Multi-class classification report: per-class confusion counts +
+    * precision/recall/F1, with global accuracy and Cohen's kappa as
+    * constant columns — the label-quality audit a weak-supervision /
+    * distillation pipeline runs on its auto-labeler.
+    *
+    * Determinism is TOTAL here — every statistic is ONE division of
+    * exact BIGINTs on the 6dp floor grid: `f1 = 2·tp/(2·tp+fp+fn)`
+    * (never the p·r composition, which would stack three float ops) and
+    * `kappa = (n·Σtp − Σrᵢcᵢ)/(n² − Σrᵢcᵢ)` (the po/pe form cleared of
+    * its denominators). Classes that are never predicted (or never
+    * occur) still get a row via the full-outer actual×predicted margin
+    * join; their undefined ratios are null, never 0/0.
+    *
+    * Scale shape: ONE partial+final count keyed by (actual, predicted) —
+    * the shuffle carries one row per confusion CELL (k², not n); margins
+    * and totals are k-bounded reductions of that frame. Assumes
+    * n² < 2⁶³ (n < 3·10⁹ labeled rows — route kappa through DECIMAL
+    * beyond). */
+  def classificationReport(df: DataFrame, actualCol: Column,
+                           predCol: Column): DataFrame = {
+    val cells = graft.Caches.track(
+      df.groupBy(actualCol.as("label"), predCol.as("pred"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rows = cells.groupBy(col("label")).agg(sum("cnt").as("n_actual"))
+    val cols = cells.groupBy(col("pred").as("label"))
+      .agg(sum("cnt").as("n_pred"))
+    val diag = cells.filter(col("label") === col("pred"))
+      .select(col("label"), col("cnt").as("tp"))
+    val margins = graft.Caches.track(
+      rows.join(cols, Seq("label"), "full_outer")
+        .na.fill(0L, Seq("n_actual", "n_pred"))
+        .join(diag, Seq("label"), "left").na.fill(0L, Seq("tp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // 1-row totals probe over the k-bounded margin frame (psi pattern)
+    val t = margins.agg(sum(col("n_actual")), sum(col("tp")),
+      sum(col("n_actual") * col("n_pred"))).head()
+    val n = t.getLong(0)
+    val sumTp = t.getLong(1)
+    val sumRC = t.getLong(2)
+    require(n > 0, "classificationReport needs rows")
+    val acc6 = math.floor(sumTp.toDouble / n.toDouble * 1e6 + 0.5) / 1e6
+    val kapDen = n * n - sumRC
+    val kappa6: Any =
+      if (kapDen > 0L)
+        math.floor((n * sumTp - sumRC).toDouble / kapDen.toDouble * 1e6
+          + 0.5) / 1e6
+      else null
+    margins.select(col("label"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_actual") - col("tp")).as("fn"),
+        when(col("n_pred") > 0L, TextOps.round6(
+          col("tp").cast("double") / col("n_pred").cast("double")))
+          .as("prec6"),
+        when(col("n_actual") > 0L, TextOps.round6(
+          col("tp").cast("double") / col("n_actual").cast("double")))
+          .as("rec6"),
+        when(col("n_pred") + col("n_actual") > 0L, TextOps.round6(
+          lit(2.0) * col("tp").cast("double")
+            / (lit(2L) * col("tp") + (col("n_pred") - col("tp"))
+              + (col("n_actual") - col("tp"))).cast("double")))
+          .as("f16"),
+        lit(acc6).as("accuracy6"),
+        lit(kappa6).cast("double").as("kappa6"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic, EXACT and fully
+    * distributed: `D = max_x |F₁(x) − F₂(x)|`, computed as the max over
+    * distinct values of the INTEGER `|c₁(x)·n₂ − c₂(x)·n₁|` (cleared of
+    * both denominators), divided once at the end — no float ECDFs, so
+    * the statistic is bit-identical in any engine. Also reports the
+    * smallest value attaining the max (the crossing location a drift
+    * triage starts from).
+    *
+    * Scale shape: ONE partial+final count keyed by distinct value (the
+    * shuffle carries one row per distinct value), then the distributed
+    * range-bucket cumsum ([[graft.core.GlobalWindows]] — never a
+    * single-task global window) and a 2-row-probe closing aggregate.
+    * Assumes n₁·n₂ < 2⁶² (~2·10⁹ rows per side — DECIMAL beyond). */
+  def ksTest(sample1: DataFrame, sample2: DataFrame,
+             valueCol: String): DataFrame = {
+    val c1 = sample1.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c1"))
+    val c2 = sample2.groupBy(col(valueCol).as("v"))
+      .agg(count(lit(1)).as("c2"))
+    val byV = c1.join(c2, Seq("v"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    val byVp = graft.Caches.track(byV
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ser = graft.core.Series.fromExpr(byVp, col("c1"), "c1",
+      col("v"), "v")
+    val gw = ser.globalWindows(extra = Seq("c2" -> col("c2")))
+    val cum2 = gw.cumsumExtra("c2")
+    val cum = gw.result("cum1" -> gw.cumsum(), "cum2" -> cum2)
+    // 1-row totals probe (distinct-value frame is grouped already)
+    val t = byVp.agg(sum(col("c1")), sum(col("c2"))).head()
+    val n1 = t.getLong(0)
+    val n2 = t.getLong(1)
+    require(n1 > 0 && n2 > 0, "ksTest needs rows on both sides")
+    val gap = abs(col("cum1") * lit(n2) - col("cum2") * lit(n1))
+    val gaps = graft.Caches.track(cum.select(col("v"), gap.as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val gmax = gaps.agg(max(col("g"))).head().getLong(0) // 1-row probe
+    // ties at the max gap break to the SMALLEST value — deterministic
+    // (min_by's tie pick is engine-arbitrary, so never use it here)
+    gaps.filter(col("g") === gmax).agg(min(col("v")).as("at_value"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        TextOps.round6(lit(gmax.toDouble)
+          / (lit(n1.toDouble) * lit(n2.toDouble))).as("ks6"),
+        col("at_value"))
+  }
+
+  /** NDCG position discounts 1/log₂(i+1) for positions 1..10, PINNED as
+    * exact micro-unit integers floor(1e6/log₂(i+1)+0.5) — DCG becomes a
+    * pure integer dot product, zero engine-log exposure. */
+  private val NdcgU: Seq[Long] = Seq(1000000L, 630930L, 500000L, 430677L,
+    386853L, 356207L, 333333L, 315465L, 301030L, 289065L)
+
+  /** NDCG@k of an approximate RANKED retrieval against the exact one —
+    * the order-sensitive sibling of [[recallAtK]] (recall can't see that
+    * the index returned the right neighbors in the wrong order). Both
+    * inputs are (qid, rk, nid) frames, rk = 1-based rank, k ≤ 10.
+    * Relevance is graded by the exact ranking: the exact j-th neighbor
+    * carries rel = k−j+1.
+    *
+    * Determinism is TOTAL: position discounts are the pinned
+    * [[NdcgU]] micro-unit integers, so DCG and ideal-DCG are exact
+    * BIGINT dot products and ndcg6 is their single division on the 6dp
+    * floor grid. Queries the approximate side missed entirely score 0,
+    * never drop. Keyed joins + bounded per-query aggregates only. */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val uArr = array(NdcgU.map(lit): _*)
+    val kf = exact.groupBy("qid").agg(count(lit(1)).as("k"))
+    // exact-with-k feeds BOTH the ideal-DCG and the relevance lookup
+    val exk = graft.Caches.track(exact.join(kf, "qid")
+      .select(col("qid"), col("nid"), col("rk"),
+        (col("k") - col("rk") + lit(1L)).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val idcg = exk
+      .select(col("qid"),
+        (col("rel") * element_at(uArr, col("rk").cast("int"))).as("c"))
+      .groupBy("qid").agg(sum(col("c")).as("idcg_u"))
+    val dcg = approx
+      .join(exk.select(col("qid"), col("nid"), col("rel")),
+        Seq("qid", "nid"), "left")
+      .na.fill(0L, Seq("rel"))
+      .select(col("qid"),
+        (col("rel") * element_at(uArr, col("rk").cast("int"))).as("c"))
+      .groupBy("qid").agg(sum(col("c")).as("dcg_u"))
+    idcg.join(dcg, Seq("qid"), "left").na.fill(0L, Seq("dcg_u"))
+      .select(col("qid"), col("dcg_u"), col("idcg_u"),
+        TextOps.round6(col("dcg_u").cast("double")
+          / col("idcg_u").cast("double")).as("ndcg6"))
+  }
+
+  /** Benford expected first-digit proportions log₁₀(1+1/d), PINNED as
+    * their 6dp floors — literals on both engine sides, so no log() is
+    * ever computed at query time. */
+  private val BenfordExp6: Seq[Double] = Seq(0.301030, 0.176091, 0.124939,
+    0.096910, 0.079181, 0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** Benford's-law conformity screen over a POSITIVE integer column
+    * (money in cents, counts — pass micro-units, the leading significant
+    * digit is scale-invariant): per-digit observed vs expected
+    * proportions plus the closing MAD statistic (Nigrini's conformity
+    * measure; < 0.006 close, 0.006–0.012 acceptable, > 0.015 suspect) —
+    * the fabricated-data / corrupted-feed tripwire a financial-grade
+    * ingest runs.
+    *
+    * Scale shape: ONE partial+final count keyed by the 9 digits (the
+    * digit extraction rides the scan); everything downstream is 9-row
+    * arithmetic. Digits that never occur still report (n=0) via the
+    * right-join against the 1..9 frame.
+    *
+    * Determinism: expected props are pinned literals ([[BenfordExp6]]);
+    * obs6 is one exact-integer division on the 6dp floor grid; per-digit
+    * |obs−exp| deviations re-snap to exact micro-unit longs and MAD is
+    * their order-free sum divided once by 9. */
+  def benford(df: DataFrame, intCol: Column): DataFrame = {
+    val expArr = array(BenfordExp6.map(lit): _*)
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val counts = graft.Caches.track(digits.join(
+        df.filter(intCol > 0L)
+          .groupBy(substring(intCol.cast("string"), 1, 1).cast("int")
+            .as("digit"))
+          .agg(count(lit(1)).as("n")),
+        Seq("digit"), "left").na.fill(0L, Seq("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val total = counts.agg(sum(col("n"))).head().getLong(0) // 1-row, 9 bins
+    require(total > 0, "benford needs positive values")
+    val scored = graft.Caches.track(counts.select(col("digit"), col("n"),
+        TextOps.round6(col("n").cast("double") / lit(total.toDouble))
+          .as("obs6"),
+        element_at(expArr, col("digit")).as("exp6"))
+      .withColumn("__du",
+        floor(abs(col("obs6") - col("exp6")) * 1e6 + 0.5).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sumu = scored.agg(sum(col("__du"))).head().getLong(0) // 1-row, 9 bins
+    scored.select(col("digit"), col("n"), col("obs6"), col("exp6"),
+      lit(math.floor(sumu.toDouble / 9.0 + 0.5) / 1e6).as("mad6"))
+  }
 }

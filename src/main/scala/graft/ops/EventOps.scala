@@ -699,6 +699,62 @@ object EventOps {
     * filtered change rows — same partitioning, Catalyst reuses the
     * sort), then everything is projection. No data-sized state anywhere:
     * at 100 TB this is exactly one keyed shuffle. */
+  /** One [[holtSmooth]] output row: the bucket's observed value, the
+    * one-step-ahead forecast made BEFORE seeing it (null on each key's
+    * first bucket), and the post-update level/trend — all 6dp-snapped
+    * at output only (state carries full precision). */
+  final case class HoltRow(k: String, ws: java.sql.Timestamp, y: Double,
+                           fc6: Option[Double], l6: Double, b6: Double)
+
+  /** Holt double exponential smoothing (level + linear trend) per key
+    * over a time-bucketed series — the classic short-horizon volume
+    * forecaster the e43/e44 alarms can baseline against:
+    * `l = α·y + (1−α)(l'+b')`, `b = β(l−l') + (1−β)b'`, forecast
+    * `l'+b'`; seeds l₁ = y₁, b₁ = 0.
+    *
+    * An inherently sequential per-key recurrence → ONE typed pass per
+    * key (the SCD2 key-bounded-state discipline: a calendar-bucketed
+    * series is ≤ thousands of rows per key at any corpus scale). The
+    * oracle replays the identical float sequence as a DuckDB recursive
+    * CTE (the s50 pattern) — pass BINARY-EXACT α/β (0.25, 0.125, …) so
+    * the engine-side `1−α` complements are exact too; output snaps to
+    * the 6dp grid, state never does. */
+  def holtSmooth(df: DataFrame, keyCol: String, ordCol: String,
+                 valCol: String, alpha: Double, beta: Double)
+      : org.apache.spark.sql.Dataset[HoltRow] = {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(String, java.sql.Timestamp, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[HoltRow] = Encoders.product[HoltRow]
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    df.select(col(keyCol).cast("string"), col(ordCol),
+        col(valCol).cast("double"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        val out = Array.newBuilder[HoltRow]
+        var lp = 0.0
+        var bp = 0.0
+        var first = true
+        rows.foreach { case (_, ws, y) =>
+          if (first) {
+            lp = y; bp = 0.0; first = false
+            out += HoltRow(k, ws, y, None, r6(lp), r6(bp))
+          } else {
+            val fc = lp + bp
+            val l = alpha * y + (1.0 - alpha) * (lp + bp)
+            val b = beta * (l - lp) + (1.0 - beta) * bp
+            out += HoltRow(k, ws, y, Some(r6(fc)), r6(l), r6(b))
+            lp = l; bp = b
+          }
+        }
+        out.result().iterator
+      }
+  }
+
   def scd2Compress(df: DataFrame, keyCol: String, tsCol: String,
                    attrCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -238,6 +238,91 @@ object GraphOps {
     labels
   }
 
+  /** k-core decomposition by synchronous peeling: `rounds` rounds of
+    * "drop every node whose degree within the surviving subgraph is
+    * < k", then the surviving nodes with their final in-core degrees —
+    * the standard dense-cluster extractor (boilerplate cliques, spam
+    * rings) on any pair graph. Peeling is monotone, so once converged
+    * extra rounds are no-ops: a `rounds` comfortably above the expected
+    * peel depth yields the exact k-core; an unconverged replay is still
+    * well-defined (the r-round partial peel) and both engines replay the
+    * same fixed unrolling.
+    *
+    * Scale shape: per round TWO keyed semi-joins (edge liveness) + one
+    * partial+final degree count, lineage cut per round (the d08/d20
+    * iterative-on-Spark discipline). Never materializes neighbor sets. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
+    val e = graft.Caches.track(edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def aliveEdges(nodes: DataFrame): DataFrame = e
+      .join(nodes.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
+      .join(nodes.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
+    def degrees(alive: DataFrame, out: String): DataFrame = alive
+      .select(col("lo").as(out))
+      .unionByName(alive.select(col("hi").as(out)))
+      .groupBy(out).agg(count(lit(1)).as("deg"))
+    var nodes = e.select(col("lo").as("v"))
+      .unionByName(e.select(col("hi").as("v"))).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      nodes = degrees(aliveEdges(nodes), "w")
+        .filter(col("deg") >= k).select(col("w").as("v"))
+        .localCheckpoint() // lineage cut — the d08 rationale
+    degrees(aliveEdges(nodes), "node")
+  }
+
+  /** Adamic–Adar link prediction over an undirected edge set: for every
+    * NON-adjacent pair (u, v) sharing at least one neighbor, the common-
+    * neighbor count and the AA score `Σ_w 1/ln(deg(w))` — the classic
+    * "which near-dup pairs did the threshold miss" / entity-linkage
+    * candidate ranker.
+    *
+    * Scale shape: wedge fan-out is deg(w)² per center, so hubs with
+    * deg > `maxDeg` are excluded from the CENTER role (the d03
+    * stop-shingle discipline — a hub shared by everything carries no
+    * linkage signal; its 1/ln(deg) term is also the smallest). Every
+    * step is a keyed equi-join; the non-edge screen is one anti-join.
+    *
+    * Determinism: per-center terms floor to exact 1e-6-unit longs
+    * (`floor(1e6/ln(deg) + 0.5)` — ONE division, same spelling in any
+    * oracle); the score sums those longs order-free and divides once.
+    * deg ≥ 2 for any wedge center, so ln > 0. The usual zipf-class ulp
+    * exposure on ln() of small ints at grid-halfway points applies
+    * (accepted + documented, see TextOps.zipfFit). */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxDeg: Int = 64): DataFrame = {
+    val e = graft.Caches.track(edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val adj = e.select(col("lo").as("w"), col("hi").as("u"))
+      .unionByName(e.select(col("hi").as("w"), col("lo").as("u")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    // center-eligible adjacency feeds BOTH wedge sides — persist
+    val okAdj = graft.Caches.track(
+      adj.join(deg.filter(col("deg") <= maxDeg), Seq("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wedges = okAdj.as("a").join(okAdj.as("b"),
+        col("a.w") === col("b.w") && col("a.u") < col("b.u"))
+      .select(col("a.u").as("lo"), col("b.u").as("hi"),
+        col("a.deg").as("deg"))
+    wedges.join(e, Seq("lo", "hi"), "left_anti")
+      .groupBy("lo", "hi")
+      .agg(count(lit(1)).as("cn"),
+        sum(floor(lit(1e6) / log(col("deg").cast("double")) + 0.5)
+          .cast("long")).as("__aa"))
+      .select(col("lo").as("id1"), col("hi").as("id2"), col("cn"),
+        (col("__aa").cast("double") / lit(1e6)).as("aa6"))
+  }
+
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("lo"),

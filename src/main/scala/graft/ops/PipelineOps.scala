@@ -56,6 +56,48 @@ object PipelineOps {
   private def hexThreshold(rate: Double): String =
     f"${math.min((rate * 65536).toLong, 65535L)}%04x"
 
+  /** Temperature-balanced source mixture at α = 0.5: per-source target
+    * weights ∝ √n_source — the classic multilingual/domain rebalance
+    * (upsample the tail, downsample the head) that fixed-rate
+    * [[mixtureSample]] can't express because here the rates derive FROM
+    * the corpus. Each source keeps `min(1, target/n)` of its rows by the
+    * same salted md5 draw as p04, where `target = budget · √n/Σ√n`.
+    *
+    * Determinism: √n is IEEE-correctly-rounded in every engine
+    * (sqrt is an exact-rounded op, unlike ln/pow — that's WHY α is
+    * pinned at 0.5), snapped to micro-unit longs before the order-free
+    * sum; shares/targets/thresholds are single fixed-association
+    * expressions of those exact integers. The keep predicate compares
+    * fixed-width lowercase hex, with rate ≥ 1 short-circuited (a 5-hex
+    * '10000' threshold would break the lexicographic compare).
+    *
+    * Scale shape: one k-sources count aggregate + a broadcast plan join;
+    * the corpus itself is never shuffled. */
+  def temperatureMixture(df: DataFrame, idCol: String, srcCol: String,
+                         budget: Long, salt: String = "tmix"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = graft.Caches.track(
+      df.groupBy(col(srcCol).as("src")).agg(count(lit(1)).as("n"))
+        .withColumn("wu",
+          floor(sqrt(col("n").cast("double")) * 1e6 + 0.5).cast("long"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sumW = w.agg(sum(col("wu"))).head().getLong(0) // 1-row, k sources
+    require(sumW > 0, "temperatureMixture needs rows")
+    val plan = w.select(col("src"), col("n"),
+      graft.ops.TextOps.round6(col("wu").cast("double")
+        / lit(sumW.toDouble)).as("share6"),
+      floor(col("wu").cast("double") / lit(sumW.toDouble)
+        * lit(budget.toDouble)).cast("long").as("target"))
+      .withColumn("thresh", when(col("target") >= col("n"), lit(65536L))
+        .otherwise(floor(col("target").cast("double")
+          / col("n").cast("double") * lit(65536.0)).cast("long")))
+    df.join(broadcast(plan), col(srcCol) === col("src"))
+      .filter(col("thresh") === 65536L ||
+        hex4(col(idCol), salt) <
+          lower(lpad(hex(col("thresh")), 4, "0")))
+      .drop("src", "n", "thresh")
+  }
+
   /** Deterministic stratified sample: the `k` rows of each stratum with
     * the smallest md5 draw (ties broken by id). One shuffle keyed by the
     * stratum; rank is a per-stratum window, so a single giant stratum

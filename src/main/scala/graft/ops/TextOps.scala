@@ -133,6 +133,40 @@ object TextOps {
         col("n_hapax").cast("double") / col("n_types").cast("double"))
   }
 
+  /** Flesch readability metrics (Reading Ease + Kincaid grade) over the
+    * vowel-group syllable heuristic: syllables(w) = max(1, count of
+    * maximal `[aeiouy]+` runs) — the standard dictionary-free
+    * approximation. The fixture text carries no sentence punctuation
+    * (FIXTURES.md), so sentence segmentation is the documented synthetic
+    * `max(1, ⌊words/15⌋)`; swap in a real boundary count when the corpus
+    * has one. ONE staged scan: token array materialized once, the
+    * per-token transform+aggregate stays inside the projection.
+    *
+    * Determinism: words/syllables/sentences are exact integers; both
+    * scores are one fixed-association literal expression of two
+    * integer ratios on the 6dp floor grid, spelled identically in the
+    * oracle. Empty docs get null scores, never 0/0. */
+  def readability(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String): org.apache.spark.sql.DataFrame = {
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val counted = staged.select(col(idCol),
+      size(col("__ts")).cast("long").as("words"),
+      coalesce(aggregate(
+        transform(col("__ts"),
+          t => greatest(lit(1), regexp_count(t, lit("[aeiouy]+")))
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("syl"))
+      .withColumn("sentences", greatest(lit(1L),
+        floor(col("words").cast("double") / lit(15.0)).cast("long")))
+    val wps = col("words").cast("double") / col("sentences").cast("double")
+    val spw = col("syl").cast("double") / col("words").cast("double")
+    counted.select(col(idCol), col("words"), col("sentences"), col("syl"),
+      when(col("words") > 0L, round6(
+        lit(206.835) - lit(1.015) * wps - lit(84.6) * spw)).as("fre6"),
+      when(col("words") > 0L, round6(
+        lit(0.39) * wps + lit(11.8) * spw - lit(15.59))).as("fk6"))
+  }
+
   private val GopherStops =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 

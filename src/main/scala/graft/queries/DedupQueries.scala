@@ -87,6 +87,36 @@ object DedupQueries {
           windowSize = 5, minSim = 0.88)
         .orderBy("id1", "id2")),
 
+    // Adamic–Adar link prediction over the part co-purchase graph
+    // (parts sharing an order are linked): which NON-adjacent part
+    // pairs share co-purchase partners, ranked by Σ 1/ln(deg) over the
+    // shared neighbors — the classic market-basket "you may also need"
+    // candidate ranker. Hub centers capped at deg 64 (the d03
+    // stop-shingle discipline); exact 1e-6-unit term sums.
+    "d30_adamic_adar" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
+      GraphOps.adamicAdar(edges, "id1", "id2", maxDeg = 64)
+        .orderBy("id1", "id2")
+    }),
+
+    // k-core of the part co-purchase graph (k=80, 8 synchronous peel
+    // rounds — converges in 6 on the fixtures): the dense always-bought-
+    // together backbone, with the thin periphery peeled away. Per round
+    // two keyed semi-joins + one degree count, lineage cut per round.
+    "d31_kcore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
+      GraphOps.kCore(edges, "id1", "id2", k = 80, rounds = 8)
+        .orderBy("node")
+    }),
+
     // Triangle enumeration over the d03 near-dup pair graph — the
     // clique-vs-chain density diagnostic; oriented wedge join, every
     // step a keyed equi-join.
@@ -447,6 +477,35 @@ object DedupQueries {
             ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS sh
           FROM toks, LATERAL unnest(range(1, len(ws)-1)) AS u(i))"""
 
+  /** d31 oracle: the co-purchase edge set + `rounds` unrolled peel
+    * rounds, closed by final in-core degrees. */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    // MATERIALIZED: DuckDB inlines CTEs by default, so every round's
+    // IN-subqueries would otherwise re-evaluate the big edge self-join
+    // (observed: fd exhaustion on the unmaterialized form)
+    val rds = (1 to rounds).map { r =>
+      s"""er$r AS MATERIALIZED (SELECT lo, hi FROM e
+           WHERE lo IN (SELECT v FROM n${r - 1})
+             AND hi IN (SELECT v FROM n${r - 1})),
+         n$r AS MATERIALIZED (SELECT w AS v FROM (
+             SELECT lo AS w FROM er$r UNION ALL SELECT hi AS w FROM er$r)
+           GROUP BY 1 HAVING count(*) >= $k)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS MATERIALIZED (
+           SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+         n0 AS (SELECT lo AS v FROM e UNION SELECT hi AS v FROM e),
+         $rds,
+         fin AS (SELECT lo, hi FROM e
+           WHERE lo IN (SELECT v FROM n$rounds)
+             AND hi IN (SELECT v FROM n$rounds))
+         SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           SELECT lo AS node FROM fin UNION ALL SELECT hi AS node FROM fin)
+         GROUP BY 1 ORDER BY node"""
+  }
+
   /** d20 oracle: d08's pair graph + `iters` unrolled PageRank rounds. */
   private def pageRankSql(iters: Int): String = {
     val head = s"""WITH $ShingleCte,
@@ -550,6 +609,31 @@ object DedupQueries {
          WHERE floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) / 1e6
                >= 0.88
          ORDER BY id1, id2""",
+    // d31: the same DISTINCT co-purchase edge set, 8 peel rounds
+    // unrolled (n0 → n8), final degrees within the surviving set.
+    "d31_kcore" -> kCoreSql(k = 80, rounds = 8),
+    // d30: DISTINCT co-purchase edge set; wedge join on center w with
+    // the deg≤64 hub cap, NOT EXISTS non-edge screen, exact 1e-6-unit
+    // term sums in the identical floor(1e6/ln(deg)+0.5) spelling.
+    "d30_adamic_adar" ->
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+         adj AS (SELECT lo AS w, hi AS u FROM e
+           UNION ALL SELECT hi AS w, lo AS u FROM e),
+         deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg
+           FROM adj GROUP BY 1),
+         ok AS (SELECT adj.w, adj.u, deg.deg
+           FROM adj JOIN deg USING (w) WHERE deg <= 64),
+         wed AS (SELECT a.u AS lo, b.u AS hi, a.deg AS deg
+           FROM ok a JOIN ok b ON a.w = b.w AND a.u < b.u),
+         ne AS (SELECT * FROM wed WHERE NOT EXISTS
+           (SELECT 1 FROM e WHERE e.lo = wed.lo AND e.hi = wed.hi))
+         SELECT lo AS id1, hi AS id2, CAST(count(*) AS BIGINT) AS cn,
+           CAST(sum(CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5)
+             AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
+         FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
     "d23_triangles" ->
       s"""WITH $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

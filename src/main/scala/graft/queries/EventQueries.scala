@@ -263,6 +263,38 @@ object EventQueries {
           h = 20.0)
         .orderBy("ws", "event_type")),
 
+    // Holt double exponential smoothing (level + linear trend) of the
+    // hourly value volume per event type, with the one-step-ahead
+    // forecast — the baseline the rate alarms compare against. Per-key
+    // sequential recurrence (typed one-pass, key-bounded state); α/β
+    // binary-exact so the DuckDB recursive-CTE replay is bit-identical.
+    "e50_holt" -> ((s, d) => {
+      val hourly = EventOps.tumbling(ev(s, d), "ts", "1 hour",
+        Seq(col("event_type")),
+        Seq(round(sum(col("value")), 2).as("y")))
+      EventOps.holtSmooth(hourly, "event_type", "ws", "y",
+          alpha = 0.25, beta = 0.125)
+        .toDF().withColumnRenamed("k", "event_type")
+        .orderBy("event_type", "ws")
+    }),
+
+    // Multi-class classification report of a simulated 70%-accurate
+    // auto-labeler against event_type: per-class confusion counts +
+    // precision/recall/F1 plus global accuracy and Cohen's kappa — every
+    // statistic ONE division of exact BIGINTs (f1 = 2tp/(2tp+fp+fn),
+    // kappa cleared of its po/pe denominators), so even kappa
+    // hash-matches.
+    "e49_classify_eval" -> ((s, d) => {
+      val types = array(lit("click"), lit("error"), lit("purchase"),
+        lit("signup"), lit("view"))
+      val pred = when(pmod(col("event_id"), lit(10)) < 7, col("event_type"))
+        .otherwise(element_at(types,
+          (pmod(col("event_id"), lit(5)) + 1).cast("int")))
+      graft.ops.EvalOps.classificationReport(
+          ev(s, d), col("event_type"), pred)
+        .orderBy("label")
+    }),
+
     // Per-hour ROC-AUC of event value predicting purchase — the
     // quality-scorer discrimination audit, via the rank-sum identity
     // over (group, distinct score) counts: no row-level ranking, one
@@ -1234,6 +1266,84 @@ object EventQueries {
          SELECT ws, event_type, n, bn, z6,
            CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
          FROM z ORDER BY ws, event_type""",
+    // e50: the exact sequential recurrence as a recursive CTE (s50
+    // pattern); the b-step inlines l's expression, which recomputes the
+    // identical double. Constants are binary-exact decimals.
+    "e50_holt" ->
+      """WITH RECURSIVE h AS (
+           SELECT date_trunc('hour', ts) AS ws, event_type,
+             round(sum(value), 2) AS y
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, ws, y,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY ws) AS BIGINT) AS rn
+           FROM h),
+         r AS (
+           SELECT event_type, ws, y, rn,
+             CAST(NULL AS DOUBLE) AS fc, y AS l,
+             CAST(0.0 AS DOUBLE) AS b
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.ws, o.y, o.rn,
+             r.l + r.b AS fc,
+             0.25 * o.y + 0.75 * (r.l + r.b) AS l,
+             0.125 * ((0.25 * o.y + 0.75 * (r.l + r.b)) - r.l)
+               + 0.875 * r.b AS b
+           FROM r JOIN o ON o.event_type = r.event_type
+             AND o.rn = r.rn + 1)
+         SELECT event_type, ws, y,
+           CASE WHEN fc IS NOT NULL
+             THEN floor(fc * 1e6 + 0.5) / 1e6 END AS fc6,
+           floor(l * 1e6 + 0.5) / 1e6 AS l6,
+           floor(b * 1e6 + 0.5) / 1e6 AS b6
+         FROM r ORDER BY event_type, ws""",
+    // e49: every ratio replays as the SAME single division of exact
+    // BIGINTs; kappa/accuracy are constant columns off the margin-frame
+    // totals cross join.
+    "e49_classify_eval" ->
+      """WITH p AS (SELECT event_type AS label,
+             CASE WHEN event_id % 10 < 7 THEN event_type
+               ELSE CASE event_id % 5 WHEN 0 THEN 'click'
+                 WHEN 1 THEN 'error' WHEN 2 THEN 'purchase'
+                 WHEN 3 THEN 'signup' ELSE 'view' END
+             END AS pred
+           FROM events),
+         cells AS (SELECT label, pred, count(*) AS cnt
+           FROM p GROUP BY 1, 2),
+         r AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_actual
+           FROM cells GROUP BY 1),
+         c AS (SELECT pred AS label, CAST(sum(cnt) AS BIGINT) AS n_pred
+           FROM cells GROUP BY 1),
+         dg AS (SELECT label, CAST(cnt AS BIGINT) AS tp
+           FROM cells WHERE label = pred),
+         m AS (SELECT COALESCE(r.label, c.label) AS label,
+             COALESCE(n_actual, 0) AS n_actual,
+             COALESCE(n_pred, 0) AS n_pred
+           FROM r FULL OUTER JOIN c ON r.label = c.label),
+         mm AS (SELECT m.label, n_actual, n_pred,
+             COALESCE(tp, 0) AS tp
+           FROM m LEFT JOIN dg ON m.label = dg.label),
+         t AS (SELECT CAST(sum(n_actual) AS BIGINT) AS n,
+             CAST(sum(tp) AS BIGINT) AS stp,
+             CAST(sum(n_actual * n_pred) AS BIGINT) AS src FROM mm)
+         SELECT label, tp, n_pred - tp AS fp, n_actual - tp AS fn,
+           CASE WHEN n_pred > 0 THEN
+             floor(CAST(tp AS DOUBLE) / n_pred * 1e6 + 0.5) / 1e6
+           END AS prec6,
+           CASE WHEN n_actual > 0 THEN
+             floor(CAST(tp AS DOUBLE) / n_actual * 1e6 + 0.5) / 1e6
+           END AS rec6,
+           CASE WHEN n_pred + n_actual > 0 THEN
+             floor(2.0 * CAST(tp AS DOUBLE)
+               / CAST(2 * tp + (n_pred - tp) + (n_actual - tp) AS DOUBLE)
+               * 1e6 + 0.5) / 1e6
+           END AS f16,
+           floor(CAST(stp AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS accuracy6,
+           CASE WHEN n * n - src > 0 THEN
+             floor(CAST(n * stp - src AS DOUBLE)
+               / CAST(n * n - src AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS kappa6
+         FROM mm, t ORDER BY label""",
     // e41: the rank-sum AUC replayed over the same (group, distinct
     // score) counts; num2 is an order-free exact BIGINT, auc6 one
     // division in the same association.

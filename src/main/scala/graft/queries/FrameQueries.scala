@@ -484,6 +484,29 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // Benford first-digit conformity screen over order prices (as exact
+    // cents): per-digit observed vs PINNED expected proportions + the
+    // closing MAD statistic — 9-digit keyed count, everything else
+    // 9-row arithmetic.
+    "f61_benford" -> ((s, d) =>
+      graft.ops.EvalOps.benford(Tables.orders(s, d),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .orderBy("digit")),
+
+    // Two-sample Kolmogorov–Smirnov drift test between order-price
+    // distributions of two customer segments: EXACT — D's numerator is
+    // the max INTEGER |c1·n2 − c2·n1| over distinct cents (distributed
+    // range-bucket cumsum, never a single-task window), one closing
+    // division. Ties at the max break to the smallest value.
+    "f60_ks_test" -> ((s, d) => {
+      def seg(name: String) = Tables.orders(s, d)
+        .join(Tables.customer(s, d).filter(col("c_mktsegment") === name),
+          col("o_custkey") === col("c_custkey"))
+        .select(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .as("cents"))
+      graft.ops.EvalOps.ksTest(seg("BUILDING"), seg("MACHINERY"), "cents")
+    }),
+
     // Pareto 80/20 contribution report over customer revenue: shares +
     // tie-totalized cumulative shares through the distributed
     // per-distinct-cent cumsum (never a single-task global window), and
@@ -1002,6 +1025,67 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f61: expected props are the same pinned 6dp literals; deviations
+    // re-snap to exact micro-unit BIGINTs before the MAD mean.
+    "f61_benford" ->
+      """WITH v AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS c FROM orders
+           WHERE floor(o_totalprice * 100 + 0.5) > 0),
+         c0 AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+             AS digit, count(*) AS n
+           FROM v GROUP BY 1),
+         dg AS (SELECT CAST(d.digit AS INTEGER) AS digit,
+             CAST(COALESCE(n, 0) AS BIGINT) AS n
+           FROM (SELECT unnest(range(1, 10)) AS digit) d
+           LEFT JOIN c0 ON d.digit = c0.digit),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM dg),
+         ex AS (SELECT digit, n,
+             floor(CAST(n AS DOUBLE) / tot * 1e6 + 0.5) / 1e6 AS obs6,
+             CAST(CASE digit WHEN 1 THEN 0.301030 WHEN 2 THEN 0.176091
+               WHEN 3 THEN 0.124939 WHEN 4 THEN 0.096910
+               WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947
+               WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153
+               ELSE 0.045757 END AS DOUBLE) AS exp6
+           FROM dg, t),
+         du AS (SELECT digit, n, obs6, exp6,
+             CAST(floor(abs(obs6 - exp6) * 1e6 + 0.5) AS BIGINT) AS u
+           FROM ex),
+         md AS (SELECT CAST(sum(u) AS BIGINT) AS su FROM du)
+         SELECT digit, n, obs6, exp6,
+           floor(CAST(su AS DOUBLE) / 9.0 + 0.5) / 1e6 AS mad6
+         FROM du, md ORDER BY digit""",
+    // f60: the same integer-cleared ECDF gap over distinct cents; the
+    // max and its min-value location are order-free aggregates.
+    "f60_ks_test" ->
+      """WITH b AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS v FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'),
+         m AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS v FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'MACHINERY'),
+         cb AS (SELECT v, count(*) AS nb FROM b GROUP BY 1),
+         cm AS (SELECT v, count(*) AS nm FROM m GROUP BY 1),
+         j AS (SELECT COALESCE(cb.v, cm.v) AS v,
+             CAST(COALESCE(nb, 0) AS BIGINT) AS nb,
+             CAST(COALESCE(nm, 0) AS BIGINT) AS nm
+           FROM cb FULL OUTER JOIN cm ON cb.v = cm.v),
+         cum AS (SELECT v,
+             CAST(sum(nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+             CAST(sum(nm) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+               PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2
+           FROM j),
+         t AS (SELECT CAST(sum(nb) AS BIGINT) AS n1,
+             CAST(sum(nm) AS BIGINT) AS n2 FROM j),
+         g AS (SELECT v, abs(cum1 * n2 - cum2 * n1) AS gap
+           FROM cum, t),
+         mx AS (SELECT CAST(max(gap) AS BIGINT) AS gmax FROM g)
+         SELECT t.n1, t.n2,
+           floor(CAST(gmax AS DOUBLE)
+             / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) * 1e6 + 0.5)
+             / 1e6 AS ks6,
+           (SELECT min(v) FROM g, mx WHERE g.gap = mx.gmax) AS at_value
+         FROM t, mx""",
     // f59: cents recovered exactly from the /100 display double
     // (floor(x·100+0.5) of c/100 is c); cumulative over DISTINCT cents
     // desc, joined back — the tie-totalized rule needs no row order.

@@ -111,6 +111,21 @@ object PipelineQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Temperature-balanced mixture at α = 0.5 over a skewed head/tail
+    // family split: targets ∝ √n (upsample tails, downsample the head),
+    // rates derived FROM the corpus — tails clamp to keep-all, the head
+    // keeps a fractional md5 draw. √ is IEEE-exact, so even the derived
+    // thresholds hash-match.
+    "p16_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d).withColumn("family",
+        when(pmod(col("doc_id"), lit(7)) === 0, col("source"))
+          .otherwise(lit("common")))
+      PipelineOps.temperatureMixture(docs, "doc_id", "family",
+          budget = 300L)
+        .select("doc_id", "family", "share6", "target")
+        .orderBy("doc_id")
+    }),
+
     // Domain-mixture reweighting: per-source keep rates (100%/75%/50%/25%,
     // 10% default), decided per-row by a salted md5 draw.
     "p04_source_mixture" -> ((s, d) =>
@@ -358,6 +373,36 @@ object PipelineQueries {
          QUALIFY row_number() OVER (PARTITION BY source
            ORDER BY substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 4),
              doc_id) <= 5
+         ORDER BY doc_id""",
+    // p16: the whole derivation replays — √n micro-floors, share/target
+    // single fixed-association divisions, threshold hex via printf.
+    "p16_temperature_mix" ->
+      """WITH d0 AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN source ELSE 'common' END
+               AS family
+           FROM documents),
+         c AS (SELECT family AS src, CAST(count(*) AS BIGINT) AS n
+           FROM d0 GROUP BY 1),
+         w AS (SELECT src, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS wu
+           FROM c),
+         t AS (SELECT CAST(sum(wu) AS BIGINT) AS s FROM w),
+         pl AS (SELECT src, n,
+             floor(CAST(wu AS DOUBLE) / s * 1e6 + 0.5) / 1e6 AS share6,
+             CAST(floor(CAST(wu AS DOUBLE) / s * 300.0) AS BIGINT)
+               AS target
+           FROM w, t),
+         pt AS (SELECT src, n, share6, target,
+             CAST(CASE WHEN target >= n THEN 65536
+               ELSE CAST(floor(CAST(target AS DOUBLE) / n * 65536.0)
+                 AS BIGINT) END AS BIGINT) AS thresh
+           FROM pl)
+         SELECT doc_id, family, share6, target
+         FROM d0 JOIN pt ON family = pt.src
+         WHERE thresh = 65536 OR
+           substr(md5('tmix' || CAST(doc_id AS VARCHAR)), 1, 4)
+             < printf('%04x', thresh)
          ORDER BY doc_id""",
     // thresholds: 0.75*65536 = 49152 = 0xc000, 0.5 = 0x8000, 0.25 = 0x4000,
     // 0.1 → 6553 = 0x1999; rate 1.0 keeps everything including 'ffff'.

@@ -269,6 +269,21 @@ object SimilarityQueries {
       graft.ops.EvalOps.recallAtK(approx, exact).orderBy("qid")
     }),
 
+    // Order-sensitive ANN acceptance: NDCG@5 of the grid-IVF ranking
+    // against the exact one (recall@k can't see right-neighbors-wrong-
+    // order). Relevance graded by exact rank; position discounts are
+    // PINNED micro-unit integers, so DCG is an exact BIGINT dot product.
+    "v17_ndcg_eval" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val approx = SimilarityOps.ivfSearch(e, q, "vec_id", "embedding",
+        k = 5, nClusters = 16, nProbe = 4, grid = Some(Grid))
+        .select("qid", "rk", "nid")
+      val exact = SimilarityOps.knnBruteForce(e, q, "vec_id", "embedding", 5)
+        .select("qid", "rk", "nid")
+      graft.ops.EvalOps.ndcgAtK(approx, exact).orderBy("qid")
+    }),
+
     // Uncentered top principal component by power iteration: ONE
     // dim²-bounded Gram aggregation + driver-side power steps, then a
     // codegen'd projection dot per vector. Grid-snapped inputs +
@@ -524,6 +539,29 @@ object SimilarityQueries {
            floor(CAST(COALESCE(hits, 0) AS DOUBLE) / k * 1e6 + 0.5)
              / 1e6 AS recall6
          FROM kk LEFT JOIN h ON kk.qid = h.qid ORDER BY kk.qid""",
+    // v17: the same two replays closed by the pinned-integer DCG dot
+    // product; rel = k − exact rank + 1, one division at the end.
+    "v17_ndcg_eval" ->
+      s"""WITH ap AS (SELECT qid, rk, nid FROM ($IvfSql) t),
+         ex AS (SELECT qid, rk, nid FROM ($KnnSql) t2),
+         kf AS (SELECT qid, CAST(count(*) AS BIGINT) AS k
+           FROM ex GROUP BY 1),
+         u(i, u) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+           (4, 430677), (5, 386853)),
+         exk AS (SELECT ex.qid, ex.nid, ex.rk, k - rk + 1 AS rel
+           FROM ex JOIN kf USING (qid)),
+         idcg AS (SELECT qid, CAST(sum(rel * u) AS BIGINT) AS idcg_u
+           FROM exk JOIN u ON u.i = exk.rk GROUP BY 1),
+         dcg AS (SELECT ap.qid,
+             CAST(sum(COALESCE(rel, 0) * u) AS BIGINT) AS dcg_u
+           FROM ap JOIN u ON u.i = ap.rk
+           LEFT JOIN exk ON exk.qid = ap.qid AND exk.nid = ap.nid
+           GROUP BY 1)
+         SELECT idcg.qid, CAST(COALESCE(dcg_u, 0) AS BIGINT) AS dcg_u,
+           idcg_u,
+           floor(CAST(COALESCE(dcg_u, 0) AS DOUBLE) / idcg_u * 1e6 + 0.5)
+             / 1e6 AS ndcg6
+         FROM idcg LEFT JOIN dcg USING (qid) ORDER BY idcg.qid""",
     // v14/v15 share v12/v13's oracles: identical parameters, and the
     // grid-snapped codebooks/codes survive the parquet round-trip
     // exactly (the v04-shares-v03 pattern).

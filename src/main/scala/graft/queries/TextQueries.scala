@@ -198,6 +198,14 @@ object TextQueries {
       lexicalDiversity(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Flesch Reading Ease + Kincaid grade via the vowel-group syllable
+    // heuristic; synthetic ⌊words/15⌋ sentence segmentation (fixture
+    // text has no punctuation). Exact integer counts, two literal
+    // expressions on the 6dp grid.
+    "t22_readability" -> ((s, d) =>
+      graft.ops.TextOps.readability(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // Gopher quality rules: word/mean-length bounds, symbol ratio,
     // alphabetic fraction, stop-word floor. The fixture text carries no
     // symbols, so every 7th doc SPLICES a symbol tail (" ... # # #") —
@@ -441,6 +449,31 @@ object TextQueries {
     "t15_freq_items" ->
       """SELECT source AS item, count(*) AS cnt FROM documents
          GROUP BY source ORDER BY cnt DESC, item""",
+    // t22: same vowel-run counts via regexp_extract_all; scores spelled
+    // in the identical literal association.
+    "t22_readability" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ws FROM documents),
+         c AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS words,
+             CAST(COALESCE(list_sum(list_transform(ws, x ->
+               greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))), 0)
+               AS BIGINT) AS syl
+           FROM t),
+         s AS (SELECT doc_id, words,
+             greatest(1, CAST(floor(CAST(words AS DOUBLE) / 15.0)
+               AS BIGINT)) AS sentences, syl
+           FROM c)
+         SELECT doc_id, words, sentences, syl,
+           CASE WHEN words > 0 THEN
+             floor((206.835
+               - 1.015 * (CAST(words AS DOUBLE) / sentences)
+               - 84.6 * (CAST(syl AS DOUBLE) / words)) * 1e6 + 0.5) / 1e6
+           END AS fre6,
+           CASE WHEN words > 0 THEN
+             floor((0.39 * (CAST(words AS DOUBLE) / sentences)
+               + 11.8 * (CAST(syl AS DOUBLE) / words) - 15.59) * 1e6
+               + 0.5) / 1e6
+           END AS fk6
+         FROM s ORDER BY doc_id""",
     "t18_lexical" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
          o AS (SELECT doc_id, len(ts) AS n, u.t AS t

@@ -93,7 +93,17 @@ class CollectLintSpec extends AnyFunSuite {
       ".head() // 1-row totals probe over the bounded bin frame" ->
         "psi totals: 1-row aggregate over the |bins| frame",
       "val total = scored.agg(sum(col(\"__pu\"))).head().getLong(0) // 1-row" ->
-        "psi closing total: 1-row aggregate over the |bins| frame"),
+        "psi closing total: 1-row aggregate over the |bins| frame",
+      "sum(col(\"n_actual\") * col(\"n_pred\"))).head()" ->
+        "classification totals: 1-row aggregate over the k-class margins",
+      "val t = byVp.agg(sum(col(\"c1\")), sum(col(\"c2\"))).head()" ->
+        "ks totals: 1-row aggregate over the distinct-value frame",
+      "val gmax = gaps.agg(max(col(\"g\"))).head().getLong(0) // 1-row probe" ->
+        "ks max gap: 1-row aggregate over the distinct-value frame",
+      "val total = counts.agg(sum(col(\"n\"))).head().getLong(0) // 1-row, 9 bins" ->
+        "benford total: 1-row aggregate over the 9-digit frame",
+      "val sumu = scored.agg(sum(col(\"__du\"))).head().getLong(0) // 1-row, 9 bins" ->
+        "benford MAD total: 1-row aggregate over the 9-digit frame"),
     "EventOps.scala" -> Map(
       ".collect().sortBy(_.getLong(0))" ->
         "asofJoinGlobal backward carries: ≤ buckets rows",
@@ -141,7 +151,9 @@ class CollectLintSpec extends AnyFunSuite {
         "shard prefix sums: `shards` rows",
       ".collect() // |strata| rows — bounded driver state" ->
         "token-budget mixture rates: |strata| rows",
-      "max(col(idCol)).cast(\"double\")).head()" -> "1-row min/max bounds"),
+      "max(col(idCol)).cast(\"double\")).head()" -> "1-row min/max bounds",
+      "val sumW = w.agg(sum(col(\"wu\"))).head().getLong(0) // 1-row, k sources" ->
+        "temperature-mixture weight total: 1-row aggregate over k sources"),
     "SimilarityOps.scala" -> Map(
       ".collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap" ->
         "IVF centroids: k × dim",

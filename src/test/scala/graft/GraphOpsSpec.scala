@@ -169,6 +169,23 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(GraphOps.triangles(loops, "s", "t").count() == 0)
   }
 
+  test("kCore peels a pendant then keeps the triangle; a path cascades " +
+      "to empty") {
+    import graft.ops.GraphOps
+    // triangle 1-2-3 + pendant 3-4 at k=2: round 1 peels 4, the
+    // triangle survives with in-core degree 2 each
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "t")
+    val core = GraphOps.kCore(g, "s", "t", k = 2, rounds = 4)
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Caches.clear()
+    assert(core == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // path 1-2-3-4 at k=2: ends peel, then the middle cascades → empty
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    assert(GraphOps.kCore(path, "s", "t", k = 2, rounds = 4).count() == 0L)
+    Caches.clear()
+  }
+
   test("sortedNeighborhood pairs sort-adjacent records deterministically") {
     import graft.ops.DedupOps
     val df = Seq((10L, "acme corp"), (20L, "acme corpx"), (30L, "acme korp"),

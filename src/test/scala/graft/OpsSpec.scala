@@ -593,6 +593,105 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(out == Seq(("a", 1.0), ("b", 0.875), ("c", null)))
   }
 
+  test("EventOps.holtSmooth: hand recurrence at binary-exact α=β=0.5; " +
+      "seeds l=y1 b=0, forecast precedes the observation") {
+    import graft.ops.EventOps
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val df = Seq(("a", ts(1), 4.0), ("a", ts(2), 8.0), ("a", ts(3), 8.0))
+      .toDF("k", "ws", "y")
+    val out = EventOps.holtSmooth(df, "k", "ws", "y", 0.5, 0.5)
+      .collect().sortBy(_.ws.getTime)
+      .map(r => (r.fc6, r.l6, r.b6)).toSeq
+    // t2: fc=4, l=.5·8+.5·4=6, b=.5·2=1; t3: fc=7, l=7.5, b=1.25
+    assert(out == Seq((None, 4.0, 0.0), (Some(4.0), 6.0, 1.0),
+      (Some(7.0), 7.5, 1.25)))
+  }
+
+  test("EvalOps.classificationReport: hand confusion incl. a never-" +
+      "predicted class; kappa = 11/35") {
+    import graft.ops.EvalOps
+    // cells: (a,a)x3 (a,b)x1 (b,b)x2 (b,a)x1 (c,a)x1 → n=8, Σtp=5,
+    // ΣrC = 4·5 + 3·3 + 1·0 = 29, kappa = (8·5−29)/(64−29) = 11/35
+    val df = Seq(("a","a"),("a","a"),("a","a"),("a","b"),("b","b"),
+      ("b","b"),("b","a"),("c","a")).toDF("act", "prd")
+    val out = EvalOps.classificationReport(df, col("act"), col("prd"))
+      .orderBy("label").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4),
+        if (r.isNullAt(5)) null else r.getDouble(5),
+        if (r.isNullAt(6)) null else r.getDouble(6),
+        r.getDouble(7), r.getDouble(8))).toSeq
+    Caches.clear()
+    assert(out == Seq(
+      ("a", 3L, 2L, 1L, 0.6, 0.75, 0.666667, 0.625, 0.314286),
+      ("b", 2L, 1L, 1L, 0.666667, 0.666667, 0.666667, 0.625, 0.314286),
+      ("c", 0L, 0L, 1L, null, 0.0, 0.0, 0.625, 0.314286)))
+  }
+
+  test("EvalOps.ksTest: hand ECDF gap, tie at max breaks to smallest v") {
+    import graft.ops.EvalOps
+    // s1=[1,2,3] s2=[2,3,3,4]: gaps |c1·4−c2·3| over v = 4,5,3,0 →
+    // D = 5/12 at v=2
+    val s1 = Seq(1L, 2L, 3L).toDF("v")
+    val s2 = Seq(2L, 3L, 3L, 4L).toDF("v")
+    val r = EvalOps.ksTest(s1, s2, "v").collect().head
+    Caches.clear()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)) ==
+      (3L, 4L, 0.416667, 2L))
+  }
+
+  test("EvalOps.ndcgAtK: hand DCG with pinned integer discounts; " +
+      "fully-missed query scores 0") {
+    import graft.ops.EvalOps
+    // q1 exact (3 results, rel 3/2/1): idcg_u = 3·1e6+2·630930+500000 =
+    // 4761860; approx = [n20@1 (rel2), n99@2 (miss), n10@3 (rel3)] →
+    // dcg_u = 2·1e6 + 0 + 3·500000 = 3500000. q2: approx empty → 0.
+    val exact = Seq((1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+      (2L, 1, 50L)).toDF("qid", "rk", "nid")
+    val approx = Seq((1L, 1, 20L), (1L, 2, 99L), (1L, 3, 10L))
+      .toDF("qid", "rk", "nid")
+    val out = EvalOps.ndcgAtK(approx, exact).orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    Caches.clear()
+    assert(out == Seq((1L, 3500000L, 4761860L, 0.735007),
+      (2L, 0L, 1000000L, 0.0)))
+  }
+
+  test("GraphOps.adamicAdar: path predicts its endpoints; hub cap " +
+      "silences big centers; triangle predicts nothing") {
+    import graft.ops.GraphOps
+    // path 1-2-3: (1,3) share center 2 (deg 2) → aa = 1/ln2 = 1.442695
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val got = GraphOps.adamicAdar(path, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    Caches.clear()
+    assert(got == Seq((1L, 3L, 1L, 1.442695)))
+    // star 0-[1..5]: center deg 5 > maxDeg 3 → no predictions
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    assert(GraphOps.adamicAdar(star, "a", "b", maxDeg = 3).count() == 0L)
+    Caches.clear()
+    // triangle: all pairs adjacent → anti-join leaves nothing
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    assert(GraphOps.adamicAdar(tri, "a", "b").count() == 0L)
+    Caches.clear()
+  }
+
+  test("EvalOps.benford: hand digits, absent digits still report, " +
+      "MAD sums pinned-literal deviations") {
+    import graft.ops.EvalOps
+    // values 1,1,2,19 → d1:3 d2:1, others 0; mad over all 9 digits
+    val df = Seq(1L, 1L, 2L, 19L).toDF("c")
+    val out = EvalOps.benford(df, col("c")).orderBy("digit").collect()
+    Caches.clear()
+    assert(out.length == 9, "all 9 digits must report")
+    val d1 = out.head
+    assert((d1.getInt(0), d1.getLong(1), d1.getDouble(2)) == (1, 3L, 0.75))
+    assert(out(2).getLong(1) == 0L, "digit 3 absent but present")
+    assert(d1.getDouble(4) == 0.116195) // Σ|obs−exp| µunits 1045758 / 9
+  }
+
   test("EvalOps.calibration folds score=1 into the last bin; psi nulls " +
       "one-sided bins") {
     import graft.ops.EvalOps

@@ -22,6 +22,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "v06_knn_sql", // v01's SQL-surface twin: same sanctioned brute force
     "v16_recall_eval", // scores IVF recall AGAINST v01's exact answer —
                        // the ground-truth side is the sanctioned brute force
+    "v17_ndcg_eval", // NDCG against the same sanctioned exact ground truth
     "v09_sq_knn", // quantized brute force — same sanctioned baseline shape
     // welch pairs: the inequality join runs AFTER the partial+final
     // aggregate collapsed the data to |groups| rows — the nested-loop is
