@@ -699,6 +699,42 @@ object EventOps {
     * filtered change rows — same partitioning, Catalyst reuses the
     * sort), then everything is projection. No data-sized state anywhere:
     * at 100 TB this is exactly one keyed shuffle. */
+  /** Theil–Sen robust trend per key over a bucketed series: the MEDIAN
+    * of all pairwise slopes `(y₂−y₁)/(x₂−x₁)` — the outlier-immune
+    * alternative to least-squares (f35) a volume-trend monitor wants
+    * when single anomalous buckets would swing the fit.
+    *
+    * Median is the LOW median (rank ⌈n/2⌉), selected by rank — never an
+    * interpolating median() builtin, whose even-count averaging differs
+    * across engines. Total order: (slope, x₁, x₂), so ties are
+    * deterministic. Slopes are one double division of exact integers,
+    * identical in any engine; output snaps to the 6dp grid.
+    *
+    * Scale shape: one keyed equi-join fan-out of O(T²) pairs per key +
+    * one per-key rank window — for CALENDAR-bucketed series (T ≤ a few
+    * thousand buckets per key at any corpus scale) that is bounded;
+    * don't point it at an unbucketed event stream. */
+  def theilSen(df: DataFrame, keyCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    val b = graft.Caches.track(df.select(col(keyCol).as("k"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("double").as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.k") === col("b.k") && col("a.x") < col("b.x"))
+      .select(col("a.k").as("k"),
+        ((col("b.y") - col("a.y"))
+          / (col("b.x") - col("a.x")).cast("double")).as("slope"),
+        col("a.x").as("x1"), col("b.x").as("x2"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("slope").asc, col("x1").asc, col("x2").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("k")))
+      .filter(col("rn") === expr("(np + 1) div 2"))
+      .select(col("k"), col("np").as("n_pairs"),
+        (floor(col("slope") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("slope6"))
+  }
+
   /** One [[holtSmooth]] output row: the bucket's observed value, the
     * one-step-ahead forecast made BEFORE seeing it (null on each key's
     * first bucket), and the post-update level/trend — all 6dp-snapped

@@ -238,6 +238,58 @@ object GraphOps {
     labels
   }
 
+  /** Newman modularity of a node partition over an undirected edge set:
+    * per-community intra-edge counts, node counts and degree sums, plus
+    * the closing `Q = Σ_c (e_c/m − (d_c/2m)²)` — the standard "are
+    * these communities real" score for any clustering (LPA, components,
+    * DBSCAN) on a pair graph.
+    *
+    * Determinism is TOTAL: Q clears its denominators to
+    * `(4m·Σe_c − Σd_c²) / 4m²` — ONE division of exact BIGINTs on the
+    * 6dp floor grid. Scale shape: two keyed label joins + bounded
+    * per-community aggregates; the 1-row totals probe runs over the
+    * |communities| frame. Assumes 4m² < 2⁶³ (m < 1.5·10⁹ edges — route
+    * through DECIMAL beyond). */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, idCol: String, lblCol: String)
+      : DataFrame = {
+    val e = graft.Caches.track(edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val lab = graft.Caches.track(labels
+      .select(col(idCol).as("id"), col(lblCol).as("lbl")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val m = e.count() // 1-value probe: the edge count scalar
+    require(m > 0, "modularity needs edges")
+    val ej = e
+      .join(lab.select(col("id").as("lo"), col("lbl").as("lb1")), Seq("lo"))
+      .join(lab.select(col("id").as("hi"), col("lbl").as("lb2")), Seq("hi"))
+    val ec = ej.filter(col("lb1") === col("lb2"))
+      .groupBy(col("lb1").as("lbl")).agg(count(lit(1)).as("e_in"))
+    val dg = e.select(col("lo").as("nd"))
+      .unionByName(e.select(col("hi").as("nd")))
+      .groupBy("nd").agg(count(lit(1)).as("dg"))
+    val ds = lab.join(dg, lab("id") === dg("nd"), "left")
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum(coalesce(col("dg"), lit(0L))).as("d_sum"))
+    val com = graft.Caches.track(ds.join(ec, Seq("lbl"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // 1-row totals probe over the |communities| frame
+    val t = com.agg(sum(col("e_in")),
+      sum(col("d_sum") * col("d_sum"))).head()
+    val se = t.getLong(0)
+    val sd2 = t.getLong(1)
+    val q6 = math.floor((4L * m * se - sd2).toDouble
+      / (4L * m * m).toDouble * 1e6 + 0.5) / 1e6
+    com.select(col("lbl"), col("n_nodes"), col("e_in"), col("d_sum"),
+      lit(q6).as("q6"))
+  }
+
   /** k-core decomposition by synchronous peeling: `rounds` rounds of
     * "drop every node whose degree within the surviving subgraph is
     * < k", then the surviving nodes with their final in-core degrees —

@@ -122,6 +122,71 @@ object SimilarityOps {
       n.select(col(outId), quantize(col(outVec), g).as(outVec)))
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
+    * re-ranking: from each query's top-`nCand` brute-force candidates,
+    * greedily select `k` balancing relevance against redundancy —
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`, ties → smaller id.
+    * THE answer to "my near-dup corpus returns 5 copies of the same
+    * page"; composes with any candidate generator.
+    *
+    * The greedy loop is RELATIONAL, not a typed loop: k−1 rounds of
+    * [anti-join selected → max-sim-to-selected (keyed join + bounded
+    * agg) → per-query rank-1 window], each round over the
+    * queries×nCand frame only (the corpus is touched once, by the
+    * candidate generator). The oracle unrolls the same rounds.
+    *
+    * Determinism: grid-snapped normalized vectors make every rel/sim an
+    * exact engine-portable double (the v03 discipline); pass a
+    * BINARY-EXACT λ (0.5, 0.25 …) so both λ and 1−λ are exact; ties
+    * break on id; scores snap to the 6dp grid at output only. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, nCand: Int, k: Int, lambda: Double,
+                grid: Option[Double]): DataFrame = {
+    require(k >= 1 && nCand >= k, "need nCand >= k >= 1")
+    import graft.functions.DotProduct.dotNative
+    val c = normalizedQ(corpus, idCol, vecCol, "nid", "ce", grid)
+    val q = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
+    val wRel = Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("nid").asc)
+    val cand = graft.Caches.track(
+      c.join(broadcast(q), col("nid") =!= col("qid"))
+        .withColumn("rel", dotNative(col("ce"), col("qe")))
+        .withColumn("rk", row_number().over(wRel))
+        .filter(col("rk") <= nCand)
+        .select(col("qid"), col("nid"), col("rel"), col("ce"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val pairSims = graft.Caches.track(cand.as("x").join(cand.as("y"),
+        col("x.qid") === col("y.qid") && col("x.nid") =!= col("y.nid"))
+      .select(col("x.qid").as("qid"), col("x.nid").as("cn"),
+        col("y.nid").as("sn"), dotNative(col("x.ce"), col("y.ce"))
+          .as("psim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var selected = cand
+      .withColumn("rk", row_number().over(wRel)).filter(col("rk") === 1)
+      .select(col("qid"), col("nid"), lit(1).as("pos"),
+        col("rel").as("score"))
+      .localCheckpoint() // k bounded rounds — cut lineage per round
+    for (i <- 2 to k) {
+      val selIds = selected.select("qid", "nid")
+      val mx = pairSims
+        .join(selIds.withColumnRenamed("nid", "sn"), Seq("qid", "sn"))
+        .groupBy(col("qid"), col("cn").as("nid"))
+        .agg(max(col("psim")).as("mx"))
+      val sc = lit(lambda) * col("rel") - lit(1.0 - lambda) * col("mx")
+      val next = cand.join(selIds, Seq("qid", "nid"), "left_anti")
+        .join(mx, Seq("qid", "nid"))
+        .withColumn("sc", sc)
+        .withColumn("rk", row_number().over(Window.partitionBy("qid")
+          .orderBy(col("sc").desc, col("nid").asc)))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("nid"), lit(i).as("pos"),
+          col("sc").as("score"))
+      selected = selected.unionByName(next).localCheckpoint()
+    }
+    selected.select(col("qid"), col("pos"), col("nid"),
+      (floor(col("score") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score6"))
+  }
+
   /** Deterministic Lloyd k-means over an embedding column: seeds are the
     * first k vectors by id (deterministic, no sampling), `iters` rounds of
     * assign (broadcast centroids, codegen'd graft_dot on normalized

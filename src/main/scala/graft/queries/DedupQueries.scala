@@ -319,6 +319,21 @@ object DedupQueries {
       GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
     }),
 
+    // Newman modularity of the d08 dup-cluster partition over its own
+    // near-dup graph — "are these clusters real communities": per-
+    // community intra-edges/degree sums + Q cleared to ONE division of
+    // exact BIGINTs ((4mΣe − Σd²)/4m²).
+    "d32_modularity" -> ((s, d) => {
+      import graft.ops.GraphOps
+      val pairs = graft.Caches.track(
+        DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+            "text", n = 3, threshold = 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val labels = GraphOps.connectedComponents(pairs, "id1", "id2")
+      GraphOps.modularity(pairs, "id1", "id2", labels, "id", "comp")
+        .orderBy("lbl")
+    }),
+
     // Label-propagation communities over the d08 pair graph: synchronous
     // rounds + smallest-label ties make the classic random-order
     // algorithm deterministic and oracle-replayable; exact integer logic
@@ -609,6 +624,50 @@ object DedupQueries {
          WHERE floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) / 1e6
                >= 0.88
          ORDER BY id1, id2""",
+    // d32: d08's component recursion + the modularity aggregates; Q is
+    // the identical exact-BIGINT division.
+    "d32_modularity" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a AS id, a AS comp FROM edges
+           UNION
+           SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+         lab AS (SELECT id, min(comp) AS lbl FROM reach GROUP BY id),
+         e AS (SELECT id1 AS lo, id2 AS hi FROM pairs),
+         mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+         ej AS (SELECT l1.lbl AS lb1, l2.lbl AS lb2
+           FROM e JOIN lab l1 ON e.lo = l1.id
+           JOIN lab l2 ON e.hi = l2.id),
+         ec AS (SELECT lb1 AS lbl, CAST(count(*) AS BIGINT) AS e_in
+           FROM ej WHERE lb1 = lb2 GROUP BY 1),
+         dgr AS (SELECT nd, CAST(count(*) AS BIGINT) AS dg FROM (
+             SELECT lo AS nd FROM e UNION ALL SELECT hi AS nd FROM e)
+           GROUP BY 1),
+         ds AS (SELECT lab.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(COALESCE(dgr.dg, 0)) AS BIGINT) AS d_sum
+           FROM lab LEFT JOIN dgr ON lab.id = dgr.nd GROUP BY 1),
+         com AS (SELECT ds.lbl, n_nodes,
+             CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in, d_sum
+           FROM ds LEFT JOIN ec ON ds.lbl = ec.lbl),
+         tot AS (SELECT CAST(sum(e_in) AS BIGINT) AS se,
+             CAST(sum(d_sum * d_sum) AS BIGINT) AS sd2 FROM com)
+         SELECT lbl, n_nodes, e_in, d_sum,
+           floor(CAST(4 * mm.m * tot.se - tot.sd2 AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q6
+         FROM com, tot, mm ORDER BY lbl""",
     // d31: the same DISTINCT co-purchase edge set, 8 peel rounds
     // unrolled (n0 → n8), final degrees within the surviving set.
     "d31_kcore" -> kCoreSql(k = 80, rounds = 8),

@@ -263,6 +263,20 @@ object EventQueries {
           h = 20.0)
         .orderBy("ws", "event_type")),
 
+    // Theil–Sen robust hourly volume trend per event type: median of
+    // pairwise slopes, LOW median by rank (no interpolating builtin),
+    // (slope, x1, x2) total order — outlier-immune vs f35's linfit.
+    "e51_theilsen" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).cast("double").as("y"))
+        .select(col("event_type"),
+          expr("unix_millis(window.start) div 3600000").as("x"), col("y"))
+      EventOps.theilSen(hourly, "event_type", "x", "y")
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type")
+    }),
+
     // Holt double exponential smoothing (level + linear trend) of the
     // hourly value volume per event type, with the one-step-ahead
     // forecast — the baseline the rate alarms compare against. Per-key
@@ -1266,6 +1280,25 @@ object EventQueries {
          SELECT ws, event_type, n, bn, z6,
            CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
          FROM z ORDER BY ws, event_type""",
+    // e51: identical pair fan-out + rank-selected low median; slopes
+    // are one double division of exact integers.
+    "e51_theilsen" ->
+      """WITH h AS (SELECT event_type AS k, date_trunc('hour', ts) AS ws,
+             CAST(count(*) AS DOUBLE) AS y
+           FROM events GROUP BY 1, 2),
+         s AS (SELECT k, epoch_ms(ws) // 3600000 AS x, y FROM h),
+         p AS (SELECT a.k,
+             (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope,
+             a.x AS x1, b.x AS x2
+           FROM s a JOIN s b ON a.k = b.k AND a.x < b.x),
+         r AS (SELECT k, slope,
+             CAST(row_number() OVER (PARTITION BY k
+               ORDER BY slope, x1, x2) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS np
+           FROM p)
+         SELECT k AS event_type, np AS n_pairs,
+           floor(slope * 1e6 + 0.5) / 1e6 AS slope6
+         FROM r WHERE rn = (np + 1) // 2 ORDER BY event_type""",
     // e50: the exact sequential recurrence as a recursive CTE (s50
     // pattern); the b-step inlines l's expression, which recomputes the
     // identical double. Constants are binary-exact decimals.

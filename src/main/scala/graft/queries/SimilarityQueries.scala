@@ -269,6 +269,18 @@ object SimilarityQueries {
       graft.ops.EvalOps.recallAtK(approx, exact).orderBy("qid")
     }),
 
+    // MMR diversified re-ranking: top-20 brute-force candidates per
+    // query, greedy λ=0.5 relevance-vs-redundancy selection of 5 —
+    // relational rounds (anti-join + keyed max-sim + rank-1 window),
+    // oracle unrolls the identical rounds. Grid-snapped dots throughout.
+    "v18_mmr_rerank" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      SimilarityOps.mmrRerank(e, q, "vec_id", "embedding",
+          nCand = 20, k = 5, lambda = 0.5, grid = Some(Grid))
+        .orderBy("qid", "pos")
+    }),
+
     // Order-sensitive ANN acceptance: NDCG@5 of the grid-IVF ranking
     // against the exact one (recall@k can't see right-neighbors-wrong-
     // order). Relevance graded by exact rank; position discounts are
@@ -309,6 +321,61 @@ object SimilarityQueries {
 
   /** 2^20 — the dyadic quantization grid for the portable IVF gates. */
   private val Grid = 1048576.0
+
+  /** v18 oracle: the MMR greedy unrolled — candidates + pair sims as
+    * MATERIALIZED CTEs, then k selection rounds, each an anti-screen
+    * (NOT EXISTS over the union of prior picks) + max-sim join + rank-1
+    * pick with the identical 0.5·rel − 0.5·mx spelling. */
+  private def mmrOracle(nCand: Int, k: Int, g: Double): String = {
+    val gs = f"$g%.1f"
+    val sus = (2 to k).map { i =>
+      val su = s"(${(1 until i).map(j => s"SELECT qid, nid FROM sel$j")
+        .mkString(" UNION ALL ")})"
+      s"""sel$i AS MATERIALIZED (
+           SELECT qid, nid, $i AS pos, sc AS score FROM (
+             SELECT c.qid, c.nid, 0.5 * c.rel - 0.5 * m.mx AS sc,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY 0.5 * c.rel - 0.5 * m.mx DESC, c.nid ASC) AS rk
+             FROM cand c
+             JOIN (SELECT ps.qid, ps.cn AS nid, max(ps.psim) AS mx
+                   FROM ps JOIN $su su
+                     ON su.qid = ps.qid AND su.nid = ps.sn
+                   GROUP BY 1, 2) m
+               ON m.qid = c.qid AND m.nid = c.nid
+             WHERE NOT EXISTS (SELECT 1 FROM $su sx
+               WHERE sx.qid = c.qid AND sx.nid = c.nid)
+           ) WHERE rk = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+           FROM embeddings),
+         nrm AS MATERIALIZED (SELECT id,
+             list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+           FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
+                 FROM v0)),
+         qq AS (SELECT * FROM nrm WHERE id < 10),
+         scq AS (SELECT q.id AS qid, c.id AS nid,
+             list_dot_product(c.e, q.e) AS rel
+           FROM nrm c JOIN qq q ON c.id <> q.id),
+         cand AS MATERIALIZED (SELECT qid, nid, rel FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY rel DESC, nid ASC) AS rk
+             FROM scq) WHERE rk <= $nCand),
+         ps AS MATERIALIZED (SELECT a.qid, a.nid AS cn, b.nid AS sn,
+             list_dot_product(na.e, nb.e) AS psim
+           FROM cand a JOIN cand b
+             ON a.qid = b.qid AND a.nid <> b.nid
+           JOIN nrm na ON na.id = a.nid
+           JOIN nrm nb ON nb.id = b.nid),
+         sel1 AS (SELECT qid, nid, 1 AS pos, rel AS score FROM (
+             SELECT *, row_number() OVER (PARTITION BY qid
+               ORDER BY rel DESC, nid ASC) AS rk
+             FROM cand) WHERE rk = 1),
+         $sus
+         SELECT qid, pos, nid, floor(score * 1e6 + 0.5) / 1e6 AS score6
+         FROM (${(1 to k).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")})
+         ORDER BY qid, pos"""
+  }
 
   /** DuckDB replay of the grid-portable IVF pipeline: the fixed-iteration
     * k-means is UNROLLED (cent0 → cent1 → … → cent`iters`), each round =
@@ -539,6 +606,9 @@ object SimilarityQueries {
            floor(CAST(COALESCE(hits, 0) AS DOUBLE) / k * 1e6 + 0.5)
              / 1e6 AS recall6
          FROM kk LEFT JOIN h ON kk.qid = h.qid ORDER BY kk.qid""",
+    // v18: candidate/pair-sim CTEs + the k greedy rounds unrolled; every
+    // score is 0.5·rel − 0.5·max-sim of exact grid dots.
+    "v18_mmr_rerank" -> mmrOracle(nCand = 20, k = 5, g = Grid),
     // v17: the same two replays closed by the pinned-integer DCG dot
     // product; rel = k − exact rank + 1, one division at the end.
     "v17_ndcg_eval" ->

@@ -143,6 +143,9 @@ class CollectLintSpec extends AnyFunSuite {
         "referential rule orphan count: 1-row aggregate",
       "val total = child.agg(count(lit(1))).head().getLong(0) // 1-row probe" ->
         "referential rule child total: 1-row aggregate"),
+    "GraphOps.scala" -> Map(
+      "sum(col(\"d_sum\") * col(\"d_sum\"))).head()" ->
+        "modularity totals: 1-row aggregate over the |communities| frame"),
     "SkewOps.scala" -> Map(
       "val t = counts.agg(sum(col(\"cnt\")), count(lit(1))).head()" ->
         "skew report totals: 1-row aggregate over the keyed counts"),

@@ -186,6 +186,54 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("modularity: two bridged triangles under the natural split score " +
+      "Q = 70/196") {
+    import graft.ops.GraphOps
+    // triangles {1,2,3}, {4,5,6}, bridge 3-4 → m=7, e_c=3 each,
+    // d_c=7 each: Q = (4·7·6 − 98)/(4·49) = 70/196 = 0.357143
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "t")
+    val lab = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"), (5L, "B"),
+      (6L, "B")).toDF("id", "lbl")
+    val out = GraphOps.modularity(g, "s", "t", lab, "id", "lbl")
+      .orderBy("lbl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    Caches.clear()
+    assert(out == Seq(("A", 3L, 3L, 7L, 0.357143),
+      ("B", 3L, 3L, 7L, 0.357143)))
+  }
+
+  test("theilSen: low-median slope shrugs off the outlier point") {
+    import graft.ops.EventOps
+    // (0,0)(1,1)(2,2)(3,10): slopes 1,1,1,10/3,4.5,8 → low median 1.0
+    val df = Seq(("a", 0L, 0.0), ("a", 1L, 1.0), ("a", 2L, 2.0),
+      ("a", 3L, 10.0)).toDF("k", "x", "y")
+    val out = EventOps.theilSen(df, "k", "x", "y").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    Caches.clear()
+    assert(out == Seq(("a", 6L, 1.0)))
+  }
+
+  test("mmrRerank: redundancy penalty promotes the diverse candidate " +
+      "over the higher-relevance near-dup") {
+    import graft.ops.SimilarityOps
+    // q=(1,0); c1=(.8,.6) rel .8; c2=(.6,.8) rel .6 but sim(c2,c1)=.96;
+    // c3=(0,1) rel 0, sim(c3,c1)=.6. λ=.25: step2 scores c2 −.57 vs
+    // c3 −.45 → diversity wins; greedy order 1, 3, 2.
+    val corpus = Seq((1L, Array(0.8f, 0.6f)), (2L, Array(0.6f, 0.8f)),
+      (3L, Array(0.0f, 1.0f)), (10L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") === 10L)
+    val out = SimilarityOps.mmrRerank(
+        corpus.filter(col("vec_id") < 10L), q, "vec_id", "embedding",
+        nCand = 3, k = 3, lambda = 0.25, grid = None)
+      .orderBy("pos").collect()
+      .map(r => (r.getInt(1), r.getLong(2))).toSeq
+    Caches.clear()
+    assert(out == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
   test("sortedNeighborhood pairs sort-adjacent records deterministically") {
     import graft.ops.DedupOps
     val df = Seq((10L, "acme corp"), (20L, "acme corpx"), (30L, "acme korp"),

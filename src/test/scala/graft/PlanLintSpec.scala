@@ -23,6 +23,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "v16_recall_eval", // scores IVF recall AGAINST v01's exact answer —
                        // the ground-truth side is the sanctioned brute force
     "v17_ndcg_eval", // NDCG against the same sanctioned exact ground truth
+    "v18_mmr_rerank", // candidate generation IS the sanctioned brute force
     "v09_sq_knn", // quantized brute force — same sanctioned baseline shape
     // welch pairs: the inequality join runs AFTER the partial+final
     // aggregate collapsed the data to |groups| rows — the nested-loop is
