@@ -31,4 +31,24 @@ object Caches {
     tracked.foreach(_.unpersist(blocking = false))
     tracked.clear()
   }
+
+  /** Session-lifetime training memo (trained PQ codebooks, coarse
+    * k-means centroids — bounded driver arrays, a few KB each). A real
+    * deployment indexes once and probes thousands of times; searchers
+    * that retrain deterministically per call accept an explicit cache
+    * key so repeat calls on the same (corpus, params) reuse the trained
+    * index instead. Deliberately NOT flushed by [[clear]]: the memo's
+    * whole point is surviving the per-query cache release. Training is
+    * deterministic, so a memo hit is bit-identical to a fresh train. */
+  private val memos = scala.collection.mutable.Map.empty[String, Any]
+
+  /** Compute-once by key; the value must be immutable driver state. */
+  def memo[T](key: String)(f: => T): T =
+    synchronized(memos.getOrElseUpdate(key, f)).asInstanceOf[T]
+
+  /** Number of live memo entries (for specs/monitoring). */
+  def memoCount: Int = synchronized(memos.size)
+
+  /** Drop every memoized training artifact (tests / corpus swap). */
+  def clearMemos(): Unit = synchronized(memos.clear())
 }

@@ -312,21 +312,33 @@ object GraphOps {
       .filter(col("lo") =!= col("hi"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def aliveEdges(nodes: DataFrame): DataFrame = e
-      .join(nodes.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
-      .join(nodes.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
     def degrees(alive: DataFrame, out: String): DataFrame = alive
       .select(col("lo").as(out))
       .unionByName(alive.select(col("hi").as(out)))
       .groupBy(out).agg(count(lit(1)).as("deg"))
-    var nodes = e.select(col("lo").as("v"))
-      .unionByName(e.select(col("hi").as("v"))).distinct()
-      .localCheckpoint()
-    for (_ <- 1 to rounds)
-      nodes = degrees(aliveEdges(nodes), "w")
-        .filter(col("deg") >= k).select(col("w").as("v"))
+    // Iterate on the SHRINKING edge frame (not nodes vs the full
+    // original list): each round's semi-joins read only the edges that
+    // survived the previous peel, so per-round cost decays with the
+    // peel. localCheckpoint is eager → the surviving-edge count is a
+    // cheap follow-up job; peeling is monotone, so an unchanged count
+    // means convergence and the remaining rounds are no-ops — break.
+    var alive = e.localCheckpoint()
+    var nAlive = alive.count()
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val keep = degrees(alive, "w").filter(col("deg") >= k)
+        .select(col("w").as("v"))
+      alive = alive
+        .join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
         .localCheckpoint() // lineage cut — the d08 rationale
-    degrees(aliveEdges(nodes), "node")
+      val n = alive.count()
+      converged = n == nAlive
+      nAlive = n
+      r += 1
+    }
+    degrees(alive, "node")
   }
 
   /** Adamic–Adar link prediction over an undirected edge set: for every

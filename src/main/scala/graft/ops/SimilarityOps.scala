@@ -705,8 +705,8 @@ object SimilarityOps {
     * oracle, like v03/v09/v10. */
   def pqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, m: Int = 8, codebook: Int = 16,
-               kmeansIters: Int = 3,
-               grid: Option[Double] = None): DataFrame = {
+               kmeansIters: Int = 3, grid: Option[Double] = None,
+               cacheKey: Option[String] = None): DataFrame = {
     val dim = corpus.select(size(col(vecCol).cast("array<double>")))
       .head().getInt(0) // 1-row dim probe
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
@@ -714,7 +714,13 @@ object SimilarityOps {
     val v = graft.Caches.track(
       normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
+    // with a cacheKey, training runs once per (corpus, params) and repeat
+    // searches reuse the codebooks — the index-once/probe-many
+    // amortization; training is deterministic so hits are bit-identical
+    val books = cacheKey.fold(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid))(ck =>
+      graft.Caches.memo(s"pqbooks:$ck:$m:$codebook:$kmeansIters:$grid")(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid)))
     // encode: one pass, m greatest-of-structs over staged sub-slices
     val codeCols = (0 until m).map(s =>
       pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s)))
@@ -888,8 +894,8 @@ object SimilarityOps {
   def ivfPqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, nClusters: Int = 16,
                   nProbe: Int = 4, m: Int = 8, codebook: Int = 16,
-                  kmeansIters: Int = 3,
-                  grid: Option[Double] = None): DataFrame = {
+                  kmeansIters: Int = 3, grid: Option[Double] = None,
+                  cacheKey: Option[String] = None): DataFrame = {
     val dim = corpus.select(size(col(vecCol).cast("array<double>")))
       .head().getInt(0) // 1-row dim probe
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
@@ -897,8 +903,16 @@ object SimilarityOps {
     val v = graft.Caches.track(
       normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val coarse = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
-    val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
+    // index-once/probe-many: with a cacheKey both training passes
+    // (coarse centroids + PQ codebooks) memoize per (corpus, params)
+    val coarse = cacheKey.fold(
+        kmeansFrom(v, nClusters, kmeansIters, dim, grid))(ck =>
+      graft.Caches.memo(s"ivfcoarse:$ck:$nClusters:$kmeansIters:$grid")(
+        kmeansFrom(v, nClusters, kmeansIters, dim, grid)))
+    val books = cacheKey.fold(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid))(ck =>
+      graft.Caches.memo(s"pqbooks:$ck:$m:$codebook:$kmeansIters:$grid")(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid)))
     val codeCols = (0 until m).map(s =>
       pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s)))
     // ONE corpus pass: coarse cluster + all m codes

@@ -196,7 +196,7 @@ object SimilarityQueries {
       val e = emb(s, d)
       SimilarityOps.pqSearch(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, m = 8, codebook = 16,
-        kmeansIters = 3, grid = Some(Grid))
+        kmeansIters = 3, grid = Some(Grid), cacheKey = Some(d))
         .orderBy("qid", "rk")
     }),
 
@@ -209,7 +209,8 @@ object SimilarityQueries {
       val e = emb(s, d)
       SimilarityOps.ivfPqSearch(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4,
-        m = 8, codebook = 16, kmeansIters = 3, grid = Some(Grid))
+        m = 8, codebook = 16, kmeansIters = 3, grid = Some(Grid),
+        cacheKey = Some(d))
         .orderBy("qid", "rk")
     }),
 
