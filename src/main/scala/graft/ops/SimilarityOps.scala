@@ -793,7 +793,8 @@ object SimilarityOps {
     * amortization [[pqSearch]]'s per-call training cannot offer. */
   def pqBuild(corpus: DataFrame, idCol: String, vecCol: String,
               outDir: String, m: Int = 8, codebook: Int = 16,
-              kmeansIters: Int = 3, grid: Option[Double] = None): Unit = {
+              kmeansIters: Int = 3, grid: Option[Double] = None,
+              cacheKey: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol).cast("array<double>")))
       .head().getInt(0) // 1-row dim probe
@@ -802,7 +803,12 @@ object SimilarityOps {
     val v = graft.Caches.track(
       normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
+    // rebuilds of the same (corpus, params) reuse the trained codebooks
+    // (deterministic → bit-identical); the artifacts still write fresh
+    val books = cacheKey.fold(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid))(ck =>
+      graft.Caches.memo(s"pqbooks:$ck:$m:$codebook:$kmeansIters:$grid")(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid)))
     writeBooks(spark, books, s"$outDir/books")
     val codeCols = (0 until m).map(s =>
       pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s)))
@@ -837,7 +843,8 @@ object SimilarityOps {
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String,
                  outDir: String, nClusters: Int = 16, m: Int = 8,
                  codebook: Int = 16, kmeansIters: Int = 3,
-                 grid: Option[Double] = None): Unit = {
+                 grid: Option[Double] = None,
+                 cacheKey: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol).cast("array<double>")))
       .head().getInt(0) // 1-row dim probe
@@ -846,8 +853,15 @@ object SimilarityOps {
     val v = graft.Caches.track(
       normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val coarse = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
-    val books = pqTrain(v, m, codebook, kmeansIters, subDim, grid)
+    // rebuilds of the same (corpus, params) reuse both trainings
+    val coarse = cacheKey.fold(
+        kmeansFrom(v, nClusters, kmeansIters, dim, grid))(ck =>
+      graft.Caches.memo(s"ivfcoarse:$ck:$nClusters:$kmeansIters:$grid")(
+        kmeansFrom(v, nClusters, kmeansIters, dim, grid)))
+    val books = cacheKey.fold(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid))(ck =>
+      graft.Caches.memo(s"pqbooks:$ck:$m:$codebook:$kmeansIters:$grid")(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid)))
     import spark.implicits._
     coarse.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
       .toDF("cluster", "centroid")

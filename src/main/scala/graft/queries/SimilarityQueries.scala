@@ -225,7 +225,8 @@ object SimilarityQueries {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_v14_pq").toString
       SimilarityOps.pqBuild(e, "vec_id", "embedding", outDir = idx,
-        m = 8, codebook = 16, kmeansIters = 3, grid = Some(Grid))
+        m = 8, codebook = 16, kmeansIters = 3, grid = Some(Grid),
+        cacheKey = Some(d))
       val res = SimilarityOps.pqProbe(idx, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, grid = Some(Grid))
         .orderBy("qid", "rk")
@@ -245,7 +246,7 @@ object SimilarityQueries {
         .createTempDirectory("graft_v15_ivfpq").toString
       SimilarityOps.ivfPqBuild(e, "vec_id", "embedding", outDir = idx,
         nClusters = 16, m = 8, codebook = 16,
-        kmeansIters = 3, grid = Some(Grid))
+        kmeansIters = 3, grid = Some(Grid), cacheKey = Some(d))
       val res = SimilarityOps.ivfPqProbe(idx,
           e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
           nProbe = 4, grid = Some(Grid))
