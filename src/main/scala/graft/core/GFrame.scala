@@ -621,6 +621,56 @@ final class GFrame private[graft] (val df: DataFrame, val indexName: String)
     new GFrame(out, "g1")
   }
 
+  /** One-way ANOVA F-test of an INTEGRAL-valued column across the
+    * groups of `groupCol` — does the group explain the variance
+    * (the k-sample completion of [[welchTTest]]'s pairwise probe).
+    * Output: one row per group (g, n, mean6) plus the closing
+    * statistic columns (f6, df1, df2) repeated on every row, the
+    * [[graft.ops.GraphOps.modularity]] reporting shape.
+    *
+    * Determinism (the e37 chi2 discipline): per-group n, Σx, Σx² are
+    * exact order-free BIGINTs (values must be integral — quantities,
+    * counts; NOT 2dp money, scale to cents upstream); each group's
+    * between-term `(Σx)²/n` is ONE double division snapped to exact
+    * 1e-6-unit longs, so the cross-group totals are order-free BIGINT
+    * sums and F closes as a fixed-association double expression —
+    * bit-identical in any engine before the 6dp output grid.
+    * Degenerate designs (k < 2, N ≤ k, zero within-group variance)
+    * yield null F rather than a silent Inf/NaN.
+    * Assumes (Σx)² < 2⁶³ per group and Σx² < 2⁶³ globally — holds for
+    * quantity-scale values at any row count below ~10¹² per group. */
+  def anovaF(groupCol: String, valCol: String): GFrame = {
+    val x = col(valCol).cast("long")
+    val st = graft.Caches.track(df
+      .groupBy(col(groupCol).as("g"))
+      .agg(org.apache.spark.sql.functions.count(x).as("n"),
+        sum(x).as("s"), sum(x * x).as("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // between-term per group, snapped to exact micro-units
+    val tu = floor(col("s").cast("double") * col("s").cast("double")
+      / col("n").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    // 1-row totals probe over the |groups| frame
+    val t = st.select(col("n"), col("s"), col("q"), tu.as("tu"))
+      .agg(sum(col("n")), sum(col("s")), sum(col("q")), sum(col("tu")),
+        org.apache.spark.sql.functions.count(lit(1))).head()
+    val bigN = t.getLong(0); val bigS = t.getLong(1)
+    val bigQ = t.getLong(2); val sumTu = t.getLong(3)
+    val k = t.getLong(4)
+    val grand = bigS.toDouble * bigS.toDouble / bigN.toDouble
+    val ssb = sumTu.toDouble / 1e6 - grand
+    val ssw = bigQ.toDouble - sumTu.toDouble / 1e6
+    val fOpt =
+      if (k < 2 || bigN <= k || ssw <= 0.0) None
+      else Some((ssb / (k - 1).toDouble) / (ssw / (bigN - k).toDouble))
+    def r6d(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val out = st.select(col("g"), col("n"),
+      (floor(col("s").cast("double") / col("n").cast("double")
+        * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean6"),
+      fOpt.fold(lit(null).cast("double"))(f => lit(r6d(f))).as("f6"),
+      lit(k - 1).as("df1"), lit(bigN - k).as("df2"))
+    new GFrame(out, "g")
+  }
+
   /** Per-group Gini coefficient of a non-negative 2dp money column —
     * the concentration/inequality measure (how unevenly order value,
     * corpus tokens, or traffic spread over a group's members):

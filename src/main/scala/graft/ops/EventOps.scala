@@ -735,6 +735,59 @@ object EventOps {
           .as("slope6"))
   }
 
+  /** Kaplan–Meier survival curve of subject lifetimes with right-
+    * censoring — the churn/retention estimator done properly: a
+    * subject's lifetime is first-event → last-event in whole `unitUs`
+    * units (elapsed, integer µs division); the "death" (churn) is
+    * OBSERVED only if the last event precedes the corpus horizon by
+    * more than `gapUnits` units (otherwise the subject may still be
+    * alive — censored, which naive retention curves get wrong). At each
+    * distinct lifetime t: n_t at risk (lifetime ≥ t), d_t observed
+    * churns, and `S(t) = Π_{u≤t} (1 − d_u/n_u)`.
+    *
+    * Scale shape: ONE keyed span aggregation collapses the data to a
+    * per-user frame, a second to the per-duration frame — whose size is
+    * CALENDAR-bounded (≤ days spanned by the corpus), so the suffix
+    * at-risk counts and the sequential product run on the driver over
+    * that bounded frame (the e45 markov discipline), never a
+    * data-sized single-task window.
+    *
+    * Determinism: d, n are exact ints; each factor `1 − d/n` is one
+    * double division; the product associates strictly in ascending-t
+    * order — replayed identically by a DuckDB recursive CTE — and
+    * snaps to the 6dp grid at output only. */
+  def kaplanMeier(df: DataFrame, subjectCols: Seq[String], tsCol: String,
+                  gapUnits: Int, unitUs: Long = 86400000000L): DataFrame = {
+    val spans = graft.Caches.track(df
+      .groupBy(subjectCols.map(col): _*)
+      .agg(min(unix_micros(col(tsCol))).as("u0"),
+        max(unix_micros(col(tsCol))).as("u1"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val lastRow = spans.agg(max(col("u1"))).head() // 1-row horizon probe
+    val horizonUs = lastRow.getLong(0) - gapUnits * unitUs
+    // duration = elapsed FULL units (integer µs division — no calendar
+    // boundary semantics to disagree on between engines)
+    val byT = spans.select(
+        expr(s"(u1 - u0) div $unitUs").as("t"),
+        when(col("u1") < horizonUs, 1L).otherwise(0L).as("ev"))
+      .groupBy("t").agg(count(lit(1)).as("c"), sum(col("ev")).as("d"))
+      .orderBy("t")
+      .collect() // ≤ corpus-span units rows — calendar-bounded
+    val total = byT.map(_.getLong(1)).sum
+    var atRisk = total
+    var s = 1.0
+    val out = byT.map { r =>
+      val t = r.getLong(0); val c = r.getLong(1); val d = r.getLong(2)
+      val n = atRisk
+      s = s * (1.0 - d.toDouble / n.toDouble) // fixed ascending-t order
+      atRisk -= c
+      (t, n, d, c - d, math.floor(s * 1e6 + 0.5) / 1e6)
+    }.toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("t", "n_risk", "d_churn", "censored", "s6")
+  }
+
   /** One [[holtSmooth]] output row: the bucket's observed value, the
     * one-step-ahead forecast made BEFORE seeing it (null on each key's
     * first bucket), and the post-update level/trend — all 6dp-snapped

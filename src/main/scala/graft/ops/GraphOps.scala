@@ -290,6 +290,49 @@ object GraphOps {
       lit(q6).as("q6"))
   }
 
+  /** Degree assortativity (Newman 2002) of an undirected edge set:
+    * the Pearson correlation of endpoint degrees over all 2m directed
+    * edge-ends — "do hubs link to hubs" (positive: social/citation
+    * shape; negative: hub-and-spoke, the usual near-dup/boilerplate
+    * shape). One row: (m_ends, r6).
+    *
+    * Determinism: degrees are exact ints, so all six sums (n, Σx, Σy,
+    * Σxy, Σx², Σy²) are order-free BIGINTs; r closes as ONE
+    * fixed-association double expression over their (deterministically
+    * rounded) double casts — bit-identical in any engine before the 6dp
+    * grid. Null when either variance term is zero (degree-regular
+    * graph). Scale shape: two keyed degree joins + one partial+final
+    * 1-row aggregate; no driver state beyond the closing row. */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    val adj = e.select(col("lo").as("w"), col("hi").as("u"))
+      .unionByName(e.select(col("hi").as("w"), col("lo").as("u")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
+    // every directed edge-end contributes (deg(from), deg(to)); the
+    // canonical-undirected union of both orientations IS that multiset
+    val ends = adj
+      .join(deg.select(col("w"), col("deg").as("x")), Seq("w"))
+      .join(deg.select(col("w").as("u"), col("deg").as("y")), Seq("u"))
+    val s = ends.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val m = col("m").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val vx = m * col("sxx").cast("double") - sx * sx
+    val vy = m * col("syy").cast("double") - sy * sy
+    s.select(col("m").as("m_ends"),
+      when(vx > 0.0 && vy > 0.0,
+        floor((m * col("sxy").cast("double") - sx * sy)
+          / sqrt(vx * vy) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("r6"))
+  }
+
   /** k-core decomposition by synchronous peeling: `rounds` rounds of
     * "drop every node whose degree within the surviving subgraph is
     * < k", then the surviving nodes with their final in-core degrees —

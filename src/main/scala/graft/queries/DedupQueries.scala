@@ -334,6 +334,20 @@ object DedupQueries {
         .orderBy("lbl")
     }),
 
+    // Degree assortativity of the part co-purchase graph: do heavily-
+    // co-purchased parts pair with each other (hub↔hub) or with the
+    // long tail (hub↔spoke)? Exact BIGINT degree sums close into ONE
+    // fixed-association Pearson expression — a 1-row structural
+    // datasheet for any pair graph.
+    "d33_assortativity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val edges = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey")
+            && col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("id1"), col("b.l_partkey").as("id2"))
+      GraphOps.assortativity(edges, "id1", "id2")
+    }),
+
     // Label-propagation communities over the d08 pair graph: synchronous
     // rounds + smallest-label ties make the classic random-order
     // algorithm deterministic and oracle-replayable; exact integer logic
@@ -693,6 +707,40 @@ object DedupQueries {
            CAST(sum(CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5)
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
+    // d33: same edge/degree CTEs; the six sums are exact BIGINTs, r is
+    // the identical fixed-association expression.
+    "d33_assortativity" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+           FROM lineitem a JOIN lineitem b
+             ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey),
+         adj AS (SELECT lo AS w, hi AS u FROM e
+           UNION ALL SELECT hi AS w, lo AS u FROM e),
+         deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg
+           FROM adj GROUP BY 1),
+         ends AS (SELECT d1.deg AS x, d2.deg AS y
+           FROM adj JOIN deg d1 ON adj.w = d1.w
+           JOIN deg d2 ON adj.u = d2.w),
+         s AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+           FROM ends)
+         SELECT m AS m_ends,
+           CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+               AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN
+             floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6
+           END AS r6
+         FROM s""",
     "d23_triangles" ->
       s"""WITH $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

@@ -263,6 +263,17 @@ object EventQueries {
           h = 20.0)
         .orderBy("ws", "event_type")),
 
+    // Kaplan–Meier survival of per-(user, event_type) engagement-stream
+    // lifetimes (elapsed hours), right-censored: churn observed only
+    // when the stream's last event clears the 72-hour corpus horizon
+    // (naive retention curves miss the censoring). Per-duration frame
+    // is calendar-bounded; the sequential product associates in
+    // ascending-t order, replayed by the oracle's recursive CTE.
+    "e52_kaplan_meier" -> ((s, d) =>
+      EventOps.kaplanMeier(ev(s, d), Seq("user_id", "event_type"), "ts",
+          gapUnits = 72, unitUs = 3600000000L)
+        .orderBy("t")),
+
     // Theil–Sen robust hourly volume trend per event type: median of
     // pairwise slopes, LOW median by rank (no interpolating builtin),
     // (slope, x1, x2) total order — outlier-immune vs f35's linfit.
@@ -1280,6 +1291,39 @@ object EventQueries {
          SELECT ws, event_type, n, bn, z6,
            CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
          FROM z ORDER BY ws, event_type""",
+    // e52: same spans/horizon screen; suffix at-risk counts over the
+    // bounded per-duration frame; the recursive CTE replays the product
+    // in the identical ascending-t association (seed CAST per CLAUDE.md).
+    "e52_kaplan_meier" ->
+      """WITH RECURSIVE
+         sp AS (SELECT user_id, event_type,
+             min(epoch_us(ts)) AS u0, max(epoch_us(ts)) AS u1
+           FROM events GROUP BY 1, 2),
+         mx AS (SELECT max(u1) AS lastus FROM sp),
+         ud AS (SELECT (u1 - u0) // 3600000000 AS t,
+             CASE WHEN u1 < lastus - 259200000000 THEN 1
+               ELSE 0 END AS ev
+           FROM sp, mx),
+         byt AS (SELECT t, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(ev) AS BIGINT) AS d
+           FROM ud GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM byt),
+         ord AS (SELECT t, c, d,
+             CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn,
+             CAST(total - COALESCE(sum(c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n
+           FROM byt, tot),
+         km AS (SELECT rn, t, n, d, c,
+             CAST(1.0 AS DOUBLE) * (1 - CAST(d AS DOUBLE) / n) AS s
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.rn, o.t, o.n, o.d, o.c,
+             km.s * (1 - CAST(o.d AS DOUBLE) / o.n)
+           FROM km JOIN ord o ON o.rn = km.rn + 1)
+         SELECT t, n AS n_risk, d AS d_churn,
+           c - d AS censored, floor(s * 1e6 + 0.5) / 1e6 AS s6
+         FROM km ORDER BY t""",
     // e51: identical pair fan-out + rank-selected low median; slopes
     // are one double division of exact integers.
     "e51_theilsen" ->

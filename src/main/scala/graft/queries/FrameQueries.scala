@@ -484,6 +484,25 @@ object FrameQueries {
         .welchTTest("event_type", "value")
         .toDF.orderBy("g1", "g2")),
 
+    // One-way ANOVA: does return flag explain quantity variance — the
+    // k-sample completion of f48's pairwise Welch probes. Integral
+    // quantities → exact BIGINT n/Σx/Σx² per group; per-group between-
+    // terms snap to micro-unit longs so cross-group totals are order-
+    // free; F closes as one fixed-association expression.
+    "f62_anova" -> ((s, d) =>
+      GFrame.fromDF(Tables.lineitem(s, d), "l_orderkey")
+        .anovaF("l_returnflag", "l_quantity")
+        .toDF.orderBy("g")),
+
+    // Market-basket association rules over order baskets: both
+    // directions of every part pair co-purchased in ≥2 orders, with
+    // exact-integer support/confidence/lift — the per-basket self-join
+    // fans out basket-size-bounded, never all-pairs across baskets.
+    "f63_assoc_rules" -> ((s, d) =>
+      graft.ops.BasketOps.associationRules(Tables.lineitem(s, d),
+          "l_orderkey", "l_partkey", minPairs = 2L)
+        .orderBy("ante", "cons")),
+
     // Benford first-digit conformity screen over order prices (as exact
     // cents): per-digit observed vs PINNED expected proportions + the
     // closing MAD statistic — 9-digit keyed count, everything else
@@ -1025,6 +1044,60 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f62: exact BIGINT n/Σx/Σx² per group, micro-unit snapped
+    // between-terms, the identical fixed-association F expression.
+    "f62_anova" ->
+      """WITH st AS (SELECT l_returnflag AS g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+               * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+           FROM lineitem GROUP BY 1),
+         tu AS (SELECT g, n, s, q,
+             CAST(floor(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS tu
+           FROM st),
+         tot AS (SELECT CAST(sum(n) AS BIGINT) AS bign,
+             CAST(sum(s) AS BIGINT) AS bigs,
+             CAST(sum(q) AS BIGINT) AS bigq,
+             CAST(sum(tu) AS BIGINT) AS sumtu,
+             CAST(count(*) AS BIGINT) AS k
+           FROM tu)
+         SELECT g, n,
+           floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS mean6,
+           CASE WHEN k >= 2 AND bign > k
+               AND CAST(bigq AS DOUBLE) - CAST(sumtu AS DOUBLE) / 1e6 > 0
+             THEN floor(((CAST(sumtu AS DOUBLE) / 1e6
+                 - CAST(bigs AS DOUBLE) * CAST(bigs AS DOUBLE)
+                   / CAST(bign AS DOUBLE)) / CAST(k - 1 AS DOUBLE))
+               / ((CAST(bigq AS DOUBLE) - CAST(sumtu AS DOUBLE) / 1e6)
+                 / CAST(bign - k AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS f6,
+           k - 1 AS df1, bign - k AS df2
+         FROM tu, tot ORDER BY g""",
+    // f63: identical incidence/count CTEs; every statistic is the same
+    // fixed-association expression over exact BIGINT counts.
+    "f63_assoc_rules" ->
+      """WITH inc AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+           FROM lineitem),
+         tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM inc),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+           FROM inc GROUP BY 1),
+         pr AS (SELECT a.i AS ante, c.i AS cons,
+             CAST(count(*) AS BIGINT) AS nab
+           FROM inc a JOIN inc c ON a.b = c.b AND a.i <> c.i
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT ante, cons, nab, x.ni AS na, y.ni AS nb,
+           floor(CAST(nab AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS support6,
+           floor(CAST(nab AS DOUBLE) / CAST(x.ni AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS conf6,
+           floor(CAST(n AS DOUBLE) * CAST(nab AS DOUBLE)
+             / (CAST(x.ni AS DOUBLE) * CAST(y.ni AS DOUBLE)) * 1e6 + 0.5)
+             / 1e6 AS lift6
+         FROM pr JOIN ic x ON pr.ante = x.i
+         JOIN ic y ON pr.cons = y.i
+         CROSS JOIN tot ORDER BY ante, cons""",
     // f61: expected props are the same pinned 6dp literals; deviations
     // re-snap to exact micro-unit BIGINTs before the MAD mean.
     "f61_benford" ->

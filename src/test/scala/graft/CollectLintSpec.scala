@@ -30,7 +30,9 @@ class CollectLintSpec extends AnyFunSuite {
       ".agg(max(col(\"__c\"))).head()" ->
         "merge validate max-dup probe: 1-row aggregate",
       "val total = base.agg(sum(col(\"__c\"))).head().getLong(0) // 1-row probe" ->
-        "pareto grand total: 1-row aggregate"),
+        "pareto grand total: 1-row aggregate",
+      "org.apache.spark.sql.functions.count(lit(1))).head()" ->
+        "anova totals: 1-row aggregate over the |groups| frame"),
     "GlobalWindows.scala" -> Map(
       ".collect() // ≤ carry × buckets rows — bounded driver state" ->
         "lag carry rows: carry × buckets",
@@ -126,7 +128,11 @@ class CollectLintSpec extends AnyFunSuite {
       "val ivTotal = scored.agg(sum(col(\"__ivu\"))).head().getLong(0) // 1-row" ->
         "IV closing statistic: 1-row aggregate over the bounded bins",
       "percentile(col(\"monetary\"), qs).as(\"mq\")).head()" ->
-        "rfm quartile cuts: 9 doubles, 1 row"),
+        "rfm quartile cuts: 9 doubles, 1 row",
+      "val lastRow = spans.agg(max(col(\"u1\"))).head() // 1-row horizon probe" ->
+        "kaplan-meier horizon: 1-row aggregate",
+      ".collect() // ≤ corpus-span units rows — calendar-bounded" ->
+        "kaplan-meier per-duration frame: ≤ corpus-span units rows"),
     "TextOps.scala" -> Map(
       "val stats = staged.agg(count(lit(1)), sum(col(\"dl\"))).head()" ->
         "bm25 N/avgdl probe: 1-row aggregate",

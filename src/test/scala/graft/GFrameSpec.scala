@@ -409,4 +409,18 @@ class GFrameSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r.getDouble(3) - math.floor(z * 1e6 + 0.5) / 1e6)
       < 1e-9)
   }
+
+  test("anovaF matches the hand computation on two integer groups") {
+    // a = [1,2,3], b = [2,4,6]: SSB = 60/1e6·1e6−54 = 6, SSW = 10,
+    // F = (6/1)/(10/4) = 2.4; means 2.0 / 4.0; df = (1, 4)
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 6.0)).toDF("g", "v")
+    val out = GFrame.fromDF(df, "g").anovaF("g", "v")
+      .toDF.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toSeq
+    Caches.clear()
+    assert(out == Seq(("a", 3L, 2.0, 2.4, 1L, 4L),
+      ("b", 3L, 4.0, 2.4, 1L, 4L)))
+  }
 }

@@ -204,6 +204,14 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
       ("B", 3L, 3L, 7L, 0.357143)))
   }
 
+  test("assortativity: a path graph is perfectly disassortative") {
+    import graft.ops.GraphOps
+    // 1-2-3: ends (1,2)(2,1)(2,1)(1,2) → r = (4·8−36)/4 = −1.0
+    val g = Seq((1L, 2L), (2L, 3L)).toDF("s", "t")
+    val r = GraphOps.assortativity(g, "s", "t").head()
+    assert(r.getLong(0) == 4L && r.getDouble(1) == -1.0)
+  }
+
   test("theilSen: low-median slope shrugs off the outlier point") {
     import graft.ops.EventOps
     // (0,0)(1,1)(2,2)(3,10): slopes 1,1,1,10/3,4.5,8 → low median 1.0
