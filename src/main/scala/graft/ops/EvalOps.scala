@@ -22,6 +22,74 @@ import org.apache.spark.sql.functions._
   */
 object EvalOps {
 
+  /** Matthews correlation coefficient of a binary prediction against a
+    * binary label — the single confusion-matrix summary that stays
+    * honest under class imbalance (accuracy and F1 both don't):
+    * `MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))`.
+    * One row: (tp, tn, fp, fn, mcc6).
+    *
+    * ONE partial+final aggregation collapses the data to four exact
+    * BIGINT counts; MCC closes as one fixed-association double
+    * expression (left-assoc product chain, same spelling in any
+    * oracle). Null when any marginal is zero (degenerate design — a
+    * constant label or prediction has no defined correlation). */
+  def mcc(df: DataFrame, labelCol: Column, predCol: Column): DataFrame = {
+    val agg = df.agg(
+      sum(when(labelCol && predCol, 1L).otherwise(0L)).as("tp"),
+      sum(when(!labelCol && !predCol, 1L).otherwise(0L)).as("tn"),
+      sum(when(!labelCol && predCol, 1L).otherwise(0L)).as("fp"),
+      sum(when(labelCol && !predCol, 1L).otherwise(0L)).as("fn"))
+    val tp = col("tp").cast("double"); val tn = col("tn").cast("double")
+    val fp = col("fp").cast("double"); val fn = col("fn").cast("double")
+    val denom2 = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    agg.select(col("tp"), col("tn"), col("fp"), col("fn"),
+      when(col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0
+          && col("tn") + col("fp") > 0 && col("tn") + col("fn") > 0,
+        floor((tp * tn - fp * fn) / sqrt(denom2) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("mcc6"))
+  }
+
+  /** Cramér's V — the [0,1]-normalized effect size of the [[
+    * graft.ops.EventOps.chiSquare]] independence test
+    * (`V = √(χ²/(N·(min(r,c)−1)))`), so contingency strength compares
+    * across tables of different shape. One row:
+    * (n, ka, kb, chi2_6, v6).
+    *
+    * Same cell discipline as e37: per-cell contributions snap to exact
+    * micro-unit BIGINTs (order-free sum), the closing V is one
+    * fixed-association expression over that exact total. Scale shape:
+    * one data-sized count aggregation; everything after runs on the
+    * bounded ka×kb cell frame. */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = graft.Caches.track(
+      df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+        .agg(count(lit(1)).as("obs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val rowTot = obs.groupBy("a").agg(sum(col("obs")).as("ra"))
+    val colTot = obs.groupBy("b").agg(sum(col("obs")).as("rb"))
+    val totRow = obs.agg(sum(col("obs")).as("n"),
+      countDistinct(col("a")).as("ka"),
+      countDistinct(col("b")).as("kb")).head() // 1-row probe, bounded
+    val n = totRow.getLong(0)
+    val ka = totRow.getLong(1); val kb = totRow.getLong(2)
+    val cells = obs.join(rowTot, "a").join(colTot, "b")
+      .withColumn("exp",
+        (col("ra") * col("rb")).cast("double") / lit(n.toDouble))
+      .withColumn("__cu", floor(
+        (col("obs") - col("exp")) * (col("obs") - col("exp")) / col("exp")
+          * 1e6 + 0.5).cast("long"))
+    val chiTotal = cells.agg(sum(col("__cu"))).head().getLong(0) // 1-row
+    val minDim = math.min(ka, kb) - 1
+    val v6 =
+      if (minDim < 1 || n == 0) None
+      else Some(math.floor(math.sqrt(chiTotal.toDouble / 1e6
+        / (n.toDouble * minDim.toDouble)) * 1e6 + 0.5) / 1e6)
+    cells.agg(count(lit(1))).select(
+      lit(n).as("n"), lit(ka).as("ka"), lit(kb).as("kb"),
+      lit(chiTotal.toDouble / 1e6).as("chi2_6"),
+      v6.fold(lit(null).cast("double"))(lit(_)).as("v6"))
+  }
+
   /** Per-group ROC-AUC of a score against a boolean label via the
     * rank-sum identity (AUC = U/(n₁·n₀), ties counted half) — computed
     * WITHOUT any row-level ranking: ONE partial+final count aggregation

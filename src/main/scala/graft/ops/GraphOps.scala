@@ -445,6 +445,43 @@ object GraphOps {
       .select(col("a"), col("b"), col("c"))
   }
 
+  /** Local clustering coefficient per node: `C(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1))` with T(v) the triangles through v — the
+    * per-node "are my neighbors each other's neighbors" density that
+    * separates clique-like boilerplate clusters from chains
+    * ([[triangles]]' global diagnostic, localized). Nodes of degree 1
+    * get null (undefined, the degenerate-null convention).
+    *
+    * Scale shape: the oriented wedge join of [[triangles]] (every step
+    * a keyed equi-join), one explode of the triangle list (3 rows per
+    * triangle), one keyed count each for T and deg — edge/triangle
+    * sized, never all-pairs. Exact integer counts close in ONE division
+    * on the 6dp floor grid. */
+  def localClustering(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val e = graft.Caches.track(edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val tri = triangles(e, "lo", "hi")
+    val tcnt = tri.select(col("a").as("id"))
+      .unionByName(tri.select(col("b").as("id")))
+      .unionByName(tri.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("t"))
+    val deg = e.select(col("lo").as("id"))
+      .unionByName(e.select(col("hi").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    deg.join(tcnt, Seq("id"), "left")
+      .na.fill(0L, Seq("t"))
+      .select(col("id"), col("deg"), col("t"),
+        when(col("deg") >= 2,
+          floor(lit(2.0) * col("t").cast("double")
+            / (col("deg") * (col("deg") - 1)).cast("double")
+            * lit(1e6) + lit(0.5)) / lit(1e6)).as("c6"))
+  }
+
   /** DBSCAN over a precomputed ε-neighbor pair graph (Ester et al.
     * 1996): `pairs` holds one row per undirected neighbor pair within
     * the ε-ball (e.g. cosine ≥ τ from [[DedupOps.embeddingNearDup]] —

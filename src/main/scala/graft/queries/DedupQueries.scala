@@ -334,6 +334,16 @@ object DedupQueries {
         .orderBy("lbl")
     }),
 
+    // Local clustering coefficient over the d03 near-dup pair graph:
+    // which documents sit in clique-like boilerplate blobs (C→1) vs
+    // chains of drifting near-dups (C→0) — d23's triangle machinery
+    // localized to one keyed count per node.
+    "d35_clustering_coef" -> ((s, d) => {
+      val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      GraphOps.localClustering(pairs, "id1", "id2").orderBy("id")
+    }),
+
     // Degree assortativity of the part co-purchase graph: do heavily-
     // co-purchased parts pair with each other (hub↔hub) or with the
     // long tail (hub↔spoke)? Exact BIGINT degree sums close into ONE
@@ -707,6 +717,38 @@ object DedupQueries {
            CAST(sum(CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5)
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
+    // d35: d23's triangle CTE + per-node triangle/degree counts; C is
+    // one exact-integer division on the 6dp grid.
+    "d35_clustering_coef" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         e AS (
+           SELECT id1 AS lo, id2 AS hi FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         tri AS (SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+           FROM e ab JOIN e bc ON ab.hi = bc.lo
+           JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+         tc AS (SELECT id, CAST(count(*) AS BIGINT) AS t FROM (
+             SELECT a AS id FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri)
+           GROUP BY 1),
+         deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+             SELECT lo AS id FROM e UNION ALL SELECT hi FROM e)
+           GROUP BY 1)
+         SELECT deg.id, deg.deg, CAST(COALESCE(tc.t, 0) AS BIGINT) AS t,
+           CASE WHEN deg.deg >= 2 THEN
+             floor(2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE)
+               / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) * 1e6 + 0.5)
+               / 1e6
+           END AS c6
+         FROM deg LEFT JOIN tc ON deg.id = tc.id ORDER BY deg.id""",
     // d33: same edge/degree CTEs; the six sums are exact BIGINTs, r is
     // the identical fixed-association expression.
     "d33_assortativity" ->

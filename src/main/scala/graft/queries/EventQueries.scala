@@ -263,6 +263,24 @@ object EventQueries {
           h = 20.0)
         .orderBy("ws", "event_type")),
 
+    // Matthews correlation of the cheap screen (value > 140) against
+    // the expensive label (purchase ∧ value > 150) — the imbalance-
+    // honest confusion summary; four exact BIGINT counts, one
+    // fixed-association close.
+    "e53_mcc" -> ((s, d) =>
+      graft.ops.EvalOps.mcc(ev(s, d),
+        col("event_type") === "purchase"
+          && col("value") > lit(150.0).cast("double"),
+        col("value") > lit(140.0).cast("double"))),
+
+    // Cramér's V effect size of event type × day-of-week — is the
+    // weekly mix shift REAL and how strong (χ² alone grows with N);
+    // e37's micro-unit cell discipline, one extra closing division.
+    "e54_cramers_v" -> ((s, d) =>
+      graft.ops.EvalOps.cramersV(
+        ev(s, d).select(col("event_type").as("et"),
+          dayofweek(col("ts")).as("dow")), "et", "dow")),
+
     // Kaplan–Meier survival of per-(user, event_type) engagement-stream
     // lifetimes (elapsed hours), right-censored: churn observed only
     // when the stream's last event clears the 72-hour corpus horizon
@@ -1291,6 +1309,70 @@ object EventQueries {
          SELECT ws, event_type, n, bn, z6,
            CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
          FROM z ORDER BY ws, event_type""",
+    // e53: the same four counts and the same left-assoc product chain.
+    "e53_mcc" ->
+      """WITH s AS (SELECT
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                 AND value > CAST(150.0 AS DOUBLE)
+                 AND value > CAST(140.0 AS DOUBLE) THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN NOT (event_type = 'purchase'
+                 AND value > CAST(150.0 AS DOUBLE))
+                 AND NOT value > CAST(140.0 AS DOUBLE) THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN NOT (event_type = 'purchase'
+                 AND value > CAST(150.0 AS DOUBLE))
+                 AND value > CAST(140.0 AS DOUBLE) THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                 AND value > CAST(150.0 AS DOUBLE)
+                 AND NOT value > CAST(140.0 AS DOUBLE) THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn
+           FROM events)
+         SELECT tp, tn, fp, fn,
+           CASE WHEN tp + fp > 0 AND tp + fn > 0
+               AND tn + fp > 0 AND tn + fn > 0 THEN
+             floor((CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+                 - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+               / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                 * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                 * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+                 * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6
+           END AS mcc6
+         FROM s""",
+    // e54: e37's cell replay + the closing V division; dow matches
+    // Spark's dayofweek (Sunday=1).
+    "e54_cramers_v" ->
+      """WITH src AS (SELECT event_type AS a, dayofweek(ts) + 1 AS b
+           FROM events),
+         obs AS (SELECT a, b, CAST(count(*) AS BIGINT) AS obs
+           FROM src GROUP BY 1, 2),
+         ra AS (SELECT a, CAST(sum(obs) AS BIGINT) AS ra
+           FROM obs GROUP BY 1),
+         rb AS (SELECT b, CAST(sum(obs) AS BIGINT) AS rb
+           FROM obs GROUP BY 1),
+         tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS ka,
+             CAST(count(DISTINCT b) AS BIGINT) AS kb
+           FROM obs),
+         cells AS (SELECT obs.obs,
+             CAST(ra.ra * rb.rb AS DOUBLE) / CAST(n AS DOUBLE) AS exp
+           FROM obs JOIN ra USING (a) JOIN rb USING (b)
+           CROSS JOIN tot),
+         cu AS (SELECT CAST(sum(CAST(floor(
+               (obs - exp) * (obs - exp) / exp * 1e6 + 0.5) AS BIGINT))
+             AS BIGINT) AS chitot
+           FROM cells)
+         SELECT n, ka, kb,
+           CAST(chitot AS DOUBLE) / 1e6 AS chi2_6,
+           CASE WHEN least(ka, kb) > 1 AND n > 0 THEN
+             floor(sqrt(CAST(chitot AS DOUBLE) / 1e6
+               / (CAST(n AS DOUBLE)
+                 * CAST(least(ka, kb) - 1 AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6
+           END AS v6
+         FROM tot, cu""",
     // e52: same spans/horizon screen; suffix at-risk counts over the
     // bounded per-duration frame; the recursive CTE replays the product
     // in the identical ascending-t association (seed CAST per CLAUDE.md).

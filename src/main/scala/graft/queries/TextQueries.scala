@@ -28,6 +28,32 @@ object TextQueries {
         regexTokenCount(col("text")).as("n_re"))
         .orderBy("doc_id")),
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    // over the word co-occurrence graph (adjacent-token pairs seen ≥3
+    // times), top-50 by rank — the unsupervised "what is this corpus
+    // about" keyword list. Adjacency via ONE keyed lead window over a
+    // staged token explode (never a positional self-join); the graph
+    // then rides d20's pageRank machinery (keyed joins, per-round
+    // lineage cut). Ranks snap to the 1e-9 grid every round.
+    "t23_textrank" -> ((s, d) => {
+      val staged = docs(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+      val toks = staged
+        .select(col("doc_id"), posexplode(col("ts")))
+        .toDF("doc_id", "pos", "tok")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val ap = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+        .select(least(col("tok"), col("nxt")).as("w1"),
+          greatest(col("tok"), col("nxt")).as("w2"))
+      val edges = ap.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3).select("w1", "w2")
+      graft.ops.GraphOps.pageRank(edges, "w1", "w2", iters = 5)
+        .orderBy(col("rank").desc, col("id").asc).limit(50)
+        .withColumnRenamed("id", "token")
+    }),
+
     // Reliability/calibration bins: does the composite quality score
     // track the long-document label it encodes? 10 equal-width bins,
     // positive rate + mean score per bin (exact-integer ratios and
@@ -275,7 +301,41 @@ object TextQueries {
   // list_filter(string_split(lower(text), ' '), t -> t <> '').
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+  /** t23 oracle: identical adjacency pairs via list indexing, then
+    * d20's unrolled PageRank replay over the word graph (same 1e-9
+    * per-round snap), top-50 by (rank desc, token asc). */
+  private def textRankSql(iters: Int): String = {
+    val head = s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+       ap AS (SELECT
+           least(ts[CAST(r.i AS INTEGER)], ts[CAST(r.i AS INTEGER) + 1])
+             AS w1,
+           greatest(ts[CAST(r.i AS INTEGER)],
+             ts[CAST(r.i AS INTEGER) + 1]) AS w2
+         FROM t, LATERAL unnest(range(1, len(ts))) AS r(i)
+         WHERE ts[CAST(r.i AS INTEGER)] <> ts[CAST(r.i AS INTEGER) + 1]),
+       pairs AS (SELECT w1 AS id1, w2 AS id2 FROM ap
+         GROUP BY 1, 2 HAVING count(*) >= 3),
+       edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         UNION ALL SELECT id2, id1 FROM pairs),
+       deg AS (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       nn AS (SELECT count(*) AS n FROM deg),
+       r0 AS (SELECT a AS id, 1.0 / (SELECT n FROM nn) AS r FROM deg)"""
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.b AS id,
+           floor(((1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * sum(p.r / deg.deg)) * 1e9 + 0.5) / 1e9 AS r
+         FROM edges e JOIN r${i - 1} p ON p.id = e.a
+         JOIN deg ON deg.a = e.a
+         GROUP BY e.b)"""
+    }.mkString(",\n")
+    s"""$head,
+       $its
+       SELECT id AS token, r AS rank FROM r$iters
+       ORDER BY rank DESC, token ASC LIMIT 50"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "t23_textrank" -> textRankSql(iters = 5),
     // t21: the t02 quality expression rebinned; bin doubles are bit-
     // identical on both sides (every input to the product is an exact-
     // integer-derived division in the same association), so even the

@@ -105,7 +105,11 @@ class CollectLintSpec extends AnyFunSuite {
       "val total = counts.agg(sum(col(\"n\"))).head().getLong(0) // 1-row, 9 bins" ->
         "benford total: 1-row aggregate over the 9-digit frame",
       "val sumu = scored.agg(sum(col(\"__du\"))).head().getLong(0) // 1-row, 9 bins" ->
-        "benford MAD total: 1-row aggregate over the 9-digit frame"),
+        "benford MAD total: 1-row aggregate over the 9-digit frame",
+      "countDistinct(col(\"b\")).as(\"kb\")).head() // 1-row probe, bounded" ->
+        "cramers-v grand total / category counts: 1-row aggregate",
+      "val chiTotal = cells.agg(sum(col(\"__cu\"))).head().getLong(0) // 1-row" ->
+        "cramers-v closing statistic: 1-row aggregate over bounded cells"),
     "EventOps.scala" -> Map(
       ".collect().sortBy(_.getLong(0))" ->
         "asofJoinGlobal backward carries: ≤ buckets rows",
