@@ -90,6 +90,58 @@ object EvalOps {
       v6.fold(lit(null).cast("double"))(lit(_)).as("v6"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between groups' token
+    * distributions — the bounded symmetric corpus-drift measure
+    * (0 = identical mix, ln2 = disjoint vocabularies) a multi-source
+    * pipeline reports per source pair. One row per unordered pair:
+    * (g1, g2, n_common, jsd6).
+    *
+    * The exclusive-token mass never joins: a token present only in g1
+    * contributes `½·p·ln2`, so those terms COLLAPSE to
+    * `½·ln2·(2 − Pc₁ − Pc₂)` where Pcᵢ = the exact-integer common-token
+    * probability mass (Σ common counts / total). Only COMMON tokens
+    * need the equi-join on token (sort-merge, never all-pairs); the
+    * pair predicate g1 < g2 rides that join as a residual filter.
+    *
+    * Determinism: p, q, m are fixed-association ratios of exact
+    * BIGINTs; each common-token term `p·ln(p/m) + q·ln(q/m)` snaps to
+    * exact 1e-9-unit longs (order-free sum); ln2 is a pinned double
+    * literal; the close is one fixed-association expression on the 6dp
+    * grid. The usual zipf-class ln() ulp exposure applies (documented
+    * at TextOps.zipfFit). */
+  def jsdPairs(df: DataFrame, groupCol: String,
+               tokCol: Column): DataFrame = {
+    val cnt = graft.Caches.track(df
+      .select(col(groupCol).as("g"), tokCol.as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = cnt.groupBy("g").agg(sum(col("c")).as("t"))
+    val a = cnt.join(tot, Seq("g"))
+      .select(col("g"), col("tok"), col("c"), col("t"))
+    val both = a.as("x").join(a.as("y"),
+      col("x.tok") === col("y.tok") && col("x.g") < col("y.g"))
+    val p = col("x.c").cast("double") / col("x.t").cast("double")
+    val q = col("y.c").cast("double") / col("y.t").cast("double")
+    val m = (p + q) / lit(2)
+    val u = floor((p * log(p / m) + q * log(q / m)) * lit(1e9) + lit(0.5))
+      .cast("long")
+    val ln2 = 0.693147180559945
+    val byPair = both
+      .select(col("x.g").as("g1"), col("y.g").as("g2"),
+        col("x.c").as("c1"), col("x.t").as("t1"),
+        col("y.c").as("c2"), col("y.t").as("t2"), u.as("u"))
+      .groupBy("g1", "g2")
+      .agg(count(lit(1)).as("n_common"), sum(col("u")).as("su"),
+        sum(col("c1")).as("sc1"), max(col("t1")).as("t1"),
+        sum(col("c2")).as("sc2"), max(col("t2")).as("t2"))
+    byPair.select(col("g1"), col("g2"), col("n_common"),
+      (floor((lit(0.5) * (col("su").cast("double") / lit(1e9))
+        + lit(0.5) * lit(ln2)
+          * (lit(2) - col("sc1").cast("double") / col("t1").cast("double")
+            - col("sc2").cast("double") / col("t2").cast("double")))
+        * lit(1e6) + lit(0.5)) / lit(1e6)).as("jsd6"))
+  }
+
   /** Per-group ROC-AUC of a score against a boolean label via the
     * rank-sum identity (AUC = U/(n₁·n₀), ties counted half) — computed
     * WITHOUT any row-level ranking: ONE partial+final count aggregation

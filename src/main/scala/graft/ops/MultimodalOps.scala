@@ -68,6 +68,12 @@ object MultimodalOps {
         (u8(b, i + 2) << 8) | u8(b, i + 3)
     private def rdLe16(b: Array[Byte], i: Int): Int =
       u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    private def rdLe32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
 
     private val pngSig =
       Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -145,8 +151,42 @@ object MultimodalOps {
         else if (bytes.length >= 4 && u8(bytes, 0) == 0xFF &&
             u8(bytes, 1) == 0xD8)
           parseJpeg(bytes)
+        else if (bytes.length >= 54 && u8(bytes, 0) == 'B'.toInt &&
+            u8(bytes, 1) == 'M'.toInt)
+          parseBmp(bytes)
         else None
       } catch { case _: IndexOutOfBoundsException => None }
+
+    /** Canonical Windows BMP: 14-byte BITMAPFILEHEADER + 40-byte
+      * BITMAPINFOHEADER (24bpp, uncompressed), payload rides after the
+      * pixel-data offset exactly like the PNG IDAT stash.
+      * ref: the BITMAPFILEHEADER/BITMAPINFOHEADER wire layout is public
+      * Windows GDI documentation. */
+    def encodeBmp(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      val fileSize = 54 + payload.length
+      "BM".getBytes("US-ASCII") ++ le32(fileSize) ++ le32(0) ++
+        le32(54) ++ // pixel-data offset
+        le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(payload.length) ++ le32(2835) ++ le32(2835) ++
+        le32(0) ++ le32(0) ++
+        payload
+    }
+
+    /** BMP header walk: signature + declared file size, DIB header size,
+      * plane count sanity, dims at the documented LE offsets; payload =
+      * declared file size − pixel-data offset. Top-down bitmaps carry a
+      * NEGATIVE height — report magnitude. */
+    private def parseBmp(b: Array[Byte]): Option[Parsed] = {
+      if (rdLe32(b, 2) != b.length.toLong) return None
+      val dataOff = rdLe32(b, 10)
+      if (rdLe32(b, 14) < 40L) return None // pre-BITMAPINFOHEADER DIBs
+      if (rdLe16(b, 26) != 1) return None  // plane count is always 1
+      val w = rdLe32(b, 18).toInt
+      val h = math.abs(rdLe32(b, 22).toInt)
+      if (w <= 0 || h <= 0 || dataOff < 54L || dataOff > b.length)
+        return None
+      Some(Parsed("bmp", w, h, 1, (b.length - dataOff).toInt))
+    }
 
     private def parsePng(b: Array[Byte]): Option[Parsed] = {
       var pos = 8
@@ -513,6 +553,7 @@ object MultimodalOps {
           case "png" => ImageCodec.encodePng(sp.width, sp.height, sp.payload)
           case "gif" =>
             ImageCodec.encodeGif(sp.width, sp.height, sp.frames, sp.payload)
+          case "bmp" => ImageCodec.encodeBmp(sp.width, sp.height, sp.payload)
           case _     => ImageCodec.encodeJpeg(sp.width, sp.height, sp.payload)
         }
         (sp.doc_id, bytes, s"image/${sp.fmt}")

@@ -153,6 +153,24 @@ object MultimodalQueries {
       MultimodalOps.decodeImageMeta(imaged(s, d), "doc_id")
         .toDF().orderBy("doc_id")),
 
+    // REAL BMP container round-trip: 14-byte file header + 40-byte
+    // BITMAPINFOHEADER encoded per doc, then the header walk recovers
+    // dims/payload — the fourth genuinely-parsed image format (the m07
+    // family extended; declared-file-size and plane-count sanity checks
+    // exercised on every row).
+    "m13_bmp_meta" -> ((s, d) => {
+      val n = length(encode(col("text"), "UTF-8"))
+      val specs = Tables.documents(s, d).select(
+        col("doc_id"), lit("bmp").as("fmt"),
+        (lit(1) + pmod(n, lit(1024))).as("width"),
+        (lit(1) + pmod(n * 3, lit(768))).as("height"),
+        lit(1).as("frames"),
+        encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.decodeImageMeta(
+          MultimodalOps.encodeImages(specs), "doc_id")
+        .toDF().orderBy("doc_id")
+    }),
+
     // Fixed-size binary chunking: 64-byte segments with offsets — the
     // audio/video windowing shape; md5 per chunk so the oracle hashes
     // bytes, not a big blob column.
@@ -313,6 +331,17 @@ object MultimodalQueries {
                FROM documents) t,
          LATERAL unnest(range(0, t.frames, 5)) AS u(f)
          ORDER BY doc_id, frame_no""",
+    // m13: the encoder's dim formulas recomputed; nbytes = the payload
+    // stashed after the 54-byte header pair.
+    "m13_bmp_meta" ->
+      """SELECT doc_id, 'bmp' AS fmt,
+           CAST(1 + octet_length(encode(text)) % 1024 AS INTEGER)
+             AS width,
+           CAST(1 + (octet_length(encode(text)) * 3) % 768 AS INTEGER)
+             AS height,
+           CAST(1 AS INTEGER) AS frames,
+           CAST(octet_length(encode(text)) AS INTEGER) AS nbytes
+         FROM documents ORDER BY doc_id""",
     "m07_image_meta" ->
       """SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'

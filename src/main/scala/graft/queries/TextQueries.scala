@@ -28,6 +28,18 @@ object TextQueries {
         regexTokenCount(col("text")).as("n_re"))
         .orderBy("doc_id")),
 
+    // Pairwise Jensen–Shannon divergence between source token mixes:
+    // the bounded symmetric drift number per source pair. Only common
+    // tokens join (sort-merge on token); exclusive-token mass closes
+    // via ½ln2·(2−Pc1−Pc2) with exact integer mass sums.
+    "t24_jsd" -> ((s, d) => {
+      val staged = docs(s, d)
+        .select(col("source"), tokens(col("text")).as("ts"))
+      val tk = staged.select(col("source"), explode(col("ts")).as("tok"))
+      graft.ops.EvalOps.jsdPairs(tk, "source", col("tok"))
+        .orderBy("g1", "g2")
+    }),
+
     // TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
     // over the word co-occurrence graph (adjacent-token pairs seen ≥3
     // times), top-50 by rank — the unsupervised "what is this corpus
@@ -336,6 +348,37 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "t23_textrank" -> textRankSql(iters = 5),
+    // t24: identical common-token join + 1e-9-unit term sums; the
+    // exclusive-mass close uses the same pinned ln2 double literal.
+    "t24_jsd" ->
+      s"""WITH tk AS (SELECT source AS g, u.t AS tok FROM documents,
+             LATERAL unnest($Toks) AS u(t)),
+         cnt AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+         tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS t
+           FROM cnt GROUP BY 1),
+         a AS (SELECT cnt.g, tok, c, t FROM cnt JOIN tot USING (g)),
+         b AS (SELECT x.g AS g1, y.g AS g2, x.c AS c1, x.t AS t1,
+             y.c AS c2, y.t AS t2,
+             CAST(x.c AS DOUBLE) / CAST(x.t AS DOUBLE) AS p,
+             CAST(y.c AS DOUBLE) / CAST(y.t AS DOUBLE) AS q
+           FROM a x JOIN a y ON x.tok = y.tok AND x.g < y.g),
+         s AS (SELECT g1, g2, CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum(CAST(floor((p * ln(p / ((p + q) / 2))
+               + q * ln(q / ((p + q) / 2))) * 1e9 + 0.5) AS BIGINT))
+               AS BIGINT) AS su,
+             CAST(sum(c1) AS BIGINT) AS sc1,
+             CAST(max(t1) AS BIGINT) AS t1,
+             CAST(sum(c2) AS BIGINT) AS sc2,
+             CAST(max(t2) AS BIGINT) AS t2
+           FROM b GROUP BY 1, 2)
+         SELECT g1, g2, n_common,
+           floor((0.5 * (CAST(su AS DOUBLE) / 1e9)
+             + 0.5 * CAST(0.693147180559945 AS DOUBLE)
+               * (2 - CAST(sc1 AS DOUBLE) / CAST(t1 AS DOUBLE)
+                 - CAST(sc2 AS DOUBLE) / CAST(t2 AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS jsd6
+         FROM s ORDER BY g1, g2""",
     // t21: the t02 quality expression rebinned; bin doubles are bit-
     // identical on both sides (every input to the product is an exact-
     // integer-derived division in the same association), so even the

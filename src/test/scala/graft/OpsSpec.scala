@@ -550,6 +550,21 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       .contains(ImageCodec.Parsed("jpeg", 1, 1, 1, 0)))
   }
 
+  test("ImageCodec BMP round-trip; truncated and size-lying bytes reject") {
+    import graft.ops.MultimodalOps.ImageCodec
+    val pl = Array.tabulate(700)(i => (i % 251).toByte)
+    assert(ImageCodec.parse(ImageCodec.encodeBmp(800, 600, pl))
+      .contains(ImageCodec.Parsed("bmp", 800, 600, 1, 700)))
+    assert(ImageCodec.parse(ImageCodec.encodeBmp(1, 1, Array.empty))
+      .contains(ImageCodec.Parsed("bmp", 1, 1, 1, 0)))
+    // truncation breaks the declared-file-size check
+    assert(ImageCodec.parse(
+      ImageCodec.encodeBmp(800, 600, pl).dropRight(1)).isEmpty)
+    // a stray "BM" prefix without a coherent header is not a BMP
+    assert(ImageCodec.parse(
+      ("BM" + "x" * 60).getBytes("US-ASCII")).isEmpty)
+  }
+
   test("cusumDrift includes the virtual P0=0 in the running min " +
       "(alarms on an all-positive prefix)") {
     import java.sql.Timestamp
