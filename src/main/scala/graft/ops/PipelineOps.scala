@@ -453,4 +453,37 @@ object PipelineOps {
           when(col(strataCol) === s, lit(t)).otherwise(acc) })
       .filter(keep)
   }
+
+  /** CONSTRUCTIVE decontaminated split — p13's audit turned into the
+    * fix: [[hashSplit]] assigns train/val/test, then every TRAIN doc
+    * whose n-gram containment against ANY eval doc reaches `tau` moves
+    * to a `quarantine` bucket (dropped from training, never re-assigned
+    * to eval — re-assignment would bias eval toward leak-prone docs).
+    * Returns (id, split) for every doc — the split manifest a
+    * train-job consumes.
+    *
+    * Scale shape: the split is a pure per-row md5 predicate; the
+    * quarantine screen is [[graft.ops.DedupOps.ngramContamination]]
+    * (hashed-gram postings equi-join, eval side broadcast) collapsed to
+    * DISTINCT train ids + one left join back. The corpus is never
+    * shuffled by n-gram. */
+  def decontaminatedSplit(df: DataFrame, idCol: String, textCol: String,
+                          splits: Seq[(String, Double)],
+                          trainName: String, n: Int,
+                          tau: Double): DataFrame = {
+    val sp = graft.Caches.track(
+      hashSplit(df.select(col(idCol), col(textCol)), idCol, splits)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val train = sp.filter(col("split") === trainName)
+    val eval_ = sp.filter(col("split") =!= trainName)
+    val quarantined = graft.ops.DedupOps
+      .ngramContamination(train, eval_, idCol, textCol, n)
+      .filter(col("containment") >= tau)
+      .select(col("train_id").as(idCol)).distinct()
+      .withColumn("__q", lit(1))
+    sp.join(quarantined, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("split") === trainName && col("__q").isNotNull,
+          lit("quarantine")).otherwise(col("split")).as("split"))
+  }
 }

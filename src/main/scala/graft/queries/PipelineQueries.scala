@@ -72,6 +72,15 @@ object PipelineQueries {
           "doc_id", "n_tokens", "text", budget = 2000L)
         .orderBy("shard")),
 
+    // p13's audit made CONSTRUCTIVE: train docs with ≥0.8 3-gram
+    // containment against any eval doc move to a quarantine bucket;
+    // output is the per-doc split manifest a train job consumes.
+    "p17_decontam_split" -> ((s, d) =>
+      PipelineOps.decontaminatedSplit(Tables.documents(s, d), "doc_id",
+          "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          trainName = "train", n = 3, tau = 0.8)
+        .orderBy("doc_id")),
+
     "p13_split_leakage" -> ((s, d) => {
       val split = PipelineOps.hashSplit(Tables.documents(s, d), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
@@ -222,6 +231,36 @@ object PipelineQueries {
     // p13: the p01 split CASE + d09's shingle-containment core, closed
     // per split; the containment threshold compares the same exact
     // integer-count division on both sides.
+    // p17: p13's CTEs, closed by quarantining the TRAIN side of every
+    // ≥τ containment pair instead of counting the eval side.
+    "p17_decontam_split" ->
+      s"""WITH sp AS (SELECT doc_id, text, CASE
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+               THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+               THEN 'val'
+             ELSE 'test' END AS split
+           FROM documents),
+         toks AS (SELECT doc_id, split, $Toks AS ws FROM sp),
+         sh AS (SELECT DISTINCT doc_id, split,
+             ws[u.i] || ' ' || ws[u.i+1] || ' ' || ws[u.i+2] AS sh
+           FROM toks, LATERAL unnest(range(1, len(ws)-1)) AS u(i)),
+         b AS (SELECT doc_id AS bench_id, sh FROM sh
+           WHERE split <> 'train'),
+         c AS (SELECT doc_id AS train_id, sh FROM sh
+           WHERE split = 'train'),
+         bs AS (SELECT bench_id, count(*) AS bn FROM b GROUP BY 1),
+         j AS (SELECT c.train_id, b.bench_id, count(*) AS n_shared
+           FROM c JOIN b USING (sh) GROUP BY 1, 2),
+         q AS (SELECT DISTINCT j.train_id
+           FROM j JOIN bs USING (bench_id)
+           WHERE CAST(j.n_shared AS DOUBLE) / bs.bn
+             >= CAST(0.8 AS DOUBLE))
+         SELECT sp.doc_id,
+           CASE WHEN sp.split = 'train' AND q.train_id IS NOT NULL
+             THEN 'quarantine' ELSE sp.split END AS split
+         FROM sp LEFT JOIN q ON sp.doc_id = q.train_id
+         ORDER BY sp.doc_id""",
     "p13_split_leakage" ->
       s"""WITH sp AS (SELECT doc_id, text, CASE
              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
