@@ -83,6 +83,38 @@ object DedupOps {
         col("containment"))
   }
 
+  /** Per-document n-gram NOVELTY against the id-ordered corpus: the
+    * fraction of a doc's distinct n-grams whose FIRST occurrence
+    * (minimum doc id) is the doc itself — the "does this doc add
+    * anything" score an incremental-crawl curator ranks by (1 = all
+    * fresh content, 0 = pure recombination of earlier grams).
+    *
+    * Scale shape: hashed-gram postings (8-byte longs, never gram text),
+    * one min-id aggregation keyed by gram, one join back keyed by gram,
+    * one per-doc count aggregation — the d03/d09 posting discipline;
+    * the corpus is never shuffled by anything wider than the gram hash.
+    * Novelty is one exact-integer division on the 6dp grid. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val posts = graft.Caches.track(
+      spread(df.select(col(idCol), col(textCol)), idCol)
+        .select(col(idCol).as("id"),
+          graft.functions.ShingleHashes.shingleHashes(col(textCol), n)
+            .as("__shs"))
+        .select(col("id"), explode(col("__shs")).as("sh"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val firsts = posts.groupBy("sh").agg(min(col("id")).as("fid"))
+    posts.join(firsts, "sh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("fid") === col("id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("id").as(idCol), col("n_grams"), col("n_novel"),
+        TextOps.round6(col("n_novel").cast("double")
+          / col("n_grams").cast("double")).as("novelty6"))
+  }
+
   /** Bloom-prefiltered decontamination — the shape [[ngramContamination]]
     * takes when the benchmark SUITE is itself too large to broadcast its
     * exploded postings (many benchmarks × many n-grams): build ONE

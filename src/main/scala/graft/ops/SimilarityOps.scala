@@ -876,6 +876,30 @@ object SimilarityOps {
       .parquet(s"$outDir/postings")
   }
 
+  /** Append a new vector batch to a prebuilt [[ivfPqBuild]] index
+    * AGAINST THE FROZEN coarse centroids and codebooks — the
+    * [[ivfAppend]] maintenance contract extended to the compressed
+    * index: no retraining, no corpus rewrite, the new postings land in
+    * their clusters' partitions (an appended parquet file each). The
+    * appended codes quantize exactly like build-time codes, so a probe
+    * cannot tell appended vectors from built ones. */
+  def ivfPqAppend(indexDir: String, batch: DataFrame, idCol: String,
+                  vecCol: String, grid: Option[Double] = None): Unit = {
+    val spark = batch.sparkSession
+    val coarse = loadCentroids(spark, indexDir)
+    val books = loadBooks(spark, s"$indexDir/books")
+    val subDim = books(0)(0).length
+    val m = books.length
+    val v = normalizedQ(batch, idCol, vecCol, "id", "e", grid)
+    val codeCols = (0 until m).map(s =>
+      pqAssign(slice(col("e"), s * subDim + 1, subDim), books(s)))
+    assignToCentroids(v, coarse)
+      .select(col("id").as("nid"), col("cluster"),
+        array(codeCols: _*).as("codes"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$indexDir/postings")
+  }
+
   /** Probe a prebuilt [[ivfPqBuild]] index: reload centroids + codebooks
     * (both bounded driver state), rank each query's nProbe nearest
     * coarse clusters, and ADC-score only the probed partitions' codes —

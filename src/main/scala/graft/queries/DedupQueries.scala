@@ -334,6 +334,15 @@ object DedupQueries {
         .orderBy("lbl")
     }),
 
+    // Per-doc 3-gram novelty vs the id-ordered corpus: what fraction of
+    // each doc's grams appear here first — the incremental-crawl "does
+    // this add anything" ranker; hashed-gram postings, one min-id agg +
+    // one join back, exact-integer ratio.
+    "d36_novelty" -> ((s, d) =>
+      DedupOps.ngramNovelty(Tables.documents(s, d), "doc_id", "text",
+          n = 3)
+        .orderBy("doc_id")),
+
     // Local clustering coefficient over the d03 near-dup pair graph:
     // which documents sit in clique-like boilerplate blobs (C→1) vs
     // chains of drifting near-dups (C→0) — d23's triangle machinery
@@ -717,6 +726,18 @@ object DedupQueries {
            CAST(sum(CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5)
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
+    // d36: the distinct-shingle CTE + min-id firsts; text grams vs the
+    // Spark side's hashed grams coincide exactly as in d03/d09.
+    "d36_novelty" ->
+      s"""WITH $ShingleCte,
+         f AS (SELECT sh, min(doc_id) AS fid FROM sh GROUP BY 1)
+         SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.fid = s.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_novel,
+           floor(CAST(sum(CASE WHEN f.fid = s.doc_id THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS novelty6
+         FROM sh s JOIN f USING (sh) GROUP BY s.doc_id
+         ORDER BY s.doc_id""",
     // d35: d23's triangle CTE + per-node triangle/degree counts; C is
     // one exact-integer division on the 6dp grid.
     "d35_clustering_coef" ->

@@ -257,6 +257,35 @@ object SimilarityQueries {
       res
     }),
 
+    // IVF-PQ index MAINTENANCE: build on 90% of the corpus, append the
+    // other 10% against the FROZEN coarse centroids AND codebooks (no
+    // retraining, no rewrite — each append lands one parquet file per
+    // touched cluster partition), probe the maintained index. The
+    // oracle trains on the same 90% and codes ALL vectors.
+    "v19_ivfpq_append" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v19_ivfpq").toString
+      val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      val batch = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+      // cache key marks the 90% training slice — MUST stay distinct
+      // from v15's full-corpus key or the memo would serve the wrong
+      // codebooks
+      SimilarityOps.ivfPqBuild(train, "vec_id", "embedding",
+        outDir = idx, nClusters = 16, m = 8, codebook = 16,
+        kmeansIters = 3, grid = Some(Grid), cacheKey = Some(s"$d:train90"))
+      SimilarityOps.ivfPqAppend(idx, batch, "vec_id", "embedding",
+        grid = Some(Grid))
+      val res = SimilarityOps.ivfPqProbe(idx,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5,
+          nProbe = 4, grid = Some(Grid))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // ANN acceptance metric: recall@5 of the grid-IVF index against the
     // exact brute-force answer, per query — the number every index
     // deploy is judged by, fully oracled by composing the two replays.
@@ -594,6 +623,11 @@ object SimilarityQueries {
       topK = 5, g = Grid),
     "v13_ivf_pq" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,
       codebook = 16, iters = 3, subDim = 8, topK = 5, g = Grid),
+    // v19: the same replay with BOTH trainings restricted to the 90%
+    // build slice; codes/postings still cover every vector.
+    "v19_ivfpq_append" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,
+      codebook = 16, iters = 3, subDim = 8, topK = 5, g = Grid,
+      trainFilter = "id % 10 <> 0"),
     // v16: the IVF and brute-force replays composed as derived tables
     // (nested WITH) and closed by the semi-join hit count.
     "v16_recall_eval" ->
@@ -652,6 +686,11 @@ object SimilarityQueries {
     * index hash-matches with no rounding grid at all. */
   /** The per-subspace PQ training/encode/LUT CTE block, shared by the
     * v12 (plain PQ) and v13 (IVF-PQ) oracle builders. */
+  /** PQ training/coding CTE block. Training (seeds + Lloyd rounds)
+    * reads `tsub$s` — the sub-slices of the `trn` CTE the caller must
+    * define (= `nrm` for full-corpus training, a filtered subset for
+    * the append-maintenance replay); codes and LUT always read
+    * `sub$s` (ALL vectors). */
   private def pqSubCtes(m: Int, codebook: Int, iters: Int, subDim: Int,
                         gs: String): String = {
     def sub(s: Int): String = {
@@ -664,7 +703,7 @@ object SimilarityQueries {
                 2 * list_dot_product(n.e, c.c)
                   - list_dot_product(c.c, c.c) DESC,
                 c.cluster DESC) AS rn
-            FROM sub$s n, cent${s}_$i c) WHERE rn = 1),
+            FROM tsub$s n, cent${s}_$i c) WHERE rn = 1),
         avg${s}_$i AS (SELECT a.cluster, g.i - 1 AS pos,
             floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS mn
           FROM asg${s}_$i a, generate_series(1, $subDim) g(i)
@@ -675,10 +714,11 @@ object SimilarityQueries {
             FROM avg${s}_$i GROUP BY 1) u USING (cluster)),"""
       s"""
         sub$s AS (SELECT id, e[$lo:$hi] AS e FROM nrm),
+        tsub$s AS (SELECT id, e[$lo:$hi] AS e FROM trn),
         cent${s}_0 AS (
           SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
               AS cluster, e AS c
-          FROM (SELECT id, e FROM sub$s ORDER BY id LIMIT $codebook)),
+          FROM (SELECT id, e FROM tsub$s ORDER BY id LIMIT $codebook)),
         ${(0 until iters).map(it).mkString}
         codes$s AS (SELECT id AS nid, $s AS s, cluster AS code FROM (
             SELECT n.id, c.cluster,
@@ -708,6 +748,7 @@ object SimilarityQueries {
              list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs) AS e
            FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
                  FROM v0)),
+         trn AS (SELECT * FROM nrm),
          ${pqSubCtes(m, codebook, iters, subDim, gs)}
          sc AS (SELECT l.qid, o.nid, sum(l.v) AS adc
            FROM codes o JOIN lut l ON o.s = l.s AND o.code = l.code
@@ -729,7 +770,8 @@ object SimilarityQueries {
     * Entirely exact on the grid — no rounding anywhere. */
   private def ivfPqOracle(nClusters: Int, nProbe: Int, m: Int,
                           codebook: Int, iters: Int, subDim: Int,
-                          topK: Int, g: Double): String = {
+                          topK: Int, g: Double,
+                          trainFilter: String = "TRUE"): String = {
     val gs = f"$g%.1f"
     val dim = m * subDim
     def coarseIter(i: Int) = s"""
@@ -738,7 +780,7 @@ object SimilarityQueries {
               row_number() OVER (PARTITION BY n.id
                 ORDER BY list_dot_product(n.e, c.c) DESC,
                   c.cluster DESC) AS rn
-            FROM nrm n, ccent$i c) WHERE rn = 1),
+            FROM trn n, ccent$i c) WHERE rn = 1),
         cavg$i AS (SELECT a.cluster, g.i - 1 AS pos,
             floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS mn
           FROM casg$i a, generate_series(1, $dim) g(i) GROUP BY 1, 2),
@@ -760,10 +802,11 @@ object SimilarityQueries {
              list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs) AS e
            FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
                  FROM v0)),
+         trn AS (SELECT * FROM nrm WHERE $trainFilter),
          ccent0 AS (
            SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
                AS cluster, e AS c
-           FROM (SELECT id, e FROM nrm ORDER BY id LIMIT $nClusters)),
+           FROM (SELECT id, e FROM trn ORDER BY id LIMIT $nClusters)),
          ${(0 until iters).map(coarseIter).mkString}
          posting AS (SELECT id AS nid, cluster FROM (
              SELECT n.id, c.cluster,
