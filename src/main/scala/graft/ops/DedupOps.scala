@@ -83,6 +83,51 @@ object DedupOps {
         col("containment"))
   }
 
+  /** MinHash ESTIMATOR CALIBRATION — the d04 acceptance metric (what
+    * v16's recall is to the IVF index): for every exact near-dup pair,
+    * the k-lane minhash Jaccard estimate (agreeing lanes / k) next to
+    * the exact Jaccard and the absolute error — how much banding-side
+    * resolution the chosen k actually buys. Lanes here use the
+    * ENGINE-PORTABLE md5 hash ([[portableHash60]] over "shingle_lane"),
+    * so the whole estimator replays in DuckDB (production signatures
+    * keep the faster xxhash64 — [[minHashSigsFrom]]; the estimator
+    * algebra is identical).
+    *
+    * Scale shape: one shingle pass, k min-aggregates in ONE
+    * HashAggregate keyed by id (the minHashSigsFrom plan), the exact
+    * pair generator is [[jaccardPairs]] (inverted index, never
+    * all-pairs), and the signature join fans out only the pair frame. */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+                         n: Int, k: Int,
+                         threshold: Double): DataFrame = {
+    val sh = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"),
+          TextOps.shinglesOfTokens(
+            TextOps.tokens(col("__txt")), n).as("shs"))
+        .filter(size(col("shs")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ex = sh.select(col("id"), explode(col("shs")).as("s"))
+    val lanes = (0 until k).map(i =>
+      min(portableHash60(concat_ws("_", col("s"), lit(i.toString))))
+        .as(s"__m$i"))
+    val sig = ex.groupBy("id").agg(lanes.head, lanes.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+    val pairs = jaccardPairs(df, idCol, textCol, n, threshold)
+    val est = col("agree").cast("double") / lit(k.toDouble)
+    pairs
+      .join(sig.select(col("id").as("id1"), col("sig").as("g1")), "id1")
+      .join(sig.select(col("id").as("id2"), col("sig").as("g2")), "id2")
+      .withColumn("agree",
+        size(filter(zip_with(col("g1"), col("g2"), (a, b) => a === b),
+          x => x)))
+      .select(col("id1"), col("id2"),
+        TextOps.round6(col("jaccard")).as("exact6"),
+        TextOps.round6(est).as("est6"),
+        TextOps.round6(abs(est - col("jaccard"))).as("err6"))
+  }
+
   /** Per-document n-gram NOVELTY against the id-ordered corpus: the
     * fraction of a doc's distinct n-grams whose FIRST occurrence
     * (minimum doc id) is the doc itself — the "does this doc add

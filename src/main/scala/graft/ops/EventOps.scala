@@ -735,6 +735,40 @@ object EventOps {
           .as("slope6"))
   }
 
+  /** First-touch / last-touch revenue attribution: every conversion
+    * event's value credits (a) the type of the converting user's FIRST
+    * event ever (first-touch) and (b) the type of the event immediately
+    * preceding the conversion (last-touch; conversions with no prior
+    * event credit themselves as `(direct)`). Output: one row per
+    * (model, touch_type) with conversion count + revenue — the
+    * marketing-analytics staple over any typed event stream.
+    *
+    * ONE keyed exchange (user) carries both windows (first-value
+    * unbounded-preceding + lag-1 on the (ts, tie) total order); the
+    * aggregation is partial+final keyed by (model, touch). Revenue sums
+    * 2dp money through DECIMAL(30,8) (order-free exact) and casts back
+    * to double. */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, valCol: String, tieCol: String,
+                  conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val touched = df
+      .withColumn("__first", first(col(typeCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col(typeCol) === conversionType)
+    val both = touched.select(lit("first_touch").as("model"),
+        col("__first").as("touch"), col(valCol).as("v"))
+      .unionByName(touched.select(lit("last_touch").as("model"),
+        coalesce(col("__prev"), lit("(direct)")).as("touch"),
+        col(valCol).as("v")))
+    both.groupBy("model", "touch")
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(30,8)")).cast("double").as("revenue"))
+      .withColumn("revenue", graft.ops.TextOps.round2(col("revenue")))
+  }
+
   /** Kaplan–Meier survival curve of subject lifetimes with right-
     * censoring — the churn/retention estimator done properly: a
     * subject's lifetime is first-event → last-event in whole `unitUs`

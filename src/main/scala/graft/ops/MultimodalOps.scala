@@ -154,8 +154,57 @@ object MultimodalOps {
         else if (bytes.length >= 54 && u8(bytes, 0) == 'B'.toInt &&
             u8(bytes, 1) == 'M'.toInt)
           parseBmp(bytes)
+        else if (bytes.length >= 8 &&
+            ((u8(bytes, 0) == 'I'.toInt && u8(bytes, 1) == 'I'.toInt) ||
+             (u8(bytes, 0) == 'M'.toInt && u8(bytes, 1) == 'M'.toInt)))
+          parseTiff(bytes)
         else None
       } catch { case _: IndexOutOfBoundsException => None }
+
+    /** Minimal canonical TIFF (little-endian "II"): 8-byte header, one
+      * IFD with ImageWidth(256)/ImageLength(257) LONG entries, payload
+      * after the IFD terminator. ref: the TIFF 6.0 header/IFD wire
+      * layout is public Adobe documentation. */
+    def encodeTiff(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      "II".getBytes("US-ASCII") ++ le16(42) ++ le32(8) ++ // IFD at 8
+        le16(2) ++                                        // 2 entries
+        le16(256) ++ le16(4) ++ le32(1) ++ le32(w) ++     // ImageWidth
+        le16(257) ++ le16(4) ++ le32(1) ++ le32(h) ++     // ImageLength
+        le32(0) ++                                        // no next IFD
+        payload
+    }
+
+    /** TIFF header walk, BOTH byte orders: verify magic 42, follow the
+      * first-IFD offset, scan its 12-byte entries for the dim tags
+      * (SHORT or LONG, inline values per spec); payload = everything
+      * past the IFD terminator. */
+    private def parseTiff(b: Array[Byte]): Option[Parsed] = {
+      val le = u8(b, 0) == 'I'.toInt
+      def r16(i: Int): Int = if (le) rdLe16(b, i) else rdBe16(b, i)
+      def r32(i: Int): Long = if (le) rdLe32(b, i) else rdBe32(b, i)
+      if (r16(2) != 42) return None
+      val ifd = r32(4)
+      if (ifd < 8L || ifd + 2 > b.length) return None
+      val cnt = r16(ifd.toInt)
+      val entriesEnd = ifd.toInt + 2 + cnt * 12
+      if (entriesEnd + 4 > b.length) return None
+      var w = -1; var h = -1
+      var e = ifd.toInt + 2
+      while (e < entriesEnd) {
+        val tag = r16(e); val typ = r16(e + 2)
+        // SHORT inline values sit in the FIRST two value bytes (both
+        // byte orders); LONG uses all four
+        val v =
+          if (typ == 3) r16(e + 8)
+          else if (typ == 4) r32(e + 8).toInt
+          else -1
+        if (tag == 256) w = v
+        if (tag == 257) h = v
+        e += 12
+      }
+      if (w <= 0 || h <= 0) return None
+      Some(Parsed("tiff", w, h, 1, b.length - (entriesEnd + 4)))
+    }
 
     /** Canonical Windows BMP: 14-byte BITMAPFILEHEADER + 40-byte
       * BITMAPINFOHEADER (24bpp, uncompressed), payload rides after the
@@ -553,8 +602,9 @@ object MultimodalOps {
           case "png" => ImageCodec.encodePng(sp.width, sp.height, sp.payload)
           case "gif" =>
             ImageCodec.encodeGif(sp.width, sp.height, sp.frames, sp.payload)
-          case "bmp" => ImageCodec.encodeBmp(sp.width, sp.height, sp.payload)
-          case _     => ImageCodec.encodeJpeg(sp.width, sp.height, sp.payload)
+          case "bmp"  => ImageCodec.encodeBmp(sp.width, sp.height, sp.payload)
+          case "tiff" => ImageCodec.encodeTiff(sp.width, sp.height, sp.payload)
+          case _      => ImageCodec.encodeJpeg(sp.width, sp.height, sp.payload)
         }
         (sp.doc_id, bytes, s"image/${sp.fmt}")
       })

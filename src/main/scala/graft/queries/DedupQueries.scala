@@ -334,6 +334,14 @@ object DedupQueries {
         .orderBy("lbl")
     }),
 
+    // MinHash estimator calibration on the exact near-dup pairs: k=16
+    // md5-portable lanes, estimate (agreeing/16) vs exact Jaccard vs
+    // |error| — the d04 acceptance metric, fully oracled.
+    "d37_minhash_calibration" -> ((s, d) =>
+      DedupOps.minhashCalibration(Tables.documents(s, d), "doc_id",
+          "text", n = 3, k = 16, threshold = 0.5)
+        .orderBy("id1", "id2")),
+
     // Per-doc 3-gram novelty vs the id-ordered corpus: what fraction of
     // each doc's grams appear here first — the incremental-crawl "does
     // this add anything" ranker; hashed-gram postings, one min-id agg +
@@ -726,6 +734,41 @@ object DedupQueries {
            CAST(sum(CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5)
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
+    // d37: d03's pair CTEs + md5-portable per-lane minima; agreement
+    // counts are exact ints, estimate/error close on the 6dp floor grid.
+    "d37_minhash_calibration" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2, CAST(i AS DOUBLE)
+               / CAST(s1.nsh + s2.nsh - i AS DOUBLE) AS jac
+           FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         lh AS (SELECT doc_id, l.lane,
+             min(CAST(concat('0x', substr(md5(sh || '_'
+               || CAST(l.lane AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+           FROM sh, LATERAL unnest(range(0, 16)) AS l(lane)
+           GROUP BY 1, 2),
+         ag AS (SELECT p.id1, p.id2, p.jac,
+             CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS INTEGER)
+               AS agree
+           FROM pairs p
+           JOIN lh a ON a.doc_id = p.id1
+           JOIN lh b ON b.doc_id = p.id2 AND b.lane = a.lane
+           GROUP BY 1, 2, 3)
+         SELECT id1, id2,
+           floor(jac * 1e6 + 0.5) / 1e6 AS exact6,
+           floor(CAST(agree AS DOUBLE) / CAST(16.0 AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS est6,
+           floor(abs(CAST(agree AS DOUBLE) / CAST(16.0 AS DOUBLE) - jac)
+             * 1e6 + 0.5) / 1e6 AS err6
+         FROM ag ORDER BY id1, id2""",
     // d36: the distinct-shingle CTE + min-id firsts; text grams vs the
     // Spark side's hashed grams coincide exactly as in d03/d09.
     "d36_novelty" ->

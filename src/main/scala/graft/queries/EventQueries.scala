@@ -263,6 +263,15 @@ object EventQueries {
           h = 20.0)
         .orderBy("ws", "event_type")),
 
+    // First/last-touch revenue attribution of purchases: which event
+    // type opened the user's journey vs which immediately preceded the
+    // conversion. One keyed exchange carries both windows; money sums
+    // through DECIMAL.
+    "e55_attribution" -> ((s, d) =>
+      EventOps.attribution(ev(s, d), "user_id", "ts", "event_type",
+          "value", "event_id", conversionType = "purchase")
+        .orderBy("model", "touch")),
+
     // Matthews correlation of the cheap screen (value > 140) against
     // the expensive label (purchase ∧ value > 150) — the imbalance-
     // honest confusion summary; four exact BIGINT counts, one
@@ -1309,6 +1318,26 @@ object EventQueries {
          SELECT ws, event_type, n, bn, z6,
            CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
          FROM z ORDER BY ws, event_type""",
+    // e55: identical two windows on the (ts, event_id) total order;
+    // revenue through DECIMAL then cast back, 2dp floor grid.
+    "e55_attribution" ->
+      """WITH t AS (SELECT *,
+             first_value(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS pv
+           FROM events),
+         conv AS (SELECT * FROM t WHERE event_type = 'purchase'),
+         u AS (SELECT 'first_touch' AS model, ft AS touch, value AS v
+             FROM conv
+           UNION ALL
+           SELECT 'last_touch', COALESCE(pv, '(direct)'), value
+             FROM conv)
+         SELECT model, touch, CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE)
+             AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue
+         FROM u GROUP BY 1, 2 ORDER BY model, touch""",
     // e53: the same four counts and the same left-assoc product chain.
     "e53_mcc" ->
       """WITH s AS (SELECT

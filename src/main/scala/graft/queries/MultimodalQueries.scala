@@ -153,6 +153,23 @@ object MultimodalQueries {
       MultimodalOps.decodeImageMeta(imaged(s, d), "doc_id")
         .toDF().orderBy("doc_id")),
 
+    // REAL TIFF round-trip: II header + one IFD with the dim LONG tags,
+    // payload past the terminator — the fifth genuinely-parsed image
+    // format (the parser also walks big-endian MM and SHORT dims;
+    // OpsSpec covers those).
+    "m14_tiff_meta" -> ((s, d) => {
+      val n = length(encode(col("text"), "UTF-8"))
+      val specs = Tables.documents(s, d).select(
+        col("doc_id"), lit("tiff").as("fmt"),
+        (lit(1) + pmod(n * 5, lit(2048))).as("width"),
+        (lit(1) + pmod(n * 11, lit(1536))).as("height"),
+        lit(1).as("frames"),
+        encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.decodeImageMeta(
+          MultimodalOps.encodeImages(specs), "doc_id")
+        .toDF().orderBy("doc_id")
+    }),
+
     // REAL BMP container round-trip: 14-byte file header + 40-byte
     // BITMAPINFOHEADER encoded per doc, then the header walk recovers
     // dims/payload — the fourth genuinely-parsed image format (the m07
@@ -331,6 +348,17 @@ object MultimodalQueries {
                FROM documents) t,
          LATERAL unnest(range(0, t.frames, 5)) AS u(f)
          ORDER BY doc_id, frame_no""",
+    // m14: the encoder's dim formulas recomputed; nbytes = the payload
+    // past the IFD terminator.
+    "m14_tiff_meta" ->
+      """SELECT doc_id, 'tiff' AS fmt,
+           CAST(1 + (octet_length(encode(text)) * 5) % 2048 AS INTEGER)
+             AS width,
+           CAST(1 + (octet_length(encode(text)) * 11) % 1536 AS INTEGER)
+             AS height,
+           CAST(1 AS INTEGER) AS frames,
+           CAST(octet_length(encode(text)) AS INTEGER) AS nbytes
+         FROM documents ORDER BY doc_id""",
     // m13: the encoder's dim formulas recomputed; nbytes = the payload
     // stashed after the 54-byte header pair.
     "m13_bmp_meta" ->

@@ -565,6 +565,31 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       ("BM" + "x" * 60).getBytes("US-ASCII")).isEmpty)
   }
 
+  test("ImageCodec TIFF round-trip, big-endian + SHORT-dim variants") {
+    import graft.ops.MultimodalOps.ImageCodec
+    val pl = Array.tabulate(700)(i => (i % 251).toByte)
+    assert(ImageCodec.parse(ImageCodec.encodeTiff(1920, 1080, pl))
+      .contains(ImageCodec.Parsed("tiff", 1920, 1080, 1, 700)))
+    assert(ImageCodec.parse(ImageCodec.encodeTiff(1, 1, Array.empty))
+      .contains(ImageCodec.Parsed("tiff", 1, 1, 1, 0)))
+    // hand-built big-endian MM header with SHORT dims: magic 42, IFD@8,
+    // two entries (256/257, type 3, value in the FIRST two value bytes)
+    def be16(v: Int) = Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def be32(v: Int) = Array((v >>> 24).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    val mm = "MM".getBytes("US-ASCII") ++ be16(42) ++ be32(8) ++
+      be16(2) ++
+      be16(256) ++ be16(3) ++ be32(1) ++ be16(640) ++ be16(0) ++
+      be16(257) ++ be16(3) ++ be32(1) ++ be16(480) ++ be16(0) ++
+      be32(0) ++ Array.fill(5)(7.toByte)
+    assert(ImageCodec.parse(mm)
+      .contains(ImageCodec.Parsed("tiff", 640, 480, 1, 5)))
+    // wrong magic rejects
+    assert(ImageCodec.parse(
+      "II )   ".getBytes("ISO-8859-1"))
+      .isEmpty)
+  }
+
   test("cusumDrift includes the virtual P0=0 in the running min " +
       "(alarms on an all-positive prefix)") {
     import java.sql.Timestamp
