@@ -343,4 +343,90 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       assert(math.abs(t1 - t2) <= 1e-6 * (a ++ b).distinct.size + 1e-12)
     }
   }
+
+  test("theilSen on exactly-linear data recovers the slope (the median " +
+    "of identical pairwise slopes)") {
+    import org.apache.spark.sql.functions._
+    forAll(Gen.choose(-5.0, 5.0), Gen.choose(3, 10), 10) {
+      (m0: Double, n: Int) =>
+        val m = math.floor(m0 * 4) / 4 // dyadic slope → exact arithmetic
+        val df = (0 until n).map(i => ("k", i.toLong, m * i))
+          .toDF("k", "x", "y")
+        val out = graft.ops.EventOps.theilSen(df, "k", "x", "y").head()
+        graft.Caches.clear()
+        assert(out.getLong(1) == n.toLong * (n - 1) / 2)
+        assert(out.getDouble(2) == math.floor(m * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("anovaF with two groups equals the pooled t-test squared " +
+    "(textbook identity, exact on integer data)") {
+    import org.apache.spark.sql.functions._
+    val g = Gen.nonEmptyListOf(Gen.choose(1, 50)).suchThat(_.size >= 3)
+      .suchThat(xs => xs.distinct.size > 1)
+    forAll(g, g, 8) { (a: List[Int], b: List[Int]) =>
+      val df = (a.map(("a", _)) ++ b.map(("b", _)))
+        .map { case (k, v) => (k, v.toDouble) }.toDF("g", "v")
+      val f = graft.core.GFrame.fromDF(df, "g").anovaF("g", "v")
+        .toDF.head().getDouble(3)
+      graft.Caches.clear()
+      // pooled two-sample t on the same data
+      val na = a.size.toDouble; val nb = b.size.toDouble
+      val ma = a.sum / na; val mb = b.sum / nb
+      val ssw = a.map(x => (x - ma) * (x - ma)).sum +
+        b.map(x => (x - mb) * (x - mb)).sum
+      val sp2 = ssw / (na + nb - 2)
+      val t2 = (ma - mb) * (ma - mb) / (sp2 * (1 / na + 1 / nb))
+      assert(math.abs(f - t2) < 1e-3 * (t2 + 1))
+    }
+  }
+
+  test("jsdPairs is bounded by ln2 and zero for identical mixes") {
+    import org.apache.spark.sql.functions._
+    val toksGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+    forAll(toksGen, toksGen, 8) { (t1: List[String], t2: List[String]) =>
+      val rows = t1.map(("g1", _)) ++ t2.map(("g2", _)) ++
+        t1.map(("g3", _)) // g3 duplicates g1's mix exactly
+      val df = rows.toDF("g", "tok")
+      val out = graft.ops.EvalOps.jsdPairs(df, "g", col("tok"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getDouble(3)).toMap
+      graft.Caches.clear()
+      out.values.foreach(j => assert(j >= -1e-6 && j <= 0.693148))
+      assert(math.abs(out(("g1", "g3"))) <= 1e-6)
+    }
+  }
+
+  test("kaplanMeier survival is monotone non-increasing in [0, 1]") {
+    import java.sql.Timestamp
+    forAll(Gen.nonEmptyListOf(Gen.choose(0, 500)), 8) { (offs: List[Int]) =>
+      val rows = offs.zipWithIndex.flatMap { case (o, i) =>
+        Seq((i.toLong, Timestamp.valueOf("2024-01-01 00:00:00")),
+          (i.toLong, new Timestamp(
+            Timestamp.valueOf("2024-01-01 00:00:00").getTime
+              + o.toLong * 3600000L)))
+      }
+      val df = rows.toDF("u", "ts")
+      val s6 = graft.ops.EventOps.kaplanMeier(df, Seq("u"), "ts",
+          gapUnits = 24, unitUs = 3600000000L)
+        .orderBy("t").collect().map(_.getDouble(4)).toSeq
+      graft.Caches.clear()
+      assert(s6.forall(v => v >= -1e-9 && v <= 1.0 + 1e-9))
+      assert(s6.zip(s6.drop(1)).forall { case (x, y) => y <= x + 1e-9 })
+    }
+  }
+
+  test("mcc is ±1 on perfect agreement/disagreement and bounded") {
+    import org.apache.spark.sql.functions._
+    val g = Gen.nonEmptyListOf(Gen.oneOf(true, false))
+      .suchThat(xs => xs.contains(true) && xs.contains(false))
+    forAll(g, 8) { (labs: List[Boolean]) =>
+      val df = labs.toDF("l")
+      val same = graft.ops.EvalOps.mcc(df, col("l"), col("l"))
+        .head().getDouble(4)
+      val opp = graft.ops.EvalOps.mcc(df, col("l"), !col("l"))
+        .head().getDouble(4)
+      assert(same == 1.0 && opp == -1.0)
+    }
+  }
 }
