@@ -454,6 +454,29 @@ object PipelineOps {
       .filter(keep)
   }
 
+  /** Deterministic per-epoch GLOBAL shuffle manifest: each epoch
+    * assigns every doc a position by ranking the salted md5 key
+    * `md5("epoch<e>:" || id)` — the reproducible, engine-portable
+    * "shuffle the corpus differently every epoch" a training loader
+    * needs (same seed → same order on any cluster; distinct salts →
+    * independent epoch permutations).
+    *
+    * Scale shape: per epoch the ranking runs the bucketed two-pass
+    * GlobalWindows machinery over the md5-hex STRING coordinate (the
+    * s52 plan — equal-width buckets on the first bytes, per-bucket
+    * windows, broadcast exclusive offsets), NEVER a single-task or
+    * per-epoch-partitioned global sort; epochs union. */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int): DataFrame = {
+    require(epochs >= 1, "need at least one epoch")
+    (0 until epochs).map { e =>
+      val key = md5(concat(lit(s"epoch$e:"), col(idCol).cast("string")))
+      val s = graft.core.Series.fromExpr(df, col(idCol), "doc", key, "k")
+      val g = s.globalWindows()
+      g.result("doc" -> col("doc"), "pos" -> g.position())
+        .select(lit(e).as("epoch"), col("doc").as(idCol), col("pos"))
+    }.reduce(_ unionByName _)
+  }
+
   /** CONSTRUCTIVE decontaminated split — p13's audit turned into the
     * fix: [[hashSplit]] assigns train/val/test, then every TRAIN doc
     * whose n-gram containment against ANY eval doc reaches `tau` moves

@@ -72,6 +72,14 @@ object PipelineQueries {
           "doc_id", "n_tokens", "text", budget = 2000L)
         .orderBy("shard")),
 
+    // Per-epoch deterministic global shuffle: salted-md5 rank per epoch
+    // through the bucketed distributed ranking — reproducible loader
+    // order, independent across epochs, no single-task sort.
+    "p18_epoch_shuffle" -> ((s, d) =>
+      PipelineOps.epochShuffle(Tables.documents(s, d), "doc_id",
+          epochs = 2)
+        .orderBy("epoch", "pos")),
+
     // p13's audit made CONSTRUCTIVE: train docs with ≥0.8 3-gram
     // containment against any eval doc move to a quarantine bucket;
     // output is the per-doc split manifest a train job consumes.
@@ -231,6 +239,21 @@ object PipelineQueries {
     // p13: the p01 split CASE + d09's shingle-containment core, closed
     // per split; the containment threshold compares the same exact
     // integer-count division on both sides.
+    // p18: identical salted keys; rank replayed per epoch (md5 keys
+    // are unique, so the order is total without a tiebreak).
+    "p18_epoch_shuffle" ->
+      """WITH e AS (
+           SELECT 0 AS epoch, doc_id,
+             md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS k
+           FROM documents
+           UNION ALL
+           SELECT 1, doc_id,
+             md5('epoch1:' || CAST(doc_id AS VARCHAR))
+           FROM documents)
+         SELECT epoch, doc_id,
+           CAST(row_number() OVER (PARTITION BY epoch ORDER BY k)
+             AS BIGINT) AS pos
+         FROM e ORDER BY epoch, pos""",
     // p17: p13's CTEs, closed by quarantining the TRAIN side of every
     // ≥τ containment pair instead of counting the eval side.
     "p17_decontam_split" ->
