@@ -454,6 +454,25 @@ object PipelineOps {
       .filter(keep)
   }
 
+  /** Per-group deterministic reservoir: exactly min(k, |group|) docs
+    * per group, selected by md5-key rank — the balanced-eval-set /
+    * per-source-spot-check sampler (uniform within group, reproducible,
+    * engine-portable). One keyed exchange; the rank ≤ k predicate
+    * executes as a WindowGroupLimit per-partition heap, so only k rows
+    * per group survive the partial stage — never a full per-group
+    * sort at the exchange. */
+  def groupReservoir(df: DataFrame, groupCol: String, idCol: String,
+                     k: Int, salt: String = "res"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val key = md5(concat(lit(s"$salt:"), col(idCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(key.asc, col(idCol).asc)
+    df.select(col(groupCol), col(idCol), key.as("__k"))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= k)
+      .select(col(groupCol), col("pick"), col(idCol))
+  }
+
   /** Deterministic per-epoch GLOBAL shuffle manifest: each epoch
     * assigns every doc a position by ranking the salted md5 key
     * `md5("epoch<e>:" || id)` — the reproducible, engine-portable

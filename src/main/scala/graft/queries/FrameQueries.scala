@@ -494,6 +494,40 @@ object FrameQueries {
         .anovaF("l_returnflag", "l_quantity")
         .toDF.orderBy("g")),
 
+    // Hierarchical share-of-parent: each nation's customer-order
+    // revenue as a share of its region and each region's share of the
+    // world — the drill-down ratio report every rollup UI renders. Fact
+    // stream × two broadcast dims; money sums exact through DECIMAL,
+    // shares are ratios of those exact sums; parent totals come from
+    // re-aggregating the |nations| frame (no window, no second scan).
+    "f64_share_of_parent" -> ((s, d) => {
+      val o = Tables.orders(s, d).select("o_custkey", "o_totalprice")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name",
+        "n_regionkey")
+      val r = Tables.region(s, d).select("r_regionkey", "r_name")
+      val byNation = o
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(sum(col("o_totalprice").cast("decimal(30,8)")).as("rev"))
+      val byNationP = graft.Caches.track(byNation
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val byRegion = byNationP.groupBy("region")
+        .agg(sum(col("rev")).as("rrev"))
+      val wrev = byNationP.agg(sum(col("rev"))).head() // 1-row world total
+        .getDecimal(0)
+      byNationP.join(byRegion, "region")
+        .select(col("region"), col("nation"),
+          graft.ops.TextOps.round2(col("rev").cast("double")).as("rev2"),
+          graft.ops.TextOps.round6(col("rev").cast("double")
+            / col("rrev").cast("double")).as("nation_share6"),
+          graft.ops.TextOps.round6(col("rrev").cast("double")
+            / lit(wrev).cast("double")).as("region_share6"))
+        .orderBy("region", "nation")
+    }),
+
     // Market-basket association rules over order baskets: both
     // directions of every part pair co-purchased in ≥2 orders, with
     // exact-integer support/confidence/lift — the per-basket self-join
@@ -1044,6 +1078,28 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f64: same dim joins and DECIMAL-exact revenue sums; every share
+    // is one double division of the exact totals.
+    "f64_share_of_parent" ->
+      """WITH bn AS (SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(30,8)))
+               AS DECIMAL(38,8)) AS rev
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN nation n ON c.c_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY 1, 2),
+         br AS (SELECT region, CAST(sum(rev) AS DECIMAL(38,8)) AS rrev
+           FROM bn GROUP BY 1),
+         w AS (SELECT CAST(sum(rev) AS DECIMAL(38,8)) AS wrev FROM bn)
+         SELECT bn.region, bn.nation,
+           floor(CAST(bn.rev AS DOUBLE) * 1e2 + 0.5) / 1e2 AS rev2,
+           floor(CAST(bn.rev AS DOUBLE) / CAST(br.rrev AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS nation_share6,
+           floor(CAST(br.rrev AS DOUBLE) / CAST(w.wrev AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS region_share6
+         FROM bn JOIN br USING (region) CROSS JOIN w
+         ORDER BY region, nation""",
     // f62: exact BIGINT n/Σx/Σx² per group, micro-unit snapped
     // between-terms, the identical fixed-association F expression.
     "f62_anova" ->

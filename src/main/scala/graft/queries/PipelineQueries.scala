@@ -72,6 +72,14 @@ object PipelineQueries {
           "doc_id", "n_tokens", "text", budget = 2000L)
         .orderBy("shard")),
 
+    // Per-source deterministic reservoir (k=5): the balanced spot-check
+    // sampler; WindowGroupLimit keeps k rows per group at the partial
+    // stage, uniform-within-group by salted md5 rank.
+    "p19_group_reservoir" -> ((s, d) =>
+      PipelineOps.groupReservoir(Tables.documents(s, d), "source",
+          "doc_id", k = 5)
+        .orderBy("source", "pick")),
+
     // Per-epoch deterministic global shuffle: salted-md5 rank per epoch
     // through the bucketed distributed ranking — reproducible loader
     // order, independent across epochs, no single-task sort.
@@ -239,6 +247,15 @@ object PipelineQueries {
     // p13: the p01 split CASE + d09's shingle-containment core, closed
     // per split; the containment threshold compares the same exact
     // integer-count division on both sides.
+    // p19: identical salted keys + per-group rank ≤ k.
+    "p19_group_reservoir" ->
+      """SELECT source, pick, doc_id FROM (
+           SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5('res:' || CAST(doc_id AS VARCHAR)), doc_id)
+               AS INTEGER) AS pick
+           FROM documents)
+         WHERE pick <= 5 ORDER BY source, pick""",
     // p18: identical salted keys; rank replayed per epoch (md5 keys
     // are unique, so the order is total without a tiebreak).
     "p18_epoch_shuffle" ->

@@ -185,6 +185,9 @@ class CollectLintSpec extends AnyFunSuite {
         "PQ dimension probe: 1 row",
       "val rows = spark.read.parquet(dir).orderBy(\"s\", \"code\").collect()" ->
         "PQ codebook artifact reload: m × codebook rows"),
+    "FrameQueries.scala" -> Map(
+      "val wrev = byNationP.agg(sum(col(\"rev\"))).head() // 1-row world total" ->
+        "share-of-parent world total: 1-row aggregate over the |nations| frame"),
     // the streaming gates' MemoryStream replay harness — the TEST feed
     // (production side is readStream); bounded by the fixture only
     "DedupQueries.scala" -> Map(
