@@ -83,6 +83,37 @@ object DedupOps {
         col("containment"))
   }
 
+  /** ASYMMETRIC n-gram containment pairs: ordered (contained,
+    * container) doc pairs where `|A ∩ B| / |A| ≥ tau` — the
+    * partial-copy detector Jaccard structurally misses (a paragraph
+    * quoted inside a much longer doc has tiny Jaccard but containment
+    * ≈ 1). Both directions of every intersecting pair are screened, so
+    * A⊂B and B⊂A are distinct rows. Same postings discipline as
+    * [[jaccardPairs]]: one shingle pass, keyed equi-join on 8-byte
+    * gram hashes, never all-pairs; containment is one exact-integer
+    * division on the 6dp floor grid. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, tau: Double): DataFrame = {
+    val sh = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"), explode(
+          graft.functions.ShingleHashes.shingleHashes(col("__txt"), n))
+          .as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_in"), col("b.id").as("id_of"))
+      .agg(count(lit(1)).as("i"))
+    val cont = col("i").cast("double") / col("nsh").cast("double")
+    inter
+      .join(sizes.withColumnRenamed("id", "id_in"), "id_in")
+      .filter(cont >= tau)
+      .select(col("id_in"), col("id_of"), col("i").as("n_shared"),
+        col("nsh"), TextOps.round6(cont).as("containment6"))
+  }
+
   /** MinHash ESTIMATOR CALIBRATION — the d04 acceptance metric (what
     * v16's recall is to the IVF index): for every exact near-dup pair,
     * the k-lane minhash Jaccard estimate (agreeing lanes / k) next to

@@ -334,6 +334,13 @@ object DedupQueries {
         .orderBy("lbl")
     }),
 
+    // Asymmetric containment pairs (τ=0.8): the quote-inside-longer-doc
+    // detector Jaccard misses; ordered pairs, exact-integer containment.
+    "d38_containment" -> ((s, d) =>
+      DedupOps.containmentPairs(Tables.documents(s, d), "doc_id",
+          "text", n = 3, tau = 0.8)
+        .orderBy("id_in", "id_of")),
+
     // MinHash estimator calibration on the exact near-dup pairs: k=16
     // md5-portable lanes, estimate (agreeing/16) vs exact Jaccard vs
     // |error| — the d04 acceptance metric, fully oracled.
@@ -734,6 +741,22 @@ object DedupQueries {
            CAST(sum(CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5)
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
+    // d38: the distinct-shingle CTE, BOTH directions, |A∩B|/|A|.
+    "d38_containment" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_in, b.doc_id AS id_of, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_in, id_of, CAST(i AS BIGINT) AS n_shared,
+           CAST(nsh AS BIGINT) AS nsh,
+           floor(CAST(i AS DOUBLE) / CAST(nsh AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS containment6
+         FROM inter JOIN sizes ON id_in = sizes.doc_id
+         WHERE CAST(i AS DOUBLE) / CAST(nsh AS DOUBLE)
+           >= CAST(0.8 AS DOUBLE)
+         ORDER BY id_in, id_of""",
     // d37: d03's pair CTEs + md5-portable per-lane minima; agreement
     // counts are exact ints, estimate/error close on the 6dp floor grid.
     "d37_minhash_calibration" ->
