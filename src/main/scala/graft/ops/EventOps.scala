@@ -735,6 +735,28 @@ object EventOps {
           .as("slope6"))
   }
 
+  /** Time-to-convert: for every conversion event, the elapsed whole
+    * minutes since the converting user's most recent `triggerType`
+    * event (null when no trigger preceded — organic conversions) — the
+    * per-conversion latency frame funnels/SLAs aggregate. ONE keyed
+    * exchange: a conditional running-max window (`max(ts when trigger)`
+    * unbounded-preceding, EXCLUSIVE of the current row so a conversion
+    * cannot trigger itself) on the (ts, tie) total order; the gap is
+    * exact integer µs division. */
+  def timeToConvert(df: DataFrame, userCol: String, tsCol: String,
+                    typeCol: String, tieCol: String, triggerType: String,
+                    conversionType: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__trig", max(when(col(typeCol) === triggerType,
+        unix_micros(col(tsCol)))).over(w))
+      .filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(tieCol).as("conv_id"),
+        expr(s"(unix_micros($tsCol) - __trig) div 60000000")
+          .as("gap_minutes"))
+  }
+
   /** First-touch / last-touch revenue attribution: every conversion
     * event's value credits (a) the type of the converting user's FIRST
     * event ever (first-touch) and (b) the type of the event immediately

@@ -263,6 +263,14 @@ object EventQueries {
           h = 20.0)
         .orderBy("ws", "event_type")),
 
+    // Click-to-purchase latency per conversion: whole minutes since the
+    // user's most recent PRIOR click (exclusive window — a purchase
+    // can't trigger itself); null = organic. One keyed exchange.
+    "e56_time_to_convert" -> ((s, d) =>
+      EventOps.timeToConvert(ev(s, d), "user_id", "ts", "event_type",
+          "event_id", triggerType = "click", conversionType = "purchase")
+        .orderBy("user_id", "conv_id")),
+
     // First/last-touch revenue attribution of purchases: which event
     // type opened the user's journey vs which immediately preceded the
     // conversion. One keyed exchange carries both windows; money sums
@@ -1318,6 +1326,19 @@ object EventQueries {
          SELECT ws, event_type, n, bn, z6,
            CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
          FROM z ORDER BY ws, event_type""",
+    // e56: the same exclusive conditional-max window; gap = integer
+    // µs division (no calendar semantics).
+    "e56_time_to_convert" ->
+      """WITH t AS (SELECT *,
+             max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS trig
+           FROM events)
+         SELECT user_id, event_id AS conv_id,
+           (epoch_us(ts) - trig) // 60000000 AS gap_minutes
+         FROM t WHERE event_type = 'purchase'
+         ORDER BY user_id, conv_id""",
     // e55: identical two windows on the (ts, event_id) total order;
     // revenue through DECIMAL then cast back, 2dp floor grid.
     "e55_attribution" ->
