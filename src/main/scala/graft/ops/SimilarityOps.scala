@@ -478,6 +478,38 @@ object SimilarityOps {
         (col("__dot") / sqrt(col("__nv") * col("__nc"))).as("sim"))
   }
 
+  /** Per-label embedding-centroid DRIFT between two deterministic
+    * corpus halves (even vs odd ids — a snapshot-vs-snapshot proxy):
+    * the cosine between each label's half-A and half-B centroids —
+    * the embedding-space drift monitor (an embedder upgrade or a
+    * corpus-mix shift shows up as drift_cos < 1 long before task
+    * metrics move). Same bounded shape as [[centroidMatrix]]: one
+    * partial+final component aggregation (|labels| × 2 × dim rows),
+    * then label²-free arithmetic on that frame only. */
+  def centroidDrift(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String): DataFrame = {
+    val ex = df
+      .select(col(labelCol).as("__lbl"),
+        pmod(col(idCol), lit(2)).as("half"),
+        col(vecCol).cast("array<double>").as("__e"))
+      .select(col("__lbl"), col("half"),
+        posexplode(col("__e")).as(Seq("pos", "v")))
+    val cent = ex.groupBy(col("__lbl"), col("half"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+    val a = cent.filter(col("half") === 0)
+      .select(col("__lbl"), col("pos"), col("c").as("c1"))
+    val b = cent.filter(col("half") === 1)
+      .select(col("__lbl"), col("pos"), col("c").as("c2"))
+    a.join(b, Seq("__lbl", "pos"))
+      .groupBy(col("__lbl").as("label"))
+      .agg(sum(col("c1") * col("c2")).as("__dot"),
+        sum(col("c1") * col("c1")).as("__n1"),
+        sum(col("c2") * col("c2")).as("__n2"))
+      .select(col("label"),
+        (floor(col("__dot") / sqrt(col("__n1") * col("__n2"))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("drift_cos6"))
+  }
+
   /** Pairwise label-centroid cosine matrix — the "which groups sit close
     * in embedding space" map (topic/source drift monitoring, cluster
     * sanity checks). ONE bounded partial+final component aggregation

@@ -286,6 +286,14 @@ object SimilarityQueries {
       res
     }),
 
+    // Embedding centroid drift per label between the even/odd corpus
+    // halves — the embedder-upgrade / corpus-mix drift monitor; one
+    // bounded component aggregation, cosine on the |labels|×dim frame.
+    "v20_centroid_drift" -> ((s, d) =>
+      SimilarityOps.centroidDrift(emb(s, d), "vec_id", "embedding",
+          "label")
+        .orderBy("label")),
+
     // ANN acceptance metric: recall@5 of the grid-IVF index against the
     // exact brute-force answer, per query — the number every index
     // deploy is judged by, fully oracled by composing the two replays.
@@ -604,6 +612,26 @@ object SimilarityQueries {
          SELECT vec_id, label,
            floor(dot / sqrt(nv * nc) * 1e6 + 0.5) / 1e6 AS sim
          FROM agg ORDER BY vec_id""",
+    // v20: v07's component aggregation split by the id-parity half,
+    // closed by the same cosine spelling.
+    "v20_centroid_drift" ->
+      """WITH v AS (SELECT label, vec_id % 2 AS half,
+             CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings),
+         ex AS (SELECT label, half, g.i - 1 AS pos, e[g.i] AS v
+           FROM v, generate_series(1, 64) AS g(i)),
+         cent AS (SELECT label, half, pos, avg(v) AS c
+           FROM ex GROUP BY 1, 2, 3),
+         p AS (SELECT a.label,
+             sum(a.c * b.c) AS dot, sum(a.c * a.c) AS n1,
+             sum(b.c * b.c) AS n2
+           FROM cent a JOIN cent b
+             ON a.label = b.label AND a.pos = b.pos
+           WHERE a.half = 0 AND b.half = 1
+           GROUP BY 1)
+         SELECT label, floor(dot / sqrt(n1 * n2) * 1e6 + 0.5) / 1e6
+           AS drift_cos6
+         FROM p ORDER BY label""",
     "v07_centroid_matrix" ->
       """WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings),
