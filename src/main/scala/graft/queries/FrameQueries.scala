@@ -494,6 +494,38 @@ object FrameQueries {
         .anovaF("l_returnflag", "l_quantity")
         .toDF.orderBy("g")),
 
+    // TPC-H Q7 analog: bilateral trade volume between supplier and
+    // customer nations per order year (supp_nation ≠ cust_nation) —
+    // the two-dimension star probe. The lineitem fact streams once
+    // through four broadcast dims; revenue = discounted extended price
+    // through DECIMAL.
+    "f65_q7_volume" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_extendedprice",
+          "l_discount")
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_orderdate")
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      val su = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+      li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n.select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .join(broadcast(n.select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("ck"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("o_orderdate")).as("l_year"))
+        .agg(graft.ops.TextOps.round2(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(30,8)")).cast("double")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // Hierarchical share-of-parent: each nation's customer-order
     // revenue as a share of its region and each region's share of the
     // world — the drill-down ratio report every rollup UI renders. Fact
@@ -1078,6 +1110,23 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f65: same star joins; the revenue expression computes in DECIMAL
+    // before the exact sum (l_extendedprice*(1-l_discount) is a 2dp×4dp
+    // product — exact at DECIMAL(30,8)).
+    "f65_q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS l_year,
+           floor(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS DECIMAL(30,8))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+             AS revenue
+         FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         WHERE sn.n_name <> cn.n_name
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     // f64: same dim joins and DECIMAL-exact revenue sums; every share
     // is one double division of the exact totals.
     "f64_share_of_parent" ->
