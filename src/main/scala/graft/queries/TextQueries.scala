@@ -249,6 +249,49 @@ object TextQueries {
     // symbols, so every 7th doc SPLICES a symbol tail (" ... # # #") —
     // identically on both engine sides, the t09/t13 convention — to
     // exercise the symbol-ratio rule. Pure staged projections, one scan.
+    // Quality-gate FUNNEL over the t16 Gopher rules: per rule, how many
+    // docs pass it alone and how many survive the cumulative AND in
+    // rule order — the which-rule-kills-my-corpus introspection every
+    // filter pipeline reports. ONE aggregation over the rule frame,
+    // exploded to the 5-stage report.
+    "t26_filter_funnel" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" ... # # #")))
+          .otherwise(col("text")).as("tx"))
+      val staged = base.select(col("doc_id"), col("tx"),
+        tokens(col("tx")).as("ts"))
+      val g = gopherRules(staged, "doc_id", "tx", "ts")
+      def i(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+      val cum2 = col("ok_words") && col("ok_wlen")
+      val cum3 = cum2 && col("ok_sym")
+      val cum4 = cum3 && col("ok_alpha")
+      val cum5 = cum4 && col("ok_stops")
+      val agg = g.agg(count(lit(1)).as("n_total"),
+        sum(i(col("ok_words"))).as("p1"), sum(i(col("ok_wlen"))).as("p2"),
+        sum(i(col("ok_sym"))).as("p3"), sum(i(col("ok_alpha"))).as("p4"),
+        sum(i(col("ok_stops"))).as("p5"),
+        sum(i(cum2)).as("c2"), sum(i(cum3)).as("c3"),
+        sum(i(cum4)).as("c4"), sum(i(cum5)).as("c5"))
+      val stages = array(
+        struct(lit("1_words").as("stage"), col("p1").as("n_pass"),
+          col("p1").as("n_cum")),
+        struct(lit("2_wlen").as("stage"), col("p2").as("n_pass"),
+          col("c2").as("n_cum")),
+        struct(lit("3_sym").as("stage"), col("p3").as("n_pass"),
+          col("c3").as("n_cum")),
+        struct(lit("4_alpha").as("stage"), col("p4").as("n_pass"),
+          col("c4").as("n_cum")),
+        struct(lit("5_stops").as("stage"), col("p5").as("n_pass"),
+          col("c5").as("n_cum")))
+      agg.select(col("n_total"), explode(stages).as("x"))
+        .select(col("x.stage").as("stage"), col("n_total"),
+          col("x.n_pass").as("n_pass"), col("x.n_cum").as("n_cum"),
+          graft.ops.TextOps.round6(col("x.n_cum").cast("double")
+            / col("n_total").cast("double")).as("cum_rate6"))
+        .orderBy("stage")
+    }),
+
     "t16_gopher" -> ((s, d) => {
       val base = docs(s, d).select(col("doc_id"),
         when(pmod(col("doc_id"), lit(7)) === 0,
@@ -615,6 +658,63 @@ object TextQueries {
            FROM tf JOIN df USING (t))
          SELECT doc_id, floor(sum(w) * 1e6 + 0.5) / 1e6 AS score
          FROM w GROUP BY 1 ORDER BY doc_id""",
+    // t26: t16's metric CTEs, one flag aggregation, 5-stage union.
+    "t26_filter_funnel" ->
+      """WITH b AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' ... # # #'
+                  ELSE text END AS tx
+           FROM documents),
+         t AS (SELECT doc_id, tx,
+             list_filter(string_split(lower(tx), ' '), t -> t <> '') AS ts
+           FROM b),
+         m AS (SELECT doc_id,
+             CAST(len(ts) AS INTEGER) AS n_words,
+             floor((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               list_sum(list_transform(ts, x -> length(x))) * 1.0
+                 / len(ts) END) * 1e6 + 0.5) / 1e6 AS mean_wlen,
+             floor((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               ((length(tx) - length(replace(tx, '#', '')))
+                 + (length(tx) - length(replace(tx, '...', ''))) / 3)
+                 * 1.0 / len(ts) END) * 1e6 + 0.5) / 1e6 AS sym_ratio,
+             floor((CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+               len(list_filter(ts, x -> regexp_matches(x, '[a-z]')))
+                 * 1.0 / len(ts) END) * 1e6 + 0.5) / 1e6 AS alpha_frac,
+             CAST(len(list_filter(ts, x -> x IN ('the','be','to','of',
+               'and','that','have','with'))) AS INTEGER) AS stop_count
+           FROM t),
+         f AS (SELECT
+             (n_words >= 50 AND n_words <= 100000) AS o1,
+             (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS o2,
+             (sym_ratio <= 0.1) AS o3,
+             (alpha_frac >= 0.8) AS o4,
+             (stop_count >= 2) AS o5
+           FROM m),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(CASE WHEN o1 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+             CAST(sum(CASE WHEN o2 THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+             CAST(sum(CASE WHEN o3 THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+             CAST(sum(CASE WHEN o4 THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+             CAST(sum(CASE WHEN o5 THEN 1 ELSE 0 END) AS BIGINT) AS p5,
+             CAST(sum(CASE WHEN o1 AND o2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2,
+             CAST(sum(CASE WHEN o1 AND o2 AND o3 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c3,
+             CAST(sum(CASE WHEN o1 AND o2 AND o3 AND o4 THEN 1 ELSE 0
+               END) AS BIGINT) AS c4,
+             CAST(sum(CASE WHEN o1 AND o2 AND o3 AND o4 AND o5 THEN 1
+               ELSE 0 END) AS BIGINT) AS c5
+           FROM f)
+         SELECT stage, n_total, n_pass, n_cum,
+           floor(CAST(n_cum AS DOUBLE) / CAST(n_total AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS cum_rate6
+         FROM (
+           SELECT '1_words' AS stage, n_total, p1 AS n_pass, p1 AS n_cum
+             FROM a
+           UNION ALL SELECT '2_wlen', n_total, p2, c2 FROM a
+           UNION ALL SELECT '3_sym', n_total, p3, c3 FROM a
+           UNION ALL SELECT '4_alpha', n_total, p4, c4 FROM a
+           UNION ALL SELECT '5_stops', n_total, p5, c5 FROM a)
+         ORDER BY stage""",
     "t16_gopher" ->
       """WITH b AS (SELECT doc_id,
              CASE WHEN doc_id % 7 = 0 THEN text || ' ... # # #'
