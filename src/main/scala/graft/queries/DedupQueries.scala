@@ -334,6 +334,27 @@ object DedupQueries {
         .orderBy("lbl")
     }),
 
+    // Per-source duplication-rate datasheet: which sources are feeding
+    // near-dups into the corpus — fraction of each source's docs that
+    // sit in ≥1 exact-Jaccard pair. One pair generation, one distinct
+    // dup-id projection, one broadcast join back to doc sources.
+    "d39_source_dup_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val dupIds = pairs.select(col("id1").as("doc_id"))
+        .unionByName(pairs.select(col("id2").as("doc_id")))
+        .distinct().withColumn("__dup", lit(1L))
+      docs.select(col("doc_id"), col("source"))
+        .join(broadcast(dupIds), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__dup"), lit(0L))).as("n_dup"))
+        .withColumn("dup_rate6", graft.ops.TextOps.round6(
+          col("n_dup").cast("double") / col("n_docs").cast("double")))
+        .orderBy("source")
+    }),
+
     // Asymmetric containment pairs (τ=0.8): the quote-inside-longer-doc
     // detector Jaccard misses; ordered pairs, exact-integer containment.
     "d38_containment" -> ((s, d) =>
@@ -741,6 +762,29 @@ object DedupQueries {
            CAST(sum(CAST(floor(1e6 / ln(CAST(deg AS DOUBLE)) + 0.5)
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
+    // d39: d03's pair CTEs → distinct dup ids → per-source rates.
+    "d39_source_dup_rate" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         dup AS (SELECT DISTINCT id1 AS doc_id FROM pairs
+           UNION SELECT id2 FROM pairs)
+         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup,
+           floor(CAST(sum(CASE WHEN dup.doc_id IS NOT NULL THEN 1
+               ELSE 0 END) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6
+             AS dup_rate6
+         FROM documents d LEFT JOIN dup ON d.doc_id = dup.doc_id
+         GROUP BY 1 ORDER BY 1""",
     // d38: the distinct-shingle CTE, BOTH directions, |A∩B|/|A|.
     "d38_containment" ->
       s"""WITH $ShingleCte,
