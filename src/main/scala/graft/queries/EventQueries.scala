@@ -110,6 +110,46 @@ object EventQueries {
     // order, closing runs exactly like the batch operator); output =
     // the batch e36 answer restricted to CLOSED versions (the open
     // tails live in state, unemittable by an append stream).
+    // STREAMING funnel: e27's ordered-stage journey computed under
+    // out-of-order arrival — per-user state folds watermark-finalized
+    // events in event-time order (ties complete stages in stage order,
+    // matching the batch min-window semantics) and emits on the
+    // end-of-data horizon. Hash-gated against e27's batch oracle.
+    "e57_stream_funnel" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = ev(s, d)
+        .select("user_id", "event_id", "ts", "event_type").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+          r.getString(3))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+      val name = s"graft_e57_${System.nanoTime()}"
+      withStatePartitions(s, 4) {
+        val q = graft.streaming.StreamOps
+          .funnelStream(input.toDF()
+            .toDF("user_id", "event_id", "ts", "event_type"),
+            Seq("view", "click", "purchase"), "0 seconds")
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          input.addData(rows: _*)
+          input.addData((-1L, -1L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), "x"),
+            (-1L, -2L,
+            java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), "x"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(name).filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(min(when(col("stage") === "view", col("t"))).as("t_view"),
+          min(when(col("stage") === "click", col("t"))).as("t_click"),
+          min(when(col("stage") === "purchase", col("t")))
+            .as("t_purchase"))
+        .orderBy("user_id")
+    }),
+
     "e39_stream_scd2" -> ((s, d) => {
       implicit val sqlCtx = s.sqlContext
       import s.implicits._
@@ -1649,6 +1689,24 @@ object EventQueries {
              + (CASE WHEN monetary >= mq[2] THEN 1 ELSE 0 END)
              + (CASE WHEN monetary >= mq[3] THEN 1 ELSE 0 END) AS m_score
          FROM m, q ORDER BY user_id""",
+    // e57: the streaming funnel answers the identical batch question —
+    // shares e27's oracle.
+    "e57_stream_funnel" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+           FROM events),
+         w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+               AND ts >= t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+           FROM w1),
+         w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+               AND ts >= t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+           FROM w2)
+         SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
+           min(t_purchase) AS t_purchase
+         FROM w3 GROUP BY user_id ORDER BY user_id""",
     "e27_funnel" ->
       """WITH w1 AS (SELECT user_id, ts, event_type,
              min(CASE WHEN event_type = 'view' THEN ts END)

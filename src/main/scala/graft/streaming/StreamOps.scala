@@ -297,6 +297,99 @@ object StreamOps {
     * Emitted rows equal the batch operator's CLOSED versions on the
     * same data — the e39 gate's hash contract. Attributes are compared
     * as non-null strings (spell a null as a sentinel upstream). */
+  /** One finalized funnel outcome row per (user, stage); `t` is the
+    * stage completion time, null when the journey never reached it. */
+  final case class FunnelHit(user_id: Long, stage: String,
+                             t: Option[Timestamp])
+
+  /** A buffered typed event not yet provably final. */
+  final case class FunnelPendingEv(tsUs: Long, eventId: Long, typ: String)
+
+  /** Per-user funnel state: the pending buffer + the PREFIX of stage
+    * completion times (µs) already finalized — O(k) per user forever;
+    * the buffer is bounded by the watermark delay. */
+  final case class FunnelState(buffer: Seq[FunnelPendingEv],
+                               times: Seq[Long])
+
+  /** Streaming twin of [[graft.ops.EventOps.funnel]]: per user, the
+    * ordered-stage completion times, emitted as k `(stage, t)` rows
+    * when the user's state times out past the watermark (a funnel row
+    * is only FINAL at end-of-data — a conversion could always still
+    * arrive — so finalization rides the watermark horizon exactly like
+    * the sessionizer's gap horizon; the replay harness closes the
+    * stream with a far-future sentinel).
+    *
+    * Out-of-order-proof: events buffer under the watermark and fold in
+    * (ts, event_id) order; within each distinct timestamp the fold
+    * advances stages in STAGE order (a view and a click at the
+    * identical timestamp complete both stages — matching the batch
+    * twin's `ts >= t_prev` window semantics, where ties qualify
+    * regardless of event id). A single event can also satisfy repeated
+    * stages, exactly as the batch min-windows do. */
+  def funnelStream(events: DataFrame, stages: Seq[String],
+                   watermarkDelay: String): Dataset[FunnelHit] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    implicit val outEnc = Encoders.product[FunnelHit]
+    implicit val stEnc = Encoders.product[FunnelState]
+    implicit val rowEnc = Encoders.product[(Long, Long, Timestamp, String)]
+    implicit val keyEnc = Encoders.scalaLong
+
+    val typed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts"), col("event_type").cast("string"))
+      .as[(Long, Long, Timestamp, String)]
+
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (user: Long, rows: Iterator[(Long, Long, Timestamp, String)],
+       state: GroupState[FunnelState]) =>
+        val st0 = state.getOption.getOrElse(FunnelState(Seq.empty, Seq.empty))
+        val buf = st0.buffer ++ rows.map(r =>
+          FunnelPendingEv(toMicros(r._3), r._2, r._4))
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        val (fin, pending) = buf.sortBy(e => (e.tsUs, e.eventId))
+          .partition(_.tsUs < wmUs)
+        val times = st0.times.toBuffer
+        // fold finalized events grouped by identical timestamp; within a
+        // group, advance the next-unset stage while an event of its type
+        // exists at this ts (ties complete multiple stages at once)
+        fin.foldLeft(Seq.empty[FunnelPendingEv]) { (grp, e) =>
+          val g2 =
+            if (grp.isEmpty || grp.head.tsUs == e.tsUs) grp :+ e
+            else {
+              while (times.length < stages.length &&
+                grp.exists(_.typ == stages(times.length)))
+                times += grp.head.tsUs
+              Seq(e)
+            }
+          g2
+        } match {
+          case grp if grp.nonEmpty =>
+            while (times.length < stages.length &&
+              grp.exists(_.typ == stages(times.length)))
+              times += grp.head.tsUs
+          case _ => ()
+        }
+        if (state.hasTimedOut && pending.isEmpty) {
+          val finalTimes = times.toSeq
+          state.remove()
+          stages.zipWithIndex.map { case (nm, i) =>
+            FunnelHit(user, nm,
+              if (i < finalTimes.length) Some(fromMicros(finalTimes(i)))
+              else None)
+          }.iterator
+        } else {
+          state.update(FunnelState(pending, times.toSeq))
+          // re-arm: fire at the next watermark advance (emission) or
+          // when the oldest pending event becomes final, whichever the
+          // engine reaches first
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          Iterator.empty
+        }
+    }
+  }
+
   def scd2Stream(events: DataFrame,
                  watermarkDelay: String): Dataset[Scd2Update] = {
     implicit val updEnc = Encoders.product[Scd2Update]

@@ -401,4 +401,42 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         (2, "b", ts(10), ts(20))))
     } finally q.stop()
   }
+
+  test("funnelStream: out-of-order arrival, pre-view clicks, and " +
+    "equal-timestamp stage ties all match batch funnel semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 EVENT time: click@0 (before any view — must NOT count),
+    // view@5, purchase@8 (before click — must NOT count), click@10,
+    // purchase@15 → t = (5, 10, 15). Arrival shuffled across batches.
+    // user 2: view+click at the IDENTICAL ts(3) then purchase@7 —
+    // the ts >= t_prev tie completes both stages at once.
+    val input = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = StreamOps.funnelStream(
+      input.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+      Seq("view", "click", "purchase"), "2 hours")
+      .writeStream.format("memory").queryName("funnel_ooo")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 4L, ts(10), "click"), (1L, 5L, ts(15), "purchase"))
+      q.processAllAvailable()
+      input.addData((1L, 2L, ts(5), "view"), (1L, 3L, ts(8), "purchase"),
+        (1L, 1L, ts(0), "click"))
+      q.processAllAvailable()
+      input.addData((2L, 7L, ts(3), "click"), (2L, 6L, ts(3), "view"),
+        (2L, 8L, ts(7), "purchase"))
+      q.processAllAvailable()
+      // flush far past the lateness window so state times out and emits
+      input.addData((9L, 99L, Timestamp.valueOf("2024-01-03 10:00:00"), "x"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT user_id, stage, t FROM funnel_ooo
+           WHERE user_id IN (1, 2) ORDER BY user_id, stage""").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      assert(rows.toSeq == Seq(
+        (1L, "click", ts(10)), (1L, "purchase", ts(15)),
+        (1L, "view", ts(5)),
+        (2L, "click", ts(3)), (2L, "purchase", ts(7)),
+        (2L, "view", ts(3))))
+    } finally q.stop()
+  }
 }
