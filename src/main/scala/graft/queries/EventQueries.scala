@@ -303,6 +303,14 @@ object EventQueries {
           h = 20.0)
         .orderBy("ws", "event_type")),
 
+    // Event-type association rules across user "baskets" — which
+    // behaviors co-occur in the same user's history (signup→purchase
+    // lift); BasketOps reused verbatim on (user, type) incidence.
+    "e58_behavior_rules" -> ((s, d) =>
+      graft.ops.BasketOps.associationRules(ev(s, d), "user_id",
+          "event_type", minPairs = 2L)
+        .orderBy("ante", "cons")),
+
     // Click-to-purchase latency per conversion: whole minutes since the
     // user's most recent PRIOR click (exclusive window — a purchase
     // can't trigger itself); null = organic. One keyed exchange.
@@ -1366,6 +1374,28 @@ object EventQueries {
          SELECT ws, event_type, n, bn, z6,
            CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
          FROM z ORDER BY ws, event_type""",
+    // e58: f63's CTEs over the (user, event_type) incidence.
+    "e58_behavior_rules" ->
+      """WITH inc AS (SELECT DISTINCT user_id AS b, event_type AS i
+           FROM events),
+         tot AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM inc),
+         ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni
+           FROM inc GROUP BY 1),
+         pr AS (SELECT a.i AS ante, c.i AS cons,
+             CAST(count(*) AS BIGINT) AS nab
+           FROM inc a JOIN inc c ON a.b = c.b AND a.i <> c.i
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT ante, cons, nab, x.ni AS na, y.ni AS nb,
+           floor(CAST(nab AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS support6,
+           floor(CAST(nab AS DOUBLE) / CAST(x.ni AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS conf6,
+           floor(CAST(n AS DOUBLE) * CAST(nab AS DOUBLE)
+             / (CAST(x.ni AS DOUBLE) * CAST(y.ni AS DOUBLE)) * 1e6 + 0.5)
+             / 1e6 AS lift6
+         FROM pr JOIN ic x ON pr.ante = x.i
+         JOIN ic y ON pr.cons = y.i
+         CROSS JOIN tot ORDER BY ante, cons""",
     // e56: the same exclusive conditional-max window; gap = integer
     // µs division (no calendar semantics).
     "e56_time_to_convert" ->
