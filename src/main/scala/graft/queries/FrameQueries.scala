@@ -494,6 +494,24 @@ object FrameQueries {
         .anovaF("l_returnflag", "l_quantity")
         .toDF.orderBy("g")),
 
+    // TPC-H Q4 analog: orders per priority having AT LEAST ONE lineitem
+    // shipped more than 30 days after the order date (the late-
+    // fulfilment screen) — the EXISTS probe is ONE left-semi join on
+    // the order key; counts close partial+final.
+    "f66_q4_late" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      val late = li.join(o.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 30)
+        .select(col("l_orderkey").as("k"))
+      o.join(late, col("o_orderkey") === col("k"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
     // TPC-H Q7 analog: bilateral trade volume between supplier and
     // customer nations per order year (supp_nation ≠ cust_nation) —
     // the two-dimension star probe. The lineitem fact streams once
@@ -1110,6 +1128,18 @@ object FrameQueries {
                   + (b.s2/b.n) * (b.s2/b.n) / (b.n - 1))) * 1e6 + 0.5)
              / 1e6 AS df6
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
+    // f66: the EXISTS probe as a semi-join; date_diff day boundaries
+    // match Spark's datediff on DATE columns.
+    "f66_q4_late" ->
+      """SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+         FROM orders o
+         WHERE EXISTS (
+           SELECT 1 FROM lineitem l
+           WHERE l.l_orderkey = o.o_orderkey
+             AND date_diff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) > 30)
+         GROUP BY 1 ORDER BY 1""",
     // f65: same star joins; the revenue expression computes in DECIMAL
     // before the exact sum (l_extendedprice*(1-l_discount) is a 2dp×4dp
     // product — exact at DECIMAL(30,8)).
