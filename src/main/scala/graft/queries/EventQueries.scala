@@ -453,6 +453,20 @@ object EventQueries {
       EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
         .orderBy("user_id", "session_id")),
 
+    // Session-depth histogram: how many sessions hold exactly n events
+    // (the engagement-shape datasheet; bounce rate = the n=1 bucket
+    // share). e02's sessionizer → one count-of-counts aggregation.
+    "e59_session_depth" -> ((s, d) => {
+      val sess = EventOps.sessions(ev(s, d), "user_id", "ts",
+        "event_id", 1800L)
+      val total = sess.count() // 1-value probe: total session count
+      sess.groupBy(col("n_events"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .withColumn("share6", graft.ops.TextOps.round6(
+          col("n_sessions").cast("double") / lit(total.toDouble)))
+        .orderBy("n_events")
+    }),
+
     // Per-user running total + 5-event moving average, by event time.
     "e03_running_window" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -1374,6 +1388,35 @@ object EventQueries {
          SELECT ws, event_type, n, bn, z6,
            CASE WHEN z6 IS NOT NULL THEN abs(z6) >= 3.0 END AS is_anomaly
          FROM z ORDER BY ws, event_type""",
+    // e59: e02's session CTEs closed by the count-of-counts.
+    "e59_session_depth" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN prev IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+           FROM x),
+         numbered AS (
+           SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+           FROM marked),
+         sess AS (SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events
+           FROM numbered GROUP BY 1, 2),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM sess)
+         SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions,
+           floor(CAST(count(*) AS DOUBLE) / CAST(t AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS share6
+         FROM sess CROSS JOIN tot GROUP BY n_events, t
+         ORDER BY n_events""",
     // e58: f63's CTEs over the (user, event_type) incidence.
     "e58_behavior_rules" ->
       """WITH inc AS (SELECT DISTINCT user_id AS b, event_type AS i
