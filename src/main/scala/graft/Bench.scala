@@ -40,6 +40,30 @@ object Bench {
     "d28_tfidf_cosine", "e41_auc", "e44_cusum", "v16_recall_eval",
     "p14_shard_manifest", "m09_wav_meta", "d29_label_prop")
 
+  // The driver parses the final stdout line from a ~2000-char tail; keep a
+  // safety margin for the totals/sf framing and future value-width growth.
+  private[graft] val finalLineBudget = 1850
+
+  /** Render the FINAL compact metric line, pruning headline representatives
+    * from the TAIL (newest additions go last) until the rendered line fits
+    * the driver's parse budget — growth in the representative set can never
+    * silently truncate the one parse surface. Pure, so the budget invariant
+    * is spec-testable without running queries. */
+  private[graft] def renderFinal(med: Seq[(String, Double)],
+      build: Seq[(String, Double)], total: Double, sfDir: String): String = {
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def js(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def line(head: Seq[(String, Double)]): String =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${med.size},"queries":${js(head)},"build_queries":${js(build)},"sf":"$sfDir"}"""
+    val byName = med.toMap
+    var head = headline.flatMap(n => byName.get(n).map(n -> _))
+    while (line(head).length > finalLineBudget && head.nonEmpty)
+      head = head.init
+    line(head)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -94,10 +118,9 @@ object Bench {
       try w.println(detail) finally w.close()
     } catch { case _: Throwable => () }
     // FINAL line — the one the driver parses. Compact: totals + a stable
-    // headline subset, 3 decimal places. Must stay well under ~1900 chars.
-    val hset = headline.toSet
-    val head = med.filter(kv => hset(kv._1))
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${med.size},"queries":${js(head)},"build_queries":${js(build)},"sf":"$sfDir"}""")
+    // headline subset, 3 decimal places; renderFinal prunes tail
+    // representatives if the line would outgrow the driver's parse budget.
+    println(renderFinal(med, build, total, sfDir))
     spark.stop()
   }
 }

@@ -39,12 +39,29 @@ object Caches {
     * key so repeat calls on the same (corpus, params) reuse the trained
     * index instead. Deliberately NOT flushed by [[clear]]: the memo's
     * whole point is surviving the per-query cache release. Training is
-    * deterministic, so a memo hit is bit-identical to a fresh train. */
+    * deterministic, so a memo hit is bit-identical to a fresh train.
+    *
+    * Key→type ownership: each key belongs to exactly ONE call site and
+    * carries that site's value type for the session's lifetime (the
+    * cast below is unchecked — two callers sharing a key with
+    * different types would fail only at use). Keys must also encode
+    * every input that shapes the value (corpus slice, params) — a hit
+    * on an under-specified key serves the wrong artifacts. */
   private val memos = scala.collection.mutable.Map.empty[String, Any]
 
-  /** Compute-once by key; the value must be immutable driver state. */
-  def memo[T](key: String)(f: => T): T =
-    synchronized(memos.getOrElseUpdate(key, f)).asInstanceOf[T]
+  /** Compute-once by key; the value must be immutable driver state.
+    * `f` runs OUTSIDE the lock (a multi-second k-means training must
+    * not serialize every other memo call); on a concurrent miss both
+    * callers compute, the first insert wins, and determinism makes the
+    * loser's discarded value bit-identical anyway. */
+  def memo[T](key: String)(f: => T): T = {
+    synchronized(memos.get(key)) match {
+      case Some(v) => v.asInstanceOf[T]
+      case None =>
+        val v = f
+        synchronized(memos.getOrElseUpdate(key, v)).asInstanceOf[T]
+    }
+  }
 
   /** Number of live memo entries (for specs/monitoring). */
   def memoCount: Int = synchronized(memos.size)

@@ -392,7 +392,9 @@ object EvalOps {
   /** NDCG@k of an approximate RANKED retrieval against the exact one —
     * the order-sensitive sibling of [[recallAtK]] (recall can't see that
     * the index returned the right neighbors in the wrong order). Both
-    * inputs are (qid, rk, nid) frames, rk = 1-based rank, k ≤ 10.
+    * inputs are (qid, rk, nid) frames, rk = 1-based rank. Positions
+    * beyond the pinned table (rk > 10) carry an explicit 0 discount
+    * (truncated-DCG semantics) rather than a silent null.
     * Relevance is graded by the exact ranking: the exact j-th neighbor
     * carries rel = k−j+1.
     *
@@ -402,7 +404,14 @@ object EvalOps {
     * floor grid. Queries the approximate side missed entirely score 0,
     * never drop. Keyed joins + bounded per-query aggregates only. */
   def ndcgAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val uArr = array(NdcgU.map(lit): _*)
+    // ranks beyond the pinned discount table contribute an EXPLICIT 0
+    // (when-guarded, so element_at never sees an out-of-range index —
+    // no silent non-ANSI null, no ANSI-mode throw); position > |table|
+    // carrying zero discount is the standard truncated-DCG semantics
+    def discount(rk: Column): Column =
+      when(rk.between(1, NdcgU.length),
+        element_at(array(NdcgU.map(lit): _*), rk.cast("int")))
+        .otherwise(lit(0L))
     val kf = exact.groupBy("qid").agg(count(lit(1)).as("k"))
     // exact-with-k feeds BOTH the ideal-DCG and the relevance lookup
     val exk = graft.Caches.track(exact.join(kf, "qid")
@@ -411,14 +420,14 @@ object EvalOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val idcg = exk
       .select(col("qid"),
-        (col("rel") * element_at(uArr, col("rk").cast("int"))).as("c"))
+        (col("rel") * discount(col("rk"))).as("c"))
       .groupBy("qid").agg(sum(col("c")).as("idcg_u"))
     val dcg = approx
       .join(exk.select(col("qid"), col("nid"), col("rel")),
         Seq("qid", "nid"), "left")
       .na.fill(0L, Seq("rel"))
       .select(col("qid"),
-        (col("rel") * element_at(uArr, col("rk").cast("int"))).as("c"))
+        (col("rel") * discount(col("rk"))).as("c"))
       .groupBy("qid").agg(sum(col("c")).as("dcg_u"))
     idcg.join(dcg, Seq("qid"), "left").na.fill(0L, Seq("dcg_u"))
       .select(col("qid"), col("dcg_u"), col("idcg_u"),

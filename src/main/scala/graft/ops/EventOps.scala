@@ -644,6 +644,43 @@ object EventOps {
           .as("new_users"))
   }
 
+  /** Cohort retention matrix — the classic "week-0 cohort × weeks-since"
+    * engagement triangle: users cohort by their first-seen week, each
+    * later active week lands in (cohort_week, week_no), retention =
+    * cohort's active users that week / cohort size. The [[activeUsers]]
+    * machinery generalized from a single first-seen flag to the full
+    * offset matrix.
+    *
+    * Scale shape: ONE distinct (user, week) frame feeds both the cohort
+    * assignment (per-user min) and the activity matrix; the offset is an
+    * exact integer division of week-aligned epoch seconds (both engines
+    * truncate weeks to Monday 00:00, so the 604800 division is exact —
+    * no calendar arithmetic to disagree over). Two keyed aggregates +
+    * one |cohorts|-bounded join; ratios on [[graft.ops.TextOps.round6]]'s
+    * floor grid. */
+  def retentionCohorts(df: DataFrame, keyCol: String,
+                       tsCol: String): DataFrame = {
+    val act = df.select(col(keyCol),
+      date_trunc("week", col(tsCol)).as("__w")).distinct()
+    val first = act.groupBy(col(keyCol)).agg(min(col("__w")).as("__cw"))
+    val cells = act.join(first, keyCol)
+      .select(col("__cw").as("cohort_week"),
+        // exact: week-aligned stamps differ by whole 604800s multiples,
+        // and IEEE division of an exact multiple is exactly integral
+        floor((unix_timestamp(col("__w")) - unix_timestamp(col("__cw")))
+          / lit(604800L)).cast("long").as("week_no"))
+      .groupBy("cohort_week", "week_no")
+      .agg(count(lit(1)).as("n_active"))
+    // cohort sizes: a |cohorts|-row frame — broadcast-joinable at any SF
+    val sizes = first.groupBy(col("__cw").as("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_no"), col("n_active"),
+        col("n_cohort"),
+        graft.ops.TextOps.round6(col("n_active").cast("double")
+          / col("n_cohort").cast("double")).as("retention6"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary) with quartile
     * scores — the classic customer-value cut. Per key: recency = whole
     * days between the key's last event and the corpus' latest event

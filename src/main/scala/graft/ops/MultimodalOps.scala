@@ -158,8 +158,61 @@ object MultimodalOps {
             ((u8(bytes, 0) == 'I'.toInt && u8(bytes, 1) == 'I'.toInt) ||
              (u8(bytes, 0) == 'M'.toInt && u8(bytes, 1) == 'M'.toInt)))
           parseTiff(bytes)
+        else if (bytes.length >= 12 && bytes.take(4).sameElements(
+            "RIFF".getBytes("US-ASCII")) && bytes.slice(8, 12).sameElements(
+            "WEBP".getBytes("US-ASCII"))) // WAVE form falls to AudioCodec
+          parseWebp(bytes)
         else None
       } catch { case _: IndexOutOfBoundsException => None }
+
+    private def le24(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte)
+    private def rdLe24(b: Array[Byte], i: Int): Int =
+      u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)
+
+    private def riffChunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if ((data.length & 1) == 1) Array[Byte](0)
+        else Array.emptyByteArray
+      fourcc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+
+    /** Valid extended WebP: RIFF/WEBP form, VP8X chunk carrying the
+      * 24-bit canvas dims (stored as dim−1 per spec), `payload` riding
+      * in an XMP metadata chunk (a standard VP8X-signalled chunk that
+      * tolerates arbitrary bytes; odd sizes pad per RIFF). ref: the
+      * RIFF container + VP8X wire layout is public WebP documentation. */
+    def encodeWebp(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+      require(w >= 1 && h >= 1 && w <= (1 << 24) && h <= (1 << 24),
+        s"webp canvas out of 24-bit range: ${w}x$h")
+      val vp8x = Array[Byte](0x04, 0, 0, 0) ++ // XMP flag, 3 reserved
+        le24(w - 1) ++ le24(h - 1)
+      val body = "WEBP".getBytes("US-ASCII") ++
+        riffChunk("VP8X", vp8x) ++ riffChunk("XMP ", payload)
+      "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    }
+
+    /** WebP RIFF walk: verify the declared RIFF size, then step the
+      * even-aligned chunk chain — VP8X yields the canvas dims (+1 per
+      * spec), the XMP chunk's declared size is the carried payload. */
+    private def parseWebp(b: Array[Byte]): Option[Parsed] = {
+      if (rdLe32(b, 4) != (b.length - 8).toLong) return None
+      var pos = 12
+      var w = -1; var h = -1; var payload = -1
+      while (pos + 8 <= b.length) {
+        val cc = new String(b.slice(pos, pos + 4), "US-ASCII")
+        val len = rdLe32(b, pos + 4).toInt
+        if (len < 0 || pos + 8 + len > b.length) return None
+        if (cc == "VP8X" && len >= 10) {
+          w = rdLe24(b, pos + 12) + 1
+          h = rdLe24(b, pos + 15) + 1
+        }
+        if (cc == "XMP ") payload = len
+        pos += 8 + len + (len & 1)
+      }
+      if (w <= 0 || h <= 0) return None
+      Some(Parsed("webp", w, h, 1, math.max(payload, 0)))
+    }
 
     /** Minimal canonical TIFF (little-endian "II"): 8-byte header, one
       * IFD with ImageWidth(256)/ImageLength(257) LONG entries, payload
@@ -604,6 +657,7 @@ object MultimodalOps {
             ImageCodec.encodeGif(sp.width, sp.height, sp.frames, sp.payload)
           case "bmp"  => ImageCodec.encodeBmp(sp.width, sp.height, sp.payload)
           case "tiff" => ImageCodec.encodeTiff(sp.width, sp.height, sp.payload)
+          case "webp" => ImageCodec.encodeWebp(sp.width, sp.height, sp.payload)
           case _      => ImageCodec.encodeJpeg(sp.width, sp.height, sp.payload)
         }
         (sp.doc_id, bytes, s"image/${sp.fmt}")

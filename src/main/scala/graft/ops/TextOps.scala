@@ -294,6 +294,33 @@ object TextOps {
         size(array_distinct(gs)).cast("double") / size(gs).cast("double"))
   }
 
+  /** Top n-gram coverage per document: the fraction of the doc's n-grams
+    * claimed by its single most-repeated n-gram — the other half of the
+    * Gopher repetition family ([[dupNgramFraction]] sees how much of the
+    * doc repeats AT ALL; this sees how much one loop dominates — the
+    * "same boilerplate sentence 400 times" failure mode that a diffuse
+    * duplicate fraction understates). Docs with fewer than n tokens have
+    * no n-grams and drop.
+    *
+    * Scale shape: the n-gram array is STAGED in a Project before the
+    * explode (CLAUDE.md Generate discipline), then two keyed
+    * partial+final aggregates — (doc, gram) counts, per-doc close. Both
+    * shuffles key by doc_id; nothing is corpus-global. Ratios ride
+    * [[round6]]'s engine-portable floor grid. */
+  def topNgramShare(df: DataFrame, idCol: String, textCol: String,
+                    n: Int): DataFrame = {
+    val staged = df.select(col(idCol),
+      ngramsOfTokens(tokens(col(textCol)), n).as("__gs"))
+    staged.select(col(idCol), explode(col("__gs")).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(
+        sum(col("c")).as("n_grams"),
+        max(col("c")).as("top_cnt"))
+      .select(col(idCol), col("n_grams"), col("top_cnt"),
+        round6(col("top_cnt").cast("double")
+          / col("n_grams").cast("double")).as("top_share6"))
+  }
+
   /** RAG-style sliding-window token chunker: split each document into
     * chunks of `size` tokens with `overlap` tokens shared between
     * consecutive chunks (stride = size − overlap). The last chunk may be

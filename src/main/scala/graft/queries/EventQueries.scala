@@ -467,6 +467,15 @@ object EventQueries {
         .orderBy("n_events")
     }),
 
+    // Cohort retention matrix: users cohort by first-seen week; each
+    // cell = that cohort's active users N weeks later, with the
+    // retention share — the product-analytics triangle every event
+    // warehouse ships. One distinct (user, week) frame, two keyed
+    // aggregates, |cohorts|-bounded broadcast join.
+    "e60_retention_cohorts" -> ((s, d) =>
+      EventOps.retentionCohorts(ev(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_no")),
+
     // Per-user running total + 5-event moving average, by event time.
     "e03_running_window" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -2104,6 +2113,24 @@ object EventQueries {
            min(s.n_events) AS n_events
          FROM events e JOIN sess s ON e.user_id = s.user_id
            AND e.ts BETWEEN s.session_start AND s.session_end
-         GROUP BY 1, 2 ORDER BY 1, 2"""
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // e60: both engines truncate weeks to Monday 00:00, so the offset is
+    // an exact integer division of week-aligned epoch seconds.
+    "e60_retention_cohorts" ->
+      """WITH ew AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+           FROM events),
+         f AS (SELECT user_id, min(w) AS cw FROM ew GROUP BY 1),
+         a AS (SELECT cw AS cohort_week,
+             CAST(floor((epoch(w) - epoch(cw)) / 604800) AS BIGINT)
+               AS week_no,
+             count(*) AS n_active
+           FROM ew JOIN f USING (user_id) GROUP BY 1, 2),
+         sz AS (SELECT cw AS cohort_week, count(*) AS n_cohort
+           FROM f GROUP BY 1)
+         SELECT cohort_week, week_no, n_active, n_cohort,
+           floor(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS retention6
+         FROM a JOIN sz USING (cohort_week)
+         ORDER BY cohort_week, week_no"""
   )
 }

@@ -38,6 +38,18 @@ object FrameQueries {
        GROUP BY c_custkey, c_name, n_name
        ORDER BY revenue DESC, c_custkey LIMIT 20"""
 
+  // f68: ONE SQL text both engines parse and execute (the f45 contract)
+  // exercising arbitrary GROUPING SETS — the general form rollup (f12)
+  // and cube (f46) are special cases of; quantities are integral-valued
+  // doubles, so the parallel sums are exact with no rounding grid.
+  private val GroupingSetsSql =
+    """SELECT l_returnflag, l_linestatus,
+         count(*) AS n, sum(l_quantity) AS sum_qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+         (l_returnflag), ())
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+
   private def li(s: SparkSession, d: String): GFrame =
     GFrame.fromDF(Tables.lineitem(s, d).withColumn("idx", liIdx), "idx")
   private def ord(s: SparkSession, d: String): GFrame =
@@ -388,6 +400,14 @@ object FrameQueries {
       s.sql(Q10Sql)
     }),
 
+    // Arbitrary GROUPING SETS through the SQL surface — one Expand
+    // below a partial+final aggregate (the f12/f46 machinery, user-
+    // chosen set list); the identical text runs on DuckDB.
+    "f68_grouping_sets" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(GroupingSetsSql)
+    }),
+
     // Per-group exact quantiles: sort-based percentile aggregate within
     // groupBy (partial+final; exact, matches quantile_cont bit-for-bit —
     // the grouped sibling of s25's global quantiles).
@@ -498,6 +518,29 @@ object FrameQueries {
     // shipped more than 30 days after the order date (the late-
     // fulfilment screen) — the EXISTS probe is ONE left-semi join on
     // the order key; counts close partial+final.
+    // TPC-H Q14 analog: monthly promo revenue share — the lineitem fact
+    // streams once against the broadcast part dim; both revenue sums
+    // accumulate in DECIMAL (per-row product in double, exact IEEE both
+    // engines), and the share divides the two ROUNDED 2dp doubles, so
+    // the closing ratio is bit-deterministic on the round6 floor grid.
+    "f67_q14_promo" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      val p = Tables.part(s, d).select("p_partkey", "p_type")
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,8)")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(30,8)"))), 2)
+            .cast("double").as("promo_rev"),
+          round(sum(rev), 2).cast("double").as("total_rev"))
+        .withColumn("promo_share6", graft.ops.TextOps.round6(
+          col("promo_rev") / col("total_rev")))
+        .orderBy("ship_month")
+    }),
+
     "f66_q4_late" -> ((s, d) => {
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_orderdate", "o_orderpriority")
@@ -1116,6 +1159,7 @@ object FrameQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
     "f45_q10_sql" -> Q10Sql,
+    "f68_grouping_sets" -> GroupingSetsSql,
     "f48_welch_ttest" ->
       """WITH st AS (SELECT event_type AS g, count(value) AS n,
              avg(value) AS mu, var_samp(value) AS s2
@@ -1130,6 +1174,22 @@ object FrameQueries {
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
     // f66: the EXISTS probe as a semi-join; date_diff day boundaries
     // match Spark's datediff on DATE columns.
+    // f67: both sums accumulate in DECIMAL then round to 2dp; the share
+    // divides the identical rounded doubles on both engines.
+    "f67_q14_promo" ->
+      """WITH m AS (SELECT date_trunc('month', l_shipdate) AS ship_month,
+           CAST(round(sum(CASE WHEN p_type = 'PROMO'
+               THEN CAST(l_extendedprice * (1.0 - l_discount)
+                 AS DECIMAL(30,8))
+               ELSE CAST(0 AS DECIMAL(30,8)) END), 2) AS DOUBLE)
+             AS promo_rev,
+           CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_rev
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1)
+         SELECT ship_month, promo_rev, total_rev,
+           floor(promo_rev / total_rev * 1e6 + 0.5) / 1e6 AS promo_share6
+         FROM m ORDER BY ship_month""",
     "f66_q4_late" ->
       """SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS order_count

@@ -170,6 +170,25 @@ object MultimodalQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // REAL WebP container round-trip: RIFF/WEBP form with a VP8X
+    // extended header (24-bit canvas dims, stored dim−1) and the text
+    // bytes riding an XMP metadata chunk — the sixth genuinely-parsed
+    // image format, and the first RIFF-framed one (the AudioCodec chunk
+    // walk discipline applied to an image container; odd payloads
+    // exercise RIFF even-alignment padding on every second row).
+    "m15_webp_meta" -> ((s, d) => {
+      val n = length(encode(col("text"), "UTF-8"))
+      val specs = Tables.documents(s, d).select(
+        col("doc_id"), lit("webp").as("fmt"),
+        (lit(1) + pmod(n * 13, lit(4096))).as("width"),
+        (lit(1) + pmod(n * 17, lit(3072))).as("height"),
+        lit(1).as("frames"),
+        encode(col("text"), "UTF-8").as("payload"))
+      MultimodalOps.decodeImageMeta(
+          MultimodalOps.encodeImages(specs), "doc_id")
+        .toDF().orderBy("doc_id")
+    }),
+
     // REAL BMP container round-trip: 14-byte file header + 40-byte
     // BITMAPINFOHEADER encoded per doc, then the header walk recovers
     // dims/payload — the fourth genuinely-parsed image format (the m07
@@ -355,6 +374,17 @@ object MultimodalQueries {
            CAST(1 + (octet_length(encode(text)) * 5) % 2048 AS INTEGER)
              AS width,
            CAST(1 + (octet_length(encode(text)) * 11) % 1536 AS INTEGER)
+             AS height,
+           CAST(1 AS INTEGER) AS frames,
+           CAST(octet_length(encode(text)) AS INTEGER) AS nbytes
+         FROM documents ORDER BY doc_id""",
+    // m15: the encoder's dim formulas recomputed; nbytes = the XMP
+    // chunk's declared size (= the payload byte length, pad excluded).
+    "m15_webp_meta" ->
+      """SELECT doc_id, 'webp' AS fmt,
+           CAST(1 + (octet_length(encode(text)) * 13) % 4096 AS INTEGER)
+             AS width,
+           CAST(1 + (octet_length(encode(text)) * 17) % 3072 AS INTEGER)
              AS height,
            CAST(1 AS INTEGER) AS frames,
            CAST(octet_length(encode(text)) AS INTEGER) AS nbytes

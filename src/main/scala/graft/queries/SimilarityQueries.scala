@@ -40,6 +40,22 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // SQ8 acceptance: recall@5 of the quantized integer-dot ranking
+    // against exact cosine — the "does 4× memory compression cost any
+    // neighbors" datasheet (v16's recall machinery over v09's index).
+    "v21_sq_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val sc = SimilarityOps.sqScale(e, "embedding")
+      val qz = SimilarityOps.sqQuantize(e, "vec_id", "embedding",
+        sc, "id", "qv")
+      val approx = SimilarityOps.sqKnn(qz, qz.filter(col("id") < 10), k = 5)
+        .select("qid", "nid")
+      val exact = SimilarityOps.knnBruteForce(e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select("qid", "nid")
+      graft.ops.EvalOps.recallAtK(approx, exact).orderBy("qid")
+    }),
+
     // IVF-SQ8: cluster-bounded candidates (v03's equi-join) re-ranked by
     // the EXACT integer dot of symmetric int8 codes (v09's grid) — the
     // composed memory×compute ANN plan, and still fully oracleable
@@ -525,15 +541,12 @@ object SimilarityQueries {
          nid, round(sim, 6) AS sim
        FROM scored QUALIFY rk <= 5 ORDER BY qid, rk"""
 
-  val oracles: Map[String, String] = Map(
-    "v06_knn_sql" -> KnnSql,
-    "v01_knn_bruteforce" -> KnnSql,
-    // v09: the whole scalar-quantization pipeline replayed — corpus-max
-    // scale, symmetric floor-grid codes, integer dot. Every step is
-    // exact arithmetic on identical doubles, so no rounding grid
-    // anywhere.
-    "v09_sq_knn" ->
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  // v09 (and v21's approximate side): the whole scalar-quantization
+  // pipeline replayed — corpus-max scale, symmetric floor-grid codes,
+  // integer dot. Every step is exact arithmetic on identical doubles,
+  // so no rounding grid anywhere.
+  private val SqKnnSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings),
          sc AS (SELECT max(list_max(list_transform(e, x -> abs(x))))
              AS s FROM v),
@@ -548,7 +561,26 @@ object SimilarityQueries {
          SELECT qid, CAST(row_number() OVER (PARTITION BY qid
              ORDER BY qdot DESC, nid ASC) AS INTEGER) AS rk,
            nid, qdot
-         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""",
+         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk"""
+
+  val oracles: Map[String, String] = Map(
+    "v06_knn_sql" -> KnnSql,
+    "v01_knn_bruteforce" -> KnnSql,
+    "v09_sq_knn" -> SqKnnSql,
+    // v21: the v16 recall closing over the SQ8 ranking instead of the
+    // IVF one — does 4×-compressed memory cost any neighbors?
+    "v21_sq_recall" ->
+      s"""WITH ap AS (SELECT qid, nid FROM ($SqKnnSql) t),
+         ex AS (SELECT qid, nid FROM ($KnnSql) t2),
+         h AS (SELECT ex.qid, CAST(count(*) AS BIGINT) AS hits
+           FROM ex JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+           GROUP BY 1),
+         kk AS (SELECT qid, CAST(count(*) AS BIGINT) AS k
+           FROM ex GROUP BY 1)
+         SELECT kk.qid, CAST(COALESCE(hits, 0) AS BIGINT) AS hits, k,
+           floor(CAST(COALESCE(hits, 0) AS DOUBLE) / k * 1e6 + 0.5)
+             / 1e6 AS recall6
+         FROM kk LEFT JOIN h ON kk.qid = h.qid ORDER BY kk.qid""",
     // v03/v04: the grid-portable IVF pipeline replayed end-to-end in SQL
     // (unrolled k-means — see ivfOracle). v04 shares v03's oracle: the
     // parquet round-trip preserves doubles exactly.

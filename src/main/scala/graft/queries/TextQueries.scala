@@ -349,7 +349,14 @@ object TextQueries {
     // integer regression sums, slope closed by a 1-row probe.
     "t20_zipf" -> ((s, d) =>
       graft.ops.TextOps.zipfFit(docs(s, d), "text", minCount = 5)
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // Top-bigram coverage (the Gopher repetition signal t02's diffuse
+    // duplicate fraction understates): how much of each doc one repeated
+    // bigram claims — two doc-keyed aggregates over a staged explode.
+    "t27_top_ngram" -> ((s, d) =>
+      graft.ops.TextOps.topNgramShare(docs(s, d), "doc_id", "text", n = 2)
+        .orderBy("doc_id"))
   )
 
   // DuckDB equivalents. Tokenization mirrored as
@@ -832,6 +839,19 @@ object TextQueries {
            floor((n * (sxy / 1e6) - (sx / 1e6) * (sy / 1e6))
              / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
              * 1e6 + 0.5) / 1e6 AS slope6
-         FROM ranked r CROSS JOIN s ORDER BY rank"""
+         FROM ranked r CROSS JOIN s ORDER BY rank""",
+    // t27: per-doc bigram counts closed by sum/max; DuckDB's int sum
+    // widens to HUGEINT → cast back to Spark's BIGINT.
+    "t27_top_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         b AS (SELECT doc_id, ts[CAST(r.i AS INTEGER)] || ' '
+               || ts[CAST(r.i + 1 AS INTEGER)] AS g
+           FROM t, LATERAL unnest(range(1, len(ts))) AS r(i)),
+         c AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+           max(c) AS top_cnt,
+           floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS top_share6
+         FROM c GROUP BY doc_id ORDER BY doc_id"""
   )
 }

@@ -325,7 +325,15 @@ object StreamOps {
     * identical timestamp complete both stages — matching the batch
     * twin's `ts >= t_prev` window semantics, where ties qualify
     * regardless of event id). A single event can also satisfy repeated
-    * stages, exactly as the batch min-windows do. */
+    * stages, exactly as the batch min-windows do.
+    *
+    * Beyond-watermark late data is DROPPED on arrival (an incoming row
+    * with ts already below the current watermark), matching Spark's
+    * drop semantics for watermarked aggregations: earlier-ts events in
+    * the group may already be finalized into `times`, and folding a
+    * late arrival after them could record a later stage at an earlier
+    * timestamp than its predecessor — silent divergence from the batch
+    * twin. Dropping keeps the monotone-fold invariant. */
   def funnelStream(events: DataFrame, stages: Seq[String],
                    watermarkDelay: String): Dataset[FunnelHit] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
@@ -345,9 +353,13 @@ object StreamOps {
       (user: Long, rows: Iterator[(Long, Long, Timestamp, String)],
        state: GroupState[FunnelState]) =>
         val st0 = state.getOption.getOrElse(FunnelState(Seq.empty, Seq.empty))
+        val wmUs = state.getCurrentWatermarkMs() * 1000L
+        // drop beyond-watermark late arrivals (Spark aggregation
+        // semantics); already-buffered rows below the watermark are NOT
+        // late — they buffered on time and finalize this batch
         val buf = st0.buffer ++ rows.map(r =>
           FunnelPendingEv(toMicros(r._3), r._2, r._4))
-        val wmUs = state.getCurrentWatermarkMs() * 1000L
+          .filter(_.tsUs >= wmUs)
         val (fin, pending) = buf.sortBy(e => (e.tsUs, e.eventId))
           .partition(_.tsUs < wmUs)
         val times = st0.times.toBuffer

@@ -565,6 +565,31 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       ("BM" + "x" * 60).getBytes("US-ASCII")).isEmpty)
   }
 
+  test("ImageCodec WebP round-trip: VP8X dims, odd-payload RIFF padding, " +
+    "WAVE stays out") {
+    import graft.ops.MultimodalOps.{AudioCodec, ImageCodec}
+    val even = Array.tabulate(700)(i => (i % 251).toByte)
+    val odd = Array.tabulate(701)(i => (i % 251).toByte)
+    assert(ImageCodec.parse(ImageCodec.encodeWebp(1920, 1080, even))
+      .contains(ImageCodec.Parsed("webp", 1920, 1080, 1, 700)))
+    // odd payload: the XMP chunk pads to even but declares 701
+    assert(ImageCodec.parse(ImageCodec.encodeWebp(3, 5, odd))
+      .contains(ImageCodec.Parsed("webp", 3, 5, 1, 701)))
+    assert(ImageCodec.parse(ImageCodec.encodeWebp(1, 1, Array.empty))
+      .contains(ImageCodec.Parsed("webp", 1, 1, 1, 0)))
+    // 24-bit canvas ceiling round-trips
+    assert(ImageCodec.parse(ImageCodec.encodeWebp(1 << 24, 1, Array.empty))
+      .exists(_.width == (1 << 24)))
+    // truncation breaks the declared RIFF size check
+    assert(ImageCodec.parse(
+      ImageCodec.encodeWebp(64, 64, even).dropRight(1)).isEmpty)
+    // a RIFF/WAVE stream is NOT an image: ImageCodec rejects, the audio
+    // walker still owns it (the m12 router dispatch stays unambiguous)
+    val wav = AudioCodec.encodeWav(8000, 1, 16, even)
+    assert(ImageCodec.parse(wav).isEmpty)
+    assert(AudioCodec.parse(wav).nonEmpty)
+  }
+
   test("ImageCodec TIFF round-trip, big-endian + SHORT-dim variants") {
     import graft.ops.MultimodalOps.ImageCodec
     val pl = Array.tabulate(700)(i => (i % 251).toByte)

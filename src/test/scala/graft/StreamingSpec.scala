@@ -439,4 +439,36 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         (2L, "view", ts(3))))
     } finally q.stop()
   }
+
+  test("funnelStream: a beyond-watermark late event is DROPPED, never " +
+    "folded behind already-finalized stages") {
+    implicit val sqlCtx = spark.sqlContext
+    // view@5 and click@10 finalize into `times` once the watermark
+    // passes them (the x@50 sentinel stays pending so the journey can't
+    // emit yet); a purchase@7 then arrives LATE — folding it would
+    // record the purchase stage at ts 7, EARLIER than its click
+    // predecessor at 10. Spark aggregation semantics: beyond-watermark
+    // rows are dropped.
+    val input = MemoryStream[(Long, Long, Timestamp, String)]
+    val q = StreamOps.funnelStream(
+      input.toDF().toDF("user_id", "event_id", "ts", "event_type"),
+      Seq("view", "click", "purchase"), "10 minutes")
+      .writeStream.format("memory").queryName("funnel_late")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, ts(5), "view"), (1L, 2L, ts(10), "click"),
+        (1L, 3L, ts(50), "x"))
+      q.processAllAvailable() // watermark → ts(40): 5/10 final, 50 pending
+      input.addData((1L, 4L, ts(7), "purchase")) // late: 7 < watermark 40
+      q.processAllAvailable()
+      input.addData((9L, 99L, Timestamp.valueOf("2024-01-03 10:00:00"), "x"))
+      q.processAllAvailable() // timeout flush
+      val rows = spark.sql(
+        """SELECT stage, t FROM funnel_late
+           WHERE user_id = 1 ORDER BY stage""").collect()
+        .map(r => (r.getString(0), Option(r.getTimestamp(1))))
+      assert(rows.toSeq == Seq(
+        ("click", Some(ts(10))), ("purchase", None), ("view", Some(ts(5)))))
+    } finally q.stop()
+  }
 }
