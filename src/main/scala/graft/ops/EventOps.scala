@@ -681,6 +681,26 @@ object EventOps {
           / col("n_cohort").cast("double")).as("retention6"))
   }
 
+  /** DAU/MAU stickiness — per calendar day: distinct active users, the
+    * containing month's distinct actives, and their ratio (the
+    * "how habitual is usage" product metric; 1.0 = every monthly user
+    * shows up daily). Two distinct-frame aggregates off ONE projection;
+    * the month side is calendar-bounded, so the closing join
+    * broadcasts. */
+  def stickiness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val base = df.select(col(keyCol),
+      date_trunc("day", col(tsCol)).as("day"),
+      date_trunc("month", col(tsCol)).as("mon"))
+    val dau = base.distinct()
+      .groupBy("day", "mon").agg(count(lit(1)).as("dau"))
+    val mau = base.select(col(keyCol), col("mon")).distinct()
+      .groupBy("mon").agg(count(lit(1)).as("mau"))
+    dau.join(broadcast(mau), "mon")
+      .select(col("day"), col("dau"), col("mau"),
+        graft.ops.TextOps.round6(col("dau").cast("double")
+          / col("mau").cast("double")).as("stickiness6"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary) with quartile
     * scores — the classic customer-value cut. Per key: recency = whole
     * days between the key's last event and the corpus' latest event

@@ -528,4 +528,25 @@ object PipelineOps {
         when(col("split") === trainName && col("__q").isNotNull,
           lit("quarantine")).otherwise(col("split")).as("split"))
   }
+
+  /** Content-addressed diff between two corpus snapshots — the dataset
+    * versioning primitive (what changed between crawl v1 and v2, and is
+    * the delta small enough to ship as an incremental update?). Per doc
+    * id: `added` (only in `after`), `removed` (only in `before`),
+    * `changed` (content hash moved), `unchanged`. Comparing md5 hashes
+    * rather than text keeps the join payload 16 bytes/doc regardless of
+    * document size — at 100 TB the diff shuffles hashes, never bodies.
+    * ONE id-keyed full-outer join; no corpus-global state. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    def hashed(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol), md5(encode(col(textCol), "UTF-8")).as(as))
+    hashed(before, "__ha").join(hashed(after, "__hb"),
+        Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__ha").isNull, "added")
+          .when(col("__hb").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }

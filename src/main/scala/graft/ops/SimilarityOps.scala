@@ -764,6 +764,63 @@ object SimilarityOps {
     pqAdcRank(codes, pqLut(q0, books, subDim), k)
   }
 
+  /** PQ reconstruction distortion — the compression-quality acceptance
+    * metric for the v12/v14 codes (FAISS reports it as index training
+    * error): per subspace, the mean squared distance between each
+    * vector's sub-slice and its assigned codeword. High per-subspace
+    * MSE means that subspace's 4 bits are wasted and m/codebook need
+    * retuning BEFORE anyone ships the index.
+    *
+    * Determinism: each per-row distance is x·x − 2·x·c + c·c over three
+    * sequential-order [[graft.functions.DotProduct]] sums (bit-identical
+    * to the oracle's list_dot_product), snapped to 1e-9-unit BIGINTs —
+    * the per-subspace totals are order-free exact integer sums (the e37
+    * discipline), so even the MEAN hash-matches. One corpus pass (m
+    * staged sub-slices exploded), one broadcast join against the
+    * m×codebook codeword table, one partial+final aggregate. */
+  def pqDistortion(corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 8, codebook: Int = 16, kmeansIters: Int = 3,
+                   grid: Option[Double] = None,
+                   cacheKey: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol).cast("array<double>")))
+      .head().getInt(0) // 1-row dim probe
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val v = graft.Caches.track(
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // same memo key as pqSearch/pqBuild: auditing an index you already
+    // trained is free
+    val books = cacheKey.fold(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid))(ck =>
+      graft.Caches.memo(s"pqbooks:$ck:$m:$codebook:$kmeansIters:$grid")(
+        pqTrain(v, m, codebook, kmeansIters, subDim, grid)))
+    val packed = (0 until m).map { s =>
+      val sub = slice(col("e"), s * subDim + 1, subDim)
+      struct(lit(s).as("s"), sub.as("sv"),
+        pqAssign(sub, books(s)).as("code"))
+    }
+    val rows = v.select(explode(array(packed: _*)).as("x"))
+      .select(col("x.s").as("s"), col("x.code").as("code"),
+        col("x.sv").as("sv"))
+    val bookRows = for (s <- 0 until m; j <- books(s).indices)
+      yield (s, j, books(s)(j).toSeq)
+    val bdf = spark.createDataFrame(bookRows).toDF("s", "code", "cv")
+    val dot = graft.functions.DotProduct.dotNative _
+    rows.join(broadcast(bdf), Seq("s", "code"))
+      .select(col("s"),
+        floor((dot(col("sv"), col("sv"))
+          - dot(col("sv"), col("cv")) * 2.0
+          + dot(col("cv"), col("cv"))) * 1e9 + 0.5).as("d2u"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum(col("d2u")).as("sum_d2u"))
+      .select(col("s"), col("n"), col("sum_d2u"),
+        graft.ops.TextOps.round6(col("sum_d2u").cast("double")
+          / col("n").cast("double") / lit(1e9)).as("mse6"))
+      .orderBy("s")
+  }
+
   /** The shared PQ-ADC scoring tail: (nid, s, code) rows equi-join the
     * broadcast LUT on (s, code), one partial+final sum closes each
     * (qid, nid) ADC score, a per-query WindowGroupLimit heap keeps k. */

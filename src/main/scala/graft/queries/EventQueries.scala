@@ -476,6 +476,12 @@ object EventQueries {
       EventOps.retentionCohorts(ev(s, d), "user_id", "ts")
         .orderBy("cohort_week", "week_no")),
 
+    // DAU/MAU stickiness per day: two distinct-frame counts off one
+    // projection, calendar-bounded month side broadcast back.
+    "e62_stickiness" -> ((s, d) =>
+      EventOps.stickiness(ev(s, d), "user_id", "ts")
+        .orderBy("day")),
+
     // Per-user running total + 5-event moving average, by event time.
     "e03_running_window" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -2131,6 +2137,17 @@ object EventQueries {
            floor(CAST(n_active AS DOUBLE) / CAST(n_cohort AS DOUBLE)
              * 1e6 + 0.5) / 1e6 AS retention6
          FROM a JOIN sz USING (cohort_week)
-         ORDER BY cohort_week, week_no"""
+         ORDER BY cohort_week, week_no""",
+    "e62_stickiness" ->
+      """WITH b AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+             date_trunc('month', ts) AS mon FROM events),
+         dau AS (SELECT day, mon, count(*) AS dau FROM b GROUP BY 1, 2),
+         mau AS (SELECT mon, count(*) AS mau FROM (
+             SELECT DISTINCT user_id, date_trunc('month', ts) AS mon
+             FROM events) GROUP BY 1)
+         SELECT day, dau, mau,
+           floor(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS stickiness6
+         FROM dau JOIN mau USING (mon) ORDER BY day"""
   )
 }

@@ -518,6 +518,61 @@ object FrameQueries {
     // shipped more than 30 days after the order date (the late-
     // fulfilment screen) — the EXISTS probe is ONE left-semi join on
     // the order key; counts close partial+final.
+    // Month-over-month revenue growth per return flag: DECIMAL-exact
+    // monthly sums rounded to 2dp doubles, then one keyed lag window
+    // over the calendar-bounded frame; growth divides identical doubles
+    // on both engines (null for each flag's first month).
+    "f69_mom_growth" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(30,8)")
+      val monthly = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          date_trunc("month", col("l_shipdate")).as("ship_month"))
+        .agg(round(sum(rev), 2).cast("double").as("revenue"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("ship_month")
+      monthly
+        .withColumn("growth6", graft.ops.TextOps.round6(
+          (col("revenue") - lag(col("revenue"), 1).over(w))
+            / lag(col("revenue"), 1).over(w)))
+        .select("l_returnflag", "ship_month", "revenue", "growth6")
+        .orderBy("l_returnflag", "ship_month")
+    }),
+
+    // Rolling 20-row Pearson correlation (price vs quantity) per return
+    // flag — EXACT window machinery: all five co-moment sums accumulate
+    // as BIGINTs (integer cents × integer quantities) over one keyed
+    // exchange ordered by the unique (l_orderkey, l_linenumber), so
+    // every engine computes bit-identical sums; the closing correlation
+    // is one fixed-association float expression. Null until the window
+    // fills or a variance degenerates.
+    "f70_rolling_corr" -> ((s, d) => {
+      val xs = Tables.lineitem(s, d).select(
+        col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("x"),
+        floor(col("l_quantity") + 0.5).cast("long").as("y"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures (CLAUDE
+      // .md); adding the two measures makes the sort total — fully tied
+      // rows are interchangeable for the window sums anyway
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
+        .rowsBetween(-19, 0)
+      val n = count(lit(1)).over(w)
+      val sx = sum(col("x")).over(w); val sy = sum(col("y")).over(w)
+      val sxy = sum(col("x") * col("y")).over(w)
+      val sxx = sum(col("x") * col("x")).over(w)
+      val syy = sum(col("y") * col("y")).over(w)
+      val varX = (n * sxx - sx * sx).cast("double")
+      val varY = (n * syy - sy * sy).cast("double")
+      val cov = (n * sxy - sx * sy).cast("double")
+      xs.select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          when(n >= 20 && varX > 0 && varY > 0,
+            graft.ops.TextOps.round6(cov / (sqrt(varX) * sqrt(varY))))
+            .as("corr6"))
+        .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+    }),
+
     // TPC-H Q14 analog: monthly promo revenue share — the lineitem fact
     // streams once against the broadcast part dim; both revenue sums
     // accumulate in DECIMAL (per-row product in double, exact IEEE both
@@ -1174,6 +1229,46 @@ object FrameQueries {
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
     // f66: the EXISTS probe as a semi-join; date_diff day boundaries
     // match Spark's datediff on DATE columns.
+    // f69: the same DECIMAL monthly sums; growth divides identical 2dp
+    // doubles, so the 6dp floor grid is drift-free.
+    "f69_mom_growth" ->
+      """WITH m AS (SELECT l_returnflag,
+           date_trunc('month', l_shipdate) AS ship_month,
+           CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount)
+             AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+         FROM lineitem GROUP BY 1, 2),
+         g AS (SELECT l_returnflag, ship_month, revenue,
+             lag(revenue) OVER (PARTITION BY l_returnflag
+               ORDER BY ship_month) AS prev
+           FROM m)
+         SELECT l_returnflag, ship_month, revenue,
+           floor((revenue - prev) / prev * 1e6 + 0.5) / 1e6 AS growth6
+         FROM g ORDER BY l_returnflag, ship_month""",
+    // f70: identical BIGINT co-moment window sums (DuckDB widens to
+    // HUGEINT — only compared/cast, never returned), one closing float
+    // expression in the same association.
+    "f70_rolling_corr" ->
+      """WITH t AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+           CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+         FROM lineitem),
+         s AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx,
+             sum(y * y) OVER w AS syy
+           FROM t WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_orderkey, l_linenumber, x, y
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT l_returnflag, l_orderkey, l_linenumber,
+           CASE WHEN n >= 20 AND (n * sxx - sx * sx) > 0
+               AND (n * syy - sy * sy) > 0
+             THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6
+           END AS corr6
+         FROM s ORDER BY l_returnflag, l_orderkey, l_linenumber""",
     // f67: both sums accumulate in DECIMAL then round to 2dp; the share
     // divides the identical rounded doubles on both engines.
     "f67_q14_promo" ->

@@ -200,6 +200,20 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // Content-addressed snapshot diff: v1 drops ids ≡7 (mod 10), v2
+    // drops ≡3 and amends ≡5 — the added/removed/changed/unchanged
+    // manifest a dataset-versioning release pipeline ships. Hashes
+    // shuffle, bodies never do.
+    "p20_snapshot_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val before = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val after = docs.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+        .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 5,
+          concat(col("text"), lit(" amended"))).otherwise(col("text")))
+      PipelineOps.snapshotDiff(before, after, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic weighted sample WITHOUT replacement (Efraimidis–
     // Spirakis A-ES): 500 docs with inclusion odds ∝ text length, key =
     // −ln(md5-uniform)/w — engine-portable arithmetic (the d05 hash
@@ -599,6 +613,21 @@ object PipelineQueries {
            FROM q)
          SELECT stage, shard, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-         FROM a GROUP BY 1, 2 ORDER BY 1, 2"""
+         FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    // p20: md5 over the identical amended text on both engines.
+    "p20_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % 10 <> 7),
+         a AS (SELECT doc_id,
+             md5(CASE WHEN doc_id % 10 = 5 THEN text || ' amended'
+               ELSE text END) AS h
+           FROM documents WHERE doc_id % 10 <> 3)
+         SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+           CASE WHEN b.h IS NULL THEN 'added'
+                WHEN a.h IS NULL THEN 'removed'
+                WHEN b.h = a.h THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+         ORDER BY doc_id"""
   )
 }

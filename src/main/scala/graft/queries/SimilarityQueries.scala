@@ -40,6 +40,15 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // PQ distortion audit: per-subspace reconstruction MSE of the v12
+    // codes — 1e-9-unit exact integer distance sums, so even the mean
+    // hash-matches; shares v12's memoized codebooks (auditing a trained
+    // index costs one corpus pass).
+    "v22_pq_distortion" -> ((s, d) =>
+      SimilarityOps.pqDistortion(emb(s, d), "vec_id", "embedding",
+        m = 8, codebook = 16, kmeansIters = 3, grid = Some(Grid),
+        cacheKey = Some(d))),
+
     // SQ8 acceptance: recall@5 of the quantized integer-dot ranking
     // against exact cosine — the "does 4× memory compression cost any
     // neighbors" datasheet (v16's recall machinery over v09's index).
@@ -679,6 +688,8 @@ object SimilarityQueries {
          SELECT l1, l2, floor(dot / sqrt(n1 * n2) * 1e6 + 0.5) / 1e6 AS cos
          FROM p ORDER BY l1, l2""",
     "v11_pca" -> pcaOracle(dim = 64, iters = 8, g = Grid),
+    "v22_pq_distortion" -> pqDistortionOracle(m = 8, codebook = 16,
+      iters = 3, subDim = 8, g = Grid),
     "v12_pq" -> pqOracle(m = 8, codebook = 16, iters = 3, subDim = 8,
       topK = 5, g = Grid),
     "v13_ivf_pq" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,
@@ -796,6 +807,39 @@ object SimilarityQueries {
       .mkString(" UNION ALL ")}),
          lut AS (${(0 until m).map(s => s"SELECT * FROM lut$s")
       .mkString(" UNION ALL ")}),"""
+  }
+
+  /** v22 oracle: [[pqSubCtes]]'s trained codebooks + codes joined back
+    * to the sub-slices; per-row distance in the IDENTICAL association
+    * (a − b·2 + c over list_dot_product), 1e-9-unit BIGINT snap, exact
+    * integer per-subspace totals. */
+  private def pqDistortionOracle(m: Int, codebook: Int, iters: Int,
+                                 subDim: Int, g: Double): String = {
+    val gs = f"$g%.1f"
+    val dCtes = (0 until m).map(s => s"""
+         d$s AS (SELECT $s AS s,
+             CAST(floor((list_dot_product(n.e, n.e)
+               - list_dot_product(c.c, n.e) * 2.0
+               + list_dot_product(c.c, c.c)) * 1e9 + 0.5) AS BIGINT)
+               AS d2u
+           FROM sub$s n
+           JOIN codes$s k ON n.id = k.nid
+           JOIN cent${s}_$iters c ON c.cluster = k.code)""").mkString(",")
+    s"""WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+         nrm AS (SELECT id,
+             list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+           FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
+                 FROM v0)),
+         trn AS (SELECT * FROM nrm),
+         ${pqSubCtes(m, codebook, iters, subDim, gs)}
+         $dCtes,
+         du AS (${(0 until m).map(s => s"SELECT * FROM d$s")
+      .mkString(" UNION ALL ")})
+         SELECT s, count(*) AS n, CAST(sum(d2u) AS BIGINT) AS sum_d2u,
+           floor(CAST(sum(d2u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / 1e9 * 1e6 + 0.5) / 1e6 AS mse6
+         FROM du GROUP BY s ORDER BY s"""
   }
 
   /** DuckDB replay of grid-portable PQ-ADC (see [[pqSubCtes]]). */

@@ -25,6 +25,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "v17_ndcg_eval", // NDCG against the same sanctioned exact ground truth
     "v18_mmr_rerank", // candidate generation IS the sanctioned brute force
     "v09_sq_knn", // quantized brute force — same sanctioned baseline shape
+    "v21_sq_recall", // scores v09's quantized brute force against v01's
+                     // exact answer — BOTH sides are the sanctioned shape
     // welch pairs: the inequality join runs AFTER the partial+final
     // aggregate collapsed the data to |groups| rows — the nested-loop is
     // over a bounded broadcast (|groups|² pairs), never data-sized
