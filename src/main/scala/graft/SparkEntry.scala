@@ -203,6 +203,10 @@ object SparkEntry {
     // SQL NTILE(7) distributed: value-bucketed rank_first + a pure tile
     // expression over two driver scalars — no global-order window; the
     // oracle is DuckDB's native ntile (remainder-first semantics match).
+    // pandas Series.mode() as a frame: ALL maximal-count values
+    // ascending — the 1-row max equi-joins back (broadcast), never a
+    // nested loop (the scalar mode() gate surfaces only the first).
+    "s108_mode" -> ((s, d) => quantity(s, d).modes()),
     "s107_ntile" -> ((s, d) => {
       val bal = Series.fromExpr(Tables.customer(s, d), col("c_acctbal"),
         "tile", col("c_custkey"), "idx")
@@ -1270,6 +1274,11 @@ object SparkEntry {
         "THEN avg(c_acctbal) OVER w END, 6) AS roll5 FROM customer " +
         "WINDOW w AS (ORDER BY c_custkey ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) " +
         "ORDER BY idx"),
+    "s108_mode" ->
+      """WITH c AS (SELECT l_quantity AS qty, count(*) AS c
+           FROM lineitem GROUP BY 1),
+         m AS (SELECT max(c) AS c FROM c)
+         SELECT qty FROM c JOIN m USING (c) ORDER BY qty""",
     "s107_ntile" ->
       """SELECT c_custkey AS idx,
            CAST(ntile(7) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER)

@@ -335,6 +335,21 @@ final class Series private[graft] (
     * categories. Two bounded driver scalars (min/max), one shuffle; the
     * bin→count join is a broadcast of the bins-row grid. Output
     * (bin, count) sorted count-descending like pandas. */
+  /** pandas `Series.mode()` as a FRAME: every value whose count reaches
+    * the maximum, ascending (pandas keeps ALL ties; the scalar [[mode]]
+    * surfaces only the deterministic first). Two partial+final
+    * aggregates; the 1-row max joins back by EQUI-key on the count
+    * (broadcast — never a nested-loop against the bounded counts
+    * frame). */
+  def modes(): DataFrame = {
+    val counts = graft.Caches.track(
+      base.groupBy(valueExpr.as(name)).agg(count(lit(1)).as("__c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val top = counts.groupBy().agg(F.max(col("__c")).as("__c"))
+    counts.join(F.broadcast(top), Seq("__c"))
+      .select(col(name)).orderBy(name)
+  }
+
   def valueCountsBins(bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
     val r = base.agg(F.min(valueExpr).cast("double"),

@@ -681,6 +681,41 @@ object EventOps {
           / col("n_cohort").cast("double")).as("retention6"))
   }
 
+  /** Lag-k autocorrelation of hourly event volume per type — "is this
+    * stream periodic at lag k" (acf at lag 24 ≈ daily seasonality, the
+    * statistic behind choosing e47's profile grain). Pairs are
+    * consecutive OBSERVED buckets (h, h+k·3600) joined on exact epoch
+    * seconds; all six co-moment sums are exact BIGINTs over integer
+    * counts (the f70 discipline), the Pearson close is one
+    * fixed-association float expression. Null when fewer than 2 pairs
+    * or a variance degenerates. */
+  def volumeAutocorr(df: DataFrame, typeCol: String, tsCol: String,
+                     lagBuckets: Int = 1): DataFrame = {
+    val b = df.groupBy(col(typeCol).as("t"),
+        unix_timestamp(date_trunc("hour", col(tsCol))).as("h"))
+      .agg(count(lit(1)).as("v"))
+    val y = b.select(col("t"), col("h"), col("v").as("y"))
+    val x = b.select(col("t"),
+      (col("h") + lit(3600L * lagBuckets)).as("h"), col("v").as("x"))
+    y.join(x, Seq("t", "h"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("t").as("event_type"), col("n"),
+        when(col("n") >= 2
+            && col("n") * col("sxx") - col("sx") * col("sx") > 0
+            && col("n") * col("syy") - col("sy") * col("sy") > 0,
+          graft.ops.TextOps.round6(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))))).as("acf6"))
+  }
+
   /** DAU/MAU stickiness — per calendar day: distinct active users, the
     * containing month's distinct actives, and their ratio (the
     * "how habitual is usage" product metric; 1.0 = every monthly user

@@ -338,6 +338,24 @@ object DedupQueries {
     // near-dups into the corpus — fraction of each source's docs that
     // sit in ≥1 exact-Jaccard pair. One pair generation, one distinct
     // dup-id projection, one broadcast join back to doc sources.
+    // Cross-source duplication matrix: which source pairs feed each
+    // other's near-dups (same-source pairs on the diagonal) — d39's
+    // per-source rate broken out by the OTHER end. One pair pass + two
+    // id-keyed label joins, canonicalized (least, greatest) source key.
+    "d40_cross_source_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs.select("id1", "id2")
+        .join(src.toDF("id1", "sa"), Seq("id1"))
+        .join(src.toDF("id2", "sb"), Seq("id2"))
+        .groupBy(least(col("sa"), col("sb")).as("s1"),
+          greatest(col("sa"), col("sb")).as("s2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("s1", "s2")
+    }),
+
     "d39_source_dup_rate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
@@ -763,6 +781,26 @@ object DedupQueries {
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
     // d39: d03's pair CTEs → distinct dup ids → per-source rates.
+    // d40: the d39 pair CTEs closed by the canonicalized source matrix.
+    "d40_cross_source_dups" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         lab AS (SELECT least(d1.source, d2.source) AS s1,
+             greatest(d1.source, d2.source) AS s2
+           FROM pairs p
+           JOIN documents d1 ON p.id1 = d1.doc_id
+           JOIN documents d2 ON p.id2 = d2.doc_id)
+         SELECT s1, s2, count(*) AS n_pairs
+         FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
     "d39_source_dup_rate" ->
       s"""WITH $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

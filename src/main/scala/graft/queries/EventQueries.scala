@@ -476,6 +476,14 @@ object EventQueries {
       EventOps.retentionCohorts(ev(s, d), "user_id", "ts")
         .orderBy("cohort_week", "week_no")),
 
+    // Daily-seasonality screen: lag-24h autocorrelation of hourly
+    // volume per type — exact BIGINT co-moments over integer counts,
+    // one epoch-second equi-join.
+    "e63_volume_autocorr" -> ((s, d) =>
+      EventOps.volumeAutocorr(ev(s, d), "event_type", "ts",
+          lagBuckets = 24)
+        .orderBy("event_type")),
+
     // DAU/MAU stickiness per day: two distinct-frame counts off one
     // projection, calendar-bounded month side broadcast back.
     "e62_stickiness" -> ((s, d) =>
@@ -2148,6 +2156,27 @@ object EventQueries {
          SELECT day, dau, mau,
            floor(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) * 1e6 + 0.5)
              / 1e6 AS stickiness6
-         FROM dau JOIN mau USING (mon) ORDER BY day"""
+         FROM dau JOIN mau USING (mon) ORDER BY day""",
+    // e63: identical BIGINT co-moment sums over hourly counts (DuckDB
+    // widens through HUGEINT — cast at the close), f70's closing shape.
+    "e63_volume_autocorr" ->
+      """WITH b AS (SELECT event_type AS t,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+           count(*) AS v
+         FROM events GROUP BY 1, 2),
+         j AS (SELECT y.t, x.v AS x, y.v AS y
+           FROM b y JOIN b x ON y.t = x.t AND y.h = x.h + 86400),
+         s AS (SELECT t, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM j GROUP BY 1)
+         SELECT t AS event_type, n,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+               AND (n * syy - sy * sy) > 0
+             THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6
+           END AS acf6
+         FROM s ORDER BY event_type"""
   )
 }

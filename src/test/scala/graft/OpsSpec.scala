@@ -18,6 +18,104 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     (4L, "the quick brown fox jumps over the lazy dog")  // exact dup of 1
   ).toDF("doc_id", "text")
 
+  test("topNgramShare: hand-counted bigram coverage, short docs drop") {
+    val tiny = Seq(
+      (1L, "a b a b a b"),     // bigrams: ab,ba,ab,ba,ab → top ab=3 of 5
+      (2L, "x y z"),           // xy,yz → top 1 of 2
+      (3L, "solo")             // no bigrams → drops
+    ).toDF("doc_id", "text")
+    val got = TextOps.topNgramShare(tiny, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Caches.clear()
+    assert(got.toSeq == Seq((1L, 5L, 3L, 0.6), (2L, 2L, 1L, 0.5)))
+  }
+
+  test("retentionCohorts: hand-built two-cohort triangle") {
+    import java.sql.Timestamp
+    def t(w: Int, dow: Int): Timestamp = // week w (Mon-aligned), day dow
+      new Timestamp(Timestamp.valueOf("2024-01-01 12:00:00").getTime
+        + (w * 7L + dow) * 86400000L)
+    // users 1,2 first seen week 0; user 1 returns week 1; user 3 starts
+    // week 1 and returns week 2
+    val ev = Seq(
+      (1L, t(0, 0)), (2L, t(0, 2)), (1L, t(1, 1)),
+      (3L, t(1, 0)), (3L, t(2, 3))
+    ).toDF("user_id", "ts")
+    val got = graft.ops.EventOps.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_no").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    Caches.clear()
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 1.0),   // cohort w0: both active week 0
+      (1L, 1L, 2L, 0.5),   // only user 1 back in week 1
+      (0L, 1L, 1L, 1.0),   // cohort w1 = user 3
+      (1L, 1L, 1L, 1.0)))
+  }
+
+  test("stickiness: hand DAU/MAU ratios") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (1L, Timestamp.valueOf("2024-03-01 10:00:00")),
+      (2L, Timestamp.valueOf("2024-03-01 11:00:00")),
+      (1L, Timestamp.valueOf("2024-03-02 10:00:00")),
+      (3L, Timestamp.valueOf("2024-04-01 09:00:00"))
+    ).toDF("user_id", "ts")
+    val got = graft.ops.EventOps.stickiness(ev, "user_id", "ts")
+      .orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Caches.clear()
+    // March MAU = {1,2,3 minus 3} = {1,2} → 2; April MAU = {3} → 1
+    assert(got.toSeq == Seq((2L, 2L, 1.0), (1L, 2L, 0.5), (1L, 1L, 1.0)))
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged classification") {
+    val before = Seq((1L, "same"), (2L, "old"), (3L, "gone"))
+      .toDF("doc_id", "text")
+    val after = Seq((1L, "same"), (2L, "new"), (4L, "fresh"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.PipelineOps
+      .snapshotDiff(before, after, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "added")))
+  }
+
+  test("volumeAutocorr: perfectly periodic volume scores acf 1, " +
+    "anti-periodic scores -1") {
+    import java.sql.Timestamp
+    def h(i: Int): Timestamp =
+      new Timestamp(Timestamp.valueOf("2024-01-01 00:00:00").getTime
+        + i * 3600000L)
+    // type p: volumes 1,2,1,2 at lag 2 → pairs (1,1),(2,2)… wait lag 1:
+    // use lag 1 with volumes 1,2,1,2 → pairs (1,2),(2,1),(1,2): r = -1.
+    // type q: volumes 1,2,3,4 at lag 1 → perfectly linear: r = 1.
+    val rows =
+      Seq.tabulate(4)(i => Seq.fill(i + 1)(("q", h(i)))).flatten ++
+      Seq(("p", h(0)), ("p", h(1)), ("p", h(1)), ("p", h(2)),
+        ("p", h(3)), ("p", h(3)))
+    val ev = rows.toDF("event_type", "ts")
+    val got = graft.ops.EventOps
+      .volumeAutocorr(ev, "event_type", "ts", lagBuckets = 1)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(("p", 3L, -1.0), ("q", 3L, 1.0)))
+  }
+
+  test("pqDistortion is exactly zero when every sub-slice is a codeword") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)), (1L, Array(0f, 1.0f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1.0f, 0f)), (3L, Array(0f, 0f, 0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.pqDistortion(vecs, "vec_id", "embedding",
+        m = 2, codebook = 4, kmeansIters = 2)
+      .orderBy("s").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Caches.clear()
+    assert(got.toSeq == Seq((0, 4L, 0L, 0.0), (1, 4L, 0L, 0.0)))
+  }
+
   test("ngramContamination reports shared-trigram containment vs a benchmark") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     // doc 1 contains both benchmark trigrams; doc 3 shares none
