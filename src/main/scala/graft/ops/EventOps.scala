@@ -574,6 +574,54 @@ object EventOps {
     types.zip(x).toSeq.toDF(typeCol, "pi20")
   }
 
+  /** Absorption probability per starting state — finite-horizon value
+    * iteration h⁽ᵗ⁺¹⁾(i) = Σⱼ P(i,j)·h⁽ᵗ⁾(j) with the absorbing state
+    * pinned at 1: "from a view, how likely does this chain reach a
+    * purchase within `iters` steps" — the funnel question asked of the
+    * whole transition structure instead of one fixed stage order.
+    * [[markovStationary]]'s machinery (|types|²-bounded driver matrix,
+    * e45's CollectLint bound) with the absorbing column pinned.
+    *
+    * Determinism: probabilities and iterates live on the 2⁻²⁰ dyadic
+    * grid, so every product is an exact 2⁻⁴⁰ multiple and the per-row
+    * sums are order-free exact — the oracle unrolls the identical
+    * steps. Dangling rows (states with no outgoing transition) use the
+    * same snapped uniform row as e45. */
+  def absorbingProbability(df: DataFrame, keyCol: String, tsCol: String,
+                           typeCol: String, tieCol: String,
+                           absorb: String, iters: Int = 12): DataFrame = {
+    val G = 1048576.0 // 2^20
+    def snap(v: Double): Double = math.floor(v * G + 0.5) / G
+    val tm = transitionMatrix(df, keyCol, tsCol, typeCol, tieCol)
+      .select(col("src"), col("dst"), col("n"))
+      .collect() // |types|² rows — bounded driver state (e45 bound)
+    val counts = tm.map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = counts.keysIterator
+      .flatMap(k => Iterator(k._1, k._2)).toSeq.distinct.sorted
+    val k = types.size
+    require(types.contains(absorb),
+      s"absorbing state '$absorb' never appears in the transitions")
+    val rowTot = types.map(s =>
+      s -> types.map(t => counts.getOrElse((s, t), 0L)).sum).toMap
+    val p = Array.tabulate(k, k) { (i, j) =>
+      val rt = rowTot(types(i))
+      if (rt == 0L) snap(1.0 / k)
+      else math.floor(counts.getOrElse((types(i), types(j)), 0L).toDouble
+        * G / rt.toDouble) / G
+    }
+    var h = types.map(t => if (t == absorb) 1.0 else 0.0).toArray
+    (1 to iters).foreach { _ =>
+      val prev = h
+      h = Array.tabulate(k)(i =>
+        if (types(i) == absorb) 1.0
+        else snap((0 until k).map(j => prev(j) * p(i)(j)).sum))
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    types.zip(h).toSeq.toDF(typeCol, "h20")
+  }
+
   /** Top-k most frequent length-`len` event-type paths (sequential
     * pattern mining's bread-and-butter "what do users do next" query):
     * per key, consecutive type runs ordered by time (tie-broken), path =

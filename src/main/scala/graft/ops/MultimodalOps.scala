@@ -463,6 +463,145 @@ object MultimodalOps {
       } catch { case _: IndexOutOfBoundsException => None }
   }
 
+  /** REAL FLAC-container codec, pure JVM, zero dependencies — the first
+    * BIT-PACKED header in the family (every other container aligns
+    * fields on byte boundaries): STREAMINFO packs sample rate (20 bits),
+    * channels−1 (3), bits-per-sample−1 (5) and total samples (36) into
+    * one big-endian 64-bit field. The parser walks the metadata-block
+    * chain (1-byte last-flag+type header, 24-bit BE length) to
+    * STREAMINFO and extracts the fields by shift/mask; payload rides a
+    * spec-legal APPLICATION block ("grft" id). ref: the FLAC
+    * metadata-block wire layout is public Xiph documentation. */
+  object FlacCodec {
+    final case class FlacParsed(sampleRate: Int, channels: Int, bits: Int,
+                                totalSamples: Long, dataBytes: Int)
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+    private def be24(v: Int): Array[Byte] =
+      Array(((v >> 16) & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        (v & 0xFF).toByte)
+    private def rdBe24(b: Array[Byte], i: Int): Int =
+      (u8(b, i) << 16) | (u8(b, i + 1) << 8) | u8(b, i + 2)
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+    /** Valid FLAC: fLaC magic, STREAMINFO metadata block (34 bytes, the
+      * packed 64-bit field genuinely bit-assembled), then one LAST
+      * APPLICATION block ("grft") carrying `payload`. */
+    def encodeFlac(sampleRate: Int, channels: Int, bits: Int,
+                   totalSamples: Long, payload: Array[Byte]): Array[Byte] = {
+      require(sampleRate >= 1 && sampleRate < (1 << 20),
+        s"sample rate $sampleRate outside FLAC's 20 bits")
+      require(channels >= 1 && channels <= 8, s"channels $channels")
+      require(bits >= 1 && bits <= 32, s"bits $bits")
+      require(totalSamples >= 0 && totalSamples < (1L << 36),
+        s"total samples $totalSamples outside 36 bits")
+      val packed = (sampleRate.toLong << 44) |
+        ((channels - 1).toLong << 41) | ((bits - 1).toLong << 36) |
+        totalSamples
+      val out = new java.io.ByteArrayOutputStream(payload.length + 64)
+      out.write("fLaC".getBytes("US-ASCII"))
+      out.write(0x00); out.write(be24(34))     // STREAMINFO, not last
+      out.write(be16(4096)); out.write(be16(4096)) // min/max block size
+      out.write(be24(0)); out.write(be24(0))   // min/max frame size
+      var i = 7
+      while (i >= 0) { out.write(((packed >>> (i * 8)) & 0xFF).toInt); i -= 1 }
+      out.write(Array.fill[Byte](16)(0))       // unset MD5
+      out.write(0x80 | 0x02)                   // APPLICATION, last
+      out.write(be24(4 + payload.length))
+      out.write("grft".getBytes("US-ASCII"))
+      out.write(payload)
+      out.toByteArray
+    }
+
+    /** fLaC metadata-block walk: STREAMINFO's packed field comes apart
+      * by shift/mask; dataBytes = the APPLICATION payload past its
+      * 4-byte id. None on truncation, a missing STREAMINFO, or fields
+      * outside their bit ranges. */
+    def parse(b: Array[Byte]): Option[FlacParsed] =
+      try {
+        if (b.length < 8 ||
+          !new String(b, 0, 4, "US-ASCII").equals("fLaC")) return None
+        var pos = 4
+        var info: Option[(Int, Int, Int, Long)] = None
+        var data = 0
+        var last = false
+        while (!last && pos + 4 <= b.length) {
+          val hdr = u8(b, pos)
+          last = (hdr & 0x80) != 0
+          val typ = hdr & 0x7F
+          val len = rdBe24(b, pos + 1)
+          if (pos + 4 + len > b.length) return None
+          if (typ == 0 && len >= 34) {
+            var packed = 0L
+            var i = 0
+            while (i < 8) { packed = (packed << 8) | u8(b, pos + 14 + i); i += 1 }
+            val sr = (packed >>> 44).toInt
+            val ch = ((packed >>> 41) & 0x7).toInt + 1
+            val bps = ((packed >>> 36) & 0x1F).toInt + 1
+            val ns = packed & 0xFFFFFFFFFL
+            if (sr <= 0) return None
+            info = Some((sr, ch, bps, ns))
+          }
+          if (typ == 2 && len >= 4) data += len - 4
+          pos += 4 + len
+        }
+        info.map { case (sr, ch, bps, ns) =>
+          FlacParsed(sr, ch, bps, ns, data) }
+      } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Typed FLAC metadata record from the real bit-packed parse;
+    * durations derive from the DECLARED total samples (floored long
+    * arithmetic, engine-portable). */
+  final case class FlacMeta(doc_id: Long, fmt: String, sample_rate: Int,
+                            channels: Int, bits: Int, n_samples: Long,
+                            data_bytes: Int, duration_ms: Long)
+
+  /** FLAC-encode input row. */
+  final case class FlacSpec(doc_id: Long, sample_rate: Int, channels: Int,
+                            bits: Int, n_samples: Long, payload: Array[Byte])
+
+  /** Encode rows into REAL FLAC containers, partition-wise. */
+  def encodeFlacs(specs: DataFrame): DataFrame = {
+    implicit val inEnc: Encoder[FlacSpec] = Encoders.product[FlacSpec]
+    implicit val outEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    specs
+      .select(col("doc_id").cast("long"), col("sample_rate").cast("int"),
+        col("channels").cast("int"), col("bits").cast("int"),
+        col("n_samples").cast("long"), col("payload"))
+      .as[FlacSpec]
+      .mapPartitions(_.map { sp =>
+        (sp.doc_id, FlacCodec.encodeFlac(sp.sample_rate, sp.channels,
+          sp.bits, sp.n_samples, sp.payload))
+      })
+      .toDF("doc_id", "content")
+      .select(col("doc_id"), struct(col("content"),
+        lit("audio/flac").as("mime"),
+        map(lit("codec"), lit("audio/flac")).as("meta")).as("payload"))
+  }
+
+  /** Decode payloads to typed FLAC metadata via the real bit-packed
+    * parser; unidentifiable bytes degrade to fmt='unknown'. */
+  def decodeFlacMeta(packed: DataFrame, idCol: String): Dataset[FlacMeta] = {
+    implicit val enc: Encoder[FlacMeta] = Encoders.product[FlacMeta]
+    implicit val inEnc: Encoder[(Long, Array[Byte])] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    packed.select(col(idCol).cast("long"), col("payload.content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        FlacCodec.parse(bytes) match {
+          case Some(p) =>
+            FlacMeta(id, "flac", p.sampleRate, p.channels, p.bits,
+              p.totalSamples, p.dataBytes,
+              p.totalSamples * 1000L / p.sampleRate)
+          case None =>
+            FlacMeta(id, "unknown", 0, 0, 0, 0L, bytes.length, 0L)
+        }
+      })
+  }
+
   /** REAL video-container codec, pure JVM, zero dependencies — the third
     * modality's header walk: writes and parses minimal-but-valid ISO
     * BMFF (MP4) files. The parser walks the actual box structure —

@@ -294,6 +294,15 @@ object EventQueries {
           tieCol = "event_id", iters = 12)
         .orderBy("event_type")),
 
+    // Absorption probability: from each state, the chance the chain
+    // reaches 'purchase' within 12 steps — e45's dyadic value
+    // iteration with the absorbing column pinned at 1.
+    "e64_absorbing_prob" -> ((s, d) =>
+      EventOps.absorbingProbability(ev(s, d), "user_id", "ts",
+          "event_type", tieCol = "event_id", absorb = "purchase",
+          iters = 12)
+        .orderBy("event_type")),
+
     // One-sided CUSUM drift detector: e43's sibling for SLOW rate
     // drifts (individually-normal buckets whose small excesses
     // accumulate). S⁺ = prefix-sum − running-min via two keyed
@@ -1131,8 +1140,46 @@ object EventQueries {
       "ORDER BY event_type"
   }
 
+  /** e64 oracle: [[markovSql]]'s transition/probability CTEs with the
+    * absorbing-pinned value iteration unrolled — products are exact
+    * 2⁻⁴⁰ multiples, so the group sums are order-free exact. */
+  private def absorbSql(absorb: String, iters: Int): String = {
+    val head =
+      s"""WITH tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM
+           (SELECT event_type AS src,
+              lead(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events) WHERE dst IS NOT NULL GROUP BY 1, 2),
+         ty AS (SELECT DISTINCT src AS t FROM tr
+           UNION SELECT DISTINCT dst FROM tr),
+         kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+         rt AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+           FROM tr GROUP BY 1),
+         p AS (SELECT a.t AS src, b.t AS dst,
+             CASE WHEN rt.tot IS NULL THEN
+               floor(1.0 / (SELECT k FROM kk) * 1048576 + 0.5) / 1048576
+             ELSE floor(CAST(COALESCE(tr.n, 0) AS DOUBLE) * 1048576
+               / rt.tot) / 1048576 END AS pr
+           FROM ty a CROSS JOIN ty b
+           LEFT JOIN tr ON tr.src = a.t AND tr.dst = b.t
+           LEFT JOIN rt ON rt.src = a.t),
+         h0 AS (SELECT t AS et,
+           CAST(CASE WHEN t = '$absorb' THEN 1.0 ELSE 0.0 END AS DOUBLE)
+             AS hv FROM ty)"""
+    val its = (1 to iters).map { i =>
+      s"""h$i AS (SELECT p.src AS et,
+           CASE WHEN p.src = '$absorb' THEN CAST(1.0 AS DOUBLE)
+             ELSE floor(sum(h.hv * p.pr) * 1048576 + 0.5) / 1048576
+           END AS hv
+         FROM h${i - 1} h JOIN p ON p.dst = h.et GROUP BY p.src)"""
+    }.mkString(",\n")
+    s"$head,\n$its\n SELECT et AS event_type, hv AS h20 FROM h$iters " +
+      "ORDER BY event_type"
+  }
+
   val oracles: Map[String, String] = Map(
     "e45_markov_stationary" -> markovSql(iters = 12),
+    "e64_absorbing_prob" -> absorbSql(absorb = "purchase", iters = 12),
     // e48: the batch PSI over all ingested purchases vs the static
     // click histogram (the f57 oracle shape on events).
     "e48_stream_psi" ->

@@ -170,6 +170,28 @@ object MultimodalQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // REAL FLAC container round-trip: the first BIT-PACKED header in
+    // the codec family — sample rate (20 bits), channels−1 (3),
+    // bits−1 (5), total samples (36) shift-masked out of STREAMINFO's
+    // big-endian 64-bit field; payload rides a spec-legal APPLICATION
+    // block. Durations from the DECLARED totals (floored long
+    // arithmetic, engine-portable).
+    "m16_flac_meta" -> ((s, d) => {
+      val id4 = pmod(col("doc_id"), lit(4))
+      val n = length(encode(col("text"), "UTF-8"))
+      MultimodalOps.decodeFlacMeta(
+          MultimodalOps.encodeFlacs(Tables.documents(s, d).select(
+            col("doc_id"),
+            when(id4 === 0, 8000).when(id4 === 1, 16000)
+              .when(id4 === 2, 44100).otherwise(96000).as("sample_rate"),
+            (lit(1) + pmod(col("doc_id"), lit(2))).as("channels"),
+            when(pmod(col("doc_id"), lit(3)) === 0, 16).otherwise(24)
+              .as("bits"),
+            (n.cast("long") * 21L).as("n_samples"),
+            encode(col("text"), "UTF-8").as("payload"))), "doc_id")
+        .toDF().orderBy("doc_id")
+    }),
+
     // REAL WebP container round-trip: RIFF/WEBP form with a VP8X
     // extended header (24-bit canvas dims, stored dim−1) and the text
     // bytes riding an XMP metadata chunk — the sixth genuinely-parsed
@@ -378,6 +400,23 @@ object MultimodalQueries {
            CAST(1 AS INTEGER) AS frames,
            CAST(octet_length(encode(text)) AS INTEGER) AS nbytes
          FROM documents ORDER BY doc_id""",
+    // m16: the encoder's field formulas recomputed; duration =
+    // n_samples·1000/sample_rate in floored integer arithmetic.
+    "m16_flac_meta" ->
+      """WITH t AS (SELECT doc_id,
+           octet_length(encode(text)) AS n,
+           CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             WHEN 2 THEN 44100 ELSE 96000 END AS sr,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 24 END AS bits
+         FROM documents)
+         SELECT doc_id, 'flac' AS fmt,
+           CAST(sr AS INTEGER) AS sample_rate, channels,
+           CAST(bits AS INTEGER) AS bits,
+           CAST(n * 21 AS BIGINT) AS n_samples,
+           CAST(n AS INTEGER) AS data_bytes,
+           CAST((n * 21 * 1000) // sr AS BIGINT) AS duration_ms
+         FROM t ORDER BY doc_id""",
     // m15: the encoder's dim formulas recomputed; nbytes = the XMP
     // chunk's declared size (= the payload byte length, pad excluded).
     "m15_webp_meta" ->

@@ -121,6 +121,8 @@ class CollectLintSpec extends AnyFunSuite {
         "rfm corpus-last bound: 1-row aggregate",
       ".collect() // |types|² rows — bounded driver state" ->
         "markov transition matrix: |types|² cells",
+      ".collect() // |types|² rows — bounded driver state (e45 bound)" ->
+        "absorbing-probability transition matrix: |types|² cells",
       "val g = cells.agg(sum(col(\"n\")), count(lit(1))).head() // 1-row grand" ->
         "seasonal grand mean: 1-row aggregate over the ≤7×24 cell frame",
       "countDistinct(col(\"b\")).as(\"kb\")).head()" ->

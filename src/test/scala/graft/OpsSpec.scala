@@ -688,6 +688,29 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(AudioCodec.parse(wav).nonEmpty)
   }
 
+  test("FlacCodec round-trips the bit-packed STREAMINFO at field edges") {
+    import graft.ops.MultimodalOps.FlacCodec
+    val pl = Array.tabulate(700)(i => (i % 251).toByte)
+    assert(FlacCodec.parse(FlacCodec.encodeFlac(44100, 2, 16, 123456L, pl))
+      .contains(FlacCodec.FlacParsed(44100, 2, 16, 123456L, 700)))
+    // field ceilings: 20-bit rate, 8 channels, 32 bits, 36-bit samples
+    val top = FlacCodec.encodeFlac((1 << 20) - 1, 8, 32,
+      (1L << 36) - 1, Array.empty)
+    assert(FlacCodec.parse(top).contains(FlacCodec.FlacParsed(
+      (1 << 20) - 1, 8, 32, (1L << 36) - 1, 0)))
+    // floors: mono 1-bit at rate 1
+    assert(FlacCodec.parse(FlacCodec.encodeFlac(1, 1, 1, 0L, Array.empty))
+      .contains(FlacCodec.FlacParsed(1, 1, 1, 0L, 0)))
+    // truncation mid-block rejects; wrong magic rejects
+    assert(FlacCodec.parse(
+      FlacCodec.encodeFlac(8000, 1, 16, 10L, pl).dropRight(1)).isEmpty)
+    assert(FlacCodec.parse("fLaX1234".getBytes("US-ASCII")).isEmpty)
+    // out-of-range encode inputs are refused, not silently wrapped
+    intercept[IllegalArgumentException] {
+      FlacCodec.encodeFlac(1 << 20, 1, 16, 0L, Array.empty)
+    }
+  }
+
   test("ImageCodec TIFF round-trip, big-endian + SHORT-dim variants") {
     import graft.ops.MultimodalOps.ImageCodec
     val pl = Array.tabulate(700)(i => (i % 251).toByte)
