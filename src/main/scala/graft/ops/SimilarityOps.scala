@@ -764,6 +764,41 @@ object SimilarityOps {
     pqAdcRank(codes, pqLut(q0, books, subDim), k)
   }
 
+  /** 1-bit binary quantization (FAISS's binary-flat family): each
+    * 64-dim vector compresses to TWO 32-bit sign masks packed in longs —
+    * a 32× memory cut, and similarity becomes Hamming distance (xor +
+    * popcount), the cheapest possible scan. Packing is exact integer
+    * arithmetic over sign tests of identical doubles, so the WHOLE index
+    * (codes and ranking) hash-matches a DuckDB replay with no grid. */
+  def binaryCodes(df: DataFrame, idCol: String, vecCol: String,
+                  idAs: String): DataFrame = {
+    val e = col(vecCol).cast("array<double>")
+    def pack(lo: Int): Column =
+      (0 until 32).map(i =>
+        when(element_at(e, lo + i + 1) > 0, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _)
+    df.select(col(idCol).as(idAs), pack(0).as("b0"), pack(32).as("b1"))
+  }
+
+  /** Brute-force Hamming top-k over [[binaryCodes]] — v01's sanctioned
+    * exhaustive shape (bounded probe broadcast × one corpus scan), but
+    * each comparison is two xor+popcounts on 16 bytes instead of a
+    * 64-dim float dot: the binary index IS the cheap brute force. Ties
+    * break to the smaller neighbor id. */
+  def hammingKnn(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.toDF("nid", "b0", "b1")
+      .join(broadcast(probes.toDF("qid", "q0", "q1")),
+        col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (bit_count(col("b0").bitwiseXOR(col("q0")))
+          + bit_count(col("b1").bitwiseXOR(col("q1"))))
+          .cast("int").as("ham"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("ham"))
+  }
+
   /** PQ reconstruction distortion — the compression-quality acceptance
     * metric for the v12/v14 codes (FAISS reports it as index training
     * error): per subspace, the mean squared distance between each

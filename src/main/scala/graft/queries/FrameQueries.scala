@@ -50,6 +50,15 @@ object FrameQueries {
          (l_returnflag), ())
        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  // f71: FILTER (WHERE …) conditional aggregates through ONE SQL text
+  // both engines execute — quantities sum exactly (integral doubles).
+  private val FilterAggSql =
+    """SELECT l_returnflag,
+         count(*) AS n,
+         count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+         sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   private def li(s: SparkSession, d: String): GFrame =
     GFrame.fromDF(Tables.lineitem(s, d).withColumn("idx", liIdx), "idx")
   private def ord(s: SparkSession, d: String): GFrame =
@@ -398,6 +407,14 @@ object FrameQueries {
     "f45_q10_sql" -> ((s, d) => {
       graft.Tables.registerAll(s, d)
       s.sql(Q10Sql)
+    }),
+
+    // Conditional aggregates (FILTER clause) through the SQL surface —
+    // fused into ONE HashAggregate pass; the identical text runs on
+    // DuckDB.
+    "f71_filter_agg" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(FilterAggSql)
     }),
 
     // Arbitrary GROUPING SETS through the SQL surface — one Expand
@@ -1215,6 +1232,7 @@ object FrameQueries {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
     "f45_q10_sql" -> Q10Sql,
     "f68_grouping_sets" -> GroupingSetsSql,
+    "f71_filter_agg" -> FilterAggSql,
     "f48_welch_ttest" ->
       """WITH st AS (SELECT event_type AS g, count(value) AS n,
              avg(value) AS mu, var_samp(value) AS s2

@@ -40,6 +40,30 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // Binary (1-bit) quantization + Hamming kNN: 32× compression where
+    // a comparison is two xor+popcounts — exact integer end to end, so
+    // the full index hash-matches with no grid.
+    "v23_binary_hamming" -> ((s, d) => {
+      val codes = SimilarityOps.binaryCodes(emb(s, d), "vec_id",
+        "embedding", "id")
+      SimilarityOps.hammingKnn(codes, codes.filter(col("id") < 10), k = 5)
+        .orderBy("qid", "rk")
+    }),
+
+    // Binary acceptance: recall@5 of the Hamming ranking vs exact
+    // cosine — what 32× compression costs in neighbors.
+    "v24_binary_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val codes = SimilarityOps.binaryCodes(e, "vec_id", "embedding", "id")
+      val approx = SimilarityOps
+        .hammingKnn(codes, codes.filter(col("id") < 10), k = 5)
+        .select("qid", "nid")
+      val exact = SimilarityOps.knnBruteForce(e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        .select("qid", "nid")
+      graft.ops.EvalOps.recallAtK(approx, exact).orderBy("qid")
+    }),
+
     // PQ distortion audit: per-subspace reconstruction MSE of the v12
     // codes — 1e-9-unit exact integer distance sums, so even the mean
     // hash-matches; shares v12's memoized codebooks (auditing a trained
@@ -572,6 +596,30 @@ object SimilarityQueries {
            nid, qdot
          FROM scored QUALIFY rk <= 5 ORDER BY qid, rk"""
 
+  // v23 (and v24's approximate side): identical sign-mask packing
+  // (exact integer sums of 2^i) and xor+popcount ranking — no grid.
+  private val BinaryHammingSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings),
+         c AS (SELECT vec_id,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN e[CAST(i AS INTEGER) + 1] > 0
+                 THEN CAST(1 AS BIGINT) << i
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b0,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN e[CAST(i AS INTEGER) + 33] > 0
+                 THEN CAST(1 AS BIGINT) << i
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS b1
+           FROM v),
+         q AS (SELECT * FROM c WHERE vec_id < 10),
+         sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+             CAST(bit_count(xor(c.b0, q.b0))
+               + bit_count(xor(c.b1, q.b1)) AS INTEGER) AS ham
+           FROM c JOIN q ON c.vec_id <> q.vec_id)
+         SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY ham ASC, nid ASC) AS INTEGER) AS rk, nid, ham
+         FROM sc QUALIFY rk <= 5 ORDER BY qid, rk"""
+
   val oracles: Map[String, String] = Map(
     "v06_knn_sql" -> KnnSql,
     "v01_knn_bruteforce" -> KnnSql,
@@ -690,6 +738,23 @@ object SimilarityQueries {
     "v11_pca" -> pcaOracle(dim = 64, iters = 8, g = Grid),
     "v22_pq_distortion" -> pqDistortionOracle(m = 8, codebook = 16,
       iters = 3, subDim = 8, g = Grid),
+    // v23: identical sign-mask packing (exact integer sums of 2^i) and
+    // xor+popcount ranking — no grid anywhere.
+    "v23_binary_hamming" -> BinaryHammingSql,
+    // v24: the v16 recall closing over the binary ranking — what does
+    // 32× compression cost in neighbors?
+    "v24_binary_recall" ->
+      s"""WITH ap AS (SELECT qid, nid FROM ($BinaryHammingSql) t),
+         ex AS (SELECT qid, nid FROM ($KnnSql) t2),
+         h AS (SELECT ex.qid, CAST(count(*) AS BIGINT) AS hits
+           FROM ex JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+           GROUP BY 1),
+         kk AS (SELECT qid, CAST(count(*) AS BIGINT) AS k
+           FROM ex GROUP BY 1)
+         SELECT kk.qid, CAST(COALESCE(hits, 0) AS BIGINT) AS hits, k,
+           floor(CAST(COALESCE(hits, 0) AS DOUBLE) / k * 1e6 + 0.5)
+             / 1e6 AS recall6
+         FROM kk LEFT JOIN h ON kk.qid = h.qid ORDER BY kk.qid""",
     "v12_pq" -> pqOracle(m = 8, codebook = 16, iters = 3, subDim = 8,
       topK = 5, g = Grid),
     "v13_ivf_pq" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,

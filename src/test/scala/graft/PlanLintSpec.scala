@@ -27,6 +27,10 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "v09_sq_knn", // quantized brute force — same sanctioned baseline shape
     "v21_sq_recall", // scores v09's quantized brute force against v01's
                      // exact answer — BOTH sides are the sanctioned shape
+    "v23_binary_hamming", // binary-flat IS brute force by contract: the
+                          // 16-byte xor+popcount scan is the cheap
+                          // exhaustive baseline (FAISS BinaryFlat)
+    "v24_binary_recall", // scores v23's sanctioned scan against v01's
     // welch pairs: the inequality join runs AFTER the partial+final
     // aggregate collapsed the data to |groups| rows — the nested-loop is
     // over a bounded broadcast (|groups|² pairs), never data-sized
