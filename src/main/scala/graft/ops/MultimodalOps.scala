@@ -971,13 +971,18 @@ object MultimodalOps {
               val nSamples = p.dataBytes.toLong / p.blockAlign
               MediaManifest(id, "audio", "wav", 0, 0, 0, p.sampleRate,
                 nSamples * 1000L / p.sampleRate, p.dataBytes)
-            case None => VideoCodec.parse(bytes) match {
+            case None => FlacCodec.parse(bytes) match {
               case Some(p) =>
-                MediaManifest(id, "video", "mp4", 0, 0, 0, 0,
-                  p.durationTicks * 1000L / p.timescale, p.mdatBytes)
-              case None =>
-                MediaManifest(id, "unknown", "unknown", 0, 0, 0, 0, 0L,
-                  bytes.length)
+                MediaManifest(id, "audio", "flac", 0, 0, 0, p.sampleRate,
+                  p.totalSamples * 1000L / p.sampleRate, p.dataBytes)
+              case None => VideoCodec.parse(bytes) match {
+                case Some(p) =>
+                  MediaManifest(id, "video", "mp4", 0, 0, 0, 0,
+                    p.durationTicks * 1000L / p.timescale, p.mdatBytes)
+                case None =>
+                  MediaManifest(id, "unknown", "unknown", 0, 0, 0, 0, 0L,
+                    bytes.length)
+              }
             }
           }
         }

@@ -529,6 +529,19 @@ object PipelineOps {
           lit("quarantine")).otherwise(col("split")).as("split"))
   }
 
+  /** Deterministic k-fold assignment for cross-validation: fold =
+    * portable 60-bit md5 of (salt ‖ id) mod k — engine-portable,
+    * shuffle-free, leakage-free by id (every row of a document lands in
+    * ONE fold forever, so no eval fold ever sees its train twin). The
+    * CV sibling of [[hashSplit]]; distinct salts keep it independent of
+    * any other md5 draw on the same ids. */
+  def kfold(df: DataFrame, idCol: String, k: Int,
+            salt: String = "fold"): DataFrame = {
+    require(k >= 2, "k-fold needs k >= 2")
+    df.withColumn("fold", pmod(graft.ops.DedupOps.portableHash60(
+      concat(lit(salt), col(idCol).cast("string"))), lit(k.toLong)))
+  }
+
   /** Content-addressed diff between two corpus snapshots — the dataset
     * versioning primitive (what changed between crawl v1 and v2, and is
     * the delta small enough to ship as an incremental update?). Per doc

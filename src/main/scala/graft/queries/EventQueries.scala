@@ -457,6 +457,28 @@ object EventQueries {
           Seq("view", "click", "purchase"))
         .orderBy("user_id")),
 
+    // Funnel conversion-rate summary: e27's per-user stage times closed
+    // into reach counts + overall and step-wise rates — the one-row
+    // scorecard a growth dashboard renders. count(col) counts non-null
+    // stage times; every rate divides exact integer counts.
+    "e65_funnel_rates" -> ((s, d) => {
+      val r6 = graft.ops.TextOps.round6 _
+      EventOps.funnel(ev(s, d), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click"),
+          count(col("t_purchase")).as("n_purchase"))
+        .select(col("n_users"), col("n_view"), col("n_click"),
+          col("n_purchase"),
+          r6(col("n_view").cast("double") / col("n_users").cast("double"))
+            .as("view_rate6"),
+          r6(col("n_click").cast("double") / col("n_view").cast("double"))
+            .as("click_step6"),
+          r6(col("n_purchase").cast("double")
+            / col("n_click").cast("double")).as("purchase_step6"))
+    }),
+
     // Gap-based sessionization (30-min inactivity) per user.
     "e02_sessions" -> ((s, d) =>
       EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
@@ -1866,6 +1888,35 @@ object EventQueries {
          SELECT user_id, min(t_view) AS t_view, min(t_click) AS t_click,
            min(t_purchase) AS t_purchase
          FROM w3 GROUP BY user_id ORDER BY user_id""",
+    // e65: the e27 funnel CTEs closed by non-null counts; rates divide
+    // exact integers.
+    "e65_funnel_rates" ->
+      """WITH w1 AS (SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+           FROM events),
+         w2 AS (SELECT *, min(CASE WHEN event_type = 'click'
+               AND ts >= t_view THEN ts END)
+               OVER (PARTITION BY user_id) AS t_click
+           FROM w1),
+         w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase'
+               AND ts >= t_click THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+           FROM w2),
+         f AS (SELECT user_id, min(t_view) AS t_view,
+             min(t_click) AS t_click, min(t_purchase) AS t_purchase
+           FROM w3 GROUP BY user_id)
+         SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(count(t_click) AS BIGINT) AS n_click,
+           CAST(count(t_purchase) AS BIGINT) AS n_purchase,
+           floor(CAST(count(t_view) AS DOUBLE) / count(*) * 1e6 + 0.5)
+             / 1e6 AS view_rate6,
+           floor(CAST(count(t_click) AS DOUBLE) / count(t_view)
+             * 1e6 + 0.5) / 1e6 AS click_step6,
+           floor(CAST(count(t_purchase) AS DOUBLE) / count(t_click)
+             * 1e6 + 0.5) / 1e6 AS purchase_step6
+         FROM f""",
     // e35 shares e25's oracle: batch boundaries cannot change finalized
     // tumbling windows, so streaming trending == batch trending.
     "e35_stream_trending" ->

@@ -170,6 +170,39 @@ object MultimodalQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // FIVE-WAY router capstone: one corpus mixing WebP, PNG, WAV, FLAC
+    // and MP4 payloads through the single sniff-and-parse manifest —
+    // m12 extended with the two newest walkers (RIFF/VP8X and the
+    // bit-packed STREAMINFO); every branch's fields hash-gated.
+    "m17_router_all" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val m5 = pmod(col("doc_id"), lit(5))
+      val n = length(encode(col("text"), "UTF-8"))
+      val id4 = pmod(col("doc_id"), lit(4))
+      val imgs = MultimodalOps.encodeImages(docs.filter(m5 <= 1).select(
+        col("doc_id"),
+        when(m5 === 0, "webp").otherwise("png").as("fmt"),
+        (lit(1) + pmod(n, lit(640))).as("width"),
+        (lit(1) + pmod(n * 7, lit(480))).as("height"),
+        lit(1).as("frames"),
+        encode(col("text"), "UTF-8").as("payload")))
+      val flacs = MultimodalOps.encodeFlacs(docs.filter(m5 === 3).select(
+        col("doc_id"),
+        when(id4 === 0, 8000).when(id4 === 1, 16000)
+          .when(id4 === 2, 44100).otherwise(96000).as("sample_rate"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).as("channels"),
+        when(pmod(col("doc_id"), lit(3)) === 0, 16).otherwise(24)
+          .as("bits"),
+        (n.cast("long") * 21L).as("n_samples"),
+        encode(col("text"), "UTF-8").as("payload")))
+      val mixed = imgs
+        .unionByName(wavedFrom(docs.filter(m5 === 2)))
+        .unionByName(flacs)
+        .unionByName(mp4edFrom(docs.filter(m5 === 4)))
+      MultimodalOps.decodeMediaManifest(mixed, "doc_id")
+        .toDF().orderBy("doc_id")
+    }),
+
     // REAL FLAC container round-trip: the first BIT-PACKED header in
     // the codec family — sample rate (20 bits), channels−1 (3),
     // bits−1 (5), total samples (36) shift-masked out of STREAMINFO's
@@ -400,6 +433,58 @@ object MultimodalQueries {
            CAST(1 AS INTEGER) AS frames,
            CAST(octet_length(encode(text)) AS INTEGER) AS nbytes
          FROM documents ORDER BY doc_id""",
+    // m17: m12's branch recomputation extended to five formats; wav
+    // block align = channels × bits/8 (both vary on this subset).
+    "m17_router_all" ->
+      """WITH base AS (SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INTEGER) AS n
+           FROM documents),
+         img AS (SELECT doc_id, 'image' AS modality,
+             CASE WHEN doc_id % 5 = 0 THEN 'webp' ELSE 'png' END AS fmt,
+             CAST(1 + n % 640 AS INTEGER) AS width,
+             CAST(1 + (n * 7) % 480 AS INTEGER) AS height,
+             CAST(1 AS INTEGER) AS frames,
+             CAST(0 AS INTEGER) AS sample_rate,
+             CAST(0 AS BIGINT) AS duration_ms, n AS data_bytes
+           FROM base WHERE doc_id % 5 <= 1),
+         aud AS (SELECT doc_id, 'audio' AS modality, 'wav' AS fmt,
+             CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+             CAST(0 AS INTEGER) AS frames,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+               AS sample_rate,
+             CAST(n // ((1 + doc_id % 2)
+                 * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)) * 1000
+               // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 22050 ELSE 44100 END) AS BIGINT)
+               AS duration_ms,
+             n AS data_bytes
+           FROM base WHERE doc_id % 5 = 2),
+         flc AS (SELECT doc_id, 'audio' AS modality, 'flac' AS fmt,
+             CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+             CAST(0 AS INTEGER) AS frames,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+               WHEN 2 THEN 44100 ELSE 96000 END AS INTEGER)
+               AS sample_rate,
+             CAST(CAST(n AS BIGINT) * 21 * 1000
+               // (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                 WHEN 2 THEN 44100 ELSE 96000 END) AS BIGINT)
+               AS duration_ms,
+             n AS data_bytes
+           FROM base WHERE doc_id % 5 = 3),
+         vid AS (SELECT doc_id, 'video' AS modality, 'mp4' AS fmt,
+             CAST(0 AS INTEGER) AS width, CAST(0 AS INTEGER) AS height,
+             CAST(0 AS INTEGER) AS frames,
+             CAST(0 AS INTEGER) AS sample_rate,
+             CAST(CAST(n AS BIGINT) * 3 * 1000
+               // (CASE doc_id % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                 WHEN 2 THEN 90000 ELSE 25 END) AS BIGINT)
+               AS duration_ms,
+             n AS data_bytes
+           FROM base WHERE doc_id % 5 = 4)
+         SELECT * FROM img UNION ALL SELECT * FROM aud
+         UNION ALL SELECT * FROM flc UNION ALL SELECT * FROM vid
+         ORDER BY doc_id""",
     // m16: the encoder's field formulas recomputed; duration =
     // n_samples·1000/sample_rate in floored integer arithmetic.
     "m16_flac_meta" ->

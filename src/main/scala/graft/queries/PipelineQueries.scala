@@ -200,6 +200,19 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // Deterministic 5-fold CV assignment: per (fold, source) doc counts
+    // + fold share — the leakage-free-by-id cross-validation manifest.
+    "p21_kfold" -> ((s, d) => {
+      val folded = PipelineOps.kfold(Tables.documents(s, d), "doc_id",
+        k = 5)
+      val total = folded.count() // 1-value probe: corpus size
+      folded.groupBy("fold", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("share6", graft.ops.TextOps.round6(
+          col("n_docs").cast("double") / lit(total.toDouble)))
+        .orderBy("fold", "source")
+    }),
+
     // Content-addressed snapshot diff: v1 drops ids ≡7 (mod 10), v2
     // drops ≡3 and amends ≡5 — the added/removed/changed/unchanged
     // manifest a dataset-versioning release pipeline ships. Hashes
@@ -614,6 +627,17 @@ object PipelineQueries {
          SELECT stage, shard, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    // p21: the p11 md5-long spelling mod k; shares divide exact counts.
+    "p21_kfold" ->
+      """WITH f AS (SELECT doc_id, source,
+           CAST(concat('0x', substr(md5('fold' ||
+             CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 5 AS fold
+         FROM documents),
+         t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents)
+         SELECT fold, source, count(*) AS n_docs,
+           floor(CAST(count(*) AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+             AS share6
+         FROM f, t GROUP BY fold, source, total ORDER BY fold, source""",
     // p20: md5 over the identical amended text on both engines.
     "p20_snapshot_diff" ->
       """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents
