@@ -1035,6 +1035,56 @@ object EventQueries {
         .orderBy("user_id", "click_ts", "buy_ts")
     }),
 
+    // STREAM-STREAM FULL OUTER interval join: e42's shape with BOTH
+    // sides late-emitting their unmatched rows on watermark proof —
+    // clicks that never converted AND purchases with no preceding
+    // click, one streaming query. Nulls surface as the ns-safe
+    // sentinel (the e36 lesson); side labels the provenance.
+    "e66_stream_full_outer" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select("ts", "user_id", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2))).toSeq
+      val clicks = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val buys = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long)]
+      val name = s"graft_e66_${System.nanoTime()}"
+      withStatePartitions(s, 4) {
+        val joined = graft.streaming.StreamOps.intervalJoinStream(
+          clicks.toDF().toDF("ts", "user_id"),
+          buys.toDF().toDF("ts", "user_id"),
+          "user_id", "30 minutes", "15 minutes", joinType = "fullOuter")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          val sent = Seq(
+            (java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L),
+            (java.sql.Timestamp.valueOf("2031-01-01 00:00:00"), -1L))
+          clicks.addData(
+            (rows.collect { case (t, u, "click") => (t, u) } ++ sent): _*)
+          buys.addData(
+            (rows.collect { case (t, u, "purchase") => (t, u) } ++ sent): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(name)
+        .filter(coalesce(col("l_user_id"), col("r_user_id")) >= 0)
+        .select(
+          coalesce(col("l_user_id"), col("r_user_id")).as("user_id"),
+          coalesce(col("l_ts"),
+            lit("2200-01-01 00:00:00").cast("timestamp")).as("click_ts"),
+          coalesce(col("r_ts"),
+            lit("2200-01-01 00:00:00").cast("timestamp")).as("buy_ts"),
+          when(col("l_ts").isNull, "right")
+            .when(col("r_ts").isNull, "left")
+            .otherwise("both").as("side"))
+        .orderBy("user_id", "click_ts", "buy_ts")
+    }),
+
     // Trailing 1-hour RANGE-frame window per user: event count + value sum
     // in [ts - 1h, ts] at every event (velocity features). Frame is a time
     // range, not a row count — none of the other window gates exercise
@@ -2145,6 +2195,21 @@ object EventQueries {
          FROM events a JOIN events b ON a.user_id = b.user_id
            AND a.event_type = 'click' AND b.event_type = 'purchase'
            AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 15 MINUTE
+         ORDER BY 1, 2, 3""",
+    // e66: the identical interval condition as a batch FULL JOIN.
+    "e66_stream_full_outer" ->
+      """WITH c AS (SELECT ts, user_id FROM events
+             WHERE event_type = 'click'),
+         p AS (SELECT ts, user_id FROM events
+             WHERE event_type = 'purchase')
+         SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           COALESCE(c.ts, TIMESTAMP '2200-01-01 00:00:00') AS click_ts,
+           COALESCE(p.ts, TIMESTAMP '2200-01-01 00:00:00') AS buy_ts,
+           CASE WHEN c.ts IS NULL THEN 'right'
+                WHEN p.ts IS NULL THEN 'left'
+                ELSE 'both' END AS side
+         FROM c FULL JOIN p ON c.user_id = p.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
          ORDER BY 1, 2, 3""",
     "e42_stream_outer_join" ->
       """WITH c AS (SELECT ts, user_id FROM events

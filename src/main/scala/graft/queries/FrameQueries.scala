@@ -273,6 +273,31 @@ object FrameQueries {
     // read it back, and aggregate one partition — the read-back scan must
     // prune to the l_returnflag=A directory (partition pruning on the
     // written layout), and the values must round-trip parquet bit-exactly.
+    // Small-file compaction round-trip: fragment documents into 64
+    // part files, compact by target byte size (count from the input
+    // LISTING, no data scan), and hash-match the compacted scan against
+    // the source table — the table-maintenance pass a streaming sink's
+    // droppings need at 100 TB.
+    "f72_compact" -> ((s, d) => {
+      val frag = java.nio.file.Files
+        .createTempDirectory("graft_f72_frag").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_f72_out").toString
+      Tables.documents(s, d).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      graft.sources.Sources.compact(s, frag, out,
+        targetBytes = 8L * 1024 * 1024)
+      val res = s.read.parquet(out)
+        .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      Seq(frag, out).foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      res
+    }),
+
     "f20_write_roundtrip" -> ((s, d) => {
       // unique per-invocation dir (the d18 rule: concurrent runs on one
       // machine must not clobber each other's layout mid-query)
@@ -1247,6 +1272,9 @@ object FrameQueries {
          FROM st a JOIN st b ON a.g < b.g ORDER BY g1, g2""",
     // f66: the EXISTS probe as a semi-join; date_diff day boundaries
     // match Spark's datediff on DATE columns.
+    // f72: the compacted scan must carry the source values bit-exactly.
+    "f72_compact" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
     // f69: the same DECIMAL monthly sums; growth divides identical 2dp
     // doubles, so the 6dp floor grid is drift-free.
     "f69_mom_growth" ->

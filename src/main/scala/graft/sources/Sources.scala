@@ -109,6 +109,29 @@ object Sources {
                     files: Int = 0): Unit =
     writeSorted(df, path, Seq(zValue(a, b)), mode, files)
 
+  /** Small-file compaction — the maintenance pass every long-lived
+    * 100 TB table needs (streaming sinks and incremental appends leave
+    * thousands of KB-scale part files; scans then pay one task + one
+    * footer read each). Sizes the target file count from the INPUT
+    * LISTING (no data scan: Σ part-file lengths / targetBytes), then
+    * one repartition write. Returns the target file count. The rewrite
+    * is value-preserving by construction — the f72 gate hash-matches
+    * the compacted scan against the original table. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
+
   def writeCsv(df: DataFrame, path: String,
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", "true").csv(path)

@@ -96,6 +96,22 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       spans.mkString(","))
   }
 
+  test("compact collapses fragmented part files, preserves every row") {
+    val frag = tmp(); val out = tmp()
+    val big = spark.range(10000)
+      .select(col("id"), concat(lit("row"), col("id")).as("s"))
+    big.repartition(32).write.mode("overwrite").parquet(frag)
+    def parts(dir: String): Int = new java.io.File(dir).listFiles()
+      .count(f => f.isFile && f.getName.startsWith("part-"))
+    assert(parts(frag) == 32)
+    val n = Sources.compact(spark, frag, out, targetBytes = 64L * 1024 * 1024)
+    assert(n == 1, s"32 tiny files should compact to 1, got $n")
+    assert(parts(out) == 1)
+    // value-preserving: same rows, nothing dropped or duplicated
+    val a = spark.read.parquet(out).orderBy("id").collect().map(_.getLong(0))
+    assert(a.toSeq == (0L until 10000L))
+  }
+
   test("partitioned write prunes partitions on read") {
     val p = s"${tmp()}/part"
     Sources.writePartitioned(df, p, Seq("g"))
