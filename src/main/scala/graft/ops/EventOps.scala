@@ -708,8 +708,11 @@ object EventOps {
     * floor grid. */
   def retentionCohorts(df: DataFrame, keyCol: String,
                        tsCol: String): DataFrame = {
-    val act = df.select(col(keyCol),
-      date_trunc("week", col(tsCol)).as("__w")).distinct()
+    // the distinct (user, week) frame feeds BOTH the cohort assignment
+    // and the activity matrix — persist so the corpus scans once
+    val act = graft.Caches.track(df.select(col(keyCol),
+        date_trunc("week", col(tsCol)).as("__w")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val first = act.groupBy(col(keyCol)).agg(min(col("__w")).as("__cw"))
     val cells = act.join(first, keyCol)
       .select(col("__cw").as("cohort_week"),
@@ -739,9 +742,11 @@ object EventOps {
     * or a variance degenerates. */
   def volumeAutocorr(df: DataFrame, typeCol: String, tsCol: String,
                      lagBuckets: Int = 1): DataFrame = {
-    val b = df.groupBy(col(typeCol).as("t"),
+    // the hourly aggregate feeds BOTH join sides — persist, scan once
+    val b = graft.Caches.track(df.groupBy(col(typeCol).as("t"),
         unix_timestamp(date_trunc("hour", col(tsCol))).as("h"))
       .agg(count(lit(1)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val y = b.select(col("t"), col("h"), col("v").as("y"))
     val x = b.select(col("t"),
       (col("h") + lit(3600L * lagBuckets)).as("h"), col("v").as("x"))
@@ -771,9 +776,11 @@ object EventOps {
     * the month side is calendar-bounded, so the closing join
     * broadcasts. */
   def stickiness(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
-    val base = df.select(col(keyCol),
-      date_trunc("day", col(tsCol)).as("day"),
-      date_trunc("month", col(tsCol)).as("mon"))
+    // feeds BOTH the DAU and MAU distinct counts — persist, scan once
+    val base = graft.Caches.track(df.select(col(keyCol),
+        date_trunc("day", col(tsCol)).as("day"),
+        date_trunc("month", col(tsCol)).as("mon"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dau = base.distinct()
       .groupBy("day", "mon").agg(count(lit(1)).as("dau"))
     val mau = base.select(col(keyCol), col("mon")).distinct()

@@ -351,11 +351,23 @@ object TextQueries {
       graft.ops.TextOps.zipfFit(docs(s, d), "text", minCount = 5)
         .orderBy("rank")),
 
-    // Top-bigram coverage (the Gopher repetition signal t02's diffuse
-    // duplicate fraction understates): how much of each doc one repeated
-    // bigram claims — two doc-keyed aggregates over a staged explode.
+    // Language-ID acceptance: the e49 classification report run over
+    // t05's heuristic vs the fixture's lang labels — per-class
+    // precision/recall/F1 + accuracy + kappa in exact BIGINT divisions
+    // (zh has no marker list, so its recall pins 0: the report SHOWS
+    // the heuristic's blind spot instead of hiding it).
+    "t28_langid_eval" -> ((s, d) =>
+      graft.ops.EvalOps.classificationReport(docs(s, d), col("lang"),
+          graft.ops.TextOps.langId(col("text")))
+        .orderBy("label")),
+
+    // Top-TRIGRAM coverage: how much of each doc one repeated trigram
+    // claims — the longest-gram half of the Gopher repetition family
+    // (t07 has the top-2-gram share and the distinct-3-gram fraction;
+    // a dominant REPEATED trigram is the looping-boilerplate signature
+    // neither catches). Two doc-keyed aggregates over a staged explode.
     "t27_top_ngram" -> ((s, d) =>
-      graft.ops.TextOps.topNgramShare(docs(s, d), "doc_id", "text", n = 2)
+      graft.ops.TextOps.topNgramShare(docs(s, d), "doc_id", "text", n = 3)
         .orderBy("doc_id"))
   )
 
@@ -840,13 +852,67 @@ object TextQueries {
              / (n * (sxx / 1e6) - (sx / 1e6) * (sx / 1e6))
              * 1e6 + 0.5) / 1e6 AS slope6
          FROM ranked r CROSS JOIN s ORDER BY rank""",
-    // t27: per-doc bigram counts closed by sum/max; DuckDB's int sum
+    // t28: t05's prediction CTE composed with e49's report closing.
+    "t28_langid_eval" ->
+      s"""WITH t0 AS (SELECT lang AS label, $Toks AS ts FROM documents),
+         sc AS (SELECT label,
+           len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS en,
+           len(list_filter(ts, x -> x IN ('el','la','los','de','que')))
+             AS es,
+           len(list_filter(ts, x -> x IN ('der','die','und','das','ist')))
+             AS de,
+           len(list_filter(ts, x -> x IN ('le','les','et','est','une')))
+             AS fr
+         FROM t0),
+         p AS (SELECT label, CASE
+             WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+             WHEN es >= de AND es >= fr THEN 'es'
+             WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred
+           FROM sc),
+         cells AS (SELECT label, pred, count(*) AS cnt
+           FROM p GROUP BY 1, 2),
+         r AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_actual
+           FROM cells GROUP BY 1),
+         c AS (SELECT pred AS label, CAST(sum(cnt) AS BIGINT) AS n_pred
+           FROM cells GROUP BY 1),
+         dg AS (SELECT label, CAST(cnt AS BIGINT) AS tp
+           FROM cells WHERE label = pred),
+         m AS (SELECT COALESCE(r.label, c.label) AS label,
+             COALESCE(n_actual, 0) AS n_actual,
+             COALESCE(n_pred, 0) AS n_pred
+           FROM r FULL OUTER JOIN c ON r.label = c.label),
+         mm AS (SELECT m.label, n_actual, n_pred,
+             COALESCE(tp, 0) AS tp
+           FROM m LEFT JOIN dg ON m.label = dg.label),
+         t AS (SELECT CAST(sum(n_actual) AS BIGINT) AS n,
+             CAST(sum(tp) AS BIGINT) AS stp,
+             CAST(sum(n_actual * n_pred) AS BIGINT) AS src FROM mm)
+         SELECT label, tp, n_pred - tp AS fp, n_actual - tp AS fn,
+           CASE WHEN n_pred > 0 THEN
+             floor(CAST(tp AS DOUBLE) / n_pred * 1e6 + 0.5) / 1e6
+           END AS prec6,
+           CASE WHEN n_actual > 0 THEN
+             floor(CAST(tp AS DOUBLE) / n_actual * 1e6 + 0.5) / 1e6
+           END AS rec6,
+           CASE WHEN n_pred + n_actual > 0 THEN
+             floor(2.0 * CAST(tp AS DOUBLE)
+               / CAST(2 * tp + (n_pred - tp) + (n_actual - tp) AS DOUBLE)
+               * 1e6 + 0.5) / 1e6
+           END AS f16,
+           floor(CAST(stp AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS accuracy6,
+           CASE WHEN n * n - src > 0 THEN
+             floor(CAST(n * stp - src AS DOUBLE)
+               / CAST(n * n - src AS DOUBLE) * 1e6 + 0.5) / 1e6
+           END AS kappa6
+         FROM mm, t ORDER BY label""",
+    // t27: per-doc trigram counts closed by sum/max; DuckDB's int sum
     // widens to HUGEINT → cast back to Spark's BIGINT.
     "t27_top_ngram" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
          b AS (SELECT doc_id, ts[CAST(r.i AS INTEGER)] || ' '
-               || ts[CAST(r.i + 1 AS INTEGER)] AS g
-           FROM t, LATERAL unnest(range(1, len(ts))) AS r(i)),
+               || ts[CAST(r.i + 1 AS INTEGER)] || ' '
+               || ts[CAST(r.i + 2 AS INTEGER)] AS g
+           FROM t, LATERAL unnest(range(1, len(ts) - 1)) AS r(i)),
          c AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2)
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
            max(c) AS top_cnt,
