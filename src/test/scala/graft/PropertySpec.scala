@@ -171,13 +171,14 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       w <- dimGen; h <- dimGen
       fr <- Gen.choose(0, 40)
       n <- Gen.choose(0, 2000)
-      fmt <- Gen.oneOf("png", "gif", "jpeg")
+      fmt <- Gen.oneOf("png", "gif", "jpeg", "webp")
     } yield (fmt, w, h, fr, n)
     forAll(caseGen, 60) { case (fmt, w, h, fr, n) =>
       val pl = Array.tabulate(n)(i => ((i * 31 + 7) % 256).toByte)
       val (bytes, expFrames) = fmt match {
         case "png"  => (ImageCodec.encodePng(w, h, pl), 1)
         case "gif"  => (ImageCodec.encodeGif(w, h, fr, pl), math.max(fr, 1))
+        case "webp" => (ImageCodec.encodeWebp(w, h, pl), 1)
         case _      => (ImageCodec.encodeJpeg(w, h, pl), 1)
       }
       assert(ImageCodec.parse(bytes).contains(
@@ -413,6 +414,104 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
       graft.Caches.clear()
       assert(s6.forall(v => v >= -1e-9 && v <= 1.0 + 1e-9))
       assert(s6.zip(s6.drop(1)).forall { case (x, y) => y <= x + 1e-9 })
+    }
+  }
+
+  test("FlacCodec parse∘encode == identity; parse never throws on junk") {
+    import graft.ops.MultimodalOps.FlacCodec
+    val caseGen = for {
+      sr <- Gen.choose(1, (1 << 20) - 1)
+      ch <- Gen.choose(1, 8)
+      bps <- Gen.choose(1, 32)
+      ns <- Gen.choose(0L, (1L << 36) - 1)
+      n <- Gen.choose(0, 1500)
+    } yield (sr, ch, bps, ns, n)
+    forAll(caseGen, 60) { case (sr, ch, bps, ns, n) =>
+      val pl = Array.tabulate(n)(i => ((i * 17 + 3) % 256).toByte)
+      assert(FlacCodec.parse(FlacCodec.encodeFlac(sr, ch, bps, ns, pl))
+        .contains(FlacCodec.FlacParsed(sr, ch, bps, ns, n)),
+        s"sr=$sr ch=$ch bps=$bps ns=$ns n=$n")
+    }
+    val junkGen = for {
+      n <- Gen.choose(0, 300)
+      seed <- Gen.choose(Long.MinValue, Long.MaxValue)
+    } yield (n, seed)
+    forAll(junkGen, 150) { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val b = Array.fill(n)(rnd.nextInt(256).toByte)
+      FlacCodec.parse(b) // Some or None, never a throw
+      FlacCodec.parse("fLaC".getBytes("US-ASCII") ++ b)
+    }
+  }
+
+  test("snapshotDiff matches a sequential set-algebra reference") {
+    import graft.ops.PipelineOps
+    val corpusGen = for {
+      nb <- Gen.choose(1, 30)
+      na <- Gen.choose(1, 30)
+      flip <- Gen.choose(1, 5)
+    } yield (nb, na, flip)
+    forAll(corpusGen, 12) { case (nb, na, flip) =>
+      val before = (0 until nb).map(i => (i.toLong, s"text$i"))
+      val after = (0 until na).map(i =>
+        (i.toLong, if (i % flip == 0) s"text$i changed" else s"text$i"))
+      val got = PipelineOps.snapshotDiff(
+          before.toDF("doc_id", "text"), after.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bm = before.toMap; val am = after.toMap
+      val exp = (bm.keySet ++ am.keySet).map { id =>
+        id -> ((bm.get(id), am.get(id)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(x), Some(y)) if x == y => "unchanged"
+          case _ => "changed"
+        })
+      }.toMap
+      assert(got == exp)
+    }
+  }
+
+  test("kfold: folds cover [0,k), deterministic, independent of cohort") {
+    import graft.ops.PipelineOps
+    import org.apache.spark.sql.functions.col
+    forAll(Gen.choose(2, 9), Gen.choose(20, 120)) { (k: Int, n: Int) =>
+      val df = (0 until n).map(_.toLong).toDF("id")
+      val f1 = PipelineOps.kfold(df, "id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(f1.values.forall(f => f >= 0 && f < k))
+      // determinism + independence: the same id in a DIFFERENT corpus
+      // slice lands in the same fold (leakage-free by id)
+      val f2 = PipelineOps.kfold(df.filter(col("id") % 2 === 0), "id", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(f2.forall { case (id, f) => f1(id) == f })
+    }
+  }
+
+  test("topNgramShare: share in (0,1], 1 exactly when one n-gram repeats") {
+    import graft.ops.TextOps
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta")
+    val docGen = Gen.nonEmptyListOf(wordGen).map(_.take(30))
+    forAll(Gen.nonEmptyListOf(docGen).map(_.take(8)), 10) {
+      (docs: List[List[String]]) =>
+        val df = docs.zipWithIndex
+          .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+          .toDF("doc_id", "text")
+        val got = TextOps.topNgramShare(df, "doc_id", "text", 2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+        graft.Caches.clear()
+        got.foreach { case (id, nG, top, share) =>
+          val ws = docs(id.toInt)
+          val grams = ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+            .toList
+          assert(nG == grams.size && top == grams.groupBy(identity)
+            .values.map(_.size).max)
+          assert(share > 0 && share <= 1.0)
+          assert((share == 1.0) == (grams.distinct.size == 1))
+        }
+        // docs with < 2 tokens drop
+        assert(got.length == docs.count(_.size >= 2))
     }
   }
 
