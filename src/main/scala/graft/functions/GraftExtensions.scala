@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // runtime all-pairs guard (armed per session by
+    // spark.graft.blockAllPairs=true; inspect-only, default off)
+    ext.injectOptimizerRule(graft.plans.AllPairsGuard)
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
