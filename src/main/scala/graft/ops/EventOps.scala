@@ -468,6 +468,33 @@ object EventOps {
         col("n").cast("double") / sum(col("n")).over(srcW).cast("double"))
   }
 
+  /** Next-action entropy per state — how predictable each state's
+    * outgoing transition is (H = −Σ p·ln p over the state's transition
+    * row; 0 = deterministic next step, ln|types| = uniform chaos): the
+    * behavioral-predictability datasheet on top of
+    * [[transitionMatrix]], and the quantitative "is this worth a Markov
+    * model" screen for e45/e64.
+    *
+    * Determinism: p = n/tot divides exact BIGINTs into identical
+    * doubles, each −p·ln p term snaps to µ-unit BIGINTs, and the
+    * per-state totals are order-free exact integer sums (the f55/e37
+    * discipline — PSI already trusts ln() on identical doubles). Counts
+    * frame is |types|²-bounded; one keyed aggregate + one broadcast
+    * total join. */
+  def transitionEntropy(df: DataFrame, keyCol: String, tsCol: String,
+                        typeCol: String, tieCol: String): DataFrame = {
+    val tm = transitionMatrix(df, keyCol, tsCol, typeCol, tieCol)
+      .select(col("src"), col("dst"), col("n"))
+    val tot = tm.groupBy("src").agg(sum(col("n")).as("tot"))
+    val p = col("n").cast("double") / col("tot").cast("double")
+    tm.join(broadcast(tot), "src")
+      .select(col("src"), col("tot"),
+        floor(-(p * log(p)) * lit(1e6) + lit(0.5)).as("__hu"))
+      .groupBy(col("src").as(typeCol))
+      .agg(count(lit(1)).as("n_dst"), max(col("tot")).as("n_out"),
+        (sum(col("__hu")).cast("double") / lit(1e6)).as("entropy6"))
+  }
+
   /** Time-in-state attribution: each event "owns" the interval until
     * its key's next event, and the per-state dwell report (visit count,
     * total and mean seconds) answers "where does user time actually

@@ -294,6 +294,13 @@ object EventQueries {
           tieCol = "event_id", iters = 12)
         .orderBy("event_type")),
 
+    // Next-action entropy per state: −Σ p·ln p over each transition
+    // row — µ-unit exact term sums over |types|²-bounded counts.
+    "e67_transition_entropy" -> ((s, d) =>
+      EventOps.transitionEntropy(ev(s, d), "user_id", "ts",
+          "event_type", tieCol = "event_id")
+        .orderBy("event_type")),
+
     // Absorption probability: from each state, the chance the chain
     // reaches 'purchase' within 12 steps — e45's dyadic value
     // iteration with the absorbing column pinned at 1.
@@ -1252,6 +1259,23 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "e45_markov_stationary" -> markovSql(iters = 12),
     "e64_absorbing_prob" -> absorbSql(absorb = "purchase", iters = 12),
+    // e67: identical µ-unit −p·ln p terms over the same transition
+    // counts; order-free exact integer totals.
+    "e67_transition_entropy" ->
+      """WITH tr AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM
+           (SELECT event_type AS src,
+              lead(event_type) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events) WHERE dst IS NOT NULL GROUP BY 1, 2),
+         tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS tot
+           FROM tr GROUP BY 1)
+         SELECT src AS event_type, CAST(count(*) AS BIGINT) AS n_dst,
+           max(tot) AS n_out,
+           CAST(sum(CAST(floor(-(CAST(n AS DOUBLE) / tot
+               * ln(CAST(n AS DOUBLE) / tot)) * 1e6 + 0.5) AS BIGINT))
+             AS DOUBLE) / 1e6 AS entropy6
+         FROM tr JOIN tot USING (src)
+         GROUP BY src ORDER BY event_type""",
     // e48: the batch PSI over all ingested purchases vs the static
     // click histogram (the f57 oracle shape on events).
     "e48_stream_psi" ->
