@@ -170,6 +170,23 @@ object MultimodalQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // Corrupt-payload degradation: every 7th container truncated to 10
+    // bytes mid-header — the parse must REJECT cleanly (None, never a
+    // throw) and degrade those rows to the deterministic fallback
+    // features with fmt='unknown' while every healthy row still parses:
+    // one poisoned shard can't fail a 100 TB decode job.
+    "m18_corrupt_degrade" -> ((s, d) => {
+      val img = imaged(s, d)
+      val corrupted = img.select(col("doc_id"), struct(
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          expr("substring(payload.content, 1, 10)"))
+          .otherwise(col("payload.content")).as("content"),
+        col("payload.mime").as("mime"),
+        col("payload.meta").as("meta")).as("payload"))
+      MultimodalOps.decodeImageMeta(corrupted, "doc_id")
+        .toDF().orderBy("doc_id")
+    }),
+
     // FIVE-WAY router capstone: one corpus mixing WebP, PNG, WAV, FLAC
     // and MP4 payloads through the single sniff-and-parse manifest —
     // m12 extended with the two newest walkers (RIFF/VP8X and the
@@ -432,6 +449,26 @@ object MultimodalQueries {
              AS height,
            CAST(1 AS INTEGER) AS frames,
            CAST(octet_length(encode(text)) AS INTEGER) AS nbytes
+         FROM documents ORDER BY doc_id""",
+    // m18: m07's field recomputation with the 10-byte-truncation rows
+    // overridden by the fallback features of n = 10.
+    "m18_corrupt_degrade" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+             ELSE CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+               ELSE 'jpeg' END END AS fmt,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 11
+             ELSE 1 + octet_length(encode(text)) % 640 END AS INTEGER)
+             AS width,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 71
+             ELSE 1 + (octet_length(encode(text)) * 7) % 480 END
+             AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 11
+             WHEN doc_id % 3 = 1
+               THEN 1 + octet_length(encode(text)) % 30
+             ELSE 1 END AS INTEGER) AS frames,
+           CAST(CASE WHEN doc_id % 7 = 0 THEN 10
+             ELSE octet_length(encode(text)) END AS INTEGER) AS nbytes
          FROM documents ORDER BY doc_id""",
     // m17: m12's branch recomputation extended to five formats; wav
     // block align = channels × bits/8 (both vary on this subset).

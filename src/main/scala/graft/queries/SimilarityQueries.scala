@@ -40,6 +40,38 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // IVF nprobe tuning curve: micro-recall@5 (total hits / total
+    // relevant — exact integers) for nprobe ∈ {1,2,4,8} against ONE
+    // persisted index — the recall-vs-probe-cost datasheet an IVF
+    // deployment is tuned from. Build once, probe four times; exact
+    // side computed once and persisted.
+    "v25_nprobe_curve" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v25_ivf").toString
+      SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+        outDir = idx, grid = Some(Grid))
+      val exact = graft.Caches.track(
+        SimilarityOps.knnBruteForce(e, q, "vec_id", "embedding", 5)
+          .select("qid", "nid")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nRel = exact.count() // bounded: |queries|·k rows
+      val rows = Seq(1, 2, 4, 8).map { np =>
+        val hits = SimilarityOps.ivfProbe(idx, q, "vec_id", "embedding",
+            k = 5, nProbe = np, grid = Some(Grid))
+          .select("qid", "nid")
+          .join(exact, Seq("qid", "nid")).count()
+        // same floor arithmetic as the oracle, on identical doubles
+        (np, hits, nRel,
+          math.floor(hits.toDouble / nRel.toDouble * 1e6 + 0.5) / 1e6)
+      }
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      import s.implicits._
+      rows.toDF("nprobe", "n_hits", "n_rel", "recall6").orderBy("nprobe")
+    }),
+
     // Binary (1-bit) quantization + Hamming kNN: 32× compression where
     // a comparison is two xor+popcounts — exact integer end to end, so
     // the full index hash-matches with no grid.
@@ -741,6 +773,8 @@ object SimilarityQueries {
     // v23: identical sign-mask packing (exact integer sums of 2^i) and
     // xor+popcount ranking — no grid anywhere.
     "v23_binary_hamming" -> BinaryHammingSql,
+    "v25_nprobe_curve" -> nprobeCurveOracle(k = 16, iters = 3,
+      maxProbe = 8, topK = 5, dim = 64, g = Grid),
     // v24: the v16 recall closing over the binary ranking — what does
     // 32× compression cost in neighbors?
     "v24_binary_recall" ->
@@ -905,6 +939,84 @@ object SimilarityQueries {
            floor(CAST(sum(d2u) AS DOUBLE) / CAST(count(*) AS DOUBLE)
              / 1e9 * 1e6 + 0.5) / 1e6 AS mse6
          FROM du GROUP BY s ORDER BY s"""
+  }
+
+  /** v25 oracle: ONE unrolled k-means replay (the ivfOracle head), then
+    * every nprobe tier closes from the same probe ranking — candidates
+    * are postings whose probed-cluster rank ≤ np; micro-recall divides
+    * exact integer totals. */
+  private def nprobeCurveOracle(k: Int, iters: Int, maxProbe: Int,
+                                topK: Int, dim: Int, g: Double): String = {
+    val gs = f"$g%.1f"
+    def iterSql(i: Int) = s"""
+      asg$i AS (
+        SELECT id, e, cluster FROM (
+          SELECT n.id, n.e, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
+          FROM trn n, cent$i c) WHERE rn = 1),
+      avg$i AS (
+        SELECT a.cluster, g.i - 1 AS pos,
+          floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS m
+        FROM asg$i a, generate_series(1, $dim) g(i) GROUP BY 1, 2),
+      raw$i AS (
+        SELECT p.cluster, coalesce(u.c, p.c) AS c
+        FROM cent$i p LEFT JOIN (
+          SELECT cluster, list(m ORDER BY pos) AS c FROM avg$i GROUP BY 1
+        ) u USING (cluster)),
+      cent${i + 1} AS (
+        SELECT r.cluster,
+          CASE WHEN n.nn = 0 THEN r.c
+            ELSE list_transform(r.c,
+              x -> floor(x / n.nn * $gs + 0.5) / $gs) END AS c
+        FROM raw$i r JOIN (
+          SELECT cluster, sqrt(sum(x * x)) AS nn
+          FROM (SELECT cluster, unnest(c) AS x FROM raw$i) GROUP BY 1
+        ) n USING (cluster))"""
+    s"""WITH
+      v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+      nrm AS (
+        SELECT id, list_transform(e0,
+          x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+        FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn FROM v0)),
+      trn AS (SELECT * FROM nrm),
+      cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
+            AS cluster, e AS c
+        FROM (SELECT id, e FROM trn ORDER BY id LIMIT $k)),
+      ${(0 until iters).map(iterSql).mkString(",")},
+      posting AS (
+        SELECT id AS nid, e AS ce, cluster FROM (
+          SELECT n.id, n.e, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
+          FROM nrm n, cent$iters c) WHERE rn = 1),
+      probeAll AS (
+        SELECT qid, qe, cluster, crk FROM (
+          SELECT n.id AS qid, n.e AS qe, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster ASC) AS crk
+          FROM nrm n, cent$iters c WHERE n.id < 10) WHERE crk <= $maxProbe),
+      np(np) AS (VALUES (1), (2), (4), (8)),
+      scored AS (
+        SELECT np.np, p.qid, o.nid, list_dot_product(o.ce, p.qe) AS sim
+        FROM posting o JOIN probeAll p USING (cluster) CROSS JOIN np
+        WHERE o.nid <> p.qid AND p.crk <= np.np),
+      ap AS (SELECT np, qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY np, qid
+            ORDER BY sim DESC, nid ASC) AS rk
+          FROM scored) WHERE rk <= $topK),
+      ex AS (SELECT qid, nid FROM ($KnnSql) t),
+      h AS (SELECT np, CAST(count(*) AS BIGINT) AS hits
+        FROM ap JOIN ex USING (qid, nid) GROUP BY 1),
+      nr AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM ex)
+      SELECT CAST(np.np AS INTEGER) AS nprobe,
+        CAST(COALESCE(hits, 0) AS BIGINT) AS n_hits, n_rel,
+        floor(CAST(COALESCE(hits, 0) AS DOUBLE) / n_rel * 1e6 + 0.5)
+          / 1e6 AS recall6
+      FROM np LEFT JOIN h ON h.np = np.np CROSS JOIN nr
+      ORDER BY nprobe"""
   }
 
   /** DuckDB replay of grid-portable PQ-ADC (see [[pqSubCtes]]). */
