@@ -159,6 +159,68 @@ object DedupOps {
         TextOps.round6(abs(est - col("jaccard"))).as("err6"))
   }
 
+  /** LSH banding tuning curve — [[minhashNearDup]]'s (bands, rows) knob
+    * swept over one shared signature set: per band count, how many
+    * candidate pairs the banding generates (the verification cost) and
+    * what fraction of the TRUE ≥τ pairs it reaches (the recall — the
+    * s-curve every LSH deployment is tuned on; more bands = more
+    * candidates = higher recall). Candidates join on the band SLICE
+    * value itself (portable — no bandhash), signatures are the
+    * md5-portable lanes of [[minhashCalibration]], so the whole sweep
+    * is DuckDB-oracled.
+    *
+    * Scale shape: ONE signature aggregation (k conditional mins in one
+    * HashAggregate), per-tier band equi-joins (never all-pairs), true
+    * pairs from the persisted [[jaccardPairs]] postings; per-tier
+    * totals are bounded driver scalars. */
+  def lshBandCurve(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, k: Int, bandCounts: Seq[Int],
+                   threshold: Double): DataFrame = {
+    require(bandCounts.nonEmpty && bandCounts.forall(b => b >= 1 && k % b == 0),
+      s"every band count must divide k=$k")
+    val sh = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"),
+          TextOps.shinglesOfTokens(
+            TextOps.tokens(col("__txt")), n).as("shs"))
+        .filter(size(col("shs")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val ex = sh.select(col("id"), explode(col("shs")).as("s"))
+    val lanes = (0 until k).map(i =>
+      min(portableHash60(concat_ws("_", col("s"), lit(i.toString))))
+        .as(s"__m$i"))
+    val sig = graft.Caches.track(ex.groupBy("id")
+      .agg(lanes.head, lanes.tail: _*)
+      .select(col("id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val truePairs = graft.Caches.track(
+      jaccardPairs(df, idCol, textCol, n, threshold)
+        .select("id1", "id2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nTrue = truePairs.count() // bounded: the ≥τ pair set
+    val rows = bandCounts.map { b =>
+      val r = k / b
+      val banded = sig.select(col("id"), posexplode(
+        array((0 until b).map(i => slice(col("sig"), i * r + 1, r)): _*)))
+        .toDF("id", "band", "bs")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bs") === col("b.bs")
+            && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id1"), col("b.id").as("id2"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = cand.count()
+      val nHit = cand.join(truePairs, Seq("id1", "id2")).count()
+      cand.unpersist(blocking = false)
+      (b, nCand, nHit, nTrue,
+        math.floor(nHit.toDouble / nTrue.toDouble * 1e6 + 0.5) / 1e6)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF("bands", "n_candidates", "n_hits", "n_true", "recall6")
+  }
+
   /** Per-document n-gram NOVELTY against the id-ordered corpus: the
     * fraction of a doc's distinct n-grams whose FIRST occurrence
     * (minimum doc id) is the doc itself — the "does this doc add

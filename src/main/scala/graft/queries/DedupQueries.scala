@@ -338,6 +338,14 @@ object DedupQueries {
     // near-dups into the corpus — fraction of each source's docs that
     // sit in ≥1 exact-Jaccard pair. One pair generation, one distinct
     // dup-id projection, one broadcast join back to doc sources.
+    // LSH band-count sweep: candidate volume vs true-pair recall for
+    // bands ∈ {2,4,8,16} over ONE md5-portable 16-lane signature set —
+    // the s-curve the d04 banding knob is tuned on, fully oracled.
+    "d41_lsh_band_curve" -> ((s, d) =>
+      DedupOps.lshBandCurve(Tables.documents(s, d), "doc_id", "text",
+          n = 3, k = 16, bandCounts = Seq(2, 4, 8, 16), threshold = 0.5)
+        .orderBy("bands")),
+
     // Cross-source duplication matrix: which source pairs feed each
     // other's near-dups (same-source pairs on the diagonal) — d39's
     // per-source rate broken out by the OTHER end. One pair pass + two
@@ -781,6 +789,50 @@ object DedupQueries {
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
     // d39: d03's pair CTEs → distinct dup ids → per-source rates.
+    // d41: d37's portable lane hash → 16-lane signatures as ordered
+    // lists; every band tier slices the SAME signature (candidates join
+    // on the slice VALUE, exactly like the Spark side) and closes
+    // against the exact ≥τ pair set.
+    "d41_lsh_band_curve" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         lh AS (SELECT doc_id, l.lane,
+             min(CAST(concat('0x', substr(md5(sh || '_'
+               || CAST(l.lane AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+           FROM sh, LATERAL unnest(range(0, 16)) AS l(lane)
+           GROUP BY 1, 2),
+         sig AS (SELECT doc_id, list(m ORDER BY lane) AS sig
+           FROM lh GROUP BY 1),
+         bc(b) AS (VALUES (2), (4), (8), (16)),
+         banded AS (SELECT bc.b, doc_id, CAST(g.i AS INTEGER) AS band,
+             sig[(CAST(g.i AS INTEGER) * (16 // bc.b) + 1)
+               :((CAST(g.i AS INTEGER) + 1) * (16 // bc.b))] AS bs
+           FROM sig CROSS JOIN bc,
+             LATERAL unnest(range(0, bc.b)) AS g(i)),
+         cand AS (SELECT DISTINCT a.b, a.doc_id AS id1, c.doc_id AS id2
+           FROM banded a JOIN banded c ON a.b = c.b AND a.band = c.band
+             AND a.bs = c.bs AND a.doc_id < c.doc_id),
+         h AS (SELECT b, CAST(count(*) AS BIGINT) AS n_candidates
+           FROM cand GROUP BY 1),
+         ht AS (SELECT b, CAST(count(*) AS BIGINT) AS n_hits
+           FROM cand JOIN pairs USING (id1, id2) GROUP BY 1),
+         nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM pairs)
+         SELECT CAST(bc.b AS INTEGER) AS bands,
+           CAST(COALESCE(n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits, n_true,
+           floor(CAST(COALESCE(n_hits, 0) AS DOUBLE) / n_true * 1e6 + 0.5)
+             / 1e6 AS recall6
+         FROM bc LEFT JOIN h ON h.b = bc.b LEFT JOIN ht ON ht.b = bc.b
+         CROSS JOIN nt ORDER BY bands""",
     // d40: the d39 pair CTEs closed by the canonicalized source matrix.
     "d40_cross_source_dups" ->
       s"""WITH $ShingleCte,
