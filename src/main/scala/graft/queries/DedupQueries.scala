@@ -338,6 +338,20 @@ object DedupQueries {
     // near-dups into the corpus — fraction of each source's docs that
     // sit in ≥1 exact-Jaccard pair. One pair generation, one distinct
     // dup-id projection, one broadcast join back to doc sources.
+    // Dup-family size histogram: count-of-counts over d08's components
+    // — "are my duplicates pairs or hundred-doc boilerplate families"
+    // (pairs dedup cheaply; giant families mean a template to excise).
+    "d42_cluster_sizes" -> ((s, d) => {
+      import graft.ops.GraphOps
+      val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      GraphOps.dupClusters(pairs, "id1", "id2")
+        .groupBy("csize")
+        .agg(countDistinct(col("comp")).as("n_clusters"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("csize")
+    }),
+
     // LSH band-count sweep: candidate volume vs true-pair recall for
     // bands ∈ {2,4,8,16} over ONE md5-portable 16-lane signature set —
     // the s-curve the d04 banding knob is tuned on, fully oracled.
@@ -789,6 +803,32 @@ object DedupQueries {
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
     // d39: d03's pair CTEs → distinct dup ids → per-source rates.
+    // d42: the d08 component CTEs closed by the count-of-counts.
+    "d42_cluster_sizes" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a AS id, a AS comp FROM edges
+           UNION
+           SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         cs AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
+           FROM comps GROUP BY 1)
+         SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(csize) AS BIGINT) AS n_docs
+         FROM cs GROUP BY csize ORDER BY csize""",
     // d41: d37's portable lane hash → 16-lane signatures as ordered
     // lists; every band tier slices the SAME signature (candidates join
     // on the slice VALUE, exactly like the Spark side) and closes
