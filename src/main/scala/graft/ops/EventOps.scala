@@ -796,6 +796,45 @@ object EventOps {
                   .cast("double"))))).as("acf6"))
   }
 
+  /** Full correlogram — [[volumeAutocorr]] swept over lags 1..maxLag in
+    * ONE plan: the hourly aggregate joins a lag-exploded copy of itself
+    * (still an epoch-second equi-join; the explode fans out the BOUNDED
+    * per-type hourly frame, never the raw events), and every (type, lag)
+    * cell closes from exact BIGINT co-moments. The peak row IS the
+    * period detector (acf spiking at lag 24 = daily rhythm). */
+  def correlogram(df: DataFrame, typeCol: String, tsCol: String,
+                  maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val b = graft.Caches.track(df.groupBy(col(typeCol).as("t"),
+        unix_timestamp(date_trunc("hour", col(tsCol))).as("h"))
+      .agg(count(lit(1)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val y = b.select(col("t"), col("h"), col("v").as("y"))
+    val x = b.select(col("t"), col("h"), col("v").as("x"))
+      .select(col("t"), col("x"),
+        explode(array((1 to maxLag).map(lit): _*)).as("lag"),
+        col("h"))
+      .select(col("t"), col("lag"),
+        (col("h") + col("lag").cast("long") * lit(3600L)).as("h"), col("x"))
+    y.join(x, Seq("t", "h"))
+      .groupBy("t", "lag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("t").as(typeCol), col("lag"), col("n"),
+        when(col("n") >= 2
+            && col("n") * col("sxx") - col("sx") * col("sx") > 0
+            && col("n") * col("syy") - col("sy") * col("sy") > 0,
+          graft.ops.TextOps.round6(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double"))))).as("acf6"))
+  }
+
   /** DAU/MAU stickiness — per calendar day: distinct active users, the
     * containing month's distinct actives, and their ratio (the
     * "how habitual is usage" product metric; 1.0 = every monthly user

@@ -338,6 +338,23 @@ object DedupQueries {
     // near-dups into the corpus — fraction of each source's docs that
     // sit in ≥1 exact-Jaccard pair. One pair generation, one distinct
     // dup-id projection, one broadcast join back to doc sources.
+    // Jaccard threshold curve: surviving pair volume per τ tier over
+    // ONE pair pass (conditional counts on the τ=0.5 frame) — how
+    // aggressive can the dedup threshold get before the pair population
+    // collapses; the d03 knob's tuning table.
+    "d43_threshold_curve" -> ((s, d) => {
+      val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      pairs.select(
+          explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
+            .as("tau"),
+          col("jaccard"))
+        .groupBy("tau")
+        .agg(sum(when(col("jaccard") >= col("tau"), 1L).otherwise(0L))
+          .as("n_pairs"))
+        .orderBy("tau")
+    }),
+
     // Dup-family size histogram: count-of-counts over d08's components
     // — "are my duplicates pairs or hundred-doc boilerplate families"
     // (pairs dedup cheaply; giant families mean a template to excise).
@@ -803,6 +820,30 @@ object DedupQueries {
              AS BIGINT)) AS DOUBLE) / 1e6 AS aa6
          FROM ne GROUP BY 1, 2 ORDER BY id1, id2""",
     // d39: d03's pair CTEs → distinct dup ids → per-source rates.
+    // d43: the exact pair frame closed by conditional counts per τ;
+    // both engines compare the identical jaccard double to the same
+    // DOUBLE literals.
+    "d43_threshold_curve" ->
+      s"""WITH $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT CAST(i AS DOUBLE)
+               / CAST(s1.nsh + s2.nsh - i AS DOUBLE) AS jac
+           FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         taus(tau) AS (VALUES (CAST(0.5 AS DOUBLE)),
+           (CAST(0.6 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+           (CAST(0.8 AS DOUBLE)), (CAST(0.9 AS DOUBLE)))
+         SELECT tau,
+           CAST(sum(CASE WHEN jac >= tau THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pairs
+         FROM pairs CROSS JOIN taus GROUP BY tau ORDER BY tau""",
     // d42: the d08 component CTEs closed by the count-of-counts.
     "d42_cluster_sizes" ->
       s"""WITH RECURSIVE $ShingleCte,

@@ -522,6 +522,12 @@ object EventQueries {
           lagBuckets = 24)
         .orderBy("event_type")),
 
+    // Full correlogram, lags 1..24 per type in ONE plan — e63's single
+    // lag swept; the lag-24 spike is the daily-rhythm detector.
+    "e68_correlogram" -> ((s, d) =>
+      EventOps.correlogram(ev(s, d), "event_type", "ts", maxLag = 24)
+        .orderBy("event_type", "lag")),
+
     // DAU/MAU stickiness per day: two distinct-frame counts off one
     // projection, calendar-bounded month side broadcast back.
     "e62_stickiness" -> ((s, d) =>
@@ -2344,6 +2350,29 @@ object EventQueries {
            floor(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) * 1e6 + 0.5)
              / 1e6 AS stickiness6
          FROM dau JOIN mau USING (mon) ORDER BY day""",
+    // e68: e63's oracle swept by a lag VALUES join.
+    "e68_correlogram" ->
+      """WITH b AS (SELECT event_type AS t,
+           CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+           count(*) AS v
+         FROM events GROUP BY 1, 2),
+         lg AS (SELECT CAST(u.l AS INTEGER) AS lag
+           FROM unnest(range(1, 25)) AS u(l)),
+         j AS (SELECT y.t, lg.lag, x.v AS x, y.v AS y
+           FROM b y CROSS JOIN lg
+           JOIN b x ON y.t = x.t AND y.h = x.h + lg.lag * 3600),
+         s AS (SELECT t, lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+           FROM j GROUP BY 1, 2)
+         SELECT t AS event_type, lag, n,
+           CASE WHEN n >= 2 AND (n * sxx - sx * sx) > 0
+               AND (n * syy - sy * sy) > 0
+             THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6
+           END AS acf6
+         FROM s ORDER BY event_type, lag""",
     // e63: identical BIGINT co-moment sums over hourly counts (DuckDB
     // widens through HUGEINT — cast at the close), f70's closing shape.
     "e63_volume_autocorr" ->

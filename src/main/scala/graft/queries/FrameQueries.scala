@@ -59,6 +59,24 @@ object FrameQueries {
          sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  // f73: standard window functions through ONE SQL text both engines
+  // execute — keyed ROWS frame, ranking, and lag on a TOTAL sort
+  // ((orderkey, linenumber) alone is not unique — the f70 lesson);
+  // quantities are integral doubles, so the frame sums are exact.
+  private val WindowParitySql =
+    """SELECT l_orderkey, l_linenumber,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+           ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS qty_10,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+           ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice)
+           AS BIGINT) AS rn,
+         lag(l_quantity) OVER (PARTITION BY l_returnflag
+           ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice)
+           AS prev_qty
+       FROM lineitem
+       ORDER BY l_returnflag, rn"""
+
   private def li(s: SparkSession, d: String): GFrame =
     GFrame.fromDF(Tables.lineitem(s, d).withColumn("idx", liIdx), "idx")
   private def ord(s: SparkSession, d: String): GFrame =
@@ -432,6 +450,13 @@ object FrameQueries {
     "f45_q10_sql" -> ((s, d) => {
       graft.Tables.registerAll(s, d)
       s.sql(Q10Sql)
+    }),
+
+    // Standard window functions through the SQL surface (the f45
+    // contract): ROWS frame + ranking + lag on one keyed exchange.
+    "f73_window_sql" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(WindowParitySql)
     }),
 
     // Conditional aggregates (FILTER clause) through the SQL surface —
@@ -1258,6 +1283,7 @@ object FrameQueries {
     "f45_q10_sql" -> Q10Sql,
     "f68_grouping_sets" -> GroupingSetsSql,
     "f71_filter_agg" -> FilterAggSql,
+    "f73_window_sql" -> WindowParitySql,
     "f48_welch_ttest" ->
       """WITH st AS (SELECT event_type AS g, count(value) AS n,
              avg(value) AS mu, var_samp(value) AS s2
