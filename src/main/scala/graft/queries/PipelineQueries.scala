@@ -200,6 +200,31 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // ONE-ROW dataset release card: the top-of-README numbers a corpus
+    // ships with — docs, tokens, language/source spread, mean quality,
+    // near-dup exposure — p05's per-source card collapsed corpus-wide
+    // and joined with d39's dup set, all in one aggregate + one bounded
+    // scalar.
+    "p22_dataset_card" -> ((s, d) => {
+      import graft.ops.DedupOps
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      val dup = pairs.select(col("id1").as("i"))
+        .unionByName(pairs.select(col("id2").as("i")))
+        .distinct().count() // bounded: the dup-doc set
+      docs.agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          TextOps.round6(avg(TextOps.qualityScore(col("text"))))
+            .as("mean_quality"))
+        .withColumn("n_dup_docs", lit(dup))
+        .withColumn("dup_rate6", TextOps.round6(
+          lit(dup).cast("double") / col("n_docs").cast("double")))
+    }),
+
     // Deterministic 5-fold CV assignment: per (fold, source) doc counts
     // + fold share — the leakage-free-by-id cross-validation manifest.
     "p21_kfold" -> ((s, d) => {
@@ -627,6 +652,44 @@ object PipelineQueries {
          SELECT stage, shard, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    // p22: p05's quality CTEs corpus-wide + d39's dup set, one row.
+    "p22_dataset_card" ->
+      s"""WITH ${DedupQueries.ShingleCte},
+         dup AS (SELECT DISTINCT id FROM (
+           SELECT a.doc_id AS id
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1) s1
+             ON a.doc_id = s1.doc_id
+           JOIN (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1) s2
+             ON b.doc_id = s2.doc_id
+           GROUP BY a.doc_id, b.doc_id, s1.nsh, s2.nsh
+           HAVING count(*) * 1.0 / (s1.nsh + s2.nsh - count(*)) >= 0.5
+           UNION ALL
+           SELECT b.doc_id
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           JOIN (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1) s1
+             ON a.doc_id = s1.doc_id
+           JOIN (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1) s2
+             ON b.doc_id = s2.doc_id
+           GROUP BY a.doc_id, b.doc_id, s1.nsh, s2.nsh
+           HAVING count(*) * 1.0 / (s1.nsh + s2.nsh - count(*)) >= 0.5)),
+         t AS (SELECT source, lang, text, $Toks AS ts FROM documents),
+         q AS (SELECT source, lang, len(ts) AS ntok,
+             floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
+               1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                 len(list_filter(ts, x -> x IN ('the','a','an','of','and',
+                   'to','in','is','on','for','with'))) * 1.0 / len(ts) END)
+                 * 2.0) * 1e6 + 0.5) / 1e6 AS qual
+           FROM t)
+         SELECT count(*) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           floor(avg(qual) * 1e6 + 0.5) / 1e6 AS mean_quality,
+           (SELECT CAST(count(*) AS BIGINT) FROM dup) AS n_dup_docs,
+           floor((SELECT count(*) FROM dup) * 1.0 / count(*)
+             * 1e6 + 0.5) / 1e6 AS dup_rate6
+         FROM q""",
     // p21: the p11 md5-long spelling mod k; shares divide exact counts.
     "p21_kfold" ->
       """WITH f AS (SELECT doc_id, source,
