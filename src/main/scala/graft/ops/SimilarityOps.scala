@@ -764,6 +764,24 @@ object SimilarityOps {
     pqAdcRank(codes, pqLut(q0, books, subDim), k)
   }
 
+  /** Threshold RANGE search (FAISS `range_search`): every neighbor with
+    * cosine ≥ τ, not a fixed top-k — the semantics dedup/recall jobs
+    * actually want ("all matches above 0.9", however many). Same
+    * sanctioned probe-broadcast × corpus-scan shape as [[knnBruteForce]]
+    * but the close is a FILTER, not a heap — no per-query window at
+    * all; at scale the same τ filter composes onto IVF candidates. */
+  def rangeSearch(corpus: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, minSim: Double,
+                  grid: Option[Double] = None): DataFrame = {
+    val c = normalizedQ(corpus, idCol, vecCol, "nid", "ce", grid)
+    val q = normalizedQ(probes, idCol, vecCol, "qid", "qe", grid)
+    c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.DotProduct.dotNative(col("ce"), col("qe"))
+          .as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+
   /** 1-bit binary quantization (FAISS's binary-flat family): each
     * 64-dim vector compresses to TWO 32-bit sign masks packed in longs —
     * a 32× memory cut, and similarity becomes Hamming distance (xor +

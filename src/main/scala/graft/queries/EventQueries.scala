@@ -486,6 +486,28 @@ object EventQueries {
             / col("n_click").cast("double")).as("purchase_step6"))
     }),
 
+    // Time BETWEEN sessions per user (return frequency): next session's
+    // start minus this session's end over e02's sessionizer — exact µs
+    // integer gaps, one keyed lead window over the bounded session
+    // frame; users with one session drop.
+    "e69_session_gaps" -> ((s, d) => {
+      val sess = EventOps.sessions(ev(s, d), "user_id", "ts",
+        "event_id", 1800L)
+      val w = Window.partitionBy("user_id").orderBy("session_start")
+      sess
+        .withColumn("__next",
+          lead(unix_micros(col("session_start")), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .select(col("user_id"),
+          (col("__next") - unix_micros(col("session_end"))).as("__gap"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), sum(col("__gap")).as("gap_us"))
+        .withColumn("mean_gap_s6", graft.ops.TextOps.round6(
+          col("gap_us").cast("double") / col("n_gaps").cast("double")
+            / lit(1e6)))
+        .orderBy("user_id")
+    }),
+
     // Gap-based sessionization (30-min inactivity) per user.
     "e02_sessions" -> ((s, d) =>
       EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
@@ -2350,6 +2372,39 @@ object EventQueries {
            floor(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) * 1e6 + 0.5)
              / 1e6 AS stickiness6
          FROM dau JOIN mau USING (mon) ORDER BY day""",
+    // e69: e09's session CTEs + one lead window + the per-user close;
+    // gaps are exact µs integers.
+    "e69_session_gaps" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+           FROM events),
+         marked AS (
+           SELECT user_id, ts,
+             CASE WHEN prev IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new, event_id
+           FROM x),
+         numbered AS (
+           SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+           FROM marked),
+         sess AS (
+           SELECT user_id, session_id, min(ts) AS session_start,
+             max(ts) AS session_end
+           FROM numbered GROUP BY 1, 2),
+         g AS (SELECT user_id,
+             epoch_us(lead(session_start) OVER (PARTITION BY user_id
+               ORDER BY session_start)) - epoch_us(session_end) AS gap
+           FROM sess)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS gap_us,
+           floor(CAST(sum(gap) AS DOUBLE) / count(*) / 1e6 * 1e6 + 0.5)
+             / 1e6 AS mean_gap_s6
+         FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY 1""",
     // e68: e63's oracle swept by a lag VALUES join.
     "e68_correlogram" ->
       """WITH b AS (SELECT event_type AS t,

@@ -40,6 +40,17 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // Threshold RANGE search (FAISS range_search): all neighbors with
+    // cosine ≥ 0.3 — variable-cardinality results, a filter close
+    // instead of a top-k heap.
+    "v26_range_search" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.rangeSearch(e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", minSim = 0.3, grid = Some(Grid))
+        .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
+        .orderBy("qid", "nid")
+    }),
+
     // IVF nprobe tuning curve: micro-recall@5 (total hits / total
     // relevant — exact integers) for nprobe ∈ {1,2,4,8} against ONE
     // persisted index — the recall-vs-probe-cost datasheet an IVF
@@ -441,6 +452,7 @@ object SimilarityQueries {
 
   /** 2^20 — the dyadic quantization grid for the portable IVF gates. */
   private val Grid = 1048576.0
+  private val GridS = f"$Grid%.1f"
 
   /** v18 oracle: the MMR greedy unrolled — candidates + pair sims as
     * MATERIALIZED CTEs, then k selection rounds, each an anti-screen
@@ -775,6 +787,22 @@ object SimilarityQueries {
     "v23_binary_hamming" -> BinaryHammingSql,
     "v25_nprobe_curve" -> nprobeCurveOracle(k = 16, iters = 3,
       maxProbe = 8, topK = 5, dim = 64, g = Grid),
+    // v26: the grid-normalized exact dots closed by a τ filter; same
+    // snap/round discipline as the kNN replays.
+    "v26_range_search" ->
+      s"""WITH v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+         nrm AS (SELECT id,
+             list_transform(e0, x -> floor(x / nn * $GridS + 0.5) / $GridS)
+               AS e
+           FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
+                 FROM v0)),
+         q AS (SELECT * FROM nrm WHERE id < 10)
+         SELECT q.id AS qid, c.id AS nid,
+           floor(list_dot_product(c.e, q.e) * 1e6 + 0.5) / 1e6 AS sim
+         FROM nrm c JOIN q ON c.id <> q.id
+         WHERE list_dot_product(c.e, q.e) >= 0.3
+         ORDER BY qid, nid""",
     // v24: the v16 recall closing over the binary ranking — what does
     // 32× compression cost in neighbors?
     "v24_binary_recall" ->

@@ -31,6 +31,8 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
                           // 16-byte xor+popcount scan is the cheap
                           // exhaustive baseline (FAISS BinaryFlat)
     "v24_binary_recall", // scores v23's sanctioned scan against v01's
+    "v26_range_search", // threshold range search — the sanctioned
+                        // brute-force shape with a filter close
     // welch pairs: the inequality join runs AFTER the partial+final
     // aggregate collapsed the data to |groups| rows — the nested-loop is
     // over a bounded broadcast (|groups|² pairs), never data-sized
