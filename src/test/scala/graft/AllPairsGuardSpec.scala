@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.AnalysisException
+import graft.plans.AllPairsViolation
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -24,14 +24,14 @@ class AllPairsGuardSpec extends AnyFunSuite with SparkFixture {
     assert(a.crossJoin(b).count() == 4)
   }
 
-  test("armed: CROSS join fails at optimization time, no tasks launch") {
-    val e = intercept[AnalysisException] { armed(a.crossJoin(b).count()) }
+  test("armed: CROSS join fails at optimization time (typed AllPairsViolation), no tasks launch") {
+    val e = intercept[AllPairsViolation] { armed(a.crossJoin(b).count()) }
     assert(e.getMessage.contains("all-pairs guard"))
   }
 
   test("armed: equality-free join condition (nested-loop shape) fails; " +
     "a <> b alone does not count as a key") {
-    val e = intercept[AnalysisException] {
+    val e = intercept[AllPairsViolation] {
       armed(a.join(b, a("id") =!= b("id")).count())
     }
     assert(e.getMessage.contains("no equality conjunct"))
