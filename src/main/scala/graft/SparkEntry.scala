@@ -942,6 +942,33 @@ object SparkEntry {
     // single-task (unbounded prefix multiset — no bounded carry exists);
     // this is its documented scale path. Approximate → rows-only; the
     // per-row eps·n rank bound is asserted in SeriesSpec.
+    // pandas DEFAULT s.interpolate() — global, un-keyed, method='linear':
+    // interior nulls take the positional line between non-null neighbors,
+    // leading gaps stay null, trailing gaps carry the last observation.
+    // Two bucketed passes (stage global position, then interpolate over
+    // it), cross-bucket context = four bounded offsets; no single-task
+    // window. Per-row IEEE arithmetic on exact inputs with the identical
+    // oracle spelling → bit-deterministic, no rounding needed.
+    "s109_interpolate" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val v = Series.fromExpr(o,
+        when(pmod(col("o_orderkey"), lit(7)).isin(2, 3),
+          lit(null).cast("double")).otherwise(col("o_totalprice")),
+        "px", col("o_orderkey"), "idx")
+      ordered(v.interpolate())
+    }),
+    // s.interpolate(method='index', limit=2, limit_direction='both'):
+    // fraction weights by index-LABEL distance (orderkeys are sparse, so
+    // this differs from s106's positional line), the limit counts rows
+    // from each run's anchors, and 'both' back-fills leading edges too.
+    "s110_interp_index_limit" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val v = Series.fromExpr(o,
+        when(pmod(col("o_orderkey"), lit(7)).isin(2, 3),
+          lit(null).cast("double")).otherwise(col("o_totalprice")),
+        "px", col("o_orderkey"), "idx")
+      ordered(v.interpolate("index", Some(2), "both"))
+    }),
     "s105_expanding_qtile_approx" -> ((s, d) => {
       val o = Tables.orders(s, d)
       Series.fromExpr(o, col("o_totalprice"), "v",
@@ -1749,6 +1776,70 @@ object SparkEntry {
            FROM g)
          SELECT idx, floor(v * 1e2 + 0.5) / 1e2 AS v
          FROM f ORDER BY idx"""),
+    // s106: the same four last/first-ignore-nulls anchors + positional
+    // line, spelled identically → bit-deterministic, no rounding.
+    "s109_interpolate" ->
+      ("""WITH t AS (SELECT o_orderkey AS idx,
+             CASE WHEN o_orderkey % 7 IN (2, 3) THEN NULL
+               ELSE o_totalprice END AS v
+           FROM orders),
+         p AS (SELECT idx, v,
+             CAST(row_number() OVER (ORDER BY idx) AS DOUBLE) AS pos
+           FROM t),
+         w AS (SELECT idx, v, pos,
+             last_value(v IGNORE NULLS) OVER (ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER (ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+             first_value(v IGNORE NULLS) OVER (ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER (ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+           FROM p)
+         SELECT idx, CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN NULL WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (pos - pc) / (nc - pc) END AS px
+         FROM w ORDER BY idx"""),
+    // s107: label-distance line + row-counted limit from both anchors;
+    // a NULL limit predicate (edge run missing an anchor) acts as false
+    // on both engines.
+    "s110_interp_index_limit" ->
+      ("""WITH t AS (SELECT o_orderkey AS idx,
+             CASE WHEN o_orderkey % 7 IN (2, 3) THEN NULL
+               ELSE o_totalprice END AS v
+           FROM orders),
+         p AS (SELECT idx, v,
+             CAST(row_number() OVER (ORDER BY idx) AS DOUBLE) AS pos
+           FROM t),
+         w AS (SELECT idx, v, pos, CAST(idx AS DOUBLE) AS cx,
+             last_value(v IGNORE NULLS) OVER (ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN CAST(idx AS DOUBLE)
+                 END IGNORE NULLS)
+               OVER (ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcx,
+             last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER (ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ppos,
+             first_value(v IGNORE NULLS) OVER (ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN CAST(idx AS DOUBLE)
+                 END IGNORE NULLS)
+               OVER (ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ncx,
+             first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+               OVER (ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS npos
+           FROM p)
+         SELECT idx, CASE WHEN v IS NOT NULL THEN v
+             WHEN NOT (pos - ppos <= 2 OR npos - pos <= 2) THEN NULL
+             WHEN (pos - ppos <= 2 OR npos - pos <= 2) IS NULL THEN NULL
+             WHEN pv IS NULL AND nv IS NULL THEN NULL
+             WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (cx - pcx) / (ncx - pcx) END AS px
+         FROM w ORDER BY idx"""),
     "s104_scale" ->
       ("""WITH st AS (SELECT avg(l_quantity) AS mu,
              stddev_samp(l_quantity) AS sd,

@@ -199,6 +199,12 @@ final class GlobalWindows private[graft] (
     * the lazy offsets job). */
   private val sumExtras = mutable.LinkedHashSet.empty[String]
 
+  /** Interpolation coordinates whose prev/next NON-NULL-value offsets must
+    * ride in [[offsetsDF]] (registered by [[interpolate]] before result()
+    * forces the lazy offsets job). Key = coordinate name ([[IdxCoordKey]]
+    * for the index coordinate); value = the double coordinate column. */
+  private val interpCoords = mutable.LinkedHashMap.empty[String, Column]
+
   private lazy val valueDt = d.schema(valName).dataType
   private lazy val numericValue = valueDt.isInstanceOf[NumericType]
 
@@ -220,6 +226,15 @@ final class GlobalWindows private[graft] (
     if (numericValue) aggs += F.sum(col(valName)).as("__gw_sm")
     val exNames = sumExtras.toSeq
     exNames.foreach { e => aggs += F.sum(col(e)).as(s"__gw_xs_$e") }
+    val ipNames = interpCoords.keys.toSeq
+    ipNames.foreach { k =>
+      val c = interpCoords(k)
+      // coordinate of the bucket's last/first non-null-VALUE row: the
+      // coordinate is monotone in the index, so max/min over non-null
+      // rows IS the boundary row's coordinate — no max_by tie hazard
+      aggs += F.max(when(col(valName).isNotNull, c)).as(s"__gw_ipl_$k")
+      aggs += F.min(when(col(valName).isNotNull, c)).as(s"__gw_ipf_$k")
+    }
     val statsDf = keyed.groupBy(col(Bkt))
       .agg(aggs.head, aggs.tail.toSeq: _*)
     val sumDt =
@@ -235,6 +250,8 @@ final class GlobalWindows private[graft] (
     val iBf = statsDf.schema.fieldIndex("__gw_firstnn")
     val iSm = if (numericValue) statsDf.schema.fieldIndex("__gw_sm") else -1
     val iEx = exNames.map(e => statsDf.schema.fieldIndex(s"__gw_xs_$e"))
+    val iIpl = ipNames.map(k => statsDf.schema.fieldIndex(s"__gw_ipl_$k"))
+    val iIpf = ipNames.map(k => statsDf.schema.fieldIndex(s"__gw_ipf_$k"))
 
     // backward pass first: first non-null value of any FOLLOWING bucket
     val bfOff = new Array[Any](n)
@@ -244,6 +261,15 @@ final class GlobalWindows private[graft] (
       val fn = stats(i).get(iBf)
       if (fn != null) bf = fn
     }
+    // backward pass: next non-null-value COORDINATE per registered
+    // interpolation coordinate (mirrors bfOff)
+    val ncOff = Array.ofDim[Any](n, ipNames.length)
+    val ncCur = Array.fill[Any](ipNames.length)(null)
+    for (i <- stats.indices.reverse; j <- ipNames.indices) {
+      ncOff(i)(j) = ncCur(j)
+      val f = stats(i).get(iIpf(j))
+      if (f != null) ncCur(j) = f
+    }
     // forward pass: exclusive count / max / min / sum / last-non-null
     var cnt = 0L
     var mx: Any = null
@@ -251,14 +277,17 @@ final class GlobalWindows private[graft] (
     var ff: Any = null
     var sm: Any = null
     val exSm = Array.fill[Any](exNames.length)(null)
+    val pcCur = Array.fill[Any](ipNames.length)(null)
     val rows = stats.zipWithIndex.map { case (r, i) =>
       val out = Row.fromSeq(Seq(r.getLong(0), cnt, mx, mn, sm, ff,
-        bfOff(i)) ++ exSm.toSeq)
+        bfOff(i)) ++ pcCur.toSeq ++ ncOff(i).toSeq ++ exSm.toSeq)
       cnt += r.getLong(iCnt)
       mx = pickBy(mx, r.get(iMx), gtr = true)
       mn = pickBy(mn, r.get(iMn), gtr = false)
       if (r.get(iFf) != null) ff = r.get(iFf)
       if (numericValue) sm = addAny(sm, r.get(iSm), sumDt)
+      for (j <- ipNames.indices)
+        if (r.get(iIpl(j)) != null) pcCur(j) = r.get(iIpl(j))
       for (j <- exNames.indices)
         exSm(j) = addAny(exSm(j), r.get(iEx(j)), exDts(j))
       out
@@ -271,6 +300,8 @@ final class GlobalWindows private[graft] (
       StructField(SumOff, sumDt, nullable = true),
       StructField(FfOff, valueDt, nullable = true),
       StructField(BfOff, valueDt, nullable = true)) ++
+      ipNames.map(k => StructField(ipOffP(k), DoubleType, nullable = true)) ++
+      ipNames.map(k => StructField(ipOffN(k), DoubleType, nullable = true)) ++
       exNames.zip(exDts).map { case (e, dt) =>
         StructField(exOff(e), dt, nullable = true) })
     d.sparkSession.createDataFrame(rows.toSeq.asJava, schema)
@@ -466,6 +497,79 @@ final class GlobalWindows private[graft] (
       .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)),
     off(BfOff))
 
+  /** Global interpolation (pandas s.interpolate()): interior nulls take
+    * the line between their non-null neighbors along a monotone DOUBLE
+    * coordinate — the index coordinate (`coordName = None`, pandas
+    * method='index') or a declared extra column (e.g. a staged global row
+    * position for pandas method='linear'). Cross-bucket context is four
+    * bounded offsets: the prev/next non-null VALUE (the ffill/bfill
+    * offsets) plus the prev/next non-null COORDINATE (two new per-bucket
+    * scalars registered here — [[offsetsDF]] walks them exactly like
+    * ffill's). Edge runs follow pandas limit_direction: forward carries
+    * the last observation into trailing gaps, backward back-fills leading
+    * gaps, both does both. `limit` caps how many rows of a null run are
+    * filled, counted from the run's anchor on the fill side along
+    * `posName` (a declared extra holding the global row position).
+    * Register-before-result, like [[cumsumExtra]]. */
+  def interpolate(coordName: Option[String] = None,
+      direction: String = "forward", limit: Option[Int] = None,
+      posName: Option[String] = None): Column = {
+    require(Set("forward", "backward", "both")(direction),
+      s"limit_direction must be forward|backward|both, got '$direction'")
+    limit.foreach(l => require(l >= 1, s"limit must be >= 1, got $l"))
+    def reg(n: Option[String]): (String, Column) = {
+      val key = n.getOrElse(IdxCoordKey)
+      n.foreach(e => require(extra.exists(_._1 == e),
+        s"interpolate coordinate '$e' is not a declared extra column"))
+      val c = n.map(col).getOrElse(coordExpr).cast("double")
+      interpCoords(key) = c
+      (key, c)
+    }
+    val (ck, coordC) = reg(coordName)
+    val fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = ffill()
+    val nv = bfill()
+    val nnCoord = when(!col(CarryCol) && col(valName).isNotNull, coordC)
+    val pc = coalesce(
+      F.last(nnCoord, ignoreNulls = true).over(cumw), off(ipOffP(ck)))
+    val nc = coalesce(
+      F.first(nnCoord, ignoreNulls = true).over(fwd), off(ipOffN(ck)))
+    val interior = pv + (nv - pv) * (coordC - pc) / (nc - pc)
+    val fillVal = direction match {
+      case "forward" =>
+        when(pv.isNull, lit(null)).when(nv.isNull, pv).otherwise(interior)
+      case "backward" =>
+        when(nv.isNull, lit(null)).when(pv.isNull, nv).otherwise(interior)
+      case _ =>
+        when(pv.isNull && nv.isNull, lit(null))
+          .when(pv.isNull, nv).when(nv.isNull, pv).otherwise(interior)
+    }
+    val allowed = limit match {
+      case None => lit(true)
+      case Some(l) =>
+        val (pk, posC) = reg(Some(posName.getOrElse(throw
+          new IllegalArgumentException(
+            "limit requires posName (a staged row-position extra)"))))
+        val nnPos = when(!col(CarryCol) && col(valName).isNotNull, posC)
+        val pPos = coalesce(
+          F.last(nnPos, ignoreNulls = true).over(cumw), off(ipOffP(pk)))
+        val nPos = coalesce(
+          F.first(nnPos, ignoreNulls = true).over(fwd), off(ipOffN(pk)))
+        // row distances to the run's anchors; an absent anchor (edge run)
+        // leaves its distance null — null comparisons are false, so the
+        // other side of an OR still applies for 'both'
+        val dprev = posC - pPos
+        val dnext = nPos - posC
+        direction match {
+          case "forward"  => dprev <= l
+          case "backward" => dnext <= l
+          case _          => dprev <= l || dnext <= l
+        }
+    }
+    when(col(valName).isNotNull, col(valName))
+      .otherwise(when(allowed, fillVal))
+  }
+
   // ---------------------------------------------------------------- results
 
   /** Materialize named expressions alongside the index: join the bucket
@@ -497,7 +601,10 @@ private[graft] object GlobalWindows {
   val SumOff = "__gw_sum_off"
   val FfOff = "__gw_ff_off"
   val BfOff = "__gw_bf_off"
+  val IdxCoordKey = "__gwidx"
   def exOff(n: String): String = s"__gw_xsum_${n}_off"
+  def ipOffP(k: String): String = s"__gw_ipp_${k}_off"
+  def ipOffN(k: String): String = s"__gw_ipn_${k}_off"
 
   /** External numeric value → double (driver-side bounds conversion). */
   private def numAsDouble(a: Any): Double =

@@ -1867,6 +1867,61 @@ final class Series private[graft] (
     else withValue(first(valueExpr, ignoreNulls = true)
       .over(ixWindow.rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)))
 
+  /** Global un-keyed interpolation in index order — the pandas DEFAULT
+    * call shape `s.interpolate(method=, limit=, limit_direction=)`
+    * ([[interpolateBy]] is the keyed sibling; closes the §2.1 #4/#5
+    * elementwise surface, ref: series.py:78-130). Interior nulls take the
+    * line between their non-null neighbors; edge runs follow
+    * `limitDirection` (forward, the pandas default: trailing gaps carry
+    * the last observation, leading gaps stay null). Methods:
+    *  - `"linear"` (pandas default): rows equally spaced — the gap
+    *    fraction is positional over the global row order;
+    *  - `"index"`: fraction weights by index-label distance.
+    *
+    * Scale shape (orderable indexes): the range-bucketed two-pass plan —
+    * method='index' without a limit is ONE bucketed window pass whose
+    * cross-bucket context is four bounded offsets (prev/next non-null
+    * value + coordinate, [[GlobalWindows.interpolate]]); linear (or any
+    * limit) first stages the global row position (itself the bucketed
+    * position plan), then interpolates over the staged coordinate — two
+    * keyed shuffles, no single-task window, no join. */
+  def interpolate(method: String = "linear", limit: Option[Int] = None,
+      limitDirection: String = "forward"): Series = {
+    require(Set("forward", "backward", "both")(limitDirection),
+      s"limit_direction must be forward|backward|both, got '$limitDirection'")
+    limit.foreach(l => require(l >= 1, s"limit must be >= 1, got $l"))
+    require(method == "linear" || method == "index",
+      s"interpolate method must be 'linear' or 'index', got '$method'")
+    val W = org.apache.spark.sql.expressions.Window
+    if (!orderableIdx) {
+      // single-task fallback, same caveat as ffill's: no monotone numeric
+      // coordinate to bucket by (linear only — 'index' needs one)
+      require(method == "linear",
+        "method='index' needs an orderable (numeric/date/string) index")
+      val posN = "__ip_pos"
+      val staged = base
+        .select(indexExpr.as(indexName), valueExpr.as(name))
+        .withColumn(posN,
+          row_number().over(W.orderBy(col(indexName))).cast("double"))
+      new Series(staged, name, indexName, col(indexName),
+        interpolateExpr(W.orderBy(col(indexName)), col(name), col(posN),
+          Some(col(posN)), limit, limitDirection))
+    } else if (method == "index" && limit.isEmpty) {
+      val g = globalWindows()
+      g.series(g.interpolate(None, limitDirection), name)
+    } else {
+      val posN = "__ip_pos"
+      val g1 = globalWindows()
+      val staged = g1.result(name -> g1.value,
+        posN -> g1.position().cast("double"))
+      val s2 = Series.fromKeyed(staged, name, indexName)
+      val g2 = s2.globalWindows(extra = Seq(posN -> col(posN)))
+      val coordName = if (method == "linear") Some(posN) else None
+      g2.series(
+        g2.interpolate(coordName, limitDirection, limit, Some(posN)), name)
+    }
+  }
+
   /** Forward-fill within each `by` group (pandas groupby(by).ffill()):
     * one shuffle on the key, per-group ordered frames — the scale shape. */
   def ffillBy(by: Column): Series =

@@ -563,6 +563,79 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got("index") == Seq(1.0, 1.9, 10.0))
   }
 
+  test("interpolate (global): linear interior, null leading, carried trailing") {
+    // pandas: [nan, 1, nan, nan, 4, nan].interpolate() == [nan,1,2,3,4,4];
+    // 6 labels over 32 buckets → every gap crosses bucket boundaries, so
+    // this exercises the prev/next value+coordinate offset walks directly
+    val df = Seq[(Long, Option[Double])](
+      (0L, None), (1L, Some(1.0)), (2L, None),
+      (3L, None), (4L, Some(4.0)), (5L, None)).toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    val got = s.interpolate().df.orderBy("idx").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    assert(got == Seq(null, 1.0, 2.0, 3.0, 4.0, 4.0))
+  }
+
+  test("interpolate (global): method='linear' positional vs 'index' labels") {
+    // labels 0,1,10 — linear: positional midpoint 5.5; index: 1/10 along
+    // the label gap = 1.9 (pandas' two methods)
+    val df = Seq[(Long, Option[Double])](
+      (0L, Some(1.0)), (1L, None), (10L, Some(10.0))).toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    def got(method: String) = s.interpolate(method).df
+      .orderBy("idx").collect().map(_.getDouble(1)).toSeq
+    assert(got("linear") == Seq(1.0, 5.5, 10.0))
+    assert(got("index") == Seq(1.0, 1.9, 10.0))
+  }
+
+  test("interpolate (global): limit=1 + limit_direction='both' (pandas)") {
+    // pandas [nan,nan,1,nan,nan,nan,5,nan,nan]
+    //   .interpolate(limit=1, limit_direction='both')
+    //   == [nan, 1, 1, 2, nan, 4, 5, 5, nan]
+    val df = (0L to 8L).map(i => (i, i match {
+      case 2L => Some(1.0); case 6L => Some(5.0); case _ => None
+    })).toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    val got = s.interpolate("linear", Some(1), "both").df.orderBy("idx")
+      .collect().map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    assert(got == Seq(null, 1.0, 1.0, 2.0, null, 4.0, 5.0, 5.0, null))
+  }
+
+  test("interpolate (global) matches the sequential reference on 200 rows") {
+    val rng = new scala.util.Random(7)
+    val data = (0 until 200).map { i =>
+      (i.toLong * 3, if (rng.nextDouble() < 0.3) None
+        else Some(math.rint(rng.nextDouble() * 1000) / 10.0))
+    }
+    val s = Series.fromColumn(data.toDF("idx", "v"), "v", "idx")
+    val got = s.interpolate().df.orderBy("idx").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    // sequential reference: positional linear, forward edges
+    val vs = data.map(_._2)
+    val exp = vs.zipWithIndex.map {
+      case (Some(v), _) => v: Any
+      case (None, i) =>
+        val p = (i - 1 to 0 by -1).find(j => vs(j).isDefined)
+        val n = (i + 1 until vs.length).find(j => vs(j).isDefined)
+        (p, n) match {
+          case (Some(pi), Some(ni)) =>
+            val pv = vs(pi).get; val nv = vs(ni).get
+            pv + (nv - pv) * (i - pi).toDouble / (ni - pi).toDouble
+          case (Some(pi), None) => vs(pi).get
+          case _ => null
+        }
+    }
+    got.zip(exp).foreach {
+      case (null, e) => assert(e == null)
+      case (g: Double, e: Double) => assert(math.abs(g - e) < 1e-9)
+      case other => fail(s"unexpected $other")
+    }
+    // and the plan must be bucket-partitioned, never a single-task window
+    val plan = s.interpolate().df.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(") ||
+      plan.contains("windowspecdefinition(__bkt"))
+  }
+
   test("cumprod: sign parity, zero short-circuit, null passthrough (pandas)") {
     // pandas [2,-3,nan,4,0,5,-1].cumprod() == [2,-6,nan,-24,0,0,0]
     val v = Series.fromPairs(spark,
