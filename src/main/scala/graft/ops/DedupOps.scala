@@ -798,18 +798,22 @@ object DedupOps {
   /** Project (id, vec) with the vector L2-normalized in double. Staged
     * projections so each fold evaluates its input attribute once. */
   def normalized(df: DataFrame, idCol: String, vecCol: String,
-                 outId: String, outVec: String): DataFrame =
-    df.select(col(idCol).as(outId),
+                 outId: String, outVec: String,
+                 meta: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as(outId) +:
         // native array Cast (codegen'd), not a per-element transform
-        col(vecCol).cast("array<double>").as("__e"))
-      .select(col(outId), col("__e"),
+        col(vecCol).cast("array<double>").as("__e") +:
+        meta.map(col): _*)
+      .select(col(outId) +: col("__e") +:
         // codegen'd self-dot for the sum of squares — sequential
         // accumulation, bit-identical to fold(transform(x*x)) but one
         // compiled pass instead of two interpreted lambda walks (the
         // interpreted HOFs were the slowest stage of every vector op).
         sqrt(graft.functions.DotProduct.dotNative(col("__e"), col("__e")))
-          .as("__n"))
-      .select(col(outId), transform(col("__e"), x => x / col("__n")).as(outVec))
+          .as("__n") +: meta.map(col): _*)
+      .select(col(outId) +:
+        transform(col("__e"), x => x / col("__n")).as(outVec) +:
+        meta.map(col): _*)
 
   /** Corpus-level exact LINE dedup (the RefinedWeb/C4-style pass that
     * strips boilerplate lines — headers, cookie banners, nav text —

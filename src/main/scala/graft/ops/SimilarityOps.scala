@@ -116,10 +116,12 @@ object SimilarityOps {
   private[graft] def normalizedQ(df: DataFrame, idCol: String,
                                  vecCol: String, outId: String,
                                  outVec: String,
-                                 grid: Option[Double]): DataFrame = {
-    val n = DedupOps.normalized(df, idCol, vecCol, outId, outVec)
+                                 grid: Option[Double],
+                                 meta: Seq[String] = Nil): DataFrame = {
+    val n = DedupOps.normalized(df, idCol, vecCol, outId, outVec, meta)
     grid.fold(n)(g =>
-      n.select(col(outId), quantize(col(outVec), g).as(outVec)))
+      n.select(col(outId) +: quantize(col(outVec), g).as(outVec) +:
+        meta.map(col): _*))
   }
 
   /** Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversified
@@ -309,10 +311,11 @@ object SimilarityOps {
     * the corpus per query batch. */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, outDir: String, dim: Int = 64,
-               kmeansIters: Int = 3, grid: Option[Double] = None): Unit = {
+               kmeansIters: Int = 3, grid: Option[Double] = None,
+               meta: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     val v = graft.Caches.track(
-      normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
+      normalizedQ(corpus, idCol, vecCol, "id", "e", grid, meta)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val centroids = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
     import spark.implicits._
@@ -320,7 +323,8 @@ object SimilarityOps {
       .toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/centroids")
     assignToCentroids(v, centroids)
-      .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
+      .select(col("id").as("nid") +: col("e").as("ce") +: col("cluster") +:
+        meta.map(col): _*)
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$outDir/postings")
   }
@@ -364,6 +368,28 @@ object SimilarityOps {
     val spark = queries.sparkSession
     val centroids = loadCentroids(spark, indexDir)
     val postings = spark.read.parquet(s"$indexDir/postings")
+    val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
+    ivfRerank(postings, probeClusters(q0, centroids, nProbe), k)
+  }
+
+  /** FILTERED ANN — "top-k WHERE label = X", the query every production
+    * vector store serves (predicate + vector search combined): probe a
+    * prebuilt [[ivfBuild]] index whose postings carry metadata columns
+    * (`meta = Seq(...)` at build time) and apply the predicate ON THE
+    * POSTINGS SCAN, before any distance work. Pre-filtering, not
+    * post-filtering: the predicate lands in the parquet scan's
+    * PushedFilters (row-group stats skip non-matching postings), the
+    * cluster partition pruning from the probe join still applies, and
+    * top-k is taken over the SURVIVING candidates — so k results come
+    * back (filter-then-rank), not "rank-then-filter" holes. Recall is
+    * against the FILTERED brute-force answer; with very selective
+    * predicates raise nProbe (the v28 acceptance gate measures this). */
+  def ivfProbeFiltered(indexDir: String, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int, nProbe: Int, pred: Column,
+                       grid: Option[Double] = None): DataFrame = {
+    val spark = queries.sparkSession
+    val centroids = loadCentroids(spark, indexDir)
+    val postings = spark.read.parquet(s"$indexDir/postings").filter(pred)
     val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
     ivfRerank(postings, probeClusters(q0, centroids, nProbe), k)
   }

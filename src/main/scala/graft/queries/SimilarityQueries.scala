@@ -51,6 +51,57 @@ object SimilarityQueries {
         .orderBy("qid", "nid")
     }),
 
+    // FILTERED ANN — "top-5 WHERE label = 2", predicate + vector search
+    // combined (the query every production vector store serves): the
+    // index postings carry the label (meta = Seq("label") at build),
+    // the predicate applies ON the cluster-partitioned postings scan
+    // (PushedFilters, before any distance work), and top-k ranks the
+    // survivors — filter-then-rank, so no rank-then-filter holes.
+    // Fully oracled: the k-means replay posts labels and filters the
+    // identical candidate set.
+    "v27_filtered_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v27_ivf").toString
+      SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+        outDir = idx, grid = Some(Grid), meta = Seq("label"))
+      val res = SimilarityOps.ivfProbeFiltered(idx,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nProbe = 4, pred = col("label") === 2, grid = Some(Grid))
+        .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
+    // Filtered-ANN ACCEPTANCE (the v16 discipline for v27): recall@5 of
+    // the filtered IVF probe against the filtered BRUTE-FORCE answer —
+    // the number a deployment watches when predicates get selective
+    // (fewer candidates per probed cluster → raise nProbe).
+    "v28_filtered_recall" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v28_ivf").toString
+      SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+        outDir = idx, grid = Some(Grid), meta = Seq("label"))
+      val approx = SimilarityOps.ivfProbeFiltered(idx, q, "vec_id",
+          "embedding", k = 5, nProbe = 4, pred = col("label") === 2,
+          grid = Some(Grid))
+        .select("qid", "nid")
+      val exact = SimilarityOps.knnBruteForce(
+          e.filter(col("label") === 2), q, "vec_id", "embedding", 5)
+        .select("qid", "nid")
+      val res = graft.ops.EvalOps.recallAtK(approx, exact)
+        .orderBy("qid")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // IVF nprobe tuning curve: micro-recall@5 (total hits / total
     // relevant — exact integers) for nprobe ∈ {1,2,4,8} against ONE
     // persisted index — the recall-vs-probe-cost datasheet an IVF
@@ -521,8 +572,15 @@ object SimilarityQueries {
   private def ivfOracle(k: Int, iters: Int, nProbe: Int, topK: Int,
                         dim: Int, g: Double,
                         trainFilter: String = "TRUE",
-                        sq: Boolean = false): String = {
+                        sq: Boolean = false,
+                        labelFilter: Option[String] = None): String = {
     val gs = f"$g%.1f"
+    // metadata plumbing for the FILTERED probe (v27): carry `label`
+    // through v0/nrm/posting so `scored` can apply the predicate —
+    // absent a filter the generated SQL is byte-identical to before
+    val lbl = if (labelFilter.isDefined) ", label" else ""
+    val lblN = if (labelFilter.isDefined) ", n.label" else ""
+    val postPred = labelFilter.fold("")(f => s" AND $f")
     def iterSql(i: Int) = s"""
       asg$i AS (
         SELECT id, e, cluster FROM (
@@ -549,12 +607,13 @@ object SimilarityQueries {
           FROM (SELECT cluster, unnest(c) AS x FROM raw$i) GROUP BY 1
         ) n USING (cluster))"""
     s"""WITH
-      v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+      v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0$lbl
              FROM embeddings),
       nrm AS (
         SELECT id, list_transform(e0,
-          x -> floor(x / nn * $gs + 0.5) / $gs) AS e
-        FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn FROM v0)),
+          x -> floor(x / nn * $gs + 0.5) / $gs) AS e$lbl
+        FROM (SELECT id, e0$lbl,
+          sqrt(list_dot_product(e0, e0)) AS nn FROM v0)),
       trn AS (SELECT * FROM nrm WHERE $trainFilter),
       cent0 AS (
         SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
@@ -562,8 +621,8 @@ object SimilarityQueries {
         FROM (SELECT id, e FROM trn ORDER BY id LIMIT $k)),
       ${(0 until iters).map(iterSql).mkString(",")},
       posting AS (
-        SELECT id AS nid, e AS ce, cluster FROM (
-          SELECT n.id, n.e, c.cluster,
+        SELECT id AS nid, e AS ce, cluster$lbl FROM (
+          SELECT n.id, n.e$lblN, c.cluster,
             row_number() OVER (PARTITION BY n.id
               ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
           FROM nrm n, cent$iters c) WHERE rn = 1),
@@ -576,7 +635,8 @@ object SimilarityQueries {
       ${if (!sq)
         s"""scored AS (
         SELECT p.qid, o.nid, list_dot_product(o.ce, p.qe) AS sim
-        FROM posting o JOIN probe p USING (cluster) WHERE o.nid <> p.qid)
+        FROM posting o JOIN probe p USING (cluster)
+        WHERE o.nid <> p.qid$postPred)
       SELECT qid, CAST(row_number() OVER (PARTITION BY qid
           ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
         nid, floor(sim * 1e6 + 0.5) / 1e6 AS sim
@@ -612,6 +672,27 @@ object SimilarityQueries {
          SELECT q.vec_id AS qid, c.vec_id AS nid,
            list_cosine_similarity(c.e, q.e) AS sim
          FROM v c JOIN q ON c.vec_id <> q.vec_id)
+       SELECT qid,
+         CAST(row_number() OVER (PARTITION BY qid
+           ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
+         nid, round(sim, 6) AS sim
+       FROM scored QUALIFY rk <= 5 ORDER BY qid, rk"""
+
+  // v27: the IVF replay with labels posted and the candidate set
+  // filtered identically (pre-filter: predicate before rank).
+  private val FilteredIvfSql =
+    ivfOracle(k = 16, iters = 3, nProbe = 4, topK = 5, dim = 64, g = Grid,
+      labelFilter = Some("o.label = 2"))
+
+  // v28's exact side: brute-force cosine top-5 over the FILTERED corpus.
+  private val FilteredKnnSql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+                  FROM embeddings),
+       q AS (SELECT * FROM v WHERE vec_id < 10),
+       scored AS (
+         SELECT q.vec_id AS qid, c.vec_id AS nid,
+           list_cosine_similarity(c.e, q.e) AS sim
+         FROM v c JOIN q ON c.vec_id <> q.vec_id WHERE c.label = 2)
        SELECT qid,
          CAST(row_number() OVER (PARTITION BY qid
            ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
@@ -828,6 +909,20 @@ object SimilarityQueries {
       trainFilter = "id % 10 <> 0"),
     // v16: the IVF and brute-force replays composed as derived tables
     // (nested WITH) and closed by the semi-join hit count.
+    "v27_filtered_ann" -> FilteredIvfSql,
+    // v28: v16's recall close over the two FILTERED replays.
+    "v28_filtered_recall" ->
+      s"""WITH ap AS (SELECT qid, nid FROM ($FilteredIvfSql) t),
+         ex AS (SELECT qid, nid FROM ($FilteredKnnSql) t2),
+         h AS (SELECT ex.qid, CAST(count(*) AS BIGINT) AS hits
+           FROM ex JOIN ap ON ex.qid = ap.qid AND ex.nid = ap.nid
+           GROUP BY 1),
+         kk AS (SELECT qid, CAST(count(*) AS BIGINT) AS k
+           FROM ex GROUP BY 1)
+         SELECT kk.qid, CAST(COALESCE(hits, 0) AS BIGINT) AS hits, k,
+           floor(CAST(COALESCE(hits, 0) AS DOUBLE) / k * 1e6 + 0.5)
+             / 1e6 AS recall6
+         FROM kk LEFT JOIN h ON kk.qid = h.qid ORDER BY kk.qid""",
     "v16_recall_eval" ->
       s"""WITH ap AS (SELECT qid, nid FROM ($IvfSql) t),
          ex AS (SELECT qid, nid FROM ($KnnSql) t2),

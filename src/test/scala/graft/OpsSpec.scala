@@ -400,6 +400,42 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.8, s"v04 persisted-IVF recall $recall below 0.8")
   }
 
+  test("ivfProbeFiltered pre-filters the postings scan (v27/v28 gates)") {
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
+    val q = e.filter(col("vec_id") < 10)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_flt").toString
+    SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+      outDir = idx, meta = Seq("label"))
+    val res = SimilarityOps.ivfProbeFiltered(idx, q, "vec_id", "embedding",
+      k = 5, nProbe = 16, pred = col("label") === 2)
+    // the predicate must reach the parquet postings scan, not sit above
+    // the join (pre-filter, before any distance work)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,2)") &&
+      plan.contains("PushedFilters: [IsNotNull(label), EqualTo(label,2)"),
+      "label predicate not pushed to the postings scan")
+    // and the probe join still prunes cluster partitions dynamically
+    assert(plan.contains("dynamicpruningexpression(cluster"),
+      "postings scan lost dynamic cluster-partition pruning")
+    // nProbe = 16 probes EVERY cluster → filter-then-rank must equal the
+    // exact brute-force answer over the filtered corpus (same vectors:
+    // both sides rank unit-normalized cosines)
+    val got = res.orderBy("qid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val exact = SimilarityOps.knnBruteForce(e.filter(col("label") === 2),
+        q, "vec_id", "embedding", 5)
+      .orderBy("qid", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == exact,
+      "all-cluster filtered probe diverged from filtered brute force")
+    // every returned neighbor satisfies the predicate
+    val lbl2 = e.filter(col("label") === 2).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.forall { case (_, nid) => lbl2(nid) })
+  }
+
   test("pqBuild/pqProbe and ivfPqBuild/ivfPqProbe reload without retraining " +
       "(v14/v15 gates)") {
     assume(haveFixture)
