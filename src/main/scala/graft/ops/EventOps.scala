@@ -1113,6 +1113,73 @@ object EventOps {
       }
   }
 
+  /** One [[holtWinters]] output row: [[HoltRow]] plus the post-update
+    * seasonal component (0 on each key's first bucket, where no
+    * seasonal update happens). */
+  final case class HoltWintersRow(k: String, ws: java.sql.Timestamp,
+                                  y: Double, fc6: Option[Double],
+                                  l6: Double, b6: Double, s6: Double)
+
+  /** ADDITIVE SEASONAL Holt-Winters (level + trend + period-m seasonal)
+    * per key — [[holtSmooth]] extended with the third component against
+    * the hour×dow structure e47's seasonalProfile measures:
+    * `l = α(y−s₋ₘ) + (1−α)(l'+b')`, `b = β(l−l') + (1−β)b'`,
+    * `s = γ(y−l'−b') + (1−γ)s₋ₘ`, forecast `l'+b'+s₋ₘ`. Seeds:
+    * l₁ = y₁, b₁ = 0, seasonals all 0 (the first m rows smooth against
+    * a zero seasonal and fill the ring — the simple-init convention,
+    * replayable exactly).
+    *
+    * Same scale/determinism contract as [[holtSmooth]]: one typed pass
+    * per key (bounded calendar-bucket state + an m-slot ring), the
+    * oracle replays the identical float sequence as a DuckDB recursive
+    * CTE whose state carries the m-list of live seasonals; pass
+    * BINARY-EXACT α/β/γ; 6dp snap at output only. */
+  def holtWinters(df: DataFrame, keyCol: String, ordCol: String,
+                  valCol: String, alpha: Double, beta: Double,
+                  gamma: Double, period: Int)
+      : org.apache.spark.sql.Dataset[HoltWintersRow] = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val inEnc: Encoder[(String, java.sql.Timestamp, Double)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val outEnc: Encoder[HoltWintersRow] =
+      Encoders.product[HoltWintersRow]
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    df.select(col(keyCol).cast("string"), col(ordCol),
+        col(valCol).cast("double"))
+      .as[(String, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val rows = it.toArray.sortBy(_._2.getTime)
+        val out = Array.newBuilder[HoltWintersRow]
+        val season = Array.fill(period)(0.0)
+        var pos = 0 // ring head = the slot holding s_{t-period}
+        var lp = 0.0
+        var bp = 0.0
+        var first = true
+        rows.foreach { case (_, ws, y) =>
+          if (first) {
+            lp = y; bp = 0.0; first = false
+            out += HoltWintersRow(k, ws, y, None, r6(lp), r6(bp), r6(0.0))
+          } else {
+            val sPrev = season(pos)
+            val fc = lp + bp + sPrev
+            val l = alpha * (y - sPrev) + (1.0 - alpha) * (lp + bp)
+            val b = beta * (l - lp) + (1.0 - beta) * bp
+            val sNew = gamma * (y - lp - bp) + (1.0 - gamma) * sPrev
+            season(pos) = sNew
+            pos = (pos + 1) % period
+            out += HoltWintersRow(k, ws, y, Some(r6(fc)), r6(l), r6(b),
+              r6(sNew))
+            lp = l; bp = b
+          }
+        }
+        out.result().iterator
+      }
+  }
+
   def scd2Compress(df: DataFrame, keyCol: String, tsCol: String,
                    attrCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

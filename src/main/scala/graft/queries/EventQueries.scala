@@ -402,6 +402,22 @@ object EventQueries {
         .orderBy("event_type", "ws")
     }),
 
+    // SEASONAL Holt-Winters (additive, period = 24 hourly buckets):
+    // e50's level+trend recurrence plus the seasonal ring against the
+    // hour-of-day structure e47 profiles — the real traffic forecaster.
+    // Binary-exact α/β/γ (0.25/0.125/0.5); the oracle replays the
+    // identical float sequence as a recursive CTE whose state carries
+    // the 24-list of live seasonals.
+    "e70_holt_winters" -> ((s, d) => {
+      val hourly = EventOps.tumbling(ev(s, d), "ts", "1 hour",
+        Seq(col("event_type")),
+        Seq(round(sum(col("value")), 2).as("y")))
+      EventOps.holtWinters(hourly, "event_type", "ws", "y",
+          alpha = 0.25, beta = 0.125, gamma = 0.5, period = 24)
+        .toDF().withColumnRenamed("k", "event_type")
+        .orderBy("event_type", "ws")
+    }),
+
     // Multi-class classification report of a simulated 70%-accurate
     // auto-labeler against event_type: per-class confusion counts +
     // precision/recall/F1 plus global accuracy and Cohen's kappa — every
@@ -1812,6 +1828,44 @@ object EventQueries {
              THEN floor(fc * 1e6 + 0.5) / 1e6 END AS fc6,
            floor(l * 1e6 + 0.5) / 1e6 AS l6,
            floor(b * 1e6 + 0.5) / 1e6 AS b6
+         FROM r ORDER BY event_type, ws""",
+    // e70: e50's recursion plus the seasonal ring — the CTE state
+    // carries the 24-list of live seasonals (seeded to zeros, shifted
+    // with list_append(sl[2:24], s)), so sl[1] IS s_{t-24}; the l
+    // expression is inlined into b exactly as e50 does. Seeds CAST per
+    // the s50 doctrine.
+    "e70_holt_winters" ->
+      """WITH RECURSIVE h AS (
+           SELECT date_trunc('hour', ts) AS ws, event_type,
+             round(sum(value), 2) AS y
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, ws, y,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY ws) AS BIGINT) AS rn
+           FROM h),
+         r AS (
+           SELECT event_type, ws, y, rn,
+             CAST(NULL AS DOUBLE) AS fc, y AS l,
+             CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s,
+             list_transform(range(24), x -> CAST(0.0 AS DOUBLE)) AS sl
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.ws, o.y, o.rn,
+             r.l + r.b + r.sl[1] AS fc,
+             0.25 * (o.y - r.sl[1]) + 0.75 * (r.l + r.b) AS l,
+             0.125 * ((0.25 * (o.y - r.sl[1]) + 0.75 * (r.l + r.b))
+               - r.l) + 0.875 * r.b AS b,
+             0.5 * (o.y - r.l - r.b) + 0.5 * r.sl[1] AS s,
+             list_append(r.sl[2:24],
+               0.5 * (o.y - r.l - r.b) + 0.5 * r.sl[1]) AS sl
+           FROM r JOIN o ON o.event_type = r.event_type
+             AND o.rn = r.rn + 1)
+         SELECT event_type, ws, y,
+           CASE WHEN fc IS NOT NULL
+             THEN floor(fc * 1e6 + 0.5) / 1e6 END AS fc6,
+           floor(l * 1e6 + 0.5) / 1e6 AS l6,
+           floor(b * 1e6 + 0.5) / 1e6 AS b6,
+           floor(s * 1e6 + 0.5) / 1e6 AS s6
          FROM r ORDER BY event_type, ws""",
     // e49: every ratio replays as the SAME single division of exact
     // BIGINTs; kappa/accuracy are constant columns off the margin-frame

@@ -829,6 +829,41 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (Some(7.0), 7.5, 1.25)))
   }
 
+  test("EventOps.holtWinters: hand recurrence at α=β=γ=0.5, period=2; " +
+      "seasonal ring lags exactly m and a periodic signal is learned") {
+    import graft.ops.EventOps
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val df = Seq(("a", ts(1), 4.0), ("a", ts(2), 8.0), ("a", ts(3), 4.0),
+      ("a", ts(4), 8.0)).toDF("k", "ws", "y")
+    val out = EventOps.holtWinters(df, "k", "ws", "y", 0.5, 0.5, 0.5, 2)
+      .collect().sortBy(_.ws.getTime)
+      .map(r => (r.fc6, r.l6, r.b6, r.s6)).toSeq
+    // t1: seeds l=4 b=0 s=0
+    // t2: sPrev=0 → fc=4, l=.5·8+.5·4=6, b=.5·2=1, s=.5·(8−4)=2
+    // t3: sPrev=0 → fc=7, l=.5·4+.5·7=5.5, b=.5·(−.5)+.5·1=.25,
+    //     s=.5·(4−7)=−1.5
+    // t4: sPrev=s(t2)=2 (the ring lag) → fc=5.75+2=7.75,
+    //     l=.5·6+.5·5.75=5.875, b=.5·.375+.5·.25=.3125,
+    //     s=.5·(8−5.75)+.5·2=2.125
+    assert(out == Seq((None, 4.0, 0.0, 0.0), (Some(4.0), 6.0, 1.0, 2.0),
+      (Some(7.0), 5.5, 0.25, -1.5),
+      (Some(7.75), 5.875, 0.3125, 2.125)))
+    // on a clean period-2 signal the one-step forecast converges: the
+    // last forecasts must beat the naive level-only error
+    val sig = (1 to 40).map(i =>
+      ("p", ts(0).toInstant.plusSeconds(i * 3600L), // hourly
+        if (i % 2 == 0) 10.0 else 2.0))
+    val sdf = sig.map { case (k, t, y) =>
+      (k, java.sql.Timestamp.from(t), y) }.toDF("k", "ws", "y")
+    val rows = EventOps.holtWinters(sdf, "k", "ws", "y",
+        0.25, 0.125, 0.5, 2)
+      .collect().sortBy(_.ws.getTime)
+    val tailErr = rows.takeRight(10)
+      .map(r => math.abs(r.fc6.get - r.y)).max
+    assert(tailErr < 1.0,
+      s"seasonal forecast did not learn the period-2 signal: $tailErr")
+  }
+
   test("EvalOps.classificationReport: hand confusion incl. a never-" +
       "predicted class; kappa = 11/35") {
     import graft.ops.EvalOps
