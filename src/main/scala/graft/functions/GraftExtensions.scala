@@ -56,6 +56,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleHashes(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingle_text"),
+      new ExpressionInfo(classOf[ShingleText].getName, "graft_shingle_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_shingle_text takes (text, n)")
+        ShingleText(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_entropy"),
       new ExpressionInfo(classOf[ByteEntropy].getName, "graft_entropy"),
       (children: Seq[Expression]) => {

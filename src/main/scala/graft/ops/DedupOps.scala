@@ -134,8 +134,10 @@ object DedupOps {
     val sh = graft.Caches.track(
       spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
         .select(col("id"),
-          TextOps.shinglesOfTokens(
-            TextOps.tokens(col("__txt")), n).as("shs"))
+          // codegen'd gram-TEXT extractor (bit-identical to the
+          // declarative shingle chain; the md5 lanes need gram strings)
+          graft.functions.ShingleText.shingleText(col("__txt"), n)
+            .as("shs"))
         .filter(size(col("shs")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ex = sh.select(col("id"), explode(col("shs")).as("s"))
@@ -181,8 +183,10 @@ object DedupOps {
     val sh = graft.Caches.track(
       spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
         .select(col("id"),
-          TextOps.shinglesOfTokens(
-            TextOps.tokens(col("__txt")), n).as("shs"))
+          // codegen'd gram-TEXT extractor (bit-identical to the
+          // declarative shingle chain; the md5 lanes need gram strings)
+          graft.functions.ShingleText.shingleText(col("__txt"), n)
+            .as("shs"))
         .filter(size(col("shs")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ex = sh.select(col("id"), explode(col("shs")).as("s"))

@@ -84,12 +84,24 @@ object StreamOps {
     @volatile var state: DataFrame = empty
     val q = stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // stage the (heavy) set expression in a codegen'd Project BEFORE
+        // the explode — Generate evaluates its generator input
+        // interpreted (the d09/t04 lesson from PLANS.md)
         val hs = batch.toDF()
-          .select(col(groupCol).as("g"), explode(setCol).as("t"))
+          .select(col(groupCol).as("g"), setCol.as("__set"))
+          .select(col("g"), explode(col("__set")).as("t"))
           .select(col("g"), graft.ops.DedupOps.portableHash60(col("t"))
             .as("h"))
           .dropDuplicates("g", "h")
-        val merged = state.unionByName(hs).dropDuplicates("g", "h")
+        // KMV is mergeable: bottom-k(state ∪ batch) = bottom-k(state ∪
+        // bottom-k(batch)) — rank the DEDUPED batch down to k per group
+        // first (WindowGroupLimit partial heaps before the exchange), so
+        // the merge never re-shuffles batch-sized data
+        val hsk = hs
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= k)
+          .drop("__rk")
+        val merged = state.unionByName(hsk).dropDuplicates("g", "h")
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= k)
           .drop("__rk")

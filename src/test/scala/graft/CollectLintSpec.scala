@@ -195,8 +195,8 @@ class CollectLintSpec extends AnyFunSuite {
     "DedupQueries.scala" -> Map(
       "val rows = fresh.select(\"doc_id\", \"text\").collect()" ->
         "MemoryStream replay feed (gate harness)",
-      "val rows = docs.select(\"source\", \"text\").collect()" ->
-        "MemoryStream replay feed (gate harness)"),
+      "Tables.documents(s, d).select(\"source\", \"text\").collect()" ->
+        "MemoryStream replay feed (gate harness, memoized)"),
     "EventQueries.scala" -> Map(
       ".collect()" -> "MemoryStream replay feed (gate harness)",
       ".select(\"value\").collect().map(_.getDouble(0)).toSeq" ->
@@ -220,10 +220,7 @@ class CollectLintSpec extends AnyFunSuite {
     val root = Paths.get("src/main/scala/graft")
     assert(Files.isDirectory(root), s"expected source root at $root")
     val files = Files.walk(root).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      // Scratch.scala is the documented throwaway profiling main — not
-      // part of the shipped surface, free to collect whatever it times.
-      .filterNot(p => p.getFileName.toString == "Scratch.scala").toSeq
+      .filter(p => p.toString.endsWith(".scala")).toSeq
     val callSite = """\.collect\(\)|\.head\(\)|\.head\(1\)""".r
     val violations = for {
       f <- files
