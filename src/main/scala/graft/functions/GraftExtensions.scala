@@ -64,6 +64,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ShingleText(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ngram_text"),
+      new ExpressionInfo(classOf[NgramText].getName, "graft_ngram_text"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_ngram_text takes (text, n)")
+        NgramText(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_entropy"),
       new ExpressionInfo(classOf[ByteEntropy].getName, "graft_entropy"),
       (children: Seq[Expression]) => {

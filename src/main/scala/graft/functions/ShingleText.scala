@@ -58,6 +58,50 @@ case class ShingleText(text: Expression, size: Expression)
     copy(text = newLeft, size = newRight)
 }
 
+/** [[ShingleText]] WITH multiplicity, in document order — the positional
+  * n-gram extractor (`array<string>`; element i is the gram starting at
+  * token i, so `posexplode` yields true token positions). Bit-identical
+  * to `ngramsOfTokens(tokens(text), n)`. Registered as SQL function
+  * `graft_ngram_text`. */
+case class NgramText(text: Expression, size: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = text
+  override def right: Expression = size
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (text.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_ngram_text requires a string column, got ${text.dataType.simpleString}")
+    else if (size.dataType != IntegerType || !size.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_ngram_text requires a foldable integer n-gram size")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def prettyName: String = "graft_ngram_text"
+
+  override def nullSafeEval(t: Any, n: Any): Any =
+    ShingleText.computeGrams(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], distinct = false)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.ShingleText.computeGrams($t, $n, false);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramText =
+    copy(text = newLeft, size = newRight)
+}
+
+object NgramText {
+  /** Column wrapper via the SQL registry. */
+  def ngramText(text: Column, n: Int): Column =
+    call_function("graft_ngram_text", text,
+      org.apache.spark.sql.functions.lit(n))
+}
+
 object ShingleText {
 
   /** One compiled pass: lowercase via UTF8String.toLowerCase (the same
@@ -66,7 +110,12 @@ object ShingleText {
     * empties dropped), then materialize each window of `n` tokens as a
     * single-space-joined UTF8String. Distinct keeps the FIRST occurrence
     * by string equality — exactly `array_distinct`. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int): ArrayData =
+    computeGrams(text, n, distinct = true)
+
+  /** Shared gram scan; `distinct = false` keeps multiplicity and order
+    * (the [[NgramText]] body). */
+  def computeGrams(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
     require(n >= 2, "shingle size must be >= 2")
     val b = text.toLowerCase.getBytes
     val len = b.length
@@ -93,7 +142,8 @@ object ShingleText {
     if (g <= 0) return new GenericArrayData(Array.empty[AnyRef])
     val out = new Array[AnyRef](g)
     var m = 0
-    val seen = new java.util.HashSet[UTF8String](g * 2)
+    val seen =
+      if (distinct) new java.util.HashSet[UTF8String](g * 2) else null
     var gi = 0
     while (gi < g) {
       var need = n - 1
@@ -110,7 +160,7 @@ object ShingleText {
         t += 1
       }
       val gram = UTF8String.fromBytes(buf)
-      if (seen.add(gram)) { out(m) = gram; m += 1 }
+      if (!distinct || seen.add(gram)) { out(m) = gram; m += 1 }
       gi += 1
     }
     new GenericArrayData(if (m == g) out else java.util.Arrays.copyOf(out, m))

@@ -263,6 +263,59 @@ object DedupOps {
           / col("n_grams").cast("double")).as("novelty6"))
   }
 
+  /** Cross-document REPEATED n-gram COVERAGE — the position-level
+    * boilerplate signal behind substring-granular training-data dedup
+    * (ref: "Deduplicating Training Data Makes Language Models Better",
+    * Lee et al. 2022, at gram granularity): per document, the fraction
+    * of token positions covered by at least one n-gram that also occurs
+    * in ANOTHER document. 0 = fully original text, 1 = every token
+    * inside cross-doc template material — the curation knob pair mining
+    * (d03) can't see, because coverage is per-position, not per-pair.
+    *
+    * Scale shape: positional gram postings keyed by the md5-portable
+    * 60-bit gram hash (the grams come from the codegen'd
+    * `graft_ngram_text` pass; the hash stays md5 so the DuckDB oracle
+    * replays it — xxhash64 keys would break cross-engine equality), one
+    * hash-keyed distinct-doc aggregate, one hash-keyed semi-join back,
+    * then a per-doc interval-union sweep as ONE keyed window (running
+    * max of exclusive ends). Nothing shuffles wider than (hash) or
+    * (doc); never all-pairs. */
+  def repeatedNgramCoverage(df: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"),
+          graft.functions.NgramText.ngramText(col("__txt"), n).as("__gs"),
+          size(TextOps.tokens(col("__txt"))).as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val posts = graft.Caches.track(base
+      .select(col("id"), posexplode(col("__gs")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        portableHash60(col("col")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shared = posts.groupBy("h")
+      .agg(count_distinct(col("id")).as("__cd"))
+      .filter(col("__cd") >= 2)
+      .select("h")
+    val prevEnd = max(col("e")).over(
+      W.partitionBy("id").orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1))
+    val cov = posts.join(shared, Seq("h"), "left_semi")
+      .withColumn("e", col("pos") + n)
+      .withColumn("__pme", prevEnd)
+      .withColumn("__c", greatest(lit(0L),
+        col("e") - greatest(col("pos"), coalesce(col("__pme"), lit(0L)))))
+      .groupBy("id").agg(sum(col("__c")).as("covered"))
+    base.select(col("id"), col("n_tokens"))
+      .join(cov, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        TextOps.round6(coalesce(col("covered"), lit(0L)).cast("double")
+          / greatest(col("n_tokens"), lit(1)).cast("double")).as("cov6"))
+  }
+
   /** Bloom-prefiltered decontamination — the shape [[ngramContamination]]
     * takes when the benchmark SUITE is itself too large to broadcast its
     * exploded postings (many benchmarks × many n-grams): build ONE

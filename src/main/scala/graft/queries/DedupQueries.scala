@@ -348,6 +348,16 @@ object DedupQueries {
     // ONE pair pass (conditional counts on the τ=0.5 frame) — how
     // aggressive can the dedup threshold get before the pair population
     // collapses; the d03 knob's tuning table.
+    // Cross-doc repeated 5-gram COVERAGE: fraction of each doc's token
+    // positions inside an n-gram that also appears in another doc — the
+    // position-level boilerplate signal behind substring-granular dedup
+    // (Lee et al. 2022), computed as hash-keyed positional postings +
+    // one keyed interval-union window. Fully oracled (md5 gram hashes).
+    "d44_repeated_coverage" -> ((s, d) =>
+      DedupOps.repeatedNgramCoverage(Tables.documents(s, d), "doc_id",
+          "text", n = 5)
+        .orderBy("doc_id")),
+
     "d43_threshold_curve" -> ((s, d) => {
       val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
         "text", n = 3, threshold = 0.5)
@@ -829,6 +839,31 @@ object DedupQueries {
     // d43: the exact pair frame closed by conditional counts per τ;
     // both engines compare the identical jaccard double to the same
     // DOUBLE literals.
+    // d44: positional 5-gram postings under the md5-long idiom, shared
+    // grams by distinct-doc count, per-doc interval-union sweep as the
+    // same prev-max-end window; one exact integer division at the end.
+    "d44_repeated_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         g AS (SELECT doc_id, u.i - 1 AS pos,
+             CAST(concat('0x', substr(md5(
+               array_to_string(ts[u.i:u.i+4], ' ')), 1, 15)) AS BIGINT)
+               AS h
+           FROM t, LATERAL unnest(range(1, len(ts) - 3)) AS u(i)),
+         shared AS (SELECT h FROM g GROUP BY h
+           HAVING count(DISTINCT doc_id) >= 2),
+         c AS (SELECT g.doc_id, g.pos, g.pos + 5 AS e,
+             max(g.pos + 5) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+           FROM g JOIN shared USING (h)),
+         per AS (SELECT doc_id,
+             CAST(sum(GREATEST(0, e - GREATEST(pos, COALESCE(pme, 0))))
+               AS BIGINT) AS covered
+           FROM c GROUP BY 1)
+         SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(covered, 0) AS BIGINT) AS covered,
+           floor(COALESCE(covered, 0) * 1.0 / GREATEST(len(ts), 1)
+             * 1e6 + 0.5) / 1e6 AS cov6
+         FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id""",
     "d43_threshold_curve" ->
       s"""WITH $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),

@@ -435,6 +435,35 @@ object EventQueries {
         .orderBy("event_type", "ws")
     }),
 
+    // FORECAST-BASED anomaly detection: hours whose |observed − HW
+    // forecast| exceeds 3× the expanding mean absolute residual of all
+    // PRIOR hours (causal, ≥24-residual warm-up) — the alerting layer
+    // e43/e44's fixed thresholds can't give a seasonal series. The
+    // threshold compare is EXACT integer cross-multiplication on
+    // 1e-6-unit residuals (r_u·n > 3·Σr_u), so the boolean can never
+    // ulp-flip between engines.
+    "e71_hw_anomalies" -> ((s, d) => {
+      val hourly = EventOps.tumbling(ev(s, d), "ts", "1 hour",
+        Seq(col("event_type")),
+        Seq(round(sum(col("value")), 2).as("y")))
+      val hw = EventOps.holtWinters(hourly, "event_type", "ws", "y",
+          alpha = 0.25, beta = 0.125, gamma = 0.5, period = 24)
+        .toDF().withColumnRenamed("k", "event_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ws")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      hw.withColumn("resid_u", when(col("fc6").isNotNull,
+          floor(abs(col("y") - col("fc6")) * 1e6 + 0.5).cast("long")))
+        .withColumn("n_prior", count(col("resid_u")).over(w))
+        .withColumn("s_prior", sum(col("resid_u")).over(w))
+        .withColumn("is_anomaly", col("resid_u").isNotNull
+          && col("n_prior") >= 24
+          && col("resid_u") * col("n_prior") > lit(3L) * col("s_prior"))
+        .select(col("event_type"), col("ws"), col("y"), col("fc6"),
+          col("resid_u"), col("n_prior"), col("is_anomaly"))
+        .orderBy("event_type", "ws")
+    }),
+
     // Multi-class classification report of a simulated 70%-accurate
     // auto-labeler against event_type: per-class confusion counts +
     // precision/recall/F1 plus global accuracy and Cohen's kappa — every
@@ -1302,6 +1331,43 @@ object EventQueries {
       "ORDER BY event_type"
   }
 
+  /** e70's full recursion — also the head of e71's oracle (the e57/e27
+    * reuse doctrine: one spelling, registered under both keys'
+    * derivations). */
+  private val HoltWintersSql =
+    """WITH RECURSIVE h AS (
+           SELECT date_trunc('hour', ts) AS ws, event_type,
+             round(sum(value), 2) AS y
+           FROM events GROUP BY 1, 2),
+         o AS (SELECT event_type, ws, y,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY ws) AS BIGINT) AS rn
+           FROM h),
+         r AS (
+           SELECT event_type, ws, y, rn,
+             CAST(NULL AS DOUBLE) AS fc, y AS l,
+             CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s,
+             list_transform(range(24), x -> CAST(0.0 AS DOUBLE)) AS sl
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.ws, o.y, o.rn,
+             r.l + r.b + r.sl[1] AS fc,
+             0.25 * (o.y - r.sl[1]) + 0.75 * (r.l + r.b) AS l,
+             0.125 * ((0.25 * (o.y - r.sl[1]) + 0.75 * (r.l + r.b))
+               - r.l) + 0.875 * r.b AS b,
+             0.5 * (o.y - r.l - r.b) + 0.5 * r.sl[1] AS s,
+             list_append(r.sl[2:24],
+               0.5 * (o.y - r.l - r.b) + 0.5 * r.sl[1]) AS sl
+           FROM r JOIN o ON o.event_type = r.event_type
+             AND o.rn = r.rn + 1)
+         SELECT event_type, ws, y,
+           CASE WHEN fc IS NOT NULL
+             THEN floor(fc * 1e6 + 0.5) / 1e6 END AS fc6,
+           floor(l * 1e6 + 0.5) / 1e6 AS l6,
+           floor(b * 1e6 + 0.5) / 1e6 AS b6,
+           floor(s * 1e6 + 0.5) / 1e6 AS s6
+         FROM r ORDER BY event_type, ws"""
+
   val oracles: Map[String, String] = Map(
     "e45_markov_stationary" -> markovSql(iters = 12),
     "e64_absorbing_prob" -> absorbSql(absorb = "purchase", iters = 12),
@@ -1836,39 +1902,28 @@ object EventQueries {
     // with list_append(sl[2:24], s)), so sl[1] IS s_{t-24}; the l
     // expression is inlined into b exactly as e50 does. Seeds CAST per
     // the s50 doctrine.
-    "e70_holt_winters" ->
-      """WITH RECURSIVE h AS (
-           SELECT date_trunc('hour', ts) AS ws, event_type,
-             round(sum(value), 2) AS y
-           FROM events GROUP BY 1, 2),
-         o AS (SELECT event_type, ws, y,
-             CAST(row_number() OVER (PARTITION BY event_type
-               ORDER BY ws) AS BIGINT) AS rn
-           FROM h),
-         r AS (
-           SELECT event_type, ws, y, rn,
-             CAST(NULL AS DOUBLE) AS fc, y AS l,
-             CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS s,
-             list_transform(range(24), x -> CAST(0.0 AS DOUBLE)) AS sl
-           FROM o WHERE rn = 1
-           UNION ALL
-           SELECT o.event_type, o.ws, o.y, o.rn,
-             r.l + r.b + r.sl[1] AS fc,
-             0.25 * (o.y - r.sl[1]) + 0.75 * (r.l + r.b) AS l,
-             0.125 * ((0.25 * (o.y - r.sl[1]) + 0.75 * (r.l + r.b))
-               - r.l) + 0.875 * r.b AS b,
-             0.5 * (o.y - r.l - r.b) + 0.5 * r.sl[1] AS s,
-             list_append(r.sl[2:24],
-               0.5 * (o.y - r.l - r.b) + 0.5 * r.sl[1]) AS sl
-           FROM r JOIN o ON o.event_type = r.event_type
-             AND o.rn = r.rn + 1)
-         SELECT event_type, ws, y,
-           CASE WHEN fc IS NOT NULL
-             THEN floor(fc * 1e6 + 0.5) / 1e6 END AS fc6,
-           floor(l * 1e6 + 0.5) / 1e6 AS l6,
-           floor(b * 1e6 + 0.5) / 1e6 AS b6,
-           floor(s * 1e6 + 0.5) / 1e6 AS s6
-         FROM r ORDER BY event_type, ws""",
+    "e70_holt_winters" -> HoltWintersSql,
+    // e71: e70's replay closed by the causal expanding-MAE flag — the
+    // compare is exact integer cross-multiplication on 1e-6-unit
+    // residuals, so the boolean can never ulp-flip between engines.
+    "e71_hw_anomalies" ->
+      s"""SELECT event_type, ws, y, fc6, resid_u,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           (resid_u IS NOT NULL AND n_prior >= 24
+             AND resid_u * n_prior > 3 * s_prior) AS is_anomaly
+         FROM (
+           SELECT event_type, ws, y, fc6, resid_u,
+             count(resid_u) OVER w AS n_prior,
+             sum(resid_u) OVER w AS s_prior
+           FROM (
+             SELECT event_type, ws, y, fc6,
+               CASE WHEN fc6 IS NOT NULL THEN
+                 CAST(floor(abs(y - fc6) * 1e6 + 0.5) AS BIGINT)
+               END AS resid_u
+             FROM ($HoltWintersSql) hw)
+           WINDOW w AS (PARTITION BY event_type ORDER BY ws
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         ORDER BY event_type, ws""",
     // e49: every ratio replays as the SAME single division of exact
     // BIGINTs; kappa/accuracy are constant columns off the margin-frame
     // totals cross join.

@@ -296,6 +296,36 @@ object FrameQueries {
     // LISTING, no data scan), and hash-match the compacted scan against
     // the source table — the table-maintenance pass a streaming sink's
     // droppings need at 100 TB.
+    // SCHEMA EVOLUTION read: two writer generations land different
+    // column sets (gen1: doc_id+n_chars, gen2: doc_id+lang — the
+    // long-lived-table reality at 100 TB where producers upgrade at
+    // different times); one mergeSchema scan unions the schemas with
+    // nulls where a generation lacks the column, and the rollup proves
+    // no rows or values are lost. Oracle recreates the generations
+    // relationally from the source table.
+    "f74_schema_evolution" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_f74_evo").toString
+      val docs = Tables.documents(s, d)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), length(col("text")).as("n_chars"))
+        .write.mode("overwrite").parquet(s"$root/gen1")
+      docs.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$root/gen2")
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(s"$root/gen1", s"$root/gen2")
+      val res = merged
+        .groupBy(coalesce(col("lang"), lit("none")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("sum_chars"))
+        .orderBy("lang")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     "f72_compact" -> ((s, d) => {
       val frag = java.nio.file.Files
         .createTempDirectory("graft_f72_frag").toString
@@ -1299,6 +1329,19 @@ object FrameQueries {
     // f66: the EXISTS probe as a semi-join; date_diff day boundaries
     // match Spark's datediff on DATE columns.
     // f72: the compacted scan must carry the source values bit-exactly.
+    // f74: the two generations recreated relationally; the merged-scan
+    // union is exactly this projection (count keeps every row, chars
+    // sum only over gen1's).
+    "f74_schema_evolution" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN length(text) END AS n_chars,
+             CASE WHEN doc_id % 2 <> 0 THEN lang END AS lang
+           FROM documents)
+         SELECT COALESCE(lang, 'none') AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(sum(n_chars), 0) AS BIGINT) AS sum_chars
+         FROM m GROUP BY 1 ORDER BY 1""",
     "f72_compact" ->
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
     // f69: the same DECIMAL monthly sums; growth divides identical 2dp

@@ -111,6 +111,41 @@ object SimilarityQueries {
       graft.ops.EvalOps.recallAtK(approx, exact).orderBy("qid")
     }),
 
+    // Per-cluster SILHOUETTE quality of the IVF clustering (simplified
+    // silhouette: a = cosine distance to the OWN centroid, b = min
+    // distance to any OTHER centroid, s = (b−a)/max(a,b)) — the "is
+    // this index worth probing" audit a k-means build ships with.
+    // Per-vector s quantized to 1e-6-unit LONGS (per-row exact on
+    // grid-snapped dots), so the per-cluster mean is one exact integer
+    // sum + one division — no float-association drift. Reuses the
+    // v27/v28 session index; the oracle replays the k-means and scores
+    // the identical assignment.
+    "v29_silhouette" -> ((s, d) => {
+      val idx = labeledIvfIndex(s, d)
+      val cents = s.read.parquet(s"$idx/centroids").orderBy("cluster")
+        .collect().map(_.getSeq[Double](1).toArray) // k x dim driver state
+      val dcols = cents.map(c =>
+        lit(1.0) - graft.functions.DotProduct.dotNative(col("ce"),
+          array(c.map(lit).toIndexedSeq: _*)))
+      val staged = s.read.parquet(s"$idx/postings")
+        .select(col("nid"), col("cluster"),
+          array(dcols.toIndexedSeq: _*).as("__dist"))
+      val a = element_at(col("__dist"), col("cluster") + 1)
+      val b = array_min(filter(col("__dist"),
+        (_, i) => i =!= col("cluster")))
+      staged
+        .select(col("cluster"),
+          floor((when(greatest(a, b) === 0.0, lit(0.0))
+            .otherwise((b - a) / greatest(a, b))) * 1e6 + 0.5)
+            .cast("long").as("__su"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), sum(col("__su")).as("__s"))
+        .select(col("cluster"), col("n"),
+          graft.ops.TextOps.round6(col("__s").cast("double") / lit(1e6)
+            / col("n").cast("double")).as("mean_sil6"))
+        .orderBy("cluster")
+    }),
+
     // IVF nprobe tuning curve: micro-recall@5 (total hits / total
     // relevant — exact integers) for nprobe ∈ {1,2,4,8} against ONE
     // persisted index — the recall-vs-probe-cost datasheet an IVF
@@ -919,6 +954,8 @@ object SimilarityQueries {
     // v16: the IVF and brute-force replays composed as derived tables
     // (nested WITH) and closed by the semi-join hit count.
     "v27_filtered_ann" -> FilteredIvfSql,
+    "v29_silhouette" ->
+      silhouetteOracle(k = 16, iters = 3, dim = 64, g = Grid),
     // v28: v16's recall close over the two FILTERED replays.
     "v28_filtered_recall" ->
       s"""WITH ap AS (SELECT qid, nid FROM ($FilteredIvfSql) t),
@@ -1077,6 +1114,76 @@ object SimilarityQueries {
     * every nprobe tier closes from the same probe ranking — candidates
     * are postings whose probed-cluster rank ≤ np; micro-recall divides
     * exact integer totals. */
+  /** v29 oracle: the standard dyadic k-means replay head (the ivfOracle
+    * chain through `posting`), closed by the per-vector all-centroid
+    * distance frame and the exact 1e-6-unit silhouette rollup. */
+  private def silhouetteOracle(k: Int, iters: Int, dim: Int,
+                               g: Double): String = {
+    val gs = f"$g%.1f"
+    def iterSql(i: Int) = s"""
+      asg$i AS (
+        SELECT id, e, cluster FROM (
+          SELECT n.id, n.e, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
+          FROM trn n, cent$i c) WHERE rn = 1),
+      avg$i AS (
+        SELECT a.cluster, g.i - 1 AS pos,
+          floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS m
+        FROM asg$i a, generate_series(1, $dim) g(i) GROUP BY 1, 2),
+      raw$i AS (
+        SELECT p.cluster, coalesce(u.c, p.c) AS c
+        FROM cent$i p LEFT JOIN (
+          SELECT cluster, list(m ORDER BY pos) AS c FROM avg$i GROUP BY 1
+        ) u USING (cluster)),
+      cent${i + 1} AS (
+        SELECT r.cluster,
+          CASE WHEN n.nn = 0 THEN r.c
+            ELSE list_transform(r.c,
+              x -> floor(x / n.nn * $gs + 0.5) / $gs) END AS c
+        FROM raw$i r JOIN (
+          SELECT cluster, sqrt(sum(x * x)) AS nn
+          FROM (SELECT cluster, unnest(c) AS x FROM raw$i) GROUP BY 1
+        ) n USING (cluster))"""
+    s"""WITH
+      v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+      nrm AS (
+        SELECT id, list_transform(e0,
+          x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+        FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn FROM v0)),
+      trn AS (SELECT * FROM nrm),
+      cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
+            AS cluster, e AS c
+        FROM (SELECT id, e FROM trn ORDER BY id LIMIT $k)),
+      ${(0 until iters).map(iterSql).mkString(",")},
+      posting AS (
+        SELECT id AS nid, e AS ce, cluster FROM (
+          SELECT n.id, n.e, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
+          FROM nrm n, cent$iters c) WHERE rn = 1),
+      dmat AS (
+        SELECT p.nid, p.cluster AS own, c.cluster AS j,
+          1.0 - list_dot_product(p.ce, c.c) AS dist
+        FROM posting p, cent$iters c),
+      ab AS (
+        SELECT nid, max(own) AS cluster,
+          max(CASE WHEN j = own THEN dist END) AS a,
+          min(CASE WHEN j <> own THEN dist END) AS b
+        FROM dmat GROUP BY nid),
+      su AS (
+        SELECT cluster, CAST(floor((CASE WHEN GREATEST(a, b) = 0 THEN 0.0
+            ELSE (b - a) / GREATEST(a, b) END) * 1e6 + 0.5) AS BIGINT)
+            AS s_u
+        FROM ab)
+      SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        floor(CAST(sum(s_u) AS DOUBLE) / 1e6 / count(*) * 1e6 + 0.5)
+          / 1e6 AS mean_sil6
+      FROM su GROUP BY 1 ORDER BY 1"""
+  }
+
   private def nprobeCurveOracle(k: Int, iters: Int, maxProbe: Int,
                                 topK: Int, dim: Int, g: Double): String = {
     val gs = f"$g%.1f"

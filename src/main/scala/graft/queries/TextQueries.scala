@@ -20,6 +20,38 @@ object TextQueries {
     graft.ops.DedupOps.spread(Tables.documents(s, d), "doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HEAPS' LAW vocabulary-growth curve: distinct-token vocabulary vs
+    // corpus size at five id-ordered prefixes (cutoffs from the doc_id
+    // VALUE range — no global rank window, engine-exact) — the corpus
+    // diversity datasheet (sublinear growth = healthy; a flattening
+    // curve = the crawl is re-reading itself). One token first-
+    // occurrence aggregate + two conditional 1-row rollups.
+    "t29_heaps_curve" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val b = docs.agg(min(col("doc_id")), max(col("doc_id"))).head() // 1-row id-range probe
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val fracs = Seq(0.1, 0.25, 0.5, 0.75, 1.0)
+      val cuts = fracs.map(f => lo + math.floor(f * (hi - lo)).toLong)
+      // token first-occurrence doc (tokens staged before the explode)
+      val firsts = docs
+        .select(col("doc_id"), tokens(col("text")).as("__ts"))
+        .select(col("doc_id"), explode(col("__ts")).as("t"))
+        .groupBy("t").agg(min(col("doc_id")).as("fd"))
+      val vocAggs = cuts.map(c =>
+        count(when(col("fd") <= c, 1)).as(s"v$c"))
+      val voc = firsts.agg(vocAggs.head, vocAggs.tail: _*).head() // 1-row: |tiers| counts
+      val tokAggs = cuts.flatMap(c => Seq(
+        count(when(col("doc_id") <= c, 1)).as(s"d$c"),
+        sum(when(col("doc_id") <= c, tokenCount(col("text")))
+          .otherwise(0L)).as(s"n$c")))
+      val tok = docs.agg(tokAggs.head, tokAggs.tail: _*).head() // 1-row: |tiers| sums
+      fracs.indices.map { i =>
+        (fracs(i), cuts(i), tok.getLong(2 * i), tok.getLong(2 * i + 1),
+          voc.getLong(i))
+      }.toDF("frac", "cut", "n_docs", "n_tokens", "vocab")
+        .orderBy("frac")
+    }),
     // Token counting two ways: whitespace + BPE-ish regex pieces.
     "t01_token_stats" -> ((s, d) =>
       docs(s, d).select(
@@ -409,6 +441,27 @@ object TextQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    // t29: value-range cutoffs (CAST the DECIMAL fractions to DOUBLE;
+    // floor widens to DOUBLE in DuckDB — CAST back), first-occurrence
+    // vocabulary + token totals as correlated tier rollups.
+    "t29_heaps_curve" ->
+      s"""WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+             FROM documents),
+         cuts AS (SELECT CAST(f AS DOUBLE) AS frac,
+             CAST(lo + floor(CAST(f AS DOUBLE) * (hi - lo)) AS BIGINT)
+               AS cut
+           FROM b, (VALUES (0.1), (0.25), (0.5), (0.75), (1.0)) v(f)),
+         tk AS (SELECT doc_id, unnest($Toks) AS t FROM documents),
+         firsts AS (SELECT t, min(doc_id) AS fd FROM tk GROUP BY 1),
+         tot AS (SELECT doc_id, len($Toks) AS nt FROM documents)
+         SELECT frac, cut,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents
+             WHERE doc_id <= cut) AS n_docs,
+           (SELECT CAST(COALESCE(sum(nt), 0) AS BIGINT) FROM tot
+             WHERE doc_id <= cut) AS n_tokens,
+           (SELECT CAST(count(*) AS BIGINT) FROM firsts
+             WHERE fd <= cut) AS vocab
+         FROM cuts ORDER BY frac""",
     "t23_textrank" -> textRankSql(iters = 5),
     // t24: identical common-token join + 1e-9-unit term sums; the
     // exclusive-mass close uses the same pinned ln2 double literal.

@@ -190,6 +190,16 @@ class CollectLintSpec extends AnyFunSuite {
     "FrameQueries.scala" -> Map(
       "val wrev = byNationP.agg(sum(col(\"rev\"))).head() // 1-row world total" ->
         "share-of-parent world total: 1-row aggregate over the |nations| frame"),
+    "SimilarityQueries.scala" -> Map(
+      ".collect().map(_.getSeq[Double](1).toArray) // k x dim driver state" ->
+        "v29 centroid artifact reload: k × dim"),
+    "TextQueries.scala" -> Map(
+      "val b = docs.agg(min(col(\"doc_id\")), max(col(\"doc_id\"))).head() // 1-row id-range probe" ->
+        "t29 tier cutoffs: 1-row min/max probe",
+      "val voc = firsts.agg(vocAggs.head, vocAggs.tail: _*).head() // 1-row: |tiers| counts" ->
+        "t29 vocabulary rollup: 1 row x 5 tier counts",
+      "val tok = docs.agg(tokAggs.head, tokAggs.tail: _*).head() // 1-row: |tiers| sums" ->
+        "t29 token rollup: 1 row x 10 tier sums"),
     // the streaming gates' MemoryStream replay harness — the TEST feed
     // (production side is readStream); bounded by the fixture only
     "DedupQueries.scala" -> Map(

@@ -31,6 +31,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
                           // 16-byte xor+popcount scan is the cheap
                           // exhaustive baseline (FAISS BinaryFlat)
     "v24_binary_recall", // scores v23's sanctioned scan against v01's
+    "v28_filtered_recall", // scores the filtered IVF probe against the
+                           // FILTERED brute force — the ground-truth side
+                           // is the sanctioned exhaustive shape
     "v26_range_search", // threshold range search — the sanctioned
                         // brute-force shape with a filter close
     // welch pairs: the inequality join runs AFTER the partial+final

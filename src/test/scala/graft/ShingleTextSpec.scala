@@ -52,6 +52,24 @@ class ShingleTextSpec extends AnyFunSuite with SparkFixture {
     assert(rows.last.getSeq[String](1) == Seq("a b a", "b a b"))
   }
 
+  test("NgramText (multiplicity) is bit-identical to ngramsOfTokens") {
+    import graft.functions.NgramText.ngramText
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    for (n <- Seq(2, 5)) {
+      val mismatches = docs
+        .select(TextOps.ngramsOfTokens(TextOps.tokens(col("text")), n)
+            .as("a"),
+          ngramText(col("text"), n).as("b"))
+        .filter(not(col("a") <=> col("b")))
+        .count()
+      assert(mismatches == 0L, s"n=$n")
+    }
+    // repeats are KEPT, order preserved (posexplode index = position)
+    val r = Seq("a b a b a b").toDF("text")
+      .select(ngramText(col("text"), 3)).head.getSeq[String](0)
+    assert(r == Seq("a b a", "b a b", "a b a", "b a b"))
+  }
+
   test("registered in the SQL function registry") {
     Tables.documents(spark, "/root/testdata/sf0.001").limit(10)
       .createOrReplaceTempView("__stdocs")
