@@ -969,6 +969,17 @@ object SparkEntry {
         "px", col("o_orderkey"), "idx")
       ordered(v.interpolate("index", Some(2), "both"))
     }),
+    // s.interpolate(method='nearest'): interior nulls snap to the
+    // CLOSER anchor by index distance (ties -> previous) — the
+    // categorical/step-data fill where a fractional line is wrong.
+    "s111_interp_nearest" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val v = Series.fromExpr(o,
+        when(pmod(col("o_orderkey"), lit(7)).isin(2, 3),
+          lit(null).cast("double")).otherwise(col("o_totalprice")),
+        "px", col("o_orderkey"), "idx")
+      ordered(v.interpolate("nearest"))
+    }),
     "s105_expanding_qtile_approx" -> ((s, d) => {
       val o = Tables.orders(s, d)
       Series.fromExpr(o, col("o_totalprice"), "v",
@@ -1801,6 +1812,31 @@ object SparkEntry {
          SELECT idx, CASE WHEN v IS NOT NULL THEN v
              WHEN pv IS NULL THEN NULL WHEN nv IS NULL THEN pv
              ELSE pv + (nv - pv) * (pos - pc) / (nc - pc) END AS px
+         FROM w ORDER BY idx"""),
+    // s111: same anchor frame, interior snaps to the closer anchor by
+    // index distance (<= keeps ties on the previous side).
+    "s111_interp_nearest" ->
+      ("""WITH t AS (SELECT o_orderkey AS idx,
+             CASE WHEN o_orderkey % 7 IN (2, 3) THEN NULL
+               ELSE o_totalprice END AS v
+           FROM orders),
+         w AS (SELECT idx, v, CAST(idx AS DOUBLE) AS cx,
+             last_value(v IGNORE NULLS) OVER (ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN CAST(idx AS DOUBLE)
+                 END IGNORE NULLS)
+               OVER (ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pcx,
+             first_value(v IGNORE NULLS) OVER (ORDER BY idx
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN CAST(idx AS DOUBLE)
+                 END IGNORE NULLS)
+               OVER (ORDER BY idx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ncx
+           FROM t)
+         SELECT idx, CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NULL THEN NULL WHEN nv IS NULL THEN pv
+             WHEN cx - pcx <= ncx - cx THEN pv ELSE nv END AS px
          FROM w ORDER BY idx"""),
     // s107: label-distance line + row-counted limit from both anchors;
     // a NULL limit predicate (edge run missing an anchor) acts as false

@@ -513,9 +513,12 @@ final class GlobalWindows private[graft] (
     * Register-before-result, like [[cumsumExtra]]. */
   def interpolate(coordName: Option[String] = None,
       direction: String = "forward", limit: Option[Int] = None,
-      posName: Option[String] = None): Column = {
+      posName: Option[String] = None,
+      method: String = "linear"): Column = {
     require(Set("forward", "backward", "both")(direction),
       s"limit_direction must be forward|backward|both, got '$direction'")
+    require(Set("linear", "nearest")(method),
+      s"interior method must be linear|nearest, got '$method'")
     limit.foreach(l => require(l >= 1, s"limit must be >= 1, got $l"))
     def reg(n: Option[String]): (String, Column) = {
       val key = n.getOrElse(IdxCoordKey)
@@ -534,7 +537,11 @@ final class GlobalWindows private[graft] (
       F.last(nnCoord, ignoreNulls = true).over(cumw), off(ipOffP(ck)))
     val nc = coalesce(
       F.first(nnCoord, ignoreNulls = true).over(fwd), off(ipOffN(ck)))
-    val interior = pv + (nv - pv) * (coordC - pc) / (nc - pc)
+    // nearest: snap to the closer anchor, ties -> previous (the <=)
+    val interior =
+      if (method == "nearest")
+        when(coordC - pc <= nc - coordC, pv).otherwise(nv)
+      else pv + (nv - pv) * (coordC - pc) / (nc - pc)
     val fillVal = direction match {
       case "forward" =>
         when(pv.isNull, lit(null)).when(nv.isNull, pv).otherwise(interior)

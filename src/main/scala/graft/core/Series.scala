@@ -1890,14 +1890,14 @@ final class Series private[graft] (
     require(Set("forward", "backward", "both")(limitDirection),
       s"limit_direction must be forward|backward|both, got '$limitDirection'")
     limit.foreach(l => require(l >= 1, s"limit must be >= 1, got $l"))
-    require(method == "linear" || method == "index",
-      s"interpolate method must be 'linear' or 'index', got '$method'")
+    require(Set("linear", "index", "nearest")(method),
+      s"interpolate method must be linear|index|nearest, got '$method'")
     val W = org.apache.spark.sql.expressions.Window
     if (!orderableIdx) {
       // single-task fallback, same caveat as ffill's: no monotone numeric
-      // coordinate to bucket by (linear only — 'index' needs one)
+      // coordinate to bucket by (linear only — 'index'/'nearest' need one)
       require(method == "linear",
-        "method='index' needs an orderable (numeric/date/string) index")
+        "method='index'/'nearest' needs an orderable (numeric/date/string) index")
       val posN = "__ip_pos"
       val staged = base
         .select(indexExpr.as(indexName), valueExpr.as(name))
@@ -1906,9 +1906,11 @@ final class Series private[graft] (
       new Series(staged, name, indexName, col(indexName),
         interpolateExpr(W.orderBy(col(indexName)), col(name), col(posN),
           Some(col(posN)), limit, limitDirection))
-    } else if (method == "index" && limit.isEmpty) {
+    } else if (method != "linear" && limit.isEmpty) {
+      // 'index'/'nearest': the index IS the coordinate — one bucketed pass
       val g = globalWindows()
-      g.series(g.interpolate(None, limitDirection), name)
+      g.series(g.interpolate(None, limitDirection,
+        method = if (method == "nearest") "nearest" else "linear"), name)
     } else {
       val posN = "__ip_pos"
       val g1 = globalWindows()
@@ -1918,7 +1920,8 @@ final class Series private[graft] (
       val g2 = s2.globalWindows(extra = Seq(posN -> col(posN)))
       val coordName = if (method == "linear") Some(posN) else None
       g2.series(
-        g2.interpolate(coordName, limitDirection, limit, Some(posN)), name)
+        g2.interpolate(coordName, limitDirection, limit, Some(posN),
+          method = if (method == "nearest") "nearest" else "linear"), name)
     }
   }
 

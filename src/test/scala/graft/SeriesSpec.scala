@@ -588,6 +588,19 @@ class SeriesSpec extends AnyFunSuite with SparkFixture {
     assert(got("index") == Seq(1.0, 1.9, 10.0))
   }
 
+  test("interpolate (global): method='nearest' snaps to the closer " +
+      "anchor, midpoint ties take the previous") {
+    val df = Seq[(Long, Option[Double])](
+      (0L, Some(1.0)), (1L, None), (5L, None), (10L, Some(10.0)),
+      (12L, None)).toDF("idx", "v")
+    val s = Series.fromColumn(df, "v", "idx")
+    val got = s.interpolate("nearest").df.orderBy("idx").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getDouble(1)).toSeq
+    // idx 1: |1-0|=1 < |10-1|=9 -> 1.0; idx 5: |5-0|=5 = |10-5|=5 tie ->
+    // previous 1.0; idx 12: trailing -> forward carry 10.0
+    assert(got == Seq(1.0, 1.0, 1.0, 10.0, 10.0))
+  }
+
   test("interpolate (global): limit=1 + limit_direction='both' (pandas)") {
     // pandas [nan,nan,1,nan,nan,nan,5,nan,nan]
     //   .interpolate(limit=1, limit_direction='both')
