@@ -358,6 +358,24 @@ object DedupQueries {
           "text", n = 5)
         .orderBy("doc_id")),
 
+    // HITS hubs & authorities over the DIRECTED buyer→seller bipartite
+    // graph (customer bought from supplier): hubs = broad buyers of
+    // authoritative suppliers, authorities = suppliers bought by strong
+    // hubs — the link-analysis sibling of d20's PageRank, with EXACT
+    // integer state (1e-9-unit longs; neighbor sums are associative
+    // integer adds, so not even float-order drift exists).
+    "d45_hits" -> ((s, d) => {
+      val edges = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      graft.ops.GraphOps.hits(edges, "c", "s", iters = 4)
+        .withColumn("score9", col("score_u").cast("double") / lit(1e9))
+        .orderBy("role", "id")
+    }),
+
     "d43_threshold_curve" -> ((s, d) => {
       val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
         "text", n = 3, threshold = 0.5)
@@ -664,6 +682,44 @@ object DedupQueries {
   }
 
   /** d20 oracle: d08's pair graph + `iters` unrolled PageRank rounds. */
+  /** d45's unrolled HITS replay: integer 1e-9-unit scores, per-round
+    * L∞ normalization as one scalar-subquery division per side. */
+  private def hitsSql(iters: Int): String = {
+    // AS MATERIALIZED throughout: DuckDB inlines CTEs by default, so
+    // each round's scalar max subquery would otherwise re-evaluate the
+    // whole upstream chain per row (the d31 kCore lesson).
+    val head = """WITH e AS MATERIALIZED (
+         SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       h0 AS MATERIALIZED (
+         SELECT DISTINCT c AS id, CAST(1000000000 AS BIGINT) AS u
+         FROM e)"""
+    val its = (1 to iters).map { i =>
+      s"""
+       a${i}r AS MATERIALIZED (
+         SELECT e.s AS id, CAST(sum(h.u) AS BIGINT) AS raw
+         FROM e JOIN h${i - 1} h ON h.id = e.c GROUP BY 1),
+       a$i AS MATERIALIZED (
+         SELECT id, CAST(floor(CAST(raw AS DOUBLE)
+           / (SELECT max(raw) FROM a${i}r) * 1e9 + 0.5) AS BIGINT) AS u
+         FROM a${i}r),
+       h${i}r AS MATERIALIZED (
+         SELECT e.c AS id, CAST(sum(a.u) AS BIGINT) AS raw
+         FROM e JOIN a$i a ON a.id = e.s GROUP BY 1),
+       h$i AS MATERIALIZED (
+         SELECT id, CAST(floor(CAST(raw AS DOUBLE)
+           / (SELECT max(raw) FROM h${i}r) * 1e9 + 0.5) AS BIGINT) AS u
+         FROM h${i}r)"""
+    }.mkString(",")
+    s"""$head,$its
+       SELECT role, id, score_u, CAST(score_u AS DOUBLE) / 1e9 AS score9
+       FROM (
+         SELECT 'hub' AS role, id, u AS score_u FROM h$iters
+         UNION ALL
+         SELECT 'authority' AS role, id, u AS score_u FROM a$iters)
+       ORDER BY role, id"""
+  }
+
   private def pageRankSql(iters: Int): String = {
     val head = s"""WITH $ShingleCte,
        sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
@@ -1206,6 +1262,7 @@ object DedupQueries {
     // (1 - 0.85) spelling is deliberate: both engines compute the same
     // IEEE double, where a 0.15 literal would differ by 1 ulp.
     "d20_pagerank" -> pageRankSql(iters = 5),
+    "d45_hits" -> hitsSql(iters = 4),
     "d29_label_prop" -> labelPropSql(iters = 4),
     // d25: d08's exact pair-graph head + the DBSCAN tail (degrees →
     // cores → recursive-CTE components over core–core edges → min-core

@@ -310,6 +310,26 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
       (12L, 10L, "border")))
   }
 
+  test("hits: the supplier bought by every hub dominates authorities; " +
+      "the broadest buyer dominates hubs; max score = 1e9") {
+    // bipartite: buyers 1..4 all buy from supplier 10; buyer 1 also buys
+    // 11 and 12; buyer 2 buys 11 — 10 must top authorities, 1 must top
+    // hubs, and each side's max normalizes to exactly 1e9
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 11L), (2L, 11L), (1L, 12L)).toDF("c", "s")
+    val out = graft.ops.GraphOps.hits(e, "c", "s", iters = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val auth = out.filter(_._1 == "authority").sortBy(-_._3)
+    val hubs = out.filter(_._1 == "hub").sortBy(-_._3)
+    assert(auth.head._2 == 10L && auth.head._3 == 1000000000L)
+    assert(hubs.head._2 == 1L && hubs.head._3 == 1000000000L)
+    // authority order follows in-link weight: 10 > 11 > 12
+    assert(auth.map(_._2).toSeq == Seq(10L, 11L, 12L))
+    // hub order: buyer 1 (3 authoritative sellers) > 2 > {3,4}
+    assert(hubs.map(_._2).take(2).toSeq == Seq(1L, 2L))
+    Caches.clear()
+  }
+
   test("scd2Compress: runs compress, validity tiles the key's timeline") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 00:$m%02d:00")
