@@ -435,6 +435,44 @@ object EventQueries {
         .orderBy("event_type", "ws")
     }),
 
+    // STL-lite seasonal DECOMPOSITION: hourly volume = trend (centered
+    // 25-hour moving average) + hour-of-day seasonal (mean detrended
+    // value per hour slot) + residual — the "what is actually growing"
+    // decomposition behind e47/e70, EXACT end to end: values in integer
+    // cents, trend_u = Σcents×400 (25 divides 10⁴, so the centered mean
+    // needs no rounding at all), seasonal = one deterministic division
+    // per (type, hour) slot, residual = integer subtraction. Edge rows
+    // without the full ±12 h window stay null, like pandas rolling
+    // center=True min_periods.
+    "e72_stl_decompose" -> ((s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = EventOps.tumbling(ev(s, d), "ts", "1 hour",
+          Seq(col("event_type")),
+          Seq(round(sum(col("value")), 2).as("y")))
+        .withColumn("yc", floor(col("y") * 100 + 0.5).cast("long"))
+      val w = W.partitionBy("event_type").orderBy("ws")
+        .rowsBetween(-12, 12)
+      val t = hourly
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("trend_u",
+          when(col("__n") === 25, sum(col("yc")).over(w) * 400L))
+        .withColumn("d_u",
+          when(col("trend_u").isNotNull,
+            col("yc") * 10000L - col("trend_u")))
+        .withColumn("hod", hour(col("ws")))
+      val seas = t.filter(col("d_u").isNotNull)
+        .groupBy("event_type", "hod")
+        .agg(floor(sum(col("d_u")).cast("double")
+          / count(lit(1)).cast("double") + 0.5).cast("long").as("seas_u"))
+      t.join(seas, Seq("event_type", "hod"), "left")
+        .select(col("event_type"), col("ws"), col("y"),
+          col("trend_u"),
+          when(col("d_u").isNotNull, col("seas_u")).as("seas_u"),
+          when(col("d_u").isNotNull, col("d_u") - col("seas_u"))
+            .as("resid_u"))
+        .orderBy("event_type", "ws")
+    }),
+
     // FORECAST-BASED anomaly detection: hours whose |observed − HW
     // forecast| exceeds 3× the expanding mean absolute residual of all
     // PRIOR hours (causal, ≥24-residual warm-up) — the alerting layer
@@ -1903,6 +1941,38 @@ object EventQueries {
     // expression is inlined into b exactly as e50 does. Seeds CAST per
     // the s50 doctrine.
     "e70_holt_winters" -> HoltWintersSql,
+    // e72: integer-cents STL replay — trend is the exact Σcents×400
+    // identity (25 | 10⁴), seasonal one deterministic division per
+    // slot, residual pure integer subtraction.
+    "e72_stl_decompose" ->
+      """WITH h AS (
+           SELECT date_trunc('hour', ts) AS ws, event_type,
+             round(sum(value), 2) AS y
+           FROM events GROUP BY 1, 2),
+         c AS (SELECT event_type, ws, y,
+             CAST(floor(y * 100 + 0.5) AS BIGINT) AS yc
+           FROM h),
+         t AS (SELECT event_type, ws, y, yc,
+             CASE WHEN count(*) OVER w = 25
+               THEN CAST(sum(yc) OVER w AS BIGINT) * 400 END AS trend_u,
+             CAST(hour(ws) AS INTEGER) AS hod
+           FROM c
+           WINDOW w AS (PARTITION BY event_type ORDER BY ws
+             ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+         t2 AS (SELECT *,
+             CASE WHEN trend_u IS NOT NULL
+               THEN yc * 10000 - trend_u END AS d_u
+           FROM t),
+         seas AS (SELECT event_type, hod,
+             CAST(floor(CAST(sum(d_u) AS DOUBLE) / count(*) + 0.5)
+               AS BIGINT) AS seas_u
+           FROM t2 WHERE d_u IS NOT NULL GROUP BY 1, 2)
+         SELECT t2.event_type, ws, y, trend_u,
+           CASE WHEN d_u IS NOT NULL THEN seas_u END AS seas_u,
+           CASE WHEN d_u IS NOT NULL THEN d_u - seas_u END AS resid_u
+         FROM t2 LEFT JOIN seas
+           ON t2.event_type = seas.event_type AND t2.hod = seas.hod
+         ORDER BY t2.event_type, ws""",
     // e71: e70's replay closed by the causal expanding-MAE flag — the
     // compare is exact integer cross-multiplication on 1e-6-unit
     // residuals, so the boolean can never ulp-flip between engines.

@@ -111,6 +111,32 @@ object SimilarityQueries {
       graft.ops.EvalOps.recallAtK(approx, exact).orderBy("qid")
     }),
 
+    // MRR (mean reciprocal rank) retrieval eval: at which rank does the
+    // IVF ranking first surface a TRUE top-5 neighbor — the
+    // order-sensitive sibling of v16's recall and v17's NDCG (recall
+    // can't see rank-1-vs-rank-5; NDCG needs the whole list). rr in
+    // exact 1e-6 units (floor(1e6/rank + 0.5)), 0 = no true neighbor
+    // surfaced at all.
+    "v30_mrr" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+      val approx = SimilarityOps.ivfSearch(e, q, "vec_id", "embedding",
+          k = 5, nClusters = 16, nProbe = 4, grid = Some(Grid))
+        .select("qid", "rk", "nid")
+      val exact = SimilarityOps.knnBruteForce(e, q, "vec_id",
+          "embedding", 5)
+        .select("qid", "nid")
+      val firstHit = approx.join(exact, Seq("qid", "nid"))
+        .groupBy("qid").agg(min(col("rk")).as("first_rank"))
+      q.select(col("vec_id").as("qid"))
+        .join(firstHit, Seq("qid"), "left")
+        .withColumn("rr_u", when(col("first_rank").isNotNull,
+          floor(lit(1e6) / col("first_rank") + 0.5).cast("long"))
+          .otherwise(lit(0L)))
+        .select("qid", "first_rank", "rr_u")
+        .orderBy("qid")
+    }),
+
     // Per-cluster SILHOUETTE quality of the IVF clustering (simplified
     // silhouette: a = cosine distance to the OWN centroid, b = min
     // distance to any OTHER centroid, s = (b−a)/max(a,b)) — the "is
@@ -956,6 +982,19 @@ object SimilarityQueries {
     "v27_filtered_ann" -> FilteredIvfSql,
     "v29_silhouette" ->
       silhouetteOracle(k = 16, iters = 3, dim = 64, g = Grid),
+    // v30: the two replays closed by first-true-hit rank per query.
+    "v30_mrr" ->
+      s"""WITH ap AS (SELECT qid, rk, nid FROM ($IvfSql) t),
+         ex AS (SELECT qid, nid FROM ($KnnSql) t2),
+         fh AS (SELECT ap.qid, CAST(min(ap.rk) AS INTEGER) AS first_rank
+           FROM ap JOIN ex ON ap.qid = ex.qid AND ap.nid = ex.nid
+           GROUP BY 1),
+         qq AS (SELECT DISTINCT qid FROM ex)
+         SELECT qq.qid, first_rank,
+           CASE WHEN first_rank IS NOT NULL
+             THEN CAST(floor(1e6 / first_rank + 0.5) AS BIGINT)
+             ELSE 0 END AS rr_u
+         FROM qq LEFT JOIN fh ON qq.qid = fh.qid ORDER BY qq.qid""",
     // v28: v16's recall close over the two FILTERED replays.
     "v28_filtered_recall" ->
       s"""WITH ap AS (SELECT qid, nid FROM ($FilteredIvfSql) t),

@@ -34,6 +34,7 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     "v28_filtered_recall", // scores the filtered IVF probe against the
                            // FILTERED brute force — the ground-truth side
                            // is the sanctioned exhaustive shape
+    "v30_mrr", // first-true-hit rank against v01's exact ground truth
     "v26_range_search", // threshold range search — the sanctioned
                         // brute-force shape with a filter close
     // welch pairs: the inequality join runs AFTER the partial+final
