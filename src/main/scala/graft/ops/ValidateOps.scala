@@ -73,4 +73,34 @@ object ValidateOps {
       (n, if (r.isNullAt(i)) 0L else r.getLong(i), total)
     }
   }
+
+  /** Per-group ROBUST outlier report via median/MAD (the screen that
+    * survives the very outliers a mean/stddev z-score is poisoned by):
+    * a row is an outlier when |x − median| > k · 1.4826 · MAD (1.4826
+    * ≈ the normal-consistency constant; pass `k · 1.4826` pre-multiplied
+    * as `kScaled` so both engines compare against one literal product).
+    * Returns one row per group: (group, n, med, mad, n_outliers).
+    *
+    * Scale shape: two keyed exact-percentile aggregates (sort-based
+    * within group — groups are the shuffle key either way) + one keyed
+    * conditional count; the deviation frame is lazy, nothing collects.
+    * Determinism: exact percentiles interpolate identically to DuckDB's
+    * quantile_cont (the rolling-median precedent), deviations and the
+    * threshold product are per-row IEEE — raw doubles hash-match. */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  kScaled: Double): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(percentile(col(valCol), lit(0.5)).as("med"))
+    val dev = df.select(col(groupCol), col(valCol))
+      .join(med, groupCol)
+      .withColumn("__dev", abs(col(valCol) - col("med")))
+    val st = dev.groupBy(col(groupCol))
+      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+    dev.join(st, groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(kScaled) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
 }

@@ -296,6 +296,49 @@ object FrameQueries {
     // LISTING, no data scan), and hash-match the compacted scan against
     // the source table — the table-maintenance pass a streaming sink's
     // droppings need at 100 TB.
+    // BENFORD first-digit audit: the classic fabricated-data screen —
+    // leading-digit distribution of order totals vs Benford expected
+    // shares, per-digit chi² contributions. Digit extraction through
+    // exact integer cents (never float log10 — a 1-ulp libm difference
+    // at a power of 10 would misbin); expected shares are pinned 6dp
+    // LITERALS on both engines (log10 itself may differ by an ulp
+    // between libms).
+    "f75_benford" -> ((s, d) => {
+      import s.implicits._
+      val digits = Tables.orders(s, d).select(
+        substring(floor(col("o_totalprice") * 100 + 0.5).cast("long")
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+      val pdf = Seq(1 -> 0.301030, 2 -> 0.176091, 3 -> 0.124939,
+          4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
+          8 -> 0.051153, 9 -> 0.045757)
+        .toDF("digit", "expected6")
+      val tot = counts.agg(sum(col("n")).as("total"))
+        .withColumn("__k", lit(1))
+      counts.withColumn("__k", lit(1))
+        .join(broadcast(tot), "__k")
+        .join(broadcast(pdf), "digit")
+        .select(col("digit"), col("n"),
+          graft.ops.TextOps.round6(col("n") * lit(1.0) / col("total"))
+            .as("share6"),
+          col("expected6"),
+          graft.ops.TextOps.round6(
+            (col("n") - col("total") * col("expected6"))
+              * (col("n") - col("total") * col("expected6"))
+              / (col("total") * col("expected6"))).as("contrib6"))
+        .orderBy("digit")
+    }),
+
+    // Per-nation ROBUST outlier report: |x − median| > 3·1.4826·MAD
+    // (the screen a mean/stddev z-score fails exactly when it matters —
+    // the outliers poison the mean). Two keyed exact percentiles + one
+    // keyed conditional count; raw med/mad doubles hash-match via the
+    // quantile_cont interpolation precedent.
+    "f76_mad_outliers" -> ((s, d) =>
+      graft.ops.ValidateOps.madOutliers(Tables.customer(s, d),
+          "c_nationkey", "c_acctbal", kScaled = 4.4478)
+        .orderBy("c_nationkey")),
+
     // SCHEMA EVOLUTION read: two writer generations land different
     // column sets (gen1: doc_id+n_chars, gen2: doc_id+lang — the
     // long-lived-table reality at 100 TB where producers upgrade at
@@ -1329,6 +1372,43 @@ object FrameQueries {
     // f66: the EXISTS probe as a semi-join; date_diff day boundaries
     // match Spark's datediff on DATE columns.
     // f72: the compacted scan must carry the source values bit-exactly.
+    // f75: digits off exact integer cents; expected shares are the SAME
+    // pinned literals; contributions one shared formula spelling.
+    "f75_benford" ->
+      """WITH c AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100
+               + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+           FROM orders),
+         cnt AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+           FROM c GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+         p AS (SELECT digit, CAST(expected6 AS DOUBLE) AS expected6
+           FROM (VALUES (1, 0.301030), (2, 0.176091), (3, 0.124939),
+             (4, 0.096910), (5, 0.079181), (6, 0.066947), (7, 0.057992),
+             (8, 0.051153), (9, 0.045757)) v(digit, expected6))
+         SELECT cnt.digit, n,
+           floor(n * 1.0 / total * 1e6 + 0.5) / 1e6 AS share6,
+           expected6,
+           floor((n - total * expected6) * (n - total * expected6)
+             / (total * expected6) * 1e6 + 0.5) / 1e6 AS contrib6
+         FROM cnt CROSS JOIN t JOIN p ON cnt.digit = p.digit
+         ORDER BY cnt.digit""",
+    // f76: the same two quantile_cont passes + one literal-product
+    // threshold; med/mad raw doubles (interpolation parity precedent).
+    "f76_mad_outliers" ->
+      """WITH med AS (SELECT c_nationkey,
+             quantile_cont(c_acctbal, 0.5) AS med
+           FROM customer GROUP BY 1),
+         dev AS (SELECT c.c_nationkey, m.med,
+             abs(c_acctbal - m.med) AS dev
+           FROM customer c JOIN med m USING (c_nationkey)),
+         st AS (SELECT c_nationkey, quantile_cont(dev, 0.5) AS mad
+           FROM dev GROUP BY 1)
+         SELECT d.c_nationkey, CAST(count(*) AS BIGINT) AS n,
+           max(d.med) AS med, max(s.mad) AS mad,
+           CAST(sum(CASE WHEN d.dev > 4.4478 * s.mad THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers
+         FROM dev d JOIN st s USING (c_nationkey)
+         GROUP BY 1 ORDER BY 1""",
     // f74: the two generations recreated relationally; the merged-scan
     // union is exactly this projection (count keeps every row, chars
     // sum only over gen1's).
