@@ -1180,33 +1180,6 @@ object EventOps {
       }
   }
 
-  /** Weekly COHORT RETENTION — the product-analytics staple: users
-    * grouped by first-seen week (ISO Monday truncation, identical in
-    * both engines), retention(k) = fraction of a cohort active k weeks
-    * later. Everything is exact integer counts + one 6dp-gridded
-    * division, so the whole triangle hash-matches.
-    *
-    * Scale shape: one distinct (user, week) projection, one per-user
-    * min aggregate (the cohort), two keyed joins + keyed counts — all
-    * shuffles on user or cohort week; nothing wider. */
-  def cohortRetention(df: DataFrame, userCol: String,
-                      tsCol: String): DataFrame = {
-    val wk = df.select(col(userCol).as("u"),
-        date_trunc("week", col(tsCol)).cast("date").as("w"))
-      .distinct()
-    val cohort = wk.groupBy("u").agg(min(col("w")).as("cw"))
-    val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("cohort_size"))
-    wk.join(cohort, "u")
-      .withColumn("k", (datediff(col("w"), col("cw")) / 7).cast("int"))
-      .groupBy("cw", "k")
-      .agg(count_distinct(col("u")).as("n_active"))
-      .join(sizes, "cw")
-      .select(col("cw").as("cohort_week"), col("k"), col("n_active"),
-        col("cohort_size"),
-        graft.ops.TextOps.round6(col("n_active").cast("double")
-          / col("cohort_size").cast("double")).as("rate6"))
-  }
-
   def scd2Compress(df: DataFrame, keyCol: String, tsCol: String,
                    attrCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))

@@ -435,13 +435,6 @@ object EventQueries {
         .orderBy("event_type", "ws")
     }),
 
-    // Weekly cohort retention triangle: users bucketed by first-seen
-    // week, retention(k) = cohort fraction active k weeks later — all
-    // exact integer counts, one 6dp division.
-    "e73_cohort_retention" -> ((s, d) =>
-      EventOps.cohortRetention(ev(s, d), "user_id", "ts")
-        .orderBy("cohort_week", "k")),
-
     // STL-lite seasonal DECOMPOSITION: hourly volume = trend (centered
     // 25-hour moving average) + hour-of-day seasonal (mean detrended
     // value per hour slot) + residual — the "what is actually growing"
@@ -1948,22 +1941,6 @@ object EventQueries {
     // expression is inlined into b exactly as e50 does. Seeds CAST per
     // the s50 doctrine.
     "e70_holt_winters" -> HoltWintersSql,
-    // e73: identical ISO-Monday truncation both engines; k from exact
-    // day arithmetic; counts exact, one 6dp-grid division.
-    "e73_cohort_retention" ->
-      """WITH wk AS (SELECT DISTINCT user_id AS u,
-             CAST(date_trunc('week', ts) AS DATE) AS w
-           FROM events),
-         ch AS (SELECT u, min(w) AS cw FROM wk GROUP BY 1),
-         sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_size
-           FROM ch GROUP BY 1),
-         act AS (SELECT c.cw, CAST((w - cw) / 7 AS INTEGER) AS k,
-             CAST(count(DISTINCT wk.u) AS BIGINT) AS n_active
-           FROM wk JOIN ch c ON wk.u = c.u GROUP BY 1, 2)
-         SELECT act.cw AS cohort_week, k, n_active, cohort_size,
-           floor(n_active * 1.0 / cohort_size * 1e6 + 0.5) / 1e6 AS rate6
-         FROM act JOIN sz ON act.cw = sz.cw
-         ORDER BY cohort_week, k""",
     // e72: integer-cents STL replay — trend is the exact Σcents×400
     // identity (25 | 10⁴), seasonal one deterministic division per
     // slot, residual pure integer subtraction.
