@@ -272,6 +272,14 @@ object DedupOps {
     * inside cross-doc template material — the curation knob pair mining
     * (d03) can't see, because coverage is per-position, not per-pair.
     *
+    * NOT [[dupSpanFraction]] (d15): that statistic is the share of gram
+    * OCCURRENCES whose gram is shared (overlapping grams each count, so
+    * one shared sentence inflates it n-fold); this one merges the
+    * overlapping windows with an interval-union sweep and reports the
+    * fraction of TEXT inside any shared window — Lee et al.'s "fraction
+    * of tokens in duplicated substrings", the number you act on when
+    * deciding how much of a doc to cut.
+    *
     * Scale shape: positional gram postings keyed by the md5-portable
     * 60-bit gram hash (the grams come from the codegen'd
     * `graft_ngram_text` pass; the hash stays md5 so the DuckDB oracle
