@@ -182,8 +182,10 @@ object GraphOps {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val unit = 1000000000L
     // per-round L∞ normalization stays INSIDE the plan (the 1-row max
-    // broadcast-joins back on a constant key — an equi-join, never a
-    // nested loop, and never a driver probe job); each half-round then
+    // broadcast-joins back on a constant key; Catalyst folds the
+    // constant predicate away and plans a broadcast loop over the
+    // 1-ROW build side — cost-identical to a hash join here, and never
+    // a driver probe job); each half-round then
     // cuts lineage with ONE localCheckpoint. Without the cut the
     // double consumption (max branch + join left, next round + output)
     // recomputes the chain exponentially — measured 97 s; with it the

@@ -313,19 +313,19 @@ object FrameQueries {
           4 -> 0.096910, 5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992,
           8 -> 0.051153, 9 -> 0.045757)
         .toDF("digit", "expected6")
-      val tot = counts.agg(sum(col("n")).as("total"))
-        .withColumn("__k", lit(1))
-      counts.withColumn("__k", lit(1))
-        .join(broadcast(tot), "__k")
-        .join(broadcast(pdf), "digit")
+      // a constant-key 1-row join constant-folds its predicate away and
+      // replans as a nested loop (PlanLint-rejected) — the 1-value total
+      // rides as a bounded driver scalar instead
+      val total = counts.agg(sum(col("n"))).head().getLong(0) // 1-value digit total
+      counts.join(broadcast(pdf), "digit")
         .select(col("digit"), col("n"),
-          graft.ops.TextOps.round6(col("n") * lit(1.0) / col("total"))
+          graft.ops.TextOps.round6(col("n") * lit(1.0) / lit(total))
             .as("share6"),
           col("expected6"),
           graft.ops.TextOps.round6(
-            (col("n") - col("total") * col("expected6"))
-              * (col("n") - col("total") * col("expected6"))
-              / (col("total") * col("expected6"))).as("contrib6"))
+            (col("n") - lit(total) * col("expected6"))
+              * (col("n") - lit(total) * col("expected6"))
+              / (lit(total) * col("expected6"))).as("contrib6"))
         .orderBy("digit")
     }),
 

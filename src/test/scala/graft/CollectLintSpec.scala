@@ -189,7 +189,9 @@ class CollectLintSpec extends AnyFunSuite {
         "PQ codebook artifact reload: m × codebook rows"),
     "FrameQueries.scala" -> Map(
       "val wrev = byNationP.agg(sum(col(\"rev\"))).head() // 1-row world total" ->
-        "share-of-parent world total: 1-row aggregate over the |nations| frame"),
+        "share-of-parent world total: 1-row aggregate over the |nations| frame",
+      "val total = counts.agg(sum(col(\"n\"))).head().getLong(0) // 1-value digit total" ->
+        "Benford total: 1-value aggregate over the 9-digit frame"),
     "SimilarityQueries.scala" -> Map(
       ".collect().map(_.getSeq[Double](1).toArray) // k x dim driver state" ->
         "v29 centroid artifact reload: k × dim"),
