@@ -644,6 +644,27 @@ object DedupQueries {
   )
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  /** d44/p23 shared replay: positional 5-gram md5-long postings, the
+    * shared-gram screen, and the per-doc interval-union coverage CTEs
+    * (t/g/shared/c/per). */
+  private[queries] lazy val RepeatedCoverage5Cte =
+    s"""t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         g AS (SELECT doc_id, u.i - 1 AS pos,
+             CAST(concat('0x', substr(md5(
+               array_to_string(ts[u.i:u.i+4], ' ')), 1, 15)) AS BIGINT)
+               AS h
+           FROM t, LATERAL unnest(range(1, len(ts) - 3)) AS u(i)),
+         shared AS (SELECT h FROM g GROUP BY h
+           HAVING count(DISTINCT doc_id) >= 2),
+         c AS (SELECT g.doc_id, g.pos, g.pos + 5 AS e,
+             max(g.pos + 5) OVER (PARTITION BY g.doc_id ORDER BY g.pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+           FROM g JOIN shared USING (h)),
+         per AS (SELECT doc_id,
+             CAST(sum(GREATEST(0, e - GREATEST(pos, COALESCE(pme, 0))))
+               AS BIGINT) AS covered
+           FROM c GROUP BY 1)"""
   /** DuckDB distinct 3-word shingles per doc (1-indexed lists). */
   private[queries] val ShingleCte =
     s"""toks AS (SELECT doc_id, $Toks AS ws FROM documents),
@@ -899,22 +920,7 @@ object DedupQueries {
     // grams by distinct-doc count, per-doc interval-union sweep as the
     // same prev-max-end window; one exact integer division at the end.
     "d44_repeated_coverage" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
-         g AS (SELECT doc_id, u.i - 1 AS pos,
-             CAST(concat('0x', substr(md5(
-               array_to_string(ts[u.i:u.i+4], ' ')), 1, 15)) AS BIGINT)
-               AS h
-           FROM t, LATERAL unnest(range(1, len(ts) - 3)) AS u(i)),
-         shared AS (SELECT h FROM g GROUP BY h
-           HAVING count(DISTINCT doc_id) >= 2),
-         c AS (SELECT g.doc_id, g.pos, g.pos + 5 AS e,
-             max(g.pos + 5) OVER (PARTITION BY g.doc_id ORDER BY g.pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
-           FROM g JOIN shared USING (h)),
-         per AS (SELECT doc_id,
-             CAST(sum(GREATEST(0, e - GREATEST(pos, COALESCE(pme, 0))))
-               AS BIGINT) AS covered
-           FROM c GROUP BY 1)
+      s"""WITH $RepeatedCoverage5Cte
          SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
            CAST(COALESCE(covered, 0) AS BIGINT) AS covered,
            floor(COALESCE(covered, 0) * 1.0 / GREATEST(len(ts), 1)

@@ -200,6 +200,28 @@ object PipelineQueries {
         .orderBy("shard")
     }),
 
+    // Coverage-based corpus TRIM: d44's repeated-substring coverage made
+    // a curation DECISION — docs with >50% of their text inside
+    // cross-doc template material get cut; per-source kept/dropped
+    // manifest with token budgets. The boundary compares the 1e-6-grid
+    // cov6 value, so the keep set is engine-exact.
+    "p23_coverage_trim" -> ((s, d) => {
+      import graft.ops.DedupOps
+      val docs = Tables.documents(s, d)
+      val cov = DedupOps.repeatedNgramCoverage(docs, "doc_id", "text",
+        n = 5)
+      docs.join(cov.select(col("doc_id"), col("cov6")), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cov6") <= 0.5, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("cov6") <= 0.5, TextOps.tokenCount(col("text")))
+            .otherwise(0L)).as("kept_tokens"))
+        .withColumn("drop_rate6", TextOps.round6(
+          (col("n_docs") - col("n_kept")).cast("double")
+            / col("n_docs").cast("double")))
+        .orderBy("source")
+    }),
+
     // ONE-ROW dataset release card: the top-of-README numbers a corpus
     // ships with — docs, tokens, language/source spread, mean quality,
     // near-dup exposure — p05's per-source card collapsed corpus-wide
@@ -656,6 +678,23 @@ object PipelineQueries {
          SELECT stage, shard, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    // p23: d44's coverage CTEs (shared spelling) + the keep boundary on
+    // the identical 1e-6-grid value + per-source exact-count rollup.
+    "p23_coverage_trim" ->
+      s"""WITH ${DedupQueries.RepeatedCoverage5Cte},
+         cv AS (SELECT t.doc_id,
+             floor(COALESCE(covered, 0) * 1.0 / GREATEST(len(ts), 1)
+               * 1e6 + 0.5) / 1e6 AS cov6
+           FROM t LEFT JOIN per USING (doc_id)),
+         tok AS (SELECT doc_id, source, len($Toks) AS nt FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cov6 <= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN cov6 <= 0.5 THEN nt ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           floor((count(*) - sum(CASE WHEN cov6 <= 0.5 THEN 1 ELSE 0 END))
+             * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS drop_rate6
+         FROM tok JOIN cv USING (doc_id) GROUP BY 1 ORDER BY 1""",
     // p22: p05's quality CTEs corpus-wide + d39's dup set, one row.
     "p22_dataset_card" ->
       s"""WITH ${DedupQueries.ShingleCte},

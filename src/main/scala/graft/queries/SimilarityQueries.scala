@@ -137,6 +137,51 @@ object SimilarityQueries {
         .orderBy("qid")
     }),
 
+    // STREAMING index maintenance: v08's append path driven by a real
+    // micro-batch stream — the 10% batch arrives over TWO foreachBatch
+    // epochs, each appending against the FROZEN centroids (no rebuild,
+    // only touched cluster partitions gain files), then one probe of
+    // the maintained index. Answers the identical batch question, so it
+    // re-registers v08's oracle VERBATIM (the e57 = e27 doctrine).
+    "v31_stream_ivf_append" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val e = emb(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v31_ivf").toString
+      val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+      SimilarityOps.ivfBuild(train, "vec_id", "embedding",
+        nClusters = 16, outDir = idx, grid = Some(Grid))
+      val rows = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = input.toDF().toDF("vec_id", "embedding")
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            SimilarityOps.ivfAppend(idx, batch.toDF(), "vec_id",
+              "embedding", grid = Some(Grid))
+        }
+        .start()
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        input.addData(a: _*); q.processAllAvailable()
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      val res = SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 4, grid = Some(Grid))
+        .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // Per-cluster SILHOUETTE quality of the IVF clustering (simplified
     // silhouette: a = cosine distance to the OWN centroid, b = min
     // distance to any OTHER centroid, s = (b−a)/max(a,b)) — the "is
@@ -846,6 +891,11 @@ object SimilarityQueries {
     // append gate's frozen-centroid contract); postings cover everything.
     "v08_ivf_append" -> ivfOracle(k = 16, iters = 3, nProbe = 4, topK = 5,
       dim = 64, g = Grid, trainFilter = "id % 10 <> 0"),
+    // v31 answers the identical batch question as v08 (same train
+    // slice, same frozen-centroid appends, same probe) — the oracle is
+    // re-registered VERBATIM, never respelled (the e57 = e27 doctrine).
+    "v31_stream_ivf_append" -> ivfOracle(k = 16, iters = 3, nProbe = 4,
+      topK = 5, dim = 64, g = Grid, trainFilter = "id % 10 <> 0"),
     // v02: the FULL LSH pipeline replayed in SQL — md5-seeded hyperplane
     // weights (bit-identical doubles: 15-hex md5 / 2^59 − 1), sequential
     // list_dot_product sign bits packed per 4-plane table, any-table

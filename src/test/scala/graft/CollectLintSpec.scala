@@ -194,7 +194,9 @@ class CollectLintSpec extends AnyFunSuite {
         "Benford total: 1-value aggregate over the 9-digit frame"),
     "SimilarityQueries.scala" -> Map(
       ".collect().map(_.getSeq[Double](1).toArray) // k x dim driver state" ->
-        "v29 centroid artifact reload: k × dim"),
+        "v29 centroid artifact reload: k × dim",
+      ".collect()" ->
+        "MemoryStream replay feed (v31 gate harness: the 10% batch)"),
     "TextQueries.scala" -> Map(
       "val b = docs.agg(min(col(\"doc_id\")), max(col(\"doc_id\"))).head() // 1-row id-range probe" ->
         "t29 tier cutoffs: 1-row min/max probe",
