@@ -9,7 +9,8 @@ object Bench {
   private val buildDominated =
     Set("f27_bucketed_join", "v04_ivf_persist", "v08_ivf_append",
       "v12_pq", "v13_ivf_pq", // PQ family: codebook training + encode
-      "v14_pq_persist", "v15_ivfpq_persist") // train + write artifacts
+      "v14_pq_persist", "v15_ivfpq_persist", // train + write artifacts
+      "v31_stream_ivf_append") // build + two streamed append epochs
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both
