@@ -214,6 +214,18 @@ object SimilarityOps {
   /** [[kmeans]] over an already-normalized, already-persisted (id, e)
     * projection — callers that reuse the projection downstream (IVF
     * assignment) pass it here so the corpus is scanned once. */
+  /** [[kmeansFrom]] behind the optional session memo — the ivfPqBuild
+    * cacheKey contract extended to the plain-IVF family: rebuilds of
+    * the same (corpus slice, params) reuse the deterministic training
+    * (a hit is bit-identical to a fresh train). The key MUST encode the
+    * corpus slice (the v19-vs-v15 lesson). */
+  private def kmeansMemo(cacheKey: Option[String], v: DataFrame, k: Int,
+                         iters: Int, dim: Int,
+                         grid: Option[Double]): Array[Array[Double]] =
+    cacheKey.fold(kmeansFrom(v, k, iters, dim, grid))(ck =>
+      graft.Caches.memo(s"ivfcoarse:$ck:$k:$iters:$grid")(
+        kmeansFrom(v, k, iters, dim, grid)))
+
   private[graft] def kmeansFrom(v: DataFrame, k: Int, iters: Int, dim: Int,
                                 grid: Option[Double] = None): Array[Array[Double]] = {
     var centroids = v.orderBy("id").limit(k).collect()
@@ -288,13 +300,14 @@ object SimilarityOps {
   def ivfSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nClusters: Int, nProbe: Int,
                 dim: Int = 64, kmeansIters: Int = 3,
-                grid: Option[Double] = None): DataFrame = {
+                grid: Option[Double] = None,
+                cacheKey: Option[String] = None): DataFrame = {
     // one persisted normalized projection feeds k-means (iters+1 actions)
     // AND the final bucket assignment — one corpus scan total.
     val v = graft.Caches.track(
       normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
+    val centroids = kmeansMemo(cacheKey, v, nClusters, kmeansIters, dim, grid)
     val c = assignToCentroids(v, centroids)
       .select(col("id").as("nid"), col("e").as("ce"), col("cluster"))
     val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
@@ -312,12 +325,13 @@ object SimilarityOps {
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String,
                nClusters: Int, outDir: String, dim: Int = 64,
                kmeansIters: Int = 3, grid: Option[Double] = None,
-               meta: Seq[String] = Nil): Unit = {
+               meta: Seq[String] = Nil,
+               cacheKey: Option[String] = None): Unit = {
     val spark = corpus.sparkSession
     val v = graft.Caches.track(
       normalizedQ(corpus, idCol, vecCol, "id", "e", grid, meta)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
+    val centroids = kmeansMemo(cacheKey, v, nClusters, kmeansIters, dim, grid)
     import spark.implicits._
     centroids.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
       .toDF("cluster", "centroid")
@@ -620,11 +634,12 @@ object SimilarityOps {
   def ivfSqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, nClusters: Int, nProbe: Int,
                   dim: Int = 64, kmeansIters: Int = 3,
-                  grid: Option[Double] = None): DataFrame = {
+                  grid: Option[Double] = None,
+                  cacheKey: Option[String] = None): DataFrame = {
     val v = graft.Caches.track(
       normalizedQ(corpus, idCol, vecCol, "id", "e", grid)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val centroids = kmeansFrom(v, nClusters, kmeansIters, dim, grid)
+    val centroids = kmeansMemo(cacheKey, v, nClusters, kmeansIters, dim, grid)
     val scale = sqScale(v, "e")
     val posts = assignToCentroids(v, centroids)
       .select(col("id").as("nid"), sqCode(col("e"), scale).as("cq"),

@@ -29,7 +29,7 @@ object SimilarityQueries {
         .createTempDirectory("graft_ivf_lbl").toString
       SimilarityOps.ivfBuild(emb(s, d), "vec_id", "embedding",
         nClusters = 16, outDir = idx, grid = Some(Grid),
-        meta = Seq("label"))
+        meta = Seq("label"), cacheKey = Some(s"emb:$d"))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try {
           val p = new org.apache.hadoop.fs.Path(idx)
@@ -121,7 +121,8 @@ object SimilarityQueries {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
       val approx = SimilarityOps.ivfSearch(e, q, "vec_id", "embedding",
-          k = 5, nClusters = 16, nProbe = 4, grid = Some(Grid))
+          k = 5, nClusters = 16, nProbe = 4, grid = Some(Grid),
+          cacheKey = Some(s"emb:$d"))
         .select("qid", "rk", "nid")
       val exact = SimilarityOps.knnBruteForce(e, q, "vec_id",
           "embedding", 5)
@@ -151,7 +152,8 @@ object SimilarityQueries {
         .createTempDirectory("graft_v31_ivf").toString
       val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
       SimilarityOps.ivfBuild(train, "vec_id", "embedding",
-        nClusters = 16, outDir = idx, grid = Some(Grid))
+        nClusters = 16, outDir = idx, grid = Some(Grid),
+        cacheKey = Some(s"embtrain90:$d"))
       val rows = e.filter(pmod(col("vec_id"), lit(10)) === 0)
         .select(col("vec_id"), col("embedding"))
         .collect()
@@ -228,7 +230,7 @@ object SimilarityQueries {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_v25_ivf").toString
       SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
-        outDir = idx, grid = Some(Grid))
+        outDir = idx, grid = Some(Grid), cacheKey = Some(s"emb:$d"))
       val exact = graft.Caches.track(
         SimilarityOps.knnBruteForce(e, q, "vec_id", "embedding", 5)
           .select("qid", "nid")
@@ -307,7 +309,7 @@ object SimilarityQueries {
       val e = emb(s, d)
       SimilarityOps.ivfSqSearch(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4,
-          grid = Some(Grid))
+          grid = Some(Grid), cacheKey = Some(s"emb:$d"))
         .orderBy("qid", "rk")
     }),
 
@@ -368,7 +370,7 @@ object SimilarityQueries {
       val e = emb(s, d)
       SimilarityOps.ivfSearch(e, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nClusters = 16, nProbe = 4,
-          grid = Some(Grid))
+          grid = Some(Grid), cacheKey = Some(s"emb:$d"))
         .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
         .orderBy("qid", "rk")
     }),
@@ -388,7 +390,7 @@ object SimilarityQueries {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_v04_ivf").toString
       SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
-        outDir = idx, grid = Some(Grid))
+        outDir = idx, grid = Some(Grid), cacheKey = Some(s"emb:$d"))
       val res = SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
           "vec_id", "embedding", k = 5, nProbe = 4, grid = Some(Grid))
         .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
@@ -410,7 +412,8 @@ object SimilarityQueries {
       val train = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
       val batch = e.filter(pmod(col("vec_id"), lit(10)) === 0)
       SimilarityOps.ivfBuild(train, "vec_id", "embedding",
-        nClusters = 16, outDir = idx, grid = Some(Grid))
+        nClusters = 16, outDir = idx, grid = Some(Grid),
+        cacheKey = Some(s"embtrain90:$d"))
       SimilarityOps.ivfAppend(idx, batch, "vec_id", "embedding",
         grid = Some(Grid))
       val res = SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
