@@ -538,10 +538,16 @@ final class GlobalWindows private[graft] (
     val nc = coalesce(
       F.first(nnCoord, ignoreNulls = true).over(fwd), off(ipOffN(ck)))
     // nearest: snap to the closer anchor, ties -> previous (the <=)
+    // linear: guard the degenerate gap where both anchors share a
+    // coordinate (duplicate index labels under method='index') — the
+    // divisor is 0 and Spark's non-ANSI division would yield NULL,
+    // silently leaving the interior unfilled; fall back to the previous
+    // anchor deterministically instead
     val interior =
       if (method == "nearest")
         when(coordC - pc <= nc - coordC, pv).otherwise(nv)
-      else pv + (nv - pv) * (coordC - pc) / (nc - pc)
+      else when(nc =!= pc,
+        pv + (nv - pv) * (coordC - pc) / (nc - pc)).otherwise(pv)
     val fillVal = direction match {
       case "forward" =>
         when(pv.isNull, lit(null)).when(nv.isNull, pv).otherwise(interior)

@@ -173,6 +173,47 @@ object EvalOps {
             / (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc6"))
   }
 
+  /** Per-group AVERAGE PRECISION (step-interpolated PR-AUC — the
+    * acceptance metric for quality classifiers on IMBALANCED corpora,
+    * where ROC-AUC stays optimistically high at a 1% positive rate) of
+    * a score against a boolean label, via the identity
+    * `AP = (1/P) · Σᵢ posᵢ · cpᵢ / ctᵢ` over DISTINCT scores descending
+    * (posᵢ = positives at score sᵢ; cpᵢ / ctᵢ = cumulative positives /
+    * rows at threshold ≥ sᵢ) — ties collapse into one threshold, the
+    * standard step rule. Same plan shape as [[aucBy]]: ONE partial+final
+    * aggregation to (group, distinct score) rows, one group-KEYED
+    * cumulative window over the score axis, one closing aggregate — no
+    * row-level ranking, shuffle carries one row per distinct key.
+    *
+    * Determinism (the e41/JSD discipline): each term's numerator
+    * posᵢ·cpᵢ is an exact integer (≤ P², exact in a double up to
+    * P < 9·10⁷ positives per group); the per-threshold ratio is ONE
+    * double division spelled identically in the oracle, floored to
+    * exact 1e-9-unit longs whose sum is order-free; AP closes as two
+    * divisions in fixed association on the 6dp floor grid. Groups with
+    * no positives get null AP. Assumes Σᵢ posᵢ·cpᵢ/ctᵢ · 1e9 < 2⁶³
+    * per group (~9·10⁹ — route through DECIMAL beyond). */
+  def averagePrecisionBy(df: DataFrame, groupCol: String, labelCol: Column,
+                         scoreCol: Column): DataFrame = {
+    val st = df.groupBy(col(groupCol).as("g"), scoreCol.as("score"))
+      .agg(sum(when(labelCol, 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("tot"))
+    val w = Window.partitionBy("g").orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = st.withColumn("cp", sum(col("pos")).over(w))
+      .withColumn("ct", sum(col("tot")).over(w))
+    c.groupBy("g").agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("tot") - col("pos")).as("n_neg"),
+        sum(floor((col("pos") * col("cp")).cast("double")
+          / col("ct").cast("double") * lit(1e9) + lit(0.5))
+          .cast("long")).as("su"))
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0L,
+          TextOps.round6(col("su").cast("double") / lit(1e9)
+            / col("n_pos").cast("double"))).as("ap6"))
+  }
+
   /** Population Stability Index between a reference snapshot and a
     * current one over a shared bin expression — the standard corpus /
     * feature drift monitor (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25

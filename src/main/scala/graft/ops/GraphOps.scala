@@ -295,6 +295,73 @@ object GraphOps {
     labels
   }
 
+  /** One-level Louvain (Blondel et al. 2008 §2, first level) under the
+    * same synchronous determinism contract as [[labelPropagation]]:
+    * every vertex starts as its own community; each round every vertex
+    * scores its NEIGHBOR communities plus staying put and adopts the
+    * community with the maximum modularity gain, ties broken to the
+    * smallest community label. The comparison uses the EXACT-INTEGER
+    * ΔQ numerator (the 2m²-cleared Blondel gain, constant terms
+    * dropped): for candidate community c,
+    * `score(c) = 2m·k_{i→c} − k_i·Σtot(c∖i)` where k_{i→c} counts
+    * edges from i into c and Σtot(c∖i) sums the degrees of c's members
+    * excluding i itself — all BIGINTs, no floats, so rounds replay
+    * bit-identically in any engine (the d29/d45 oracle doctrine).
+    * Classic sequential Louvain moves vertices one at a time in visit
+    * order; the synchronous variant trades that (irreproducible) order
+    * for determinism, like our LPA. Climbs modularity strictly above
+    * LPA's frequency rule because the degree-penalty term resists
+    * absorbing hubs (d46 gates the improvement).
+    *
+    * Scale shape per round: one |labels|-keyed degree join feeding the
+    * |communities|-row Σtot aggregate, one vertex-keyed equi-join
+    * pulling neighbor labels, one (vertex, community) count aggregate,
+    * one keyed WindowGroupLimit arg-max — lineage cut per round (the
+    * d08 discipline). Assumes 2m·max(k_i) < 2⁶³. */
+  def louvainOneLevel(edges: DataFrame, srcCol: String, dstCol: String,
+                      iters: Int = 3): DataFrame = {
+    val sym = graft.Caches.track(
+      edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = graft.Caches.track(
+      sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val m2 = sym.count() // 1-value probe: 2m (each edge counted twice)
+    require(m2 > 0, "louvain needs edges")
+    var labels = graft.Caches.track(
+      deg.select(col("id"), col("id").as("lbl")).localCheckpoint())
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").desc, col("c").asc)
+    (1 to iters).foreach { _ =>
+      val sigma = labels.join(deg, Seq("id"))
+        .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("sig"))
+      val kic = sym
+        .join(labels.select(col("id").as("b"), col("lbl").as("c")), "b")
+        .groupBy(col("a").as("id"), col("c"))
+        .agg(count(lit(1)).as("kic"))
+      // staying put is always a candidate, even with no same-community
+      // neighbor (kic = 0); max() collapses the duplicate when the own
+      // community also appears on the neighbor side
+      val cand = kic.unionByName(
+          labels.select(col("id"), col("lbl").as("c"))
+            .withColumn("kic", lit(0L)))
+        .groupBy("id", "c").agg(max(col("kic")).as("kic"))
+      labels = graft.Caches.track(
+        cand.join(sigma, Seq("c"))
+          .join(deg, Seq("id"))
+          .join(labels.select(col("id"), col("lbl").as("own")), Seq("id"))
+          .withColumn("score", lit(m2) * col("kic") - col("k")
+            * (col("sig")
+              - when(col("c") === col("own"), col("k")).otherwise(0L)))
+          .withColumn("__rk", row_number().over(wArg))
+          .filter(col("__rk") === 1)
+          .select(col("id"), col("c").as("lbl"))
+          .localCheckpoint()) // lineage cut — the d08 rationale
+    }
+    labels
+  }
+
   /** Newman modularity of a node partition over an undirected edge set:
     * per-community intra-edge counts, node counts and degree sums, plus
     * the closing `Q = Σ_c (e_c/m − (d_c/2m)²)` — the standard "are

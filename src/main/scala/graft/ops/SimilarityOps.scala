@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -384,6 +384,97 @@ object SimilarityOps {
     val postings = spark.read.parquet(s"$indexDir/postings")
     val q0 = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
     ivfRerank(postings, probeClusters(q0, centroids, nProbe), k)
+  }
+
+  /** Drift-triggered IVF repair — the decision operator that closes the
+    * index lifecycle (build → probe → append → MONITOR → REPAIR):
+    * [[ivfAppend]] assigns against FROZEN centroids, so a cluster whose
+    * membership has drifted no longer sits at its members' mean and
+    * probes route poorly there. Per cluster this measures
+    * `drift = 1 − ⟨centroid, recenter(members)⟩` where `recenter` is
+    * EXACTLY one Lloyd re-center step in [[kmeansFrom]]'s dyadic
+    * arithmetic (grid-snapped per-coordinate mean, then snapped
+    * re-normalization) — so the whole decision replays bit-identically
+    * in a DuckDB oracle. Clusters with `drift6 > threshold` repair
+    * LOCALLY: each re-centers on its current members, then ONLY the
+    * drifted clusters' vectors reassign among the drifted clusters' NEW
+    * centroids (membership may move between drifted clusters, never
+    * leaves the region), and ONLY those partitions rewrite (dynamic
+    * partition overwrite). Untouched clusters: one aggregate scan for
+    * the drift report, zero writes. Returns the per-cluster report
+    * (cluster, drift6, repaired).
+    *
+    * Scale shape: one postings scan feeding a k×dim-bounded mean
+    * aggregate, drift decided on k-sized driver arrays, the rewrite
+    * reads + writes only |drifted| partitions. */
+  def ivfRepair(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                threshold: Double, dim: Int = 64,
+                grid: Option[Double] = None): DataFrame = {
+    val centroids = loadCentroids(spark, indexDir)
+    val postings = graft.Caches.track(
+      spark.read.parquet(s"$indexDir/postings")
+        .select("nid", "ce", "cluster")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // per-cluster re-centered mean — kmeansFrom's round arithmetic on
+    // the CURRENT members (build slice + appends)
+    val sums = postings.groupBy("cluster")
+      .agg(array((0 until dim).map(i =>
+        avg(col("ce")(i))): _*).as("centroid"))
+      .collect() // k × dim driver state — the loadCentroids bound
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    val recentered = centroids.indices.map { i =>
+      sums.get(i).fold(centroids(i)) { c0 =>
+        val c = grid.fold(c0)(quantizeArr(c0, _))
+        val n = math.sqrt(c.map(x => x * x).sum)
+        val dn = if (n == 0) c else c.map(_ / n)
+        grid.fold(dn)(quantizeArr(dn, _))
+      }
+    }.toArray
+    // grid-snapped unit vectors make the dot EXACT (every term is a
+    // multiple of 1/grid², the sum fits 53 bits), so this driver fold
+    // equals DuckDB's list_dot_product regardless of association
+    val drift6 = centroids.indices.map { i =>
+      val dot = centroids(i).zip(recentered(i))
+        .map { case (a, b) => a * b }.sum
+      math.floor((1.0 - dot) * 1e6 + 0.5) / 1e6
+    }
+    val drifted = centroids.indices.filter(i => drift6(i) > threshold)
+    if (drifted.nonEmpty) {
+      val newCents = centroids.indices.map(i =>
+        if (drifted.contains(i)) recentered(i) else centroids(i)).toArray
+      // local reassignment among the drifted clusters' NEW centroids
+      val scored = drifted.map { i =>
+        struct(
+          graft.functions.DotProduct.dotNative(col("ce"),
+            array(newCents(i).map(lit).toIndexedSeq: _*)).as("sim"),
+          lit(i).as("cluster"))
+      }
+      val region = postings
+        .filter(col("cluster").isin(drifted.map(Int.box): _*))
+        .select(col("nid"), col("ce"))
+        .withColumn("cluster",
+          if (scored.size == 1) lit(drifted.head)
+          else greatest(scored.toIndexedSeq: _*)("cluster"))
+      // dynamic overwrite: ONLY the drifted partitions rewrite; the
+      // reassignment can't leave the drifted region by construction
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try {
+        region.localCheckpoint(true) // cut lineage off the files being replaced
+          .write.mode(SaveMode.Overwrite).partitionBy("cluster")
+          .parquet(s"$indexDir/postings")
+      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+      import spark.implicits._
+      newCents.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
+        .toDF("cluster", "centroid")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/centroids")
+    }
+    import spark.implicits._
+    centroids.indices
+      .map(i => (i, drift6(i), drifted.contains(i)))
+      .toDF("cluster", "drift6", "repaired")
   }
 
   /** FILTERED ANN — "top-k WHERE label = X", the query every production

@@ -389,6 +389,50 @@ object FrameQueries {
       res
     }),
 
+    // PERMISSIVE malformed-record ingest — m18's degradation story for
+    // TEXT formats: the documents fixture round-trips through headerless
+    // CSV with 3 spliced poisoned lines (a BIGINT cast failure, an
+    // unterminated quote, a token-count overflow); the scan must not
+    // fail (FAILFAST) or silently drop them (DROPMALFORMED) — they land
+    // RAW in the _corrupt_record quarantine while the 500 healthy rows
+    // hash-match the fixture. Parsed fields of quarantined rows are
+    // masked (PERMISSIVE keeps partial results, which is triage detail,
+    // not contract). Unique temp dir + localCheckpoint + delete.
+    "f77_bad_records" -> ((s, d) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_f77_csv").toString
+      Tables.documents(s, d).select("doc_id", "source", "text")
+        .write.mode("overwrite").option("header", "false")
+        .csv(s"$out/data")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/data/zz-poisoned.csv"),
+        java.util.Arrays.asList(
+          "xx,src0,doc id fails the bigint cast",
+          "7,\"src1,unterminated quote never closes",
+          "8,src2,token count,overflows,the,schema"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val parsed = graft.sources.Sources.csvPermissive(
+        s, s"$out/data", schema)
+      val ok = col("_corrupt_record").isNull
+      val res = parsed
+        .select(when(ok, col("doc_id")).as("doc_id"),
+          when(ok, col("source")).as("source"),
+          when(ok, md5(encode(col("text"), "UTF-8"))).as("fp"),
+          col("_corrupt_record").as("raw"),
+          col("_corrupt_record").isNotNull.as("quarantined"))
+        .orderBy("quarantined", "doc_id", "raw")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     "f20_write_roundtrip" -> ((s, d) => {
       // unique per-invocation dir (the d18 rule: concurrent runs on one
       // machine must not clobber each other's layout mid-query)
@@ -1424,6 +1468,19 @@ object FrameQueries {
          FROM m GROUP BY 1 ORDER BY 1""",
     "f72_compact" ->
       """SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id""",
+    // f77: the healthy 500 must hash-match the fixture; the 3 poisoned
+    // lines are gate-spliced constants, so the oracle enumerates them
+    // verbatim as the quarantine side.
+    "f77_bad_records" ->
+      """SELECT doc_id, source, md5(text) AS fp,
+           CAST(NULL AS VARCHAR) AS raw, FALSE AS quarantined
+         FROM documents
+         UNION ALL
+         SELECT NULL, NULL, NULL, raw, TRUE FROM (VALUES
+           ('xx,src0,doc id fails the bigint cast'),
+           ('7,"src1,unterminated quote never closes'),
+           ('8,src2,token count,overflows,the,schema')) t(raw)
+         ORDER BY quarantined, doc_id, raw""",
     // f69: the same DECIMAL monthly sums; growth divides identical 2dp
     // doubles, so the 6dp floor grid is drift-free.
     "f69_mom_growth" ->

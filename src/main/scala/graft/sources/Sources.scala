@@ -34,6 +34,43 @@ object Sources {
                 schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** PERMISSIVE CSV read with a corrupt-record quarantine column — the
+    * 100 TB crawl reality: text dumps are never clean, and N poisoned
+    * lines must neither fail the whole scan (FAILFAST) nor vanish
+    * silently (DROPMALFORMED). Malformed lines (type-cast failures,
+    * token-count mismatches, unterminated quotes) land intact in
+    * `corruptCol` with every data field null, so ingest can count,
+    * triage, and re-drive them; healthy rows parse normally. The
+    * caller's schema must NOT contain `corruptCol` — it is appended
+    * here. Spark requires selecting at least one data column alongside
+    * the corrupt column (a corrupt-only projection over raw CSV is
+    * disallowed); the quarantine split in the f77 gate does. */
+  def csvPermissive(spark: SparkSession, path: String, schema: StructType,
+                    corruptCol: String = "_corrupt_record",
+                    header: Boolean = false,
+                    delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol,
+        org.apache.spark.sql.types.StringType))
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .csv(path)
+
+  /** [[csvPermissive]]'s JSON-lines sibling: malformed lines (broken
+    * JSON, type mismatches against the schema) quarantine into
+    * `corruptCol` instead of failing or dropping. */
+  def jsonPermissive(spark: SparkSession, path: String,
+                     schema: StructType,
+                     corruptCol: String = "_corrupt_record"): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol,
+        org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+
   /** ORC — the other columnar format with pruning + pushdown + stripe
     * stats (for interop with ORC-resident warehouses). */
   def orc(spark: SparkSession, path: String): DataFrame =
@@ -127,20 +164,23 @@ object Sources {
     val outP = new org.apache.hadoop.fs.Path(outDir)
     require(fs.makeQualified(p) != fs.makeQualified(outP),
       s"compact: outDir must differ from inDir ($inDir)")
-    // Recursive listing: streaming sinks and partitioned layouts nest
-    // part files under key=val / batch subdirectories; a flat
-    // listStatus would count 0 bytes and silently size the rewrite to
-    // one file regardless of targetBytes.
-    val it = fs.listFiles(p, true)
+    // Size from the files the READ itself resolves (Dataset.inputFiles:
+    // the scan's resolved file list) — counted bytes == read bytes by
+    // construction for every layout the read handles (flat dirs,
+    // key=val partitions, _spark_metadata streaming sinks). An
+    // independent recursive listing can count nested files the read
+    // never visits (silent undercount of the rewrite) or miss
+    // metadata-log filtering; deriving both from one resolution step
+    // removes that class of drift.
+    val in = spark.read.parquet(inDir)
     var totalBytes = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && st.getPath.getName.startsWith("part-"))
-        totalBytes += st.getLen
+    in.inputFiles.foreach { f =>
+      totalBytes += fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(new java.net.URI(f))).getLen
     }
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inDir).repartition(nFiles)
+    in.repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(outDir)
     nFiles
   }

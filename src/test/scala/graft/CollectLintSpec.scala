@@ -175,6 +175,8 @@ class CollectLintSpec extends AnyFunSuite {
       ".agg(max(abs(col(\"v\")))).head() // 1-row bounded scale probe" ->
         "scalar-quantization scale: 1-row max aggregate",
       ".orderBy(\"cluster\").collect()" -> "IVF centroids reload: k × dim",
+      ".collect() // k × dim driver state — the loadCentroids bound" ->
+        "ivfRepair re-centered means: k × dim",
       "var centroids = v.orderBy(\"id\").limit(k).collect()" ->
         "k-means seeds: k × dim",
       ".collect() // dim² rows — bounded driver state" ->
@@ -195,8 +197,8 @@ class CollectLintSpec extends AnyFunSuite {
     "SimilarityQueries.scala" -> Map(
       ".collect().map(_.getSeq[Double](1).toArray) // k x dim driver state" ->
         "v29 centroid artifact reload: k × dim",
-      ".collect()" ->
-        "MemoryStream replay feed (v31 gate harness: the 10% batch)"),
+      ".select(col(\"vec_id\"), col(\"embedding\")).collect()" ->
+        "MemoryStream replay feed (v31 gate harness: the 10% batch, memoized)"),
     "TextQueries.scala" -> Map(
       "val b = docs.agg(min(col(\"doc_id\")), max(col(\"doc_id\"))).head() // 1-row id-range probe" ->
         "t29 tier cutoffs: 1-row min/max probe",
@@ -207,28 +209,35 @@ class CollectLintSpec extends AnyFunSuite {
     // the streaming gates' MemoryStream replay harness — the TEST feed
     // (production side is readStream); bounded by the fixture only
     "DedupQueries.scala" -> Map(
-      "val rows = fresh.select(\"doc_id\", \"text\").collect()" ->
-        "MemoryStream replay feed (gate harness)",
+      "fresh.select(\"doc_id\", \"text\").collect()" ->
+        "MemoryStream replay feed (d18 gate harness, memoized)",
       "Tables.documents(s, d).select(\"source\", \"text\").collect()" ->
-        "MemoryStream replay feed (gate harness, memoized)"),
+        "MemoryStream replay feed (d27 gate harness, memoized)"),
+    // all memoized per (fixture dir, projection) in the replay-feed
+    // helpers at the top of EventQueries — one collect per session
     "EventQueries.scala" -> Map(
-      ".collect()" -> "MemoryStream replay feed (gate harness)",
-      ".select(\"value\").collect().map(_.getDouble(0)).toSeq" ->
-        "MemoryStream replay feed (gate harness)",
-      ".select(\"user_id\", \"event_id\", \"ts\", \"event_type\").collect()" ->
-        "MemoryStream replay feed (gate harness)",
-      ".select(\"event_id\", \"user_id\", \"value\").collect()" ->
-        "MemoryStream replay feed (gate harness)",
-      ".select(\"user_id\", \"event_id\", \"ts\", \"value\").collect()" ->
-        "MemoryStream replay feed (gate harness)",
       ".select(\"ts\", \"user_id\", \"event_type\").collect()" ->
-        "MemoryStream replay feed (gate harness)",
-      ".select(\"ts\", \"event_type\", \"value\").collect()" ->
-        "MemoryStream replay feed (gate harness)",
-      "val rows = Tables.events(s, d).select(\"event_id\", \"user_id\").collect()" ->
-        "MemoryStream replay feed (gate harness)",
-      "val rows = Tables.events(s, d).select(\"ts\", \"user_id\").collect()" ->
-        "MemoryStream replay feed (gate harness)"))
+        "MemoryStream replay feed (clickBuyRows: e11/e42/e66)",
+      "Tables.events(s, d).select(\"ts\", \"user_id\").collect()" ->
+        "MemoryStream replay feed (tsUserRows: e09/e12)",
+      ".select(\"user_id\", \"event_id\", \"ts\", \"event_type\").collect()" ->
+        "MemoryStream replay feed (userEvTsTypeRows: e39/e57)",
+      ".select(\"event_id\", \"event_type\", \"value\").collect()" ->
+        "MemoryStream replay feed (idTypeValRows: e38)",
+      ".select(\"value\").collect().map(_.getDouble(0)).toVector" ->
+        "MemoryStream replay feed (purchaseValues: e48)",
+      ".select(\"user_id\", \"event_id\", \"ts\", \"value\").collect()" ->
+        "MemoryStream replay feed (userEvTsValRows: e19)",
+      ".otherwise(1).as(\"side\")).collect()" ->
+        "MemoryStream replay feed (asofSideRows: e22)",
+      "Tables.events(s, d).select(\"ts\", \"event_type\", \"value\").collect()" ->
+        "MemoryStream replay feed (tsTypeValRows: e23/e35)",
+      "Tables.events(s, d).select(\"ts\", \"user_id\", \"event_type\").collect()" ->
+        "MemoryStream replay feed (tsUserTypeRows: e10)",
+      "Tables.events(s, d).select(\"event_id\", \"user_id\", \"value\").collect()" ->
+        "MemoryStream replay feed (idUserValRows: e16)",
+      "Tables.events(s, d).select(\"event_id\", \"user_id\").collect()" ->
+        "MemoryStream replay feed (idUserRows: e13)"))
 
   test("every driver collect/head call site in main is allow-listed with a bound") {
     val root = Paths.get("src/main/scala/graft")
