@@ -10,7 +10,8 @@ object Bench {
     Set("f27_bucketed_join", "v04_ivf_persist", "v08_ivf_append",
       "v12_pq", "v13_ivf_pq", // PQ family: codebook training + encode
       "v14_pq_persist", "v15_ivfpq_persist", // train + write artifacts
-      "v31_stream_ivf_append") // build + two streamed append epochs
+      "v31_stream_ivf_append", // build + two streamed append epochs
+      "v32_ivf_repair") // build + append + repair rewrite + two probes
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both
@@ -39,7 +40,9 @@ object Bench {
     "v09_sq_knn", "d20_pagerank", "t17_bm25", "e30_rfm", "p12_token_mixture",
     // round-9 tier representatives
     "d28_tfidf_cosine", "e41_auc", "e44_cusum", "v16_recall_eval",
-    "p14_shard_manifest", "m09_wav_meta", "d29_label_prop")
+    "p14_shard_manifest", "m09_wav_meta", "d29_label_prop",
+    // round-12 tier representatives
+    "d46_louvain", "e73_pr_auc", "f77_bad_records")
 
   // The driver parses the final stdout line from a ~2000-char tail; keep a
   // safety margin for the totals/sf framing and future value-width growth.

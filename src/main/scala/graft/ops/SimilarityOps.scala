@@ -399,10 +399,11 @@ object SimilarityOps {
     * LOCALLY: each re-centers on its current members, then ONLY the
     * drifted clusters' vectors reassign among the drifted clusters' NEW
     * centroids (membership may move between drifted clusters, never
-    * leaves the region), and ONLY those partitions rewrite (dynamic
-    * partition overwrite). Untouched clusters: one aggregate scan for
-    * the drift report, zero writes. Returns the per-cluster report
-    * (cluster, drift6, repaired).
+    * leaves the region), and ONLY those partitions rewrite
+    * (delete-then-append — exact even when a cluster empties out).
+    * Untouched clusters: one aggregate scan for the drift report, zero
+    * writes. Returns the per-cluster report (cluster, drift6,
+    * repaired).
     *
     * Scale shape: one postings scan feeding a k×dim-bounded mean
     * aggregate, drift decided on k-sized driver arrays, the rewrite
@@ -455,16 +456,23 @@ object SimilarityOps {
         .withColumn("cluster",
           if (scored.size == 1) lit(drifted.head)
           else greatest(scored.toIndexedSeq: _*)("cluster"))
-      // dynamic overwrite: ONLY the drifted partitions rewrite; the
-      // reassignment can't leave the drifted region by construction
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.getOption(key)
-      spark.conf.set(key, "dynamic")
-      try {
-        region.localCheckpoint(true) // cut lineage off the files being replaced
-          .write.mode(SaveMode.Overwrite).partitionBy("cluster")
-          .parquet(s"$indexDir/postings")
-      } finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        // materialize the repair working set (|drifted| partitions)
+        // BEFORE deleting the files it reads from
+        .localCheckpoint(true)
+      // delete-then-append, NOT dynamic partition overwrite: a drifted
+      // cluster that receives zero rows after reassignment would keep
+      // its stale partition under dynamic overwrite (the old copies
+      // would survive next to the moved ones — silent duplicates);
+      // deleting the drifted partition dirs first makes the rewrite
+      // exact for empty and non-empty clusters alike
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      drifted.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexDir/postings/cluster=$c"), true)
+      }
+      region.write.mode(SaveMode.Append).partitionBy("cluster")
+        .parquet(s"$indexDir/postings")
       import spark.implicits._
       newCents.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
         .toDF("cluster", "centroid")

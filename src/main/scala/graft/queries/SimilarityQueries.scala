@@ -442,8 +442,8 @@ object SimilarityQueries {
     // against frozen centroids, measure per-cluster assignment drift
     // (1 − ⟨centroid, one-Lloyd-re-center⟩ in the portable dyadic
     // arithmetic), repair ONLY the clusters past τ=0.012 (local
-    // re-center + reassignment within the drifted region; dynamic
-    // partition overwrite rewrites just those partitions), and carry
+    // re-center + reassignment within the drifted region;
+    // delete-then-append rewrites just those partitions), and carry
     // recall@5 before/after vs the exact brute force as in-plan 1-row
     // broadcast columns (Σhits/Σk micro-recall — exact integers, ONE
     // division). Queries = 50 APPENDED vectors (the drifted region —

@@ -154,6 +154,23 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rep2 == Seq("s0"))
   }
 
+  test("louvainOneLevel: barbell K4s split at the bridge, deterministic " +
+      "(d46 gate; cross-checked against the unrolled DuckDB replay)") {
+    // two K4 cliques {1..4} and {5..8} joined by the single bridge 4–5;
+    // expected labels computed by the d46 oracle's round unroll
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val pairs = (k4a ++ k4b :+ (4L, 5L)).toDF("id1", "id2")
+    def run() = GraphOps.louvainOneLevel(pairs, "id1", "id2", iters = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = run()
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 6L, 6L -> 6L, 7L -> 6L, 8L -> 6L),
+      "bridge absorbed or clique split")
+    assert(run() == got, "louvain rounds are not deterministic")
+    Caches.clear()
+  }
+
   test("triangles enumerates each triangle once, any input orientation") {
     import graft.ops.GraphOps
     // K4 on {1,2,3,4} minus edge (1,4), plus a pendant 5 and a dup edge:

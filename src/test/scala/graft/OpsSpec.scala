@@ -436,6 +436,74 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(got.forall { case (_, nid) => lbl2(nid) })
   }
 
+  test("ivfRepair: no-op above max drift, full repair rewrites ONLY " +
+      "postings partitions exactly (v32 gate)") {
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_rep").toString
+    SimilarityOps.ivfBuild(
+      e.filter(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding",
+      nClusters = 16, outDir = idx)
+    SimilarityOps.ivfAppend(idx,
+      e.filter(pmod(col("vec_id"), lit(10)) === 0), "vec_id", "embedding")
+    def partFiles(): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(s"$idx/postings")
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .map(p => root.relativize(p).toString)
+        .toSeq.groupBy(_.split('/').head)
+        .map { case (k, v) => k -> v.toSet }
+    }
+    val before = partFiles()
+    // drift = 1 − cos of unit vectors ∈ [0, 2]: τ = 2 can't trip —
+    // the no-op repair must not touch a single postings file
+    val none = SimilarityOps.ivfRepair(spark, idx, threshold = 2.0)
+    assert(none.count() == 16 && none.filter(col("repaired")).count() == 0)
+    assert(partFiles() == before, "no-op repair rewrote postings")
+    // τ = −1 trips every cluster: all partitions rewrite (fresh part
+    // files), the global row count is conserved (delete-then-append
+    // loses nothing, duplicates nothing), and the index still probes
+    val total = spark.read.parquet(s"$idx/postings").count()
+    val all = SimilarityOps.ivfRepair(spark, idx, threshold = -1.0)
+    assert(all.filter(!col("repaired")).count() == 0)
+    val after = partFiles()
+    assert(before.keys.forall(k =>
+      !after.contains(k) || before(k).intersect(after(k)).isEmpty),
+      "a repaired partition kept a stale part file")
+    assert(spark.read.parquet(s"$idx/postings").count() == total)
+    val probe = SimilarityOps.ivfProbe(idx,
+      e.filter(col("vec_id") < 10), "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    assert(probe.groupBy("qid").count()
+      .filter(col("count") =!= 5).count() == 0)
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Caches.clear()
+  }
+
+  test("averagePrecisionBy matches hand-computed AP, ties collapse, " +
+      "no-positive group is null (e73 gate)") {
+    // group 0, scores descending: (0.9 pos), (0.8 neg), (0.7 pos),
+    // (0.6 neg) → AP = (1·1/1 + 1·2/3) / 2 = 5/6
+    // group 1: one tied threshold (0.5 pos + 0.5 neg) → AP = 1·1/2 = 0.5
+    // group 2: no positives → null
+    val df = Seq(
+      (0, true, 0.9), (0, false, 0.8), (0, true, 0.7), (0, false, 0.6),
+      (1, true, 0.5), (1, false, 0.5),
+      (2, false, 0.4), (2, false, 0.3)
+    ).toDF("g", "lbl", "score")
+    val got = graft.ops.EvalOps.averagePrecisionBy(df, "g", col("lbl"),
+        col("score"))
+      .orderBy("g").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else Double.box(r.getDouble(3))))
+    assert(got(0) == ((0, 2L, 2L, Double.box(0.833333))))
+    assert(got(1) == ((1, 1L, 1L, Double.box(0.5))))
+    assert(got(2) == ((2, 0L, 2L, null)))
+  }
+
   test("pqBuild/pqProbe and ivfPqBuild/ivfPqProbe reload without retraining " +
       "(v14/v15 gates)") {
     assume(haveFixture)

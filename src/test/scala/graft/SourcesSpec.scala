@@ -67,6 +67,45 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(back.count() == 3)
   }
 
+  test("csvPermissive quarantines malformed lines raw, parses the rest " +
+      "(f77 gate)") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/mix.csv"),
+      java.util.Arrays.asList(
+        "1,a,1.5",
+        "oops,b,2.5",          // type failure on the LONG column
+        "3,\"a,unterminated",  // quote never closes
+        "4,b,4.5"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val back = Sources.csvPermissive(spark, dir, schema).cache()
+    val bad = back.filter(col("_corrupt_record").isNotNull)
+    assert(bad.count() == 2, "expected exactly the 2 poisoned lines")
+    assert(bad.select("_corrupt_record").collect().map(_.getString(0))
+      .toSet == Set("oops,b,2.5", "3,\"a,unterminated"),
+      "quarantine must carry the raw line")
+    assert(back.filter(col("_corrupt_record").isNull)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    back.unpersist()
+  }
+
+  test("jsonPermissive quarantines broken JSON lines (f77 sibling)") {
+    val dir = tmp()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/mix.json"),
+      java.util.Arrays.asList(
+        """{"id": 1, "g": "a", "v": 1.5}""",
+        """{"id": 2, "g": "b", """,     // truncated mid-object
+        """not json at all""",
+        """{"id": 4, "g": "b", "v": 4.5}"""))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("g", StringType), StructField("v", DoubleType)))
+    val back = Sources.jsonPermissive(spark, dir, schema).cache()
+    assert(back.filter(col("_corrupt_record").isNotNull).count() == 2)
+    assert(back.filter(col("_corrupt_record").isNull)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    back.unpersist()
+  }
+
   test("zValue interleaves bits; z-ordered write clusters both dims") {
     // a=3 → result bits 0,2 (=5); b=5 → result bits 1,5 (=34); 5|34=39
     val z = Seq((3L, 5L)).toDF("a", "b")
