@@ -324,6 +324,56 @@ object DedupOps {
           / greatest(col("n_tokens"), lit(1)).cast("double")).as("cov6"))
   }
 
+  /** Surgical cross-doc repeated-SPAN removal — the curation ACTION on
+    * [[repeatedNgramCoverage]]'s metric (Lee et al. 2022: dedup the
+    * substring, keep the document — where p23's trim drops whole docs,
+    * this cuts only the template material): every token position inside
+    * an n-gram that also occurs in ANOTHER doc is removed; the doc
+    * survives as its unique remainder. Returns
+    * (id, n_tokens, kept, clean_text).
+    *
+    * Same scale shape as the coverage metric: hash-keyed positional
+    * postings (codegen'd gram extraction + the md5-portable 60-bit
+    * hash), one distinct-doc count per gram, covered positions by a
+    * bounded ×n explode (never per-pair work), and reassembly as ONE
+    * keyed sort+join aggregate — no windows, no self-joins. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame = {
+    val base = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"),
+          graft.functions.NgramText.ngramText(col("__txt"), n).as("__gs"),
+          TextOps.tokens(col("__txt")).as("__ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val posts = graft.Caches.track(base
+      .select(col("id"), posexplode(col("__gs")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        portableHash60(col("col")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val shared = posts.groupBy("h")
+      .agg(count_distinct(col("id")).as("__cd"))
+      .filter(col("__cd") >= 2)
+      .select("h")
+    val covered = posts.join(shared, Seq("h"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val toks = base.select(col("id"), posexplode(col("__ts")))
+      .select(col("id"), col("pos").cast("long").as("p"),
+        col("col").as("tok"))
+    val kept = toks.join(covered, Seq("id", "p"), "left_anti")
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    base.select(col("id"), size(col("__ts")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Bloom-prefiltered decontamination — the shape [[ngramContamination]]
     * takes when the benchmark SUITE is itself too large to broadcast its
     * exploded postings (many benchmarks × many n-grams): build ONE

@@ -239,6 +239,44 @@ object GraphOps {
       .withColumn("keep", col("id") === best)
   }
 
+  /** Field-wise GOLDEN RECORD per dup cluster — the merge step after
+    * [[dupClusters]]/[[dupClustersBy]] pick a survivor ROW: instead of
+    * keeping one member verbatim, synthesize the best value PER FIELD
+    * across the cluster (classic MDM survivorship). `majorityFields`
+    * take the cluster MAJORITY value, ties → smallest value
+    * (deterministic, oracle-replayable); `maxFields` take the max (the
+    * completeness rule for sizes/freshness timestamps). One row per
+    * cluster: (comp, csize, fields…).
+    *
+    * Scale shape: one comp-keyed record join, then per majority field
+    * one (comp, value) count aggregate + one keyed WindowGroupLimit —
+    * every shuffle rides the comp key the components already
+    * produced; no windows over raw rows, no driver state. */
+  def goldenRecord(pairs: DataFrame, id1: String, id2: String,
+                   records: DataFrame, idCol: String,
+                   majorityFields: Seq[String],
+                   maxFields: Seq[String] = Nil): DataFrame = {
+    val comps = connectedComponents(pairs, id1, id2)
+    val joined = graft.Caches.track(comps.join(
+        records.select(col(idCol).as("id") +:
+          (majorityFields ++ maxFields).map(col): _*),
+        Seq("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val sizes = joined.groupBy("comp").agg(
+      count(lit(1)).as("csize"),
+      maxFields.map(f => max(col(f)).as(f)): _*)
+    majorityFields.foldLeft(sizes) { (acc, f) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp").orderBy(col("__c").desc, col(f).asc)
+      val m = joined.groupBy(col("comp"), col(f))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("comp"), col(f))
+      acc.join(m, Seq("comp"))
+    }
+  }
+
   /** Triangle enumeration over an undirected edge list — the density
     * diagnostic for near-dup graphs (triangles ≈ tight dup cliques; a
     * pair graph whose components are triangle-free is chains, which
@@ -281,15 +319,20 @@ object GraphOps {
       sym.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id"))
         .localCheckpoint())
-    val wArg = org.apache.spark.sql.expressions.Window
-      .partitionBy("a").orderBy(col("cnt").desc, col("nl").asc)
     (1 to iters).foreach { _ =>
+      // label side is |vertices|-bounded → broadcast (the edge frame
+      // never shuffles); arg-max as a max_by partial+final aggregation
+      // instead of a rank window — map-side partials collapse the
+      // (vertex, label) counts to ≤|vertices| rows before the exchange,
+      // where the window sorted the full count frame. Tie rule
+      // unchanged: max (cnt, −label) == (cnt DESC, label ASC) rank 1.
       labels = graft.Caches.track(
-        sym.join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
+        sym.join(broadcast(
+            labels.select(col("id").as("b"), col("lbl").as("nl"))), "b")
           .groupBy("a", "nl").agg(count(lit(1)).as("cnt"))
-          .withColumn("__rk", row_number().over(wArg))
-          .filter(col("__rk") === 1)
-          .select(col("a").as("id"), col("nl").as("lbl"))
+          .groupBy(col("a").as("id"))
+          .agg(max_by(col("nl"),
+            struct(col("cnt"), -col("nl"))).as("lbl"))
           .localCheckpoint()) // lineage cut — the d08 rationale
     }
     labels
@@ -331,32 +374,46 @@ object GraphOps {
     require(m2 > 0, "louvain needs edges")
     var labels = graft.Caches.track(
       deg.select(col("id"), col("id").as("lbl")).localCheckpoint())
-    val wArg = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("score").desc, col("c").asc)
-    (1 to iters).foreach { _ =>
-      val sigma = labels.join(deg, Seq("id"))
-        .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("sig"))
-      val kic = sym
-        .join(labels.select(col("id").as("b"), col("lbl").as("c")), "b")
-        .groupBy(col("a").as("id"), col("c"))
+    (1 to iters).foreach { r =>
+      // round 1 runs on the identity labeling — the label/degree joins
+      // simplify away (lbl == id, Σtot(c) == k_c), saving three joins
+      val nbr =
+        if (r == 1) sym.select(col("a"), col("b").as("c"))
+        else sym.join(
+          broadcast(labels.select(col("id").as("b"), col("lbl").as("c"))),
+          "b").select(col("a"), col("c"))
+      val kic = nbr.groupBy(col("a").as("id"), col("c"))
         .agg(count(lit(1)).as("kic"))
+      val sigma =
+        if (r == 1) deg.select(col("id").as("c"), col("k").as("sig"))
+        else labels.join(deg, Seq("id"))
+          .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("sig"))
       // staying put is always a candidate, even with no same-community
-      // neighbor (kic = 0); max() collapses the duplicate when the own
-      // community also appears on the neighbor side
+      // neighbor: union a kic = 0 row per vertex. When the own
+      // community also has neighbor support, its kic > 0 row strictly
+      // outscores the duplicate (m2 > 0), so the argmax never picks the
+      // zero row wrongly — no dedup aggregation needed.
       val cand = kic.unionByName(
-          labels.select(col("id"), col("lbl").as("c"))
-            .withColumn("kic", lit(0L)))
-        .groupBy("id", "c").agg(max(col("kic")).as("kic"))
+        labels.select(col("id"), col("lbl").as("c"))
+          .withColumn("kic", lit(0L)))
+      // sigma / degrees / own labels are |vertices|-bounded: broadcast
+      // them so the round's only exchanges are the kic aggregation and
+      // the arg-max; the arg-max is a max_by partial+final aggregation
+      // (map-side partials collapse candidates to ≤|vertices| rows
+      // before the shuffle — a rank window would sort the full
+      // candidate frame). Tie rule unchanged: max (score, −c) ==
+      // (score DESC, c ASC) rank 1.
       labels = graft.Caches.track(
-        cand.join(sigma, Seq("c"))
-          .join(deg, Seq("id"))
-          .join(labels.select(col("id"), col("lbl").as("own")), Seq("id"))
+        cand.join(broadcast(sigma), Seq("c"))
+          .join(broadcast(deg), Seq("id"))
+          .join(broadcast(
+            labels.select(col("id"), col("lbl").as("own"))), Seq("id"))
           .withColumn("score", lit(m2) * col("kic") - col("k")
             * (col("sig")
               - when(col("c") === col("own"), col("k")).otherwise(0L)))
-          .withColumn("__rk", row_number().over(wArg))
-          .filter(col("__rk") === 1)
-          .select(col("id"), col("c").as("lbl"))
+          .groupBy("id")
+          .agg(max_by(col("c"),
+            struct(col("score"), -col("c"))).as("lbl"))
           .localCheckpoint()) // lineage cut — the d08 rationale
     }
     labels
@@ -412,6 +469,49 @@ object GraphOps {
       / (4L * m * m).toDouble * 1e6 + 0.5) / 1e6
     com.select(col("lbl"), col("n_nodes"), col("e_in"), col("d_sum"),
       lit(q6).as("q6"))
+  }
+
+  /** The closing Q of [[modularity]] for SEVERAL partitions of the SAME
+    * edge set in one pass — the comparison harness (d46: Louvain vs
+    * LPA) would otherwise rebuild the edge normalization (distinct
+    * pairs, degree counts, m) once per partition. Edge build shared;
+    * per labeling: one semi-filtered intra-edge count + one degree-sum
+    * aggregate, both against BROADCAST labels. Returns (name, q6) as
+    * driver doubles — same exact-BIGINT division as [[modularity]].
+    * Driver actions are 1-row probes over bounded aggregates. */
+  def modularityQ(edges: DataFrame, srcCol: String, dstCol: String,
+                  labelings: Seq[(String, DataFrame, String, String)])
+      : Seq[(String, Double)] = {
+    val e = graft.Caches.track(edges.select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val m = e.count() // 1-value probe: the edge count scalar
+    require(m > 0, "modularity needs edges")
+    val dg = graft.Caches.track(e.select(col("lo").as("nd"))
+      .unionByName(e.select(col("hi").as("nd")))
+      .groupBy("nd").agg(count(lit(1)).as("dg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    labelings.map { case (name, labels, idCol, lblCol) =>
+      val lab = labels
+        .select(col(idCol).as("id"), col(lblCol).as("lbl")).distinct()
+      val se = e
+        .join(broadcast(lab.select(col("id").as("lo"),
+          col("lbl").as("lb1"))), Seq("lo"))
+        .join(broadcast(lab.select(col("id").as("hi"),
+          col("lbl").as("lb2"))), Seq("hi"))
+        .filter(col("lb1") === col("lb2"))
+        .agg(count(lit(1))).head().getLong(0) // 1-row intra-edge total
+      val sd2 = lab.join(dg, lab("id") === dg("nd"), "left")
+        .groupBy(col("lbl"))
+        .agg(sum(coalesce(col("dg"), lit(0L))).as("d_sum"))
+        .agg(sum(col("d_sum") * col("d_sum")))
+        .head().getLong(0) // 1-row degree-square total
+      name -> math.floor((4L * m * se - sd2).toDouble
+        / (4L * m * m).toDouble * 1e6 + 0.5) / 1e6
+    }
   }
 
   /** Degree assortativity (Newman 2002) of an undirected edge set:

@@ -542,6 +542,21 @@ object PipelineOps {
       concat(lit(salt), col(idCol).cast("string"))), lit(k.toLong)))
   }
 
+  /** MERGE/upsert between a base snapshot and an update batch — the
+    * lakehouse SCD-1 primitive ([[snapshotDiff]] tells you WHAT changed;
+    * this APPLIES it): rows whose key appears in `updates` are replaced
+    * by the update row, unmatched base rows survive, brand-new keys
+    * insert. ONE key-anti-join + one union — the anti-join shuffles on
+    * the key (or broadcasts when the update batch is small, the common
+    * case), the base is never rewritten row-by-row; at 100 TB this is
+    * the merge a copy-on-write table format runs per partition. Caller
+    * contract: `updates` has at most one row per key (enforce upstream
+    * — a multi-row update is order-ambiguous by definition). */
+  def upsert(base: DataFrame, updates: DataFrame,
+             keyCols: Seq[String]): DataFrame =
+    base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
+
   /** Content-addressed diff between two corpus snapshots — the dataset
     * versioning primitive (what changed between crawl v1 and v2, and is
     * the delta small enough to ship as an incremental update?). Per doc

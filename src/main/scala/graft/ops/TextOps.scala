@@ -209,6 +209,65 @@ object TextOps {
         && col("ok_alpha") && col("ok_stops"))
   }
 
+  /** TRUE BPE tokenizer TRAINING (Sennrich et al. 2016) over the corpus
+    * VOCABULARY: distinct words + frequencies are the training set (the
+    * classic formulation — symbol sequences start as characters), each
+    * round counts adjacent symbol pairs weighted by word frequency,
+    * merges the arg-max pair everywhere (ties → lexicographically
+    * smallest), and records it. Returns the merge table
+    * (round, lhs, rhs, merged, cnt) — the artifact a tokenizer ships;
+    * t12's pair statistics were the diagnostic, this is the loop.
+    *
+    * ENGINE-PORTABLE merge step: symbol sequences are carried as
+    * '|'-wrapped space-joined strings ('|a| |b| …'), so "merge (a,b)
+    * greedily left-to-right, non-overlapping" is EXACTLY one
+    * replace('|a| |b|' → '|ab|') — identical semantics in Spark and
+    * DuckDB (adjacent repeats collapse once per pass like the
+    * reference fold; wrappers prevent cross-symbol false matches; '|'
+    * cannot occur in the ASCII-word fixture). Scale shape: the state
+    * is the |vocab| frame, NOT the corpus — one corpus tokenize feeds
+    * the frequency table, then every round is one staged split + pair
+    * explode + count aggregate with a 1-ROW arg-max probe;
+    * localCheckpoint cuts the replace chain per round. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    require(merges >= 1, "bpeTrain needs at least one merge round")
+    var v = graft.Caches.track(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(concat_ws(" ",
+          transform(sequence(lit(1), length(col("w"))),
+            i => concat(lit("|"), col("w").substr(i, lit(1)), lit("|"))))
+          .as("s"),
+        col("freq"))
+      .localCheckpoint())
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    (1 to merges).foreach { r =>
+      val staged = v.select(split(col("s"), " ").as("ts"), col("freq"))
+        .filter(size(col("ts")) >= 2) // single-symbol words carry no pair
+      val m = staged
+        .select(col("freq"),
+          explode(transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("x"),
+              element_at(col("ts"), i + lit(1)).as("y")))).as("pr"))
+        .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .head() // 1-row arg-max: the round's merge pair
+      val (x, y, cnt) = (m.getString(0), m.getString(1), m.getLong(2))
+      val lhs = x.substring(1, x.length - 1)
+      val rhs = y.substring(1, y.length - 1)
+      out += ((r, lhs, rhs, lhs + rhs, cnt))
+      v = graft.Caches.track(
+        v.select(replace(col("s"), lit(s"$x $y"), lit(s"|$lhs$rhs|"))
+            .as("s"), col("freq"))
+          .localCheckpoint()) // cut the replace chain per round
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
   /** Engine-portable 6-dp rounding for NON-NEGATIVE doubles:
     * floor(x·1e6 + 0.5)/1e6. `round()` implementations disagree on
     * half-way doubles (Spark rounds the shortest decimal rendering via

@@ -330,6 +330,29 @@ object DedupQueries {
       GraphOps.dupClusters(pairs, "id1", "id2").orderBy("id")
     }),
 
+    // GOLDEN RECORD per d08 cluster — the MDM survivorship merge that
+    // closes the dedup tail (detect → cluster → survivor → MERGE):
+    // per-field majority (ties → smallest value) for the categorical
+    // fields, max for the completeness field; one row per cluster, all
+    // shuffles on the comp key the components already produced.
+    "d48_golden_record" -> ((s, d) => {
+      import graft.ops.GraphOps
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.jaccardPairs(docs, "doc_id",
+        "text", n = 3, threshold = 0.5)
+      GraphOps.goldenRecord(pairs, "id1", "id2",
+          docs.select(col("doc_id"), col("source"),
+            // nulls sort FIRST in Spark asc but LAST in DuckDB — pin
+            // the majority tie order by coalescing on both sides
+            coalesce(col("lang"), lit("none")).as("lang"),
+            col("n_chars")),
+          "doc_id",
+          majorityFields = Seq("source", "lang"),
+          maxFields = Seq("n_chars"))
+        .select("comp", "csize", "source", "lang", "n_chars")
+        .orderBy("comp")
+    }),
+
     // Newman modularity of the d08 dup-cluster partition over its own
     // near-dup graph — "are these clusters real communities": per-
     // community intra-edges/degree sums + Q cleared to ONE division of
@@ -360,6 +383,18 @@ object DedupQueries {
     // one keyed interval-union window. Fully oracled (md5 gram hashes).
     "d44_repeated_coverage" -> ((s, d) =>
       DedupOps.repeatedNgramCoverage(Tables.documents(s, d), "doc_id",
+          "text", n = 5)
+        .orderBy("doc_id")),
+
+    // Surgical repeated-SPAN removal — the curation ACTION on d44's
+    // metric (Lee et al. 2022: dedup the substring, keep the document;
+    // p23 drops whole docs, this cuts only the cross-doc template
+    // material and keeps the unique remainder). Hash-keyed positional
+    // postings, ×n bounded position explode, one keyed sort+join
+    // reassembly; the rewritten text itself hash-matches DuckDB's
+    // string_agg replay.
+    "d47_span_removal" -> ((s, d) =>
+      DedupOps.removeRepeatedSpans(Tables.documents(s, d), "doc_id",
           "text", n = 5)
         .orderBy("doc_id")),
 
@@ -518,10 +553,15 @@ object DedupQueries {
     // rounds score each vertex's neighbor communities by the
     // exact-integer ΔQ numerator 2m·k_{i→c} − k_i·Σtot(c∖i) (ties →
     // smallest label). On hub-ridden graphs LPA's frequency rule
-    // over-merges (2 giant communities at sf0.01, Q=0.004); the degree
-    // penalty resists the hubs (45 communities, Q=0.032). The gate
-    // carries BOTH partitions' modularity as in-plan 1-row broadcast
-    // columns (the d45 pattern) and proves the ascent: q6 > q6_lpa.
+    // over-merges (2 giant communities at sf0.01, Q=0.004, and it is
+    // UNSTABLE — it passes through Q=0.032 at round 3 then collapses);
+    // the degree penalty resists the hubs and stays (45 communities,
+    // Q=0.032). Both partitions' Q from ONE shared edge build
+    // (modularityQ). Deliberately the priciest d-gate (~15 s at sf0.1):
+    // 8 iterative rounds over a NON-shrinking 1.16M-edge graph + two Q
+    // scores — measured split: pairs 4.7, Louvain 8.7 (4 rounds, each
+    // one 2.3M-row keyed count + a max_by partial+final arg-max), LPA
+    // 5.1, Q 2.0 (d31's peels shrink; these rounds can't).
     "d46_louvain" -> ((s, d) => {
       import graft.ops.GraphOps
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -535,17 +575,12 @@ object DedupQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val lou = GraphOps.louvainOneLevel(pairs, "id1", "id2", iters = 4)
       val lpa = GraphOps.labelPropagation(pairs, "id1", "id2", iters = 4)
-      val qLou = GraphOps.modularity(pairs, "id1", "id2",
-          lou, "id", "lbl")
-        .select(col("q6")).distinct().withColumn("__k", lit(1))
-      val qLpa = GraphOps.modularity(pairs, "id1", "id2",
-          lpa, "id", "lbl")
-        .select(col("q6").as("q6_lpa")).distinct()
-        .withColumn("__k", lit(1))
-      lou.withColumn("__k", lit(1))
-        .join(broadcast(qLou), Seq("__k"))
-        .join(broadcast(qLpa), Seq("__k"))
-        .select("id", "lbl", "q6", "q6_lpa")
+      // ONE shared edge build scores both partitions (modularityQ);
+      // q6 values are bounded driver doubles -> literal columns
+      val qs = GraphOps.modularityQ(pairs, "id1", "id2",
+        Seq(("lou", lou, "id", "lbl"), ("lpa", lpa, "id", "lbl"))).toMap
+      lou.select(col("id"), col("lbl"),
+          lit(qs("lou")).as("q6"), lit(qs("lpa")).as("q6_lpa"))
         .orderBy("id")
     }),
 
@@ -1047,6 +1082,26 @@ object DedupQueries {
            floor(COALESCE(covered, 0) * 1.0 / GREATEST(len(ts), 1)
              * 1e6 + 0.5) / 1e6 AS cov6
          FROM t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id""",
+    // d47: the same postings/shared CTEs; covered POSITIONS by a ×5
+    // unnest, kept tokens reassembled with an ordered string_agg.
+    "d47_span_removal" ->
+      s"""WITH $RepeatedCoverage5Cte,
+         tok AS (SELECT doc_id, u.i - 1 AS p, ts[u.i] AS tok
+           FROM t, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+         covpos AS (SELECT DISTINCT g.doc_id, g.pos + v.j AS p
+           FROM g JOIN shared USING (h),
+             LATERAL unnest(range(0, 5)) AS v(j)),
+         keptt AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+           LEFT JOIN covpos cp
+             ON cp.doc_id = tok.doc_id AND cp.p = tok.p
+           WHERE cp.p IS NULL),
+         outp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+           FROM keptt GROUP BY 1)
+         SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(outp.kept, 0) AS BIGINT) AS kept,
+           COALESCE(outp.clean_text, '') AS clean_text
+         FROM t LEFT JOIN outp USING (doc_id) ORDER BY t.doc_id""",
     "d43_threshold_curve" ->
       s"""WITH $ShingleCte,
          sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
@@ -1537,6 +1592,49 @@ object DedupQueries {
          SELECT id, comp, count(*) OVER (PARTITION BY comp) AS csize,
            id = comp AS keep
          FROM comps ORDER BY id""",
+    // d48: the d08 component recursion + per-field majority (ties ->
+    // smallest value) and max-completeness closes each cluster to ONE
+    // synthesized row.
+    "d48_golden_record" ->
+      s"""WITH RECURSIVE $ShingleCte,
+         sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id1, id2 FROM inter
+           JOIN sizes s1 ON id1 = s1.doc_id
+           JOIN sizes s2 ON id2 = s2.doc_id
+           WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a AS id, a AS comp FROM edges
+           UNION
+           SELECT e.b AS id, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+         comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         j AS (SELECT c.comp, d.source,
+             COALESCE(d.lang, 'none') AS lang, d.n_chars
+           FROM comps c JOIN documents d ON d.doc_id = c.id),
+         gbase AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize,
+             max(n_chars) AS n_chars
+           FROM j GROUP BY 1),
+         msrc AS (SELECT comp, source FROM (
+             SELECT comp, source,
+               row_number() OVER (PARTITION BY comp
+                 ORDER BY count(*) DESC, source ASC) AS rk
+             FROM j GROUP BY comp, source) WHERE rk = 1),
+         mlang AS (SELECT comp, lang FROM (
+             SELECT comp, lang,
+               row_number() OVER (PARTITION BY comp
+                 ORDER BY count(*) DESC, lang ASC) AS rk
+             FROM j GROUP BY comp, lang) WHERE rk = 1)
+         SELECT gbase.comp, gbase.csize, msrc.source, mlang.lang,
+           gbase.n_chars
+         FROM gbase JOIN msrc USING (comp) JOIN mlang USING (comp)
+         ORDER BY gbase.comp""",
     // d14: d08's components + the t02 quality formula; survivor =
     // row_number 1 by (quality DESC, id ASC) — prio is 6dp-exact in both
     // engines so the DESC ordering (incl. ties) is bit-deterministic.

@@ -620,6 +620,28 @@ object EventQueries {
           "g", col("event_type") === "purchase", col("value"))
         .orderBy("g")),
 
+    // LAST-TOUCH revenue attribution: each purchase credits the user's
+    // most recent PRECEDING non-purchase event type ('direct' when the
+    // purchase opens the journey) — one keyed ignore-nulls carry-forward
+    // window on the (ts, event_id) total order, one bounded channel
+    // aggregate. Revenue summed through DECIMAL (exact, association-
+    // free) then rounded once.
+    "e74_attribution" -> ((s, d) => {
+      val W = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("src", last(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(W))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("src"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(30,8)")), 2)
+            .cast("double").as("revenue"))
+        .orderBy("channel")
+    }),
+
     // Chi-squared independence screen: event_type × hour-of-day
     // contingency with expected counts, per-cell contributions, and the
     // closing χ² (exact-µ-unit BIGINT total — no float accumulation).
@@ -2166,6 +2188,21 @@ object EventQueries {
                * 1e6 + 0.5) / 1e6
            END AS ap6
          FROM o ORDER BY g""",
+    // e74: the same ignore-nulls carry-forward window; channel totals
+    // through DECIMAL on both engines.
+    "e74_attribution" ->
+      """WITH w AS (SELECT event_type, value,
+           last_value(CASE WHEN event_type <> 'purchase'
+               THEN event_type END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+           FROM events)
+         SELECT COALESCE(src, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE)
+             AS revenue
+         FROM w WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY 1""",
     // e37: exp = one double division of exact integer products; the χ²
     // total sums exact 1e-6-unit BIGINTs (order-free) and divides once —
     // the Spark side is spelled identically, so no accumulation drift.

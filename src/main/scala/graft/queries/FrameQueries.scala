@@ -50,6 +50,25 @@ object FrameQueries {
          (l_returnflag), ())
        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
 
+  // f79: CORRELATED subqueries through ONE SQL text (the f45 contract):
+  // a correlated SCALAR count in the select list plus EXISTS and
+  // NOT EXISTS membership predicates — Catalyst decorrelates the three
+  // into a left-outer aggregate join, a semi join, and an anti join;
+  // every predicate is exact equality/count, so no float boundary can
+  // flip membership between engines.
+  private val CorrelatedSql =
+    """SELECT c.c_custkey,
+         (SELECT CAST(count(*) AS BIGINT) FROM orders o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'O')
+         AND NOT EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_orderstatus = 'F')
+       ORDER BY c.c_custkey"""
+
   // f71: FILTER (WHERE …) conditional aggregates through ONE SQL text
   // both engines execute — quantities sum exactly (integral doubles).
   private val FilterAggSql =
@@ -590,6 +609,11 @@ object FrameQueries {
     "f68_grouping_sets" -> ((s, d) => {
       graft.Tables.registerAll(s, d)
       s.sql(GroupingSetsSql)
+    }),
+
+    "f79_correlated_subquery" -> ((s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql(CorrelatedSql)
     }),
 
     // Per-group exact quantiles: sort-based percentile aggregate within
@@ -1399,6 +1423,7 @@ object FrameQueries {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""",
     "f45_q10_sql" -> Q10Sql,
     "f68_grouping_sets" -> GroupingSetsSql,
+    "f79_correlated_subquery" -> CorrelatedSql,
     "f71_filter_agg" -> FilterAggSql,
     "f73_window_sql" -> WindowParitySql,
     "f48_welch_ttest" ->

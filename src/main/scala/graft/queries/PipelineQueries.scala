@@ -278,6 +278,29 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // MERGE/upsert (SCD-1) — the action on p20's diff: an update batch
+    // (every doc_id % 10 == 5 re-crawled with amended text, plus three
+    // brand-new synthetic docs) applied to the base snapshot in ONE
+    // key-anti-join + union; matched keys replaced, unmatched base rows
+    // untouched, new keys inserted. Text compared by md5 fingerprint.
+    "p24_upsert" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      val updates = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" amended")).as("text"))
+        .unionByName(Seq(
+          (-1L, "recrawl", "fresh doc one"),
+          (-2L, "recrawl", "fresh doc two"),
+          (-3L, "recrawl", "fresh doc three"))
+          .toDF("doc_id", "source", "text"))
+      PipelineOps.upsert(base, updates, Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic weighted sample WITHOUT replacement (Efraimidis–
     // Spirakis A-ES): 500 docs with inclusion odds ∝ text length, key =
     // −ln(md5-uniform)/w — engine-portable arithmetic (the d05 hash
@@ -758,6 +781,23 @@ object PipelineQueries {
                 WHEN b.h = a.h THEN 'unchanged'
                 ELSE 'changed' END AS status
          FROM b FULL OUTER JOIN a ON b.doc_id = a.doc_id
+         ORDER BY doc_id""",
+    // p24: anti-join + union replayed relationally; md5 over the
+    // identical amended/new text on both engines.
+    "p24_upsert" ->
+      """WITH upd AS (
+           SELECT doc_id, source, text || ' amended' AS text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'recrawl', 'fresh doc one'),
+             (CAST(-2 AS BIGINT), 'recrawl', 'fresh doc two'),
+             (CAST(-3 AS BIGINT), 'recrawl', 'fresh doc three'))
+             t(doc_id, source, text))
+         SELECT doc_id, source, md5(text) AS fp FROM (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL SELECT doc_id, source, text FROM upd)
          ORDER BY doc_id"""
   )
 }

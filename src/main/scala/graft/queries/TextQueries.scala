@@ -238,6 +238,17 @@ object TextQueries {
     "t12_bpe_pairs" -> ((s, d) =>
       bpePairStats(docs(s, d), "text", topK = 20)),
 
+    // TRUE BPE TRAINING (Sennrich 2016) — t12's pair statistics made
+    // the actual loop: 8 greedy merge rounds over the character-split
+    // corpus vocabulary, each an arg-max of frequency-weighted adjacent
+    // pair counts (ties → lexicographically smallest) applied
+    // everywhere via the engine-portable '|'-wrapped replace. Output =
+    // the merge table a tokenizer ships; the oracle replays the
+    // identical rounds.
+    "t30_bpe_train" -> ((s, d) =>
+      graft.ops.TextOps.bpeTrain(docs(s, d), "text", merges = 8)
+        .orderBy("round")),
+
     // Misra-Gries heavy hitters over `source` through the native
     // mergeable aggregate (fixed k-counter state per partial — shuffle
     // payload never grows with cardinality). k=64 exceeds the domain, so
@@ -406,6 +417,41 @@ object TextQueries {
   // DuckDB equivalents. Tokenization mirrored as
   // list_filter(string_split(lower(text), ' '), t -> t <> '').
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  /** t30 oracle: the BPE training rounds unrolled — identical wrapped
+    * representation, identical greedy replace, identical (cnt DESC,
+    * x ASC, y ASC) arg-max; every CTE MATERIALIZED (round r+1 re-reads
+    * round r, the d31 lesson). */
+  private def bpeSql(merges: Int): String = {
+    val rounds = (1 to merges).map { r =>
+      s"""p$r AS MATERIALIZED (
+           SELECT ts[u.i] AS x, ts[u.i + 1] AS y,
+             CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(s, ' ') AS ts, freq FROM v${r - 1}
+                 WHERE len(string_split(s, ' ')) >= 2) t,
+             LATERAL unnest(range(1, len(ts))) AS u(i)
+           GROUP BY 1, 2),
+         m$r AS MATERIALIZED (SELECT x, y, cnt FROM p$r
+           ORDER BY cnt DESC, x ASC, y ASC LIMIT 1),
+         v$r AS MATERIALIZED (
+           SELECT replace(s, m.x || ' ' || m.y,
+             '|' || trim(m.x, '|') || trim(m.y, '|') || '|') AS s, freq
+           FROM v${r - 1}, m$r m)"""
+    }.mkString(",\n")
+    val unions = (1 to merges).map { r =>
+      s"""SELECT $r AS round, trim(x, '|') AS lhs, trim(y, '|') AS rhs,
+           trim(x, '|') || trim(y, '|') AS merged, cnt FROM m$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+         SELECT array_to_string(list_transform(range(1, len(w) + 1),
+             i -> '|' || substr(w, i, 1) || '|'), ' ') AS s,
+           CAST(count(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(ts) AS w
+               FROM (SELECT $Toks AS ts FROM documents))
+         GROUP BY 1),
+       $rounds
+       SELECT * FROM ($unions) ORDER BY round"""
+  }
 
   /** t23 oracle: identical adjacency pairs via list indexing, then
     * d20's unrolled PageRank replay over the word graph (same 1e-9
@@ -654,6 +700,9 @@ object TextQueries {
          FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     // the compare hashes the row SET, so the (cnt desc, pair asc) LIMIT
     // tiebreak must be deterministic in both engines
+    // t30: the identical 8 greedy rounds unrolled (wrapped replace,
+    // same arg-max tie order, MATERIALIZED per round).
+    "t30_bpe_train" -> bpeSql(merges = 8),
     "t12_bpe_pairs" ->
       s"""WITH w AS (SELECT u.t AS w FROM documents,
              LATERAL unnest($Toks) AS u(t)),

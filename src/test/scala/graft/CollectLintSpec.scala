@@ -140,6 +140,8 @@ class CollectLintSpec extends AnyFunSuite {
       ".collect() // ≤ corpus-span units rows — calendar-bounded" ->
         "kaplan-meier per-duration frame: ≤ corpus-span units rows"),
     "TextOps.scala" -> Map(
+      ".head() // 1-row arg-max: the round's merge pair" ->
+        "bpeTrain per-round merge pick: 1-row aggregate (k rounds)",
       "val stats = staged.agg(count(lit(1)), sum(col(\"dl\"))).head()" ->
         "bm25 N/avgdl probe: 1-row aggregate",
       "sum(greatest(size(col(\"__ts\")) - 1, lit(0))).as(\"nb\")).head()" ->
@@ -157,7 +159,11 @@ class CollectLintSpec extends AnyFunSuite {
         "referential rule child total: 1-row aggregate"),
     "GraphOps.scala" -> Map(
       "sum(col(\"d_sum\") * col(\"d_sum\"))).head()" ->
-        "modularity totals: 1-row aggregate over the |communities| frame"),
+        "modularity totals: 1-row aggregate over the |communities| frame",
+      ".agg(count(lit(1))).head().getLong(0) // 1-row intra-edge total" ->
+        "modularityQ intra-edge count: 1-row aggregate",
+      ".head().getLong(0) // 1-row degree-square total" ->
+        "modularityQ degree-square total: 1-row aggregate over |communities|"),
     "SkewOps.scala" -> Map(
       "val t = counts.agg(sum(col(\"cnt\")), count(lit(1))).head()" ->
         "skew report totals: 1-row aggregate over the keyed counts"),

@@ -483,6 +483,34 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("removeRepeatedSpans cuts exactly the cross-doc 5-gram positions, " +
+      "keeps unique remainders and short docs whole (d47 gate)") {
+    val tiny = Seq(
+      (1L, "a b c d e f g h"),        // shares "a b c d e" with doc 2
+      (2L, "x x a b c d e y"),        // covered p2..6 -> keeps "x x y"
+      (3L, "unique words only here")  // < 5 tokens: no grams, untouched
+    ).toDF("doc_id", "text")
+    val got = DedupOps.removeRepeatedSpans(tiny, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    Caches.clear()
+    assert(got.toSeq == Seq(
+      (1L, 8L, 3L, "f g h"),
+      (2L, 8L, 3L, "x x y"),
+      (3L, 4L, 4L, "unique words only here")))
+  }
+
+  test("upsert replaces matched keys, keeps unmatched base, inserts new " +
+      "(p24 gate)") {
+    val base = Seq((1L, "old1"), (2L, "old2"), (3L, "old3"))
+      .toDF("id", "v")
+    val updates = Seq((2L, "new2"), (9L, "new9")).toDF("id", "v")
+    val got = graft.ops.PipelineOps.upsert(base, updates, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(1L -> "old1", 2L -> "new2", 3L -> "old3",
+      9L -> "new9"))
+  }
+
   test("averagePrecisionBy matches hand-computed AP, ties collapse, " +
       "no-positive group is null (e73 gate)") {
     // group 0, scores descending: (0.9 pos), (0.8 neg), (0.7 pos),

@@ -42,9 +42,6 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
                       // columns broadcast back on a constant key —
                       // 1-ROW build sides by construction (the d45
                       // in-plan normalization shape)
-    "d46_louvain", // q6/q6_lpa modularity columns broadcast back on a
-                   // constant key — 1-ROW build sides by construction
-                   // (each is one DISTINCT over a literal column)
     // welch pairs: the inequality join runs AFTER the partial+final
     // aggregate collapsed the data to |groups| rows — the nested-loop is
     // over a bounded broadcast (|groups|² pairs), never data-sized
