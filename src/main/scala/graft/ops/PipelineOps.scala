@@ -557,6 +557,17 @@ object PipelineOps {
     base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates)
 
+  /** [[upsert]]'s CDC sibling: apply a change batch carrying an op
+    * column ('U' upsert, 'D' delete) — the merge a CDC-fed table runs
+    * per commit. Same shape: ONE key-anti-join drops every touched key
+    * from the base, then the non-delete change rows re-insert. Caller
+    * contract: at most one change row per key (compact the CDC stream
+    * to its last-writer-wins row upstream). */
+  def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+               opCol: String): DataFrame =
+    base.join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+
   /** Content-addressed diff between two corpus snapshots — the dataset
     * versioning primitive (what changed between crawl v1 and v2, and is
     * the delta small enough to ship as an incremental update?). Per doc

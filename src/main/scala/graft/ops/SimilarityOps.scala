@@ -1115,6 +1115,30 @@ object SimilarityOps {
     pqAdcRank(codes, pqLut(q0, books, subDim), k)
   }
 
+  /** Exact REFINE of an approximate shortlist (FAISS IndexRefineFlat —
+    * the standard two-stage serving pattern: a compressed index
+    * shortlists N candidates cheaply, then the raw vectors re-rank just
+    * those N exactly and keep top-k; recall ≈ "is the true neighbor
+    * anywhere in the shortlist" instead of "did ADC rank it first").
+    * The shortlist frame is (qid, nid) — queries × N rows, tiny — so it
+    * BROADCASTS into the corpus's nid equi-join: the corpus contributes
+    * only the shortlisted rows, never a scan per query. */
+  def refineExact(corpus: DataFrame, queries: DataFrame,
+                  shortlist: DataFrame, idCol: String, vecCol: String,
+                  k: Int, grid: Option[Double] = None): DataFrame = {
+    val c = normalizedQ(corpus, idCol, vecCol, "nid", "ce", grid)
+    val q = normalizedQ(queries, idCol, vecCol, "qid", "qe", grid)
+    c.join(broadcast(shortlist.select(col("qid"), col("nid"))), Seq("nid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("sim",
+        graft.functions.DotProduct.dotNative(col("ce"), col("qe")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
   /** Build an IVF-PQ index ONCE under `outDir`: `centroids` (coarse
     * quantizer), `books` (PQ codebooks), and `postings` (nid, codes)
     * PARTITIONED BY coarse cluster — [[ivfBuild]]'s deployment shape

@@ -231,6 +231,32 @@ object TextOps {
     * localCheckpoint cuts the replace chain per round. */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
     val spark = df.sparkSession
+    val (out, _) = bpeLoop(df, textCol, merges)
+    import spark.implicits._
+    out.toDF("round", "lhs", "rhs", "merged", "cnt")
+  }
+
+  /** [[bpeTrain]] + APPLY in one call: train `merges` rounds, then
+    * return the top-`topK` SUBWORD frequencies of the segmented corpus
+    * (frequency-weighted over the vocabulary — identical to segmenting
+    * every document). The vocabulary-coverage view of the trained
+    * tokenizer: which subword units actually carry the corpus. */
+  def bpeSegment(df: DataFrame, textCol: String, merges: Int,
+                 topK: Int): DataFrame = {
+    val (_, vFinal) = bpeLoop(df, textCol, merges)
+    vFinal
+      .select(explode(split(col("s"), " ")).as("t"), col("freq"))
+      .groupBy(trim(col("t"), "|").as("subword"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("subword").asc)
+      .limit(topK)
+  }
+
+  /** The shared greedy-merge loop: returns the merge table rows and the
+    * FINAL segmented vocabulary state (s = wrapped symbol string,
+    * freq). See [[bpeTrain]] for the portability contract. */
+  private def bpeLoop(df: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     require(merges >= 1, "bpeTrain needs at least one merge round")
     var v = graft.Caches.track(df
       .select(explode(tokens(col(textCol))).as("w"))
@@ -264,8 +290,7 @@ object TextOps {
             .as("s"), col("freq"))
           .localCheckpoint()) // cut the replace chain per round
     }
-    import spark.implicits._
-    out.toSeq.toDF("round", "lhs", "rhs", "merged", "cnt")
+    (out.toSeq, v)
   }
 
   /** Engine-portable 6-dp rounding for NON-NEGATIVE doubles:

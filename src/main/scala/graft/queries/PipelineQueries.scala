@@ -301,6 +301,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // CDC APPLY — p24 with deletes: a change batch of amended rows
+    // ('U', doc_id % 10 == 5), tombstones ('D', doc_id % 10 == 7), and
+    // two brand-new inserts applied in ONE key-anti-join + filtered
+    // union; touched keys leave the base exactly once.
+    "p25_apply_cdc" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      val docs = Tables.documents(s, d)
+      val changes = docs.filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" amended")).as("text"),
+          lit("U").as("op"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+          .select(col("doc_id"), col("source"), col("text"),
+            lit("D").as("op")))
+        .unionByName(Seq(
+          (-1L, "cdc", "fresh doc one", "U"),
+          (-2L, "cdc", "fresh doc two", "U"))
+          .toDF("doc_id", "source", "text", "op"))
+      PipelineOps.applyCdc(base, changes, Seq("doc_id"), "op")
+        .select(col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic weighted sample WITHOUT replacement (Efraimidis–
     // Spirakis A-ES): 500 docs with inclusion odds ∝ text length, key =
     // −ln(md5-uniform)/w — engine-portable arithmetic (the d05 hash
@@ -798,6 +823,25 @@ object PipelineQueries {
            SELECT doc_id, source, text FROM documents
            WHERE doc_id NOT IN (SELECT doc_id FROM upd)
            UNION ALL SELECT doc_id, source, text FROM upd)
+         ORDER BY doc_id""",
+    // p25: the same anti-join + union with tombstones filtered out.
+    "p25_apply_cdc" ->
+      """WITH chg AS (
+           SELECT doc_id, source, text || ' amended' AS text, 'U' AS op
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, source, text, 'D' AS op
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'cdc', 'fresh doc one', 'U'),
+             (CAST(-2 AS BIGINT), 'cdc', 'fresh doc two', 'U'))
+             t(doc_id, source, text, op))
+         SELECT doc_id, source, md5(text) AS fp FROM (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM chg)
+           UNION ALL
+           SELECT doc_id, source, text FROM chg WHERE op <> 'D')
          ORDER BY doc_id"""
   )
 }

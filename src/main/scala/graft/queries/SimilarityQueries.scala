@@ -564,6 +564,34 @@ object SimilarityQueries {
       res
     }),
 
+    // Two-stage PQ serving (FAISS IndexRefineFlat): the compressed
+    // index shortlists 25 ADC candidates per query, the RAW vectors
+    // re-rank just those 25 exactly and keep top-5 — recall becomes
+    // "is the true neighbor anywhere in the shortlist", at 25 exact
+    // dots per query instead of a corpus scan. Fully oracled: the PQ
+    // replay at topK=25 nests as the candidate set, the refine is
+    // grid-exact dots.
+    "v33_pq_refine" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v33_pq").toString
+      SimilarityOps.pqBuild(e, "vec_id", "embedding", outDir = idx,
+        m = 8, codebook = 16, kmeansIters = 3, grid = Some(Grid),
+        cacheKey = Some(d))
+      val q = e.filter(col("vec_id") < 10)
+      val shortlist = SimilarityOps.pqProbe(idx, q,
+          "vec_id", "embedding", k = 25, grid = Some(Grid))
+        .select("qid", "nid")
+      val res = SimilarityOps.refineExact(e, q, shortlist,
+          "vec_id", "embedding", k = 5, grid = Some(Grid))
+        .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // IVF-PQ build-once/probe-many: coarse centroids + codebooks +
     // cluster-PARTITIONED code postings as artifacts; the probe reads
     // only the probed clusters' partitions and only 4-byte codes — the
@@ -1317,6 +1345,29 @@ object SimilarityQueries {
     // exactly (the v04-shares-v03 pattern).
     "v14_pq_persist" -> pqOracle(m = 8, codebook = 16, iters = 3,
       subDim = 8, topK = 5, g = Grid),
+    // v33: the PQ replay at topK=25 nests as the shortlist; the refine
+    // re-ranks those candidates with grid-exact dots, top-5.
+    "v33_pq_refine" -> {
+      val gs = f"$Grid%.1f"
+      s"""WITH cand AS (SELECT qid, nid FROM (
+             ${pqOracle(m = 8, codebook = 16, iters = 3, subDim = 8,
+               topK = 25, g = Grid)}) t),
+           rv AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+           rn AS (SELECT id,
+               list_transform(e0, x -> floor(x / nn * $gs + 0.5) / $gs)
+                 AS e
+             FROM (SELECT id, e0, sqrt(list_dot_product(e0, e0)) AS nn
+                   FROM rv)),
+           ref AS (SELECT c.qid, c.nid,
+               list_dot_product(a.e, b.e) AS sim
+             FROM cand c JOIN rn a ON a.id = c.nid
+             JOIN rn b ON b.id = c.qid)
+           SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
+             nid, floor(sim * 1e6 + 0.5) / 1e6 AS sim
+           FROM ref QUALIFY rk <= 5 ORDER BY qid, rk"""
+    },
     "v15_ivfpq_persist" -> ivfPqOracle(nClusters = 16, nProbe = 4, m = 8,
       codebook = 16, iters = 3, subDim = 8, topK = 5, g = Grid)
   )

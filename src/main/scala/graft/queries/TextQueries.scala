@@ -249,6 +249,16 @@ object TextQueries {
       graft.ops.TextOps.bpeTrain(docs(s, d), "text", merges = 8)
         .orderBy("round")),
 
+    // BPE APPLY — the trained tokenizer's vocabulary-coverage view:
+    // segment the corpus with the 8 learned merges (the loop's final
+    // state IS the segmentation) and rank the top-20 subword units by
+    // frequency-weighted count. Train → apply, one lazy story; the
+    // oracle replays the identical rounds and aggregates the final
+    // state.
+    "t31_bpe_segment" -> ((s, d) =>
+      graft.ops.TextOps.bpeSegment(docs(s, d), "text", merges = 8,
+        topK = 20)),
+
     // Misra-Gries heavy hitters over `source` through the native
     // mergeable aggregate (fixed k-counter state per partial — shuffle
     // payload never grows with cardinality). k=64 exceeds the domain, so
@@ -423,6 +433,26 @@ object TextQueries {
     * x ASC, y ASC) arg-max; every CTE MATERIALIZED (round r+1 re-reads
     * round r, the d31 lesson). */
   private def bpeSql(merges: Int): String = {
+    val unions = (1 to merges).map { r =>
+      s"""SELECT $r AS round, trim(x, '|') AS lhs, trim(y, '|') AS rhs,
+           trim(x, '|') || trim(y, '|') AS merged, cnt FROM m$r"""
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(merges)}
+       SELECT * FROM ($unions) ORDER BY round"""
+  }
+
+  /** t31 oracle: the same training replay, closed by the final state's
+    * frequency-weighted subword counts (top-`topK`). */
+  private def bpeSegmentSql(merges: Int, topK: Int): String =
+    s"""WITH ${bpeCtes(merges)}
+       SELECT trim(u.t, '|') AS subword,
+         CAST(sum(freq) AS BIGINT) AS cnt
+       FROM (SELECT string_split(s, ' ') AS ts, freq FROM v$merges),
+         LATERAL unnest(ts) AS u(t)
+       GROUP BY 1 ORDER BY cnt DESC, subword ASC LIMIT $topK"""
+
+  /** Shared v0 + unrolled merge-round CTE text for the BPE oracles. */
+  private def bpeCtes(merges: Int): String = {
     val rounds = (1 to merges).map { r =>
       s"""p$r AS MATERIALIZED (
            SELECT ts[u.i] AS x, ts[u.i + 1] AS y,
@@ -438,19 +468,14 @@ object TextQueries {
              '|' || trim(m.x, '|') || trim(m.y, '|') || '|') AS s, freq
            FROM v${r - 1}, m$r m)"""
     }.mkString(",\n")
-    val unions = (1 to merges).map { r =>
-      s"""SELECT $r AS round, trim(x, '|') AS lhs, trim(y, '|') AS rhs,
-           trim(x, '|') || trim(y, '|') AS merged, cnt FROM m$r"""
-    }.mkString(" UNION ALL ")
-    s"""WITH v0 AS MATERIALIZED (
+    s"""v0 AS MATERIALIZED (
          SELECT array_to_string(list_transform(range(1, len(w) + 1),
              i -> '|' || substr(w, i, 1) || '|'), ' ') AS s,
            CAST(count(*) AS BIGINT) AS freq
          FROM (SELECT unnest(ts) AS w
                FROM (SELECT $Toks AS ts FROM documents))
          GROUP BY 1),
-       $rounds
-       SELECT * FROM ($unions) ORDER BY round"""
+       $rounds"""
   }
 
   /** t23 oracle: identical adjacency pairs via list indexing, then
@@ -703,6 +728,9 @@ object TextQueries {
     // t30: the identical 8 greedy rounds unrolled (wrapped replace,
     // same arg-max tie order, MATERIALIZED per round).
     "t30_bpe_train" -> bpeSql(merges = 8),
+    // t31: the same replay closed by the final state's weighted
+    // subword counts.
+    "t31_bpe_segment" -> bpeSegmentSql(merges = 8, topK = 20),
     "t12_bpe_pairs" ->
       s"""WITH w AS (SELECT u.t AS w FROM documents,
              LATERAL unnest($Toks) AS u(t)),

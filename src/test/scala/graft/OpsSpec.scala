@@ -500,6 +500,36 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 4L, 4L, "unique words only here")))
   }
 
+  test("refineExact over a FULL shortlist equals brute force (v33 gate)") {
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
+    val q = e.filter(col("vec_id") < 5)
+    val exact = SimilarityOps.knnBruteForce(e, q, "vec_id", "embedding", 5)
+      .select("qid", "rk", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // shortlist = every (query, corpus) pair -> the refine IS brute
+    // force (test-only all-pairs: 5 queries x corpus)
+    val all = q.select(col("vec_id").as("qid"))
+      .join(e.select(col("vec_id").as("nid")), col("qid") =!= col("nid"))
+    val got = SimilarityOps.refineExact(e, q, all, "vec_id", "embedding",
+        k = 5)
+      .select("qid", "rk", "nid").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got.sorted == exact.sorted,
+      "full-shortlist refine diverged from brute force")
+  }
+
+  test("applyCdc: updates replace, deletes remove, inserts land " +
+      "(p25 gate)") {
+    val base = Seq((1L, "old1"), (2L, "old2"), (3L, "old3"))
+      .toDF("id", "v")
+    val chg = Seq((2L, "new2", "U"), (3L, "gone", "D"), (9L, "new9", "U"))
+      .toDF("id", "v", "op")
+    val got = graft.ops.PipelineOps.applyCdc(base, chg, Seq("id"), "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq(1L -> "old1", 2L -> "new2", 9L -> "new9"))
+  }
+
   test("upsert replaces matched keys, keeps unmatched base, inserts new " +
       "(p24 gate)") {
     val base = Seq((1L, "old1"), (2L, "old2"), (3L, "old3"))
