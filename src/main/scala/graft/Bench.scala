@@ -12,7 +12,8 @@ object Bench {
       "v14_pq_persist", "v15_ivfpq_persist", // train + write artifacts
       "v31_stream_ivf_append", // build + two streamed append epochs
       "v32_ivf_repair", // build + append + repair rewrite + two probes
-      "v33_pq_refine") // PQ codebook training dominates the timed body
+      "v33_pq_refine", // PQ codebook training dominates the timed body
+      "v34_ivf_delete") // build + touched-partition rewrite + probe
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both

@@ -1115,6 +1115,41 @@ object SimilarityOps {
     pqAdcRank(codes, pqLut(q0, books, subDim), k)
   }
 
+  /** DELETE vectors from a prebuilt [[ivfBuild]] index — the
+    * right-to-be-forgotten path that completes the lifecycle (build →
+    * probe → append → monitor → repair → DELETE): the delete set joins
+    * the postings once to find the TOUCHED cluster partitions (bounded
+    * driver list — one row per touched cluster), only those partitions
+    * rewrite without the deleted ids (the v32 delete-then-append
+    * discipline — exact even when a partition empties), and the
+    * centroids stay frozen (deletion never degrades the quantizer; the
+    * drift monitor decides re-centering separately). Returns the number
+    * of touched cluster partitions. */
+  def ivfDelete(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                deleteIds: DataFrame, idCol: String): Int = {
+    val del = broadcast(deleteIds.select(col(idCol).as("nid")))
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val touched = postings.join(del, Seq("nid"), "left_semi")
+      .select("cluster").distinct()
+      .collect().map(_.getInt(0)) // ≤ nClusters rows — bounded driver list
+    if (touched.nonEmpty) {
+      val kept = postings
+        .filter(col("cluster").isin(touched.map(Int.box): _*))
+        .join(del, Seq("nid"), "left_anti")
+        // materialize the surviving rows BEFORE deleting their files
+        .localCheckpoint(true)
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexDir/postings/cluster=$c"), true)
+      }
+      kept.write.mode(SaveMode.Append).partitionBy("cluster")
+        .parquet(s"$indexDir/postings")
+    }
+    touched.length
+  }
+
   /** Exact REFINE of an approximate shortlist (FAISS IndexRefineFlat —
     * the standard two-stage serving pattern: a compressed index
     * shortlists N candidates cheaply, then the raw vectors re-rank just

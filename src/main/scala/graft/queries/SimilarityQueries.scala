@@ -564,6 +564,32 @@ object SimilarityQueries {
       res
     }),
 
+    // INDEX DELETION — the right-to-be-forgotten path completing the
+    // lifecycle (build → probe → append → monitor → repair → DELETE):
+    // 5% of the corpus (vec_id % 20 == 3) is erased from the persisted
+    // index; only the touched cluster partitions rewrite (the v32
+    // delete-then-append discipline), centroids stay frozen, and the
+    // probe must answer from the SURVIVING postings only — the oracle
+    // replays the build with the deleted ids excluded from scoring.
+    "v34_ivf_delete" -> ((s, d) => {
+      val e = emb(s, d)
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_v34_ivf").toString
+      SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+        outDir = idx, grid = Some(Grid), cacheKey = Some(s"emb:$d"))
+      SimilarityOps.ivfDelete(s, idx,
+        e.filter(pmod(col("vec_id"), lit(20)) === 3).select("vec_id"),
+        "vec_id")
+      val res = SimilarityOps.ivfProbe(idx, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nProbe = 4, grid = Some(Grid))
+        .withColumn("sim", graft.ops.TextOps.round6(col("sim")))
+        .orderBy("qid", "rk")
+        .localCheckpoint(true) // materialize off the temp index files
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // Two-stage PQ serving (FAISS IndexRefineFlat): the compressed
     // index shortlists 25 ADC candidates per query, the RAW vectors
     // re-rank just those 25 exactly and keep top-5 — recall becomes
@@ -786,14 +812,18 @@ object SimilarityQueries {
                         dim: Int, g: Double,
                         trainFilter: String = "TRUE",
                         sq: Boolean = false,
-                        labelFilter: Option[String] = None): String = {
+                        labelFilter: Option[String] = None,
+                        postingFilter: Option[String] = None): String = {
     val gs = f"$g%.1f"
     // metadata plumbing for the FILTERED probe (v27): carry `label`
     // through v0/nrm/posting so `scored` can apply the predicate —
-    // absent a filter the generated SQL is byte-identical to before
+    // absent a filter the generated SQL is byte-identical to before.
+    // postingFilter (v34 deletes) needs no plumbing: it predicates on
+    // o.nid directly.
     val lbl = if (labelFilter.isDefined) ", label" else ""
     val lblN = if (labelFilter.isDefined) ", n.label" else ""
-    val postPred = labelFilter.fold("")(f => s" AND $f")
+    val postPred = labelFilter.fold("")(f => s" AND $f") +
+      postingFilter.fold("")(f => s" AND $f")
     def iterSql(i: Int) = s"""
       asg$i AS (
         SELECT id, e, cluster FROM (
@@ -1131,6 +1161,12 @@ object SimilarityQueries {
     // append gate's frozen-centroid contract); postings cover everything.
     "v08_ivf_append" -> ivfOracle(k = 16, iters = 3, nProbe = 4, topK = 5,
       dim = 64, g = Grid, trainFilter = "id % 10 <> 0"),
+    // v34: the full-corpus build replay with the deleted ids excluded
+    // from the candidate scoring (frozen centroids — deletion never
+    // retrains the quantizer).
+    "v34_ivf_delete" -> ivfOracle(k = 16, iters = 3, nProbe = 4,
+      topK = 5, dim = 64, g = Grid,
+      postingFilter = Some("o.nid % 20 <> 3")),
     // v32: the v08 replay + the drift/repair decision + both probes
     // closed to micro-recalls (τ pinned to 0.012 on both sides).
     "v32_ivf_repair" -> ivfRepairOracle(k = 16, iters = 3, nProbe = 4,

@@ -183,6 +183,8 @@ class CollectLintSpec extends AnyFunSuite {
       ".orderBy(\"cluster\").collect()" -> "IVF centroids reload: k × dim",
       ".collect() // k × dim driver state — the loadCentroids bound" ->
         "ivfRepair re-centered means: k × dim",
+      ".collect().map(_.getInt(0)) // ≤ nClusters rows — bounded driver list" ->
+        "ivfDelete touched-partition list: ≤ nClusters rows",
       "var centroids = v.orderBy(\"id\").limit(k).collect()" ->
         "k-means seeds: k × dim",
       ".collect() // dim² rows — bounded driver state" ->

@@ -500,6 +500,53 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 4L, 4L, "unique words only here")))
   }
 
+  test("ivfDelete removes exactly the delete set, rewrites only touched " +
+      "partitions (v34 gate)") {
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_del").toString
+    SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+      outDir = idx)
+    def partFiles(): Map[String, Set[String]] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(s"$idx/postings")
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .map(p => root.relativize(p).toString)
+        .toSeq.groupBy(_.split('/').head)
+        .map { case (k, v) => k -> v.toSet }
+    }
+    val before = partFiles()
+    val total = spark.read.parquet(s"$idx/postings").count()
+    val delIds = e.filter(pmod(col("vec_id"), lit(20)) === 3)
+      .select("vec_id")
+    val nDel = delIds.count()
+    // which partitions the delete set lives in (ground truth)
+    val touched = spark.read.parquet(s"$idx/postings")
+      .join(delIds.withColumnRenamed("vec_id", "nid"), Seq("nid"),
+        "left_semi")
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    val nTouched = SimilarityOps.ivfDelete(spark, idx, delIds, "vec_id")
+    assert(nTouched == touched.size)
+    val after = partFiles()
+    val post = spark.read.parquet(s"$idx/postings")
+    assert(post.count() == total - nDel, "row count must drop exactly")
+    assert(post.join(delIds.withColumnRenamed("vec_id", "nid"),
+      Seq("nid"), "left_semi").count() == 0, "deleted ids survived")
+    before.keys.foreach { k =>
+      val c = k.stripPrefix("cluster=").toInt
+      if (touched(c))
+        assert(!after.contains(k) || before(k).intersect(after(k)).isEmpty,
+          s"touched partition $k kept a stale part file")
+      else assert(after(k) == before(k),
+        s"untouched partition $k was rewritten")
+    }
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Caches.clear()
+  }
+
   test("refineExact over a FULL shortlist equals brute force (v33 gate)") {
     assume(haveFixture)
     val e = Tables.embeddings(spark, fixtureDir)
