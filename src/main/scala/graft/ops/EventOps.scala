@@ -43,6 +43,27 @@ object EventOps {
         min(col(tsCol)).as("session_start"),
         max(col(tsCol)).as("session_end"))
 
+  /** Top-k SESSION PATHS: the ordered event-type sequence of each gap
+    * session ('view>view>click>…'), counted across all sessions — the
+    * navigation-flow mining every product-analytics suite ships next to
+    * the funnel (e27 checks ONE declared journey; this surfaces the
+    * journeys users actually take). One sessionize pass, one keyed
+    * sort+join reassembly (the d47 discipline: array_sort over
+    * collected (ts, tie, step) structs — no second window), one path
+    * count aggregate, deterministic top-k (count DESC, path ASC). */
+  def sessionPaths(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, stepCol: String, gapSeconds: Long,
+                   k: Int): DataFrame =
+    sessionize(df, keyCol, tsCol, tieCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(tsCol), col(tieCol),
+          col(stepCol).as("step")))),
+        s => s.getField("step")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+
   /** Tumbling-window aggregation: epoch-aligned buckets of `duration`. */
   def tumbling(df: DataFrame, tsCol: String, duration: String,
                groupCols: Seq[Column], aggs: Seq[Column]): DataFrame =

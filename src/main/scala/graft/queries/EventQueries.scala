@@ -620,27 +620,6 @@ object EventQueries {
           "g", col("event_type") === "purchase", col("value"))
         .orderBy("g")),
 
-    // LAST-TOUCH revenue attribution: each purchase credits the user's
-    // most recent PRECEDING non-purchase event type ('direct' when the
-    // purchase opens the journey) — one keyed ignore-nulls carry-forward
-    // window on the (ts, event_id) total order, one bounded channel
-    // aggregate. Revenue summed through DECIMAL (exact, association-
-    // free) then rounded once.
-    "e74_attribution" -> ((s, d) => {
-      val W = Window.partitionBy("user_id")
-        .orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      ev(s, d)
-        .withColumn("src", last(
-          when(col("event_type") =!= "purchase", col("event_type")),
-          ignoreNulls = true).over(W))
-        .filter(col("event_type") === "purchase")
-        .groupBy(coalesce(col("src"), lit("direct")).as("channel"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("value").cast("decimal(30,8)")), 2)
-            .cast("double").as("revenue"))
-        .orderBy("channel")
-    }),
 
     // Chi-squared independence screen: event_type × hour-of-day
     // contingency with expected counts, per-cell contributions, and the
@@ -723,6 +702,15 @@ object EventQueries {
     "e02_sessions" -> ((s, d) =>
       EventOps.sessions(ev(s, d), "user_id", "ts", "event_id", 1800L)
         .orderBy("user_id", "session_id")),
+
+    // Top-20 SESSION PATHS: the ordered event-type walk of every gap
+    // session, counted corpus-wide — which journeys users actually
+    // take (the discovery sibling of e27's declared funnel). One
+    // sessionize window, one keyed sort+join reassembly, one count;
+    // top-k deterministic on (n DESC, path ASC).
+    "e75_session_paths" -> ((s, d) =>
+      EventOps.sessionPaths(ev(s, d), "user_id", "ts", "event_id",
+        "event_type", 1800L, k = 20)),
 
     // Session-depth histogram: how many sessions hold exactly n events
     // (the engagement-shape datasheet; bounce rate = the n=1 bucket
@@ -2188,21 +2176,32 @@ object EventQueries {
                * 1e6 + 0.5) / 1e6
            END AS ap6
          FROM o ORDER BY g""",
-    // e74: the same ignore-nulls carry-forward window; channel totals
-    // through DECIMAL on both engines.
-    "e74_attribution" ->
-      """WITH w AS (SELECT event_type, value,
-           last_value(CASE WHEN event_type <> 'purchase'
-               THEN event_type END IGNORE NULLS)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
-           FROM events)
-         SELECT COALESCE(src, 'direct') AS channel,
-           CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE)
-             AS revenue
-         FROM w WHERE event_type = 'purchase'
-         GROUP BY 1 ORDER BY 1""",
+    // e75: e02's session numbering + an ordered string_agg per session
+    // + the deterministic top-20.
+    "e75_session_paths" ->
+      """WITH x AS (
+           SELECT user_id, event_id, ts, event_type,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+           FROM events),
+         marked AS (
+           SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1
+                  ELSE 0 END AS is_new
+           FROM x),
+         numbered AS (
+           SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+           FROM marked),
+         paths AS (SELECT user_id, session_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM numbered GROUP BY 1, 2)
+         SELECT path, CAST(count(*) AS BIGINT) AS n
+         FROM paths GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""",
     // e37: exp = one double division of exact integer products; the χ²
     // total sums exact 1e-6-unit BIGINTs (order-free) and divides once —
     // the Spark side is spelled identically, so no accumulation drift.
