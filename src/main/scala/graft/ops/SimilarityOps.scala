@@ -412,9 +412,11 @@ object SimilarityOps {
                 threshold: Double, dim: Int = 64,
                 grid: Option[Double] = None): DataFrame = {
     val centroids = loadCentroids(spark, indexDir)
+    // keep EVERY posting column (meta= indexes carry label columns —
+    // a projected rewrite would silently strip them from the repaired
+    // partitions and break filtered probes)
     val postings = graft.Caches.track(
       spark.read.parquet(s"$indexDir/postings")
-        .select("nid", "ce", "cluster")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // per-cluster re-centered mean — kmeansFrom's round arithmetic on
     // the CURRENT members (build slice + appends)
@@ -452,7 +454,7 @@ object SimilarityOps {
       }
       val region = postings
         .filter(col("cluster").isin(drifted.map(Int.box): _*))
-        .select(col("nid"), col("ce"))
+        .drop("cluster") // meta columns ride along untouched
         .withColumn("cluster",
           if (scored.size == 1) lit(drifted.head)
           else greatest(scored.toIndexedSeq: _*)("cluster"))

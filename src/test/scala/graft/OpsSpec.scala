@@ -500,6 +500,27 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 4L, 4L, "unique words only here")))
   }
 
+  test("ivfRepair on a meta= index keeps the label column intact") {
+    assume(haveFixture)
+    val e = Tables.embeddings(spark, fixtureDir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_repm").toString
+    SimilarityOps.ivfBuild(e, "vec_id", "embedding", nClusters = 16,
+      outDir = idx, meta = Seq("label"))
+    val before = spark.read.parquet(s"$idx/postings")
+      .select("nid", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    SimilarityOps.ivfRepair(spark, idx, threshold = -1.0) // repair all
+    val after = spark.read.parquet(s"$idx/postings")
+      .select("nid", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(after == before,
+      "repair rewrite must carry posting meta columns unchanged")
+    val p = new org.apache.hadoop.fs.Path(idx)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Caches.clear()
+  }
+
   test("ivfDelete removes exactly the delete set, rewrites only touched " +
       "partitions (v34 gate)") {
     assume(haveFixture)
