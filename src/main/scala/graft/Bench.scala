@@ -13,7 +13,9 @@ object Bench {
       "v31_stream_ivf_append", // build + two streamed append epochs
       "v32_ivf_repair", // build + append + repair rewrite + two probes
       "v33_pq_refine", // PQ codebook training dominates the timed body
-      "v34_ivf_delete") // build + touched-partition rewrite + probe
+      "v34_ivf_delete", // build + touched-partition rewrite + probe
+      "p27_time_travel", // versioned-table create + upsert commits + reads
+      "p28_version_diff") // three commits + two manifest-pinned diffs
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both
@@ -44,7 +46,9 @@ object Bench {
     "d28_tfidf_cosine", "e41_auc", "e44_cusum", "v16_recall_eval",
     "p14_shard_manifest", "m09_wav_meta", "d29_label_prop",
     // round-12 tier representatives
-    "d46_louvain", "e73_pr_auc", "f77_bad_records")
+    "d46_louvain", "e73_pr_auc", "f77_bad_records",
+    // round-13 tier representatives
+    "p26_cdc_compact")
 
   // The driver parses the final stdout line from a ~2000-char tail; keep a
   // safety margin for the totals/sf framing and future value-width growth.

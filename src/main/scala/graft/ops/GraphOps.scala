@@ -15,6 +15,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Row-count gate for the community ops' label/σ/degree frames: these
+    * are |vertices|-bounded, which is SMALL on the gate fixtures (~20k —
+    * broadcasting them measured faster than shuffling the edge frame)
+    * but grows linearly with the graph — on a 10⁸–10⁹-vertex pair graph
+    * a forced `broadcast()` collects gigabytes to the driver and OOMs
+    * where a keyed shuffle join (pageRank's shape) degrades gracefully.
+    * So the hint is applied only below a measured row count: 4M rows ≈
+    * ~100 MB broadcast at 24 B/row, inside ordinary executor budgets.
+    * The caller measures |V| ONCE (outside its round loop — vertex sets
+    * are fixed across rounds) and passes it here; above the limit the
+    * frame is returned unhinted and AQE/stats pick the join strategy. */
+  private val BroadcastVertexLimit = 4L * 1024 * 1024
+  private def hintIfSmall(df: DataFrame, measuredRows: Long): DataFrame =
+    if (measuredRows <= BroadcastVertexLimit) broadcast(df) else df
+
   /** Connected components over an undirected edge list: returns
     * `(id, comp)` for every vertex incident to an edge, where `comp` is
     * the minimum vertex id in the component (a stable canonical
@@ -248,8 +263,16 @@ object GraphOps {
     * completeness rule for sizes/freshness timestamps). One row per
     * cluster: (comp, csize, fields…).
     *
+    * Null rule: the majority is taken over NON-NULL values only (Spark
+    * sorts nulls first ASC where DuckDB sorts them last — excluding
+    * them keeps the pick engine-portable, and "most frequent non-null"
+    * is the MDM survivorship intent anyway); a cluster with no non-null
+    * value for a field yields null.
+    *
     * Scale shape: one comp-keyed record join, then per majority field
-    * one (comp, value) count aggregate + one keyed WindowGroupLimit —
+    * one (comp, value) count aggregate collapsed by a `min_by`
+    * partial+final arg-max (map-side partials shrink the count frame
+    * to ≤|clusters| rows before the exchange — no rank-window sort) —
     * every shuffle rides the comp key the components already
     * produced; no windows over raw rows, no driver state. */
   def goldenRecord(pairs: DataFrame, id1: String, id2: String,
@@ -266,14 +289,16 @@ object GraphOps {
       count(lit(1)).as("csize"),
       maxFields.map(f => max(col(f)).as(f)): _*)
     majorityFields.foldLeft(sizes) { (acc, f) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("comp").orderBy(col("__c").desc, col(f).asc)
-      val m = joined.groupBy(col("comp"), col(f))
+      // min over (−count, value) == (count DESC, value ASC) rank 1 —
+      // the keyed-arg-max doctrine: partial+final aggregation, never a
+      // per-field rank window (min_by works for any orderable value
+      // type where negating a string for max_by would not).
+      val m = joined.filter(col(f).isNotNull)
+        .groupBy(col("comp"), col(f))
         .agg(count(lit(1)).as("__c"))
-        .withColumn("__rk", row_number().over(w))
-        .filter(col("__rk") === 1)
-        .select(col("comp"), col(f))
-      acc.join(m, Seq("comp"))
+        .groupBy("comp")
+        .agg(min_by(col(f), struct(-col("__c"), col(f))).as(f))
+      acc.join(m, Seq("comp"), "left")
     }
   }
 
@@ -319,16 +344,22 @@ object GraphOps {
       sym.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id"))
         .localCheckpoint())
+    // |V| measured ONCE over the checkpointed init frame (cached blocks,
+    // a cheap count; the vertex set never changes across rounds) — gates
+    // the per-round broadcast hint, see [[hintIfSmall]].
+    val nV = labels.count()
     (1 to iters).foreach { _ =>
-      // label side is |vertices|-bounded → broadcast (the edge frame
-      // never shuffles); arg-max as a max_by partial+final aggregation
+      // label side is |vertices|-bounded → broadcast WHEN SMALL (the
+      // edge frame then never shuffles; above the measured limit the
+      // join falls back to a keyed shuffle, pageRank's shape); arg-max
+      // as a max_by partial+final aggregation
       // instead of a rank window — map-side partials collapse the
       // (vertex, label) counts to ≤|vertices| rows before the exchange,
       // where the window sorted the full count frame. Tie rule
       // unchanged: max (cnt, −label) == (cnt DESC, label ASC) rank 1.
       labels = graft.Caches.track(
-        sym.join(broadcast(
-            labels.select(col("id").as("b"), col("lbl").as("nl"))), "b")
+        sym.join(hintIfSmall(
+            labels.select(col("id").as("b"), col("lbl").as("nl")), nV), "b")
           .groupBy("a", "nl").agg(count(lit(1)).as("cnt"))
           .groupBy(col("a").as("id"))
           .agg(max_by(col("nl"),
@@ -372,6 +403,9 @@ object GraphOps {
         .persist(StorageLevel.MEMORY_AND_DISK))
     val m2 = sym.count() // 1-value probe: 2m (each edge counted twice)
     require(m2 > 0, "louvain needs edges")
+    // |V| measured ONCE (deg is persisted; the vertex set is fixed
+    // across rounds) — gates the per-round broadcast hints.
+    val nV = deg.count()
     var labels = graft.Caches.track(
       deg.select(col("id"), col("id").as("lbl")).localCheckpoint())
     (1 to iters).foreach { r =>
@@ -380,7 +414,8 @@ object GraphOps {
       val nbr =
         if (r == 1) sym.select(col("a"), col("b").as("c"))
         else sym.join(
-          broadcast(labels.select(col("id").as("b"), col("lbl").as("c"))),
+          hintIfSmall(
+            labels.select(col("id").as("b"), col("lbl").as("c")), nV),
           "b").select(col("a"), col("c"))
       val kic = nbr.groupBy(col("a").as("id"), col("c"))
         .agg(count(lit(1)).as("kic"))
@@ -397,17 +432,19 @@ object GraphOps {
         labels.select(col("id"), col("lbl").as("c"))
           .withColumn("kic", lit(0L)))
       // sigma / degrees / own labels are |vertices|-bounded: broadcast
-      // them so the round's only exchanges are the kic aggregation and
+      // them WHEN SMALL (gated on the measured |V| — above the limit
+      // these become keyed shuffle joins, pageRank's shape) so the
+      // round's only exchanges are the kic aggregation and
       // the arg-max; the arg-max is a max_by partial+final aggregation
       // (map-side partials collapse candidates to ≤|vertices| rows
       // before the shuffle — a rank window would sort the full
       // candidate frame). Tie rule unchanged: max (score, −c) ==
       // (score DESC, c ASC) rank 1.
       labels = graft.Caches.track(
-        cand.join(broadcast(sigma), Seq("c"))
-          .join(broadcast(deg), Seq("id"))
-          .join(broadcast(
-            labels.select(col("id"), col("lbl").as("own"))), Seq("id"))
+        cand.join(hintIfSmall(sigma, nV), Seq("c"))
+          .join(hintIfSmall(deg, nV), Seq("id"))
+          .join(hintIfSmall(
+            labels.select(col("id"), col("lbl").as("own")), nV), Seq("id"))
           .withColumn("score", lit(m2) * col("kic") - col("k")
             * (col("sig")
               - when(col("c") === col("own"), col("k")).otherwise(0L)))
@@ -494,14 +531,18 @@ object GraphOps {
       .unionByName(e.select(col("hi").as("nd")))
       .groupBy("nd").agg(count(lit(1)).as("dg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // |V| measured once over the persisted degree frame — gates the
+    // per-labeling broadcast hints (label frames are vertex-keyed, so
+    // the degree count bounds them within a distinct() of the input).
+    val nV = dg.count()
     labelings.map { case (name, labels, idCol, lblCol) =>
       val lab = labels
         .select(col(idCol).as("id"), col(lblCol).as("lbl")).distinct()
       val se = e
-        .join(broadcast(lab.select(col("id").as("lo"),
-          col("lbl").as("lb1"))), Seq("lo"))
-        .join(broadcast(lab.select(col("id").as("hi"),
-          col("lbl").as("lb2"))), Seq("hi"))
+        .join(hintIfSmall(lab.select(col("id").as("lo"),
+          col("lbl").as("lb1")), nV), Seq("lo"))
+        .join(hintIfSmall(lab.select(col("id").as("hi"),
+          col("lbl").as("lb2")), nV), Seq("hi"))
         .filter(col("lb1") === col("lb2"))
         .agg(count(lit(1))).head().getLong(0) // 1-row intra-edge total
       val sd2 = lab.join(dg, lab("id") === dg("nd"), "left")

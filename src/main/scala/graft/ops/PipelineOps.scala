@@ -561,12 +561,47 @@ object PipelineOps {
     * column ('U' upsert, 'D' delete) — the merge a CDC-fed table runs
     * per commit. Same shape: ONE key-anti-join drops every touched key
     * from the base, then the non-delete change rows re-insert. Caller
-    * contract: at most one change row per key (compact the CDC stream
-    * to its last-writer-wins row upstream). */
+    * contract: at most one change row per key — [[compactCdc]] is the
+    * last-writer-wins compactor that produces such a batch from a raw
+    * multi-op CDC log. */
   def applyCdc(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
                opCol: String): DataFrame =
     base.join(changes.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(changes.filter(col(opCol) =!= "D").drop(opCol))
+
+  /** Last-writer-wins CDC compaction — the missing half of
+    * [[applyCdc]]'s caller contract: a real CDC stream delivers MANY
+    * ops per key per window (insert, amend, delete, re-insert, out of
+    * order), and the table merge needs exactly the LATEST one by the
+    * log's sequence column. One `max_by` partial+final aggregation per
+    * key: the winning row is the max of `(seq, payload…)` — a total
+    * struct order, so even duplicate sequence numbers compact
+    * deterministically (engine-portably) instead of silently emitting
+    * duplicate key rows. Output: one row per key, `seqCol` dropped,
+    * ready to feed [[applyCdc]] (or [[applyCdcLog]] does both).
+    *
+    * Scale shape: map-side partials collapse each partition to
+    * ≤|keys| rows before the one keyed exchange — the change log is
+    * never sorted and never windowed. */
+  def compactCdc(changes: DataFrame, keyCols: Seq[String],
+                 seqCol: String): DataFrame = {
+    val payload = changes.columns
+      .filterNot(c => keyCols.contains(c) || c == seqCol).toSeq
+    val winner = max_by(struct(payload.map(col): _*),
+      struct(col(seqCol) +: payload.map(col): _*))
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(winner.as("__w"))
+      .select(keyCols.map(col) ++
+        payload.map(c => col(s"__w.$c").as(c)): _*)
+  }
+
+  /** The composed CDC merge: [[compactCdc]] the raw multi-op log to
+    * last-writer-wins rows, then [[applyCdc]] them — one aggregation +
+    * one anti-join + one union, end to end. */
+  def applyCdcLog(base: DataFrame, changes: DataFrame,
+                  keyCols: Seq[String], opCol: String,
+                  seqCol: String): DataFrame =
+    applyCdc(base, compactCdc(changes, keyCols, seqCol), keyCols, opCol)
 
   /** Content-addressed diff between two corpus snapshots — the dataset
     * versioning primitive (what changed between crawl v1 and v2, and is

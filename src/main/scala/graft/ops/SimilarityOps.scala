@@ -407,7 +407,17 @@ object SimilarityOps {
     *
     * Scale shape: one postings scan feeding a k×dim-bounded mean
     * aggregate, drift decided on k-sized driver arrays, the rewrite
-    * reads + writes only |drifted| partitions. */
+    * reads + writes only |drifted| partitions.
+    *
+    * Atomicity contract: the partition rewrite is delete-then-append
+    * and NOT crash-atomic — a failure between the delete and the
+    * append loses the drifted partitions' postings (the region IS
+    * materialized via localCheckpoint before the delete, so a failure
+    * during the append itself can still re-drive from the checkpoint
+    * within the session). Run under the maintenance-window /
+    * rebuild-on-failure discipline every in-place index maintenance
+    * job uses; a production deployment on a table format with commit
+    * atomicity (or a staging-dir + rename swap) lifts this. */
   def ivfRepair(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                 threshold: Double, dim: Int = 64,
                 grid: Option[Double] = None): DataFrame = {
@@ -1126,7 +1136,10 @@ object SimilarityOps {
     * discipline — exact even when a partition empties), and the
     * centroids stay frozen (deletion never degrades the quantizer; the
     * drift monitor decides re-centering separately). Returns the number
-    * of touched cluster partitions. */
+    * of touched cluster partitions. Same atomicity contract as
+    * [[ivfRepair]]: delete-then-append is not crash-atomic — the
+    * survivors are checkpointed before the delete, but a failure
+    * between delete and append needs a re-drive or rebuild. */
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                 deleteIds: DataFrame, idCol: String): Int = {
     val del = broadcast(deleteIds.select(col(idCol).as("nid")))

@@ -316,9 +316,40 @@ object TextOps {
     round6(lenPrior * stopPenalty)
   }
 
-  /** Language-ID by marker-stopword counts — the classic cheap n-gram/
-    * stopword heuristic. Deterministic tie-break: en ≥ es ≥ de ≥ fr order. */
+  /** Language-ID in two stages — the classic cheap detector:
+    *
+    * 1. SCRIPT stage: Unicode code-point RANGE counts decide
+    *    script-distinct languages (CJK → zh, kana → ja, Hangul → ko,
+    *    Cyrillic → ru, Arabic → ar, Greek → el, Hebrew → he,
+    *    Devanagari → hi, Thai → th). A script claims the document when
+    *    it covers ≥ 5 % of its characters (count·20 ≥ length — one stray
+    *    char never flips the call); kana outranks Han (Japanese text
+    *    carries Han too), then the remaining scripts in a fixed order.
+    *    Pure per-row regex counts, engine-portable (both engines see the
+    *    same code points), guarded by ONE any-non-Latin-1 probe so a
+    *    pure-ASCII row (the dominant crawl case) pays a single regex.
+    * 2. Latin fallback: marker-stopword counts for en/es/de/fr with the
+    *    deterministic en ≥ es ≥ de ≥ fr tie order (the original
+    *    heuristic — script counts are all zero on Latin text).
+    *
+    * Before the script stage, every CJK document was mislabeled into a
+    * Latin class (t28 measured zh recall 0 — the round-12 blind spot). */
   def langId(text: Column): Column = {
+    def sc(lo: String, hi: String): Column =
+      regexp_count(text, lit(s"[$lo-$hi]"))
+    val n = length(text)
+    def claims(c: Column): Column = c > 0 && c * 20 >= n
+    val script =
+      when(text.rlike("[^\\x00-\\xFF]"),
+        when(claims(sc("\u3040", "\u30FF")), lit("ja"))
+          .when(claims(sc("\u4E00", "\u9FFF")), lit("zh"))
+          .when(claims(sc("\uAC00", "\uD7A3")), lit("ko"))
+          .when(claims(sc("\u0400", "\u04FF")), lit("ru"))
+          .when(claims(sc("\u0600", "\u06FF")), lit("ar"))
+          .when(claims(sc("\u0370", "\u03FF")), lit("el"))
+          .when(claims(sc("\u0590", "\u05FF")), lit("he"))
+          .when(claims(sc("\u0900", "\u097F")), lit("hi"))
+          .when(claims(sc("\u0E00", "\u0E7F")), lit("th")))
     val ts = tokens(text)
     def score(markers: Seq[String]): Column =
       size(filter(ts, t => t.isin(markers: _*)))
@@ -326,10 +357,11 @@ object TextOps {
     val es = score(Seq("el", "la", "los", "de", "que"))
     val de = score(Seq("der", "die", "und", "das", "ist"))
     val fr = score(Seq("le", "les", "et", "est", "une"))
-    when(en >= es && en >= de && en >= fr, lit("en"))
-      .when(es >= de && es >= fr, lit("es"))
-      .when(de >= fr, lit("de"))
-      .otherwise(lit("fr"))
+    coalesce(script,
+      when(en >= es && en >= de && en >= fr, lit("en"))
+        .when(es >= de && es >= fr, lit("es"))
+        .when(de >= fr, lit("de"))
+        .otherwise(lit("fr")))
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.

@@ -12,107 +12,76 @@ object EventQueries {
 
   private def ev(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
-  /** Replay feed for the stream-stream join gates (e11/e42/e66): the
-    * clicks/purchases rows collected ONCE per fixture dir and memoized
-    * (immutable Vector; the key encodes the corpus slice + projection).
-    * The three gates replay the identical feed, so the collect is pure
-    * harness cost — memoizing it makes the bench's median-of-3 measure
-    * the streaming join, not a repeated fixture collect. */
-  private def clickBuyRows(s: SparkSession, d: String)
-      : Seq[(java.sql.Timestamp, Long, String)] =
-    graft.Caches.memo(s"replay:clickbuy:$d") {
+  /** ONE memoized SUPERSET replay feed for all MemoryStream gates:
+    * (ts, user_id, event_id, event_type, value) collected ONCE per
+    * fixture dir (immutable Vector; the key encodes slice + projection
+    * per the Caches.memo ownership rule). Every per-gate feed below
+    * DERIVES its tuple shape from this one vector with a driver-side
+    * map/filter (≤ |events| in-memory work, single-digit ms at sf0.1) —
+    * bounding session-lifetime driver residency at ONE projection
+    * instead of eleven overlapping ones, while the Spark collect (the
+    * actual per-repetition cost the memo exists to kill) still happens
+    * exactly once. Production side is spark.readStream — these collects
+    * are pure replay-harness cost. */
+  private def eventRows(s: SparkSession, d: String)
+      : Vector[(java.sql.Timestamp, Long, Long, String, Double)] =
+    graft.Caches.memo(s"replay:events5:$d") {
       Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select("ts", "user_id", "event_type").collect()
-        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
-        .toVector
+        .select("ts", "user_id", "event_id", "event_type", "value")
+        .collect() // THE superset replay projection — |events| rows, once
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4))).toVector
     }
 
-  /** Memoized replay feeds for the rest of the MemoryStream gates: each
-    * projection of the events fixture is collected ONCE per fixture dir
-    * and shared across bench repetitions (immutable Vectors; every key
-    * encodes slice + projection per the Caches.memo ownership rule).
-    * These collects are pure harness cost — production side is
-    * spark.readStream — so memoizing them makes the bench's median-of-3
-    * measure the streaming operator, not a repeated fixture collect. */
+  /** Replay feed for the stream-stream join gates (e11/e42/e66). */
+  private def clickBuyRows(s: SparkSession, d: String)
+      : Seq[(java.sql.Timestamp, Long, String)] =
+    eventRows(s, d).collect {
+      case (ts, u, _, t, _) if t == "click" || t == "purchase" =>
+        (ts, u, t)
+    }
+
   private def tsUserRows(s: SparkSession, d: String)
       : Seq[(java.sql.Timestamp, Long)] =
-    graft.Caches.memo(s"replay:tsuser:$d") {
-      Tables.events(s, d).select("ts", "user_id").collect()
-        .map(r => (r.getTimestamp(0), r.getLong(1))).toVector
-    }
+    eventRows(s, d).map { case (ts, u, _, _, _) => (ts, u) }
 
   private def userEvTsTypeRows(s: SparkSession, d: String)
       : Seq[(Long, Long, java.sql.Timestamp, String)] =
-    graft.Caches.memo(s"replay:uete:$d") {
-      Tables.events(s, d)
-        .select("user_id", "event_id", "ts", "event_type").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
-          r.getString(3))).toVector
-    }
+    eventRows(s, d).map { case (ts, u, e, t, _) => (u, e, ts, t) }
 
   private def idTypeValRows(s: SparkSession, d: String)
       : Seq[(Long, String, Double)] =
-    graft.Caches.memo(s"replay:idtypeval:$d") {
-      Tables.events(s, d)
-        .select("event_id", "event_type", "value").collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toVector
-    }
+    eventRows(s, d).map { case (_, _, e, t, v) => (e, t, v) }
 
   private def purchaseValues(s: SparkSession, d: String): Seq[Double] =
-    graft.Caches.memo(s"replay:purchval:$d") {
-      Tables.events(s, d).filter(col("event_type") === "purchase")
-        .select("value").collect().map(_.getDouble(0)).toVector
+    eventRows(s, d).collect {
+      case (_, _, _, t, v) if t == "purchase" => v
     }
 
   private def userEvTsValRows(s: SparkSession, d: String)
       : Seq[(Long, Long, java.sql.Timestamp, Double)] =
-    graft.Caches.memo(s"replay:uetv:$d") {
-      Tables.events(s, d)
-        .select("user_id", "event_id", "ts", "value").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
-          r.getDouble(3))).toVector
-    }
+    eventRows(s, d).map { case (ts, u, e, _, v) => (u, e, ts, v) }
 
   private def asofSideRows(s: SparkSession, d: String)
       : Seq[(Long, Long, java.sql.Timestamp, Double, Int)] =
-    graft.Caches.memo(s"replay:asofside:$d") {
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
-          when(col("event_type") === "purchase", 0)
-            .otherwise(1).as("side")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
-          r.getDouble(3), r.getInt(4))).toVector
+    eventRows(s, d).map { case (ts, u, e, t, v) =>
+      (u, e, ts, v, if (t == "purchase") 0 else 1)
     }
 
   private def tsTypeValRows(s: SparkSession, d: String)
       : Seq[(java.sql.Timestamp, String, Double)] =
-    graft.Caches.memo(s"replay:tstypeval:$d") {
-      Tables.events(s, d).select("ts", "event_type", "value").collect()
-        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
-        .toVector
-    }
+    eventRows(s, d).map { case (ts, _, _, t, v) => (ts, t, v) }
 
   private def tsUserTypeRows(s: SparkSession, d: String)
       : Seq[(java.sql.Timestamp, Long, String)] =
-    graft.Caches.memo(s"replay:tsusertype:$d") {
-      Tables.events(s, d).select("ts", "user_id", "event_type").collect()
-        .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2)))
-        .toVector
-    }
+    eventRows(s, d).map { case (ts, u, _, t, _) => (ts, u, t) }
 
   private def idUserValRows(s: SparkSession, d: String)
       : Seq[(Long, Long, Double)] =
-    graft.Caches.memo(s"replay:iduserval:$d") {
-      Tables.events(s, d).select("event_id", "user_id", "value").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toVector
-    }
+    eventRows(s, d).map { case (_, u, e, _, v) => (e, u, v) }
 
   private def idUserRows(s: SparkSession, d: String): Seq[(Long, Long)] =
-    graft.Caches.memo(s"replay:iduser:$d") {
-      Tables.events(s, d).select("event_id", "user_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toVector
-    }
+    eventRows(s, d).map { case (_, u, e, _, _) => (e, u) }
 
   /** Run `body` with spark.sql.shuffle.partitions temporarily set to `n`
     * (a streaming query locks its state-partition count from this conf at

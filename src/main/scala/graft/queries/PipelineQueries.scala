@@ -326,6 +326,120 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // CDC COMPACTION — lifting p25's one-row-per-key caller contract: a
+    // raw multi-op out-of-order change LOG (amend → delete → re-amend
+    // per %10==5 key; amend → delete per %10==7; two versions of one
+    // fresh insert; a delete of a key that never existed) compacts to
+    // last-writer-wins by the seq column in ONE max_by partial+final
+    // aggregation, then applies. Oracle replays compaction as a DuckDB
+    // rank window — a deliberately different spelling of the same rule.
+    "p26_cdc_compact" -> ((s, d) => {
+      import s.implicits._
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      val docs = Tables.documents(s, d)
+      def slice(m: Int) = docs.filter(pmod(col("doc_id"), lit(10)) === m)
+      val changes =
+        slice(5).select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" amended a")).as("text"),
+            lit("U").as("op"), lit(1L).as("seq"))
+          .unionByName(slice(5).select(col("doc_id"), col("source"),
+            col("text"), lit("D").as("op"), lit(2L).as("seq")))
+          .unionByName(slice(5).select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" amended b")).as("text"),
+            lit("U").as("op"), lit(3L).as("seq")))
+          .unionByName(slice(7).select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" amended")).as("text"),
+            lit("U").as("op"), lit(1L).as("seq")))
+          .unionByName(slice(7).select(col("doc_id"), col("source"),
+            col("text"), lit("D").as("op"), lit(2L).as("seq")))
+          .unionByName(Seq(
+            (-1L, "cdc", "fresh v one", "U", 1L),
+            (-1L, "cdc", "fresh v two", "U", 2L),
+            (-2L, "cdc", "never was", "D", 1L))
+            .toDF("doc_id", "source", "text", "op", "seq"))
+      PipelineOps.applyCdcLog(base, changes, Seq("doc_id"), "op", "seq")
+        .select(col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // TIME TRAVEL — the versioned-table read the in-place p24/p25
+    // merges can't give: commit v1 (8 key-buckets), commit an upsert as
+    // v2 (only touched buckets rewritten; untouched buckets' files
+    // carried over by manifest reference — SourcesSpec asserts the
+    // sharing), then read BOTH versions back: v1 must equal the
+    // original snapshot bit-for-bit even though v2 has landed, v2 must
+    // equal the merged table. Unique temp dir + localCheckpoint +
+    // delete (the f72 artifact discipline).
+    "p27_time_travel" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p27_tbl").toString
+      val tbl = s"$root/tbl"
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      VersionedTable.commitCreate(base, tbl, "doc_id", buckets = 8)
+      val updates = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" amended")).as("text"))
+        .unionByName(Seq(
+          (-1L, "recrawl", "fresh doc one"),
+          (-2L, "recrawl", "fresh doc two"),
+          (-3L, "recrawl", "fresh doc three"))
+          .toDF("doc_id", "source", "text"))
+      VersionedTable.commitUpsert(s, tbl, updates, "doc_id")
+      def rd(v: Int) = VersionedTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+      val res = rd(1).unionByName(rd(2))
+        .orderBy("version", "doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
+    // VERSION DIFF across a 3-commit history — the audit query a
+    // versioned table exists for ("what changed since the release
+    // snapshot"): v2 amends %10==5 + inserts 3 docs, v3 amends %10==3
+    // + inserts 1 more; p20's content-hash diff then runs over the
+    // manifest-pinned reads v1→v2 and v1→v3 (the latter must show BOTH
+    // change sets accumulated — historical reads don't decay as
+    // commits land). Diff payloads are 16-byte md5s, never bodies.
+    "p28_version_diff" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p28_tbl").toString
+      val tbl = s"$root/tbl"
+      val docs = Tables.documents(s, d)
+      val base = docs.select("doc_id", "source", "text")
+      VersionedTable.commitCreate(base, tbl, "doc_id", buckets = 8)
+      def amend(m: Int) = docs.filter(pmod(col("doc_id"), lit(10)) === m)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(s" amended$m")).as("text"))
+      VersionedTable.commitUpsert(s, tbl, amend(5).unionByName(Seq(
+          (-1L, "recrawl", "fresh doc one"),
+          (-2L, "recrawl", "fresh doc two"),
+          (-3L, "recrawl", "fresh doc three"))
+          .toDF("doc_id", "source", "text")), "doc_id")
+      VersionedTable.commitUpsert(s, tbl, amend(3).unionByName(Seq(
+          (-4L, "recrawl", "fresh doc four"))
+          .toDF("doc_id", "source", "text")), "doc_id")
+      def rd(v: Int) = VersionedTable.readVersion(s, tbl, v)
+      val res = PipelineOps.snapshotDiff(rd(1), rd(2), "doc_id", "text")
+        .select(lit("v1v2").as("pair"), col("doc_id"), col("status"))
+        .unionByName(
+          PipelineOps.snapshotDiff(rd(1), rd(3), "doc_id", "text")
+            .select(lit("v1v3").as("pair"), col("doc_id"), col("status")))
+        .orderBy("pair", "doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // Deterministic weighted sample WITHOUT replacement (Efraimidis–
     // Spirakis A-ES): 500 docs with inclusion odds ∝ text length, key =
     // −ln(md5-uniform)/w — engine-portable arithmetic (the d05 hash
@@ -842,6 +956,87 @@ object PipelineQueries {
            WHERE doc_id NOT IN (SELECT doc_id FROM chg)
            UNION ALL
            SELECT doc_id, source, text FROM chg WHERE op <> 'D')
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    // p26: last-writer-wins replayed as a rank window over the same
+    // multi-op log (a deliberately different spelling than the engine's
+    // max_by aggregation), then p25's anti-join + filtered union.
+    "p26_cdc_compact" ->
+      """WITH chg AS (
+           SELECT doc_id, source, text || ' amended a' AS text,
+             'U' AS op, 1 AS seq FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, source, text, 'D', 2
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, source, text || ' amended b', 'U', 3
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, source, text || ' amended', 'U', 1
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id, source, text, 'D', 2
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'cdc', 'fresh v one', 'U', 1),
+             (CAST(-1 AS BIGINT), 'cdc', 'fresh v two', 'U', 2),
+             (CAST(-2 AS BIGINT), 'cdc', 'never was', 'D', 1))
+             t(doc_id, source, text, op, seq)),
+         lw AS (SELECT doc_id, source, text, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY seq DESC) AS rk FROM chg)
+           WHERE rk = 1)
+         SELECT doc_id, source, md5(text) AS fp FROM (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM lw)
+           UNION ALL
+           SELECT doc_id, source, text FROM lw WHERE op <> 'D')
+         ORDER BY doc_id""",
+    // p27: version 1 is the untouched snapshot, version 2 is p24's
+    // upsert — the time-travel contract expressed directly.
+    "p27_time_travel" ->
+      """WITH upd AS (
+           SELECT doc_id, source, text || ' amended' AS text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'recrawl', 'fresh doc one'),
+             (CAST(-2 AS BIGINT), 'recrawl', 'fresh doc two'),
+             (CAST(-3 AS BIGINT), 'recrawl', 'fresh doc three'))
+             t(doc_id, source, text)),
+         v2 AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL SELECT doc_id, source, text FROM upd)
+         SELECT version, doc_id, source, fp FROM (
+           SELECT 1 AS version, doc_id, source, md5(text) AS fp
+           FROM documents
+           UNION ALL
+           SELECT 2, doc_id, source, md5(text) FROM v2)
+         ORDER BY version, doc_id""",
+    // p28: the expected statuses follow directly from the commit
+    // construction — %10==5 changed at v2, %10==3 changed at v3,
+    // inserts added, everything else unchanged (no removals: upserts
+    // never delete).
+    "p28_version_diff" ->
+      """SELECT pair, doc_id, status FROM (
+           SELECT 'v1v2' AS pair, doc_id,
+             CASE WHEN doc_id % 10 = 5 THEN 'changed'
+               ELSE 'unchanged' END AS status
+           FROM documents
+           UNION ALL
+           SELECT 'v1v2', doc_id, 'added' FROM (VALUES
+             (CAST(-1 AS BIGINT)), (CAST(-2 AS BIGINT)),
+             (CAST(-3 AS BIGINT))) t(doc_id)
+           UNION ALL
+           SELECT 'v1v3' AS pair, doc_id,
+             CASE WHEN doc_id % 10 = 5 OR doc_id % 10 = 3 THEN 'changed'
+               ELSE 'unchanged' END AS status
+           FROM documents
+           UNION ALL
+           SELECT 'v1v3', doc_id, 'added' FROM (VALUES
+             (CAST(-1 AS BIGINT)), (CAST(-2 AS BIGINT)),
+             (CAST(-3 AS BIGINT)), (CAST(-4 AS BIGINT))) t(doc_id))
+         ORDER BY pair, doc_id"""
   )
 }

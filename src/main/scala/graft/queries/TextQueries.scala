@@ -19,6 +19,41 @@ object TextQueries {
   private def docs(s: SparkSession, d: String): DataFrame =
     graft.ops.DedupOps.spread(Tables.documents(s, d), "doc_id")
 
+
+  /** Fixture text is pure ASCII (round-8 doctrine), so [[langId]]'s
+    * script stage can never fire on raw fixture bytes — zh-labeled docs
+    * SPLICE a Han prefix sized to clear the 5 % dominance threshold
+    * (k = floor(len/15)+1 chars of U+4E2D), identically on both engine
+    * sides (the round-8 splice pattern). */
+  private val ZhChar = "\u4E2D"
+  private def spliceZh(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(col("lang") === "zh",
+      concat(repeat(lit(ZhChar),
+        (floor(length(c) / lit(15)) + 1).cast("int")), lit(" "), c))
+      .otherwise(c)
+
+  /** Multi-script langid acceptance rows (t32): one phrase per script
+    * class + the four Latin stopword classes + a below-threshold mixed
+    * row that must FALL BACK to the Latin stage. Shared by the Spark
+    * gate (toDF) and the oracle (interpolated VALUES) — one source of
+    * truth, so the bytes match on both engine sides by construction. */
+  private val scriptSamples: Seq[(Long, String, String)] = Seq(
+    (1L, "ja", "\u3053\u308C\u306F\u65E5\u672C\u8A9E\u306E\u30C6\u30AD\u30B9\u30C8\u3067\u3059"),
+    (2L, "zh", "\u8FD9\u662F\u4E00\u4E2A\u4E2D\u6587\u6D4B\u8BD5\u6587\u6863\u5185\u5BB9"),
+    (3L, "ko", "\uD55C\uAD6D\uC5B4 \uD14D\uC2A4\uD2B8 \uBB38\uC11C \uC785\uB2C8\uB2E4"),
+    (4L, "ru", "\u044D\u0442\u043E \u0440\u0443\u0441\u0441\u043A\u0438\u0439 \u0442\u0435\u043A\u0441\u0442 \u0434\u043B\u044F \u043F\u0440\u043E\u0432\u0435\u0440\u043A\u0438"),
+    (5L, "ar", "\u0647\u0630\u0627 \u0646\u0635 \u0639\u0631\u0628\u064A \u0644\u0644\u0627\u062E\u062A\u0628\u0627\u0631 \u0641\u0642\u0637"),
+    (6L, "el", "\u03B1\u03C5\u03C4\u03BF \u03B5\u03B9\u03BD\u03B1\u03B9 \u03B5\u03BB\u03BB\u03B7\u03BD\u03B9\u03BA\u03BF \u03BA\u03B5\u03B9\u03BC\u03B5\u03BD\u03BF"),
+    (7L, "he", "\u05D6\u05D4\u05D5 \u05D8\u05E7\u05E1\u05D8 \u05D1\u05E2\u05D1\u05E8\u05D9\u05EA \u05DC\u05D1\u05D3\u05D9\u05E7\u05D4"),
+    (8L, "hi", "\u092F\u0939 \u0939\u093F\u0902\u0926\u0940 \u092E\u0947\u0902 \u090F\u0915 \u092A\u0930\u0940\u0915\u094D\u0937\u0923 \u0939\u0948"),
+    (9L, "th", "\u0E19\u0E35\u0E48\u0E04\u0E37\u0E2D\u0E02\u0E49\u0E2D\u0E04\u0E27\u0E32\u0E21\u0E20\u0E32\u0E29\u0E32\u0E44\u0E17\u0E22"),
+    (10L, "en", "the cat and the dog of the house is here"),
+    (11L, "es", "el perro de la casa que ladra los dias"),
+    (12L, "de", "der hund und die katze das haus ist da"),
+    (13L, "fr", "le chat et les chiens est une belle chose"),
+    (14L, "en", "mostly english words with a single \u4E2D character inside"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // HEAPS' LAW vocabulary-growth curve: distinct-token vocabulary vs
     // corpus size at five id-ordered prefixes (cutoffs from the doc_id
@@ -174,9 +209,13 @@ object TextQueries {
         .orderBy("doc_id", "rk")
     }),
 
-    // Language-ID heuristic over marker stopwords.
+    // Language-ID: script-range stage + Latin marker-stopword fallback,
+    // over the zh-SPLICED fixture (see spliceZh — raw fixture bytes are
+    // ASCII, so without the splice the script stage is untestable).
     "t05_langid" -> ((s, d) =>
-      docs(s, d).select(col("doc_id"), langId(col("text")).as("pred_lang"))
+      docs(s, d)
+        .select(col("doc_id"), spliceZh(col("text")).as("text"))
+        .select(col("doc_id"), langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
     // Content fingerprint (md5 of normalized text) — the exact-dedup key.
@@ -405,14 +444,29 @@ object TextQueries {
         .orderBy("rank")),
 
     // Language-ID acceptance: the e49 classification report run over
-    // t05's heuristic vs the fixture's lang labels — per-class
-    // precision/recall/F1 + accuracy + kappa in exact BIGINT divisions
-    // (zh has no marker list, so its recall pins 0: the report SHOWS
-    // the heuristic's blind spot instead of hiding it).
+    // t05's two-stage detector vs the fixture's lang labels — per-class
+    // precision/recall/F1 + accuracy + kappa in exact BIGINT divisions.
+    // Runs over the zh-SPLICED text (spliceZh): round 12 measured zh
+    // recall 0 (no script stage); the script-range stage lifts it to 1.
     "t28_langid_eval" -> ((s, d) =>
-      graft.ops.EvalOps.classificationReport(docs(s, d), col("lang"),
-          graft.ops.TextOps.langId(col("text")))
+      graft.ops.EvalOps.classificationReport(
+          docs(s, d).select(col("lang"), spliceZh(col("text")).as("text")),
+          col("lang"), graft.ops.TextOps.langId(col("text")))
         .orderBy("label")),
+
+    // Script-range language-ID acceptance over a 14-row multilingual
+    // probe frame (the fixture never exercises ja/ko/ru/ar/el/he/hi/th):
+    // every script class must classify by code-point range, the four
+    // Latin classes by stopword markers, and the below-threshold mixed
+    // row (one Han char in an English sentence) must FALL BACK to the
+    // Latin stage — the 5 % dominance rule working as specified.
+    "t32_script_langid" -> ((s, d) => {
+      import s.implicits._
+      scriptSamples.toDF("sid", "want", "text")
+        .select(col("sid"), col("want"),
+          langId(col("text")).as("pred_lang"))
+        .orderBy("sid")
+    }),
 
     // Top-TRIGRAM coverage: how much of each doc one repeated trigram
     // claims — the longest-gram half of the Gopher repetition family
@@ -427,6 +481,48 @@ object TextQueries {
   // DuckDB equivalents. Tokenization mirrored as
   // list_filter(string_split(lower(text), ' '), t -> t <> '').
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  /** DuckDB mirror of the zh splice (see spliceZh). */
+  private val SpliceZhSql =
+    s"CASE WHEN lang = 'zh' THEN repeat('$ZhChar', " +
+      "CAST(floor(length(text)/15)+1 AS INT)) || ' ' || text " +
+      "ELSE text END"
+
+  /** DuckDB mirror of [[graft.ops.TextOps.langId]]'s script stage over
+    * `textExpr`: RE2 `\\x{...}` range counts (same code points the JVM
+    * regex sees), the same count>0 AND count*20 >= length dominance
+    * rule, same class order (kana before Han), guarded by the same
+    * any-non-Latin-1 probe; NULL when no script claims the row. */
+  private def scriptCaseSql(textExpr: String): String = {
+    val ranges = Seq(
+      ("ja", 0x3040, 0x30FF), ("zh", 0x4E00, 0x9FFF),
+      ("ko", 0xAC00, 0xD7A3), ("ru", 0x0400, 0x04FF),
+      ("ar", 0x0600, 0x06FF), ("el", 0x0370, 0x03FF),
+      ("he", 0x0590, 0x05FF), ("hi", 0x0900, 0x097F),
+      ("th", 0x0E00, 0x0E7F))
+    val whens = ranges.map { case (l, lo, hi) =>
+      val cnt = f"len(regexp_extract_all($textExpr, " +
+        f"'[\\x{$lo%04X}-\\x{$hi%04X}]'))"
+      s"WHEN $cnt > 0 AND $cnt * 20 >= length($textExpr) THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN regexp_matches($textExpr, '[^\\x00-\\xff]') " +
+      s"THEN CASE $whens END END"
+  }
+
+  /** DuckDB mirror of the Latin stopword fallback over marker counts
+    * en/es/de/fr (columns must exist in the enclosing CTE). */
+  private val LatinCaseSql =
+    """CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
+       WHEN es >= de AND es >= fr THEN 'es'
+       WHEN de >= fr THEN 'de' ELSE 'fr' END"""
+
+  /** Marker-count column list shared by the langid oracles. */
+  private val MarkerColsSql =
+    """len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS en,
+       len(list_filter(ts, x -> x IN ('el','la','los','de','que'))) AS es,
+       len(list_filter(ts, x -> x IN ('der','die','und','das','ist'))) AS de,
+       len(list_filter(ts, x -> x IN ('le','les','et','est','une'))) AS fr"""
+
 
   /** t30 oracle: the BPE training rounds unrolled — identical wrapped
     * representation, identical greedy replace, identical (cnt DESC,
@@ -658,17 +754,11 @@ object TextQueries {
            term, round(tfidf, 6) AS tfidf
          FROM scored QUALIFY rk <= 3 ORDER BY doc_id, rk""",
     "t05_langid" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
-         sc AS (SELECT doc_id,
-           len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS en,
-           len(list_filter(ts, x -> x IN ('el','la','los','de','que'))) AS es,
-           len(list_filter(ts, x -> x IN ('der','die','und','das','ist'))) AS de,
-           len(list_filter(ts, x -> x IN ('le','les','et','est','une'))) AS fr
-         FROM t)
-         SELECT doc_id, CASE
-           WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-           WHEN es >= de AND es >= fr THEN 'es'
-           WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred_lang
+      s"""WITH tx AS (SELECT doc_id, $SpliceZhSql AS text FROM documents),
+         t AS (SELECT doc_id, ${scriptCaseSql("text")} AS script,
+           $Toks AS ts FROM tx),
+         sc AS (SELECT doc_id, script, $MarkerColsSql FROM t)
+         SELECT doc_id, COALESCE(script, $LatinCaseSql) AS pred_lang
          FROM sc ORDER BY doc_id""",
     "t06_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
@@ -984,20 +1074,12 @@ object TextQueries {
          FROM ranked r CROSS JOIN s ORDER BY rank""",
     // t28: t05's prediction CTE composed with e49's report closing.
     "t28_langid_eval" ->
-      s"""WITH t0 AS (SELECT lang AS label, $Toks AS ts FROM documents),
-         sc AS (SELECT label,
-           len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS en,
-           len(list_filter(ts, x -> x IN ('el','la','los','de','que')))
-             AS es,
-           len(list_filter(ts, x -> x IN ('der','die','und','das','ist')))
-             AS de,
-           len(list_filter(ts, x -> x IN ('le','les','et','est','une')))
-             AS fr
-         FROM t0),
-         p AS (SELECT label, CASE
-             WHEN en >= es AND en >= de AND en >= fr THEN 'en'
-             WHEN es >= de AND es >= fr THEN 'es'
-             WHEN de >= fr THEN 'de' ELSE 'fr' END AS pred
+      s"""WITH tx AS (SELECT lang, $SpliceZhSql AS text FROM documents),
+         t0 AS (SELECT lang AS label, ${scriptCaseSql("text")} AS script,
+           $Toks AS ts FROM tx),
+         sc AS (SELECT label, script, $MarkerColsSql FROM t0),
+         p AS (SELECT label,
+             COALESCE(script, $LatinCaseSql) AS pred
            FROM sc),
          cells AS (SELECT label, pred, count(*) AS cnt
            FROM p GROUP BY 1, 2),
@@ -1048,6 +1130,21 @@ object TextQueries {
            max(c) AS top_cnt,
            floor(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
              * 1e6 + 0.5) / 1e6 AS top_share6
-         FROM c GROUP BY doc_id ORDER BY doc_id"""
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // t32: the full two-stage detector mirrored over the SAME sample
+    // rows the Spark gate builds (interpolated from scriptSamples —
+    // one source of truth for the probe bytes).
+    "t32_script_langid" -> {
+      val values = scriptSamples.map { case (i, w, t) =>
+        s"(CAST($i AS BIGINT), '$w', '$t')"
+      }.mkString(",\n           ")
+      s"""WITH v(sid, want, text) AS (VALUES
+           $values),
+         t AS (SELECT sid, want, ${scriptCaseSql("text")} AS script,
+           $Toks AS ts FROM v),
+         sc AS (SELECT sid, want, script, $MarkerColsSql FROM t)
+         SELECT sid, want, COALESCE(script, $LatinCaseSql) AS pred_lang
+         FROM sc ORDER BY sid"""
+    }
   )
 }

@@ -175,8 +175,12 @@ object Sources {
     val in = spark.read.parquet(inDir)
     var totalBytes = 0L
     in.inputFiles.foreach { f =>
+      // Path(String) directly: inputFiles strings are Path.toString
+      // values, NOT URI-encoded — routing them through java.net.URI
+      // would throw on a path containing a space or other URI-special
+      // character, which Path's own string parser accepts.
       totalBytes += fs.getFileStatus(
-        new org.apache.hadoop.fs.Path(new java.net.URI(f))).getLen
+        new org.apache.hadoop.fs.Path(f)).getLen
     }
     val nFiles = math.max(1L,
       (totalBytes + targetBytes - 1) / targetBytes).toInt

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Versioned-table commits with TIME-TRAVEL reads — the lakehouse
+  * snapshot-isolation primitive (Iceberg/Delta's core idea, pared to
+  * its Spark-expressible essence; the reference has no table format at
+  * all). [[graft.ops.PipelineOps.snapshotDiff]] tells you what changed,
+  * [[graft.ops.PipelineOps.upsert]] computes a merge — but both rewrite
+  * in place, so "the table as of version N" is gone the moment N+1
+  * lands. Here every commit writes a new MANIFEST pinning the exact
+  * data directories that make up that version, and data is immutable
+  * once written: an upsert commit rewrites ONLY the key-buckets its
+  * update batch touches and re-references every untouched bucket's
+  * existing files, so consecutive versions SHARE the unchanged bulk of
+  * the table (O(changed buckets) write amplification, O(1) manifest
+  * append) and any reader can pin any historical version forever.
+  *
+  * Layout under `tableDir`:
+  * {{{
+  *   data/c1/__bucket=0/…      commit 1's files (immutable)
+  *   data/c2/__bucket=3/…      commit 2's files (touched buckets only)
+  *   manifests/v1.txt          "bucket<TAB>relative-data-dir" lines
+  *   manifests/v2.txt
+  * }}}
+  *
+  * Buckets are `pmod(portableHash60(key), buckets)` — deterministic and
+  * engine-portable, so update batches route to the same buckets on any
+  * engine or re-run. The manifest is |buckets| lines of driver state.
+  *
+  * Atomicity: a manifest is written ONCE, after its commit's data, and
+  * `vN.txt` only becomes the current version when fully written — a
+  * crashed commit leaves orphan data dirs (garbage to collect) but
+  * never a readable-but-wrong version; readers of v≤N are untouched by
+  * any in-flight commit. Concurrent WRITERS are not arbitrated (last
+  * manifest wins) — single-writer, many-reader, the common table-format
+  * deployment mode without a coordination service. */
+object VersionedTable {
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def bucketOf(keyCol: String, buckets: Int) =
+    pmod(graft.ops.DedupOps.portableHash60(col(keyCol).cast("string")),
+      lit(buckets.toLong))
+
+  /** Latest committed version (0 when the table does not exist yet). */
+  def currentVersion(spark: SparkSession, tableDir: String): Int = {
+    val fs = fsOf(spark, tableDir)
+    val mdir = new Path(s"$tableDir/manifests")
+    if (!fs.exists(mdir)) 0
+    else fs.listStatus(mdir).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  /** Manifest body: header line `buckets<TAB>n`, then one
+    * `bucket<TAB>relative-data-dir` line per non-empty bucket. */
+  private def readManifest(fs: FileSystem, tableDir: String,
+                           version: Int): (Int, Map[Long, String]) = {
+    val p = new Path(s"$tableDir/manifests/v$version.txt")
+    require(fs.exists(p), s"version $version does not exist under $tableDir")
+    val in = fs.open(p)
+    val body = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    val lines = body.linesIterator.filter(_.nonEmpty).toSeq
+    val Array(hk, hv) = lines.head.split('\t')
+    require(hk == "buckets", s"malformed manifest header: ${lines.head}")
+    (hv.toInt, lines.tail.map { line =>
+      val Array(b, dir) = line.split('\t')
+      b.toLong -> dir
+    }.toMap)
+  }
+
+  private def writeManifest(fs: FileSystem, tableDir: String, version: Int,
+                            buckets: Int,
+                            entries: Map[Long, String]): Unit = {
+    val p = new Path(s"$tableDir/manifests/v$version.txt")
+    val out = fs.create(p, false) // no overwrite: versions are immutable
+    try out.write((s"buckets\t$buckets" +: entries.toSeq.sortBy(_._1)
+      .map { case (b, d) => s"$b\t$d" }).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Create the table: every row bucketed by `keyCol`, written once as
+    * commit 1, manifest v1 pinning all buckets. Returns 1. */
+  def commitCreate(df: DataFrame, tableDir: String, keyCol: String,
+                   buckets: Int): Int = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val spark = df.sparkSession
+    val fs = fsOf(spark, tableDir)
+    require(currentVersion(spark, tableDir) == 0,
+      s"table already exists under $tableDir")
+    df.withColumn("__bucket", bucketOf(keyCol, buckets))
+      .write.mode(SaveMode.ErrorIfExists).partitionBy("__bucket")
+      .parquet(s"$tableDir/data/c1")
+    // only buckets that actually received rows exist on disk
+    val present = fs.listStatus(new Path(s"$tableDir/data/c1"))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+      .map(n => n.stripPrefix("__bucket=").toLong)
+    writeManifest(fs, tableDir, 1, buckets,
+      present.map(b => b -> s"data/c1/__bucket=$b").toMap)
+    1
+  }
+
+  /** MERGE an update batch as a new commit: rows whose key matches are
+    * replaced, new keys insert ([[graft.ops.PipelineOps.upsert]]
+    * semantics) — but ONLY the buckets the batch touches are read,
+    * merged, and rewritten; every other bucket's files carry over into
+    * the new manifest untouched. Returns the new version number. */
+  def commitUpsert(spark: SparkSession, tableDir: String,
+                   updates: DataFrame, keyCol: String): Int = {
+    val v = currentVersion(spark, tableDir)
+    require(v >= 1, s"no table to upsert under $tableDir")
+    val fs = fsOf(spark, tableDir)
+    val (buckets, man) = readManifest(fs, tableDir, v)
+    val upd = updates.withColumn("__bucket", bucketOf(keyCol, buckets))
+    // bounded driver list: ≤ |buckets| touched bucket ids
+    val touched = upd.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val oldDirs = touched.flatMap(man.get).map(d => s"$tableDir/$d")
+    val base =
+      if (oldDirs.isEmpty) upd.limit(0)
+      else spark.read.parquet(oldDirs.toIndexedSeq: _*)
+        .withColumn("__bucket", bucketOf(keyCol, buckets))
+    val merged = graft.ops.PipelineOps.upsert(base, upd, Seq(keyCol))
+    val next = v + 1
+    merged.write.mode(SaveMode.ErrorIfExists).partitionBy("__bucket")
+      .parquet(s"$tableDir/data/c$next")
+    val rewritten = touched
+      .map(b => b -> s"data/c$next/__bucket=$b").toMap
+    writeManifest(fs, tableDir, next, buckets, man ++ rewritten)
+    next
+  }
+
+  /** TIME TRAVEL: the table exactly as of `version` — reads only that
+    * manifest's data directories (partition pruning at the manifest
+    * level: a historical read never touches newer commits' files). */
+  def readVersion(spark: SparkSession, tableDir: String,
+                  version: Int): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val (_, man) = readManifest(fs, tableDir, version)
+    require(man.nonEmpty, s"version $version of $tableDir is empty")
+    spark.read.parquet(
+      man.values.toSeq.sorted.map(d => s"$tableDir/$d"): _*)
+  }
+
+  /** The manifest as data: (bucket, data_dir) for `version` — the
+    * file-sharing audit surface (two versions sharing a bucket list the
+    * same dir). Bounded |buckets| rows. */
+  def manifest(spark: SparkSession, tableDir: String,
+               version: Int): Seq[(Long, String)] = {
+    val fs = fsOf(spark, tableDir)
+    readManifest(fs, tableDir, version)._2.toSeq.sortBy(_._1)
+  }
+}

@@ -175,6 +175,9 @@ class CollectLintSpec extends AnyFunSuite {
       "max(col(idCol)).cast(\"double\")).head()" -> "1-row min/max bounds",
       "val sumW = w.agg(sum(col(\"wu\"))).head().getLong(0) // 1-row, k sources" ->
         "temperature-mixture weight total: 1-row aggregate over k sources"),
+    "VersionedTable.scala" -> Map(
+      ".collect().map(_.getLong(0)).sorted" ->
+        "commitUpsert touched buckets: ≤ |buckets| distinct ids"),
     "SimilarityOps.scala" -> Map(
       ".collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap" ->
         "IVF centroids: k × dim",
@@ -224,28 +227,10 @@ class CollectLintSpec extends AnyFunSuite {
     // all memoized per (fixture dir, projection) in the replay-feed
     // helpers at the top of EventQueries — one collect per session
     "EventQueries.scala" -> Map(
-      ".select(\"ts\", \"user_id\", \"event_type\").collect()" ->
-        "MemoryStream replay feed (clickBuyRows: e11/e42/e66)",
-      "Tables.events(s, d).select(\"ts\", \"user_id\").collect()" ->
-        "MemoryStream replay feed (tsUserRows: e09/e12)",
-      ".select(\"user_id\", \"event_id\", \"ts\", \"event_type\").collect()" ->
-        "MemoryStream replay feed (userEvTsTypeRows: e39/e57)",
-      ".select(\"event_id\", \"event_type\", \"value\").collect()" ->
-        "MemoryStream replay feed (idTypeValRows: e38)",
-      ".select(\"value\").collect().map(_.getDouble(0)).toVector" ->
-        "MemoryStream replay feed (purchaseValues: e48)",
-      ".select(\"user_id\", \"event_id\", \"ts\", \"value\").collect()" ->
-        "MemoryStream replay feed (userEvTsValRows: e19)",
-      ".otherwise(1).as(\"side\")).collect()" ->
-        "MemoryStream replay feed (asofSideRows: e22)",
-      "Tables.events(s, d).select(\"ts\", \"event_type\", \"value\").collect()" ->
-        "MemoryStream replay feed (tsTypeValRows: e23/e35)",
-      "Tables.events(s, d).select(\"ts\", \"user_id\", \"event_type\").collect()" ->
-        "MemoryStream replay feed (tsUserTypeRows: e10)",
-      "Tables.events(s, d).select(\"event_id\", \"user_id\", \"value\").collect()" ->
-        "MemoryStream replay feed (idUserValRows: e16)",
-      "Tables.events(s, d).select(\"event_id\", \"user_id\").collect()" ->
-        "MemoryStream replay feed (idUserRows: e13)"))
+      ".collect() // THE superset replay projection — |events| rows, once" ->
+        ("MemoryStream replay feed (eventRows: the one superset " +
+          "projection all replay gates derive their tuples from — " +
+          "|events| rows, collected once per fixture dir)")))
 
   test("every driver collect/head call site in main is allow-listed with a bound") {
     val root = Paths.get("src/main/scala/graft")

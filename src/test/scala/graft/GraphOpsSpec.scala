@@ -171,6 +171,28 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     Caches.clear()
   }
 
+  test("goldenRecord: majority ignores nulls, all-null field yields null, " +
+      "ties break to the smallest value (d48 gate's null guard)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id1", "id2")
+    val recs = Seq(
+      (1L, null.asInstanceOf[String], 5L), (2L, "b", 7L), (3L, "b", 6L),
+      (10L, null.asInstanceOf[String], 1L),
+      (11L, null.asInstanceOf[String], 2L),
+      (20L, "b", 3L), (21L, "a", 4L))
+      .toDF("id", "f", "sz")
+    val got = GraphOps.goldenRecord(pairs, "id1", "id2", recs, "id",
+        majorityFields = Seq("f"), maxFields = Seq("sz"))
+      .orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) null else r.getString(3), r.getLong(2)))
+      .toSeq
+    assert(got == Seq((1L, 3L, "b", 7L), (10L, 2L, null, 2L),
+      (20L, 2L, "a", 4L)),
+      s"golden-record merge wrong: $got")
+    Caches.clear()
+  }
+
   test("triangles enumerates each triangle once, any input orientation") {
     import graft.ops.GraphOps
     // K4 on {1,2,3,4} minus edge (1,4), plus a pendant 5 and a dup edge:

@@ -151,6 +151,63 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(a.toSeq == (0L until 10000L))
   }
 
+  test("versioned table: v1 survives the v2 upsert bit-for-bit, only " +
+      "touched buckets rewrite, untouched bucket files are SHARED") {
+    import graft.sources.VersionedTable
+    val tbl = tmp() + "/tbl"
+    val base = spark.range(0, 64)
+      .select(col("id"), concat(lit("v1-"), col("id")).as("s"))
+    assert(VersionedTable.commitCreate(base, tbl, "id", buckets = 8) == 1)
+    // one updated key + one new key — touches at most 2 buckets
+    val upd = Seq(7L -> "v2-7", 1000L -> "v2-1000").toDF("id", "s")
+    assert(VersionedTable.commitUpsert(spark, tbl, upd, "id") == 2)
+    assert(VersionedTable.currentVersion(spark, tbl) == 2)
+    // v1 read-back: the original snapshot, untouched by v2
+    val v1 = VersionedTable.readVersion(spark, tbl, 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(v1.toSeq == (0L until 64L).map(i => (i, s"v1-$i")))
+    // v2 read-back: upsert semantics (replace 7, insert 1000)
+    val v2 = VersionedTable.readVersion(spark, tbl, 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = ((0L until 64L).filter(_ != 7L).map(i => (i, s"v1-$i"))
+      :+ (7L, "v2-7") :+ (1000L, "v2-1000")).sortBy(_._1)
+    assert(v2.toSeq == want)
+    // manifests: ≤ 2 buckets moved to c2, the rest still point at c1
+    val m1 = VersionedTable.manifest(spark, tbl, 1).toMap
+    val m2 = VersionedTable.manifest(spark, tbl, 2).toMap
+    val moved = m2.filter { case (b, d) => m1.get(b).exists(_ != d) }
+    assert(moved.nonEmpty && moved.size <= 2,
+      s"expected 1-2 rewritten buckets, got $moved")
+    assert(moved.values.forall(_.startsWith("data/c2/")))
+    val shared = m2.filter { case (b, d) => m1.get(b).contains(d) }
+    assert(shared.size == m1.size - moved.count { case (b, _) =>
+      m1.contains(b) },
+      "untouched buckets must re-reference their v1 files")
+    assert(shared.values.forall(_.startsWith("data/c1/")))
+  }
+
+  test("compactCdc keeps exactly the last-writer row per key; " +
+      "applyCdcLog applies it (p26 gate shape)") {
+    import graft.ops.PipelineOps
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val log = Seq(
+      (1L, "a1", "U", 1L), (1L, "x", "D", 2L), (1L, "a3", "U", 3L),
+      (2L, "b1", "U", 1L), (2L, "b1", "D", 2L),
+      (9L, "n1", "U", 1L), (9L, "n2", "U", 2L),
+      (8L, "zz", "D", 5L))
+      .toDF("id", "s", "op", "seq")
+    val compacted = PipelineOps.compactCdc(log, Seq("id"), "seq")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(compacted == Seq((1L, "a3", "U"), (2L, "b1", "D"),
+      (8L, "zz", "D"), (9L, "n2", "U")))
+    val merged = PipelineOps
+      .applyCdcLog(base, log, Seq("id"), "op", "seq")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(merged == Seq((1L, "a3"), (3L, "c"), (9L, "n2")))
+  }
+
   test("partitioned write prunes partitions on read") {
     val p = s"${tmp()}/part"
     Sources.writePartitioned(df, p, Seq("g"))
