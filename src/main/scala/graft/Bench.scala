@@ -15,7 +15,9 @@ object Bench {
       "v33_pq_refine", // PQ codebook training dominates the timed body
       "v34_ivf_delete", // build + touched-partition rewrite + probe
       "p27_time_travel", // versioned-table create + upsert commits + reads
-      "p28_version_diff") // three commits + two manifest-pinned diffs
+      "p28_version_diff", // three commits + two manifest-pinned diffs
+      "p30_vacuum", // three commits + manifest-pruned reclamation + reads
+      "p31_incremental_read") // three commits + the changed-bucket diff
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both

@@ -584,15 +584,29 @@ object PipelineOps {
     * ≤|keys| rows before the one keyed exchange — the change log is
     * never sorted and never windowed. */
   def compactCdc(changes: DataFrame, keyCols: Seq[String],
-                 seqCol: String): DataFrame = {
+                 seqCol: String): DataFrame =
+    compactCdcWithSeq(changes, keyCols, seqCol).drop(seqCol)
+
+  /** [[compactCdc]] KEEPING the winning row's sequence number — the
+    * STREAMING-state variant: a compacted state that retains (seq, op)
+    * absorbs later micro-batches through another compaction round,
+    * because last-writer-wins is ASSOCIATIVE — compact(compact(a) ∪ b)
+    * == compact(a ∪ b) — so batch boundaries and arrival order never
+    * change the result: a LATE row with a lower seq than the state's
+    * winner loses to it, and tombstones retained in the state ('D'
+    * rows are kept, not applied) stop a late lower-seq update from
+    * resurrecting a deleted key. [[graft.streaming.StreamOps.cdcIngest]]
+    * is the per-epoch loop. */
+  def compactCdcWithSeq(changes: DataFrame, keyCols: Seq[String],
+                        seqCol: String): DataFrame = {
     val payload = changes.columns
       .filterNot(c => keyCols.contains(c) || c == seqCol).toSeq
     val winner = max_by(struct(payload.map(col): _*),
       struct(col(seqCol) +: payload.map(col): _*))
     changes.groupBy(keyCols.map(col): _*)
-      .agg(winner.as("__w"))
+      .agg(winner.as("__w"), max(col(seqCol)).as(seqCol))
       .select(keyCols.map(col) ++
-        payload.map(c => col(s"__w.$c").as(c)): _*)
+        payload.map(c => col(s"__w.$c").as(c)) :+ col(seqCol): _*)
   }
 
   /** The composed CDC merge: [[compactCdc]] the raw multi-op log to

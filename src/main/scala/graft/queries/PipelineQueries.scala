@@ -12,6 +12,70 @@ import graft.ops.{PipelineOps, TextOps}
   */
 object PipelineQueries {
 
+  /** Clamp shuffle partitions for a streaming replay's micro-batch jobs
+    * (the e09 lesson; results are partition-count-independent). */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** The multi-op out-of-order CDC change log p26/p29 share: amend →
+    * delete → re-amend per %10==5 key, amend → delete per %10==7 key,
+    * two versions of one fresh insert, a delete of a key that never
+    * existed. (doc_id, source, text, op, seq). */
+  private def cdcChangeLog(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    def slice(m: Int) = docs.filter(pmod(col("doc_id"), lit(10)) === m)
+    slice(5).select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" amended a")).as("text"),
+        lit("U").as("op"), lit(1L).as("seq"))
+      .unionByName(slice(5).select(col("doc_id"), col("source"),
+        col("text"), lit("D").as("op"), lit(2L).as("seq")))
+      .unionByName(slice(5).select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" amended b")).as("text"),
+        lit("U").as("op"), lit(3L).as("seq")))
+      .unionByName(slice(7).select(col("doc_id"), col("source"),
+        concat(col("text"), lit(" amended")).as("text"),
+        lit("U").as("op"), lit(1L).as("seq")))
+      .unionByName(slice(7).select(col("doc_id"), col("source"),
+        col("text"), lit("D").as("op"), lit(2L).as("seq")))
+      .unionByName(Seq(
+        (-1L, "cdc", "fresh v one", "U", 1L),
+        (-1L, "cdc", "fresh v two", "U", 2L),
+        (-2L, "cdc", "never was", "D", 1L))
+        .toDF("doc_id", "source", "text", "op", "seq"))
+  }
+
+  /** Build the 3-commit versioned table p28/p30/p31 exercise under a
+    * fresh temp root: v1 = the documents snapshot, v2 amends %10==5 +
+    * inserts 3 docs, v3 amends %10==3 + inserts 1 more. Returns the
+    * table path (caller deletes the root after localCheckpointing its
+    * result — the f72 artifact discipline). */
+  private def threeVersionTable(s: SparkSession, d: String,
+                                root: String): String = {
+    import s.implicits._
+    import graft.sources.VersionedTable
+    val tbl = s"$root/tbl"
+    val docs = Tables.documents(s, d)
+    VersionedTable.commitCreate(
+      docs.select("doc_id", "source", "text"), tbl, "doc_id", buckets = 8)
+    def amend(m: Int) = docs.filter(pmod(col("doc_id"), lit(10)) === m)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(s" amended$m")).as("text"))
+    VersionedTable.commitUpsert(s, tbl, amend(5).unionByName(Seq(
+        (-1L, "recrawl", "fresh doc one"),
+        (-2L, "recrawl", "fresh doc two"),
+        (-3L, "recrawl", "fresh doc three"))
+        .toDF("doc_id", "source", "text")), "doc_id")
+    VersionedTable.commitUpsert(s, tbl, amend(3).unionByName(Seq(
+        (-4L, "recrawl", "fresh doc four"))
+        .toDF("doc_id", "source", "text")), "doc_id")
+    tbl
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Deterministic 80/10/10 split by md5(doc_id) hex prefix: per-row, no
     // shuffle, stable under corpus growth and engine migration.
@@ -333,31 +397,50 @@ object PipelineQueries {
     // last-writer-wins by the seq column in ONE max_by partial+final
     // aggregation, then applies. Oracle replays compaction as a DuckDB
     // rank window — a deliberately different spelling of the same rule.
-    "p26_cdc_compact" -> ((s, d) => {
+    "p26_cdc_compact" -> ((s, d) =>
+      PipelineOps.applyCdcLog(
+          Tables.documents(s, d).select("doc_id", "source", "text"),
+          cdcChangeLog(s, d), Seq("doc_id"), "op", "seq")
+        .select(col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")),
+
+    // STREAMING CDC — p26's merge fed as a MemoryStream replay in THREE
+    // seq-adversarial micro-batches (all seq-3 rows first, then seq-1,
+    // then seq-2: late arrivals with LOWER sequence numbers than the
+    // state's winner): cdcIngest folds each batch into a one-row-per-key
+    // compacted state (tombstones retained — a late lower-seq update
+    // must not resurrect a deleted key), and the closing applyCdc
+    // against the batch base must hash-match p26's all-at-once answer —
+    // batch boundaries and arrival order provably change nothing.
+    // Oracle: p26's SQL VERBATIM (the e57 shared-oracle doctrine).
+    "p29_stream_cdc" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
       import s.implicits._
-      val base = Tables.documents(s, d).select("doc_id", "source", "text")
-      val docs = Tables.documents(s, d)
-      def slice(m: Int) = docs.filter(pmod(col("doc_id"), lit(10)) === m)
-      val changes =
-        slice(5).select(col("doc_id"), col("source"),
-            concat(col("text"), lit(" amended a")).as("text"),
-            lit("U").as("op"), lit(1L).as("seq"))
-          .unionByName(slice(5).select(col("doc_id"), col("source"),
-            col("text"), lit("D").as("op"), lit(2L).as("seq")))
-          .unionByName(slice(5).select(col("doc_id"), col("source"),
-            concat(col("text"), lit(" amended b")).as("text"),
-            lit("U").as("op"), lit(3L).as("seq")))
-          .unionByName(slice(7).select(col("doc_id"), col("source"),
-            concat(col("text"), lit(" amended")).as("text"),
-            lit("U").as("op"), lit(1L).as("seq")))
-          .unionByName(slice(7).select(col("doc_id"), col("source"),
-            col("text"), lit("D").as("op"), lit(2L).as("seq")))
-          .unionByName(Seq(
-            (-1L, "cdc", "fresh v one", "U", 1L),
-            (-1L, "cdc", "fresh v two", "U", 2L),
-            (-2L, "cdc", "never was", "D", 1L))
-            .toDF("doc_id", "source", "text", "op", "seq"))
-      PipelineOps.applyCdcLog(base, changes, Seq("doc_id"), "op", "seq")
+      val rows = graft.Caches.memo(s"replay:cdclog:$d") {
+        cdcChangeLog(s, d)
+          .collect() // CDC replay log — ≤ 3 ops × |documents|/10 + 3 rows
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toVector
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, String, Long)]
+      var state: () => DataFrame = null
+      withStatePartitions(s, 4) {
+        val (q, reader) = graft.streaming.StreamOps.cdcIngest(
+          input.toDF().toDF("doc_id", "source", "text", "op", "seq"),
+          Seq("doc_id"), "seq")
+        state = reader
+        try {
+          Seq(3L, 1L, 2L).foreach { sq =>
+            input.addData(rows.filter(_._5 == sq): _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      PipelineOps.applyCdc(
+          Tables.documents(s, d).select("doc_id", "source", "text"),
+          state().drop("seq"), Seq("doc_id"), "op")
         .select(col("doc_id"), col("source"),
           md5(encode(col("text"), "UTF-8")).as("fp"))
         .orderBy("doc_id")
@@ -408,25 +491,10 @@ object PipelineQueries {
     // change sets accumulated — historical reads don't decay as
     // commits land). Diff payloads are 16-byte md5s, never bodies.
     "p28_version_diff" -> ((s, d) => {
-      import s.implicits._
       import graft.sources.VersionedTable
       val root = java.nio.file.Files
         .createTempDirectory("graft_p28_tbl").toString
-      val tbl = s"$root/tbl"
-      val docs = Tables.documents(s, d)
-      val base = docs.select("doc_id", "source", "text")
-      VersionedTable.commitCreate(base, tbl, "doc_id", buckets = 8)
-      def amend(m: Int) = docs.filter(pmod(col("doc_id"), lit(10)) === m)
-        .select(col("doc_id"), col("source"),
-          concat(col("text"), lit(s" amended$m")).as("text"))
-      VersionedTable.commitUpsert(s, tbl, amend(5).unionByName(Seq(
-          (-1L, "recrawl", "fresh doc one"),
-          (-2L, "recrawl", "fresh doc two"),
-          (-3L, "recrawl", "fresh doc three"))
-          .toDF("doc_id", "source", "text")), "doc_id")
-      VersionedTable.commitUpsert(s, tbl, amend(3).unionByName(Seq(
-          (-4L, "recrawl", "fresh doc four"))
-          .toDF("doc_id", "source", "text")), "doc_id")
+      val tbl = threeVersionTable(s, d, root)
       def rd(v: Int) = VersionedTable.readVersion(s, tbl, v)
       val res = PipelineOps.snapshotDiff(rd(1), rd(2), "doc_id", "text")
         .select(lit("v1v2").as("pair"), col("doc_id"), col("status"))
@@ -434,6 +502,50 @@ object PipelineQueries {
           PipelineOps.snapshotDiff(rd(1), rd(3), "doc_id", "text")
             .select(lit("v1v3").as("pair"), col("doc_id"), col("status")))
         .orderBy("pair", "doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
+    // VACUUM — storage reclamation closing the versioned-table
+    // lifecycle (commit → time travel → diff → VACUUM): keep the newest
+    // 2 of 3 versions, drop v1's manifest, delete exactly the bucket
+    // dirs no kept manifest references — then BOTH kept versions must
+    // read back intact (v2 with v1's carried-over files where shared
+    // forward, v3 on top). The gate's contract is the survivors'
+    // content; OpsSpec asserts the deletion/refusal details.
+    "p30_vacuum" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p30_tbl").toString
+      val tbl = threeVersionTable(s, d, root)
+      VersionedTable.vacuum(s, tbl, keepLast = 2)
+      def rd(v: Int) = VersionedTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+      val res = rd(2).unionByName(rd(3))
+        .orderBy("version", "doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
+    // INCREMENTAL CHANGES READ — the CDC-read primitive: sync v1 → v3
+    // touching ONLY the buckets the manifests disagree on (identical
+    // manifest entry ⇒ identical immutable bytes ⇒ pruned before any
+    // IO); within the rewritten buckets the content diff drops the
+    // co-resident unchanged rows. Must equal the full-table diff's
+    // non-unchanged rows exactly — at a fraction of the read.
+    "p31_incremental_read" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p31_tbl").toString
+      val tbl = threeVersionTable(s, d, root)
+      val res = VersionedTable
+        .readChanges(s, tbl, 1, 3, "doc_id", "text")
+        .orderBy("doc_id")
         .localCheckpoint(true)
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
@@ -478,6 +590,42 @@ object PipelineQueries {
   )
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  /** p26/p29 shared oracle: last-writer-wins as a DuckDB rank
+    * window over the multi-op log, then the anti-join + filtered
+    * union close. */
+  private val CdcCompactSql =
+    """WITH chg AS (
+           SELECT doc_id, source, text || ' amended a' AS text,
+             'U' AS op, 1 AS seq FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, source, text, 'D', 2
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, source, text || ' amended b', 'U', 3
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, source, text || ' amended', 'U', 1
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT doc_id, source, text, 'D', 2
+           FROM documents WHERE doc_id % 10 = 7
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'cdc', 'fresh v one', 'U', 1),
+             (CAST(-1 AS BIGINT), 'cdc', 'fresh v two', 'U', 2),
+             (CAST(-2 AS BIGINT), 'cdc', 'never was', 'D', 1))
+             t(doc_id, source, text, op, seq)),
+         lw AS (SELECT doc_id, source, text, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY seq DESC) AS rk FROM chg)
+           WHERE rk = 1)
+         SELECT doc_id, source, md5(text) AS fp FROM (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM lw)
+           UNION ALL
+           SELECT doc_id, source, text FROM lw WHERE op <> 'D')
+         ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
     // p12: every share literal is CAST AS DOUBLE — a bare decimal seeds
@@ -960,38 +1108,10 @@ object PipelineQueries {
     // p26: last-writer-wins replayed as a rank window over the same
     // multi-op log (a deliberately different spelling than the engine's
     // max_by aggregation), then p25's anti-join + filtered union.
-    "p26_cdc_compact" ->
-      """WITH chg AS (
-           SELECT doc_id, source, text || ' amended a' AS text,
-             'U' AS op, 1 AS seq FROM documents WHERE doc_id % 10 = 5
-           UNION ALL
-           SELECT doc_id, source, text, 'D', 2
-           FROM documents WHERE doc_id % 10 = 5
-           UNION ALL
-           SELECT doc_id, source, text || ' amended b', 'U', 3
-           FROM documents WHERE doc_id % 10 = 5
-           UNION ALL
-           SELECT doc_id, source, text || ' amended', 'U', 1
-           FROM documents WHERE doc_id % 10 = 7
-           UNION ALL
-           SELECT doc_id, source, text, 'D', 2
-           FROM documents WHERE doc_id % 10 = 7
-           UNION ALL
-           SELECT * FROM (VALUES
-             (CAST(-1 AS BIGINT), 'cdc', 'fresh v one', 'U', 1),
-             (CAST(-1 AS BIGINT), 'cdc', 'fresh v two', 'U', 2),
-             (CAST(-2 AS BIGINT), 'cdc', 'never was', 'D', 1))
-             t(doc_id, source, text, op, seq)),
-         lw AS (SELECT doc_id, source, text, op FROM (
-             SELECT *, row_number() OVER (PARTITION BY doc_id
-               ORDER BY seq DESC) AS rk FROM chg)
-           WHERE rk = 1)
-         SELECT doc_id, source, md5(text) AS fp FROM (
-           SELECT doc_id, source, text FROM documents
-           WHERE doc_id NOT IN (SELECT doc_id FROM lw)
-           UNION ALL
-           SELECT doc_id, source, text FROM lw WHERE op <> 'D')
-         ORDER BY doc_id""",
+    // p29 (the streaming twin) answers the identical question and
+    // re-registers this SQL VERBATIM — the e57 shared-oracle doctrine.
+    "p26_cdc_compact" -> CdcCompactSql,
+    "p29_stream_cdc" -> CdcCompactSql,
     // p27: version 1 is the untouched snapshot, version 2 is p24's
     // upsert — the time-travel contract expressed directly.
     "p27_time_travel" ->
@@ -1037,6 +1157,50 @@ object PipelineQueries {
            SELECT 'v1v3', doc_id, 'added' FROM (VALUES
              (CAST(-1 AS BIGINT)), (CAST(-2 AS BIGINT)),
              (CAST(-3 AS BIGINT)), (CAST(-4 AS BIGINT))) t(doc_id))
-         ORDER BY pair, doc_id"""
+         ORDER BY pair, doc_id""",
+    // p30: the two SURVIVING versions after the vacuum — v2 (amend
+    // %10==5 + 3 inserts) and v3 (further amend %10==3 + 1 insert).
+    "p30_vacuum" ->
+      """WITH upd2 AS (
+           SELECT doc_id, source, text || ' amended5' AS text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'recrawl', 'fresh doc one'),
+             (CAST(-2 AS BIGINT), 'recrawl', 'fresh doc two'),
+             (CAST(-3 AS BIGINT), 'recrawl', 'fresh doc three'))
+             t(doc_id, source, text)),
+         v2 AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM upd2)
+           UNION ALL SELECT doc_id, source, text FROM upd2),
+         upd3 AS (
+           SELECT doc_id, source, text || ' amended3' AS text
+           FROM documents WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-4 AS BIGINT), 'recrawl', 'fresh doc four'))
+             t(doc_id, source, text)),
+         v3 AS (
+           SELECT doc_id, source, text FROM v2
+           WHERE doc_id NOT IN (SELECT doc_id FROM upd3)
+           UNION ALL SELECT doc_id, source, text FROM upd3)
+         SELECT version, doc_id, source, fp FROM (
+           SELECT 2 AS version, doc_id, source, md5(text) AS fp FROM v2
+           UNION ALL
+           SELECT 3, doc_id, source, md5(text) FROM v3)
+         ORDER BY version, doc_id""",
+    // p31: the non-unchanged rows of the v1→v3 diff, straight from the
+    // commit construction (%10 ∈ {3,5} changed, the four inserts added,
+    // nothing removed — upserts never delete).
+    "p31_incremental_read" ->
+      """SELECT doc_id, status FROM (
+           SELECT doc_id, 'changed' AS status FROM documents
+           WHERE doc_id % 10 IN (3, 5)
+           UNION ALL
+           SELECT doc_id, 'added' FROM (VALUES
+             (CAST(-1 AS BIGINT)), (CAST(-2 AS BIGINT)),
+             (CAST(-3 AS BIGINT)), (CAST(-4 AS BIGINT))) t(doc_id))
+         ORDER BY doc_id"""
   )
 }

@@ -159,4 +159,77 @@ object VersionedTable {
     val fs = fsOf(spark, tableDir)
     readManifest(fs, tableDir, version)._2.toSeq.sortBy(_._1)
   }
+
+  /** VACUUM: retire every version older than the newest `keepLast` —
+    * delete their manifests, then every bucket directory NO kept
+    * manifest references (a dir shared forward into a kept version
+    * survives; only truly orphaned data is reclaimed). The
+    * storage-reclamation half of the versioned-table contract: history
+    * is free only until you prune it, and pruning must never touch a
+    * byte a kept version can still read. Pure driver-side FS walking —
+    * |versions| manifest reads + |dirs| lists, no Spark job. Returns
+    * (droppedVersions, deletedDirs). */
+  def vacuum(spark: SparkSession, tableDir: String,
+             keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least one version")
+    val fs = fsOf(spark, tableDir)
+    val cur = currentVersion(spark, tableDir)
+    require(cur >= 1, s"no table under $tableDir")
+    val keepFrom = math.max(1, cur - keepLast + 1)
+    val referenced = (keepFrom to cur)
+      .flatMap(v => readManifest(fs, tableDir, v)._2.values).toSet
+    // delete manifests FIRST: a concurrent reader of a dropped version
+    // fails fast at the manifest instead of mid-scan on vanishing files
+    var dropped = 0
+    (1 until keepFrom).foreach { v =>
+      val mp = new Path(s"$tableDir/manifests/v$v.txt")
+      if (fs.exists(mp)) { fs.delete(mp, false); dropped += 1 }
+    }
+    var deleted = 0
+    val dataRoot = new Path(s"$tableDir/data")
+    fs.listStatus(dataRoot).foreach { c =>
+      val commit = c.getPath.getName
+      fs.listStatus(c.getPath).foreach { b =>
+        val name = b.getPath.getName
+        if (name.startsWith("__bucket=")
+            && !referenced(s"data/$commit/$name")) {
+          fs.delete(b.getPath, true); deleted += 1
+        }
+      }
+      // commit dir fully orphaned (only _SUCCESS markers left) → drop it
+      if (!fs.listStatus(c.getPath)
+          .exists(_.getPath.getName.startsWith("__bucket=")))
+        fs.delete(c.getPath, true)
+    }
+    (dropped, deleted)
+  }
+
+  /** INCREMENTAL changes read between two versions — O(changed
+    * buckets), not O(table): identical manifest entries mean identical
+    * bytes (data dirs are immutable once committed), so every bucket
+    * the two versions SHARE is pruned before any IO; only the rewritten
+    * buckets' rows load, and
+    * [[graft.ops.PipelineOps.snapshotDiff]] closes the per-key statuses
+    * with the unchanged rows (same content, rewritten neighbor) dropped.
+    * The CDC-read primitive: downstream consumers sync `vFrom → vTo`
+    * touching only what moved. */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  vFrom: Int, vTo: Int, idCol: String,
+                  textCol: String): DataFrame = {
+    val fs = fsOf(spark, tableDir)
+    val (_, mF) = readManifest(fs, tableDir, vFrom)
+    val (_, mT) = readManifest(fs, tableDir, vTo)
+    val changed = (mF.keySet ++ mT.keySet)
+      .filter(b => mF.get(b) != mT.get(b)).toSeq.sorted
+    // schema template for the empty sides (any referenced dir works —
+    // manifests are non-empty by the commit contract)
+    val template = spark.read
+      .parquet(s"$tableDir/${(mT ++ mF).values.head}").limit(0)
+    def rd(m: Map[Long, String]): DataFrame = {
+      val dirs = changed.flatMap(m.get).map(d => s"$tableDir/$d")
+      if (dirs.isEmpty) template else spark.read.parquet(dirs: _*)
+    }
+    graft.ops.PipelineOps.snapshotDiff(rd(mF), rd(mT), idCol, textCol)
+      .filter(col("status") =!= "unchanged")
+  }
 }

@@ -112,6 +112,37 @@ object StreamOps {
     (q, () => state)
   }
 
+  /** Streaming CDC ingestion — the continuous MERGE feed: each
+    * micro-batch of RAW change rows (op + sequence number, any number of
+    * ops per key, any arrival order) folds into a bounded
+    * one-row-per-key compacted state via
+    * [[graft.ops.PipelineOps.compactCdcWithSeq]]. Last-writer-wins is
+    * associative, so the state after any batch split equals compacting
+    * the whole log at once: late rows with lower seq than the state's
+    * winner lose to it, and tombstones RETAINED in the state (rather
+    * than applied) stop a late lower-seq update from resurrecting a
+    * deleted key. State: ≤ |keys| rows, lineage cut per epoch
+    * (localCheckpoint; reliable checkpoint on a production cluster).
+    * Returns the query + a reader of the CURRENT compacted change set
+    * (tombstones included) — close with
+    * [[graft.ops.PipelineOps.applyCdc]] against any base snapshot. */
+  def cdcIngest(stream: DataFrame, keyCols: Seq[String],
+                seqCol: String): (StreamingQuery, () => DataFrame) = {
+    val empty = stream.sparkSession.createDataFrame(
+      new java.util.ArrayList[Row](), stream.schema)
+    @volatile var state: DataFrame = empty
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        state = graft.ops.PipelineOps
+          .compactCdcWithSeq(state.unionByName(batch.toDF()),
+            keyCols, seqCol)
+          .localCheckpoint(true) // ≤ |keys| rows; lineage cut per epoch
+        ()
+      }
+      .start()
+    (q, () => state)
+  }
+
   /** Streaming histogram ingestion: every micro-batch's per-bin counts
     * merge into a bounded |bins|-row state with one keyed sum — counts
     * are ADDITIVE, so the accumulated histogram equals the batch

@@ -178,6 +178,10 @@ class CollectLintSpec extends AnyFunSuite {
     "VersionedTable.scala" -> Map(
       ".collect().map(_.getLong(0)).sorted" ->
         "commitUpsert touched buckets: ≤ |buckets| distinct ids"),
+    "PipelineQueries.scala" -> Map(
+      ".collect() // CDC replay log — ≤ 3 ops × |documents|/10 + 3 rows" ->
+        ("MemoryStream replay feed (p29: the p26 change log, memoized " +
+          "once per fixture dir; ~0.25·|documents| rows)")),
     "SimilarityOps.scala" -> Map(
       ".collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap" ->
         "IVF centroids: k × dim",

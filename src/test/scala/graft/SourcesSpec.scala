@@ -186,6 +186,52 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(shared.values.forall(_.startsWith("data/c1/")))
   }
 
+  test("vacuum reclaims only unreferenced bucket dirs (kept versions " +
+      "read back intact); readChanges prunes shared buckets before IO") {
+    import graft.sources.VersionedTable
+    val tbl = tmp() + "/tbl"
+    val base = spark.range(0, 64)
+      .select(col("id"), concat(lit("v1-"), col("id")).as("s"))
+    VersionedTable.commitCreate(base, tbl, "id", buckets = 8)
+    VersionedTable.commitUpsert(spark,
+      tbl, Seq(7L -> "v2-7").toDF("id", "s"), "id")
+    VersionedTable.commitUpsert(spark,
+      tbl, Seq(9L -> "v3-9", 2000L -> "v3-2000").toDF("id", "s"), "id")
+    // incremental read v1→v3 must prune the untouched buckets (≤ 3 of
+    // the 8 manifest entries disagree) and report exactly the moves
+    val m1 = VersionedTable.manifest(spark, tbl, 1).toMap
+    val m3 = VersionedTable.manifest(spark, tbl, 3).toMap
+    val disagree = (m1.keySet ++ m3.keySet)
+      .count(b => m1.get(b) != m3.get(b))
+    assert(disagree <= 3 && disagree < m3.size,
+      s"manifest diff should prune shared buckets (disagree=$disagree)")
+    val changes = VersionedTable
+      .readChanges(spark, tbl, 1, 3, "id", "s")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(changes == Seq((7L, "changed"), (9L, "changed"),
+      (2000L, "added")), s"incremental diff wrong: $changes")
+    // vacuum keep-2: v1's manifest drops, only truly orphaned dirs go
+    val (dropped, deleted) = VersionedTable.vacuum(spark, tbl, keepLast = 2)
+    assert(dropped == 1, s"expected to drop v1's manifest, got $dropped")
+    // v1's copies of the buckets v2/v3 rewrote are orphans; everything
+    // shared forward must survive
+    assert(deleted >= 1 && deleted <= 3, s"unexpected deletions: $deleted")
+    intercept[IllegalArgumentException] {
+      VersionedTable.readVersion(spark, tbl, 1)
+    }
+    val v3 = VersionedTable.readVersion(spark, tbl, 3)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = ((0L until 64L).filter(i => i != 7L && i != 9L)
+      .map(i => (i, s"v1-$i"))
+      :+ (7L, "v2-7") :+ (9L, "v3-9") :+ (2000L, "v3-2000")).sortBy(_._1)
+    assert(v3.toSeq == want, "v3 read after vacuum lost data")
+    val v2 = VersionedTable.readVersion(spark, tbl, 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(v2.length == 64 && v2.contains((7L, "v2-7")),
+      "v2 read after vacuum lost data")
+  }
+
   test("compactCdc keeps exactly the last-writer row per key; " +
       "applyCdcLog applies it (p26 gate shape)") {
     import graft.ops.PipelineOps
