@@ -508,6 +508,34 @@ object PipelineQueries {
       res
     }),
 
+    // CDC COMMIT — MERGE INTO with time travel, stitching the round's
+    // two tails together: p26's multi-op log compacts to last-writer-
+    // wins rows, commitCdc applies them (tombstones DELETE) as version
+    // 2 of the manifest-pinned table, touched buckets only — and
+    // version 1 still reads back as the untouched snapshot. Output:
+    // both versions; v2 must equal p26's merge result exactly.
+    "p32_cdc_commit" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p32_tbl").toString
+      val tbl = s"$root/tbl"
+      VersionedTable.commitCreate(
+        Tables.documents(s, d).select("doc_id", "source", "text"),
+        tbl, "doc_id", buckets = 8)
+      VersionedTable.commitCdc(s, tbl,
+        PipelineOps.compactCdc(cdcChangeLog(s, d), Seq("doc_id"), "seq"),
+        "doc_id", "op")
+      def rd(v: Int) = VersionedTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+      val res = rd(1).unionByName(rd(2))
+        .orderBy("version", "doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // VACUUM — storage reclamation closing the versioned-table
     // lifecycle (commit → time travel → diff → VACUUM): keep the newest
     // 2 of 3 versions, drop v1's manifest, delete exactly the bucket
@@ -594,8 +622,11 @@ object PipelineQueries {
   /** p26/p29 shared oracle: last-writer-wins as a DuckDB rank
     * window over the multi-op log, then the anti-join + filtered
     * union close. */
-  private val CdcCompactSql =
-    """WITH chg AS (
+  /** The CTE prefix of [[CdcCompactSql]] (`chg` = the multi-op log,
+    * `lw` = its rank-window last-writer-wins compaction) — shared with
+    * p32's versioned-commit oracle. */
+  private val CdcLogCtes =
+    """chg AS (
            SELECT doc_id, source, text || ' amended a' AS text,
              'U' AS op, 1 AS seq FROM documents WHERE doc_id % 10 = 5
            UNION ALL
@@ -619,12 +650,16 @@ object PipelineQueries {
          lw AS (SELECT doc_id, source, text, op FROM (
              SELECT *, row_number() OVER (PARTITION BY doc_id
                ORDER BY seq DESC) AS rk FROM chg)
-           WHERE rk = 1)
-         SELECT doc_id, source, md5(text) AS fp FROM (
+           WHERE rk = 1),
+         applied AS (
            SELECT doc_id, source, text FROM documents
            WHERE doc_id NOT IN (SELECT doc_id FROM lw)
            UNION ALL
-           SELECT doc_id, source, text FROM lw WHERE op <> 'D')
+           SELECT doc_id, source, text FROM lw WHERE op <> 'D')"""
+
+  private val CdcCompactSql =
+    s"""WITH $CdcLogCtes
+         SELECT doc_id, source, md5(text) AS fp FROM applied
          ORDER BY doc_id"""
 
   val oracles: Map[String, String] = Map(
@@ -1189,6 +1224,17 @@ object PipelineQueries {
            SELECT 2 AS version, doc_id, source, md5(text) AS fp FROM v2
            UNION ALL
            SELECT 3, doc_id, source, md5(text) FROM v3)
+         ORDER BY version, doc_id""",
+    // p32: version 1 is the untouched snapshot; version 2 is the
+    // compacted log applied — the `applied` CTE p26/p29 already close
+    // on, labeled and stacked.
+    "p32_cdc_commit" ->
+      s"""WITH $CdcLogCtes
+         SELECT version, doc_id, source, fp FROM (
+           SELECT 1 AS version, doc_id, source, md5(text) AS fp
+           FROM documents
+           UNION ALL
+           SELECT 2, doc_id, source, md5(text) FROM applied)
          ORDER BY version, doc_id""",
     // p31: the non-unchanged rows of the v1→v3 diff, straight from the
     // commit construction (%10 ∈ {3,5} changed, the four inserts added,

@@ -139,6 +139,49 @@ object VersionedTable {
     next
   }
 
+  /** Apply a COMPACTED CDC batch ('U' upsert / 'D' delete tombstone, at
+    * most one row per key — run [[graft.ops.PipelineOps.compactCdc]]
+    * upstream, or feed from [[graft.streaming.StreamOps.cdcIngest]]'s
+    * state) as a new commit — MERGE INTO with time travel: the same
+    * touched-buckets-only read/rewrite as [[commitUpsert]], closed by
+    * [[graft.ops.PipelineOps.applyCdc]] so tombstoned keys leave the
+    * table. A delete-heavy batch can empty a touched bucket entirely:
+    * the new manifest simply DROPS that bucket's entry (an absent entry
+    * IS the empty bucket — only directories the write actually produced
+    * are referenced, so a reader never points at a missing dir).
+    * Returns the new version number. */
+  def commitCdc(spark: SparkSession, tableDir: String, changes: DataFrame,
+                keyCol: String, opCol: String): Int = {
+    val v = currentVersion(spark, tableDir)
+    require(v >= 1, s"no table to apply CDC under $tableDir")
+    val fs = fsOf(spark, tableDir)
+    val (buckets, man) = readManifest(fs, tableDir, v)
+    val chg = changes.withColumn("__bucket", bucketOf(keyCol, buckets))
+    // bounded driver list: ≤ |buckets| touched bucket ids
+    val touched = chg.select("__bucket").distinct()
+      .collect().map(_.getLong(0)).sorted // ≤ |buckets| rows
+    val oldDirs = touched.flatMap(man.get).map(d => s"$tableDir/$d")
+    val base =
+      if (oldDirs.isEmpty) chg.drop(opCol).limit(0)
+      else spark.read.parquet(oldDirs.toIndexedSeq: _*)
+        .withColumn("__bucket", bucketOf(keyCol, buckets))
+    val merged = graft.ops.PipelineOps
+      .applyCdc(base, chg, Seq(keyCol), opCol)
+    val next = v + 1
+    merged.write.mode(SaveMode.ErrorIfExists).partitionBy("__bucket")
+      .parquet(s"$tableDir/data/c$next")
+    // deletes may have emptied a touched bucket — reference only the
+    // bucket dirs the write actually produced
+    val written = fs.listStatus(new Path(s"$tableDir/data/c$next"))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toLong).toSet
+    val newEntries = touched.filter(written)
+      .map(b => b -> s"data/c$next/__bucket=$b").toMap
+    writeManifest(fs, tableDir, next, buckets,
+      (man -- touched.filterNot(written)) ++ newEntries)
+    next
+  }
+
   /** TIME TRAVEL: the table exactly as of `version` — reads only that
     * manifest's data directories (partition pruning at the manifest
     * level: a historical read never touches newer commits' files). */

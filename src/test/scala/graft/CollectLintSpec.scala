@@ -177,7 +177,9 @@ class CollectLintSpec extends AnyFunSuite {
         "temperature-mixture weight total: 1-row aggregate over k sources"),
     "VersionedTable.scala" -> Map(
       ".collect().map(_.getLong(0)).sorted" ->
-        "commitUpsert touched buckets: ≤ |buckets| distinct ids"),
+        "commitUpsert touched buckets: ≤ |buckets| distinct ids",
+      ".collect().map(_.getLong(0)).sorted // ≤ |buckets| rows" ->
+        "commitCdc touched buckets: ≤ |buckets| distinct ids"),
     "PipelineQueries.scala" -> Map(
       ".collect() // CDC replay log — ≤ 3 ops × |documents|/10 + 3 rows" ->
         ("MemoryStream replay feed (p29: the p26 change log, memoized " +

@@ -232,6 +232,42 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       "v2 read after vacuum lost data")
   }
 
+  test("commitCdc: tombstones delete through a versioned commit, and a " +
+      "bucket emptied by deletes DROPS from the manifest (no dangling dir)") {
+    import graft.sources.VersionedTable
+    import graft.ops.DedupOps
+    val tbl = tmp() + "/tbl"
+    val base = spark.range(0, 32)
+      .select(col("id"), concat(lit("v1-"), col("id")).as("s"))
+    VersionedTable.commitCreate(base, tbl, "id", buckets = 4)
+    // find one bucket's full membership via the same portable hash
+    val victims = base.select(col("id"),
+        pmod(DedupOps.portableHash60(col("id").cast("string")), lit(4L))
+          .as("b"))
+      .collect().groupBy(_.getLong(1)).head._2.map(_.getLong(0)).toSeq
+    // delete the whole victim bucket + amend one survivor (no inserts —
+    // an insert could hash INTO the victim bucket and keep it alive)
+    val survivor = (0L until 32L).find(!victims.contains(_)).get
+    val changes = victims.map(i => (i, "x", "D"))
+      .++(Seq((survivor, "v2-amended", "U")))
+      .toDF("id", "s", "op")
+    VersionedTable.commitCdc(spark, tbl, changes, "id", "op")
+    val m2 = VersionedTable.manifest(spark, tbl, 2).toMap
+    val vb = spark.range(0, 1).select(
+      pmod(DedupOps.portableHash60(lit(victims.head.toString)), lit(4L)))
+      .head().getLong(0)
+    assert(!m2.contains(vb),
+      s"emptied bucket $vb must drop from the manifest, got $m2")
+    val v2 = VersionedTable.readVersion(spark, tbl, 2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = ((0L until 32L).filterNot(victims.contains)
+      .filterNot(_ == survivor).map(i => (i, s"v1-$i"))
+      :+ (survivor, "v2-amended")).sortBy(_._1)
+    assert(v2.toSeq == want, s"CDC commit read-back wrong")
+    // v1 untouched by the CDC commit
+    assert(VersionedTable.readVersion(spark, tbl, 1).count() == 32)
+  }
+
   test("compactCdc keeps exactly the last-writer row per key; " +
       "applyCdcLog applies it (p26 gate shape)") {
     import graft.ops.PipelineOps
