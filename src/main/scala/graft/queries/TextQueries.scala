@@ -20,18 +20,37 @@ object TextQueries {
     graft.ops.DedupOps.spread(Tables.documents(s, d), "doc_id")
 
 
-  /** Fixture text is pure ASCII (round-8 doctrine), so [[langId]]'s
-    * script stage can never fire on raw fixture bytes — zh-labeled docs
-    * SPLICE a Han prefix sized to clear the 5 % dominance threshold
-    * (k = floor(len/15)+1 chars of U+4E2D), identically on both engine
-    * sides (the round-8 splice pattern). */
+  /** Fixture text is pure ASCII English-ish words (round-8 doctrine), so
+    * NO langId branch beyond `en` can fire on raw fixture bytes — the
+    * script stage sees no non-Latin code points and the es/de/fr marker
+    * stopwords never occur. Each labeled class therefore SPLICES its
+    * detector signal in, identically on both engine sides (the round-8
+    * splice pattern), sized to dominate deterministically:
+    *  - zh: a Han prefix of floor(len/15)+1 chars of U+4E2D — clears the
+    *    script stage's 5 % character-dominance rule at every length;
+    *  - es/de/fr: their 5 marker stopwords repeated floor(ntok/4)+1
+    *    times — 5·m > ntok ≥ (any other class's body count), so the
+    *    spliced class strictly wins the marker comparison (the body DOES
+    *    contain `the`/`is`, so beating en needs real dominance — which
+    *    also exercises the tie order);
+    *  - en: unspliced — the body's own `the/and/of/is` carry it.
+    * All four Latin branches + the script stage are thereby validated
+    * against the oracle (before round 13 only the en branch ever fired
+    * on fixture bytes). */
   private val ZhChar = "\u4E2D"
-  private def spliceZh(c: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column =
+  private def spliceLang(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val m = (floor(size(tokens(c)).cast("double") / lit(4)) + 1)
+      .cast("int")
+    def markers(ms: String) = concat(repeat(lit(ms), m), c)
     when(col("lang") === "zh",
       concat(repeat(lit(ZhChar),
         (floor(length(c) / lit(15)) + 1).cast("int")), lit(" "), c))
+      .when(col("lang") === "es", markers("el la los de que "))
+      .when(col("lang") === "de", markers("der die und das ist "))
+      .when(col("lang") === "fr", markers("le les et est une "))
       .otherwise(c)
+  }
 
   /** Multi-script langid acceptance rows (t32): one phrase per script
     * class + the four Latin stopword classes + a below-threshold mixed
@@ -210,11 +229,12 @@ object TextQueries {
     }),
 
     // Language-ID: script-range stage + Latin marker-stopword fallback,
-    // over the zh-SPLICED fixture (see spliceZh — raw fixture bytes are
-    // ASCII, so without the splice the script stage is untestable).
+    // over the signal-SPLICED fixture (see spliceLang — raw fixture bytes
+    // are ASCII English-ish, so without the splice only the en branch is
+    // testable).
     "t05_langid" -> ((s, d) =>
       docs(s, d)
-        .select(col("doc_id"), spliceZh(col("text")).as("text"))
+        .select(col("doc_id"), spliceLang(col("text")).as("text"))
         .select(col("doc_id"), langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")),
 
@@ -446,11 +466,12 @@ object TextQueries {
     // Language-ID acceptance: the e49 classification report run over
     // t05's two-stage detector vs the fixture's lang labels — per-class
     // precision/recall/F1 + accuracy + kappa in exact BIGINT divisions.
-    // Runs over the zh-SPLICED text (spliceZh): round 12 measured zh
-    // recall 0 (no script stage); the script-range stage lifts it to 1.
+    // Runs over the signal-SPLICED text (spliceLang): round 12 measured
+    // zh recall 0 and the es/de/fr branches never fired on fixture bytes;
+    // with per-class signals spliced in, every class must hit recall 1.
     "t28_langid_eval" -> ((s, d) =>
       graft.ops.EvalOps.classificationReport(
-          docs(s, d).select(col("lang"), spliceZh(col("text")).as("text")),
+          docs(s, d).select(col("lang"), spliceLang(col("text")).as("text")),
           col("lang"), graft.ops.TextOps.langId(col("text")))
         .orderBy("label")),
 
@@ -482,11 +503,16 @@ object TextQueries {
   // list_filter(string_split(lower(text), ' '), t -> t <> '').
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
-  /** DuckDB mirror of the zh splice (see spliceZh). */
-  private val SpliceZhSql =
+  /** DuckDB mirror of the per-class signal splice (see spliceLang). */
+  private val SpliceLangSql = {
+    val m = s"CAST(floor(len($Toks)/4)+1 AS INT)"
     s"CASE WHEN lang = 'zh' THEN repeat('$ZhChar', " +
       "CAST(floor(length(text)/15)+1 AS INT)) || ' ' || text " +
+      s"WHEN lang = 'es' THEN repeat('el la los de que ', $m) || text " +
+      s"WHEN lang = 'de' THEN repeat('der die und das ist ', $m) || text " +
+      s"WHEN lang = 'fr' THEN repeat('le les et est une ', $m) || text " +
       "ELSE text END"
+  }
 
   /** DuckDB mirror of [[graft.ops.TextOps.langId]]'s script stage over
     * `textExpr`: RE2 `\\x{...}` range counts (same code points the JVM
@@ -754,7 +780,7 @@ object TextQueries {
            term, round(tfidf, 6) AS tfidf
          FROM scored QUALIFY rk <= 3 ORDER BY doc_id, rk""",
     "t05_langid" ->
-      s"""WITH tx AS (SELECT doc_id, $SpliceZhSql AS text FROM documents),
+      s"""WITH tx AS (SELECT doc_id, $SpliceLangSql AS text FROM documents),
          t AS (SELECT doc_id, ${scriptCaseSql("text")} AS script,
            $Toks AS ts FROM tx),
          sc AS (SELECT doc_id, script, $MarkerColsSql FROM t)
@@ -1074,7 +1100,7 @@ object TextQueries {
          FROM ranked r CROSS JOIN s ORDER BY rank""",
     // t28: t05's prediction CTE composed with e49's report closing.
     "t28_langid_eval" ->
-      s"""WITH tx AS (SELECT lang, $SpliceZhSql AS text FROM documents),
+      s"""WITH tx AS (SELECT lang, $SpliceLangSql AS text FROM documents),
          t0 AS (SELECT lang AS label, ${scriptCaseSql("text")} AS script,
            $Toks AS ts FROM tx),
          sc AS (SELECT label, script, $MarkerColsSql FROM t0),
