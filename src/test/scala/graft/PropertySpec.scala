@@ -35,6 +35,38 @@ class PropertySpec extends AnyFunSuite with SparkFixture {
   private def values(s: Series): Seq[Any] =
     s.df.orderBy(s.df(s.indexName)).collect().map(_.get(1)).toSeq
 
+  test("compactCdc is associative: compact(compact(a) ∪ b) == " +
+      "compact(a ∪ b) for arbitrary logs and splits (the p29 invariant)") {
+    import graft.ops.PipelineOps
+    // random multi-op logs over a small key space (forcing collisions),
+    // with deliberately DUPLICATE seqs (the total struct order must
+    // still compact deterministically)
+    val rowGen = for {
+      k <- Gen.choose(0L, 6L)
+      seq <- Gen.choose(0L, 4L)
+      op <- Gen.oneOf("U", "D")
+      payload <- Gen.oneOf("a", "b", "c")
+    } yield (k, payload, op, seq)
+    val logGen = Gen.nonEmptyListOf(rowGen)
+    forAll(logGen, Gen.choose(0, 100), n = 12) { (log, splitPct) =>
+      val cut = log.length * splitPct / 100
+      val (a, b) = log.splitAt(cut)
+      def df(rows: List[(Long, String, String, Long)]) =
+        rows.toDF("id", "s", "op", "seq")
+      def rows(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      val whole = rows(PipelineOps.compactCdc(df(log), Seq("id"), "seq"))
+      val staged =
+        if (a.isEmpty) rows(PipelineOps.compactCdc(df(b), Seq("id"), "seq"))
+        else rows(PipelineOps.compactCdc(
+          PipelineOps.compactCdcWithSeq(df(a), Seq("id"), "seq")
+            .unionByName(df(b)), Seq("id"), "seq"))
+      assert(staged == whole,
+        s"split at $cut diverged:\n  whole=$whole\n  staged=$staged")
+    }
+  }
+
   test("floorDiv(k) == floor(truediv k) for nonzero k") {
     forAll(vecGen, Gen.choose(1.0, 50.0)) { (xs: List[Double], k: Double) =>
       val s = Series.fromSeq(spark, xs)
