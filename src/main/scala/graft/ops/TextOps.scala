@@ -335,6 +335,26 @@ object TextOps {
     * Before the script stage, every CJK document was mislabeled into a
     * Latin class (t28 measured zh recall 0 — the round-12 blind spot). */
   def langId(text: Column): Column = {
+    val (script, latin, _) = langIdStages(text)
+    coalesce(script, latin)
+  }
+
+  /** [[langId]] with a routing-grade `und` class: a document NO script
+    * claims and NO Latin marker occurs in gets `und` (undetermined)
+    * instead of tie-defaulting to `en` — the quarantine routing a real
+    * mixture pipeline needs (an en-defaulted zero-signal doc silently
+    * pollutes the English mixture weight; an `und` doc routes to a
+    * heavier detector or is dropped by policy). Same two stages, same
+    * tie order for any row with signal. */
+  def langIdRouted(text: Column): Column = {
+    val (script, latin, total) = langIdStages(text)
+    coalesce(script, when(total === 0, lit("und")).otherwise(latin))
+  }
+
+  /** Shared internals of [[langId]]/[[langIdRouted]]: (script-stage
+    * pick or null, Latin-stage pick, total Latin marker count). */
+  private def langIdStages(text: Column)
+      : (Column, Column, Column) = {
     def sc(lo: String, hi: String): Column =
       regexp_count(text, lit(s"[$lo-$hi]"))
     val n = length(text)
@@ -357,11 +377,12 @@ object TextOps {
     val es = score(Seq("el", "la", "los", "de", "que"))
     val de = score(Seq("der", "die", "und", "das", "ist"))
     val fr = score(Seq("le", "les", "et", "est", "une"))
-    coalesce(script,
+    val latin =
       when(en >= es && en >= de && en >= fr, lit("en"))
         .when(es >= de && es >= fr, lit("es"))
         .when(de >= fr, lit("de"))
-        .otherwise(lit("fr")))
+        .otherwise(lit("fr"))
+    (script, latin, en + es + de + fr)
   }
 
   /** Content fingerprint: md5 of whitespace-normalized lowercased text.

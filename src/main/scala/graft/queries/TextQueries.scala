@@ -489,6 +489,18 @@ object TextQueries {
         .orderBy("sid")
     }),
 
+    // Routing-grade language-ID: a doc NO script claims and NO Latin
+    // marker occurs in gets 'und' (undetermined) instead of
+    // tie-defaulting to en — the quarantine class a mixture pipeline
+    // routes to a heavier detector (an en-defaulted zero-signal doc
+    // silently pollutes the English mixture weight). RAW fixture text,
+    // no splice: 118 of the 500 sf0.01 docs carry zero marker signal,
+    // and that honest share is exactly what this gate pins.
+    "t33_langid_route" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          graft.ops.TextOps.langIdRouted(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+
     // Top-TRIGRAM coverage: how much of each doc one repeated trigram
     // claims — the longest-gram half of the Gopher repetition family
     // (t07 has the top-2-gram share and the distinct-3-gram fraction;
@@ -1171,6 +1183,16 @@ object TextQueries {
          sc AS (SELECT sid, want, script, $MarkerColsSql FROM t)
          SELECT sid, want, COALESCE(script, $LatinCaseSql) AS pred_lang
          FROM sc ORDER BY sid"""
-    }
+    },
+    // t33: the same two-stage mirror with the zero-signal wrap — no
+    // script claim AND zero total markers -> 'und'.
+    "t33_langid_route" ->
+      s"""WITH t AS (SELECT doc_id, ${scriptCaseSql("text")} AS script,
+           $Toks AS ts FROM documents),
+         sc AS (SELECT doc_id, script, $MarkerColsSql FROM t)
+         SELECT doc_id, COALESCE(script,
+           CASE WHEN en + es + de + fr = 0 THEN 'und'
+             ELSE $LatinCaseSql END) AS pred_lang
+         FROM sc ORDER BY doc_id"""
   )
 }
