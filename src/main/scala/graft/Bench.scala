@@ -18,7 +18,8 @@ object Bench {
       "p28_version_diff", // three commits + two manifest-pinned diffs
       "p30_vacuum", // three commits + manifest-pruned reclamation + reads
       "p31_incremental_read", // three commits + the changed-bucket diff
-      "p32_cdc_commit") // create + CDC commit + two version reads
+      "p32_cdc_commit", // create + CDC commit + two version reads
+      "p33_schema_evolution") // create + evolving commit + merged read
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both

@@ -557,6 +557,17 @@ object PipelineOps {
     base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates)
 
+  /** [[upsert]] with SCHEMA EVOLUTION: the update batch may carry NEW
+    * columns (and/or omit existing ones) — the union fills either
+    * side's missing columns with null instead of failing, so a table
+    * can gain a column mid-life without rewriting history (surviving
+    * base rows take null for the new column — the lakehouse
+    * add-column semantics). Same ONE anti-join + union shape. */
+  def upsertEvolve(base: DataFrame, updates: DataFrame,
+                   keyCols: Seq[String]): DataFrame =
+    base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+
   /** [[upsert]]'s CDC sibling: apply a change batch carrying an op
     * column ('U' upsert, 'D' delete) — the merge a CDC-fed table runs
     * per commit. Same shape: ONE key-anti-join drops every touched key

@@ -536,6 +536,39 @@ object PipelineQueries {
       res
     }),
 
+    // SCHEMA EVOLUTION + time travel — the other headline table-format
+    // capability: v2's update batch carries a NEW column (quality =
+    // length of the amended text); rewritten buckets take the widened
+    // schema, untouched buckets keep the old one, and readVersion's
+    // mergeSchema read reconciles — v2 surfaces quality with nulls on
+    // every non-updated row while v1 keeps its ORIGINAL 3-column
+    // schema (SourcesSpec asserts the absence — the schema itself
+    // time-travels). Output: v2 with the evolved column.
+    "p33_schema_evolution" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p33_tbl").toString
+      val tbl = s"$root/tbl"
+      VersionedTable.commitCreate(
+        Tables.documents(s, d).select("doc_id", "source", "text"),
+        tbl, "doc_id", buckets = 8)
+      val updates = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" amended")).as("text"))
+        .withColumn("quality", length(col("text")).cast("long"))
+      VersionedTable.commitUpsert(s, tbl, updates, "doc_id",
+        evolve = true)
+      val res = VersionedTable.readVersion(s, tbl, 2)
+        .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("fp"),
+          col("quality"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // VACUUM — storage reclamation closing the versioned-table
     // lifecycle (commit → time travel → diff → VACUUM): keep the newest
     // 2 of 3 versions, drop v1's manifest, delete exactly the bucket
@@ -1236,6 +1269,19 @@ object PipelineQueries {
            UNION ALL
            SELECT 2, doc_id, source, md5(text) FROM applied)
          ORDER BY version, doc_id""",
+    // p33: updated rows carry the evolved column's value (length of
+    // the amended text), every other row surfaces NULL through the
+    // mergeSchema read.
+    "p33_schema_evolution" ->
+      """SELECT doc_id, fp, quality FROM (
+           SELECT doc_id, md5(text) AS fp,
+             CAST(NULL AS BIGINT) AS quality
+           FROM documents WHERE doc_id % 10 <> 5
+           UNION ALL
+           SELECT doc_id, md5(text || ' amended'),
+             CAST(length(text || ' amended') AS BIGINT)
+           FROM documents WHERE doc_id % 10 = 5)
+         ORDER BY doc_id""",
     // p31: the non-unchanged rows of the v1→v3 diff, straight from the
     // commit construction (%10 ∈ {3,5} changed, the four inserts added,
     // nothing removed — upserts never delete).

@@ -113,9 +113,17 @@ object VersionedTable {
     * replaced, new keys insert ([[graft.ops.PipelineOps.upsert]]
     * semantics) — but ONLY the buckets the batch touches are read,
     * merged, and rewritten; every other bucket's files carry over into
-    * the new manifest untouched. Returns the new version number. */
+    * the new manifest untouched. With `evolve = true` the batch may
+    * carry NEW columns (SCHEMA EVOLUTION): merged base rows take null
+    * for them, rewritten buckets carry the widened schema, untouched
+    * buckets keep the old one — [[readVersion]]'s mergeSchema read
+    * reconciles, so pre-evolution versions keep their ORIGINAL schema
+    * (the schema itself time-travels) while post-evolution reads
+    * surface the new column with nulls on untouched rows. Returns the
+    * new version number. */
   def commitUpsert(spark: SparkSession, tableDir: String,
-                   updates: DataFrame, keyCol: String): Int = {
+                   updates: DataFrame, keyCol: String,
+                   evolve: Boolean = false): Int = {
     val v = currentVersion(spark, tableDir)
     require(v >= 1, s"no table to upsert under $tableDir")
     val fs = fsOf(spark, tableDir)
@@ -129,7 +137,9 @@ object VersionedTable {
       if (oldDirs.isEmpty) upd.limit(0)
       else spark.read.parquet(oldDirs.toIndexedSeq: _*)
         .withColumn("__bucket", bucketOf(keyCol, buckets))
-    val merged = graft.ops.PipelineOps.upsert(base, upd, Seq(keyCol))
+    val merged =
+      if (evolve) graft.ops.PipelineOps.upsertEvolve(base, upd, Seq(keyCol))
+      else graft.ops.PipelineOps.upsert(base, upd, Seq(keyCol))
     val next = v + 1
     merged.write.mode(SaveMode.ErrorIfExists).partitionBy("__bucket")
       .parquet(s"$tableDir/data/c$next")
@@ -184,13 +194,17 @@ object VersionedTable {
 
   /** TIME TRAVEL: the table exactly as of `version` — reads only that
     * manifest's data directories (partition pruning at the manifest
-    * level: a historical read never touches newer commits' files). */
+    * level: a historical read never touches newer commits' files).
+    * mergeSchema reconciles buckets written before/after a schema
+    * evolution (pre-evolution buckets surface null for added columns);
+    * a version whose dirs ALL predate the evolution keeps its original
+    * schema — the schema itself time-travels. */
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Int): DataFrame = {
     val fs = fsOf(spark, tableDir)
     val (_, man) = readManifest(fs, tableDir, version)
     require(man.nonEmpty, s"version $version of $tableDir is empty")
-    spark.read.parquet(
+    spark.read.option("mergeSchema", "true").parquet(
       man.values.toSeq.sorted.map(d => s"$tableDir/$d"): _*)
   }
 

@@ -232,6 +232,30 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       "v2 read after vacuum lost data")
   }
 
+  test("schema evolution: pre-evolution versions keep their ORIGINAL " +
+      "schema; post-evolution reads surface the new column with nulls") {
+    import graft.sources.VersionedTable
+    val tbl = tmp() + "/tbl"
+    val base = spark.range(0, 16)
+      .select(col("id"), concat(lit("v1-"), col("id")).as("s"))
+    VersionedTable.commitCreate(base, tbl, "id", buckets = 4)
+    val upd = Seq((3L, "v2-3", 42L)).toDF("id", "s", "extra")
+    VersionedTable.commitUpsert(spark, tbl, upd, "id", evolve = true)
+    // v1: the evolved column must NOT leak into history
+    assert(VersionedTable.readVersion(spark, tbl, 1).columns.toSeq
+      == Seq("id", "s"), "schema evolution leaked into v1")
+    // v2: evolved column present; only the updated row carries a value
+    val v2 = VersionedTable.readVersion(spark, tbl, 2)
+    assert(v2.columns.contains("extra"))
+    val rows = v2.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(rows == (0L until 16L).map(i =>
+      if (i == 3L) (3L, "v2-3", Some(42L))
+      else (i, s"v1-$i", None)).sortBy(_._1),
+      s"evolved read wrong: $rows")
+  }
+
   test("commitCdc: tombstones delete through a versioned commit, and a " +
       "bucket emptied by deletes DROPS from the manifest (no dangling dir)") {
     import graft.sources.VersionedTable
