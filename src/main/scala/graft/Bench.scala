@@ -19,7 +19,8 @@ object Bench {
       "p30_vacuum", // three commits + manifest-pruned reclamation + reads
       "p31_incremental_read", // three commits + the changed-bucket diff
       "p32_cdc_commit", // create + CDC commit + two version reads
-      "p33_schema_evolution") // create + evolving commit + merged read
+      "p33_schema_evolution", // create + evolving commit + merged read
+      "p34_stream_cdc_commit") // create + 3 streamed CDC commits + reads
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both
@@ -130,6 +131,18 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(detail) finally w.close()
+    } catch { case _: Throwable => () }
+    // Silence every async printer BEFORE the final line: the streaming
+    // gates spin up the JVM-wide StateStore maintenance thread, which
+    // races spark.stop() and dumps a stack trace ("SparkEnv not active")
+    // AFTER the metric line — pushing it out of the driver's ~2000-char
+    // stdout tail (observed in BENCH_r13's captured tail). Stop any
+    // straggler streams, then the maintenance task itself, so nothing
+    // can print after the one line the driver parses.
+    try {
+      spark.streams.active.foreach(q => try q.stop() catch {
+        case _: Throwable => () })
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     } catch { case _: Throwable => () }
     // FINAL line — the one the driver parses. Compact: totals + a stable
     // headline subset, 3 decimal places; renderFinal prunes tail

@@ -358,6 +358,16 @@ object DedupOps {
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
       .distinct()
+    rebuildWithoutCovered(base, covered, idCol)
+  }
+
+  /** Shared reassembly tail of [[removeRepeatedSpans]] and
+    * [[exactSubstrDedup]]: drop every (id, p) token position in
+    * `covered` and rebuild each doc's surviving text as ONE keyed
+    * sort+join aggregate. `base` carries (id, __ts tokens). Returns
+    * (id→idCol, n_tokens, kept, clean_text). */
+  private def rebuildWithoutCovered(base: DataFrame, covered: DataFrame,
+                                    idCol: String): DataFrame = {
     val toks = base.select(col("id"), posexplode(col("__ts")))
       .select(col("id"), col("pos").cast("long").as("p"),
         col("col").as("tok"))
@@ -372,6 +382,68 @@ object DedupOps {
       .select(col("id").as(idCol), col("n_tokens"),
         coalesce(col("kept"), lit(0L)).as("kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** EXACT-SUBSTRING dedup at suffix-array granularity — the heavy
+    * curation pass of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better", §4.1 ExactSubstr; ref: the paper,
+    * not the repo — pontem has no dedup at all): remove every token
+    * that sits inside a ≥`k`-token substring occurring VERBATIM in
+    * another document. A shared substring of length L ≥ k contains
+    * exactly L−k+1 shared k-token windows whose positional union IS the
+    * substring, so sorted-window fingerprinting reproduces the
+    * suffix-array answer without building one: hash every k-token
+    * window, group by hash, VERIFY candidate groups by re-comparing the
+    * actual window text (the suffix-array's lexicographic neighbors
+    * become hash-group members; collisions die in the verify), take the
+    * per-doc interval union of verified windows, cut those positions
+    * ([[removeRepeatedSpans]]' surgical tail — the doc survives as its
+    * unique remainder). Returns (id, n_tokens, kept, clean_text).
+    *
+    * Distributed shape (never all-pairs, no suffix array's global
+    * sort): pass 1 shuffles ONLY 8-byte window hashes keyed by hash —
+    * the corpus-wide screen; pass 2 re-derives window TEXT on a second
+    * codegen'd scan and semi-joins it down to the candidate sliver
+    * BEFORE any string shuffles, then verifies groups by grouping on
+    * the text itself (re-comparison within groups, never across);
+    * coverage is a bounded ×k explode of the verified sliver. At
+    * 100 TB: screen cost ≈ one shuffle of |corpus|·(tokens/doc) longs,
+    * verify cost ∝ the duplicated sliver only. */
+  def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
+                       k: Int): DataFrame = {
+    val base = graft.Caches.track(
+      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+        .select(col("id"),
+          graft.functions.NgramText.ngramText(col("__txt"), k).as("__gs"),
+          TextOps.tokens(col("__txt")).as("__ts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val posts = base
+      .select(col("id"), posexplode(col("__gs")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        portableHash60(col("col")).as("h"))
+    // pass 1 — hash screen: shared window hashes by distinct-doc count
+    val cand = posts.groupBy("h")
+      .agg(count_distinct(col("id")).as("__cd"))
+      .filter(col("__cd") >= 2)
+      .select("h")
+    // pass 2 — verify: re-derive window text (staged Project before the
+    // explode — the Generate lesson), keep only candidate-hash rows,
+    // then require the TEXT itself to span ≥2 docs
+    val grams = graft.Caches.track(base
+      .select(col("id"), posexplode(col("__gs")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("col").as("g"), portableHash60(col("col")).as("h"))
+      .join(cand, Seq("h"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val verified = grams.groupBy("h", "g")
+      .agg(count_distinct(col("id")).as("__cd"))
+      .filter(col("__cd") >= 2)
+      .select("h", "g")
+    val covered = grams.join(verified, Seq("h", "g"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+    rebuildWithoutCovered(base, covered, idCol)
   }
 
   /** Bloom-prefiltered decontamination — the shape [[ngramContamination]]

@@ -400,24 +400,21 @@ object SimilarityOps {
     * drifted clusters' vectors reassign among the drifted clusters' NEW
     * centroids (membership may move between drifted clusters, never
     * leaves the region), and ONLY those partitions rewrite
-    * (delete-then-append — exact even when a cluster empties out).
-    * Untouched clusters: one aggregate scan for the drift report, zero
-    * writes. Returns the per-cluster report (cluster, drift6,
-    * repaired).
+    * ([[swapClusterPartitions]] — exact even when a cluster empties
+    * out). Untouched clusters: one aggregate scan for the drift
+    * report, zero writes. Returns the per-cluster report
+    * (cluster, drift6, repaired).
     *
     * Scale shape: one postings scan feeding a k×dim-bounded mean
     * aggregate, drift decided on k-sized driver arrays, the rewrite
     * reads + writes only |drifted| partitions.
     *
-    * Atomicity contract: the partition rewrite is delete-then-append
-    * and NOT crash-atomic — a failure between the delete and the
-    * append loses the drifted partitions' postings (the region IS
-    * materialized via localCheckpoint before the delete, so a failure
-    * during the append itself can still re-drive from the checkpoint
-    * within the session). Run under the maintenance-window /
-    * rebuild-on-failure discipline every in-place index maintenance
-    * job uses; a production deployment on a table format with commit
-    * atomicity (or a staging-dir + rename swap) lifts this. */
+    * Atomicity: stage-then-swap — the reassigned region lands in a
+    * staging dir BEFORE any live partition is touched, then each
+    * drifted partition swaps via delete + atomic rename; a crash
+    * mid-swap leaves every cluster fully-old or fully-new (recoverable
+    * from the staged copy), never duplicated or partial. The centroid
+    * file swaps the same way. */
   def ivfRepair(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                 threshold: Double, dim: Int = 64,
                 grid: Option[Double] = None): DataFrame = {
@@ -468,28 +465,22 @@ object SimilarityOps {
         .withColumn("cluster",
           if (scored.size == 1) lit(drifted.head)
           else greatest(scored.toIndexedSeq: _*)("cluster"))
-        // materialize the repair working set (|drifted| partitions)
-        // BEFORE deleting the files it reads from
-        .localCheckpoint(true)
-      // delete-then-append, NOT dynamic partition overwrite: a drifted
+      // stage-then-swap (NOT dynamic partition overwrite: a drifted
       // cluster that receives zero rows after reassignment would keep
-      // its stale partition under dynamic overwrite (the old copies
-      // would survive next to the moved ones — silent duplicates);
-      // deleting the drifted partition dirs first makes the rewrite
-      // exact for empty and non-empty clusters alike
-      val fs = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      drifted.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$indexDir/postings/cluster=$c"), true)
-      }
-      region.write.mode(SaveMode.Append).partitionBy("cluster")
-        .parquet(s"$indexDir/postings")
+      // its stale partition under dynamic overwrite — silent duplicates)
+      swapClusterPartitions(spark, indexDir, region, drifted)
       import spark.implicits._
+      val stagedCents = s"$indexDir/.stage_cents_" +
+        java.util.UUID.randomUUID()
       newCents.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
         .toDF("cluster", "centroid")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$indexDir/centroids")
+        .coalesce(1).write.parquet(stagedCents)
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/centroids"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(stagedCents),
+        new org.apache.hadoop.fs.Path(s"$indexDir/centroids"))
+      spark.catalog.refreshByPath(s"$indexDir/centroids")
     }
     import spark.implicits._
     centroids.indices
@@ -1137,9 +1128,12 @@ object SimilarityOps {
     * centroids stay frozen (deletion never degrades the quantizer; the
     * drift monitor decides re-centering separately). Returns the number
     * of touched cluster partitions. Same atomicity contract as
-    * [[ivfRepair]]: delete-then-append is not crash-atomic — the
-    * survivors are checkpointed before the delete, but a failure
-    * between delete and append needs a re-drive or rebuild. */
+    * [[ivfRepair]]: the stage-then-swap rewrite — the replacement
+    * region is durable on disk before any live partition is touched,
+    * and each touched cluster swaps via delete + atomic rename, so a
+    * crash mid-swap leaves every cluster either fully-old or fully-new
+    * (never duplicated, never partial) with the staged copy available
+    * for a re-drive. */
   def ivfDelete(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                 deleteIds: DataFrame, idCol: String): Int = {
     val del = broadcast(deleteIds.select(col(idCol).as("nid")))
@@ -1151,18 +1145,43 @@ object SimilarityOps {
       val kept = postings
         .filter(col("cluster").isin(touched.map(Int.box): _*))
         .join(del, Seq("nid"), "left_anti")
-        // materialize the surviving rows BEFORE deleting their files
-        .localCheckpoint(true)
-      val fs = new org.apache.hadoop.fs.Path(indexDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      touched.foreach { c =>
-        fs.delete(new org.apache.hadoop.fs.Path(
-          s"$indexDir/postings/cluster=$c"), true)
-      }
-      kept.write.mode(SaveMode.Append).partitionBy("cluster")
-        .parquet(s"$indexDir/postings")
+      swapClusterPartitions(spark, indexDir, kept, touched.toIndexedSeq)
     }
     touched.length
+  }
+
+  /** Stage-then-swap partition rewrite shared by [[ivfRepair]] and
+    * [[ivfDelete]]: write the replacement region to a STAGING dir
+    * first (the replacement bytes are durable before any delete — the
+    * write also materializes the plan, which reads the very files the
+    * swap will remove), then swap each touched cluster partition via
+    * delete + atomic rename. A crash mid-swap leaves every cluster
+    * either fully-old or fully-new — never duplicated, never partial —
+    * and the staging dir keeps the replacement copy for a re-drive;
+    * the old delete-then-append window (crash after delete, before
+    * append ⇒ region lost) is gone. A touched cluster with NO staged
+    * rows (emptied by the rewrite) simply drops. */
+  private def swapClusterPartitions(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, region: DataFrame, touched: Seq[Int]): Unit = {
+    val stage = s"$indexDir/.stage_${java.util.UUID.randomUUID()}"
+    region.write.mode(SaveMode.ErrorIfExists).partitionBy("cluster")
+      .parquet(s"$stage/postings")
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach { c =>
+      val live = new org.apache.hadoop.fs.Path(
+        s"$indexDir/postings/cluster=$c")
+      val staged = new org.apache.hadoop.fs.Path(
+        s"$stage/postings/cluster=$c")
+      fs.delete(live, true)
+      if (fs.exists(staged)) fs.rename(staged, live)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // the swap happened behind Spark's back (a write to the LIVE path
+    // would auto-refresh; the staged write targets a different path),
+    // so cached plans/persisted frames over the postings path must be
+    // refreshed or they keep serving the pre-swap files
+    spark.catalog.refreshByPath(s"$indexDir/postings")
   }
 
   /** Exact REFINE of an approximate shortlist (FAISS IndexRefineFlat —

@@ -398,6 +398,21 @@ object DedupQueries {
           "text", n = 5)
         .orderBy("doc_id")),
 
+    // EXACT-SUBSTRING dedup at suffix-array granularity (Lee et al.
+    // 2022 §4.1 ExactSubstr — the heavy pass a crawl pipeline runs
+    // AFTER MinHash): cut every token inside a ≥50-token substring
+    // shared verbatim across docs. Where d47's 5-gram cut fires on any
+    // shared phrase, this fires only on genuine long boilerplate (the
+    // fixture's planted near-dups carry ~280 shared 50-token windows
+    // across 21 docs at sf0.01). Hash screen on 8-byte window
+    // fingerprints, text re-verification WITHIN candidate groups
+    // (never all-pairs), interval-union removal; the rewritten corpus
+    // itself hash-matches the DuckDB replay.
+    "d49_exact_substr" -> ((s, d) =>
+      DedupOps.exactSubstrDedup(Tables.documents(s, d), "doc_id",
+          "text", k = 50)
+        .orderBy("doc_id")),
+
     // HITS hubs & authorities over the DIRECTED buyer→seller bipartite
     // graph (customer bought from supplier): hubs = broad buyers of
     // authoritative suppliers, authorities = suppliers bought by strong
@@ -1091,6 +1106,38 @@ object DedupQueries {
          covpos AS (SELECT DISTINCT g.doc_id, g.pos + v.j AS p
            FROM g JOIN shared USING (h),
              LATERAL unnest(range(0, 5)) AS v(j)),
+         keptt AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+           LEFT JOIN covpos cp
+             ON cp.doc_id = tok.doc_id AND cp.p = tok.p
+           WHERE cp.p IS NULL),
+         outp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+           FROM keptt GROUP BY 1)
+         SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(outp.kept, 0) AS BIGINT) AS kept,
+           COALESCE(outp.clean_text, '') AS clean_text
+         FROM t LEFT JOIN outp USING (doc_id) ORDER BY t.doc_id""",
+    // d49: 50-token positional windows under the same md5-long idiom;
+    // candidate hashes by distinct-doc count, VERIFIED by re-grouping
+    // the candidate rows on the window text itself, then d47's ×k
+    // position unnest + ordered string_agg reassembly.
+    "d49_exact_substr" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         g AS (SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(ts[u.i:u.i+49], ' ') AS gt,
+             CAST(concat('0x', substr(md5(
+               array_to_string(ts[u.i:u.i+49], ' ')), 1, 15)) AS BIGINT)
+               AS h
+           FROM t, LATERAL unnest(range(1, len(ts) - 48)) AS u(i)),
+         cand AS (SELECT h FROM g GROUP BY h
+           HAVING count(DISTINCT doc_id) >= 2),
+         ver AS (SELECT h, gt FROM g JOIN cand USING (h)
+           GROUP BY h, gt HAVING count(DISTINCT doc_id) >= 2),
+         covpos AS (SELECT DISTINCT g.doc_id, g.pos + v.j AS p
+           FROM g JOIN ver USING (h, gt),
+             LATERAL unnest(range(0, 50)) AS v(j)),
+         tok AS (SELECT doc_id, u.i - 1 AS p, ts[u.i] AS tok
+           FROM t, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
          keptt AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
            LEFT JOIN covpos cp
              ON cp.doc_id = tok.doc_id AND cp.p = tok.p

@@ -446,6 +446,54 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // STREAMING CDC → VERSIONED COMMITS — the p29 + p32 stitch: p26's
+    // log replayed in THREE seq-adversarial micro-batches (all seq-3
+    // rows first, then seq-1, then seq-2), each landing as ONE tagged
+    // commitCdc of the compacted state's touched slice. The FINAL
+    // version (4) must hash-match p32's all-at-once CDC answer, and the
+    // INTERMEDIATE version (3) — read back through time travel AFTER
+    // the later commit landed — must equal the prefix state (seqs
+    // {3,1} compacted and applied): batch boundaries become pinned,
+    // replayable table versions. Exactly-once via epoch tags.
+    "p34_stream_cdc_commit" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = graft.Caches.memo(s"replay:cdclog:$d") {
+        cdcChangeLog(s, d)
+          .collect() // CDC replay log — ≤ 3 ops × |documents|/10 + 3 rows
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getLong(4))).toVector
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p34_tbl").toString
+      val tbl = s"$root/tbl"
+      graft.sources.VersionedTable.commitCreate(
+        Tables.documents(s, d).select("doc_id", "source", "text"),
+        tbl, "doc_id", buckets = 8)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, String, Long)]
+      withStatePartitions(s, 4) {
+        val (q, _) = graft.streaming.StreamOps.cdcCommitIngest(
+          input.toDF().toDF("doc_id", "source", "text", "op", "seq"),
+          tbl, "doc_id", "seq", "op")
+        try {
+          Seq(3L, 1L, 2L).foreach { sq =>
+            input.addData(rows.filter(_._5 == sq): _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      def rd(v: Int) = graft.sources.VersionedTable.readVersion(s, tbl, v)
+        .select(lit(v).as("version"), col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+      val res = rd(3).unionByName(rd(4))
+        .orderBy("version", "doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // TIME TRAVEL — the versioned-table read the in-place p24/p25
     // merges can't give: commit v1 (8 key-buckets), commit an upsert as
     // v2 (only touched buckets rewritten; untouched buckets' files
@@ -1180,6 +1228,27 @@ object PipelineQueries {
     // re-registers this SQL VERBATIM — the e57 shared-oracle doctrine.
     "p26_cdc_compact" -> CdcCompactSql,
     "p29_stream_cdc" -> CdcCompactSql,
+    // p34: version 4 = the full log's `applied` (p32's answer, one
+    // version later); version 3 = the PREFIX replay — the same rank
+    // window and anti-join close over only the rows the first two
+    // epochs delivered (seqs 3 and 1).
+    "p34_stream_cdc_commit" ->
+      s"""WITH $CdcLogCtes,
+         lwp AS (SELECT doc_id, source, text, op FROM (
+             SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY seq DESC) AS rk FROM chg WHERE seq IN (1, 3))
+           WHERE rk = 1),
+         appliedp AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM lwp)
+           UNION ALL
+           SELECT doc_id, source, text FROM lwp WHERE op <> 'D')
+         SELECT version, doc_id, source, fp FROM (
+           SELECT 3 AS version, doc_id, source, md5(text) AS fp
+           FROM appliedp
+           UNION ALL
+           SELECT 4, doc_id, source, md5(text) FROM applied)
+         ORDER BY version, doc_id""",
     // p27: version 1 is the untouched snapshot, version 2 is p24's
     // upsert — the time-travel contract expressed directly.
     "p27_time_travel" ->

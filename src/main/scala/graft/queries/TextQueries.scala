@@ -1173,8 +1173,12 @@ object TextQueries {
     // rows the Spark gate builds (interpolated from scriptSamples —
     // one source of truth for the probe bytes).
     "t32_script_langid" -> {
+      // '' -escape the interpolated probe text: the current samples are
+      // quote-free, but a future apostrophe-bearing probe must not
+      // silently malform the VALUES clause
       val values = scriptSamples.map { case (i, w, t) =>
-        s"(CAST($i AS BIGINT), '$w', '$t')"
+        s"(CAST($i AS BIGINT), '${w.replace("'", "''")}', " +
+          s"'${t.replace("'", "''")}')"
       }.mkString(",\n           ")
       s"""WITH v(sid, want, text) AS (VALUES
            $values),

@@ -30,13 +30,20 @@ import org.apache.spark.sql.functions._
   * engine-portable, so update batches route to the same buckets on any
   * engine or re-run. The manifest is |buckets| lines of driver state.
   *
-  * Atomicity: a manifest is written ONCE, after its commit's data, and
-  * `vN.txt` only becomes the current version when fully written — a
-  * crashed commit leaves orphan data dirs (garbage to collect) but
-  * never a readable-but-wrong version; readers of v≤N are untouched by
-  * any in-flight commit. Concurrent WRITERS are not arbitrated (last
-  * manifest wins) — single-writer, many-reader, the common table-format
-  * deployment mode without a coordination service. */
+  * Atomicity + OPTIMISTIC CONCURRENCY: a manifest is staged to a temp
+  * name, then claimed as `vN.txt` via a version-exists check + rename —
+  * the commit only becomes readable when fully written, and a SECOND
+  * writer racing to the same version number FAILS LOUDLY instead of
+  * silently overwriting (on HDFS the rename itself refuses an existing
+  * destination — a true compare-and-swap; on a local filesystem the
+  * exists probe immediately before the rename narrows the race to
+  * microseconds). A crashed commit leaves orphan data dirs (garbage to
+  * collect) but never a readable-but-wrong version; readers of v≤N are
+  * untouched by any in-flight commit. [[vacuum]] must run inside the
+  * same single-writer serialization as commits (it skips data dirs
+  * newer than the newest manifest, so an in-flight commit's
+  * already-written data survives a racing vacuum — but a vacuum racing
+  * the manifest claim itself is still the caller's lock to take). */
 object VersionedTable {
 
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
@@ -57,10 +64,12 @@ object VersionedTable {
       .foldLeft(0)(math.max)
   }
 
-  /** Manifest body: header line `buckets<TAB>n`, then one
-    * `bucket<TAB>relative-data-dir` line per non-empty bucket. */
-  private def readManifest(fs: FileSystem, tableDir: String,
-                           version: Int): (Int, Map[Long, String]) = {
+  /** Manifest body: header line `buckets<TAB>n`, an optional
+    * `tag<TAB>label` line (idempotence marker — see [[taggedVersion]]),
+    * then one `bucket<TAB>relative-data-dir` line per non-empty
+    * bucket. Returns (buckets, tag, entries). */
+  private def readManifestFull(fs: FileSystem, tableDir: String,
+      version: Int): (Int, Option[String], Map[Long, String]) = {
     val p = new Path(s"$tableDir/manifests/v$version.txt")
     require(fs.exists(p), s"version $version does not exist under $tableDir")
     val in = fs.open(p)
@@ -72,21 +81,54 @@ object VersionedTable {
     val lines = body.linesIterator.filter(_.nonEmpty).toSeq
     val Array(hk, hv) = lines.head.split('\t')
     require(hk == "buckets", s"malformed manifest header: ${lines.head}")
-    (hv.toInt, lines.tail.map { line =>
-      val Array(b, dir) = line.split('\t')
-      b.toLong -> dir
-    }.toMap)
+    val (tagLines, entryLines) = lines.tail.partition(_.startsWith("tag\t"))
+    (hv.toInt, tagLines.headOption.map(_.stripPrefix("tag\t")),
+      entryLines.map { line =>
+        val Array(b, dir) = line.split('\t')
+        b.toLong -> dir
+      }.toMap)
   }
 
-  private def writeManifest(fs: FileSystem, tableDir: String, version: Int,
-                            buckets: Int,
-                            entries: Map[Long, String]): Unit = {
-    val p = new Path(s"$tableDir/manifests/v$version.txt")
-    val out = fs.create(p, false) // no overwrite: versions are immutable
-    try out.write((s"buckets\t$buckets" +: entries.toSeq.sortBy(_._1)
-      .map { case (b, d) => s"$b\t$d" }).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+  private def readManifest(fs: FileSystem, tableDir: String,
+                           version: Int): (Int, Map[Long, String]) = {
+    val (b, _, m) = readManifestFull(fs, tableDir, version)
+    (b, m)
   }
+
+  /** Stage the manifest body under a temp name, then CLAIM the version:
+    * exists-check + atomic rename. The optimistic-concurrency commit —
+    * two writers racing to the same version number leave exactly ONE
+    * committed manifest; the loser gets an IllegalStateException and
+    * its staged file is cleaned up (its orphan data dirs are collectible
+    * garbage, never readable). */
+  private[graft] def writeManifest(fs: FileSystem, tableDir: String,
+                            version: Int,
+                            buckets: Int, entries: Map[Long, String],
+                            tag: Option[String] = None): Unit = {
+    val p = new Path(s"$tableDir/manifests/v$version.txt")
+    val stage = new Path(s"$tableDir/manifests/" +
+      s".stage_v${version}_${java.util.UUID.randomUUID()}.txt")
+    val body = (Seq(s"buckets\t$buckets") ++ tag.map(t => s"tag\t$t") ++
+      entries.toSeq.sortBy(_._1).map { case (b, d) => s"$b\t$d" })
+      .mkString("\n")
+    val out = fs.create(stage, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val claimed = !fs.exists(p) && fs.rename(stage, p)
+    if (!claimed) {
+      fs.delete(stage, false)
+      throw new IllegalStateException(s"concurrent writer: version " +
+        s"$version already committed under $tableDir — retry on top of " +
+        s"the new current version")
+    }
+  }
+
+  /** Pin the bucketed batch so the touched-bucket collect and the
+    * commit's parquet write see IDENTICAL rows — a non-deterministic
+    * updates plan (sample/limit/shuffle-nondeterministic source) would
+    * otherwise route rows into buckets absent from the collected list,
+    * silently losing them from the new version. Bounded: update batches
+    * are the small side of a commit by design. */
+  private def pinned(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
   /** Create the table: every row bucketed by `keyCol`, written once as
     * commit 1, manifest v1 pinning all buckets. Returns 1. */
@@ -101,13 +143,18 @@ object VersionedTable {
       .write.mode(SaveMode.ErrorIfExists).partitionBy("__bucket")
       .parquet(s"$tableDir/data/c1")
     // only buckets that actually received rows exist on disk
-    val present = fs.listStatus(new Path(s"$tableDir/data/c1"))
-      .map(_.getPath.getName).filter(_.startsWith("__bucket="))
-      .map(n => n.stripPrefix("__bucket=").toLong)
+    val present = writtenBuckets(fs, tableDir, 1)
     writeManifest(fs, tableDir, 1, buckets,
       present.map(b => b -> s"data/c1/__bucket=$b").toMap)
     1
   }
+
+  /** The `__bucket=` partition dirs commit `c` actually produced. */
+  private def writtenBuckets(fs: FileSystem, tableDir: String,
+                             c: Int): Set[Long] =
+    fs.listStatus(new Path(s"$tableDir/data/c$c"))
+      .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toLong).toSet
 
   /** MERGE an update batch as a new commit: rows whose key matches are
     * replaced, new keys insert ([[graft.ops.PipelineOps.upsert]]
@@ -128,7 +175,7 @@ object VersionedTable {
     require(v >= 1, s"no table to upsert under $tableDir")
     val fs = fsOf(spark, tableDir)
     val (buckets, man) = readManifest(fs, tableDir, v)
-    val upd = updates.withColumn("__bucket", bucketOf(keyCol, buckets))
+    val upd = pinned(updates.withColumn("__bucket", bucketOf(keyCol, buckets)))
     // bounded driver list: ≤ |buckets| touched bucket ids
     val touched = upd.select("__bucket").distinct()
       .collect().map(_.getLong(0)).sorted
@@ -143,7 +190,14 @@ object VersionedTable {
     val next = v + 1
     merged.write.mode(SaveMode.ErrorIfExists).partitionBy("__bucket")
       .parquet(s"$tableDir/data/c$next")
-    val rewritten = touched
+    // belt-and-braces: the manifest references exactly the dirs the write
+    // produced (with the pinned batch, written == touched — an upsert
+    // keeps every base and update row, so no touched bucket can empty)
+    val written = writtenBuckets(fs, tableDir, next)
+    require(written == touched.toSet,
+      s"commit $next wrote buckets $written but collected $touched — " +
+        "updates plan changed between evaluations")
+    val rewritten = written.toSeq
       .map(b => b -> s"data/c$next/__bucket=$b").toMap
     writeManifest(fs, tableDir, next, buckets, man ++ rewritten)
     next
@@ -159,14 +213,19 @@ object VersionedTable {
     * the new manifest simply DROPS that bucket's entry (an absent entry
     * IS the empty bucket — only directories the write actually produced
     * are referenced, so a reader never points at a missing dir).
+    * An optional `tag` label is recorded in the manifest — the
+    * IDEMPOTENCE marker a streaming sink needs: foreachBatch may replay
+    * an epoch after a failure, and [[taggedVersion]] lets the sink skip
+    * a batch whose tag already committed (exactly-once CDC ingestion).
     * Returns the new version number. */
   def commitCdc(spark: SparkSession, tableDir: String, changes: DataFrame,
-                keyCol: String, opCol: String): Int = {
+                keyCol: String, opCol: String,
+                tag: Option[String] = None): Int = {
     val v = currentVersion(spark, tableDir)
     require(v >= 1, s"no table to apply CDC under $tableDir")
     val fs = fsOf(spark, tableDir)
     val (buckets, man) = readManifest(fs, tableDir, v)
-    val chg = changes.withColumn("__bucket", bucketOf(keyCol, buckets))
+    val chg = pinned(changes.withColumn("__bucket", bucketOf(keyCol, buckets)))
     // bounded driver list: ≤ |buckets| touched bucket ids
     val touched = chg.select("__bucket").distinct()
       .collect().map(_.getLong(0)).sorted // ≤ |buckets| rows
@@ -182,14 +241,27 @@ object VersionedTable {
       .parquet(s"$tableDir/data/c$next")
     // deletes may have emptied a touched bucket — reference only the
     // bucket dirs the write actually produced
-    val written = fs.listStatus(new Path(s"$tableDir/data/c$next"))
-      .map(_.getPath.getName).filter(_.startsWith("__bucket="))
-      .map(_.stripPrefix("__bucket=").toLong).toSet
+    val written = writtenBuckets(fs, tableDir, next)
     val newEntries = touched.filter(written)
       .map(b => b -> s"data/c$next/__bucket=$b").toMap
     writeManifest(fs, tableDir, next, buckets,
-      (man -- touched.filterNot(written)) ++ newEntries)
+      (man -- touched.filterNot(written)) ++ newEntries, tag)
     next
+  }
+
+  /** The newest version whose manifest carries `tag`, if any — the
+    * exactly-once handshake for streaming commits: a foreachBatch sink
+    * tags each commit with its epoch id and skips epochs already
+    * committed ([[graft.streaming.StreamOps.cdcCommitIngest]] is the
+    * loop). Bounded: |versions| manifest header reads, newest first. */
+  def taggedVersion(spark: SparkSession, tableDir: String,
+                    tag: String): Option[Int] = {
+    val fs = fsOf(spark, tableDir)
+    val cur = currentVersion(spark, tableDir)
+    (cur to 1 by -1).find { v =>
+      fs.exists(new Path(s"$tableDir/manifests/v$v.txt")) &&
+        readManifestFull(fs, tableDir, v)._2.contains(tag)
+    }
   }
 
   /** TIME TRAVEL: the table exactly as of `version` — reads only that
@@ -198,14 +270,27 @@ object VersionedTable {
     * mergeSchema reconciles buckets written before/after a schema
     * evolution (pre-evolution buckets surface null for added columns);
     * a version whose dirs ALL predate the evolution keeps its original
-    * schema — the schema itself time-travels. */
+    * schema — the schema itself time-travels. A version whose manifest
+    * is EMPTY (a delete-heavy CDC batch legitimately empties every
+    * bucket) reads back as an empty table with the schema of the
+    * nearest earlier non-empty version (data dirs are immutable, so
+    * the template read is free). */
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Int): DataFrame = {
     val fs = fsOf(spark, tableDir)
     val (_, man) = readManifest(fs, tableDir, version)
-    require(man.nonEmpty, s"version $version of $tableDir is empty")
-    spark.read.option("mergeSchema", "true").parquet(
-      man.values.toSeq.sorted.map(d => s"$tableDir/$d"): _*)
+    if (man.nonEmpty)
+      spark.read.option("mergeSchema", "true").parquet(
+        man.values.toSeq.sorted.map(d => s"$tableDir/$d"): _*)
+    else {
+      val tpl = (version - 1 to 1 by -1).iterator
+        .filter(v => fs.exists(new Path(s"$tableDir/manifests/v$v.txt")))
+        .map(v => readManifest(fs, tableDir, v)._2)
+        .collectFirst { case m if m.nonEmpty => m }
+      require(tpl.isDefined, s"version $version of $tableDir is empty " +
+        "and no prior version carries a schema template")
+      spark.read.parquet(s"$tableDir/${tpl.get.values.head}").limit(0)
+    }
   }
 
   /** The manifest as data: (bucket, data_dir) for `version` — the
@@ -223,7 +308,11 @@ object VersionedTable {
     * survives; only truly orphaned data is reclaimed). The
     * storage-reclamation half of the versioned-table contract: history
     * is free only until you prune it, and pruning must never touch a
-    * byte a kept version can still read. Pure driver-side FS walking —
+    * byte a kept version can still read. Data dirs NEWER than the
+    * newest manifest are skipped — an in-flight commit writes data
+    * before its manifest, and a racing vacuum must not reap it
+    * (manifest-claim races remain the caller's single-writer lock;
+    * see the object Scaladoc). Pure driver-side FS walking —
     * |versions| manifest reads + |dirs| lists, no Spark job. Returns
     * (droppedVersions, deletedDirs). */
   def vacuum(spark: SparkSession, tableDir: String,
@@ -246,17 +335,21 @@ object VersionedTable {
     val dataRoot = new Path(s"$tableDir/data")
     fs.listStatus(dataRoot).foreach { c =>
       val commit = c.getPath.getName
-      fs.listStatus(c.getPath).foreach { b =>
-        val name = b.getPath.getName
-        if (name.startsWith("__bucket=")
-            && !referenced(s"data/$commit/$name")) {
-          fs.delete(b.getPath, true); deleted += 1
+      val cid = commit.stripPrefix("c").toIntOption
+      // skip in-flight commits (data written, manifest not yet claimed)
+      if (cid.exists(_ <= cur)) {
+        fs.listStatus(c.getPath).foreach { b =>
+          val name = b.getPath.getName
+          if (name.startsWith("__bucket=")
+              && !referenced(s"data/$commit/$name")) {
+            fs.delete(b.getPath, true); deleted += 1
+          }
         }
+        // commit dir fully orphaned (only _SUCCESS markers left) → drop it
+        if (!fs.listStatus(c.getPath)
+            .exists(_.getPath.getName.startsWith("__bucket=")))
+          fs.delete(c.getPath, true)
       }
-      // commit dir fully orphaned (only _SUCCESS markers left) → drop it
-      if (!fs.listStatus(c.getPath)
-          .exists(_.getPath.getName.startsWith("__bucket=")))
-        fs.delete(c.getPath, true)
     }
     (dropped, deleted)
   }

@@ -143,6 +143,54 @@ object StreamOps {
     (q, () => state)
   }
 
+  /** Streaming CDC → VERSIONED COMMITS — the exactly-once lakehouse
+    * ingestion loop stitching [[cdcIngest]] to
+    * [[graft.sources.VersionedTable.commitCdc]]: each micro-batch of
+    * RAW out-of-order change rows folds into the bounded seq-retaining
+    * compacted state, and the slice of that state the batch TOUCHED
+    * (the state's WINNING row per batch key — never the raw batch
+    * rows) lands as one tagged MERGE commit on the versioned table.
+    * Committing the state's winner makes arrival order harmless: a
+    * late lower-seq row re-commits the unchanged winner (idempotent
+    * content), and tombstones retained in the state keep a late update
+    * from resurrecting a deleted key. Exactly-once across failures:
+    * every commit carries an `epoch=<id>` tag, and a replayed epoch
+    * (foreachBatch re-executes after a restart) finds its tag via
+    * [[graft.sources.VersionedTable.taggedVersion]] and skips. The
+    * table advances one version per non-empty batch, and any
+    * intermediate version time-travels back to the exact prefix state
+    * — batch boundaries become pinned history. Returns the query + a
+    * reader of the compacted state. */
+  def cdcCommitIngest(stream: DataFrame, tableDir: String, keyCol: String,
+                      seqCol: String, opCol: String)
+      : (StreamingQuery, () => DataFrame) = {
+    val spark = stream.sparkSession
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), stream.schema)
+    @volatile var state: DataFrame = empty
+    val q = stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        val b = batch.toDF()
+        if (!b.isEmpty) {
+          val next = graft.ops.PipelineOps
+            .compactCdcWithSeq(state.unionByName(b), Seq(keyCol), seqCol)
+            .localCheckpoint(true) // ≤ |keys| rows; lineage cut per epoch
+          val tag = s"epoch=$epoch"
+          if (graft.sources.VersionedTable
+              .taggedVersion(spark, tableDir, tag).isEmpty) {
+            val touched = b.select(keyCol).distinct()
+            graft.sources.VersionedTable.commitCdc(spark, tableDir,
+              next.join(touched, Seq(keyCol), "left_semi").drop(seqCol),
+              keyCol, opCol, Some(tag))
+          }
+          state = next
+        }
+        ()
+      }
+      .start()
+    (q, () => state)
+  }
+
   /** Streaming histogram ingestion: every micro-batch's per-bin counts
     * merge into a bounded |bins|-row state with one keyed sum — counts
     * are ADDITIVE, so the accumulated histogram equals the batch

@@ -500,6 +500,26 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 4L, 4L, "unique words only here")))
   }
 
+  test("exactSubstrDedup cuts only tokens inside >=k-token shared " +
+      "substrings; shorter shared phrases survive (d49 gate)") {
+    // shared 6-token run "p q r s t u" (>= k=6) must cut from BOTH
+    // docs; the shared 5-token phrase "a b c d e" (< k) must survive —
+    // the granularity distinction vs removeRepeatedSpans at n=5
+    val tiny = Seq(
+      (1L, "a b c d e p q r s t u one"),
+      (2L, "two p q r s t u a b c d e"),
+      (3L, "p q r s t wholly unrelated doc") // 5 shared tokens only
+    ).toDF("doc_id", "text")
+    val got = DedupOps.exactSubstrDedup(tiny, "doc_id", "text", k = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    Caches.clear()
+    assert(got.toSeq == Seq(
+      (1L, 12L, 6L, "a b c d e one"),
+      (2L, 12L, 6L, "two a b c d e"),
+      (3L, 8L, 8L, "p q r s t wholly unrelated doc")))
+  }
+
   test("ivfRepair on a meta= index keeps the label column intact") {
     assume(haveFixture)
     val e = Tables.embeddings(spark, fixtureDir)

@@ -292,6 +292,61 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     assert(VersionedTable.readVersion(spark, tbl, 1).count() == 32)
   }
 
+  test("optimistic concurrency: two writers racing to the same version " +
+      "leave exactly ONE committed manifest; the loser fails loudly") {
+    import graft.sources.VersionedTable
+    import org.apache.hadoop.fs.Path
+    val tbl = tmp() + "/tbl"
+    val base = spark.range(0, 16)
+      .select(col("id"), concat(lit("v1-"), col("id")).as("s"))
+    VersionedTable.commitCreate(base, tbl, "id", buckets = 4)
+    val fs = new Path(tbl).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // both writers computed next = 2 from the same currentVersion read;
+    // writer A claims v2 first
+    VersionedTable.writeManifest(fs, tbl, 2, 4,
+      Map(0L -> "data/c2/__bucket=0"))
+    // writer B's claim of the SAME version must fail loudly…
+    intercept[IllegalStateException] {
+      VersionedTable.writeManifest(fs, tbl, 2, 4,
+        Map(0L -> "data/c3/__bucket=0"))
+    }
+    // …leave writer A's manifest untouched, and clean up its staging file
+    assert(VersionedTable.manifest(spark, tbl, 2)
+      == Seq(0L -> "data/c2/__bucket=0"))
+    assert(!fs.listStatus(new Path(s"$tbl/manifests"))
+      .exists(_.getPath.getName.startsWith(".stage_")),
+      "loser's staged manifest must be deleted")
+    // a REAL second commit retries on top of the new current version (3)
+    assert(VersionedTable.currentVersion(spark, tbl) == 2)
+  }
+
+  test("an all-deletes CDC commit empties every bucket: the version is " +
+      "valid and reads back EMPTY with the prior schema; tags resolve") {
+    import graft.sources.VersionedTable
+    val tbl = tmp() + "/tbl"
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    VersionedTable.commitCreate(base, tbl, "id", buckets = 2)
+    val wipe = Seq((1L, "x", "D"), (2L, "x", "D"), (3L, "x", "D"))
+      .toDF("id", "s", "op")
+    VersionedTable.commitCdc(spark, tbl, wipe, "id", "op",
+      tag = Some("epoch=7"))
+    assert(VersionedTable.manifest(spark, tbl, 2).isEmpty)
+    val v2 = VersionedTable.readVersion(spark, tbl, 2)
+    assert(v2.columns.toSeq == Seq("id", "s"),
+      "empty version must keep the prior schema")
+    assert(v2.count() == 0)
+    // the tag is discoverable (the streaming sink's exactly-once probe)
+    assert(VersionedTable.taggedVersion(spark, tbl, "epoch=7") == Some(2))
+    assert(VersionedTable.taggedVersion(spark, tbl, "epoch=9").isEmpty)
+    // and the table keeps working: a later insert commit reads back
+    VersionedTable.commitCdc(spark, tbl,
+      Seq((9L, "z", "U")).toDF("id", "s", "op"), "id", "op")
+    val v3 = VersionedTable.readVersion(spark, tbl, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(v3 == Seq((9L, "z")))
+  }
+
   test("compactCdc keeps exactly the last-writer row per key; " +
       "applyCdcLog applies it (p26 gate shape)") {
     import graft.ops.PipelineOps
