@@ -293,6 +293,166 @@ object TextOps {
     (out.toSeq, v)
   }
 
+  /** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
+    * unigram model — the OTHER production tokenizer family next to
+    * [[bpeTrain]]'s BPE; mixture pipelines compare both before
+    * committing a vocab), as hard (Viterbi) EM with fixed `rounds`:
+    *
+    *  1. SEED: every ≤`maxPiece`-char substring of the corpus
+    *     vocabulary, frequency-weighted; vocab = all single chars
+    *     (coverage guarantee) ∪ top-`seedVocab` multi-char pieces.
+    *  2. E-step: Viterbi-segment every distinct word under the current
+    *     piece probabilities (max-PRODUCT dynamic program — products
+    *     and comparisons only, so identical doubles give bit-identical
+    *     segmentations on any engine; ties break to the LONGER last
+    *     piece via struct ordering), count piece usage weighted by
+    *     word frequency.
+    *  3. M-step: prune pieces with zero usage (chars never prune),
+    *     re-estimate p(piece) = (cnt+1)/(T+|V|) — Laplace-smoothed
+    *     EXACT integer division, the engine-portability backbone: no
+    *     logs, no exp, nothing transcendental anywhere in the loop.
+    *
+    * Returns the per-round usage table (round, piece, cnt) — the EM
+    * trace a tokenizer-training run ships for audit.
+    *
+    * Scale shape: the DP runs DISTRIBUTED over the |vocab|-sized
+    * distinct-word frame (one staged HOF fold per word — state is
+    * O(word length), never corpus-sized); only the piece table
+    * (≤ chars + seedVocab rows) ever reaches the driver, once per
+    * round — the loadCentroids bound. The corpus is scanned once for
+    * word frequencies. */
+  def unigramTrain(df: DataFrame, textCol: String, maxPiece: Int = 4,
+                   seedVocab: Int = 30, rounds: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val (trace, _, _) = unigramLoop(df, textCol, maxPiece, seedVocab, rounds)
+    import spark.implicits._
+    trace.toDF("round", "piece", "cnt")
+  }
+
+  /** [[unigramTrain]] + APPLY: segment every document with the trained
+    * model — each token Viterbi-splits into subword pieces, the doc
+    * reassembles in token order. Returns (id, n_tokens, n_pieces,
+    * seg) where `seg` is the full piece stream; fingerprint it for a
+    * compact gate. The apply is ONE join from the doc tokens to the
+    * |vocab|-sized word→segmentation table (computed once) — the
+    * tokenizer inference shape: at 100 TB the corpus shuffles only on
+    * (word), and the segmentation table broadcasts. */
+  def unigramSegment(df: DataFrame, idCol: String, textCol: String,
+                     maxPiece: Int = 4, seedVocab: Int = 30,
+                     rounds: Int = 3): DataFrame = {
+    val (_, words, pFinal) = unigramLoop(df, textCol, maxPiece,
+      seedVocab, rounds)
+    val seg = viterbiPieces(words, pFinal, maxPiece)
+      .select(col("w"), array_join(col("__ps"), " ").as("__seg"),
+        size(col("__ps")).as("__np"))
+    val toks = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+      .select(col("id"), posexplode(col("__ts")))
+      .select(col("id"), col("pos"), col("col").as("w"))
+    toks.join(broadcast(seg), Seq("w"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__np")).as("n_pieces"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__seg")))),
+          s => s.getField("__seg")), " ").as("seg"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        col("n_pieces").cast("long").as("n_pieces"), col("seg"))
+  }
+
+  /** Shared EM loop: returns (per-round usage rows, the persisted
+    * distinct-word frame, the final piece probabilities). Bounded
+    * driver state: one ≤(chars+seedVocab)-row collect per round. */
+  private def unigramLoop(df: DataFrame, textCol: String, maxPiece: Int,
+                          seedVocab: Int, rounds: Int)
+      : (Seq[(Int, String, Long)], DataFrame, Map[String, Double]) = {
+    require(rounds >= 1 && maxPiece >= 2 && seedVocab >= 1,
+      "unigramTrain needs rounds >= 1, maxPiece >= 2, seedVocab >= 1")
+    val words = graft.Caches.track(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // seed substring counts (frequency-weighted, every start × length)
+    val seeds = words
+      .select(col("freq"), explode(flatten(transform(
+          sequence(lit(1), length(col("w"))),
+          i => transform(
+            sequence(lit(1), least(lit(maxPiece), length(col("w")) - i + 1)),
+            l => col("w").substr(i, l))))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+      .collect() // bounded: ≤ |alphabet| + |vocab|·maxPiece substrings of
+                 // a Heaps-law vocab; the multi-char tail is cut to
+                 // seedVocab immediately below
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val chars = seeds.keySet.filter(_.length == 1)
+    val multi = seeds.keySet.filter(_.length > 1).toSeq
+      .sortBy(p => (-seeds(p), p)).take(seedVocab)
+    def laplace(cnt: Map[String, Long],
+                vocab: Set[String]): Map[String, Double] = {
+      val t = vocab.toSeq.map(p => cnt.getOrElse(p, 0L)).sum
+      val n = vocab.size
+      vocab.iterator.map(p =>
+        p -> (cnt.getOrElse(p, 0L) + 1.0) / (t + n)).toMap
+    }
+    var vocab = chars ++ multi
+    var p = laplace(seeds, vocab)
+    val trace = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long)]
+    (1 to rounds).foreach { r =>
+      val cnt = viterbiPieces(words, p, maxPiece)
+        .select(col("freq"), explode(col("__ps")).as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+        .collect() // ≤ |vocab| rows — the loadCentroids bound
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      trace ++= cnt.toSeq.sortBy { case (pc, c) => (-c, pc) }
+        .map { case (pc, c) => (r, pc, c) }
+      vocab = chars ++ vocab.filter(q => cnt.getOrElse(q, 0L) >= 1)
+      p = laplace(cnt, vocab)
+    }
+    (trace.toSeq, words, p)
+  }
+
+  /** Viterbi segmentation of the distinct-word frame under piece
+    * probabilities `p` (a bounded driver map, shipped as a literal):
+    * max-product DP as ONE staged HOF fold per word (best[i] = max over
+    * piece lengths of best[i−l]·p(w[i−l..i]), ties to the longer piece
+    * via struct ordering), then a second fold walks the backpointers
+    * into the piece list. Adds `__ps` (array of pieces). */
+  private def viterbiPieces(words: DataFrame, p: Map[String, Double],
+                            maxPiece: Int): DataFrame = {
+    val pm = map(p.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    def dpStep(acc: Column, i: Column): Column = {
+      val cands = (1 to maxPiece).map { l =>
+        val piece = col("w").substr(i - (l - 1), lit(l))
+        val pv = element_at(pm, piece)
+        when(i >= l && pv.isNotNull,
+          struct((element_at(acc, i - (l - 1)).getField("s") * pv).as("s"),
+            lit(l).as("bl")))
+          .otherwise(struct(lit(-1.0).as("s"), lit(0).as("bl")))
+      }
+      concat(acc, array(greatest(cands: _*)))
+    }
+    val wkInit = struct(length(col("w")).as("pos"),
+      array().cast("array<string>").as("arr"))
+    def wkStep(acc: Column, i: Column): Column = {
+      val pos = acc.getField("pos")
+      val bl = element_at(col("__dp"), pos + 1).getField("bl")
+      when(pos > 0, struct((pos - bl).as("pos"),
+        concat(array(col("w").substr(pos - bl + 1, bl)),
+          acc.getField("arr")).as("arr")))
+        .otherwise(acc)
+    }
+    words
+      .select(col("w"), col("freq"),
+        aggregate(sequence(lit(1), length(col("w"))),
+          array(struct(lit(1.0).as("s"), lit(0).as("bl"))),
+          dpStep).as("__dp"))
+      .select(col("w"), col("freq"),
+        aggregate(sequence(lit(1), length(col("w"))), wkInit, wkStep)
+          .getField("arr").as("__ps"))
+  }
+
   /** Engine-portable 6-dp rounding for NON-NEGATIVE doubles:
     * floor(x·1e6 + 0.5)/1e6. `round()` implementations disagree on
     * half-way doubles (Spark rounds the shortest decimal rendering via

@@ -318,6 +318,31 @@ object TextQueries {
       graft.ops.TextOps.bpeSegment(docs(s, d), "text", merges = 8,
         topK = 20)),
 
+    // UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018 / SentencePiece's other
+    // half — BPE's production sibling): seed = all ≤4-char substrings
+    // of the corpus vocabulary (chars + top-30 multi), then 3 hard-EM
+    // rounds — Viterbi max-product segmentation of every word, usage
+    // recount, zero-usage pruning, Laplace re-estimation. Products,
+    // comparisons and exact integer divisions ONLY (no log/exp), so the
+    // whole loop replays bit-identically as a DuckDB recursive-CTE DP.
+    // Output = the per-round EM usage trace.
+    "t34_unigram_train" -> ((s, d) =>
+      graft.ops.TextOps.unigramTrain(docs(s, d), "text", maxPiece = 4,
+          seedVocab = 30, rounds = 3)
+        .orderBy(col("round"), col("cnt").desc, col("piece"))),
+
+    // UNIGRAM-LM APPLY — tokenizer inference: every document segments
+    // into the trained subword pieces (per-token Viterbi via ONE join
+    // from the doc tokens to the |vocab|-sized word→segmentation
+    // table), reassembled in token order and fingerprinted. The
+    // train→apply story t30/t31 tells for BPE, told for unigram.
+    "t35_unigram_apply" -> ((s, d) =>
+      graft.ops.TextOps.unigramSegment(docs(s, d), "doc_id", "text",
+          maxPiece = 4, seedVocab = 30, rounds = 3)
+        .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+          md5(encode(col("seg"), "UTF-8")).as("seg_fp"))
+        .orderBy("doc_id")),
+
     // Misra-Gries heavy hitters over `source` through the native
     // mergeable aggregate (fixed k-counter state per partial — shuffle
     // payload never grows with cardinality). k=64 exceeds the domain, so
@@ -612,6 +637,116 @@ object TextQueries {
        $rounds"""
   }
 
+  /** t34/t35 shared unigram-EM replay: seed substring counts, Laplace
+    * vocab v0, then per EM round a recursive max-product Viterbi DP
+    * (the prefix-score list grows per recursion step; vocab lookups are
+    * LEFT JOINs — a correlated scalar subquery inside a recursion is
+    * re-planned catastrophically by DuckDB), a recursive backpointer
+    * walk into the piece list, a usage recount, and prune +
+    * re-estimate. Every nonlinear step is products/compares/exact
+    * integer division — bit-identical to the Spark fold. */
+  private def unigramCtes(maxPiece: Int, seedVocab: Int,
+                          rounds: Int): String = {
+    def roundCtes(r: Int, vsrc: String): String = {
+      val joins = (1 to maxPiece).map { l =>
+        s"""LEFT JOIN $vsrc p$l ON i + 1 >= $l
+           AND p$l.piece = substr(w, i + 2 - $l, $l)"""
+      }.mkString("\n   ")
+      val cands = (1 to maxPiece).map { l =>
+        s"""CASE WHEN p$l.p IS NOT NULL THEN
+           {'s': b[i + 2 - $l].s * p$l.p, 'bl': $l}
+           ELSE {'s': CAST(-1.0 AS DOUBLE), 'bl': 0} END"""
+      }.mkString(", ")
+      s"""dp$r AS (
+           SELECT w, freq, 0 AS i,
+             [{'s': CAST(1.0 AS DOUBLE), 'bl': 0}] AS b FROM words
+           UNION ALL
+           SELECT w, freq, i + 1, list_append(b, list_max([$cands]))
+           FROM dp$r
+           $joins
+           WHERE i < length(w)),
+         wk$r AS (
+           SELECT w, freq, length(w) AS i, CAST([] AS VARCHAR[]) AS ps, b
+           FROM dp$r WHERE i = length(w)
+           UNION ALL
+           SELECT w, freq, i - b[i + 1].bl,
+             list_prepend(substr(w, i - b[i + 1].bl + 1, b[i + 1].bl), ps),
+             b
+           FROM wk$r WHERE i > 0),
+         cnt$r AS MATERIALIZED (
+           SELECT u.pc AS piece, CAST(sum(freq) AS BIGINT) AS cnt
+           FROM (SELECT freq, ps FROM wk$r WHERE i = 0),
+             LATERAL unnest(ps) AS u(pc)
+           GROUP BY 1),
+         vo$r AS MATERIALIZED (
+           SELECT vv.piece, COALESCE(c.cnt, 0) AS cnt FROM (
+             SELECT piece FROM chars
+             UNION
+             SELECT v.piece FROM $vsrc v JOIN cnt$r c2
+               ON c2.piece = v.piece AND c2.cnt >= 1) vv
+           LEFT JOIN cnt$r c ON c.piece = vv.piece),
+         tot$r AS MATERIALIZED (
+           SELECT CAST(sum(cnt) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n FROM vo$r),
+         v$r AS MATERIALIZED (
+           SELECT piece, (cnt + 1.0) / (t + n) AS p FROM vo$r, tot$r)"""
+    }
+    s"""words AS MATERIALIZED (
+         SELECT u.t AS w, CAST(count(*) AS BIGINT) AS freq
+         FROM documents, LATERAL unnest($Toks) AS u(t) GROUP BY 1),
+       seeds AS MATERIALIZED (
+         SELECT substr(w, CAST(i.i AS INTEGER), CAST(l.l AS INTEGER))
+             AS piece,
+           CAST(sum(freq) AS BIGINT) AS cnt
+         FROM words,
+           LATERAL unnest(range(1, length(w) + 1)) AS i(i),
+           LATERAL unnest(range(1, $maxPiece + 1)) AS l(l)
+         WHERE i.i + l.l - 1 <= length(w)
+         GROUP BY 1),
+       chars AS MATERIALIZED (
+         SELECT piece FROM seeds WHERE length(piece) = 1),
+       vo0 AS MATERIALIZED (
+         SELECT s.piece, s.cnt FROM seeds s
+         WHERE s.piece IN (
+           SELECT piece FROM chars
+           UNION
+           SELECT piece FROM (
+             SELECT piece FROM seeds WHERE length(piece) > 1
+             ORDER BY cnt DESC, piece ASC LIMIT $seedVocab))),
+       tot0 AS MATERIALIZED (
+         SELECT CAST(sum(cnt) AS BIGINT) AS t,
+           CAST(count(*) AS BIGINT) AS n FROM vo0),
+       v0 AS MATERIALIZED (
+         SELECT piece, (cnt + 1.0) / (t + n) AS p FROM vo0, tot0),
+       ${(1 to rounds).map(r => roundCtes(r, s"v${r - 1}")).mkString(",\n       ")}"""
+  }
+
+  private def unigramTrainSql(maxPiece: Int, seedVocab: Int,
+                              rounds: Int): String = {
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS \"round\", piece, cnt FROM cnt$r")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${unigramCtes(maxPiece, seedVocab, rounds)}
+       SELECT "round", piece, cnt FROM ($sel)
+       ORDER BY "round", cnt DESC, piece ASC"""
+  }
+
+  private def unigramApplySql(maxPiece: Int, seedVocab: Int,
+                              rounds: Int): String =
+    s"""WITH RECURSIVE ${unigramCtes(maxPiece, seedVocab, rounds)},
+       wseg AS MATERIALIZED (
+         SELECT w, array_to_string(ps, ' ') AS seg,
+           CAST(len(ps) AS BIGINT) AS np
+         FROM wk$rounds WHERE i = 0),
+       dtok AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS w
+         FROM (SELECT doc_id, $Toks AS ts FROM documents) t,
+           LATERAL unnest(range(1, len(ts) + 1)) AS u(i))
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(np) AS BIGINT) AS n_pieces,
+         md5(string_agg(seg, ' ' ORDER BY pos)) AS seg_fp
+       FROM dtok JOIN wseg USING (w)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** t23 oracle: identical adjacency pairs via list indexing, then
     * d20's unrolled PageRank replay over the word graph (same 1e-9
     * per-round snap), top-50 by (rank desc, token asc). */
@@ -853,6 +988,15 @@ object TextQueries {
          FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     // the compare hashes the row SET, so the (cnt desc, pair asc) LIMIT
     // tiebreak must be deterministic in both engines
+    // t34/t35: the 3 unigram-EM rounds unrolled as recursive-CTE DPs —
+    // identical seeds, Laplace estimates, max-product Viterbi (struct
+    // list_max ties to the longer piece, matching Spark's greatest) and
+    // recounts; t35 closes with the word→segmentation join over the
+    // corpus tokens.
+    "t34_unigram_train" ->
+      unigramTrainSql(maxPiece = 4, seedVocab = 30, rounds = 3),
+    "t35_unigram_apply" ->
+      unigramApplySql(maxPiece = 4, seedVocab = 30, rounds = 3),
     // t30: the identical 8 greedy rounds unrolled (wrapped replace,
     // same arg-max tie order, MATERIALIZED per round).
     "t30_bpe_train" -> bpeSql(merges = 8),

@@ -500,6 +500,32 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 4L, 4L, "unique words only here")))
   }
 
+  test("unigram-LM tokenizer: EM learns the productive bigram, apply " +
+      "segments losslessly (t34/t35 gates)") {
+    val tiny = Seq((1L, "ab ab c"), (2L, "ab abd c")).toDF("doc_id", "text")
+    // seeds: a,b,c,d chars + ab/bd/abd/ab? multis; p(ab) > p(a)p(b), so
+    // Viterbi keeps 'ab' whole from round 1
+    val trace = TextOps.unigramTrain(tiny, "text", maxPiece = 3,
+        seedVocab = 8, rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val r1 = trace.filter(_._1 == 1).map(t => t._2 -> t._3).toMap
+    assert(r1.getOrElse("ab", 0L) >= 3L,
+      s"'ab' must survive as a whole piece, got $r1")
+    val seg = TextOps.unigramSegment(tiny, "doc_id", "text",
+        maxPiece = 3, seedVocab = 8, rounds = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    Caches.clear()
+    // lossless: dropping the piece separators reconstructs the tokens
+    seg.zip(Seq("ab ab c", "ab abd c")).foreach { case ((_, nt, np, s), txt) =>
+      assert(s.split(' ').mkString == txt.split(' ').mkString,
+        s"segmentation must be lossless: $s vs $txt")
+      assert(np >= nt)
+    }
+    assert(seg(0)._2 == 3 && seg(0)._3 == 3, // 'ab','ab','c' — no splits
+      s"doc 1 should segment into whole pieces, got ${seg(0)}")
+  }
+
   test("exactSubstrDedup cuts only tokens inside >=k-token shared " +
       "substrings; shorter shared phrases survive (d49 gate)") {
     // shared 6-token run "p q r s t u" (>= k=6) must cut from BOTH
