@@ -293,6 +293,138 @@ object TextOps {
     (out.toSeq, v)
   }
 
+  /** Hashed-feature LOGISTIC-REGRESSION text classifier TRAINING — the
+    * fastText-shaped quality/routing filter every mixture pipeline
+    * trains (Joulin et al. 2016; trained here on weak labels the way a
+    * crawl pipeline distills a heuristic or reference corpus into a
+    * cheap scorer): features are token counts hashed into `dim` buckets
+    * (+ a bias feature), the model is full-batch gradient descent for
+    * `iters` fixed iterations. Returns the per-iteration weight trace
+    * (iter, feat, w).
+    *
+    * ENGINE-PORTABLE NUMERICS — the whole loop is bit-identical on any
+    * IEEE engine, with no transcendentals and no rounding-grid
+    * gymnastics on the comparisons:
+    *  - sigmoid is the RATIONAL σ̃(z) = 0.5 + z/(2(1+|z|)) — division
+    *    is correctly rounded, exp is not;
+    *  - residuals snap to the 2⁻²⁰ dyadic grid, so every gradient term
+    *    r̃·x (x integer) is a dyadic rational and the per-feature SUM
+    *    is EXACT in f64 regardless of partial/final association — the
+    *    distributed aggregation cannot drift;
+    *  - weights re-snap to the grid after each update, so per-doc
+    *    margins Σ w·x are exact sums too.
+    *
+    * Scale shape: per iteration ONE keyed sum per doc (margin) + ONE
+    * keyed sum per feature (gradient), both partial+final; only the
+    * (dim+1)-row gradient ever reaches the driver. */
+  def textClassifierTrain(df: DataFrame, idCol: String, textCol: String,
+                          label: Column, dim: Int = 16,
+                          iters: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val (trace, _, _, _) =
+      textClfLoop(df, idCol, textCol, label, dim, iters)
+    import spark.implicits._
+    trace.toDF("iter", "feat", "w")
+  }
+
+  /** [[textClassifierTrain]] + SCORE: train, then score every doc with
+    * the final weights. Returns (id, y, score, pred) — score is the
+    * rational sigmoid of the exact margin, pred its 0.5 threshold.
+    * One codegen'd scan + one keyed margin sum at inference. */
+  def textClassifierScore(df: DataFrame, idCol: String, textCol: String,
+                          label: Column, dim: Int = 16,
+                          iters: Int = 8): DataFrame = {
+    val (_, feats, labels, w) =
+      textClfLoop(df, idCol, textCol, label, dim, iters)
+    val z = margins(feats, w)
+    labels.join(z, Seq("id"))
+      .select(col("id").as(idCol), col("y"),
+        (lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
+          .as("score"),
+        when(col("z") >= 0, 1L).otherwise(0L).as("pred"))
+  }
+
+  /** Exact per-doc margins Σ_f w_f·x_f under grid-snapped weights (a
+    * bounded driver array, shipped as a map literal). */
+  private def margins(feats: DataFrame, w: Array[Double]): DataFrame = {
+    val wm = map(w.zipWithIndex.flatMap { case (v, f) =>
+      Seq(lit(f.toLong), lit(v)) }.toIndexedSeq: _*)
+    feats
+      .select(col("id"),
+        (col("x").cast("double") * element_at(wm, col("feat"))).as("t"))
+      .groupBy("id").agg(sum(col("t")).as("z"))
+  }
+
+  private val ClfGrid = 1048576.0 // 2^20 — the residual/weight grid
+
+  /** Shared GD loop: returns (trace rows, persisted feature frame,
+    * persisted label frame, final weights). Driver state: the
+    * (dim+1)-sized weight array + one (dim+1)-row collect per
+    * iteration. */
+  private def textClfLoop(df: DataFrame, idCol: String, textCol: String,
+                          label: Column, dim: Int, iters: Int)
+      : (Seq[(Int, Long, Double)], DataFrame, DataFrame, Array[Double]) = {
+    require(dim >= 2 && iters >= 1, "need dim >= 2, iters >= 1")
+    def snapCol(c: Column): Column =
+      floor(c * lit(ClfGrid) + lit(0.5)) / lit(ClfGrid)
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+    val lens = base.select(col("id"), size(col("__ts")).as("__n"))
+    // normalized bucket frequencies (grid-snapped) + an explicit length
+    // feature + bias: unnormalized counts make full-batch GD saturate in
+    // the majority direction (the margin is dominated by doc length
+    // through EVERY bucket); normalizing moves the length signal into
+    // its own feature, where one weight + the bias can place the
+    // boundary
+    val bucket = base
+      .select(col("id"), explode(col("__ts")).as("t"))
+      .select(col("id"),
+        pmod(graft.ops.DedupOps.portableHash60(col("t")),
+          lit(dim.toLong)).as("feat"))
+      .groupBy("id", "feat").agg(count(lit(1)).as("__c"))
+      .join(lens, Seq("id"))
+      .select(col("id"), col("feat"),
+        snapCol(col("__c").cast("double")
+          / greatest(col("__n"), lit(1)).cast("double")).as("x"))
+    val lenFeat = lens.select(col("id"), lit(dim.toLong).as("feat"),
+      snapCol(least(col("__n"), lit(512)).cast("double") / lit(512.0))
+        .as("x"))
+    val bias = df.select(col(idCol).as("id"),
+      lit(dim + 1L).as("feat"), lit(1.0).as("x"))
+    val feats = graft.Caches.track(
+      bucket.unionByName(lenFeat).unionByName(bias)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val labels = graft.Caches.track(df
+      .select(col(idCol).as("id"), label.cast("long").as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val n = labels.count().toDouble
+    def snap(v: Double): Double =
+      math.floor(v * ClfGrid + 0.5) / ClfGrid
+    var w = Array.fill(dim + 2)(0.0)
+    val trace = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double)]
+    (1 to iters).foreach { it =>
+      val z = margins(feats, w)
+      // residual on the dyadic grid: y − σ̃(z), snapped; each gradient
+      // TERM r̃·x̃ snaps again, so the per-feature sum is a sum of
+      // 2⁻²⁰-multiples ≤ 1 — exact in f64 to ~8.6 BILLION docs,
+      // regardless of partial/final association
+      val r = labels.join(z, Seq("id"))
+        .select(col("id"),
+          snapCol(col("y").cast("double")
+            - (lit(0.5) + col("z")
+              / (lit(2.0) * (lit(1.0) + abs(col("z")))))).as("r"))
+      val g = feats.join(r, Seq("id"))
+        .select(col("feat"), snapCol(col("r") * col("x")).as("t"))
+        .groupBy("feat").agg(sum(col("t")).as("g"))
+        .collect() // ≤ dim+2 rows — bounded driver state
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      w = w.zipWithIndex.map { case (wf, f) =>
+        snap(wf + 4.0 * g.getOrElse(f.toLong, 0.0) / n) }
+      trace ++= w.zipWithIndex.map { case (wf, f) => (it, f.toLong, wf) }
+    }
+    (trace.toSeq, feats, labels, w)
+  }
+
   /** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
     * unigram model — the OTHER production tokenizer family next to
     * [[bpeTrain]]'s BPE; mixture pipelines compare both before

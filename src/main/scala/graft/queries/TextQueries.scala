@@ -343,6 +343,33 @@ object TextQueries {
           md5(encode(col("seg"), "UTF-8")).as("seg_fp"))
         .orderBy("doc_id")),
 
+    // QUALITY-CLASSIFIER TRAINING in-engine — the fastText-shaped
+    // filter a mixture pipeline DISTILLS its heuristics into (run the
+    // expensive rule once, serve the cheap classifier everywhere):
+    // hashed token counts (16 buckets + bias) → full-batch logistic
+    // regression, 5 fixed iterations, weak label = t02's quality
+    // heuristic >= 0.5 (grid-snapped on both engines, so the label
+    // itself is portable). Rational sigmoid + dyadic-grid residual
+    // snapping make every distributed sum EXACT, so the weight trace
+    // hash-matches the DuckDB unrolled replay with no output rounding.
+    "t36_quality_clf_train" -> ((s, d) =>
+      graft.ops.TextOps.textClassifierTrain(docs(s, d), "doc_id", "text",
+          when(graft.ops.TextOps.qualityScore(col("text")) >= 0.5, 1L)
+            .otherwise(0L),
+          dim = 16, iters = 8)
+        .orderBy("iter", "feat")),
+
+    // QUALITY-CLASSIFIER SCORING — the trained filter applied back over
+    // the corpus: exact margins under the final snapped weights,
+    // rational-sigmoid scores, 0.5-threshold routing decision. The
+    // inference shape is one codegen'd scan + one keyed sum per doc.
+    "t37_quality_clf_score" -> ((s, d) =>
+      graft.ops.TextOps.textClassifierScore(docs(s, d), "doc_id", "text",
+          when(graft.ops.TextOps.qualityScore(col("text")) >= 0.5, 1L)
+            .otherwise(0L),
+          dim = 16, iters = 8)
+        .orderBy("doc_id")),
+
     // Misra-Gries heavy hitters over `source` through the native
     // mergeable aggregate (fixed k-counter state per partial — shuffle
     // payload never grows with cardinality). k=64 exceeds the domain, so
@@ -721,6 +748,84 @@ object TextQueries {
        ${(1 to rounds).map(r => roundCtes(r, s"v${r - 1}")).mkString(",\n       ")}"""
   }
 
+  /** t36/t37 shared logistic-regression replay: hashed-count features,
+    * five unrolled GD iterations — margins as exact keyed sums,
+    * rational sigmoid, dyadic-grid residual snap, Laplace-free update
+    * with the identical `w + 0.5 * g / n` association. */
+  private def clfCtes(dim: Int, iters: Int): String = {
+    val md5long = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+    def snap(e: String) = s"floor(($e) * 1048576.0 + 0.5) / 1048576.0"
+    val its = (1 to iters).map { i =>
+      s"""z$i AS MATERIALIZED (
+           SELECT doc_id, sum(x * w) AS z
+           FROM feats JOIN w${i - 1} USING (feat) GROUP BY 1),
+         r$i AS MATERIALIZED (
+           SELECT l.doc_id,
+             ${snap("CAST(y AS DOUBLE) - (0.5 + z / (2.0 * (1.0 + abs(z))))")}
+               AS r
+           FROM labels l JOIN z$i USING (doc_id)),
+         g$i AS MATERIALIZED (
+           SELECT feat, sum(${snap("r * x")}) AS g
+           FROM feats JOIN r$i USING (doc_id) GROUP BY 1),
+         w$i AS MATERIALIZED (
+           SELECT p.feat,
+             ${snap("p.w + 4.0 * COALESCE(g.g, 0.0) / n")} AS w
+           FROM w${i - 1} p LEFT JOIN g$i g USING (feat), nn)"""
+    }.mkString(",\n       ")
+    s"""t0 AS (SELECT doc_id, text, $Toks AS ts FROM documents),
+       lens AS MATERIALIZED (
+         SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM t0),
+       toks AS (SELECT doc_id, u.t AS t FROM t0,
+           LATERAL unnest(ts) AS u(t)),
+       feats AS MATERIALIZED (
+         SELECT b.doc_id, b.feat,
+           ${snap("CAST(c AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)")}
+             AS x
+         FROM (SELECT doc_id, $md5long % $dim AS feat,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM toks GROUP BY 1, 2) b
+         JOIN lens USING (doc_id)
+         UNION ALL
+         SELECT doc_id, CAST($dim AS BIGINT),
+           ${snap("CAST(least(n, 512) AS DOUBLE) / 512.0")}
+         FROM lens
+         UNION ALL
+         SELECT doc_id, CAST(${dim + 1} AS BIGINT), CAST(1.0 AS DOUBLE)
+         FROM documents),
+       labels AS MATERIALIZED (
+         SELECT doc_id, CASE WHEN
+             floor(least(length(text) / 500.0, 1.0) * greatest(0.0,
+               1.0 - (CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+                 len(list_filter(ts, x -> x IN ('the','a','an','of','and',
+                   'to','in','is','on','for','with'))) * 1.0 / len(ts)
+                 END) * 2.0) * 1e6 + 0.5) / 1e6 >= 0.5
+           THEN 1 ELSE 0 END AS y
+         FROM t0),
+       nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       w0 AS (SELECT CAST(u.f AS BIGINT) AS feat,
+           CAST(0.0 AS DOUBLE) AS w
+         FROM unnest(range(0, ${dim + 2})) AS u(f)),
+       $its"""
+  }
+
+  private def clfTrainSql(dim: Int, iters: Int): String = {
+    val sel = (1 to iters)
+      .map(i => s"SELECT $i AS iter, feat, w FROM w$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${clfCtes(dim, iters)}
+       SELECT iter, feat, w FROM ($sel) ORDER BY iter, feat"""
+  }
+
+  private def clfScoreSql(dim: Int, iters: Int): String =
+    s"""WITH ${clfCtes(dim, iters)},
+       zf AS (SELECT doc_id, sum(x * w) AS z
+         FROM feats JOIN w$iters USING (feat) GROUP BY 1)
+       SELECT l.doc_id, CAST(y AS BIGINT) AS y,
+         0.5 + z / (2.0 * (1.0 + abs(z))) AS score,
+         CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred
+       FROM labels l JOIN zf USING (doc_id)
+       ORDER BY doc_id"""
+
   private def unigramTrainSql(maxPiece: Int, seedVocab: Int,
                               rounds: Int): String = {
     val sel = (1 to rounds)
@@ -997,6 +1102,11 @@ object TextQueries {
       unigramTrainSql(maxPiece = 4, seedVocab = 30, rounds = 3),
     "t35_unigram_apply" ->
       unigramApplySql(maxPiece = 4, seedVocab = 30, rounds = 3),
+    // t36/t37: the identical five GD iterations unrolled; weights and
+    // scores compare as RAW doubles — the dyadic-grid residual snap
+    // makes every sum exact, so no output rounding is needed.
+    "t36_quality_clf_train" -> clfTrainSql(dim = 16, iters = 8),
+    "t37_quality_clf_score" -> clfScoreSql(dim = 16, iters = 8),
     // t30: the identical 8 greedy rounds unrolled (wrapped replace,
     // same arg-max tie order, MATERIALIZED per round).
     "t30_bpe_train" -> bpeSql(merges = 8),

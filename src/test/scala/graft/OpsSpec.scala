@@ -500,6 +500,37 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 4L, 4L, "unique words only here")))
   }
 
+  test("text classifier distills the quality heuristic (acc > 0.8) and " +
+      "its snapped gradients are partitioning-invariant (t36/t37)") {
+    // sf0.01 (the verify fixture): sf0.001's 50 docs are too few for
+    // the distillation to clear a meaningful accuracy bar
+    val clfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$clfDir/documents.parquet").exists)
+    val docs = Tables.documents(spark, clfDir)
+    val label = when(TextOps.qualityScore(col("text")) >= 0.5, 1L)
+      .otherwise(0L)
+    val scored = TextOps.textClassifierScore(docs, "doc_id", "text",
+        label, dim = 16, iters = 8)
+      .select(col("doc_id"), col("y"), col("pred")).collect()
+    val acc = scored.count(r => r.getLong(1) == r.getLong(2)).toDouble /
+      scored.length
+    assert(acc > 0.8, s"distilled classifier should track the heuristic" +
+      s", got acc=$acc")
+    Caches.clear()
+    // exactness: the dyadic-grid term snap makes every distributed sum
+    // exact, so a differently-partitioned input yields IDENTICAL weights
+    def weights(df: org.apache.spark.sql.DataFrame) = {
+      val w = TextOps.textClassifierTrain(df, "doc_id", "text", label,
+          dim = 16, iters = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      Caches.clear()
+      w
+    }
+    assert(weights(docs.repartition(17)) == weights(docs.coalesce(1)),
+      "grid-snapped gradient sums must be association-independent")
+  }
+
   test("unigram-LM tokenizer: EM learns the productive bigram, apply " +
       "segments losslessly (t34/t35 gates)") {
     val tiny = Seq((1L, "ab ab c"), (2L, "ab abd c")).toDF("doc_id", "text")
