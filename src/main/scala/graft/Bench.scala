@@ -53,7 +53,9 @@ object Bench {
     // round-12 tier representatives
     "d46_louvain", "e73_pr_auc", "f77_bad_records",
     // round-13 tier representatives
-    "p26_cdc_compact")
+    "p26_cdc_compact",
+    // round-14 tier representatives
+    "d49_exact_substr", "t34_unigram_train", "t36_quality_clf_train")
 
   // The driver parses the final stdout line from a ~2000-char tail; keep a
   // safety margin for the totals/sf framing and future value-width growth.

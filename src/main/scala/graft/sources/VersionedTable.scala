@@ -249,6 +249,31 @@ object VersionedTable {
     next
   }
 
+  /** [[commitUpsert]] with OPTIMISTIC RETRY — the full
+    * optimistic-concurrency loop a multi-writer deployment runs: on a
+    * lost manifest claim (another writer landed the same version
+    * number first), re-read the NEW current version and re-merge on
+    * top of it, up to `maxRetries` times. Each attempt re-reads only
+    * the touched buckets of the then-current manifest, so a retry
+    * costs one more O(touched) merge, never a table rewrite; the
+    * loser's orphaned data dir is collectible garbage. Returns the
+    * committed version number. */
+  def commitUpsertRetrying(spark: SparkSession, tableDir: String,
+                           updates: DataFrame, keyCol: String,
+                           evolve: Boolean = false,
+                           maxRetries: Int = 3): Int = {
+    var attempt = 0
+    while (true) {
+      try return commitUpsert(spark, tableDir, updates, keyCol, evolve)
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** The newest version whose manifest carries `tag`, if any — the
     * exactly-once handshake for streaming commits: a foreachBatch sink
     * tags each commit with its epoch id and skips epochs already

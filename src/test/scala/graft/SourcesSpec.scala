@@ -303,22 +303,30 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
     val fs = new Path(tbl).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     // both writers computed next = 2 from the same currentVersion read;
-    // writer A claims v2 first
-    VersionedTable.writeManifest(fs, tbl, 2, 4,
-      Map(0L -> "data/c2/__bucket=0"))
+    // writer A claims v2 first (a carry-forward no-op commit, so the
+    // table stays readable for the retry below)
+    val m1 = VersionedTable.manifest(spark, tbl, 1).toMap
+    VersionedTable.writeManifest(fs, tbl, 2, 4, m1)
     // writer B's claim of the SAME version must fail loudly…
     intercept[IllegalStateException] {
       VersionedTable.writeManifest(fs, tbl, 2, 4,
         Map(0L -> "data/c3/__bucket=0"))
     }
     // …leave writer A's manifest untouched, and clean up its staging file
-    assert(VersionedTable.manifest(spark, tbl, 2)
-      == Seq(0L -> "data/c2/__bucket=0"))
+    assert(VersionedTable.manifest(spark, tbl, 2).toMap == m1)
     assert(!fs.listStatus(new Path(s"$tbl/manifests"))
       .exists(_.getPath.getName.startsWith(".stage_")),
       "loser's staged manifest must be deleted")
     // a REAL second commit retries on top of the new current version (3)
     assert(VersionedTable.currentVersion(spark, tbl) == 2)
+    // the optimistic-retry loop: the racing writer's work lands as the
+    // NEXT version instead of failing the job
+    val v3 = VersionedTable.commitUpsertRetrying(spark, tbl,
+      Seq(3L -> "retry-3").toDF("id", "s"), "id")
+    assert(v3 == 3)
+    assert(VersionedTable.readVersion(spark, tbl, 3)
+      .filter(col("id") === 3L).collect().map(_.getString(1)).toSeq
+      == Seq("retry-3"))
   }
 
   test("an all-deletes CDC commit empties every bucket: the version is " +
