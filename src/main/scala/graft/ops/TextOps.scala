@@ -319,10 +319,11 @@ object TextOps {
     * (dim+1)-row gradient ever reaches the driver. */
   def textClassifierTrain(df: DataFrame, idCol: String, textCol: String,
                           label: Column, dim: Int = 16,
-                          iters: Int = 8): DataFrame = {
+                          iters: Int = 8,
+                          memoKey: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     val (trace, _, _, _) =
-      textClfLoop(df, idCol, textCol, label, dim, iters)
+      textClfLoop(df, idCol, textCol, label, dim, iters, memoKey)
     import spark.implicits._
     trace.toDF("iter", "feat", "w")
   }
@@ -333,9 +334,10 @@ object TextOps {
     * One codegen'd scan + one keyed margin sum at inference. */
   def textClassifierScore(df: DataFrame, idCol: String, textCol: String,
                           label: Column, dim: Int = 16,
-                          iters: Int = 8): DataFrame = {
+                          iters: Int = 8,
+                          memoKey: Option[String] = None): DataFrame = {
     val (_, feats, labels, w) =
-      textClfLoop(df, idCol, textCol, label, dim, iters)
+      textClfLoop(df, idCol, textCol, label, dim, iters, memoKey)
     val z = margins(feats, w)
     labels.join(z, Seq("id"))
       .select(col("id").as(idCol), col("y"),
@@ -362,7 +364,8 @@ object TextOps {
     * (dim+1)-sized weight array + one (dim+1)-row collect per
     * iteration. */
   private def textClfLoop(df: DataFrame, idCol: String, textCol: String,
-                          label: Column, dim: Int, iters: Int)
+                          label: Column, dim: Int, iters: Int,
+                          memoKey: Option[String] = None)
       : (Seq[(Int, Long, Double)], DataFrame, DataFrame, Array[Double]) = {
     require(dim >= 2 && iters >= 1, "need dim >= 2, iters >= 1")
     def snapCol(c: Column): Column =
@@ -399,6 +402,11 @@ object TextOps {
     val n = labels.count().toDouble
     def snap(v: Double): Double =
       math.floor(v * ClfGrid + 0.5) / ClfGrid
+    // training-artifact memo (the ivfBuild cacheKey contract): train and
+    // score gates over the same corpus/label share ONE GD run per
+    // session; keys must encode the corpus slice. Values are immutable
+    // (Vector + the trace Seq); the closure runs OUTSIDE the memo lock.
+    def runGd(): (Seq[(Int, Long, Double)], Vector[Double]) = {
     var w = Array.fill(dim + 2)(0.0)
     val trace = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Long, Double)]
@@ -422,7 +430,11 @@ object TextOps {
         snap(wf + 4.0 * g.getOrElse(f.toLong, 0.0) / n) }
       trace ++= w.zipWithIndex.map { case (wf, f) => (it, f.toLong, wf) }
     }
-    (trace.toSeq, feats, labels, w)
+    (trace.toSeq, w.toVector)
+    }
+    val (trace, w) = memoKey.fold(runGd())(k =>
+      graft.Caches.memo(s"clf:$k:d$dim:i$iters")(runGd()))
+    (trace, feats, labels, w.toArray)
   }
 
   /** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece

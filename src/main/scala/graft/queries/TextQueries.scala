@@ -356,7 +356,7 @@ object TextQueries {
       graft.ops.TextOps.textClassifierTrain(docs(s, d), "doc_id", "text",
           when(graft.ops.TextOps.qualityScore(col("text")) >= 0.5, 1L)
             .otherwise(0L),
-          dim = 16, iters = 8)
+          dim = 16, iters = 8, memoKey = Some(s"docs-quality:$d"))
         .orderBy("iter", "feat")),
 
     // QUALITY-CLASSIFIER SCORING — the trained filter applied back over
@@ -367,7 +367,7 @@ object TextQueries {
       graft.ops.TextOps.textClassifierScore(docs(s, d), "doc_id", "text",
           when(graft.ops.TextOps.qualityScore(col("text")) >= 0.5, 1L)
             .otherwise(0L),
-          dim = 16, iters = 8)
+          dim = 16, iters = 8, memoKey = Some(s"docs-quality:$d"))
         .orderBy("doc_id")),
 
     // Misra-Gries heavy hitters over `source` through the native
