@@ -597,6 +597,45 @@ object TextOps {
           .getField("arr").as("__ps"))
   }
 
+  /** Side-by-side tokenizer DATASHEET — BPE vs unigram-LM trained on
+    * the SAME corpus (the comparison a mixture pipeline runs before
+    * committing a vocab): per tokenizer, the number of distinct
+    * subword units actually USED by the segmented corpus, the total
+    * frequency-weighted piece count, and the compression ratio
+    * chars/piece (higher = fewer, longer pieces). Both trainings reuse
+    * the shared loops ([[bpeTrain]]'s merge loop, [[unigramTrain]]'s
+    * EM); the closing statistics are two 1-row aggregate probes per
+    * tokenizer (bounded driver state), assembled driver-side. All
+    * inputs to the ratio are exact integers, so the one division is
+    * engine-identical. */
+  def tokenizerCompare(df: DataFrame, textCol: String, merges: Int = 8,
+                       maxPiece: Int = 4, seedVocab: Int = 30,
+                       rounds: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (_, vFinal) = bpeLoop(df, textCol, merges)
+    val bpeSt = vFinal.select(split(col("s"), " ").as("ps"), col("freq"),
+      length(translate(col("s"), " |", "")).cast("long").as("wlen"))
+    val (_, words, pFinal) =
+      unigramLoop(df, textCol, maxPiece, seedVocab, rounds)
+    val uniSt = viterbiPieces(words, pFinal, maxPiece)
+      .select(col("__ps").as("ps"), col("freq"),
+        length(col("w")).cast("long").as("wlen"))
+    def stats(st: DataFrame, norm: Column => Column): (Long, Long, Long) = {
+      val a = st.agg(
+        sum(col("freq") * size(col("ps")).cast("long")).as("pt"),
+        sum(col("freq") * col("wlen")).as("ct")).head() // 1-row probe
+      val v = st.select(explode(col("ps")).as("t"))
+        .agg(count_distinct(norm(col("t"))).as("vu")).head() // 1-row probe
+      (v.getLong(0), a.getLong(0), a.getLong(1))
+    }
+    val (bv, bp, bc) = stats(bpeSt, t => trim(t, "|"))
+    val (uv, up, uc) = stats(uniSt, identity)
+    Seq(("bpe", bv, bp, bc.toDouble / bp.toDouble),
+        ("unigram", uv, up, uc.toDouble / up.toDouble))
+      .toDF("tokenizer", "vocab_used", "pieces_total", "chars_per_piece")
+  }
+
   /** Engine-portable 6-dp rounding for NON-NEGATIVE doubles:
     * floor(x·1e6 + 0.5)/1e6. `round()` implementations disagree on
     * half-way doubles (Spark rounds the shortest decimal rendering via

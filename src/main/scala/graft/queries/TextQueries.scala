@@ -370,6 +370,17 @@ object TextQueries {
           dim = 16, iters = 8, memoKey = Some(s"docs-quality:$d"))
         .orderBy("doc_id")),
 
+    // TOKENIZER DATASHEET — BPE vs unigram-LM trained on the SAME
+    // corpus (the decision table a mixture pipeline reads before
+    // committing a vocab): distinct subword units actually used,
+    // frequency-weighted piece totals, chars/piece compression. The
+    // oracle replays BOTH training loops in one statement (each in its
+    // own nested WITH — the CTE name families collide otherwise).
+    "t38_tokenizer_compare" -> ((s, d) =>
+      graft.ops.TextOps.tokenizerCompare(docs(s, d), "text", merges = 8,
+          maxPiece = 4, seedVocab = 30, rounds = 3)
+        .orderBy("tokenizer")),
+
     // Misra-Gries heavy hitters over `source` through the native
     // mergeable aggregate (fixed k-counter state per partial — shuffle
     // payload never grows with cardinality). k=64 exceeds the domain, so
@@ -1107,6 +1118,50 @@ object TextQueries {
     // makes every sum exact, so no output rounding is needed.
     "t36_quality_clf_train" -> clfTrainSql(dim = 16, iters = 8),
     "t37_quality_clf_score" -> clfScoreSql(dim = 16, iters = 8),
+    // t38: both training loops replayed in ONE statement, each inside
+    // its own nested WITH (bpe's v0..v8 and unigram's v0..v3 CTE name
+    // families collide at the top level); the closing ratio divides two
+    // exact integers.
+    "t38_tokenizer_compare" ->
+      s"""SELECT tokenizer, vocab_used, pieces_total, chars_per_piece
+         FROM (
+           SELECT 'bpe' AS tokenizer, vocab_used, pieces_total,
+             chars_per_piece
+           FROM (
+             WITH ${bpeCtes(8)},
+               st AS (SELECT string_split(s, ' ') AS ps, freq,
+                   CAST(length(replace(replace(s, ' ', ''), '|', ''))
+                     AS BIGINT) AS wlen
+                 FROM v8),
+               agg AS (SELECT
+                   CAST(sum(freq * len(ps)) AS BIGINT) AS pieces_total,
+                   CAST(sum(freq * wlen) AS BIGINT) AS chars_total
+                 FROM st),
+               vu AS (SELECT CAST(count(DISTINCT trim(u.t, '|'))
+                     AS BIGINT) AS vocab_used
+                 FROM st, LATERAL unnest(ps) AS u(t))
+             SELECT vocab_used, pieces_total,
+               CAST(chars_total AS DOUBLE)
+                 / CAST(pieces_total AS DOUBLE) AS chars_per_piece
+             FROM agg, vu)
+           UNION ALL
+           SELECT 'unigram', vocab_used, pieces_total, chars_per_piece
+           FROM (
+             WITH RECURSIVE ${unigramCtes(4, 30, 3)},
+               st AS (SELECT ps, freq, CAST(length(w) AS BIGINT) AS wlen
+                 FROM wk3 WHERE i = 0),
+               agg AS (SELECT
+                   CAST(sum(freq * len(ps)) AS BIGINT) AS pieces_total,
+                   CAST(sum(freq * wlen) AS BIGINT) AS chars_total
+                 FROM st),
+               vu AS (SELECT CAST(count(DISTINCT u.t) AS BIGINT)
+                     AS vocab_used
+                 FROM st, LATERAL unnest(ps) AS u(t))
+             SELECT vocab_used, pieces_total,
+               CAST(chars_total AS DOUBLE)
+                 / CAST(pieces_total AS DOUBLE) AS chars_per_piece
+             FROM agg, vu))
+         ORDER BY tokenizer""",
     // t30: the identical 8 greedy rounds unrolled (wrapped replace,
     // same arg-max tie order, MATERIALIZED per round).
     "t30_bpe_train" -> bpeSql(merges = 8),
