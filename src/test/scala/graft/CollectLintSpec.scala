@@ -147,7 +147,17 @@ class CollectLintSpec extends AnyFunSuite {
       "sum(greatest(size(col(\"__ts\")) - 1, lit(0))).as(\"nb\")).head()" ->
         "pmi corpus token/bigram totals: 1-row aggregate",
       "sum(u6(x * x)).as(\"sxx\")).head()" ->
-        "zipf regression sums: 1-row aggregate of exact integer units"),
+        "zipf regression sums: 1-row aggregate of exact integer units",
+      ".collect() // bounded: ≤ |alphabet| + |vocab|·maxPiece substrings of" ->
+        "unigram seed counts: alphabet + capped substring tail",
+      ".collect() // ≤ |vocab| rows — the loadCentroids bound" ->
+        "unigram per-round piece usage: ≤ chars + seedVocab rows",
+      ".collect() // ≤ dim+2 rows — bounded driver state" ->
+        "classifier per-iteration gradient: dim+2 rows",
+      "sum(col(\"freq\") * col(\"wlen\")).as(\"ct\")).head() // 1-row probe" ->
+        "tokenizerCompare piece/char totals: 1-row aggregate",
+      ".agg(count_distinct(norm(col(\"t\"))).as(\"vu\")).head() // 1-row probe" ->
+        "tokenizerCompare used-vocab count: 1-row aggregate"),
     "ValidateOps.scala" -> Map(
       "val r = df.agg(aggs.head, aggs.tail: _*).head() // 1 row: rule sums" ->
         "fused row rules: 1-row aggregate",
