@@ -126,6 +126,47 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("cdcCommitIngest: adversarial order folds correctly, and a " +
+      "REPLAYED epoch commits nothing twice (exactly-once via tags)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_cdc_commit").toString
+    val tbl = s"$root/tbl"
+    VersionedTable.commitCreate(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      tbl, "id", buckets = 2)
+    def run(batches: Seq[Seq[(Long, String, String, Long)]]): Unit = {
+      val in = MemoryStream[(Long, String, String, Long)]
+      val (q, _) = StreamOps.cdcCommitIngest(
+        in.toDF.toDF("id", "s", "op", "seq"), tbl, "id", "seq", "op")
+      try batches.foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+    }
+    // seq-3 first, then seq-1 (late, lower) — the late row must lose
+    run(Seq(
+      Seq((1L, "a-v3", "U", 3L), (2L, "x", "D", 3L)), // epoch 0
+      Seq((1L, "a-v1", "U", 1L), (9L, "new", "U", 1L)))) // epoch 1
+    assert(VersionedTable.currentVersion(spark, tbl) == 3)
+    def readCur = VersionedTable
+      .readVersion(spark, tbl, VersionedTable.currentVersion(spark, tbl))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val afterRun = readCur
+    assert(afterRun == Seq((1L, "a-v3"), (3L, "c"), (9L, "new")),
+      s"late lower-seq must lose, tombstone must delete: $afterRun")
+    // REPLAY: a restarted query re-delivers epoch 0's data as its own
+    // epoch 0 (foreachBatch's failure contract) — the tag lookup must
+    // SKIP the commit: version count and content unchanged
+    run(Seq(Seq((1L, "a-v3", "U", 3L), (2L, "x", "D", 3L))))
+    assert(VersionedTable.currentVersion(spark, tbl) == 3,
+      "replayed epoch must not commit a new version")
+    assert(readCur == afterRun)
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   test("watermarked tumbling window aggregates by event time") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
