@@ -738,6 +738,36 @@ object DedupQueries {
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
 
+  /** d49/p35 shared ExactSubstr replay: 50-token positional windows
+    * under the md5-long idiom, candidate hashes by distinct-doc count,
+    * text re-verification within candidate groups, ×k position unnest,
+    * ordered string_agg reassembly (CTEs t/g/cand/ver/covpos/tok/
+    * keptt/outp). */
+  private[queries] val ExactSubstr50Ctes: String =
+    s"""t AS (SELECT doc_id, $Toks AS ts FROM documents),
+         g AS (SELECT doc_id, u.i - 1 AS pos,
+             array_to_string(ts[u.i:u.i+49], ' ') AS gt,
+             CAST(concat('0x', substr(md5(
+               array_to_string(ts[u.i:u.i+49], ' ')), 1, 15)) AS BIGINT)
+               AS h
+           FROM t, LATERAL unnest(range(1, len(ts) - 48)) AS u(i)),
+         cand AS (SELECT h FROM g GROUP BY h
+           HAVING count(DISTINCT doc_id) >= 2),
+         ver AS (SELECT h, gt FROM g JOIN cand USING (h)
+           GROUP BY h, gt HAVING count(DISTINCT doc_id) >= 2),
+         covpos AS (SELECT DISTINCT g.doc_id, g.pos + v.j AS p
+           FROM g JOIN ver USING (h, gt),
+             LATERAL unnest(range(0, 50)) AS v(j)),
+         tok AS (SELECT doc_id, u.i - 1 AS p, ts[u.i] AS tok
+           FROM t, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+         keptt AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+           LEFT JOIN covpos cp
+             ON cp.doc_id = tok.doc_id AND cp.p = tok.p
+           WHERE cp.p IS NULL),
+         outp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
+             string_agg(tok, ' ' ORDER BY p) AS clean_text
+           FROM keptt GROUP BY 1)"""
+
   /** d44/p23 shared replay: positional 5-gram md5-long postings, the
     * shared-gram screen, and the per-doc interval-union coverage CTEs
     * (t/g/shared/c/per). */
@@ -1122,29 +1152,7 @@ object DedupQueries {
     // the candidate rows on the window text itself, then d47's ×k
     // position unnest + ordered string_agg reassembly.
     "d49_exact_substr" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS ts FROM documents),
-         g AS (SELECT doc_id, u.i - 1 AS pos,
-             array_to_string(ts[u.i:u.i+49], ' ') AS gt,
-             CAST(concat('0x', substr(md5(
-               array_to_string(ts[u.i:u.i+49], ' ')), 1, 15)) AS BIGINT)
-               AS h
-           FROM t, LATERAL unnest(range(1, len(ts) - 48)) AS u(i)),
-         cand AS (SELECT h FROM g GROUP BY h
-           HAVING count(DISTINCT doc_id) >= 2),
-         ver AS (SELECT h, gt FROM g JOIN cand USING (h)
-           GROUP BY h, gt HAVING count(DISTINCT doc_id) >= 2),
-         covpos AS (SELECT DISTINCT g.doc_id, g.pos + v.j AS p
-           FROM g JOIN ver USING (h, gt),
-             LATERAL unnest(range(0, 50)) AS v(j)),
-         tok AS (SELECT doc_id, u.i - 1 AS p, ts[u.i] AS tok
-           FROM t, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
-         keptt AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
-           LEFT JOIN covpos cp
-             ON cp.doc_id = tok.doc_id AND cp.p = tok.p
-           WHERE cp.p IS NULL),
-         outp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept,
-             string_agg(tok, ' ' ORDER BY p) AS clean_text
-           FROM keptt GROUP BY 1)
+      s"""WITH $ExactSubstr50Ctes
          SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
            CAST(COALESCE(outp.kept, 0) AS BIGINT) AS kept,
            COALESCE(outp.clean_text, '') AS clean_text

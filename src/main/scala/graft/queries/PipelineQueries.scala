@@ -446,6 +446,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // CURATION PIPELINE v2 — the capstone composing this round's three
+    // new capabilities: strip cross-doc boilerplate at ExactSubstr
+    // granularity (d49), keep only docs the distilled quality
+    // classifier accepts (t37's model, memo-shared), route by language
+    // with the 'und' quarantine dropped (t33). Every stage is keyed by
+    // doc_id — three equi-joins, no corpus-global state; the surviving
+    // corpus ships as cleaned-text fingerprints.
+    "p35_curation_v2" -> ((s, d) => {
+      import graft.ops.{DedupOps, TextOps}
+      val docs = Tables.documents(s, d)
+      val cleaned = DedupOps.exactSubstrDedup(docs, "doc_id", "text",
+        k = 50)
+      val scored = TextOps.textClassifierScore(docs, "doc_id", "text",
+        when(TextOps.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L),
+        dim = 16, iters = 8, memoKey = Some(s"docs-quality:$d"))
+      val routed = docs.select(col("doc_id"),
+        TextOps.langIdRouted(col("text")).as("route"))
+      cleaned
+        .join(scored.select("doc_id", "pred"), Seq("doc_id"))
+        .join(routed, Seq("doc_id"))
+        .filter(col("pred") === 1 && col("kept") >= 10
+          && col("route") =!= "und")
+        .select(col("doc_id"), col("route"), col("n_tokens"), col("kept"),
+          md5(encode(col("clean_text"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
     // STREAMING CDC → VERSIONED COMMITS — the p29 + p32 stitch: p26's
     // log replayed in THREE seq-adversarial micro-batches (all seq-3
     // rows first, then seq-1, then seq-2), each landing as ONE tagged
@@ -1228,6 +1255,34 @@ object PipelineQueries {
     // re-registers this SQL VERBATIM — the e57 shared-oracle doctrine.
     "p26_cdc_compact" -> CdcCompactSql,
     "p29_stream_cdc" -> CdcCompactSql,
+    // p35: the three stages' oracle CTE families composed in ONE
+    // statement — clf training (TextQueries.clfCtes, w8 + feats over
+    // the ORIGINAL corpus), the ExactSubstr clean
+    // (DedupQueries.ExactSubstr50Ctes), and the t33 routing CASE; the
+    // name families are disjoint by construction.
+    "p35_curation_v2" -> {
+      val script = TextQueries.scriptCaseSql("text")
+      s"""WITH ${TextQueries.clfCtes(16, 8)},
+         ${DedupQueries.ExactSubstr50Ctes},
+         zf AS (SELECT doc_id, sum(x * w) AS z
+           FROM feats JOIN w8 USING (feat) GROUP BY 1),
+         clean AS (SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(outp.kept, 0) AS BIGINT) AS kept,
+             COALESCE(outp.clean_text, '') AS clean_text
+           FROM t LEFT JOIN outp USING (doc_id)),
+         rt AS (SELECT doc_id, COALESCE(script,
+             CASE WHEN en + es + de + fr = 0 THEN 'und'
+               ELSE ${TextQueries.LatinCaseSql} END) AS route
+           FROM (SELECT doc_id, $script AS script,
+               ${TextQueries.MarkerColsSql}
+             FROM (SELECT doc_id, text, $Toks AS ts FROM documents)))
+         SELECT c.doc_id, rt.route, c.n_tokens, c.kept,
+           md5(c.clean_text) AS fp
+         FROM clean c JOIN zf USING (doc_id) JOIN rt USING (doc_id)
+         WHERE zf.z >= 0 AND c.kept >= 10 AND rt.route <> 'und'
+         ORDER BY c.doc_id"""
+    },
+
     // p34: version 4 = the full log's `applied` (p32's answer, one
     // version later); version 3 = the PREFIX replay — the same rank
     // window and anti-join close over only the rows the first two

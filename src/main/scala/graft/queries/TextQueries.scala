@@ -594,7 +594,7 @@ object TextQueries {
     * regex sees), the same count>0 AND count*20 >= length dominance
     * rule, same class order (kana before Han), guarded by the same
     * any-non-Latin-1 probe; NULL when no script claims the row. */
-  private def scriptCaseSql(textExpr: String): String = {
+  private[queries] def scriptCaseSql(textExpr: String): String = {
     val ranges = Seq(
       ("ja", 0x3040, 0x30FF), ("zh", 0x4E00, 0x9FFF),
       ("ko", 0xAC00, 0xD7A3), ("ru", 0x0400, 0x04FF),
@@ -612,13 +612,13 @@ object TextQueries {
 
   /** DuckDB mirror of the Latin stopword fallback over marker counts
     * en/es/de/fr (columns must exist in the enclosing CTE). */
-  private val LatinCaseSql =
+  private[queries] val LatinCaseSql =
     """CASE WHEN en >= es AND en >= de AND en >= fr THEN 'en'
        WHEN es >= de AND es >= fr THEN 'es'
        WHEN de >= fr THEN 'de' ELSE 'fr' END"""
 
   /** Marker-count column list shared by the langid oracles. */
-  private val MarkerColsSql =
+  private[queries] val MarkerColsSql =
     """len(list_filter(ts, x -> x IN ('the','and','of','is'))) AS en,
        len(list_filter(ts, x -> x IN ('el','la','los','de','que'))) AS es,
        len(list_filter(ts, x -> x IN ('der','die','und','das','ist'))) AS de,
@@ -763,7 +763,7 @@ object TextQueries {
     * five unrolled GD iterations — margins as exact keyed sums,
     * rational sigmoid, dyadic-grid residual snap, Laplace-free update
     * with the identical `w + 0.5 * g / n` association. */
-  private def clfCtes(dim: Int, iters: Int): String = {
+  private[queries] def clfCtes(dim: Int, iters: Int): String = {
     val md5long = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
     def snap(e: String) = s"floor(($e) * 1048576.0 + 0.5) / 1048576.0"
     val its = (1 to iters).map { i =>
