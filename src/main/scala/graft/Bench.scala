@@ -20,7 +20,10 @@ object Bench {
       "p31_incremental_read", // three commits + the changed-bucket diff
       "p32_cdc_commit", // create + CDC commit + two version reads
       "p33_schema_evolution", // create + evolving commit + merged read
-      "p34_stream_cdc_commit") // create + 3 streamed CDC commits + reads
+      "p34_stream_cdc_commit", // create + 3 streamed CDC commits + reads
+      "d50_exact_substr_incr", // index-artifact build + incremental wave
+      "d51_exact_substr_stream", // artifact build + 2 streamed waves
+      "p36_table_change_feed") // create + upsert commits + streamed read
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both
@@ -55,7 +58,9 @@ object Bench {
     // round-13 tier representatives
     "p26_cdc_compact",
     // round-14 tier representatives
-    "d49_exact_substr", "t34_unigram_train", "t36_quality_clf_train")
+    "d49_exact_substr", "t34_unigram_train", "t36_quality_clf_train",
+    // round-15 tier representatives
+    "d53_louvain_levels", "t39_clf_feature_compare", "p37_merge_matrix")
 
   // The driver parses the final stdout line from a ~2000-char tail; keep a
   // safety margin for the totals/sf framing and future value-width growth.

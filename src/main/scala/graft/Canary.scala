@@ -39,13 +39,19 @@ object Canary {
     try SparkEntry.queries("f03_q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => () }
     finally Caches.clear()
+    // A failed query must NOT be logged as a (fast) timing — that would
+    // silently corrupt exactly the round-over-round drift signal the
+    // canary exists to pin. Record failures explicitly; canary.sh greps
+    // for "failed" and refuses to append a median built on one.
+    var failed = List.empty[String]
     val times = pinned.map { n =>
       val fn = SparkEntry.queries(n)
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).count()
+      catch { case _: Throwable => failed ::= n }
       finally Caches.clear()
       n -> (System.nanoTime() - t0) / 1e9
-    }
+    }.filterNot { case (n, _) => failed.contains(n) }
     // silence async printers before the parse line (the Bench lesson)
     try {
       spark.streams.active.foreach(q => try q.stop() catch {
@@ -56,7 +62,9 @@ object Canary {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     println("{\"canary\":" + times.map { case (k, v) =>
       "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}") +
-      ",\"total\":" + r3(times.map(_._2).sum) + ",\"sf\":\"" + sfDir + "\"}")
+      ",\"total\":" + r3(times.map(_._2).sum) +
+      ",\"failed\":[" + failed.reverse.map("\"" + _ + "\"").mkString(",") +
+      "],\"sf\":\"" + sfDir + "\"}")
     spark.stop()
   }
 }

@@ -411,16 +411,34 @@ object DedupOps {
     * verify cost ∝ the duplicated sliver only. */
   def exactSubstrDedup(df: DataFrame, idCol: String, textCol: String,
                        k: Int): DataFrame = {
-    val base = graft.Caches.track(
-      spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
-        .select(col("id"),
-          graft.functions.NgramText.ngramText(col("__txt"), k).as("__gs"),
-          TextOps.tokens(col("__txt")).as("__ts"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val posts = base
-      .select(col("id"), posexplode(col("__gs")))
-      .select(col("id"), col("pos").cast("long").as("pos"),
-        portableHash60(col("col")).as("h"))
+    val base = substrBase(df, idCol, textCol, k)
+    rebuildWithoutCovered(base, substrCovered(base, substrPosts(base), k),
+      idCol)
+  }
+
+  /** Staged (id, k-token windows, tokens) frame of [[exactSubstrDedup]]
+    * and its incremental siblings — heavy arrays materialized in a
+    * Project before any Generate consumes them. */
+  private def substrBase(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = graft.Caches.track(
+    spread(df.select(col(idCol).as("id"), col(textCol).as("__txt")), "id")
+      .select(col("id"),
+        graft.functions.NgramText.ngramText(col("__txt"), k).as("__gs"),
+        TextOps.tokens(col("__txt")).as("__ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** (id, pos, h) window-hash postings — 8-byte fingerprints only, the
+    * screen-pass payload (and the INDEX artifact's rows). */
+  private def substrPosts(base: DataFrame): DataFrame = base
+    .select(col("id"), posexplode(col("__gs")))
+    .select(col("id"), col("pos").cast("long").as("pos"),
+      portableHash60(col("col")).as("h"))
+
+  /** Screen + verify over one corpus: candidate hashes by distinct-doc
+    * count ≥ 2, text re-verification WITHIN candidate groups, covered
+    * positions as the bounded ×k explode of the verified sliver. */
+  private def substrCovered(base: DataFrame, posts: DataFrame,
+                            k: Int): DataFrame = {
     // pass 1 — hash screen: shared window hashes by distinct-doc count
     val cand = posts.groupBy("h")
       .agg(count_distinct(col("id")).as("__cd"))
@@ -429,21 +447,157 @@ object DedupOps {
     // pass 2 — verify: re-derive window text (staged Project before the
     // explode — the Generate lesson), keep only candidate-hash rows,
     // then require the TEXT itself to span ≥2 docs
-    val grams = graft.Caches.track(base
+    val grams = substrGrams(base, cand) // ONE persisted sliver, read twice
+    val verified = grams.groupBy("h", "g")
+      .agg(count_distinct(col("id")).as("__cd"))
+      .filter(col("__cd") >= 2)
+      .select("h", "g")
+    substrCoverage(grams, verified, k)
+  }
+
+  /** Candidate-sliver (id, pos, g, h) gram rows: window TEXT re-derived
+    * on a second codegen'd scan and semi-joined down BEFORE any string
+    * shuffles. Persisted — the verify pass reads it twice (group + semi). */
+  private def substrGrams(base: DataFrame, cand: DataFrame): DataFrame =
+    graft.Caches.track(base
       .select(col("id"), posexplode(col("__gs")))
       .select(col("id"), col("pos").cast("long").as("pos"),
         col("col").as("g"), portableHash60(col("col")).as("h"))
       .join(cand, Seq("h"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Verified-window positional union: every token position inside a
+    * verified window, as a bounded ×k explode + distinct. */
+  private def substrCoverage(grams: DataFrame, verified: DataFrame,
+                             k: Int): DataFrame =
+    grams.join(verified, Seq("h", "g"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .distinct()
+
+  /** Build the ExactSubstr INDEX artifact under `dir` AND dedup the
+    * indexed corpus in the same pass — the snapshot-zero step of the
+    * incremental discipline ([[exactSubstrIncremental]] consumes the
+    * artifact per arriving shard, the way [[incrementalDedup]]'s
+    * postings serve d17). Writes:
+    * {{{
+    *   dir/postings   (id, pos, h)  8-byte window-hash postings
+    *   dir/covered    (id, p)       the corpus's verified covered set
+    * }}}
+    * and returns the indexed corpus's cleaned rows — exactly
+    * [[exactSubstrDedup]]'s answer on `df`. At 100 TB the postings
+    * artifact is the corpus's token count × 8-byte rows: write it
+    * bucketed/partitioned by `h` so each shard's screen probe
+    * co-locates instead of reshuffling the index. */
+  def exactSubstrIndex(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, dir: String): DataFrame = {
+    val base = substrBase(df, idCol, textCol, k)
+    substrPosts(base).write
+      .mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$dir/postings")
+    val covered = substrCovered(base, substrPosts(base), k)
+    covered.write.mode(org.apache.spark.sql.SaveMode.ErrorIfExists)
+      .parquet(s"$dir/covered")
+    rebuildWithoutCovered(base, covered, idCol)
+  }
+
+  /** INCREMENTAL ExactSubstr — dedup an ARRIVING shard against the
+    * index without rescreening the indexed corpus (the d17 sibling of
+    * batch [[exactSubstrDedup]]; Lee et al.'s heavy pass is the one a
+    * crawl pipeline re-runs per snapshot, and batch d49 rescreens the
+    * world every time):
+    *
+    *  1. SCREEN sized to the NEW WAVE: candidate hashes = (window
+    *     hashes shared WITHIN the shard) ∪ (shard hashes ∩ index
+    *     hashes) — one groupBy of the shard's postings + one keyed
+    *     semi-join against the postings artifact; the indexed corpus's
+    *     text is never rescanned wholesale.
+    *  2. VERIFY only new collision groups: gram text re-derives for the
+    *     shard plus ONLY the indexed docs the semi-join surfaced (the
+    *     artifact's job); groups re-compare on the text itself, within
+    *     groups, never across.
+    *  3. EMIT the shard's cleaned rows plus the REBUILT rows of every
+    *     indexed doc the new collisions touched (their total coverage =
+    *     archived covered set ∪ new positions), and APPEND the shard's
+    *     postings + the new covered positions to the artifact — the
+    *     index is ready for the next wave.
+    *
+    * EXACTNESS (the union contract): a union-verified group either has
+    * ≥2 indexed members — its indexed positions are already in the
+    * archived covered set — or has ≥1 shard member, in which case its
+    * hash is in the shard's candidate set and the group re-verifies
+    * here over BOTH waves' members; so archived ∪ new coverage equals
+    * the batch coverage on the union, doc for doc, position for
+    * position. Output anti-joined into the prior cleaned answer
+    * therefore hash-matches batch [[exactSubstrDedup]] on the union
+    * (gate d50 proves it against d49's own oracle).
+    *
+    * `indexed` supplies the archived docs' raw text; only the touched
+    * sliver of it is ever tokenized (column-pruned id scan + semi-join
+    * BEFORE the heavy arrays). Returns (id, n_tokens, kept, clean_text)
+    * for shard docs ∪ touched indexed docs. */
+  def exactSubstrIncremental(indexed: DataFrame, indexDir: String,
+                             arriving: DataFrame, idCol: String,
+                             textCol: String, k: Int): DataFrame = {
+    val spark = arriving.sparkSession
+    val base2 = substrBase(arriving, idCol, textCol, k)
+    val posts2 = graft.Caches.track(substrPosts(base2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val idxPosts = spark.read.parquet(s"$indexDir/postings")
+    // 1 — screen: intra-shard collisions + shard∩index hash hits; the
+    // shuffle payload is the SHARD's 8-byte postings, the index side is
+    // a keyed semi-join (bucketed-by-h artifact co-locates it at scale)
+    val intra = posts2.groupBy("h")
+      .agg(count_distinct(col("id")).as("__cd"))
+      .filter(col("__cd") >= 2)
+      .select("h")
+    val cross = idxPosts
+      .join(posts2.select("h").distinct(), Seq("h"), "left_semi")
+      .select("h").distinct()
+    val cand = graft.Caches.track(intra.unionByName(cross).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // 2 — verify over the union sliver: indexed docs surface via the
+    // artifact (never a corpus scan), and only THEIR text re-tokenizes
+    val touchedScan = idxPosts.join(cand, Seq("h"), "left_semi")
+      .select(col("id")).distinct()
+    val base1 = substrBase(
+      indexed.join(touchedScan.withColumnRenamed("id", idCol),
+        Seq(idCol), "left_semi"), idCol, textCol, k)
+    val grams = graft.Caches.track(
+      substrGrams(base2, cand).unionByName(substrGrams(base1, cand))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val verified = grams.groupBy("h", "g")
       .agg(count_distinct(col("id")).as("__cd"))
       .filter(col("__cd") >= 2)
       .select("h", "g")
-    val covered = grams.join(verified, Seq("h", "g"), "left_semi")
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+    val coveredNew = graft.Caches.track(
+      substrCoverage(grams, verified, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // 3 — rebuild: shard docs under their new coverage; touched indexed
+    // docs under archived ∪ new coverage
+    val shardIds = base2.select(col("id"))
+    val covered2 = coveredNew.join(shardIds, Seq("id"), "left_semi")
+    val touched1 = coveredNew.join(shardIds, Seq("id"), "left_anti")
+      .select("id").distinct()
+    val coveredOld = spark.read.parquet(s"$indexDir/covered")
+    val covered1 = coveredOld.join(touched1, Seq("id"), "left_semi")
+      .unionByName(coveredNew.join(touched1, Seq("id"), "left_semi"))
       .distinct()
-    rebuildWithoutCovered(base, covered, idCol)
+    // rebuild ONLY verified-touched indexed docs: a doc the scan pulled
+    // but no group verified keeps its prior cleaned row (rebuilding it
+    // here would MISS its archived intra-index coverage)
+    val out = rebuildWithoutCovered(base2, covered2, idCol)
+      .unionByName(rebuildWithoutCovered(
+        base1.join(touched1, Seq("id"), "left_semi"), covered1, idCol))
+      .localCheckpoint(true) // pin BEFORE the artifact append below
+    // postings/covered delta → the artifact absorbs the shard
+    posts2.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexDir/postings")
+    coveredNew.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexDir/covered")
+    spark.catalog.refreshByPath(s"$indexDir/postings")
+    spark.catalog.refreshByPath(s"$indexDir/covered")
+    out
   }
 
   /** Bloom-prefiltered decontamination — the shape [[ngramContamination]]
@@ -1161,8 +1315,9 @@ object DedupOps {
     * So any qualifying pair has `min/max ≥ 3·(s−0.4)/0.6 − 2` (clamped
     * at 0) — for s = 0.92 that is 0.6, shedding the short-vs-long junk
     * pairs before any JW runs. The threshold compares on the ROUND6 similarity so a ±1-ulp
-    * engine drift at the boundary cannot flip membership (the CLAUDE.md
-    * rounding-edge rule).
+    * engine drift at the boundary cannot flip membership (boundary
+    * compares always run on the shared floor grid, never on raw
+    * doubles).
     *
     * Scale: ≤ 2 postings per row, keyed equi-join on the block token,
     * JW map-side off the join — never all-pairs. */

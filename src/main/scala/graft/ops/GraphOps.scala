@@ -176,6 +176,70 @@ object GraphOps {
     rank.select(col("id"), col("r").as("rank"))
   }
 
+  /** PERSONALIZED PageRank (random walk with restart to a SEED set —
+    * Haveliwala 2002's topic-sensitive variant of [[pageRank]]): the
+    * teleport mass (1−d) lands ONLY on the seeds,
+    * `r ← (1−d)·p + d·Σ_{u→v} r(u)/deg(u)` with `p` uniform over the
+    * in-graph seed vertices — so rank measures proximity TO THE SEEDS
+    * through the graph. On a dedup pair graph seeded with a known-bad
+    * cluster this ranks "how entangled is every doc with the bad
+    * neighborhood" (expansion-by-similarity, the curation use); seeded
+    * with gold docs it ranks trustworthiness.
+    *
+    * Same scale shape and determinism contract as [[pageRank]]: per
+    * iteration one vertex-keyed join + one partial+final destination
+    * aggregation, per-round 1e-9 floor snap so cross-engine sum
+    * association cannot compound, lineage cut per round. Every vertex
+    * is emitted every round (zero-mass rows ride along — the frame
+    * stays |V|, and the oracle's LEFT JOIN spelling matches). Driver
+    * state: the in-graph seed count (one scalar). */
+  def personalizedPageRank(pairs: DataFrame, id1: String, id2: String,
+                           seeds: DataFrame, seedCol: String,
+                           damping: Double = 0.85,
+                           iters: Int = 5): DataFrame = {
+    require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    val sym = graft.Caches.track(
+      pairs.select(col(id1).as("a"), col(id2).as("b"))
+        .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val deg = graft.Caches.track(
+      sym.groupBy("a").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // in-graph seeds only: teleport mass must land on walkable vertices
+    val seedFlag = graft.Caches.track(
+      deg.select(col("a").as("id"))
+        .join(seeds.select(col(seedCol).as("id")).distinct(),
+          Seq("id"), "left_semi")
+        .withColumn("__seed", lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val ns = seedFlag.count() // |in-graph seeds| — one driver scalar
+    require(ns > 0, "personalizedPageRank needs at least one in-graph seed")
+    val base = (1 - damping) / ns
+    var rank = deg.select(col("a").as("id"))
+      .join(seedFlag, Seq("id"), "left")
+      .select(col("id"),
+        when(col("__seed").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0))
+          .as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val in = sym
+        .join(rank.select(col("id").as("a"), col("r")), "a")
+        .join(deg, "a")
+        .groupBy(col("b").as("id"))
+        .agg(sum(col("r") / col("deg")).as("__s"))
+      rank = deg.select(col("a").as("id"))
+        .join(in, Seq("id"), "left")
+        .join(seedFlag, Seq("id"), "left")
+        .select(col("id"),
+          (floor((when(col("__seed").isNotNull, lit(base))
+              .otherwise(lit(0.0))
+            + lit(damping) * coalesce(col("__s"), lit(0.0))) * 1e9 + 0.5)
+            / 1e9).as("r"))
+        .localCheckpoint() // lineage cut — the d08 rationale
+    }
+    rank.select(col("id"), col("r").as("rank"))
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge list
     * (src → dst; classically bipartite, e.g. buyer → seller): iterate
     * `authority(d) = Σ hub(s)` over in-edges and `hub(s) = Σ authority(d)`
@@ -348,7 +412,17 @@ object GraphOps {
     // a cheap count; the vertex set never changes across rounds) — gates
     // the per-round broadcast hint, see [[hintIfSmall]].
     val nV = labels.count()
-    (1 to iters).foreach { _ =>
+    // convergence early-exit: a round with zero label changes is a fixed
+    // point of the synchronous update (every later round replays it), so
+    // the fixed-round oracle stays hash-identical while the engine stops
+    // paying for post-convergence rounds. Detection = one |V|-keyed join
+    // of the old labels (broadcast when small) + a short-circuiting
+    // isEmpty over the checkpointed frame. NOTE: synchronous LPA can
+    // 2-CYCLE instead of converging (label oscillation) — the exit then
+    // simply never fires and all `iters` rounds run, as before.
+    var converged = false
+    var it = 1
+    while (!converged && it <= iters) {
       // label side is |vertices|-bounded → broadcast WHEN SMALL (the
       // edge frame then never shuffles; above the measured limit the
       // join falls back to a keyed shuffle, pageRank's shape); arg-max
@@ -364,9 +438,13 @@ object GraphOps {
           .groupBy(col("a").as("id"))
           .agg(max_by(col("nl"),
             struct(col("cnt"), -col("nl"))).as("lbl"))
+          .join(hintIfSmall(
+            labels.select(col("id"), col("lbl").as("__old")), nV), Seq("id"))
           .localCheckpoint()) // lineage cut — the d08 rationale
+      converged = labels.filter(col("lbl") =!= col("__old")).isEmpty
+      it += 1
     }
-    labels
+    labels.select("id", "lbl")
   }
 
   /** One-level Louvain (Blondel et al. 2008 §2, first level) under the
@@ -408,7 +486,16 @@ object GraphOps {
     val nV = deg.count()
     var labels = graft.Caches.track(
       deg.select(col("id"), col("id").as("lbl")).localCheckpoint())
-    (1 to iters).foreach { r =>
+    // CONVERGENCE EARLY-EXIT (the monotone test components/k-core already
+    // use): synchronous rounds are a pure function of the previous
+    // labeling, so zero accepted moves in a round is a FIXED POINT —
+    // every later round is a no-op and the fixed-round oracle replays the
+    // identical labels. The own label already rides the move join, so
+    // detecting it costs one short-circuiting isEmpty scan over the
+    // round's checkpointed frame, no extra join.
+    var converged = false
+    var r = 1
+    while (!converged && r <= iters) {
       // round 1 runs on the identity labeling — the label/degree joins
       // simplify away (lbl == id, Σtot(c) == k_c), saving three joins
       val nbr =
@@ -450,10 +537,131 @@ object GraphOps {
               - when(col("c") === col("own"), col("k")).otherwise(0L)))
           .groupBy("id")
           .agg(max_by(col("c"),
-            struct(col("score"), -col("c"))).as("lbl"))
+            struct(col("score"), -col("c"))).as("lbl"),
+            first(col("own")).as("__old"))
           .localCheckpoint()) // lineage cut — the d08 rationale
+      // take(1) over the cached blocks — the converged round scans only
+      // cached data, earlier rounds hit a moved vertex fast
+      converged = labels.filter(col("lbl") =!= col("__old")).isEmpty
+      r += 1
     }
-    labels
+    labels.select("id", "lbl")
+  }
+
+  /** WEIGHTED one-level Louvain — the engine [[louvainLevels]] runs on
+    * the coarsened supergraph (Blondel et al. 2008 §2 phase 2 feeds
+    * phase 1 a weighted graph with SELF-LOOPS): same synchronous
+    * determinism contract and exact-integer ΔQ numerator as
+    * [[louvainOneLevel]], generalized to integer edge weights —
+    * `score(c) = 2m·k_{i→c} − k_i·Σtot(c∖i)` where k_{i→c} sums weights
+    * to c's OTHER members, k_i is the weighted degree INCLUDING 2× any
+    * self-loop weight (a self-loop stays with the vertex under every
+    * move, so it cancels in comparisons except through k_i and Σtot),
+    * and 2m = Σ k_i. Input: one row per undirected edge (either
+    * orientation; self-loops as src==dst), integer weights. Same
+    * convergence early-exit. Assumes 2m·max(k_i) < 2⁶³. */
+  def louvainOneLevelWeighted(edges: DataFrame, srcCol: String,
+                              dstCol: String, wCol: String,
+                              iters: Int = 3): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+      col(wCol).cast("long").as("w"))
+    // neighbor-pull edges: non-self, both directions
+    val sym = graft.Caches.track(
+      e.filter(col("a") =!= col("b"))
+        .unionByName(e.filter(col("a") =!= col("b"))
+          .select(col("b").as("a"), col("a").as("b"), col("w")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    // weighted degree: neighbor weights + 2× self-loop weight
+    val selfw = e.filter(col("a") === col("b"))
+      .select(col("a").as("id"), (col("w") * 2).as("kw"))
+    val deg = graft.Caches.track(
+      sym.select(col("a").as("id"), col("w").as("kw"))
+        .unionByName(selfw)
+        .groupBy("id").agg(sum(col("kw")).as("k"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val m2 = deg.agg(sum(col("k"))).head().getLong(0) // 1-row probe: 2m
+    require(m2 > 0, "weighted louvain needs edges")
+    val nV = deg.count()
+    var labels = graft.Caches.track(
+      deg.select(col("id"), col("id").as("lbl")).localCheckpoint())
+    var converged = false
+    var r = 1
+    while (!converged && r <= iters) {
+      val nbr =
+        if (r == 1) sym.select(col("a"), col("b").as("c"), col("w"))
+        else sym.join(
+          hintIfSmall(
+            labels.select(col("id").as("b"), col("lbl").as("c")), nV),
+          "b").select(col("a"), col("c"), col("w"))
+      val kic = nbr.groupBy(col("a").as("id"), col("c"))
+        .agg(sum(col("w")).as("kic"))
+      val sigma =
+        if (r == 1) deg.select(col("id").as("c"), col("k").as("sig"))
+        else labels.join(deg, Seq("id"))
+          .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("sig"))
+      val cand = kic.unionByName(
+        labels.select(col("id"), col("lbl").as("c"))
+          .withColumn("kic", lit(0L)))
+      labels = graft.Caches.track(
+        cand.join(hintIfSmall(sigma, nV), Seq("c"))
+          .join(hintIfSmall(deg, nV), Seq("id"))
+          .join(hintIfSmall(
+            labels.select(col("id"), col("lbl").as("own")), nV), Seq("id"))
+          .withColumn("score", lit(m2) * col("kic") - col("k")
+            * (col("sig")
+              - when(col("c") === col("own"), col("k")).otherwise(0L)))
+          .groupBy("id")
+          .agg(max_by(col("c"),
+            struct(col("score"), -col("c"))).as("lbl"),
+            first(col("own")).as("__old"))
+          .localCheckpoint())
+      converged = labels.filter(col("lbl") =!= col("__old")).isEmpty
+      r += 1
+    }
+    labels.select("id", "lbl")
+  }
+
+  /** MULTI-LEVEL Louvain — the FULL Blondel et al. 2008 algorithm:
+    * phase 1 ([[louvainOneLevel]]) partitions the vertex graph, phase 2
+    * COARSENS it (communities become supernodes; parallel edges
+    * collapse to integer weights; intra-community edges become
+    * self-loops — exactly the weights that keep level-2 modularity
+    * arithmetic equal to level-1's over the original graph), and phase
+    * 1 re-runs WEIGHTED on the supergraph. Two levels — the depth after
+    * which the fixture graphs stop moving; the coarsened pass merges
+    * whole level-1 communities that the vertex-granular pass could only
+    * move one vertex at a time. Returns (id, lbl1, lbl2) — lbl2 is the
+    * final community of each ORIGINAL vertex (its level-1 community's
+    * level-2 label). Like the one-level ops, the synchronous update
+    * trades classic Louvain's strict per-move Q ascent for determinism:
+    * consolidation is guaranteed, a Q climb is not (score both levels
+    * with [[modularityQ]] and keep the better partition when that
+    * matters).
+    *
+    * Scale shape: level 1 is [[louvainOneLevel]]'s loop; the coarsen is
+    * two |labels|-keyed joins + one (c1, c2) count aggregate (the
+    * supergraph is ≤|communities|² but really |inter-community edge
+    * kinds| — tiny); level 2 runs on that tiny frame; the close is one
+    * labels-keyed join mapping vertices through their community. */
+  def louvainLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                    iters: Int = 3): DataFrame = {
+    val pairs = graft.Caches.track(
+      edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val l1 = graft.Caches.track(
+      louvainOneLevel(pairs, "s", "t", iters)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val superE = pairs
+      .join(l1.select(col("id").as("s"), col("lbl").as("c1")), Seq("s"))
+      .join(l1.select(col("id").as("t"), col("lbl").as("c2")), Seq("t"))
+      .groupBy(least(col("c1"), col("c2")).as("lo"),
+        greatest(col("c1"), col("c2")).as("hi"))
+      .agg(count(lit(1)).as("w"))
+    val l2 = louvainOneLevelWeighted(superE, "lo", "hi", "w", iters)
+    l1.select(col("id"), col("lbl").as("lbl1"))
+      .join(hintIfSmall(l2.select(col("id").as("lbl1"),
+        col("lbl").as("lbl2")), l1.count()), Seq("lbl1"))
+      .select(col("id"), col("lbl1"), col("lbl2"))
   }
 
   /** Newman modularity of a node partition over an undirected edge set:

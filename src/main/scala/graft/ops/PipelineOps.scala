@@ -557,6 +557,54 @@ object PipelineOps {
     base.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates)
 
+  /** FULL conditional MERGE INTO — the complete Delta/Iceberg clause
+    * matrix [[upsert]] (unconditional SCD-1) and [[applyCdc]] (op-coded)
+    * are special cases of: WHEN MATCHED AND <cond> THEN DELETE / THEN
+    * UPDATE (else keep the base row), WHEN NOT MATCHED AND <cond> THEN
+    * INSERT (else drop the source row), and WHEN NOT MATCHED BY SOURCE
+    * AND <cond> THEN DELETE (the retention purge of base rows the batch
+    * no longer carries). Clause conditions receive the BASE and SOURCE
+    * rows as structs (keys included) and may compare across them —
+    * "update only if the recrawl is longer", "purge only stale
+    * partitions". Matched precedence is delete, then update, then keep
+    * (the Delta clause-order contract); a null condition counts false.
+    *
+    * Shape: ONE full-outer key join of (key, row-struct) projections,
+    * one decision expression, one unwrap projection — no windows, no
+    * driver state; at 100 TB this is a single keyed shuffle on both
+    * sides (bucketed tables co-locate it). Caller contract: at most one
+    * source row per key ([[compactCdc]] upstream), matching
+    * [[applyCdc]]'s. Base and source must share a schema (use
+    * [[upsertEvolve]] for widening batches). */
+  def mergeInto(base: DataFrame, source: DataFrame, keyCols: Seq[String],
+                matchedDeleteWhen: Option[(Column, Column) => Column] = None,
+                matchedUpdateWhen: Option[(Column, Column) => Column] = None,
+                insertWhen: Option[Column => Column] = None,
+                notMatchedBySourceDeleteWhen: Option[Column => Column] = None)
+      : DataFrame = {
+    val cols = base.columns.toSeq
+    def wrap(df: DataFrame, as: String): DataFrame =
+      df.select(keyCols.map(col) :+ struct(cols.map(col): _*).as(as): _*)
+    val j = wrap(base, "__b").join(wrap(source, "__s"), keyCols, "full_outer")
+    val b = col("__b")
+    val sc = col("__s")
+    def cond(c: Option[Column]): Column =
+      coalesce(c.getOrElse(lit(false)), lit(false))
+    val del = cond(matchedDeleteWhen.map(f => f(b, sc)))
+    val upd = cond(matchedUpdateWhen.map(f => f(b, sc)))
+    val ins = cond(insertWhen.map(f => f(sc)))
+    val nbs = cond(notMatchedBySourceDeleteWhen.map(f => f(b)))
+    val nullRow = lit(null).cast(j.schema("__s").dataType)
+    val picked = j.select(
+      when(b.isNotNull && sc.isNotNull,
+          when(del, nullRow).otherwise(when(upd, sc).otherwise(b)))
+        .when(b.isNotNull, when(nbs, nullRow).otherwise(b))
+        .otherwise(when(ins, sc).otherwise(nullRow))
+        .as("__p"))
+    picked.filter(col("__p").isNotNull)
+      .select(cols.map(c => col("__p").getField(c).as(c)): _*)
+  }
+
   /** [[upsert]] with SCHEMA EVOLUTION: the update batch may carry NEW
     * columns (and/or omit existing ones) — the union fills either
     * side's missing columns with null instead of failing, so a table

@@ -346,6 +346,43 @@ object TextOps {
         when(col("z") >= 0, 1L).otherwise(0L).as("pred"))
   }
 
+  /** CLASSIFIER FEATURE DATASHEET — unigram-only vs unigram+bigram
+    * features trained on the SAME corpus and labels (the ablation the
+    * actual fastText recipe motivates: Joulin et al. 2017 report
+    * bag-of-words PLUS hashed bigrams; this gate answers whether the
+    * bigram block pays for its 2× feature width on THIS corpus before a
+    * pipeline commits to it — the t38 tokenizer-datasheet pattern).
+    * Per variant: train via the shared exact-numerics GD loop, score
+    * every doc with the final weights, close with ONE 1-row
+    * (correct, n) probe; accuracy floors to the 6dp grid from exact
+    * integers, so the two driver divisions are engine-identical.
+    * Returns (features, correct, n, accuracy6), one row per variant. */
+  def textClassifierCompare(df: DataFrame, idCol: String, textCol: String,
+                            label: Column, dim: Int = 16,
+                            iters: Int = 8,
+                            memoKey: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def acc(bigrams: Boolean): (Long, Long) = {
+      val (_, feats, labels, w) =
+        textClfLoop(df, idCol, textCol, label, dim, iters, memoKey, bigrams)
+      val z = margins(feats, w)
+      val r = labels.join(z, Seq("id"))
+        .agg(sum(when((col("z") >= 0) === (col("y") === 1L), 1L)
+          .otherwise(0L)).as("correct"),
+          count(lit(1)).as("n"))
+        .head() // 1-row accuracy probe
+      (r.getLong(0), r.getLong(1))
+    }
+    val (cu, nu) = acc(bigrams = false)
+    val (cb, nb) = acc(bigrams = true)
+    def a6(c: Long, n: Long): Double =
+      math.floor(c.toDouble / n * 1e6 + 0.5) / 1e6
+    Seq(("unigram", cu, nu, a6(cu, nu)),
+        ("unigram_bigram", cb, nb, a6(cb, nb)))
+      .toDF("features", "correct", "n", "accuracy6")
+  }
+
   /** Exact per-doc margins Σ_f w_f·x_f under grid-snapped weights (a
     * bounded driver array, shipped as a map literal). */
   private def margins(feats: DataFrame, w: Array[Double]): DataFrame = {
@@ -360,12 +397,18 @@ object TextOps {
   private val ClfGrid = 1048576.0 // 2^20 — the residual/weight grid
 
   /** Shared GD loop: returns (trace rows, persisted feature frame,
-    * persisted label frame, final weights). Driver state: the
-    * (dim+1)-sized weight array + one (dim+1)-row collect per
-    * iteration. */
+    * persisted label frame, final weights). Driver state: the bounded
+    * weight array + one ≤(2·dim+2)-row collect per iteration.
+    *
+    * `bigrams = true` adds the fastText recipe's second feature block
+    * (Joulin et al. 2017 use bag-of-words PLUS hashed bigrams): hashed
+    * bigram frequencies land in buckets [dim, 2·dim), normalized by the
+    * doc's bigram count (n−1) on the same dyadic grid; length and bias
+    * features shift up to keep ids disjoint. */
   private def textClfLoop(df: DataFrame, idCol: String, textCol: String,
                           label: Column, dim: Int, iters: Int,
-                          memoKey: Option[String] = None)
+                          memoKey: Option[String] = None,
+                          bigrams: Boolean = false)
       : (Seq[(Int, Long, Double)], DataFrame, DataFrame, Array[Double]) = {
     require(dim >= 2 && iters >= 1, "need dim >= 2, iters >= 1")
     def snapCol(c: Column): Column =
@@ -388,13 +431,32 @@ object TextOps {
       .select(col("id"), col("feat"),
         snapCol(col("__c").cast("double")
           / greatest(col("__n"), lit(1)).cast("double")).as("x"))
-    val lenFeat = lens.select(col("id"), lit(dim.toLong).as("feat"),
+    // bigram block: the codegen'd gram-text expression (staged before
+    // its explode), hashed into the second dim-sized bucket range
+    val bigr =
+      if (!bigrams) None
+      else Some(df
+        .select(col(idCol).as("id"),
+          graft.functions.NgramText.ngramText(col(textCol), 2).as("__bs"))
+        .select(col("id"), explode(col("__bs")).as("b"))
+        .select(col("id"),
+          (lit(dim.toLong) + pmod(
+            graft.ops.DedupOps.portableHash60(col("b")),
+            lit(dim.toLong))).as("feat"))
+        .groupBy("id", "feat").agg(count(lit(1)).as("__c"))
+        .join(lens, Seq("id"))
+        .select(col("id"), col("feat"),
+          snapCol(col("__c").cast("double")
+            / greatest(col("__n") - 1, lit(1)).cast("double")).as("x")))
+    val nFeat = if (bigrams) 2L * dim else dim.toLong // length-feature id
+    val lenFeat = lens.select(col("id"), lit(nFeat).as("feat"),
       snapCol(least(col("__n"), lit(512)).cast("double") / lit(512.0))
         .as("x"))
     val bias = df.select(col(idCol).as("id"),
-      lit(dim + 1L).as("feat"), lit(1.0).as("x"))
+      lit(nFeat + 1L).as("feat"), lit(1.0).as("x"))
     val feats = graft.Caches.track(
-      bucket.unionByName(lenFeat).unionByName(bias)
+      bigr.foldLeft(bucket)(_ unionByName _)
+        .unionByName(lenFeat).unionByName(bias)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val labels = graft.Caches.track(df
       .select(col(idCol).as("id"), label.cast("long").as("y"))
@@ -407,7 +469,7 @@ object TextOps {
     // session; keys must encode the corpus slice. Values are immutable
     // (Vector + the trace Seq); the closure runs OUTSIDE the memo lock.
     def runGd(): (Seq[(Int, Long, Double)], Vector[Double]) = {
-    var w = Array.fill(dim + 2)(0.0)
+    var w = Array.fill(nFeat.toInt + 2)(0.0)
     val trace = scala.collection.mutable.ArrayBuffer
       .empty[(Int, Long, Double)]
     (1 to iters).foreach { it =>
@@ -424,7 +486,7 @@ object TextOps {
       val g = feats.join(r, Seq("id"))
         .select(col("feat"), snapCol(col("r") * col("x")).as("t"))
         .groupBy("feat").agg(sum(col("t")).as("g"))
-        .collect() // ≤ dim+2 rows — bounded driver state
+        .collect() // ≤ 2·dim+2 rows — bounded driver state
         .map(x => x.getLong(0) -> x.getDouble(1)).toMap
       w = w.zipWithIndex.map { case (wf, f) =>
         snap(wf + 4.0 * g.getOrElse(f.toLong, 0.0) / n) }
@@ -432,8 +494,11 @@ object TextOps {
     }
     (trace.toSeq, w.toVector)
     }
+    // the memo key MUST encode the feature recipe: t36/t37/p35 (unigram)
+    // and t39's bigram variant share the corpus slice but train
+    // different models
     val (trace, w) = memoKey.fold(runGd())(k =>
-      graft.Caches.memo(s"clf:$k:d$dim:i$iters")(runGd()))
+      graft.Caches.memo(s"clf:$k:d$dim:i$iters:b$bigrams")(runGd()))
     (trace, feats, labels, w.toArray)
   }
 
@@ -516,17 +581,31 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    // seed substring counts (frequency-weighted, every start × length)
-    val seeds = words
+    // seed substring counts (frequency-weighted, every start × length).
+    // The vocab cut is PUSHED INTO THE ENGINE — only chars (≤|alphabet|
+    // rows) and the top-seedVocab multi-char pieces (a
+    // TakeOrderedAndProject heap, never a full sort) ever reach the
+    // driver, so the collect stays bounded on any corpus: the Laplace
+    // seed probabilities only ever read counts of vocab members, so
+    // restricting the collected map to chars ∪ top-K is exact.
+    val pieceCnt = words
       .select(col("freq"), explode(flatten(transform(
           sequence(lit(1), length(col("w"))),
           i => transform(
             sequence(lit(1), least(lit(maxPiece), length(col("w")) - i + 1)),
             l => col("w").substr(i, l))))).as("piece"))
       .groupBy("piece").agg(sum(col("freq")).as("cnt"))
-      .collect() // bounded: ≤ |alphabet| + |vocab|·maxPiece substrings of
-                 // a Heaps-law vocab; the multi-char tail is cut to
-                 // seedVocab immediately below
+    val charRows = pieceCnt.filter(length(col("piece")) === 1)
+      .collect() // ≤ |alphabet| rows — every single char joins the vocab
+    // engine tiebreak (cnt DESC, piece ASC in UTF8 binary order) matches
+    // the driver sortBy below for all BMP text (UTF-8 byte order ==
+    // UTF-16 order == code point order outside the supplementary planes);
+    // the driver re-sort re-asserts the exact order on the collected set
+    val multiRows = pieceCnt.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(seedVocab)
+      .collect() // ≤ seedVocab rows — the heap cut
+    val seeds = (charRows ++ multiRows)
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val chars = seeds.keySet.filter(_.length == 1)
     val multi = seeds.keySet.filter(_.length > 1).toSeq
@@ -783,7 +862,8 @@ object TextOps {
     * no n-grams and drop.
     *
     * Scale shape: the n-gram array is STAGED in a Project before the
-    * explode (CLAUDE.md Generate discipline), then two keyed
+    * explode (Generate evaluates its generator input
+    * interpreted), then two keyed
     * partial+final aggregates — (doc, gram) counts, per-doc close. Both
     * shuffles key by doc_id; nothing is corpus-global. Ratios ride
     * [[round6]]'s engine-portable floor grid. */
@@ -810,8 +890,9 @@ object TextOps {
     * (id, chunk_id, chunk, n_tokens).
     *
     * Scale shape: the token array is STAGED in a Project before the
-    * Generate (Generate evaluates its generator input interpreted — see
-    * CLAUDE.md), the chunk-id sequence is derived from the staged array's
+    * Generate (Generate evaluates its generator input interpreted —
+    * staging keeps the tokenizer codegen'd and run-once), the chunk-id
+    * sequence is derived from the staged array's
     * size (cheap on the materialized array), and the slice/join runs
     * per-partition — zero shuffles, row count grows by ~n/stride. */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,

@@ -413,6 +413,78 @@ object DedupQueries {
           "text", k = 50)
         .orderBy("doc_id")),
 
+    // INCREMENTAL ExactSubstr — the pass a crawl pipeline actually
+    // re-runs per snapshot (batch d49 rescreens the world): wave 1
+    // (even doc_ids) builds the window-hash postings + covered-set
+    // artifact and dedups itself; wave 2 arrives and screens ONLY its
+    // hashes against the index + itself, re-verifies only new collision
+    // groups (indexed docs surface via the artifact, their text
+    // re-tokenized only for the touched sliver), and emits its cleaned
+    // rows plus the re-cut touched wave-1 docs. Prior answer with the
+    // touched docs swapped out must equal batch d49 on the UNION —
+    // gated against d49's oracle VERBATIM (the e57 rule).
+    "d50_exact_substr_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val w1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val w2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_d50_idx").toString
+      val prior = DedupOps.exactSubstrIndex(w1, "doc_id", "text", 50,
+        s"$root/idx")
+      val inc = DedupOps.exactSubstrIncremental(w1, s"$root/idx", w2,
+        "doc_id", "text", 50)
+      // inc = wave-2 docs ∪ touched wave-1 docs; wave-2 ids are absent
+      // from `prior`, so one anti-join swaps exactly the touched rows
+      val res = prior.join(inc, Seq("doc_id"), "left_anti")
+        .unionByName(inc)
+        .orderBy("doc_id")
+        .localCheckpoint(true) // pin before the artifact dir deletes
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
+    // STREAMING ExactSubstr — the continuous form of d50 (the pass a
+    // live crawl ingest runs): the corpus replays in THREE mod-3
+    // waves through exactSubstrIngest; wave 1 builds the artifact +
+    // cleans itself, each later wave screens only itself against the
+    // index, and the last-emission-per-doc accumulation after wave 3
+    // must equal batch d49 on the full corpus — d49's oracle VERBATIM,
+    // a third time (the e57 rule).
+    "d51_exact_substr_stream" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val rows = graft.Caches.memo(s"replay:docall:$d") {
+        Tables.documents(s, d).select("doc_id", "text")
+          .collect() // replay fixture — |documents| rows, memoized
+          .map(r => (r.getLong(0), r.getString(1))).toVector
+      }
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_d51_idx").toString
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      var acc: DataFrame = null
+      val q = graft.streaming.StreamOps.exactSubstrIngest(
+        input.toDF().toDF("doc_id", "text"), s"$root/idx",
+        "doc_id", "text", 50) { out =>
+        // last-emission-per-doc: later waves re-emit the docs they touch
+        acc = (if (acc == null) out
+               else acc.join(out, Seq("doc_id"), "left_anti")
+                 .unionByName(out))
+          .localCheckpoint(true)
+      }
+      try {
+        (0L to 2L).foreach { w =>
+          input.addData(rows.filter(_._1 % 3 == w): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val res = acc.orderBy("doc_id").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // HITS hubs & authorities over the DIRECTED buyer→seller bipartite
     // graph (customer bought from supplier): hubs = broad buyers of
     // authoritative suppliers, authorities = suppliers bought by strong
@@ -599,6 +671,44 @@ object DedupQueries {
         .orderBy("id")
     }),
 
+    // MULTI-LEVEL Louvain — the FULL Blondel algorithm over d46's dense
+    // co-purchase graph: level 1 = d46's vertex-granular move rounds;
+    // COARSEN (communities → supernodes, parallel edges → integer
+    // weights, intra-community edges → self-loops that feed 2× into the
+    // weighted degree); level 2 re-runs the move rule WEIGHTED on the
+    // tiny supergraph, merging whole communities the vertex pass could
+    // only move one node at a time. Output maps every ORIGINAL vertex
+    // through its community, with both levels' modularity over the
+    // original graph from ONE shared edge build. On this hub-ridden
+    // graph level 2 consolidates 45 → 16 communities at ~flat Q
+    // (0.0317 → 0.0306 at sf0.01): the synchronous variant trades
+    // classic Louvain's strict per-move ascent for determinism (the
+    // d46 doctrine), so the datasheet reports both Qs rather than
+    // asserting a climb.
+    "d53_louvain_levels" -> ((s, d) => {
+      import graft.ops.GraphOps
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+      val pairs = graft.Caches.track(
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey")
+              && col("a.l_partkey") < col("b.l_partkey"))
+          .select(col("a.l_partkey").as("id1"),
+            col("b.l_partkey").as("id2"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val lev = graft.Caches.track(
+        GraphOps.louvainLevels(pairs, "id1", "id2", iters = 4)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val qs = GraphOps.modularityQ(pairs, "id1", "id2",
+        Seq(("l1", lev.select(col("id"), col("lbl1").as("lbl")),
+            "id", "lbl"),
+          ("l2", lev.select(col("id"), col("lbl2").as("lbl")),
+            "id", "lbl"))).toMap
+      lev.select(col("id"), col("lbl1"), col("lbl2"),
+          lit(qs("l1")).as("q6_l1"), lit(qs("l2")).as("q6_l2"))
+        .orderBy("id")
+    }),
+
     // PageRank over the d08 near-dup pair graph: duplication-centrality
     // scores (boilerplate hubs rank high). Five power iterations, each
     // ONE vertex-keyed join + one partial+final aggregation, rank
@@ -608,6 +718,22 @@ object DedupQueries {
       val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
         "text", n = 3, threshold = 0.5)
       GraphOps.pageRank(pairs, "id1", "id2").orderBy("id")
+    }),
+
+    // PERSONALIZED PageRank over the d08 pair graph — random walk with
+    // restart to a seed set (even doc_ids): teleport mass lands only on
+    // seeds, so rank measures proximity TO the seed neighborhood — the
+    // "how entangled is every doc with the known-bad cluster" expansion
+    // query a curation pipeline runs before a bulk quarantine. Same
+    // per-round 1e-9 snap discipline as d20.
+    "d52_personalized_pagerank" -> ((s, d) => {
+      import graft.ops.GraphOps
+      val pairs = DedupOps.jaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", n = 3, threshold = 0.5)
+      GraphOps.personalizedPageRank(pairs, "id1", "id2",
+          Tables.documents(s, d)
+            .filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id")
+        .orderBy("id")
     }),
 
     // Survivor-by-QUALITY over the same clusters as d08: per near-dup
@@ -864,6 +990,45 @@ object DedupQueries {
        ORDER BY role, id"""
   }
 
+  /** d52's unrolled personalized-PageRank replay: d20's pair-graph CTEs
+    * + seed-conditional teleport mass ((1−d)/|seeds| on in-graph even
+    * doc_ids, 0 elsewhere), every vertex LEFT-JOIN-kept per round, the
+    * identical 1e-9 per-round snap. */
+  private def personalizedPageRankSql(iters: Int): String = {
+    val head = s"""WITH $ShingleCte,
+       sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT id1, id2 FROM inter
+         JOIN sizes s1 ON id1 = s1.doc_id
+         JOIN sizes s2 ON id2 = s2.doc_id
+         WHERE i * 1.0 / (s1.nsh + s2.nsh - i) >= 0.5),
+       edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+         UNION ALL SELECT id2, id1 FROM pairs),
+       deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM edges GROUP BY a),
+       seeds AS MATERIALIZED (SELECT a AS id FROM deg WHERE a % 2 = 0),
+       ns AS (SELECT count(*) AS ns FROM seeds),
+       r0 AS (SELECT deg.a AS id,
+           CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT ns FROM ns)
+             ELSE 0.0 END AS r
+         FROM deg LEFT JOIN seeds s ON s.id = deg.a)"""
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (SELECT d.a AS id,
+           floor((CASE WHEN s.id IS NOT NULL
+               THEN (1 - 0.85) / (SELECT ns FROM ns) ELSE 0.0 END
+             + 0.85 * COALESCE(agg.sm, 0.0)) * 1e9 + 0.5) / 1e9 AS r
+         FROM deg d LEFT JOIN seeds s ON s.id = d.a
+         LEFT JOIN (SELECT e.b AS id, sum(p.r / deg.deg) AS sm
+             FROM edges e JOIN r${i - 1} p ON p.id = e.a
+             JOIN deg ON deg.a = e.a
+             GROUP BY e.b) agg ON agg.id = d.a)"""
+    }.mkString(",\n")
+    s"$head,\n$its\n SELECT id, r AS rank FROM r$iters ORDER BY id"
+  }
+
   private def pageRankSql(iters: Int): String = {
     val head = s"""WITH $ShingleCte,
        sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
@@ -928,8 +1093,10 @@ object DedupQueries {
     * partitions. Every round CTE is MATERIALIZED (the d31/d45 lesson:
     * DuckDB re-inlines CTEs that scalar subqueries / repeated joins
     * read, and the unmaterialized form blows past any sane runtime). */
-  private def louvainSql(iters: Int, lpaIters: Int): String = {
-    val head = s"""WITH pairs AS MATERIALIZED (
+  /** Shared d46/d53 oracle head: the DISTINCT co-purchase pair graph,
+    * symmetrized edges, vertex degrees, edge totals, identity seed. */
+  private val LouvainHead: String =
+    s"""pairs AS MATERIALIZED (
          SELECT DISTINCT a.l_partkey AS id1, b.l_partkey AS id2
          FROM lineitem a JOIN lineitem b
            ON a.l_orderkey = b.l_orderkey
@@ -941,7 +1108,11 @@ object DedupQueries {
        mm AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS m2,
          CAST(count(*) // 2 AS BIGINT) AS m FROM edges),
        lou0 AS MATERIALIZED (SELECT id, id AS lbl FROM deg)"""
-    val louRounds = (1 to iters).map { i =>
+
+  /** Shared d46/d53 oracle rounds: `iters` unrolled synchronous Louvain
+    * rounds (exact-integer ΔQ numerator, ties → smallest label). */
+  private def louvainRounds(iters: Int): String =
+    (1 to iters).map { i =>
       s"""sig$i AS MATERIALIZED (SELECT l.lbl AS c,
              CAST(sum(d.k) AS BIGINT) AS sig
            FROM lou${i - 1} l JOIN deg d ON d.id = l.id GROUP BY 1),
@@ -965,6 +1136,28 @@ object DedupQueries {
              CROSS JOIN mm)
            WHERE rk = 1)"""
     }.mkString(",\n")
+
+  /** The d32 modularity block over a labels CTE, closed to one q6
+    * scalar (identical exact-BIGINT division spelling) — shared by the
+    * d46 and d53 closers. */
+  private def qBlockSql(lbl: String, pfx: String): String =
+    s"""${pfx}se AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS se
+         FROM pairs e JOIN $lbl l1 ON e.id1 = l1.id
+         JOIN $lbl l2 ON e.id2 = l2.id
+         WHERE l1.lbl = l2.lbl),
+       ${pfx}ds AS MATERIALIZED (SELECT l.lbl,
+           CAST(sum(d.k) AS BIGINT) AS d_sum
+         FROM $lbl l JOIN deg d ON d.id = l.id GROUP BY 1),
+       ${pfx}q AS MATERIALIZED (SELECT
+           floor(CAST(4 * mm.m * se.se - sd.sd2 AS DOUBLE)
+             / CAST(4 * mm.m * mm.m AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q6
+         FROM ${pfx}se se,
+           (SELECT CAST(sum(d_sum * d_sum) AS BIGINT) AS sd2
+            FROM ${pfx}ds) sd, mm)"""
+
+  private def louvainSql(iters: Int, lpaIters: Int): String = {
+    val head = s"WITH $LouvainHead"
+    val louRounds = louvainRounds(iters)
     val lpaRounds = (1 to lpaIters).map { i =>
       val prev = if (i == 1) "lou0" else s"l${i - 1}"
       s"""l$i AS MATERIALIZED (SELECT id, lbl FROM (
@@ -974,29 +1167,76 @@ object DedupQueries {
            FROM edges e JOIN $prev p ON p.id = e.b
            GROUP BY e.a, p.lbl) WHERE rk = 1)"""
     }.mkString(",\n")
-    // the d32 modularity block, closed to the ONE q6 scalar per
-    // partition (identical exact-BIGINT division spelling)
-    def qBlock(lbl: String, pfx: String) =
-      s"""${pfx}se AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS se
-           FROM pairs e JOIN $lbl l1 ON e.id1 = l1.id
-           JOIN $lbl l2 ON e.id2 = l2.id
-           WHERE l1.lbl = l2.lbl),
-         ${pfx}ds AS MATERIALIZED (SELECT l.lbl,
-             CAST(sum(d.k) AS BIGINT) AS d_sum
-           FROM $lbl l JOIN deg d ON d.id = l.id GROUP BY 1),
-         ${pfx}q AS MATERIALIZED (SELECT
-             floor(CAST(4 * mm.m * se.se - sd.sd2 AS DOUBLE)
-               / CAST(4 * mm.m * mm.m AS DOUBLE) * 1e6 + 0.5) / 1e6 AS q6
-           FROM ${pfx}se se,
-             (SELECT CAST(sum(d_sum * d_sum) AS BIGINT) AS sd2
-              FROM ${pfx}ds) sd, mm)"""
     s"""$head,
        $louRounds,
        $lpaRounds,
-       ${qBlock(s"lou$iters", "lo")},
-       ${qBlock(s"l$lpaIters", "lp")}
+       ${qBlockSql(s"lou$iters", "lo")},
+       ${qBlockSql(s"l$lpaIters", "lp")}
        SELECT f.id, f.lbl, ql.q6 AS q6, qp.q6 AS q6_lpa
        FROM lou$iters f, loq ql, lpq qp ORDER BY f.id"""
+  }
+
+  /** d53 oracle: level 1 = the d46 Louvain rounds; COARSEN to the
+    * weighted supergraph (communities → supernodes, parallel edges →
+    * integer weights, intra-community edges → self-loops feeding 2×
+    * into the weighted degree); level 2 = the same rounds generalized
+    * to weights; close with each ORIGINAL vertex mapped through its
+    * community and both partitions' q6 over the original graph. */
+  private def louvainLevelsSql(iters: Int): String = {
+    val wRounds = (1 to iters).map { i =>
+      s"""wsig$i AS MATERIALIZED (SELECT l.lbl AS c,
+             CAST(sum(d.k) AS BIGINT) AS sig
+           FROM wl${i - 1} l JOIN wdeg d ON d.id = l.id GROUP BY 1),
+         wcand$i AS MATERIALIZED (SELECT id, c,
+             CAST(max(kic) AS BIGINT) AS kic
+           FROM (
+             SELECT e.a AS id, p.lbl AS c, CAST(sum(e.w) AS BIGINT) AS kic
+             FROM wsym e JOIN wl${i - 1} p ON p.id = e.b GROUP BY 1, 2
+             UNION ALL SELECT id, lbl AS c, 0 FROM wl${i - 1})
+           GROUP BY 1, 2),
+         wl$i AS MATERIALIZED (SELECT id, c AS lbl FROM (
+             SELECT cd.id, cd.c,
+               row_number() OVER (PARTITION BY cd.id ORDER BY
+                 wmm.m2 * cd.kic - d.k * (s.sig
+                   - CASE WHEN cd.c = o.lbl THEN d.k ELSE 0 END) DESC,
+                 cd.c ASC) AS rk
+             FROM wcand$i cd
+             JOIN wsig$i s ON s.c = cd.c
+             JOIN wdeg d ON d.id = cd.id
+             JOIN wl${i - 1} o ON o.id = cd.id
+             CROSS JOIN wmm)
+           WHERE rk = 1)"""
+    }.mkString(",\n")
+    s"""WITH $LouvainHead,
+       ${louvainRounds(iters)},
+       sup AS MATERIALIZED (
+         SELECT least(l1.lbl, l2.lbl) AS lo,
+           greatest(l1.lbl, l2.lbl) AS hi,
+           CAST(count(*) AS BIGINT) AS w
+         FROM pairs e JOIN lou$iters l1 ON e.id1 = l1.id
+         JOIN lou$iters l2 ON e.id2 = l2.id
+         GROUP BY 1, 2),
+       wsym AS MATERIALIZED (
+         SELECT lo AS a, hi AS b, w FROM sup WHERE lo <> hi
+         UNION ALL SELECT hi, lo, w FROM sup WHERE lo <> hi),
+       wdeg AS MATERIALIZED (
+         SELECT id, CAST(sum(kw) AS BIGINT) AS k FROM (
+           SELECT a AS id, w AS kw FROM wsym
+           UNION ALL SELECT lo, 2 * w FROM sup WHERE lo = hi)
+         GROUP BY 1),
+       wmm AS MATERIALIZED (SELECT CAST(sum(k) AS BIGINT) AS m2 FROM wdeg),
+       wl0 AS MATERIALIZED (SELECT id, id AS lbl FROM wdeg),
+       $wRounds,
+       lab1 AS MATERIALIZED (SELECT id, lbl FROM lou$iters),
+       lab2 AS MATERIALIZED (SELECT v.id, w2.lbl
+         FROM lou$iters v JOIN wl$iters w2 ON w2.id = v.lbl),
+       ${qBlockSql("lab1", "q1")},
+       ${qBlockSql("lab2", "q2")}
+       SELECT v.id, v.lbl AS lbl1, w2.lbl AS lbl2,
+         a.q6 AS q6_l1, b.q6 AS q6_l2
+       FROM lou$iters v JOIN wl$iters w2 ON w2.id = v.lbl,
+         q1q a, q2q b
+       ORDER BY v.id"""
   }
 
   private val JaccardSql =
@@ -1152,6 +1392,22 @@ object DedupQueries {
     // the candidate rows on the window text itself, then d47's ×k
     // position unnest + ordered string_agg reassembly.
     "d49_exact_substr" ->
+      s"""WITH $ExactSubstr50Ctes
+         SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(outp.kept, 0) AS BIGINT) AS kept,
+           COALESCE(outp.clean_text, '') AS clean_text
+         FROM t LEFT JOIN outp USING (doc_id) ORDER BY t.doc_id""",
+    // d50: the incremental two-wave answer must equal batch ExactSubstr
+    // on the union — d49's oracle re-registered VERBATIM (the e57 rule).
+    "d50_exact_substr_incr" ->
+      s"""WITH $ExactSubstr50Ctes
+         SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(outp.kept, 0) AS BIGINT) AS kept,
+           COALESCE(outp.clean_text, '') AS clean_text
+         FROM t LEFT JOIN outp USING (doc_id) ORDER BY t.doc_id""",
+    // d51: three streamed waves accumulate to the identical batch
+    // answer — the same oracle a third time.
+    "d51_exact_substr_stream" ->
       s"""WITH $ExactSubstr50Ctes
          SELECT t.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
            CAST(COALESCE(outp.kept, 0) AS BIGINT) AS kept,
@@ -1499,11 +1755,17 @@ object DedupQueries {
     // (1 - 0.85) spelling is deliberate: both engines compute the same
     // IEEE double, where a 0.15 literal would differ by 1 ulp.
     "d20_pagerank" -> pageRankSql(iters = 5),
+    // d52: the same pair graph, teleport restricted to in-graph even
+    // doc_ids — five unrolled seeded power iterations, 1e-9 snaps.
+    "d52_personalized_pagerank" -> personalizedPageRankSql(iters = 5),
     "d45_hits" -> hitsSql(iters = 4),
     "d29_label_prop" -> labelPropSql(iters = 4),
     // d46: the co-purchase pair graph; 4 Louvain rounds + 4 LPA rounds
     // unrolled, both closed by the d32 modularity division.
     "d46_louvain" -> louvainSql(iters = 4, lpaIters = 4),
+    // d53: the d46 rounds + coarsen + 4 weighted rounds on the
+    // supergraph, both partitions' q6 over the original graph.
+    "d53_louvain_levels" -> louvainLevelsSql(iters = 4),
     // d25: d08's exact pair-graph head + the DBSCAN tail (degrees →
     // cores → recursive-CTE components over core–core edges → min-core
     // border attach → noise).

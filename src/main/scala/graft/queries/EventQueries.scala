@@ -1903,7 +1903,8 @@ object EventQueries {
          FROM tot, cu""",
     // e52: same spans/horizon screen; suffix at-risk counts over the
     // bounded per-duration frame; the recursive CTE replays the product
-    // in the identical ascending-t association (seed CAST per CLAUDE.md).
+    // in the identical ascending-t association (seed columns CAST to
+    // DOUBLE — a bare 1.0 literal would pin the recursion to DECIMAL(2,1)).
     "e52_kaplan_meier" ->
       """WITH RECURSIVE
          sp AS (SELECT user_id, event_type,

@@ -521,6 +521,100 @@ object PipelineQueries {
       res
     }),
 
+    // FULL conditional MERGE INTO — the complete Delta clause matrix
+    // (p24's upsert and p32's CDC apply are its unconditional special
+    // cases): WHEN MATCHED AND src.text='DELETE' THEN DELETE; WHEN
+    // MATCHED AND len(src)>len(base) THEN UPDATE (the %10==3 shortened
+    // rows exercise the ELSE-keep); WHEN NOT MATCHED AND
+    // src.source='recrawl' THEN INSERT (the 'staging' row drops); WHEN
+    // NOT MATCHED BY SOURCE AND doc_id%10==9 THEN DELETE (the retention
+    // purge of rows the batch no longer carries). One full-outer keyed
+    // join + one decision expression.
+    "p37_merge_matrix" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      def m(k: Int) = docs.filter(pmod(col("doc_id"), lit(10)) === k)
+      val src = m(5).select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" amended longer text")).as("text"))
+        .unionByName(m(3).select(col("doc_id"), col("source"),
+          substring(col("text"), 1, 5).as("text")))
+        .unionByName(m(7).select(col("doc_id"), col("source"),
+          lit("DELETE").as("text")))
+        .unionByName(Seq(
+          (-1L, "recrawl", "fresh doc one"),
+          (-2L, "staging", "skip me"))
+          .toDF("doc_id", "source", "text"))
+      PipelineOps.mergeInto(docs, src, Seq("doc_id"),
+          matchedDeleteWhen = Some((_, sc) =>
+            sc.getField("text") === "DELETE"),
+          matchedUpdateWhen = Some((b, sc) =>
+            length(sc.getField("text")) > length(b.getField("text"))),
+          insertWhen = Some(sc => sc.getField("source") === "recrawl"),
+          notMatchedBySourceDeleteWhen = Some(b =>
+            pmod(b.getField("doc_id"), lit(10)) === 9))
+        .select(col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // VERSIONED-TABLE CHANGE FEED — the streaming READ completing p34's
+    // write loop ("the table as a stream"): p27's commit sequence
+    // replays WHILE a readStream over the manifests dir is live; each
+    // committed version arrives as one micro-batch carrying only the
+    // CHANGED buckets' rows (O(changed) IO — the p31 pruning rule), and
+    // a downstream consumer reconstructs every snapshot by replacing
+    // changed buckets in its running state. The reconstructed v1/v2
+    // must equal time travel exactly — p27's oracle VERBATIM (the e57
+    // rule).
+    "p36_table_change_feed" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p36_tbl").toString
+      val tbl = s"$root/tbl"
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      VersionedTable.commitCreate(base, tbl, "doc_id", buckets = 8)
+      // downstream consumer: per version, swap the changed buckets into
+      // the running state (bucketOf re-derives routing from the key);
+      // each snapshot pins with an eager localCheckpoint
+      val snaps = scala.collection.mutable.Map.empty[Int, DataFrame]
+      var state: DataFrame = null
+      val q = graft.streaming.StreamOps.tableChangeFeed(s, tbl) {
+        (v, changed, rows) =>
+          val next =
+            if (state == null) rows
+            else state.filter(!VersionedTable.bucketOf("doc_id", 8)
+                .isin(changed.toSeq: _*))
+              .unionByName(rows)
+          state = next.localCheckpoint(true)
+          snaps(v) = state
+          ()
+      }
+      try {
+        q.processAllAvailable() // v1 discovered + reconstructed
+        val updates = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" amended")).as("text"))
+          .unionByName(Seq(
+            (-1L, "recrawl", "fresh doc one"),
+            (-2L, "recrawl", "fresh doc two"),
+            (-3L, "recrawl", "fresh doc three"))
+            .toDF("doc_id", "source", "text"))
+        VersionedTable.commitUpsert(s, tbl, updates, "doc_id")
+        q.processAllAvailable() // v2 streams in as its changed buckets
+      } finally q.stop()
+      def snap(v: Int) = snaps(v).select(lit(v).as("version"),
+        col("doc_id"), col("source"),
+        md5(encode(col("text"), "UTF-8")).as("fp"))
+      val res = snap(1).unionByName(snap(2))
+        .orderBy("version", "doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // TIME TRAVEL — the versioned-table read the in-place p24/p25
     // merges can't give: commit v1 (8 key-buckets), commit an upsert as
     // v2 (only touched buckets rewritten; untouched buckets' files
@@ -726,6 +820,31 @@ object PipelineQueries {
   )
 
   private val Toks = "list_filter(string_split(lower(text), ' '), t -> t <> '')"
+
+  /** p27/p36 shared oracle: v1 = the untouched snapshot, v2 = the
+    * upsert — the time-travel contract expressed directly. p36's
+    * change-feed reconstruction answers the identical question, so it
+    * re-registers this SQL verbatim (the e57 rule). */
+  private val TimeTravelSql: String =
+    """WITH upd AS (
+           SELECT doc_id, source, text || ' amended' AS text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'recrawl', 'fresh doc one'),
+             (CAST(-2 AS BIGINT), 'recrawl', 'fresh doc two'),
+             (CAST(-3 AS BIGINT), 'recrawl', 'fresh doc three'))
+             t(doc_id, source, text)),
+         v2 AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL SELECT doc_id, source, text FROM upd)
+         SELECT version, doc_id, source, fp FROM (
+           SELECT 1 AS version, doc_id, source, md5(text) AS fp
+           FROM documents
+           UNION ALL
+           SELECT 2, doc_id, source, md5(text) FROM v2)
+         ORDER BY version, doc_id"""
 
   /** p26/p29 shared oracle: last-writer-wins as a DuckDB rank
     * window over the multi-op log, then the anti-join + filtered
@@ -1306,26 +1425,47 @@ object PipelineQueries {
          ORDER BY version, doc_id""",
     // p27: version 1 is the untouched snapshot, version 2 is p24's
     // upsert — the time-travel contract expressed directly.
-    "p27_time_travel" ->
-      """WITH upd AS (
-           SELECT doc_id, source, text || ' amended' AS text
+    "p27_time_travel" -> TimeTravelSql,
+    // p36: the change-feed reconstruction must equal time travel
+    // snapshot for snapshot — p27's oracle re-registered VERBATIM.
+    "p36_table_change_feed" -> TimeTravelSql,
+    // p37: the clause matrix expressed directly — matched rows split by
+    // the DELETE marker then the longer-text update condition;
+    // base-only rows survive unless the %10==9 purge fires; source-only
+    // rows insert only from 'recrawl'.
+    "p37_merge_matrix" ->
+      """WITH src AS (
+           SELECT doc_id, source, text || ' amended longer text' AS text
            FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT doc_id, source, substr(text, 1, 5) FROM documents
+           WHERE doc_id % 10 = 3
+           UNION ALL
+           SELECT doc_id, source, 'DELETE' FROM documents
+           WHERE doc_id % 10 = 7
            UNION ALL
            SELECT * FROM (VALUES
              (CAST(-1 AS BIGINT), 'recrawl', 'fresh doc one'),
-             (CAST(-2 AS BIGINT), 'recrawl', 'fresh doc two'),
-             (CAST(-3 AS BIGINT), 'recrawl', 'fresh doc three'))
+             (CAST(-2 AS BIGINT), 'staging', 'skip me'))
              t(doc_id, source, text)),
-         v2 AS (
-           SELECT doc_id, source, text FROM documents
-           WHERE doc_id NOT IN (SELECT doc_id FROM upd)
-           UNION ALL SELECT doc_id, source, text FROM upd)
-         SELECT version, doc_id, source, fp FROM (
-           SELECT 1 AS version, doc_id, source, md5(text) AS fp
-           FROM documents
+         merged AS (
+           SELECT d.doc_id,
+             CASE WHEN length(s.text) > length(d.text)
+               THEN s.source ELSE d.source END AS source,
+             CASE WHEN length(s.text) > length(d.text)
+               THEN s.text ELSE d.text END AS text
+           FROM documents d JOIN src s USING (doc_id)
+           WHERE s.text <> 'DELETE'
            UNION ALL
-           SELECT 2, doc_id, source, md5(text) FROM v2)
-         ORDER BY version, doc_id""",
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM src)
+             AND doc_id % 10 <> 9
+           UNION ALL
+           SELECT doc_id, source, text FROM src
+           WHERE doc_id NOT IN (SELECT doc_id FROM documents)
+             AND source = 'recrawl')
+         SELECT doc_id, source, md5(text) AS fp FROM merged
+         ORDER BY doc_id""",
     // p28: the expected statuses follow directly from the commit
     // construction — %10==5 changed at v2, %10==3 changed at v3,
     // inserts added, everything else unchanged (no removals: upserts

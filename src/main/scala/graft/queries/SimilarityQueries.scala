@@ -1211,7 +1211,7 @@ object SimilarityQueries {
            nid, round(sim, 6) AS sim
          FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""",
     // floor(x*1e6+0.5)/1e6 mirrors TextOps.round6 bit-for-bit (round()
-    // disagrees between engines on half-way doubles; see CLAUDE.md).
+    // disagrees between engines on half-way doubles).
     "v05_group_centroid" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
                     FROM embeddings),

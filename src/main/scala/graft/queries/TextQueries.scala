@@ -381,6 +381,20 @@ object TextQueries {
           maxPiece = 4, seedVocab = 30, rounds = 3)
         .orderBy("tokenizer")),
 
+    // CLASSIFIER FEATURE DATASHEET — unigram vs unigram+bigram hashed
+    // features (the actual fastText recipe: bag-of-words PLUS hashed
+    // bigrams), both trained with the same exact-numerics GD on t36's
+    // text-derived weak label, closed by per-variant accuracy from
+    // exact (correct, n) integers. The oracle replays BOTH trainings in
+    // one statement, each inside its own nested WITH (the t38 rule —
+    // the clf CTE name families collide otherwise).
+    "t39_clf_feature_compare" -> ((s, d) =>
+      graft.ops.TextOps.textClassifierCompare(docs(s, d), "doc_id", "text",
+          when(graft.ops.TextOps.qualityScore(col("text")) >= 0.5, 1L)
+            .otherwise(0L),
+          dim = 16, iters = 8, memoKey = Some(s"docs-quality:$d"))
+        .orderBy("features")),
+
     // Misra-Gries heavy hitters over `source` through the native
     // mergeable aggregate (fixed k-counter state per partial — shuffle
     // payload never grows with cardinality). k=64 exceeds the domain, so
@@ -760,12 +774,31 @@ object TextQueries {
   }
 
   /** t36/t37 shared logistic-regression replay: hashed-count features,
-    * five unrolled GD iterations — margins as exact keyed sums,
+    * `iters` unrolled GD iterations — margins as exact keyed sums,
     * rational sigmoid, dyadic-grid residual snap, Laplace-free update
-    * with the identical `w + 0.5 * g / n` association. */
-  private[queries] def clfCtes(dim: Int, iters: Int): String = {
+    * with the identical `w + 4.0 * g / n` association (the learning
+    * rate must match TextOps.textClfLoop's — tune both together). */
+  private[queries] def clfCtes(dim: Int, iters: Int,
+                               bigrams: Boolean = false): String = {
     val md5long = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+    val md5longB = "CAST(concat('0x', substr(md5(bt), 1, 15)) AS BIGINT)"
     def snap(e: String) = s"floor(($e) * 1048576.0 + 0.5) / 1048576.0"
+    // t39's second feature block: hashed bigrams in buckets [dim, 2·dim),
+    // normalized by the doc's bigram count (n−1); length/bias ids shift
+    val nFeat = if (bigrams) 2 * dim else dim
+    val bgrCte = if (!bigrams) "" else
+      s"""bgr AS (SELECT doc_id, ts[u.i] || ' ' || ts[u.i+1] AS bt
+           FROM t0, LATERAL unnest(range(1, len(ts))) AS u(i)),
+       """
+    val bgrArm = if (!bigrams) "" else
+      s"""UNION ALL
+         SELECT b2.doc_id, b2.feat,
+           ${snap("CAST(c AS DOUBLE) / CAST(greatest(n - 1, 1) AS DOUBLE)")}
+         FROM (SELECT doc_id, $dim + ($md5longB % $dim) AS feat,
+                 CAST(count(*) AS BIGINT) AS c
+               FROM bgr GROUP BY 1, 2) b2
+         JOIN lens USING (doc_id)
+         """
     val its = (1 to iters).map { i =>
       s"""z$i AS MATERIALIZED (
            SELECT doc_id, sum(x * w) AS z
@@ -788,7 +821,7 @@ object TextQueries {
          SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM t0),
        toks AS (SELECT doc_id, u.t AS t FROM t0,
            LATERAL unnest(ts) AS u(t)),
-       feats AS MATERIALIZED (
+       ${bgrCte}feats AS MATERIALIZED (
          SELECT b.doc_id, b.feat,
            ${snap("CAST(c AS DOUBLE) / CAST(greatest(n, 1) AS DOUBLE)")}
              AS x
@@ -796,12 +829,13 @@ object TextQueries {
                  CAST(count(*) AS BIGINT) AS c
                FROM toks GROUP BY 1, 2) b
          JOIN lens USING (doc_id)
+         $bgrArm
          UNION ALL
-         SELECT doc_id, CAST($dim AS BIGINT),
+         SELECT doc_id, CAST($nFeat AS BIGINT),
            ${snap("CAST(least(n, 512) AS DOUBLE) / 512.0")}
          FROM lens
          UNION ALL
-         SELECT doc_id, CAST(${dim + 1} AS BIGINT), CAST(1.0 AS DOUBLE)
+         SELECT doc_id, CAST(${nFeat + 1} AS BIGINT), CAST(1.0 AS DOUBLE)
          FROM documents),
        labels AS MATERIALIZED (
          SELECT doc_id, CASE WHEN
@@ -815,7 +849,7 @@ object TextQueries {
        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
        w0 AS (SELECT CAST(u.f AS BIGINT) AS feat,
            CAST(0.0 AS DOUBLE) AS w
-         FROM unnest(range(0, ${dim + 2})) AS u(f)),
+         FROM unnest(range(0, ${nFeat + 2})) AS u(f)),
        $its"""
   }
 
@@ -825,6 +859,29 @@ object TextQueries {
       .mkString(" UNION ALL ")
     s"""WITH ${clfCtes(dim, iters)}
        SELECT iter, feat, w FROM ($sel) ORDER BY iter, feat"""
+  }
+
+  /** t39 oracle: both feature variants' full GD replays in ONE
+    * statement — each in its own nested WITH (CTE families collide) —
+    * closed by the exact-integer accuracy division. */
+  private def clfCompareSql(dim: Int, iters: Int): String = {
+    def variant(name: String, bigrams: Boolean) =
+      s"""SELECT '$name' AS features,
+           CAST(correct AS BIGINT) AS correct, CAST(n AS BIGINT) AS n,
+           floor(correct * 1.0 / n * 1e6 + 0.5) / 1e6 AS accuracy6
+         FROM (
+           WITH ${clfCtes(dim, iters, bigrams)},
+           zf AS (SELECT doc_id, sum(x * w) AS z
+             FROM feats JOIN w$iters USING (feat) GROUP BY 1)
+           SELECT sum(CASE WHEN (z >= 0) = (y = 1) THEN 1 ELSE 0 END)
+               AS correct,
+             count(*) AS n
+           FROM labels l JOIN zf USING (doc_id))"""
+    s"""SELECT features, correct, n, accuracy6 FROM (
+        ${variant("unigram", bigrams = false)}
+        UNION ALL
+        ${variant("unigram_bigram", bigrams = true)})
+        ORDER BY features"""
   }
 
   private def clfScoreSql(dim: Int, iters: Int): String =
@@ -1118,6 +1175,9 @@ object TextQueries {
     // makes every sum exact, so no output rounding is needed.
     "t36_quality_clf_train" -> clfTrainSql(dim = 16, iters = 8),
     "t37_quality_clf_score" -> clfScoreSql(dim = 16, iters = 8),
+    // t39: unigram vs unigram+bigram feature ablation — both GD loops
+    // replayed in one statement, nested WITH per variant.
+    "t39_clf_feature_compare" -> clfCompareSql(dim = 16, iters = 8),
     // t38: both training loops replayed in ONE statement, each inside
     // its own nested WITH (bpe's v0..v8 and unigram's v0..v3 CTE name
     // families collide at the top level); the closing ratio divides two

@@ -31,13 +31,15 @@ import org.apache.spark.sql.functions._
   * engine or re-run. The manifest is |buckets| lines of driver state.
   *
   * Atomicity + OPTIMISTIC CONCURRENCY: a manifest is staged to a temp
-  * name, then claimed as `vN.txt` via a version-exists check + rename —
-  * the commit only becomes readable when fully written, and a SECOND
-  * writer racing to the same version number FAILS LOUDLY instead of
-  * silently overwriting (on HDFS the rename itself refuses an existing
-  * destination — a true compare-and-swap; on a local filesystem the
-  * exists probe immediately before the rename narrows the race to
-  * microseconds). A crashed commit leaves orphan data dirs (garbage to
+  * name, then the version is CLAIMED by atomically creating a
+  * `.claim_vN` marker (O_EXCL `createNewFile` on local filesystems,
+  * where Hadoop's rename/create(overwrite=false) are check-then-act;
+  * `create(p, false)` on HDFS-like stores where it IS atomic) and only
+  * the claim winner renames its staged file to `vN.txt` — a true
+  * compare-and-swap on every filesystem: the commit only becomes
+  * readable when fully written, and a SECOND writer racing to the same
+  * version number FAILS LOUDLY instead of silently overwriting.
+  * A crashed commit leaves orphan data dirs (garbage to
   * collect) but never a readable-but-wrong version; readers of v≤N are
   * untouched by any in-flight commit. [[vacuum]] must run inside the
   * same single-writer serialization as commits (it skips data dirs
@@ -49,7 +51,10 @@ object VersionedTable {
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def bucketOf(keyCol: String, buckets: Int) =
+  /** Deterministic engine-portable key→bucket routing — shared with
+    * change-feed consumers, which re-derive a row's bucket to replace
+    * changed buckets in their running state. */
+  private[graft] def bucketOf(keyCol: String, buckets: Int) =
     pmod(graft.ops.DedupOps.portableHash60(col(keyCol).cast("string")),
       lit(buckets.toLong))
 
@@ -95,12 +100,37 @@ object VersionedTable {
     (b, m)
   }
 
+  /** (buckets, entries) of one version's manifest — the commit-log row
+    * a change-feed reader diffs against its predecessor. */
+  private[graft] def manifestEntries(spark: SparkSession, tableDir: String,
+      version: Int): (Int, Map[Long, String]) =
+    readManifest(fsOf(spark, tableDir), tableDir, version)
+
+  /** Atomically create a zero-byte claim marker; true iff THIS caller
+    * created it. On local filesystems Hadoop's create(overwrite=false)
+    * and rename are both check-then-act (File.renameTo overwrites on
+    * POSIX), so route through `File.createNewFile` — atomic O_EXCL per
+    * its contract. On HDFS-like stores create(p, false) is the atomic
+    * primitive. */
+  private def atomicClaim(fs: FileSystem, p: Path): Boolean = fs match {
+    case _: org.apache.hadoop.fs.LocalFileSystem |
+         _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try new java.io.File(p.toUri.getPath).createNewFile()
+      catch { case _: java.io.IOException => false }
+    case _ =>
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
+
   /** Stage the manifest body under a temp name, then CLAIM the version:
-    * exists-check + atomic rename. The optimistic-concurrency commit —
+    * atomic `.claim_vN` marker creation ([[atomicClaim]] — O_EXCL, not
+    * check-then-act) + rename of the fully-written stage to `vN.txt`.
+    * The optimistic-concurrency commit —
     * two writers racing to the same version number leave exactly ONE
     * committed manifest; the loser gets an IllegalStateException and
     * its staged file is cleaned up (its orphan data dirs are collectible
-    * garbage, never readable). */
+    * garbage, never readable). Claim markers are dot-prefixed so
+    * streaming readers of the manifests dir never surface them. */
   private[graft] def writeManifest(fs: FileSystem, tableDir: String,
                             version: Int,
                             buckets: Int, entries: Map[Long, String],
@@ -113,7 +143,10 @@ object VersionedTable {
       .mkString("\n")
     val out = fs.create(stage, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val claimed = !fs.exists(p) && fs.rename(stage, p)
+    // claim AFTER the stage is durable: the winner's rename publishes a
+    // complete manifest, never a partially-written one
+    val claim = new Path(s"$tableDir/manifests/.claim_v$version")
+    val claimed = atomicClaim(fs, claim) && fs.rename(stage, p)
     if (!claimed) {
       fs.delete(stage, false)
       throw new IllegalStateException(s"concurrent writer: version " +
@@ -314,7 +347,13 @@ object VersionedTable {
         .collectFirst { case m if m.nonEmpty => m }
       require(tpl.isDefined, s"version $version of $tableDir is empty " +
         "and no prior version carries a schema template")
-      spark.read.parquet(s"$tableDir/${tpl.get.values.head}").limit(0)
+      // read ALL template dirs with mergeSchema (mirroring the non-empty
+      // path): after a schema evolution the template version can mix
+      // pre/post-evolution bucket dirs, and one arbitrary Map-ordered dir
+      // would surface the pre-evolution schema nondeterministically
+      spark.read.option("mergeSchema", "true")
+        .parquet(tpl.get.values.toSeq.sorted.map(d => s"$tableDir/$d"): _*)
+        .limit(0)
     }
   }
 
@@ -355,6 +394,11 @@ object VersionedTable {
     (1 until keepFrom).foreach { v =>
       val mp = new Path(s"$tableDir/manifests/v$v.txt")
       if (fs.exists(mp)) { fs.delete(mp, false); dropped += 1 }
+      // the version's claim marker goes with its manifest (version
+      // numbers never reuse — currentVersion keeps growing — so dropping
+      // the marker cannot re-open the claim)
+      val cp = new Path(s"$tableDir/manifests/.claim_v$v")
+      if (fs.exists(cp)) fs.delete(cp, false)
     }
     var deleted = 0
     val dataRoot = new Path(s"$tableDir/data")

@@ -148,12 +148,16 @@ class CollectLintSpec extends AnyFunSuite {
         "pmi corpus token/bigram totals: 1-row aggregate",
       "sum(u6(x * x)).as(\"sxx\")).head()" ->
         "zipf regression sums: 1-row aggregate of exact integer units",
-      ".collect() // bounded: ≤ |alphabet| + |vocab|·maxPiece substrings of" ->
-        "unigram seed counts: alphabet + capped substring tail",
+      ".collect() // ≤ |alphabet| rows — every single char joins the vocab" ->
+        "unigram seed chars: ≤ |alphabet| rows",
+      ".collect() // ≤ seedVocab rows — the heap cut" ->
+        "unigram seed multi pieces: engine-side top-K, ≤ seedVocab rows",
       ".collect() // ≤ |vocab| rows — the loadCentroids bound" ->
         "unigram per-round piece usage: ≤ chars + seedVocab rows",
-      ".collect() // ≤ dim+2 rows — bounded driver state" ->
-        "classifier per-iteration gradient: dim+2 rows",
+      ".collect() // ≤ 2·dim+2 rows — bounded driver state" ->
+        "classifier per-iteration gradient: ≤ 2·dim+2 rows",
+      ".head() // 1-row accuracy probe" ->
+        "classifier datasheet accuracy: 1-row aggregate per variant",
       "sum(col(\"freq\") * col(\"wlen\")).as(\"ct\")).head() // 1-row probe" ->
         "tokenizerCompare piece/char totals: 1-row aggregate",
       ".agg(count_distinct(norm(col(\"t\"))).as(\"vu\")).head() // 1-row probe" ->
@@ -173,7 +177,13 @@ class CollectLintSpec extends AnyFunSuite {
       ".agg(count(lit(1))).head().getLong(0) // 1-row intra-edge total" ->
         "modularityQ intra-edge count: 1-row aggregate",
       ".head().getLong(0) // 1-row degree-square total" ->
-        "modularityQ degree-square total: 1-row aggregate over |communities|"),
+        "modularityQ degree-square total: 1-row aggregate over |communities|",
+      "val m2 = deg.agg(sum(col(\"k\"))).head().getLong(0) // 1-row probe: 2m" ->
+        "weighted louvain total degree: 1-row aggregate"),
+    "StreamOps.scala" -> Map(
+      ".collect() // ≤ |newly committed manifests| rows" ->
+        ("change-feed version discovery: one file NAME per manifest the " +
+          "micro-batch delivered — bounded by the commit rate, never data")),
     "SkewOps.scala" -> Map(
       "val t = counts.agg(sum(col(\"cnt\")), count(lit(1))).head()" ->
         "skew report totals: 1-row aggregate over the keyed counts"),
@@ -239,7 +249,9 @@ class CollectLintSpec extends AnyFunSuite {
       "fresh.select(\"doc_id\", \"text\").collect()" ->
         "MemoryStream replay feed (d18 gate harness, memoized)",
       "Tables.documents(s, d).select(\"source\", \"text\").collect()" ->
-        "MemoryStream replay feed (d27 gate harness, memoized)"),
+        "MemoryStream replay feed (d27 gate harness, memoized)",
+      ".collect() // replay fixture — |documents| rows, memoized" ->
+        "MemoryStream replay feed (d51 gate harness, memoized)"),
     // all memoized per (fixture dir, projection) in the replay-feed
     // helpers at the top of EventQueries — one collect per session
     "EventQueries.scala" -> Map(

@@ -154,6 +154,77 @@ class GraphOpsSpec extends AnyFunSuite with SparkFixture {
     assert(rep2 == Seq("s0"))
   }
 
+  test("personalizedPageRank: teleport mass lands only on the seed, " +
+      "hand-iterated snapped recurrence, mass conserved (d52 gate)") {
+    // path 1-2-3, seed = {1}: base mass (1-d)/1 only on node 1
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val seeds = Seq(Tuple1(1L)).toDF("s")
+    val got = GraphOps.personalizedPageRank(pairs, "id1", "id2",
+        seeds, "s", damping = 0.85, iters = 5)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    Caches.clear()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val Seq(r1, r2, r3) = got.map(_._2).toSeq
+    // the degree-2 hub collects from both sides and can outrank the
+    // seed (even/odd walk oscillation on a path); the robust proximity
+    // claim is seed side >> far end
+    assert(r1 > r3, s"seed side must outrank the far end: $r1 $r3")
+    assert(math.abs((r1 + r2 + r3) - 1.0) < 1e-6, "walk mass not conserved")
+    // hand iteration: r0 = (1, 0, 0); deg = (1, 2, 1)
+    var (a, b, c) = (1.0, 0.0, 0.0)
+    def snap(x: Double) = math.floor(x * 1e9 + 0.5) / 1e9
+    val base = (1 - 0.85) / 1
+    for (_ <- 1 to 5) {
+      val (na, nb, nc) = (snap(base + 0.85 * (b / 2)),
+        snap(0.85 * (a / 1 + c / 1)), snap(0.85 * (b / 2)))
+      a = na; b = nb; c = nc
+    }
+    assert(r1 == a && r2 == b && r3 == c,
+      s"snapped recurrence mismatch: got ($r1,$r2,$r3) want ($a,$b,$c)")
+    // an off-graph seed set fails loudly, never silently uniform
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(pairs, "id1", "id2",
+        Seq(Tuple1(99L)).toDF("s"), "s")
+    }
+    Caches.clear()
+  }
+
+  test("louvainOneLevelWeighted == louvainOneLevel on a multigraph " +
+      "collapsed to integer weights; louvainLevels maps back (d53 gate)") {
+    // multigraph: two K3s {1,2,3} and {4,5,6}, the 2-3 edge tripled and
+    // the bridge 3-4 doubled — weights must act exactly like parallel
+    // edges act on the unweighted op
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L), (3L, 4L))
+    val rawDf = raw.toDF("id1", "id2")
+    val collapsed = rawDf.groupBy(least(col("id1"), col("id2")).as("lo"),
+        greatest(col("id1"), col("id2")).as("hi"))
+      .agg(count(lit(1)).as("w"))
+    val un = GraphOps.louvainOneLevel(rawDf, "id1", "id2", iters = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Caches.clear()
+    val wt = GraphOps.louvainOneLevelWeighted(collapsed, "lo", "hi", "w",
+        iters = 4)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Caches.clear()
+    assert(un == wt, s"weighted generalization diverges: $un vs $wt")
+    // levels plumbing on the barbell K4s: level 1 splits at the bridge;
+    // the supergraph (two supernodes, self-loop 6 each, bridge 1) must
+    // NOT merge (ΔQ numerator 2m·1 − 13·13 < 0 vs 0 for staying), so
+    // lbl2 == lbl1 through the map-back join
+    val k4a = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val k4b = for (i <- 5L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    val pairs = (k4a ++ k4b :+ (4L, 5L)).toDF("id1", "id2")
+    val lev = GraphOps.louvainLevels(pairs, "id1", "id2", iters = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Caches.clear()
+    assert(lev.map(t => (t._1, t._2)) == Seq(1L -> 1L, 2L -> 1L,
+      3L -> 1L, 4L -> 1L, 5L -> 6L, 6L -> 6L, 7L -> 6L, 8L -> 6L))
+    assert(lev.forall(t => t._2 == t._3),
+      "level 2 must keep the two-clique partition (merging is ΔQ<0)")
+  }
+
   test("louvainOneLevel: barbell K4s split at the bridge, deterministic " +
       "(d46 gate; cross-checked against the unrolled DuckDB replay)") {
     // two K4 cliques {1..4} and {5..8} joined by the single bridge 4–5;

@@ -686,6 +686,38 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       9L -> "new9"))
   }
 
+  test("mergeInto: every clause path of the conditional matrix — " +
+      "matched delete/update/keep, purge, conditional insert (p37 gate)") {
+    import org.apache.spark.sql.Column
+    val base = Seq((1L, "keepme"), (2L, "short"), (3L, "vic"),
+      (9L, "stale")).toDF("id", "v")
+    val src = Seq((2L, "much longer"), (1L, "x"), (3L, "DELETE"),
+      (20L, "fresh"), (21L, "NOINS")).toDF("id", "v")
+    val got = graft.ops.PipelineOps.mergeInto(base, src, Seq("id"),
+        matchedDeleteWhen = Some((_: Column, s: Column) =>
+          s.getField("v") === "DELETE"),
+        matchedUpdateWhen = Some((b: Column, s: Column) =>
+          length(s.getField("v")) > length(b.getField("v"))),
+        insertWhen = Some((s: Column) => s.getField("v") =!= "NOINS"),
+        notMatchedBySourceDeleteWhen = Some((b: Column) =>
+          b.getField("id") === 9L))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // 1: matched, src shorter → keep base; 2: matched, longer → update;
+    // 3: matched DELETE marker → gone (delete PRECEDES update — "DELETE"
+    // is longer than "vic", the update cond holds, delete must still
+    // win); 9: purged by the not-matched-by-source clause; 20: inserted;
+    // 21: insert cond false → dropped.
+    assert(got.toSeq == Seq(1L -> "keepme", 2L -> "much longer",
+      20L -> "fresh"),
+      s"merge matrix wrong: ${got.toSeq}")
+    // no clauses at all: matched keeps base, base-only keeps, source-only
+    // drops — mergeInto degrades to the identity on the base
+    val ident = graft.ops.PipelineOps.mergeInto(base, src, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ident.toSeq == Seq(1L -> "keepme", 2L -> "short",
+      3L -> "vic", 9L -> "stale"))
+  }
+
   test("averagePrecisionBy matches hand-computed AP, ties collapse, " +
       "no-positive group is null (e73 gate)") {
     // group 0, scores descending: (0.9 pos), (0.8 neg), (0.7 pos),

@@ -329,6 +329,38 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       == Seq("retry-3"))
   }
 
+  test("atomic claim: 8 threads racing writeManifest for ONE version " +
+      "leave exactly one winner (O_EXCL marker, not check-then-act)") {
+    import graft.sources.VersionedTable
+    import org.apache.hadoop.fs.Path
+    val tbl = tmp() + "/tbl"
+    val base = spark.range(0, 8)
+      .select(col("id"), col("id").cast("string").as("s"))
+    VersionedTable.commitCreate(base, tbl, "id", buckets = 2)
+    val fs = new Path(tbl).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val m1 = VersionedTable.manifest(spark, tbl, 1).toMap
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try {
+          VersionedTable.writeManifest(fs, tbl, 2, 2, m1)
+          wins.incrementAndGet(); ()
+        } catch { case _: IllegalStateException => () }
+      })
+    }
+    threads.foreach(_.start())
+    gate.countDown() // all 8 hit the claim as close to at-once as possible
+    threads.foreach(_.join())
+    assert(wins.get() == 1, s"expected exactly one winner, got ${wins.get()}")
+    assert(VersionedTable.manifest(spark, tbl, 2).toMap == m1)
+    assert(!fs.listStatus(new Path(s"$tbl/manifests"))
+      .exists(_.getPath.getName.startsWith(".stage_")),
+      "every loser's staged manifest must be deleted")
+  }
+
   test("an all-deletes CDC commit empties every bucket: the version is " +
       "valid and reads back EMPTY with the prior schema; tags resolve") {
     import graft.sources.VersionedTable

@@ -22,6 +22,12 @@ for i in 1 2 3; do
   echo "[canary] cold JVM $i/3..." >&2
   line=$(java $OPENS "-Xmx${SPARK_DRIVER_MEM:-8g}" -Dspark.ui.enabled=false \
     -cp "$CP" graft.Canary 2>/dev/null | grep '"canary"')
+  # a failed query would corrupt the drift medians — refuse to append
+  if [ "$(echo "$line" | python3 -c 'import json,sys; print(len(json.load(sys.stdin)["failed"]))')" != "0" ]; then
+    echo "[canary] run $i had failed queries — aborting without appending:" >&2
+    echo "$line" >&2
+    exit 1
+  fi
   RUNS+=("$line")
 done
 python3 - "$LABEL" "${RUNS[@]}" <<'EOF'
