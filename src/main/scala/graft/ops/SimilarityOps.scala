@@ -250,6 +250,59 @@ object SimilarityOps {
     centroids
   }
 
+  /** CLUSTER-CURATION DATASHEET — the "what is each embedding cluster
+    * ABOUT" table a cluster-based curation pass reads before keeping,
+    * down-weighting, or dropping whole clusters (the DataComp /
+    * SemDeDup-adjacent workflow: cluster the corpus by embedding, then
+    * decide per cluster): deterministic k-means over the vectors (the
+    * [[kmeans]] dyadic-grid recurrence — memo-shared with the IVF
+    * family via `cacheKey`), nearest-centroid assignment, then per
+    * cluster its SIZE and top-`topTerms` characteristic terms by
+    * cluster-TF × inverse cluster frequency (score = tf/df — one
+    * correctly-rounded division per term; the (score DESC, term ASC)
+    * rank is a total order, so ranks replay engine-identically).
+    * Returns (cluster, n_docs, rank, term, tf, df).
+    *
+    * Scale shape: one normalized-vector scan feeds training +
+    * assignment; tokens stage in a Project before the explode; tf is a
+    * (cluster, term) partial+final count; df aggregates the tf frame
+    * (≤ clusters × vocab rows), never the corpus; the rank is a keyed
+    * WindowGroupLimit. Vector ids must match doc ids. */
+  def clusterTerms(vecs: DataFrame, idCol: String, vecCol: String,
+                   docs: DataFrame, docIdCol: String, textCol: String,
+                   nClusters: Int, topTerms: Int, kmeansIters: Int = 3,
+                   dim: Int = 64, grid: Option[Double] = None,
+                   cacheKey: Option[String] = None): DataFrame = {
+    val v = graft.Caches.track(
+      normalizedQ(vecs, idCol, vecCol, "id", "e", grid)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val centroids = kmeansMemo(cacheKey, v, nClusters, kmeansIters, dim,
+      grid)
+    val asg = graft.Caches.track(
+      assignToCentroids(v, centroids).select(col("id"), col("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val staged = docs.select(col(docIdCol).as("id"),
+      graft.ops.TextOps.tokens(col(textCol)).as("__ts"))
+    val tf = graft.Caches.track(
+      staged.select(col("id"), explode(col("__ts")).as("t"))
+        .join(asg, Seq("id"))
+        .groupBy("cluster", "t").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfq, Seq("t"))
+      .select(col("cluster"), col("t").as("term"), col("tf"), col("df"),
+        (col("tf").cast("double") / col("df").cast("double")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topTerms)
+      .join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("rank"), col("term"),
+        col("tf"), col("df"))
+  }
+
   /** Nearest-centroid assignment: greatest-of-k struct comparison over
     * codegen'd dots — one pass, no shuffle. Adds `cluster`. */
   private def assignToCentroids(vNorm: DataFrame,

@@ -615,6 +615,53 @@ object PipelineQueries {
       res
     }),
 
+    // TIMESTAMP AS OF — Delta-style time travel by WALL CLOCK: the
+    // newest version whose manifest landed at or before the asked
+    // instant (the atomic claim+rename IS the commit instant, so the
+    // manifest mtime is authoritative). The gate replays p27's commit
+    // sequence, PINS the two commit instants to known epochs
+    // (fs.setTimes — deterministic regardless of machine speed), and
+    // reads the table as of a moment between the commits and a moment
+    // after both: must equal v1 and v2 exactly — p27's oracle VERBATIM.
+    "p38_version_as_of" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p38_tbl").toString
+      val tbl = s"$root/tbl"
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      VersionedTable.commitCreate(base, tbl, "doc_id", buckets = 8)
+      val updates = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) === 5)
+        .select(col("doc_id"), col("source"),
+          concat(col("text"), lit(" amended")).as("text"))
+        .unionByName(Seq(
+          (-1L, "recrawl", "fresh doc one"),
+          (-2L, "recrawl", "fresh doc two"),
+          (-3L, "recrawl", "fresh doc three"))
+          .toDF("doc_id", "source", "text"))
+      VersionedTable.commitUpsert(s, tbl, updates, "doc_id")
+      // pin commit instants: v1 at t=1000, v2 at t=2000 (epoch millis)
+      val fs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$tbl/manifests/v1.txt"),
+        1000L, -1L)
+      fs.setTimes(new org.apache.hadoop.fs.Path(s"$tbl/manifests/v2.txt"),
+        2000L, -1L)
+      def asOf(ts: Long) = {
+        val v = VersionedTable.versionAsOf(s, tbl, ts)
+        VersionedTable.readVersion(s, tbl, v)
+          .select(lit(v).as("version"), col("doc_id"), col("source"),
+            md5(encode(col("text"), "UTF-8")).as("fp"))
+      }
+      val res = asOf(1500L).unionByName(asOf(2500L))
+        .orderBy("version", "doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // TIME TRAVEL — the versioned-table read the in-place p24/p25
     // merges can't give: commit v1 (8 key-buckets), commit an upsert as
     // v2 (only touched buckets rewritten; untouched buckets' files
@@ -1429,6 +1476,9 @@ object PipelineQueries {
     // p36: the change-feed reconstruction must equal time travel
     // snapshot for snapshot — p27's oracle re-registered VERBATIM.
     "p36_table_change_feed" -> TimeTravelSql,
+    // p38: as-of 1500 resolves v1, as-of 2500 resolves v2 — the
+    // time-travel contract by wall clock; p27's oracle VERBATIM.
+    "p38_version_as_of" -> TimeTravelSql,
     // p37: the clause matrix expressed directly — matched rows split by
     // the DELETE marker then the longer-text update condition;
     // base-only rows survive unless the %10==9 purge fires; source-only

@@ -376,6 +376,21 @@ object SimilarityQueries {
     // same three iterations in SQL (the d05/v02 md5 trick, extended from
     // portable INPUTS to portable AGGREGATES). Library default stays
     // un-quantized.
+    // CLUSTER-CURATION DATASHEET — the cluster-based curation read
+    // (DataComp-style: cluster by embedding, decide per cluster): v03's
+    // memo-shared dyadic k-means + nearest-centroid assignment, then per
+    // cluster its size and top-3 characteristic terms by cluster-TF ×
+    // inverse cluster frequency (score = tf/df, one correctly-rounded
+    // division; (score DESC, term ASC) is a total order so ranks replay
+    // engine-identically). Ids are shared between the embeddings and
+    // documents fixtures by construction.
+    "v35_cluster_terms" -> ((s, d) =>
+      SimilarityOps.clusterTerms(emb(s, d), "vec_id", "embedding",
+          Tables.documents(s, d), "doc_id", "text",
+          nClusters = 16, topTerms = 3, grid = Some(Grid),
+          cacheKey = Some(s"emb:$d"))
+        .orderBy("cluster", "rank")),
+
     "v03_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
       SimilarityOps.ivfSearch(e, e.filter(col("vec_id") < 10),
@@ -1152,6 +1167,11 @@ object SimilarityQueries {
     // (unrolled k-means — see ivfOracle). v04 shares v03's oracle: the
     // parquet round-trip preserves doubles exactly.
     "v03_ann_ivf" -> IvfSql,
+    // v35: the same unrolled dyadic k-means replay, closed by sizes +
+    // (cluster, term) tf + the tf/df characteristic-term rank.
+    "v35_cluster_terms" ->
+      clusterTermsOracle(k = 16, iters = 3, dim = 64, g = Grid,
+        topTerms = 3),
     "v04_ivf_persist" -> IvfSql,
     // v10: v03's unrolled pipeline with the SQ tail — quantized codes
     // over the corpus-max scale, integer-dot re-rank.
@@ -1506,6 +1526,79 @@ object SimilarityQueries {
     * every nprobe tier closes from the same probe ranking — candidates
     * are postings whose probed-cluster rank ≤ np; micro-recall divides
     * exact integer totals. */
+  /** v35 oracle: the standard dyadic k-means replay head (the ivfOracle
+    * chain through the full-corpus assignment), closed by per-cluster
+    * sizes + (cluster, term) tf counts + the tf/df rank — the one
+    * division per term is correctly rounded in both engines and the
+    * (score DESC, term ASC) window is a total order. */
+  private def clusterTermsOracle(k: Int, iters: Int, dim: Int, g: Double,
+                                 topTerms: Int): String = {
+    val gs = f"$g%.1f"
+    def iterSql(i: Int) = s"""
+      asg$i AS (
+        SELECT id, e, cluster FROM (
+          SELECT n.id, n.e, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
+          FROM nrm n, cent$i c) WHERE rn = 1),
+      avg$i AS (
+        SELECT a.cluster, g.i - 1 AS pos,
+          floor(avg(a.e[g.i]) * $gs + 0.5) / $gs AS m
+        FROM asg$i a, generate_series(1, $dim) g(i) GROUP BY 1, 2),
+      raw$i AS (
+        SELECT p.cluster, coalesce(u.c, p.c) AS c
+        FROM cent$i p LEFT JOIN (
+          SELECT cluster, list(m ORDER BY pos) AS c FROM avg$i GROUP BY 1
+        ) u USING (cluster)),
+      cent${i + 1} AS (
+        SELECT r.cluster,
+          CASE WHEN n.nn = 0 THEN r.c
+            ELSE list_transform(r.c,
+              x -> floor(x / n.nn * $gs + 0.5) / $gs) END AS c
+        FROM raw$i r JOIN (
+          SELECT cluster, sqrt(sum(x * x)) AS nn
+          FROM (SELECT cluster, unnest(c) AS x FROM raw$i) GROUP BY 1
+        ) n USING (cluster))"""
+    s"""WITH
+      v0 AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0
+             FROM embeddings),
+      nrm AS (
+        SELECT id, list_transform(e0,
+          x -> floor(x / nn * $gs + 0.5) / $gs) AS e
+        FROM (SELECT id, e0,
+          sqrt(list_dot_product(e0, e0)) AS nn FROM v0)),
+      cent0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1
+            AS cluster, e AS c
+        FROM (SELECT id, e FROM nrm ORDER BY id LIMIT $k)),
+      ${(0 until iters).map(iterSql).mkString(",")},
+      asg AS (
+        SELECT id, cluster FROM (
+          SELECT n.id, c.cluster,
+            row_number() OVER (PARTITION BY n.id
+              ORDER BY list_dot_product(n.e, c.c) DESC, c.cluster DESC) AS rn
+          FROM nrm n, cent$iters c) WHERE rn = 1),
+      toks AS (SELECT t.doc_id, u.t AS t
+        FROM (SELECT doc_id,
+            list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+          FROM documents) t, LATERAL unnest(ts) AS u(t)),
+      tf AS (SELECT a.cluster, toks.t,
+          CAST(count(*) AS BIGINT) AS tf
+        FROM toks JOIN asg a ON a.id = toks.doc_id GROUP BY 1, 2),
+      dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      sizes AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs
+        FROM asg GROUP BY 1),
+      rk AS (SELECT tf.cluster, tf.t AS term, tf.tf, dfq.df,
+          CAST(row_number() OVER (PARTITION BY tf.cluster
+            ORDER BY tf.tf * 1.0 / dfq.df DESC, tf.t ASC) AS INTEGER)
+            AS "rank"
+        FROM tf JOIN dfq USING (t))
+      SELECT rk.cluster, s.n_docs, rk."rank", rk.term, rk.tf, rk.df
+      FROM rk JOIN sizes s USING (cluster)
+      WHERE rk."rank" <= $topTerms
+      ORDER BY rk.cluster, rk."rank""""
+  }
+
   /** v29 oracle: the standard dyadic k-means replay head (the ivfOracle
     * chain through `posting`), closed by the per-vector all-centroid
     * distance frame and the exact 1e-6-unit silhouette rollup. */

@@ -357,6 +357,30 @@ object VersionedTable {
     }
   }
 
+  /** TIMESTAMP AS OF: the newest version committed at or before
+    * `tsMillis` — Delta's `TIMESTAMP AS OF` resolved against the
+    * manifest files' modification times (the atomic claim+rename is the
+    * instant a commit becomes readable, so the renamed manifest's mtime
+    * IS the commit time). Compose with [[readVersion]] for the
+    * "the table as the 2pm job saw it" read. Bounded: |versions| file
+    * stats, no Spark job. Fails loudly when `tsMillis` predates the
+    * table (a silent empty read would masquerade as data loss).
+    * Caveat shared with Delta: filesystem mtimes are the clock — on
+    * object stores with copied histories, pin versions by number. */
+  def versionAsOf(spark: SparkSession, tableDir: String,
+                  tsMillis: Long): Int = {
+    val fs = fsOf(spark, tableDir)
+    val cur = currentVersion(spark, tableDir)
+    require(cur >= 1, s"no table under $tableDir")
+    val vs = (1 to cur).filter { v =>
+      val p = new Path(s"$tableDir/manifests/v$v.txt")
+      fs.exists(p) && fs.getFileStatus(p).getModificationTime <= tsMillis
+    }
+    require(vs.nonEmpty,
+      s"no version of $tableDir was committed at or before $tsMillis")
+    vs.max
+  }
+
   /** The manifest as data: (bucket, data_dir) for `version` — the
     * file-sharing audit surface (two versions sharing a bucket list the
     * same dir). Bounded |buckets| rows. */

@@ -329,6 +329,29 @@ class SourcesSpec extends AnyFunSuite with SparkFixture {
       == Seq("retry-3"))
   }
 
+  test("versionAsOf resolves boundaries: exact instant, between commits, " +
+      "after all, and predating the table fails loudly (p38 gate)") {
+    import graft.sources.VersionedTable
+    import org.apache.hadoop.fs.Path
+    val tbl = tmp() + "/tbl"
+    val base = spark.range(0, 8)
+      .select(col("id"), col("id").cast("string").as("s"))
+    VersionedTable.commitCreate(base, tbl, "id", buckets = 2)
+    VersionedTable.commitUpsert(spark, tbl,
+      Seq((1L, "v2")).toDF("id", "s"), "id")
+    val fs = new Path(tbl).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new Path(s"$tbl/manifests/v1.txt"), 1000L, -1L)
+    fs.setTimes(new Path(s"$tbl/manifests/v2.txt"), 2000L, -1L)
+    assert(VersionedTable.versionAsOf(spark, tbl, 1000L) == 1) // exact
+    assert(VersionedTable.versionAsOf(spark, tbl, 1999L) == 1) // between
+    assert(VersionedTable.versionAsOf(spark, tbl, 2000L) == 2)
+    assert(VersionedTable.versionAsOf(spark, tbl, Long.MaxValue) == 2)
+    intercept[IllegalArgumentException] {
+      VersionedTable.versionAsOf(spark, tbl, 999L) // predates the table
+    }
+  }
+
   test("atomic claim: 8 threads racing writeManifest for ONE version " +
       "leave exactly one winner (O_EXCL marker, not check-then-act)") {
     import graft.sources.VersionedTable
