@@ -24,7 +24,8 @@ object Bench {
       "d50_exact_substr_incr", // index-artifact build + incremental wave
       "d51_exact_substr_stream", // artifact build + 2 streamed waves
       "p36_table_change_feed", // create + upsert commits + streamed read
-      "p38_version_as_of") // create + upsert commits + two as-of reads
+      "p38_version_as_of", // create + upsert commits + two as-of reads
+      "p39_feed_ivm") // create + upsert commits + streamed MV refresh
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both

@@ -615,6 +615,58 @@ object PipelineQueries {
       res
     }),
 
+    // INCREMENTAL VIEW MAINTENANCE over the CHANGE FEED — the
+    // materialized-view loop a downstream dashboard runs on the
+    // versioned table: the consumer keeps ONLY a (bucket, source) count
+    // state (|buckets| × |sources| rows — never doc-level), and per
+    // streamed version replaces the changed buckets' count slices with
+    // the delta rows' fresh counts (bucketOf re-derives routing).
+    // After p27's commit sequence the maintained view must equal the
+    // batch GROUP BY over the final version — without ever re-reading
+    // the unchanged buckets.
+    "p39_feed_ivm" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p39_tbl").toString
+      val tbl = s"$root/tbl"
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      VersionedTable.commitCreate(base, tbl, "doc_id", buckets = 8)
+      var view: DataFrame = null // (bucket, source, cnt) — the MV state
+      val q = graft.streaming.StreamOps.tableChangeFeed(s, tbl) {
+        (_, changed, rows) =>
+          val delta = rows
+            .select(VersionedTable.bucketOf("doc_id", 8).as("__b"),
+              col("source"))
+            .groupBy("__b", "source").agg(count(lit(1)).as("cnt"))
+          view = (if (view == null) delta
+                  else view.filter(!col("__b").isin(changed.toSeq: _*))
+                    .unionByName(delta))
+            .localCheckpoint(true) // bounded: |buckets| × |sources| rows
+          ()
+      }
+      try {
+        q.processAllAvailable() // v1 seeds the view
+        val updates = Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" amended")).as("text"))
+          .unionByName(Seq(
+            (-1L, "recrawl", "fresh doc one"),
+            (-2L, "recrawl", "fresh doc two"),
+            (-3L, "recrawl", "fresh doc three"))
+            .toDF("doc_id", "source", "text"))
+        VersionedTable.commitUpsert(s, tbl, updates, "doc_id")
+        q.processAllAvailable() // v2's changed buckets refresh the view
+      } finally q.stop()
+      val res = view.groupBy("source").agg(sum(col("cnt")).as("n_docs"))
+        .orderBy("source")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // TIMESTAMP AS OF — Delta-style time travel by WALL CLOCK: the
     // newest version whose manifest landed at or before the asked
     // instant (the atomic claim+rename IS the commit instant, so the
@@ -1476,6 +1528,24 @@ object PipelineQueries {
     // p36: the change-feed reconstruction must equal time travel
     // snapshot for snapshot — p27's oracle re-registered VERBATIM.
     "p36_table_change_feed" -> TimeTravelSql,
+    // p39: the maintained view must equal the batch GROUP BY over the
+    // upserted table — the same v2 construction as p27's oracle.
+    "p39_feed_ivm" ->
+      """WITH upd AS (
+           SELECT doc_id, source, text || ' amended' AS text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'recrawl', 'fresh doc one'),
+             (CAST(-2 AS BIGINT), 'recrawl', 'fresh doc two'),
+             (CAST(-3 AS BIGINT), 'recrawl', 'fresh doc three'))
+             t(doc_id, source, text)),
+         v2 AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+           UNION ALL SELECT doc_id, source, text FROM upd)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         FROM v2 GROUP BY source ORDER BY source""",
     // p38: as-of 1500 resolves v1, as-of 2500 resolves v2 — the
     // time-travel contract by wall clock; p27's oracle VERBATIM.
     "p38_version_as_of" -> TimeTravelSql,
