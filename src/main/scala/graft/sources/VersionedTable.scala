@@ -106,6 +106,13 @@ object VersionedTable {
       version: Int): (Int, Map[Long, String]) =
     readManifest(fsOf(spark, tableDir), tableDir, version)
 
+  /** Whether `version`'s manifest still exists (vacuum retires old
+    * ones) — the change-feed's missing-predecessor probe. */
+  private[graft] def manifestExists(spark: SparkSession, tableDir: String,
+      version: Int): Boolean =
+    fsOf(spark, tableDir)
+      .exists(new Path(s"$tableDir/manifests/v$version.txt"))
+
   /** Atomically create a zero-byte claim marker; true iff THIS caller
     * created it. On local filesystems Hadoop's create(overwrite=false)
     * and rename are both check-then-act (File.renameTo overwrites on

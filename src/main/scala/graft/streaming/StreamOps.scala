@@ -299,8 +299,13 @@ object StreamOps {
           .sorted
         vs.foreach { v =>
           val (_, man) = VersionedTable.manifestEntries(spark, tableDir, v)
+          // a missing predecessor (v == 1, or v−1 vacuumed away before
+          // this consumer started) means "nothing was delivered yet" —
+          // the version emits as a FULL snapshot (every bucket changed),
+          // which is exactly what a late-joining consumer must seed from
           val prev =
-            if (v == 1) Map.empty[Long, String]
+            if (v == 1 || !VersionedTable.manifestExists(spark, tableDir,
+                v - 1)) Map.empty[Long, String]
             else VersionedTable.manifestEntries(spark, tableDir, v - 1)._2
           val changed = (man.keySet ++ prev.keySet)
             .filter(b => man.get(b) != prev.get(b))

@@ -15,6 +15,41 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
 
+  test("tableChangeFeed: a consumer starting AFTER a vacuum seeds from " +
+      "the oldest kept version as a full snapshot (no v-1 manifest)") {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_feedvac").toString
+    val tbl = s"$root/tbl"
+    val base = spark.range(0, 16)
+      .select(col("id"), concat(lit("v1-"), col("id")).as("s"))
+    VersionedTable.commitCreate(base, tbl, "id", buckets = 4)
+    VersionedTable.commitUpsert(spark, tbl,
+      Seq((1L, "v2-1")).toDF("id", "s"), "id")
+    VersionedTable.commitUpsert(spark, tbl,
+      Seq((2L, "v3-2"), (99L, "v3-99")).toDF("id", "s"), "id")
+    // retire v1: the feed's first delivered version (2) now has NO
+    // predecessor manifest — it must emit as a full snapshot
+    VersionedTable.vacuum(spark, tbl, keepLast = 2)
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = StreamOps.tableChangeFeed(spark, tbl) { (_, changed, rows) =>
+      state = (if (state == null) rows
+               else state.filter(!VersionedTable.bucketOf("id", 4)
+                   .isin(changed.toSeq: _*))
+                 .unionByName(rows))
+        .localCheckpoint(true)
+      ()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val got = state.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = VersionedTable.readVersion(spark, tbl, 3).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want,
+      s"late-joining reconstruction diverged from time travel: $got")
+    assert(got.contains(1L -> "v2-1") && got.contains(99L -> "v3-99"))
+  }
+
   test("file-source stream ingests newly landed parquet incrementally") {
     // The production ingestion path: a landing directory of parquet files,
     // discovered incrementally by the file stream source — same transform
