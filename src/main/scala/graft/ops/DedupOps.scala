@@ -535,7 +535,14 @@ object DedupOps {
     * `indexed` supplies the archived docs' raw text; only the touched
     * sliver of it is ever tokenized (column-pruned id scan + semi-join
     * BEFORE the heavy arrays). Returns (id, n_tokens, kept, clean_text)
-    * for shard docs ∪ touched indexed docs. */
+    * for shard docs ∪ touched indexed docs.
+    *
+    * Caller contract (the applyCdc discipline): shard ids are NEW —
+    * disjoint from the indexed ids. A re-crawled doc (same id, new
+    * text) must be retired from the artifact first (drop its postings
+    * and covered rows by id, remove it from `indexed`) and re-ingested
+    * as a fresh arrival; blindly appending would union two texts'
+    * positions under one id. */
   def exactSubstrIncremental(indexed: DataFrame, indexDir: String,
                              arriving: DataFrame, idCol: String,
                              textCol: String, k: Int): DataFrame = {

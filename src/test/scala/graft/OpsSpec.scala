@@ -577,6 +577,48 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 8L, 8L, "p q r s t wholly unrelated doc")))
   }
 
+  test("exactSubstrIncremental: an arriving wave re-cuts the TOUCHED " +
+      "indexed doc (archived + new coverage union) and equals batch " +
+      "on the union (d50 gate, hand-sized)") {
+    // wave 1: docs 1/2 share "p q r s t u" (cut at index-build time);
+    // doc 1 ALSO carries "j k l m n o" which nothing in wave 1 shares.
+    // wave 2: doc 9 shares that run with doc 1 — the incremental pass
+    // must cut it from doc 9 AND re-cut doc 1 as archived ∪ new
+    // coverage; untouched doc 2 must NOT be re-emitted.
+    val w1 = Seq(
+      (1L, "j k l m n o p q r s t u"),
+      (2L, "two p q r s t u a b c d e")).toDF("doc_id", "text")
+    val w2 = Seq(
+      (9L, "nine j k l m n o ends here x")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_esi").toString
+    val prior = DedupOps.exactSubstrIndex(w1, "doc_id", "text", 6,
+        s"$dir/idx")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(prior == Seq((1L, 6L, "j k l m n o"), (2L, 6L, "two a b c d e")),
+      s"index-build dedup wrong: $prior")
+    val inc = DedupOps.exactSubstrIncremental(w1, s"$dir/idx", w2,
+        "doc_id", "text", 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    // doc 1 re-cut to NOTHING (both runs now shared); doc 2 untouched
+    // (absent); doc 9 keeps its unique frame
+    assert(inc == Seq((1L, 0L, ""), (9L, 4L, "nine ends here x")),
+      s"incremental answer wrong: $inc")
+    // equals batch on the union, doc for doc
+    val batch = DedupOps.exactSubstrDedup(
+        w1.unionByName(w2), "doc_id", "text", 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    val stitched = (prior.filterNot(p => inc.exists(_._1 == p._1)) ++ inc)
+      .sortBy(_._1)
+    assert(stitched == batch, s"stitched $stitched != batch $batch")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    Caches.clear()
+  }
+
   test("ivfRepair on a meta= index keeps the label column intact") {
     assume(haveFixture)
     val e = Tables.embeddings(spark, fixtureDir)
