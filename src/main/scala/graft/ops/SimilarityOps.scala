@@ -44,6 +44,45 @@ object SimilarityOps {
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
+  /** HARD-NEGATIVE MINING — contrastive-training data prep (the miner
+    * every embedding-training pipeline runs before a triplet/InfoNCE
+    * epoch: random negatives are too easy to teach a margin; the
+    * negatives that matter are the MOST-similar vectors with a
+    * DIFFERENT label). For each anchor: the top-`k` corpus vectors by
+    * cosine whose label differs — the label inequality sits IN the join
+    * condition, pruning pairs before any distance work ever runs (a
+    * post-rank filter would under-fill k). Returns
+    * (qid, rk, nid, q_label, n_label, sim).
+    *
+    * Shape: [[knnBruteForce]]'s broadcast-anchors × one-corpus-scan
+    * plan with the label predicate pushed into the join and per-anchor
+    * WindowGroupLimit heaps — no corpus shuffle; swap the candidate
+    * source for [[ivfProbeFiltered]] postings when the corpus outgrows
+    * a full scan per mining pass. */
+  def hardNegatives(vecs: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, anchors: DataFrame,
+                    k: Int): DataFrame = {
+    import graft.functions.DotProduct.dotNative
+    def proj(df: DataFrame, id: String, v: String, n: String,
+             l: String): DataFrame =
+      df.select(col(idCol).as(id),
+          col(vecCol).cast("array<double>").as(v),
+          col(labelCol).as(l))
+        .select(col(id), col(v), col(l),
+          sqrt(dotNative(col(v), col(v))).as(n))
+    val c = proj(vecs, "nid", "ce", "cn", "n_label")
+    val q = proj(anchors, "qid", "qe", "qn", "q_label")
+    c.join(broadcast(q),
+        col("nid") =!= col("qid") && col("n_label") =!= col("q_label"))
+      .withColumn("sim",
+        dotNative(col("ce"), col("qe")) / (col("cn") * col("qn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("q_label"),
+        col("n_label"), col("sim"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: `planes` × `dim` weights in
     * [-1, 1], from a fixed-seed PRNG (no runtime entropy — resumable and
     * reproducible across runs/executors). */

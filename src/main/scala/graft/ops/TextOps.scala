@@ -502,6 +502,55 @@ object TextOps {
     (trace, feats, labels, w.toArray)
   }
 
+  /** SKIP-GRAM TRAINING PAIRS with frequency subsampling — word2vec's
+    * data-prep pass (Mikolov et al. 2013 §2.3): vocabulary-trim tokens
+    * below `minCount`, drop frequent tokens with keep probability
+    * `min(1, (√(z/t)+1)·(t/z))` (z = the word's corpus frequency
+    * share), COMPACT each doc's surviving sequence (the window applies
+    * over survivors — subsampling widens effective context, the paper's
+    * point), then emit every (center, context) pair within `window`
+    * compacted positions, aggregated to counts.
+    *
+    * Determinism (engine-portable): the subsampling draw is the d05
+    * md5 trick — u = first-15-hex of md5("id:pos:w") / 2⁶⁰, compared
+    * against the keep probability computed from exact integer
+    * frequency ratios (√ and ÷ are correctly rounded IEEE ops, so both
+    * engines build the identical double and the compare cannot
+    * diverge). Scale shape: one corpus scan + a |vocab| frequency
+    * aggregate; compaction is a doc-keyed window; pairing is a doc-
+    * keyed self-join under the window bound (never cross-doc); the
+    * close is a (center, context) partial+final count. */
+  def skipgramPairs(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, minCount: Long = 2,
+                    subsampleT: Double = 1e-3): DataFrame = {
+    require(window >= 1, "skipgramPairs needs window >= 1")
+    val toks = graft.Caches.track(df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+      .select(col("id"), posexplode(col("__ts")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("col").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("f"))
+    val nTot = toks.count() // corpus token total: one driver scalar
+    val z = col("f").cast("double") / lit(nTot.toDouble)
+    val pKeep = least(lit(1.0),
+      (sqrt(z / lit(subsampleT)) + lit(1.0)) * (lit(subsampleT) / z))
+    val u = graft.ops.DedupOps.portableHash60(
+      concat_ws(":", col("id").cast("string"),
+        col("pos").cast("string"), col("w"))).cast("double") /
+      lit(1152921504606846976.0) // 2^60 — the d05 uniform draw
+    val kept = toks.join(freq, Seq("w"))
+      .filter(col("f") >= minCount && u < pKeep)
+    val comp = kept.select(col("id"), col("w"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy("pos")).as("np"))
+    comp.as("a").join(comp.as("b"),
+        col("a.id") === col("b.id") && col("a.np") =!= col("b.np")
+          && abs(col("a.np") - col("b.np")) <= window)
+      .groupBy(col("a.w").as("center"), col("b.w").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
     * unigram model — the OTHER production tokenizer family next to
     * [[bpeTrain]]'s BPE; mixture pipelines compare both before

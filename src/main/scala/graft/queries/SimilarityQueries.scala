@@ -56,6 +56,20 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // HARD-NEGATIVE MINING — contrastive data prep: for each anchor,
+    // the top-5 most-similar vectors with a DIFFERENT label (random
+    // negatives are too easy; these teach the margin). v01's exact
+    // broadcast scan with the label inequality IN the join condition —
+    // pruned before any distance work, k always filled from true
+    // negatives.
+    "v36_hard_negatives" -> ((s, d) => {
+      val e = emb(s, d)
+      SimilarityOps.hardNegatives(e, "vec_id", "embedding", "label",
+          e.filter(col("vec_id") < 10), k = 5)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rk")
+    }),
+
     // int8 symmetric scalar quantization + quantized kNN: one corpus-max
     // scale probe, -127..127 floor-grid codes, EXACT integer dot
     // products (no float drift at all — the one similarity gate that
@@ -1148,6 +1162,23 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "v06_knn_sql" -> KnnSql,
     "v01_knn_bruteforce" -> KnnSql,
+    // v36: v01's scored CTE with the label-inequality predicate in the
+    // join — negatives ranked per anchor, labels surfaced.
+    "v36_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                    label FROM embeddings),
+         q AS (SELECT * FROM v WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             q.label AS q_label, c.label AS n_label,
+             list_cosine_similarity(c.e, q.e) AS sim
+           FROM v c JOIN q
+             ON c.vec_id <> q.vec_id AND c.label <> q.label)
+         SELECT qid,
+           CAST(row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
+           nid, q_label, n_label, round(sim, 6) AS sim
+         FROM scored QUALIFY rk <= 5 ORDER BY qid, rk""",
     "v09_sq_knn" -> SqKnnSql,
     // v21: the v16 recall closing over the SQ8 ranking instead of the
     // IVF one — does 4×-compressed memory cost any neighbors?

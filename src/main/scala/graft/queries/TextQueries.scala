@@ -381,6 +381,15 @@ object TextQueries {
           maxPiece = 4, seedVocab = 30, rounds = 3)
         .orderBy("tokenizer")),
 
+    // SKIP-GRAM TRAINING PAIRS — word2vec's data-prep pass: vocab-trim,
+    // Mikolov frequency subsampling (md5-uniform draw vs the exact
+    // keep-probability — engine-portable by the d05 discipline), doc
+    // compaction, window-3 pair emission, (center, context) counts.
+    "t40_skipgram_pairs" -> ((s, d) =>
+      graft.ops.TextOps.skipgramPairs(docs(s, d), "doc_id", "text",
+          window = 3, minCount = 2, subsampleT = 1e-3)
+        .orderBy("center", "context")),
+
     // CLASSIFIER FEATURE DATASHEET — unigram vs unigram+bigram hashed
     // features (the actual fastText recipe: bag-of-words PLUS hashed
     // bigrams), both trained with the same exact-numerics GD on t36's
@@ -1178,6 +1187,31 @@ object TextQueries {
     // t39: unigram vs unigram+bigram feature ablation — both GD loops
     // replayed in one statement, nested WITH per variant.
     "t39_clf_feature_compare" -> clfCompareSql(dim = 16, iters = 8),
+    // t40: the identical md5-uniform draw vs the exact Mikolov keep
+    // probability, compacted positions, window-3 pairs.
+    "t40_skipgram_pairs" ->
+      s"""WITH t0 AS (SELECT doc_id, $Toks AS ts FROM documents),
+         tok AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS w
+           FROM t0, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+         freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f
+           FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tok),
+         kept AS (SELECT tok.doc_id, tok.pos, tok.w
+           FROM tok JOIN freq USING (w), tot
+           WHERE f >= 2 AND
+             CAST(concat('0x', substr(md5(
+                 tok.doc_id || ':' || tok.pos || ':' || tok.w), 1, 15))
+               AS BIGINT) / 1152921504606846976.0
+             < LEAST(1.0, (sqrt((f * 1.0 / n) / 0.001) + 1.0)
+                 * (0.001 / (f * 1.0 / n)))),
+         comp AS (SELECT doc_id, w,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+           FROM kept),
+         pairs AS (SELECT a.w AS center, b.w AS context
+           FROM comp a JOIN comp b ON a.doc_id = b.doc_id
+             AND a.np <> b.np AND abs(a.np - b.np) <= 3)
+         SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
     // t38: both training loops replayed in ONE statement, each inside
     // its own nested WITH (bpe's v0..v8 and unigram's v0..v3 CTE name
     // families collide at the top level); the closing ratio divides two

@@ -19,6 +19,9 @@ class PlanLintSpec extends AnyFunSuite with SparkFixture {
     * v02/v03 (LSH/IVF bucketed equi-joins) as the scale paths. It is the
     * only query allowed an all-pairs operator. */
   private val exempt = Set("v01_knn_bruteforce",
+    "v36_hard_negatives", // v01's sanctioned brute-force scan with the
+    // label inequality in the join — anchors stay a bounded broadcast
+    // side; the scale path swaps in ivfProbeFiltered candidates
     "v06_knn_sql", // v01's SQL-surface twin: same sanctioned brute force
     "v16_recall_eval", // scores IVF recall AGAINST v01's exact answer —
                        // the ground-truth side is the sanctioned brute force
