@@ -551,6 +551,33 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** word2vec NEGATIVE-SAMPLING noise distribution — [[skipgramPairs]]'
+    * other half (Mikolov et al. 2013 §2.2): negatives draw from the
+    * unigram distribution raised to 3/4, `p(w) ∝ f(w)^0.75` — the
+    * flattening that keeps rare words sampled often enough to train.
+    * Returns the vocabulary noise table (w, f, t75, share6).
+    *
+    * ENGINE-PORTABLE without pow(): `f^0.75 = √(f·√f)` — √ is a
+    * correctly-rounded IEEE op (pow is not), so both engines build the
+    * bit-identical term double from the exact integer count; terms then
+    * snap to the 2⁻²⁰ dyadic grid so the Σ over the vocabulary is
+    * association-free (sums of grid multiples < 2³³ are exact — the
+    * classifier-gradient argument), and the closing share divides two
+    * identical doubles onto the 6dp floor grid. Scale shape: one corpus
+    * scan → a |vocab| aggregate; the total is a 1-row probe. */
+  def negativeSampling(df: DataFrame, textCol: String): DataFrame = {
+    val freq = graft.Caches.track(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("t75",
+        floor(sqrt(col("f") * sqrt(col("f"))) * lit(1048576.0)
+          + lit(0.5)) / lit(1048576.0))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val tot = freq.agg(sum(col("t75"))).head().getDouble(0) // 1-row probe
+    freq.select(col("w"), col("f"), col("t75"),
+      round6(col("t75") / lit(tot)).as("share6"))
+  }
+
   /** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
     * unigram model — the OTHER production tokenizer family next to
     * [[bpeTrain]]'s BPE; mixture pipelines compare both before

@@ -381,6 +381,14 @@ object TextQueries {
           maxPiece = 4, seedVocab = 30, rounds = 3)
         .orderBy("tokenizer")),
 
+    // NEGATIVE-SAMPLING noise table — skip-gram's other half: the
+    // unigram^0.75 distribution negatives draw from, with f^0.75 built
+    // as sqrt(f*sqrt(f)) (correctly-rounded ops only — pow is not),
+    // dyadic-snapped terms, exact Σ, 6dp shares.
+    "t41_negative_sampling" -> ((s, d) =>
+      graft.ops.TextOps.negativeSampling(docs(s, d), "text")
+        .orderBy("w")),
+
     // SKIP-GRAM TRAINING PAIRS — word2vec's data-prep pass: vocab-trim,
     // Mikolov frequency subsampling (md5-uniform draw vs the exact
     // keep-probability — engine-portable by the d05 discipline), doc
@@ -1187,6 +1195,20 @@ object TextQueries {
     // t39: unigram vs unigram+bigram feature ablation — both GD loops
     // replayed in one statement, nested WITH per variant.
     "t39_clf_feature_compare" -> clfCompareSql(dim = 16, iters = 8),
+    // t41: the identical sqrt-spelled f^0.75 terms, dyadic snap, one
+    // exact total, 6dp shares.
+    "t41_negative_sampling" ->
+      s"""WITH tok AS (SELECT u.t AS w FROM
+           (SELECT $Toks AS ts FROM documents) t0,
+           LATERAL unnest(ts) AS u(t)),
+         freq AS (SELECT w, CAST(count(*) AS BIGINT) AS f,
+             floor(sqrt(f * sqrt(f)) * 1048576.0 + 0.5) / 1048576.0
+               AS t75
+           FROM tok GROUP BY w),
+         tot AS (SELECT sum(t75) AS s FROM freq)
+         SELECT w, f, t75,
+           floor(t75 / s * 1e6 + 0.5) / 1e6 AS share6
+         FROM freq, tot ORDER BY w""",
     // t40: the identical md5-uniform draw vs the exact Mikolov keep
     // probability, compacted positions, window-3 pairs.
     "t40_skipgram_pairs" ->

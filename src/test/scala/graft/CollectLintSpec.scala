@@ -158,6 +158,8 @@ class CollectLintSpec extends AnyFunSuite {
         "classifier per-iteration gradient: ≤ 2·dim+2 rows",
       ".head() // 1-row accuracy probe" ->
         "classifier datasheet accuracy: 1-row aggregate per variant",
+      "val tot = freq.agg(sum(col(\"t75\"))).head().getDouble(0) // 1-row probe" ->
+        "negative-sampling normalizer: 1-row aggregate over |vocab|",
       "sum(col(\"freq\") * col(\"wlen\")).as(\"ct\")).head() // 1-row probe" ->
         "tokenizerCompare piece/char totals: 1-row aggregate",
       ".agg(count_distinct(norm(col(\"t\"))).as(\"vu\")).head() // 1-row probe" ->

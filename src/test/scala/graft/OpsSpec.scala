@@ -577,6 +577,35 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
       (3L, 8L, 8L, "p q r s t wholly unrelated doc")))
   }
 
+  test("mergeInto degrades exactly to upsert and applyCdc in the " +
+      "unconditional limits (the special-case contract)") {
+    import org.apache.spark.sql.Column
+    val base = Seq((1L, "old1"), (2L, "old2"), (3L, "old3"))
+      .toDF("id", "v")
+    // upsert limit: always-update + always-insert, no deletes
+    val updates = Seq((2L, "new2"), (9L, "new9")).toDF("id", "v")
+    val viaMerge = graft.ops.PipelineOps.mergeInto(base, updates, Seq("id"),
+        matchedUpdateWhen = Some((_: Column, _: Column) => lit(true)),
+        insertWhen = Some((_: Column) => lit(true)))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val viaUpsert = graft.ops.PipelineOps.upsert(base, updates, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaMerge.toSeq == viaUpsert.toSeq)
+    // applyCdc limit: delete on op='D', else update; always insert
+    val chg = Seq((2L, "new2", "U"), (3L, "gone", "D"), (9L, "new9", "U"))
+      .toDF("id", "v", "op")
+    val viaMergeCdc = graft.ops.PipelineOps.mergeInto(
+        base.withColumn("op", lit("U")), chg, Seq("id"),
+        matchedDeleteWhen = Some((_: Column, s: Column) =>
+          s.getField("op") === "D"),
+        matchedUpdateWhen = Some((_: Column, _: Column) => lit(true)),
+        insertWhen = Some((s: Column) => s.getField("op") =!= "D"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val viaApply = graft.ops.PipelineOps.applyCdc(base, chg, Seq("id"), "op")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(viaMergeCdc.toSeq == viaApply.toSeq)
+  }
+
   test("exactSubstrIncremental: an arriving wave re-cuts the TOUCHED " +
       "indexed doc (archived + new coverage union) and equals batch " +
       "on the union (d50 gate, hand-sized)") {
