@@ -522,7 +522,7 @@ object TextOps {
     * close is a (center, context) partial+final count. */
   def skipgramPairs(df: DataFrame, idCol: String, textCol: String,
                     window: Int, minCount: Long = 2,
-                    subsampleT: Double = 1e-3): DataFrame = {
+                    subsampleT: Option[Double] = Some(1e-3)): DataFrame = {
     require(window >= 1, "skipgramPairs needs window >= 1")
     val toks = graft.Caches.track(df
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
@@ -531,16 +531,21 @@ object TextOps {
         col("col").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("f"))
-    val nTot = toks.count() // corpus token total: one driver scalar
-    val z = col("f").cast("double") / lit(nTot.toDouble)
-    val pKeep = least(lit(1.0),
-      (sqrt(z / lit(subsampleT)) + lit(1.0)) * (lit(subsampleT) / z))
-    val u = graft.ops.DedupOps.portableHash60(
-      concat_ws(":", col("id").cast("string"),
-        col("pos").cast("string"), col("w"))).cast("double") /
-      lit(1152921504606846976.0) // 2^60 — the d05 uniform draw
+    // subsampleT = None: pure vocabulary-trimmed window pairs (the
+    // deterministic input sgnsTrain's oracle replays without the draw)
+    val keepDraw = subsampleT.fold(lit(true)) { t =>
+      val nTot = toks.count() // corpus token total: one driver scalar
+      val z = col("f").cast("double") / lit(nTot.toDouble)
+      val pKeep = least(lit(1.0),
+        (sqrt(z / lit(t)) + lit(1.0)) * (lit(t) / z))
+      val u = graft.ops.DedupOps.portableHash60(
+        concat_ws(":", col("id").cast("string"),
+          col("pos").cast("string"), col("w"))).cast("double") /
+        lit(1152921504606846976.0) // 2^60 — the d05 uniform draw
+      u < pKeep
+    }
     val kept = toks.join(freq, Seq("w"))
-      .filter(col("f") >= minCount && u < pKeep)
+      .filter(col("f") >= minCount && keepDraw)
     val comp = kept.select(col("id"), col("w"),
       row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy("id").orderBy("pos")).as("np"))
@@ -549,6 +554,121 @@ object TextOps {
           && abs(col("a.np") - col("b.np")) <= window)
       .groupBy(col("a.w").as("center"), col("b.w").as("context"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** IN-ENGINE WORD2VEC TRAINING — skip-gram with EXPECTED negative
+    * sampling (SGNS, Mikolov et al. 2013), full-batch gradient descent
+    * under the same exact-numerics contract as
+    * [[textClassifierTrain]]'s GD: the whole optimization replays
+    * bit-identically on any IEEE engine, so trained EMBEDDINGS (not
+    * just scores) sit under a DuckDB oracle.
+    *
+    * Construction: positives = [[skipgramPairs]] WITHOUT subsampling
+    * (vocab-trimmed window pairs with counts); negatives in
+    * EXPECTATION — instead of k random draws per pair, every (center,
+    * noise word) cell carries weight `negK · n_c · q(noise)` with
+    * q ∝ f^0.75 ([[negativeSampling]]'s √-spelled distribution) — the
+    * expected SGNS loss, deterministic and sampling-noise-free. The
+    * negative block is |centers|×|vocab| — VOCABULARY-squared, bounded
+    * like the co-occurrence matrices of GloVe-class trainers, never
+    * corpus-sized (at web scale swap in per-pair sampled negatives via
+    * the md5 draw; the gradient algebra is unchanged). Loss:
+    * `Σ⁺ cnt·log σ(u_c·v_x) + Σ⁻ wgt·log σ(−u_c·v_n)`.
+    *
+    * Exactness: embeddings init from the md5-uniform draw and live on
+    * the 2⁻²⁰ dyadic grid; pair scores are sums of products of grid
+    * multiples (exact dyadic rationals, association-free); residuals
+    * use the rational sigmoid and re-snap; every gradient TERM snaps
+    * before the per-(word, dim) sum; updates re-snap after the
+    * binary-exact-η step. Scale shape per iteration: two (word)-keyed
+    * joins to score, two keyed gradient aggregations, one |vocab|·dim
+    * update join — lineage cut per iteration; driver state = two
+    * scalars + the ≤|vocab|-row noise table (the loadCentroids bound).
+    * Returns (role ∈ in|out, w, j, val) — both embedding matrices. */
+  def sgnsTrain(df: DataFrame, idCol: String, textCol: String,
+                window: Int = 3, minCount: Long = 2, dim: Int = 4,
+                negK: Double = 2.0, eta: Double = 0.5,
+                iters: Int = 3): DataFrame = {
+    require(dim >= 1 && iters >= 1, "need dim >= 1, iters >= 1")
+    def snapCol(c: Column): Column =
+      floor(c * lit(ClfGrid) + lit(0.5)) / lit(ClfGrid)
+    def sig(s: Column): Column =
+      lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s)))
+    val pairs = graft.Caches.track(
+      skipgramPairs(df, idCol, textCol, window, minCount,
+          subsampleT = None)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val freq = graft.Caches.track(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("t75",
+        floor(sqrt(col("f") * sqrt(col("f"))) * lit(ClfGrid)
+          + lit(0.5)) / lit(ClfGrid))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // noise table to the driver: ≤ |vocab| rows (the loadCentroids
+    // bound) — shipping it back as a literal array keeps the dense
+    // expected-negative block an EXPLODE, never an equality-free join
+    val noiseRows = freq.select(col("w"), col("t75"))
+      .collect() // ≤ |vocab| rows — bounded driver state
+    val t75Total = noiseRows.map(_.getDouble(1)).sum // exact: grid sum
+    val noiseLit = array(noiseRows.map { r =>
+      struct(lit(r.getString(0)).as("w"),
+        lit(r.getDouble(1) / t75Total).as("q"))
+    }.toIndexedSeq: _*)
+    val nc = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("n_c"))
+    val ww = graft.Caches.track(
+      pairs.select(col("center").as("c"), col("context").as("x"),
+          col("cnt").cast("double").as("wgt"), lit(1).as("sign"))
+        .unionByName(nc
+          .select(col("center").as("c"), col("n_c"), explode(noiseLit).as("n"))
+          .select(col("c"), col("n.w").as("x"),
+            ((lit(negK) * col("n_c").cast("double")) * col("n.q"))
+              .as("wgt"),
+            lit(-1).as("sign")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nw = pairs.agg(sum(col("cnt"))).head().getLong(0).toDouble // 1-row
+    def draw(side: String): Column = snapCol(
+      (graft.ops.DedupOps.portableHash60(concat_ws(":", lit(side),
+          col("w"), col("j").cast("string"))).cast("double")
+        / lit(5.76460752303423488e17) - lit(1.0)) / lit(8.0))
+    var emb = freq
+      .select(col("w"), explode(sequence(lit(0), lit(dim - 1))).as("j"))
+      .select(col("w"), col("j"), draw("u").as("u"), draw("v").as("v"))
+      .localCheckpoint(true)
+    (1 to iters).foreach { _ =>
+      val sc = ww
+        .join(emb.select(col("w").as("c"), col("j"), col("u")), Seq("c"))
+        .join(emb.select(col("w").as("x"), col("j"), col("v")),
+          Seq("x", "j"))
+        .groupBy("c", "x", "wgt", "sign")
+        .agg(sum(col("u") * col("v")).as("s"))
+      val r = graft.Caches.track(sc.select(col("c"), col("x"),
+          snapCol(when(col("sign") === 1,
+              col("wgt") * (lit(1.0) - sig(col("s"))))
+            .otherwise(-col("wgt") * sig(col("s")))).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+      val gu = r
+        .join(emb.select(col("w").as("x"), col("j"), col("v")), Seq("x"))
+        .select(col("c").as("w"), col("j"), snapCol(col("r") * col("v")).as("t"))
+        .groupBy("w", "j").agg(sum(col("t")).as("gu"))
+      val gv = r
+        .join(emb.select(col("w").as("c"), col("j"), col("u")), Seq("c"))
+        .select(col("x").as("w"), col("j"), snapCol(col("r") * col("u")).as("t"))
+        .groupBy("w", "j").agg(sum(col("t")).as("gv"))
+      emb = emb
+        .join(gu, Seq("w", "j"), "left")
+        .join(gv, Seq("w", "j"), "left")
+        .select(col("w"), col("j"),
+          snapCol(col("u") + (lit(eta) * coalesce(col("gu"), lit(0.0)))
+            / lit(nw)).as("u"),
+          snapCol(col("v") + (lit(eta) * coalesce(col("gv"), lit(0.0)))
+            / lit(nw)).as("v"))
+        .localCheckpoint(true) // lineage cut per GD iteration
+    }
+    emb.select(lit("in").as("role"), col("w"), col("j"),
+        col("u").as("val"))
+      .unionByName(emb.select(lit("out").as("role"), col("w"), col("j"),
+        col("v").as("val")))
   }
 
   /** word2vec NEGATIVE-SAMPLING noise distribution — [[skipgramPairs]]'

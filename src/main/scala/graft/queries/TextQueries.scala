@@ -381,6 +381,19 @@ object TextQueries {
           maxPiece = 4, seedVocab = 30, rounds = 3)
         .orderBy("tokenizer")),
 
+    // IN-ENGINE WORD2VEC (SGNS) TRAINING — the t36 "train the model
+    // inside the engine" story extended to EMBEDDINGS: vocab-trimmed
+    // window pairs + expected negatives (negK·n_c·q, q ∝ f^0.75 — the
+    // deterministic expectation of the sampled loss), full-batch GD
+    // with md5-seeded grid-snapped embeddings, rational sigmoid,
+    // per-term dyadic snaps. The trained matrices themselves
+    // hash-match the DuckDB unrolled replay with NO output rounding.
+    "t42_sgns_train" -> ((s, d) =>
+      graft.ops.TextOps.sgnsTrain(docs(s, d), "doc_id", "text",
+          window = 3, minCount = 2, dim = 4, negK = 2.0, eta = 0.5,
+          iters = 3)
+        .orderBy("role", "w", "j")),
+
     // NEGATIVE-SAMPLING noise table — skip-gram's other half: the
     // unigram^0.75 distribution negatives draw from, with f^0.75 built
     // as sqrt(f*sqrt(f)) (correctly-rounded ops only — pow is not),
@@ -395,7 +408,7 @@ object TextQueries {
     // compaction, window-3 pair emission, (center, context) counts.
     "t40_skipgram_pairs" -> ((s, d) =>
       graft.ops.TextOps.skipgramPairs(docs(s, d), "doc_id", "text",
-          window = 3, minCount = 2, subsampleT = 1e-3)
+          window = 3, minCount = 2, subsampleT = Some(1e-3))
         .orderBy("center", "context")),
 
     // CLASSIFIER FEATURE DATASHEET — unigram vs unigram+bigram hashed
@@ -870,6 +883,85 @@ object TextQueries {
        $its"""
   }
 
+  /** t42 oracle: the full SGNS optimization unrolled — vocab-trimmed
+    * window pairs, the √-spelled f^0.75 noise weights, md5-seeded
+    * grid-snapped embeddings, and per iteration the score join,
+    * rational-sigmoid residual snap, per-(word, dim) gradient sums of
+    * snapped terms, and the binary-exact-η update. Every round CTE
+    * MATERIALIZED (the d31 rule). */
+  private def sgnsSql(window: Int, minCount: Long, dim: Int,
+                      negK: Double, eta: Double, iters: Int): String = {
+    def snap(e: String) = s"floor(($e) * 1048576.0 + 0.5) / 1048576.0"
+    def sigS(s: String) = s"(0.5 + ($s) / (2.0 * (1.0 + abs($s))))"
+    val its = (1 to iters).map { i =>
+      s"""sg$i AS MATERIALIZED (
+           SELECT ww.c, ww.x, ww.wgt, ww.sign,
+             sum(uu.val * vv.val) AS s
+           FROM ww
+           JOIN eu${i - 1} uu ON uu.w = ww.c
+           JOIN ev${i - 1} vv ON vv.w = ww.x AND vv.j = uu.j
+           GROUP BY 1, 2, 3, 4),
+         rr$i AS MATERIALIZED (
+           SELECT c, x, ${snap(s"CASE WHEN sign = 1 THEN wgt * (1.0 - ${
+             sigS("s")}) ELSE -wgt * ${sigS("s")} END")} AS r
+           FROM sg$i),
+         gu$i AS MATERIALIZED (
+           SELECT r.c AS w, v.j, sum(${snap("r.r * v.val")}) AS g
+           FROM rr$i r JOIN ev${i - 1} v ON v.w = r.x GROUP BY 1, 2),
+         gv$i AS MATERIALIZED (
+           SELECT r.x AS w, u.j, sum(${snap("r.r * u.val")}) AS g
+           FROM rr$i r JOIN eu${i - 1} u ON u.w = r.c GROUP BY 1, 2),
+         eu$i AS MATERIALIZED (
+           SELECT p.w, p.j,
+             ${snap(s"p.val + ($eta * COALESCE(g.g, 0.0)) / nwt.nw")} AS val
+           FROM eu${i - 1} p LEFT JOIN gu$i g USING (w, j), nwt),
+         ev$i AS MATERIALIZED (
+           SELECT p.w, p.j,
+             ${snap(s"p.val + ($eta * COALESCE(g.g, 0.0)) / nwt.nw")} AS val
+           FROM ev${i - 1} p LEFT JOIN gv$i g USING (w, j), nwt)"""
+    }.mkString(",\n")
+    def init(side: String) = snap(
+      s"(CAST(concat('0x', substr(md5('$side:' || w || ':' || j), 1, 15)) " +
+        "AS BIGINT) / 576460752303423488.0 - 1.0) / 8.0")
+    s"""WITH t0 AS (SELECT doc_id, $Toks AS ts FROM documents),
+       tok AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS w
+         FROM t0, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+       freq AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f,
+           floor(sqrt(f * sqrt(f)) * 1048576.0 + 0.5) / 1048576.0 AS t75
+         FROM tok GROUP BY w),
+       kept AS (SELECT tok.doc_id, tok.pos, tok.w
+         FROM tok JOIN freq USING (w) WHERE f >= $minCount),
+       comp AS (SELECT doc_id, w,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+         FROM kept),
+       prs AS MATERIALIZED (SELECT a.w AS c, b.w AS x,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM comp a JOIN comp b ON a.doc_id = b.doc_id
+           AND a.np <> b.np AND abs(a.np - b.np) <= $window
+         GROUP BY 1, 2),
+       ncs AS MATERIALIZED (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c
+         FROM prs GROUP BY 1),
+       tz AS MATERIALIZED (SELECT sum(t75) AS tt FROM freq),
+       ww AS MATERIALIZED (
+         SELECT c, x, CAST(cnt AS DOUBLE) AS wgt, 1 AS sign FROM prs
+         UNION ALL
+         SELECT ncs.c, freq.w,
+           ($negK * CAST(ncs.n_c AS DOUBLE)) * (freq.t75 / tz.tt), -1
+         FROM ncs, freq, tz),
+       nwt AS MATERIALIZED (
+         SELECT CAST(sum(cnt) AS DOUBLE) AS nw FROM prs),
+       jj AS (SELECT u.j AS j FROM unnest(range(0, $dim)) AS u(j)),
+       eu0 AS MATERIALIZED (SELECT w, j, ${init("u")} AS val
+         FROM freq, jj),
+       ev0 AS MATERIALIZED (SELECT w, j, ${init("v")} AS val
+         FROM freq, jj),
+       $its
+       SELECT role, w, CAST(j AS INTEGER) AS j, val FROM (
+         SELECT 'in' AS role, w, j, val FROM eu$iters
+         UNION ALL SELECT 'out', w, j, val FROM ev$iters)
+       ORDER BY role, w, j"""
+  }
+
   private def clfTrainSql(dim: Int, iters: Int): String = {
     val sel = (1 to iters)
       .map(i => s"SELECT $i AS iter, feat, w FROM w$i")
@@ -1195,6 +1287,10 @@ object TextQueries {
     // t39: unigram vs unigram+bigram feature ablation — both GD loops
     // replayed in one statement, nested WITH per variant.
     "t39_clf_feature_compare" -> clfCompareSql(dim = 16, iters = 8),
+    // t42: the full SGNS optimization unrolled — trained embeddings
+    // compare as raw grid doubles.
+    "t42_sgns_train" -> sgnsSql(window = 3, minCount = 2, dim = 4,
+      negK = 2.0, eta = 0.5, iters = 3),
     // t41: the identical sqrt-spelled f^0.75 terms, dyadic snap, one
     // exact total, 6dp shares.
     "t41_negative_sampling" ->

@@ -160,6 +160,10 @@ class CollectLintSpec extends AnyFunSuite {
         "classifier datasheet accuracy: 1-row aggregate per variant",
       "val tot = freq.agg(sum(col(\"t75\"))).head().getDouble(0) // 1-row probe" ->
         "negative-sampling normalizer: 1-row aggregate over |vocab|",
+      ".collect() // ≤ |vocab| rows — bounded driver state" ->
+        "sgns noise table: ≤ |vocab| rows (the loadCentroids class)",
+      "val nw = pairs.agg(sum(col(\"cnt\"))).head().getLong(0).toDouble // 1-row" ->
+        "sgns total positive weight: 1-row aggregate",
       "sum(col(\"freq\") * col(\"wlen\")).as(\"ct\")).head() // 1-row probe" ->
         "tokenizerCompare piece/char totals: 1-row aggregate",
       ".agg(count_distinct(norm(col(\"t\"))).as(\"vu\")).head() // 1-row probe" ->
