@@ -759,9 +759,10 @@ object FrameQueries {
         col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("x"),
         floor(col("l_quantity") + 0.5).cast("long").as("y"))
-      // (l_orderkey, l_linenumber) is NOT unique in the fixtures (CLAUDE
-      // .md); adding the two measures makes the sort total — fully tied
-      // rows are interchangeable for the window sums anyway
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures (~12k
+      // duplicate pairs at sf0.01); adding the two measures makes the
+      // sort total — fully tied rows are interchangeable for the window
+      // sums anyway
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("l_returnflag")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("x"), col("y"))
