@@ -588,8 +588,30 @@ object TextOps {
   def sgnsTrain(df: DataFrame, idCol: String, textCol: String,
                 window: Int = 3, minCount: Long = 2, dim: Int = 4,
                 negK: Double = 2.0, eta: Double = 0.5,
-                iters: Int = 3): DataFrame = {
+                iters: Int = 3,
+                memoKey: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val m = sgnsMatrix(df, idCol, textCol, window, minCount, dim, negK,
+      eta, iters, memoKey).toDF("w", "j", "u", "v")
+    m.select(lit("in").as("role"), col("w"), col("j"),
+        col("u").as("val"))
+      .unionByName(m.select(lit("out").as("role"), col("w"), col("j"),
+        col("v").as("val")))
+  }
+
+  /** The shared SGNS training loop, closed by ONE |vocab|·dim collect
+    * of the final matrices (the kmeans-centroid contract: training runs
+    * distributed, only the bounded model ships to the driver) — memo
+    * behind `memoKey` so the train/probe gate pair trains once per
+    * session (keys must encode the corpus slice). */
+  private def sgnsMatrix(df: DataFrame, idCol: String, textCol: String,
+                         window: Int, minCount: Long, dim: Int,
+                         negK: Double, eta: Double, iters: Int,
+                         memoKey: Option[String])
+      : Vector[(String, Int, Double, Double)] = {
     require(dim >= 1 && iters >= 1, "need dim >= 1, iters >= 1")
+    def run(): Vector[(String, Int, Double, Double)] = {
     def snapCol(c: Column): Column =
       floor(c * lit(ClfGrid) + lit(0.5)) / lit(ClfGrid)
     def sig(s: Column): Column =
@@ -665,10 +687,55 @@ object TextOps {
             / lit(nw)).as("v"))
         .localCheckpoint(true) // lineage cut per GD iteration
     }
-    emb.select(lit("in").as("role"), col("w"), col("j"),
-        col("u").as("val"))
-      .unionByName(emb.select(lit("out").as("role"), col("w"), col("j"),
-        col("v").as("val")))
+    emb.collect() // ≤ |vocab|·dim rows — the trained model, bounded
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3))).toVector
+    }
+    memoKey.fold(run())(k =>
+      graft.Caches.memo(
+        s"sgns:$k:w$window:m$minCount:d$dim:k$negK:e$eta:i$iters")(run()))
+  }
+
+  /** Nearest neighbors IN THE TRAINED SGNS SPACE — the probe showing
+    * [[sgnsTrain]]'s in-engine embeddings are a usable similarity
+    * space: for every vocabulary word, the top-`topK` other words by
+    * cosine of the trained "in" vectors. Training memo-shares with the
+    * t42 gate (`memoKey`); the |vocab|·dim model ships back as a
+    * literal matrix, so the all-words comparison is one EXPLODE over
+    * the vocab frame (the assignToCentroids shape — no equality-free
+    * join anywhere) closed by a per-word WindowGroupLimit. Cosine =
+    * dot/(√dot·√dot) over exact grid values — both engines build
+    * identical doubles; output on the 6dp floor grid. */
+  def sgnsNeighbors(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 3, minCount: Long = 2, dim: Int = 4,
+                    negK: Double = 2.0, eta: Double = 0.5,
+                    iters: Int = 3, topK: Int = 3,
+                    memoKey: Option[String] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.DotProduct.dotNative
+    val m = sgnsMatrix(df, idCol, textCol, window, minCount, dim, negK,
+      eta, iters, memoKey)
+    val byWord = m.groupBy(_._1).view.mapValues(rows =>
+      rows.sortBy(_._2).map(_._3)).toMap // w -> in-vector (j-ordered)
+    val mat = array(byWord.toSeq.sortBy(_._1).map { case (w, e) =>
+      struct(lit(w).as("w"),
+        array(e.map(lit).toIndexedSeq: _*).as("e"))
+    }.toIndexedSeq: _*)
+    val vecs = byWord.toSeq.sortBy(_._1)
+      .map { case (w, e) => (w, e) }.toDF("w", "e")
+    vecs.select(col("w"), col("e"), explode(mat).as("o"))
+      .filter(col("o.w") =!= col("w"))
+      .select(col("w"), col("o.w").as("neighbor"),
+        (dotNative(col("e"), col("o.e"))
+          / (sqrt(dotNative(col("e"), col("e")))
+            * sqrt(dotNative(col("o.e"), col("o.e"))))).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("w")
+          .orderBy(col("cos").desc, col("neighbor").asc)))
+      .filter(col("rk") <= topK)
+      .select(col("w"), col("rk"), round6(col("cos")).as("cos6"),
+        col("neighbor"))
   }
 
   /** word2vec NEGATIVE-SAMPLING noise distribution — [[skipgramPairs]]'

@@ -391,8 +391,19 @@ object TextQueries {
     "t42_sgns_train" -> ((s, d) =>
       graft.ops.TextOps.sgnsTrain(docs(s, d), "doc_id", "text",
           window = 3, minCount = 2, dim = 4, negK = 2.0, eta = 0.5,
-          iters = 3)
+          iters = 3, memoKey = Some(s"docs:$d"))
         .orderBy("role", "w", "j")),
+
+    // SGNS NEIGHBOR PROBE — the trained space is a usable similarity
+    // space: per vocabulary word the top-3 others by cosine of the
+    // trained "in" vectors (training memo-shared with t42; the model
+    // ships back as a literal matrix, so the all-words comparison is
+    // one explode — no equality-free join).
+    "t43_sgns_neighbors" -> ((s, d) =>
+      graft.ops.TextOps.sgnsNeighbors(docs(s, d), "doc_id", "text",
+          window = 3, minCount = 2, dim = 4, negK = 2.0, eta = 0.5,
+          iters = 3, topK = 3, memoKey = Some(s"docs:$d"))
+        .orderBy("w", "rk")),
 
     // NEGATIVE-SAMPLING noise table — skip-gram's other half: the
     // unigram^0.75 distribution negatives draw from, with f^0.75 built
@@ -889,8 +900,8 @@ object TextQueries {
     * rational-sigmoid residual snap, per-(word, dim) gradient sums of
     * snapped terms, and the binary-exact-η update. Every round CTE
     * MATERIALIZED (the d31 rule). */
-  private def sgnsSql(window: Int, minCount: Long, dim: Int,
-                      negK: Double, eta: Double, iters: Int): String = {
+  private def sgnsCtes(window: Int, minCount: Long, dim: Int,
+                       negK: Double, eta: Double, iters: Int): String = {
     def snap(e: String) = s"floor(($e) * 1048576.0 + 0.5) / 1048576.0"
     def sigS(s: String) = s"(0.5 + ($s) / (2.0 * (1.0 + abs($s))))"
     val its = (1 to iters).map { i =>
@@ -923,7 +934,7 @@ object TextQueries {
     def init(side: String) = snap(
       s"(CAST(concat('0x', substr(md5('$side:' || w || ':' || j), 1, 15)) " +
         "AS BIGINT) / 576460752303423488.0 - 1.0) / 8.0")
-    s"""WITH t0 AS (SELECT doc_id, $Toks AS ts FROM documents),
+    s"""t0 AS (SELECT doc_id, $Toks AS ts FROM documents),
        tok AS (SELECT doc_id, u.i - 1 AS pos, ts[u.i] AS w
          FROM t0, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
        freq AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f,
@@ -955,12 +966,36 @@ object TextQueries {
          FROM freq, jj),
        ev0 AS MATERIALIZED (SELECT w, j, ${init("v")} AS val
          FROM freq, jj),
-       $its
+       $its"""
+  }
+
+  private def sgnsSql(window: Int, minCount: Long, dim: Int,
+                      negK: Double, eta: Double, iters: Int): String =
+    s"""WITH ${sgnsCtes(window, minCount, dim, negK, eta, iters)}
        SELECT role, w, CAST(j AS INTEGER) AS j, val FROM (
          SELECT 'in' AS role, w, j, val FROM eu$iters
          UNION ALL SELECT 'out', w, j, val FROM ev$iters)
        ORDER BY role, w, j"""
-  }
+
+  /** t43 oracle: the trained "in" matrix reassembled to j-ordered
+    * vectors, all-pairs cosine over the |vocab|-bounded frame, per-word
+    * top-K by (cos DESC, neighbor ASC). */
+  private def sgnsNeighborsSql(window: Int, minCount: Long, dim: Int,
+                               negK: Double, eta: Double, iters: Int,
+                               topK: Int): String =
+    s"""WITH ${sgnsCtes(window, minCount, dim, negK, eta, iters)},
+       uv AS (SELECT w, list(val ORDER BY j) AS e
+         FROM eu$iters GROUP BY w),
+       nn AS (SELECT a.w, b.w AS neighbor,
+           list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e))
+               * sqrt(list_dot_product(b.e, b.e))) AS cos
+         FROM uv a JOIN uv b ON a.w <> b.w)
+       SELECT w,
+         CAST(row_number() OVER (PARTITION BY w
+           ORDER BY cos DESC, neighbor ASC) AS INTEGER) AS rk,
+         floor(cos * 1e6 + 0.5) / 1e6 AS cos6, neighbor
+       FROM nn QUALIFY rk <= $topK ORDER BY w, rk"""
 
   private def clfTrainSql(dim: Int, iters: Int): String = {
     val sel = (1 to iters)
@@ -1291,6 +1326,10 @@ object TextQueries {
     // compare as raw grid doubles.
     "t42_sgns_train" -> sgnsSql(window = 3, minCount = 2, dim = 4,
       negK = 2.0, eta = 0.5, iters = 3),
+    // t43: the same unrolled training, closed by the per-word cosine
+    // top-3 over the trained "in" vectors.
+    "t43_sgns_neighbors" -> sgnsNeighborsSql(window = 3, minCount = 2,
+      dim = 4, negK = 2.0, eta = 0.5, iters = 3, topK = 3),
     // t41: the identical sqrt-spelled f^0.75 terms, dyadic snap, one
     // exact total, 6dp shares.
     "t41_negative_sampling" ->

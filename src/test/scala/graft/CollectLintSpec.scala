@@ -162,6 +162,8 @@ class CollectLintSpec extends AnyFunSuite {
         "negative-sampling normalizer: 1-row aggregate over |vocab|",
       ".collect() // ≤ |vocab| rows — bounded driver state" ->
         "sgns noise table: ≤ |vocab| rows (the loadCentroids class)",
+      "emb.collect() // ≤ |vocab|·dim rows — the trained model, bounded" ->
+        "sgns trained matrices: |vocab|·dim rows (the kmeans-centroid contract)",
       "val nw = pairs.agg(sum(col(\"cnt\"))).head().getLong(0).toDouble // 1-row" ->
         "sgns total positive weight: 1-row aggregate",
       "sum(col(\"freq\") * col(\"wlen\")).as(\"ct\")).head() // 1-row probe" ->
