@@ -396,21 +396,16 @@ object TextOps {
 
   private val ClfGrid = 1048576.0 // 2^20 — the residual/weight grid
 
-  /** Shared GD loop: returns (trace rows, persisted feature frame,
-    * persisted label frame, final weights). Driver state: the bounded
-    * weight array + one ≤(2·dim+2)-row collect per iteration.
-    *
-    * `bigrams = true` adds the fastText recipe's second feature block
-    * (Joulin et al. 2017 use bag-of-words PLUS hashed bigrams): hashed
-    * bigram frequencies land in buckets [dim, 2·dim), normalized by the
-    * doc's bigram count (n−1) on the same dyadic grid; length and bias
-    * features shift up to keep ids disjoint. */
-  private def textClfLoop(df: DataFrame, idCol: String, textCol: String,
-                          label: Column, dim: Int, iters: Int,
-                          memoKey: Option[String] = None,
-                          bigrams: Boolean = false)
-      : (Seq[(Int, Long, Double)], DataFrame, DataFrame, Array[Double]) = {
-    require(dim >= 2 && iters >= 1, "need dim >= 2, iters >= 1")
+  /** The classifier FEATURE MAP alone — shared by the training loop and
+    * the fixed-model scorer ([[textClassifierScoreWith]]): normalized
+    * hashed token buckets (+ optional bigram block — the fastText
+    * recipe, Joulin et al. 2017: hashed bigram frequencies in buckets
+    * [dim, 2·dim), normalized by the doc's bigram count n−1; length and
+    * bias ids shift up to stay disjoint), all grid-snapped. Pure
+    * per-doc column logic: scoring a micro-batch with a frozen model
+    * builds exactly these rows for the batch. */
+  private def clfFeatures(df: DataFrame, idCol: String, textCol: String,
+                          dim: Int, bigrams: Boolean): DataFrame = {
     def snapCol(c: Column): Column =
       floor(c * lit(ClfGrid) + lit(0.5)) / lit(ClfGrid)
     val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
@@ -454,9 +449,55 @@ object TextOps {
         .as("x"))
     val bias = df.select(col(idCol).as("id"),
       lit(nFeat + 1L).as("feat"), lit(1.0).as("x"))
+    bigr.foldLeft(bucket)(_ unionByName _)
+      .unionByName(lenFeat).unionByName(bias)
+  }
+
+  /** Train only — the bounded final weight vector, the MODEL a frozen
+    * scorer ships to every micro-batch ([[textClassifierScoreWith]]);
+    * memo-shared with the train/score gates via `memoKey`. */
+  def textClassifierFit(df: DataFrame, idCol: String, textCol: String,
+                        label: Column, dim: Int = 16, iters: Int = 8,
+                        memoKey: Option[String] = None,
+                        bigrams: Boolean = false): Array[Double] =
+    textClfLoop(df, idCol, textCol, label, dim, iters, memoKey, bigrams)._4
+
+  /** Score with a FROZEN model — the streaming/serving half of the
+    * classifier: rebuild the per-doc feature map for THIS frame only
+    * and close with the exact margins under the shipped weights.
+    * Scores are per-doc independent, so scoring micro-batches and
+    * unioning equals scoring the whole corpus at once (gate t44 proves
+    * it against t37's oracle verbatim). Output = (id, y, score, pred),
+    * [[textClassifierScore]]'s shape. */
+  def textClassifierScoreWith(df: DataFrame, idCol: String,
+                              textCol: String, label: Column,
+                              w: Array[Double], dim: Int = 16,
+                              bigrams: Boolean = false): DataFrame = {
+    val feats = clfFeatures(df, idCol, textCol, dim, bigrams)
+    val z = margins(feats, w)
+    df.select(col(idCol).as("id"), label.cast("long").as("y"))
+      .join(z, Seq("id"))
+      .select(col("id").as(idCol), col("y"),
+        (lit(0.5) + col("z") / (lit(2.0) * (lit(1.0) + abs(col("z")))))
+          .as("score"),
+        when(col("z") >= 0, 1L).otherwise(0L).as("pred"))
+  }
+
+  /** Shared GD loop over [[clfFeatures]]: returns (trace rows,
+    * persisted feature frame, persisted label frame, final weights).
+    * Driver state: the bounded weight array + one ≤(2·dim+2)-row
+    * collect per iteration. */
+  private def textClfLoop(df: DataFrame, idCol: String, textCol: String,
+                          label: Column, dim: Int, iters: Int,
+                          memoKey: Option[String] = None,
+                          bigrams: Boolean = false)
+      : (Seq[(Int, Long, Double)], DataFrame, DataFrame, Array[Double]) = {
+    require(dim >= 2 && iters >= 1, "need dim >= 2, iters >= 1")
+    def snapCol(c: Column): Column =
+      floor(c * lit(ClfGrid) + lit(0.5)) / lit(ClfGrid)
+    val nFeat = if (bigrams) 2L * dim else dim.toLong
     val feats = graft.Caches.track(
-      bigr.foldLeft(bucket)(_ unionByName _)
-        .unionByName(lenFeat).unionByName(bias)
+      clfFeatures(df, idCol, textCol, dim, bigrams)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val labels = graft.Caches.track(df
       .select(col(idCol).as("id"), label.cast("long").as("y"))

@@ -381,6 +381,50 @@ object TextQueries {
           maxPiece = 4, seedVocab = 30, rounds = 3)
         .orderBy("tokenizer")),
 
+    // STREAMING CLASSIFIER SCORING — the serving half of t36/t37: the
+    // corpus replays in three mod-3 micro-batches, each scored with the
+    // FROZEN memo-shared model (textClassifierScoreWith rebuilds the
+    // per-doc feature map for the batch alone); scores are per-doc
+    // independent, so the accumulated stream must equal batch t37 —
+    // t37's oracle VERBATIM (the e57 rule).
+    "t44_clf_score_stream" -> ((s, d) => {
+      implicit val sqlCtx = s.sqlContext
+      import s.implicits._
+      val label = when(
+        graft.ops.TextOps.qualityScore(col("text")) >= 0.5, 1L)
+        .otherwise(0L)
+      val w = graft.ops.TextOps.textClassifierFit(docs(s, d), "doc_id",
+        "text", label, dim = 16, iters = 8,
+        memoKey = Some(s"docs-quality:$d"))
+      val rows = graft.Caches.memo(s"replay:docall:$d") {
+        Tables.documents(s, d).select("doc_id", "text")
+          .collect() // replay fixture — |documents| rows, memoized
+          .map(r => (r.getLong(0), r.getString(1))).toVector
+      }
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      var acc: DataFrame = null
+      val q = input.toDF().toDF("doc_id", "text").writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            val scored = graft.ops.TextOps.textClassifierScoreWith(
+                b.toDF(), "doc_id", "text", label, w, dim = 16)
+              .localCheckpoint(true)
+            acc = (if (acc == null) scored
+                   else acc.unionByName(scored)).localCheckpoint(true)
+            ()
+        }
+        .start()
+      try {
+        (0L to 2L).foreach { wv =>
+          input.addData(rows.filter(_._1 % 3 == wv): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      acc.orderBy("doc_id")
+    }),
+
     // IN-ENGINE WORD2VEC (SGNS) TRAINING — the t36 "train the model
     // inside the engine" story extended to EMBEDDINGS: vocab-trimmed
     // window pairs + expected negatives (negK·n_c·q, q ∝ f^0.75 — the
@@ -1319,6 +1363,9 @@ object TextQueries {
     // makes every sum exact, so no output rounding is needed.
     "t36_quality_clf_train" -> clfTrainSql(dim = 16, iters = 8),
     "t37_quality_clf_score" -> clfScoreSql(dim = 16, iters = 8),
+    // t44: the streamed accumulation answers the identical batch
+    // question — t37's oracle re-registered VERBATIM (the e57 rule).
+    "t44_clf_score_stream" -> clfScoreSql(dim = 16, iters = 8),
     // t39: unigram vs unigram+bigram feature ablation — both GD loops
     // replayed in one statement, nested WITH per variant.
     "t39_clf_feature_compare" -> clfCompareSql(dim = 16, iters = 8),

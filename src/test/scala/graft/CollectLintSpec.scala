@@ -245,6 +245,8 @@ class CollectLintSpec extends AnyFunSuite {
       ".select(col(\"vec_id\"), col(\"embedding\")).collect()" ->
         "MemoryStream replay feed (v31 gate harness: the 10% batch, memoized)"),
     "TextQueries.scala" -> Map(
+      ".collect() // replay fixture — |documents| rows, memoized" ->
+        "MemoryStream replay feed (t44 gate harness, memoized)",
       "val b = docs.agg(min(col(\"doc_id\")), max(col(\"doc_id\"))).head() // 1-row id-range probe" ->
         "t29 tier cutoffs: 1-row min/max probe",
       "val voc = firsts.agg(vocAggs.head, vocAggs.tail: _*).head() // 1-row: |tiers| counts" ->
