@@ -655,6 +655,121 @@ object SimilarityOps {
       .select(col("qid"), col("rk"), col("nid"), col("sim"))
   }
 
+  /** DETERMINISTIC k-NN GRAPH over an embedding corpus — the
+    * construction half of graph-based ANN (the HNSW/NSW family, Malkov
+    * & Yashunin 2018): every vector keeps directed edges to its top-`m`
+    * cosine neighbors AMONG ITS LSH CANDIDATES. Construction is the
+    * banded [[annLsh]] SELF-join — postings explode ×tables, candidate
+    * pairs come from a (table, bucket) equi-join, NEVER all-pairs —
+    * followed by the exact codegen'd cosine re-rank and a per-node
+    * WindowGroupLimit heap. Ties break (sim DESC, dst ASC); with
+    * `planesFlat` from the md5 generator the whole build replays in
+    * DuckDB (gate v37). Returns (src, rk, dst, sim) edges.
+    *
+    * Scale shape: candidate volume per node is bucket occupancy ×
+    * tables — tuned by `bits` (each +1 halves buckets' size); pair
+    * dedup shuffles 16-byte id pairs only, vectors rejoin by id after;
+    * the top-m heap is a WindowGroupLimit, no global sort. The
+    * long-range navigability HNSW gets from its layer hierarchy comes
+    * here from multi-table LSH diversity (independent tables collide
+    * distant-but-still-similar pairs), which keeps construction one
+    * bucketed pass instead of HNSW's inherently sequential inserts. */
+  def knnGraphBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, tables: Int = 8, bits: Int = 4, dim: Int = 64,
+                    planesFlat: Option[Array[Double]] = None): DataFrame = {
+    val c = graft.Caches.track(
+      DedupOps.withNorm(corpus, idCol, vecCol, "id", "e", "n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // buckets staged as a materialized column (codegen'd Project, not
+    // interpreted inside Generate); postings persisted — the self-join
+    // reads them twice
+    val posts = graft.Caches.track(c
+      .select(col("id"),
+        lshBuckets(col("e"), tables, bits, dim, planesFlat).as("__bkts"))
+      .select(col("id"), posexplode(col("__bkts")))
+      .toDF("id", "table", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = posts.as("a").join(posts.as("b"),
+        col("a.table") === col("b.table")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"), col("b.id").as("dst"))
+      .distinct()
+    cand
+      .join(c.select(col("id").as("src"), col("e").as("se"),
+        col("n").as("sn")), "src")
+      .join(c.select(col("id").as("dst"), col("e").as("de"),
+        col("n").as("dn")), "dst")
+      .withColumn("sim",
+        graft.functions.DotProduct.dotNative(col("se"), col("de"))
+          / (col("sn") * col("dn")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+      .filter(col("rk") <= m)
+      .select(col("src"), col("rk"), col("dst"), col("sim"))
+  }
+
+  /** BEAM-SEARCH probe of a [[knnGraphBuild]] k-NN graph — the query
+    * half of graph-based ANN: start every query at a fixed entry set
+    * (the `entryK` smallest node ids — deterministic, index-free),
+    * then `hops` rounds of "expand the current beam's out-edges, score
+    * the new nodes, keep the top-`beam` per query" (the batched NSW
+    * walk: each hop is ONE keyed join against the edge list + a
+    * per-query WindowGroupLimit — no per-query sequential frontier, so
+    * the whole query batch advances together). Self-matches are
+    * excluded (the v01 contract). Ties break (sim DESC, nid ASC)
+    * everywhere, so the walk — and gate v38 — replays in DuckDB
+    * hop-for-hop. Returns the final top-`k`: (qid, rk, nid, sim).
+    *
+    * Scale shape per hop: the beam frame is |queries|·beam rows; the
+    * expansion join is keyed by node id against the (persisted) edge
+    * list; scoring joins vectors by id with the query set broadcast.
+    * Probe cost ≈ entryK + hops·beam·m scored nodes per query —
+    * independent of corpus size (the point of the graph index); lineage
+    * cuts per hop keep the loop linear. */
+  def knnGraphSearch(edges: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, entryK: Int = 4, beam: Int = 8,
+                     hops: Int = 3): DataFrame = {
+    val c = graft.Caches.track(
+      DedupOps.withNorm(corpus, idCol, vecCol, "nid", "ne", "nn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val q = DedupOps.withNorm(queries, idCol, vecCol, "qid", "qe", "qn")
+    val e = graft.Caches.track(edges.select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val entryIds = c.select(col("nid")).orderBy("nid").limit(entryK)
+      .collect() // ≤ entryK rows — the fixed entry set, bounded constant
+      .map(_.getLong(0))
+    def topBeam(cand: DataFrame): DataFrame = cand
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= beam).drop("rk")
+    def scored(ids: DataFrame): DataFrame = ids // (qid, nid) → + sim
+      .join(c, "nid").join(broadcast(q), "qid")
+      .filter(col("nid") =!= col("qid")) // the query's own corpus row
+      .select(col("qid"), col("nid"),
+        (graft.functions.DotProduct.dotNative(col("ne"), col("qe"))
+          / (col("nn") * col("qn"))).as("sim"))
+    var cur = topBeam(scored(q.select(col("qid"))
+        .select(col("qid"),
+          explode(array(entryIds.map(lit).toIndexedSeq: _*)).as("nid"))))
+      .localCheckpoint(true)
+    (1 to hops).foreach { _ =>
+      // only NOT-yet-scored nodes score this hop (a node's sim never
+      // changes, so cur ∪ scored(new) ≡ distinct-scored(cur ∪ expand))
+      val fresh = cur.select(col("qid"), col("nid").as("src"))
+        .join(e, "src")
+        .select(col("qid"), col("dst").as("nid")).distinct()
+        .join(cur.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+      cur = topBeam(cur.unionByName(scored(fresh)))
+        .localCheckpoint(true) // beam is |queries|·beam rows; cut per hop
+    }
+    cur.withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("nid"), col("sim"))
+  }
+
   /** Semantic dedup capstone (the SemDeDup shape: drop all but one of
     * every group of embedding-near-duplicate documents): candidate pairs
     * above the cosine threshold → connected components → canonical

@@ -623,8 +623,10 @@ object TextOps {
     * before the per-(word, dim) sum; updates re-snap after the
     * binary-exact-η step. Scale shape per iteration: two (word)-keyed
     * joins to score, two keyed gradient aggregations, one |vocab|·dim
-    * update join — lineage cut per iteration; driver state = two
-    * scalars + the ≤|vocab|-row noise table (the loadCentroids bound).
+    * update join — lineage cut per iteration; driver state = three
+    * scalars (the noise distribution never leaves the cluster — the
+    * expected-negative block is [[sgnsWw]]'s bucketed equi-join, and
+    * the serialized plan is vocab-independent).
     * Returns (role ∈ in|out, w, j, val) — both embedding matrices. */
   def sgnsTrain(df: DataFrame, idCol: String, textCol: String,
                 window: Int = 3, minCount: Long = 2, dim: Int = 4,
@@ -657,38 +659,9 @@ object TextOps {
       floor(c * lit(ClfGrid) + lit(0.5)) / lit(ClfGrid)
     def sig(s: Column): Column =
       lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s)))
-    val pairs = graft.Caches.track(
-      skipgramPairs(df, idCol, textCol, window, minCount,
-          subsampleT = None)
-        .persist(StorageLevel.MEMORY_AND_DISK))
-    val freq = graft.Caches.track(df
-      .select(explode(tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .withColumn("t75",
-        floor(sqrt(col("f") * sqrt(col("f"))) * lit(ClfGrid)
-          + lit(0.5)) / lit(ClfGrid))
+    val (pairs, freq) = sgnsInputs(df, idCol, textCol, window, minCount)
+    val ww = graft.Caches.track(sgnsWw(pairs, freq, negK)
       .persist(StorageLevel.MEMORY_AND_DISK))
-    // noise table to the driver: ≤ |vocab| rows (the loadCentroids
-    // bound) — shipping it back as a literal array keeps the dense
-    // expected-negative block an EXPLODE, never an equality-free join
-    val noiseRows = freq.select(col("w"), col("t75"))
-      .collect() // ≤ |vocab| rows — bounded driver state
-    val t75Total = noiseRows.map(_.getDouble(1)).sum // exact: grid sum
-    val noiseLit = array(noiseRows.map { r =>
-      struct(lit(r.getString(0)).as("w"),
-        lit(r.getDouble(1) / t75Total).as("q"))
-    }.toIndexedSeq: _*)
-    val nc = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("n_c"))
-    val ww = graft.Caches.track(
-      pairs.select(col("center").as("c"), col("context").as("x"),
-          col("cnt").cast("double").as("wgt"), lit(1).as("sign"))
-        .unionByName(nc
-          .select(col("center").as("c"), col("n_c"), explode(noiseLit).as("n"))
-          .select(col("c"), col("n.w").as("x"),
-            ((lit(negK) * col("n_c").cast("double")) * col("n.q"))
-              .as("wgt"),
-            lit(-1).as("sign")))
-        .persist(StorageLevel.MEMORY_AND_DISK))
     val nw = pairs.agg(sum(col("cnt"))).head().getLong(0).toDouble // 1-row
     def draw(side: String): Column = snapCol(
       (graft.ops.DedupOps.portableHash60(concat_ws(":", lit(side),
@@ -737,16 +710,68 @@ object TextOps {
         s"sgns:$k:w$window:m$minCount:d$dim:k$negK:e$eta:i$iters")(run()))
   }
 
+  /** SGNS training inputs: vocab-trimmed window pairs (no subsample —
+    * the oracle replays without the draw) and the vocabulary frequency
+    * frame with its grid-snapped f^0.75 noise weight, both persisted. */
+  private[graft] def sgnsInputs(df: DataFrame, idCol: String,
+                                textCol: String, window: Int,
+                                minCount: Long): (DataFrame, DataFrame) = {
+    val pairs = graft.Caches.track(
+      skipgramPairs(df, idCol, textCol, window, minCount,
+          subsampleT = None)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val freq = graft.Caches.track(df
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .withColumn("t75",
+        floor(sqrt(col("f") * sqrt(col("f"))) * lit(ClfGrid)
+          + lit(0.5)) / lit(ClfGrid))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    (pairs, freq)
+  }
+
+  /** SGNS loss table (positives ∪ EXPECTED negatives) with a
+    * VOCAB-INDEPENDENT plan: the noise distribution stays a DataFrame
+    * (q = t75/Σt75, the Σ a 1-row probe — the identical division the
+    * old driver-side literal performed, so every weight double is
+    * bit-unchanged), and the dense |centers|×|vocab| expected-negative
+    * block spells as a [[SgnsNoiseFanout]]-way bucketed equi-join:
+    * centers explode the bucket ids, noise words route by hash — the
+    * salted dense product, a plain HashJoin, never a vocab-sized
+    * `array(struct…)` literal bloating every serialized task (the r15
+    * scale watch) and never an equality-free join. OpsSpec pins the
+    * plan-size vocab-independence. */
+  private[graft] val SgnsNoiseFanout = 8L
+  private[graft] def sgnsWw(pairs: DataFrame, freq: DataFrame,
+                            negK: Double): DataFrame = {
+    val t75Total = freq.agg(sum(col("t75"))).head().getDouble(0) // 1-row probe
+    val noiseQ = freq.select(col("w").as("x"),
+      (col("t75") / lit(t75Total)).as("q"),
+      pmod(xxhash64(col("w")), lit(SgnsNoiseFanout)).as("__nb"))
+    val nc = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("n_c"))
+    pairs.select(col("center").as("c"), col("context").as("x"),
+        col("cnt").cast("double").as("wgt"), lit(1).as("sign"))
+      .unionByName(nc
+        .select(col("center").as("c"), col("n_c"),
+          explode(sequence(lit(0L), lit(SgnsNoiseFanout - 1L))).as("__nb"))
+        .join(noiseQ, Seq("__nb"))
+        .select(col("c"), col("x"),
+          ((lit(negK) * col("n_c").cast("double")) * col("q")).as("wgt"),
+          lit(-1).as("sign")))
+  }
+
   /** Nearest neighbors IN THE TRAINED SGNS SPACE — the probe showing
     * [[sgnsTrain]]'s in-engine embeddings are a usable similarity
     * space: for every vocabulary word, the top-`topK` other words by
     * cosine of the trained "in" vectors. Training memo-shares with the
-    * t42 gate (`memoKey`); the |vocab|·dim model ships back as a
-    * literal matrix, so the all-words comparison is one EXPLODE over
-    * the vocab frame (the assignToCentroids shape — no equality-free
-    * join anywhere) closed by a per-word WindowGroupLimit. Cosine =
-    * dot/(√dot·√dot) over exact grid values — both engines build
-    * identical doubles; output on the 6dp floor grid. */
+    * t42 gate (`memoKey`); the |vocab|·dim model comes back as a LOCAL
+    * RELATION (data, not expression tree — the plan stays
+    * vocab-independent) and the all-words comparison is the
+    * [[SgnsNoiseFanout]]-way bucketed dense self-join (a plain
+    * HashJoin — no equality-free join anywhere) closed by a per-word
+    * WindowGroupLimit. Cosine = dot/(√dot·√dot) over exact grid
+    * values — both engines build identical doubles; output on the 6dp
+    * floor grid. */
   def sgnsNeighbors(df: DataFrame, idCol: String, textCol: String,
                     window: Int = 3, minCount: Long = 2, dim: Int = 4,
                     negK: Double = 2.0, eta: Double = 0.5,
@@ -759,18 +784,18 @@ object TextOps {
       eta, iters, memoKey)
     val byWord = m.groupBy(_._1).view.mapValues(rows =>
       rows.sortBy(_._2).map(_._3)).toMap // w -> in-vector (j-ordered)
-    val mat = array(byWord.toSeq.sortBy(_._1).map { case (w, e) =>
-      struct(lit(w).as("w"),
-        array(e.map(lit).toIndexedSeq: _*).as("e"))
-    }.toIndexedSeq: _*)
     val vecs = byWord.toSeq.sortBy(_._1)
       .map { case (w, e) => (w, e) }.toDF("w", "e")
-    vecs.select(col("w"), col("e"), explode(mat).as("o"))
-      .filter(col("o.w") =!= col("w"))
-      .select(col("w"), col("o.w").as("neighbor"),
-        (dotNative(col("e"), col("o.e"))
+    val other = vecs.select(col("w").as("ow"), col("e").as("oe"),
+      pmod(xxhash64(col("w")), lit(SgnsNoiseFanout)).as("__nb"))
+    vecs.select(col("w"), col("e"),
+        explode(sequence(lit(0L), lit(SgnsNoiseFanout - 1L))).as("__nb"))
+      .join(other, Seq("__nb"))
+      .filter(col("ow") =!= col("w"))
+      .select(col("w"), col("ow").as("neighbor"),
+        (dotNative(col("e"), col("oe"))
           / (sqrt(dotNative(col("e"), col("e")))
-            * sqrt(dotNative(col("o.e"), col("o.e"))))).as("cos"))
+            * sqrt(dotNative(col("oe"), col("oe"))))).as("cos"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("w")
           .orderBy(col("cos").desc, col("neighbor").asc)))

@@ -381,6 +381,38 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // GRAPH-BASED ANN, construction half: the deterministic k-NN graph
+    // (the HNSW/NSW index family) — every vector's top-4 cosine
+    // neighbors among its LSH candidates (8 md5-portable tables × 4
+    // bits; the banded self-join, never all-pairs). The whole build —
+    // planes → sign buckets → candidate pairs → exact re-rank →
+    // per-node top-m heap — replays in DuckDB (the v02 discipline
+    // extended from probe to index construction).
+    "v37_knn_graph" -> ((s, d) =>
+      SimilarityOps.knnGraphBuild(emb(s, d), "vec_id", "embedding",
+          m = 4, tables = 8, bits = 4,
+          planesFlat = Some(SimilarityOps.hyperplanesPortable(32, 64)))
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("src", "rk")),
+
+    // GRAPH-BASED ANN, probe half: batched NSW beam search over v37's
+    // graph — fixed 4-node entry set, 3 hops of expand-score-prune at
+    // beam 8, closed to top-5. Probe cost ≈ entry + hops·beam·m scored
+    // nodes per query — corpus-size-independent (the point of a graph
+    // index); the walk replays in DuckDB hop-for-hop (deterministic
+    // ties throughout). Recall vs v01 exact and vs IVF at matched probe
+    // cost is asserted in OpsSpec each round.
+    "v38_knn_graph_search" -> ((s, d) => {
+      val e = emb(s, d)
+      val g = SimilarityOps.knnGraphBuild(e, "vec_id", "embedding",
+        m = 4, tables = 8, bits = 4,
+        planesFlat = Some(SimilarityOps.hyperplanesPortable(32, 64)))
+      SimilarityOps.knnGraphSearch(g, e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, entryK = 4, beam = 8, hops = 3)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rk")
+    }),
+
     // IVF ANN: deterministic k-means buckets, nprobe-closest probed per
     // query. The gate runs the ENGINE-PORTABLE grid variant (components
     // snapped to the 2^-20 dyadic grid after normalization): on grid
@@ -1159,8 +1191,95 @@ object SimilarityQueries {
              ORDER BY ham ASC, nid ASC) AS INTEGER) AS rk, nid, ham
          FROM sc QUALIFY rk <= 5 ORDER BY qid, rk"""
 
+  /** Shared v37/v38 graph CTEs: md5 hyperplanes (`planes` 4-bit-packed
+    * planes, the v02 spelling), sign buckets, banded candidate pairs,
+    * exact cosine re-rank, per-node top-`m` edges. */
+  private def knnGraphCtes(planes: Int, m: Int): String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+             FROM embeddings),
+       pw AS (
+         SELECT p.p, j.j,
+           CAST(concat('0x',
+               substr(md5('hp:' || p.p || ':' || j.j), 1, 15)) AS BIGINT)
+             / 576460752303423488.0 - 1.0 AS w
+         FROM generate_series(0, ${planes - 1}) p(p),
+           generate_series(0, 63) j(j)),
+       pl AS (SELECT p, list(w ORDER BY j) AS wl FROM pw GROUP BY p),
+       sig AS MATERIALIZED (
+         SELECT v.vec_id, CAST(pl.p // 4 AS INTEGER) AS tbl,
+           sum(CASE WHEN list_dot_product(v.e, pl.wl) >= 0
+               THEN (1::BIGINT << (pl.p % 4)) ELSE 0 END) AS bucket
+         FROM v, pl GROUP BY 1, 2),
+       gcand AS (
+         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         FROM sig a JOIN sig b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id),
+       gsc AS (
+         SELECT gcand.src, gcand.dst,
+           list_cosine_similarity(dv.e, sv.e) AS sim
+         FROM gcand
+           JOIN v sv ON sv.vec_id = gcand.src
+           JOIN v dv ON dv.vec_id = gcand.dst),
+       edges AS MATERIALIZED (
+         SELECT src, CAST(row_number() OVER (PARTITION BY src
+             ORDER BY sim DESC, dst ASC) AS INTEGER) AS rk, dst, sim
+         FROM gsc QUALIFY rk <= $m)"""
+
+  /** v38: the beam walk unrolled — entry scoring, then per hop
+    * "previous beam ∪ its out-neighbors scored, top-`beam` per query"
+    * (UNION dedups re-reached nodes: a node's sim is the identical
+    * double whenever computed), closed by the top-`k` rank. */
+  private def knnGraphSearchSql(planes: Int, m: Int, entryK: Int,
+                                beam: Int, hops: Int, k: Int): String = {
+    val hopCtes = (1 to hops).map { i =>
+      s"""s$i AS (
+           SELECT qid, nid, sim FROM c${i - 1}
+           UNION
+           SELECT DISTINCT c.qid, ed.dst AS nid,
+             list_cosine_similarity(cv.e, qv.qe) AS sim
+           FROM c${i - 1} c
+             JOIN edges ed ON ed.src = c.nid
+             JOIN v cv ON cv.vec_id = ed.dst
+             JOIN q qv ON qv.qid = c.qid
+           WHERE ed.dst <> c.qid),
+         c$i AS MATERIALIZED (
+           SELECT qid, nid, sim FROM (
+             SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, nid ASC) AS bk FROM s$i) t
+           WHERE bk <= $beam)"""
+    }.mkString(",\n")
+    s"""WITH ${knnGraphCtes(planes, m)},
+       q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+       en AS (SELECT vec_id AS nid FROM v ORDER BY vec_id LIMIT $entryK),
+       s0 AS (
+         SELECT q.qid, en.nid,
+           list_cosine_similarity(cv.e, q.qe) AS sim
+         FROM q, en JOIN v cv ON cv.vec_id = en.nid
+         WHERE en.nid <> q.qid),
+       c0 AS MATERIALIZED (
+         SELECT qid, nid, sim FROM (
+           SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid
+             ORDER BY sim DESC, nid ASC) AS bk FROM s0) t
+         WHERE bk <= $beam),
+       $hopCtes
+       SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+           ORDER BY sim DESC, nid ASC) AS INTEGER) AS rk,
+         nid, round(sim, 6) AS sim
+       FROM c$hops QUALIFY rk <= $k ORDER BY qid, rk"""
+  }
+
   val oracles: Map[String, String] = Map(
     "v06_knn_sql" -> KnnSql,
+    // v37: the graph build replayed end-to-end (the v02 LSH replay
+    // extended from probe to index construction).
+    "v37_knn_graph" ->
+      s"""WITH ${knnGraphCtes(planes = 32, m = 4)}
+         SELECT src, rk, dst, round(sim, 6) AS sim FROM edges
+         ORDER BY src, rk""",
+    // v38: build replay + the unrolled 3-hop beam walk.
+    "v38_knn_graph_search" -> knnGraphSearchSql(planes = 32, m = 4,
+      entryK = 4, beam = 8, hops = 3, k = 5),
     "v01_knn_bruteforce" -> KnnSql,
     // v36: v01's scored CTE with the label-inequality predicate in the
     // join — negatives ranked per anchor, labels surfaced.

@@ -118,7 +118,11 @@ object VersionedTable {
     * and rename are both check-then-act (File.renameTo overwrites on
     * POSIX), so route through `File.createNewFile` — atomic O_EXCL per
     * its contract. On HDFS-like stores create(p, false) is the atomic
-    * primitive. */
+    * primitive. LIMITATION: on object stores (S3A-class), create(p,
+    * false) is itself check-then-act — the compare-and-swap guarantee
+    * degrades there, so concurrent writers on S3-class storage need
+    * external single-writer serialization (a coordinator or DynamoDB-
+    * style lock), exactly as Delta requires. */
   private def atomicClaim(fs: FileSystem, p: Path): Boolean = fs match {
     case _: org.apache.hadoop.fs.LocalFileSystem |
          _: org.apache.hadoop.fs.RawLocalFileSystem =>
@@ -366,9 +370,12 @@ object VersionedTable {
 
   /** TIMESTAMP AS OF: the newest version committed at or before
     * `tsMillis` — Delta's `TIMESTAMP AS OF` resolved against the
-    * manifest files' modification times (the atomic claim+rename is the
-    * instant a commit becomes readable, so the renamed manifest's mtime
-    * IS the commit time). Compose with [[readVersion]] for the
+    * manifest files' modification times. Precisely: rename preserves
+    * the STAGED file's mtime, so the observed clock is the stage-write
+    * instant (written immediately before the claim) — a lower bound on
+    * readability, monotone across versions under the single-writer
+    * claim serialization, which is all AS OF needs. Compose with
+    * [[readVersion]] for the
     * "the table as the 2pm job saw it" read. Bounded: |versions| file
     * stats, no Spark job. Fails loudly when `tsMillis` predates the
     * table (a silent empty read would masquerade as data loss).

@@ -227,35 +227,63 @@ object StreamOps {
     * (the d50 exactness argument, applied inductively per batch; gate
     * d51 proves three waves against d49's own oracle).
     *
-    * State: the raw ingested corpus rides an in-memory frame here
-    * (lineage cut per epoch) because the incremental pass re-tokenizes
-    * the TOUCHED sliver of prior docs from their raw text; on a
-    * production cluster that corpus is the durable ingest table and the
-    * state reduces to the artifact itself. Per-batch cost tracks the
+    * State: NONE held by the session — the ingested raw text persists
+    * as a DURABLE corpus sink under `indexDir/corpus` (the incremental
+    * pass re-tokenizes the TOUCHED sliver of prior docs from their raw
+    * text, and it reads that sliver back from the sink, column-pruned
+    * and semi-joined BEFORE the heavy arrays), so executor storage
+    * never accumulates the stream and a NEW wrapper instance over an
+    * existing `indexDir` resumes ingesting exactly where the last one
+    * stopped (StreamingSpec's restart test). Per-batch cost tracks the
     * batch (screen = its 8-byte postings; verify = its collision
-    * sliver), never the corpus. */
+    * sliver), never the corpus.
+    *
+    * Replay caveat (the cdcCommitIngest contrast): batches are applied
+    * at-most-once per RUN — a foreachBatch epoch re-executed after a
+    * mid-batch failure would double-append postings + corpus. Restart
+    * recovery is instead the wrapper-instance contract above (state is
+    * the artifact + corpus, not epochs); a harness needing mid-run
+    * replay idempotence should tag appends the cdcCommitIngest way. */
   def exactSubstrIngest(stream: DataFrame, indexDir: String, idCol: String,
                         textCol: String, k: Int)
       (sink: DataFrame => Unit): StreamingQuery = {
-    @volatile var corpus: DataFrame = null
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        val b = batch.toDF().localCheckpoint(true) // consumed twice: pass + state
+        val b = batch.toDF().localCheckpoint(true) // consumed twice: pass + sink append
         if (!b.isEmpty) {
+          val spark = b.sparkSession
+          val corpusDir = s"$indexDir/corpus"
           val out =
-            if (corpus == null)
+            if (!hasPartFiles(spark, corpusDir))
               graft.ops.DedupOps.exactSubstrIndex(b, idCol, textCol, k,
                 indexDir)
-            else
-              graft.ops.DedupOps.exactSubstrIncremental(corpus, indexDir,
-                b, idCol, textCol, k)
-          sink(out)
-          corpus = (if (corpus == null) b else corpus.unionByName(b))
-            .localCheckpoint(true) // lineage cut per epoch
+            else // prior waves re-read from the durable sink, never held
+              graft.ops.DedupOps.exactSubstrIncremental(
+                spark.read.parquet(corpusDir), indexDir, b, idCol, textCol, k)
+          // defensive re-wrap: a checkpointed LogicalRDD preserves its
+          // ORIGIN constraints, which survive attribute-dedup un-remapped
+          // — a sink that references the frame twice (the accumulation
+          // union) then fails analysis with "key not found: <attr>".
+          // Fresh RDD-backed attributes carry no preserved constraints.
+          sink(spark.createDataFrame(out.rdd, out.schema))
+          b.select(col(idCol), col(textCol)).write
+            .mode(org.apache.spark.sql.SaveMode.Append).parquet(corpusDir)
+          spark.catalog.refreshByPath(corpusDir)
         }
         ()
       }
       .start()
+  }
+
+  /** Non-empty part-file presence — the round-8 rule: an all-empty
+    * append still creates the dir + _SUCCESS, so existence checks must
+    * look for data files, never the directory. */
+  private def hasPartFiles(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.getPath.getName.startsWith("part-") && st.getLen > 0)
   }
 
   private val VersionFile = "v(\\d+)\\.txt$".r
@@ -281,14 +309,19 @@ object StreamOps {
     *
     * Versions landing out of order inside one micro-batch sort before
     * emission; across batches the file source's seen-map guarantees
-    * each manifest is delivered exactly once. Driver state per batch:
+    * each manifest is delivered exactly once — and with
+    * `checkpointLocation` set that seen-map is DURABLE: a consumer that
+    * dies after delivering vN resumes at vN+1 exactly-once on restart
+    * (gate p40; without it the seen-map is session-held and a restarted
+    * consumer re-reads from v1). Driver state per batch:
     * ≤ |new versions| file names + two |buckets|-line manifest reads
     * per version. */
   def tableChangeFeed(spark: org.apache.spark.sql.SparkSession,
-                      tableDir: String)
+                      tableDir: String,
+                      checkpointLocation: Option[String] = None)
       (sink: (Int, Set[Long], DataFrame) => Unit): StreamingQuery = {
     import graft.sources.VersionedTable
-    spark.readStream.format("text").load(s"$tableDir/manifests")
+    val writer = spark.readStream.format("text").load(s"$tableDir/manifests")
       .select(input_file_name().as("f"))
       .writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -298,17 +331,23 @@ object StreamOps {
             .map(_.group(1).toInt))
           .sorted
         vs.foreach { v =>
-          val (_, man) = VersionedTable.manifestEntries(spark, tableDir, v)
-          // a missing predecessor (v == 1, or v−1 vacuumed away before
-          // this consumer started) means "nothing was delivered yet" —
-          // the version emits as a FULL snapshot (every bucket changed),
-          // which is exactly what a late-joining consumer must seed from
+          val (nb, man) = VersionedTable.manifestEntries(spark, tableDir, v)
+          // v == 1 emits as a full snapshot (nothing could have been
+          // delivered before the first commit). A MISSING later
+          // predecessor (v−1 vacuumed away between two deliveries)
+          // must invalidate EVERY bucket id, not just v's manifest
+          // keys: a consumer already holding state may hold buckets
+          // the snapshot no longer carries (emptied by deletes), and
+          // those need explicit replacement-to-empty too.
           val prev =
-            if (v == 1 || !VersionedTable.manifestExists(spark, tableDir,
-                v - 1)) Map.empty[Long, String]
+            if (v == 1) Map.empty[Long, String]
+            else if (!VersionedTable.manifestExists(spark, tableDir, v - 1))
+              null // sentinel: predecessor vacuumed — invalidate all
             else VersionedTable.manifestEntries(spark, tableDir, v - 1)._2
-          val changed = (man.keySet ++ prev.keySet)
-            .filter(b => man.get(b) != prev.get(b))
+          val changed =
+            if (prev == null) (0L until nb.toLong).toSet
+            else (man.keySet ++ prev.keySet)
+              .filter(b => man.get(b) != prev.get(b))
           val dirs = changed.toSeq.sorted.flatMap(man.get)
             .map(dd => s"$tableDir/$dd")
           val rows =
@@ -319,6 +358,8 @@ object StreamOps {
         }
         ()
       }
+    checkpointLocation
+      .fold(writer)(loc => writer.option("checkpointLocation", loc))
       .start()
   }
 

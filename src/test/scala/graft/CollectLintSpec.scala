@@ -160,8 +160,8 @@ class CollectLintSpec extends AnyFunSuite {
         "classifier datasheet accuracy: 1-row aggregate per variant",
       "val tot = freq.agg(sum(col(\"t75\"))).head().getDouble(0) // 1-row probe" ->
         "negative-sampling normalizer: 1-row aggregate over |vocab|",
-      ".collect() // ≤ |vocab| rows — bounded driver state" ->
-        "sgns noise table: ≤ |vocab| rows (the loadCentroids class)",
+      "val t75Total = freq.agg(sum(col(\"t75\"))).head().getDouble(0) // 1-row probe" ->
+        "sgns noise normalizer: 1-row aggregate over |vocab|",
       "emb.collect() // ≤ |vocab|·dim rows — the trained model, bounded" ->
         "sgns trained matrices: |vocab|·dim rows (the kmeans-centroid contract)",
       "val nw = pairs.agg(sum(col(\"cnt\"))).head().getLong(0).toDouble // 1-row" ->
@@ -224,6 +224,8 @@ class CollectLintSpec extends AnyFunSuite {
         "ivfDelete touched-partition list: ≤ nClusters rows",
       "var centroids = v.orderBy(\"id\").limit(k).collect()" ->
         "k-means seeds: k × dim",
+      ".collect() // ≤ entryK rows — the fixed entry set, bounded constant" ->
+        "graph-ANN entry points: entryK node ids",
       ".collect() // dim² rows — bounded driver state" ->
         "PCA Gram matrix: dim² cells",
       "val seedRows = v.orderBy(\"id\").limit(codebook).collect() // k × dim seeds" ->

@@ -1941,4 +1941,34 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(lam >= 0.9 / 64, s"eigenvalue $lam below the trace/dim floor")
     info(f"v11 fixture top eigenvalue: $lam%.6f (trace/dim = ${1.0 / 64}%.6f)")
   }
+
+  test("sgnsWw: expected-negative block is dense and its plan is " +
+    "vocab-independent (the r15 literal-noise-table scale watch)") {
+    import spark.implicits._
+    def corpus(v: Int) = (1L to 40L).map { id =>
+      val ws = (0 until 8).map(p => s"w${(id * 7 + p * 3) % v}")
+      (id, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    def planAndCounts(v: Int): (Int, Long, Long, Long) = {
+      val (pairs, freq) = TextOps.sgnsInputs(corpus(v), "doc_id", "text",
+        window = 2, minCount = 1)
+      val ww = TextOps.sgnsWw(pairs, freq, negK = 2.0)
+      val planLen = ww.queryExecution.optimizedPlan.treeString.length
+      val r = (planLen, ww.count(),
+        pairs.count() + pairs.select("center").distinct().count() * freq.count(),
+        freq.count())
+      Caches.clear()
+      r
+    }
+    val (smallPlan, smallRows, smallExpect, smallVocab) = planAndCounts(6)
+    val (bigPlan, bigRows, bigExpect, bigVocab) = planAndCounts(48)
+    // dense product: positives + centers×vocab expected-negative cells
+    assert(smallRows == smallExpect && bigRows == bigExpect,
+      s"ww rows $smallRows/$smallExpect, $bigRows/$bigExpect")
+    assert(bigVocab > smallVocab * 4, "fixture vocabs must differ")
+    // the old array(struct…) literal grew the plan ∝ vocab; the bucketed
+    // equi-join keeps the serialized plan size flat across an 8× vocab
+    assert(bigPlan <= smallPlan * 2,
+      s"negative-block plan grew with vocab: $smallPlan -> $bigPlan chars")
+  }
 }

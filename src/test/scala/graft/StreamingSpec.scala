@@ -547,4 +547,51 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
         ("click", Some(ts(10))), ("purchase", None), ("view", Some(ts(5)))))
     } finally q.stop()
   }
+
+  test("exactSubstrIngest: durable corpus — a NEW wrapper instance over " +
+      "the existing artifact dir ingests the next wave correctly") {
+    import graft.ops.DedupOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_substr_restart").toString
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one unique body $shared tail one"),
+      (2L, s"two other text $shared tail two"),
+      (3L, "three completely distinct words only"),
+      (4L, s"four fresh arrival $shared tail four"),
+      (5L, "five nothing shared here at all"))
+    def ingest(waves: Seq[Seq[(Long, String)]],
+               acc0: Option[org.apache.spark.sql.DataFrame])
+        : org.apache.spark.sql.DataFrame = {
+      val input = MemoryStream[(Long, String)]
+      var acc = acc0.orNull
+      val q = StreamOps.exactSubstrIngest(
+        input.toDF().toDF("doc_id", "text"), s"$root/idx",
+        "doc_id", "text", 4) { out =>
+        acc = (if (acc == null) out
+               else acc.join(out, Seq("doc_id"), "left_anti")
+                 .unionByName(out)).localCheckpoint(true)
+      }
+      try {
+        waves.foreach { w => input.addData(w: _*); q.processAllAvailable() }
+      } finally q.stop()
+      acc
+    }
+    // instance 1: waves 1+2, then DIES (only the on-disk artifact +
+    // corpus survive — no session state carries over)
+    val acc12 = ingest(Seq(docs.take(2), docs.slice(2, 4)), None)
+    // instance 2: a fresh wrapper over the same dir ingests wave 3
+    val acc3 = ingest(Seq(docs.drop(4)), Some(acc12))
+    val got = acc3.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    val want = DedupOps.exactSubstrDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    graft.Caches.clear()
+    assert(got == want, s"restart accumulation diverged:\n$got\n$want")
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }
