@@ -25,7 +25,10 @@ object Bench {
       "d51_exact_substr_stream", // artifact build + 2 streamed waves
       "p36_table_change_feed", // create + upsert commits + streamed read
       "p38_version_as_of", // create + upsert commits + two as-of reads
-      "p39_feed_ivm") // create + upsert commits + streamed MV refresh
+      "p39_feed_ivm", // create + upsert commits + streamed MV refresh
+      "v37_knn_graph", // k-NN graph construction IS the timed body
+      "v38_knn_graph_search", // graph build + the beam probe
+      "p40_feed_restart") // create + commits + two consumer instances
 
   // Stable per-category representatives for the FINAL compact line. The
   // driver keeps only the last ~2000 chars of stdout (BENCH_r05/r06 both

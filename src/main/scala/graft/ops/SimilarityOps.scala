@@ -710,36 +710,73 @@ object SimilarityOps {
   }
 
   /** BEAM-SEARCH probe of a [[knnGraphBuild]] k-NN graph — the query
-    * half of graph-based ANN: start every query at a fixed entry set
-    * (the `entryK` smallest node ids — deterministic, index-free),
-    * then `hops` rounds of "expand the current beam's out-edges, score
-    * the new nodes, keep the top-`beam` per query" (the batched NSW
-    * walk: each hop is ONE keyed join against the edge list + a
-    * per-query WindowGroupLimit — no per-query sequential frontier, so
-    * the whole query batch advances together). Self-matches are
-    * excluded (the v01 contract). Ties break (sim DESC, nid ASC)
-    * everywhere, so the walk — and gate v38 — replays in DuckDB
-    * hop-for-hop. Returns the final top-`k`: (qid, rk, nid, sim).
+    * half of graph-based ANN. Entry points are LSH-SEEDED per query
+    * (the NSW-with-seed-index hybrid): the query's bucket collisions
+    * under the SAME planes as the build, ranked (collision count DESC,
+    * nid ASC), top-`entryK` scored — so every walk starts inside the
+    * query's own neighborhood and never depends on the k-NN graph
+    * being globally connected (a pure top-m cosine graph over
+    * clustered data is one component PER cluster; fixed global entries
+    * strand every query outside the entry cluster). The `entryK`
+    * smallest node ids are kept as a deterministic backstop for
+    * queries with zero collisions. Then `hops` rounds of "expand the
+    * current beam's out-edges, score the new nodes, keep the
+    * top-`beam` per query" (the batched NSW walk: each hop is ONE
+    * keyed join against the edge list + a per-query WindowGroupLimit —
+    * no per-query sequential frontier, so the whole query batch
+    * advances together). Self-matches are excluded (the v01 contract).
+    * Ties break (sim DESC, nid ASC) everywhere, so the walk — and gate
+    * v38 — replays in DuckDB hop-for-hop. Returns the final top-`k`:
+    * (qid, rk, nid, sim).
     *
-    * Scale shape per hop: the beam frame is |queries|·beam rows; the
-    * expansion join is keyed by node id against the (persisted) edge
-    * list; scoring joins vectors by id with the query set broadcast.
-    * Probe cost ≈ entryK + hops·beam·m scored nodes per query —
-    * independent of corpus size (the point of the graph index); lineage
-    * cuts per hop keep the loop linear. */
+    * Scale shape: entry selection is the annLsh candidate join —
+    * bucket-occupancy×tables 16-byte id-pair rows per query, counted
+    * then pruned to `entryK` BEFORE any vector is touched; per hop the
+    * beam frame is |queries|·beam rows, the expansion join is keyed by
+    * node id against the (persisted) edge list, scoring joins vectors
+    * by id with the query set broadcast. Scored vectors per query ≈
+    * 2·entryK + hops·beam·2m (undirected degree ≤ 2m) — independent of
+    * corpus size (the point of the graph index); lineage cuts per hop
+    * keep the loop linear. */
   def knnGraphSearch(edges: DataFrame, corpus: DataFrame,
                      queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, entryK: Int = 4, beam: Int = 8,
-                     hops: Int = 3): DataFrame = {
+                     hops: Int = 3, tables: Int = 8, bits: Int = 4,
+                     dim: Int = 64,
+                     planesFlat: Option[Array[Double]] = None): DataFrame = {
     val c = graft.Caches.track(
       DedupOps.withNorm(corpus, idCol, vecCol, "nid", "ne", "nn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val q = DedupOps.withNorm(queries, idCol, vecCol, "qid", "qe", "qn")
+    // walk the graph UNDIRECTED (out-edges ∪ reversed in-edges — the
+    // NSW convention): a directed top-m graph can reach a node's
+    // neighbors without being reachable FROM them, stranding exactly
+    // the queries whose true neighbors have low in-degree
     val e = graft.Caches.track(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val entryIds = c.select(col("nid")).orderBy("nid").limit(entryK)
-      .collect() // ≤ entryK rows — the fixed entry set, bounded constant
+      .collect() // ≤ entryK rows — the backstop entry set, bounded
       .map(_.getLong(0))
+    // per-query LSH seeds: postings bucket-join (sign buckets are
+    // scale-invariant, so the raw cast vectors bucket identically to
+    // the corpus), collision-counted, top-entryK ids only — no vector
+    // is scored until after the prune
+    def posts(df: DataFrame, id: String, vec: String): DataFrame = df
+      .select(col(id), lshBuckets(col(vec), tables, bits, dim,
+        planesFlat).as("__b"))
+      .select(col(id), posexplode(col("__b")))
+      .toDF(id, "table", "bucket")
+    val seeds = posts(c, "nid", "ne")
+      .join(broadcast(posts(q, "qid", "qe")), Seq("table", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy("qid", "nid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__erk", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(col("__cnt").desc, col("nid").asc)))
+      .filter(col("__erk") <= entryK).select("qid", "nid")
     def topBeam(cand: DataFrame): DataFrame = cand
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("sim").desc, col("nid").asc)))
@@ -752,7 +789,8 @@ object SimilarityOps {
           / (col("nn") * col("qn"))).as("sim"))
     var cur = topBeam(scored(q.select(col("qid"))
         .select(col("qid"),
-          explode(array(entryIds.map(lit).toIndexedSeq: _*)).as("nid"))))
+          explode(array(entryIds.map(lit).toIndexedSeq: _*)).as("nid"))
+        .unionByName(seeds).distinct()))
       .localCheckpoint(true)
     (1 to hops).foreach { _ =>
       // only NOT-yet-scored nodes score this hop (a node's sim never

@@ -632,11 +632,12 @@ object TextOps {
                 window: Int = 3, minCount: Long = 2, dim: Int = 4,
                 negK: Double = 2.0, eta: Double = 0.5,
                 iters: Int = 3,
-                memoKey: Option[String] = None): DataFrame = {
+                memoKey: Option[String] = None,
+                sampled: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val m = sgnsMatrix(df, idCol, textCol, window, minCount, dim, negK,
-      eta, iters, memoKey).toDF("w", "j", "u", "v")
+      eta, iters, memoKey, sampled).toDF("w", "j", "u", "v")
     m.select(lit("in").as("role"), col("w"), col("j"),
         col("u").as("val"))
       .unionByName(m.select(lit("out").as("role"), col("w"), col("j"),
@@ -651,7 +652,8 @@ object TextOps {
   private def sgnsMatrix(df: DataFrame, idCol: String, textCol: String,
                          window: Int, minCount: Long, dim: Int,
                          negK: Double, eta: Double, iters: Int,
-                         memoKey: Option[String])
+                         memoKey: Option[String],
+                         sampled: Boolean = false)
       : Vector[(String, Int, Double, Double)] = {
     require(dim >= 1 && iters >= 1, "need dim >= 1, iters >= 1")
     def run(): Vector[(String, Int, Double, Double)] = {
@@ -660,8 +662,10 @@ object TextOps {
     def sig(s: Column): Column =
       lit(0.5) + s / (lit(2.0) * (lit(1.0) + abs(s)))
     val (pairs, freq) = sgnsInputs(df, idCol, textCol, window, minCount)
-    val ww = graft.Caches.track(sgnsWw(pairs, freq, negK)
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val ww = graft.Caches.track(
+      (if (sampled) sgnsWwSampled(pairs, freq, negK)
+       else sgnsWw(pairs, freq, negK))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val nw = pairs.agg(sum(col("cnt"))).head().getLong(0).toDouble // 1-row
     def draw(side: String): Column = snapCol(
       (graft.ops.DedupOps.portableHash60(concat_ws(":", lit(side),
@@ -707,7 +711,8 @@ object TextOps {
     }
     memoKey.fold(run())(k =>
       graft.Caches.memo(
-        s"sgns:$k:w$window:m$minCount:d$dim:k$negK:e$eta:i$iters")(run()))
+        s"sgns:$k:w$window:m$minCount:d$dim:k$negK:e$eta:i$iters" +
+          (if (sampled) ":sampled" else ""))(run()))
   }
 
   /** SGNS training inputs: vocab-trimmed window pairs (no subsample —
@@ -760,6 +765,77 @@ object TextOps {
           lit(-1).as("sign")))
   }
 
+  /** SAMPLED-negative SGNS loss table — the production word2vec recipe
+    * (k drawn negatives per positive, Mikolov et al. 2013 §2.2) made
+    * exactly replayable: per center `floor(negK·n_c)` negatives draw
+    * by md5-uniform inverse-CDF against the grid-snapped noise
+    * distribution q ∝ f^0.75 (the d05 draw discipline: u =
+    * hash60("neg:center:i")/2⁶⁰ · Σq, looked up in the word-ordered
+    * cumulative). Deterministic, seedless, and spellable identically
+    * in DuckDB — the same training loop then hash-matches an unrolled
+    * replay (gate t45), while [[sgnsWw]] stays the vocab²-bounded
+    * expectation variant (gate t42).
+    *
+    * Exactness: q snaps to the 2⁻²⁰ grid, so the word-ordered prefix
+    * sums are EXACT dyadic sums (association-free — the driver's
+    * sequential fold and DuckDB's ordered window build bit-identical
+    * doubles); u = (h/2⁶⁰)·Σq is two IEEE ops on identical inputs.
+    *
+    * Scale shape: draws are Σ floor(negK·n_c) = ~negK·|pairs| rows —
+    * CORPUS-sized, never vocab² (this is the variant that replaces
+    * [[sgnsWw]] at web scale); the CDF is |vocab|-bounded, built once
+    * on the driver (the same bound the final model collect already
+    * carries) and shipped back as a LOCAL RELATION replicated over
+    * 256 equi-width buckets (±1 slack; the exact [lo, hi) filter
+    * decides membership), so the draw→word lookup is a broadcast
+    * HASH join on the bucket id — never a range join, and the plan
+    * stays vocab-independent. */
+  private[graft] def sgnsWwSampled(pairs: DataFrame, freq: DataFrame,
+                                   negK: Double): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    def snap(v: Double): Double =
+      math.floor(v * ClfGrid + 0.5) / ClfGrid
+    val t75Total = freq.agg(sum(col("t75"))).head().getDouble(0) // 1-row probe
+    val terms = freq.select(col("w"), col("t75"))
+      .collect() // ≤ |vocab| rows — the CDF build, same bound as the model collect
+      .map(r => (r.getString(0), snap(r.getDouble(1) / t75Total)))
+      .sortBy(_._1)
+    var acc = 0.0
+    val cdf = terms.map { case (w, q) =>
+      val lo = acc; acc += q; (w, lo, acc) // exact: sums of 2^-20 multiples
+    }
+    val cumTotal = acc
+    val B = 256L
+    val exp = cdf.toSeq.flatMap { case (w, lo, hi) =>
+      val blo = math.max(0L, math.floor(lo / cumTotal * B).toLong - 1)
+      val bhi = math.min(B - 1, math.floor(hi / cumTotal * B).toLong + 1)
+      (blo to bhi).map(b => (b, w, lo, hi))
+    }.toDF("b", "x", "lo", "hi")
+    val nc = pairs.groupBy(col("center")).agg(sum(col("cnt")).as("n_c"))
+    val draws = nc
+      .select(col("center").as("c"),
+        floor(lit(negK) * col("n_c")).cast("long").as("nneg"))
+      .filter(col("nneg") >= 1)
+      .select(col("c"),
+        explode(sequence(lit(0L), col("nneg") - 1)).as("i"))
+      .withColumn("h", graft.ops.DedupOps.portableHash60(
+        concat_ws(":", lit("neg"), col("c"), col("i").cast("string")))
+        .cast("double"))
+      .select(col("c"),
+        (col("h") / lit(1152921504606846976.0) * lit(cumTotal)).as("u"),
+        floor(col("h") / lit(4503599627370496.0)).cast("long").as("b"))
+    val negs = draws.join(broadcast(exp), Seq("b"))
+      .filter(col("u") >= col("lo")
+        && (col("u") < col("hi") || col("hi") === lit(cumTotal)))
+      .groupBy(col("c"), col("x"))
+      .agg(count(lit(1)).cast("double").as("wgt"))
+      .select(col("c"), col("x"), col("wgt"), lit(-1).as("sign"))
+    pairs.select(col("center").as("c"), col("context").as("x"),
+        col("cnt").cast("double").as("wgt"), lit(1).as("sign"))
+      .unionByName(negs)
+  }
+
   /** Nearest neighbors IN THE TRAINED SGNS SPACE — the probe showing
     * [[sgnsTrain]]'s in-engine embeddings are a usable similarity
     * space: for every vocabulary word, the top-`topK` other words by
@@ -776,12 +852,13 @@ object TextOps {
                     window: Int = 3, minCount: Long = 2, dim: Int = 4,
                     negK: Double = 2.0, eta: Double = 0.5,
                     iters: Int = 3, topK: Int = 3,
-                    memoKey: Option[String] = None): DataFrame = {
+                    memoKey: Option[String] = None,
+                    sampled: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import graft.functions.DotProduct.dotNative
     val m = sgnsMatrix(df, idCol, textCol, window, minCount, dim, negK,
-      eta, iters, memoKey)
+      eta, iters, memoKey, sampled)
     val byWord = m.groupBy(_._1).view.mapValues(rows =>
       rows.sortBy(_._2).map(_._3)).toMap // w -> in-vector (j-ordered)
     val vecs = byWord.toSeq.sortBy(_._1)

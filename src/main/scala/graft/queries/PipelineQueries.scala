@@ -615,6 +615,67 @@ object PipelineQueries {
       res
     }),
 
+    // RESTART-DURABLE CHANGE FEED — p36's consumer with a DURABLE
+    // seen-map (checkpointLocation): instance A delivers v1+v2 and
+    // DIES; v3 commits while nobody is listening; instance B restarts
+    // over the SAME checkpoint and must resume at EXACTLY v3 (never
+    // re-delivering v1/v2 — the exactly-once-across-restart contract),
+    // its bucket-replacement state carried over. Output = the final
+    // reconstruction (must equal time travel to v3) + the delivery
+    // audit pinned as a literal column ("a1,a2,b3").
+    "p40_feed_restart" -> ((s, d) => {
+      import s.implicits._
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_p40_tbl").toString
+      val tbl = s"$root/tbl"
+      val ckpt = s"$root/ckpt"
+      val base = Tables.documents(s, d).select("doc_id", "source", "text")
+      VersionedTable.commitCreate(base, tbl, "doc_id", buckets = 8)
+      VersionedTable.commitUpsert(s, tbl,
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(10)) === 5)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" amended")).as("text"))
+          .unionByName(Seq(
+            (-1L, "recrawl", "fresh doc one"),
+            (-2L, "recrawl", "fresh doc two"),
+            (-3L, "recrawl", "fresh doc three"))
+            .toDF("doc_id", "source", "text")), "doc_id")
+      var state: DataFrame = null
+      val log = scala.collection.mutable.ArrayBuffer.empty[String]
+      def consume(instance: String): Unit = {
+        val q = graft.streaming.StreamOps.tableChangeFeed(s, tbl,
+          Some(ckpt)) { (v, changed, rows) =>
+          val next =
+            if (state == null) rows
+            else state.filter(!VersionedTable.bucketOf("doc_id", 8)
+                .isin(changed.toSeq: _*))
+              .unionByName(rows)
+          state = next.localCheckpoint(true)
+          log += s"$instance$v"
+          ()
+        }
+        try q.processAllAvailable() finally q.stop()
+      }
+      consume("a") // delivers v1, v2, then dies
+      VersionedTable.commitUpsert(s, tbl, // v3 lands while nobody listens
+        Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(10)) === 2)
+          .select(col("doc_id"), col("source"),
+            concat(col("text"), lit(" amended again")).as("text")),
+        "doc_id")
+      consume("b") // the durable seen-map resumes at exactly v3
+      val res = state.select(lit(log.mkString(",")).as("delivered"),
+          col("doc_id"), col("source"),
+          md5(encode(col("text"), "UTF-8")).as("fp"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      res
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE over the CHANGE FEED — the
     // materialized-view loop a downstream dashboard runs on the
     // versioned table: the consumer keeps ONLY a (bucket, source) count
@@ -1528,6 +1589,31 @@ object PipelineQueries {
     // p36: the change-feed reconstruction must equal time travel
     // snapshot for snapshot — p27's oracle re-registered VERBATIM.
     "p36_table_change_feed" -> TimeTravelSql,
+    // p40: time travel to v3 (v2's upsert then the %10==2 amendment)
+    // with the exactly-once-across-restart delivery audit pinned.
+    "p40_feed_restart" ->
+      """WITH upd2 AS (
+           SELECT doc_id, source, text || ' amended' AS text
+           FROM documents WHERE doc_id % 10 = 5
+           UNION ALL
+           SELECT * FROM (VALUES
+             (CAST(-1 AS BIGINT), 'recrawl', 'fresh doc one'),
+             (CAST(-2 AS BIGINT), 'recrawl', 'fresh doc two'),
+             (CAST(-3 AS BIGINT), 'recrawl', 'fresh doc three'))
+             t(doc_id, source, text)),
+         v2 AS (
+           SELECT doc_id, source, text FROM documents
+           WHERE doc_id NOT IN (SELECT doc_id FROM upd2)
+           UNION ALL SELECT doc_id, source, text FROM upd2),
+         upd3 AS (
+           SELECT doc_id, source, text || ' amended again' AS text
+           FROM documents WHERE doc_id % 10 = 2),
+         v3 AS (
+           SELECT doc_id, source, text FROM v2
+           WHERE doc_id NOT IN (SELECT doc_id FROM upd3)
+           UNION ALL SELECT doc_id, source, text FROM upd3)
+         SELECT 'a1,a2,b3' AS delivered, doc_id, source, md5(text) AS fp
+         FROM v3 ORDER BY doc_id""",
     // p39: the maintained view must equal the batch GROUP BY over the
     // upserted table — the same v2 construction as p27's oracle.
     "p39_feed_ivm" ->

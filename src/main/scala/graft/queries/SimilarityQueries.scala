@@ -396,19 +396,24 @@ object SimilarityQueries {
         .orderBy("src", "rk")),
 
     // GRAPH-BASED ANN, probe half: batched NSW beam search over v37's
-    // graph — fixed 4-node entry set, 3 hops of expand-score-prune at
-    // beam 8, closed to top-5. Probe cost ≈ entry + hops·beam·m scored
-    // nodes per query — corpus-size-independent (the point of a graph
-    // index); the walk replays in DuckDB hop-for-hop (deterministic
-    // ties throughout). Recall vs v01 exact and vs IVF at matched probe
-    // cost is asserted in OpsSpec each round.
+    // graph — LSH-seeded entries (the query's top-4 bucket collisions
+    // under the build's own planes, + the 4 smallest ids as backstop),
+    // 3 hops of UNDIRECTED expand-score-prune at beam 8 (out-edges ∪
+    // reversed in-edges, the NSW convention), closed to top-5. Scored
+    // vectors per query ≈ 2·entryK + hops·beam·2m —
+    // corpus-size-independent (the point of a graph index); the walk
+    // replays in DuckDB hop-for-hop (deterministic ties throughout).
+    // Recall vs v01 exact and vs IVF at matched probe cost is asserted
+    // in OpsSpec each round.
     "v38_knn_graph_search" -> ((s, d) => {
       val e = emb(s, d)
       val g = SimilarityOps.knnGraphBuild(e, "vec_id", "embedding",
         m = 4, tables = 8, bits = 4,
         planesFlat = Some(SimilarityOps.hyperplanesPortable(32, 64)))
       SimilarityOps.knnGraphSearch(g, e, e.filter(col("vec_id") < 10),
-          "vec_id", "embedding", k = 5, entryK = 4, beam = 8, hops = 3)
+          "vec_id", "embedding", k = 5, entryK = 4, beam = 8, hops = 3,
+          tables = 8, bits = 4,
+          planesFlat = Some(SimilarityOps.hyperplanesPortable(32, 64)))
         .withColumn("sim", round(col("sim"), 6))
         .orderBy("qid", "rk")
     }),
@@ -1226,10 +1231,14 @@ object SimilarityQueries {
              ORDER BY sim DESC, dst ASC) AS INTEGER) AS rk, dst, sim
          FROM gsc QUALIFY rk <= $m)"""
 
-  /** v38: the beam walk unrolled — entry scoring, then per hop
-    * "previous beam ∪ its out-neighbors scored, top-`beam` per query"
-    * (UNION dedups re-reached nodes: a node's sim is the identical
-    * double whenever computed), closed by the top-`k` rank. */
+  /** v38: the beam walk unrolled — LSH-seeded entry scoring (the
+    * query's top-`entryK` bucket collisions by (count DESC, nid ASC)
+    * under the build's `sig`, + the `entryK` smallest ids as
+    * backstop), then per hop "previous beam ∪ its UNDIRECTED
+    * neighbors scored, top-`beam` per query" (`ue` = out ∪ reversed
+    * in; UNION dedups re-reached nodes: a
+    * node's sim is the identical double whenever computed), closed by
+    * the top-`k` rank. */
   private def knnGraphSearchSql(planes: Int, m: Int, entryK: Int,
                                 beam: Int, hops: Int, k: Int): String = {
     val hopCtes = (1 to hops).map { i =>
@@ -1239,7 +1248,7 @@ object SimilarityQueries {
            SELECT DISTINCT c.qid, ed.dst AS nid,
              list_cosine_similarity(cv.e, qv.qe) AS sim
            FROM c${i - 1} c
-             JOIN edges ed ON ed.src = c.nid
+             JOIN ue ed ON ed.src = c.nid
              JOIN v cv ON cv.vec_id = ed.dst
              JOIN q qv ON qv.qid = c.qid
            WHERE ed.dst <> c.qid),
@@ -1250,13 +1259,33 @@ object SimilarityQueries {
            WHERE bk <= $beam)"""
     }.mkString(",\n")
     s"""WITH ${knnGraphCtes(planes, m)},
+       ue AS (
+         SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM edges
+           UNION ALL SELECT dst AS src, src AS dst FROM edges) t),
        q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
        en AS (SELECT vec_id AS nid FROM v ORDER BY vec_id LIMIT $entryK),
+       seed AS (
+         SELECT qid, nid FROM (
+           SELECT a.vec_id AS qid, b.vec_id AS nid,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY count(*) DESC, b.vec_id ASC) AS erk
+           FROM sig a JOIN sig b
+             ON a.tbl = b.tbl AND a.bucket = b.bucket
+               AND a.vec_id <> b.vec_id
+           WHERE a.vec_id < 10
+           GROUP BY a.vec_id, b.vec_id) t
+         WHERE erk <= $entryK),
+       e0 AS (
+         SELECT DISTINCT qid, nid FROM (
+           SELECT qid, nid FROM seed
+           UNION ALL SELECT q.qid, en.nid FROM q, en) u),
        s0 AS (
-         SELECT q.qid, en.nid,
-           list_cosine_similarity(cv.e, q.qe) AS sim
-         FROM q, en JOIN v cv ON cv.vec_id = en.nid
-         WHERE en.nid <> q.qid),
+         SELECT e0.qid, e0.nid,
+           list_cosine_similarity(cv.e, qv.qe) AS sim
+         FROM e0 JOIN v cv ON cv.vec_id = e0.nid
+           JOIN q qv ON qv.qid = e0.qid
+         WHERE e0.nid <> e0.qid),
        c0 AS MATERIALIZED (
          SELECT qid, nid, sim FROM (
            SELECT qid, nid, sim, row_number() OVER (PARTITION BY qid

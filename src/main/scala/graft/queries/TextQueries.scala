@@ -438,6 +438,20 @@ object TextQueries {
           iters = 3, memoKey = Some(s"docs:$d"))
         .orderBy("role", "w", "j")),
 
+    // SAMPLED-NEGATIVE SGNS TRAINING — the production word2vec recipe
+    // (k DRAWN negatives per positive instead of t42's expectation):
+    // per center floor(negK·n_c) md5-uniform draws against the
+    // grid-snapped cumulative of q ∝ f^0.75, routed through a bucketed
+    // broadcast hash join — corpus-sized negative volume, never
+    // vocab². Same exact-numerics GD loop; the trained matrices
+    // hash-match the unrolled DuckDB replay (draws included) with NO
+    // output rounding.
+    "t45_sgns_sampled" -> ((s, d) =>
+      graft.ops.TextOps.sgnsTrain(docs(s, d), "doc_id", "text",
+          window = 3, minCount = 2, dim = 4, negK = 2.0, eta = 0.5,
+          iters = 3, memoKey = Some(s"docs:$d"), sampled = true)
+        .orderBy("role", "w", "j")),
+
     // SGNS NEIGHBOR PROBE — the trained space is a usable similarity
     // space: per vocabulary word the top-3 others by cosine of the
     // trained "in" vectors (training memo-shared with t42; the model
@@ -945,7 +959,8 @@ object TextQueries {
     * snapped terms, and the binary-exact-η update. Every round CTE
     * MATERIALIZED (the d31 rule). */
   private def sgnsCtes(window: Int, minCount: Long, dim: Int,
-                       negK: Double, eta: Double, iters: Int): String = {
+                       negK: Double, eta: Double, iters: Int,
+                       sampled: Boolean = false): String = {
     def snap(e: String) = s"floor(($e) * 1048576.0 + 0.5) / 1048576.0"
     def sigS(s: String) = s"(0.5 + ($s) / (2.0 * (1.0 + abs($s))))"
     val its = (1 to iters).map { i =>
@@ -997,12 +1012,45 @@ object TextQueries {
        ncs AS MATERIALIZED (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c
          FROM prs GROUP BY 1),
        tz AS MATERIALIZED (SELECT sum(t75) AS tt FROM freq),
-       ww AS MATERIALIZED (
+       ${if (!sampled)
+        s"""ww AS MATERIALIZED (
          SELECT c, x, CAST(cnt AS DOUBLE) AS wgt, 1 AS sign FROM prs
          UNION ALL
          SELECT ncs.c, freq.w,
            ($negK * CAST(ncs.n_c AS DOUBLE)) * (freq.t75 / tz.tt), -1
-         FROM ncs, freq, tz),
+         FROM ncs, freq, tz)"""
+      else
+        // t45: SAMPLED negatives — md5-uniform inverse-CDF against the
+        // grid-snapped q (prefix sums of 2^-20 multiples are exact, so
+        // the word-ordered window here builds the identical doubles the
+        // Spark driver's sequential fold does); u = (h/2^60)*Σq, two
+        // IEEE ops on identical inputs; last-interval closure catches a
+        // u that rounds up to exactly Σq.
+        s"""qq AS MATERIALIZED (SELECT w AS x,
+           floor(t75 / tz.tt * 1048576.0 + 0.5) / 1048576.0 AS q
+         FROM freq, tz),
+       cdf AS MATERIALIZED (SELECT x, q,
+           sum(q) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW) AS hi
+         FROM qq),
+       ct AS MATERIALIZED (SELECT max(hi) AS tot FROM cdf),
+       drw AS MATERIALIZED (
+         SELECT ncs.c,
+           CAST(concat('0x', substr(md5('neg:' || ncs.c || ':' || u.i),
+             1, 15)) AS BIGINT) AS h
+         FROM ncs, LATERAL unnest(range(0,
+           CAST(floor($negK * ncs.n_c) AS BIGINT))) AS u(i)),
+       hit AS MATERIALIZED (
+         SELECT drw.c, cdf.x
+         FROM drw, ct, cdf
+         WHERE drw.h / 1152921504606846976.0 * ct.tot >= cdf.hi - cdf.q
+           AND (drw.h / 1152921504606846976.0 * ct.tot < cdf.hi
+             OR cdf.hi = ct.tot)),
+       ww AS MATERIALIZED (
+         SELECT c, x, CAST(cnt AS DOUBLE) AS wgt, 1 AS sign FROM prs
+         UNION ALL
+         SELECT c, x, CAST(count(*) AS DOUBLE), -1
+         FROM hit GROUP BY c, x)"""},
        nwt AS MATERIALIZED (
          SELECT CAST(sum(cnt) AS DOUBLE) AS nw FROM prs),
        jj AS (SELECT u.j AS j FROM unnest(range(0, $dim)) AS u(j)),
@@ -1014,8 +1062,9 @@ object TextQueries {
   }
 
   private def sgnsSql(window: Int, minCount: Long, dim: Int,
-                      negK: Double, eta: Double, iters: Int): String =
-    s"""WITH ${sgnsCtes(window, minCount, dim, negK, eta, iters)}
+                      negK: Double, eta: Double, iters: Int,
+                      sampled: Boolean = false): String =
+    s"""WITH ${sgnsCtes(window, minCount, dim, negK, eta, iters, sampled)}
        SELECT role, w, CAST(j AS INTEGER) AS j, val FROM (
          SELECT 'in' AS role, w, j, val FROM eu$iters
          UNION ALL SELECT 'out', w, j, val FROM ev$iters)
@@ -1371,6 +1420,10 @@ object TextQueries {
     "t39_clf_feature_compare" -> clfCompareSql(dim = 16, iters = 8),
     // t42: the full SGNS optimization unrolled — trained embeddings
     // compare as raw grid doubles.
+    // t45: the identical unrolled replay with the ww CTE swapped for
+    // the sampled-negative construction (draws replayed in SQL).
+    "t45_sgns_sampled" -> sgnsSql(window = 3, minCount = 2, dim = 4,
+      negK = 2.0, eta = 0.5, iters = 3, sampled = true),
     "t42_sgns_train" -> sgnsSql(window = 3, minCount = 2, dim = 4,
       negK = 2.0, eta = 0.5, iters = 3),
     // t43: the same unrolled training, closed by the per-word cosine

@@ -164,6 +164,8 @@ class CollectLintSpec extends AnyFunSuite {
         "sgns noise normalizer: 1-row aggregate over |vocab|",
       "emb.collect() // ≤ |vocab|·dim rows — the trained model, bounded" ->
         "sgns trained matrices: |vocab|·dim rows (the kmeans-centroid contract)",
+      ".collect() // ≤ |vocab| rows — the CDF build, same bound as the model collect" ->
+        "sgns sampled-negative CDF: |vocab| rows, shipped back as a local relation",
       "val nw = pairs.agg(sum(col(\"cnt\"))).head().getLong(0).toDouble // 1-row" ->
         "sgns total positive weight: 1-row aggregate",
       "sum(col(\"freq\") * col(\"wlen\")).as(\"ct\")).head() // 1-row probe" ->
@@ -224,8 +226,8 @@ class CollectLintSpec extends AnyFunSuite {
         "ivfDelete touched-partition list: ≤ nClusters rows",
       "var centroids = v.orderBy(\"id\").limit(k).collect()" ->
         "k-means seeds: k × dim",
-      ".collect() // ≤ entryK rows — the fixed entry set, bounded constant" ->
-        "graph-ANN entry points: entryK node ids",
+      ".collect() // ≤ entryK rows — the backstop entry set, bounded" ->
+        "graph-ANN backstop entry points: entryK node ids",
       ".collect() // dim² rows — bounded driver state" ->
         "PCA Gram matrix: dim² cells",
       "val seedRows = v.orderBy(\"id\").limit(codebook).collect() // k × dim seeds" ->

@@ -288,6 +288,51 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
   private def haveFixture =
     new java.io.File(s"$fixtureDir/embeddings.parquet").exists
 
+  test("v37/v38 graph-ANN: beam search recall >= IVF at matched probe " +
+    "cost on planted clusters") {
+    // Planted-cluster corpus (the d06/v17 recall-regime discipline: on
+    // the uniform-random fixture NO sublinear index beats chance — ANN
+    // recall evidence needs actual neighborhood structure). 20 clusters
+    // x 25 members, sigma 0.5 around sigma-1 centers, deterministic.
+    val rnd = new scala.util.Random(13L)
+    val dim = 16
+    val vecs = (0 until 20).flatMap { cl =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 25).map { i =>
+        val v = center.map(x => (x + rnd.nextGaussian() * 0.5).toFloat)
+        ((cl * 25 + i).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") % 25 === 0) // one query per cluster
+    val exact = SimilarityOps.knnBruteForce(vecs, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    // m=6 graph from 8x4 portable planes; LSH-seeded 8 entries, beam 8,
+    // 3 undirected hops -> <= 2*8 + 3*8*12 scored nodes/query bound
+    val g = SimilarityOps.knnGraphBuild(vecs, "vec_id", "embedding",
+      m = 6, tables = 8, bits = 4, dim = dim,
+      planesFlat = Some(SimilarityOps.hyperplanesPortable(32, dim)))
+      .localCheckpoint(true)
+    val graph = SimilarityOps.knnGraphSearch(g, vecs, q, "vec_id",
+        "embedding", k = 5, entryK = 8, beam = 8, hops = 3,
+        tables = 8, bits = 4, dim = dim,
+        planesFlat = Some(SimilarityOps.hyperplanesPortable(32, dim)))
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    // IVF at matched probe cost: nprobe 4 of 16 clusters scans ~25% of
+    // the 500-vector corpus (~125 scored) per query
+    val ivf = SimilarityOps.ivfSearch(vecs, q, "vec_id", "embedding", 5,
+        nClusters = 16, nProbe = 4, dim = dim)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    graft.Caches.clear()
+    val graphRecall = (exact & graph).size.toDouble / exact.size
+    val ivfRecall = (exact & ivf).size.toDouble / exact.size
+    info(f"v38 graph-ANN planted recall: $graphRecall%.3f " +
+      "(m=6, entryK=8, beam 8, 3 hops)")
+    info(f"v03 IVF recall at matched probe cost: $ivfRecall%.3f")
+    assert(graphRecall >= ivfRecall - 1e-9,
+      f"graph recall $graphRecall%.3f below IVF's $ivfRecall%.3f")
+    assert(graphRecall >= 0.95, f"graph recall $graphRecall%.3f < 0.95")
+  }
+
   test("annLsh on uniform fixtures returns <= k rows per query (rows-only op)") {
     assume(haveFixture)
     val e = Tables.embeddings(spark, fixtureDir)
@@ -1940,6 +1985,46 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     // eigenvalue dominates the 1/dim average (strictly, for any spread)
     assert(lam >= 0.9 / 64, s"eigenvalue $lam below the trace/dim floor")
     info(f"v11 fixture top eigenvalue: $lam%.6f (trace/dim = ${1.0 / 64}%.6f)")
+  }
+
+  test("sgnsWwSampled: every draw lands exactly one word, and " +
+    "expected-vs-sampled training converge to similar neighbor sets") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map { id =>
+      val ws = (0 until 10).map(p => s"w${(id * 7 + p * 3) % 12}")
+      (id, ws.mkString(" "))
+    }.toDF("doc_id", "text")
+    // totality: the inverse-CDF lookup is a partition of [0, Σq) — each
+    // of the floor(negK·n_c) draws matches exactly ONE vocab word
+    val (pairs, freq) = TextOps.sgnsInputs(corpus, "doc_id", "text",
+      window = 2, minCount = 1)
+    val ww = TextOps.sgnsWwSampled(pairs, freq, negK = 2.0)
+    val drawn = ww.filter(col("sign") === -1)
+      .agg(sum(col("wgt"))).head().getDouble(0)
+    val expected = pairs.groupBy("center")
+      .agg(sum(col("cnt")).as("n_c"))
+      .agg(sum(floor(lit(2.0) * col("n_c")))).head().getLong(0).toDouble
+    assert(drawn == expected,
+      s"draw accounting: $drawn matched vs $expected drawn")
+    Caches.clear()
+    // convergence: both variants optimize the same expected loss — the
+    // trained spaces should mostly agree on nearest neighbors
+    def nbrs(sampled: Boolean): Map[String, Set[String]] =
+      TextOps.sgnsNeighbors(corpus, "doc_id", "text", window = 2,
+          minCount = 1, dim = 4, negK = 2.0, eta = 0.5, iters = 3,
+          topK = 3, sampled = sampled)
+        .select("w", "neighbor").collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.map(_.getString(1)).toSet).toMap
+    val e = nbrs(sampled = false)
+    val s = nbrs(sampled = true)
+    Caches.clear()
+    val overlaps = e.keySet.intersect(s.keySet).toSeq
+      .map(w => (e(w) & s(w)).size.toDouble / (e(w) | s(w)).size)
+    val mean = overlaps.sum / overlaps.size
+    info(f"expected-vs-sampled mean top-3 neighbor Jaccard: $mean%.3f " +
+      s"over ${overlaps.size} words")
+    assert(mean >= 0.4, f"neighbor sets diverged: mean Jaccard $mean%.3f")
   }
 
   test("sgnsWw: expected-negative block is dense and its plan is " +
