@@ -28,6 +28,7 @@ object Bench {
       "p39_feed_ivm", // create + upsert commits + streamed MV refresh
       "v37_knn_graph", // k-NN graph construction IS the timed body
       "v38_knn_graph_search", // graph build + the beam probe
+      "v39_knn_graph_capped", // capped graph build + the beam probe
       "p40_feed_restart") // create + commits + two consumer instances
 
   // Stable per-category representatives for the FINAL compact line. The

@@ -940,8 +940,7 @@ object SparkEntry {
     // sketches of driver state, exclusive prefix-merges broadcast back
     // (Series.expandingQuantileApprox). The exact variant is deliberately
     // single-task (unbounded prefix multiset — no bounded carry exists);
-    // this is its documented scale path. Approximate → rows-only; the
-    // per-row eps·n rank bound is asserted in SeriesSpec.
+    // this is its documented scale path.
     // pandas DEFAULT s.interpolate() — global, un-keyed, method='linear':
     // interior nulls take the positional line between non-null neighbors,
     // leading gaps stay null, trailing gaps carry the last observation.
@@ -980,12 +979,38 @@ object SparkEntry {
         "px", col("o_orderkey"), "idx")
       ordered(v.interpolate("nearest"))
     }),
+    // The approx values are sketch elements (engine-specific), so the
+    // gate certifies them: 16 idx-threshold checkpoints, each carrying
+    // the EXACT prefix count + anchor row (hash-gated) and an in-band
+    // indicator — the sketch median at the checkpoint's last row must
+    // sit inside the exact 0.5∓0.03 prefix-percentile band (the GK
+    // eps=0.01 rank guarantee + interpolation slack; oracle pins TRUE).
+    // Membership explodes each row to its ≥-thresholds (sequence — an
+    // equi-joinable column, no range join); checkpoint width is one
+    // driver scalar. Per-row output stays SeriesSpec-bounded.
     "s105_expanding_qtile_approx" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      Series.fromExpr(o, col("o_totalprice"), "v",
-        col("o_orderkey"), "idx")
-        .expandingQuantileApprox(0.5)
-        .df.orderBy("idx")
+      val approx = Series.fromExpr(o, col("o_totalprice"), "v",
+        col("o_orderkey"), "idx").expandingQuantileApprox(0.5).df
+      val maxI = o.agg(max(col("o_orderkey"))).head().getLong(0) // 1-row probe
+      val k = math.ceil(maxI / 16.0).toLong
+      val bands = o
+        .select(col("o_orderkey").as("idx"),
+          col("o_totalprice").as("px"))
+        .withColumn("ckpt", explode(sequence(
+          (ceil(col("idx").cast("double") / lit(k.toDouble)) * lit(k))
+            .cast("long"),
+          lit(16L * k), lit(k))))
+        .groupBy("ckpt")
+        .agg(max(col("idx")).as("idx"),
+          count(lit(1)).as("n_prefix"),
+          expr("percentile(px, 0.47)").as("__lo"),
+          expr("percentile(px, 0.53)").as("__hi"))
+      bands.join(approx, "idx")
+        .select(col("ckpt"), col("idx"), col("n_prefix"),
+          (col("v") >= col("__lo") && col("v") <= col("__hi"))
+            .as("med_in_band"))
+        .orderBy("ckpt")
     }),
     // Feature scaling: z-score + min-max from one bounded stats row each,
     // then pure projections (the normalize-before-training step).
@@ -1876,6 +1901,24 @@ object SparkEntry {
              WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
              ELSE pv + (nv - pv) * (cx - pcx) / (ncx - pcx) END AS px
          FROM w ORDER BY idx"""),
+    // s105: the checkpoint certification — exact prefix counts/anchors
+    // verbatim, the sketch-median indicator pinned TRUE (an
+    // out-of-band sketch value hash-mismatches). Membership via the
+    // same >=-threshold generate_series the Spark sequence spells.
+    "s105_expanding_qtile_approx" ->
+      ("""WITH mi AS (SELECT max(o_orderkey) AS m FROM orders),
+         kk AS (SELECT CAST(ceil(CAST(m AS DOUBLE) / 16.0) AS BIGINT)
+             AS k FROM mi),
+         member AS (
+           SELECT o.o_orderkey AS idx, o.o_totalprice AS px, c.ckpt
+           FROM orders o, kk,
+             LATERAL (SELECT unnest(generate_series(
+               CAST(ceil(CAST(o.o_orderkey AS DOUBLE)
+                 / CAST(kk.k AS DOUBLE)) AS BIGINT) * kk.k,
+               16 * kk.k, kk.k)) AS ckpt) c)
+         SELECT ckpt, max(idx) AS idx, count(*) AS n_prefix,
+           TRUE AS med_in_band
+         FROM member GROUP BY ckpt ORDER BY ckpt"""),
     "s104_scale" ->
       ("""WITH st AS (SELECT avg(l_quantity) AS mu,
              stddev_samp(l_quantity) AS sd,

@@ -673,10 +673,25 @@ object SimilarityOps {
     * long-range navigability HNSW gets from its layer hierarchy comes
     * here from multi-table LSH diversity (independent tables collide
     * distant-but-still-similar pairs), which keeps construction one
-    * bucketed pass instead of HNSW's inherently sequential inserts. */
+    * bucketed pass instead of HNSW's inherently sequential inserts.
+    *
+    * At scale, size `bits` ≈ log2(n / targetOccupancy): the self-join
+    * is QUADRATIC in bucket occupancy, so growing the corpus at pinned
+    * `bits` grows candidate pairs ~quadratically (measured at the sf1
+    * rehearsal: 10× vectors at bits=4 → a 55 s straggler task in the
+    * candidate dedup). `bucketCap` is the straggler guard for corpora
+    * whose occupancy can't be equalized by bits alone (exact-duplicate
+    * vectors share every bucket at ANY bits): each node still SOURCES
+    * edges from every bucket it lands in, but only the `cap` smallest
+    * ids per (table, bucket) serve as candidate DESTINATIONS — pairs
+    * per bucket drop from occ² to occ·cap, deterministic, at the cost
+    * of candidate diversity inside oversized buckets (the beam walk's
+    * undirected expansion recovers reachability). Default None leaves
+    * the build exact (the v37 oracle replays it verbatim). */
   def knnGraphBuild(corpus: DataFrame, idCol: String, vecCol: String,
                     m: Int, tables: Int = 8, bits: Int = 4, dim: Int = 64,
-                    planesFlat: Option[Array[Double]] = None): DataFrame = {
+                    planesFlat: Option[Array[Double]] = None,
+                    bucketCap: Option[Int] = None): DataFrame = {
     val c = graft.Caches.track(
       DedupOps.withNorm(corpus, idCol, vecCol, "id", "e", "n")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
@@ -689,7 +704,13 @@ object SimilarityOps {
       .select(col("id"), posexplode(col("__bkts")))
       .toDF("id", "table", "bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cand = posts.as("a").join(posts.as("b"),
+    // dst side optionally capped per (table, bucket) — every node still
+    // sources edges (the uncapped a side), so nobody is orphaned
+    val dstPosts = bucketCap.fold(posts)(cap => posts
+      .withColumn("__or", row_number().over(
+        Window.partitionBy("table", "bucket").orderBy("id")))
+      .filter(col("__or") <= cap).drop("__or"))
+    val cand = posts.as("a").join(dstPosts.as("b"),
         col("a.table") === col("b.table")
           && col("a.bucket") === col("b.bucket")
           && col("a.id") =!= col("b.id"))

@@ -534,31 +534,74 @@ object FrameQueries {
     // describe with SKETCHED quartiles (percentile_approx): the 100 TB
     // default — fixed-size mergeable sketch state instead of the exact
     // percentile's per-group value buffer. Sketch quartiles are actual
-    // column elements (no interpolation, not cross-engine comparable) →
-    // rows-only; GFrameSpec bounds them against the exact describe.
+    // column elements (no interpolation, not cross-engine comparable),
+    // so the stat×column layout splits: the five exact stat rows
+    // (identical aggregates in both variants) hash-gate verbatim, and
+    // each quartile row becomes a `p%_ok` indicator row — 1.0 iff the
+    // sketch element sits inside the exact p∓0.002 percentile band
+    // (≥ 20× the accuracy-10000 rank guarantee at fixture n; the band
+    // probe is one 1-row exact aggregate turned into driver literals —
+    // no 1-row cross join in the plan). The oracle spells the ok rows
+    // as 1.0: an out-of-bound sketch is a hash mismatch.
     "f24_describe_approx" -> ((s, d) => {
-      val desc = graft.core.GFrame
-        .fromDF(Tables.customer(s, d), "c_custkey")
-        .describeApprox(10000, "c_custkey", "c_nationkey", "c_acctbal").df
-      desc.select(col("stat"),
-          round(col("c_custkey"), 6).as("c_custkey"),
-          round(col("c_nationkey"), 6).as("c_nationkey"),
-          round(col("c_acctbal"), 6).as("c_acctbal"))
-        .orderBy("stat")
+      val cols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+      val base = Tables.customer(s, d)
+      val ap = graft.core.GFrame.fromDF(base, "c_custkey")
+        .describeApprox(10000, cols: _*).df
+      val bandAggs = cols.flatMap(c => Seq(25, 50, 75).flatMap(p => Seq(
+        expr(s"percentile($c, ${(p - 0.2) / 100.0})").as(s"lo${p}__$c"),
+        expr(s"percentile($c, ${(p + 0.2) / 100.0})").as(s"hi${p}__$c"))))
+      val b = base.agg(bandAggs.head, bandAggs.tail: _*)
+        .head() // 1-row band probe: 18 exact percentiles, driver literals
+      def okCol(c: String): org.apache.spark.sql.Column = {
+        def ok(p: Int): org.apache.spark.sql.Column =
+          when(col(c) >= lit(b.getAs[Double](s"lo${p}__$c"))
+            && col(c) <= lit(b.getAs[Double](s"hi${p}__$c")), 1.0)
+            .otherwise(0.0)
+        when(col("stat") === "25%", ok(25))
+          .when(col("stat") === "50%", ok(50))
+          .otherwise(ok(75)).as(c)
+      }
+      val exactRows = ap
+        .filter(!col("stat").isin("25%", "50%", "75%"))
+        .select(col("stat") +: cols.map(c => round(col(c), 6).as(c)): _*)
+      val okRows = ap.filter(col("stat").isin("25%", "50%", "75%"))
+        .select(concat(col("stat"), lit("_ok")).as("stat")
+          +: cols.map(okCol): _*)
+      exactRows.unionByName(okRows).orderBy("stat")
     }),
 
     // Sketch aggregates, the 100 TB statistics path: HyperLogLog++ distinct
     // counts + Greenwald–Khanna approximate medians are fixed-size MERGEABLE
     // partial aggregates — the shuffle carries one small sketch per
     // (group, partition) instead of every distinct value / a full sort.
-    // Deterministic but engine-specific → rows-only gate; error bounds vs
-    // the exact aggregates are asserted in GFrameSpec each round.
+    // Sketch VALUES are engine-specific, so the gate emits the exact
+    // group stats hash-gated PLUS per-sketch IN-BOUND indicators — the
+    // exact twin computed in the same aggregate certifies each sketch
+    // inside its published error bound (HLL: 3·rsd = 6% + 3 absolute;
+    // GK at accuracy 10000: the exact 0.5∓0.002 percentile band — 20×
+    // the n/accuracy rank guarantee at fixture group sizes), and the
+    // oracle spells the indicators as literal TRUE: a sketch outside
+    // its bound is a HASH MISMATCH, not a silent pass.
     "f21_sketch_stats" -> ((s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("priority"))
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("nd_cust"),
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("nd_cust_exact"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("__nd"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
           percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-            .as("med_price"))
+            .as("__med"),
+          expr("percentile(o_totalprice, 0.498)").as("__mlo"),
+          expr("percentile(o_totalprice, 0.502)").as("__mhi"))
+        .select(col("priority"), col("n_orders"), col("nd_cust_exact"),
+          (abs(col("__nd") - col("nd_cust_exact"))
+            <= col("nd_cust_exact") * lit(0.06) + lit(3.0))
+            .as("nd_in_bound"),
+          col("min_price"), col("max_price"),
+          (col("__med") >= col("__mlo") && col("__med") <= col("__mhi"))
+            .as("med_in_bound"))
         .orderBy("priority")),
 
     // TPC-H Q5 analog through the spark.sql surface: 6-table star join,
@@ -2166,6 +2209,36 @@ object FrameQueries {
            round(c_acctbal - nmean, 6) AS demeaned,
            round((c_acctbal - nmean) / nullif(nstd, 0), 6) AS zscore
          FROM w ORDER BY c_custkey""",
+    // f21: exact group stats verbatim; the sketch columns arrive as
+    // in-bound indicators the oracle pins to TRUE — an out-of-bound
+    // sketch value hash-mismatches instead of hiding behind rows-only.
+    "f21_sketch_stats" ->
+      """SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS nd_cust_exact,
+           TRUE AS nd_in_bound,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           TRUE AS med_in_bound
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    // f24: the five exact stat rows are f22's spellings verbatim; the
+    // three quartile rows are in-band indicators pinned to 1.0.
+    "f24_describe_approx" ->
+      """WITH c AS (SELECT CAST(c_custkey AS DOUBLE) AS a,
+             CAST(c_nationkey AS DOUBLE) AS b, c_acctbal AS v FROM customer)
+         SELECT 'count' AS stat, CAST(count(a) AS DOUBLE) AS c_custkey,
+           CAST(count(b) AS DOUBLE) AS c_nationkey,
+           CAST(count(v) AS DOUBLE) AS c_acctbal FROM c
+         UNION ALL SELECT 'mean', round(avg(a), 6), round(avg(b), 6),
+           round(avg(v), 6) FROM c
+         UNION ALL SELECT 'std', round(stddev_samp(a), 6),
+           round(stddev_samp(b), 6), round(stddev_samp(v), 6) FROM c
+         UNION ALL SELECT 'min', min(a), min(b), round(min(v), 6) FROM c
+         UNION ALL SELECT 'max', max(a), max(b), round(max(v), 6) FROM c
+         UNION ALL SELECT '25%_ok', 1.0, 1.0, 1.0
+         UNION ALL SELECT '50%_ok', 1.0, 1.0, 1.0
+         UNION ALL SELECT '75%_ok', 1.0, 1.0, 1.0
+         ORDER BY stat""",
     "f22_describe" ->
       """WITH c AS (SELECT CAST(c_custkey AS DOUBLE) AS a,
              CAST(c_nationkey AS DOUBLE) AS b, c_acctbal AS v FROM customer)

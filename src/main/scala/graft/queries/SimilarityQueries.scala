@@ -418,6 +418,27 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // GRAPH-BASED ANN with the BUCKET-CAP straggler guard — the sf1
+    // rehearsal's scale remedy as its own oracled gate: the candidate
+    // self-join's dst side keeps only the 64 smallest ids per (table,
+    // bucket) (pairs occ²→occ·cap; every node still sources edges), and
+    // the capped build + the same seeded undirected beam walk replay in
+    // DuckDB end-to-end — proving the remedy is deterministic, not a
+    // sampling heuristic.
+    "v39_knn_graph_capped" -> ((s, d) => {
+      val e = emb(s, d)
+      val g = SimilarityOps.knnGraphBuild(e, "vec_id", "embedding",
+        m = 4, tables = 8, bits = 4,
+        planesFlat = Some(SimilarityOps.hyperplanesPortable(32, 64)),
+        bucketCap = Some(64))
+      SimilarityOps.knnGraphSearch(g, e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, entryK = 4, beam = 8, hops = 3,
+          tables = 8, bits = 4,
+          planesFlat = Some(SimilarityOps.hyperplanesPortable(32, 64)))
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rk")
+    }),
+
     // IVF ANN: deterministic k-means buckets, nprobe-closest probed per
     // query. The gate runs the ENGINE-PORTABLE grid variant (components
     // snapped to the 2^-20 dyadic grid after normalization): on grid
@@ -1196,10 +1217,13 @@ object SimilarityQueries {
              ORDER BY ham ASC, nid ASC) AS INTEGER) AS rk, nid, ham
          FROM sc QUALIFY rk <= 5 ORDER BY qid, rk"""
 
-  /** Shared v37/v38 graph CTEs: md5 hyperplanes (`planes` 4-bit-packed
-    * planes, the v02 spelling), sign buckets, banded candidate pairs,
-    * exact cosine re-rank, per-node top-`m` edges. */
-  private def knnGraphCtes(planes: Int, m: Int): String =
+  /** Shared v37/v38/v39 graph CTEs: md5 hyperplanes (`planes`
+    * 4-bit-packed planes, the v02 spelling), sign buckets, banded
+    * candidate pairs (dst side optionally capped to the `cap` smallest
+    * ids per bucket — the bucketCap replay), exact cosine re-rank,
+    * per-node top-`m` edges. */
+  private def knnGraphCtes(planes: Int, m: Int,
+                           cap: Option[Int] = None): String =
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
              FROM embeddings),
        pw AS (
@@ -1215,9 +1239,14 @@ object SimilarityQueries {
            sum(CASE WHEN list_dot_product(v.e, pl.wl) >= 0
                THEN (1::BIGINT << (pl.p % 4)) ELSE 0 END) AS bucket
          FROM v, pl GROUP BY 1, 2),
+       dsig AS (${cap.fold("SELECT vec_id, tbl, bucket FROM sig")(c =>
+        s"""SELECT vec_id, tbl, bucket FROM (
+             SELECT sig.*, row_number() OVER (PARTITION BY tbl, bucket
+               ORDER BY vec_id) AS br FROM sig) t
+           WHERE br <= $c""")}),
        gcand AS (
          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-         FROM sig a JOIN sig b
+         FROM sig a JOIN dsig b
            ON a.tbl = b.tbl AND a.bucket = b.bucket
              AND a.vec_id <> b.vec_id),
        gsc AS (
@@ -1240,7 +1269,8 @@ object SimilarityQueries {
     * node's sim is the identical double whenever computed), closed by
     * the top-`k` rank. */
   private def knnGraphSearchSql(planes: Int, m: Int, entryK: Int,
-                                beam: Int, hops: Int, k: Int): String = {
+                                beam: Int, hops: Int, k: Int,
+                                cap: Option[Int] = None): String = {
     val hopCtes = (1 to hops).map { i =>
       s"""s$i AS (
            SELECT qid, nid, sim FROM c${i - 1}
@@ -1258,7 +1288,7 @@ object SimilarityQueries {
                ORDER BY sim DESC, nid ASC) AS bk FROM s$i) t
            WHERE bk <= $beam)"""
     }.mkString(",\n")
-    s"""WITH ${knnGraphCtes(planes, m)},
+    s"""WITH ${knnGraphCtes(planes, m, cap)},
        ue AS (
          SELECT DISTINCT src, dst FROM (
            SELECT src, dst FROM edges
@@ -1309,6 +1339,10 @@ object SimilarityQueries {
     // v38: build replay + the unrolled 3-hop beam walk.
     "v38_knn_graph_search" -> knnGraphSearchSql(planes = 32, m = 4,
       entryK = 4, beam = 8, hops = 3, k = 5),
+    // v39: the identical walk over the bucket-capped build (dst side
+    // of each bucket cut to the 64 smallest ids before pairing).
+    "v39_knn_graph_capped" -> knnGraphSearchSql(planes = 32, m = 4,
+      entryK = 4, beam = 8, hops = 3, k = 5, cap = Some(64)),
     "v01_knn_bruteforce" -> KnnSql,
     // v36: v01's scored CTE with the label-inequality predicate in the
     // join — negatives ranked per anchor, labels surfaced.

@@ -242,7 +242,12 @@ class CollectLintSpec extends AnyFunSuite {
       "val wrev = byNationP.agg(sum(col(\"rev\"))).head() // 1-row world total" ->
         "share-of-parent world total: 1-row aggregate over the |nations| frame",
       "val total = counts.agg(sum(col(\"n\"))).head().getLong(0) // 1-value digit total" ->
-        "Benford total: 1-value aggregate over the 9-digit frame"),
+        "Benford total: 1-value aggregate over the 9-digit frame",
+      ".head() // 1-row band probe: 18 exact percentiles, driver literals" ->
+        "f24 certification bands: 1-row aggregate (3 cols x 3 quartiles x lo/hi)"),
+    "SparkEntry.scala" -> Map(
+      "val maxI = o.agg(max(col(\"o_orderkey\"))).head().getLong(0) // 1-row probe" ->
+        "s105 checkpoint width: 1-row max probe"),
     "SimilarityQueries.scala" -> Map(
       ".collect().map(_.getSeq[Double](1).toArray) // k x dim driver state" ->
         "v29 centroid artifact reload: k × dim",

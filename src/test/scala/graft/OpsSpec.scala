@@ -1987,6 +1987,43 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     info(f"v11 fixture top eigenvalue: $lam%.6f (trace/dim = ${1.0 / 64}%.6f)")
   }
 
+  test("knnGraphBuild bucketCap: caps candidate volume without " +
+    "orphaning nodes, and seeded search recall holds") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val dim = 16
+    val vecs = (0 until 20).flatMap { cl =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 25).map { i =>
+        val v = center.map(x => (x + rnd.nextGaussian() * 0.5).toFloat)
+        ((cl * 25 + i).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val planes = Some(SimilarityOps.hyperplanesPortable(32, dim))
+    def build(cap: Option[Int]) = SimilarityOps.knnGraphBuild(vecs,
+      "vec_id", "embedding", m = 6, tables = 8, bits = 4, dim = dim,
+      planesFlat = planes, bucketCap = cap).localCheckpoint(true)
+    val full = build(None)
+    val capped = build(Some(8)) // clusters are 25 wide: cap bites hard
+    val fullSrcs = full.select("src").distinct().count()
+    val cappedSrcs = capped.select("src").distinct().count()
+    assert(cappedSrcs == fullSrcs, // every node that had candidates still sources edges
+      s"cap orphaned nodes: $cappedSrcs vs $fullSrcs sources")
+    assert(capped.count() <= full.count())
+    val q = vecs.filter(col("vec_id") % 25 === 0)
+    val exact = SimilarityOps.knnBruteForce(vecs, q, "vec_id",
+        "embedding", 5)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    val got = SimilarityOps.knnGraphSearch(capped, vecs, q, "vec_id",
+        "embedding", k = 5, entryK = 8, beam = 8, hops = 3,
+        tables = 8, bits = 4, dim = dim, planesFlat = planes)
+      .select("qid", "nid").collect().map(_.toSeq).toSet
+    graft.Caches.clear()
+    val recall = (exact & got).size.toDouble / exact.size
+    info(f"capped (8/bucket) planted recall: $recall%.3f")
+    assert(recall >= 0.9, f"capped recall $recall%.3f < 0.9")
+  }
+
   test("sgnsWwSampled: every draw lands exactly one word, and " +
     "expected-vs-sampled training converge to similar neighbor sets") {
     import spark.implicits._
