@@ -29,6 +29,7 @@ object Bench {
       "v37_knn_graph", // k-NN graph construction IS the timed body
       "v38_knn_graph_search", // graph build + the beam probe
       "v39_knn_graph_capped", // capped graph build + the beam probe
+      "v40_knn_graph_append", // old build + wave append + the beam probe
       "p40_feed_restart") // create + commits + two consumer instances
 
   // Stable per-category representatives for the FINAL compact line. The

@@ -730,6 +730,70 @@ object SimilarityOps {
       .select(col("src"), col("rk"), col("dst"), col("sim"))
   }
 
+  /** INCREMENTAL k-NN-graph maintenance — [[ivfAppend]]'s contract for
+    * the graph index: absorb a batch of NEW vectors into an existing
+    * [[knnGraphBuild]] edge list without re-paying the old↔old
+    * candidate work (at a crawl cadence the arriving wave is a sliver
+    * of the corpus — rebuild cost must track the wave, the d50
+    * argument applied to ANN). New candidate pairs are exactly the LSH
+    * collisions INVOLVING a new vector (old→new, new→new, new→old):
+    * the old corpus re-posts its buckets once (one codegen'd
+    * projection — it never pairs with itself again), the batch posts
+    * and joins both ways, and the merged edge list is ONE per-src
+    * WindowGroupLimit over (kept old edges ∪ newly scored pairs) —
+    * old edges carry their build-time sims, ties break (sim DESC,
+    * dst ASC) as everywhere, so the whole append replays in DuckDB
+    * (gate v40). `bucketCap` caps the dst side of the new joins the
+    * same way the build caps its self-join. Returns the full updated
+    * (src, rk, dst, sim) edge list. */
+  def knnGraphAppend(edges: DataFrame, corpus: DataFrame,
+                     batch: DataFrame, idCol: String, vecCol: String,
+                     m: Int, tables: Int = 8, bits: Int = 4,
+                     dim: Int = 64,
+                     planesFlat: Option[Array[Double]] = None,
+                     bucketCap: Option[Int] = None): DataFrame = {
+    val all = graft.Caches.track(
+      DedupOps.withNorm(corpus.unionByName(batch), idCol, vecCol,
+          "id", "e", "n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val newIds = batch.select(col(idCol).as("id"))
+    val posts = graft.Caches.track(all
+      .select(col("id"),
+        lshBuckets(col("e"), tables, bits, dim, planesFlat).as("__b"))
+      .select(col("id"), posexplode(col("__b")))
+      .toDF("id", "table", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val postsNew = posts.join(newIds, Seq("id"), "left_semi")
+    val postsOld = posts.join(newIds, Seq("id"), "left_anti")
+    def capped(df: DataFrame): DataFrame = bucketCap.fold(df)(cap => df
+      .withColumn("__or", row_number().over(
+        Window.partitionBy("table", "bucket").orderBy("id")))
+      .filter(col("__or") <= cap).drop("__or"))
+    def pairs(a: DataFrame, b: DataFrame): DataFrame =
+      a.as("a").join(capped(b).as("b"),
+          col("a.table") === col("b.table")
+            && col("a.bucket") === col("b.bucket")
+            && col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("dst"))
+    val fresh = pairs(posts, postsNew) // old→new ∪ new→new
+      .unionByName(pairs(postsNew, postsOld)) // new→old (disjoint)
+      .distinct()
+    val scored = fresh
+      .join(all.select(col("id").as("src"), col("e").as("se"),
+        col("n").as("sn")), "src")
+      .join(all.select(col("id").as("dst"), col("e").as("de"),
+        col("n").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        (graft.functions.DotProduct.dotNative(col("se"), col("de"))
+          / (col("sn") * col("dn"))).as("sim"))
+    edges.select(col("src"), col("dst"), col("sim"))
+      .unionByName(scored)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src").orderBy(col("sim").desc, col("dst").asc)))
+      .filter(col("rk") <= m)
+      .select(col("src"), col("rk"), col("dst"), col("sim"))
+  }
+
   /** BEAM-SEARCH probe of a [[knnGraphBuild]] k-NN graph — the query
     * half of graph-based ANN. Entry points are LSH-SEEDED per query
     * (the NSW-with-seed-index hybrid): the query's bucket collisions

@@ -439,6 +439,29 @@ object SimilarityQueries {
         .orderBy("qid", "rk")
     }),
 
+    // GRAPH-BASED ANN, incremental maintenance: ivfAppend's contract
+    // for the graph index — build on the 95% old corpus, APPEND the
+    // arriving 5% wave (candidates = only collisions involving a new
+    // vector; one per-src top-m merge of kept old edges with the newly
+    // scored pairs — the old↔old work is never re-paid), then the
+    // seeded beam walk over the updated graph. The whole
+    // build→append→walk chain replays in DuckDB.
+    "v40_knn_graph_append" -> ((s, d) => {
+      val e = emb(s, d)
+      val pls = Some(SimilarityOps.hyperplanesPortable(32, 64))
+      val old = e.filter(col("vec_id") >= 100)
+      val batch = e.filter(col("vec_id") < 100)
+      val g0 = SimilarityOps.knnGraphBuild(old, "vec_id", "embedding",
+        m = 4, tables = 8, bits = 4, planesFlat = pls)
+      val g1 = SimilarityOps.knnGraphAppend(g0, old, batch, "vec_id",
+        "embedding", m = 4, tables = 8, bits = 4, planesFlat = pls)
+      SimilarityOps.knnGraphSearch(g1, e, e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, entryK = 4, beam = 8, hops = 3,
+          tables = 8, bits = 4, planesFlat = pls)
+        .withColumn("sim", round(col("sim"), 6))
+        .orderBy("qid", "rk")
+    }),
+
     // IVF ANN: deterministic k-means buckets, nprobe-closest probed per
     // query. The gate runs the ENGINE-PORTABLE grid variant (components
     // snapped to the 2^-20 dyadic grid after normalization): on grid
@@ -1270,7 +1293,66 @@ object SimilarityQueries {
     * the top-`k` rank. */
   private def knnGraphSearchSql(planes: Int, m: Int, entryK: Int,
                                 beam: Int, hops: Int, k: Int,
-                                cap: Option[Int] = None): String = {
+                                cap: Option[Int] = None): String =
+    s"""WITH ${knnGraphCtes(planes, m, cap)},
+       ${knnGraphWalkSql(entryK, beam, hops, k)}"""
+
+  /** v40: the APPEND replay — edges0 from old↔old candidates only
+    * (vec_id ≥ `splitId`), the appended wave's candidates = collisions
+    * involving a new vector (old→new ∪ new→new via "b new", plus
+    * new→old), merged by ONE per-src top-`m` over (kept old edges ∪
+    * newly scored pairs), then the shared seeded walk over the updated
+    * graph. */
+  private def knnGraphAppendSql(planes: Int, m: Int, entryK: Int,
+                                beam: Int, hops: Int, k: Int,
+                                splitId: Long): String = {
+    val base = knnGraphCtes(planes, m) // v/pw/pl/sig + full-corpus edges (unused)
+    // cut the full-corpus gcand/gsc/edges tail: keep through `sig ... ),`
+    val keep = base.substring(0, base.indexOf("dsig AS"))
+    s"""WITH $keep
+       gc0 AS (
+         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         FROM sig a JOIN sig b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id
+         WHERE a.vec_id >= $splitId AND b.vec_id >= $splitId),
+       gsc0 AS (
+         SELECT gc0.src, gc0.dst,
+           list_cosine_similarity(dv.e, sv.e) AS sim
+         FROM gc0
+           JOIN v sv ON sv.vec_id = gc0.src
+           JOIN v dv ON dv.vec_id = gc0.dst),
+       ed0 AS MATERIALIZED (
+         SELECT src, dst, sim FROM (
+           SELECT src, dst, sim, row_number() OVER (PARTITION BY src
+             ORDER BY sim DESC, dst ASC) AS rk0 FROM gsc0) t
+         WHERE rk0 <= $m),
+       gcn AS (
+         SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         FROM sig a JOIN sig b
+           ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id <> b.vec_id
+         WHERE b.vec_id < $splitId
+            OR (a.vec_id < $splitId AND b.vec_id >= $splitId)),
+       gscn AS (
+         SELECT gcn.src, gcn.dst,
+           list_cosine_similarity(dv.e, sv.e) AS sim
+         FROM gcn
+           JOIN v sv ON sv.vec_id = gcn.src
+           JOIN v dv ON dv.vec_id = gcn.dst),
+       edges AS MATERIALIZED (
+         SELECT src, CAST(row_number() OVER (PARTITION BY src
+             ORDER BY sim DESC, dst ASC) AS INTEGER) AS rk, dst, sim
+         FROM (SELECT src, dst, sim FROM ed0
+               UNION ALL SELECT src, dst, sim FROM gscn) u
+         QUALIFY rk <= $m),
+       ${knnGraphWalkSql(entryK, beam, hops, k)}"""
+  }
+
+  /** The walk suffix shared by v38/v39/v40: expects CTEs `v` (vectors),
+    * `sig` (signatures) and `edges` (the graph) to be in scope. */
+  private def knnGraphWalkSql(entryK: Int, beam: Int, hops: Int,
+                              k: Int): String = {
     val hopCtes = (1 to hops).map { i =>
       s"""s$i AS (
            SELECT qid, nid, sim FROM c${i - 1}
@@ -1288,8 +1370,7 @@ object SimilarityQueries {
                ORDER BY sim DESC, nid ASC) AS bk FROM s$i) t
            WHERE bk <= $beam)"""
     }.mkString(",\n")
-    s"""WITH ${knnGraphCtes(planes, m, cap)},
-       ue AS (
+    s"""ue AS (
          SELECT DISTINCT src, dst FROM (
            SELECT src, dst FROM edges
            UNION ALL SELECT dst AS src, src AS dst FROM edges) t),
@@ -1343,6 +1424,10 @@ object SimilarityQueries {
     // of each bucket cut to the 64 smallest ids before pairing).
     "v39_knn_graph_capped" -> knnGraphSearchSql(planes = 32, m = 4,
       entryK = 4, beam = 8, hops = 3, k = 5, cap = Some(64)),
+    // v40: the append replay — old-only build, wave candidates, one
+    // top-m merge, the shared walk over the updated graph.
+    "v40_knn_graph_append" -> knnGraphAppendSql(planes = 32, m = 4,
+      entryK = 4, beam = 8, hops = 3, k = 5, splitId = 100L),
     "v01_knn_bruteforce" -> KnnSql,
     // v36: v01's scored CTE with the label-inequality predicate in the
     // join — negatives ranked per anchor, labels surfaced.

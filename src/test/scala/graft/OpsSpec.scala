@@ -2024,6 +2024,41 @@ class OpsSpec extends AnyFunSuite with SparkFixture {
     assert(recall >= 0.9, f"capped recall $recall%.3f < 0.9")
   }
 
+  test("knnGraphAppend == fresh full-corpus rebuild, exactly") {
+    // candidates coincide (old-old pairs are unchanged by the append;
+    // wave pairs are exactly the new-involving collisions) and an
+    // old-old candidate dropped by the old build's top-m cannot enter
+    // the merged top-m (m better old-old edges are present) — so the
+    // incremental result is BIT-IDENTICAL to a rebuild, at O(wave) cost
+    import spark.implicits._
+    val rnd = new scala.util.Random(29L)
+    val dim = 16
+    val vecs = (0 until 12).flatMap { cl =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 20).map { i =>
+        val v = center.map(x => (x + rnd.nextGaussian() * 0.5).toFloat)
+        ((cl * 20 + i).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+    val pls = Some(SimilarityOps.hyperplanesPortable(32, dim))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("src", "rk", "dst").collect().map(_.toSeq).toSet
+    val full = SimilarityOps.knnGraphBuild(vecs, "vec_id", "embedding",
+      m = 5, tables = 8, bits = 4, dim = dim, planesFlat = pls)
+    val old = vecs.filter(col("vec_id") >= 40)
+    val batch = vecs.filter(col("vec_id") < 40)
+    val g0 = SimilarityOps.knnGraphBuild(old, "vec_id", "embedding",
+      m = 5, tables = 8, bits = 4, dim = dim, planesFlat = pls)
+      .localCheckpoint(true)
+    val g1 = SimilarityOps.knnGraphAppend(g0, old, batch, "vec_id",
+      "embedding", m = 5, tables = 8, bits = 4, dim = dim,
+      planesFlat = pls)
+    val (f, a) = (rows(full), rows(g1))
+    graft.Caches.clear()
+    assert(f == a, s"append diverged from rebuild: ${(f diff a).size} " +
+      s"missing, ${(a diff f).size} extra")
+  }
+
   test("sgnsWwSampled: every draw lands exactly one word, and " +
     "expected-vs-sampled training converge to similar neighbor sets") {
     import spark.implicits._
