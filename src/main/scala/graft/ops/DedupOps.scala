@@ -366,7 +366,7 @@ object DedupOps {
     * `covered` and rebuild each doc's surviving text as ONE keyed
     * sort+join aggregate. `base` carries (id, __ts tokens). Returns
     * (id→idCol, n_tokens, kept, clean_text). */
-  private def rebuildWithoutCovered(base: DataFrame, covered: DataFrame,
+  private[graft] def rebuildWithoutCovered(base: DataFrame, covered: DataFrame,
                                     idCol: String): DataFrame = {
     val toks = base.select(col("id"), posexplode(col("__ts")))
       .select(col("id"), col("pos").cast("long").as("p"),
@@ -587,21 +587,39 @@ object DedupOps {
     val touched1 = coveredNew.join(shardIds, Seq("id"), "left_anti")
       .select("id").distinct()
     val coveredOld = spark.read.parquet(s"$indexDir/covered")
-    val covered1 = coveredOld.join(touched1, Seq("id"), "left_semi")
-      .unionByName(coveredNew.join(touched1, Seq("id"), "left_semi"))
+    // one semi-join over the unioned covered sets (semi distributes over
+    // union) — halves the touched1 broadcast builds (r16)
+    val covered1 = coveredOld.unionByName(coveredNew)
+      .join(touched1, Seq("id"), "left_semi")
       .distinct()
     // rebuild ONLY verified-touched indexed docs: a doc the scan pulled
     // but no group verified keeps its prior cleaned row (rebuilding it
     // here would MISS its archived intra-index coverage)
-    val out = rebuildWithoutCovered(base2, covered2, idCol)
-      .unionByName(rebuildWithoutCovered(
-        base1.join(touched1, Seq("id"), "left_semi"), covered1, idCol))
-      .localCheckpoint(true) // pin BEFORE the artifact append below
-    // postings/covered delta → the artifact absorbs the shard
-    posts2.write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$indexDir/postings")
+    // ONE fused rebuild over both waves (r16): shard ids and indexed ids
+    // are disjoint (caller contract), so rebuilding the unioned base
+    // against the unioned covered set row-for-row equals the two
+    // per-wave rebuilds — at half the stage count (one token explode,
+    // one anti-join, one reassembly aggregate instead of two of each).
+    val out = rebuildWithoutCovered(
+      base2.unionByName(
+        base1.join(touched1, Seq("id"), "left_semi")),
+      covered2.unionByName(covered1),
+      idCol).localCheckpoint(true) // pin BEFORE the artifact append below
+    // postings/covered delta → the artifact absorbs the shard.
+    // ORDER MATTERS (r16, measured −8 s/wave at sf0.1): a write to a live
+    // path makes the CacheManager recache every persisted plan READING
+    // that path — and cand/grams/coveredNew all read `postings` (via
+    // idxPosts). Appending postings FIRST therefore dropped coveredNew's
+    // cache, and its write recomputed the whole screen against the
+    // now-inflated index (cross = idxPosts ⋉ posts2 matches EVERY shard
+    // hash once the shard's own postings are in the dir). Write the
+    // covered delta first (cache-hot; nothing downstream reads `covered`
+    // after `out` is pinned), then the postings delta (posts2's own
+    // cache reads no artifact path).
     coveredNew.write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(s"$indexDir/covered")
+    posts2.write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexDir/postings")
     spark.catalog.refreshByPath(s"$indexDir/postings")
     spark.catalog.refreshByPath(s"$indexDir/covered")
     out

@@ -53,9 +53,14 @@ object GraphOps {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
+    // pre-partitioned by `a` once (r16, the louvainOneLevel shape): the
+    // init aggregation and every round's hash-to-min group by `a` and
+    // ride this one exchange; the label joins below are size-gated
+    // broadcasts — zero exchanges per round below the limit
     val sym = graft.Caches.track(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .repartition(col("a"))
         .persist(StorageLevel.MEMORY_AND_DISK))
 
     // Lineage MUST be cut every iteration (localCheckpoint, eager):
@@ -76,15 +81,19 @@ object GraphOps {
         .agg(least(col("a"), min(col("b"))).as("comp"))
         .select(col("a").as("id"), col("comp"))
         .localCheckpoint())
+    // |V| measured once over the checkpointed init frame — gates the
+    // per-round broadcast hints (labels and neigh are |V|-bounded)
+    val nV = labels.count()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       // hash-to-min: min label over self + neighbors
       val neigh = sym
-        .join(labels.select(col("id").as("b"), col("comp").as("bc")), "b")
+        .join(hintIfSmall(
+          labels.select(col("id").as("b"), col("comp").as("bc")), nV), "b")
         .groupBy("a").agg(min("bc").as("nc"))
         .select(col("a").as("id"), col("nc"))
-      val pulled = labels.join(neigh, Seq("id"), "left")
+      val pulled = labels.join(hintIfSmall(neigh, nV), Seq("id"), "left")
         .select(col("id"), col("comp").as("__old"),
           least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
       // pointer jumping ×2: comp := min(comp, labels(comp)), twice against
@@ -95,12 +104,14 @@ object GraphOps {
       // __old so convergence is a short-circuiting scan of the
       // checkpointed frame, not another join.
       val jump1 = pulled
-        .join(labels.select(col("id").as("comp"), col("comp").as("cc")),
+        .join(hintIfSmall(
+          labels.select(col("id").as("comp"), col("comp").as("cc")), nV),
           Seq("comp"), "left")
         .select(col("id"), col("__old"),
           least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
       val next = graft.Caches.track(jump1
-        .join(labels.select(col("id").as("comp"), col("comp").as("cc")),
+        .join(hintIfSmall(
+          labels.select(col("id").as("comp"), col("comp").as("cc")), nV),
           Seq("comp"), "left")
         .select(col("id"), col("__old"),
           least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
@@ -150,12 +161,20 @@ object GraphOps {
   def pageRank(pairs: DataFrame, id1: String, id2: String,
                damping: Double = 0.85, iters: Int = 5): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    // pre-partitioned by the DESTINATION `b` once (r16, the
+    // louvainOneLevel shape): the per-iteration mass aggregation groups
+    // by `b` and rides this one exchange; rank/degree joins are
+    // size-gated broadcasts — zero exchanges per iteration below the
+    // limit. On a symmetric frame degree-by-b equals degree-by-a, so
+    // the degree count rides the same partitioning too.
     val sym = graft.Caches.track(
       pairs.select(col(id1).as("a"), col(id2).as("b"))
         .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
+        .repartition(col("b"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val deg = graft.Caches.track(
-      sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      sym.groupBy(col("b")).agg(count(lit(1)).as("deg"))
+        .select(col("b").as("a"), col("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val n = deg.count() // |vertices| — one driver scalar
     require(n > 0, "pageRank needs at least one edge")
@@ -163,11 +182,11 @@ object GraphOps {
     var rank = deg.select(col("a").as("id"), lit(1.0 / n).as("r"))
     for (_ <- 1 to iters) {
       val next = sym
-        .join(rank.select(col("id").as("a"), col("r")), "a")
-        .join(deg, "a")
-        .groupBy(col("b").as("id"))
+        .join(hintIfSmall(rank.select(col("id").as("a"), col("r")), n), "a")
+        .join(hintIfSmall(deg, n), "a")
+        .groupBy(col("b"))
         .agg(sum(col("r") / col("deg")).as("__s"))
-        .select(col("id"),
+        .select(col("b").as("id"),
           (floor((lit(base) + lit(damping) * col("__s")) * 1e9 + 0.5)
             / 1e9).as("r"))
         .localCheckpoint() // lineage cut — the d08 rationale
@@ -198,13 +217,18 @@ object GraphOps {
                            damping: Double = 0.85,
                            iters: Int = 5): DataFrame = {
     require(iters >= 1, "personalizedPageRank needs at least one iteration")
+    // same r16 pre-partitioned shape as [[pageRank]]: one exchange at
+    // build (by destination `b`), size-gated broadcast joins per round
     val sym = graft.Caches.track(
       pairs.select(col(id1).as("a"), col(id2).as("b"))
         .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
+        .repartition(col("b"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val deg = graft.Caches.track(
-      sym.groupBy("a").agg(count(lit(1)).as("deg"))
+      sym.groupBy(col("b")).agg(count(lit(1)).as("deg"))
+        .select(col("b").as("a"), col("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    val nV = deg.count() // |vertices| — gates the broadcast hints
     // in-graph seeds only: teleport mass must land on walkable vertices
     val seedFlag = graft.Caches.track(
       deg.select(col("a").as("id"))
@@ -216,20 +240,22 @@ object GraphOps {
     require(ns > 0, "personalizedPageRank needs at least one in-graph seed")
     val base = (1 - damping) / ns
     var rank = deg.select(col("a").as("id"))
-      .join(seedFlag, Seq("id"), "left")
+      .join(hintIfSmall(seedFlag, nV), Seq("id"), "left")
       .select(col("id"),
         when(col("__seed").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0))
           .as("r"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
       val in = sym
-        .join(rank.select(col("id").as("a"), col("r")), "a")
-        .join(deg, "a")
-        .groupBy(col("b").as("id"))
+        .join(hintIfSmall(rank.select(col("id").as("a"), col("r")), nV),
+          "a")
+        .join(hintIfSmall(deg, nV), "a")
+        .groupBy(col("b")) // rides sym's hash(b) — no exchange
         .agg(sum(col("r") / col("deg")).as("__s"))
+        .select(col("b").as("id"), col("__s"))
       rank = deg.select(col("a").as("id"))
-        .join(in, Seq("id"), "left")
-        .join(seedFlag, Seq("id"), "left")
+        .join(hintIfSmall(in, nV), Seq("id"), "left")
+        .join(hintIfSmall(seedFlag, nV), Seq("id"), "left")
         .select(col("id"),
           (floor((when(col("__seed").isNotNull, lit(base))
               .otherwise(lit(0.0))
@@ -256,9 +282,24 @@ object GraphOps {
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iters: Int = 4): DataFrame = {
     require(iters >= 1, "hits needs at least one iteration")
-    val e = graft.Caches.track(
+    // TWO pre-partitioned copies of the edge frame (r16, the
+    // louvainOneLevel discipline applied to HITS' alternating keys):
+    // the authority aggregation groups by `s` and reads eByS, the hub
+    // aggregation groups by `c` and reads eByC — each rides its copy's
+    // hash partitioning, and the score joins are size-gated broadcasts
+    // (|h|/|a| ≤ |edges| = the measured gate), so a half-round plans
+    // ZERO exchanges below the broadcast limit. 2× the edge storage;
+    // the former per-half-round shuffle of the joined edge frame is
+    // gone.
+    val eByC = graft.Caches.track(
       edges.select(col(srcCol).as("c"), col(dstCol).as("s")).distinct()
+        .repartition(col("c"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    val eByS = graft.Caches.track(
+      eByC.repartition(col("s"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nE = eByC.count() // one probe: |edges| ≥ |hubs|, |authorities|
+    val e = eByC
     val unit = 1000000000L
     // per-round L∞ normalization stays INSIDE the plan (the 1-row max
     // broadcast-joins back on a constant key; Catalyst folds the
@@ -287,10 +328,16 @@ object GraphOps {
       .withColumn("u", lit(unit))
     var a: DataFrame = h.limit(0)
     for (_ <- 1 to iters) {
-      a = normalized(e.join(h.select(col("id").as("c"), col("u")), "c")
-        .groupBy(col("s").as("id")).agg(sum(col("u")).as("raw")))
-      h = normalized(e.join(a.select(col("id").as("s"), col("u")), "s")
-        .groupBy(col("c").as("id")).agg(sum(col("u")).as("raw")))
+      // groupBy the RAW partition column (an alias in the grouping key
+      // can defeat the distribution match), rename after
+      a = normalized(eByS
+        .join(hintIfSmall(h.select(col("id").as("c"), col("u")), nE), "c")
+        .groupBy(col("s")).agg(sum(col("u")).as("raw"))
+        .select(col("s").as("id"), col("raw")))
+      h = normalized(eByC
+        .join(hintIfSmall(a.select(col("id").as("s"), col("u")), nE), "s")
+        .groupBy(col("c")).agg(sum(col("u")).as("raw"))
+        .select(col("c").as("id"), col("raw")))
     }
     h.select(lit("hub").as("role"), col("id"), col("u").as("score_u"))
       .unionByName(a.select(lit("authority").as("role"), col("id"),
@@ -400,13 +447,18 @@ object GraphOps {
     * anywhere. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        iters: Int = 4): DataFrame = {
+    // pre-partitioned by `a` once (r16, the louvainOneLevel shape): the
+    // init distinct, the per-round (a, label) count and the arg-max all
+    // group by `a`, so they ride this ONE exchange; label joins are
+    // size-gated broadcasts — zero exchanges per round below the limit
     val sym = graft.Caches.track(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .repartition(col("a"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     var labels = graft.Caches.track(
-      sym.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id"))
+      sym.select(col("a")).distinct()
+        .select(col("a").as("id"), col("a").as("lbl"))
         .localCheckpoint())
     // |V| measured ONCE over the checkpointed init frame (cached blocks,
     // a cheap count; the vertex set never changes across rounds) — gates
@@ -435,11 +487,13 @@ object GraphOps {
         sym.join(hintIfSmall(
             labels.select(col("id").as("b"), col("lbl").as("nl")), nV), "b")
           .groupBy("a", "nl").agg(count(lit(1)).as("cnt"))
-          .groupBy(col("a").as("id"))
+          .groupBy(col("a")) // both groupBys ride sym's hash(a)
           .agg(max_by(col("nl"),
             struct(col("cnt"), -col("nl"))).as("lbl"))
           .join(hintIfSmall(
-            labels.select(col("id"), col("lbl").as("__old")), nV), Seq("id"))
+            labels.select(col("id"), col("lbl").as("__old")), nV),
+            col("a") === col("id"))
+          .select(col("id"), col("lbl"), col("__old"))
           .localCheckpoint()) // lineage cut — the d08 rationale
       converged = labels.filter(col("lbl") =!= col("__old")).isEmpty
       it += 1
@@ -465,19 +519,27 @@ object GraphOps {
     * LPA's frequency rule because the degree-penalty term resists
     * absorbing hubs (d46 gates the improvement).
     *
-    * Scale shape per round: one |labels|-keyed degree join feeding the
-    * |communities|-row Σtot aggregate, one vertex-keyed equi-join
-    * pulling neighbor labels, one (vertex, community) count aggregate,
-    * one keyed WindowGroupLimit arg-max — lineage cut per round (the
-    * d08 discipline). Assumes 2m·max(k_i) < 2⁶³. */
+    * Scale shape per round (r16): the symmetrized edge frame is
+    * pre-partitioned by the scoring vertex `a` ONCE at build time
+    * (guide §2.4 — operations keyed the same way share one exchange):
+    * the (vertex, community) count groups by (a, c) and the arg-max by
+    * `a`, both satisfied by HashPartitioning(a), and every label/σ/
+    * degree join is a size-gated broadcast — so a round plans ZERO
+    * exchanges below the broadcast limit (measured: the former
+    * per-round 2·|E|-row kic shuffle + arg-max shuffle are gone; d46
+    * Louvain step 7.3 → 4.1 s at sf0.1). The stay-put candidate folds
+    * into a closing per-vertex compare instead of a unioned zero row
+    * (the union broke the partitioning alignment).
+    * Assumes 2m·max(k_i) < 2⁶³. */
   def louvainOneLevel(edges: DataFrame, srcCol: String, dstCol: String,
                       iters: Int = 3): DataFrame = {
     val sym = graft.Caches.track(
       edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
         .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+        .repartition(col("a"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     val deg = graft.Caches.track(
-      sym.groupBy(col("a").as("id")).agg(count(lit(1)).as("k"))
+      sym.groupBy("a").agg(count(lit(1)).as("k")) // rides sym's hash(a)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val m2 = sym.count() // 1-value probe: 2m (each edge counted twice)
     require(m2 > 0, "louvain needs edges")
@@ -485,7 +547,7 @@ object GraphOps {
     // across rounds) — gates the per-round broadcast hints.
     val nV = deg.count()
     var labels = graft.Caches.track(
-      deg.select(col("id"), col("id").as("lbl")).localCheckpoint())
+      deg.select(col("a").as("id"), col("a").as("lbl")).localCheckpoint())
     // CONVERGENCE EARLY-EXIT (the monotone test components/k-core already
     // use): synchronous rounds are a pure function of the previous
     // labeling, so zero accepted moves in a round is a FIXED POINT —
@@ -498,48 +560,48 @@ object GraphOps {
     while (!converged && r <= iters) {
       // round 1 runs on the identity labeling — the label/degree joins
       // simplify away (lbl == id, Σtot(c) == k_c), saving three joins
+      val idside = // (id, own, k) — the per-vertex broadcast frame
+        if (r == 1) deg.select(col("a").as("id"), col("a").as("own"),
+          col("k"))
+        else labels.join(hintIfSmall(deg, nV), col("id") === col("a"))
+          .select(col("id"), col("lbl").as("own"), col("k"))
+      val sigma = // (c, sig) — per-community Σtot
+        if (r == 1) deg.select(col("a").as("c"), col("k").as("sig"))
+        else idside.groupBy(col("own").as("c")).agg(sum(col("k")).as("sig"))
       val nbr =
         if (r == 1) sym.select(col("a"), col("b").as("c"))
         else sym.join(
           hintIfSmall(
             labels.select(col("id").as("b"), col("lbl").as("c")), nV),
           "b").select(col("a"), col("c"))
-      val kic = nbr.groupBy(col("a").as("id"), col("c"))
+      // neighbor-supported candidates (k_{i→c} ≥ 1), scored in place;
+      // still hash(a)-partitioned — the groupBys below plan no exchange
+      val scored = nbr.groupBy(col("a"), col("c"))
         .agg(count(lit(1)).as("kic"))
-      val sigma =
-        if (r == 1) deg.select(col("id").as("c"), col("k").as("sig"))
-        else labels.join(deg, Seq("id"))
-          .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("sig"))
-      // staying put is always a candidate, even with no same-community
-      // neighbor: union a kic = 0 row per vertex. When the own
-      // community also has neighbor support, its kic > 0 row strictly
-      // outscores the duplicate (m2 > 0), so the argmax never picks the
-      // zero row wrongly — no dedup aggregation needed.
-      val cand = kic.unionByName(
-        labels.select(col("id"), col("lbl").as("c"))
-          .withColumn("kic", lit(0L)))
-      // sigma / degrees / own labels are |vertices|-bounded: broadcast
-      // them WHEN SMALL (gated on the measured |V| — above the limit
-      // these become keyed shuffle joins, pageRank's shape) so the
-      // round's only exchanges are the kic aggregation and
-      // the arg-max; the arg-max is a max_by partial+final aggregation
-      // (map-side partials collapse candidates to ≤|vertices| rows
-      // before the shuffle — a rank window would sort the full
-      // candidate frame). Tie rule unchanged: max (score, −c) ==
-      // (score DESC, c ASC) rank 1.
-      labels = graft.Caches.track(
-        cand.join(hintIfSmall(sigma, nV), Seq("c"))
-          .join(hintIfSmall(deg, nV), Seq("id"))
-          .join(hintIfSmall(
-            labels.select(col("id"), col("lbl").as("own")), nV), Seq("id"))
-          .withColumn("score", lit(m2) * col("kic") - col("k")
-            * (col("sig")
-              - when(col("c") === col("own"), col("k")).otherwise(0L)))
-          .groupBy("id")
-          .agg(max_by(col("c"),
-            struct(col("score"), -col("c"))).as("lbl"),
-            first(col("own")).as("__old"))
-          .localCheckpoint()) // lineage cut — the d08 rationale
+        .join(hintIfSmall(sigma, nV), Seq("c"))
+        .join(hintIfSmall(idside, nV), col("a") === col("id"))
+        .withColumn("score", lit(m2) * col("kic") - col("k")
+          * (col("sig")
+            - when(col("c") === col("own"), col("k")).otherwise(0L)))
+      // arg-max over neighbor candidates, then fold in the stay-put
+      // candidate (own community at k_{i→own} = 0, score =
+      // −k·(Σtot(own)−k)) with the SAME (score, −c) tie key — when own
+      // also has neighbor support its kic ≥ 1 row strictly outscores
+      // the zero candidate (m2 > 0), so this equals the old unioned
+      // zero-row argmax row for row.
+      val best = scored.groupBy(col("a"))
+        .agg(max_by(col("c"), struct(col("score"), -col("c"))).as("bc"),
+          max(struct(col("score").as("s"), (-col("c")).as("n"))).as("bk"),
+          first(col("own")).as("own"), first(col("k")).as("k"))
+      labels = graft.Caches.track(best
+        .join(hintIfSmall(sigma.select(col("c").as("own"),
+          col("sig").as("sigo")), nV), Seq("own"))
+        .select(col("a").as("id"),
+          when(struct((-(col("k") * (col("sigo") - col("k")))).as("s"),
+              (-col("own")).as("n")) > col("bk"),
+            col("own")).otherwise(col("bc")).as("lbl"),
+          col("own").as("__old"))
+        .localCheckpoint()) // lineage cut — the d08 rationale
       // take(1) over the cached blocks — the converged round scans only
       // cached data, earlier rounds hit a moved vertex fast
       converged = labels.filter(col("lbl") =!= col("__old")).isEmpty
@@ -565,11 +627,14 @@ object GraphOps {
                               iters: Int = 3): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
       col(wCol).cast("long").as("w"))
-    // neighbor-pull edges: non-self, both directions
+    // neighbor-pull edges: non-self, both directions — pre-partitioned
+    // by `a` once, the louvainOneLevel r16 shape (zero per-round
+    // exchanges below the broadcast limit)
     val sym = graft.Caches.track(
       e.filter(col("a") =!= col("b"))
         .unionByName(e.filter(col("a") =!= col("b"))
           .select(col("b").as("a"), col("a").as("b"), col("w")))
+        .repartition(col("a"))
         .persist(StorageLevel.MEMORY_AND_DISK))
     // weighted degree: neighbor weights + 2× self-loop weight
     val selfw = e.filter(col("a") === col("b"))
@@ -587,34 +652,47 @@ object GraphOps {
     var converged = false
     var r = 1
     while (!converged && r <= iters) {
+      val idside = // (id, own, k) — per-vertex broadcast frame
+        if (r == 1) deg.select(col("id"), col("id").as("own"), col("k"))
+        else labels.join(hintIfSmall(deg, nV), Seq("id"))
+          .select(col("id"), col("lbl").as("own"), col("k"))
+      val sigma = // (c, sig)
+        if (r == 1) deg.select(col("id").as("c"), col("k").as("sig"))
+        else idside.groupBy(col("own").as("c")).agg(sum(col("k")).as("sig"))
       val nbr =
         if (r == 1) sym.select(col("a"), col("b").as("c"), col("w"))
         else sym.join(
           hintIfSmall(
             labels.select(col("id").as("b"), col("lbl").as("c")), nV),
           "b").select(col("a"), col("c"), col("w"))
-      val kic = nbr.groupBy(col("a").as("id"), col("c"))
+      val scored = nbr.groupBy(col("a"), col("c"))
         .agg(sum(col("w")).as("kic"))
-      val sigma =
-        if (r == 1) deg.select(col("id").as("c"), col("k").as("sig"))
-        else labels.join(deg, Seq("id"))
-          .groupBy(col("lbl").as("c")).agg(sum(col("k")).as("sig"))
-      val cand = kic.unionByName(
-        labels.select(col("id"), col("lbl").as("c"))
-          .withColumn("kic", lit(0L)))
-      labels = graft.Caches.track(
-        cand.join(hintIfSmall(sigma, nV), Seq("c"))
-          .join(hintIfSmall(deg, nV), Seq("id"))
-          .join(hintIfSmall(
-            labels.select(col("id"), col("lbl").as("own")), nV), Seq("id"))
-          .withColumn("score", lit(m2) * col("kic") - col("k")
-            * (col("sig")
-              - when(col("c") === col("own"), col("k")).otherwise(0L)))
-          .groupBy("id")
-          .agg(max_by(col("c"),
-            struct(col("score"), -col("c"))).as("lbl"),
-            first(col("own")).as("__old"))
-          .localCheckpoint())
+        .join(hintIfSmall(sigma, nV), Seq("c"))
+        .join(hintIfSmall(idside, nV), col("a") === col("id"))
+        .withColumn("score", lit(m2) * col("kic") - col("k")
+          * (col("sig")
+            - when(col("c") === col("own"), col("k")).otherwise(0L)))
+      val best = scored.groupBy(col("a"))
+        .agg(max_by(col("c"), struct(col("score"), -col("c"))).as("bc"),
+          max(struct(col("score").as("s"), (-col("c")).as("n"))).as("bk"),
+          first(col("own")).as("own"), first(col("k")).as("k"))
+      val moved = best
+        .join(hintIfSmall(sigma.select(col("c").as("own"),
+          col("sig").as("sigo")), nV), Seq("own"))
+        .select(col("a").as("id"),
+          when(struct((-(col("k") * (col("sigo") - col("k")))).as("s"),
+              (-col("own")).as("n")) > col("bk"),
+            col("own")).otherwise(col("bc")).as("mv"))
+      // self-loop-only vertices never enter sym (self-edges are
+      // filtered), so they have no neighbor candidates: re-attach them
+      // with their own label — exactly the old zero-row union's single
+      // stay-put candidate for such a vertex
+      labels = graft.Caches.track(labels
+        .select(col("id"), col("lbl").as("__old"))
+        .join(hintIfSmall(moved, nV), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("mv"), col("__old")).as("lbl"), col("__old"))
+        .localCheckpoint())
       converged = labels.filter(col("lbl") =!= col("__old")).isEmpty
       r += 1
     }
@@ -822,39 +900,48 @@ object GraphOps {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
             rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be >= 1")
-    val e = graft.Caches.track(edges.select(
+    val e = edges.select(
         least(col(srcCol), col(dstCol)).as("lo"),
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .filter(col("lo") =!= col("hi"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    def degrees(alive: DataFrame, out: String): DataFrame = alive
-      .select(col("lo").as(out))
-      .unionByName(alive.select(col("hi").as(out)))
-      .groupBy(out).agg(count(lit(1)).as("deg"))
-    // Iterate on the SHRINKING edge frame (not nodes vs the full
-    // original list): each round's semi-joins read only the edges that
-    // survived the previous peel, so per-round cost decays with the
-    // peel. localCheckpoint is eager → the surviving-edge count is a
-    // cheap follow-up job; peeling is monotone, so an unchanged count
-    // means convergence and the remaining rounds are no-ops — break.
-    var alive = e.localCheckpoint()
-    var nAlive = alive.count()
+    // Iterate on the SYMMETRIZED shrinking frame, hash-partitioned by
+    // the endpoint column `w` (r16, the louvainOneLevel discipline):
+    // the per-round degree count groups by `w` — riding the
+    // partitioning the checkpoint preserves, no exchange — and both
+    // liveness filters are size-gated broadcast SEMI-joins, so a peel
+    // round plans ZERO exchanges below the broadcast limit. Twice the
+    // rows of the one-row-per-edge variant, but the former per-round
+    // degree shuffle (2·|alive| union rows) is gone and each vertex's
+    // count is identical (one row per incident edge either way).
+    // Iteration stays on the SHRINKING frame; localCheckpoint is eager
+    // → the surviving-row count is a cheap follow-up job; peeling is
+    // monotone, so an unchanged count means convergence — break.
+    var alive = e.select(col("lo").as("w"), col("hi").as("u"))
+      .unionByName(e.select(col("hi").as("w"), col("lo").as("u")))
+      .repartition(col("w"))
+      .localCheckpoint()
+    var nAlive = alive.count() // 2·|edges| — the convergence counter
     var r = 0
     var converged = false
     while (r < rounds && !converged) {
-      val keep = degrees(alive, "w").filter(col("deg") >= k)
+      val keep = alive.groupBy("w").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
         .select(col("w").as("v"))
+      // |keep| ≤ |alive vertices| ≤ nAlive — gate on the tracked count
       alive = alive
-        .join(keep.withColumnRenamed("v", "lo"), Seq("lo"), "left_semi")
-        .join(keep.withColumnRenamed("v", "hi"), Seq("hi"), "left_semi")
+        .join(hintIfSmall(keep.withColumnRenamed("v", "w"), nAlive),
+          Seq("w"), "left_semi")
+        .join(hintIfSmall(keep.withColumnRenamed("v", "u"), nAlive),
+          Seq("u"), "left_semi")
+        .select(col("w"), col("u")) // (w, u) order for the next round
         .localCheckpoint() // lineage cut — the d08 rationale
       val n = alive.count()
       converged = n == nAlive
       nAlive = n
       r += 1
     }
-    degrees(alive, "node")
+    alive.groupBy(col("w").as("node")).agg(count(lit(1)).as("deg"))
   }
 
   /** Adamic–Adar link prediction over an undirected edge set: for every
@@ -886,9 +973,13 @@ object GraphOps {
     val adj = e.select(col("lo").as("w"), col("hi").as("u"))
       .unionByName(e.select(col("hi").as("w"), col("lo").as("u")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("deg"))
-    // center-eligible adjacency feeds BOTH wedge sides — persist
+    // center-eligible adjacency feeds BOTH wedge sides — persist,
+    // pre-partitioned by the wedge-center key `w` (r16): the self-join
+    // below then reads two co-partitioned cache scans and plans no
+    // exchange of its own
     val okAdj = graft.Caches.track(
       adj.join(deg.filter(col("deg") <= maxDeg), Seq("w"))
+        .repartition(col("w"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wedges = okAdj.as("a").join(okAdj.as("b"),
         col("a.w") === col("b.w") && col("a.u") < col("b.u"))
