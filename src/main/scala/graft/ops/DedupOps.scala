@@ -209,20 +209,38 @@ object DedupOps {
     require(nTrue > 0,
       s"lshBandCurve: no true pairs at threshold=$threshold — " +
         "recall is undefined; lower the threshold or widen the corpus")
-    val rows = bandCounts.map { b =>
+    // ALL tiers from ONE candidate join (r16): a pair agreeing on a
+    // full r-lane band slice agrees on each constituent lane, so the
+    // single-lane (b = k) candidate set is a SUPERSET of every coarser
+    // tier's — generate it once (the k-band join was already the most
+    // expensive tier of the old per-tier loop), attach both signatures
+    // and the true-pair flag, and score every tier's band agreement as
+    // ONE aggregation row of slice-equality sums (per tier it counts
+    // exactly the pairs the old per-tier band join surfaced).
+    val banded16 = sig.select(col("id"), posexplode(col("sig")))
+      .toDF("id", "band", "bs")
+    val flagged = banded16.as("a").join(banded16.as("b"),
+        col("a.band") === col("b.band") && col("a.bs") === col("b.bs")
+          && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+      .join(sig.select(col("id").as("id1"), col("sig").as("g1")), "id1")
+      .join(sig.select(col("id").as("id2"), col("sig").as("g2")), "id2")
+      .join(truePairs.withColumn("__t", lit(1)), Seq("id1", "id2"), "left")
+    val tierCols = bandCounts.flatMap { b =>
       val r = k / b
-      val banded = sig.select(col("id"), posexplode(
-        array((0 until b).map(i => slice(col("sig"), i * r + 1, r)): _*)))
-        .toDF("id", "band", "bs")
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.bs") === col("b.bs")
-            && col("a.id") < col("b.id"))
-        .select(col("a.id").as("id1"), col("b.id").as("id2"))
-        .distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val nCand = cand.count()
-      val nHit = cand.join(truePairs, Seq("id1", "id2")).count()
-      cand.unpersist(blocking = false)
+      val hit = (0 until b).map(i =>
+          slice(col("g1"), i * r + 1, r) === slice(col("g2"), i * r + 1, r))
+        .reduce(_ || _)
+      Seq(sum(when(hit, 1L).otherwise(0L)).as(s"__c$b"),
+        sum(when(hit && col("__t").isNotNull, 1L).otherwise(0L))
+          .as(s"__h$b"))
+    }
+    val one = flagged.agg(tierCols.head, tierCols.tail: _*).head()
+    val rows = bandCounts.zipWithIndex.map { case (b, ix) =>
+      val nCand = if (one.isNullAt(2 * ix)) 0L else one.getLong(2 * ix)
+      val nHit =
+        if (one.isNullAt(2 * ix + 1)) 0L else one.getLong(2 * ix + 1)
       (b, nCand, nHit, nTrue,
         math.floor(nHit.toDouble / nTrue.toDouble * 1e6 + 0.5) / 1e6)
     }
@@ -581,29 +599,29 @@ object DedupOps {
       substrCoverage(grams, verified, k)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // 3 — rebuild: shard docs under their new coverage; touched indexed
-    // docs under archived ∪ new coverage
-    val shardIds = base2.select(col("id"))
-    val covered2 = coveredNew.join(shardIds, Seq("id"), "left_semi")
-    val touched1 = coveredNew.join(shardIds, Seq("id"), "left_anti")
-      .select("id").distinct()
-    val coveredOld = spark.read.parquet(s"$indexDir/covered")
-    // one semi-join over the unioned covered sets (semi distributes over
-    // union) — halves the touched1 broadcast builds (r16)
-    val covered1 = coveredOld.unionByName(coveredNew)
-      .join(touched1, Seq("id"), "left_semi")
-      .distinct()
+    // docs under archived ∪ new coverage.
     // rebuild ONLY verified-touched indexed docs: a doc the scan pulled
     // but no group verified keeps its prior cleaned row (rebuilding it
-    // here would MISS its archived intra-index coverage)
+    // here would MISS its archived intra-index coverage).
     // ONE fused rebuild over both waves (r16): shard ids and indexed ids
     // are disjoint (caller contract), so rebuilding the unioned base
     // against the unioned covered set row-for-row equals the two
-    // per-wave rebuilds — at half the stage count (one token explode,
-    // one anti-join, one reassembly aggregate instead of two of each).
+    // per-wave rebuilds — one token explode, one anti-join, one
+    // reassembly aggregate. The covered side needs NO per-wave
+    // semi-joins or distinct: coveredNew's ids are exactly
+    // (covered shard docs ∪ touched1) ⊆ the rebuilt id set, archived
+    // coverage restricted to touched1 supplies the indexed docs' old
+    // positions, and the anti-join is insensitive to duplicate (id, p)
+    // rows — so coveredNew ∪ (coveredOld ⋉ touched1) is the whole set.
+    val shardIds = base2.select(col("id"))
+    val touched1 = coveredNew.join(shardIds, Seq("id"), "left_anti")
+      .select("id").distinct()
+    val coveredOld = spark.read.parquet(s"$indexDir/covered")
     val out = rebuildWithoutCovered(
       base2.unionByName(
         base1.join(touched1, Seq("id"), "left_semi")),
-      covered2.unionByName(covered1),
+      coveredNew.unionByName(
+        coveredOld.join(touched1, Seq("id"), "left_semi")),
       idCol).localCheckpoint(true) // pin BEFORE the artifact append below
     // postings/covered delta → the artifact absorbs the shard.
     // ORDER MATTERS (r16, measured −8 s/wave at sf0.1): a write to a live

@@ -821,21 +821,34 @@ object GraphOps {
     // per-labeling broadcast hints (label frames are vertex-keyed, so
     // the degree count bounds them within a distinct() of the input).
     val nV = dg.count()
-    labelings.map { case (name, labels, idCol, lblCol) =>
-      val lab = labels
-        .select(col(idCol).as("id"), col(lblCol).as("lbl")).distinct()
-      val se = e
-        .join(hintIfSmall(lab.select(col("id").as("lo"),
-          col("lbl").as("lb1")), nV), Seq("lo"))
-        .join(hintIfSmall(lab.select(col("id").as("hi"),
-          col("lbl").as("lb2")), nV), Seq("hi"))
-        .filter(col("lb1") === col("lb2"))
-        .agg(count(lit(1))).head().getLong(0) // 1-row intra-edge total
-      val sd2 = lab.join(dg, lab("id") === dg("nd"), "left")
-        .groupBy(col("lbl"))
-        .agg(sum(coalesce(col("dg"), lit(0L))).as("d_sum"))
-        .agg(sum(col("d_sum") * col("d_sum")))
-        .head().getLong(0) // 1-row degree-square total
+    // ALL labelings score in ONE tagged pass (r16): union the label
+    // frames under a tag column, join the edge frame once against the
+    // tagged broadcast (per tag it is exactly the old per-labeling
+    // join), and collect one |labelings|-row result per aggregate —
+    // the edge frame is scanned once instead of once per labeling and
+    // the 2·|labelings| single-row head() jobs become two collects.
+    val labAll = labelings.map { case (name, labels, idCol, lblCol) =>
+      labels.select(lit(name).as("tag"), col(idCol).as("id"),
+        col(lblCol).as("lbl")).distinct()
+    }.reduce(_.unionByName(_))
+    val nLab = nV * labelings.size
+    val seMap = e
+      .join(hintIfSmall(labAll.select(col("tag"), col("id").as("lo"),
+        col("lbl").as("lb1")), nLab), Seq("lo"))
+      .join(hintIfSmall(labAll.select(col("tag"), col("id").as("hi"),
+        col("lbl").as("lb2")), nLab), Seq("tag", "hi"))
+      .filter(col("lb1") === col("lb2"))
+      .groupBy("tag").agg(count(lit(1)).as("se"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sd2Map = labAll.join(dg, labAll("id") === dg("nd"), "left")
+      .groupBy(col("tag"), col("lbl"))
+      .agg(sum(coalesce(col("dg"), lit(0L))).as("d_sum"))
+      .groupBy(col("tag"))
+      .agg(sum(col("d_sum") * col("d_sum")).as("sd2"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    labelings.map { case (name, _, _, _) =>
+      val se = seMap.getOrElse(name, 0L)
+      val sd2 = sd2Map.getOrElse(name, 0L)
       name -> math.floor((4L * m * se - sd2).toDouble
         / (4L * m * m).toDouble * 1e6 + 0.5) / 1e6
     }
